@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.Q
+import graft.sql.{QueryGuard, TableEnv}
+
+/** The breadth of the SELECT dialect (SURVEY §2 B4): each query here is
+  * executed through the guarded SQL path (`QueryGuard` + `spark.sql`) —
+  * the same surface the reference exposes via `run_select_query`
+  * (mcp_server.py:433). Where the Spark SQL text is also valid DuckDB
+  * SQL the oracle is the identical string; otherwise a dialect-adjusted
+  * oracle is provided.
+  *
+  * Determinism rules (so results hash-match across engines):
+  *  - every query has a total ORDER BY;
+  *  - every computed float is rounded;
+  *  - window orderings include a unique key tiebreak.
+  */
+object SqlSurface {
+
+  /** name -> (spark sql, oracle sql override — None = same text). */
+  private val defs: Seq[(String, String, Option[String])] = Seq(
+
+    ("q_left_join",
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+      None),
+
+    ("q_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+      None),
+
+    ("q_window_rank",
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    rank() OVER (PARTITION BY o_orderpriority
+        |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders) t
+        |WHERE rnk <= 3 ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin,
+      None),
+
+    ("q_window_running",
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey), 2) AS running_total,
+        |  lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS prev_order
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      None),
+
+    ("q_cte_union",
+      """WITH hi AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000),
+        |     lo AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice < 20000)
+        |SELECT 'high' AS bucket, o_custkey, round(o_totalprice, 2) AS price FROM hi
+        |UNION ALL
+        |SELECT 'low' AS bucket, o_custkey, round(o_totalprice, 2) AS price FROM lo
+        |ORDER BY bucket, o_custkey, price""".stripMargin,
+      None),
+
+    ("q_having",
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+        |FROM orders GROUP BY o_custkey
+        |HAVING count(*) >= 3 ORDER BY o_custkey""".stripMargin,
+      None),
+
+    ("q_argmax",
+      """SELECT c_nationkey, max_by(c_name, c_acctbal) AS top_customer,
+        |  round(max(c_acctbal), 2) AS top_bal,
+        |  min_by(c_name, c_acctbal) AS bottom_customer
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      None),
+
+    ("q_quantile",
+      """SELECT l_returnflag,
+        |  round(percentile(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(percentile(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(percentile(l_discount, 0.25), 4) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Some("""SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+        |  round(quantile_cont(l_discount, 0.25), 4) AS p25_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    ("q_topk",
+      """SELECT p_brand, count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin,
+      None),
+
+    ("q_group_array",
+      """SELECT l_orderkey, array_sort(collect_list(l_linenumber)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
+
+    ("q_array_hof",
+      """SELECT doc_id,
+        |  size(filter(split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+        |  transform(slice(split(text, ' '), 1, 3), t -> upper(t)) AS first3_upper
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      Some("""SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+        |  list_transform(string_split(text, ' ')[1:3], t -> upper(t)) AS first3_upper
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    ("q_token_freq",
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT explode(split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+      Some("""SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin)),
+
+    ("q_setops",
+      """SELECT 'i' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') a
+        |UNION ALL
+        |SELECT 'e' AS op, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') b
+        |ORDER BY op, o_custkey""".stripMargin,
+      None),
+
+    ("q_subquery",
+      """SELECT c_custkey, round(c_acctbal, 2) AS acctbal
+        |FROM customer c1
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+      None),
+
+    ("q_json_extract",
+      """SELECT event_type,
+        |  round(avg(CAST(get_json_object(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      Some("""SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,
+    // no cross-engine oracle; exact variant is verified as q_distinct.
+    ("q_uniq",
+      """SELECT approx_count_distinct(o_custkey) AS approx_cust FROM orders""",
+      Some(""))) // "" sentinel: rows-only, no oracle entry
+
+  private def runSql(sql: String): Q = (s: SparkSession, dir: String) => {
+    TableEnv.register(s, dir)
+    QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] =
+    defs.map { case (n, sql, _) => n -> runSql(sql) }.toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap {
+      case (_, _, Some("")) => None
+      case (n, sql, o) => Some(n -> o.getOrElse(sql))
+    }.toMap
+}

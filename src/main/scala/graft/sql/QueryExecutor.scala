@@ -1,0 +1,55 @@
+package graft.sql
+
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
+import scala.util.control.NonFatal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Result shape of the reference's `run_select_query`
+  * (mcp_server.py:421-459): column names + row values. */
+final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]])
+
+/** Read-only SQL executor with the reference's operational semantics
+  * (mcp_server.py:66, 433-459): a bounded worker pool (10 threads) and a
+  * per-query timeout that cancels the underlying Spark jobs — not just
+  * the client wait — so a runaway query releases cluster resources.
+  */
+final class QueryExecutor(
+    spark: SparkSession,
+    timeoutSec: Int = 30,
+    poolSize: Int = 10) extends AutoCloseable {
+
+  private val pool = Executors.newFixedThreadPool(poolSize)
+
+  /** Plan a guarded SELECT; lazy — no jobs run until an action. */
+  def select(sql: String): DataFrame = {
+    QueryGuard.parseReadOnly(spark, sql)
+    spark.sql(sql)
+  }
+
+  /** Run a guarded SELECT to completion with timeout + job cancellation. */
+  def run(sql: String): QueryResult = {
+    val df = select(sql)
+    val jobTag = s"graft-query-${java.util.UUID.randomUUID()}"
+    val task = pool.submit { () =>
+      spark.sparkContext.addJobTag(jobTag)
+      try collect(df)
+      finally spark.sparkContext.removeJobTag(jobTag)
+    }
+    try task.get(timeoutSec.toLong, TimeUnit.SECONDS)
+    catch {
+      case _: TimeoutException =>
+        spark.sparkContext.cancelJobsWithTag(jobTag)
+        task.cancel(true)
+        throw new TimeoutException(s"Query timed out after $timeoutSec seconds")
+      case NonFatal(e) => throw e
+    }
+  }
+
+  private def collect(df: Dataset[org.apache.spark.sql.Row]): QueryResult =
+    QueryResult(
+      df.columns.toSeq,
+      df.collect().toSeq.map(_.toSeq))
+
+  override def close(): Unit = pool.shutdown()
+}

@@ -1,0 +1,36 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans.logical.{Command, InsertIntoStatement, LogicalPlan}
+
+/** Read-only enforcement for the SQL surface.
+  *
+  * The reference runs every query under ClickHouse `readonly = 1`
+  * (mcp_server.py:424-425, 483-510): reads only, no settings changes.
+  * Spark has no session readonly switch, so we enforce it structurally:
+  * the statement is parsed with Spark's own SQL parser and the logical
+  * plan is rejected if it contains any command node (DDL, SET, CACHE,
+  * ...) or an INSERT. No regex "parsing" of SQL text.
+  */
+final class ReadOnlyViolation(msg: String) extends RuntimeException(msg)
+
+object QueryGuard {
+
+  /** Parse `sql` and return its plan iff it is a pure query. */
+  def parseReadOnly(spark: SparkSession, sql: String): LogicalPlan = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    val offending = plan.collectFirst {
+      case c: Command => c.nodeName
+      case i: InsertIntoStatement => i.nodeName
+    }
+    offending.foreach { node =>
+      throw new ReadOnlyViolation(
+        s"only read-only SELECT statements are allowed (found $node)")
+    }
+    plan
+  }
+
+  def isReadOnly(spark: SparkSession, sql: String): Boolean =
+    try { parseReadOnly(spark, sql); true }
+    catch { case _: ReadOnlyViolation => false }
+}
