@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Batch formulations of the streaming analytics (SURVEY §2 E1/E2) over
+  * the `events` table. The Structured Streaming variants in
+  * `graft.streaming` share these semantics; the batch forms are what the
+  * DuckDB oracle can verify.
+  *
+  * Scale notes: both are single-shuffle plans — the window aggregation
+  * shuffles on (window, event_type); sessionization shuffles once on
+  * user_id and both window functions reuse that partitioning.
+  */
+object Events {
+
+  /** E1 batch form: tumbling 1-hour windows per event type. */
+  val evWindowed: Q = (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("window_start", "event_type")
+
+  /** E2 batch form: gap-based sessionization (30-minute inactivity gap).
+    * lag → new-session flag → running sum = session index; all three
+    * window steps share one hash-partitioning on user_id. */
+  val evSessions: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables(s, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_idx", sum("new_sess").over(byUser))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("session_value"),
+        round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 1e6, 6)
+          .as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ev_windowed" -> evWindowed,
+    "ev_sessions" -> evSessions)
+
+  val oracles: Map[String, String] = Map(
+    "ev_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess,
+        |    event_id
+        |  FROM g),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value,
+        |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
+        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin)
+}

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Text-analysis operators for LLM training-data pipelines over the
+  * `documents` table: token counting, quality scoring, language ID and
+  * content fingerprinting (SURVEY §2 D8-D11).
+  *
+  * All are narrow per-row transformations built from codegen'd Spark
+  * natives (split / regexp / higher-order functions) — no UDFs, no
+  * shuffles except the final deterministic ORDER BY, so they scan at
+  * parquet-read speed and scale linearly with the corpus.
+  *
+  * Every computed ratio is rounded so the DuckDB oracle (same rule in
+  * DuckDB dialect) matches exactly.
+  */
+object TextOps {
+
+  private val toks = split(col("text"), " ")
+
+  /** D10: whitespace tokens + a BPE-ish regex token stream (letter runs,
+    * digit runs, single punctuation marks — the pre-tokenizer shape GPT-2
+    * style BPEs use). */
+  val textTokens: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpe_tokens"),
+        length(col("text")).as("n_chars"))
+      .orderBy("doc_id")
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** D9: quality scoring — length, mean token length, punctuation /
+    * stopword / distinct-token ratios, and a blended quality score. */
+  val textQuality: Q = (s, dir) => {
+    val nTok = size(toks).cast("double")
+    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+    val distinctRatio = size(array_distinct(toks)) / nTok
+    val stopRatio = stopHits / nTok
+    val punctRatio = punct / length(col("text")).cast("double")
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(toks).as("n_tokens"),
+        round((length(col("text")) - size(toks) + 1) / nTok, 4).as("avg_token_len"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(distinctRatio, 6).as("distinct_ratio"),
+        round(
+          least(length(col("text")).cast("double") / 200.0, lit(1.0)) * 0.4
+            + distinctRatio * 0.4
+            + least(stopRatio * 5.0, lit(1.0)) * 0.2, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stopword profiles for the lang-ID heuristic. Scores are hit counts
+    * of language-marker tokens; CJK characters trump everything. */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "fr" -> Seq("le", "la", "et", "les", "une"),
+    "es" -> Seq("el", "los", "una", "y", "es"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** D8: language ID — CJK char detection + stopword-profile argmax with
+    * fixed tie-break order (en > fr > es > de > unknown). Deterministic,
+    * so the identical rule in DuckDB is an exact oracle. */
+  val textLangId: Q = (s, dir) => {
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
+    }
+    val Seq(en, fr, es, de) = scores.map(_._2)
+    val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    val best = greatest(en, fr, es, de)
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"), col("lang").as("labeled_lang"),
+        when(cjk > 0, "zh")
+          .when(best === 0, "unknown")
+          .when(en === best, "en")
+          .when(fr === best, "fr")
+          .when(es === best, "es")
+          .otherwise("de").as("pred_lang"),
+        en.as("en_score"), fr.as("fr_score"), es.as("es_score"), de.as("de_score"))
+      .orderBy("doc_id")
+  }
+
+  /** D11: document fingerprints — md5 of whitespace-normalized text plus
+    * an order-sensitive rolling hash (md5 chain over tokens; an empty
+    * seed keeps it well-defined for 1-token docs). */
+  val textFingerprint: Q = (s, dir) => {
+    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    Tables(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm).as("content_md5"),
+        aggregate(split(norm, " "), lit(""), (h, t) => md5(concat(h, t)))
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangId,
+    "text_fingerprint" -> textFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
+        |  length(text) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
+        |  round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+        |  round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
+        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS distinct_ratio,
+        |  round(least(length(text) / 200.0, 1.0) * 0.4
+        |    + len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) * 0.4
+        |    + least(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / CAST(len(toks) AS DOUBLE) * 5.0, 1.0) * 0.2, 6) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    len(regexp_extract_all(text, '[一-鿿]')) AS cjk FROM documents),
+        |s AS (SELECT doc_id, lang, cjk,
+        |    len(list_filter(toks, t -> t IN ('the','a','of','and','is'))) AS en_score,
+        |    len(list_filter(toks, t -> t IN ('le','la','et','les','une'))) AS fr_score,
+        |    len(list_filter(toks, t -> t IN ('el','los','una','y','es'))) AS es_score,
+        |    len(list_filter(toks, t -> t IN ('der','die','und','das','ist'))) AS de_score
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN greatest(en_score, fr_score, es_score, de_score) = 0 THEN 'unknown'
+        |       WHEN en_score = greatest(en_score, fr_score, es_score, de_score) THEN 'en'
+        |       WHEN fr_score = greatest(en_score, fr_score, es_score, de_score) THEN 'fr'
+        |       WHEN es_score = greatest(en_score, fr_score, es_score, de_score) THEN 'es'
+        |       ELSE 'de' END AS pred_lang,
+        |  en_score, fr_score, es_score, de_score
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_replace(trim(lower(text)), ' +', ' ', 'g') AS norm FROM documents)
+        |SELECT doc_id, md5(norm) AS content_md5,
+        |  list_reduce(list_prepend('', string_split(norm, ' ')),
+        |              (h, t) -> md5(h || t)) AS rolling_fp
+        |FROM t ORDER BY doc_id""".stripMargin)
+}
