@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Deduplication operators for LLM training-data pipelines (SURVEY §2
+  * D1-D5): exact, MinHash+LSH, SimHash, n-gram Jaccard and embedding
+  * cosine near-dup.
+  *
+  * Scale design (100 TB):
+  *  - signatures (minhash/simhash/fingerprints) are per-row map-side
+  *    expressions over array HOFs — no shuffle, no UDFs, fully
+  *    codegen-compatible;
+  *  - candidate pairs come ONLY from equal LSH band keys: the single
+  *    wide dependency is a shuffle on (band, band_key); no O(n²)
+  *    cartesian ever materializes;
+  *  - oversized buckets (degenerate keys, e.g. boilerplate docs) are
+  *    capped at [[maxBucket]] docs — a non-discriminative bucket at 100 TB
+  *    would otherwise emit quadratic pairs. The cap is part of the
+  *    operator's contract and the oracle applies the same cap;
+  *  - the Jaccard verification join ships shingle sets only for the
+  *    surviving candidate pairs.
+  *
+  * The exact-cosine variant (D5) is the brute-force baseline — the scale
+  * path for embeddings is the bucketed ANN in [[Ann]].
+  */
+object Dedup {
+
+  private val NumHashes = 12
+  private val Bands = 6 // rows per band = NumHashes / Bands = 2
+  private val maxBucket = 100
+
+  /** Whitespace-normalized lowercase text — the dedup key space. */
+  private val norm: Column = regexp_replace(trim(lower(col("text"))), " +", " ")
+
+  /** D1: exact dedup on the md5 of normalized text; keeps min doc_id. */
+  val dedupExact: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(norm).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
+      .orderBy("keep_doc")
+
+  /** Word 3-gram shingles of the normalized text (docs shorter than 3
+    * tokens get one whole-text shingle; `greatest` guards the degenerate
+    * `sequence(1,0)` which would count DOWN in Spark). */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(norm, " "))
+      .withColumn("shingles",
+        transform(
+          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
+          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+
+  /** Per-doc minhash signature: for hash h, min over shingles of
+    * md5("h:shingle"). Hex md5 strings order lexicographically the same
+    * in every engine, which makes the signature portable to the oracle. */
+  private def withSignature(df: DataFrame): DataFrame =
+    (0 until NumHashes).foldLeft(withShingles(df)) { (d, h) =>
+      d.withColumn(s"h$h",
+        array_min(transform(col("shingles"), x => md5(concat_ws(":", lit(h), x)))))
+    }
+
+  /** Distinct candidate pairs (doc_a < doc_b) sharing any band key.
+    *
+    * Single wide dependency: ONE shuffle on (band, band_key). Each bucket
+    * collects its (≤ [[maxBucket]], enforced here — oversized buckets are
+    * non-discriminative and would emit quadratic pairs) sorted doc ids and
+    * emits the in-bucket combinations with an array HOF — no self-join, so
+    * the signature pipeline is computed exactly once. */
+  private def candidatePairs(docs: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("bkey"))
+    }
+    withSignature(docs)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .groupBy(col("b.band"), col("b.bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ids) - 2),
+          |  i -> transform(sequence(i + 1, size(ids) - 1),
+          |    j -> named_struct('doc_a', ids[i], 'doc_b', ids[j]))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** D2: MinHash + LSH near-dup candidate pairs. */
+  val dedupMinhash: Q = (s, dir) =>
+    candidatePairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")
+
+  /** D4: true n-gram Jaccard over the LSH candidates — brings shingle
+    * sets to candidate pairs only, never all pairs. */
+  val dedupJaccard: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val sets = withShingles(docs)
+      .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
+    candidatePairs(docs)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+          size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** D3: 60-bit SimHash per doc (15 hex chars of md5 → signed-safe
+    * 60-bit token hash; per-bit majority vote over tokens). All array
+    * HOFs, zero shuffle. */
+  val dedupSimhash: Q = (s, dir) =>
+    Tables(s, dir, "documents")
+      .withColumn("th",
+        transform(split(norm, " "),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
+      .select(
+        col("doc_id"),
+        // SQL form: the functions-API shiftright/shiftleft only take Int
+        // shift amounts, but the underlying expressions accept columns.
+        expr(
+          """aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
+            |  CASE WHEN aggregate(th, 0L,
+            |      (a, h) -> a + (shiftright(h, i) % 2) * 2 - 1) > 0
+            |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("simhash"))
+      .orderBy("doc_id")
+
+  /** D5: embedding cosine near-dup — the exact O(n²) baseline, verified
+    * against the oracle; [[Ann.annLsh]] is the 100 TB path. */
+  val dedupEmbedding: Q = (s, dir) => {
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm",
+        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(
+          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")),
+          4).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_jaccard" -> dedupJaccard,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding)
+
+  /** Shared oracle CTEs: normalized tokens → shingles → signature →
+    * bands (same md5 construction as the Spark side). */
+  private val shingleCte =
+    """WITH t AS (SELECT doc_id,
+      |    string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' ') AS toks
+      |  FROM documents),
+      |sh AS (SELECT doc_id,
+      |    list_transform(generate_series(1, greatest(len(toks) - 2, 1)),
+      |                   i -> array_to_string(toks[i:i+2], ' ')) AS shingles
+      |  FROM t)""".stripMargin
+
+  private val sigSelect = (0 until NumHashes)
+    .map(h => s"list_min(list_transform(shingles, x -> md5('$h:' || x))) AS h$h")
+    .mkString(",\n    ")
+
+  private val bandUnion = (0 until Bands)
+    .map(j => s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS bkey FROM sig")
+    .mkString("\n  UNION ALL ")
+
+  private val pairCte =
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |    $sigSelect
+       |  FROM sh),
+       |allbands AS (
+       |  $bandUnion),
+       |bands AS (
+       |  SELECT * FROM allbands
+       |  WHERE (band, bkey) IN (SELECT (band, bkey) FROM allbands
+       |                         GROUP BY band, bkey HAVING count(*) <= $maxBucket)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_hash,
+        |  count(*) AS n_docs, min(doc_id) AS keep_doc
+        |FROM documents GROUP BY 1 ORDER BY keep_doc""".stripMargin,
+    "dedup_minhash" ->
+      s"""$pairCte
+         |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_jaccard" ->
+      s"""$pairCte,
+         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
+         |SELECT doc_a, doc_b,
+         |  round(len(list_intersect(sa.sset, sb.sset)) /
+         |        CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) AS jaccard
+         |FROM pairs
+         |JOIN sets sa ON sa.doc_id = doc_a
+         |JOIN sets sb ON sb.doc_id = doc_b
+         |WHERE round(len(list_intersect(sa.sset, sb.sset)) /
+         |      CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) >= 0.1
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' '),
+        |                   tk -> ('0x' || substr(md5(tk), 1, 15))::BIGINT) AS th
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_sum(list_transform(generate_series(0, 59), i ->
+        |    CASE WHEN list_sum(list_transform(th, h -> ((h >> i) & 1) * 2 - 1)) > 0
+        |         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos_sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+        |ORDER BY vec_a, vec_b""".stripMargin)
+}
