@@ -14,11 +14,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
-      Events.queries ++ Dedup.queries
+      Events.queries ++ Dedup.queries ++ Ann.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
-      Events.oracles ++ Dedup.oracles
+      Events.oracles ++ Dedup.oracles ++ Ann.oracles
 }

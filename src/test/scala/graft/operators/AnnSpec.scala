@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class AnnSpec extends SparkSpec {
+
+  /** sf0.01 has 500 vectors — enough cells/probes to be meaningful. */
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.map(_.getLong(1)).toSet
+    }
+
+  test("brute force returns k ordered neighbors per query") {
+    val rows = Ann.annBruteforce(spark, dir).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    byQ.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sims = rs.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF recall@5 vs brute force is useful") {
+    val truth = topSets(Ann.annBruteforce(spark, dir).collect())
+    val approx = topSets(Ann.annIvf(spark, dir).collect())
+    val recall = truth.keys.toSeq.map { q =>
+      (truth(q) & approx.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+    }.sum / truth.size
+    info(s"IVF recall@5 = $recall")
+    // nprobe=4 of 16 cells: must beat random cell scan by a wide margin
+    assert(recall >= 0.5)
+  }
+
+  test("IVF scans only probed cells (candidate pruning)") {
+    val nCand = Ann.annIvf(spark, dir).count()
+    assert(nCand <= 10L * 5)
+  }
+}
