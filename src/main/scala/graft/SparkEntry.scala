@@ -14,7 +14,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
-      Events.queries ++ Dedup.queries ++ Ann.queries
+      Events.queries ++ Dedup.queries ++ Ann.queries ++
+      Introspection.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

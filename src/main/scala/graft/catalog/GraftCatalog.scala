@@ -1,0 +1,163 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructField
+
+import graft.Tables
+
+/** Column metadata, mirroring the reference's Column dataclass
+  * (reference: mcp_clickhouse/mcp_server.py:27-34). */
+final case class ColumnInfo(
+    database: String,
+    table: String,
+    name: String,
+    columnType: String,
+    nullable: Boolean,
+    comment: Option[String])
+
+/** Table metadata + storage stats, mirroring the reference's Table
+  * dataclass (reference: mcp_clickhouse/mcp_server.py:37-55). For
+  * parquet-backed tables `parts` is the file count and `totalRows` comes
+  * from parquet footers (a metadata-only count, no data scan). */
+final case class TableInfo(
+    database: String,
+    name: String,
+    engine: String,
+    totalRows: Long,
+    totalBytes: Long,
+    parts: Int,
+    comment: Option[String],
+    columns: Seq[ColumnInfo])
+
+final case class TablePage(
+    tables: Seq[TableInfo],
+    nextPageToken: Option[String],
+    totalTables: Int)
+
+/** Catalog introspection with the reference's tool semantics
+  * (reference: mcp_clickhouse/mcp_server.py:124-418):
+  * `list_databases(like, not_like)` and `list_tables(...)` with
+  * multi-pattern LIKE (OR) / NOT LIKE (AND) filters and paginated
+  * results.
+  *
+  * Scale departure from the reference: page tokens are STATELESS — the
+  * token encodes (database, filters, offset), so no server-side TTL
+  * cache and any driver/executor can resume a listing. Stats for a page
+  * are computed for that page's tables only; a 100k-table catalog never
+  * materializes more than `pageSize` TableInfos at once.
+  */
+final class GraftCatalog(spark: SparkSession, dir: String) {
+
+  import GraftCatalog._
+
+  /** The single file-backed database this engine serves. */
+  val database = "default"
+
+  def listDatabases(
+      like: Seq[String] = Nil,
+      notLike: Seq[String] = Nil): Seq[String] = {
+    val names = spark.catalog.listDatabases().collect().map(_.name).toSeq
+    names.filter(matches(_, like, notLike)).sorted
+  }
+
+  def listTables(
+      database: String = database,
+      like: Seq[String] = Nil,
+      notLike: Seq[String] = Nil,
+      pageToken: Option[String] = None,
+      pageSize: Int = 50,
+      includeDetailedColumns: Boolean = true): TablePage = {
+    val all = Tables.all.filter(matches(_, like, notLike)).sorted
+    // a token for different filters is ignored, like the reference's
+    // cache-state mismatch path (mcp_server.py:345-356)
+    val start = pageToken.flatMap(decodeToken(_, database, like, notLike))
+      .getOrElse(0)
+    val page = all.slice(start, start + pageSize)
+    val infos = page.map(describeTable(database, _, includeDetailedColumns))
+    val next =
+      if (start + pageSize < all.size)
+        Some(encodeToken(database, like, notLike, start + pageSize))
+      else None
+    TablePage(infos, next, all.size)
+  }
+
+  /** Stats + schema for one table; parquet-footer row count, FS sizes. */
+  def describeTable(
+      database: String,
+      table: String,
+      includeColumns: Boolean = true): TableInfo = {
+    val path = new Path(s"$dir/$table.parquet")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      if (fs.isFile(path)) Seq(fs.getFileStatus(path))
+      else fs.listStatus(path).toSeq.filter(_.isFile)
+    val df = Tables(spark, dir, table)
+    TableInfo(
+      database = database,
+      name = table,
+      engine = "Parquet",
+      totalRows = df.count(), // parquet metadata-only count
+      totalBytes = files.map(_.getLen).sum,
+      parts = files.size,
+      comment = None,
+      columns =
+        if (includeColumns) df.schema.fields.toSeq.map(columnInfo(database, table, _))
+        else Nil)
+  }
+
+  /** DESCRIBE of any registered table or file-backed source
+    * (reference: chDB `DESCRIBE` over table functions). */
+  def describe(df: DataFrame, name: String = "source"): Seq[ColumnInfo] =
+    df.schema.fields.toSeq.map(columnInfo(database, name, _))
+
+  private def columnInfo(db: String, table: String, f: StructField) =
+    ColumnInfo(db, table, f.name, f.dataType.sql, f.nullable,
+      Option(f.getComment()).flatten)
+}
+
+object GraftCatalog {
+
+  /** SQL LIKE → anchored regex ('%' ≡ '.*', '_' ≡ '.'), case-sensitive
+    * like ClickHouse LIKE. */
+  private[catalog] def likeToRegex(pattern: String): String =
+    pattern.map {
+      case '%' => ".*"
+      case '_' => "."
+      case c if "\\.[]{}()*+?^$|".contains(c) => "\\" + c
+      case c => c.toString
+    }.mkString("^", "", "$")
+
+  /** Multi-pattern semantics of the reference: likes OR'd, notLikes
+    * AND'd (mcp_server.py:147-158). */
+  private[catalog] def matches(
+      name: String,
+      like: Seq[String],
+      notLike: Seq[String]): Boolean = {
+    val pos = like.isEmpty || like.exists(p => name.matches(likeToRegex(p)))
+    val neg = notLike.forall(p => !name.matches(likeToRegex(p)))
+    pos && neg
+  }
+
+  private def encodeToken(
+      db: String, like: Seq[String], notLike: Seq[String], offset: Int): String =
+    Base64.getUrlEncoder.encodeToString(
+      s"$db\n${like.mkString("\u0001")}\n${notLike.mkString("\u0001")}\n$offset"
+        .getBytes(UTF_8))
+
+  /** None when the token is invalid or was issued for different filters. */
+  private def decodeToken(
+      token: String, db: String, like: Seq[String], notLike: Seq[String]): Option[Int] =
+    try {
+      val parts = new String(Base64.getUrlDecoder.decode(token), UTF_8)
+        .split("\n", -1)
+      val same = parts.length == 4 &&
+        parts(0) == db &&
+        parts(1) == like.mkString("\u0001") &&
+        parts(2) == notLike.mkString("\u0001")
+      if (same) Some(parts(3).toInt) else None
+    } catch { case _: Exception => None }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.Q
+import graft.catalog.GraftCatalog
+import graft.sources.{FileSource, Sink}
+import graft.sql.TableEnv
+
+/** Driver-visible queries for the catalog (SURVEY §2 A1-A3) and the
+  * file table functions (C1-C5). Rows-only: the shapes are asserted by
+  * CatalogSpec / FileSourceSpec; there is no second engine to oracle a
+  * catalog against. */
+object Introspection {
+
+  val catDatabases: Q = (s, dir) => {
+    import s.implicits._
+    TableEnv.register(s, dir)
+    val cat = new GraftCatalog(s, dir)
+    cat.listDatabases().toDF("database_name").orderBy("database_name")
+  }
+
+  val catTables: Q = (s, dir) => {
+    import s.implicits._
+    val cat = new GraftCatalog(s, dir)
+    val page = cat.listTables(pageSize = 50)
+    page.tables
+      .map(t => (t.name, t.engine, t.totalRows, t.totalBytes.max(1L) > 0,
+        t.parts, t.columns.size))
+      .toDF("name", "engine", "total_rows", "has_bytes", "parts", "n_columns")
+      .orderBy("name")
+  }
+
+  /** C1/C2/C5 smoke: parquet → csv sink → FileSource auto-detected read
+    * → aggregate must equal the source aggregate. */
+  val srcCsvRoundtrip: Q = (s, dir) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
+    val src = graft.Tables(s, dir, "nation")
+    Sink.csv(src, s"$tmp/nation.csv")
+    FileSource.file(s, s"$tmp/nation.csv")
+      .groupBy(col("n_regionkey"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .orderBy("n_regionkey")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cat_databases" -> catDatabases,
+    "cat_tables" -> catTables,
+    "src_csv_roundtrip" -> srcCsvRoundtrip)
+
+  /** Catalog listings have no cross-engine oracle — rows-only. */
+  val oracles: Map[String, String] = Map.empty
+}

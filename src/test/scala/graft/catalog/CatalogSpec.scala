@@ -1,0 +1,67 @@
+package graft.catalog
+
+import graft.SparkSpec
+
+class CatalogSpec extends SparkSpec {
+
+  private lazy val cat = new GraftCatalog(spark, sf)
+
+  test("like pattern translation") {
+    import GraftCatalog._
+    assert(matches("lineitem", Seq("line%"), Nil))
+    assert(matches("lineitem", Seq("%item"), Nil))
+    assert(matches("lineitem", Seq("line_tem"), Nil))
+    assert(!matches("lineitem", Seq("order%"), Nil))
+    // multi-like is OR
+    assert(matches("orders", Seq("line%", "ord%"), Nil))
+    // multi-not-like is AND (all must miss)
+    assert(!matches("orders", Nil, Seq("x%", "ord%")))
+    assert(matches("orders", Nil, Seq("x%", "y%")))
+    // regex metacharacters in names are literal
+    assert(matches("a.b", Seq("a.b"), Nil))
+    assert(!matches("axb", Seq("a.b"), Nil))
+  }
+
+  test("list_databases returns the default database") {
+    assert(cat.listDatabases().contains("default"))
+    assert(cat.listDatabases(like = Seq("nope%")).isEmpty)
+  }
+
+  test("list_tables filters, stats and column metadata") {
+    val page = cat.listTables(like = Seq("line%", "ord%"))
+    assert(page.tables.map(_.name).sorted == Seq("lineitem", "orders"))
+    val li = page.tables.find(_.name == "lineitem").get
+    assert(li.totalRows > 0 && li.totalBytes > 0 && li.parts > 0)
+    assert(li.columns.exists(c => c.name == "l_orderkey"))
+    assert(li.engine == "Parquet")
+  }
+
+  test("pagination walks all tables exactly once via stateless tokens") {
+    val p1 = cat.listTables(pageSize = 4)
+    assert(p1.tables.size == 4 && p1.nextPageToken.isDefined)
+    assert(p1.totalTables == graft.Tables.all.size)
+    val p2 = cat.listTables(pageSize = 4, pageToken = p1.nextPageToken)
+    val p3 = cat.listTables(pageSize = 4, pageToken = p2.nextPageToken)
+    val all = (p1.tables ++ p2.tables ++ p3.tables).map(_.name)
+    assert(all.distinct.size == graft.Tables.all.size)
+    assert(p3.nextPageToken.isEmpty)
+  }
+
+  test("token for different filters restarts from the beginning") {
+    val p1 = cat.listTables(pageSize = 2)
+    val restarted = cat.listTables(pageSize = 2, like = Seq("o%"),
+      pageToken = p1.nextPageToken)
+    assert(restarted.tables.map(_.name) == Seq("orders"))
+  }
+
+  test("include_detailed_columns=false strips column payload") {
+    val page = cat.listTables(like = Seq("nation"), includeDetailedColumns = false)
+    assert(page.tables.head.columns.isEmpty)
+  }
+
+  test("describe reports schema of an arbitrary source") {
+    val cols = cat.describe(graft.Tables(spark, sf, "region"))
+    assert(cols.map(_.name) == Seq("r_regionkey", "r_name"))
+    assert(cols.head.columnType == "INT")
+  }
+}

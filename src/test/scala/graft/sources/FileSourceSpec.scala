@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class FileSourceSpec extends SparkSpec {
+
+  private lazy val tmp = Files.createTempDirectory("graft_fs").toString
+  private lazy val nation = graft.Tables(spark, sf, "nation")
+
+  test("parquet auto-detect") {
+    val df = FileSource.file(spark, s"$sf/nation.parquet")
+    assert(df.count() == nation.count())
+  }
+
+  test("csv with names round-trip preserves rows and schema names") {
+    Sink.csv(nation, s"$tmp/nation.csv")
+    val back = FileSource.file(spark, s"$tmp/nation.csv")
+    assert(back.columns.toSeq == nation.columns.toSeq)
+    assert(back.count() == nation.count())
+  }
+
+  test("tsv and headerless csv formats") {
+    Sink.csv(nation, s"$tmp/nation_h.csv", header = false)
+    val headerless = FileSource.file(spark, s"$tmp/nation_h.csv", Some("CSV"))
+    assert(headerless.count() == nation.count())
+    assert(headerless.columns.head == "_c0") // no names in format CSV
+
+    nation.write.mode("overwrite").option("sep", "\t").option("header", "true")
+      .csv(s"$tmp/nation.tsv")
+    val tsv = FileSource.file(spark, s"$tmp/nation.tsv")
+    assert(tsv.count() == nation.count())
+    assert(tsv.columns.toSeq == nation.columns.toSeq)
+  }
+
+  test("json-each-row round-trip") {
+    Sink.json(nation, s"$tmp/nation.json")
+    val back = FileSource.file(spark, s"$tmp/nation.json")
+    assert(back.count() == nation.count())
+    assert(back.columns.toSet == nation.columns.toSet)
+  }
+
+  test("orc round-trip with explicit format") {
+    nation.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    val back = FileSource.file(spark, s"$tmp/nation_orc", Some("ORC"))
+    assert(back.count() == nation.count())
+  }
+
+  test("scheme routing normalizes s3 and rejects unknown extensions") {
+    // file: scheme passes through the same reader
+    val df = FileSource.route(spark, s"file://$sf/nation.parquet")
+    assert(df.count() == nation.count())
+    intercept[IllegalArgumentException] {
+      FileSource.file(spark, "/data/table.xyz")
+    }
+  }
+
+  test("partitioned parquet sink lays out partition directories") {
+    Sink.parquet(nation, s"$tmp/nation_part", partitionBy = Seq("n_regionkey"))
+    val dirs = new java.io.File(s"$tmp/nation_part").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("n_regionkey=")))
+    val back = FileSource.file(spark, s"$tmp/nation_part/n_regionkey=0/", Some("Parquet"))
+    assert(back.count() > 0)
+  }
+}
