@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** ClickHouse-dialect functions registered into Spark SQL (SURVEY §2
+  * B5) so queries written against the reference's SELECT dialect
+  * (reference: mcp_clickhouse/mcp_server.py:433 run_select_query) parse
+  * unchanged.
+  *
+  * Every function is a thin builder over Spark's own expressions — most
+  * delegate through [[UnresolvedFunction]] to the builtin registry, so
+  * they stay codegen'd and optimizer-visible (pushdown, partial
+  * aggregation). No UDFs anywhere.
+  */
+object CHFunctions {
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def fn(name: String, args: Expression*): Expression =
+    UnresolvedFunction(name, args.toSeq, isDistinct = false)
+
+  /** CASE WHEN cond THEN x END — the `*If` combinator shape. */
+  private def whenThen(cond: Expression, value: Expression): Expression =
+    CaseWhen(Seq(cond -> value), None)
+
+  val all: Seq[(String, Builder)] = Seq(
+    // approximate + exact distinct
+    "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+
+    // quantiles: ClickHouse quantile() is approximate, quantileExact exact
+    "quantileCH" -> (es => fn("percentile_approx", es.head, es(1), Literal(10000))),
+    "quantileExactCH" -> (es => fn("percentile", es.head, es(1))),
+    "quantilesExactCH" -> (es => fn("percentile", es.head, CreateArray(es.tail))),
+
+    // heavy hitters / arg extremes / any
+    "topKCH" -> (es => fn("approx_top_k", es: _*)),
+    "argMaxCH" -> (es => fn("max_by", es: _*)),
+    "argMinCH" -> (es => fn("min_by", es: _*)),
+    "anyCH" -> (es => fn("first", es.head)),
+    "anyLastCH" -> (es => fn("last", es.head)),
+
+    // conditional aggregates
+    "countIf" -> (es => fn("count_if", es.head)),
+    "sumIf" -> (es => fn("sum", whenThen(es(1), es.head))),
+    "avgIf" -> (es => fn("avg", whenThen(es(1), es.head))),
+    "minIf" -> (es => fn("min", whenThen(es(1), es.head))),
+    "maxIf" -> (es => fn("max", whenThen(es(1), es.head))),
+
+    // group collectors
+    "groupArray" -> (es => fn("collect_list", es.head)),
+    "groupUniqArray" -> (es => fn("collect_set", es.head)),
+
+    // arrayJoin ≡ explode (a generator, usable in SELECT position)
+    "arrayJoin" -> (es => Explode(es.head)),
+    "has" -> (es => fn("array_contains", es.head, es(1))),
+
+    // date/time bucketing
+    "toStartOfMinute" -> (es => fn("date_trunc", Literal("MINUTE"), es.head)),
+    "toStartOfHour" -> (es => fn("date_trunc", Literal("HOUR"), es.head)),
+    "toStartOfDay" -> (es => fn("date_trunc", Literal("DAY"), es.head)),
+    "toStartOfWeek" -> (es => fn("date_trunc", Literal("WEEK"), es.head)),
+    "toStartOfMonth" -> (es => fn("date_trunc", Literal("MONTH"), es.head)),
+    "toStartOfQuarter" -> (es => fn("date_trunc", Literal("QUARTER"), es.head)),
+    "toStartOfYear" -> (es => fn("date_trunc", Literal("YEAR"), es.head)),
+    "toYYYYMM" -> (es =>
+      Cast(fn("date_format", es.head, Literal("yyyyMM")), IntegerType)),
+    "toYYYYMMDD" -> (es =>
+      Cast(fn("date_format", es.head, Literal("yyyyMMdd")), IntegerType)),
+
+    // strings — splitByChar(sep, s): sep is regex-quoted via \Q..\E
+    "splitByChar" -> (es =>
+      fn("split", es(1), Concat(Seq(Literal("\\Q"), es.head, Literal("\\E"))))),
+
+    // JSON extraction
+    "JSONExtractString" -> (es =>
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    "JSONExtractInt" -> (es =>
+      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), LongType)),
+    "JSONExtractFloat" -> (es =>
+      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), DoubleType)),
+    "JSONHas" -> (es =>
+      IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))))
+
+  /** Register into a live session (used by [[graft.sql.TableEnv]]). */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name), builder)
+    }
+
+  /** Register at session build time via `withExtensions`. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    }
+
+  private def info(name: String) =
+    new ExpressionInfo(CHFunctions.getClass.getCanonicalName, name)
+}
+
+/** `SparkSession.builder.withExtensions(new GraftExtensions)` — or
+  * `spark.sql.extensions=graft.functions.GraftExtensions` — turns on the
+  * ClickHouse dialect for a whole cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    CHFunctions.inject(ext)
+}

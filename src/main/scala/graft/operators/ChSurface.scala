@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import graft.Q
+import graft.sql.{QueryGuard, TableEnv}
+
+/** Queries written in the ClickHouse dialect itself (SURVEY §2 B5) —
+  * they exercise the [[graft.functions.CHFunctions]] registrations
+  * through the guarded SQL path, and each verifies against a DuckDB
+  * oracle expressing the same semantics in ANSI SQL. */
+object ChSurface {
+
+  private val defs: Seq[(String, String, Option[String])] = Seq(
+
+    ("q_ch_agg",
+      """SELECT o_orderpriority,
+        |  uniqExact(o_custkey) AS n_cust,
+        |  countIf(o_totalprice > 200000) AS n_big,
+        |  round(sumIf(o_totalprice, o_orderstatus = 'F'), 2) AS f_total,
+        |  round(avgIf(o_totalprice, o_orderstatus = 'O'), 4) AS o_avg,
+        |  argMaxCH(o_orderkey, o_totalprice) AS top_order,
+        |  round(quantileExactCH(o_totalprice, 0.5), 4) AS med_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Some("""SELECT o_orderpriority,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS f_total,
+        |  round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS o_avg,
+        |  max_by(o_orderkey, o_totalprice) AS top_order,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med_price
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    ("q_ch_time",
+      """SELECT toYYYYMM(o_orderdate) AS ym,
+        |  toStartOfMonth(o_orderdate) AS month_start,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+      Some("""SELECT CAST(strftime(o_orderdate, '%Y%m') AS INT) AS ym,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
+
+    ("q_ch_arrayjoin",
+      """SELECT tok, count(*) AS cnt
+        |FROM (SELECT arrayJoin(splitByChar(' ', text)) AS tok FROM documents) t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 15""".stripMargin,
+      Some("""SELECT tok, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents) t
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 15""".stripMargin)),
+
+    ("q_ch_json",
+      """SELECT event_type,
+        |  round(avg(JSONExtractFloat(props, 'k')), 4) AS avg_k,
+        |  countIf(JSONHas(props, 'k')) AS with_k,
+        |  array_sort(groupUniqArray(user_id % 5)) AS mod_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+      Some("""SELECT event_type,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+        |  count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS with_k,
+        |  list_sort(list_distinct(list(user_id % 5))) AS mod_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // approximate sketches: engine-specific, rows-only; exactness is
+    // covered by q_ch_agg / CHFunctionsSpec error-bound tests
+    ("q_ch_sketches",
+      """SELECT uniq(o_custkey) AS approx_cust,
+        |  topKCH(o_orderpriority, 3) AS top_priorities
+        |FROM orders""".stripMargin,
+      Some("")))
+
+  private def runSql(sql: String): Q = (s: SparkSession, dir: String) => {
+    TableEnv.register(s, dir)
+    QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
+  val queries: Map[String, Q] =
+    defs.map { case (n, sql, _) => n -> runSql(sql) }.toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap {
+      case (_, _, Some("")) => None
+      case (n, sql, o) => Some(n -> o.getOrElse(sql))
+    }.toMap
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class CHFunctionsSpec extends SparkSpec {
+
+  private def one(sql: String) = {
+    CHFunctions.register(spark)
+    spark.sql(sql).collect().head
+  }
+
+  test("uniq is within HLL error of uniqExact") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one("SELECT uniq(o_custkey), uniqExact(o_custkey) FROM orders")
+    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05)
+  }
+
+  test("conditional aggregates") {
+    val r = one(
+      """SELECT countIf(x > 2), sumIf(x, x % 2 = 0), avgIf(x, x > 1),
+        |  minIf(x, x > 1), maxIf(x, x < 3)
+        |FROM VALUES (1), (2), (3), (4) t(x)""".stripMargin)
+    def n(i: Int) = r.get(i).toString.toDouble
+    assert(n(0) == 2 && n(1) == 6 && n(2) == 3.0 && n(3) == 2 && n(4) == 2)
+  }
+
+  test("argMax / argMin / any / groupArray") {
+    val r = one(
+      """SELECT argMaxCH(name, score), argMinCH(name, score),
+        |  groupArray(name), array_sort(groupUniqArray(score))
+        |FROM VALUES ('a', 1), ('b', 3), ('c', 2), ('d', 3) t(name, score)""".stripMargin)
+    assert(r.getString(0) == "b" || r.getString(0) == "d") // CH: any of ties
+    assert(r.getString(1) == "a")
+    assert(r.getSeq[String](2).toSet == Set("a", "b", "c", "d"))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+  }
+
+  test("quantiles exact and approximate") {
+    val r = one(
+      """SELECT quantileExactCH(x, 0.5), quantileCH(x, 0.5),
+        |  quantilesExactCH(x, 0.25, 0.75)
+        |FROM VALUES (CAST(1 AS DOUBLE)), (2), (3), (4), (5) t(x)""".stripMargin)
+    assert(r.getDouble(0) == 3.0)
+    assert(math.abs(r.get(1).toString.toDouble - 3.0) <= 1.0)
+    assert(r.getSeq[Double](2) == Seq(2.0, 4.0))
+  }
+
+  test("topK returns heavy hitters in order") {
+    val r = one(
+      """SELECT topKCH(x, 2)
+        |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c') t(x)""".stripMargin)
+    val top = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+    assert(top == Seq("a", "b"))
+  }
+
+  test("date bucketing functions") {
+    val r = one(
+      """SELECT toStartOfMonth(ts), toStartOfDay(ts), toYYYYMM(ts), toYYYYMMDD(ts),
+        |  toStartOfHour(ts)
+        |FROM VALUES (TIMESTAMP '2024-03-17 14:25:36') t(ts)""".stripMargin)
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-01 00:00"))
+    assert(r.getTimestamp(1).toString.startsWith("2024-03-17 00:00"))
+    assert(r.getInt(2) == 202403)
+    assert(r.getInt(3) == 20240317)
+    assert(r.getTimestamp(4).toString.startsWith("2024-03-17 14:00"))
+  }
+
+  test("splitByChar quotes regex metacharacters") {
+    val r = one("SELECT splitByChar('|', 'a|b|c'), splitByChar('.', 'x.y')")
+    assert(r.getSeq[String](0) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](1) == Seq("x", "y"))
+  }
+
+  test("JSON extraction family") {
+    val r = one(
+      """SELECT JSONExtractString(j, 'name'), JSONExtractInt(j, 'n'),
+        |  JSONExtractFloat(j, 'f'), JSONHas(j, 'name'), JSONHas(j, 'missing')
+        |FROM VALUES ('{"name": "x", "n": 42, "f": 1.5}') t(j)""".stripMargin)
+    assert(r.getString(0) == "x")
+    assert(r.getLong(1) == 42L)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getBoolean(3))
+    assert(!r.getBoolean(4))
+  }
+
+  test("arrayJoin explodes in select position") {
+    val rows = {
+      CHFunctions.register(spark)
+      spark.sql("SELECT arrayJoin(array(1, 2, 3)) AS v").collect()
+    }
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+  }
+
+  test("has membership") {
+    val r = one("SELECT has(array(1, 2), 2), has(array(1, 2), 5)")
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+  }
+}
