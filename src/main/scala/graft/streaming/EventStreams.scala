@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming analytics over the `events` shape (SURVEY §2
+  * E1-E3). The batch-equivalent formulations (verified against the
+  * DuckDB oracle) live in [[graft.operators.Events]]; these are the
+  * incremental versions a 24/7 pipeline runs.
+  *
+  * Scale notes: state is keyed (window×type / user) so it partitions
+  * across executors; watermarks bound state size; the enrichment join
+  * broadcasts the static dimension — no stream-side shuffle.
+  */
+object EventStreams {
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** E1: tumbling 1-hour windowed counts with a watermark bounding
+    * late data (and therefore state retention). */
+  def windowedCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** E2: gap-based sessionization via flatMapGroupsWithState — emits a
+    * session when 30 minutes pass with no event for the user. Events
+    * within a micro-batch are sorted; cross-batch order is handled by
+    * the state's running end timestamp. */
+  def sessions(events: Dataset[Event], gapMinutes: Int = 30): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val out = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            cur match {
+              case Some(s) if e.ts.getTime - s.endMs > gapMs =>
+                out += Session(userId, new Timestamp(s.startMs),
+                  new Timestamp(s.endMs), s.n, math.round(s.sum * 100) / 100.0)
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+              case Some(s) =>
+                cur = Some(SessionState(s.startMs,
+                  math.max(s.endMs, e.ts.getTime), s.n + 1, s.sum + e.value))
+              case None =>
+                cur = Some(SessionState(e.ts.getTime, e.ts.getTime, 1, e.value))
+            }
+          }
+          cur match {
+            case Some(s) if state.hasTimedOut =>
+              out += Session(userId, new Timestamp(s.startMs),
+                new Timestamp(s.endMs), s.n, math.round(s.sum * 100) / 100.0)
+              state.remove()
+            case Some(s) =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.endMs + gapMs)
+            case None => if (state.hasTimedOut) state.remove()
+          }
+          out.result().iterator
+      }
+  }
+
+  final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
+
+  /** E3: stream enriched by a static dimension — broadcast hash join,
+    * no state, no stream shuffle. */
+  def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  /** File-source → memory-sink harness used by the specs and by any
+    * caller that wants the batch tables replayed as a stream. */
+  def fileStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir)
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+
+  /** Replay the batch events table as a file stream into a memory sink
+    * and compare with the batch answer. */
+  test("windowed counts over a replayed stream match the batch result") {
+    val batch = graft.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_stream").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.fileStream(spark, dir, batch)
+    val q = EventStreams.windowedCounts(stream)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+    val want = graft.operators.Events.evWindowed(spark, sf)
+      .select("window_start", "event_type", "n_events", "sum_value").collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getTimestamp(0) == w.getTimestamp(0))
+      assert(g.getString(1) == w.getString(1))
+      assert(g.getLong(2) == w.getLong(2))
+    }
+  }
+
+  test("flatMapGroupsWithState sessionization matches batch session count") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: two sessions split by a 40-minute gap
+      EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0),
+      EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:10:00"), 1, "a", 2.0),
+      EventStreams.Event(3, Timestamp.valueOf("2024-01-01 10:50:00"), 1, "a", 3.0),
+      // user 2: one session
+      EventStreams.Event(4, Timestamp.valueOf("2024-01-01 09:00:00"), 2, "b", 4.0))
+      .toDS()
+
+    // batch Dataset through the same state function: run as a single
+    // micro-batch via a memory stream
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    input.addData(events.collect().toSeq)
+    val q = EventStreams.sessions(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance event time far enough that all sessions time out
+      input.addData(EventStreams.Event(99,
+        Timestamp.valueOf("2024-01-02 10:00:00"), 99, "z", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val sessions = spark.table("sessions_out").as[EventStreams.Session]
+      .collect().filter(_.user_id != 99)
+    assert(sessions.count(_.user_id == 1) == 2)
+    assert(sessions.count(_.user_id == 2) == 1)
+    val first = sessions.filter(_.user_id == 1)
+      .minBy(_.session_start.getTime)
+    assert(first.n_events == 2 && first.session_value == 3.0)
+  }
+
+  test("stream-static enrichment join broadcasts the dimension") {
+    val batch = graft.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_enrich").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val users = spark.range(0, 100).toDF("user_id")
+      .withColumn("tier", when(col("user_id") % 2 === 0, "even").otherwise("odd"))
+
+    val stream = EventStreams.fileStream(spark, dir, batch)
+    val q = EventStreams.enriched(stream, users)
+      .groupBy("tier").count()
+      .writeStream.format("memory").queryName("enriched_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("enriched_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("even", "odd"))
+    assert(got.values.sum == batch.count())
+  }
+}
