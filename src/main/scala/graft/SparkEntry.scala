@@ -15,7 +15,7 @@ object SparkEntry {
   def queries: Map[String, Q] =
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
       Events.queries ++ Dedup.queries ++ Ann.queries ++
-      Introspection.queries ++ ChSurface.queries
+      Introspection.queries ++ ChSurface.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

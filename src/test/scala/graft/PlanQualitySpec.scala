@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.operators.{Dedup, Relational}
+
+/** SURVEY §4: the plans must be the plans we'd want at 100 TB —
+  * filters reaching the parquet scan, pruned read schemas, broadcast
+  * dimension joins, bounded shuffle counts. */
+class PlanQualitySpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString() + "\n" +
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  private def countShuffles(df: DataFrame): Int = {
+    df.collect() // materialize so AQE finalizes the plan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match {
+        case _: ShuffleExchangeLike => 1
+        case _ => 0
+      }
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ => 0
+      }
+      self + inner + p.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("q6 pushes its filters into the parquet scan") {
+    val plan = formatted(Relational.q6ForecastRevenue(spark, sf))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("IsNotNull(l_shipdate"))
+    assert(plan.contains("LessThan(l_quantity,24"))
+  }
+
+  test("q1 prunes the read schema to referenced columns only") {
+    val plan = formatted(Relational.q1PricingSummary(spark, sf))
+    val read = "ReadSchema: struct<([^>\n]*)".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    // 7 referenced columns, not the full lineitem schema
+    assert(read.count(_ == ':') <= 7, read)
+    assert(!read.contains("l_orderkey"))
+  }
+
+  test("q5 broadcasts every dimension join side") {
+    val df = Relational.q5SupplierVolume(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"))
+    // supplier, nation, region joins all broadcast: >= 3 broadcast exchanges
+    val n = "BroadcastExchange".r.findAllIn(plan).size
+    assert(n >= 3, s"expected >=3 BroadcastExchange, got $n")
+  }
+
+  test("q1 aggregation runs inside whole-stage codegen") {
+    val df = Relational.q1PricingSummary(spark, sf)
+    val codegen = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("codegen"))
+    assert("WholeStageCodegen".r.findAllIn(codegen).nonEmpty, codegen.take(200))
+    assert(formatted(df).contains("HashAggregate"))
+  }
+
+  test("minhash candidate generation uses a bounded number of shuffles") {
+    // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
+    val n = countShuffles(Dedup.dedupMinhash(spark, sf))
+    assert(n <= 3, s"expected <=3 shuffles, got $n")
+  }
+
+  test("signature computation is shuffle-free up to the bucket groupBy") {
+    // the per-doc simhash pipeline is narrow: only the final sort shuffles
+    val n = countShuffles(Dedup.dedupSimhash(spark, sf))
+    assert(n <= 1, s"expected <=1 shuffle, got $n")
+  }
+}
