@@ -86,7 +86,12 @@ object CHFunctions {
     "JSONExtractFloat" -> (es =>
       Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), DoubleType)),
     "JSONHas" -> (es =>
-      IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))))
+      IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
+
+    // native codegen'd vector math (ClickHouse cosineDistance family)
+    "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
+    "cosineDistance" -> (es =>
+      Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))))
 
   /** Register into a live session (used by [[graft.sql.TableEnv]]). */
   def register(spark: SparkSession): Unit =

@@ -29,19 +29,16 @@ object Ann {
   private val NumCells = 16
   private val NProbe = 4
 
-  /** Embeddings with unit-normalized double vectors — cosine becomes a
-    * plain dot product. */
+  /** Embeddings as double vectors; similarity runs through the
+    * codegen'd [[graft.functions.CosineSimilarity]] expression. */
   private def unitVectors(s: SparkSession, dir: String): DataFrame = {
-    val raw = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v0"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v0"), x => x * x), lit(0.0), (a, x) => a + x)))
-    raw.select(col("vec_id"),
-      transform(col("v0"), x => x / col("nrm")).as("v"))
+    graft.functions.CHFunctions.register(s)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: String, b: String): Column =
+    expr(s"cosineSimilarity($a, $b)")
 
   /** D6: exact cosine top-k, queries broadcast. */
   val annBruteforce: Q = (s, dir) => {
@@ -50,7 +47,7 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
-        round(dot(col("qv"), col("v")), 4).as("cos_sim"))
+        round(dot("qv", "v"), 4).as("cos_sim"))
     scored
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor"))))
@@ -70,7 +67,7 @@ object Ann {
     def assign(df: DataFrame, idCol: String, vecCol: String, top: Int): DataFrame =
       df.join(broadcast(cents))
         .select(col(idCol), col(vecCol),
-          col("cell"), dot(col(vecCol), col("cv")).as("ccos"))
+          col("cell"), dot(vecCol, "cv").as("ccos"))
         .withColumn("crn", row_number().over(
           Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cell"))))
         .filter(col("crn") <= top)
@@ -86,7 +83,7 @@ object Ann {
     queries.join(assigned, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
-        round(dot(col("qv"), col("v")), 4).as("cos_sim"))
+        round(dot("qv", "v"), 4).as("cos_sim"))
       .distinct() // a neighbor may appear via several probed cells
       .withColumn("rn", row_number().over(
         Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor"))))

@@ -116,30 +116,35 @@ object Dedup {
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
       .select(
         col("doc_id"),
-        // SQL form: the functions-API shiftright/shiftleft only take Int
-        // shift amounts, but the underlying expressions accept columns.
+        // Single pass over tokens: each token hash adds its ±1 votes to
+        // all 60 bit counters at once, then the counters pack into the
+        // signature. (An outer fold per bit would let CollapseProject
+        // inline `th` — re-running every token md5 60 times.) SQL form:
+        // the functions-API shiftright/shiftleft only take Int shift
+        // amounts, but the underlying expressions accept columns.
         expr(
-          """aggregate(sequence(0, 59), 0L, (acc, i) -> acc +
-            |  CASE WHEN aggregate(th, 0L,
-            |      (a, h) -> a + (shiftright(h, i) % 2) * 2 - 1) > 0
-            |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin).as("simhash"))
+          """aggregate(
+            |  zip_with(
+            |    aggregate(th, array_repeat(0L, 60),
+            |      (acc, h) -> zip_with(acc, sequence(0, 59),
+            |        (a, i) -> a + (shiftright(h, i) % 2) * 2 - 1)),
+            |    sequence(0, 59),
+            |    (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
+            |  0L, (a, x) -> a + x)""".stripMargin).as("simhash"))
       .orderBy("doc_id")
 
-  /** D5: embedding cosine near-dup — the exact O(n²) baseline, verified
-    * against the oracle; [[Ann.annLsh]] is the 100 TB path. */
+  /** D5: embedding cosine near-dup — the exact O(n²) baseline (cosine
+    * via the codegen'd [[graft.functions.CosineSimilarity]] expression),
+    * verified against the oracle; [[Ann.annIvf]] is the 100 TB path. */
   val dedupEmbedding: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm",
-        sqrt(aggregate(transform(col("v"), x => x * x), lit(0.0), (a, x) => a + x)))
-    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"),
-        round(
-          aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb")),
-          4).as("cos_sim"))
+        round(expr("cosineSimilarity(va, vb)"), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
