@@ -147,6 +147,67 @@ object SqlSurface {
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    ("q_rollup",
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+      None),
+
+    ("q_cube",
+      """SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+      None),
+
+    ("q_full_join",
+      """SELECT coalesce(a.k, b.k) AS k, a.n_urgent, b.n_building
+        |FROM (SELECT o_custkey AS k, count(*) AS n_urgent FROM orders
+        |      WHERE o_orderpriority = '1-URGENT' GROUP BY 1) a
+        |FULL OUTER JOIN (SELECT c_custkey AS k, count(*) AS n_building FROM customer
+        |      WHERE c_mktsegment = 'BUILDING' GROUP BY 1) b
+        |ON a.k = b.k
+        |ORDER BY k""".stripMargin,
+      None),
+
+    // ClickHouse LIMIT n BY col ≡ top-n per group via row_number
+    ("q_limit_by",
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS bal FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 2 ORDER BY c_nationkey, bal DESC, c_custkey""".stripMargin,
+      None),
+
+    // ClickHouse SAMPLE ≡ deterministic hash sampling on the key —
+    // md5-based so both engines select identical rows
+    ("q_sample",
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 1) = 'a'""".stripMargin,
+      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'""".stripMargin)),
+
+    ("q_moving_avg",
+      """SELECT month, n,
+        |  round(avg(n) OVER (ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+        |  round(sum(CAST(n AS DOUBLE)) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+        |FROM (SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n
+        |      FROM orders GROUP BY 1) t
+        |ORDER BY month""".stripMargin,
+      Some("""SELECT month, n,
+        |  round(avg(n) OVER (ORDER BY month
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS ma3,
+        |  round(sum(n) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+        |FROM (SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |      count(*) AS n FROM orders GROUP BY 1) t
+        |ORDER BY month""".stripMargin)),
+
     // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,
     // no cross-engine oracle; exact variant is verified as q_distinct.
     ("q_uniq",
