@@ -8,10 +8,17 @@ import graft.functions.CHFunctions
   * function dialect) so the SQL surface (reference: run_select_query)
   * can resolve them by name. */
 object TableEnv {
-  def register(spark: SparkSession, dir: String): Unit = {
-    CHFunctions.register(spark)
-    Tables.all.foreach { n =>
-      Tables(spark, dir, n).createOrReplaceTempView(n)
+
+  private val registered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+
+  /** Idempotent per (session, dir): re-registering would re-open every
+    * parquet footer on each query. */
+  def register(spark: SparkSession, dir: String): Unit =
+    if (registered.add((spark, dir))) {
+      CHFunctions.register(spark)
+      Tables.all.foreach { n =>
+        Tables(spark, dir, n).createOrReplaceTempView(n)
+      }
     }
-  }
 }
