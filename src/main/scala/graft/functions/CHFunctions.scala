@@ -88,6 +88,19 @@ object CHFunctions {
     "JSONHas" -> (es =>
       IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
 
+    // conditionals: multiIf(c1, v1, c2, v2, ..., else)
+    "multiIf" -> (es => {
+      val (pairs, default) =
+        if (es.size % 2 == 1) (es.init, Some(es.last)) else (es, None)
+      CaseWhen(pairs.grouped(2).map(p => p.head -> p(1)).toSeq, default)
+    }),
+    "ifCH" -> (es => If(es.head, es(1), es(2))),
+
+    // string emptiness (ClickHouse empty/notEmpty; for arrays use size)
+    "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
+    "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
+    "lengthUTF8" -> (es => fn("char_length", es.head)),
+
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
     "cosineDistance" -> (es =>

@@ -208,6 +208,72 @@ object SqlSurface {
         |      count(*) AS n FROM orders GROUP BY 1) t
         |ORDER BY month""".stripMargin)),
 
+    ("q_string_funcs",
+      """SELECT c_custkey,
+        |  upper(substring(c_name, 1, 8)) AS up8,
+        |  length(c_name) AS name_len,
+        |  replace(c_mktsegment, 'ING', '_') AS seg_repl,
+        |  concat(c_mktsegment, '#', CAST(c_nationkey AS STRING)) AS seg_key,
+        |  lpad(CAST(c_nationkey AS STRING), 4, '0') AS nat_pad,
+        |  position('u' IN c_name) AS u_pos,
+        |  trim(BOTH '0' FROM CAST(c_custkey AS STRING)) AS trimmed
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
+      Some("""SELECT c_custkey,
+        |  upper(substring(c_name, 1, 8)) AS up8,
+        |  length(c_name) AS name_len,
+        |  replace(c_mktsegment, 'ING', '_') AS seg_repl,
+        |  concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
+        |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
+        |  position('u' IN c_name) AS u_pos,
+        |  trim(CAST(c_custkey AS VARCHAR), '0') AS trimmed
+        |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin)),
+
+    ("q_math_funcs",
+      """SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - 30000.0), 2) AS dev,
+        |  ceil(l_quantity / 7.0) AS q7,
+        |  floor(l_extendedprice / 1000.0) AS price_k,
+        |  round(sqrt(l_extendedprice), 4) AS root,
+        |  round(ln(l_extendedprice + 1.0), 6) AS lnp,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  pmod(l_orderkey, 7) AS ok_mod
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 2000
+        |ORDER BY l_orderkey""".stripMargin,
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  round(abs(l_extendedprice - 30000.0), 2) AS dev,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS q7,
+        |  CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS price_k,
+        |  round(sqrt(l_extendedprice), 4) AS root,
+        |  round(ln(l_extendedprice + 1.0), 6) AS lnp,
+        |  round(pow(l_discount, 2), 6) AS disc_sq,
+        |  l_orderkey % 7 AS ok_mod
+        |FROM lineitem WHERE l_linenumber = 1 AND l_orderkey < 2000
+        |ORDER BY l_orderkey""".stripMargin)),
+
+    ("q_date_funcs",
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) AS dow,
+        |  CAST(date_add(CAST(o_orderdate AS DATE), 30) AS TIMESTAMP) AS due,
+        |  datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+      Some("""SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+        |  quarter(o_orderdate) AS q,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due,
+        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
+
+    ("q_null_handling",
+      """SELECT c_custkey,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'REDACTED') AS seg,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE round(c_acctbal, 2) END AS pos_bal,
+        |  count(*) OVER () AS total
+        |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
+      None),
+
     // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,
     // no cross-engine oracle; exact variant is verified as q_distinct.
     ("q_uniq",

@@ -92,6 +92,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
   }
 
+  test("multiIf / ifCH / empty family") {
+    val r = one(
+      """SELECT multiIf(x > 2, 'big', x > 1, 'mid', 'small'),
+        |  ifCH(x = 2, 'two', 'other'),
+        |  empty(''), empty('a'), notEmpty('a'), lengthUTF8('héllo')
+        |FROM VALUES (2) t(x)""".stripMargin)
+    assert(r.getString(0) == "mid")
+    assert(r.getString(1) == "two")
+    assert(r.getBoolean(2) && !r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getInt(5) == 5)
+  }
+
   test("has membership") {
     val r = one("SELECT has(array(1, 2), 2), has(array(1, 2), 5)")
     assert(r.getBoolean(0) && !r.getBoolean(1))
