@@ -102,6 +102,8 @@ object CHFunctions {
     "lengthUTF8" -> (es => fn("char_length", es.head)),
 
     // native codegen'd vector math (ClickHouse cosineDistance family)
+    "simHash" -> (es => SimHash60(es.head)),
+    "minHashSig" -> (es => MinHashSig(es.head)),
     "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
     "cosineDistance" -> (es =>
       Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))))

@@ -63,3 +63,132 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** 60-bit SimHash over a token array as a native expression: one pass
+  * hashes each token (md5, top 60 bits) and accumulates ±1 votes per
+  * bit, then packs the vote signs. Semantically identical to the
+  * portable SQL formulation (15 hex chars of md5 → bit votes) that the
+  * DuckDB oracle runs — but compiled, not an interpreted HOF tree.
+  */
+case class SimHash60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash60.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash60.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: md5 hashes each shingle ONCE
+  * (top 60 bits), then derives [[MinHashSig.NumHashes]] universal-hash
+  * variants `(A_h * x30 + B_h) mod P` and keeps the min of each — one
+  * pass, 12× fewer digests than a per-hash md5. The same arithmetic is
+  * expressible in any engine with a hex cast, which is how the DuckDB
+  * oracle verifies it bit-for-bit. */
+case class MinHashSig(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHashSig.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.MinHashSig.compute($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  val NumHashes = 12
+  val P = 2147483647L // 2^31 - 1
+  /** 30-bit odd multipliers/offsets, fixed so oracles can replicate. */
+  val A: Array[Long] = Array.tabulate(NumHashes)(h => 1000003L * (2 * h + 1) + 7)
+  val B: Array[Long] = Array.tabulate(NumHashes)(h => 777767777L * (h + 1) % P)
+
+  def compute(shingles: ArrayData): Array[Long] = {
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var t = 0
+    val n = shingles.numElements()
+    val md = SimHash60.md5()
+    while (t < n) {
+      val x30 = SimHash60.hash60(md, shingles.getUTF8String(t).toString) >>> 30
+      var h = 0
+      while (h < NumHashes) {
+        val v = (A(h) * x30 + B(h)) % P
+        if (v < mins(h)) mins(h) = v
+        h += 1
+      }
+      t += 1
+    }
+    if (n == 0) Array.fill(NumHashes)(0L) else mins
+  }
+
+  /** The identical computation in DuckDB SQL, for oracle construction. */
+  def duckdbSigColumns(shinglesCol: String): Seq[String] =
+    (0 until NumHashes).map { h =>
+      s"list_min(list_transform($shinglesCol, x -> " +
+        s"(${A(h)} * (('0x' || substr(md5(x), 1, 15))::BIGINT >> 30) + ${B(h)}) % $P)) AS h$h"
+    }
+}
+
+object SimHash60 {
+
+  private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private[functions] def md5(): java.security.MessageDigest = digest.get()
+
+  /** Top 60 bits of md5(token) — equals parsing the first 15 hex chars. */
+  private[functions] def hash60(md: java.security.MessageDigest, token: String): Long = {
+    md.reset()
+    val b = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val top8 =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+        ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+        ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    top8 >>> 4
+  }
+
+  def compute(tokens: ArrayData): Long = {
+    val md = digest.get()
+    val votes = new Array[Int](60)
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val h = hash60(md, tokens.getUTF8String(t).toString)
+      var i = 0
+      while (i < 60) {
+        votes(i) += (((h >>> i) & 1L).toInt * 2) - 1
+        i += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (votes(i) > 0) sig |= 1L << i
+      i += 1
+    }
+    sig
+  }
+}

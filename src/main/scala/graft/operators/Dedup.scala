@@ -51,14 +51,16 @@ object Dedup {
           sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
           i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
 
-  /** Per-doc minhash signature: for hash h, min over shingles of
-    * md5("h:shingle"). Hex md5 strings order lexicographically the same
-    * in every engine, which makes the signature portable to the oracle. */
-  private def withSignature(df: DataFrame): DataFrame =
-    (0 until NumHashes).foldLeft(withShingles(df)) { (d, h) =>
-      d.withColumn(s"h$h",
-        array_min(transform(col("shingles"), x => md5(concat_ws(":", lit(h), x)))))
+  /** Per-doc minhash signature via the native one-pass
+    * [[graft.functions.MinHashSig]] expression (one md5 per shingle,
+    * universal-hash variants). The identical integer arithmetic runs in
+    * the oracle, so signatures are engine-portable. */
+  private def withSignature(df: DataFrame): DataFrame = {
+    val sig = withShingles(df).withColumn("sig", expr("minHashSig(shingles)"))
+    (0 until NumHashes).foldLeft(sig) { (d, h) =>
+      d.withColumn(s"h$h", col("sig").getItem(h).cast("string"))
     }
+  }
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key.
     *
@@ -68,6 +70,7 @@ object Dedup {
     * emits the in-bucket combinations with an array HOF — no self-join, so
     * the signature pipeline is computed exactly once. */
   private def candidatePairs(docs: DataFrame): DataFrame = {
+    graft.functions.CHFunctions.register(docs.sparkSession)
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
         md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("bkey"))
@@ -106,32 +109,17 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** D3: 60-bit SimHash per doc (15 hex chars of md5 → signed-safe
-    * 60-bit token hash; per-bit majority vote over tokens). All array
-    * HOFs, zero shuffle. */
-  val dedupSimhash: Q = (s, dir) =>
+  /** D3: 60-bit SimHash per doc via the native codegen'd
+    * [[graft.functions.SimHash60]] expression (top 60 bits of md5 per
+    * token, per-bit majority vote). Zero shuffle; the portable SQL
+    * formulation of the same rule is what the oracle runs. */
+  val dedupSimhash: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     Tables(s, dir, "documents")
-      .withColumn("th",
-        transform(split(norm, " "),
-          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")))
-      .select(
-        col("doc_id"),
-        // Single pass over tokens: each token hash adds its ±1 votes to
-        // all 60 bit counters at once, then the counters pack into the
-        // signature. (An outer fold per bit would let CollapseProject
-        // inline `th` — re-running every token md5 60 times.) SQL form:
-        // the functions-API shiftright/shiftleft only take Int shift
-        // amounts, but the underlying expressions accept columns.
-        expr(
-          """aggregate(
-            |  zip_with(
-            |    aggregate(th, array_repeat(0L, 60),
-            |      (acc, h) -> zip_with(acc, sequence(0, 59),
-            |        (a, i) -> a + (shiftright(h, i) % 2) * 2 - 1)),
-            |    sequence(0, 59),
-            |    (c, i) -> CASE WHEN c > 0 THEN shiftleft(1L, i) ELSE 0L END),
-            |  0L, (a, x) -> a + x)""".stripMargin).as("simhash"))
+      .withColumn("toks", split(norm, " "))
+      .select(col("doc_id"), expr("simHash(toks)").as("simhash"))
       .orderBy("doc_id")
+  }
 
   /** D5: embedding cosine near-dup — the exact O(n²) baseline (cosine
     * via the codegen'd [[graft.functions.CosineSimilarity]] expression),
@@ -167,12 +155,12 @@ object Dedup {
       |                   i -> array_to_string(toks[i:i+2], ' ')) AS shingles
       |  FROM t)""".stripMargin
 
-  private val sigSelect = (0 until NumHashes)
-    .map(h => s"list_min(list_transform(shingles, x -> md5('$h:' || x))) AS h$h")
-    .mkString(",\n    ")
+  private val sigSelect =
+    graft.functions.MinHashSig.duckdbSigColumns("shingles").mkString(",\n    ")
 
   private val bandUnion = (0 until Bands)
-    .map(j => s"SELECT doc_id, $j AS band, md5(h${2 * j} || h${2 * j + 1}) AS bkey FROM sig")
+    .map(j => s"SELECT doc_id, $j AS band, " +
+      s"md5(CAST(h${2 * j} AS VARCHAR) || CAST(h${2 * j + 1} AS VARCHAR)) AS bkey FROM sig")
     .mkString("\n  UNION ALL ")
 
   private val pairCte =
