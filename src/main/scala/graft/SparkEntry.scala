@@ -15,11 +15,13 @@ object SparkEntry {
   def queries: Map[String, Q] =
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
       Events.queries ++ Dedup.queries ++ Ann.queries ++
-      Introspection.queries ++ ChSurface.queries ++ Multimodal.queries
+      Introspection.queries ++ ChSurface.queries ++ Multimodal.queries ++
+      AsOfQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
-      Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles
+      Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
+      AsOfQueries.oracles
 }

@@ -1,0 +1,175 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.functions.col
+
+/** ASOF JOIN — the ClickHouse operator Spark lacks (reference dialect:
+  * `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`): for every left
+  * row, the single right row with the same key and the greatest
+  * `r.ts <= l.ts`.
+  *
+  * Implemented the Spark-native way for an operator the built-ins can't
+  * express without a range-join blowup:
+  *
+  *  - a [[AsOfJoinPlan logical node]],
+  *  - a [[AsOfStrategy planner strategy]] (registered via
+  *    `spark.experimental.extraStrategies` or `GraftExtensions`),
+  *  - a [[AsOfJoinExec sort-merge physical operator]] that declares
+  *    `ClusteredDistribution` on the keys and per-partition ordering on
+  *    (keys, time) — Catalyst inserts exactly one hash shuffle + sort
+  *    per side, then each partition merges its two sorted streams in
+  *    one pass holding ONE buffered right row. No per-key candidate
+  *    set, no O(left × right-per-key) intermediate — this is why the
+  *    composed formulation (conditional join + max_by) loses at scale.
+  */
+object AsOf {
+
+  /** Right columns are renamed `r_*` (fresh expr-ids, so self-joins
+    * need no dedup) and become nullable in the output. */
+  def join(left: DataFrame, right: DataFrame,
+      key: (String, String), time: (String, String)): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfStrategy
+    }
+    val renamed = right.select(
+      right.columns.toSeq.map(c => col(c).as(s"r_$c")): _*)
+    val lPlan = planOf(left)
+    val rPlan = planOf(renamed)
+    val lKey = resolve(lPlan, key._1)
+    val rKey = resolve(rPlan, s"r_${key._2}")
+    val lTime = resolve(lPlan, time._1)
+    val rTime = resolve(rPlan, s"r_${time._2}")
+    graft.plans.Bridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
+  }
+
+  private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+
+  private def resolve(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' not found in ${plan.output.map(_.name)}"))
+}
+
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKey: Attribute,
+    rightKey: Attribute,
+    leftTime: Attribute,
+    rightTime: Attribute) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKey: Expression,
+    rightKey: Expression,
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(
+      Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyType = leftKey.dataType
+    val timeType = leftTime.dataType
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(Seq(leftKey), lOut)
+      val rKeyProj = UnsafeProjection.create(Seq(rightKey), rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(keyType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(timeType)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      // contract: emit UnsafeRows; bind against the NULLABLE output
+      // schema (binding against raw rOut would read null fields as 0)
+      val resultProj = UnsafeProjection.create(output, output)
+      // NB: deliberately NOT named `buffered` inside an Iterator
+      // subclass — an inherited member (Iterator.buffered) would
+      // silently shadow an outer local of that name. The merge is a
+      // plain Iterator.map so no such scope exists.
+      val rBuf = rIter.buffered
+
+      // Streaming merge via Iterator.map: left streams row-by-row, the
+      // right side holds ONE buffered row plus the best match so far.
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+      lIter.map { l =>
+        val lk = lKeyProj(l).copy().get(0, keyType)
+        val lt = lTimeProj(l).copy().get(0, timeType)
+        if (lk == null || lt == null) {
+          // null keys/times match nothing (ClickHouse ASOF semantics)
+          resultProj(joined(l, nullRight))
+        } else {
+          if (matchRow != null && keyOrd.compare(matchKey, lk) != 0) {
+            matchRow = null; matchKey = null
+          }
+          var done = false
+          while (!done && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyProj(r).copy().get(0, keyType)
+            val rt = if (rk == null) null else rTimeProj(r).copy().get(0, timeType)
+            if (rk == null) { rBuf.next() } // nulls sort first: discard
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) { rBuf.next() } // behind the left key: discard
+              else if (c == 0 && rt == null) { rBuf.next() } // unmatchable
+              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
+                matchRow = r.copy(); matchKey = rk
+                rBuf.next()
+              } else done = true // right stream is ahead; stop
+            }
+          }
+          val ok = matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0
+          resultProj(joined(l, if (ok) matchRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
