@@ -127,8 +127,11 @@ object CHFunctions {
 
 /** `SparkSession.builder.withExtensions(new GraftExtensions)` — or
   * `spark.sql.extensions=graft.functions.GraftExtensions` — turns on the
-  * ClickHouse dialect for a whole cluster. */
+  * ClickHouse dialect plus the custom operators (ASOF join) for a whole
+  * cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     CHFunctions.inject(ext)
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+  }
 }
