@@ -22,6 +22,24 @@ class QueryExecutorSpec extends SparkSpec {
     finally ex.close()
   }
 
+  test("bounded pool serves concurrent queries") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      import scala.concurrent._
+      import scala.concurrent.duration._
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val futures = (1 to 8).map { i =>
+        Future(ex.run(s"SELECT count(*) + $i AS n FROM orders"))
+      }
+      val rows = Await.result(Future.sequence(futures), 120.seconds)
+      val base = rows.head.rows.head.head.toString.toLong - 1
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(r.rows.head.head.toString.toLong == base + i + 1)
+      }
+    } finally ex.close()
+  }
+
   test("timeout cancels the query") {
     val ex = new QueryExecutor(spark, timeoutSec = 2)
     try {
