@@ -23,5 +23,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
       Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
-      AsOfQueries.oracles
+      AsOfQueries.oracles ++ Introspection.oracles
 }

@@ -43,11 +43,32 @@ object Introspection {
       .orderBy("n_regionkey")
   }
 
+  /** chDB queries files in place via `file()` in SQL
+    * (reference: chdb_prompt.py); Spark's equivalent is the
+    * `format.`path`` FROM syntax — same guarded SQL path. */
+  val srcFileSql: Q = (s, dir) => {
+    val sql =
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |  round(sum(o_totalprice), 2) AS total
+         |FROM parquet.`$dir/orders.parquet`
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+    graft.sql.QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_databases" -> catDatabases,
     "cat_tables" -> catTables,
-    "src_csv_roundtrip" -> srcCsvRoundtrip)
+    "src_csv_roundtrip" -> srcCsvRoundtrip,
+    "src_file_sql" -> srcFileSql)
 
-  /** Catalog listings have no cross-engine oracle — rows-only. */
-  val oracles: Map[String, String] = Map.empty
+  /** Catalog listings have no cross-engine oracle — rows-only;
+    * the in-SQL file query verifies against DuckDB reading the same
+    * parquet path through its own table-function syntax. */
+  val oracles: Map[String, String] = Map(
+    "src_file_sql" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
