@@ -16,11 +16,21 @@ final class ReadOnlyViolation(msg: String) extends RuntimeException(msg)
 
 object QueryGuard {
 
+  /** Introspection commands ClickHouse permits under `readonly = 1`
+    * (SHOW / DESCRIBE / EXPLAIN families — metadata reads, no writes,
+    * no settings changes). */
+  private val readOnlyCommands = Set(
+    "ShowTables", "ShowTableExtended", "ShowViews", "ShowColumns",
+    "ShowNamespaces", "ShowNamespacesCommand", "ShowCreateTable",
+    "ShowFunctions", "ShowTableProperties", "ShowCatalogsCommand",
+    "DescribeRelation", "DescribeColumn", "DescribeNamespace",
+    "DescribeFunction", "DescribeQueryCommand", "ExplainCommand")
+
   /** Parse `sql` and return its plan iff it is a pure query. */
   def parseReadOnly(spark: SparkSession, sql: String): LogicalPlan = {
     val plan = spark.sessionState.sqlParser.parsePlan(sql)
     val offending = plan.collectFirst {
-      case c: Command => c.nodeName
+      case c: Command if !readOnlyCommands(c.nodeName) => c.nodeName
       case i: InsertIntoStatement => i.nodeName
     }
     offending.foreach { node =>

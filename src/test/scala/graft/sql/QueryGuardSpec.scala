@@ -25,6 +25,15 @@ class QueryGuardSpec extends SparkSpec {
     }
   }
 
+  test("introspection commands pass, like ClickHouse readonly=1") {
+    val ok = Seq(
+      "SHOW TABLES", "SHOW DATABASES", "SHOW COLUMNS IN t",
+      "DESCRIBE TABLE t", "EXPLAIN SELECT 1", "SHOW FUNCTIONS")
+    ok.foreach { sql =>
+      assert(QueryGuard.isReadOnly(spark, sql), sql)
+    }
+  }
+
   test("rejection names the offending node") {
     val e = intercept[ReadOnlyViolation] {
       QueryGuard.parseReadOnly(spark, "DROP TABLE t")
