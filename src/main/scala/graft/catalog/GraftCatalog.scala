@@ -74,13 +74,15 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
     val all = Tables.all.filter(matches(_, like, notLike)).sorted
     // a token for different filters is ignored, like the reference's
     // cache-state mismatch path (mcp_server.py:345-356)
-    val start = pageToken.flatMap(decodeToken(_, database, like, notLike))
+    val start = pageToken
+      .flatMap(decodeToken(_, database, like, notLike, includeDetailedColumns))
       .getOrElse(0)
     val page = all.slice(start, start + pageSize)
     val infos = page.map(describeTable(database, _, includeDetailedColumns))
     val next =
       if (start + pageSize < all.size)
-        Some(encodeToken(database, like, notLike, start + pageSize))
+        Some(encodeToken(database, like, notLike, includeDetailedColumns,
+          start + pageSize))
       else None
     TablePage(infos, next, all.size)
   }
@@ -143,21 +145,26 @@ object GraftCatalog {
   }
 
   private def encodeToken(
-      db: String, like: Seq[String], notLike: Seq[String], offset: Int): String =
+      db: String, like: Seq[String], notLike: Seq[String],
+      detailed: Boolean, offset: Int): String =
     Base64.getUrlEncoder.encodeToString(
-      s"$db\n${like.mkString("\u0001")}\n${notLike.mkString("\u0001")}\n$offset"
+      s"$db\n${like.mkString("\u0001")}\n${notLike.mkString("\u0001")}\n$detailed\n$offset"
         .getBytes(UTF_8))
 
-  /** None when the token is invalid or was issued for different filters. */
+  /** None when the token is invalid or was issued for different filters
+    * or a different metadata setting — mirrors the reference's
+    * cache-state mismatch reset (mcp_server.py:345-356). */
   private def decodeToken(
-      token: String, db: String, like: Seq[String], notLike: Seq[String]): Option[Int] =
+      token: String, db: String, like: Seq[String], notLike: Seq[String],
+      detailed: Boolean): Option[Int] =
     try {
       val parts = new String(Base64.getUrlDecoder.decode(token), UTF_8)
         .split("\n", -1)
-      val same = parts.length == 4 &&
+      val same = parts.length == 5 &&
         parts(0) == db &&
         parts(1) == like.mkString("\u0001") &&
-        parts(2) == notLike.mkString("\u0001")
-      if (same) Some(parts(3).toInt) else None
+        parts(2) == notLike.mkString("\u0001") &&
+        parts(3) == detailed.toString
+      if (same) Some(parts(4).toInt) else None
     } catch { case _: Exception => None }
 }

@@ -27,6 +27,19 @@ final class QueryExecutor(
     spark.sql(sql)
   }
 
+  /** Error-shaped response, like the reference's
+    * `{"status": "error", "message": ...}` (mcp_server.py:444-449):
+    * guard violations, analysis errors (unknown table/column) and
+    * runtime failures all surface as a structured error, never a
+    * crash. */
+  def runSafe(sql: String): Either[String, QueryResult] =
+    try Right(run(sql))
+    catch {
+      case e: java.util.concurrent.TimeoutException => Left(e.getMessage)
+      case e: ReadOnlyViolation => Left(e.getMessage)
+      case NonFatal(e) => Left(s"Query execution failed: ${e.getMessage}")
+    }
+
   /** Run a guarded SELECT to completion with timeout + job cancellation. */
   def run(sql: String): QueryResult = {
     val df = select(sql)

@@ -54,6 +54,15 @@ class CatalogSpec extends SparkSpec {
     assert(restarted.tables.map(_.name) == Seq("orders"))
   }
 
+  test("token with different metadata setting restarts from the beginning") {
+    val p1 = cat.listTables(pageSize = 2, includeDetailedColumns = true)
+    val restarted = cat.listTables(pageSize = 2, includeDetailedColumns = false,
+      pageToken = p1.nextPageToken)
+    // mismatched setting: token ignored, listing restarts at offset 0
+    assert(restarted.tables.map(_.name) == p1.tables.map(_.name))
+    assert(restarted.tables.head.columns.isEmpty)
+  }
+
   test("include_detailed_columns=false strips column payload") {
     val page = cat.listTables(like = Seq("nation"), includeDetailedColumns = false)
     assert(page.tables.head.columns.isEmpty)

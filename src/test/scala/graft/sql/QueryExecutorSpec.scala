@@ -40,6 +40,18 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("errors shape as status results, empty results keep columns") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      assert(ex.runSafe("SELECT * FROM no_such_table").isLeft)
+      assert(ex.runSafe("SELECT FROM WHERE").isLeft)
+      assert(ex.runSafe("DROP TABLE orders").swap.exists(_.contains("read-only")))
+      val empty = ex.runSafe("SELECT o_orderkey FROM orders WHERE o_orderkey < 0")
+      assert(empty.exists(r => r.columns == Seq("o_orderkey") && r.rows.isEmpty))
+    } finally ex.close()
+  }
+
   test("timeout cancels the query") {
     val ex = new QueryExecutor(spark, timeoutSec = 2)
     try {
