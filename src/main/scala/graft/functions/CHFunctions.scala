@@ -88,6 +88,27 @@ object CHFunctions {
     "JSONHas" -> (es =>
       IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
 
+    // array function family (ClickHouse names → Spark natives;
+    // arrayElement keeps CH's 1-based indexing via element_at)
+    "arrayDistinct" -> (es => fn("array_distinct", es.head)),
+    "arraySort" -> (es => fn("array_sort", es.head)),
+    "arrayReverse" -> (es => fn("reverse", es.head)),
+    "arrayConcat" -> (es => fn("concat", es: _*)),
+    "arraySlice" -> (es => fn("slice", es: _*)),
+    "arrayFlatten" -> (es => fn("flatten", es.head)),
+    "arrayStringConcat" -> (es =>
+      if (es.size > 1) fn("array_join", es.head, es(1))
+      else fn("array_join", es.head, Literal(""))),
+    "arrayElement" -> (es => fn("element_at", es.head, es(1))),
+    "indexOf" -> (es => fn("array_position", es.head, es(1))),
+    "arraySum" -> (es =>
+      fn("aggregate", es.head, Literal(0.0),
+        LambdaFunction(
+          Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+            UnresolvedNamedLambdaVariable(Seq("x"))),
+          Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+            UnresolvedNamedLambdaVariable(Seq("x")))))),
+
     // conditionals: multiIf(c1, v1, c2, v2, ..., else)
     "multiIf" -> (es => {
       val (pairs, default) =

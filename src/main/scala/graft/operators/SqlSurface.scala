@@ -208,6 +208,26 @@ object SqlSurface {
         |      count(*) AS n FROM orders GROUP BY 1) t
         |ORDER BY month""".stripMargin)),
 
+    ("q_window_dist",
+      """SELECT o_orderpriority, o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders WHERE o_orderkey < 1000
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+      None),
+
+    // PIVOT dialects differ; both sides express it as FILTERed aggs
+    ("q_pivot",
+      """SELECT c_nationkey,
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS building,
+        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS automobile,
+        |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS machinery
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+      None),
+
     ("q_string_funcs",
       """SELECT c_custkey,
         |  upper(substring(c_name, 1, 8)) AS up8,

@@ -104,6 +104,25 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(5) == 5)
   }
 
+  test("array function family keeps ClickHouse semantics") {
+    val r = one(
+      """SELECT arrayDistinct(array(1, 2, 1)), arraySort(array(3, 1, 2)),
+        |  arrayReverse(array(1, 2, 3)), arrayConcat(array(1), array(2, 3)),
+        |  arraySlice(array(1, 2, 3, 4), 2, 2), arrayFlatten(array(array(1), array(2))),
+        |  arrayStringConcat(array('a', 'b'), '-'), arrayElement(array(10, 20), 1),
+        |  indexOf(array(5, 6, 7), 6), arraySum(array(1.5, 2.5))""".stripMargin)
+    assert(r.getSeq[Int](0).sorted == Seq(1, 2))
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(3, 2, 1))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](4) == Seq(2, 3))
+    assert(r.getSeq[Int](5) == Seq(1, 2))
+    assert(r.getString(6) == "a-b")
+    assert(r.getInt(7) == 10) // 1-based like ClickHouse
+    assert(r.getLong(8) == 2L)
+    assert(r.getDouble(9) == 4.0)
+  }
+
   test("has membership") {
     val r = one("SELECT has(array(1, 2), 2), has(array(1, 2), 5)")
     assert(r.getBoolean(0) && !r.getBoolean(1))
