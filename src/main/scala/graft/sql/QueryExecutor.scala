@@ -7,7 +7,35 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Result shape of the reference's `run_select_query`
   * (mcp_server.py:421-459): column names + row values. */
-final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]])
+final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
+
+  /** `{"columns": [...], "rows": [[...]]}` — the reference's wire
+    * shape. Strings are escaped; numbers/booleans pass through; null
+    * and everything else (timestamps, arrays) render via toString. */
+  def toJson: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def v(x: Any): String = x match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+      case d: Double if !d.isNaN && !d.isInfinite => d.toString
+      case f: Float if !f.isNaN && !f.isInfinite => f.toString
+      case other => "\"" + esc(other.toString) + "\""
+    }
+    columns.map(c => "\"" + esc(c) + "\"")
+      .mkString("{\"columns\": [", ", ", "], ") +
+      rows.map(_.map(v).mkString("[", ", ", "]"))
+        .mkString("\"rows\": [", ", ", "]}")
+  }
+}
 
 /** Read-only SQL executor with the reference's operational semantics
   * (mcp_server.py:66, 433-459): a bounded worker pool (10 threads) and a

@@ -52,6 +52,12 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("results serialize to the reference's JSON wire shape") {
+    val r = QueryResult(Seq("a", "b\"q"), Seq(Seq(1L, "x\ny"), Seq(null, 2.5)))
+    val json = r.toJson
+    assert(json == """{"columns": ["a", "b\"q"], "rows": [[1, "x\ny"], [null, 2.5]]}""")
+  }
+
   test("timeout cancels the query") {
     val ex = new QueryExecutor(spark, timeoutSec = 2)
     try {
