@@ -1,0 +1,23 @@
+package graft
+
+/** Mirrors the driver's t1 smoke: entry() on sf0.001 must analyze,
+  * execute and return rows. */
+class EntrySmokeSpec extends SparkSpec {
+  test("entry returns rows on the smallest scale factor") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("sum_qty"))
+  }
+
+  test("every query key has either an oracle or a documented rows-only status") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
+    val rowsOnly = qs -- os
+    // the intentional rows-only set: approximate sketches, catalog
+    // listings, engine-specific LSH, multimodal stubs
+    assert(rowsOnly == Set(
+      "q_uniq", "q_ch_sketches", "cat_databases", "cat_tables",
+      "src_csv_roundtrip", "ann_ivf", "mm_features"), rowsOnly)
+  }
+}
