@@ -16,12 +16,13 @@ object SparkEntry {
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
       Events.queries ++ Dedup.queries ++ Ann.queries ++
       Introspection.queries ++ ChSurface.queries ++ Multimodal.queries ++
-      AsOfQueries.queries ++ Embeddings.queries
+      AsOfQueries.queries ++ Embeddings.queries ++ Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
       Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
-      AsOfQueries.oracles ++ Introspection.oracles ++ Embeddings.oracles
+      AsOfQueries.oracles ++ Introspection.oracles ++ Embeddings.oracles ++
+      Pipeline.oracles
 }

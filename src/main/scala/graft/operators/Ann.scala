@@ -55,12 +55,40 @@ object Ann {
       .orderBy("q_id", "rn")
   }
 
-  /** D7: IVF coarse quantizer — deterministic centroids (vec_id <
-    * NumCells), nearest-cell assignment, nprobe-cell search. */
+  /** Lloyd iterations over the corpus: each pass is two shuffles
+    * (assign via broadcast centroids + recompute keyed (cell, dim)).
+    * Seeded deterministically from the first k vectors, so results are
+    * reproducible run-to-run — at 100 TB you'd train on a sample, but
+    * the plan shape is identical. */
+  private def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = e.filter(col("vec_id") < k)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    for (_ <- 0 until iters) {
+      val assigned = e.join(broadcast(cents))
+        .select(col("vec_id"), col("v"), col("cell"),
+          dot("v", "cv").as("ccos"))
+        .withColumn("crn", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
+        .filter(col("crn") === 1)
+        .select(col("cell"), col("v"))
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+        .localCheckpoint() // truncate the growing lineage between passes
+    }
+    cents
+  }
+
+  /** D7: IVF coarse quantizer — k-means-trained centroids (2 Lloyd
+    * passes over deterministic seeds), nearest-cell assignment,
+    * nprobe-cell search. */
   val annIvf: Q = (s, dir) => {
     val e = unitVectors(s, dir)
-    val cents = e.filter(col("vec_id") < NumCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val cents = trainCentroids(e, NumCells, iters = 2)
 
     // nearest cell per vector: broadcast the centroid table, keep the
     // argmax cell — ties break to the lower cell id.

@@ -208,6 +208,16 @@ object SqlSurface {
         |      count(*) AS n FROM orders GROUP BY 1) t
         |ORDER BY month""".stripMargin)),
 
+    ("q_grouping_sets",
+      """SELECT coalesce(o_orderstatus, '*') AS status,
+        |  coalesce(o_orderpriority, '*') AS priority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+      None),
+
     ("q_window_dist",
       """SELECT o_orderpriority, o_orderkey,
         |  ntile(4) OVER w AS quartile,

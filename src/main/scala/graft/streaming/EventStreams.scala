@@ -80,6 +80,14 @@ object EventStreams {
 
   final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+  /** E4: streaming exact dedup — drops replayed/duplicated events by
+    * id, keeping state only within the watermark horizon (the
+    * at-least-once → exactly-once repair step of an ingest pipeline). */
+  def dedupedStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** E3: stream enriched by a static dimension — broadcast hash join,
     * no state, no stream shuffle. */
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =

@@ -69,6 +69,25 @@ class StreamingSpec extends SparkSpec {
     assert(first.n_events == 2 && first.session_value == 3.0)
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    val q = EventStreams.dedupedStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val e1 = EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 1.0)
+      val e2 = EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:01:00"), 1, "a", 2.0)
+      input.addData(e1, e2, e1) // duplicate within batch
+      q.processAllAvailable()
+      input.addData(e1) // replay across batches
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension") {
     val batch = graft.Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_enrich").toString
