@@ -16,7 +16,8 @@ object SparkEntry {
     Relational.queries ++ SqlSurface.queries ++ TextOps.queries ++
       Events.queries ++ Dedup.queries ++ Ann.queries ++
       Introspection.queries ++ ChSurface.queries ++ Multimodal.queries ++
-      AsOfQueries.queries ++ Embeddings.queries ++ Pipeline.queries
+      AsOfQueries.queries ++ Embeddings.queries ++ Pipeline.queries ++
+      Funnel.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -24,5 +25,5 @@ object SparkEntry {
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
       Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
       AsOfQueries.oracles ++ Introspection.oracles ++ Embeddings.oracles ++
-      Pipeline.oracles
+      Pipeline.oracles ++ Funnel.oracles
 }

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Funnel and retention analysis over `events` — the signature
+  * ClickHouse workloads (`windowFunnel`, `retention`) re-expressed as
+  * DataFrame graphs (SURVEY §2 B4).
+  *
+  * Scale shape: each funnel stage is one filtered aggregation keyed by
+  * user (map-side combine); stages chain through user-keyed joins that
+  * all reuse the same hash partitioning. Retention is a single
+  * user×day dedup + one self-join on the cohort key.
+  */
+object Funnel {
+
+  private val WindowUs = 3600L * 1000000 // 1 hour funnel window
+
+  /** windowFunnel-style: per user, how deep into view → click →
+    * purchase within 1 hour of the first view; users per depth. */
+  val qFunnel: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t1"))
+    val c = ev.filter(col("event_type") === "click").as("c")
+      .join(v, "user_id")
+      .filter(col("us") > col("t1") && col("us") <= col("t1") + WindowUs)
+      .groupBy("user_id").agg(min("us").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").as("p")
+      .join(c.join(v, "user_id"), "user_id")
+      .filter(col("us") > col("t2") && col("us") <= col("t1") + WindowUs)
+      .groupBy("user_id").agg(min("us").as("t3"))
+
+    v.join(c.select(col("user_id"), lit(1).as("hit2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("hit3")), Seq("user_id"), "left")
+      .select((lit(1) + coalesce(col("hit2"), lit(0)) + coalesce(col("hit3"), lit(0)))
+        .as("funnel_depth"))
+      .groupBy("funnel_depth")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("funnel_depth")
+  }
+
+  /** retention-style: cohort users by first-activity day, report how
+    * many are active again k days later (k = 0..3). */
+  val qRetention: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("k", datediff(col("day"), col("cohort_day")))
+      .filter(col("k").between(0, 3))
+      .groupBy("cohort_day", "k")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("cohort_day", "k")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_funnel" -> qFunnel,
+    "q_retention" -> qRetention)
+
+  val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+         |v AS (SELECT user_id, min(us) AS t1 FROM ev
+         |      WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN v USING (user_id)
+         |      WHERE event_type = 'click' AND us > t1 AND us <= t1 + $WindowUs
+         |      GROUP BY ev.user_id),
+         |p AS (SELECT ev.user_id, min(us) AS t3
+         |      FROM ev JOIN c USING (user_id) JOIN v USING (user_id)
+         |      WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + $WindowUs
+         |      GROUP BY ev.user_id)
+         |SELECT 1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS funnel_depth,
+         |  count(*) AS n_users
+         |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+        |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
+        |  datediff('day', cohort_day, day) AS k,
+        |  count(DISTINCT ev.user_id) AS n_active
+        |FROM ev JOIN cohort USING (user_id)
+        |WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}
