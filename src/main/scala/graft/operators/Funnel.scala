@@ -57,9 +57,30 @@ object Funnel {
       .orderBy("cohort_day", "k")
   }
 
+  /** sequenceMatch-style: per user, the time-ordered event-initial
+    * string is matched against a pattern (here: an error strictly
+    * between a view and a purchase). One user-keyed aggregation; the
+    * pattern check is a per-row regexp on the tiny aggregated string. */
+  val qSequenceMatch: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("user_id"),
+      struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(e)), x -> x.i)"), "")
+        .as("seq"))
+      .select(col("user_id"),
+        col("seq").rlike("v[^p]*e[^v]*p").as("matched"),
+        length(col("seq")).as("n_events"))
+      .groupBy("matched")
+      .agg(count(lit(1)).as("n_users"), sum("n_events").as("total_events"))
+      .orderBy("matched")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
-    "q_retention" -> qRetention)
+    "q_retention" -> qRetention,
+    "q_sequence_match" -> qSequenceMatch)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -77,6 +98,14 @@ object Funnel {
          |  count(*) AS n_users
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sequence_match" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT regexp_matches(seq, 'v[^p]*e[^v]*p') AS matched,
+        |  count(*) AS n_users, sum(length(seq)) AS total_events
+        |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
