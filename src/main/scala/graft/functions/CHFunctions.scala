@@ -46,6 +46,12 @@ object CHFunctions {
     "anyCH" -> (es => fn("first", es.head)),
     "anyLastCH" -> (es => fn("last", es.head)),
 
+    // sketch state + merge (ClickHouse uniqState / uniqMerge): binary
+    // HLL sketches that pre-aggregate once and re-aggregate at any
+    // rollup level without rescanning — the 100 TB distinct-count path
+    "uniqState" -> (es => fn("hll_sketch_agg", es: _*)),
+    "uniqMerge" -> (es => fn("hll_sketch_estimate", fn("hll_union_agg", es.head))),
+
     // conditional aggregates
     "countIf" -> (es => fn("count_if", es.head)),
     "sumIf" -> (es => fn("sum", whenThen(es(1), es.head))),

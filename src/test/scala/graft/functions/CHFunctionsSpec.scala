@@ -104,6 +104,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(5) == 5)
   }
 
+  test("uniqState sketches merge across groups like uniqMerge") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT uniqMerge(st) AS merged,
+        |  (SELECT uniqExact(o_custkey) FROM orders) AS exact
+        |FROM (SELECT o_orderpriority, uniqState(o_custkey) AS st
+        |      FROM orders GROUP BY o_orderpriority)""".stripMargin)
+    val (merged, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(merged - exact) / exact < 0.05,
+      s"merged=$merged exact=$exact")
+  }
+
   test("array function family keeps ClickHouse semantics") {
     val r = one(
       """SELECT arrayDistinct(array(1, 2, 1)), arraySort(array(3, 1, 2)),
