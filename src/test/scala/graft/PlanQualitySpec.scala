@@ -74,6 +74,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(n <= 3, s"expected <=3 shuffles, got $n")
   }
 
+  test("brute-force ANN broadcasts the query side, no sort-merge join") {
+    val df = graft.operators.Ann.annBruteforce(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("centroid analytics stays within its budgeted shuffle count") {
+    // (label,pos) agg + label agg + member join + final label agg + sort
+    val n = countShuffles(
+      graft.operators.Embeddings.embCentroids(spark, "/root/testdata/sf0.01"))
+    assert(n <= 6, s"expected <=6 shuffles, got $n")
+  }
+
   test("signature computation is shuffle-free up to the bucket groupBy") {
     // the per-doc simhash pipeline is narrow: only the final sort shuffles
     val n = countShuffles(Dedup.dedupSimhash(spark, sf))
