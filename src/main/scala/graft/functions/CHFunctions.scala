@@ -131,6 +131,11 @@ object CHFunctions {
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
+    "srpBandKeys" -> (es => SrpBandKeys(es.head)),
+    "cosTopK" -> (es => CosTopK(es.head, es(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => other.eval().toString.toInt
+    })),
     "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
     "cosineDistance" -> (es =>
       Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))))

@@ -151,6 +151,101 @@ object MinHashSig {
     }
 }
 
+/** Signed-random-projection (SRP) LSH band keys for an embedding vector:
+  * [[SrpBandKeys.Bands]] keys of [[SrpBandKeys.Bits]] bits each, where
+  * bit t of band j is the sign of the dot product with a deterministic
+  * ±1 hyperplane derived from `md5("srp:j:t:d")` parity. Because the
+  * planes are pure md5 arithmetic, any engine can reproduce the exact
+  * same keys — [[SrpBandKeys.duckdbKeysSql]] is the DuckDB form the
+  * oracle runs, so the blocked near-dup result verifies bit-for-bit.
+  *
+  * This is the blocking step that replaces the O(n²) cartesian in
+  * embedding near-dup (SURVEY §2 D5): candidates come only from equal
+  * (band, key) buckets, and oversized buckets are capped, so candidate
+  * volume is ≤ Bands × n × cap/2 — linear in n.
+  */
+case class SrpBandKeys(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ImplicitCastInputTypes {
+
+  import org.apache.spark.sql.types.IntegerType
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      SrpBandKeys.compute(input.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => "new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.functions.SrpBandKeys.compute($c))")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBandKeys =
+    copy(child = newChild)
+}
+
+object SrpBandKeys {
+
+  val Bands = 32
+  val Bits = 6
+
+  /** ±1 plane component for (band j, bit t, dim d): parity of the first
+    * md5 byte of "srp:j:t:d". In hex-string terms that byte's low nibble
+    * is the SECOND hex char, which is how the oracle derives it. */
+  private def sign(j: Int, t: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"srp:$j:$t:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if ((h(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** Planes cache keyed by vector dimension (plane values depend only on
+    * (j, t, d), so one immutable table per dim serves all threads). */
+  private val planesCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Double]]]()
+
+  private def planesFor(dim: Int): Array[Array[Double]] =
+    planesCache.computeIfAbsent(dim, d =>
+      Array.tabulate(Bands * Bits)(i => Array.tabulate(d)(sign(i / Bits, i % Bits, _))))
+
+  def compute(vec: ArrayData): Array[Int] = {
+    val dim = vec.numElements()
+    val planes = planesFor(dim)
+    val keys = new Array[Int](Bands)
+    var j = 0
+    while (j < Bands) {
+      var key = 0
+      var t = 0
+      while (t < Bits) {
+        val p = planes(j * Bits + t)
+        var dot = 0.0
+        var d = 0
+        while (d < dim) { dot += p(d) * vec.getDouble(d); d += 1 }
+        if (dot > 0) key |= 1 << t
+        t += 1
+      }
+      keys(j) = key
+      j += 1
+    }
+    keys
+  }
+
+  /** The identical key computation in DuckDB SQL: CTEs `planes` and
+    * `keys(vec_id, band, bkey)` over a CTE `e(vec_id, v)`. */
+  def duckdbKeysSql(dim: Int): String =
+    s"""planes AS (
+       |  SELECT j, t, list_transform(generate_series(0, ${dim - 1}), d ->
+       |    CASE WHEN ('0x' || substr(md5('srp:' || j || ':' || t || ':' || d), 2, 1))::INT % 2 = 1
+       |         THEN 1.0 ELSE -1.0 END) AS p
+       |  FROM generate_series(0, ${Bands - 1}) gj(j), generate_series(0, ${Bits - 1}) gt(t)),
+       |keys AS (
+       |  SELECT e.vec_id, planes.j AS band,
+       |    CAST(sum(CASE WHEN list_dot_product(e.v, planes.p) > 0
+       |                  THEN 1 << planes.t ELSE 0 END) AS INT) AS bkey
+       |  FROM e CROSS JOIN planes GROUP BY 1, 2)""".stripMargin
+}
+
 object SimHash60 {
 
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](() =>

@@ -10,17 +10,23 @@ import graft.{Q, Tables}
   *
   * D6 `ann_bruteforce` is the exact baseline: the (small) query set is
   * broadcast, every candidate partition computes dot products map-side,
-  * and only (n_queries × n_candidates) similarity rows — never vectors —
-  * reach the per-query top-k shuffle. Verified against DuckDB
-  * `list_cosine_similarity`.
+  * and the per-query top-k runs through the native
+  * [[graft.functions.CosTopK]] partial aggregate — each map task reduces
+  * its partition to ≤ k rows per query BEFORE the shuffle, so no
+  * reducer ever sees a query's full candidate list (a `row_number`
+  * window would funnel each query through one reducer). Verified
+  * against DuckDB `list_cosine_similarity`.
   *
-  * D7 `ann_ivf` is the 100 TB path: an IVF-style coarse quantizer. Cell
-  * centroids are a deterministic sample, every vector is assigned to its
-  * nearest cell (one map-side broadcast pass + one shuffle on vec_id),
-  * queries probe their `nprobe` nearest cells, and the top-k runs over
-  * probed cells only — at 1000 executors the scan prunes to
-  * nprobe/n_cells of the corpus. Rows-only for the driver; `AnnSpec`
-  * asserts recall vs the brute-force truth.
+  * D7 `ann_ivf` is the 100 TB path: an IVF-style coarse quantizer.
+  * Centroids are k-means-trained on a BOUNDED deterministic sample
+  * (never the full corpus — at 100 TB the training job must not scale
+  * with corpus size), every vector is assigned to its nearest cell via
+  * a broadcast + `max_by` aggregation (partial-agg friendly; no window
+  * exchange anywhere in the training or assignment path), queries probe
+  * their `nprobe` nearest cells, and the top-k runs over probed cells
+  * only — at 1000 executors the scan prunes to nprobe/n_cells of the
+  * corpus. Rows-only for the driver; `AnnSpec` asserts recall vs the
+  * brute-force truth.
   */
 object Ann {
 
@@ -28,6 +34,10 @@ object Ann {
   private val NumQueries = 10
   private val NumCells = 16
   private val NProbe = 4
+
+  /** Training-sample bound: Lloyd passes run over ≤ this many vectors,
+    * hash-selected deterministically, regardless of corpus size. */
+  private val TrainSample = 65536L
 
   /** Embeddings as double vectors; similarity runs through the
     * codegen'd [[graft.functions.CosineSimilarity]] expression. */
@@ -40,7 +50,17 @@ object Ann {
   private def dot(a: String, b: String): Column =
     expr(s"cosineSimilarity($a, $b)")
 
-  /** D6: exact cosine top-k, queries broadcast. */
+  /** Per-query exact top-k via the bounded [[graft.functions.CosTopK]]
+    * partial aggregate; emits (q_id, neighbor, cos_sim, rn). */
+  private def topK(scored: DataFrame): DataFrame =
+    scored.groupBy("q_id")
+      .agg(expr(s"cosTopK(struct(cos_sim, neighbor), $K)").as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("q_id"), col("t.neighbor").as("neighbor"),
+        col("t.cos_sim").as("cos_sim"), (col("pos") + 1).cast("int").as("rn"))
+      .orderBy("q_id", "rn")
+
+  /** D6: exact cosine top-k, queries broadcast, two-phase top-k. */
   val annBruteforce: Q = (s, dir) => {
     val e = unitVectors(s, dir)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -48,30 +68,36 @@ object Ann {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
         round(dot("qv", "v"), 4).as("cos_sim"))
-    scored
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor"))))
-      .filter(col("rn") <= K)
-      .orderBy("q_id", "rn")
+    topK(scored)
   }
 
-  /** Lloyd iterations over the corpus: each pass is two shuffles
-    * (assign via broadcast centroids + recompute keyed (cell, dim)).
-    * Seeded deterministically from the first k vectors, so results are
-    * reproducible run-to-run — at 100 TB you'd train on a sample, but
-    * the plan shape is identical. */
-  private def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+  /** Nearest-cell argmax per id via broadcast centroids + `max_by`
+    * aggregation — partial aggregation collapses each id's candidate
+    * cells map-side, so the one shuffle carries one row per id (a
+    * `Window.partitionBy(id)` argmax would shuffle every candidate row
+    * with no combine). Ties break to the lower cell id. */
+  private[graft] def assignCells(df: DataFrame, cents: DataFrame,
+      idCol: String, vecCol: String): DataFrame =
+    df.join(broadcast(cents))
+      .select(col(idCol), col(vecCol), col("cell"), dot(vecCol, "cv").as("ccos"))
+      .groupBy(idCol)
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
+        first(col(vecCol)).as(vecCol))
+
+  /** Lloyd iterations over a bounded deterministic sample: each pass is
+    * one broadcast-assign aggregation + one (cell, dim) recompute —
+    * both partial-agg friendly, neither scales with full corpus size.
+    * Seeded from the first k vectors so results are reproducible. */
+  private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val n = math.max(e.count(), 1L)
+    val sample =
+      if (n <= TrainSample) e
+      else e.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
+        lit(TrainSample * 1000000L / n))
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {
-      val assigned = e.join(broadcast(cents))
-        .select(col("vec_id"), col("v"), col("cell"),
-          dot("v", "cv").as("ccos"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cell"))))
-        .filter(col("crn") === 1)
-        .select(col("cell"), col("v"))
-      cents = assigned
+      cents = assignCells(sample, cents, "vec_id", "v")
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg("x").as("cx"))
@@ -83,40 +109,32 @@ object Ann {
     cents
   }
 
-  /** D7: IVF coarse quantizer — k-means-trained centroids (2 Lloyd
-    * passes over deterministic seeds), nearest-cell assignment,
-    * nprobe-cell search. */
+  /** D7: IVF coarse quantizer — sample-trained centroids, `max_by`
+    * nearest-cell assignment, nprobe-cell search, two-phase top-k. */
   val annIvf: Q = (s, dir) => {
     val e = unitVectors(s, dir)
     val cents = trainCentroids(e, NumCells, iters = 2)
 
-    // nearest cell per vector: broadcast the centroid table, keep the
-    // argmax cell — ties break to the lower cell id.
-    def assign(df: DataFrame, idCol: String, vecCol: String, top: Int): DataFrame =
-      df.join(broadcast(cents))
-        .select(col(idCol), col(vecCol),
-          col("cell"), dot(vecCol, "cv").as("ccos"))
-        .withColumn("crn", row_number().over(
-          Window.partitionBy(idCol).orderBy(col("ccos").desc, col("cell"))))
-        .filter(col("crn") <= top)
-
-    val assigned = assign(e, "vec_id", "v", 1)
+    val assigned = assignCells(e, cents, "vec_id", "v")
       .select(col("cell"), col("vec_id"), col("v"))
-    val queries = assign(
-      e.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv")),
-      "q_id", "qv", NProbe)
+
+    // the query set is tiny (NumQueries rows × NumCells candidates), so
+    // a window rank for the nprobe cells is fine on the driver-scale side
+    val queries = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cell"), dot("qv", "cv").as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crn") <= NProbe)
       .select(col("cell"), col("q_id"), col("qv"))
 
-    queries.join(assigned, "cell")
+    val scored = queries.join(assigned, "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
         round(dot("qv", "v"), 4).as("cos_sim"))
       .distinct() // a neighbor may appear via several probed cells
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("q_id").orderBy(col("cos_sim").desc, col("neighbor"))))
-      .filter(col("rn") <= K)
-      .orderBy("q_id", "rn")
+    topK(scored)
   }
 
   val queries: Map[String, Q] = Map(

@@ -52,19 +52,20 @@ object ChSurface {
       """SELECT event_type,
         |  round(avg(JSONExtractFloat(props, 'k')), 4) AS avg_k,
         |  countIf(JSONHas(props, 'k')) AS with_k,
-        |  array_sort(groupUniqArray(user_id % 5)) AS mod_ids
+        |  array_join(array_sort(groupUniqArray(user_id % 5)), ',') AS mod_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       Some("""SELECT event_type,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
         |  count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS with_k,
-        |  list_sort(list_distinct(list(user_id % 5))) AS mod_ids
+        |  array_to_string(list_sort(list_distinct(list(user_id % 5))), ',') AS mod_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
     // approximate sketches: engine-specific, rows-only; exactness is
-    // covered by q_ch_agg / CHFunctionsSpec error-bound tests
+    // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
+    // output is stringified so the rows-only harness check can hash it.
     ("q_ch_sketches",
       """SELECT uniq(o_custkey) AS approx_cust,
-        |  topKCH(o_orderpriority, 3) AS top_priorities
+        |  array_join(topKCH(o_orderpriority, 3), ',') AS top_priorities
         |FROM orders""".stripMargin,
       Some("")))
 

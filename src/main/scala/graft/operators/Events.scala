@@ -66,7 +66,7 @@ object Events {
         |  FROM g),
         |x AS (
         |  SELECT user_id, ts, value,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_idx
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value,

@@ -104,7 +104,7 @@ object Funnel {
         |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
         |  FROM events GROUP BY user_id)
         |SELECT regexp_matches(seq, 'v[^p]*e[^v]*p') AS matched,
-        |  count(*) AS n_users, sum(length(seq)) AS total_events
+        |  count(*) AS n_users, CAST(sum(length(seq)) AS BIGINT) AS total_events
         |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),

@@ -56,7 +56,7 @@ object Pipeline {
          |  SELECT * FROM scored WHERE n_tokens >= 10 AND distinct_ratio >= 0.5),
          |dropped AS (
          |  SELECT DISTINCT doc_b AS doc_id FROM jac WHERE jaccard >= 0.3)
-         |SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
          |  round(avg(distinct_ratio), 6) AS avg_distinct_ratio
          |FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
          |GROUP BY lang ORDER BY lang""".stripMargin

@@ -92,20 +92,23 @@ object SqlSurface {
         |GROUP BY p_brand ORDER BY cnt DESC, p_brand LIMIT 10""".stripMargin,
       None),
 
+    // Array results are stringified (array_join / array_to_string) so the
+    // driver's pandas sort can hash the column; the groupArray semantics
+    // under test are unchanged.
     ("q_group_array",
-      """SELECT l_orderkey, array_sort(collect_list(l_linenumber)) AS lines
+      """SELECT l_orderkey, array_join(array_sort(collect_list(l_linenumber)), ',') AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
-      Some("""SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      Some("""SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
     ("q_array_hof",
       """SELECT doc_id,
         |  size(filter(split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
-        |  transform(slice(split(text, ' '), 1, 3), t -> upper(t)) AS first3_upper
+        |  array_join(transform(slice(split(text, ' '), 1, 3), t -> upper(t)), ',') AS first3_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
       Some("""SELECT doc_id,
         |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
-        |  list_transform(string_split(text, ' ')[1:3], t -> upper(t)) AS first3_upper
+        |  array_to_string(list_transform(string_split(text, ' ')[1:3], t -> upper(t)), ',') AS first3_upper
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
     ("q_token_freq",

@@ -83,11 +83,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(400))
   }
 
+  test("ANN top-k partial-aggregates before the shuffle (two-phase)") {
+    val df = graft.operators.Ann.annBruteforce(spark, "/root/testdata/sf0.01")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    // CosTopK is object-hash aggregated: a partial (map-side) stage and a
+    // final stage must both be present, and no per-query window remains
+    assert("costopk".r.findAllIn(plan.toLowerCase).size >= 2, plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+  }
+
   test("centroid analytics stays within its budgeted shuffle count") {
     // (label,pos) agg + label agg + member join + final label agg + sort
     val n = countShuffles(
       graft.operators.Embeddings.embCentroids(spark, "/root/testdata/sf0.01"))
     assert(n <= 6, s"expected <=6 shuffles, got $n")
+  }
+
+  test("embedding near-dup has no cartesian and no nested-loop join") {
+    val df = Dedup.dedupEmbedding(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
   test("signature computation is shuffle-free up to the bucket groupBy") {

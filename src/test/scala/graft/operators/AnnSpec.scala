@@ -38,4 +38,18 @@ class AnnSpec extends SparkSpec {
     val nCand = Ann.annIvf(spark, dir).count()
     assert(nCand <= 10L * 5)
   }
+
+  test("training + assignment path has no window exchange") {
+    val e = graft.Tables(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding").cast("array<double>")
+          .as("v"))
+    graft.functions.CHFunctions.register(spark)
+    val cents = Ann.trainCentroids(e, 16, iters = 1)
+    val assigned = Ann.assignCells(e, cents, "vec_id", "v")
+    val plan = assigned.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), plan.take(600))
+    // max_by argmax must partial-aggregate map-side before its shuffle
+    assert(plan.contains("partial_max_by"), plan.take(600))
+  }
 }

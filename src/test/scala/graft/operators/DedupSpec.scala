@@ -57,4 +57,15 @@ class DedupSpec extends SparkSpec {
       assert(c >= 0.4 && c <= 1.0)
     }
   }
+
+  test("SRP-blocked near-dup: subset of exact pairs, recall >= 0.8") {
+    val exact = Dedup.dedupEmbeddingExact(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = Dedup.dedupEmbedding(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked.subsetOf(exact), "blocked pairs must pass the same exact-cosine filter")
+    assert(exact.nonEmpty)
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall below 0.8 (${blocked.size}/${exact.size})")
+  }
 }
