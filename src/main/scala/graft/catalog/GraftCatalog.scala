@@ -10,26 +10,43 @@ import org.apache.spark.sql.types.StructField
 import graft.Tables
 
 /** Column metadata, mirroring the reference's Column dataclass
-  * (reference: mcp_clickhouse/mcp_server.py:27-34). */
+  * (reference: mcp_clickhouse/mcp_server.py:27-34). `defaultKind` /
+  * `defaultExpression` surface Spark column defaults (DDL
+  * `DEFAULT <expr>`, kept in struct-field metadata); `comment` is the
+  * field comment when the schema carries one. */
 final case class ColumnInfo(
     database: String,
     table: String,
     name: String,
     columnType: String,
     nullable: Boolean,
+    defaultKind: Option[String],
+    defaultExpression: Option[String],
     comment: Option[String])
 
 /** Table metadata + storage stats, mirroring the reference's Table
   * dataclass (reference: mcp_clickhouse/mcp_server.py:37-55). For
-  * parquet-backed tables `parts` is the file count and `totalRows` comes
-  * from parquet footers (a metadata-only count, no data scan). */
+  * parquet-backed tables `parts` is the file count, `totalRows` and
+  * `totalBytesUncompressed` come from parquet footers (metadata-only,
+  * no data scan), and `totalMarks` is the row-group count — the closest
+  * Spark/parquet analog of a ClickHouse mark (the unit of intra-part
+  * scan granularity). `createTableQuery` is the schema-in-one-string
+  * answer LLM clients lean on: a runnable `CREATE TABLE ... USING
+  * parquet LOCATION ...` derived from the live schema. */
 final case class TableInfo(
     database: String,
     name: String,
     engine: String,
+    engineFull: String,
+    createTableQuery: String,
+    sortingKey: String,
+    primaryKey: String,
     totalRows: Long,
     totalBytes: Long,
+    totalBytesUncompressed: Long,
     parts: Int,
+    activeParts: Int,
+    totalMarks: Long,
     comment: Option[String],
     columns: Seq[ColumnInfo])
 
@@ -71,6 +88,7 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
       pageToken: Option[String] = None,
       pageSize: Int = 50,
       includeDetailedColumns: Boolean = true): TablePage = {
+    requireDatabase(database)
     val all = Tables.all.filter(matches(_, like, notLike)).sorted
     // a token for different filters is ignored, like the reference's
     // cache-state mismatch path (mcp_server.py:345-356)
@@ -87,25 +105,38 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
     TablePage(infos, next, all.size)
   }
 
-  /** Stats + schema for one table; parquet-footer row count, FS sizes. */
+  /** Stats + schema for one table; parquet-footer row count and
+    * uncompressed sizes, FS compressed sizes — all metadata-only. */
   def describeTable(
       database: String,
       table: String,
       includeColumns: Boolean = true): TableInfo = {
+    requireDatabase(database)
     val path = new Path(s"$dir/$table.parquet")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = path.getFileSystem(conf)
     val files =
       if (fs.isFile(path)) Seq(fs.getFileStatus(path))
       else fs.listStatus(path).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
     val df = Tables(spark, dir, table)
+    val (uncompressed, rowGroups) = parquetFooterStats(files, conf)
     TableInfo(
       database = database,
       name = table,
       engine = "Parquet",
+      engineFull = s"Parquet LOCATION '$path'",
+      createTableQuery =
+        s"CREATE TABLE $database.$table (${df.schema.toDDL}) USING parquet LOCATION '$path'",
+      sortingKey = "", // parquet carries no sort/primary key metadata
+      primaryKey = "",
       totalRows = df.count(), // parquet metadata-only count
       totalBytes = files.map(_.getLen).sum,
+      totalBytesUncompressed = uncompressed,
       parts = files.size,
-      comment = None,
+      activeParts = files.size, // no inactive (merging) parts on files
+      totalMarks = rowGroups,
+      comment = tableComment(table),
       columns =
         if (includeColumns) df.schema.fields.toSeq.map(columnInfo(database, table, _))
         else Nil)
@@ -116,12 +147,47 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
   def describe(df: DataFrame, name: String = "source"): Seq[ColumnInfo] =
     df.schema.fields.toSeq.map(columnInfo(database, name, _))
 
-  private def columnInfo(db: String, table: String, f: StructField) =
+  private def requireDatabase(db: String): Unit =
+    if (db != database)
+      throw new IllegalArgumentException(
+        s"Unknown database '$db' — this catalog serves '$database'")
+
+  /** Table-level comment: taken from the session catalog when the same
+    * name is registered there with a description. */
+  private def tableComment(table: String): Option[String] =
+    try Option(spark.catalog.getTable(table).description).filter(_.nonEmpty)
+    catch { case _: Exception => None }
+
+  private def columnInfo(db: String, table: String, f: StructField) = {
+    val defaultExpr =
+      if (f.metadata.contains("CURRENT_DEFAULT"))
+        Some(f.metadata.getString("CURRENT_DEFAULT"))
+      else None
     ColumnInfo(db, table, f.name, f.dataType.sql, f.nullable,
-      Option(f.getComment()).flatten)
+      defaultKind = defaultExpr.map(_ => "DEFAULT"),
+      defaultExpression = defaultExpr,
+      comment = Option(f.getComment()).flatten)
+  }
 }
 
 object GraftCatalog {
+
+  /** (uncompressed bytes, row-group count) summed over parquet footers —
+    * footer reads only, no data pages touched. */
+  private[catalog] def parquetFooterStats(
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    files.foldLeft((0L, 0L)) { case ((bytes, groups), st) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
+      try {
+        val blocks = reader.getRowGroups.asScala
+        (bytes + blocks.map(_.getColumns.asScala.map(_.getTotalUncompressedSize).sum).sum,
+          groups + blocks.size)
+      } finally reader.close()
+    }
+  }
 
   /** SQL LIKE → anchored regex ('%' ≡ '.*', '_' ≡ '.'), case-sensitive
     * like ClickHouse LIKE. */

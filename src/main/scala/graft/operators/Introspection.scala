@@ -26,8 +26,11 @@ object Introspection {
     val page = cat.listTables(pageSize = 50)
     page.tables
       .map(t => (t.name, t.engine, t.totalRows, t.totalBytes.max(1L) > 0,
-        t.parts, t.columns.size))
-      .toDF("name", "engine", "total_rows", "has_bytes", "parts", "n_columns")
+        t.parts, t.columns.size,
+        t.createTableQuery.startsWith(s"CREATE TABLE default.${t.name} ("),
+        t.totalBytesUncompressed > t.totalBytes, t.totalMarks))
+      .toDF("name", "engine", "total_rows", "has_bytes", "parts", "n_columns",
+        "has_ddl", "uncompressed_exceeds_disk", "marks")
       .orderBy("name")
   }
 

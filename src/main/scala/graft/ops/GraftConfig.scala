@@ -1,0 +1,46 @@
+package graft.ops
+
+/** Unified env-driven configuration, mirroring the reference's
+  * `mcp_env.py` surface (enable flag, timeouts, transport knobs) with
+  * `SPARK_GRAFT_*` names. All reads go through one injectable env map
+  * so tests can exercise every path without mutating the process
+  * environment; defaults match the reference's (query timeout 30 s,
+  * pool of 10) plus the executor's row cap.
+  *
+  * Reference: mcp_clickhouse/mcp_env.py:27-130 (ClickHouseConfig
+  * properties), mcp_server.py:66 (pool), :433 (timeout).
+  */
+final case class GraftConfig(env: Map[String, String] = sys.env) {
+
+  private def get(key: String): Option[String] = env.get(s"SPARK_GRAFT_$key")
+
+  private def bool(key: String, dflt: Boolean): Boolean =
+    get(key).map(_.trim.toLowerCase == "true").getOrElse(dflt)
+
+  private def int(key: String, dflt: Int): Int =
+    get(key).map(_.trim.toInt).getOrElse(dflt)
+
+  /** Master enable flag (reference: CLICKHOUSE_ENABLED). */
+  def enabled: Boolean = bool("ENABLED", dflt = true)
+
+  /** Per-query timeout in seconds (reference: *_SEND_RECEIVE_TIMEOUT
+    * semantics applied to query execution). */
+  def queryTimeoutSec: Int = int("QUERY_TIMEOUT_SEC", 30)
+
+  /** Bounded executor pool size (reference: max_workers=10). */
+  def poolSize: Int = int("POOL_SIZE", 10)
+
+  /** Result row cap for the SQL executor. */
+  def maxRows: Int = int("MAX_ROWS", graft.sql.QueryExecutor.DefaultMaxRows)
+
+  /** Data directory the engine serves (set by the driver for
+    * Bench/Verify; no default — callers must pass one explicitly). */
+  def dataDir: Option[String] = get("SF_DIR")
+
+  /** Health endpoint port; 0 = ephemeral (reference binds 8000+). */
+  def healthPort: Int = int("HEALTH_PORT", 0)
+
+  /** An executor honoring the configured timeout/pool/cap. */
+  def newExecutor(spark: org.apache.spark.sql.SparkSession): graft.sql.QueryExecutor =
+    new graft.sql.QueryExecutor(spark, queryTimeoutSec, poolSize, maxRows)
+}

@@ -52,10 +52,47 @@ object FileSource {
   }
 
   /** `url()/s3()/hdfs()` — scheme routing. Spark's Hadoop FS layer
-    * resolves the scheme; s3/s3n are normalized to s3a. */
-  def route(spark: SparkSession, uri: String, format: Option[String] = None): DataFrame = {
-    val normalized = uri.replaceFirst("^s3n?://", "s3a://")
-    file(spark, normalized, format)
+    * resolves distributed-FS schemes (s3/s3n normalized to s3a);
+    * `http(s)://` spools to a local file first (see [[spoolUrl]]). */
+  def route(spark: SparkSession, uri: String, format: Option[String] = None): DataFrame =
+    if (uri.matches("^https?://.*"))
+      file(spark, spoolUrl(uri), format.orElse(Some(detect(uri))))
+    else
+      file(spark, uri.replaceFirst("^s3n?://", "s3a://"), format)
+
+  /** chDB's `url('https://...')` equivalent: fetch the remote object once
+    * to a content-addressed local spool file and let the reader plan over
+    * the local copy. The spool is driver-side and keyed by URL, so a
+    * repeated `url()` in a session reuses the download. This is for the
+    * reference's use case — querying a (small) remote file in place;
+    * bulk data belongs on a distributed FS scheme, not http. Accepts any
+    * stream `java.net.URL` can open, which is also how the spec drives
+    * it offline (`file://` stands in for remote). */
+  private[sources] def spoolUrl(uri: String): String = {
+    val ext = uri.split('/').last.dropWhile(_ != '.') match {
+      case "" => ".bin"
+      case e => e
+    }
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(uri.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    val spool = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_url_$digest$ext")
+    if (!java.nio.file.Files.exists(spool)) {
+      val tmp = java.nio.file.Files.createTempFile("graft_url_dl", ext)
+      val in = new java.net.URL(uri).openStream()
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      // atomic publish so concurrent readers never see a partial spool
+      try java.nio.file.Files.move(tmp, spool,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+    spool.toString
   }
 
   private def reader(spark: SparkSession, opts: Map[String, String]): DataFrameReader =

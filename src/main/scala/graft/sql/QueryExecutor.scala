@@ -6,8 +6,15 @@ import scala.util.control.NonFatal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Result shape of the reference's `run_select_query`
-  * (mcp_server.py:421-459): column names + row values. */
-final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
+  * (mcp_server.py:421-459): column names + row values. `truncated` is
+  * set when the executor's row cap cut the result off — the reference
+  * returns everything, but "everything" at 100 TB kills the driver, so
+  * the cap (with an explicit flag, never a silent cut) is the safe
+  * equivalent of its operational posture. */
+final case class QueryResult(
+    columns: Seq[String],
+    rows: Seq[Seq[Any]],
+    truncated: Boolean = false) {
 
   /** `{"columns": [...], "rows": [[...]]}` — the reference's wire
     * shape. Strings are escaped; numbers/booleans pass through; null
@@ -33,7 +40,8 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
     columns.map(c => "\"" + esc(c) + "\"")
       .mkString("{\"columns\": [", ", ", "], ") +
       rows.map(_.map(v).mkString("[", ", ", "]"))
-        .mkString("\"rows\": [", ", ", "]}")
+        .mkString("\"rows\": [", ", ", "]") +
+      (if (truncated) ", \"truncated\": true}" else "}")
   }
 }
 
@@ -45,7 +53,10 @@ final case class QueryResult(columns: Seq[String], rows: Seq[Seq[Any]]) {
 final class QueryExecutor(
     spark: SparkSession,
     timeoutSec: Int = 30,
-    poolSize: Int = 10) extends AutoCloseable {
+    poolSize: Int = 10,
+    maxRows: Int = QueryExecutor.DefaultMaxRows) extends AutoCloseable {
+
+  require(maxRows > 0, "maxRows must be positive")
 
   private val pool = Executors.newFixedThreadPool(poolSize)
 
@@ -68,13 +79,19 @@ final class QueryExecutor(
       case NonFatal(e) => Left(s"Query execution failed: ${e.getMessage}")
     }
 
-  /** Run a guarded SELECT to completion with timeout + job cancellation. */
-  def run(sql: String): QueryResult = {
+  /** Run a guarded SELECT to completion with timeout + job cancellation.
+    * The result is capped at [[maxRows]] (overridable per call): the cap
+    * is pushed into the plan as a `LIMIT maxRows+1`, so Spark stops
+    * producing past it — an unbounded `SELECT *` never materializes on
+    * the driver — and the one extra row only signals truncation. */
+  def run(sql: String): QueryResult = run(sql, maxRows)
+
+  def run(sql: String, capRows: Int): QueryResult = {
     val df = select(sql)
     val jobTag = s"graft-query-${java.util.UUID.randomUUID()}"
     val task = pool.submit { () =>
       spark.sparkContext.addJobTag(jobTag)
-      try collect(df)
+      try collect(df, capRows)
       finally spark.sparkContext.removeJobTag(jobTag)
     }
     try task.get(timeoutSec.toLong, TimeUnit.SECONDS)
@@ -87,10 +104,18 @@ final class QueryExecutor(
     }
   }
 
-  private def collect(df: Dataset[org.apache.spark.sql.Row]): QueryResult =
+  private def collect(df: Dataset[org.apache.spark.sql.Row], capRows: Int): QueryResult = {
+    val collected = df.limit(capRows + 1).collect()
     QueryResult(
       df.columns.toSeq,
-      df.collect().toSeq.map(_.toSeq))
+      collected.take(capRows).toSeq.map(_.toSeq),
+      truncated = collected.length > capRows)
+  }
 
   override def close(): Unit = pool.shutdown()
+}
+
+object QueryExecutor {
+  /** Default result cap, mirroring a sane client page size. */
+  val DefaultMaxRows = 100000
 }

@@ -36,6 +36,38 @@ class CatalogSpec extends SparkSpec {
     assert(li.engine == "Parquet")
   }
 
+  test("reference-parity metadata: DDL, uncompressed bytes, marks") {
+    val li = cat.describeTable("default", "lineitem")
+    assert(li.createTableQuery.startsWith("CREATE TABLE default.lineitem ("))
+    assert(li.createTableQuery.contains("l_orderkey BIGINT"))
+    assert(li.createTableQuery.contains("USING parquet LOCATION"))
+    assert(li.engineFull.startsWith("Parquet LOCATION"))
+    // snappy parquet: uncompressed strictly larger than on-disk bytes
+    assert(li.totalBytesUncompressed > li.totalBytes)
+    assert(li.totalMarks >= 1 && li.activeParts == li.parts)
+    assert(li.sortingKey.isEmpty && li.primaryKey.isEmpty)
+  }
+
+  test("unknown database is rejected, not silently ignored") {
+    intercept[IllegalArgumentException](cat.listTables(database = "prod"))
+    intercept[IllegalArgumentException](cat.describeTable("prod", "orders"))
+  }
+
+  test("column comments and defaults surface through describe") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType).withComment("primary id"),
+      StructField("state", StringType,
+        metadata = new MetadataBuilder()
+          .putString("CURRENT_DEFAULT", "'active'").build())))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val cols = cat.describe(df, "t")
+    assert(cols.head.comment.contains("primary id"))
+    assert(cols(1).defaultKind.contains("DEFAULT"))
+    assert(cols(1).defaultExpression.contains("'active'"))
+  }
+
   test("pagination walks all tables exactly once via stateless tokens") {
     val p1 = cat.listTables(pageSize = 4)
     assert(p1.tables.size == 4 && p1.nextPageToken.isDefined)

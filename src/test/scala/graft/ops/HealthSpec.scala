@@ -3,10 +3,62 @@ package graft.ops
 import graft.SparkSpec
 
 class HealthSpec extends SparkSpec {
+
+  private def httpGet(url: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val body = new String(stream.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, body)
+  }
+
   test("health check reports OK with engine version on a live session") {
     val s = Health.check(spark)
     assert(s.ok)
     assert(s.message.startsWith("OK - Connected to Spark "))
     assert(s.message.contains(spark.version))
+  }
+
+  test("served /health returns 200 + version on a live session") {
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty))
+    try {
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/health")
+      assert(code == 200)
+      assert(body == s"OK - Connected to Spark ${spark.version}")
+    } finally srv.close()
+  }
+
+  test("served /health returns 503 when the engine is disabled") {
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_ENABLED" -> "false")))
+    try {
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/health")
+      assert(code == 503)
+      assert(body.startsWith("ERROR - "))
+    } finally srv.close()
+  }
+
+  test("config reads SPARK_GRAFT_* envs with reference defaults") {
+    val dflt = GraftConfig(Map.empty)
+    assert(dflt.enabled && dflt.queryTimeoutSec == 30 && dflt.poolSize == 10)
+    assert(dflt.maxRows == graft.sql.QueryExecutor.DefaultMaxRows)
+    assert(dflt.dataDir.isEmpty)
+    val set = GraftConfig(Map(
+      "SPARK_GRAFT_QUERY_TIMEOUT_SEC" -> "5",
+      "SPARK_GRAFT_MAX_ROWS" -> "7",
+      "SPARK_GRAFT_SF_DIR" -> "/data/sf1"))
+    assert(set.queryTimeoutSec == 5 && set.maxRows == 7)
+    assert(set.dataDir.contains("/data/sf1"))
+    // a config-built executor enforces the configured cap
+    graft.sql.TableEnv.register(spark, sf)
+    val ex = set.newExecutor(spark)
+    try {
+      val r = ex.run("SELECT n_nationkey FROM nation")
+      assert(r.rows.length == 7 && r.truncated)
+    } finally ex.close()
   }
 }

@@ -56,6 +56,21 @@ class FileSourceSpec extends SparkSpec {
     }
   }
 
+  test("url() spools a remote object to a local copy and reads it") {
+    // file:// stands in for http(s) — spoolUrl accepts any URL stream,
+    // and route() takes the spool path for http(s) schemes
+    Sink.csv(nation, s"$tmp/nation_url.csv")
+    val part = new java.io.File(s"$tmp/nation_url.csv").listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val spooled = FileSource.spoolUrl(s"file://${part.getAbsolutePath}")
+    assert(spooled != part.getAbsolutePath) // a local copy, not the original
+    assert(spooled.endsWith(".csv")) // extension survives for auto-detect
+    val df = FileSource.file(spark, spooled)
+    assert(df.count() == nation.count())
+    // second spool of the same URL reuses the cached copy
+    assert(FileSource.spoolUrl(s"file://${part.getAbsolutePath}") == spooled)
+  }
+
   test("partitioned parquet sink lays out partition directories") {
     Sink.parquet(nation, s"$tmp/nation_part", partitionBy = Seq("n_regionkey"))
     val dirs = new java.io.File(s"$tmp/nation_part").listFiles()

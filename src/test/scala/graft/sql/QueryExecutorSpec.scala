@@ -58,6 +58,25 @@ class QueryExecutorSpec extends SparkSpec {
     assert(json == """{"columns": ["a", "b\"q"], "rows": [[1, "x\ny"], [null, 2.5]]}""")
   }
 
+  test("row cap bounds a huge SELECT and flags truncation") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60, maxRows = 100)
+    try {
+      TableEnv.register(spark, sf)
+      // lineitem at sf0.001 has thousands of rows — far past the cap
+      val r = ex.run("SELECT l_orderkey FROM lineitem")
+      assert(r.rows.length == 100)
+      assert(r.truncated)
+      assert(r.toJson.endsWith("\"truncated\": true}"))
+      // under the cap: untouched result, no flag
+      val small = ex.run("SELECT l_orderkey FROM lineitem LIMIT 5")
+      assert(small.rows.length == 5 && !small.truncated)
+      // the cap reaches the plan as a limit, not a post-collect trim
+      val plan = ex.select("SELECT l_orderkey FROM lineitem").limit(101)
+        .queryExecution.executedPlan.toString()
+      assert(plan.contains("Limit") || plan.contains("limit"), plan.take(300))
+    } finally ex.close()
+  }
+
   test("timeout cancels the query") {
     val ex = new QueryExecutor(spark, timeoutSec = 2)
     try {
