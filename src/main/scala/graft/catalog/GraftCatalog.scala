@@ -120,7 +120,7 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
       else fs.listStatus(path).toSeq.filter(_.isFile)
         .filterNot(_.getPath.getName.startsWith("_"))
     val df = Tables(spark, dir, table)
-    val (uncompressed, rowGroups) = parquetFooterStats(files, conf)
+    val (footerRows, uncompressed, rowGroups) = parquetFooterStats(files, conf)
     TableInfo(
       database = database,
       name = table,
@@ -130,7 +130,7 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
         s"CREATE TABLE $database.$table (${df.schema.toDDL}) USING parquet LOCATION '$path'",
       sortingKey = "", // parquet carries no sort/primary key metadata
       primaryKey = "",
-      totalRows = df.count(), // parquet metadata-only count
+      totalRows = footerRows, // straight from footers — no Spark job
       totalBytes = files.map(_.getLen).sum,
       totalBytesUncompressed = uncompressed,
       parts = files.size,
@@ -172,18 +172,21 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
 
 object GraftCatalog {
 
-  /** (uncompressed bytes, row-group count) summed over parquet footers —
-    * footer reads only, no data pages touched. */
+  /** (row count, uncompressed bytes, row-group count) summed over
+    * parquet footers — footer reads only, no data pages touched and no
+    * Spark jobs, so a catalog page over many tables costs one metadata
+    * read per file rather than one count job per table. */
   private[catalog] def parquetFooterStats(
       files: Seq[org.apache.hadoop.fs.FileStatus],
-      conf: org.apache.hadoop.conf.Configuration): (Long, Long) = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Long, Long) = {
     import scala.jdk.CollectionConverters._
-    files.foldLeft((0L, 0L)) { case ((bytes, groups), st) =>
+    files.foldLeft((0L, 0L, 0L)) { case ((rows, bytes, groups), st) =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromStatus(st, conf))
       try {
         val blocks = reader.getRowGroups.asScala
-        (bytes + blocks.map(_.getColumns.asScala.map(_.getTotalUncompressedSize).sum).sum,
+        (rows + blocks.map(_.getRowCount).sum,
+          bytes + blocks.map(_.getColumns.asScala.map(_.getTotalUncompressedSize).sum).sum,
           groups + blocks.size)
       } finally reader.close()
     }

@@ -87,8 +87,14 @@ object Ann {
   /** Lloyd iterations over a bounded deterministic sample: each pass is
     * one broadcast-assign aggregation + one (cell, dim) recompute —
     * both partial-agg friendly, neither scales with full corpus size.
-    * Seeded from the first k vectors so results are reproducible. */
+    * The centroid table itself is tiny BY CONTRACT (k cells × dim
+    * doubles), so each pass lands it on the driver and re-lifts it as a
+    * local relation — lineage stays flat across iterations and the next
+    * pass's broadcast ships a plain local table, with no RDD
+    * checkpoint. Seeded from the first k vectors for reproducibility. */
   private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
     val n = math.max(e.count(), 1L)
     val sample =
       if (n <= TrainSample) e
@@ -97,14 +103,16 @@ object Ann {
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {
-      cents = assignCells(sample, cents, "vec_id", "v")
+      val updated = assignCells(sample, cents, "vec_id", "v")
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
         .agg(avg("x").as("cx"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
         .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-        .localCheckpoint() // truncate the growing lineage between passes
+        .as[(Long, Seq[Double])]
+        .collect() // k × dim doubles — driver-tiny by contract
+      cents = updated.toSeq.toDF("cell", "cv")
     }
     cents
   }

@@ -175,12 +175,59 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** D14: duplicate-cluster assignment — connected components over the
+    * confirmed near-dup pairs (Jaccard ≥ 0.3, the same edge set
+    * [[Pipeline]] drops from), so "keep one doc per duplicate CLUSTER"
+    * becomes a single join instead of repeated pairwise reasoning.
+    *
+    * Min-label propagation: every node starts as its own label and
+    * each round takes the min over neighbors; converges in
+    * O(component diameter) rounds — near-dup clusters are shallow in
+    * practice, and the loop stops at the fixpoint (checked with one
+    * tiny count per round over the label table, never the corpus). At
+    * extreme diameters you'd switch to large-star/small-star; the
+    * per-round plan here (edge join + min agg, all partial-agg
+    * friendly) is the same building block. The oracle computes the
+    * identical fixpoint with a recursive CTE. */
+  val dedupClusters: Q = (s, dir) => {
+    val confirmed = dedupJaccard(s, dir)
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = confirmed
+      .union(confirmed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .distinct()
+      .localCheckpoint() // reuse across rounds without re-running LSH
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("cluster_id", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")),
+          "doc_b")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(min("nl").as("nmin"))
+      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint() // flat lineage per round
+      changed = updated.join(
+        labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
+        .filter(col("cluster_id") =!= col("prev")).count()
+      labels = updated
+      rounds += 1
+    }
+    labels.orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embedding" -> dedupEmbedding)
+    "dedup_embedding" -> dedupEmbedding,
+    "dedup_clusters" -> dedupClusters)
 
   /** Shared oracle CTEs: normalized tokens → shingles → signature →
     * bands (same md5 construction as the Spark side). */
@@ -217,6 +264,18 @@ object Dedup {
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  private val jaccardOracle =
+    s"""$pairCte,
+       |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
+       |SELECT doc_a, doc_b,
+       |  round(len(list_intersect(sa.sset, sb.sset)) /
+       |        CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sets sa ON sa.doc_id = doc_a
+       |JOIN sets sb ON sb.doc_id = doc_b
+       |WHERE round(len(list_intersect(sa.sset, sb.sset)) /
+       |      CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) >= 0.1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_hash,
@@ -225,18 +284,7 @@ object Dedup {
     "dedup_minhash" ->
       s"""$pairCte
          |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_jaccard" ->
-      s"""$pairCte,
-         |sets AS (SELECT doc_id, list_distinct(shingles) AS sset FROM sh)
-         |SELECT doc_a, doc_b,
-         |  round(len(list_intersect(sa.sset, sb.sset)) /
-         |        CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) AS jaccard
-         |FROM pairs
-         |JOIN sets sa ON sa.doc_id = doc_a
-         |JOIN sets sb ON sb.doc_id = doc_b
-         |WHERE round(len(list_intersect(sa.sset, sb.sset)) /
-         |      CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) >= 0.1
-         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_jaccard" -> s"$jaccardOracle\nORDER BY doc_a, doc_b",
     "dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
         |    list_transform(string_split(regexp_replace(trim(lower(text)), ' +', ' ', 'g'), ' '),
@@ -247,6 +295,22 @@ object Dedup {
         |    CASE WHEN list_sum(list_transform(th, h -> ((h >> i) & 1) * 2 - 1)) > 0
         |         THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS simhash
         |FROM t ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> {
+      val jac = jaccardOracle
+      s"""WITH RECURSIVE jac AS ($jac),
+         |confirmed AS (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.3),
+         |edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM confirmed
+         |  UNION
+         |  SELECT doc_b, doc_a FROM confirmed),
+         |nodes AS (SELECT DISTINCT a AS doc FROM edges),
+         |reach(doc, lab) AS (
+         |  SELECT doc, doc FROM nodes
+         |  UNION
+         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc)
+         |SELECT doc AS doc_id, min(lab) AS cluster_id
+         |FROM reach GROUP BY doc ORDER BY doc_id""".stripMargin
+    },
     "dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
          |  FROM embeddings),

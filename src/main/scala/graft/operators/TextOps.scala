@@ -104,13 +104,57 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D15: TF-IDF keyword extraction — top-3 terms per document by
+    * `tf × ln(N/df)` (ties to the lexicographically first token).
+    * Scale shape: one explode feeding two partial-agg groupBys; the
+    * 1-row corpus count joins in as a broadcast; the per-doc rank
+    * window parallelizes over millions of SMALL doc groups (group size
+    * = distinct tokens per doc, bounded by document length — unlike a
+    * per-query ANN window there is no hot reducer). */
+  val textTfidf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(s, dir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(countDistinct("doc_id").as("n"))
+    tf.join(dfreq, "token")
+      .join(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
-    "text_fingerprint" -> textFingerprint)
+    "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf)
 
   val oracles: Map[String, String] = Map(
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, token,
+        |    round(tf * ln(n.n / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, tfidf, rn FROM r WHERE rn <= 3
+        |ORDER BY doc_id, rn""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS ws_tokens,

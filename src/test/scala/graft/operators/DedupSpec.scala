@@ -58,6 +58,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster assignment: confirmed pairs co-clustered, min-id representative") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Dedup.dedupJaccard(spark, sf).filter(col("jaccard") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.keys.min == c, s"cluster $c not labeled by min member")
+    }
+  }
+
   test("SRP-blocked near-dup: subset of exact pairs, recall >= 0.8") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -59,4 +59,21 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L)._1 != fp(3L)._1)
     assert(fp(1L)._2 != fp(3L)._2)
   }
+
+  test("tfidf ranks a distinctive token above corpus-wide ones") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_tfidf").toString
+    Seq(
+      (1L, "common common zebra", "en", "s", 1L),
+      (2L, "common plain words", "en", "s", 1L),
+      (3L, "common plain other", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.textTfidf(spark, dir).collect()
+    val doc1 = rows.filter(_.getLong(0) == 1L).sortBy(_.getInt(3))
+    // 'zebra' (df=1) must outrank 'common' (df=3, idf=0) despite tf=2
+    assert(doc1.head.getString(1) == "zebra")
+    assert(doc1.map(_.getDouble(2)).sliding(2).forall(p => p.head >= p.last))
+    rows.groupBy(_.getLong(0)).values.foreach(g => assert(g.length <= 3))
+  }
 }
