@@ -67,19 +67,42 @@ final case class TablePage(
   * are computed for that page's tables only; a 100k-table catalog never
   * materializes more than `pageSize` TableInfos at once.
   */
-final class GraftCatalog(spark: SparkSession, dir: String) {
+final class GraftCatalog(
+    spark: SparkSession,
+    dir: String,
+    extraDatabases: Map[String, String] = Map.empty) {
 
   import GraftCatalog._
 
-  /** The single file-backed database this engine serves. */
+  /** The primary file-backed database this engine serves. */
   val database = "default"
+
+  /** database name → backing directory. Additional parquet directories
+    * mount as further databases (reference: multi-database listing,
+    * mcp_server.py:124-161), so `listTables("staging")` and
+    * `describeTable("staging", t)` resolve against that directory. */
+  private val databases: Map[String, String] =
+    Map(database -> dir) ++ extraDatabases
 
   def listDatabases(
       like: Seq[String] = Nil,
-      notLike: Seq[String] = Nil): Seq[String] = {
-    val names = spark.catalog.listDatabases().collect().map(_.name).toSeq
-    names.filter(matches(_, like, notLike)).sorted
-  }
+      notLike: Seq[String] = Nil): Seq[String] =
+    databases.keys.toSeq.filter(matches(_, like, notLike)).sorted
+
+  /** Table names of a database: the driver contract's fixed table list
+    * for `default`; a parquet directory listing for mounted extras. */
+  private def tableNames(db: String): Seq[String] =
+    if (db == database) Tables.all
+    else {
+      val root = new Path(databases(db))
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet"))
+        .sorted
+    }
 
   def listTables(
       database: String = database,
@@ -89,7 +112,7 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
       pageSize: Int = 50,
       includeDetailedColumns: Boolean = true): TablePage = {
     requireDatabase(database)
-    val all = Tables.all.filter(matches(_, like, notLike)).sorted
+    val all = tableNames(database).filter(matches(_, like, notLike)).sorted
     // a token for different filters is ignored, like the reference's
     // cache-state mismatch path (mcp_server.py:345-356)
     val start = pageToken
@@ -112,14 +135,16 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
       table: String,
       includeColumns: Boolean = true): TableInfo = {
     requireDatabase(database)
-    val path = new Path(s"$dir/$table.parquet")
+    val path = new Path(s"${databases(database)}/$table.parquet")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = path.getFileSystem(conf)
     val files =
       if (fs.isFile(path)) Seq(fs.getFileStatus(path))
       else fs.listStatus(path).toSeq.filter(_.isFile)
         .filterNot(_.getPath.getName.startsWith("_"))
-    val df = Tables(spark, dir, table)
+    val df =
+      if (database == this.database) Tables(spark, dir, table)
+      else spark.read.parquet(path.toString)
     val (footerRows, uncompressed, rowGroups) = parquetFooterStats(files, conf)
     TableInfo(
       database = database,
@@ -148,9 +173,10 @@ final class GraftCatalog(spark: SparkSession, dir: String) {
     df.schema.fields.toSeq.map(columnInfo(database, name, _))
 
   private def requireDatabase(db: String): Unit =
-    if (db != database)
+    if (!databases.contains(db))
       throw new IllegalArgumentException(
-        s"Unknown database '$db' — this catalog serves '$database'")
+        s"Unknown database '$db' — this catalog serves " +
+          databases.keys.toSeq.sorted.mkString("'", "', '", "'"))
 
   /** Table-level comment: taken from the session catalog when the same
     * name is registered there with a description. */

@@ -44,9 +44,40 @@ object Events {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Binned interval join: for every `error` event, count the same
+    * user's `view` events within ±5 minutes. A naive `|t_v - t_e| <= w`
+    * join is non-equi, which Spark can only plan as a nested-loop — the
+    * classic range-join trap. Binning turns it into an EQUI-join: bin
+    * both sides by w-wide buckets, probe each error's {bin-1, bin,
+    * bin+1} (a pair within w spans at most adjacent bins, and matches
+    * in exactly one shared bin — no dedup needed), post-filter the
+    * exact distance. One shuffle on (user_id, bin), scales like any
+    * hash join. The oracle runs the plain inequality join. */
+  val evErrorContext: Q = (s, dir) => {
+    val binUs = 300L * 1000000 // 5 minutes
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id"), col("us").as("e_us"))
+      .withColumn("bin", explode(array(
+        floor(col("e_us") / binUs) - 1,
+        floor(col("e_us") / binUs),
+        floor(col("e_us") / binUs) + 1)))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us").as("v_us"))
+      .withColumn("bin", floor(col("v_us") / binUs))
+    errors.join(views, Seq("user_id", "bin"))
+      .filter(abs(col("v_us") - col("e_us")) <= binUs)
+      .groupBy("user_id", "event_id")
+      .agg(count(lit(1)).as("ctx_views"))
+      .orderBy("user_id", "event_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_windowed" -> evWindowed,
-    "ev_sessions" -> evSessions)
+    "ev_sessions" -> evSessions,
+    "ev_error_context" -> evErrorContext)
 
   val oracles: Map[String, String] = Map(
     "ev_windowed" ->
@@ -71,5 +102,14 @@ object Events {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value,
         |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
-        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin)
+        |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_error_context" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),
+        |e AS (SELECT user_id, event_id, us FROM ev WHERE event_type = 'error'),
+        |v AS (SELECT user_id, us FROM ev WHERE event_type = 'view')
+        |SELECT e.user_id, e.event_id, count(*) AS ctx_views
+        |FROM e JOIN v ON v.user_id = e.user_id
+        |            AND abs(v.us - e.us) <= 300000000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

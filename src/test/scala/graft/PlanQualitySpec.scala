@@ -101,6 +101,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(n <= 6, s"expected <=6 shuffles, got $n")
   }
 
+  test("binned interval join plans as an equi-join, not a nested loop") {
+    val df = graft.operators.Events.evErrorContext(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("embedding near-dup has no cartesian and no nested-loop join") {
     val df = Dedup.dedupEmbedding(spark, sf)
     df.collect()

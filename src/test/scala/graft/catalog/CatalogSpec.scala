@@ -53,6 +53,21 @@ class CatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException](cat.describeTable("prod", "orders"))
   }
 
+  test("extra parquet directories mount as additional databases") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_db").toString
+    graft.Tables(spark, sf, "region")
+      .write.mode("overwrite").parquet(s"$tmp/staged_region.parquet")
+    val multi = new GraftCatalog(spark, sf, Map("staging" -> tmp))
+    assert(multi.listDatabases() == Seq("default", "staging"))
+    val page = multi.listTables(database = "staging")
+    assert(page.tables.map(_.name) == Seq("staged_region"))
+    val t = multi.describeTable("staging", "staged_region")
+    assert(t.database == "staging" && t.totalRows == 5)
+    assert(t.createTableQuery.startsWith("CREATE TABLE staging.staged_region ("))
+    // default database listing is unchanged by the mount
+    assert(multi.listTables().totalTables == graft.Tables.all.size)
+  }
+
   test("column comments and defaults surface through describe") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
