@@ -93,6 +93,26 @@ object EventStreams {
   def enriched(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** E5: stream-stream interval join with watermarks — each `error`
+    * event joined to the same user's `view` events no older than 5
+    * minutes. The event-time range condition is what lets Structured
+    * Streaming bound BOTH join states (it can drop buffered rows past
+    * the watermark + interval), so state stays finite on an unbounded
+    * stream; without the range bound a stream-stream join must buffer
+    * forever. Batch twin: [[graft.operators.Events.evErrorContext]]. */
+  def errorContextJoin(events: DataFrame): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    errors.join(views,
+      expr("""user_id = v_user AND
+             |v_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts""".stripMargin))
+      .select(col("user_id"), col("error_id"), col("e_ts"), col("v_ts"))
+  }
+
   /** File-source → memory-sink harness used by the specs and by any
     * caller that wants the batch tables replayed as a stream. */
   def fileStream(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =

@@ -88,6 +88,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches pairs and bounds state") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    val q = EventStreams.errorContextJoin(input.toDS().toDF())
+      .writeStream.format("memory").queryName("err_ctx")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0),
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "error", 0),
+        EventStreams.Event(3, Timestamp.valueOf("2024-01-01 09:00:00"), 1, "view", 0), // too old
+        EventStreams.Event(4, Timestamp.valueOf("2024-01-01 10:04:00"), 2, "view", 0)) // other user
+      q.processAllAvailable()
+      // advance the watermark far past the interval so join state drains
+      input.addData(
+        EventStreams.Event(5, Timestamp.valueOf("2024-01-01 12:00:00"), 9, "view", 0))
+      q.processAllAvailable()
+      val got = spark.table("err_ctx")
+        .select("error_id", "user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq == Seq((2L, 1L))) // exactly the in-window same-user pair
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join broadcasts the dimension") {
     val batch = graft.Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_enrich").toString
