@@ -56,6 +56,25 @@ class FileSourceSpec extends SparkSpec {
     }
   }
 
+  test("jdbc() reads an external database with filter pushdown") {
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE ext_users (id INT, name VARCHAR(20), score INT)")
+      st.execute("INSERT INTO ext_users VALUES (1,'a',10),(2,'b',20),(3,'c',30)")
+      st.close()
+    } finally conn.close()
+    val df = FileSource.jdbc(spark, url, "ext_users")
+      .filter(org.apache.spark.sql.functions.col("score") > 15)
+    assert(df.count() == 2)
+    assert(df.columns.map(_.toLowerCase).toSeq == Seq("id", "name", "score"))
+    // the filter reaches the JDBC scan, not a post-scan Spark filter only
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters") && plan.contains("SCORE"), plan.take(600))
+  }
+
   test("url() spools a remote object to a local copy and reads it") {
     // file:// stands in for http(s) — spoolUrl accepts any URL stream,
     // and route() takes the spool path for http(s) schemes
