@@ -199,23 +199,27 @@ object Dedup {
       .localCheckpoint() // reuse across rounds without re-running LSH
     var labels = edges.select(col("doc_a").as("doc_id")).distinct()
       .withColumn("cluster_id", col("doc_id"))
-    var changed = 1L
+    // labels only ever DECREASE (least of self and neighbors), so the
+    // label-sum strictly drops iff any label changed — convergence is
+    // one aggregate scan of the (small) label table, not a join.
+    def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(sum("cluster_id")).head.getLong(0)
+    var prevSum = Long.MinValue
+    var curSum = labelSum(labels)
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (curSum != prevSum && rounds < 20) {
       val neighborMin = edges
         .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")),
           "doc_b")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(min("nl").as("nmin"))
-      val updated = labels.join(neighborMin, Seq("doc_id"), "left")
+      labels = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
         .localCheckpoint() // flat lineage per round
-      changed = updated.join(
-        labels.withColumnRenamed("cluster_id", "prev"), "doc_id")
-        .filter(col("cluster_id") =!= col("prev")).count()
-      labels = updated
+      prevSum = curSum
+      curSum = labelSum(labels)
       rounds += 1
     }
     labels.orderBy("doc_id")
