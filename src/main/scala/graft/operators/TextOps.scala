@@ -130,14 +130,80 @@ object TextOps {
       .orderBy("doc_id", "rn")
   }
 
+  /** D16: deterministic train/valid/test split — the data-mixing step
+    * of corpus prep. The bucket is pure md5 arithmetic on the doc id
+    * (NOT Spark's `rand()`), so the same document lands in the same
+    * split on any engine, any run, any partitioning — reshuffling or
+    * re-reading the corpus can never leak validation docs into train.
+    * Narrow per-row expression; one aggregation for the report. */
+  val textSplit: Q = (s, dir) => {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+          .as("split"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("split")
+  }
+
+  /** D17: benchmark decontamination — flag corpus documents sharing any
+    * 8-gram with an evaluation set (stood in here by doc_id < 20), the
+    * standard guard against test-set leakage into training data.
+    * Scale shape: the benchmark side is SMALL by definition, so its
+    * distinct shingle set broadcasts and the corpus-side check is a
+    * map-side hash join — the corpus is never shuffled. */
+  val textDecontaminate: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    def shingles(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          explode(transform(
+            sequence(lit(1), greatest(size(col("toks")) - 7, lit(1))),
+            i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("shingle"))
+    val bench = shingles(docs.filter(col("doc_id") < 20))
+      .select("shingle").distinct()
+    shingles(docs.filter(col("doc_id") >= 20))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id")
+      .agg(countDistinct("shingle").as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangId,
     "text_fingerprint" -> textFingerprint,
-    "text_tfidf" -> textTfidf)
+    "text_tfidf" -> textTfidf,
+    "text_split" -> textSplit,
+    "text_decontaminate" -> textDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_split" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'valid' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, greatest(len(toks) - 7, 1)),
+        |                          i -> array_to_string(toks[i:i+7], ' '))) AS shingle
+        |  FROM t),
+        |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20)
+        |SELECT s.doc_id, count(DISTINCT s.shingle) AS n_shared
+        |FROM sh s JOIN bench USING (shingle)
+        |WHERE s.doc_id >= 20
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "text_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

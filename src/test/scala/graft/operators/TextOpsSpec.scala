@@ -60,6 +60,33 @@ class TextOpsSpec extends SparkSpec {
     assert(fp(1L)._2 != fp(3L)._2)
   }
 
+  test("split assignment is deterministic and roughly 80/10/10") {
+    val a = TextOps.textSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TextOps.textSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b) // rerun-stable: pure hash of doc_id, no rand()
+    val total = a.values.sum.toDouble
+    assert(a("train") / total > 0.7 && a("train") / total < 0.9)
+    assert(a.keySet == Set("train", "valid", "test"))
+  }
+
+  test("decontamination flags a planted benchmark 8-gram only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_decon").toString
+    val gram8 = "a b c d e f g h"
+    Seq(
+      (5L, s"benchmark doc with $gram8 inside", "en", "s", 1L),
+      (30L, s"training doc leaking $gram8 verbatim", "en", "s", 1L),
+      (31L, "clean training doc with nothing shared at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val flagged = TextOps.textDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.contains(30L) && flagged(30L) >= 1)
+    assert(!flagged.contains(31L))
+  }
+
   test("tfidf ranks a distinctive token above corpus-wide ones") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_tfidf").toString
