@@ -24,6 +24,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(4))
   }
 
+  test("cosTopK equals sort-and-take under random data and partitioning") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val k = 1 + rnd.nextInt(7)
+      val n = 50 + rnd.nextInt(200)
+      // duplicate scores force the id tie-break through merge paths
+      val rows = (0 until n).map(i =>
+        (i.toLong % 3, rnd.nextInt(20) / 10.0, rnd.nextLong().abs % 1000))
+      val parts = 1 + rnd.nextInt(8) // partial/merge shape varies per trial
+      val got = rows.toDF("g", "score", "id").repartition(parts)
+        .groupBy("g").agg(org.apache.spark.sql.functions.expr(
+          s"cosTopK(struct(score, id), $k)").as("top"))
+        .collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getDouble(1))))
+        .toMap
+      val want = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._3, r._2))
+          .sortBy { case (id, s) => (-s, id) }.take(k)
+      }
+      assert(got == want, s"trial $trial k=$k parts=$parts")
+    }
+  }
+
+  test("srpBandKeys: deterministic, dim-sensitive, 6-bit range") {
+    CHFunctions.register(spark)
+    val r = one(
+      """SELECT srpBandKeys(array(0.1, -0.5, 0.8, 0.2)),
+        |  srpBandKeys(array(0.1, -0.5, 0.8, 0.2)),
+        |  srpBandKeys(array(-0.1, 0.5, -0.8, -0.2))""".stripMargin)
+    val a = r.getSeq[Int](0); val b = r.getSeq[Int](1); val c = r.getSeq[Int](2)
+    assert(a == b) // same vector, same keys — planes are pure md5 arithmetic
+    assert(a.length == SrpBandKeys.Bands)
+    assert(a.forall(k => k >= 0 && k < (1 << SrpBandKeys.Bits)))
+    // negated vector flips every sign bit: keys are the bitwise complement
+    assert(a.zip(c).forall { case (x, y) => (x ^ y) == (1 << SrpBandKeys.Bits) - 1 })
+  }
+
   test("cosineSimilarity casts float arrays implicitly") {
     val r = one(
       "SELECT cosineSimilarity(CAST(array(1.0, 2.0) AS ARRAY<FLOAT>), array(1.0, 2.0))")
