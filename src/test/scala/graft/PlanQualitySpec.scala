@@ -117,6 +117,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
+  test("decontamination broadcasts the benchmark side") {
+    val df = graft.operators.TextOps.textDecontaminate(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
+  test("tfidf joins the 1-row corpus count as a broadcast") {
+    val df = graft.operators.TextOps.textTfidf(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastExchange"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("signature computation is shuffle-free up to the bucket groupBy") {
     // the per-doc simhash pipeline is narrow: only the final sort shuffles
     val n = countShuffles(Dedup.dedupSimhash(spark, sf))
