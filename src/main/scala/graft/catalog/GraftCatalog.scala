@@ -172,6 +172,53 @@ final class GraftCatalog(
   def describe(df: DataFrame, name: String = "source"): Seq[ColumnInfo] =
     df.schema.fields.toSeq.map(columnInfo(database, name, _))
 
+  /** Stats + schema for a SESSION-CATALOG table (managed or external) —
+    * the path where `sortingKey`/`primaryKey` are real: ClickHouse's
+    * primary key is its clustering key, whose Spark analog is the
+    * bucket spec (`CLUSTERED BY`), and the in-part sort key is the
+    * bucket sort columns. Storage stats come from the table location's
+    * parquet footers, like [[describeTable]]. */
+  def describeCatalogTable(table: String): TableInfo = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val location = new Path(meta.location)
+    val fs = location.getFileSystem(conf)
+    val files =
+      if (!fs.exists(location)) Nil
+      else if (fs.isFile(location)) Seq(fs.getFileStatus(location))
+      else fs.listStatus(location).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+    val (footerRows, uncompressed, rowGroups) = parquetFooterStats(files, conf)
+    val bucket = meta.bucketSpec
+    val provider = meta.provider.getOrElse("parquet")
+    val clusterClause = bucket
+      .map(b => s" CLUSTERED BY (${b.bucketColumnNames.mkString(", ")})" +
+        (if (b.sortColumnNames.nonEmpty)
+          s" SORTED BY (${b.sortColumnNames.mkString(", ")})" else "") +
+        s" INTO ${b.numBuckets} BUCKETS")
+      .getOrElse("")
+    TableInfo(
+      database = database,
+      name = table,
+      engine = provider,
+      engineFull = s"$provider LOCATION '$location'" +
+        bucket.map(b => s" BUCKETS ${b.numBuckets}").getOrElse(""),
+      createTableQuery =
+        s"CREATE TABLE $database.$table (${meta.schema.toDDL}) USING $provider" +
+          clusterClause + s" LOCATION '$location'",
+      sortingKey = bucket.map(_.sortColumnNames.mkString(", ")).getOrElse(""),
+      primaryKey = bucket.map(_.bucketColumnNames.mkString(", ")).getOrElse(""),
+      totalRows = footerRows,
+      totalBytes = files.map(_.getLen).sum,
+      totalBytesUncompressed = uncompressed,
+      parts = files.size,
+      activeParts = files.size,
+      totalMarks = rowGroups,
+      comment = meta.comment,
+      columns = meta.schema.fields.toSeq.map(columnInfo(database, table, _)))
+  }
+
   private def requireDatabase(db: String): Unit =
     if (!databases.contains(db))
       throw new IllegalArgumentException(

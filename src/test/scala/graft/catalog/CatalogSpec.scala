@@ -115,6 +115,22 @@ class CatalogSpec extends SparkSpec {
     assert(page.tables.head.columns.isEmpty)
   }
 
+  test("bucketed catalog tables report sorting and primary keys") {
+    graft.Tables(spark, sf, "nation").write.mode("overwrite")
+      .bucketBy(4, "n_regionkey").sortBy("n_nationkey")
+      .saveAsTable("nation_bucketed")
+    try {
+      val t = cat.describeCatalogTable("nation_bucketed")
+      assert(t.primaryKey == "n_regionkey") // the clustering (bucket) key
+      assert(t.sortingKey == "n_nationkey")
+      assert(t.createTableQuery.contains("CLUSTERED BY (n_regionkey)"))
+      assert(t.createTableQuery.contains("SORTED BY (n_nationkey)"))
+      assert(t.createTableQuery.contains("INTO 4 BUCKETS"))
+      assert(t.totalRows == 25 && t.totalBytesUncompressed > 0)
+      assert(t.columns.map(_.name).contains("n_nationkey"))
+    } finally spark.sql("DROP TABLE IF EXISTS nation_bucketed")
+  }
+
   test("describe reports schema of an arbitrary source") {
     val cols = cat.describe(graft.Tables(spark, sf, "region"))
     assert(cols.map(_.name) == Seq("r_regionkey", "r_name"))
