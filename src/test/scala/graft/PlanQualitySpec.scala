@@ -117,6 +117,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
   }
 
+  test("partitioned layout prunes non-matching partitions at the scan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    graft.Tables(spark, sf, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .groupBy("user_id").count()
+    val plan = formatted(df)
+    // the partition filter must prune at planning time, not post-scan
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type") ||
+      plan.contains("PartitionFilters: [(event_type"), plan.take(800))
+    val scanned = df.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString
+    assert(!scanned.contains("event_type=view"), "pruned partition was scanned")
+  }
+
   test("decontamination broadcasts the benchmark side") {
     val df = graft.operators.TextOps.textDecontaminate(spark, sf)
     df.collect()
