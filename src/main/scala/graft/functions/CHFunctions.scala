@@ -49,6 +49,9 @@ object CHFunctions {
     // sketch state + merge (ClickHouse uniqState / uniqMerge): binary
     // HLL sketches that pre-aggregate once and re-aggregate at any
     // rollup level without rescanning — the 100 TB distinct-count path
+    "quantileState" -> (es => QuantileStateAgg(es.head)),
+    "quantileMerge" -> (es =>
+      QuantileMergeAgg(es.head, QuantileSketch.literalDouble(es(1)))),
     "uniqState" -> (es => fn("hll_sketch_agg", es: _*)),
     "uniqMerge" -> (es => fn("hll_sketch_estimate", fn("hll_union_agg", es.head))),
 

@@ -116,6 +116,37 @@ class CHFunctionsSpec extends SparkSpec {
       s"merged=$merged exact=$exact")
   }
 
+  test("quantileState sketches merge across groups like quantileMerge") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT quantileMerge(st, 0.5) AS merged,
+        |  (SELECT quantileExactCH(o_totalprice, 0.5) FROM orders) AS exact
+        |FROM (SELECT o_orderpriority, quantileState(o_totalprice) AS st
+        |      FROM orders GROUP BY o_orderpriority)""".stripMargin)
+    val (merged, exact) = (r.getDouble(0), r.getDouble(1))
+    // GK sketch with 1% relative rank error: the merged median must sit
+    // between the exact 45th and 55th percentiles
+    val bounds = spark.sql(
+      """SELECT percentile(o_totalprice, 0.45), percentile(o_totalprice, 0.55)
+        |FROM orders""".stripMargin).head
+    assert(merged >= bounds.getDouble(0) && merged <= bounds.getDouble(1),
+      s"merged=$merged exact=$exact bounds=$bounds")
+  }
+
+  test("quantile sketch round-trips through serialization") {
+    val qs = (1 to 1000).foldLeft(QuantileSketch.empty()) {
+      (acc, i) => acc.insert(i.toDouble)
+    }
+    val back = QuantileSketch.deserialize(QuantileSketch.serialize(qs))
+    val q = back.query(0.5).get
+    assert(q >= 450 && q <= 550, s"median after round-trip: $q")
+    // merging a sketch with itself doubles the count, keeps the median
+    val doubled = back.merge(QuantileSketch.deserialize(QuantileSketch.serialize(qs)))
+    assert(doubled.count == 2000)
+    val q2 = doubled.query(0.5).get
+    assert(q2 >= 450 && q2 <= 550, s"median after merge: $q2")
+  }
+
   test("array function family keeps ClickHouse semantics") {
     val r = one(
       """SELECT arrayDistinct(array(1, 2, 1)), arraySort(array(3, 1, 2)),
