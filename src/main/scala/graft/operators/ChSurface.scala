@@ -67,6 +67,22 @@ object ChSurface {
       """SELECT uniq(o_custkey) AS approx_cust,
         |  array_join(topKCH(o_orderpriority, 3), ',') AS top_priorities
         |FROM orders""".stripMargin,
+      Some("")),
+
+    // the AggregatingMergeTree rollup: fine-grained (priority × month)
+    // sketch states merged up to per-priority figures WITHOUT re-scanning
+    // raw rows — the stored-cube pattern that makes sketches pay at
+    // 100 TB. Rows-only (approximate, engine-specific); error bounds are
+    // spec-tested in CHFunctionsSpec.
+    ("q_sketch_rollup",
+      """SELECT o_orderpriority,
+        |  uniqMerge(ust) AS cust_merged,
+        |  round(quantileMerge(qst, 0.5), 0) AS median_merged
+        |FROM (SELECT o_orderpriority, toYYYYMM(o_orderdate) AS ym,
+        |        uniqState(o_custkey) AS ust,
+        |        quantileState(o_totalprice) AS qst
+        |      FROM orders GROUP BY o_orderpriority, ym) cube_slice
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
       Some("")))
 
   private def runSql(sql: String): Q = (s: SparkSession, dir: String) => {
