@@ -99,19 +99,20 @@ object FileSource {
     * chdb_prompt.py:48-54 external-database table functions): one JDBC
     * routing instead of per-engine client stacks — the engine is picked
     * by the JDBC URL, and Spark's JDBC source pushes filters and prunes
-    * columns against the remote database. `options` passes through
+    * columns against the remote database. `extraOptions` passes through
     * driver/credential/partitioning knobs (`partitionColumn`/
     * `numPartitions` turn the read into parallel range scans — the
-    * scale path for big external tables). */
+    * scale path for big external tables). [[Jdbc]] is the typed
+    * companion for partitioned ClickHouse bulk reads; this is the
+    * free-form table-function face of the same reader. */
   def jdbc(
       spark: SparkSession,
       url: String,
       table: String,
-      options: Map[String, String] = Map.empty): DataFrame =
-    options.foldLeft(
-      spark.read.format("jdbc").option("url", url).option("dbtable", table)) {
-      case (r, (k, v)) => r.option(k, v)
-    }.load()
+      extraOptions: Map[String, String] = Map.empty): DataFrame =
+    spark.read.format("jdbc")
+      .options(Map("url" -> url, "dbtable" -> table) ++ extraOptions)
+      .load()
 
   private def reader(spark: SparkSession, opts: Map[String, String]): DataFrameReader =
     opts.foldLeft(spark.read) { case (r, (k, v)) => r.option(k, v) }

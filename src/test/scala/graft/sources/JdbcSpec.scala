@@ -20,3 +20,29 @@ class JdbcSpec extends AnyFunSuite {
     assert(o("numPartitions") == "32")
   }
 }
+
+/** Live partitioned round-trip against embedded Derby — proves the
+  * option plumbing drives a real server-side read, with the partitioned
+  * path issuing one bounded-range query per partition. */
+class JdbcLiveSpec extends graft.SparkSpec {
+
+  test("partitioned read returns every row exactly once") {
+    val url = "jdbc:derby:memory:graftjdbc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE live_t (id INT, v VARCHAR(10))")
+      val ps = conn.prepareStatement("INSERT INTO live_t VALUES (?, ?)")
+      (0 until 100).foreach { i =>
+        ps.setInt(1, i); ps.setString(2, s"v$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+      st.close()
+    } finally conn.close()
+    val df = Jdbc.read(spark, url, "live_t",
+      partitioning = Some(Jdbc.Partitioning("id", 0, 100, 4)))
+    assert(df.rdd.getNumPartitions == 4) // one range query per partition
+    assert(df.count() == 100)
+    assert(df.select("id").distinct().count() == 100) // no overlap, no loss
+  }
+}
