@@ -88,6 +88,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("quantile sketch states build incrementally over a stream") {
+    import spark.implicits._
+    graft.functions.CHFunctions.register(spark)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    // per-type sketch states maintained incrementally (complete mode)...
+    val q = input.toDS().toDF()
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.expr("quantileState(value)").as("st"))
+      .writeStream.format("memory").queryName("q_states")
+      .outputMode("complete").start()
+    try {
+      input.addData((1 to 50).map(i =>
+        EventStreams.Event(i.toLong, Timestamp.valueOf("2024-01-01 10:00:00"),
+          1, "view", i.toDouble)): _*)
+      q.processAllAvailable()
+      input.addData((51 to 100).map(i =>
+        EventStreams.Event(i.toLong, Timestamp.valueOf("2024-01-01 10:01:00"),
+          1, "view", i.toDouble)): _*)
+      q.processAllAvailable()
+      // ...then read off the merged quantile WITHOUT touching raw rows
+      val med = spark.sql(
+        "SELECT quantileMerge(st, 0.5) FROM q_states").head.getDouble(0)
+      assert(med >= 45 && med <= 55, s"median over streamed 1..100 was $med")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches pairs and bounds state") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
