@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.ops.{GraftConfig, HealthServer}
+import graft.sql.TableEnv
+
+/** Runnable server entry — the role the reference's MCP server plays
+  * (reference: mcp_clickhouse/mcp_server.py `main`): registers the
+  * warehouse tables + CH dialect, serves `/health` and the guarded
+  * `/query` endpoint, and blocks until killed. Configuration comes
+  * entirely from `SPARK_GRAFT_*` envs via [[graft.ops.GraftConfig]]
+  * (data dir, port, timeout, pool size, row cap).
+  *
+  * `SPARK_GRAFT_SF_DIR=/data/warehouse SPARK_GRAFT_HEALTH_PORT=8080
+  *  sbt "runMain graft.Serve"`
+  */
+object Serve {
+  def main(args: Array[String]): Unit = {
+    val config = GraftConfig()
+    val dir = args.headOption.orElse(config.dataDir).getOrElse(
+      sys.error("pass a data dir or set SPARK_GRAFT_SF_DIR"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    TableEnv.register(spark, dir)
+    val server = HealthServer.start(spark, config,
+      executor = Some(config.newExecutor(spark)))
+    println(s"graft serving /health and /query on port ${server.port}")
+    Thread.currentThread.join() // serve until killed
+  }
+}

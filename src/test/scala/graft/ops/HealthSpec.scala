@@ -42,6 +42,29 @@ class HealthSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("served /query runs guarded SQL and shapes errors as JSON") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec))
+    try {
+      val base = s"http://localhost:${srv.port}/query"
+      val sql = "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+      val (code, body) = httpGet(
+        base + "?q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+      assert(code == 200)
+      assert(body.startsWith("""{"columns": ["o_orderpriority", "n"]"""))
+      assert(body.contains("\"rows\": ["))
+      // guard violation surfaces as a structured 400, not a crash
+      val (badCode, badBody) = httpGet(
+        base + "?q=" + java.net.URLEncoder.encode("DROP TABLE orders", "UTF-8"))
+      assert(badCode == 400)
+      assert(badBody.contains("\"status\": \"error\""))
+      assert(badBody.contains("read-only"))
+      // empty query
+      assert(httpGet(base)._1 == 400)
+    } finally { srv.close(); exec.close() }
+  }
+
   test("config reads SPARK_GRAFT_* envs with reference defaults") {
     val dflt = GraftConfig(Map.empty)
     assert(dflt.enabled && dflt.queryTimeoutSec == 30 && dflt.poolSize == 10)
