@@ -73,6 +73,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("SRP bucket cap drops degenerate buckets instead of emitting n^2 pairs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 150 identical vectors: every band key collides, bucket size 150 > cap
+    // 100 — the cap must drop them (contract: a non-discriminative bucket
+    // at scale would otherwise emit quadratic pairs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_srp_cap").toString
+    (0L until 150L).map(i => (i, Array.fill(8)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    assert(Dedup.dedupEmbedding(spark, dir).count() == 0)
+    // under the cap the same construction DOES pair them up
+    val small = java.nio.file.Files.createTempDirectory("graft_srp_ok").toString
+    (0L until 10L).map(i => (i, Array.fill(8)(0.5f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$small/embeddings.parquet")
+    val pairs = Dedup.dedupEmbedding(spark, small)
+    assert(pairs.count() == 45) // all C(10,2) identical pairs, cos = 1.0
+    assert(pairs.agg(org.apache.spark.sql.functions.min(col("cos_sim")))
+      .head.getDouble(0) == 1.0)
+  }
+
   test("SRP-blocked near-dup: subset of exact pairs, recall >= 0.8") {
     val exact = Dedup.dedupEmbeddingExact(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
