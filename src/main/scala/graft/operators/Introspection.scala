@@ -34,13 +34,17 @@ object Introspection {
       .orderBy("name")
   }
 
-  /** C1/C2/C5 smoke: parquet → csv sink → FileSource auto-detected read
-    * → aggregate must equal the source aggregate. */
+  /** Deterministic spool dir shared with the DuckDB oracle, which reads
+    * the very CSV files this query wrote — so the round-trip is verified
+    * cross-engine, not just self-consistent. */
+  private val CsvRoundtripDir = "/tmp/graft_csv_roundtrip"
+
+  /** C1/C2/C5: parquet → csv sink → FileSource auto-detected read
+    * → aggregate; the oracle re-reads the written CSV in DuckDB. */
   val srcCsvRoundtrip: Q = (s, dir) => {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_src").toString
     val src = graft.Tables(s, dir, "nation")
-    Sink.csv(src, s"$tmp/nation.csv")
-    FileSource.file(s, s"$tmp/nation.csv")
+    Sink.csv(src, s"$CsvRoundtripDir/nation.csv")
+    FileSource.file(s, s"$CsvRoundtripDir/nation.csv")
       .groupBy(col("n_regionkey"))
       .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
       .orderBy("n_regionkey")
@@ -69,6 +73,10 @@ object Introspection {
     * the in-SQL file query verifies against DuckDB reading the same
     * parquet path through its own table-function syntax. */
   val oracles: Map[String, String] = Map(
+    "src_csv_roundtrip" ->
+      s"""SELECT n_regionkey, count(*) AS n
+         |FROM read_csv_auto('$CsvRoundtripDir/nation.csv/*.csv', header=true)
+         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "src_file_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
