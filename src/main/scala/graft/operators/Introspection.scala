@@ -73,6 +73,9 @@ object Introspection {
     * the in-SQL file query verifies against DuckDB reading the same
     * parquet path through its own table-function syntax. */
   val oracles: Map[String, String] = Map(
+    // the served catalog's database list is a fixed contract (the single
+    // file-backed `default` database), so the oracle is its literal form
+    "cat_databases" -> "SELECT 'default' AS database_name",
     "src_csv_roundtrip" ->
       s"""SELECT n_regionkey, count(*) AS n
          |FROM read_csv_auto('$CsvRoundtripDir/nation.csv/*.csv', header=true)

@@ -17,7 +17,7 @@ class EntrySmokeSpec extends SparkSpec {
     // the intentional rows-only set: approximate sketches, catalog
     // listings, engine-specific LSH, multimodal stubs
     assert(rowsOnly == Set(
-      "q_uniq", "q_ch_sketches", "q_sketch_rollup", "cat_databases",
+      "q_uniq", "q_ch_sketches", "q_sketch_rollup",
       "cat_tables", "ann_ivf", "mm_features"), rowsOnly)
   }
 }
