@@ -13,15 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // Spark cannot represent nanosecond parquet timestamps (events.ts is
-    // timestamp[ns]); read them as nanosecond longs and truncate to
-    // microseconds — the same truncation DuckDB applies, so oracles match.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case None => df
-    }
-  }
+  /** Analyzed-plan cache: the footer/schema work of `read.parquet` runs
+    * once per (session, path) instead of once per query — DataFrames are
+    * immutable plans, so reuse is safe within a session. The warehouse
+    * tables are written once by the driver; anything mutable (temp dirs,
+    * sinks) is read through [[graft.sources.FileSource]], not here. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
+      // Spark cannot represent nanosecond parquet timestamps (events.ts is
+      // timestamp[ns]); read them as nanosecond longs and truncate to
+      // microseconds — the same truncation DuckDB applies, so oracles match.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = s.read.parquet(path)
+      df.schema.fields.find(f => f.name == "ts" && f.dataType == LongType) match {
+        case Some(_) => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case None => df
+      }
+    })
 }
