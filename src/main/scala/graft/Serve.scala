@@ -30,8 +30,9 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     TableEnv.register(spark, dir)
     val server = HealthServer.start(spark, config,
-      executor = Some(config.newExecutor(spark)))
-    println(s"graft serving /health and /query on port ${server.port}")
+      executor = Some(config.newExecutor(spark)),
+      catalog = Some(new graft.catalog.GraftCatalog(spark, dir)))
+    println(s"graft serving /health /query /databases /tables on port ${server.port}")
     Thread.currentThread.join() // serve until killed
   }
 }

@@ -6,6 +6,40 @@ import java.nio.charset.StandardCharsets.UTF_8
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 
+import graft.catalog.{ColumnInfo, GraftCatalog, TableInfo}
+
+/** Minimal JSON rendering for the served catalog payloads. */
+private object Json {
+  def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+  def str(s: String): String = "\"" + esc(s) + "\""
+  def opt(o: Option[String]): String = o.map(str).getOrElse("null")
+  def arr(items: Seq[String]): String = items.mkString("[", ", ", "]")
+
+  def column(c: ColumnInfo): String =
+    s"""{"name": ${str(c.name)}, "column_type": ${str(c.columnType)}, """ +
+      s""""nullable": ${c.nullable}, "default_kind": ${opt(c.defaultKind)}, """ +
+      s""""default_expression": ${opt(c.defaultExpression)}, "comment": ${opt(c.comment)}}"""
+
+  def table(t: TableInfo): String =
+    s"""{"database": ${str(t.database)}, "name": ${str(t.name)}, """ +
+      s""""engine": ${str(t.engine)}, "engine_full": ${str(t.engineFull)}, """ +
+      s""""create_table_query": ${str(t.createTableQuery)}, """ +
+      s""""sorting_key": ${str(t.sortingKey)}, "primary_key": ${str(t.primaryKey)}, """ +
+      s""""total_rows": ${t.totalRows}, "total_bytes": ${t.totalBytes}, """ +
+      s""""total_bytes_uncompressed": ${t.totalBytesUncompressed}, """ +
+      s""""parts": ${t.parts}, "active_parts": ${t.activeParts}, """ +
+      s""""total_marks": ${t.totalMarks}, "comment": ${opt(t.comment)}, """ +
+      s""""columns": ${arr(t.columns.map(column))}}"""
+}
+
 /** The served surface of the engine, with the reference's contracts:
   *
   *  - `/health` (reference: mcp_clickhouse/mcp_server.py:74-103) —
@@ -37,8 +71,21 @@ object HealthServer {
   def start(
       spark: SparkSession,
       config: GraftConfig = GraftConfig(),
-      executor: Option[graft.sql.QueryExecutor] = None): HealthServer = {
+      executor: Option[graft.sql.QueryExecutor] = None,
+      catalog: Option[GraftCatalog] = None): HealthServer = {
     val server = HttpServer.create(new InetSocketAddress(config.healthPort), 0)
+
+    def params(exchange: HttpExchange): Map[String, String] =
+      Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+        .split('&').filter(_.contains('=')).map { p =>
+          val Array(k, v) = p.split("=", 2)
+          k -> java.net.URLDecoder.decode(v, UTF_8)
+        }.toMap
+
+    // `like` repeats as a comma-separated list, matching the reference's
+    // multi-pattern semantics (likes OR'd, not_likes AND'd)
+    def patterns(p: Map[String, String], key: String): Seq[String] =
+      p.get(key).map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
 
     def respond(exchange: HttpExchange, code: Int, body: String, json: Boolean): Unit = {
       val bytes = body.getBytes(UTF_8)
@@ -82,6 +129,37 @@ object HealthServer {
               .replace("\n", "\\n")
             respond(exchange, 400,
               s"""{"status": "error", "message": "$escaped"}""", json = true)
+        }
+      })
+    }
+
+    catalog.foreach { cat =>
+      server.createContext("/databases", (exchange: HttpExchange) => {
+        val p = params(exchange)
+        val names = cat.listDatabases(patterns(p, "like"), patterns(p, "not_like"))
+        respond(exchange, 200,
+          s"""{"databases": ${Json.arr(names.map(Json.str))}}""", json = true)
+      })
+      server.createContext("/tables", (exchange: HttpExchange) => {
+        val p = params(exchange)
+        try {
+          val page = cat.listTables(
+            database = p.getOrElse("database", cat.database),
+            like = patterns(p, "like"),
+            notLike = patterns(p, "not_like"),
+            pageToken = p.get("page_token"),
+            pageSize = p.get("page_size").map(_.toInt).getOrElse(50),
+            includeDetailedColumns =
+              p.get("include_detailed_columns").forall(_ == "true"))
+          respond(exchange, 200,
+            s"""{"tables": ${Json.arr(page.tables.map(Json.table))}, """ +
+              s""""next_page_token": ${Json.opt(page.nextPageToken)}, """ +
+              s""""total_tables": ${page.totalTables}}""", json = true)
+        } catch {
+          case e: Exception =>
+            respond(exchange, 400,
+              s"""{"status": "error", "message": ${Json.str(
+                Option(e.getMessage).getOrElse(e.toString))}}""", json = true)
         }
       })
     }

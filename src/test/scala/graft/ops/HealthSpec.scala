@@ -65,6 +65,26 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("served catalog endpoints mirror the reference tools") {
+    val cat = new graft.catalog.GraftCatalog(spark, sf)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), None, Some(cat))
+    try {
+      val (dbCode, dbBody) = httpGet(s"http://localhost:${srv.port}/databases")
+      assert(dbCode == 200 && dbBody == """{"databases": ["default"]}""")
+      val (tCode, tBody) = httpGet(
+        s"http://localhost:${srv.port}/tables?like=ord%25&page_size=5")
+      assert(tCode == 200)
+      assert(tBody.contains("\"name\": \"orders\""))
+      assert(tBody.contains("\"create_table_query\": \"CREATE TABLE default.orders ("))
+      assert(tBody.contains("\"total_tables\": 1"))
+      assert(tBody.contains("\"column_type\""))
+      // unknown database → structured 400, like the query endpoint
+      val (badCode, badBody) = httpGet(
+        s"http://localhost:${srv.port}/tables?database=prod")
+      assert(badCode == 400 && badBody.contains("Unknown database"))
+    } finally srv.close()
+  }
+
   test("config reads SPARK_GRAFT_* envs with reference defaults") {
     val dflt = GraftConfig(Map.empty)
     assert(dflt.enabled && dflt.queryTimeoutSec == 30 && dflt.poolSize == 10)
