@@ -17,11 +17,16 @@ object Tables {
     * once per (session, path) instead of once per query — DataFrames are
     * immutable plans, so reuse is safe within a session. The warehouse
     * tables are written once by the driver; anything mutable (temp dirs,
-    * sinks) is read through [[graft.sources.FileSource]], not here. */
+    * sinks) is read through [[graft.sources.FileSource]], not here.
+    * Bounded: a full clear past [[CacheCap]] entries keeps a
+    * many-session or many-directory process (tests, per-request
+    * sessions) from pinning stopped sessions' plans forever. */
+  private val CacheCap = 128
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (cache.size > CacheCap) cache.clear()
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"), { case (s, path) =>
       // Spark cannot represent nanosecond parquet timestamps (events.ts is
       // timestamp[ns]); read them as nanosecond longs and truncate to
@@ -33,4 +38,5 @@ object Tables {
         case None => df
       }
     })
+  }
 }

@@ -41,8 +41,14 @@ case class CosTopK(
   override def createAggregationBuffer(): ArrayBuffer[(Double, Long)] =
     ArrayBuffer.empty
 
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** Total order even under NaN scores (a zero vector makes cosine
+    * NaN): `Double.compare` ranks NaN above every number — matching
+    * Spark's descending window order — where a naive `>`/`==` pair is
+    * inconsistent for NaN and makes the sort order-dependent. */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   private def truncate(buf: ArrayBuffer[(Double, Long)]): ArrayBuffer[(Double, Long)] = {
     if (buf.length > k) {

@@ -37,7 +37,7 @@ object Ann {
 
   /** Training-sample bound: Lloyd passes run over ≤ this many vectors,
     * hash-selected deterministically, regardless of corpus size. */
-  private val TrainSample = 65536L
+  private val TrainSample = 65536
 
   /** Embeddings as double vectors; similarity runs through the
     * codegen'd [[graft.functions.CosineSimilarity]] expression. */
@@ -84,6 +84,27 @@ object Ann {
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
         first(col(vecCol)).as(vecCol))
 
+  /** Deterministic bounded sample WITHOUT a full-corpus count: escalate
+    * a hash modulus until the filtered sample fits the budget. Each
+    * probe is `limit(budget+1).count()` — it stops as soon as budget+1
+    * matching rows are found, so accepting-or-rejecting a dense sample
+    * costs O(budget) rows, never O(corpus); only the final (sparsest)
+    * probe scans broadly, over the id column alone. A ratio-based
+    * filter would need an exact n first — one full scan before any
+    * training — and its integer threshold silently truncates to zero
+    * past ~65 B rows. */
+  private def boundedSample(e: DataFrame, idCol: String): DataFrame = {
+    var m = 1L
+    while (m < (1L << 40)) {
+      val s =
+        if (m == 1) e
+        else e.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+      if (s.limit(TrainSample + 1).count() <= TrainSample) return s
+      m *= 64
+    }
+    e.filter(pmod(xxhash64(col(idCol)), lit(1L << 40)) === 0)
+  }
+
   /** Lloyd iterations over a bounded deterministic sample: each pass is
     * one broadcast-assign aggregation + one (cell, dim) recompute —
     * both partial-agg friendly, neither scales with full corpus size.
@@ -95,11 +116,7 @@ object Ann {
   private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val n = math.max(e.count(), 1L)
-    val sample =
-      if (n <= TrainSample) e
-      else e.filter(pmod(xxhash64(col("vec_id")), lit(1000000L)) <
-        lit(TrainSample * 1000000L / n))
+    val sample = boundedSample(e, "vec_id")
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {

@@ -202,8 +202,10 @@ object Dedup {
     // labels only ever DECREASE (least of self and neighbors), so the
     // label-sum strictly drops iff any label changed — convergence is
     // one aggregate scan of the (small) label table, not a join.
+    // coalesce: sum over an EMPTY label table (no confirmed pairs at
+    // all) is null, which must read as "converged", not crash.
     def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-      df.agg(sum("cluster_id")).head.getLong(0)
+      df.agg(coalesce(sum("cluster_id"), lit(0L))).head.getLong(0)
     var prevSum = Long.MinValue
     var curSum = labelSum(labels)
     var rounds = 0

@@ -36,8 +36,13 @@ object Introspection {
 
   /** Deterministic spool dir shared with the DuckDB oracle, which reads
     * the very CSV files this query wrote — so the round-trip is verified
-    * cross-engine, not just self-consistent. */
-  private val CsvRoundtripDir = "/tmp/graft_csv_roundtrip"
+    * cross-engine, not just self-consistent. Per-user under the system
+    * tmpdir so concurrent users can't collide on a world-shared path;
+    * the oracle SQL embeds the same computed value, so both engines
+    * always agree on it. */
+  private val CsvRoundtripDir =
+    s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip_" +
+      System.getProperty("user.name", "u")
 
   /** C1/C2/C5: parquet → csv sink → FileSource auto-detected read
     * → aggregate; the oracle re-reads the written CSV in DuckDB. */

@@ -125,10 +125,9 @@ object HealthServer {
         else exec.runSafe(sql) match {
           case Right(result) => respond(exchange, 200, result.toJson, json = true)
           case Left(message) =>
-            val escaped = message.replace("\\", "\\\\").replace("\"", "\\\"")
-              .replace("\n", "\\n")
             respond(exchange, 400,
-              s"""{"status": "error", "message": "$escaped"}""", json = true)
+              s"""{"status": "error", "message": ${Json.str(message)}}""",
+              json = true)
         }
       })
     }
@@ -164,7 +163,14 @@ object HealthServer {
       })
     }
 
-    server.setExecutor(null) // dispatcher thread; query pool bounds real work
+    // a small daemon pool so a long /query can never block /health (or
+    // other endpoints) on the dispatcher thread; real query concurrency
+    // is still bounded by the executor's own pool
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-http")
+      t.setDaemon(true)
+      t
+    }))
     server.start()
     new HealthServer(server)
   }
