@@ -37,10 +37,15 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal rounding keeps the JSON line compact: the driver captures
+    // only the tail of the run output, and a line of 70+ full-precision
+    // doubles overflows that buffer and defeats its JSON parse.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
@@ -39,8 +39,13 @@ object CHFunctions {
     "quantileExactCH" -> (es => fn("percentile", es.head, es(1))),
     "quantilesExactCH" -> (es => fn("percentile", es.head, CreateArray(es.tail))),
 
-    // heavy hitters / arg extremes / any
-    "topKCH" -> (es => fn("approx_top_k", es: _*)),
+    // heavy hitters / arg extremes / any. ClickHouse topK returns a bare
+    // value array, so project `item` out of approx_top_k's struct rows.
+    "topKCH" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      fn("transform", fn("approx_top_k", es: _*),
+        LambdaFunction(UnresolvedExtractValue(t, Literal("item")), Seq(t)))
+    }),
     "argMaxCH" -> (es => fn("max_by", es: _*)),
     "argMinCH" -> (es => fn("min_by", es: _*)),
     "anyCH" -> (es => fn("first", es.head)),

@@ -224,6 +224,14 @@ object Dedup {
       curSum = labelSum(labels)
       rounds += 1
     }
+    // a component with diameter > the round cap would exit the loop
+    // before the fixpoint and silently diverge from the recursive-CTE
+    // oracle — fail loudly instead of returning partial labels
+    if (curSum != prevSum)
+      throw new IllegalStateException(
+        s"dedupClusters: min-label propagation did not converge in $rounds " +
+          "rounds (component diameter exceeds the cap); raise the cap or " +
+          "switch to large-star/small-star for this corpus")
     labels.orderBy("doc_id")
   }
 

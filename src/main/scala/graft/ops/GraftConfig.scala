@@ -15,7 +15,13 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
   private def get(key: String): Option[String] = env.get(s"SPARK_GRAFT_$key")
 
   private def bool(key: String, dflt: Boolean): Boolean =
-    get(key).map(_.trim.toLowerCase == "true").getOrElse(dflt)
+    get(key).map(_.trim.toLowerCase).map {
+      case "true" | "1" | "yes" | "on" => true
+      case "false" | "0" | "no" | "off" => false
+      case other =>
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_$key: unrecognized boolean value '$other'")
+    }.getOrElse(dflt)
 
   private def int(key: String, dflt: Int): Int =
     get(key).map(_.trim.toInt).getOrElse(dflt)

@@ -58,12 +58,17 @@ private object Json {
   * concurrency is bounded by the executor's own pool, not the HTTP
   * layer.
   */
-final class HealthServer private (server: HttpServer) extends AutoCloseable {
+final class HealthServer private (
+    server: HttpServer,
+    pool: java.util.concurrent.ExecutorService) extends AutoCloseable {
 
   /** Bound port (useful when started on an ephemeral port 0). */
   def port: Int = server.getAddress.getPort
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    pool.shutdown()
+  }
 }
 
 object HealthServer {
@@ -166,12 +171,13 @@ object HealthServer {
     // a small daemon pool so a long /query can never block /health (or
     // other endpoints) on the dispatcher thread; real query concurrency
     // is still bounded by the executor's own pool
-    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8, r => {
       val t = new Thread(r, "graft-http")
       t.setDaemon(true)
       t
-    }))
+    })
+    server.setExecutor(pool)
     server.start()
-    new HealthServer(server)
+    new HealthServer(server, pool)
   }
 }

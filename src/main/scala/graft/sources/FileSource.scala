@@ -27,9 +27,10 @@ object FileSource {
     "json" -> ("json", Map.empty),
     "jsoneachrow" -> ("json", Map.empty))
 
-  /** Extension → ClickHouse format name (chDB auto-detection). */
+  /** Extension → ClickHouse format name (chDB auto-detection). URL
+    * query strings are not part of the extension. */
   private def detect(path: String): String = {
-    val name = path.toLowerCase
+    val name = path.split('?').head.toLowerCase
     val base = name.stripSuffix(".gz").stripSuffix(".zst")
     base.split('.').lastOption match {
       case Some("parquet") => "parquet"
@@ -62,14 +63,17 @@ object FileSource {
 
   /** chDB's `url('https://...')` equivalent: fetch the remote object once
     * to a content-addressed local spool file and let the reader plan over
-    * the local copy. The spool is driver-side and keyed by URL, so a
-    * repeated `url()` in a session reuses the download. This is for the
-    * reference's use case — querying a (small) remote file in place;
-    * bulk data belongs on a distributed FS scheme, not http. Accepts any
-    * stream `java.net.URL` can open, which is also how the spec drives
-    * it offline (`file://` stands in for remote). */
+    * the local copy. The spool is driver-side, keyed by URL, and expires
+    * after `SPARK_GRAFT_URL_SPOOL_TTL_SEC` (default 600 s) so a changed
+    * remote object is re-fetched rather than served stale forever. This
+    * is for the reference's use case — querying a (small) remote file in
+    * place; bulk data belongs on a distributed FS scheme, not http.
+    * Accepts any stream `java.net.URL` can open, which is also how the
+    * spec drives it offline (`file://` stands in for remote). */
   private[sources] def spoolUrl(uri: String): String = {
-    val ext = uri.split('/').last.dropWhile(_ != '.') match {
+    // the query string participates in the cache key (it names a distinct
+    // object) but must not leak into the spool file's extension
+    val ext = uri.split('?').head.split('/').last.dropWhile(_ != '.') match {
       case "" => ".bin"
       case e => e
     }
@@ -78,7 +82,12 @@ object FileSource {
       .map("%02x".format(_)).mkString
     val spool = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_url_$digest$ext")
-    if (!java.nio.file.Files.exists(spool)) {
+    val ttlMs = sys.env.get("SPARK_GRAFT_URL_SPOOL_TTL_SEC")
+      .map(_.trim.toLong).getOrElse(600L) * 1000
+    val fresh = java.nio.file.Files.exists(spool) &&
+      System.currentTimeMillis -
+        java.nio.file.Files.getLastModifiedTime(spool).toMillis < ttlMs
+    if (!fresh) {
       val tmp = java.nio.file.Files.createTempFile("graft_url_dl", ext)
       val in = new java.net.URL(uri).openStream()
       try java.nio.file.Files.copy(in, tmp,

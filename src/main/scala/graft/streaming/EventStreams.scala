@@ -94,12 +94,13 @@ object EventStreams {
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
   /** E5: stream-stream interval join with watermarks — each `error`
-    * event joined to the same user's `view` events no older than 5
-    * minutes. The event-time range condition is what lets Structured
-    * Streaming bound BOTH join states (it can drop buffered rows past
-    * the watermark + interval), so state stays finite on an unbounded
+    * event joined to the same user's `view` events within ±5 minutes,
+    * matching the batch twin [[graft.operators.Events.evErrorContext]].
+    * The event-time range condition is what lets Structured Streaming
+    * bound BOTH join states (it can drop buffered rows past the
+    * watermark + interval), so state stays finite on an unbounded
     * stream; without the range bound a stream-stream join must buffer
-    * forever. Batch twin: [[graft.operators.Events.evErrorContext]]. */
+    * forever. */
   def errorContextJoin(events: DataFrame): DataFrame = {
     val errors = events.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("e_ts"))
@@ -109,7 +110,8 @@ object EventStreams {
       .withWatermark("v_ts", "10 minutes")
     errors.join(views,
       expr("""user_id = v_user AND
-             |v_ts BETWEEN e_ts - INTERVAL 5 MINUTES AND e_ts""".stripMargin))
+             |v_ts BETWEEN e_ts - INTERVAL 5 MINUTES
+             |      AND e_ts + INTERVAL 5 MINUTES""".stripMargin))
       .select(col("user_id"), col("error_id"), col("e_ts"), col("v_ts"))
   }
 

@@ -50,8 +50,7 @@ class CHFunctionsSpec extends SparkSpec {
     val r = one(
       """SELECT topKCH(x, 2)
         |FROM VALUES ('a'), ('a'), ('a'), ('b'), ('b'), ('c') t(x)""".stripMargin)
-    val top = r.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
-    assert(top == Seq("a", "b"))
+    assert(r.getSeq[String](0) == Seq("a", "b"))
   }
 
   test("date bucketing functions") {

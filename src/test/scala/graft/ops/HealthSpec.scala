@@ -96,6 +96,14 @@ class HealthSpec extends SparkSpec {
       "SPARK_GRAFT_SF_DIR" -> "/data/sf1"))
     assert(set.queryTimeoutSec == 5 && set.maxRows == 7)
     assert(set.dataDir.contains("/data/sf1"))
+    // common truthy/falsy env spellings parse; junk is rejected loudly
+    for (v <- Seq("true", "1", "yes", "on", "TRUE"))
+      assert(GraftConfig(Map("SPARK_GRAFT_ENABLED" -> v)).enabled, v)
+    for (v <- Seq("false", "0", "no", "off"))
+      assert(!GraftConfig(Map("SPARK_GRAFT_ENABLED" -> v)).enabled, v)
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_ENABLED" -> "maybe")).enabled
+    }
     // a config-built executor enforces the configured cap
     graft.sql.TableEnv.register(spark, sf)
     val ex = set.newExecutor(spark)

@@ -127,7 +127,8 @@ class StreamingSpec extends SparkSpec {
         EventStreams.Event(1, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 0),
         EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:03:00"), 1, "error", 0),
         EventStreams.Event(3, Timestamp.valueOf("2024-01-01 09:00:00"), 1, "view", 0), // too old
-        EventStreams.Event(4, Timestamp.valueOf("2024-01-01 10:04:00"), 2, "view", 0)) // other user
+        EventStreams.Event(4, Timestamp.valueOf("2024-01-01 10:04:00"), 2, "view", 0), // other user
+        EventStreams.Event(6, Timestamp.valueOf("2024-01-01 10:06:00"), 1, "view", 0)) // after error, in +5m
       q.processAllAvailable()
       // advance the watermark far past the interval so join state drains
       input.addData(
@@ -135,7 +136,8 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("err_ctx")
         .select("error_id", "user_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(got.toSeq == Seq((2L, 1L))) // exactly the in-window same-user pair
+      // the ±5 min window matches the views at 10:00 (before) and 10:06 (after)
+      assert(got.toSeq.sorted == Seq((2L, 1L), (2L, 1L)))
     } finally q.stop()
   }
 
