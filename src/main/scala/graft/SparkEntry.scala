@@ -17,7 +17,7 @@ object SparkEntry {
       Events.queries ++ Dedup.queries ++ Ann.queries ++
       Introspection.queries ++ ChSurface.queries ++ Multimodal.queries ++
       AsOfQueries.queries ++ Embeddings.queries ++ Pipeline.queries ++
-      Funnel.queries
+      Funnel.queries ++ Curation.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
@@ -25,5 +25,5 @@ object SparkEntry {
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
       Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
       AsOfQueries.oracles ++ Introspection.oracles ++ Embeddings.oracles ++
-      Pipeline.oracles ++ Funnel.oracles
+      Pipeline.oracles ++ Funnel.oracles ++ Curation.oracles
 }

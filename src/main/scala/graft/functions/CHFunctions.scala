@@ -137,6 +137,7 @@ object CHFunctions {
     "lengthUTF8" -> (es => fn("char_length", es.head)),
 
     // native codegen'd vector math (ClickHouse cosineDistance family)
+    "trigramStats" -> (es => TrigramStats(es.head)),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
     "srpBandKeys" -> (es => SrpBandKeys(es.head)),

@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Corpus-curation operators for LLM training-data pipelines (SURVEY §2
+  * D18-D21): sequence packing, repetition scoring, PII scrubbing and
+  * weighted data mixing over the `documents` table.
+  *
+  * All randomness-free: sharding and sampling decisions are md5
+  * arithmetic on the doc id (like [[TextOps.textSplit]]), so the same
+  * document gets the same decision on any engine, any run, any
+  * partitioning — and the DuckDB oracle can replay the identical rule.
+  */
+object Curation {
+
+  /** Tokens-per-context-window for [[seqPack]]. */
+  val PackCapacity = 512
+
+  /** Shard count for [[seqPack]]. 8 here; at corpus scale this is the
+    * write-parallelism knob (thousands), and shards stay independent. */
+  val PackShards = 8
+
+  private def md5Mod(prefix: String, mod: Int) =
+    conv(substring(md5(concat(lit(prefix), col("doc_id").cast("string"))), 1, 8),
+      16, 10).cast("long") % mod
+
+  /** D18: sequence packing — the batch-prep step that concatenates
+    * documents into fixed-size context windows. Greedy first-fit in
+    * deterministic order: shard by md5(doc_id), order by doc_id within
+    * the shard, open a new bin when the next doc would overflow
+    * (overlong docs get a bin of their own). Packing is inherently
+    * sequential-per-shard (bin state resets on overflow), which no
+    * window function expresses — so shards ARE the parallelism:
+    * repartition on shard, sort within partitions, one imperative pass
+    * per partition (the justified `mapPartitions` case), then a
+    * partial-agg rollup per bin. The oracle replays the same greedy
+    * rule with a recursive CTE. */
+  val seqPack: Q = (s, dir) => {
+    import s.implicits._
+    val cap = PackCapacity // local copy: the closure must not drag the object in
+    val docs = Tables(s, dir, "documents")
+      .select(md5Mod("", PackShards).as("shard"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val packed = docs
+      .repartition(PackShards, col("shard"))
+      .sortWithinPartitions("shard", "doc_id")
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var shard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        it.map { case (sh, docId, n) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + n > cap) { bin += 1; fill = 0L }
+          fill += n
+          (sh, bin, docId, n)
+        }
+      }
+      .toDF("shard", "bin_idx", "doc_id", "n_tokens")
+    packed.groupBy("shard", "bin_idx")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("shard", "bin_idx")
+  }
+
+  /** D19: repetition scoring — the duplicated-trigram ratio, the
+    * standard boilerplate/spam signal quality filters cut on. The
+    * trigram walk runs as the native codegen'd
+    * [[graft.functions.TrigramStats]] (one loop + hash set per row —
+    * the interpreted HOF formulation measured ~2 ms/row), so the whole
+    * operator is a narrow scan-speed projection with no shuffle before
+    * the final sort. */
+  val textRepetition: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        expr("trigramStats(split(text, ' '))").as("st"))
+      .select(col("doc_id"),
+        col("st.n_trigrams").as("n_trigrams"),
+        col("st.n_distinct").as("n_distinct"),
+        when(col("st.n_trigrams") > 0,
+          round(lit(1.0) -
+            col("st.n_distinct") / col("st.n_trigrams").cast("double"), 6))
+          .otherwise(0.0).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Scrub patterns: PII shapes (email, IPv4, international phone) plus
+    * a configurable term blocklist. Kept to regex features Java and RE2
+    * agree on, so the oracle applies the identical patterns. */
+  private val scrubPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<email>"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<ip>"),
+    ("phone", "\\+\\d{7,15}", "<phone>"),
+    ("term", "\\b(customer|supplier)\\b", "<term>"))
+
+  /** D20: PII / blocklist scrubbing — count and redact sensitive spans.
+    * Chained `regexp_replace` (codegen'd, replace-all in both engines
+    * with DuckDB's 'g' flag on the oracle side); the scrubbed text is
+    * fingerprinted so the oracle proves the rewrite byte-identical
+    * without hauling full text through the compare. */
+  val piiScrub: Q = (s, dir) => {
+    val scrubbed = scrubPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    val counts = scrubPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(s"n_$name")
+    }
+    Tables(s, dir, "documents")
+      .select(col("doc_id") +: counts :+
+        md5(scrubbed).as("scrubbed_md5") :+
+        length(scrubbed).as("scrubbed_len"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Per-language mixture weights for [[mixSample]] — the data-mixing
+    * config a training run would supply. */
+  val MixWeights: Seq[(String, Double)] =
+    Seq("en" -> 0.5, "fr" -> 1.0, "es" -> 0.25, "de" -> 0.75, "zh" -> 1.0)
+
+  /** D21: weighted data mixing — downsample each language stratum to a
+    * target rate. Acceptance is md5 arithmetic per doc (reproducible,
+    * partitioning-independent — `sample()` is neither), the weights
+    * table broadcast-joins (it is config-sized by construction), and
+    * the report is one partial-agg rollup: the corpus is scanned once
+    * and never shuffled beyond the per-language aggregate. */
+  val mixSample: Q = (s, dir) => {
+    import s.implicits._
+    val weights = broadcast(MixWeights.toDF("lang", "rate"))
+    val u = md5Mod("mix", 10000)
+    Tables(s, dir, "documents")
+      .join(weights, Seq("lang"), "left")
+      .withColumn("keep", u < coalesce(col("rate"), lit(1.0)) * 10000)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"))
+      .withColumn("realized_rate",
+        round(col("n_sampled") / col("n_docs").cast("double"), 4))
+      .orderBy("lang")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "seq_pack" -> seqPack,
+    "text_repetition" -> textRepetition,
+    "pii_scrub" -> piiScrub,
+    "mix_sample" -> mixSample)
+
+  val oracles: Map[String, String] = Map(
+    "seq_pack" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % $PackShards AS shard
+         |  FROM documents),
+         |o AS (
+         |  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+         |  FROM d),
+         |packed AS (
+         |  SELECT shard, rn, doc_id, n_tokens, 0::BIGINT AS bin_idx,
+         |    n_tokens AS fill
+         |  FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+         |    CASE WHEN p.fill + o.n_tokens > $PackCapacity
+         |         THEN p.bin_idx + 1 ELSE p.bin_idx END,
+         |    CASE WHEN p.fill + o.n_tokens > $PackCapacity
+         |         THEN o.n_tokens ELSE p.fill + o.n_tokens END
+         |  FROM packed p JOIN o ON o.shard = p.shard AND o.rn = p.rn + 1)
+         |SELECT shard, bin_idx, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM packed GROUP BY shard, bin_idx ORDER BY shard, bin_idx""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |         THEN list_transform(generate_series(1, len(toks) - 2),
+        |                i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])
+        |         ELSE [] END AS tri
+        |  FROM t)
+        |SELECT doc_id, len(tri) AS n_trigrams,
+        |  len(list_distinct(tri)) AS n_distinct,
+        |  CASE WHEN len(tri) > 0
+        |       THEN round(1.0 - len(list_distinct(tri)) / CAST(len(tri) AS DOUBLE), 6)
+        |       ELSE 0.0 END AS dup_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
+    "pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(text,
+        |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+        |          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<ip>', 'g'),
+        |        '\+\d{7,15}', '<phone>', 'g'),
+        |      '\b(customer|supplier)\b', '<term>', 'g') AS scrubbed
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+        |  len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
+        |  len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_term,
+        |  md5(scrubbed) AS scrubbed_md5,
+        |  length(scrubbed) AS scrubbed_len
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "mix_sample" ->
+      """WITH w(lang, rate) AS (VALUES
+        |    ('en', 0.5), ('fr', 1.0), ('es', 0.25), ('de', 0.75), ('zh', 1.0)),
+        |d AS (
+        |  SELECT doc_id, documents.lang,
+        |    ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS u,
+        |    coalesce(rate, 1.0) AS rate
+        |  FROM documents LEFT JOIN w ON documents.lang = w.lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN u < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  round(sum(CASE WHEN u < rate * 10000 THEN 1 ELSE 0 END)
+        |        / CAST(count(*) AS DOUBLE), 4) AS realized_rate
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+}

@@ -183,12 +183,14 @@ object Dedup {
     * Min-label propagation: every node starts as its own label and
     * each round takes the min over neighbors; converges in
     * O(component diameter) rounds — near-dup clusters are shallow in
-    * practice, and the loop stops at the fixpoint (checked with one
-    * tiny count per round over the label table, never the corpus). At
-    * extreme diameters you'd switch to large-star/small-star; the
-    * per-round plan here (edge join + min agg, all partial-agg
-    * friendly) is the same building block. The oracle computes the
-    * identical fixpoint with a recursive CTE. */
+    * practice, and the loop stops at the fixpoint. Convergence is
+    * detected from the label-sum, one tiny aggregate over the label
+    * table, never the corpus; the lazy per-round checkpoint makes that
+    * aggregate the SAME job that materializes the round, so each round
+    * costs exactly one Spark job. At extreme diameters you'd switch to
+    * large-star/small-star; the per-round plan here (edge join + min
+    * agg, all partial-agg friendly) is the same building block. The
+    * oracle computes the identical fixpoint with a recursive CTE. */
   val dedupClusters: Q = (s, dir) => {
     val confirmed = dedupJaccard(s, dir)
       .filter(col("jaccard") >= 0.3)
@@ -219,7 +221,7 @@ object Dedup {
         .select(col("doc_id"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
             .as("cluster_id"))
-        .localCheckpoint() // flat lineage per round
+        .localCheckpoint(false) // flat lineage; materialized by labelSum below
       prevSum = curSum
       curSum = labelSum(labels)
       rounds += 1

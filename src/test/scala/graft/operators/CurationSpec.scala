@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class CurationSpec extends SparkSpec {
+
+  test("seq_pack: greedy first-fit respects capacity, overlong doc gets own bin") {
+    val out = Curation.seqPack(spark, sf).collect()
+    assert(out.nonEmpty)
+    // no bin of 2+ docs exceeds capacity (a single overlong doc may)
+    out.foreach { r =>
+      val (nDocs, binTokens) = (r.getLong(2), r.getLong(3))
+      assert(nDocs == 1 || binTokens <= Curation.PackCapacity,
+        s"multi-doc bin over capacity: $r")
+    }
+    // bins within a shard are dense from 0
+    out.groupBy(_.getLong(0)).foreach { case (shard, rows) =>
+      val bins = rows.map(_.getLong(1)).sorted
+      assert(bins.head == 0 && bins.last == bins.length - 1,
+        s"shard $shard bins not dense: ${bins.toSeq}")
+    }
+    // every document is packed exactly once
+    val total = out.map(_.getLong(2)).sum
+    assert(total == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
+  test("seq_pack is deterministic across runs and partitionings") {
+    val a = Curation.seqPack(spark, sf).collect().toSeq
+    val b = Curation.seqPack(spark, sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("text_repetition computes the duplicated-trigram ratio") {
+    import spark.implicits._
+    graft.functions.CHFunctions.register(spark)
+    // the native TrigramStats expression against hand-computed cases
+    val r = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "q r"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), expr("trigramStats(split(text, ' '))").as("st"))
+      .select(col("doc_id"), col("st.n_trigrams"), col("st.n_distinct"))
+      .orderBy("doc_id").collect()
+    // "a b a b a b": trigrams [aba, bab, aba, bab] -> 4 total, 2 distinct
+    assert(r(0).getLong(1) == 4 && r(0).getLong(2) == 2)
+    // "x y z w": [xyz, yzw] all distinct
+    assert(r(1).getLong(1) == 2 && r(1).getLong(2) == 2)
+    // 2 tokens -> no trigrams
+    assert(r(2).getLong(1) == 0 && r(2).getLong(2) == 0)
+    // and over the real corpus the ratio is bounded
+    val corpus = Curation.textRepetition(spark, sf).collect()
+    assert(corpus.forall { row =>
+      val d = row.getDouble(3); d >= 0.0 && d <= 1.0
+    })
+  }
+
+  test("pii_scrub redacts planted emails, ips, phones and blocked terms") {
+    import spark.implicits._
+    // plant PII in a scratch documents table and run the REAL operator on it
+    val dir = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    val planted = "mail bob@example.com then 10.0.0.1 call +12345678 customer x"
+    Seq((1L, planted, "en", "src0", planted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Curation.piiScrub(spark, dir).head
+    assert(r.getAs[Int]("n_email") == 1 && r.getAs[Int]("n_ip") == 1)
+    assert(r.getAs[Int]("n_phone") == 1 && r.getAs[Int]("n_term") == 1)
+    val expected = "mail <email> then <ip> call <phone> <term> x"
+    assert(r.getAs[Int]("scrubbed_len") == expected.length)
+    assert(r.getAs[String]("scrubbed_md5") ==
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    // the shipped corpus: blocked terms fire, no synthetic emails exist
+    val row = Curation.piiScrub(spark, sf).agg(sum("n_term"), sum("n_email")).head
+    assert(row.getLong(0) > 0 && row.getLong(1) == 0L)
+  }
+
+  test("mix_sample hits each language's target rate and is reproducible") {
+    val out = Curation.mixSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val targets = Curation.MixWeights.toMap
+    out.foreach { case (lang, (n, k, rate)) =>
+      val want = targets.getOrElse(lang, 1.0)
+      assert(k <= n)
+      // md5 uniformity: realized rate within ±0.1 of target on 100-ish docs
+      assert(math.abs(rate - want) < 0.1, s"$lang: $rate vs $want")
+    }
+    val again = Curation.mixSample(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(out == again)
+  }
+}
