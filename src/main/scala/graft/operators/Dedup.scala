@@ -199,8 +199,11 @@ object Dedup {
       .union(confirmed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
       .localCheckpoint() // reuse across rounds without re-running LSH
-    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
-      .withColumn("cluster_id", col("doc_id"))
+    // seed with round 1 for free: identity labels make the first
+    // neighbor-min pass a plain per-node aggregation over the edge list,
+    // so fold it into initialization and save one join round
+    var labels = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(least(col("doc_a"), min(col("doc_b"))).as("cluster_id"))
     // labels only ever DECREASE (least of self and neighbors), so the
     // label-sum strictly drops iff any label changed — convergence is
     // one aggregate scan of the (small) label table, not a join.

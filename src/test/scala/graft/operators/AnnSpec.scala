@@ -52,4 +52,17 @@ class AnnSpec extends SparkSpec {
     // max_by argmax must partial-aggregate map-side before its shuffle
     assert(plan.contains("partial_max_by"), plan.take(600))
   }
+
+  test("int8 quantization preserves cosine geometry within tight bounds") {
+    val out = Embeddings.embQuantize(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (label, err, cos) = (r.get(0), r.getDouble(2), r.getDouble(3))
+      // 8-bit codes over the observed range: tiny reconstruction error,
+      // near-perfect angular fidelity — the index stays usable at 1/4
+      // the float32 footprint
+      assert(err < 0.01, s"label $label mean_abs_err $err")
+      assert(cos > 0.999, s"label $label mean_cos $cos")
+    }
+  }
 }
