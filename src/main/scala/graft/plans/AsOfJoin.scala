@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions.col
 /** ASOF JOIN — the ClickHouse operator Spark lacks (reference dialect:
   * `ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts`): for every left
   * row, the single right row with the same key and the greatest
-  * `r.ts <= l.ts`.
+  * `r.ts <= l.ts` — or, in the forward direction (`l.ts <= r.ts`), the
+  * smallest `r.ts >= l.ts`. All four ClickHouse inequality forms are
+  * covered by the `forward` × `strict` flags.
   *
   * Implemented the Spark-native way for an operator the built-ins can't
   * express without a range-join blowup:
@@ -33,9 +35,14 @@ import org.apache.spark.sql.functions.col
 object AsOf {
 
   /** Right columns are renamed `r_*` (fresh expr-ids, so self-joins
-    * need no dedup) and become nullable in the output. */
+    * need no dedup) and become nullable in the output.
+    *
+    * `forward = false, strict = false` ≡ `l.ts >= r.ts` (the CH
+    * default: latest right at or before); `strict` drops the equality;
+    * `forward = true` flips to earliest right at/after. */
   def join(left: DataFrame, right: DataFrame,
-      key: (String, String), time: (String, String)): DataFrame = {
+      key: (String, String), time: (String, String),
+      forward: Boolean = false, strict: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfStrategy)) {
       spark.experimental.extraStrategies =
@@ -50,7 +57,7 @@ object AsOf {
     val lTime = resolve(lPlan, time._1)
     val rTime = resolve(rPlan, s"r_${time._2}")
     graft.plans.Bridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime))
+      AsOfJoinPlan(lPlan, rPlan, lKey, rKey, lTime, rTime, forward, strict))
   }
 
   private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
@@ -67,7 +74,9 @@ final case class AsOfJoinPlan(
     leftKey: Attribute,
     rightKey: Attribute,
     leftTime: Attribute,
-    rightTime: Attribute) extends BinaryNode {
+    rightTime: Attribute,
+    forward: Boolean = false,
+    strict: Boolean = false) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -79,8 +88,8 @@ final case class AsOfJoinPlan(
 
 object AsOfStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, fwd, strict) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, fwd, strict) :: Nil
     case _ => Nil
   }
 }
@@ -91,7 +100,9 @@ final case class AsOfJoinExec(
     leftKey: Expression,
     rightKey: Expression,
     leftTime: Expression,
-    rightTime: Expression) extends BinaryExecNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    strict: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -131,8 +142,10 @@ final case class AsOfJoinExec(
       // plain Iterator.map so no such scope exists.
       val rBuf = rIter.buffered
 
-      // Streaming merge via Iterator.map: left streams row-by-row, the
-      // right side holds ONE buffered row plus the best match so far.
+      // Streaming merge via Iterator.map: left streams row-by-row.
+      // Backward keeps the best (latest-so-far) consumed right row;
+      // forward only ever PEEKS — the earliest admissible right row may
+      // still match later left rows, so it is never consumed here.
       var matchRow: InternalRow = null
       var matchKey: Any = null
       lIter.map { l =>
@@ -155,15 +168,29 @@ final case class AsOfJoinExec(
               val c = keyOrd.compare(rk, lk)
               if (c < 0) { rBuf.next() } // behind the left key: discard
               else if (c == 0 && rt == null) { rBuf.next() } // unmatchable
-              else if (c == 0 && timeOrd.compare(rt, lt) <= 0) {
-                matchRow = r.copy(); matchKey = rk
+              else if (c == 0 && !forward &&
+                  (if (strict) timeOrd.compare(rt, lt) < 0
+                   else timeOrd.compare(rt, lt) <= 0)) {
+                matchRow = r.copy(); matchKey = rk // best so far; keep scanning
                 rBuf.next()
+              } else if (c == 0 && forward &&
+                  (if (strict) timeOrd.compare(rt, lt) <= 0
+                   else timeOrd.compare(rt, lt) < 0)) {
+                rBuf.next() // too early to ever match this or later lefts
               } else done = true // right stream is ahead; stop
             }
           }
-          val ok = matchRow != null && matchKey != null &&
+          // forward: the head (if same-keyed) is the earliest admissible row
+          val fwdMatch: InternalRow =
+            if (forward && rBuf.hasNext) {
+              val r = rBuf.head
+              val rk = rKeyProj(r).copy().get(0, keyType)
+              if (rk != null && keyOrd.compare(rk, lk) == 0) r else null
+            } else null
+          val bwdOk = !forward && matchRow != null && matchKey != null &&
             keyOrd.compare(matchKey, lk) == 0
-          resultProj(joined(l, if (ok) matchRow else nullRight))
+          val m = if (forward) fwdMatch else if (bwdOk) matchRow else null
+          resultProj(joined(l, if (m != null) m else nullRight))
         }
       }
     }

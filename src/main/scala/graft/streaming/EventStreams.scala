@@ -21,6 +21,8 @@ object EventStreams {
       event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  final case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Long, session_value: Double)
@@ -113,6 +115,24 @@ object EventStreams {
              |v_ts BETWEEN e_ts - INTERVAL 5 MINUTES
              |      AND e_ts + INTERVAL 5 MINUTES""".stripMargin))
       .select(col("user_id"), col("error_id"), col("e_ts"), col("v_ts"))
+  }
+
+  /** E7: streaming NEAR-dup — the incremental twin of the batch
+    * SimHash dedup (SURVEY §2 D3): each arriving document's 60-bit
+    * SimHash (native codegen'd expression, order-insensitive token
+    * votes) is the dedup key, so rewordings that hash identically are
+    * dropped, not just byte-identical repeats. State is the set of
+    * signatures inside the watermark — keyed state that partitions
+    * across executors and is EVICTED as the watermark advances, which
+    * is what makes always-on ingest dedup feasible: the batch LSH
+    * pipeline would need the full history every run. */
+  def nearDupStream(docs: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    graft.functions.CHFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("sig", expr(
+        "simHash(split(regexp_replace(trim(lower(text)), ' +', ' '), ' '))"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("sig")
   }
 
   /** File-source → memory-sink harness used by the specs and by any

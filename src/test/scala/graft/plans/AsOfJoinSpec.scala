@@ -34,6 +34,40 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, 40, null)))
   }
 
+  test("all four inequality directions on a boundary fixture") {
+    import spark.implicits._
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0))
+      .toDF("k", "t", "px")
+    // trade exactly ON the 10:05 quote: inclusivity decides the match
+    val trades = Seq((1L, ts("2024-01-01 10:05:00"), 1)).toDF("k", "t", "qty")
+    def run(forward: Boolean, strict: Boolean): Any = {
+      val r = AsOf.join(trades, quotes, ("k", "k"), ("t", "t"), forward, strict)
+        .select("r_px").head
+      if (r.isNullAt(0)) null else r.getDouble(0)
+    }
+    assert(run(forward = false, strict = false) == 101.0) // >=: the 10:05 quote
+    assert(run(forward = false, strict = true) == 100.0)  // >: latest strictly before
+    assert(run(forward = true, strict = false) == 101.0)  // <=: the 10:05 quote
+    assert(run(forward = true, strict = true) == null)    // <: nothing after
+  }
+
+  test("forward match is shared: one right row serves many left rows") {
+    import spark.implicits._
+    val quotes = Seq((1L, ts("2024-01-01 11:00:00"), 500.0)).toDF("k", "t", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1),
+      (1L, ts("2024-01-01 10:30:00"), 2),
+      (1L, ts("2024-01-01 11:30:00"), 3)) // after the only quote: null
+      .toDF("k", "t", "qty")
+    val out = AsOf.join(trades, quotes, ("k", "k"), ("t", "t"), forward = true)
+      .select(col("qty"), col("r_px"))
+      .collect().map(r => (r.getInt(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSet
+    assert(out == Set((1, 500.0), (2, 500.0), (3, null)))
+  }
+
   test("custom exec agrees with the composed conditional-join formulation") {
     val ev = graft.Tables(spark, sf, "events")
     val clicks = ev.filter(col("event_type") === "click")

@@ -88,6 +88,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup drops same-SimHash docs and evicts state past watermark") {
+    import spark.implicits._
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Doc](
+      spark)
+    val q = EventStreams.nearDupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        EventStreams.Doc(1, Timestamp.valueOf("2024-01-01 10:00:00"), "spark table scan fast"),
+        EventStreams.Doc(2, Timestamp.valueOf("2024-01-01 10:05:00"), "Spark  table scan FAST"), // same tokens post-normalize
+        EventStreams.Doc(3, Timestamp.valueOf("2024-01-01 10:01:00"), "totally different words here"))
+      q.processAllAvailable()
+      // doc 2 hashes identically to doc 1 -> dropped
+      assert(spark.table("neardup_out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+      // advance the watermark far past the signatures, then replay doc 1's
+      // text: old state must be evicted, so it is admitted again
+      input.addData(
+        EventStreams.Doc(4, Timestamp.valueOf("2024-01-01 14:00:00"), "watermark advancer"))
+      q.processAllAvailable()
+      input.addData(
+        EventStreams.Doc(5, Timestamp.valueOf("2024-01-01 13:50:00"), "spark table scan fast"))
+      q.processAllAvailable()
+      assert(spark.table("neardup_out").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+    } finally q.stop()
+  }
+
   test("quantile sketch states build incrementally over a stream") {
     import spark.implicits._
     graft.functions.CHFunctions.register(spark)
