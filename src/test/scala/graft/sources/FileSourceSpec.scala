@@ -98,4 +98,23 @@ class FileSourceSpec extends SparkSpec {
     val back = FileSource.file(spark, s"$tmp/nation_part/n_regionkey=0/", Some("Parquet"))
     assert(back.count() > 0)
   }
+
+  test("compactParquet repacks a fragmented directory without losing rows") {
+    val dir = s"$tmp/frag"
+    // a badly fragmented table: one file per row group of a 25-row table
+    nation.repartition(20).write.mode("overwrite").parquet(dir)
+    val before = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(before > 2)
+    val checksum = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("n_nationkey")).head.getLong(0)
+    val (was, now) = Sink.compactParquet(spark, dir, targetFileBytes = 1L << 30)
+    assert(was == before && now == 1, s"$was -> $now")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == nation.count())
+    assert(after.agg(org.apache.spark.sql.functions.sum("n_nationkey"))
+      .head.getLong(0) == checksum)
+    // idempotent: already-compact directories are left untouched
+    assert(Sink.compactParquet(spark, dir, targetFileBytes = 1L << 30) == (1, 1))
+  }
 }
