@@ -162,6 +162,44 @@ object Ann {
     topK(scored)
   }
 
+  /** D7b: persist the IVF index — centroids plus assignments written
+    * PARTITIONED BY cell, so a later [[searchIndex]] reads only the
+    * probed cells' directories. Partition pruning is the disk-side
+    * analog of the in-memory nprobe cut: at 100 TB the index build runs
+    * once and every search scans nprobe/n_cells of the files, instead
+    * of re-training and re-scanning per query batch. */
+  def saveIndex(s: SparkSession, dir: String, indexDir: String): Unit = {
+    val e = unitVectors(s, dir)
+    val cents = trainCentroids(e, NumCells, iters = 2)
+    cents.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    assignCells(e, cents, "vec_id", "v")
+      .select(col("cell"), col("vec_id"), col("v"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+  }
+
+  /** Search a saved index: queries probe their nprobe nearest cells
+    * (tiny, broadcast), and the join against the cell-partitioned store
+    * dynamically prunes to the probed partitions. `queries` must carry
+    * (q_id, qv). */
+  def searchIndex(s: SparkSession, indexDir: String, queries: DataFrame): DataFrame = {
+    graft.functions.CHFunctions.register(s)
+    val cents = s.read.parquet(s"$indexDir/centroids")
+    val assigned = s.read.parquet(s"$indexDir/cells")
+    val probed = queries
+      .join(broadcast(cents))
+      .select(col("q_id"), col("qv"), col("cell"), dot("qv", "cv").as("ccos"))
+      .withColumn("crn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("ccos").desc, col("cell"))))
+      .filter(col("crn") <= NProbe)
+      .select(col("cell"), col("q_id"), col("qv"))
+    val scored = assigned.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(dot("qv", "v"), 4).as("cos_sim"))
+      .distinct()
+    topK(scored)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_ivf" -> annIvf)

@@ -53,6 +53,28 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("partial_max_by"), plan.take(600))
   }
 
+  test("saved IVF index reproduces live search and prunes to probed cells") {
+    import org.apache.spark.sql.functions._
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Ann.saveIndex(spark, sf, idx)
+    // cell directories exist on disk (partitioned layout)
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell="))
+    assert(cellDirs.length > 1)
+    val queries = graft.Tables(spark, sf, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val fromIndex = Ann.searchIndex(spark, idx, queries)
+    // identical results to the live (train+search) path: same seed, same
+    // deterministic training, same probe rule
+    val live = Ann.annIvf(spark, sf)
+    assert(fromIndex.collect().toSeq == live.collect().toSeq)
+    // the scan is dynamically pruned to the probed cell partitions
+    val plan = fromIndex.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruning"), plan.take(800))
+  }
+
   test("int8 quantization preserves cosine geometry within tight bounds") {
     val out = Embeddings.embQuantize(spark, sf).collect()
     assert(out.nonEmpty)
