@@ -123,6 +123,48 @@ object CHFunctions {
           Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
             UnresolvedNamedLambdaVariable(Seq("x")))))),
 
+    // lambda combinators — ClickHouse puts the lambda FIRST
+    // (arrayMap(x -> x*2, arr)), Spark's higher-order functions take it
+    // last. The builders must construct the HOF nodes DIRECTLY: the
+    // analyzer rejects a lambda whose immediate parent is still an
+    // UnresolvedFunction, so routing through the registry name would
+    // fail before resolution.
+    "arrayMap" -> (es => ArrayTransform(es(1), es.head)),
+    "arrayFilter" -> (es => ArrayFilter(es(1), es.head)),
+    "arrayExists" -> (es => ArrayExists(es(1), es.head)),
+    "arrayAll" -> (es => ArrayForAll(es(1), es.head)),
+    // the analyzer insists the TOP node be a HigherOrderFunction when a
+    // lambda argument is present, so count-matching folds over the
+    // filtered array instead of wrapping it in size()
+    "arrayCount" -> (es => {
+      val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val fin = UnresolvedNamedLambdaVariable(Seq("fin"))
+      ArrayAggregate(
+        ArrayFilter(es(1), es.head),
+        Literal(0),
+        LambdaFunction(Add(acc, Literal(1)), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }),
+    "arrayMin" -> (es => fn("array_min", es.head)),
+    "arrayMax" -> (es => fn("array_max", es.head)),
+
+    // date/time casts + formatting. formatDateTime translates the
+    // ClickHouse %-tokens to Spark's pattern letters when the format is
+    // a literal (the overwhelmingly common case).
+    "toDate" -> (es => Cast(es.head, org.apache.spark.sql.types.DateType)),
+    "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+    "formatDateTime" -> (es => fn("date_format", es.head, es(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal(chFormatToSpark(s.toString))
+      case other => other
+    })),
+    "toUnixTimestamp" -> (es => fn("unix_timestamp", es: _*)),
+    "fromUnixTimestamp" -> (es => fn("timestamp_seconds", es.head)),
+    "nowCH" -> (_ => fn("current_timestamp")),
+    "todayCH" -> (_ => fn("current_date")),
+    "intDiv" -> (es => fn("div", es.head, es(1))),
+
     // conditionals: multiIf(c1, v1, c2, v2, ..., else)
     "multiIf" -> (es => {
       val (pairs, default) =
@@ -161,6 +203,24 @@ object CHFunctions {
     all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+
+  /** ClickHouse `%`-style date tokens → Spark pattern letters (the
+    * common subset; unknown tokens pass through untouched). */
+  private[functions] def chFormatToSpark(fmt: String): String = {
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
+      'M' -> "mm", 'S' -> "ss", 'e' -> "d", 'j' -> "DDD", 'F' -> "yyyy-MM-dd",
+      'T' -> "HH:mm:ss", '%' -> "%")
+    val out = new StringBuilder
+    var i = 0
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        out ++= map.getOrElse(fmt(i + 1), "%" + fmt(i + 1))
+        i += 2
+      } else { out += fmt(i); i += 1 }
+    }
+    out.toString
+  }
 
   private def info(name: String) =
     new ExpressionInfo(CHFunctions.getClass.getCanonicalName, name)

@@ -60,6 +60,21 @@ object ChSurface {
         |  array_to_string(list_sort(list_distinct(list(user_id % 5))), ',') AS mod_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
 
+    ("q_ch_lambda",
+      """SELECT doc_id,
+        |  CAST(arrayCount(t -> length(t) > 4, splitByChar(' ', text)) AS BIGINT) AS n_long,
+        |  arrayExists(t -> t = 'spark', splitByChar(' ', text)) AS has_spark,
+        |  array_join(arrayMap(t -> upper(t),
+        |    arrayFilter(t -> t = 'query', splitByChar(' ', text))), ',') AS queries
+        |FROM documents ORDER BY doc_id""".stripMargin,
+      Some("""SELECT doc_id,
+        |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long,
+        |  len(list_filter(string_split(text, ' '), t -> t = 'spark')) > 0 AS has_spark,
+        |  coalesce(array_to_string(list_transform(
+        |    list_filter(string_split(text, ' '), t -> t = 'query'),
+        |    t -> upper(t)), ','), '') AS queries
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

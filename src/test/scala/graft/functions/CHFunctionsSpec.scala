@@ -36,6 +36,36 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](3) == Seq(1, 2, 3))
   }
 
+  test("lambda combinators take the lambda first, ClickHouse-style") {
+    val r = one(
+      """SELECT arrayMap(x -> x * 2, array(1, 2, 3)),
+        |  arrayFilter(x -> x % 2 = 0, array(1, 2, 3, 4)),
+        |  arrayExists(x -> x > 3, array(1, 2)),
+        |  arrayAll(x -> x > 0, array(1, 2)),
+        |  arrayCount(x -> x > 1, array(1, 2, 3)),
+        |  element_at(arrayFilter(x -> x > 1, array(1, 2, 3)), 1),
+        |  arrayMin(array(3, 1, 2)), arrayMax(array(3, 1, 2))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(2, 4, 6))
+    assert(r.getSeq[Int](1) == Seq(2, 4))
+    assert(!r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 2 && r.getInt(5) == 2)
+    assert(r.getInt(6) == 1 && r.getInt(7) == 3)
+  }
+
+  test("date casts, %-format translation, unix round-trip, intDiv") {
+    val r = one(
+      """SELECT toDate('2024-03-05'),
+        |  formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y-%m-%d %H:%M:%S'),
+        |  formatDateTime(toDate('2024-03-05'), '%Y/%m'),
+        |  fromUnixTimestamp(toUnixTimestamp(toDateTime('2024-03-05 07:08:09'))),
+        |  intDiv(7, 2), intDiv(-7, 2)""".stripMargin)
+    assert(r.getDate(0).toString == "2024-03-05")
+    assert(r.getString(1) == "2024-03-05 07:08:09")
+    assert(r.getString(2) == "2024/03")
+    assert(r.getTimestamp(3).toString.startsWith("2024-03-05 07:08:09"))
+    assert(r.getLong(4) == 3L && r.getLong(5) == -3L)
+  }
+
   test("quantiles exact and approximate") {
     val r = one(
       """SELECT quantileExactCH(x, 0.5), quantileCH(x, 0.5),
