@@ -180,6 +180,7 @@ object CHFunctions {
 
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
+    "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
     "srpBandKeys" -> (es => SrpBandKeys(es.head)),

@@ -54,3 +54,58 @@ object TrigramStats {
     new GenericInternalRow(Array[Any]((n - 2).toLong, seen.size.toLong))
   }
 }
+
+/** Int8 quantize + reconstruct + score in ONE fused native loop:
+  * `struct(abs_err, cos)` for a vector against per-dimension min/max
+  * ranges. The arithmetic is exactly the portable formulation the
+  * DuckDB oracle runs (`floor((x-mn)·255/(mx-mn)+0.5)` clamped, then
+  * `mn + code·(mx-mn)/255`) — IEEE doubles in the same operation
+  * order, so results match bit-for-bit. Exists because the HOF chain
+  * (two transforms + zip_with + aggregate, all interpreted) measured
+  * ~1 ms/row; this runs inside whole-stage codegen. */
+case class QuantRecon(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("abs_err", DoubleType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+
+  override def nullSafeEval(v: Any, mns: Any, mxs: Any): Any =
+    QuantRecon.compute(v.asInstanceOf[ArrayData],
+      mns.asInstanceOf[ArrayData], mxs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mns, mxs) =>
+      s"graft.functions.QuantRecon.compute($v, $mns, $mxs)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): QuantRecon =
+    copy(first = f, second = s, third = t)
+}
+
+object QuantRecon {
+
+  def compute(v: ArrayData, mns: ArrayData, mxs: ArrayData): InternalRow = {
+    val n = v.numElements()
+    var errSum = 0.0; var dot = 0.0; var xx = 0.0; var yy = 0.0
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d)
+      val mn = mns.getDouble(d)
+      val mx = mxs.getDouble(d)
+      val code: Int =
+        if (mx == mn) 0
+        else math.min(255.0,
+          math.max(0.0, math.floor((x - mn) * 255.0 / (mx - mn) + 0.5))).toInt
+      val dq = mn + code * (mx - mn) / 255.0
+      errSum += math.abs(x - dq)
+      dot += x * dq; xx += x * x; yy += dq * dq
+      d += 1
+    }
+    val cos = if (xx == 0.0 || yy == 0.0) 0.0 else dot / math.sqrt(xx * yy)
+    new GenericInternalRow(Array[Any](if (n == 0) 0.0 else errSum / n, cos))
+  }
+}

@@ -68,25 +68,15 @@ object Embeddings {
         expr("transform(triples, t -> t.mn)").as("mns"),
         expr("transform(triples, t -> t.mx)").as("mxs"))
 
+    // encode + reconstruct + score fused in the native codegen'd
+    // quantRecon — the interpreted HOF chain measured ~1 ms/row
     e.join(broadcast(ranges))
-      .withColumn("code", expr(
-        """transform(sequence(1, size(v)), i ->
-          |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0
-          |       ELSE CAST(least(255.0, greatest(0.0,
-          |         floor((element_at(v, i) - element_at(mns, i)) * 255.0
-          |               / (element_at(mxs, i) - element_at(mns, i)) + 0.5))) AS INT)
-          |  END)""".stripMargin))
-      .withColumn("dq", expr(
-        """transform(sequence(1, size(v)), i ->
-          |  element_at(mns, i) + element_at(code, i)
-          |    * (element_at(mxs, i) - element_at(mns, i)) / 255.0)""".stripMargin))
+      .select(col("label"), expr("quantRecon(v, mns, mxs)").as("m"))
       .groupBy("label")
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(avg(expr(
-          "aggregate(zip_with(v, dq, (a, b) -> abs(a - b)), 0D, (acc, x) -> acc + x)"
-            + " / size(v)")), 6).as("mean_abs_err"),
-        round(avg(expr("cosineSimilarity(v, dq)")), 6).as("mean_cos"))
+        round(avg(col("m.abs_err")), 6).as("mean_abs_err"),
+        round(avg(col("m.cos")), 6).as("mean_cos"))
       .orderBy("label")
   }
 
