@@ -181,6 +181,7 @@ object CHFunctions {
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),
+    "dictGet" -> (es => DictGet.fromArgs(es)),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
     "srpBandKeys" -> (es => SrpBandKeys(es.head)),

@@ -106,12 +106,37 @@ object ChSurface {
     s.sql(sql)
   }
 
+  /** ClickHouse external-dictionary lookups: `nation`/`region` loaded
+    * as dictionaries (config-sized by contract), consulted per row via
+    * the codegen'd [[graft.functions.DictGet]] — no join in the plan.
+    * The oracle expresses the same lookups as plain joins. */
+  private val qChDict: Q = (s: SparkSession, dir: String) => {
+    TableEnv.register(s, dir)
+    graft.functions.Dict.register("nation_d", graft.Tables(s, dir, "nation"),
+      "n_nationkey", Seq("n_name", "n_regionkey"))
+    graft.functions.Dict.register("region_d", graft.Tables(s, dir, "region"),
+      "r_regionkey", Seq("r_name"))
+    s.sql(
+      """SELECT dictGet('nation_d', 'n_name', c_nationkey) AS nation,
+        |  dictGet('region_d', 'r_name',
+        |          dictGet('nation_d', 'n_regionkey', c_nationkey)) AS region,
+        |  count(*) AS n_cust,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+  }
+
   val queries: Map[String, Q] =
-    defs.map { case (n, sql, _) => n -> runSql(sql) }.toMap
+    defs.map { case (n, sql, _) => n -> runSql(sql) }.toMap + ("q_ch_dict" -> qChDict)
 
   val oracles: Map[String, String] =
     defs.flatMap {
       case (_, _, Some("")) => None
       case (n, sql, o) => Some(n -> o.getOrElse(sql))
-    }.toMap
+    }.toMap + ("q_ch_dict" ->
+      """SELECT n_name AS nation, r_name AS region,
+        |  count(*) AS n_cust, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
 }

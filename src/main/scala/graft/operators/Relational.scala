@@ -116,7 +116,28 @@ object Relational {
         round(avg(when(col("l_tax") > 0.04, col("l_quantity"))), 4).as("avg_taxed_qty"))
       .orderBy("l_returnflag")
 
+  /** ClickHouse `ORDER BY ... WITH FILL` — a dense time axis with
+    * zero-filled gaps, the time-series shape dashboards expect. The
+    * observed day buckets are sparse (only days with a >450k order);
+    * the fill axis is generated from the 1-row min/max bounds
+    * (broadcast) with `sequence` + explode — the corpus is aggregated
+    * once and never re-scanned for the axis, so density costs
+    * O(axis length), not O(corpus). */
+  val qWithFill: Q = (s, dir) => {
+    val sparse = t(s, dir, "orders")
+      .filter(col("o_totalprice") > 450000)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_big"))
+    val axis = sparse
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    axis.join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_big"), lit(0L)).as("n_big"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_with_fill" -> qWithFill,
     "q1_pricing_summary" -> q1PricingSummary,
     "q6_forecast_revenue" -> q6ForecastRevenue,
     "q3_shipping_priority" -> q3ShippingPriority,
@@ -128,6 +149,18 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_with_fill" ->
+      """WITH sparse AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    count(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |axis AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY)) AS day
+        |  FROM sparse)
+        |SELECT axis.day, CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
+        |FROM axis LEFT JOIN sparse ON axis.day = sparse.day
+        |ORDER BY axis.day""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

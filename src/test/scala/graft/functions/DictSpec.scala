@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DictSpec extends SparkSpec {
+
+  test("dictGet looks up registered attributes; misses and null keys are null") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    Dict.register("color_d",
+      Seq((1L, "red", 10), (2L, "blue", 20)).toDF("k", "name", "weight"),
+      "k", Seq("name", "weight"))
+    val out = Seq(Some(1L), Some(2L), Some(99L), None).toDF("k")
+      .select(
+        expr("dictGet('color_d', 'name', k)").as("name"),
+        expr("dictGet('color_d', 'weight', k)").as("w"))
+      .collect()
+    assert(out(0).getString(0) == "red" && out(0).getInt(1) == 10)
+    assert(out(1).getString(0) == "blue" && out(1).getInt(1) == 20)
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1)) // missing key
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1)) // null key
+  }
+
+  test("integer-width keys normalize: INT column probes a BIGINT-keyed dict") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    Dict.register("norm_d", Seq((5L, "five")).toDF("k", "v"), "k", Seq("v"))
+    val r = Seq(5).toDF("k") // int, not long
+      .select(expr("dictGet('norm_d', 'v', k)")).head
+    assert(r.getString(0) == "five")
+  }
+
+  test("unknown dictionary fails analysis loudly") {
+    CHFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT dictGet('nope_d', 'x', 1)").collect()
+    }
+    assert(e.getMessage.contains("unknown dictionary")
+      || Option(e.getCause).exists(_.getMessage.contains("unknown dictionary")))
+  }
+
+  test("oversized dictionaries are rejected at registration") {
+    val big = spark.range(Dict.MaxRows + 1)
+      .select(col("id").as("k"), col("id").cast("string").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      Dict.register("big_d", big, "k", Seq("v"))
+    }
+    assert(e.getMessage.contains("broadcast join"))
+  }
+}
