@@ -54,6 +54,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // basename only — every byte of this line competes with the
+    // driver's 2000-char tail capture
+    val sfName = sfDir.stripSuffix("/").split('/').last
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
   }
 }
