@@ -45,11 +45,12 @@ object Bench {
       catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> exec(n))
-    // 3-decimal rounding keeps the JSON line compact: the driver captures
-    // only the tail of the run output, and a line of 70+ full-precision
-    // doubles overflows that buffer and defeats its JSON parse.
+    // Centisecond rounding keeps the JSON line compact: the driver
+    // captures only the final 2000 chars of the run output (including
+    // sbt's trailing success line), and ~80 keys at full precision
+    // overflow that window and defeat its JSON parse.
     def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -178,6 +178,75 @@ object CHFunctions {
     "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
     "lengthUTF8" -> (es => fn("char_length", es.head)),
 
+    // URL functions (ClickHouse URL family → Spark parse_url /
+    // substring_index; reference queries against web-log tables use
+    // these heavily). cutQueryString keeps the fragmentless prefix.
+    "protocol" -> (es => fn("parse_url", es.head, Literal("PROTOCOL"))),
+    "domain" -> (es => fn("parse_url", es.head, Literal("HOST"))),
+    "domainWithoutWWW" -> (es =>
+      fn("regexp_replace", fn("parse_url", es.head, Literal("HOST")),
+        Literal("^www\\."), Literal(""))),
+    "topLevelDomain" -> (es =>
+      fn("substring_index", fn("parse_url", es.head, Literal("HOST")),
+        Literal("."), Literal(-1))),
+    "pathCH" -> (es => fn("parse_url", es.head, Literal("PATH"))),
+    "queryStringCH" -> (es => fn("parse_url", es.head, Literal("QUERY"))),
+    "extractURLParameter" -> (es =>
+      Coalesce(Seq(fn("parse_url", es.head, Literal("QUERY"), es(1)),
+        Literal("")))),
+    "cutQueryString" -> (es =>
+      fn("substring_index", es.head, Literal("?"), Literal(1))),
+
+    // IPv4 functions: pure integer/string arithmetic, codegen'd
+    "IPv4NumToString" -> (es => {
+      val n = Cast(es.head, LongType)
+      def octet(sh: Int): Expression =
+        Cast(BitwiseAnd(ShiftRight(n, Literal(sh)), Literal(255L)),
+          org.apache.spark.sql.types.StringType)
+      fn("concat_ws", Literal("."),
+        octet(24), octet(16), octet(8), octet(0))
+    }),
+    "IPv4StringToNum" -> (es => {
+      val parts = fn("split", es.head, Literal("\\."))
+      def p(i: Int): Expression =
+        Cast(fn("element_at", parts, Literal(i)), LongType)
+      Add(Add(Add(Multiply(p(1), Literal(16777216L)),
+        Multiply(p(2), Literal(65536L))),
+        Multiply(p(3), Literal(256L))), p(4))
+    }),
+
+    // hash functions. ClickHouse's cityHash64/sipHash64 are stable
+    // 64-bit hashes used for sharding/sampling/fingerprints — the
+    // contract is determinism and dispersion, not bit-compatibility
+    // with the CityHash/SipHash papers (CH itself documents them as
+    // implementation-specific). Mapped to Spark's codegen'd xxhash64
+    // with distinct seeds. halfMD5 keeps CH's md5-prefix semantics:
+    // first 60 bits of the hex digest (60 not 64 so the value stays in
+    // a signed BIGINT — documented deviation).
+    "cityHash64" -> (es => new XxHash64(es)),
+    "sipHash64" -> (es => XxHash64(es, 7L)),
+    "halfMD5" -> (es =>
+      Cast(fn("conv",
+        fn("substring", fn("md5", es.head), Literal(1), Literal(15)),
+        Literal(16), Literal(10)), LongType)),
+
+    // bit functions
+    "bitAnd" -> (es => BitwiseAnd(es.head, es(1))),
+    "bitOr" -> (es => BitwiseOr(es.head, es(1))),
+    "bitXor" -> (es => BitwiseXor(es.head, es(1))),
+    "bitNot" -> (es => BitwiseNot(es.head)),
+    "bitShiftLeft" -> (es => ShiftLeft(es.head, es(1))),
+    "bitShiftRight" -> (es => ShiftRight(es.head, es(1))),
+    "bitCount" -> (es => fn("bit_count", es.head)),
+
+    // arithmetic under ClickHouse's functional names
+    "plus" -> (es => Add(es.head, es(1))),
+    "minus" -> (es => Subtract(es.head, es(1))),
+    "multiply" -> (es => Multiply(es.head, es(1))),
+    "divide" -> (es => Divide(es.head, es(1))),
+    "modulo" -> (es => Remainder(es.head, es(1))),
+    "negate" -> (es => UnaryMinus(es.head)),
+
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),

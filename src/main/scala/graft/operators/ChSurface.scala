@@ -75,6 +75,81 @@ object ChSurface {
         |    t -> upper(t)), ','), '') AS queries
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // URL function family over deterministically synthesized URLs (the
+    // data tables carry no URLs, so the query builds them from orders
+    // and parses them back — every function still runs over real rows).
+    ("q_ch_url",
+      """WITH u AS (
+        |  SELECT concat('https://www.shard', o_orderkey % 3,
+        |                '.example', o_orderkey % 2, '.com/',
+        |                substr(o_orderpriority, 1, 1),
+        |                '/item?id=', o_orderkey, '&ref=mail') AS url
+        |  FROM orders)
+        |SELECT domainWithoutWWW(url) AS host,
+        |  min(protocol(url)) AS proto,
+        |  topLevelDomain(url) AS tld,
+        |  count(*) AS n,
+        |  uniqExact(extractURLParameter(url, 'id')) AS n_ids,
+        |  countIf(pathCH(url) LIKE '/1/%') AS p1,
+        |  min(cutQueryString(url)) AS first_cut
+        |FROM u GROUP BY 1, 3 ORDER BY 1""".stripMargin,
+      Some("""WITH u AS (
+        |  SELECT concat('https://www.shard', o_orderkey % 3,
+        |                '.example', o_orderkey % 2, '.com/',
+        |                substr(o_orderpriority, 1, 1),
+        |                '/item?id=', o_orderkey, '&ref=mail') AS url
+        |  FROM orders),
+        |p AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS fullhost,
+        |    regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+        |    regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+        |    regexp_extract(url, '[?&]id=([^&#]*)', 1) AS idp,
+        |    split_part(url, '?', 1) AS cut
+        |  FROM u)
+        |SELECT regexp_replace(fullhost, '^www\.', '') AS host,
+        |  min(proto) AS proto,
+        |  list_extract(string_split(fullhost, '.'), -1) AS tld,
+        |  count(*) AS n,
+        |  count(DISTINCT idp) AS n_ids,
+        |  count(*) FILTER (WHERE path LIKE '/1/%') AS p1,
+        |  min(cut) AS first_cut
+        |FROM p GROUP BY 1, 3 ORDER BY 1""".stripMargin)),
+
+    // hash / IPv4 / bit / functional-arithmetic families. The 64-bit
+    // hashes are dispersion-verified through distinct cardinality (they
+    // are deterministic but engine-specific bit patterns); halfMD5 and
+    // the IPv4 codecs replay exactly in the oracle.
+    ("q_ch_bits",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |  modulo(multiply(o_orderkey, 2654435761), 4294967296) AS ip
+        |  FROM orders)
+        |SELECT count(*) AS n,
+        |  uniqExact(cityHash64(k)) AS n_hash,
+        |  uniqExact(sipHash64(k)) AS n_sip,
+        |  countIf(IPv4StringToNum(IPv4NumToString(ip)) = ip) AS ip_rt,
+        |  min(IPv4NumToString(ip)) AS min_ip,
+        |  sum(bitAnd(k, 255)) AS band,
+        |  sum(bitCount(k)) AS bits,
+        |  countIf(bitShiftRight(bitShiftLeft(k, 3), 3) = k) AS shift_rt,
+        |  min(halfMD5(cast(k AS STRING))) AS min_h,
+        |  max(halfMD5(cast(k AS STRING))) AS max_h
+        |FROM t""".stripMargin,
+      Some("""WITH t AS (SELECT o_orderkey AS k,
+        |  (o_orderkey * 2654435761) % 4294967296 AS ip FROM orders)
+        |SELECT count(*) AS n,
+        |  count(DISTINCT k) AS n_hash,
+        |  count(DISTINCT k) AS n_sip,
+        |  count(*) AS ip_rt,
+        |  min(concat_ws('.', (ip >> 24) & 255, (ip >> 16) & 255,
+        |                (ip >> 8) & 255, ip & 255)) AS min_ip,
+        |  CAST(sum(k & 255) AS BIGINT) AS band,
+        |  CAST(sum(bit_count(k)) AS BIGINT) AS bits,
+        |  count(*) AS shift_rt,
+        |  min(('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT) AS min_h,
+        |  max(('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT) AS max_h
+        |FROM t""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

@@ -199,4 +199,59 @@ class CHFunctionsSpec extends SparkSpec {
     val r = one("SELECT has(array(1, 2), 2), has(array(1, 2), 5)")
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
+
+  test("URL family parses protocol/host/tld/path/params") {
+    val u = "'https://www.sub.example.com/a/b?id=7&ref=mail#frag'"
+    val r = one(
+      s"""SELECT protocol($u), domain($u), domainWithoutWWW($u),
+         |  topLevelDomain($u), pathCH($u), queryStringCH($u),
+         |  extractURLParameter($u, 'id'),
+         |  extractURLParameter($u, 'missing'), cutQueryString($u)""".stripMargin)
+    assert(r.getString(0) == "https")
+    assert(r.getString(1) == "www.sub.example.com")
+    assert(r.getString(2) == "sub.example.com")
+    assert(r.getString(3) == "com")
+    assert(r.getString(4) == "/a/b")
+    assert(r.getString(5) == "id=7&ref=mail")
+    assert(r.getString(6) == "7")
+    assert(r.getString(7) == "") // CH returns '' for absent params
+    assert(r.getString(8) == "https://www.sub.example.com/a/b")
+  }
+
+  test("IPv4 codec round-trips and matches known encodings") {
+    val r = one(
+      """SELECT IPv4NumToString(3232235777),
+        |  IPv4StringToNum('192.168.1.1'),
+        |  IPv4NumToString(0), IPv4StringToNum('255.255.255.255')""".stripMargin)
+    assert(r.getString(0) == "192.168.1.1")
+    assert(r.getLong(1) == 3232235777L)
+    assert(r.getString(2) == "0.0.0.0")
+    assert(r.getLong(3) == 4294967295L)
+  }
+
+  test("hash family: deterministic, dispersed, seed-distinct") {
+    val r = one(
+      """SELECT cityHash64('abc'), cityHash64('abc'), sipHash64('abc'),
+        |  halfMD5('abc'), cityHash64('abd')""".stripMargin)
+    assert(r.getLong(0) == r.getLong(1)) // deterministic
+    assert(r.getLong(0) != r.getLong(2)) // seed-distinct families
+    assert(r.getLong(0) != r.getLong(4)) // disperses adjacent inputs
+    // first 60 bits of md5('abc') = 900150983cd24fb0... -> 0x900150983cd24fb
+    assert(r.getLong(3) == 0x900150983cd24fbL)
+  }
+
+  test("bit functions and functional arithmetic") {
+    val r = one(
+      """SELECT bitAnd(12, 10), bitOr(12, 10), bitXor(12, 10), bitNot(0),
+        |  bitShiftLeft(3, 2), bitShiftRight(12, 2), bitCount(255),
+        |  plus(2, 3), minus(2, 3), multiply(4, 5), divide(7, 2),
+        |  modulo(7, 3), negate(5)""".stripMargin)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 14 && r.getInt(2) == 6)
+    assert(r.getInt(3) == -1)
+    assert(r.getInt(4) == 12 && r.getInt(5) == 3)
+    assert(r.get(6).toString.toInt == 8)
+    assert(r.getInt(7) == 5 && r.getInt(8) == -1 && r.getInt(9) == 20)
+    assert(r.getDouble(10) == 3.5) // CH divide is float division
+    assert(r.getInt(11) == 1 && r.getInt(12) == -5)
+  }
 }
