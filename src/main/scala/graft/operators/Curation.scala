@@ -139,11 +139,65 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Chunk geometry for [[textChunk]]: 64-token windows, stride 48
+    * (16-token overlap) — the embedding-prep shape. */
+  val ChunkSize = 64
+  val ChunkStride = 48
+
+  /** D23: overlapping document chunking — split every document into
+    * fixed-token windows for embedding/indexing. Pure narrow work: one
+    * `sequence` explode per doc (O(chunks), no self-join, no shuffle
+    * until the final sort), `slice` + fingerprint per chunk so the
+    * oracle proves chunk CONTENT byte-identical without hauling text
+    * through the compare. Chunk starts are stride multiples; the last
+    * window clamps to the document end in both engines. */
+  val textChunk: Q = (s, dir) => {
+    val nToks = size(col("toks"))
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        (lit(1) + greatest(lit(0.0),
+          ceil((nToks - lit(ChunkSize)) / lit(ChunkStride.toDouble))))
+          .cast("int").as("nc"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("nc") - 1)).as("ci"))
+      .select(col("doc_id"), col("ci").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("ci") * ChunkStride + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** D24: unigram surprisal scoring — the CCNet-style perplexity proxy
+    * quality filters cut on. Corpus term frequencies in ONE partial-agg
+    * shuffle; the frequency table broadcasts back (vocabulary is
+    * sublinear in corpus size; at real scale cap it to top-K with a
+    * smoothing floor), so scoring is a map-side join and the only other
+    * shuffle is the per-doc aggregate. The oracle replays the identical
+    * -ln(cnt/total) arithmetic. */
+  val textSurprisal: Q = (s, dir) => {
+    val toks = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = tf.agg(sum("cnt").cast("double").as("total"))
+    toks.join(broadcast(tf), "tok")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (-log(col("cnt") / col("total"))).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        round(avg("nll"), 6).as("mean_nll"),
+        round(exp(avg("nll")), 2).as("ppl"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_pack" -> seqPack,
     "text_repetition" -> textRepetition,
     "pii_scrub" -> piiScrub,
-    "mix_sample" -> mixSample)
+    "mix_sample" -> mixSample,
+    "text_chunk" -> textChunk,
+    "text_surprisal" -> textSurprisal)
 
   val oracles: Map[String, String] = Map(
     "seq_pack" ->
@@ -203,6 +257,28 @@ object Curation {
         |  md5(scrubbed) AS scrubbed_md5,
         |  length(scrubbed) AS scrubbed_len
         |FROM s ORDER BY doc_id""".stripMargin,
+    "text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |    CAST(1 + greatest(0, ceil((len(toks) - $ChunkSize) / $ChunkStride.0)) AS INT) AS nc
+         |  FROM t),
+         |x AS (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS ci FROM c),
+         |ch AS (SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+         |    list_slice(toks, ci * $ChunkStride + 1, ci * $ChunkStride + $ChunkSize) AS chunk
+         |  FROM x)
+         |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_toks,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, count(*) AS n_toks,
+        |  round(avg(-ln(cnt / total)), 6) AS mean_nll,
+        |  round(exp(avg(-ln(cnt / total))), 2) AS ppl
+        |FROM toks JOIN tf USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "mix_sample" ->
       """WITH w(lang, rate) AS (VALUES
         |    ('en', 0.5), ('fr', 1.0), ('es', 0.25), ('de', 0.75), ('zh', 1.0)),

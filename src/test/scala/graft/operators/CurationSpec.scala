@@ -74,6 +74,59 @@ class CurationSpec extends SparkSpec {
     assert(row.getLong(0) > 0 && row.getLong(1) == 0L)
   }
 
+  test("text_chunk covers every token with stride-aligned overlapping windows") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Curation.textChunk(spark, sf).collect()
+      .groupBy(_.getLong(0))
+    assert(chunks.keySet == docs.keySet) // every doc chunked
+    chunks.foreach { case (docId, rows) =>
+      val n = docs(docId)
+      val idxs = rows.map(_.getLong(1)).sorted
+      assert(idxs.head == 0 && idxs.last == idxs.length - 1) // dense from 0
+      rows.foreach { r =>
+        val (ci, nToks) = (r.getLong(1), r.getLong(2))
+        val start = ci * Curation.ChunkStride // 0-based
+        assert(nToks == math.min(Curation.ChunkSize, n - start),
+          s"doc $docId chunk $ci: $nToks tokens, doc has $n")
+      }
+      // the last chunk reaches the end of the document
+      val lastStart = idxs.last * Curation.ChunkStride
+      assert(lastStart + rows.map(_.getLong(2)).max >= n ||
+        lastStart + Curation.ChunkSize >= n)
+      // single chunk iff the doc fits one window
+      assert((idxs.length == 1) == (n <= Curation.ChunkSize))
+    }
+  }
+
+  test("text_surprisal: rarer vocabulary scores higher, ppl = exp(nll)") {
+    val out = Curation.textSurprisal(spark, sf).collect()
+    assert(out.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    out.foreach { r =>
+      val (nll, ppl) = (r.getDouble(2), r.getDouble(3))
+      assert(nll > 0, s"surprisal must be positive: $r")
+      assert(math.abs(ppl - math.exp(nll)) <= 0.005 * math.exp(nll) + 0.01)
+    }
+    // a document made of the corpus' most common tokens must score lower
+    // than one made of its rarest: check via token frequencies
+    import spark.implicits._
+    val tf = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    val docToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .as[(Long, Seq[String])].collect().toMap
+    val byNll = out.sortBy(_.getDouble(2))
+    val commonDoc = byNll.head.getLong(0)
+    val rareDoc = byNll.last.getLong(0)
+    def meanFreq(id: Long) = {
+      val ts = docToks(id); ts.map(tf(_).toDouble).sum / ts.size
+    }
+    assert(meanFreq(commonDoc) > meanFreq(rareDoc))
+  }
+
   test("mix_sample hits each language's target rate and is reproducible") {
     val out = Curation.mixSample(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
