@@ -29,6 +29,19 @@ object CHFunctions {
   private def whenThen(cond: Expression, value: Expression): Expression =
     CaseWhen(Seq(cond -> value), None)
 
+  private def lambdaVars = (
+    UnresolvedNamedLambdaVariable(Seq("acc")),
+    UnresolvedNamedLambdaVariable(Seq("x")),
+    UnresolvedNamedLambdaVariable(Seq("fin")))
+
+  /** Σ over an array as a fold (long zero; coerces up for doubles). */
+  private def sumFold(a: Expression): Expression = {
+    val (acc, x, fin) = lambdaVars
+    ArrayAggregate(a, Literal(0L),
+      LambdaFunction(Add(acc, x), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
   private val urlFieldNames =
     Seq("protocol", "host", "host_nw", "tld", "path", "query")
 
@@ -155,6 +168,59 @@ object CHFunctions {
     "arrayMin" -> (es => fn("array_min", es.head)),
     "arrayMax" -> (es => fn("array_max", es.head)),
 
+    // array analytics (ClickHouse arrayDifference family). These are
+    // index-lambda compositions over Spark HOF nodes; arrayCumSum is
+    // O(n^2) in the array length (slice-sum per prefix) — arrays here
+    // are per-row payloads (tokens, small series), not corpus-sized.
+    "arrayEnumerate" -> (es =>
+      fn("sequence", Literal(1), fn("size", es.head))),
+    "arrayUniq" -> (es =>
+      Cast(fn("size", fn("array_distinct", es.head)), LongType)),
+    "arrayAvg" -> (es =>
+      Divide(sumFold(es.head), Cast(fn("size", es.head), DoubleType))),
+    "arrayProduct" -> (es => {
+      val (acc, x, fin) = lambdaVars
+      ArrayAggregate(es.head, Literal(1.0),
+        LambdaFunction(Multiply(acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+    }),
+    // d[0] = 0, d[i] = a[i] - a[i-1]
+    "arrayDifference" -> (es => {
+      val a = es.head
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      ArrayTransform(fn("sequence", Literal(1), fn("size", a)),
+        LambdaFunction(
+          If(EqualTo(i, Literal(1)), Literal(0),
+            Subtract(ElementAt(a, i), ElementAt(a, Subtract(i, Literal(1))))),
+          Seq(i)))
+    }),
+    "arrayCumSum" -> (es => {
+      val a = es.head
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val (acc, x, fin) = lambdaVars
+      ArrayTransform(fn("sequence", Literal(1), fn("size", a)),
+        LambdaFunction(
+          ArrayAggregate(fn("slice", a, Literal(1), i), Literal(0L),
+            LambdaFunction(Add(acc, x), Seq(acc, x)),
+            LambdaFunction(fin, Seq(fin))),
+          Seq(i)))
+    }),
+    // drop CONSECUTIVE duplicates (keep first of each run)
+    "arrayCompact" -> (es => {
+      val a = es.head
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val j = UnresolvedNamedLambdaVariable(Seq("j"))
+      ArrayTransform(
+        ArrayFilter(fn("sequence", Literal(1), fn("size", a)),
+          LambdaFunction(
+            Or(EqualTo(i, Literal(1)),
+              Not(EqualNullSafe(ElementAt(a, i),
+                ElementAt(a, Subtract(i, Literal(1)))))),
+            Seq(i))),
+        LambdaFunction(ElementAt(a, j), Seq(j)))
+    }),
+    "arrayZip" -> (es => fn("arrays_zip", es: _*)),
+
     // date/time casts + formatting. formatDateTime translates the
     // ClickHouse %-tokens to Spark's pattern letters when the format is
     // a literal (the overwhelmingly common case).
@@ -183,6 +249,45 @@ object CHFunctions {
     "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
     "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
     "lengthUTF8" -> (es => fn("char_length", es.head)),
+
+    // string battery under ClickHouse names (thin delegations to the
+    // codegen'd Spark natives; position is 1-based like CH, 0 = absent)
+    "positionCH" -> (es => fn("instr", es.head, es(1))),
+    "positionCaseInsensitive" -> (es =>
+      fn("instr", fn("lower", es.head), fn("lower", es(1)))),
+    // direct nodes: registering these names shadows Spark's builtin
+    // startswith/endswith (registry is case-insensitive), so routing
+    // back through the registry would self-resolve forever
+    "startsWith" -> (es => StartsWith(es.head, es(1))),
+    "endsWith" -> (es => EndsWith(es.head, es(1))),
+    "leftPadCH" -> (es => fn("lpad", es: _*)),
+    "rightPadCH" -> (es => fn("rpad", es: _*)),
+    "repeatCH" -> (es => fn("repeat", es.head, es(1))),
+    "reverseUTF8" -> (es => fn("reverse", es.head)),
+    "substringUTF8" -> (es => fn("substring", es: _*)),
+    "concatWithSeparator" -> (es => fn("concat_ws", es: _*)),
+    "trimBoth" -> (es => fn("trim", es.head)),
+    "base64Encode" -> (es => fn("base64", es.head)),
+    "base64Decode" -> (es =>
+      Cast(fn("unbase64", es.head), org.apache.spark.sql.types.StringType)),
+    "hexCH" -> (es => fn("hex", es.head)),
+    "unhexCH" -> (es =>
+      Cast(fn("unhex", es.head), org.apache.spark.sql.types.StringType)),
+
+    // great-circle distance in meters (ClickHouse argument order
+    // lon1, lat1, lon2, lat2), as the haversine formula over Spark's
+    // codegen'd trig natives with the 6371km mean-earth radius. The
+    // oracle replays the identical formula.
+    "greatCircleDistance" -> (es => {
+      def rad(e: Expression) = fn("radians", e)
+      val dLat = Divide(Subtract(rad(es(3)), rad(es(1))), Literal(2.0))
+      val dLon = Divide(Subtract(rad(es(2)), rad(es(0))), Literal(2.0))
+      def sq(e: Expression) = Multiply(e, e)
+      val h = Add(sq(fn("sin", dLat)),
+        Multiply(Multiply(fn("cos", rad(es(1))), fn("cos", rad(es(3)))),
+          sq(fn("sin", dLon))))
+      Multiply(Literal(2.0 * 6371000.0), fn("asin", fn("sqrt", h)))
+    }),
 
     // URL functions: every accessor projects one field out of the
     // native single-pass [[UrlParse]] struct — whole-stage codegen's

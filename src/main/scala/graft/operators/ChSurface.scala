@@ -150,6 +150,67 @@ object ChSurface {
         |  max(('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT) AS max_h
         |FROM t""".stripMargin)),
 
+    // array analytics family (arrayDifference/CumSum/Enumerate/Uniq/
+    // Avg/Product/Compact) over per-document token-length series
+    ("q_ch_array2",
+      """WITH t AS (SELECT doc_id,
+        |    arrayMap(x -> lengthUTF8(x), splitByChar(' ', text)) AS lens
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id,
+        |  array_join(arrayDifference(lens), ',') AS diffs,
+        |  array_join(arrayCumSum(lens), ',') AS cums,
+        |  array_join(arrayEnumerate(lens), ',') AS idxs,
+        |  arrayUniq(lens) AS n_uniq,
+        |  round(arrayAvg(lens), 4) AS avg_len,
+        |  round(arrayProduct(arraySlice(lens, 1, 3)), 1) AS prod3,
+        |  array_join(arrayCompact(arraySort(lens)), ',') AS compacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' '), x -> length(x)) AS lens
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> CASE WHEN i = 1 THEN 0 ELSE lens[i] - lens[i-1] END), ',') AS diffs,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> list_sum(list_slice(lens, 1, i))), ',') AS cums,
+        |  array_to_string(generate_series(1, len(lens)), ',') AS idxs,
+        |  CAST(len(list_distinct(lens)) AS BIGINT) AS n_uniq,
+        |  round(list_avg(lens), 4) AS avg_len,
+        |  round(list_product(list_slice(lens, 1, 3)), 1) AS prod3,
+        |  array_to_string(list_sort(list_distinct(lens)), ',') AS compacted
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // great-circle distances between deterministically synthesized
+    // nation coordinates; the oracle replays the identical haversine
+    // (explicit parenthesization so both engines share the operation
+    // order; rounded to whole meters, far above trig-libm ulp noise)
+    ("q_ch_geo",
+      """WITH pts AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(((n_nationkey * 137) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+        |    CAST(((n_nationkey * 83) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+        |  FROM nation)
+        |SELECT a.k AS k1, b.k AS k2,
+        |  CAST(round(greatCircleDistance(a.lon, a.lat, b.lon, b.lat), 0)
+        |       AS BIGINT) AS dist_m
+        |FROM pts a JOIN pts b ON a.k < b.k
+        |ORDER BY k1, k2""".stripMargin,
+      Some("""WITH pts AS (
+        |  SELECT n_nationkey AS k,
+        |    CAST(((n_nationkey * 137) % 360) - 180 + 0.5 AS DOUBLE) AS lon,
+        |    CAST(((n_nationkey * 83) % 170) - 85 + 0.5 AS DOUBLE) AS lat
+        |  FROM nation),
+        |d AS (
+        |  SELECT a.k AS k1, b.k AS k2,
+        |    sin((radians(b.lat) - radians(a.lat)) / 2) AS sdlat,
+        |    sin((radians(b.lon) - radians(a.lon)) / 2) AS sdlon,
+        |    cos(radians(a.lat)) * cos(radians(b.lat)) AS cc
+        |  FROM pts a JOIN pts b ON a.k < b.k)
+        |SELECT k1, k2,
+        |  CAST(round(2 * 6371000 * asin(sqrt((sdlat * sdlat) +
+        |    (cc * (sdlon * sdlon)))), 0) AS BIGINT) AS dist_m
+        |FROM d ORDER BY k1, k2""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

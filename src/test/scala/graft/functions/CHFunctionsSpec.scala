@@ -200,6 +200,61 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("array analytics: difference, cumsum, enumerate, compact, stats") {
+    val r = one(
+      """SELECT arrayDifference(array(1, 4, 9)),
+        |  arrayCumSum(array(1, 2, 3)),
+        |  arrayEnumerate(array('a', 'b', 'c')),
+        |  arrayCompact(array(1, 1, 2, 2, 1)),
+        |  arrayUniq(array(1, 2, 2, 3)),
+        |  arrayAvg(array(1, 2, 3, 4)),
+        |  arrayProduct(array(2.0, 3.0, 4.0)),
+        |  arrayZip(array(1, 2), array('x', 'y'))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(0, 3, 5))
+    assert(r.getSeq[Long](1) == Seq(1L, 3L, 6L))
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 1)) // consecutive runs collapse
+    assert(r.getLong(4) == 3L)
+    assert(r.getDouble(5) == 2.5)
+    assert(r.getDouble(6) == 24.0)
+    assert(r.getSeq[org.apache.spark.sql.Row](7).map(_.toSeq) ==
+      Seq(Seq(1, "x"), Seq(2, "y")))
+  }
+
+  test("string battery under ClickHouse names") {
+    val r = one(
+      """SELECT positionCH('Hello world', 'world'),
+        |  positionCH('Hello', 'zzz'),
+        |  positionCaseInsensitive('Hello World', 'WORLD'),
+        |  startsWith('graft', 'gra'), endsWith('graft', 'ft'),
+        |  leftPadCH('7', 3, '0'), rightPadCH('ab', 4, '.'),
+        |  repeatCH('ab', 3), reverseUTF8('abc'),
+        |  substringUTF8('clickhouse', 6, 5),
+        |  concatWithSeparator('-', 'a', 'b', 'c'), trimBoth('  x  '),
+        |  base64Decode(base64Encode('spark')),
+        |  unhexCH(hexCH('spark'))""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getInt(1) == 0) // 1-based, 0 = absent
+    assert(r.getInt(2) == 7)
+    assert(r.getBoolean(3) && r.getBoolean(4))
+    assert(r.getString(5) == "007" && r.getString(6) == "ab..")
+    assert(r.getString(7) == "ababab" && r.getString(8) == "cba")
+    assert(r.getString(9) == "house")
+    assert(r.getString(10) == "a-b-c" && r.getString(11) == "x")
+    assert(r.getString(12) == "spark" && r.getString(13) == "spark")
+  }
+
+  test("greatCircleDistance matches known city distances") {
+    // Paris (2.3522, 48.8566) <-> London (-0.1276, 51.5072): ~344 km
+    val r = one(
+      """SELECT greatCircleDistance(2.3522, 48.8566, -0.1276, 51.5072),
+        |  greatCircleDistance(0.0, 0.0, 0.0, 0.0),
+        |  greatCircleDistance(0.0, 0.0, 180.0, 0.0)""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 343900) < 2000)
+    assert(r.getDouble(1) == 0.0)
+    // antipodal: half the earth's circumference ~ pi * R
+    assert(math.abs(r.getDouble(2) - math.Pi * 6371000) < 1000)
+  }
+
   test("URL family parses protocol/host/tld/path/params") {
     val u = "'https://www.sub.example.com/a/b?id=7&ref=mail#frag'"
     val r = one(
