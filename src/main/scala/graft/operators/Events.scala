@@ -74,9 +74,21 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** E2b: the same 30-minute-gap sessions through Spark's native
+    * `session_window` aggregate (see
+    * [[graft.streaming.EventStreams.sessionWindows]]) — one mergeable
+    * aggregation instead of three window-function passes. The oracle
+    * replays session_window's boundary rule: a gap of exactly 30:00
+    * STARTS a new session (window end is exclusive). */
+  val evSessionsNative: Q = (s, dir) =>
+    graft.streaming.EventStreams
+      .sessionWindows(Tables(s, dir, "events"))
+      .orderBy("user_id", "session_start")
+
   val queries: Map[String, Q] = Map(
     "ev_windowed" -> evWindowed,
     "ev_sessions" -> evSessions,
+    "ev_sessions_native" -> evSessionsNative,
     "ev_error_context" -> evErrorContext)
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +115,25 @@ object Events {
         |  round(sum(value), 2) AS session_value,
         |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_sessions_native" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000 THEN 1 ELSE 0 END AS new_sess,
+        |    event_id
+        |  FROM g),
+        |x AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
+        |  FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |FROM x GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_start""".stripMargin,
     "ev_error_context" ->
       """WITH ev AS (
         |  SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events),

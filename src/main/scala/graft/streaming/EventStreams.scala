@@ -82,6 +82,26 @@ object EventStreams {
 
   final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+  /** E2b: gap-based sessionization via Spark's NATIVE session_window —
+    * the declarative twin of [[sessions]]: no user state code, and the
+    * planner gets a mergeable session aggregate (partial sessions merge
+    * map-side, then once after the user_id shuffle; watermark evicts
+    * closed sessions in streaming). Semantics note: a session window is
+    * `[first, last + gap)`, so an event at EXACTLY last + gap starts a
+    * new session — the verified batch query `ev_sessions_native`
+    * replays that boundary rule in its oracle. Works unchanged over a
+    * batch DataFrame (the watermark is a no-op there). */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+
   /** E4: streaming exact dedup — drops replayed/duplicated events by
     * id, keeping state only within the watermark horizon (the
     * at-least-once → exactly-once repair step of an ingest pipeline). */

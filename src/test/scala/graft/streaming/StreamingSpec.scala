@@ -33,6 +33,29 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("native session_window over a replayed stream matches the batch query") {
+    val batch = graft.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_swin").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.fileStream(spark, dir, batch)
+    val q = EventStreams.sessionWindows(stream)
+      .writeStream.format("memory").queryName("swin_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("swin_out")
+      .orderBy("user_id", "session_start").collect()
+    val want = graft.operators.Events.evSessionsNative(spark, sf).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0))
+      assert(g.getTimestamp(1) == w.getTimestamp(1))
+      assert(g.getTimestamp(2) == w.getTimestamp(2))
+      assert(g.getLong(3) == w.getLong(3))
+    }
+  }
+
   test("flatMapGroupsWithState sessionization matches batch session count") {
     import spark.implicits._
     val events = Seq(
