@@ -361,6 +361,11 @@ object CHFunctions {
     "modulo" -> (es => Remainder(es.head, es(1))),
     "negate" -> (es => UnaryMinus(es.head)),
 
+    // Morton bit-interleave for Z-ORDER layout (Sink.zorderParquet)
+    "zInterleave" -> (es =>
+      if (es.size == 2) ZInterleave2(es.head, es(1))
+      else ZInterleave3(es.head, es(1), es(2))),
+
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),

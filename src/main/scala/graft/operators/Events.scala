@@ -74,6 +74,15 @@ object Events {
       .orderBy("user_id", "event_id")
   }
 
+  /** E1b batch form: hopping 1-hour windows sliding every 15 minutes —
+    * every event lands in exactly 4 windows (epoch-aligned slides, the
+    * same alignment Spark's window generator uses). The oracle explodes
+    * the 4 slide offsets per event. */
+  val evHopping: Q = (s, dir) =>
+    graft.streaming.EventStreams
+      .hoppingCounts(Tables(s, dir, "events"))
+      .orderBy("window_start", "event_type")
+
   /** E2b: the same 30-minute-gap sessions through Spark's native
     * `session_window` aggregate (see
     * [[graft.streaming.EventStreams.sessionWindows]]) — one mergeable
@@ -87,6 +96,7 @@ object Events {
 
   val queries: Map[String, Q] = Map(
     "ev_windowed" -> evWindowed,
+    "ev_hopping" -> evHopping,
     "ev_sessions" -> evSessions,
     "ev_sessions_native" -> evSessionsNative,
     "ev_error_context" -> evErrorContext)
@@ -115,6 +125,15 @@ object Events {
         |  round(sum(value), 2) AS session_value,
         |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
+    "ev_hopping" ->
+      """WITH w AS (
+        |  SELECT CAST(to_timestamp((floor(epoch(ts) / 900) - k) * 900)
+        |              AS TIMESTAMP) AS window_start,
+        |    event_type, value
+        |  FROM events, unnest(generate_series(0, 3)) AS t(k))
+        |SELECT window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_sessions_native" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

@@ -37,6 +37,20 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** E1b: HOPPING (sliding) windowed counts — each event contributes
+    * to duration/slide overlapping windows (4 here). Same mergeable
+    * windowed aggregate as the tumbling form: Spark's window generator
+    * emits the per-event window rows map-side, so the shuffle carries
+    * partially-aggregated (window, type) groups, not events x 4. */
+  def hoppingCounts(events: DataFrame, duration: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
   /** E2: gap-based sessionization via flatMapGroupsWithState — emits a
     * session when 30 minutes pass with no event for the user. Events
     * within a micro-batch are sorted; cross-batch order is handled by

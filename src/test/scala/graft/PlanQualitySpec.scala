@@ -149,6 +149,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("surprisal scoring broadcasts the frequency table, never self-joins") {
+    val df = graft.operators.Curation.textSurprisal(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"), plan.take(400))
+  }
+
   test("signature computation is shuffle-free up to the bucket groupBy") {
     // the per-doc simhash pipeline is narrow: only the final sort shuffles
     val n = countShuffles(Dedup.dedupSimhash(spark, sf))

@@ -99,6 +99,59 @@ class FileSourceSpec extends SparkSpec {
     assert(back.count() > 0)
   }
 
+  test("zorderParquet clusters both layout columns into narrow file ranges") {
+    import org.apache.spark.sql.functions._
+    val li = graft.Tables(spark, sf, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val nFiles = 8
+
+    Sink.parquet(li.repartition(nFiles), s"$tmp/li_plain")
+    Sink.zorderParquet(li, s"$tmp/li_zorder",
+      Seq("l_orderkey", "l_partkey"), nFiles)
+
+    // identical content
+    val back = spark.read.parquet(s"$tmp/li_zorder")
+    assert(back.count() == li.count())
+    assert(back.agg(sum("l_quantity")).head.getDouble(0) ==
+      li.agg(sum("l_quantity")).head.getDouble(0))
+
+    // each z-ordered file covers a small AREA of the 2-d key space;
+    // round-robin files cover ~the whole space. Area = product of the
+    // file's normalized per-column ranges.
+    def meanArea(path: String): Double = {
+      val o = Sink.fileColumnRanges(spark, path, "l_orderkey")
+      val p = Sink.fileColumnRanges(spark, path, "l_partkey")
+      val (oMin, oMax) = (o.map(_._2).min, o.map(_._3).max)
+      val (pMin, pMax) = (p.map(_._2).min, p.map(_._3).max)
+      val byFile = o.map(r => r._1 -> r).toMap
+      val areas = p.map { pr =>
+        val or = byFile(pr._1)
+        ((or._3 - or._2).toDouble / math.max(1, oMax - oMin)) *
+          ((pr._3 - pr._2).toDouble / math.max(1, pMax - pMin))
+      }
+      areas.sum / areas.size
+    }
+    val (plain, zorder) = (meanArea(s"$tmp/li_plain"), meanArea(s"$tmp/li_zorder"))
+    assert(zorder < plain / 2,
+      f"zorder mean file area $zorder%.3f not < half of plain $plain%.3f")
+  }
+
+  test("bloomParquet writes bloom filters the footer can prove") {
+    import org.apache.spark.sql.functions._
+    // high-cardinality keys: parquet only materializes a bloom filter
+    // once a chunk falls back from dictionary encoding (a complete
+    // dictionary already answers point lookups), so the spec models
+    // the real use case — an id column whose dictionary page overflows
+    val ids = spark.range(300000)
+      .select(col("id"), md5(col("id").cast("string")).as("key"))
+      .coalesce(1)
+    Sink.bloomParquet(ids, s"$tmp/ids_bloom", Seq("key"), ndv = 300000)
+    assert(Sink.hasBloomFilter(spark, s"$tmp/ids_bloom", "key"))
+    assert(!Sink.hasBloomFilter(spark, s"$tmp/ids_bloom", "id"))
+    // content survives the write
+    assert(spark.read.parquet(s"$tmp/ids_bloom").count() == 300000)
+  }
+
   test("compactParquet repacks a fragmented directory without losing rows") {
     val dir = s"$tmp/frag"
     // a badly fragmented table: one file per row group of a 25-row table
