@@ -57,19 +57,23 @@ object Bench {
     }
 
     val results = names.map(n => n -> exec(n))
-    // Centisecond rounding keeps the JSON line compact: the driver
-    // captures only the final 2000 chars of the run output (including
-    // sbt's trailing success line), and ~80 keys at full precision
-    // overflow that window and defeat its JSON parse.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    // The driver captures only the final 2000 chars of the run output
+    // (including sbt's trailing success line), so the line must stay
+    // under ~1900 chars or its head is cut off and the JSON parse
+    // fails. Centisecond precision normally fits ~90 queries; if the
+    // query set outgrows that, degrade to deciseconds rather than
+    // overflow the window.
     val total = results.map(_._2).filter(_ >= 0).sum
     spark.stop()
-    // basename only — every byte of this line competes with the
-    // driver's 2000-char tail capture
     val sfName = sfDir.stripSuffix("/").split('/').last
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    def line(decimals: Int): String = {
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = Seq(2, 1).map(line).find(_.length <= 1880).getOrElse(line(0))
+    println(out)
   }
 }
