@@ -90,8 +90,11 @@ object CHFunctions {
     "groupArray" -> (es => fn("collect_list", es.head)),
     "groupUniqArray" -> (es => fn("collect_set", es.head)),
 
-    // arrayJoin ≡ explode (a generator, usable in SELECT position)
+    // arrayJoin ≡ explode (a generator, usable in SELECT position);
+    // the LEFT variant keeps rows whose array is empty/null (CH
+    // `LEFT ARRAY JOIN`), emitting NULL for the element
     "arrayJoin" -> (es => Explode(es.head)),
+    "arrayJoinLeft" -> (es => GeneratorOuter(Explode(es.head))),
     "has" -> (es => fn("array_contains", es.head, es(1))),
 
     // date/time bucketing
@@ -120,6 +123,19 @@ object CHFunctions {
       Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), DoubleType)),
     "JSONHas" -> (es =>
       IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
+    "JSONExtractBool" -> (es =>
+      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+        org.apache.spark.sql.types.BooleanType)),
+    "JSONArrayLength" -> (es =>
+      if (es.size > 1)
+        fn("json_array_length",
+          fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))
+      else fn("json_array_length", es.head)),
+    "JSONExtractKeys" -> (es =>
+      if (es.size > 1)
+        fn("json_object_keys",
+          fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))
+      else fn("json_object_keys", es.head)),
 
     // array function family (ClickHouse names → Spark natives;
     // arrayElement keeps CH's 1-based indexing via element_at)
@@ -236,6 +252,16 @@ object CHFunctions {
     "nowCH" -> (_ => fn("current_timestamp")),
     "todayCH" -> (_ => fn("current_date")),
     "intDiv" -> (es => fn("div", es.head, es(1))),
+
+    // null handling under ClickHouse names. assumeNotNull/toNullable
+    // are type-level assertions in CH; values pass through unchanged
+    // (Spark nullability is inferred, not declared per-expression).
+    "ifNull" -> (es => Coalesce(Seq(es.head, es(1)))),
+    "nullIfCH" -> (es => fn("nullif", es.head, es(1))),
+    "assumeNotNull" -> (es => es.head),
+    "toNullable" -> (es => es.head),
+    "isNullCH" -> (es => IsNull(es.head)),
+    "isNotNullCH" -> (es => IsNotNull(es.head)),
 
     // conditionals: multiIf(c1, v1, c2, v2, ..., else)
     "multiIf" -> (es => {

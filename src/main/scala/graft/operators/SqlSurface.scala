@@ -52,6 +52,33 @@ object SqlSurface {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
       None),
 
+    // B4h extension: positional window values over explicit full frames
+    ("q_window_firstlast",
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS first_ord,
+        |  last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_ord,
+        |  nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS nth2_ord
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+      None),
+
+    // the ReplacingMergeTree FINAL pattern: a changelog collapses to
+    // its latest row per key (version = event time, id tiebreak) —
+    // merge-on-read in one window pass, the same shape CH users run
+    // `SELECT ... FINAL` for
+    ("q_replacing_merge",
+      """SELECT user_id, event_type, event_id AS last_event,
+        |  round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+      None),
+
     ("q_cte_union",
       """WITH hi AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 400000),
         |     lo AS (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice < 20000)

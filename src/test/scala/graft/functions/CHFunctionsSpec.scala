@@ -200,6 +200,29 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(0) && !r.getBoolean(1))
   }
 
+  test("arrayJoinLeft keeps empty-array rows; JSON extras; null family") {
+    CHFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT id, arrayJoinLeft(a) AS el FROM VALUES
+        |  (1, array(10, 20)), (2, array()) t(id, a)""".stripMargin)
+      .collect().map(r => (r.getInt(0), Option(r.get(1))))
+    assert(rows.toSet == Set((1, Some(10)), (1, Some(20)), (2, None)))
+    val r = one(
+      """SELECT JSONExtractBool('{"a": true}', 'a'),
+        |  JSONArrayLength('[1, 2, 3]'),
+        |  JSONArrayLength('{"xs": [1, 2]}', 'xs'),
+        |  array_sort(JSONExtractKeys('{"b": 1, "a": 2}')),
+        |  ifNull(NULL, 7), ifNull(5, 7), nullIfCH(3, 3),
+        |  assumeNotNull(9), isNullCH(NULL), isNotNullCH(1)""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(r.getInt(1) == 3 && r.getInt(2) == 2)
+    assert(r.getSeq[String](3) == Seq("a", "b"))
+    assert(r.getInt(4) == 7 && r.getInt(5) == 5)
+    assert(r.isNullAt(6))
+    assert(r.getInt(7) == 9)
+    assert(r.getBoolean(8) && r.getBoolean(9))
+  }
+
   test("array analytics: difference, cumsum, enumerate, compact, stats") {
     val r = one(
       """SELECT arrayDifference(array(1, 4, 9)),
