@@ -220,6 +220,20 @@ object SqlSurface {
       Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'""".stripMargin)),
 
+    // SAMPLE k OFFSET m (the CH disjoint-sample construct: reads a
+    // DIFFERENT deterministic slice than SAMPLE k — parallel workers
+    // each take `SAMPLE 1/N OFFSET i/N` and cover the table exactly
+    // once). Hash-bucket membership in [offset, offset+rate).
+    ("q_sample_offset",
+      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)
+        |           AS BIGINT) % 100 BETWEEN 50 AND 59""".stripMargin,
+      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+        |      % 100 BETWEEN 50 AND 59""".stripMargin)),
+
     ("q_moving_avg",
       """SELECT month, n,
         |  round(avg(n) OVER (ORDER BY month
