@@ -135,6 +135,25 @@ object HealthServer {
               json = true)
         }
       })
+
+      // formatted physical plan, same guard, no execution — the
+      // pre-flight check before paying for a big scan
+      server.createContext("/explain", (exchange: HttpExchange) => {
+        val sql =
+          if (exchange.getRequestMethod == "POST")
+            new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+          else params(exchange).getOrElse("q", "")
+        if (sql.trim.isEmpty)
+          respond(exchange, 400,
+            """{"status": "error", "message": "empty query"}""", json = true)
+        else exec.explainSafe(sql) match {
+          case Right(plan) => respond(exchange, 200, plan, json = false)
+          case Left(message) =>
+            respond(exchange, 400,
+              s"""{"status": "error", "message": ${Json.str(message)}}""",
+              json = true)
+        }
+      })
     }
 
     catalog.foreach { cat =>

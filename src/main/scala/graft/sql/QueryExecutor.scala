@@ -66,6 +66,22 @@ final class QueryExecutor(
     spark.sql(sql)
   }
 
+  /** Formatted physical plan of a guarded SELECT — planning only, no
+    * jobs run. The "why is this slow" tool an operator (or LLM client)
+    * asks for before paying for a 100 TB scan: shows pushed filters,
+    * pruned schemas, join strategies and codegen spans. */
+  def explain(sql: String): String =
+    select(sql).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+
+  /** [[explain]] with the reference's error shaping. */
+  def explainSafe(sql: String): Either[String, String] =
+    try Right(explain(sql))
+    catch {
+      case e: ReadOnlyViolation => Left(e.getMessage)
+      case NonFatal(e) => Left(s"Explain failed: ${e.getMessage}")
+    }
+
   /** Error-shaped response, like the reference's
     * `{"status": "error", "message": ...}` (mcp_server.py:444-449):
     * guard violations, analysis errors (unknown table/column) and

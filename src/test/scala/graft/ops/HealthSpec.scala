@@ -65,6 +65,26 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("served /explain returns the formatted plan without running jobs") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec))
+    try {
+      val base = s"http://localhost:${srv.port}/explain"
+      val sql = "SELECT count(*) FROM orders WHERE o_totalprice > 100"
+      val (code, body) = httpGet(
+        base + "?q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+      assert(code == 200)
+      assert(body.contains("Physical Plan"))
+      assert(body.contains("PushedFilters"), body.take(400)) // plan, not prose
+      // same guard as /query
+      val (badCode, badBody) = httpGet(
+        base + "?q=" + java.net.URLEncoder.encode("DROP TABLE orders", "UTF-8"))
+      assert(badCode == 400 && badBody.contains("read-only"))
+      assert(httpGet(base)._1 == 400)
+    } finally { srv.close(); exec.close() }
+  }
+
   test("served catalog endpoints mirror the reference tools") {
     val cat = new graft.catalog.GraftCatalog(spark, sf)
     val srv = HealthServer.start(spark, GraftConfig(Map.empty), None, Some(cat))
