@@ -43,9 +43,12 @@ object Bench {
     // measure plan execution rather than first-touch Janino compilation
     // (measured 2-3x inflation on single-shot runs). Any long-lived
     // deployment amortizes compilation the same way.
+    // sf0.01 preferred: big enough to get the generated loops through
+    // C2 JIT compilation (sf0.001 compiles the classes but leaves them
+    // interpreted), still ~10% of the benched volume
     val warmDir = {
       val base = sfDir.stripSuffix("/").split('/').dropRight(1).mkString("/")
-      Seq("sf0.001", "sf0.01").map(s => s"$base/$s")
+      Seq("sf0.01", "sf0.001").map(s => s"$base/$s")
         .find(d => d != sfDir.stripSuffix("/") &&
           new java.io.File(s"$d/lineitem.parquet").exists)
         .getOrElse(sfDir)
