@@ -62,6 +62,82 @@ object Dedup {
     }
   }
 
+  /** The per-doc (band, bkey) rows of a signature frame. */
+  private def bandKeys(sigDf: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { j =>
+      struct(lit(j).as("band"),
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("bkey"))
+    }
+    sigDf.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+  }
+
+  /** Public signature surface: (doc_id, sig) minhash signatures. */
+  def signatures(docs: DataFrame): DataFrame = {
+    graft.functions.CHFunctions.register(docs.sparkSession)
+    withSignature(docs).select(col("doc_id"), col("sig"))
+  }
+
+  /** D25: persist the near-dup index of a corpus — band keys
+    * (PARTITIONED BY band) + minhash signatures. Built once per corpus
+    * in one narrow signature pass + one explode; appending a day's
+    * batch is `mode = "append"` of just that batch's rows. Buckets
+    * over [[maxBucket]] docs are dropped at save (degenerate boilerplate
+    * keys would make every future lookup quadratic — same contract as
+    * the batch path). */
+  def saveNearDupIndex(docs: DataFrame, indexDir: String,
+      mode: String = "overwrite"): Unit = {
+    val sig = signaturesFull(docs)
+    sig.select(col("doc_id"), col("sig"))
+      .write.mode(mode).parquet(s"$indexDir/sigs")
+    val bands = bandKeys(sig)
+    val bucketSizes = bands.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select(col("band").as("fband"), col("bkey").as("fbkey"))
+    bands.join(bucketSizes,
+        col("band") === col("fband") && col("bkey") === col("fbkey"))
+      .select(col("doc_id"), col("bkey"), col("band"))
+      .write.mode(mode).partitionBy("band").parquet(s"$indexDir/bands")
+  }
+
+  /** D25: dedup a NEW batch against a saved index without rescanning
+    * the corpus. The batch computes its signatures narrowly, its band
+    * keys join the persisted band table (shuffle sized by the batch;
+    * the corpus contributes a partitioned lookup, not a scan of raw
+    * text), and surviving candidates score by the MinHash Jaccard
+    * ESTIMATE — the fraction of agreeing signature components — so
+    * corpus text is never touched. Returns (new_doc, corpus_doc,
+    * est_jaccard ≥ threshold). */
+  def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSig = signaturesFull(newDocs)
+    val cand = bandKeys(newSig).select(col("doc_id").as("new_doc"),
+        col("band"), col("bkey"))
+      .join(spark.read.parquet(s"$indexDir/bands")
+        .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("new_doc", "corpus_doc").distinct()
+    cand
+      .join(newSig.select(col("doc_id").as("new_doc"), col("sig").as("nsig")),
+        "new_doc")
+      .join(spark.read.parquet(s"$indexDir/sigs")
+        .select(col("doc_id").as("corpus_doc"), col("sig").as("csig")),
+        "corpus_doc")
+      .select(col("new_doc"), col("corpus_doc"),
+        round(expr("""size(filter(zip_with(nsig, csig, (a, b) -> a = b),
+                     |            x -> x))""".stripMargin).cast("double") /
+          lit(NumHashes), 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy("new_doc", "corpus_doc")
+  }
+
+  private def signaturesFull(docs: DataFrame): DataFrame = {
+    graft.functions.CHFunctions.register(docs.sparkSession)
+    withSignature(docs)
+  }
+
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key.
     *
     * Single wide dependency: ONE shuffle on (band, band_key). Each bucket
@@ -71,13 +147,8 @@ object Dedup {
     * the signature pipeline is computed exactly once. */
   private def candidatePairs(docs: DataFrame): DataFrame = {
     graft.functions.CHFunctions.register(docs.sparkSession)
-    val bandStructs = (0 until Bands).map { j =>
-      struct(lit(j).as("band"),
-        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("bkey"))
-    }
-    withSignature(docs)
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .groupBy(col("b.band"), col("b.bkey"))
+    bandKeys(withSignature(docs))
+      .groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
@@ -240,8 +311,23 @@ object Dedup {
     labels.orderBy("doc_id")
   }
 
+  /** D25 as a driver query: index the even-id half of the corpus to a
+    * scratch directory, then dedup the odd-id half against it — the
+    * daily-batch flow in miniature, end-to-end through the persisted
+    * index. The oracle replays the identical split, cap, band join and
+    * signature-agreement estimate. */
+  val dedupIncremental: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_ndidx").toString
+    saveNearDupIndex(docs.filter(col("doc_id") % 2 === 0), idxDir)
+    dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idxDir,
+      minEstJaccard = 0.4)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
+    "dedup_incremental" -> dedupIncremental,
     "dedup_minhash" -> dedupMinhash,
     "dedup_jaccard" -> dedupJaccard,
     "dedup_simhash" -> dedupSimhash,
@@ -295,7 +381,33 @@ object Dedup {
        |WHERE round(len(list_intersect(sa.sset, sb.sset)) /
        |      CAST(len(list_distinct(list_concat(sa.sset, sb.sset))) AS DOUBLE), 6) >= 0.1""".stripMargin
 
+  private val sigAgreement = (0 until NumHashes)
+    .map(h => s"CASE WHEN a.h$h = b.h$h THEN 1 ELSE 0 END")
+    .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" ->
+      s"""$shingleCte,
+         |sig AS (SELECT doc_id,
+         |    $sigSelect
+         |  FROM sh),
+         |allbands AS (
+         |  $bandUnion),
+         |inc AS (
+         |  SELECT DISTINCT n.doc_id AS new_doc, c.doc_id AS corpus_doc
+         |  FROM allbands n JOIN allbands c
+         |    ON n.band = c.band AND n.bkey = c.bkey
+         |  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+         |    AND (c.band, c.bkey) IN (
+         |      SELECT (band, bkey) FROM allbands WHERE doc_id % 2 = 0
+         |      GROUP BY band, bkey HAVING count(*) <= $maxBucket))
+         |SELECT new_doc, corpus_doc,
+         |  round(($sigAgreement) / $NumHashes.0, 6) AS est_jaccard
+         |FROM inc
+         |JOIN sig a ON a.doc_id = new_doc
+         |JOIN sig b ON b.doc_id = corpus_doc
+         |WHERE round(($sigAgreement) / $NumHashes.0, 6) >= 0.4
+         |ORDER BY new_doc, corpus_doc""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_hash,
         |  count(*) AS n_docs, min(doc_id) AS keep_doc

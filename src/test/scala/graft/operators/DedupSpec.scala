@@ -73,6 +73,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup against a saved index matches the batch LSH path") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx").toString
+
+    Dedup.saveNearDupIndex(docs, dir)
+    // replaying the same corpus as the "new batch": every batch-path
+    // candidate pair must surface (both directions), self-pairs aside
+    val inc = Dedup.dedupAgainstIndex(docs, dir, minEstJaccard = 0.4)
+      .filter(col("new_doc") =!= col("corpus_doc"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // batch reference: LSH candidates scored by the same signature
+    // estimate, symmetric closure
+    val sigs = Dedup.signatures(docs)
+    val batch = Dedup.dedupMinhash(spark, sf)
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("size(filter(zip_with(sa, sb, (a, b) -> a = b), x -> x))")
+          .cast("double").as("agree"))
+      .filter(col("agree") / 12 >= 0.4)
+      .collect().flatMap(r =>
+        Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0)))).toSet
+
+    assert(inc.nonEmpty)
+    assert(inc == batch,
+      s"incremental-only: ${inc -- batch}; batch-only: ${batch -- inc}")
+
+    // self-pairs estimate at exactly 1.0 (same signatures)
+    val selfs = Dedup.dedupAgainstIndex(docs, dir, minEstJaccard = 0.999)
+      .filter(col("new_doc") === col("corpus_doc")).count()
+    assert(selfs == docs.count())
+  }
+
   test("SRP bucket cap drops degenerate buckets instead of emitting n^2 pairs") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
