@@ -89,6 +89,33 @@ final class GraftCatalog(
       notLike: Seq[String] = Nil): Seq[String] =
     databases.keys.toSeq.filter(matches(_, like, notLike)).sorted
 
+  /** The ClickHouse `system.tables` surface as a DataFrame (registered
+    * by TableEnv as `system_tables` so the guarded SQL path can query
+    * the catalog the way CH clients query system tables). Footer-stat
+    * metadata only — building it never scans data pages. */
+  def systemTables: DataFrame = {
+    import spark.implicits._
+    databases.keys.toSeq.sorted
+      .flatMap(db => listTables(db, pageSize = Int.MaxValue).tables)
+      .map(t => (t.database, t.name, t.engine, t.totalRows, t.totalBytes,
+        t.totalBytesUncompressed, t.parts, t.totalMarks))
+      .toDF("database", "table_name", "engine", "total_rows", "total_bytes",
+        "total_bytes_uncompressed", "parts", "marks")
+  }
+
+  /** The `system.columns` surface: one row per column with its 1-based
+    * position, like CH's. */
+  def systemColumns: DataFrame = {
+    import spark.implicits._
+    databases.keys.toSeq.sorted
+      .flatMap(db => listTables(db, pageSize = Int.MaxValue).tables)
+      .flatMap(t => t.columns.zipWithIndex.map { case (c, i) =>
+        (c.database, c.table, c.name, c.columnType, c.nullable, i + 1)
+      })
+      .toDF("database", "table_name", "name", "col_type", "nullable",
+        "position")
+  }
+
   /** Table names of a database: the driver contract's fixed table list
     * for `default`; a parquet directory listing for mounted extras. */
   private def tableNames(db: String): Seq[String] =

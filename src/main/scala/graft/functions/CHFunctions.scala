@@ -396,6 +396,9 @@ object CHFunctions {
     "trigramStats" -> (es => TrigramStats(es.head)),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),
     "dictGet" -> (es => DictGet.fromArgs(es)),
+    "dictGetOrDefault" -> (es =>
+      Coalesce(Seq(DictGet.fromArgs(es.take(3)), es(3)))),
+    "dictHas" -> (es => IsNotNull(DictGet.fromArgs(es))),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
     "srpBandKeys" -> (es => SrpBandKeys(es.head)),

@@ -68,9 +68,23 @@ object Introspection {
     s.sql(sql)
   }
 
+  /** A5: the system.columns surface through the guarded SQL path —
+    * verified against its literal contract (the testdata schemas are
+    * fixed, so the oracle enumerates the expected rows). */
+  val sysColumns: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    val sql =
+      """SELECT table_name, name, position FROM system_columns
+        |WHERE table_name IN ('nation', 'region')
+        |ORDER BY table_name, position""".stripMargin
+    graft.sql.QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_databases" -> catDatabases,
     "cat_tables" -> catTables,
+    "sys_columns" -> sysColumns,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_file_sql" -> srcFileSql)
 
@@ -81,6 +95,13 @@ object Introspection {
     // the served catalog's database list is a fixed contract (the single
     // file-backed `default` database), so the oracle is its literal form
     "cat_databases" -> "SELECT 'default' AS database_name",
+    "sys_columns" ->
+      """SELECT * FROM (VALUES
+        |  ('nation', 'n_nationkey', 1), ('nation', 'n_name', 2),
+        |  ('nation', 'n_regionkey', 3),
+        |  ('region', 'r_regionkey', 1), ('region', 'r_name', 2))
+        |  t(table_name, name, position)
+        |ORDER BY table_name, position""".stripMargin,
     "src_csv_roundtrip" ->
       s"""SELECT n_regionkey, count(*) AS n
          |FROM read_csv_auto('$CsvRoundtripDir/nation.csv/*.csv', header=true)

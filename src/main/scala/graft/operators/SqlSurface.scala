@@ -88,6 +88,14 @@ object SqlSurface {
         |ORDER BY bucket, o_custkey, price""".stripMargin,
       None),
 
+    // GROUP BY ALL (every non-aggregate select item groups implicitly —
+    // supported verbatim by both engines)
+    ("q_group_all",
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL ORDER BY 1, 2""".stripMargin,
+      None),
+
     ("q_having",
       """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
         |FROM orders GROUP BY o_custkey

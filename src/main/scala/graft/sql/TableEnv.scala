@@ -20,5 +20,11 @@ object TableEnv {
       Tables.all.foreach { n =>
         Tables(spark, dir, n).createOrReplaceTempView(n)
       }
+      // the CH system.* surface, queryable through the same SQL path
+      // (underscored names: temp views cannot carry a qualifier).
+      // Footer-stat metadata only; built once per (session, dir).
+      val cat = new graft.catalog.GraftCatalog(spark, dir)
+      cat.systemTables.createOrReplaceTempView("system_tables")
+      cat.systemColumns.createOrReplaceTempView("system_columns")
     }
 }

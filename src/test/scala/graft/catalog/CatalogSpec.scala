@@ -136,4 +136,17 @@ class CatalogSpec extends SparkSpec {
     assert(cols.map(_.name) == Seq("r_regionkey", "r_name"))
     assert(cols.head.columnType == "INT")
   }
+
+  test("system views expose the catalog through the SQL path") {
+    graft.sql.TableEnv.register(spark, sf)
+    val t = spark.sql(
+      """SELECT table_name, total_rows, parts, marks FROM system_tables
+        |ORDER BY table_name""".stripMargin).collect()
+    assert(t.map(_.getString(0)).contains("orders"))
+    assert(t.forall(r => r.getLong(1) > 0 && r.getInt(2) > 0 && r.getLong(3) > 0))
+    val c = spark.sql(
+      "SELECT count(*) FROM system_columns WHERE table_name = 'region'")
+      .head.getLong(0)
+    assert(c == 2)
+  }
 }

@@ -22,6 +22,20 @@ class DictSpec extends SparkSpec {
     assert(out(3).isNullAt(0) && out(3).isNullAt(1)) // null key
   }
 
+  test("dictGetOrDefault falls back on misses; dictHas reports presence") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    Dict.register("fallback_d",
+      Seq((1L, "one")).toDF("k", "v"), "k", Seq("v"))
+    val out = Seq(1L, 42L).toDF("k")
+      .select(
+        expr("dictGetOrDefault('fallback_d', 'v', k, 'unknown')").as("v"),
+        expr("dictHas('fallback_d', 'v', k)").as("present"))
+      .collect()
+    assert(out(0).getString(0) == "one" && out(0).getBoolean(1))
+    assert(out(1).getString(0) == "unknown" && !out(1).getBoolean(1))
+  }
+
   test("integer-width keys normalize: INT column probes a BIGINT-keyed dict") {
     import spark.implicits._
     CHFunctions.register(spark)
