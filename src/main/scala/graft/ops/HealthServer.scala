@@ -128,6 +128,10 @@ object HealthServer {
           respond(exchange, 400,
             """{"status": "error", "message": "empty query"}""", json = true)
         else exec.runSafe(sql) match {
+          // ?format=csv renders CSVWithNames (chDB's default output);
+          // JSON otherwise
+          case Right(result) if params(exchange).get("format").contains("csv") =>
+            respond(exchange, 200, result.toCsv, json = false)
           case Right(result) => respond(exchange, 200, result.toJson, json = true)
           case Left(message) =>
             respond(exchange, 400,

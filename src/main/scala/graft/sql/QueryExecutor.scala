@@ -43,6 +43,23 @@ final case class QueryResult(
         .mkString("\"rows\": [", ", ", "]") +
       (if (truncated) ", \"truncated\": true}" else "}")
   }
+
+  /** CSVWithNames rendering — chDB's default output format
+    * (chdb_prompt.py): header row + RFC-4180 quoting (fields containing
+    * comma/quote/newline wrap in double quotes, embedded quotes
+    * double). Null renders empty, like ClickHouse CSV. */
+  def toCsv: String = {
+    def cell(x: Any): String = x match {
+      case null => ""
+      case other =>
+        val s = other.toString
+        if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+          "\"" + s.replace("\"", "\"\"") + "\""
+        else s
+    }
+    (columns.map(cell) +: rows.map(_.map(cell)))
+      .map(_.mkString(",")).mkString("\n")
+  }
 }
 
 /** Read-only SQL executor with the reference's operational semantics

@@ -149,6 +149,20 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(400))
   }
 
+  test("SQL join hints pass through the read-only guard to the planner") {
+    graft.sql.TableEnv.register(spark, sf)
+    val sql =
+      """SELECT /*+ BROADCAST(nation) */ n_name, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin
+    graft.sql.QueryGuard.parseReadOnly(spark, sql)
+    val df = spark.sql(sql)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"), plan.take(400))
+    assert(!plan.contains("SortMergeJoin"), plan.take(400))
+  }
+
   test("surprisal scoring broadcasts the frequency table, never self-joins") {
     val df = graft.operators.Curation.textSurprisal(spark, sf)
     df.collect()

@@ -65,6 +65,22 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("/query format=csv renders CSVWithNames with RFC-4180 quoting") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec))
+    try {
+      val sql =
+        "SELECT 'a,b' AS tricky, 'plain' AS p, NULL AS n, 'say \"hi\"' AS q"
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/query" +
+        "?format=csv&q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+      assert(code == 200)
+      val lines = body.split("\n")
+      assert(lines(0) == "tricky,p,n,q")
+      assert(lines(1) == "\"a,b\",plain,,\"say \"\"hi\"\"\"")
+    } finally { srv.close(); exec.close() }
+  }
+
   test("served /explain returns the formatted plan without running jobs") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
