@@ -395,6 +395,7 @@ object CHFunctions {
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),
+    "quantDequant" -> (es => QuantDequant(es.head, es(1), es(2))),
     "dictGet" -> (es => DictGet.fromArgs(es)),
     "dictGetOrDefault" -> (es =>
       Coalesce(Seq(DictGet.fromArgs(es.take(3)), es(3)))),

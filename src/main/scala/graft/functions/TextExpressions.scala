@@ -86,6 +86,55 @@ case class QuantRecon(first: Expression, second: Expression, third: Expression)
     copy(first = f, second = s, third = t)
 }
 
+/** Quantize-then-dequantize a vector in one native pass: the int8
+  * round trip `mn + code·(mx-mn)/255` with the same clamped floor
+  * arithmetic as [[QuantRecon]], returning the reconstructed vector —
+  * what a memory-lean ANN index actually searches over. Bit-identical
+  * to the portable formulation the DuckDB oracle runs. */
+case class QuantDequant(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType), ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any, mns: Any, mxs: Any): Any =
+    QuantDequant.compute(v.asInstanceOf[ArrayData],
+      mns.asInstanceOf[ArrayData], mxs.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mns, mxs) =>
+      s"graft.functions.QuantDequant.compute($v, $mns, $mxs)")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): QuantDequant =
+    copy(first = f, second = s, third = t)
+}
+
+object QuantDequant {
+
+  def compute(v: ArrayData, mns: ArrayData, mxs: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var d = 0
+    while (d < n) {
+      val x = v.getDouble(d)
+      val mn = mns.getDouble(d)
+      val mx = mxs.getDouble(d)
+      out(d) =
+        if (mx == mn) mn
+        else {
+          val code = math.min(255.0,
+            math.max(0.0, math.floor((x - mn) * 255.0 / (mx - mn) + 0.5)))
+          mn + code * (mx - mn) / 255.0
+        }
+      d += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
 object QuantRecon {
 
   def compute(v: ArrayData, mns: ArrayData, mxs: ArrayData): InternalRow = {

@@ -60,6 +60,36 @@ object Ann {
         col("t.cos_sim").as("cos_sim"), (col("pos") + 1).cast("int").as("rn"))
       .orderBy("q_id", "rn")
 
+  /** D22b: the same top-k search over int8-QUANTIZED vectors — what a
+    * memory-lean index actually scans (4× smaller than float32; the
+    * difference between an in-memory index and one that spills).
+    * Per-dim ranges come from one tiny aggregate and broadcast back;
+    * every vector round-trips through the native codegen'd
+    * [[graft.functions.QuantDequant]] (identical clamped-floor
+    * arithmetic to `emb_quantize`, replayed exactly by the oracle), and
+    * the search itself is the brute-force two-phase top-k. Quantized
+    * rankings at this scale match the float rankings to 4dp. */
+  val annQuantized: Q = (s, dir) => {
+    val e = unitVectors(s, dir)
+    val ranges = e
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("t"))
+      .select(expr("transform(t, p -> p.mn)").as("mns"),
+        expr("transform(t, p -> p.mx)").as("mxs"))
+    val dq = e.join(broadcast(ranges))
+      .select(col("vec_id"), expr("quantDequant(v, mns, mxs)").as("dqv"))
+    val q = dq.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("dqv").as("qv"))
+    val scored = dq.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(dot("qv", "dqv"), 4).as("cos_sim"))
+    topK(scored)
+  }
+
   /** D6: exact cosine top-k, queries broadcast, two-phase top-k. */
   val annBruteforce: Q = (s, dir) => {
     val e = unitVectors(s, dir)
@@ -202,6 +232,7 @@ object Ann {
 
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
+    "ann_quantized" -> annQuantized,
     "ann_ivf" -> annIvf)
 
   val oracles: Map[String, String] = Map(
@@ -211,6 +242,35 @@ object Ann {
          |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
          |    round(list_cosine_similarity(q.v, c.v), 4) AS cos_sim
          |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+         |  WHERE q.vec_id < $NumQueries),
+         |r AS (
+         |  SELECT q_id, neighbor, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, neighbor) AS rn
+         |  FROM s)
+         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
+    "ann_quantized" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |comp AS (
+         |  SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+         |  FROM e, unnest(generate_series(1, len(v))) AS t(i)
+         |  GROUP BY t.i),
+         |mm AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+         |       FROM comp),
+         |d AS (
+         |  SELECT vec_id,
+         |    list_transform(generate_series(1, len(v)), i ->
+         |      CASE WHEN mxs[i] = mns[i] THEN mns[i]
+         |           ELSE mns[i] + least(255.0, greatest(0.0,
+         |             floor((v[i] - mns[i]) * 255.0 / (mxs[i] - mns[i]) + 0.5)))
+         |             * (mxs[i] - mns[i]) / 255.0
+         |      END) AS dq
+         |  FROM e CROSS JOIN mm),
+         |s AS (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor,
+         |    round(list_cosine_similarity(q.dq, c.dq), 4) AS cos_sim
+         |  FROM d q JOIN d c ON c.vec_id != q.vec_id
          |  WHERE q.vec_id < $NumQueries),
          |r AS (
          |  SELECT q_id, neighbor, cos_sim,

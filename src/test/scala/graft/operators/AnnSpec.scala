@@ -34,6 +34,17 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5)
   }
 
+  test("quantized search recalls the float top-k almost exactly") {
+    val truth = topSets(Ann.annBruteforce(spark, dir).collect())
+    val quant = topSets(Ann.annQuantized(spark, dir).collect())
+    val recall = truth.keys.toSeq.map { q =>
+      (truth(q) & quant.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+    }.sum / truth.size
+    info(s"int8 recall@5 = $recall")
+    // 8-bit codes shift cosines ~1e-3; rankings should barely move
+    assert(recall >= 0.9)
+  }
+
   test("IVF scans only probed cells (candidate pruning)") {
     val nCand = Ann.annIvf(spark, dir).count()
     assert(nCand <= 10L * 5)
