@@ -237,6 +237,12 @@ object CHFunctions {
     }),
     "arrayZip" -> (es => fn("arrays_zip", es: _*)),
 
+    // map functions (ClickHouse Map type ≈ Spark MapType)
+    "mapKeys" -> (es => fn("map_keys", es.head)),
+    "mapValues" -> (es => fn("map_values", es.head)),
+    "mapContains" -> (es => fn("map_contains_key", es.head, es(1))),
+    "mapFromArrays" -> (es => fn("map_from_arrays", es.head, es(1))),
+
     // date/time casts + formatting. formatDateTime translates the
     // ClickHouse %-tokens to Spark's pattern letters when the format is
     // a literal (the overwhelmingly common case).

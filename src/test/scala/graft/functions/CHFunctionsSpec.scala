@@ -223,6 +223,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(8) && r.getBoolean(9))
   }
 
+  test("map functions under ClickHouse names") {
+    val r = one(
+      """SELECT array_sort(mapKeys(map('b', 2, 'a', 1))),
+        |  mapValues(map('x', 7)),
+        |  mapContains(map('k', 1), 'k'), mapContains(map('k', 1), 'z'),
+        |  element_at(mapFromArrays(array('p', 'q'), array(1, 2)), 'q')""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("a", "b"))
+    assert(r.getSeq[Int](1) == Seq(7))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getInt(4) == 2)
+  }
+
   test("array analytics: difference, cumsum, enumerate, compact, stats") {
     val r = one(
       """SELECT arrayDifference(array(1, 4, 9)),
