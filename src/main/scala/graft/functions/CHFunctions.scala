@@ -34,10 +34,30 @@ object CHFunctions {
     UnresolvedNamedLambdaVariable(Seq("x")),
     UnresolvedNamedLambdaVariable(Seq("fin")))
 
-  /** Σ over an array as a fold (long zero; coerces up for doubles). */
+  /** 1-based index axis [1..size(a)], EMPTY for an empty array.
+    * `sequence(1, size(a))` alone is a trap: Spark's sequence defaults
+    * to step -1 when start > stop, so size 0 yields [1, 0] and an
+    * element_at(a, 0) crash downstream. sequence(0, size) is always
+    * ascending; dropping the leading 0 restores the 1-based axis. */
+  private def indexAxis(a: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    ArrayFilter(fn("sequence", Literal(0), fn("size", a)),
+      LambdaFunction(GreaterThanOrEqual(i, Literal(1)), Seq(i)))
+  }
+
+  /** A zero literal in the ARRAY'S element type: ArrayAggregate
+    * requires merge-result type == zero type and will NOT coerce a
+    * long zero up for double elements (analysis error, verified) —
+    * `coalesce(a[1], 0) * 0` is 0 in the element type for any numeric
+    * array, including the empty one (element_at past the end is null,
+    * never an error, for positive indexes). */
+  private def zeroOf(a: Expression): Expression =
+    Multiply(Coalesce(Seq(ElementAt(a, Literal(1)), Literal(0))), Literal(0))
+
+  /** Σ over an array as a fold in the element's own numeric type. */
   private def sumFold(a: Expression): Expression = {
     val (acc, x, fin) = lambdaVars
-    ArrayAggregate(a, Literal(0L),
+    ArrayAggregate(a, zeroOf(a),
       LambdaFunction(Add(acc, x), Seq(acc, x)),
       LambdaFunction(fin, Seq(fin)))
   }
@@ -185,18 +205,20 @@ object CHFunctions {
     "arrayMax" -> (es => fn("array_max", es.head)),
 
     // array analytics (ClickHouse arrayDifference family). These are
-    // index-lambda compositions over Spark HOF nodes; arrayCumSum is
-    // O(n^2) in the array length (slice-sum per prefix) — arrays here
-    // are per-row payloads (tokens, small series), not corpus-sized.
-    "arrayEnumerate" -> (es =>
-      fn("sequence", Literal(1), fn("size", es.head))),
+    // index-lambda compositions over Spark HOF nodes built on the
+    // empty-safe [[indexAxis]]; arrayCumSum is O(n^2) in the array
+    // length (slice-sum per prefix) — arrays here are per-row payloads
+    // (tokens, small series), not corpus-sized.
+    "arrayEnumerate" -> (es => indexAxis(es.head)),
     "arrayUniq" -> (es =>
       Cast(fn("size", fn("array_distinct", es.head)), LongType)),
     "arrayAvg" -> (es =>
-      Divide(sumFold(es.head), Cast(fn("size", es.head), DoubleType))),
+      Divide(Cast(sumFold(es.head), DoubleType),
+        Cast(fn("size", es.head), DoubleType))),
     "arrayProduct" -> (es => {
       val (acc, x, fin) = lambdaVars
-      ArrayAggregate(es.head, Literal(1.0),
+      // double fold like ClickHouse (arrayProduct returns Float64)
+      ArrayAggregate(Cast(es.head, ArrayType(DoubleType)), Literal(1.0),
         LambdaFunction(Multiply(acc, x), Seq(acc, x)),
         LambdaFunction(fin, Seq(fin)))
     }),
@@ -204,9 +226,9 @@ object CHFunctions {
     "arrayDifference" -> (es => {
       val a = es.head
       val i = UnresolvedNamedLambdaVariable(Seq("i"))
-      ArrayTransform(fn("sequence", Literal(1), fn("size", a)),
+      ArrayTransform(indexAxis(a),
         LambdaFunction(
-          If(EqualTo(i, Literal(1)), Literal(0),
+          If(EqualTo(i, Literal(1)), Multiply(ElementAt(a, i), Literal(0)),
             Subtract(ElementAt(a, i), ElementAt(a, Subtract(i, Literal(1))))),
           Seq(i)))
     }),
@@ -214,9 +236,9 @@ object CHFunctions {
       val a = es.head
       val i = UnresolvedNamedLambdaVariable(Seq("i"))
       val (acc, x, fin) = lambdaVars
-      ArrayTransform(fn("sequence", Literal(1), fn("size", a)),
+      ArrayTransform(indexAxis(a),
         LambdaFunction(
-          ArrayAggregate(fn("slice", a, Literal(1), i), Literal(0L),
+          ArrayAggregate(fn("slice", a, Literal(1), i), zeroOf(a),
             LambdaFunction(Add(acc, x), Seq(acc, x)),
             LambdaFunction(fin, Seq(fin))),
           Seq(i)))
@@ -227,7 +249,7 @@ object CHFunctions {
       val i = UnresolvedNamedLambdaVariable(Seq("i"))
       val j = UnresolvedNamedLambdaVariable(Seq("j"))
       ArrayTransform(
-        ArrayFilter(fn("sequence", Literal(1), fn("size", a)),
+        ArrayFilter(indexAxis(a),
           LambdaFunction(
             Or(EqualTo(i, Literal(1)),
               Not(EqualNullSafe(ElementAt(a, i),

@@ -87,7 +87,11 @@ object Dedup {
     * the batch path). */
   def saveNearDupIndex(docs: DataFrame, indexDir: String,
       mode: String = "overwrite"): Unit = {
-    val sig = signaturesFull(docs)
+    // eager checkpoint: the raw-text shingle+minhash pass is the
+    // dominant cost of this operator — without it the sigs write, the
+    // bands write and the bucket-size aggregate would each re-derive
+    // the lazy signature frame, scanning the corpus ~3x
+    val sig = signaturesFull(docs).localCheckpoint()
     sig.select(col("doc_id"), col("sig"))
       .write.mode(mode).parquet(s"$indexDir/sigs")
     val bands = bandKeys(sig)
@@ -113,9 +117,20 @@ object Dedup {
       minEstJaccard: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
     val newSig = signaturesFull(newDocs)
+    // re-apply the bucket cap at READ time: each append enforced it
+    // only within its own batch, so a degenerate key can accumulate
+    // past maxBucket across appends — the cap must hold over the
+    // merged index or one boilerplate bucket makes every future
+    // lookup quadratic. The size aggregate runs over the compact band
+    // table (6 rows/doc), never raw text.
+    val idx = spark.read.parquet(s"$indexDir/bands")
+    val okBuckets = idx.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= maxBucket)
+      .select("band", "bkey")
     val cand = bandKeys(newSig).select(col("doc_id").as("new_doc"),
         col("band"), col("bkey"))
-      .join(spark.read.parquet(s"$indexDir/bands")
+      .join(idx.join(okBuckets, Seq("band", "bkey"))
         .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select("new_doc", "corpus_doc").distinct()

@@ -38,13 +38,22 @@ object MaterializedView {
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a crash between this write and
+        // the checkpoint commit REPLAYS the batch. Writing each batch
+        // as its own partition with dynamic-partition overwrite makes
+        // the replay idempotent (part_id=N replaces part_id=N, never
+        // duplicates it), which is what upgrades the pipeline to
+        // exactly-once results.
         batch.groupBy(col("event_type"))
           .agg(expr("uniqState(user_id)").as("ust"),
             expr("quantileState(value)").as("qst"),
             count(lit(1)).as("n"),
             sum("value").as("sv"))
           .withColumn("part_id", lit(batchId))
-          .write.mode("append").parquet(mvDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("part_id")
+          .parquet(mvDir)
       }
       .start()
   }

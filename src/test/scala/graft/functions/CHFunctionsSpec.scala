@@ -256,6 +256,29 @@ class CHFunctionsSpec extends SparkSpec {
       Seq(Seq(1, "x"), Seq(2, "y")))
   }
 
+  test("array analytics survive empty arrays and double elements") {
+    // sequence(1, size) on an empty array yields [1, 0] (descending
+    // default step) — these must all come back empty, not crash
+    val e = one(
+      """SELECT arrayDifference(array_remove(array(1), 1)),
+        |  arrayCumSum(array_remove(array(1), 1)),
+        |  arrayEnumerate(array_remove(array(1), 1)),
+        |  arrayCompact(array_remove(array(1), 1)),
+        |  arrayAvg(array_remove(array(1), 1))""".stripMargin)
+    assert(e.getSeq[Int](0).isEmpty && e.getSeq[Long](1).isEmpty)
+    assert(e.getSeq[Int](2).isEmpty && e.getSeq[Int](3).isEmpty)
+    assert(e.isNullAt(4) || e.getDouble(4).isNaN) // 0/0: no elements
+    // ArrayAggregate requires the zero in the ELEMENT type; doubles
+    // must fold without analysis errors
+    val d = one(
+      """SELECT arrayCumSum(array(1.5D, 2.5D)), arrayAvg(array(1.0D, 2.0D)),
+        |  arrayDifference(array(1.5D, 4.0D)), arrayProduct(array(2, 3))""".stripMargin)
+    assert(d.getSeq[Double](0) == Seq(1.5, 4.0))
+    assert(d.getDouble(1) == 1.5)
+    assert(d.getSeq[Double](2) == Seq(0.0, 2.5))
+    assert(d.getDouble(3) == 6.0)
+  }
+
   test("string battery under ClickHouse names") {
     val r = one(
       """SELECT positionCH('Hello world', 'world'),

@@ -186,6 +186,17 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = 2)
     try q2.processAllAvailable() finally q2.stop()
     assert(spark.read.parquet(mvDir).count() == before)
+
+    // replay idempotence: foreachBatch is at-least-once, so a batch
+    // whose write landed but whose checkpoint commit didn't will run
+    // again — rewriting its partition must replace, not duplicate
+    val p0 = spark.read.parquet(mvDir).filter(col("part_id") === 0)
+    val replay = spark.createDataFrame(
+      spark.sparkContext.parallelize(p0.collect().toSeq), p0.schema)
+    replay.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_id").parquet(mvDir)
+    assert(spark.read.parquet(mvDir).count() == before)
   }
 
   test("quantile sketch states build incrementally over a stream") {
