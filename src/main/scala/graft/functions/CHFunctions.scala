@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** ClickHouse-dialect functions registered into Spark SQL (SURVEY §2
@@ -48,11 +48,12 @@ object CHFunctions {
   /** A zero literal in the ARRAY'S element type: ArrayAggregate
     * requires merge-result type == zero type and will NOT coerce a
     * long zero up for double elements (analysis error, verified) —
-    * `coalesce(a[1], 0) * 0` is 0 in the element type for any numeric
-    * array, including the empty one (element_at past the end is null,
-    * never an error, for positive indexes). */
+    * `coalesce(try_element_at(a, 1), 0) * 0` is 0 in the element type
+    * for any numeric array, including the empty one (plain element_at
+    * past the end THROWS under ANSI mode; try_element_at is null). */
   private def zeroOf(a: Expression): Expression =
-    Multiply(Coalesce(Seq(ElementAt(a, Literal(1)), Literal(0))), Literal(0))
+    Multiply(Coalesce(Seq(fn("try_element_at", a, Literal(1)), Literal(0))),
+      Literal(0))
 
   /** Σ over an array as a fold in the element's own numeric type. */
   private def sumFold(a: Expression): Expression = {
@@ -213,7 +214,8 @@ object CHFunctions {
     "arrayUniq" -> (es =>
       Cast(fn("size", fn("array_distinct", es.head)), LongType)),
     "arrayAvg" -> (es =>
-      Divide(Cast(sumFold(es.head), DoubleType),
+      // try_divide: empty array is 0/0 → NULL (ANSI Divide would throw)
+      fn("try_divide", Cast(sumFold(es.head), DoubleType),
         Cast(fn("size", es.head), DoubleType))),
     "arrayProduct" -> (es => {
       val (acc, x, fin) = lambdaVars
