@@ -261,6 +261,49 @@ object CHFunctions {
     }),
     "arrayZip" -> (es => fn("arrays_zip", es: _*)),
 
+    // statistical aggregate family (ClickHouse names → Spark natives,
+    // all with map-side partial aggregation). kurtPop: ClickHouse
+    // reports m4/m2² where Spark's kurtosis is the EXCESS form
+    // (m4/m2² − 3) — shift by 3. skewPop ≡ Spark skewness (both
+    // population g1 = m3/m2^1.5).
+    "varPop" -> (es => fn("var_pop", es.head)),
+    "varSamp" -> (es => fn("var_samp", es.head)),
+    "stddevPop" -> (es => fn("stddev_pop", es.head)),
+    "stddevSamp" -> (es => fn("stddev_samp", es.head)),
+    "covarPop" -> (es => fn("covar_pop", es.head, es(1))),
+    "covarSamp" -> (es => fn("covar_samp", es.head, es(1))),
+    "corrCH" -> (es => fn("corr", es.head, es(1))),
+    "skewPop" -> (es => fn("skewness", es.head)),
+    "kurtPop" -> (es => Add(fn("kurtosis", es.head), Literal(3.0))),
+    // avgWeighted(x, w) = Σxw / Σw; try_divide so all-zero weights are
+    // NULL (ClickHouse returns nan) rather than an ANSI error
+    "avgWeighted" -> (es =>
+      fn("try_divide",
+        fn("sum", Multiply(Cast(es.head, DoubleType), Cast(es(1), DoubleType))),
+        fn("sum", Cast(es(1), DoubleType)))),
+    "groupBitAnd" -> (es => fn("bit_and", es.head)),
+    "groupBitOr" -> (es => fn("bit_or", es.head)),
+    "groupBitXor" -> (es => fn("bit_xor", es.head)),
+
+    // mergeable map aggregates (the AggregatingMergeTree sumMap
+    // pattern): sumMap/minMap/maxMap(keys_arr, vals_arr) combine
+    // per-key values across rows into sorted (keys, vals) arrays —
+    // native TypedImperativeAggregate, partial-agg before the shuffle
+    "sumMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Sum)),
+    "minMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Min)),
+    "maxMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Max)),
+
+    // order-dependent neighbor access. ClickHouse's neighbor(x, off)
+    // reads off rows ahead (negative = behind) in block order; the
+    // Spark form is the deterministic window twin — use with
+    // OVER (ORDER BY ...). Negative literal offsets resolve to lag so
+    // both directions stay native window functions.
+    "neighbor" -> (es => es(1) match {
+      case Literal(i: Int, IntegerType) if i < 0 =>
+        fn("lag", (es.head +: Literal(-i) +: es.drop(2)): _*)
+      case _ => fn("lead", es: _*)
+    }),
+
     // map functions (ClickHouse Map type ≈ Spark MapType)
     "mapKeys" -> (es => fn("map_keys", es.head)),
     "mapValues" -> (es => fn("map_values", es.head)),

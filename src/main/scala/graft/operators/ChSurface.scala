@@ -211,6 +211,72 @@ object ChSurface {
         |    (cc * (sdlon * sdlon)))), 0) AS BIGINT) AS dist_m
         |FROM d ORDER BY k1, k2""".stripMargin)),
 
+    // statistical aggregate family (varPop/stddevSamp/covarPop/corr/
+    // skewPop/kurtPop/avgWeighted/groupBit*). The oracle computes the
+    // population skew/kurt from raw power sums (DuckDB's skewness/
+    // kurtosis are the SAMPLE-corrected forms); 4dp rounding is far
+    // above the two formulations' float noise at this scale.
+    ("q_ch_stats",
+      """SELECT l_returnflag,
+        |  round(stddevPop(l_quantity), 4) AS sd_pop,
+        |  round(varSamp(l_quantity), 4) AS var_s,
+        |  round(covarPop(l_quantity, l_extendedprice), 2) AS cov_qp,
+        |  round(corrCH(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(skewPop(l_quantity), 4) AS skew_q,
+        |  round(kurtPop(l_quantity), 4) AS kurt_q,
+        |  round(avgWeighted(l_discount, l_quantity), 6) AS wavg_disc,
+        |  groupBitAnd(l_linenumber) AS ba,
+        |  groupBitOr(l_linenumber) AS bo,
+        |  bitAnd(groupBitXor(l_orderkey), 65535) AS bx
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Some("""WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n, avg(l_quantity) AS mu,
+        |    avg(l_quantity * l_quantity) AS s2,
+        |    avg(l_quantity * l_quantity * l_quantity) AS s3,
+        |    avg(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
+        |    stddev_pop(l_quantity) AS sd_pop, var_samp(l_quantity) AS var_s,
+        |    covar_pop(l_quantity, l_extendedprice) AS cov_qp,
+        |    corr(l_quantity, l_extendedprice) AS corr_qp,
+        |    sum(l_discount * l_quantity) / sum(l_quantity) AS wavg_disc,
+        |    bit_and(l_linenumber) AS ba, bit_or(l_linenumber) AS bo,
+        |    bit_xor(l_orderkey) AS bx
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  round(sd_pop, 4) AS sd_pop, round(var_s, 4) AS var_s,
+        |  round(cov_qp, 2) AS cov_qp, round(corr_qp, 4) AS corr_qp,
+        |  round((s3 - (3 * mu * s2) + (2 * mu * mu * mu))
+        |    / pow(s2 - (mu * mu), 1.5), 4) AS skew_q,
+        |  round((s4 - (4 * mu * s3) + (6 * mu * mu * s2) - (3 * mu * mu * mu * mu))
+        |    / pow(s2 - (mu * mu), 2), 4) AS kurt_q,
+        |  round(wavg_disc, 6) AS wavg_disc,
+        |  ba, bo, bx & 65535 AS bx
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+
+    // mergeable map aggregates (sumMap/minMap/maxMap): per-status
+    // figures aggregated INTO a map per priority by the native
+    // partial-agg MapCombineAgg, then exploded back to scalar rows so
+    // the result is oracle-hashable. The oracle computes the same
+    // figures with a plain two-key GROUP BY.
+    ("q_ch_maps",
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |    sumMap(array(o_orderstatus), array(o_totalprice)) AS s,
+        |    minMap(array(o_orderstatus), array(o_totalprice)) AS mn,
+        |    maxMap(array(o_orderstatus), array(o_totalprice)) AS mx
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o_orderpriority, k AS status,
+        |  round(element_at(s.vals, i + 1), 2) AS total,
+        |  round(element_at(mn.vals, i + 1), 2) AS lo,
+        |  round(element_at(mx.vals, i + 1), 2) AS hi
+        |FROM m LATERAL VIEW posexplode(s.keys) AS i, k
+        |ORDER BY o_orderpriority, status""".stripMargin,
+      Some("""SELECT o_orderpriority, o_orderstatus AS status,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

@@ -367,4 +367,80 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(10) == 3.5) // CH divide is float division
     assert(r.getInt(11) == 1 && r.getInt(12) == -5)
   }
+
+  test("statistical aggregate family under ClickHouse names") {
+    // x = 2,4,4,4,5,5,7,9: classic σ²_pop = 4 example
+    val r = one(
+      """SELECT stddevPop(x), varPop(x), varSamp(x), skewPop(x), kurtPop(x),
+        |  covarPop(x, 2 * x), corrCH(x, 3 * x),
+        |  avgWeighted(x, w), groupBitAnd(x), groupBitOr(x), groupBitXor(x)
+        |FROM VALUES (2, 0), (4, 0), (4, 0), (4, 0), (5, 1),
+        |            (5, 1), (7, 0), (9, 1) t(x, w)""".stripMargin)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 4.0)
+    assert(math.abs(r.getDouble(2) - 32.0 / 7) < 1e-12)
+    // m3 = avg((x-5)^3) = (−27+3·(−1)+0+8+64)/8 = 42/8; skew = m3/8
+    assert(math.abs(r.getDouble(3) - (42.0 / 8) / 8) < 1e-12)
+    // m4 = (81+3+0+0+16+256)/8 = 44.5; CH kurtPop = m4/m2² (no −3)
+    assert(math.abs(r.getDouble(4) - 44.5 / 16) < 1e-12)
+    assert(r.getDouble(5) == 8.0) // cov(x, 2x) = 2·var
+    assert(math.abs(r.getDouble(6) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(7) - 19.0 / 3) < 1e-12) // (5+5+9)/3
+    assert(r.getInt(8) == 0 && r.getInt(9) == 15)
+    assert(r.getInt(10) == (2 ^ 4 ^ 4 ^ 4 ^ 5 ^ 5 ^ 7 ^ 9))
+  }
+
+  test("avgWeighted with all-zero weights is null, not an ANSI error") {
+    val r = one("SELECT avgWeighted(x, 0) FROM VALUES (1), (2) t(x)")
+    assert(r.isNullAt(0))
+  }
+
+  test("sumMap/minMap/maxMap combine per-key values across rows") {
+    val r = one(
+      """SELECT sumMap(k, v), minMap(k, v), maxMap(k, v)
+        |FROM VALUES (array('b', 'a'), array(2.0D, 1.0D)),
+        |            (array('a', 'c'), array(10.0D, 5.0D)),
+        |            (array('b'), array(3.0D)) t(k, v)""".stripMargin)
+    val s = r.getStruct(0)
+    assert(s.getSeq[String](0) == Seq("a", "b", "c")) // sorted keys
+    assert(s.getSeq[Double](1) == Seq(11.0, 5.0, 5.0))
+    assert(r.getStruct(1).getSeq[Double](1) == Seq(1.0, 2.0, 5.0))
+    assert(r.getStruct(2).getSeq[Double](1) == Seq(10.0, 3.0, 5.0))
+  }
+
+  test("sumMap: integer keys sort numerically; nulls and ragged arrays skip") {
+    val r = one(
+      """SELECT sumMap(k, v)
+        |FROM VALUES (array(10, 2), array(1, 1)),
+        |            (array(2, 10, 99), array(1, 1)),
+        |            (CAST(null AS ARRAY<INT>), array(9)),
+        |            (array(2, null), array(1, 1)) t(k, v)""".stripMargin)
+    val s = r.getStruct(0)
+    // 99 has no paired value (prefix zip); null key/array rows skip
+    assert(s.getSeq[Int](0) == Seq(2, 10))
+    assert(s.getSeq[Double](1) == Seq(3.0, 2.0))
+  }
+
+  test("sumMap partial-aggregates across partitions") {
+    import org.apache.spark.sql.functions._
+    CHFunctions.register(spark)
+    val df = spark.range(0, 1000).repartition(8)
+      .selectExpr("sumMap(array(CAST(id % 3 AS INT)), array(1)) AS m")
+    val s = df.collect().head.getStruct(0)
+    assert(s.getSeq[Int](0) == Seq(0, 1, 2))
+    assert(s.getSeq[Double](1) == Seq(334.0, 333.0, 333.0))
+    // the plan must carry a partial aggregation stage (map-side combine)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_mapcombineagg"),
+      s"expected partial aggregation in plan:\n$plan")
+  }
+
+  test("neighbor reads ahead and behind in window order") {
+    val r = spark.sql(
+      """SELECT collect_list(nxt), collect_list(prv) FROM (
+        |  SELECT neighbor(x, 1) OVER (ORDER BY x) AS nxt,
+        |         neighbor(x, -1) OVER (ORDER BY x) AS prv
+        |  FROM VALUES (1), (2), (3) t(x))""".stripMargin).collect().head
+    assert(r.getSeq[Int](0) == Seq(2, 3)) // last row's lead is null
+    assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
+  }
 }
