@@ -191,13 +191,67 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Span length and document-frequency threshold for
+    * [[textBoilerplate]]: an 8-gram seen in ≥ 2 distinct documents is
+    * treated as boilerplate (at real scale the threshold rises with
+    * corpus size; 2 is the interesting setting for the synthetic SF). */
+  val SpanLen = 8
+  val SpanDf = 2
+
+  /** D26: frequent-span masking — the line/paragraph boilerplate
+    * removal pass of a training-data pipeline (C4-style), at token-span
+    * granularity: any [[SpanLen]]-gram appearing in ≥ [[SpanDf]]
+    * distinct documents is masked OUT of every document, and the doc is
+    * re-assembled from the surviving tokens (md5 fingerprint proves the
+    * rewrite byte-identical vs the oracle).
+    *
+    * Scale shape: the corpus is shingled ONCE (narrow explode); span
+    * document-frequencies take one partial-agg shuffle; the frequent
+    * set is small by construction (boilerplate = repeated ⇒ bounded by
+    * corpus/df) and BROADCASTS back, so hit detection is map-side; the
+    * per-doc hit-position aggregate shuffles only matching spans, never
+    * the corpus; the final mask is a narrow indexed-lambda filter. No
+    * step is quadratic and nothing corpus-sized crosses more than one
+    * shuffle. */
+  val textBoilerplate: Q = (s, dir) => {
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // pos from posexplode = 0-based start index of the span in toks
+    val spans = docs.select(col("doc_id"),
+      posexplode(expr(
+        s"""transform(sequence(1, greatest(size(toks) - ${SpanLen - 1}, 1)),
+           |  i -> concat_ws(' ', slice(toks, i, $SpanLen)))""".stripMargin))
+        .as(Seq("pos", "span")))
+    val frequent = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= SpanDf)
+      .select("span")
+    val hits = spans.join(broadcast(frequent), "span")
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("starts"))
+      .select(col("doc_id"),
+        expr(s"array_distinct(flatten(transform(starts, p -> sequence(p, p + ${SpanLen - 1}))))")
+          .as("cov"))
+    docs.join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("cov"), expr("array()")).as("cov"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_toks"),
+        expr("filter(toks, (x, i) -> NOT array_contains(cov, i))").as("clean"))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("clean"))).cast("long").as("n_masked"),
+        md5(array_join(col("clean"), " ")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "seq_pack" -> seqPack,
     "text_repetition" -> textRepetition,
     "pii_scrub" -> piiScrub,
     "mix_sample" -> mixSample,
     "text_chunk" -> textChunk,
-    "text_surprisal" -> textSurprisal)
+    "text_surprisal" -> textSurprisal,
+    "text_boilerplate" -> textBoilerplate)
 
   val oracles: Map[String, String] = Map(
     "seq_pack" ->
@@ -291,5 +345,32 @@ object Curation {
         |  CAST(sum(CASE WHEN u < rate * 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
         |  round(sum(CASE WHEN u < rate * 10000 THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS realized_rate
-        |FROM d GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_boilerplate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, tk,
+         |    unnest(range(0, greatest(len(tk) - ${SpanLen - 1}, 1))) AS pos
+         |  FROM toks),
+         |sh2 AS (
+         |  SELECT doc_id, pos,
+         |    array_to_string(tk[pos + 1:pos + $SpanLen], ' ') AS span
+         |  FROM sh),
+         |freq AS (
+         |  SELECT span FROM sh2 GROUP BY span
+         |  HAVING count(DISTINCT doc_id) >= $SpanDf),
+         |cov AS (
+         |  SELECT doc_id,
+         |    list_distinct(flatten(list(range(pos, pos + $SpanLen)))) AS cov
+         |  FROM sh2 SEMI JOIN freq USING (span) GROUP BY doc_id),
+         |masked AS (
+         |  SELECT t.doc_id, t.tk,
+         |    list_filter(t.tk,
+         |      (x, i) -> NOT list_contains(coalesce(cov.cov, []), i - 1)) AS clean
+         |  FROM toks t LEFT JOIN cov ON t.doc_id = cov.doc_id)
+         |SELECT doc_id, len(tk)::BIGINT AS n_toks,
+         |  (len(tk) - len(clean))::BIGINT AS n_masked,
+         |  md5(coalesce(array_to_string(clean, ' '), '')) AS clean_md5
+         |FROM masked ORDER BY doc_id""".stripMargin)
 }

@@ -143,4 +143,32 @@ class CurationSpec extends SparkSpec {
       .toMap
     assert(out == again)
   }
+
+  test("text_boilerplate masks planted repeated spans and nothing else") {
+    import spark.implicits._
+    val boiler = (1 to Curation.SpanLen).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      // the shared 8-token span is planted in docs 1 and 2 at different
+      // offsets; the surrounding tokens are unique per doc
+      (1L, s"u1 u2 $boiler u3 u4"),
+      (2L, s"$boiler v1 v2 v3 v4 v5 v6 v7 v8"),
+      // doc 3 shares nothing 8 tokens long with any other doc
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Curation.textBoilerplate(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    // exactly the planted span masks in docs 1 and 2; doc 3 untouched
+    assert(out(1L) == ((12L, 8L, md5hex("u1 u2 u3 u4"))))
+    assert(out(2L) == ((16L, 8L,
+      md5hex("v1 v2 v3 v4 v5 v6 v7 v8"))))
+    assert(out(3L)._2 == 0L &&
+      out(3L)._3 == md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 }
