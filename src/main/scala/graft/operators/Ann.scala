@@ -230,10 +230,134 @@ object Ann {
     topK(scored)
   }
 
+  private val PqM = 8 // subspaces
+  private val PqK = 32 // codes per subspace
+  private val PqShortlist = 50 // ADC candidates kept for exact rerank
+
+  /** Split each vector into [[PqM]] equal sub-vectors:
+    * (vec_id, sub, sv) rows. Narrow (one explode, no shuffle). */
+  private def subVectors(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), posexplode(expr(
+      s"""transform(sequence(0, ${PqM - 1}),
+         |  j -> slice(v, j * int(size(v) / $PqM) + 1, int(size(v) / $PqM)))"""
+        .stripMargin)).as(Seq("sub", "sv")))
+
+  /** Squared L2 between the row's sub-vector and a candidate codeword. */
+  private val subDist2: Column = expr(
+    """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+      |          cast(0 as double), (acc, z) -> acc + z)""".stripMargin)
+
+  /** Product-quantization codebooks: per-subspace k-means, all [[PqM]]
+    * subspaces trained JOINTLY in one DataFrame loop (one Spark job per
+    * Lloyd pass total, not per subspace). Same scale contract as
+    * [[trainCentroids]]: passes run over a bounded deterministic
+    * sample; the assignment is a partial-agg `min_by` (no window
+    * exchange); the codebook (m × k × dim/m doubles — KB-scale by
+    * contract) lands on the driver each pass and re-lifts as a local
+    * relation, which is also what the ADC tables are computed from.
+    * Cells that lose all members drop out (standard empty-cell k-means
+    * behavior; seeded from the first k vectors for reproducibility). */
+  private[graft] def trainPqCodebooks(
+      e: DataFrame, iters: Int): Seq[(Int, Long, Seq[Double])] = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val subs = subVectors(boundedSample(e, "vec_id"))
+    var local = subVectors(e.filter(col("vec_id") < PqK))
+      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
+      .as[(Int, Long, Seq[Double])].collect().toSeq
+    for (_ <- 0 until iters) {
+      val cents = broadcast(local.toDF("sub", "cell", "cv"))
+      local = subs.join(cents, "sub")
+        .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
+          subDist2.as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
+          first(col("sv")).as("sv"))
+        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("sub", "cell", "pos")
+        .agg(avg("x").as("cx"))
+        .groupBy("sub", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
+        .select(col("sub"), col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
+        .as[(Int, Long, Seq[Double])].collect().toSeq
+    }
+    local
+  }
+
+  /** D27: product-quantization ANN — the memory-lean scale path beyond
+    * int8: each vector stores as [[PqM]] byte codes (m × log2(k) bits ≈
+    * 8 bytes here vs 256 for float32), search scans CODES with
+    * asymmetric-distance lookup tables and only the ADC shortlist
+    * touches float vectors again for the exact rerank.
+    *
+    * Scale shape: encode is one broadcast-join + partial-agg `min_by`
+    * per (vec, sub) — the corpus shuffles once, as codes; the ADC
+    * tables (queries × m × k dot products) are computed ON THE DRIVER
+    * from the collected codebook + query set (both KB-scale by
+    * contract) and broadcast; scoring is a narrow m-term lookup sum per
+    * (vector, query); the per-query shortlist reduces through the
+    * bounded [[graft.functions.CosTopK]] partial aggregate, so at no
+    * point does a reducer see a query's full candidate list. The rerank
+    * joins the (queries × shortlist)-sized id set — broadcast — back to
+    * the float vectors and re-scores exactly, which is what makes the
+    * emitted cos_sim values exact cosines ranked exactly. */
+  val annPq: Q = (s, dir) => {
+    import s.implicits._
+    val e = unitVectors(s, dir)
+    val book = trainPqCodebooks(e, iters = 2)
+    val cents = broadcast(book.toDF("sub", "cell", "cv"))
+
+    val codes = subVectors(e).join(cents, "sub")
+      .select(col("vec_id"), col("sub"), col("cell"), subDist2.as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), p -> p.code)")
+        .as("codes"))
+
+    // query set + ADC lookup tables, driver-computed from the collected
+    // codebook (queries are bounded by contract, the codebook is KB-scale)
+    val qs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val subLen = qs.head._2.length / PqM
+    val centMap = book.map { case (sub, cell, cv) => (sub, cell) -> cv }.toMap
+    val adcRows = qs.map { case (qid, qv) =>
+      val adc = Array.fill(PqM * PqK)(Double.MinValue)
+      for (j <- 0 until PqM; c <- 0 until PqK) {
+        centMap.get((j, c.toLong)).foreach { cv =>
+          var dp = 0.0
+          var t = 0
+          while (t < subLen) { dp += qv(j * subLen + t) * cv(t); t += 1 }
+          adc(j * PqK + c) = dp
+        }
+      }
+      (qid, adc.toSeq)
+    }
+
+    val scored = codes.join(broadcast(adcRows.toDF("q_id", "adc")),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor"), expr(
+        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
+           |  (acc, j) -> acc + element_at(adc, j * $PqK + int(element_at(codes, int(j) + 1)) + 1))"""
+          .stripMargin).as("approx_sim"))
+
+    val shortlist = scored.groupBy("q_id")
+      .agg(expr(s"cosTopK(struct(approx_sim, neighbor), $PqShortlist)").as("top"))
+      .select(col("q_id"), explode(expr("transform(top, t -> t.neighbor)")).as("vec_id"))
+
+    val exact = e.join(broadcast(shortlist), "vec_id")
+      .join(broadcast(qs.toDF("q_id", "qv")), "q_id")
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        round(dot("qv", "v"), 4).as("cos_sim"))
+    topK(exact)
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_bruteforce" -> annBruteforce,
     "ann_quantized" -> annQuantized,
-    "ann_ivf" -> annIvf)
+    "ann_ivf" -> annIvf,
+    "ann_pq" -> annPq)
 
   val oracles: Map[String, String] = Map(
     "ann_bruteforce" ->

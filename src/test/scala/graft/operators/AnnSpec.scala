@@ -45,6 +45,28 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.9)
   }
 
+  test("PQ shortlist + exact rerank recalls the float top-k") {
+    val truth = topSets(Ann.annBruteforce(spark, dir).collect())
+    val pq = Ann.annPq(spark, dir).collect()
+    val approx = topSets(pq)
+    val recall = truth.keys.toSeq.map { q =>
+      (truth(q) & approx.getOrElse(q, Set.empty)).size.toDouble / truth(q).size
+    }.sum / truth.size
+    info(s"PQ recall@5 = $recall")
+    // 50-candidate ADC shortlist of 500 vectors, reranked exactly: the
+    // shortlist only needs to CONTAIN the top-5; rerank fixes the order
+    assert(recall >= 0.7)
+    // reranked similarities are exact cosines in exact descending order
+    val truthRows = Ann.annBruteforce(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    pq.foreach { r =>
+      truthRows.get((r.getLong(0), r.getLong(1))).foreach { exact =>
+        assert(math.abs(exact - r.getDouble(2)) < 1e-9,
+          s"PQ emitted a non-exact cosine for ${r.getLong(0)}->${r.getLong(1)}")
+      }
+    }
+  }
+
   test("IVF scans only probed cells (candidate pruning)") {
     val nCand = Ann.annIvf(spark, dir).count()
     assert(nCand <= 10L * 5)
