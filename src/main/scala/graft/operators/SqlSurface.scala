@@ -356,6 +356,26 @@ object SqlSurface {
         |FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""".stripMargin,
       None),
 
+    // Fixed-bin histogram (the GROUP BY width_bucket shape ClickHouse's
+    // histogram() feeds dashboards with). Bin arithmetic is explicit
+    // floor division in BOTH engines so edge semantics match exactly;
+    // one partial-agg shuffle, O(bins) output regardless of corpus.
+    ("q_histogram",
+      """WITH b AS (
+        |  SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT bin, bin * 30000 AS lo, (bin + 1) * 30000 AS hi,
+        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+      Some("""WITH b AS (
+        |  SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT bin, bin * 30000 AS lo, (bin + 1) * 30000 AS hi,
+        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
+
     // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,
     // no cross-engine oracle; exact variant is verified as q_distinct.
     ("q_uniq",
