@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver scrapes the tail of `sbt "runMain graft.Bench"` for one raw
+// JSON line. sbt's logger prefixes every forwarded line with "[info] "
+// and appends a "[success] Total time" line, both of which break a
+// strict json parse of the output — pass the forked process's stdio
+// through untouched and drop the success banner so the JSON line is the
+// last thing printed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += run / outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -19,7 +19,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: registration of dialect names that shadow Spark built-ins
+    // (ifNull/startsWith/endsWith) logs a WARN per name, and the driver
+    // scrapes this run's output tail for the JSON line — keep it clean.
+    spark.sparkContext.setLogLevel("ERROR")
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()

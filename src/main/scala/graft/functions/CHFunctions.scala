@@ -484,12 +484,17 @@ object CHFunctions {
     "cosineDistance" -> (es =>
       Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))))
 
-  /** Register into a live session (used by [[graft.sql.TableEnv]]). */
-  def register(spark: SparkSession): Unit =
-    all.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info(name), builder)
-    }
+  /** Register into a live session (used by [[graft.sql.TableEnv]]).
+    * Idempotent: re-registering an existing function makes Spark's
+    * registry log a WARN per name, so skip sessions already carrying
+    * the pack (sentinel: the pack-private `cosTopK`). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("cosTopK")))
+      all.foreach { case (name, builder) =>
+        reg.registerFunction(FunctionIdentifier(name), info(name), builder)
+      }
+  }
 
   /** Register at session build time via `withExtensions`. */
   def inject(ext: SparkSessionExtensions): Unit =
