@@ -284,6 +284,15 @@ object CHFunctions {
     "groupBitAnd" -> (es => fn("bit_and", es.head)),
     "groupBitOr" -> (es => fn("bit_or", es.head)),
     "groupBitXor" -> (es => fn("bit_xor", es.head)),
+    // entropy(x): Shannon entropy (base 2) of the value distribution —
+    // native TypedImperativeAggregate, per-value counts combine map-side
+    "entropy" -> (es => EntropyAgg(es.head)),
+    // uniqUpTo(x, n): exact distinct count while ≤ n, else n+1 — the
+    // "more than n?" probe that skips a full exact-distinct state
+    "uniqUpTo" -> (es =>
+      Least(Seq(
+        Count(Seq(es.head)).toAggregateExpression(isDistinct = true),
+        Add(Cast(es(1), LongType), Literal(1L))))),
 
     // mergeable map aggregates (the AggregatingMergeTree sumMap
     // pattern): sumMap/minMap/maxMap(keys_arr, vals_arr) combine
@@ -482,7 +491,13 @@ object CHFunctions {
     })),
     "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
     "cosineDistance" -> (es =>
-      Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))))
+      Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))),
+    // ClickHouse vector-distance family over array<double>
+    "dotProduct" -> (es => DotProduct(es.head, es(1))),
+    "L2SquaredDistance" -> (es => L2SquaredDistance(es.head, es(1))),
+    "L2Distance" -> (es => Sqrt(L2SquaredDistance(es.head, es(1)))),
+    "L2Norm" -> (es => Sqrt(DotProduct(es.head, es.head))),
+    "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)))
 
   /** Register into a live session (used by [[graft.sql.TableEnv]]).
     * Idempotent: re-registering an existing function makes Spark's

@@ -21,10 +21,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * before the shuffle — the same reason [[CosTopK]] exists. A
   * compositional explode + groupBy would shuffle every array element.
   *
-  * Keys: string or integral (int/long) element types; values: any
-  * numeric, combined in double. Key arrays shorter/longer than the
-  * value array contribute only the zipped prefix (ClickHouse requires
-  * equal sizes; we take the common prefix rather than erroring).
+  * Keys: string or integral (int/long) element types; string keys sort
+  * in UTF-8 binary order (ClickHouse/Spark UTF8String order, not Java
+  * UTF-16 order — they differ for supplementary-plane characters).
+  * Values: any numeric. Integral value inputs accumulate and return as
+  * `bigint` (type-preserving, exact past 2^53 where a double mantissa
+  * loses integer precision); fractional/decimal inputs combine in
+  * double. Key arrays shorter/longer than the value array contribute
+  * only the zipped prefix (ClickHouse requires equal sizes; we take
+  * the common prefix rather than erroring).
   */
 case class MapCombineAgg(
     keys: Expression,
@@ -32,7 +37,7 @@ case class MapCombineAgg(
     mode: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.HashMap[Any, Double]] {
+  extends TypedImperativeAggregate[mutable.HashMap[Any, Any]] {
 
   import MapCombineAgg._
 
@@ -45,6 +50,15 @@ case class MapCombineAgg(
   }
 
   private def stringKeys: Boolean = keyType == StringType
+
+  /** Integral inputs keep an exact Long accumulation path. */
+  private def integralVals: Boolean = values.dataType match {
+    case ArrayType(et, _) => et match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    case _ => false
+  }
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -62,26 +76,41 @@ case class MapCombineAgg(
 
   override def dataType: DataType = StructType(Seq(
     StructField("keys", ArrayType(keyType, containsNull = false), nullable = false),
-    StructField("vals", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("vals",
+      ArrayType(if (integralVals) LongType else DoubleType, containsNull = false),
+      nullable = false)))
 
-  override def createAggregationBuffer(): mutable.HashMap[Any, Double] =
+  override def createAggregationBuffer(): mutable.HashMap[Any, Any] =
     mutable.HashMap.empty
 
-  private def combine(buf: mutable.HashMap[Any, Double], k: Any, v: Double): Unit = {
-    val cur = buf.get(k)
-    val next = cur match {
+  // buffer values are uniformly java.lang.Long (integralVals) or
+  // java.lang.Double — picked once by the input's element type, so the
+  // unchecked casts below never cross paths
+  private def combine(buf: mutable.HashMap[Any, Any], k: Any, v: Any): Unit = {
+    val next = buf.get(k) match {
       case None => v
-      case Some(c) => mode match {
-        case Sum => c + v
-        case Min => math.min(c, v)
-        case Max => math.max(c, v)
-      }
+      case Some(c) =>
+        if (integralVals) {
+          val cl = c.asInstanceOf[Long]; val vl = v.asInstanceOf[Long]
+          mode match {
+            case Sum => Long.box(cl + vl)
+            case Min => Long.box(math.min(cl, vl))
+            case Max => Long.box(math.max(cl, vl))
+          }
+        } else {
+          val cd = c.asInstanceOf[Double]; val vd = v.asInstanceOf[Double]
+          mode match {
+            case Sum => Double.box(cd + vd)
+            case Min => Double.box(math.min(cd, vd))
+            case Max => Double.box(math.max(cd, vd))
+          }
+        }
     }
     buf.update(k, next)
   }
 
   override def update(
-      buf: mutable.HashMap[Any, Double], input: InternalRow): mutable.HashMap[Any, Double] = {
+      buf: mutable.HashMap[Any, Any], input: InternalRow): mutable.HashMap[Any, Any] = {
     val ka = keys.eval(input).asInstanceOf[ArrayData]
     val va = values.eval(input).asInstanceOf[ArrayData]
     if (ka != null && va != null) {
@@ -97,14 +126,15 @@ case class MapCombineAgg(
             case LongType => ka.getLong(i)
             case other => throw new IllegalStateException(s"unsupported key type $other")
           }
-          val v = vt match {
-            case DoubleType => va.getDouble(i)
-            case FloatType => va.getFloat(i).toDouble
-            case LongType => va.getLong(i).toDouble
-            case IntegerType => va.getInt(i).toDouble
-            case ShortType => va.getShort(i).toDouble
-            case ByteType => va.getByte(i).toDouble
-            case d: DecimalType => va.getDecimal(i, d.precision, d.scale).toDouble
+          val v: Any = vt match {
+            case LongType => Long.box(va.getLong(i))
+            case IntegerType => Long.box(va.getInt(i).toLong)
+            case ShortType => Long.box(va.getShort(i).toLong)
+            case ByteType => Long.box(va.getByte(i).toLong)
+            case DoubleType => Double.box(va.getDouble(i))
+            case FloatType => Double.box(va.getFloat(i).toDouble)
+            case d: DecimalType =>
+              Double.box(va.getDecimal(i, d.precision, d.scale).toDouble)
             case other => throw new IllegalStateException(s"unsupported value type $other")
           }
           combine(buf, k, v)
@@ -116,49 +146,67 @@ case class MapCombineAgg(
   }
 
   override def merge(
-      buf: mutable.HashMap[Any, Double],
-      other: mutable.HashMap[Any, Double]): mutable.HashMap[Any, Double] = {
+      buf: mutable.HashMap[Any, Any],
+      other: mutable.HashMap[Any, Any]): mutable.HashMap[Any, Any] = {
     other.foreach { case (k, v) => combine(buf, k, v) }
     buf
   }
 
-  override def eval(buf: mutable.HashMap[Any, Double]): Any = {
+  override def eval(buf: mutable.HashMap[Any, Any]): Any = {
+    // string keys: UTF-8 binary order (UTF8String.compareTo), matching
+    // the engine's ORDER BY on the same column
     val sorted =
-      if (stringKeys) buf.toSeq.sortBy(_._1.asInstanceOf[String])
+      if (stringKeys)
+        buf.toSeq
+          .map { case (k, v) => (UTF8String.fromString(k.asInstanceOf[String]), v) }
+          .sortBy(_._1)
       else buf.toSeq.sortBy(_._1.asInstanceOf[Long])
     val keysOut: Array[Any] = sorted.map { case (k, _) =>
       keyType match {
-        case StringType => UTF8String.fromString(k.asInstanceOf[String])
+        case StringType => k
         case IntegerType => Int.box(k.asInstanceOf[Long].toInt)
         case LongType => Long.box(k.asInstanceOf[Long])
         case other => throw new IllegalStateException(s"unsupported key type $other")
       }
     }.toArray
-    val valsOut: Array[Any] = sorted.map(p => Double.box(p._2)).toArray
+    val valsOut: Array[Any] = sorted.map(_._2).toArray
     InternalRow(new GenericArrayData(keysOut), new GenericArrayData(valsOut))
   }
 
-  override def serialize(buf: mutable.HashMap[Any, Double]): Array[Byte] = {
+  override def serialize(buf: mutable.HashMap[Any, Any]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (k, v) =>
-      if (stringKeys) out.writeUTF(k.asInstanceOf[String])
-      else out.writeLong(k.asInstanceOf[Long])
-      out.writeDouble(v)
+      if (stringKeys) {
+        // length-prefixed UTF-8 (writeUTF caps at 65535 bytes and
+        // throws on longer keys — a shuffle-time crash on wide keys)
+        val kb = k.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(kb.length)
+        out.write(kb)
+      } else out.writeLong(k.asInstanceOf[Long])
+      if (integralVals) out.writeLong(v.asInstanceOf[Long])
+      else out.writeDouble(v.asInstanceOf[Double])
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Double] = {
+  override def deserialize(bytes: Array[Byte]): mutable.HashMap[Any, Any] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.HashMap.empty[Any, Double]
+    val buf = mutable.HashMap.empty[Any, Any]
     var i = 0
     while (i < n) {
-      val k: Any = if (stringKeys) in.readUTF() else in.readLong()
-      buf.update(k, in.readDouble())
+      val k: Any =
+        if (stringKeys) {
+          val kb = new Array[Byte](in.readInt())
+          in.readFully(kb)
+          new String(kb, java.nio.charset.StandardCharsets.UTF_8)
+        } else in.readLong()
+      val v: Any =
+        if (integralVals) Long.box(in.readLong()) else Double.box(in.readDouble())
+      buf.update(k, v)
       i += 1
     }
     buf

@@ -242,10 +242,12 @@ object Ann {
          |  j -> slice(v, j * int(size(v) / $PqM) + 1, int(size(v) / $PqM)))"""
         .stripMargin)).as(Seq("sub", "sv")))
 
-  /** Squared L2 between the row's sub-vector and a candidate codeword. */
-  private val subDist2: Column = expr(
-    """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
-      |          cast(0 as double), (acc, z) -> acc + z)""".stripMargin)
+  /** Squared L2 between the row's sub-vector and a candidate codeword —
+    * the native codegen'd [[graft.functions.L2SquaredDistance]]: the
+    * encode pass evaluates this corpus × subspaces × codewords times,
+    * and the interpreted `aggregate(zip_with(...))` tree it replaced
+    * allocated per evaluation. */
+  private val subDist2: Column = expr("L2SquaredDistance(sv, cv)")
 
   /** Product-quantization codebooks: per-subspace k-means, all [[PqM]]
     * subspaces trained JOINTLY in one DataFrame loop (one Spark job per
@@ -261,6 +263,12 @@ object Ann {
       e: DataFrame, iters: Int): Seq[(Int, Long, Seq[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
+    // subVectors slices int(dim/m) elements per subspace — a non-divisible
+    // dim would silently drop the trailing dims from training AND scoring
+    // (quietly degraded recall); fail loudly instead
+    val dim = e.limit(1).select(size(col("v"))).as[Int].head()
+    require(dim % PqM == 0,
+      s"PQ requires embedding dim divisible by $PqM subspaces, got $dim")
     val subs = subVectors(boundedSample(e, "vec_id"))
     var local = subVectors(e.filter(col("vec_id") < PqK))
       .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
@@ -320,6 +328,8 @@ object Ann {
     val qs = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
       .as[(Long, Seq[Double])].collect().toSeq
+    require(qs.nonEmpty,
+      s"PQ search needs a non-empty query set (no vec_id < $NumQueries)")
     val subLen = qs.head._2.length / PqM
     val centMap = book.map { case (sub, cell, cv) => (sub, cell) -> cv }.toMap
     val adcRows = qs.map { case (qid, qv) =>

@@ -277,6 +277,53 @@ object ChSurface {
         |  round(max(o_totalprice), 2) AS hi
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // vector-distance family (dotProduct/L2Distance/L2SquaredDistance/
+    // cosineDistance/L2Norm) over consecutive embedding pairs — all
+    // native codegen'd loops (graft.functions.VectorExpressions); the
+    // oracle uses DuckDB's list_* twins. 4dp/6dp rounding clears the
+    // two engines' summation-order float noise.
+    ("q_ch_vector",
+      """SELECT a.vec_id,
+        |  round(L2Distance(a.embedding, b.embedding), 4) AS l2,
+        |  round(L2SquaredDistance(a.embedding, b.embedding), 4) AS l2sq,
+        |  round(dotProduct(a.embedding, b.embedding), 4) AS dp,
+        |  round(cosineDistance(a.embedding, b.embedding), 6) AS cdist,
+        |  round(L2Norm(a.embedding), 4) AS nrm
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin,
+      Some("""SELECT a.vec_id,
+        |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2,
+        |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+        |        * list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2sq,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dp,
+        |  round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cdist,
+        |  round(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 4) AS nrm
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin)),
+
+    // entropy(x) — Shannon entropy of the per-group event-type
+    // distribution through the native partial-agg EntropyAgg — plus
+    // uniqUpTo(x, n), the capped exact distinct. The oracle recomputes
+    // the entropy from a two-level GROUP BY.
+    ("q_ch_entropy",
+      """SELECT user_id % 10 AS grp,
+        |  round(entropy(event_type), 6) AS ent,
+        |  uniqUpTo(event_type, 3) AS up_to,
+        |  count(*) AS n
+        |FROM events GROUP BY user_id % 10 ORDER BY grp""".stripMargin,
+      Some("""WITH c AS (
+        |  SELECT user_id % 10 AS grp, event_type, count(*)::DOUBLE AS c
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT grp, sum(c) AS n, least(count(*), 4) AS up_to
+        |  FROM c GROUP BY grp)
+        |SELECT c.grp AS grp,
+        |  round(-sum((c.c / t.n) * log2(c.c / t.n)), 6) AS ent,
+        |  min(t.up_to) AS up_to,
+        |  CAST(min(t.n) AS BIGINT) AS n
+        |FROM c JOIN t ON c.grp = t.grp
+        |GROUP BY c.grp ORDER BY grp""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

@@ -360,19 +360,25 @@ object SqlSurface {
     // histogram() feeds dashboards with). Bin arithmetic is explicit
     // floor division in BOTH engines so edge semantics match exactly;
     // one partial-agg shuffle, O(bins) output regardless of corpus.
+    // Bin 9 is the overflow bucket (everything >= 270000 clamps into
+    // it), so its hi is the observed max, not the nominal bin edge.
     ("q_histogram",
       """WITH b AS (
         |  SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
         |    o_totalprice
         |  FROM orders)
-        |SELECT bin, bin * 30000 AS lo, (bin + 1) * 30000 AS hi,
+        |SELECT bin, bin * 30000 AS lo,
+        |  CASE WHEN bin = 9 THEN round(max(o_totalprice), 2)
+        |       ELSE CAST((bin + 1) * 30000 AS DOUBLE) END AS hi,
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
       Some("""WITH b AS (
         |  SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
         |    o_totalprice
         |  FROM orders)
-        |SELECT bin, bin * 30000 AS lo, (bin + 1) * 30000 AS hi,
+        |SELECT bin, bin * 30000 AS lo,
+        |  CASE WHEN bin = 9 THEN round(max(o_totalprice), 2)
+        |       ELSE CAST((bin + 1) * 30000 AS DOUBLE) END AS hi,
         |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 

@@ -32,6 +32,6 @@ class EntrySmokeSpec extends SparkSpec {
     // listings, engine-specific LSH, multimodal stubs
     assert(rowsOnly == Set(
       "q_uniq", "q_ch_sketches", "q_sketch_rollup",
-      "cat_tables", "ann_ivf", "mm_features"), rowsOnly)
+      "cat_tables", "ann_ivf", "ann_pq", "mm_features"), rowsOnly)
   }
 }

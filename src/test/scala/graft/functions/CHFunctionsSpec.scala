@@ -389,6 +389,49 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(10) == (2 ^ 4 ^ 4 ^ 4 ^ 5 ^ 5 ^ 7 ^ 9))
   }
 
+  test("entropy: uniform distribution gives log2(k); constant gives 0") {
+    val r = one(
+      """SELECT entropy(a), entropy(b) FROM VALUES
+        |  ('x', 1), ('y', 1), ('z', 1), ('w', 1) t(a, b)""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 2.0) < 1e-12) // 4 uniform values
+    assert(r.getDouble(1) == 0.0) // single value
+  }
+
+  test("entropy partial-aggregates and skips nulls") {
+    CHFunctions.register(spark)
+    val df = spark.range(0, 1000).repartition(8)
+      .selectExpr(
+        "entropy(CASE WHEN id % 10 = 0 THEN NULL ELSE CAST(id % 4 AS INT) END) AS e")
+    // non-null values ~uniform over {1,2,3} plus thinner 0-bucket
+    val e = df.collect().head.getDouble(0)
+    assert(e > 1.9 && e <= 2.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_entropyagg"),
+      s"expected partial aggregation in plan:\n$plan")
+  }
+
+  test("uniqUpTo counts exactly up to n, clamps at n+1 past it") {
+    val r = one(
+      """SELECT uniqUpTo(a, 5), uniqUpTo(a, 2) FROM VALUES
+        |  (1), (2), (3), (3), (3) t(a)""".stripMargin)
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 3L) // 3 distinct > 2 → n+1 = 3
+  }
+
+  test("vector-distance family agrees with hand math") {
+    val r = one(
+      """SELECT dotProduct(array(1D,2D,3D), array(4D,5D,6D)),
+        |  L2SquaredDistance(array(1D,2D), array(4D,6D)),
+        |  L2Distance(array(0D,3D), array(4D,0D)),
+        |  L2Norm(array(3D,4D)),
+        |  L2SquaredNorm(array(3D,4D))""".stripMargin)
+    assert(r.getDouble(0) == 32.0)
+    assert(r.getDouble(1) == 25.0)
+    assert(r.getDouble(2) == 5.0)
+    assert(r.getDouble(3) == 5.0)
+    assert(r.getDouble(4) == 25.0)
+  }
+
   test("avgWeighted with all-zero weights is null, not an ANSI error") {
     val r = one("SELECT avgWeighted(x, 0) FROM VALUES (1), (2) t(x)")
     assert(r.isNullAt(0))
@@ -417,7 +460,38 @@ class CHFunctionsSpec extends SparkSpec {
     val s = r.getStruct(0)
     // 99 has no paired value (prefix zip); null key/array rows skip
     assert(s.getSeq[Int](0) == Seq(2, 10))
-    assert(s.getSeq[Double](1) == Seq(3.0, 2.0))
+    // integral inputs keep the exact bigint path
+    assert(s.getSeq[Long](1) == Seq(3L, 2L))
+  }
+
+  test("sumMap over bigint values is exact past 2^53") {
+    val big = (1L << 53) + 1 // not representable as a double
+    val r = one(
+      s"""SELECT sumMap(k, v)
+         |FROM VALUES (array('a'), array(${big}L)),
+         |            (array('a'), array(2L)) t(k, v)""".stripMargin)
+    assert(r.getStruct(0).getSeq[Long](1) == Seq(big + 2))
+  }
+
+  test("sumMap string keys sort in UTF-8 binary order (non-BMP after BMP)") {
+    // U+FF5E (BMP, 3 UTF-8 bytes 0xEF...) < U+10400 (supplementary,
+    // 4 bytes 0xF0...) in UTF-8 order, but the UTF-16 surrogate D801
+    // sorts BEFORE FF5E in Java String order — pin the UTF-8 order
+    val r = one(
+      """SELECT sumMap(array('𐐀', '～'), array(1, 2))""")
+    assert(r.getStruct(0).getSeq[String](0) == Seq("～", "𐐀"))
+  }
+
+  test("sumMap survives shuffle serialization of >64KB string keys") {
+    import org.apache.spark.sql.functions._
+    CHFunctions.register(spark)
+    // writeUTF would throw UTFDataFormatException at 65536 UTF-8 bytes;
+    // repartition forces the partial buffers through serialize/merge
+    val df = spark.range(0, 4).repartition(4)
+      .selectExpr("sumMap(array(repeat('k', 70000)), array(1L)) AS m")
+    val s = df.collect().head.getStruct(0)
+    assert(s.getSeq[String](0).head.length == 70000)
+    assert(s.getSeq[Long](1) == Seq(4L))
   }
 
   test("sumMap partial-aggregates across partitions") {
@@ -427,7 +501,7 @@ class CHFunctionsSpec extends SparkSpec {
       .selectExpr("sumMap(array(CAST(id % 3 AS INT)), array(1)) AS m")
     val s = df.collect().head.getStruct(0)
     assert(s.getSeq[Int](0) == Seq(0, 1, 2))
-    assert(s.getSeq[Double](1) == Seq(334.0, 333.0, 333.0))
+    assert(s.getSeq[Long](1) == Seq(334L, 333L, 333L))
     // the plan must carry a partial aggregation stage (map-side combine)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("partial_mapcombineagg"),
