@@ -382,6 +382,30 @@ object CHFunctions {
     "unhexCH" -> (es =>
       Cast(fn("unhex", es.head), org.apache.spark.sql.types.StringType)),
 
+    // string search family. `match` is ClickHouse's re2 boolean match;
+    // extractAll returns every regex hit; multiSearchAny probes a
+    // needle list (HOF exists → short-circuits per row);
+    // countSubstrings counts non-overlapping literal occurrences via
+    // the length-delta identity — all codegen'd, no UDFs.
+    "match" -> (es => RLike(es.head, es(1))),
+    "extractAll" -> (es => fn("regexp_extract_all", es.head, es(1), Literal(0))),
+    "multiSearchAny" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("needle"))
+      fn("exists", es(1), LambdaFunction(Contains(es.head, x), Seq(x)))
+    }),
+    "countSubstrings" -> (es =>
+      Cast(Divide(
+        Subtract(fn("length", es.head),
+          fn("length", StringReplace(es.head, es(1), Literal("")))),
+        fn("length", es(1))), IntegerType)),
+    "positionUTF8" -> (es => fn("instr", es.head, es(1))),
+    "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
+    "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
+
+    // charEntropy: per-string Shannon entropy (native one-pass; the
+    // text-quality signal behind the text_entropy operator)
+    "charEntropy" -> (es => CharEntropy(es.head)),
+
     // great-circle distance in meters (ClickHouse argument order
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's
     // codegen'd trig natives with the 6371km mean-earth radius. The

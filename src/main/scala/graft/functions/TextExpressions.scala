@@ -55,6 +55,61 @@ object TrigramStats {
   }
 }
 
+/** Character-level Shannon entropy (base 2) of a string in one native
+  * pass — the CCNet-adjacent "is this natural text or noise" quality
+  * signal (SURVEY §2 D28): random bytes and repeated-char spam sit at
+  * the distribution's tails while natural language clusters mid-range.
+  * Counts Unicode code points; terms sum in sorted-count order so the
+  * double is deterministic (and matches an oracle that groups
+  * per-character counts, at any rounding ≥ ~12 significant digits).
+  */
+case class CharEntropy(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    CharEntropy.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharEntropy.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+object CharEntropy {
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Int, Long]()
+    var i = 0
+    var total = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      total += 1
+      i += Character.charCount(cp)
+    }
+    val cs = new Array[Long](counts.size)
+    val it = counts.values.iterator()
+    var j = 0
+    while (it.hasNext) { cs(j) = it.next(); j += 1 }
+    java.util.Arrays.sort(cs)
+    var acc = 0.0
+    val n = total.toDouble
+    j = 0
+    while (j < cs.length) {
+      val p = cs(j) / n
+      acc -= p * (math.log(p) / math.log(2.0))
+      j += 1
+    }
+    acc
+  }
+}
+
 /** Int8 quantize + reconstruct + score in ONE fused native loop:
   * `struct(abs_err, cos)` for a vector against per-dimension min/max
   * ranges. The arithmetic is exactly the portable formulation the

@@ -324,6 +324,26 @@ object ChSurface {
         |FROM c JOIN t ON c.grp = t.grp
         |GROUP BY c.grp ORDER BY grp""".stripMargin)),
 
+    // string-search family (match/extractAll/multiSearchAny/
+    // countSubstrings/replaceRegexpAll) — all thin codegen'd
+    // delegations; the oracle expresses each with DuckDB's regex and
+    // length-delta twins.
+    ("q_ch_search",
+      """SELECT doc_id,
+        |  multiSearchAny(text, array('spark', 'vector')) AS has_any,
+        |  countSubstrings(text, 'merge') AS n_merge,
+        |  match(text, 'j[oa]in') AS has_join,
+        |  array_join(arraySlice(extractAll(text, '[a-z]{6,}'), 1, 3), ',') AS long_toks,
+        |  replaceRegexpAll(substringUTF8(text, 1, 40), '[aeiou]', '_') AS devowel
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+      Some("""SELECT doc_id,
+        |  (text LIKE '%spark%' OR text LIKE '%vector%') AS has_any,
+        |  CAST((length(text) - length(replace(text, 'merge', ''))) / 5 AS INT) AS n_merge,
+        |  regexp_matches(text, 'j[oa]in') AS has_join,
+        |  coalesce(array_to_string(regexp_extract_all(text, '[a-z]{6,}')[1:3], ','), '') AS long_toks,
+        |  regexp_replace(substring(text, 1, 40), '[aeiou]', '_', 'g') AS devowel
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin)),
+
     // approximate sketches: engine-specific, rows-only; exactness is
     // covered by q_ch_agg / CHFunctionsSpec error-bound tests. The array
     // output is stringified so the rows-only harness check can hash it.

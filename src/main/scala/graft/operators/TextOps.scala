@@ -172,6 +172,23 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** D28: character-entropy quality signal — Shannon entropy of each
+    * document's character distribution through the native one-pass
+    * [[graft.functions.CharEntropy]] (narrow, scan-speed; no shuffle).
+    * Random noise sits high, repeated-char spam low, natural text
+    * mid-band — the CCNet-adjacent cheap filter before model-based
+    * scoring. Banding uses the ROUNDED value so both engines bucket
+    * identically at the thresholds. */
+  val textEntropy: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    val ent = round(expr("charEntropy(text)"), 6)
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), ent.as("char_ent"),
+        when(ent < 3.5, "low").when(ent < 4.5, "mid").otherwise("high")
+          .as("band"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
@@ -179,9 +196,23 @@ object TextOps {
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf,
     "text_split" -> textSplit,
+    "text_entropy" -> textEntropy,
     "text_decontaminate" -> textDecontaminate)
 
   val oracles: Map[String, String] = Map(
+    "text_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, substring(text, i.i, 1) AS c
+        |  FROM documents, unnest(generate_series(1, length(text))) AS i(i)),
+        |cnt AS (SELECT doc_id, c, count(*)::DOUBLE AS c_n FROM ch GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c_n) AS n FROM cnt GROUP BY 1),
+        |e AS (
+        |  SELECT cnt.doc_id, round(-sum((c_n / n) * log2(c_n / n)), 6) AS char_ent
+        |  FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id)
+        |SELECT doc_id, char_ent,
+        |  CASE WHEN char_ent < 3.5 THEN 'low'
+        |       WHEN char_ent < 4.5 THEN 'mid' ELSE 'high' END AS band
+        |FROM e ORDER BY doc_id""".stripMargin,
     "text_split" ->
       """WITH b AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,

@@ -418,6 +418,33 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getLong(1) == 3L) // 3 distinct > 2 → n+1 = 3
   }
 
+  test("string-search family: match/extractAll/multiSearchAny/countSubstrings") {
+    val r = one(
+      """SELECT match('join the order', 'j[oa]in'),
+        |  extractAll('ab12cd34', '[0-9]+'),
+        |  multiSearchAny('the quick fox', array('slow', 'quick')),
+        |  multiSearchAny('the quick fox', array('slow', 'lazy')),
+        |  countSubstrings('aXbXcX', 'X'),
+        |  countSubstrings('aaa', 'aa'),
+        |  replaceAll('a-b-c', '-', '+'),
+        |  replaceRegexpAll('a1b22c', '[0-9]+', '#')""".stripMargin)
+    assert(r.getBoolean(0))
+    assert(r.getSeq[String](1) == Seq("12", "34"))
+    assert(r.getBoolean(2))
+    assert(!r.getBoolean(3))
+    assert(r.getInt(4) == 3)
+    assert(r.getInt(5) == 1) // non-overlapping, like ClickHouse
+    assert(r.getString(6) == "a+b+c")
+    assert(r.getString(7) == "a#b#c")
+  }
+
+  test("charEntropy: uniform chars = log2(k), single char = 0, empty = 0") {
+    val r = one("SELECT charEntropy('abab'), charEntropy('aaaa'), charEntropy('')")
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("vector-distance family agrees with hand math") {
     val r = one(
       """SELECT dotProduct(array(1D,2D,3D), array(4D,5D,6D)),
