@@ -171,6 +171,34 @@ object CHFunctions {
       else fn("array_join", es.head, Literal(""))),
     "arrayElement" -> (es => fn("element_at", es.head, es(1))),
     "indexOf" -> (es => fn("array_position", es.head, es(1))),
+    "arrayIntersect" -> (es => fn("array_intersect", es.head, es(1))),
+    "arrayUnion" -> (es =>
+      fn("array_distinct", fn("concat", es.head, es(1)))),
+    "arrayExcept" -> (es => fn("array_except", es.head, es(1))),
+    "arrayPushBack" -> (es => fn("array_append", es.head, es(1))),
+    "arrayPushFront" -> (es => fn("array_prepend", es.head, es(1))),
+    "arrayPopBack" -> (es =>
+      fn("slice", es.head, Literal(1),
+        fn("greatest", Subtract(fn("size", es.head), Literal(1)), Literal(0)))),
+    "arrayPopFront" -> (es =>
+      fn("slice", es.head, Literal(2),
+        fn("greatest", Subtract(fn("size", es.head), Literal(1)), Literal(0)))),
+    "hasAll" -> (es =>
+      EqualTo(fn("size", fn("array_except", es(1), es.head)), Literal(0))),
+    "hasAny" -> (es =>
+      fn("arrays_overlap", es.head, es(1))),
+    // range(n) / range(start, end): [start, end) — Spark's sequence is
+    // END-INCLUSIVE and descends when start > stop, so build one extra
+    // guard: sequence up to max(end-1, start), sliced to max(end-start,
+    // 0) elements (empty when end <= start, as in ClickHouse)
+    "rangeCH" -> (es => {
+      val (start, end) =
+        if (es.size == 1) (Literal(0): Expression, es.head) else (es.head, es(1))
+      fn("slice",
+        fn("sequence", start, fn("greatest", Subtract(end, Literal(1)), start)),
+        Literal(1),
+        Cast(fn("greatest", Subtract(end, start), Literal(0)), IntegerType))
+    }),
     "arraySum" -> (es =>
       fn("aggregate", es.head, Literal(0.0),
         LambdaFunction(
@@ -399,6 +427,7 @@ object CHFunctions {
           fn("length", StringReplace(es.head, es(1), Literal("")))),
         fn("length", es(1))), IntegerType)),
     "positionUTF8" -> (es => fn("instr", es.head, es(1))),
+    "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
 

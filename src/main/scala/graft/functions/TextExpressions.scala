@@ -110,6 +110,53 @@ object CharEntropy {
   }
 }
 
+/** ClickHouse `ngramDistance(a, b)`: 4-gram set distance in [0, 1] —
+  * |A Δ B| / (|A| + |B|) over the two strings' distinct character
+  * 4-grams (0 for two empty/short strings, 1 for disjoint). The fuzzy
+  * string-match primitive behind "did you mean" style lookups; one
+  * native pass per pair, no explode. */
+case class NgramDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramDistance.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NgramDistance.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramDistance {
+
+  private def grams(s: String): java.util.HashSet[String] = {
+    val out = new java.util.HashSet[String]()
+    var i = 0
+    while (i + 4 <= s.length) { out.add(s.substring(i, i + 4)); i += 1 }
+    out
+  }
+
+  def compute(a: org.apache.spark.unsafe.types.UTF8String,
+      b: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val ga = grams(a.toString)
+    val gb = grams(b.toString)
+    val total = ga.size + gb.size
+    if (total == 0) return 0.0
+    var inter = 0
+    val it = ga.iterator()
+    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    (total - 2 * inter).toDouble / total
+  }
+}
+
 /** Int8 quantize + reconstruct + score in ONE fused native loop:
   * `struct(abs_err, cos)` for a vector against per-dimension min/max
   * ranges. The arithmetic is exactly the portable formulation the

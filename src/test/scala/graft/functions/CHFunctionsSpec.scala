@@ -438,6 +438,53 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(7) == "a#b#c")
   }
 
+  test("array set-ops family under ClickHouse names") {
+    val r = one(
+      """SELECT arrayIntersect(array(1,2,3), array(2,3,4)),
+        |  arrayUnion(array(1,2), array(2,3)),
+        |  arrayExcept(array(1,2,3), array(2)),
+        |  arrayPushBack(array(1,2), 3),
+        |  arrayPushFront(array(2,3), 1),
+        |  arrayPopBack(array(1,2,3)),
+        |  arrayPopFront(array(1,2,3)),
+        |  arrayPopBack(array(7)),
+        |  hasAll(array(1,2,3), array(1,3)),
+        |  hasAll(array(1,2), array(1,9)),
+        |  hasAny(array(1,2), array(9,2)),
+        |  rangeCH(4),
+        |  rangeCH(2, 5),
+        |  rangeCH(0)""".stripMargin)
+    assert(r.getSeq[Int](0).sorted == Seq(2, 3))
+    assert(r.getSeq[Int](1).sorted == Seq(1, 2, 3))
+    assert(r.getSeq[Int](2) == Seq(1, 3))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](4) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](5) == Seq(1, 2))
+    assert(r.getSeq[Int](6) == Seq(2, 3))
+    assert(r.getSeq[Int](7) == Seq())
+    assert(r.getBoolean(8))
+    assert(!r.getBoolean(9))
+    assert(r.getBoolean(10))
+    assert(r.getSeq[Int](11) == Seq(0, 1, 2, 3))
+    assert(r.getSeq[Int](12) == Seq(2, 3, 4))
+    assert(r.getSeq[Int](13) == Seq())
+  }
+
+  test("ngramDistance: 0 for equal, 1 for disjoint, symmetric in between") {
+    val r = one(
+      """SELECT ngramDistance('abcde', 'abcde'),
+        |  ngramDistance('abcd', 'wxyz'),
+        |  ngramDistance('', ''),
+        |  ngramDistance('abcde', 'abcdf'),
+        |  ngramDistance('abcdf', 'abcde')""".stripMargin)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 0.0)
+    // abcde grams {abcd,bcde}, abcdf grams {abcd,bcdf}: |AΔB|/(|A|+|B|) = 2/4
+    assert(r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == r.getDouble(3))
+  }
+
   test("charEntropy: uniform chars = log2(k), single char = 0, empty = 0") {
     val r = one("SELECT charEntropy('abab'), charEntropy('aaaa'), charEntropy('')")
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
