@@ -77,10 +77,33 @@ object Funnel {
       .orderBy("matched")
   }
 
+  /** sequenceCount-style: per user, how many NON-OVERLAPPING
+    * view→…→purchase chains occur in time order (ClickHouse
+    * `sequenceCount(pattern)` semantics: the scan resumes after each
+    * completed match). Same single user-keyed aggregation as
+    * [[qSequenceMatch]]; the count is a regexp scan over the tiny
+    * per-user string, identical left-to-right non-overlapping semantics
+    * in both engines. */
+  val qSequenceCount: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("user_id"),
+      struct(col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i")).as("e"))
+      .groupBy("user_id")
+      .agg(array_join(expr("transform(array_sort(collect_list(e)), x -> x.i)"), "")
+        .as("seq"))
+      .select(size(regexp_extract_all(col("seq"), lit("v[^p]*p"), lit(0)))
+        .as("n_chains"))
+      .groupBy("n_chains")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("n_chains")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_retention" -> qRetention,
-    "q_sequence_match" -> qSequenceMatch)
+    "q_sequence_match" -> qSequenceMatch,
+    "q_sequence_count" -> qSequenceCount)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -105,6 +128,14 @@ object Funnel {
         |  FROM events GROUP BY user_id)
         |SELECT regexp_matches(seq, 'v[^p]*e[^v]*p') AS matched,
         |  count(*) AS n_users, CAST(sum(length(seq)) AS BIGINT) AS total_events
+        |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sequence_count" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT len(regexp_extract_all(seq, 'v[^p]*p')) AS n_chains,
+        |  count(*) AS n_users
         |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
