@@ -74,10 +74,17 @@ object CHFunctions {
     "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
 
-    // quantiles: ClickHouse quantile() is approximate, quantileExact exact
+    // quantiles: ClickHouse quantile() is approximate, quantileExact
+    // exact; the TDigest/Timing/BFloat16 variants are all "some
+    // approximate sketch" contracts — Spark's percentile_approx
+    // (Greenwald-Khanna) satisfies every one of them
     "quantileCH" -> (es => fn("percentile_approx", es.head, es(1), Literal(10000))),
     "quantileExactCH" -> (es => fn("percentile", es.head, es(1))),
     "quantilesExactCH" -> (es => fn("percentile", es.head, CreateArray(es.tail))),
+    "quantileTDigest" -> (es =>
+      fn("percentile_approx", es.head, es(1), Literal(10000))),
+    "quantileTiming" -> (es =>
+      fn("percentile_approx", es.head, es(1), Literal(10000))),
 
     // heavy hitters / arg extremes / any. ClickHouse topK returns a bare
     // value array, so project `item` out of approx_top_k's struct rows.
@@ -90,6 +97,10 @@ object CHFunctions {
     "argMinCH" -> (es => fn("min_by", es: _*)),
     "anyCH" -> (es => fn("first", es.head)),
     "anyLastCH" -> (es => fn("last", es.head)),
+    // anyHeavy: ClickHouse's majority-element probe — Spark's
+    // deterministic mode() honors the same "the heavy value if one
+    // exists" contract exactly when a majority element exists
+    "anyHeavy" -> (es => fn("mode", es.head)),
 
     // sketch state + merge (ClickHouse uniqState / uniqMerge): binary
     // HLL sketches that pre-aggregate once and re-aggregate at any

@@ -68,6 +68,22 @@ class PlanQualitySpec extends SparkSpec {
     assert(formatted(df).contains("HashAggregate"))
   }
 
+  test("text_entropy is a narrow scan: no shuffle before the final sort") {
+    // one native expression per row — the only wide dependency is the
+    // presentation orderBy
+    val n = countShuffles(graft.operators.TextOps.textEntropy(spark, sf))
+    assert(n <= 1, s"expected <=1 shuffle, got $n")
+  }
+
+  test("q_ch_search pushes the doc_id filter down and prunes the schema") {
+    val plan = formatted(SparkEntry.queries("q_ch_search")(spark, sf))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("LessThan(doc_id,200"), plan.take(400))
+    val read = "ReadSchema: struct<([^>\n]*)".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(read.count(_ == ':') <= 2, read) // doc_id + text only
+  }
+
   test("minhash candidate generation uses a bounded number of shuffles") {
     // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
     val n = countShuffles(Dedup.dedupMinhash(spark, sf))

@@ -438,6 +438,16 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(7) == "a#b#c")
   }
 
+  test("anyHeavy finds the majority element; quantile sketch aliases agree") {
+    val r = one(
+      """SELECT anyHeavy(x),
+        |  quantileTDigest(x, 0.5), quantileTiming(x, 0.5)
+        |FROM VALUES (1), (2), (2), (2), (3) t(x)""".stripMargin)
+    assert(r.getInt(0) == 2)
+    assert(r.getInt(1) == 2)
+    assert(r.getInt(2) == 2)
+  }
+
   test("array set-ops family under ClickHouse names") {
     val r = one(
       """SELECT arrayIntersect(array(1,2,3), array(2,3,4)),
