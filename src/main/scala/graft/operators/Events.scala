@@ -94,14 +94,39 @@ object Events {
       .sessionWindows(Tables(s, dir, "events"))
       .orderBy("user_id", "session_start")
 
+  /** E9 batch twin: hourly per-user activity, top-3 users per hour —
+    * the leaderboard the streaming
+    * [[graft.streaming.EventStreams.userActivity]] maintains
+    * incrementally (same read-side finisher composes both). */
+  val evTopUsers: Q = (s, dir) => {
+    val activity = Tables(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+    graft.streaming.EventStreams.topOfWindows(activity, 3)
+      .orderBy("window_start", "rn")
+  }
+
   val queries: Map[String, Q] = Map(
     "ev_windowed" -> evWindowed,
     "ev_hopping" -> evHopping,
     "ev_sessions" -> evSessions,
     "ev_sessions_native" -> evSessionsNative,
+    "ev_top_users" -> evTopUsers,
     "ev_error_context" -> evErrorContext)
 
   val oracles: Map[String, String] = Map(
+    "ev_top_users" ->
+      """WITH a AS (
+        |  SELECT date_trunc('hour', ts) AS window_start, user_id,
+        |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start
+        |             ORDER BY n_events DESC, user_id) AS rn
+        |  FROM a)
+        |SELECT CAST(window_start AS TIMESTAMP) AS window_start, user_id,
+        |  n_events, sum_value, rn
+        |FROM r WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin,
     "ev_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value,

@@ -51,6 +51,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** E9: streaming heavy hitters, maintenance side — per-window
+    * per-user activity counts as a fully mergeable windowed aggregate
+    * (partial combine map-side, watermark-evicted state). The top-k
+    * rank runs READ-SIDE over the materialized counts
+    * ([[topOfWindows]]) — the standard leaderboard split: the stream
+    * maintains O(windows × active users) counts and never ranks;
+    * ranking inside the stream would force a non-mergeable global
+    * order per trigger. */
+  def userActivity(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** E9 read-side finisher: top-k users per window from the maintained
+    * counts — ranks the tiny sink table, not the event stream. */
+  def topOfWindows(activity: DataFrame, k: Int = 3): DataFrame =
+    activity
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("window_start")
+          .orderBy(col("n_events").desc, col("user_id"))))
+      .filter(col("rn") <= k)
+
   /** E2: gap-based sessionization via flatMapGroupsWithState — emits a
     * session when 30 minutes pass with no event for the user. Events
     * within a micro-batch are sorted; cross-batch order is handled by

@@ -76,6 +76,10 @@ class PlanQualitySpec extends SparkSpec {
   }
 
   test("q_ch_search pushes the doc_id filter down and prunes the schema") {
+    // re-point the view at the parquet table in case an earlier suite
+    // shadowed it with a local relation (shared session)
+    graft.sql.TableEnv.register(spark, sf)
+    graft.Tables(spark, sf, "documents").createOrReplaceTempView("documents")
     val plan = formatted(SparkEntry.queries("q_ch_search")(spark, sf))
     assert(plan.contains("PushedFilters:"))
     assert(plan.contains("LessThan(doc_id,200"), plan.take(400))

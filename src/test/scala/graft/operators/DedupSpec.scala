@@ -5,10 +5,10 @@ import graft.SparkSpec
 class DedupSpec extends SparkSpec {
 
   test("exact dedup groups identical normalized text") {
-    import spark.implicits._
-    Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other text"))
-      .toDF("doc_id", "text").createOrReplaceTempView("documents")
-    val d = Dedup.dedupExact(spark, sf) // reads real table; semantic unit below
+    // NOTE: no temp view here — Dedup reads the parquet path directly,
+    // and a leaked local `documents` view would shadow the real table
+    // for every later SQL-surface test in the shared session
+    val d = Dedup.dedupExact(spark, sf)
     assert(d.columns.toSeq == Seq("content_hash", "n_docs", "keep_doc"))
   }
 

@@ -33,6 +33,24 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming user activity + read-side top-k matches the batch leaderboard") {
+    val batch = graft.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_topu").toString
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.fileStream(spark, dir, batch)
+    val q = EventStreams.userActivity(stream)
+      .writeStream.format("memory").queryName("user_act")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = EventStreams.topOfWindows(spark.table("user_act"), 3)
+      .orderBy("window_start", "rn").collect()
+    val want = graft.operators.Events.evTopUsers(spark, sf).collect()
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("native session_window over a replayed stream matches the batch query") {
     val batch = graft.Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_swin").toString
