@@ -323,6 +323,12 @@ object CHFunctions {
     "groupBitAnd" -> (es => fn("bit_and", es.head)),
     "groupBitOr" -> (es => fn("bit_or", es.head)),
     "groupBitXor" -> (es => fn("bit_xor", es.head)),
+    // groupArraySample(x, k): deterministic bottom-k-by-md5 sample —
+    // mergeable, partitioning-independent, oracle-replayable
+    "groupArraySample" -> (es => SampleAgg(es.head, es(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().toString.toInt
+    })),
     // entropy(x): Shannon entropy (base 2) of the value distribution —
     // native TypedImperativeAggregate, per-value counts combine map-side
     "entropy" -> (es => EntropyAgg(es.head)),

@@ -1,0 +1,127 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** ClickHouse's `groupArraySample(k)(x)` shape, made DETERMINISTIC:
+  * a bottom-k-by-hash sketch. Each value ranks by
+  * `md5(toString(value))`; the aggregate keeps the k smallest ranks.
+  *
+  * Hash-rank bottom-k IS a uniform sample without replacement, and
+  * unlike a true reservoir it is mergeable with a deterministic
+  * result: the same group samples the same rows regardless of
+  * partitioning, task order, or retries — the property
+  * [[graft.operators.Curation]]'s md5 data-mixing relies on, applied
+  * to sampling. Partial buffers cap at k entries map-side, so the
+  * shuffle carries ≤ k (hash, value) pairs per group per task.
+  * The emitted array sorts ascending by value (presentation order;
+  * membership is what the hash decides). md5-of-decimal-string is
+  * replayable in the DuckDB oracle, so the sample is verifiable
+  * cross-engine.
+  *
+  * Input: integral (long) values — ids are what one samples at scale.
+  */
+case class SampleAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeMap[(String, Long), Unit]] {
+
+  require(k > 0, "groupArraySample requires k > 0")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"groupArraySample expects an integral column, got ${other.simpleString}")
+    }
+
+  override def createAggregationBuffer(): mutable.TreeMap[(String, Long), Unit] =
+    mutable.TreeMap.empty
+
+  private def add(buf: mutable.TreeMap[(String, Long), Unit],
+      key: (String, Long)): Unit = {
+    buf.update(key, ())
+    if (buf.size > k) buf.remove(buf.lastKey) // keep the k smallest ranks
+  }
+
+  override def update(buf: mutable.TreeMap[(String, Long), Unit],
+      input: InternalRow): mutable.TreeMap[(String, Long), Unit] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val l = child.dataType match {
+        case ByteType => v.asInstanceOf[Byte].toLong
+        case ShortType => v.asInstanceOf[Short].toLong
+        case IntegerType => v.asInstanceOf[Int].toLong
+        case LongType => v.asInstanceOf[Long]
+        case other => throw new IllegalStateException(s"unsupported $other")
+      }
+      add(buf, (SampleAgg.md5Hex(l.toString), l))
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.TreeMap[(String, Long), Unit],
+      other: mutable.TreeMap[(String, Long), Unit]): mutable.TreeMap[(String, Long), Unit] = {
+    other.keysIterator.foreach(add(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeMap[(String, Long), Unit]): Any =
+    new GenericArrayData(
+      buf.keysIterator.map(_._2).toArray.sorted.map(Long.box(_): Any))
+
+  override def serialize(buf: mutable.TreeMap[(String, Long), Unit]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.keysIterator.foreach { case (_, l) => out.writeLong(l) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(String, Long), Unit] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.TreeMap.empty[(String, Long), Unit]
+    var i = 0
+    while (i < n) {
+      val l = in.readLong()
+      buf.update((SampleAgg.md5Hex(l.toString), l), ())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SampleAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SampleAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): SampleAgg =
+    copy(child = newChildren(0))
+}
+
+object SampleAgg {
+
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
+}

@@ -324,6 +324,29 @@ object ChSurface {
         |FROM c JOIN t ON c.grp = t.grp
         |GROUP BY c.grp ORDER BY grp""".stripMargin)),
 
+    // deterministic group sampling: bottom-5-by-md5 order keys per
+    // priority through the native partial-agg SampleAgg — a uniform
+    // without-replacement sample whose membership is independent of
+    // partitioning and task order (the distributed-sampling primitive;
+    // a true reservoir is neither deterministic nor replayable). The
+    // oracle replays the identical md5 ranking.
+    ("q_group_sample",
+      """SELECT o_orderpriority,
+        |  array_join(groupArraySample(o_orderkey, 5), ',') AS sample_keys,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+      Some("""WITH r AS (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS sample_keys,
+        |  min(n) AS n
+        |FROM r WHERE rn <= 5
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // string-search family (match/extractAll/multiSearchAny/
     // countSubstrings/replaceRegexpAll) — all thin codegen'd
     // delegations; the oracle expresses each with DuckDB's regex and

@@ -438,6 +438,24 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(7) == "a#b#c")
   }
 
+  test("groupArraySample is deterministic and partitioning-independent") {
+    CHFunctions.register(spark)
+    def sample(parts: Int): Seq[Long] =
+      spark.range(0, 1000).repartition(parts)
+        .selectExpr("groupArraySample(id, 7) AS s")
+        .collect().head.getSeq[Long](0)
+    val s1 = sample(1)
+    val s8 = sample(8)
+    assert(s1 == s8) // same members whatever the partitioning
+    assert(s1.length == 7 && s1.toSet.size == 7)
+    assert(s1.forall(v => v >= 0 && v < 1000))
+    // fewer values than k → all of them
+    val tiny = spark.range(0, 3)
+      .selectExpr("groupArraySample(id, 7) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(tiny == Seq(0L, 1L, 2L))
+  }
+
   test("anyHeavy finds the majority element; quantile sketch aliases agree") {
     val r = one(
       """SELECT anyHeavy(x),
