@@ -323,6 +323,16 @@ object CHFunctions {
     "groupBitAnd" -> (es => fn("bit_and", es.head)),
     "groupBitOr" -> (es => fn("bit_or", es.head)),
     "groupBitXor" -> (es => fn("bit_xor", es.head)),
+    // windowFunnel(window_sec, ts, cond1, ...): exact sliding-chain
+    // funnel depth (chains may start at ANY qualifying stage-1 event) —
+    // native partial-agg; per-user event buffers merge map-side
+    "windowFunnel" -> (es => {
+      val secs = es.head match {
+        case Literal(v, _) => v.toString.toLong
+        case other => other.eval().toString.toLong
+      }
+      WindowFunnelAgg(secs * 1000000L, es(1), es.drop(2))
+    }),
     // groupArraySample(x, k): deterministic bottom-k-by-md5 sample —
     // mergeable, partitioning-independent, oracle-replayable
     "groupArraySample" -> (es => SampleAgg(es.head, es(1) match {

@@ -99,8 +99,28 @@ object Funnel {
       .orderBy("n_chains")
   }
 
+  /** The EXACT ClickHouse windowFunnel semantics through the native
+    * [[graft.functions.WindowFunnelAgg]]: a chain may start at ANY
+    * qualifying view (the join-chain [[qFunnel]] anchors at the
+    * earliest view, which under-counts users who retry). One user-keyed
+    * aggregation, per-user buffers combine map-side; the oracle proves
+    * each depth with an explicit exists-a-chain join. */
+  val qFunnelNative: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(expr(
+        """windowFunnel(3600, ts, event_type = 'view',
+          |  event_type = 'click', event_type = 'purchase')""".stripMargin)
+        .as("depth"))
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("depth")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
+    "q_funnel_native" -> qFunnelNative,
     "q_retention" -> qRetention,
     "q_sequence_match" -> qSequenceMatch,
     "q_sequence_count" -> qSequenceCount)
@@ -121,6 +141,30 @@ object Funnel {
          |  count(*) AS n_users
          |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel_native" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+         |d1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+         |d2 AS (
+         |  SELECT DISTINCT v.user_id FROM e v
+         |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+         |    AND c.us >= v.us AND c.us - v.us <= $WindowUs
+         |  WHERE v.event_type = 'view'),
+         |d3 AS (
+         |  SELECT DISTINCT v.user_id FROM e v
+         |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+         |    AND c.us >= v.us AND c.us - v.us <= $WindowUs
+         |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+         |    AND p.us >= c.us AND p.us - v.us <= $WindowUs
+         |  WHERE v.event_type = 'view'),
+         |du AS (
+         |  SELECT user_id,
+         |    CASE WHEN user_id IN (SELECT user_id FROM d3) THEN 3
+         |         WHEN user_id IN (SELECT user_id FROM d2) THEN 2
+         |         WHEN user_id IN (SELECT user_id FROM d1) THEN 1
+         |         ELSE 0 END AS depth
+         |  FROM (SELECT DISTINCT user_id FROM e))
+         |SELECT depth, count(*) AS n_users FROM du
+         |GROUP BY depth ORDER BY depth""".stripMargin,
     "q_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id,

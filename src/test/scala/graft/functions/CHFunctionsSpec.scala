@@ -438,6 +438,54 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(7) == "a#b#c")
   }
 
+  test("windowFunnel: full chain inside the window counts every stage") {
+    val r = one(
+      """SELECT windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:50:00', 'p') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 3)
+  }
+
+  test("windowFunnel: stage outside the window from chain start is cut") {
+    val r = one(
+      """SELECT windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 11:30:00', 'p') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 2) // purchase is 90min after the chain's view
+  }
+
+  test("windowFunnel: a later chain start wins where the anchored form fails") {
+    // view@10:00 click@10:30 view@10:40 click@11:10 purchase@11:30 —
+    // anchored at the first view the purchase misses the hour window;
+    // the chain starting at view@10:40 completes all three stages
+    val r = one(
+      """SELECT windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:40:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 11:10:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 11:30:00', 'p') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 3)
+  }
+
+  test("windowFunnel: no stage-1 event means depth 0; partial-aggregates") {
+    val r = one(
+      """SELECT windowFunnel(3600, ts, t = 'v', t = 'c') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'x') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 0)
+    // merge across partitions must reassemble the chain
+    CHFunctions.register(spark)
+    val df = spark.range(0, 100).repartition(8)
+      .selectExpr(
+        "timestampadd(MINUTE, CAST(id AS INT), TIMESTAMP '2024-01-01 10:00:00') AS ts",
+        "CASE WHEN id = 7 THEN 'v' WHEN id = 20 THEN 'c' WHEN id = 45 THEN 'p' ELSE 'x' END AS t")
+      .selectExpr("windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') AS d")
+    assert(df.collect().head.getInt(0) == 3)
+  }
+
   test("groupArraySample is deterministic and partitioning-independent") {
     CHFunctions.register(spark)
     def sample(parts: Int): Seq[Long] =
