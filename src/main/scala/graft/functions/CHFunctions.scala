@@ -448,11 +448,15 @@ object CHFunctions {
       val x = UnresolvedNamedLambdaVariable(Seq("needle"))
       fn("exists", es(1), LambdaFunction(Contains(es.head, x), Seq(x)))
     }),
+    // empty needle guarded: ClickHouse returns 0, while an unguarded
+    // divide-by-length would be an ANSI runtime error in Spark 4
     "countSubstrings" -> (es =>
-      Cast(Divide(
-        Subtract(fn("length", es.head),
-          fn("length", StringReplace(es.head, es(1), Literal("")))),
-        fn("length", es(1))), IntegerType)),
+      CaseWhen(
+        Seq((EqualTo(fn("length", es(1)), Literal(0)), Literal(0))),
+        Some(Cast(Divide(
+          Subtract(fn("length", es.head),
+            fn("length", StringReplace(es.head, es(1), Literal("")))),
+          fn("length", es(1))), IntegerType)))),
     "positionUTF8" -> (es => fn("instr", es.head, es(1))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
@@ -461,6 +465,11 @@ object CHFunctions {
     // charEntropy: per-string Shannon entropy (native one-pass; the
     // text-quality signal behind the text_entropy operator)
     "charEntropy" -> (es => CharEntropy(es.head)),
+
+    // countMatches: regex-hit counter without materializing the match
+    // array (native matcher loop; same counts as
+    // size(regexp_extract_all(...)) at a fraction of the allocation)
+    "countMatches" -> (es => CountMatches(es.head, es(1))),
 
     // great-circle distance in meters (ClickHouse argument order
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's

@@ -18,7 +18,10 @@ import org.apache.spark.sql.types._
   * partitioning, task order, or retries — the property
   * [[graft.operators.Curation]]'s md5 data-mixing relies on, applied
   * to sampling. Partial buffers cap at k entries map-side, so the
-  * shuffle carries ≤ k (hash, value) pairs per group per task.
+  * shuffle carries ≤ k (hash, value, count) triples per group per
+  * task. Duplicate input values keep a per-value multiplicity, so the
+  * sample is over ROWS like ClickHouse's (equal values share one rank
+  * and fill adjacent sample slots), not over distinct values.
   * The emitted array sorts ascending by value (presentation order;
   * membership is what the hash decides). md5-of-decimal-string is
   * replayable in the DuckDB oracle, so the sample is verifiable
@@ -31,7 +34,7 @@ case class SampleAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeMap[(String, Long), Unit]] {
+  extends TypedImperativeAggregate[mutable.TreeMap[(String, Long), Long]] {
 
   require(k > 0, "groupArraySample requires k > 0")
 
@@ -49,17 +52,31 @@ case class SampleAgg(
           s"groupArraySample expects an integral column, got ${other.simpleString}")
     }
 
-  override def createAggregationBuffer(): mutable.TreeMap[(String, Long), Unit] =
+  override def createAggregationBuffer(): mutable.TreeMap[(String, Long), Long] =
     mutable.TreeMap.empty
 
-  private def add(buf: mutable.TreeMap[(String, Long), Unit],
-      key: (String, Long)): Unit = {
-    buf.update(key, ())
-    if (buf.size > k) buf.remove(buf.lastKey) // keep the k smallest ranks
+  private def total(buf: mutable.TreeMap[(String, Long), Long]): Long =
+    buf.valuesIterator.sum
+
+  /** Add `n` occurrences of `key`, then trim occurrences from the
+    * LARGEST rank down until ≤ k rows remain — deterministic under any
+    * merge order because the surviving multiset depends only on the
+    * combined input. */
+  private def add(buf: mutable.TreeMap[(String, Long), Long],
+      key: (String, Long), n: Long): Unit = {
+    buf.update(key, buf.getOrElse(key, 0L) + n)
+    var over = total(buf) - k
+    while (over > 0) {
+      val last = buf.lastKey
+      val c = buf(last)
+      val drop = math.min(c, over)
+      if (drop == c) buf.remove(last) else buf.update(last, c - drop)
+      over -= drop
+    }
   }
 
-  override def update(buf: mutable.TreeMap[(String, Long), Unit],
-      input: InternalRow): mutable.TreeMap[(String, Long), Unit] = {
+  override def update(buf: mutable.TreeMap[(String, Long), Long],
+      input: InternalRow): mutable.TreeMap[(String, Long), Long] = {
     val v = child.eval(input)
     if (v != null) {
       val l = child.dataType match {
@@ -69,38 +86,44 @@ case class SampleAgg(
         case LongType => v.asInstanceOf[Long]
         case other => throw new IllegalStateException(s"unsupported $other")
       }
-      add(buf, (SampleAgg.md5Hex(l.toString), l))
+      add(buf, (SampleAgg.md5Hex(l.toString), l), 1L)
     }
     buf
   }
 
-  override def merge(buf: mutable.TreeMap[(String, Long), Unit],
-      other: mutable.TreeMap[(String, Long), Unit]): mutable.TreeMap[(String, Long), Unit] = {
-    other.keysIterator.foreach(add(buf, _))
+  override def merge(buf: mutable.TreeMap[(String, Long), Long],
+      other: mutable.TreeMap[(String, Long), Long]): mutable.TreeMap[(String, Long), Long] = {
+    other.iterator.foreach { case (key, n) => add(buf, key, n) }
     buf
   }
 
-  override def eval(buf: mutable.TreeMap[(String, Long), Unit]): Any =
-    new GenericArrayData(
-      buf.keysIterator.map(_._2).toArray.sorted.map(Long.box(_): Any))
+  override def eval(buf: mutable.TreeMap[(String, Long), Long]): Any = {
+    val out = mutable.ArrayBuffer.empty[Long]
+    buf.iterator.foreach { case ((_, v), n) =>
+      var i = 0L
+      while (i < n) { out += v; i += 1 }
+    }
+    new GenericArrayData(out.toArray.sorted.map(Long.box(_): Any))
+  }
 
-  override def serialize(buf: mutable.TreeMap[(String, Long), Unit]): Array[Byte] = {
+  override def serialize(buf: mutable.TreeMap[(String, Long), Long]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.keysIterator.foreach { case (_, l) => out.writeLong(l) }
+    buf.iterator.foreach { case ((_, l), n) => out.writeLong(l); out.writeLong(n) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(String, Long), Unit] = {
+  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(String, Long), Long] = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.TreeMap.empty[(String, Long), Unit]
+    val buf = mutable.TreeMap.empty[(String, Long), Long]
     var i = 0
     while (i < n) {
       val l = in.readLong()
-      buf.update((SampleAgg.md5Hex(l.toString), l), ())
+      val c = in.readLong()
+      buf.update((SampleAgg.md5Hex(l.toString), l), c)
       i += 1
     }
     buf

@@ -110,11 +110,16 @@ object CharEntropy {
   }
 }
 
-/** ClickHouse `ngramDistance(a, b)`: 4-gram set distance in [0, 1] —
-  * |A Δ B| / (|A| + |B|) over the two strings' distinct character
-  * 4-grams (0 for two empty/short strings, 1 for disjoint). The fuzzy
-  * string-match primitive behind "did you mean" style lookups; one
-  * native pass per pair, no explode. */
+/** ClickHouse `ngramDistance(a, b)`: 4-gram multiset distance in
+  * [0, 1] — |A Δ B| / (|A| + |B|) over the two strings' character
+  * 4-grams counted with multiplicity (0 for two empty/short strings,
+  * 1 for disjoint), so strings with repeated 4-grams score like the
+  * reference's count-based formula rather than a distinct-set
+  * approximation. Grams are over UTF-16 code units (the reference
+  * operates on bytes/codepoints; values can differ for
+  * supplementary-plane characters). The fuzzy string-match primitive
+  * behind "did you mean" style lookups; one native pass per pair, no
+  * explode. */
 case class NgramDistance(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ImplicitCastInputTypes {
@@ -137,22 +142,34 @@ case class NgramDistance(left: Expression, right: Expression)
 
 object NgramDistance {
 
-  private def grams(s: String): java.util.HashSet[String] = {
-    val out = new java.util.HashSet[String]()
+  private def grams(s: String): java.util.HashMap[String, java.lang.Integer] = {
+    val out = new java.util.HashMap[String, java.lang.Integer]()
     var i = 0
-    while (i + 4 <= s.length) { out.add(s.substring(i, i + 4)); i += 1 }
+    while (i + 4 <= s.length) {
+      out.merge(s.substring(i, i + 4), java.lang.Integer.valueOf(1),
+        (x, y) => java.lang.Integer.valueOf(x.intValue() + y.intValue()))
+      i += 1
+    }
     out
   }
 
   def compute(a: org.apache.spark.unsafe.types.UTF8String,
       b: org.apache.spark.unsafe.types.UTF8String): Double = {
-    val ga = grams(a.toString)
-    val gb = grams(b.toString)
-    val total = ga.size + gb.size
+    val sa = a.toString
+    val sb = b.toString
+    val na = math.max(0, sa.length - 3)
+    val nb = math.max(0, sb.length - 3)
+    val total = na + nb
     if (total == 0) return 0.0
+    val ga = grams(sa)
+    val gb = grams(sb)
     var inter = 0
-    val it = ga.iterator()
-    while (it.hasNext) if (gb.contains(it.next())) inter += 1
+    val it = ga.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cb = gb.get(e.getKey)
+      if (cb != null) inter += math.min(e.getValue, cb.intValue())
+    }
     (total - 2 * inter).toDouble / total
   }
 }
@@ -234,6 +251,64 @@ object QuantDequant {
       d += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}
+
+/** Count regex matches in a string WITHOUT materializing the match
+  * array: `regexp_extract_all(...)` allocates one UTF8String per hit
+  * just so `size()` can count them — measured as a 3× wall-time
+  * regression on the BPE token count at sf0.1. This expression runs
+  * the same `java.util.regex` matcher Spark's regexp family uses (so
+  * counts are identical to the `size(regexp_extract_all(...))`
+  * formulation and to the DuckDB oracle) but only increments a
+  * counter. The pattern is compiled once per codegen'd operator when
+  * the pattern operand is a literal — the hot path touches no
+  * allocation beyond the matcher. */
+case class CountMatches(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = LongType
+
+  @transient private lazy val compiledOrNull: java.util.regex.Pattern =
+    right match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            p: org.apache.spark.unsafe.types.UTF8String, StringType) if p != null =>
+        java.util.regex.Pattern.compile(p.toString)
+      case _ => null
+    }
+
+  override def nullSafeEval(s: Any, p: Any): Any = {
+    val pat =
+      if (compiledOrNull != null) compiledOrNull
+      else java.util.regex.Pattern.compile(p.toString)
+    CountMatches.count(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], pat)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val patCls = classOf[java.util.regex.Pattern].getName
+    val patRef = ctx.addReferenceObj("cmPattern", compiledOrNull, patCls)
+    nullSafeCodeGen(ctx, ev, (s, p) =>
+      s"""
+         |$patCls cmPat = $patRef != null ? $patRef : $patCls.compile($p.toString());
+         |${ev.value} = graft.functions.CountMatches.count($s, cmPat);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountMatches =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountMatches {
+
+  def count(s: org.apache.spark.unsafe.types.UTF8String,
+      pat: java.util.regex.Pattern): Long = {
+    val m = pat.matcher(s.toString)
+    var c = 0L
+    while (m.find()) c += 1
+    c
   }
 }
 

@@ -6,14 +6,18 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native Catalyst expression for cosine similarity over two double
-  * vectors: one fused loop computes the dot product and both norms, and
-  * `doGenCode` emits straight-line Java so the whole thing stays inside
-  * whole-stage codegen — no array HOF allocation per row.
+  * vectors: one fused loop computes the dot product and both norms,
+  * compiled as a static call inside whole-stage codegen — no array HOF
+  * allocation per row.
   *
   * This is the hot inner op of [[graft.operators.Ann]] and the
   * embedding near-dup (SURVEY §2 D5-D7): at 100 TB the O(pairs × dim)
   * multiply-adds dominate, so they must run as compiled scalar code,
   * not interpreted `zip_with`/`aggregate` trees.
+  *
+  * Mismatched vector lengths raise (ClickHouse errors too — a silent
+  * min-length prefix would return quietly wrong distances); a null
+  * array element raises likewise.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {
@@ -23,45 +27,70 @@ case class CosineSimilarity(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.cosine($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Shared fused loops for the vector expressions. Static methods so
+  * codegen emits one call that the JIT inlines; each validates equal
+  * dimensionality and non-null elements up front (ClickHouse raises on
+  * both; silently computing over a prefix hides data bugs). */
+object VectorOps {
+
+  private def check(x: ArrayData, y: ArrayData): Int = {
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${y.numElements()} " +
+          "(cosineSimilarity/dotProduct/L2 require equal dimensions)")
+    n
+  }
+
+  private def get(a: ArrayData, i: Int): Double = {
+    if (a.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"null element at index $i in vector argument")
+    a.getDouble(i)
+  }
+
+  def cosine(x: ArrayData, y: ArrayData): Double = {
+    val n = check(x, y)
     var dot = 0.0; var xx = 0.0; var yy = 0.0
     var i = 0
     while (i < n) {
-      val xi = x.getDouble(i); val yi = y.getDouble(i)
+      val xi = get(x, i); val yi = get(y, i)
       dot += xi * yi; xx += xi * xi; yy += yi * yi
       i += 1
     }
     if (xx == 0.0 || yy == 0.0) 0.0 else dot / math.sqrt(xx * yy)
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      val xx = ctx.freshName("xx")
-      val yy = ctx.freshName("yy")
-      val xi = ctx.freshName("xi")
-      val yi = ctx.freshName("yi")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0, $xx = 0.0, $yy = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $x.getDouble($i);
-         |  double $yi = $y.getDouble($i);
-         |  $dot += $xi * $yi; $xx += $xi * $xi; $yy += $yi * $yi;
-         |}
-         |${ev.value} = ($xx == 0.0 || $yy == 0.0)
-         |  ? 0.0 : $dot / java.lang.Math.sqrt($xx * $yy);
-       """.stripMargin
-    })
+  def dot(x: ArrayData, y: ArrayData): Double = {
+    val n = check(x, y)
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += get(x, i) * get(y, i); i += 1 }
+    acc
+  }
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): CosineSimilarity =
-    copy(left = newLeft, right = newRight)
+  def l2sq(x: ArrayData, y: ArrayData): Double = {
+    val n = check(x, y)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = get(x, i) - get(y, i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }
 
 /** Native dot product over two double vectors (ClickHouse
@@ -75,30 +104,11 @@ case class DotProduct(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
-    dot
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val dot = ctx.freshName("dot")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
-         |}
-         |${ev.value} = $dot;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.dot($x, $y)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =
@@ -118,36 +128,11 @@ case class L2SquaredDistance(left: Expression, right: Expression)
     Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = x.getDouble(i) - y.getDouble(i)
-      acc += d * d
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.l2sq(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (x, y) => {
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val acc = ctx.freshName("acc")
-      val d = ctx.freshName("d")
-      s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = $x.getDouble($i) - $y.getDouble($i);
-         |  $acc += $d * $d;
-         |}
-         |${ev.value} = $acc;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.l2sq($x, $y)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): L2SquaredDistance =

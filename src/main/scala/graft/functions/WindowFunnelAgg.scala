@@ -77,7 +77,9 @@ case class WindowFunnelAgg(
 
   override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
     if (buf.isEmpty) return 0
-    val evs = buf.sortBy(_._1)
+    // tiebreak equal timestamps by stage mask so the result is
+    // independent of partition merge order (insertion order is not)
+    val evs = buf.sortBy(e => (e._1, e._2))
     val n = conds.size
     // best(s): earliest chain-start ts among depth-(s+1) chains seen so
     // far (Long.MinValue sentinel = none). A stage-s event at time t

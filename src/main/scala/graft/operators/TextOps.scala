@@ -21,25 +21,30 @@ object TextOps {
 
   /** D10: whitespace tokens + a BPE-ish regex token stream (letter runs,
     * digit runs, single punctuation marks — the pre-tokenizer shape GPT-2
-    * style BPEs use). */
-  val textTokens: Q = (s, dir) =>
+    * style BPEs use). Counting is a native one-pass matcher loop
+    * ([[graft.functions.CountMatches]]) — no per-token array
+    * materialization, which measured as a 3× regression at sf0.1. */
+  val textTokens: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     Tables(s, dir, "documents")
       .select(
         col("doc_id"),
         size(toks).as("ws_tokens"),
-        size(regexp_extract_all(col("text"),
-          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).as("bpe_tokens"),
+        expr("countMatches(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')")
+          .as("bpe_tokens"),
         length(col("text")).as("n_chars"))
       .orderBy("doc_id")
+  }
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** D9: quality scoring — length, mean token length, punctuation /
     * stopword / distinct-token ratios, and a blended quality score. */
   val textQuality: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val nTok = size(toks).cast("double")
     val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
-    val punct = size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9 ]"), lit(0)))
+    val punct = expr("countMatches(text, '[^a-zA-Z0-9 ]')")
     val distinctRatio = size(array_distinct(toks)) / nTok
     val stopRatio = stopHits / nTok
     val punctRatio = punct / length(col("text")).cast("double")

@@ -504,6 +504,56 @@ class CHFunctionsSpec extends SparkSpec {
     assert(tiny == Seq(0L, 1L, 2L))
   }
 
+  test("groupArraySample samples rows: duplicate values fill adjacent slots") {
+    CHFunctions.register(spark)
+    // 5 distinct values × 4 copies each = 20 rows; k=7 must return 7
+    // elements (ClickHouse samples rows), not the ≤5 a distinct-set
+    // sketch would produce — and the same multiset at any partitioning.
+    def sample(parts: Int): Seq[Long] =
+      spark.range(0, 20).repartition(parts)
+        .selectExpr("groupArraySample(id % 5, 7) AS s")
+        .collect().head.getSeq[Long](0)
+    val s1 = sample(1)
+    val s8 = sample(8)
+    assert(s1 == s8)
+    assert(s1.length == 7)
+    assert(s1.toSet.size < 7) // duplicates present by construction
+  }
+
+  test("countSubstrings with an empty needle is 0, not an ANSI divide error") {
+    val r = one("SELECT countSubstrings('abc', ''), countSubstrings('', '')")
+    assert(r.getInt(0) == 0)
+    assert(r.getInt(1) == 0)
+  }
+
+  test("ngramDistance counts 4-grams with multiplicity (multiset, not set)") {
+    // 'aaaaa' has grams {aaaa×2}; 'aaaa' has {aaaa×1}.
+    // multiset: |AΔB|/(|A|+|B|) = (2+1-2·1)/3 = 1/3; a set formula says 0.
+    val r = one("SELECT ngramDistance('aaaaa', 'aaaa')")
+    assert(math.abs(r.getDouble(0) - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("countMatches equals size(regexp_extract_all(...)) on real text") {
+    CHFunctions.register(spark)
+    val bad = spark.sql(
+      """SELECT text FROM VALUES ('Hello, world! 42 foo'), (''), ('a+b=c') t(text)""")
+      .selectExpr(
+        "countMatches(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS fast",
+        "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS slow")
+      .where("fast != slow").count()
+    assert(bad == 0)
+  }
+
+  test("vector distances raise on mismatched dimensions") {
+    val e = intercept[Exception] {
+      one("SELECT dotProduct(array(1D,2D), array(1D,2D,3D))")
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("length mismatch"))
+  }
+
   test("anyHeavy finds the majority element; quantile sketch aliases agree") {
     val r = one(
       """SELECT anyHeavy(x),

@@ -21,7 +21,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("token counts: whitespace vs regex stream") {
     val m = TextOps.textTokens(spark, tmp).collect()
-      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2).toInt)).toMap
     assert(m(1L) == ((6, 6)))
     assert(m(2L) == ((2, 2)))
     // "Hello, world! Hello." -> words Hello world Hello + , ! .
