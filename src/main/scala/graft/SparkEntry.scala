@@ -25,5 +25,6 @@ object SparkEntry {
     Relational.oracles ++ SqlSurface.oracles ++ TextOps.oracles ++
       Events.oracles ++ Dedup.oracles ++ Ann.oracles ++ ChSurface.oracles ++
       AsOfQueries.oracles ++ Introspection.oracles ++ Embeddings.oracles ++
-      Pipeline.oracles ++ Funnel.oracles ++ Curation.oracles
+      Pipeline.oracles ++ Funnel.oracles ++ Curation.oracles ++
+      Multimodal.oracles
 }

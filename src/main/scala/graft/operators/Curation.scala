@@ -206,13 +206,20 @@ object Curation {
     * rewrite byte-identical vs the oracle).
     *
     * Scale shape: the corpus is shingled ONCE (narrow explode); span
-    * document-frequencies take one partial-agg shuffle; the frequent
-    * set is small by construction (boilerplate = repeated ⇒ bounded by
-    * corpus/df) and BROADCASTS back, so hit detection is map-side; the
-    * per-doc hit-position aggregate shuffles only matching spans, never
-    * the corpus; the final mask is a narrow indexed-lambda filter. No
-    * step is quadratic and nothing corpus-sized crosses more than one
-    * shuffle. */
+    * document-frequencies take one partial-agg shuffle of 64-BIT
+    * xxhash64 KEYS — (hash, doc_id) is 16 bytes/row vs ~60 for the
+    * span string, a ~4-6× shuffle-byte cut at any scale; hash-frequent
+    * candidates (a small superset of the true frequent set — 64-bit
+    * collisions can only ADD candidates) broadcast back, and a second
+    * exact string-keyed DF pass over only the candidate spans removes
+    * any collision so the result equals the all-strings formulation
+    * bit-for-bit; the frequent set is small by construction
+    * (boilerplate = repeated ⇒ bounded by corpus/df) and BROADCASTS
+    * back, so hit detection is map-side; the per-doc hit-position
+    * aggregate shuffles only matching spans, never the corpus; the
+    * final mask is a narrow indexed-lambda filter. No step is
+    * quadratic and nothing corpus-sized crosses a shuffle wider than
+    * 16 bytes/row. */
   val textBoilerplate: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -222,7 +229,16 @@ object Curation {
         s"""transform(sequence(1, greatest(size(toks) - ${SpanLen - 1}, 1)),
            |  i -> concat_ws(' ', slice(toks, i, $SpanLen)))""".stripMargin))
         .as(Seq("pos", "span")))
-    val frequent = spans.groupBy("span")
+    val candHashes = spans
+      .select(xxhash64(col("span")).as("h"), col("doc_id"))
+      .groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= SpanDf)
+      .select("h")
+    val frequent = spans
+      .withColumn("h", xxhash64(col("span")))
+      .join(broadcast(candHashes), "h")
+      .groupBy("span")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= SpanDf)
       .select("span")

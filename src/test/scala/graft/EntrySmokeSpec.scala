@@ -29,9 +29,9 @@ class EntrySmokeSpec extends SparkSpec {
     assert(os.subsetOf(qs), s"orphan oracles: ${os -- qs}")
     val rowsOnly = qs -- os
     // the intentional rows-only set: approximate sketches, catalog
-    // listings, engine-specific LSH, multimodal stubs
+    // listings, recall-spec ANN
     assert(rowsOnly == Set(
       "q_uniq", "q_ch_sketches", "q_sketch_rollup",
-      "cat_tables", "ann_ivf", "ann_pq", "mm_features"), rowsOnly)
+      "cat_tables", "ann_ivf", "ann_pq"), rowsOnly)
   }
 }
