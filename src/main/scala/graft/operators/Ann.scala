@@ -283,7 +283,13 @@ object Ann {
           first(col("sv")).as("sv"))
         .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
         .groupBy("sub", "cell", "pos")
-        .agg(avg("x").as("cx"))
+        // centroid mean in FIXED POINT: summing micro-units as longs is
+        // exact and ORDER-INDEPENDENT, so the trained codebook is
+        // bit-identical under any partitioning AND in any engine — what
+        // lets the DuckDB oracle replay the whole training loop (a
+        // double avg() differs in final ulps by summation order)
+        .agg((sum(floor(col("x") * 1e6 + lit(0.5)).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("cx"))
         .groupBy("sub", "cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
         .select(col("sub"), col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
@@ -384,6 +390,88 @@ object Ann {
          |  FROM s)
          |SELECT q_id, neighbor, cos_sim, rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
+    // ann_pq replays the ENTIRE pipeline — PQ training (2 Lloyd
+    // passes), encode, ADC scoring, shortlist, exact rerank — because
+    // every float step is order-pinned: centroid means sum exact
+    // fixed-point longs (order-independent), distances/dot products
+    // are unrolled left-associated sums matching the Scala loops
+    // term-for-term, and ties break identically ((d2, cell) asc /
+    // (sim, neighbor) desc-asc). Valid at driver SFs where the
+    // bounded training sample is the whole corpus (n ≤ 65536) and
+    // dim = 64 (subLen 8). The subqueries mirror annPq stage names.
+    "ann_pq" -> {
+      val subLen = 8
+      // (a-b)^2 summed left-assoc over the sub-vector, exactly the
+      // L2SquaredDistance loop
+      def d2(a: String, b: String) = (1 to subLen)
+        .map(i => s"($a[$i] - $b[$i]) * ($a[$i] - $b[$i])").mkString(" + ")
+      // dot(qv sub j, cv) left-assoc, exactly the driver ADC loop
+      val qdot = (1 to subLen)
+        .map(i => s"q.qv[n.j * $subLen + $i] * c2.cv[$i]").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+         |ps AS (SELECT unnest(generate_series(1, $subLen)) AS pos),
+         |sv AS (
+         |  SELECT vec_id, j, v[j * $subLen + 1 : j * $subLen + $subLen] AS sv
+         |  FROM e CROSS JOIN js),
+         |c0 AS (SELECT j, vec_id AS cell, sv AS cv FROM sv WHERE vec_id < $PqK),
+         |a1 AS (
+         |  SELECT sv.vec_id, sv.j, sv.sv, c0.cell
+         |  FROM sv JOIN c0 ON c0.j = sv.j
+         |  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |    ORDER BY ${d2("sv.sv", "c0.cv")}, c0.cell) = 1),
+         |u1 AS (
+         |  SELECT j, cell, pos,
+         |    CAST(sum(CAST(floor(sv[pos] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000 AS cx
+         |  FROM a1 CROSS JOIN ps GROUP BY j, cell, pos),
+         |c1 AS (SELECT j, cell, list(cx ORDER BY pos) AS cv FROM u1 GROUP BY j, cell),
+         |a2 AS (
+         |  SELECT sv.vec_id, sv.j, sv.sv, c1.cell
+         |  FROM sv JOIN c1 ON c1.j = sv.j
+         |  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |    ORDER BY ${d2("sv.sv", "c1.cv")}, c1.cell) = 1),
+         |u2 AS (
+         |  SELECT j, cell, pos,
+         |    CAST(sum(CAST(floor(sv[pos] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000 AS cx
+         |  FROM a2 CROSS JOIN ps GROUP BY j, cell, pos),
+         |c2 AS (SELECT j, cell, list(cx ORDER BY pos) AS cv FROM u2 GROUP BY j, cell),
+         |codes AS (
+         |  SELECT sv.vec_id, sv.j, c2.cell AS code
+         |  FROM sv JOIN c2 ON c2.j = sv.j
+         |  QUALIFY row_number() OVER (PARTITION BY sv.vec_id, sv.j
+         |    ORDER BY ${d2("sv.sv", "c2.cv")}, c2.cell) = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |terms AS (
+         |  SELECT q.q_id, n.vec_id AS neighbor, n.j, $qdot AS term
+         |  FROM codes n
+         |  JOIN c2 ON c2.j = n.j AND c2.cell = n.code
+         |  CROSS JOIN q
+         |  WHERE n.vec_id != q.q_id),
+         |approx AS (
+         |  SELECT q_id, neighbor, ts[1]+ts[2]+ts[3]+ts[4]+ts[5]+ts[6]+ts[7]+ts[8]
+         |    AS approx_sim
+         |  FROM (SELECT q_id, neighbor, list(term ORDER BY j) AS ts
+         |        FROM terms GROUP BY q_id, neighbor)),
+         |shortlist AS (
+         |  SELECT q_id, neighbor FROM approx
+         |  QUALIFY row_number() OVER (PARTITION BY q_id
+         |    ORDER BY approx_sim DESC, neighbor) <= $PqShortlist),
+         |exact AS (
+         |  SELECT s.q_id, s.neighbor,
+         |    round(list_cosine_similarity(q.qv, e.v), 4) AS cos_sim
+         |  FROM shortlist s
+         |  JOIN e ON e.vec_id = s.neighbor
+         |  JOIN q ON q.q_id = s.q_id),
+         |r AS (
+         |  SELECT q_id, neighbor, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, neighbor) AS rn
+         |  FROM exact)
+         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    },
     "ann_quantized" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |comp AS (
