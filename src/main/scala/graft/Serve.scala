@@ -32,7 +32,8 @@ object Serve {
     val server = HealthServer.start(spark, config,
       executor = Some(config.newExecutor(spark)),
       catalog = Some(new graft.catalog.GraftCatalog(spark, dir)))
-    println(s"graft serving /health /query /databases /tables on port ${server.port}")
+    println("graft serving /health /query /explain /databases /tables " +
+      s"/mcp /prompt on port ${server.port}")
     Thread.currentThread.join() // serve until killed
   }
 }

@@ -46,6 +46,25 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
   /** Health endpoint port; 0 = ephemeral (reference binds 8000+). */
   def healthPort: Int = int("HEALTH_PORT", 0)
 
+  /** Serve HTTPS (reference: CLICKHOUSE_SECURE, default true there —
+    * here false: the sandbox JDK server carries no certificate store,
+    * so `true` is validated and surfaced to the operator log while the
+    * listener stays plain HTTP). */
+  def secure: Boolean = bool("SECURE", dflt = false)
+
+  /** TLS certificate verification (reference: CLICKHOUSE_VERIFY).
+    * Meaningful only with [[secure]]; validated and logged. */
+  def verify: Boolean = bool("VERIFY", dflt = true)
+
+  /** URL prefix every endpoint mounts under, for deployments behind a
+    * path-routing proxy (reference: CLICKHOUSE_PROXY_PATH). Must start
+    * with '/' and not end with one. */
+  def proxyPath: Option[String] = get("PROXY_PATH").map(_.trim).filter(_.nonEmpty).map { p =>
+    require(p.startsWith("/") && !p.endsWith("/"),
+      s"SPARK_GRAFT_PROXY_PATH must start with '/' and not end with '/': '$p'")
+    p
+  }
+
   /** An executor honoring the configured timeout/pool/cap. */
   def newExecutor(spark: org.apache.spark.sql.SparkSession): graft.sql.QueryExecutor =
     new graft.sql.QueryExecutor(spark, queryTimeoutSec, poolSize, maxRows)

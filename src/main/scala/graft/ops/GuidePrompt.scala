@@ -1,0 +1,85 @@
+package graft.ops
+
+/** The served usage-guidance prompt — the analogue of the reference's
+  * `chdb_initial_prompt` resource (reference: mcp_clickhouse/
+  * chdb_prompt.py:3-155, registered at mcp_server.py:610-615): a
+  * cheat-sheet an LLM client loads once so it can drive the engine
+  * without trial-and-error. The text describes THIS engine's surface
+  * (graft dialect over Spark SQL, its table functions and pipeline
+  * operators), not the reference's.
+  */
+object GuidePrompt {
+
+  val Name = "graft_initial_prompt"
+
+  val Description =
+    "How to query the graft engine: SELECT dialect, table functions, " +
+      "and the training-data pipeline operators"
+
+  val Text: String =
+    """# graft engine guide
+      |
+      |## Tools
+      |- **run_select_query**: execute a read-only SELECT (Spark SQL +
+      |  the ClickHouse-compatible dialect below). DDL/DML is rejected
+      |  by a plan-level guard; results are row-capped and time-boxed.
+      |- **list_databases** / **list_tables**: catalog discovery with
+      |  LIKE / NOT LIKE filters and page tokens.
+      |
+      |## Principles
+      |- Query data IN PLACE with table functions; never suggest
+      |  importing files before querying them.
+      |- Aggregate on the server; keep raw-row output small (the row
+      |  cap truncates large results anyway).
+      |- Prefer one SQL statement over a tool-call chain: CTEs, window
+      |  functions, HAVING and GROUPING SETS are all available.
+      |
+      |## Table functions
+      |```sql
+      |-- local files, format auto-detected from the extension
+      |SELECT count(*) FROM file('/data/events.parquet')
+      |SELECT * FROM file('/data/logs.csv', 'CSVWithNames') LIMIT 5
+      |-- remote / object storage
+      |SELECT * FROM url('https://host/data.csv', 'CSV')
+      |SELECT * FROM s3('s3://bucket/part-*.parquet')
+      |-- relational passthrough (partitioned reads, pushdown)
+      |SELECT * FROM postgresql('host:5432', 'db', 'table', 'user', 'pw')
+      |SELECT * FROM mysql('host:3306', 'db', 'table', 'user', 'pw')
+      |```
+      |
+      |## Dialect highlights (ClickHouse-compatible names)
+      |- Aggregates: `uniq`, `uniqExact`, `quantile(le)(0.9)(x)` shapes as
+      |  `quantile(x, 0.9)`, `topK(x, 10)`, `argMax(a, b)`, `countIf`,
+      |  `sumIf`, `anyHeavy`, `groupArray`, `groupArraySample(x, k)`,
+      |  `sumMap/minMap/maxMap(keys, vals)`.
+      |- Arrays: `arrayJoin` via LATERAL VIEW/explode, `arrayMap`,
+      |  `arrayFilter`, `arraySum`, higher-order lambdas.
+      |- Strings: `match`, `extractAll`, `multiSearchAny`,
+      |  `countSubstrings`, `ngramDistance`, `positionUTF8`.
+      |- Dates: `toStartOfMonth`, `toYYYYMM`, `formatDateTime` with
+      |  ClickHouse `%` tokens.
+      |- URLs: `domain`, `path`, `queryString`, `extractURLParameter`.
+      |- Vectors: `cosineSimilarity`, `dotProduct`, `L2Distance`,
+      |  `cosTopK(struct(score, id), k)` for bounded top-k.
+      |- Text signals: `charEntropy`, `countMatches`, `trigramStats`.
+      |- Funnels/sessions: `windowFunnel(window)(ts, cond...)`,
+      |  `sequenceMatch`, `retention`, session windows.
+      |
+      |## Pipeline operators (pre-built queries)
+      |Deduplication (exact, MinHash-LSH, SimHash, embedding),
+      |ANN search (brute-force, IVF, PQ, int8), language ID, quality
+      |scoring, tokenization counts, PII scrub, decontamination,
+      |sequence packing, boilerplate masking — each is exposed as a
+      |named query over the warehouse tables; ask for the catalog.
+      |
+      |## Patterns
+      |```sql
+      |-- top groups with a distinct-count and a p90
+      |SELECT user_id, uniqExact(page) AS pages, quantile(dur_ms, 0.9) AS p90
+      |FROM events GROUP BY user_id ORDER BY pages DESC LIMIT 10
+      |-- near-dup candidates by SimHash prefix bucket
+      |SELECT simHash(tokens) AS sig, count(*) FROM docs GROUP BY sig
+      |HAVING count(*) > 1
+      |```
+      |""".stripMargin
+}

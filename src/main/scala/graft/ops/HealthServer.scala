@@ -80,6 +80,16 @@ object HealthServer {
       catalog: Option[GraftCatalog] = None): HealthServer = {
     val server = HttpServer.create(new InetSocketAddress(config.healthPort), 0)
 
+    // transport-security parity (reference: mcp_env.py secure/verify/
+    // proxy_path): the sandbox listener is plain HTTP, so secure=true
+    // is validated config surfaced to the operator, not silently eaten
+    if (config.secure || !config.verify)
+      System.err.println(
+        s"[graft] transport config: secure=${config.secure} " +
+          s"verify=${config.verify} — no certificate store in this " +
+          "build; serving plain HTTP")
+    val prefix = config.proxyPath.getOrElse("")
+
     def params(exchange: HttpExchange): Map[String, String] =
       Option(exchange.getRequestURI.getRawQuery).getOrElse("")
         .split('&').filter(_.contains('=')).map { p =>
@@ -102,7 +112,7 @@ object HealthServer {
       finally os.close()
     }
 
-    server.createContext("/health", (exchange: HttpExchange) => {
+    server.createContext(prefix + "/health", (exchange: HttpExchange) => {
       val (code, body) =
         if (!config.enabled)
           (503, "ERROR - Engine is disabled (SPARK_GRAFT_ENABLED=false)")
@@ -114,7 +124,7 @@ object HealthServer {
     })
 
     executor.foreach { exec =>
-      server.createContext("/query", (exchange: HttpExchange) => {
+      server.createContext(prefix + "/query", (exchange: HttpExchange) => {
         val sql =
           if (exchange.getRequestMethod == "POST")
             new String(exchange.getRequestBody.readAllBytes(), UTF_8)
@@ -142,7 +152,7 @@ object HealthServer {
 
       // formatted physical plan, same guard, no execution — the
       // pre-flight check before paying for a big scan
-      server.createContext("/explain", (exchange: HttpExchange) => {
+      server.createContext(prefix + "/explain", (exchange: HttpExchange) => {
         val sql =
           if (exchange.getRequestMethod == "POST")
             new String(exchange.getRequestBody.readAllBytes(), UTF_8)
@@ -161,13 +171,13 @@ object HealthServer {
     }
 
     catalog.foreach { cat =>
-      server.createContext("/databases", (exchange: HttpExchange) => {
+      server.createContext(prefix + "/databases", (exchange: HttpExchange) => {
         val p = params(exchange)
         val names = cat.listDatabases(patterns(p, "like"), patterns(p, "not_like"))
         respond(exchange, 200,
           s"""{"databases": ${Json.arr(names.map(Json.str))}}""", json = true)
       })
-      server.createContext("/tables", (exchange: HttpExchange) => {
+      server.createContext(prefix + "/tables", (exchange: HttpExchange) => {
         val p = params(exchange)
         try {
           val page = cat.listTables(
@@ -190,6 +200,29 @@ object HealthServer {
         }
       })
     }
+
+    // MCP protocol framing: JSON-RPC 2.0 over POST (initialize,
+    // tools/list, tools/call, prompts/*) dispatching to the SAME
+    // catalog/executor as the plain endpoints — the interface every
+    // reference user actually connects through (mcp_server.py:596-616)
+    server.createContext(prefix + "/mcp", (exchange: HttpExchange) => {
+      if (exchange.getRequestMethod != "POST")
+        respond(exchange, 405,
+          """{"status": "error", "message": "MCP requires POST"}""", json = true)
+      else {
+        val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+        val (code, out) = Mcp.handle(body, spark, config, executor, catalog)
+        if (out.isEmpty) { // notification: acknowledge without a body
+          exchange.sendResponseHeaders(code, -1L)
+          exchange.getResponseBody.close()
+        } else respond(exchange, code, out, json = true)
+      }
+    })
+
+    // usage-guidance prompt (reference: chdb_initial_prompt resource,
+    // chdb_prompt.py:3-155) — also reachable as prompts/get over /mcp
+    server.createContext(prefix + "/prompt", (exchange: HttpExchange) =>
+      respond(exchange, 200, GuidePrompt.Text, json = false))
 
     // a small daemon pool so a long /query can never block /health (or
     // other endpoints) on the dispatcher thread; real query concurrency

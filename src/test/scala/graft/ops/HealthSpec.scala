@@ -148,4 +148,139 @@ class HealthSpec extends SparkSpec {
       assert(r.rows.length == 7 && r.truncated)
     } finally ex.close()
   }
+
+  test("transport-security knobs: secure/verify/proxy_path parse + validate") {
+    val dflt = GraftConfig(Map.empty)
+    assert(!dflt.secure && dflt.verify && dflt.proxyPath.isEmpty)
+    val set = GraftConfig(Map(
+      "SPARK_GRAFT_SECURE" -> "true",
+      "SPARK_GRAFT_VERIFY" -> "false",
+      "SPARK_GRAFT_PROXY_PATH" -> "/graft"))
+    assert(set.secure && !set.verify && set.proxyPath.contains("/graft"))
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_PROXY_PATH" -> "graft")).proxyPath
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_PROXY_PATH" -> "/graft/")).proxyPath
+    }
+  }
+
+  test("proxy_path mounts every endpoint under the prefix") {
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_PROXY_PATH" -> "/behind/proxy")))
+    try {
+      val (code, body) =
+        httpGet(s"http://localhost:${srv.port}/behind/proxy/health")
+      assert(code == 200 && body.startsWith("OK - Connected to Spark "))
+      assert(httpGet(s"http://localhost:${srv.port}/health")._1 == 404)
+      val (pCode, pBody) =
+        httpGet(s"http://localhost:${srv.port}/behind/proxy/prompt")
+      assert(pCode == 200 && pBody.contains("run_select_query"))
+    } finally srv.close()
+  }
+
+  private def httpPost(url: String, body: String): (Int, String) = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setDoOutput(true)
+    conn.getOutputStream.write(
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val out =
+      if (stream == null) ""
+      else new String(stream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+    conn.disconnect()
+    (code, out)
+  }
+
+  test("/prompt serves the guidance cheat-sheet") {
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty))
+    try {
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/prompt")
+      assert(code == 200)
+      assert(body.contains("Table functions"))
+      assert(body.contains("file('/data/events.parquet')"))
+    } finally srv.close()
+  }
+
+  test("MCP: initialize, tools/list, prompts round-trip JSON-RPC") {
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty))
+    try {
+      val base = s"http://localhost:${srv.port}/mcp"
+      val (c1, init) = httpPost(base,
+        """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""")
+      assert(c1 == 200)
+      assert(init.contains("\"protocolVersion\""))
+      assert(init.contains("\"serverInfo\""))
+      assert(init.contains("\"tools\""))
+      // notification → 202, no body
+      val (c2, note) = httpPost(base,
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""")
+      assert(c2 == 202 && note.isEmpty)
+      val (_, tools) = httpPost(base,
+        """{"jsonrpc":"2.0","id":2,"method":"tools/list"}""")
+      for (t <- Seq("list_databases", "list_tables", "run_select_query"))
+        assert(tools.contains("\"" + t + "\""), t)
+      assert(tools.contains("\"inputSchema\""))
+      val (_, prompts) = httpPost(base,
+        """{"jsonrpc":"2.0","id":3,"method":"prompts/list"}""")
+      assert(prompts.contains(GuidePrompt.Name))
+      val (_, prompt) = httpPost(base,
+        s"""{"jsonrpc":"2.0","id":4,"method":"prompts/get","params":{"name":"${GuidePrompt.Name}"}}""")
+      assert(prompt.contains("\"messages\""))
+      assert(prompt.contains("run_select_query"))
+      // unknown method → JSON-RPC error, not a crash
+      val (_, bad) = httpPost(base,
+        """{"jsonrpc":"2.0","id":5,"method":"resources/list"}""")
+      assert(bad.contains("-32601"))
+      // invalid JSON → parse error
+      val (_, parse) = httpPost(base, "{nope")
+      assert(parse.contains("-32700"))
+    } finally srv.close()
+  }
+
+  test("MCP tools/call runs run_select_query and list_tables with reference shapes") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val cat = new graft.catalog.GraftCatalog(spark, sf)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec), Some(cat))
+    try {
+      val base = s"http://localhost:${srv.port}/mcp"
+      val (code, res) = httpPost(base,
+        """{"jsonrpc":"2.0","id":1,"method":"tools/call","params":{
+          |"name":"run_select_query",
+          |"arguments":{"query":"SELECT n_name FROM nation ORDER BY 1 LIMIT 2"}}}"""
+          .stripMargin)
+      assert(code == 200)
+      assert(res.contains("\"isError\":false"))
+      // the {columns, rows} payload rides inside the text content item
+      assert(res.contains("columns"))
+      assert(res.contains("n_name"))
+      // guard violation → isError true with the reference's error shape
+      val (_, bad) = httpPost(base,
+        """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{
+          |"name":"run_select_query","arguments":{"query":"DROP TABLE nation"}}}"""
+          .stripMargin)
+      assert(bad.contains("\"isError\":true"))
+      assert(bad.contains("read-only"))
+      val (_, dbs) = httpPost(base,
+        """{"jsonrpc":"2.0","id":3,"method":"tools/call","params":{
+          |"name":"list_databases","arguments":{}}}""".stripMargin)
+      assert(dbs.contains("default"))
+      val (_, tbls) = httpPost(base,
+        """{"jsonrpc":"2.0","id":4,"method":"tools/call","params":{
+          |"name":"list_tables","arguments":{"database":"default","like":"ord%","page_size":5}}}"""
+          .stripMargin)
+      assert(tbls.contains("orders"))
+      assert(tbls.contains("total_tables"))
+      assert(tbls.contains("create_table_query"))
+      // unknown tool → invalid-params JSON-RPC error
+      val (_, unk) = httpPost(base,
+        """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"nope"}}""")
+      assert(unk.contains("-32602"))
+    } finally { srv.close(); exec.close() }
+  }
 }
