@@ -153,7 +153,12 @@ object Ann {
       val updated = assignCells(sample, cents, "vec_id", "v")
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        .agg(avg("x").as("cx"))
+        // fixed-point mean (micro-units summed as longs): exact and
+        // order-independent, so centroids are bit-identical under any
+        // partitioning and replayable by the DuckDB oracle (see the
+        // identical rationale in trainPqCodebooks)
+        .agg((sum(floor(col("x") * 1e6 + lit(0.5)).cast("long")).cast("double")
+          / count(lit(1)) / 1e6).as("cx"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
         .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
@@ -390,6 +395,70 @@ object Ann {
          |  FROM s)
          |SELECT q_id, neighbor, cos_sim, rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
+    // ann_ivf replays the ENTIRE pipeline — coarse-quantizer training
+    // (2 Lloyd passes), cell assignment, nprobe probe selection, and
+    // the probed-cells search — using the same exactness recipe as
+    // ann_pq below: fixed-point centroid means (order-independent) and
+    // cosine expressions unrolled left-associated to match the fused
+    // CosineSimilarity loop term-for-term, so assignment argmaxes and
+    // probe rankings agree bit-for-bit. Valid at driver SFs where the
+    // training sample is the whole corpus (n ≤ 65536) and dim = 64.
+    "ann_ivf" -> {
+      val dim = 64
+      // dot / sqrt(xx·yy) with each sum unrolled left-assoc — the
+      // exact double sequence CosineSimilarity produces
+      def cos(a: String, b: String): String = {
+        val dot = (1 to dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+        val xx = (1 to dim).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
+        val yy = (1 to dim).map(i => s"$b[$i]*$b[$i]").mkString(" + ")
+        s"CASE WHEN ($xx) = 0 OR ($yy) = 0 THEN 0 " +
+          s"ELSE ($dot) / sqrt(($xx) * ($yy)) END"
+      }
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ps AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+         |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $NumCells),
+         |a1 AS (
+         |  SELECT e.vec_id, e.v, c0.cell FROM e CROSS JOIN c0
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c0.cv")} DESC, c0.cell) = 1),
+         |u1 AS (
+         |  SELECT cell, pos,
+         |    CAST(sum(CAST(floor(v[pos] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000 AS cx
+         |  FROM a1 CROSS JOIN ps GROUP BY cell, pos),
+         |c1 AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM u1 GROUP BY cell),
+         |a2 AS (
+         |  SELECT e.vec_id, e.v, c1.cell FROM e CROSS JOIN c1
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c1.cv")} DESC, c1.cell) = 1),
+         |u2 AS (
+         |  SELECT cell, pos,
+         |    CAST(sum(CAST(floor(v[pos] * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 1000000 AS cx
+         |  FROM a2 CROSS JOIN ps GROUP BY cell, pos),
+         |c2 AS (SELECT cell, list(cx ORDER BY pos) AS cv FROM u2 GROUP BY cell),
+         |assigned AS (
+         |  SELECT c2.cell, e.vec_id, e.v FROM e CROSS JOIN c2
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cos("e.v", "c2.cv")} DESC, c2.cell) = 1),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries),
+         |probe AS (
+         |  SELECT q.q_id, q.qv, c2.cell FROM q CROSS JOIN c2
+         |  QUALIFY row_number() OVER (PARTITION BY q.q_id
+         |    ORDER BY ${cos("q.qv", "c2.cv")} DESC, c2.cell) <= $NProbe),
+         |scored AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS neighbor,
+         |    round(list_cosine_similarity(p.qv, a.v), 4) AS cos_sim
+         |  FROM probe p JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.q_id),
+         |r AS (
+         |  SELECT q_id, neighbor, cos_sim,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_sim DESC, neighbor) AS rn
+         |  FROM scored)
+         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    },
     // ann_pq replays the ENTIRE pipeline — PQ training (2 Lloyd
     // passes), encode, ADC scoring, shortlist, exact rerank — because
     // every float step is order-pinned: centroid means sum exact

@@ -32,6 +32,6 @@ class EntrySmokeSpec extends SparkSpec {
     // listings, recall-spec ANN
     assert(rowsOnly == Set(
       "q_uniq", "q_ch_sketches", "q_sketch_rollup",
-      "cat_tables", "ann_ivf"), rowsOnly)
+      "cat_tables"), rowsOnly)
   }
 }
