@@ -330,26 +330,82 @@ object Multimodal {
     extractFeatures(mediaTable(s, dir)).toDF()
       .orderBy("doc_id")
 
-  val queries: Map[String, Q] = Map("mm_features" -> mmFeatures)
+  final case class FrameFeatures(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_ms: Long,
+      width: Int,
+      height: Int,
+      pixel_md5: String,
+      sum_c1: Long,
+      sum_c2: Long,
+      sum_c3: Long)
+
+  /** Driver query (oracle-verified): sample every video's frames and
+    * REALLY decode each one — timestamps from the even-spacing rule,
+    * digests from the decoded pixels. Frame selection, demux and the
+    * per-frame PNG decode are all proven by the formula replay. */
+  val mmFrames: Q = (s, dir) => {
+    import s.implicits._
+    sampleFrames(mediaTable(s, dir), VideoFrames)
+      .mapPartitions { frames =>
+        frames.map { f =>
+          val (w, h, md5, sr, sg, sb) = decodePng(f.frame_payload)
+          FrameFeatures(f.doc_id, f.frame_idx, f.frame_ms, w, h, md5, sr, sg, sb)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_features" -> mmFeatures,
+    "mm_frames" -> mmFrames)
+
+  // oracle-side replay of the generative pixel stream: value
+  // v(x,y) = R·65536 + G·256 + B over y-major, x-minor order for a
+  // seed expression (columns `w` and `h` must be in scope)
+  private def pixelLists(seed: String) =
+    s"""flatten(list_transform(generate_series(0, h - 1), y ->
+       |  list_transform(generate_series(0, w - 1), x ->
+       |    ((3*x + 5*y + $seed) % 256) * 65536
+       |    + ((7*x + 11*y + 2*($seed)) % 256) * 256
+       |    + ((13*x + 17*y + 3*($seed)) % 256))))""".stripMargin
+
+  private def chanSum(mul: String, xc: Int, yc: Int, seed: String) =
+    s"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
+       |  list_transform(generate_series(0, w - 1), x ->
+       |    (($xc*x + $yc*y + $mul*($seed)) % 256))))) AS BIGINT)""".stripMargin
 
   /** DuckDB oracle: replays the generative formulas (no image codec
     * needed — the pixel stream is closed-form) and reproduces the
     * exact decoded value stream Spark's ImageIO/PCM/demux path
     * emits. */
   val oracles: Map[String, String] = Map(
+    "mm_frames" -> {
+      // every video doc emits VideoFrames frames; with n = VideoFrames
+      // the even-spacing rule selects idx = i and
+      // ms = duration · i / (n-1) in integer arithmetic
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(16 + (doc_id % 4) * 16 AS INT) AS w,
+         |    CAST(16 + (doc_id % 3) * 16 AS INT) AS h,
+         |    1000 + doc_id % 60000 AS dur
+         |  FROM documents WHERE doc_id % 3 = 2),
+         |f AS (
+         |  SELECT m.*, gi.i FROM m
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${VideoFrames - 1})) AS i) gi)
+         |SELECT doc_id,
+         |  CAST(i AS INT) AS frame_idx,
+         |  CAST(dur * i // ${VideoFrames - 1} AS BIGINT) AS frame_ms,
+         |  w AS width, h AS height,
+         |  md5(array_to_string(${pixelLists(s"doc_id + $FrameSeedOffset*i")}, ',')) AS pixel_md5,
+         |  ${chanSum("1", 3, 5, s"doc_id + $FrameSeedOffset*i")} AS sum_c1,
+         |  ${chanSum("2", 7, 11, s"doc_id + $FrameSeedOffset*i")} AS sum_c2,
+         |  ${chanSum("3", 13, 17, s"doc_id + $FrameSeedOffset*i")} AS sum_c3
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+    },
     "mm_features" -> {
-      // value stream per image-like doc with seed S, width W, height H:
-      //   v(x,y) = R·65536 + G·256 + B over y-major, x-minor order
-      def pixelLists(seed: String) =
-        s"""flatten(list_transform(generate_series(0, h - 1), y ->
-           |  list_transform(generate_series(0, w - 1), x ->
-           |    ((3*x + 5*y + $seed) % 256) * 65536
-           |    + ((7*x + 11*y + 2*($seed)) % 256) * 256
-           |    + ((13*x + 17*y + 3*($seed)) % 256))))""".stripMargin
-      def chanSum(mul: String, xc: Int, yc: Int, seed: String) =
-        s"""CAST(list_sum(flatten(list_transform(generate_series(0, h - 1), y ->
-           |  list_transform(generate_series(0, w - 1), x ->
-           |    (($xc*x + $yc*y + $mul*($seed)) % 256))))) AS BIGINT)""".stripMargin
       s"""WITH m AS (
          |  SELECT doc_id,
          |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
