@@ -594,17 +594,33 @@ object CHFunctions {
     * the pack (sentinel: the pack-private `cosTopK`). */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(FunctionIdentifier("cosTopK")))
+    if (!reg.functionExists(FunctionIdentifier("cosTopK"))) {
+      quietRegistryLogger
       all.foreach { case (name, builder) =>
         reg.registerFunction(FunctionIdentifier(name), info(name), builder)
       }
+    }
   }
 
+  /** A handful of dialect names intentionally shadow Spark built-ins
+    * (`match`, `extractAll`, ...), which Spark's registry reports with
+    * one WARN per name per session — pure noise for a deliberate
+    * override. Raise that one logger to ERROR once (it logs nothing
+    * else); evaluated lazily so non-log4j2 deployments keep their
+    * WARNs rather than failing. */
+  private lazy val quietRegistryLogger: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
   /** Register at session build time via `withExtensions`. */
-  def inject(ext: SparkSessionExtensions): Unit =
+  def inject(ext: SparkSessionExtensions): Unit = {
+    quietRegistryLogger
     all.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info(name), builder))
     }
+  }
 
   /** ClickHouse `%`-style date tokens → Spark pattern letters (the
     * common subset; unknown tokens pass through untouched). */

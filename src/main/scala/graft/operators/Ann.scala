@@ -146,7 +146,10 @@ object Ann {
   private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val sample = boundedSample(e, "vec_id")
+    // the sample is ≤ TrainSample vectors BY CONTRACT (MB-scale), so
+    // caching it across Lloyd passes trades bounded memory for not
+    // re-reading parquet + re-filtering once per iteration
+    val sample = boundedSample(e, "vec_id").persist()
     var cents = e.filter(col("vec_id") < k)
       .select(col("vec_id").as("cell"), col("v").as("cv"))
     for (_ <- 0 until iters) {
@@ -166,6 +169,7 @@ object Ann {
         .collect() // k × dim doubles — driver-tiny by contract
       cents = updated.toSeq.toDF("cell", "cv")
     }
+    sample.unpersist(blocking = false)
     cents
   }
 
@@ -274,7 +278,9 @@ object Ann {
     val dim = e.limit(1).select(size(col("v"))).as[Int].head()
     require(dim % PqM == 0,
       s"PQ requires embedding dim divisible by $PqM subspaces, got $dim")
-    val subs = subVectors(boundedSample(e, "vec_id"))
+    // bounded-sample sub-vectors cached across Lloyd passes (≤
+    // TrainSample × dim doubles by contract — MB-scale)
+    val subs = subVectors(boundedSample(e, "vec_id")).persist()
     var local = subVectors(e.filter(col("vec_id") < PqK))
       .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
       .as[(Int, Long, Seq[Double])].collect().toSeq
@@ -300,6 +306,7 @@ object Ann {
         .select(col("sub"), col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
         .as[(Int, Long, Seq[Double])].collect().toSeq
     }
+    subs.unpersist(blocking = false)
     local
   }
 
