@@ -197,4 +197,25 @@ class PlanQualitySpec extends SparkSpec {
     val n = countShuffles(Dedup.dedupSimhash(spark, sf))
     assert(n <= 1, s"expected <=1 shuffle, got $n")
   }
+
+  test("boilerplate DF count shuffles 64-bit span hashes, not strings") {
+    val plan = formatted(
+      graft.operators.Curation.textBoilerplate(spark, sf))
+    // the document-frequency aggregate keys on xxhash64(span): the
+    // corpus-wide shuffle carries 16-byte rows, strings only cross in
+    // the (small) candidate re-check and the broadcast mask join
+    assert(plan.contains("xxhash64"), plan.take(600))
+    // candidate sets broadcast back — no sort-merge join of span strings
+    assert(!plan.contains("SortMergeJoin"), "expected broadcast joins only")
+  }
+
+  test("multimodal decode pipelines stay narrow after the id spread") {
+    // synthesis + decode are mapPartitions over repartitioned 8-byte
+    // ids: one round-robin exchange to spread codec work, one final
+    // presentation sort — nothing else may shuffle
+    val nFeat = countShuffles(graft.operators.Multimodal.mmFeatures(spark, sf))
+    assert(nFeat <= 2, s"mm_features: expected <=2 shuffles, got $nFeat")
+    val nFrames = countShuffles(graft.operators.Multimodal.mmFrames(spark, sf))
+    assert(nFrames <= 2, s"mm_frames: expected <=2 shuffles, got $nFrames")
+  }
 }
