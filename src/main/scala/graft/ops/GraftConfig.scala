@@ -29,6 +29,11 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
   /** Master enable flag (reference: CLICKHOUSE_ENABLED). */
   def enabled: Boolean = bool("ENABLED", dflt = true)
 
+  /** Register the in-place file-query tool `run_chdb_select_query`
+    * (reference: CHDB_ENABLED, default false there too) — same guarded
+    * executor, aimed at `file()/url()/s3()` table-function queries. */
+  def chdbEnabled: Boolean = bool("CHDB_ENABLED", dflt = false)
+
   /** Per-query timeout in seconds (reference: *_SEND_RECEIVE_TIMEOUT
     * semantics applied to query execution). */
   def queryTimeoutSec: Int = int("QUERY_TIMEOUT_SEC", 30)

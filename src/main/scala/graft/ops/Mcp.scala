@@ -33,7 +33,7 @@ object Mcp {
   private def obj(): ObjectNode = mapper.createObjectNode()
 
   /** Tool descriptors with the reference's parameter surface. */
-  private def toolDescriptors: ArrayNode = {
+  private def toolDescriptors(config: GraftConfig): ArrayNode = {
     val tools = mapper.createArrayNode()
 
     def strOrList(desc: String): ObjectNode = {
@@ -89,6 +89,25 @@ object Mcp {
       val t = obj()
       t.put("name", "run_select_query")
       t.put("description", "Run a read-only SELECT query")
+      val props = obj()
+      props.set[ObjectNode]("query",
+        obj().put("type", "string").put("description", "the SELECT statement"))
+      val req = mapper.createArrayNode()
+      req.add("query")
+      val schema = obj().put("type", "object")
+      schema.set[ObjectNode]("properties", props)
+      schema.set[ObjectNode]("required", req)
+      t.set[ObjectNode]("inputSchema", schema)
+      tools.add(t)
+    }
+    // in-place file querying registers as its own tool only when opted
+    // in, mirroring the reference's CHDB_ENABLED gate
+    if (config.chdbEnabled) {
+      val t = obj()
+      t.put("name", "run_chdb_select_query")
+      t.put("description",
+        "Run a read-only SELECT that queries files in place via " +
+          "file()/url()/s3() table functions")
       val props = obj()
       props.set[ObjectNode]("query",
         obj().put("type", "string").put("description", "the SELECT statement"))
@@ -187,7 +206,7 @@ object Mcp {
         val result = obj()
         // mirrors the reference: tools register only when enabled
         result.set[ObjectNode]("tools",
-          if (config.enabled) toolDescriptors else mapper.createArrayNode())
+          if (config.enabled) toolDescriptors(config) else mapper.createArrayNode())
         (200, rpcResult(id, result))
 
       case "tools/call" =>
@@ -274,7 +293,11 @@ object Mcp {
             }
         }
 
-      case "run_select_query" =>
+      case "run_chdb_select_query" if !config.chdbEnabled =>
+        Left((-32602, "unknown tool: run_chdb_select_query (set " +
+          "SPARK_GRAFT_CHDB_ENABLED=true to register it)"))
+
+      case "run_select_query" | "run_chdb_select_query" =>
         executor match {
           case None => Right(toolResult(errorBody("executor is not mounted"), isError = true))
           case Some(exec) =>

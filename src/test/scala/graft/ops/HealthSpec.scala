@@ -281,6 +281,37 @@ class HealthSpec extends SparkSpec {
       val (_, unk) = httpPost(base,
         """{"jsonrpc":"2.0","id":5,"method":"tools/call","params":{"name":"nope"}}""")
       assert(unk.contains("-32602"))
+      // the chdb file-query tool is opt-in, like the reference's gate
+      val (_, gated) = httpPost(base,
+        """{"jsonrpc":"2.0","id":6,"method":"tools/call","params":{
+          |"name":"run_chdb_select_query","arguments":{"query":"SELECT 1"}}}"""
+          .stripMargin)
+      assert(gated.contains("-32602"))
+      assert(!res.contains("run_chdb_select_query"))
     } finally { srv.close(); exec.close() }
   }
+
+  test("MCP chdb gate registers the in-place file-query tool") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_CHDB_ENABLED" -> "true")), Some(exec))
+    try {
+      val base = s"http://localhost:${srv.port}/mcp"
+      val (_, tools) = httpPost(base,
+        """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      assert(tools.contains("run_chdb_select_query"))
+      // queries a parquet file IN PLACE through the guarded SQL path
+      val q = s"SELECT count(*) AS n FROM parquet.`$sf/nation.parquet`"
+      val (_, res) = httpPost(base,
+        s"""{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{
+           |"name":"run_chdb_select_query","arguments":{"query":${mcpStr(q)}}}}"""
+          .stripMargin)
+      assert(res.contains("\"isError\":false"), res.take(300))
+      assert(res.contains("25"), res.take(300)) // nation has 25 rows
+    } finally { srv.close(); exec.close() }
+  }
+
+  private def mcpStr(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }
