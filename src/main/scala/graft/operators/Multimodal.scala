@@ -138,11 +138,24 @@ object Multimodal {
   /** Deterministic synthetic media table keyed off `documents` —
     * image payloads are real PNGs, audio is real s16le PCM, video is a
     * framed PNG sequence; media type cycles by doc id. Stands in for a
-    * real ingest of binary columns. */
-  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    * real ingest of binary columns.
+    *
+    * `only` pre-filters by media type ON THE ID SCAN — the type is a
+    * pure function of doc_id, so a type-specific consumer (e.g. frame
+    * sampling) skips the other types' synthesis entirely instead of
+    * encoding payloads it will drop. */
+  def mediaTable(spark: SparkSession, dir: String,
+      only: Option[String] = None): Dataset[MediaRow] = {
     import spark.implicits._
-    graft.Tables(spark, dir, "documents")
+    val ids = graft.Tables(spark, dir, "documents")
       .select(col("doc_id"))
+    val wanted = only match {
+      case Some("image") => ids.filter(col("doc_id") % 3 === 0)
+      case Some("audio") => ids.filter(col("doc_id") % 3 === 1)
+      case Some("video") => ids.filter(col("doc_id") % 3 === 2)
+      case _ => ids
+    }
+    wanted
       // the parquet scan yields few partitions for a small id column,
       // which would serialize the CPU-heavy codec work onto one task —
       // spread the (8-byte) ids across the cluster before encoding
@@ -347,7 +360,7 @@ object Multimodal {
     * per-frame PNG decode are all proven by the formula replay. */
   val mmFrames: Q = (s, dir) => {
     import s.implicits._
-    sampleFrames(mediaTable(s, dir), VideoFrames)
+    sampleFrames(mediaTable(s, dir, only = Some("video")), VideoFrames)
       .mapPartitions { frames =>
         frames.map { f =>
           val (w, h, md5, sr, sg, sb) = decodePng(f.frame_payload)
