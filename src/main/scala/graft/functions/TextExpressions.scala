@@ -289,10 +289,12 @@ case class CountMatches(left: Expression, right: Expression)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val patCls = classOf[java.util.regex.Pattern].getName
     val patRef = ctx.addReferenceObj("cmPattern", compiledOrNull, patCls)
+    val pat = ctx.freshName("cmPat") // unique per instance: two
+    // CountMatches in one codegen scope must not collide
     nullSafeCodeGen(ctx, ev, (s, p) =>
       s"""
-         |$patCls cmPat = $patRef != null ? $patRef : $patCls.compile($p.toString());
-         |${ev.value} = graft.functions.CountMatches.count($s, cmPat);
+         |$patCls $pat = $patRef != null ? $patRef : $patCls.compile($p.toString());
+         |${ev.value} = graft.functions.CountMatches.count($s, $pat);
        """.stripMargin)
   }
 

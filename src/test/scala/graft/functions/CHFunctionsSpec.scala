@@ -535,10 +535,13 @@ class CHFunctionsSpec extends SparkSpec {
 
   test("countMatches equals size(regexp_extract_all(...)) on real text") {
     CHFunctions.register(spark)
+    // two instances in ONE projection: also proves the codegen'd
+    // pattern locals don't collide in a shared scope
     val bad = spark.sql(
       """SELECT text FROM VALUES ('Hello, world! 42 foo'), (''), ('a+b=c') t(text)""")
       .selectExpr(
         "countMatches(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]') AS fast",
+        "countMatches(text, '[0-9]+') AS digits",
         "size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]', 0)) AS slow")
       .where("fast != slow").count()
     assert(bad == 0)
