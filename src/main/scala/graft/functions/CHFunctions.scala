@@ -554,8 +554,34 @@ object CHFunctions {
     "plus" -> (es => Add(es.head, es(1))),
     "minus" -> (es => Subtract(es.head, es(1))),
     "multiply" -> (es => Multiply(es.head, es(1))),
-    "divide" -> (es => Divide(es.head, es(1))),
+    // ClickHouse divide() is ALWAYS Float64 division and yields
+    // ±inf / nan on a zero divisor; an unguarded Spark Divide would be
+    // an ANSI DIVIDE_BY_ZERO runtime error instead
+    "divide" -> (es => {
+      val a = Cast(es.head, org.apache.spark.sql.types.DoubleType)
+      val b = Cast(es(1), org.apache.spark.sql.types.DoubleType)
+      CaseWhen(Seq(
+        (EqualTo(b, Literal(0.0)),
+          CaseWhen(Seq(
+            (GreaterThan(a, Literal(0.0)), Literal(Double.PositiveInfinity)),
+            (LessThan(a, Literal(0.0)), Literal(Double.NegativeInfinity))),
+            Some(Literal(Double.NaN))))),
+        Some(Divide(a, b)))
+    }),
     "modulo" -> (es => Remainder(es.head, es(1))),
+    // the *OrZero defensive variants: zero divisor → 0, not an error
+    "divideOrZero" -> (es =>
+      CaseWhen(
+        Seq((EqualTo(Cast(es(1), org.apache.spark.sql.types.DoubleType),
+          Literal(0.0)), Literal(0.0))),
+        Some(Divide(Cast(es.head, org.apache.spark.sql.types.DoubleType),
+          Cast(es(1), org.apache.spark.sql.types.DoubleType))))),
+    "intDivOrZero" -> (es =>
+      CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(0L))),
+        Some(fn("div", es.head, es(1))))),
+    "moduloOrZero" -> (es =>
+      CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(0))),
+        Some(Remainder(es.head, es(1))))),
     "negate" -> (es => UnaryMinus(es.head)),
 
     // Morton bit-interleave for Z-ORDER layout (Sink.zorderParquet)

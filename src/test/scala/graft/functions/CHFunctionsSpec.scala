@@ -520,6 +520,25 @@ class CHFunctionsSpec extends SparkSpec {
     assert(s1.toSet.size < 7) // duplicates present by construction
   }
 
+  test("divide by zero yields ClickHouse's ±inf/nan, not an ANSI error") {
+    val r = one("SELECT divide(1, 0), divide(-1, 0), divide(0, 0), divide(7, 2)")
+    assert(r.getDouble(0).isPosInfinity)
+    assert(r.getDouble(1).isNegInfinity)
+    assert(r.getDouble(2).isNaN)
+    assert(r.getDouble(3) == 3.5)
+  }
+
+  test("*OrZero division family returns 0 on a zero divisor") {
+    val r = one(
+      """SELECT divideOrZero(7, 0), divideOrZero(7, 2),
+        |  intDivOrZero(7, 0), intDivOrZero(7, 2),
+        |  moduloOrZero(7, 0), moduloOrZero(7, 3)""".stripMargin)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 3.5)
+    assert(r.getLong(2) == 0L && r.getLong(3) == 3L)
+    assert(r.getInt(4) == 0 && r.getInt(5) == 1)
+  }
+
   test("countSubstrings with an empty needle is 0, not an ANSI divide error") {
     val r = one("SELECT countSubstrings('abc', ''), countSubstrings('', '')")
     assert(r.getInt(0) == 0)
