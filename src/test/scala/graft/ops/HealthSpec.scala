@@ -291,6 +291,16 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("MCP tools/list is empty when the engine is disabled") {
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_ENABLED" -> "false")))
+    try {
+      val (_, tools) = httpPost(s"http://localhost:${srv.port}/mcp",
+        """{"jsonrpc":"2.0","id":1,"method":"tools/list"}""")
+      assert(tools.contains("\"tools\":[]"), tools)
+    } finally srv.close()
+  }
+
   test("MCP chdb gate registers the in-place file-query tool") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
