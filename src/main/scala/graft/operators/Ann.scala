@@ -411,18 +411,20 @@ object Ann {
     // probe rankings agree bit-for-bit. Valid at driver SFs where the
     // training sample is the whole corpus (n ≤ 65536) and dim = 64.
     "ann_ivf" -> {
-      val dim = 64
-      // dot / sqrt(xx·yy) with each sum unrolled left-assoc — the
-      // exact double sequence CosineSimilarity produces
-      def cos(a: String, b: String): String = {
-        val dot = (1 to dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
-        val xx = (1 to dim).map(i => s"$a[$i]*$a[$i]").mkString(" + ")
-        val yy = (1 to dim).map(i => s"$b[$i]*$b[$i]").mkString(" + ")
-        s"CASE WHEN ($xx) = 0 OR ($yy) = 0 THEN 0 " +
-          s"ELSE ($dot) / sqrt(($xx) * ($yy)) END"
-      }
+      // dot / sqrt(xx·yy) via list_dot_product, which accumulates in
+      // element order — verified bit-identical to the fused
+      // CosineSimilarity loop on this data (an unrolled left-assoc
+      // sum agrees on every pair). The compact form matters: a 64-dim
+      // unroll built a ~600-node expression tree whose per-thread
+      // intermediate vectors ran the oracle engine out of memory at
+      // sf0.1.
+      def cos(a: String, b: String): String =
+        s"CASE WHEN list_dot_product($a, $a) = 0 " +
+          s"OR list_dot_product($b, $b) = 0 THEN 0 " +
+          s"ELSE list_dot_product($a, $b) / " +
+          s"sqrt(list_dot_product($a, $a) * list_dot_product($b, $b)) END"
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ps AS (SELECT unnest(generate_series(1, $dim)) AS pos),
+         |ps AS (SELECT unnest(generate_series(1, len(v))) AS pos FROM (SELECT v FROM e LIMIT 1)),
          |c0 AS (SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < $NumCells),
          |a1 AS (
          |  SELECT e.vec_id, e.v, c0.cell FROM e CROSS JOIN c0
