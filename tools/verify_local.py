@@ -34,6 +34,11 @@ def canon(rows, cols):
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # an unbounded memory_limit lets wide expression trees over-commit
+    # per-thread intermediates until hard malloc failure; a modest cap
+    # makes DuckDB spill/stream instead (observed on the 64-dim ANN
+    # oracles at sf0.1)
+    con.execute("SET memory_limit='16GB'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
