@@ -180,7 +180,14 @@ object CHFunctions {
     "arrayStringConcat" -> (es =>
       if (es.size > 1) fn("array_join", es.head, es(1))
       else fn("array_join", es.head, Literal(""))),
-    "arrayElement" -> (es => fn("element_at", es.head, es(1))),
+    // ClickHouse arrayElement never errors: out-of-range (and index 0)
+    // yield the element type's default value. NULL is the Spark-
+    // idiomatic stand-in for that default; an unguarded element_at
+    // would be an ANSI INVALID_ARRAY_INDEX / INVALID_INDEX_OF_ZERO
+    // runtime error. Negative indices count from the end, as in CH.
+    "arrayElement" -> (es =>
+      CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(null))),
+        Some(fn("try_element_at", es.head, es(1))))),
     "indexOf" -> (es => fn("array_position", es.head, es(1))),
     "arrayIntersect" -> (es => fn("array_intersect", es.head, es(1))),
     "arrayUnion" -> (es =>

@@ -528,6 +528,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 3.5)
   }
 
+  test("arrayElement is total: OOB and index 0 are null, negatives wrap") {
+    val r = one(
+      """SELECT arrayElement(array(10, 20, 30), 2),
+        |  arrayElement(array(10, 20, 30), 5),
+        |  arrayElement(array(10, 20, 30), 0),
+        |  arrayElement(array(10, 20, 30), -1)""".stripMargin)
+    assert(r.getInt(0) == 20)
+    assert(r.isNullAt(1))
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) == 30)
+  }
+
   test("*OrZero division family returns 0 on a zero divisor") {
     val r = one(
       """SELECT divideOrZero(7, 0), divideOrZero(7, 2),
