@@ -381,6 +381,32 @@ object CHFunctions {
     "mapContains" -> (es => fn("map_contains_key", es.head, es(1))),
     "mapFromArrays" -> (es => fn("map_from_arrays", es.head, es(1))),
 
+    // numeric/string conversion battery. ANSI casts throw on garbage,
+    // exactly CH's toInt*/toFloat* behavior; the OrZero/OrNull
+    // variants ride TRY-mode casts (0 / NULL on failure). Unsigned
+    // widths map to the next signed type that holds the full range
+    // (UInt64 maps to Int64 — values past 2^63-1 overflow, documented).
+    "toInt8" -> (es => Cast(es.head, org.apache.spark.sql.types.ByteType)),
+    "toInt16" -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
+    "toInt32" -> (es => Cast(es.head, IntegerType)),
+    "toInt64" -> (es => Cast(es.head, LongType)),
+    "toUInt8" -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
+    "toUInt16" -> (es => Cast(es.head, IntegerType)),
+    "toUInt32" -> (es => Cast(es.head, LongType)),
+    "toUInt64" -> (es => Cast(es.head, LongType)),
+    "toFloat32" -> (es => Cast(es.head, org.apache.spark.sql.types.FloatType)),
+    "toFloat64" -> (es => Cast(es.head, DoubleType)),
+    "toString" -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
+    "toInt32OrZero" -> (es => Coalesce(Seq(
+      Cast(es.head, IntegerType, None, EvalMode.TRY), Literal(0)))),
+    "toInt64OrZero" -> (es => Coalesce(Seq(
+      Cast(es.head, LongType, None, EvalMode.TRY), Literal(0L)))),
+    "toFloat64OrZero" -> (es => Coalesce(Seq(
+      Cast(es.head, DoubleType, None, EvalMode.TRY), Literal(0.0)))),
+    "toInt32OrNull" -> (es => Cast(es.head, IntegerType, None, EvalMode.TRY)),
+    "toInt64OrNull" -> (es => Cast(es.head, LongType, None, EvalMode.TRY)),
+    "toFloat64OrNull" -> (es => Cast(es.head, DoubleType, None, EvalMode.TRY)),
+
     // date/time casts + formatting. formatDateTime translates the
     // ClickHouse %-tokens to Spark's pattern letters when the format is
     // a literal (the overwhelmingly common case).

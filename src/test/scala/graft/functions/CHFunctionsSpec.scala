@@ -528,6 +528,24 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 3.5)
   }
 
+  test("conversion battery: toInt*/toFloat*/toString + OrZero/OrNull") {
+    val r = one(
+      """SELECT toInt32('42'), toInt64('9007199254740993'), toFloat64('2.5'),
+        |  toString(17), toUInt8(200),
+        |  toInt32OrZero('nope'), toInt32OrZero('7'),
+        |  toInt64OrNull('nope'), toFloat64OrNull('3.5')""".stripMargin)
+    assert(r.getInt(0) == 42)
+    assert(r.getLong(1) == 9007199254740993L)
+    assert(r.getDouble(2) == 2.5)
+    assert(r.getString(3) == "17")
+    assert(r.getShort(4) == 200)
+    assert(r.getInt(5) == 0 && r.getInt(6) == 7)
+    assert(r.isNullAt(7))
+    assert(r.getDouble(8) == 3.5)
+    // the strict forms throw on garbage, like the reference
+    intercept[Exception] { one("SELECT toInt32('abc')") }
+  }
+
   test("arrayElement is total: OOB and index 0 are null, negatives wrap") {
     val r = one(
       """SELECT arrayElement(array(10, 20, 30), 2),
