@@ -29,6 +29,11 @@ object CHFunctions {
   private def whenThen(cond: Expression, value: Expression): Expression =
     CaseWhen(Seq(cond -> value), None)
 
+  /** make_interval of n days (shared by addDays/subtractDays). */
+  private def dayInterval(n: Expression): Expression =
+    fn("make_interval", Literal(0), Literal(0), Literal(0), n,
+      Literal(0), Literal(0), Literal(0))
+
   private def lambdaVars = (
     UnresolvedNamedLambdaVariable(Seq("acc")),
     UnresolvedNamedLambdaVariable(Seq("x")),
@@ -423,6 +428,76 @@ object CHFunctions {
     "todayCH" -> (_ => fn("current_date")),
     "intDiv" -> (es => fn("div", es.head, es(1))),
 
+    // calendar part extractors. toDayOfWeek is the trap: ClickHouse
+    // numbers Monday=1..Sunday=7 while Spark's dayofweek is
+    // Sunday=1..Saturday=7 — translate, don't alias.
+    "toDayOfWeek" -> (es =>
+      Add(Remainder(Add(fn("dayofweek", es.head), Literal(5)), Literal(7)),
+        Literal(1))),
+    "toDayOfMonth" -> (es => fn("dayofmonth", es.head)),
+    "toDayOfYear" -> (es => fn("dayofyear", es.head)),
+    "toHour" -> (es => fn("hour", es.head)),
+    "toMinute" -> (es => fn("minute", es.head)),
+    "toSecond" -> (es => fn("second", es.head)),
+    "toMonday" -> (es =>
+      Cast(fn("date_trunc", Literal("week"), es.head),
+        org.apache.spark.sql.types.DateType)),
+
+    // interval arithmetic (the analyzer rewrites ts/date + interval to
+    // the proper TimeAdd/DateAdd node)
+    "addDays" -> (es => Add(es.head, dayInterval(es(1)))),
+    "subtractDays" -> (es => Subtract(es.head, dayInterval(es(1)))),
+    "addHours" -> (es => Add(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        es(1), Literal(0), Literal(0)))),
+    "addMinutes" -> (es => Add(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        Literal(0), es(1), Literal(0)))),
+
+    // ClickHouse dateDiff('unit', start, end): BOUNDARY CROSSINGS in
+    // the unit (relative-number difference), not elapsed full
+    // intervals — dateDiff('hour', 10:59, 11:01) = 1. Registered with
+    // the pack's CH suffix because Spark's PARSER owns the bare name
+    // (grammar-level datediff/timestampdiff with unit keywords —
+    // unreachable from the function registry). Units resolve at build
+    // time from the literal (the only form the reference's clients
+    // use).
+    "dateDiffCH" -> (es => {
+      def unix(e: Expression) = fn("unix_timestamp", e)
+      def monthNum(e: Expression) =
+        Add(Multiply(fn("year", e), Literal(12)), fn("month", e))
+      val unit = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          u.toString.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new IllegalArgumentException(
+          s"dateDiff expects a literal unit as its first argument, got $other")
+      }
+      val (s, e) = (es(1), es(2))
+      unit match {
+        case "second" => Subtract(unix(e), unix(s))
+        case "minute" => Subtract(
+          fn("floor", Divide(unix(e), Literal(60))),
+          fn("floor", Divide(unix(s), Literal(60))))
+        case "hour" => Subtract(
+          fn("floor", Divide(unix(e), Literal(3600))),
+          fn("floor", Divide(unix(s), Literal(3600))))
+        case "day" => fn("datediff", e, s)
+        case "week" => fn("floor", Divide(
+          fn("datediff",
+            Cast(fn("date_trunc", Literal("week"), e),
+              org.apache.spark.sql.types.DateType),
+            Cast(fn("date_trunc", Literal("week"), s),
+              org.apache.spark.sql.types.DateType)), Literal(7)))
+        case "month" => Subtract(monthNum(e), monthNum(s))
+        case "quarter" => Subtract(
+          Add(Multiply(fn("year", e), Literal(4)), fn("quarter", e)),
+          Add(Multiply(fn("year", s), Literal(4)), fn("quarter", s)))
+        case "year" => Subtract(fn("year", e), fn("year", s))
+        case other => throw new IllegalArgumentException(
+          s"dateDiff: unsupported unit '$other'")
+      }
+    }),
+
     // null handling under ClickHouse names. assumeNotNull/toNullable
     // are type-level assertions in CH; values pass through unchanged
     // (Spark nullability is inferred, not declared per-expression).
@@ -463,6 +538,36 @@ object CHFunctions {
     "substringUTF8" -> (es => fn("substring", es: _*)),
     "concatWithSeparator" -> (es => fn("concat_ws", es: _*)),
     "trimBoth" -> (es => fn("trim", es.head)),
+    // Spark strings are UTF-8 native, so the UTF8 casing variants are
+    // straight aliases; pads share lpad/rpad's argument order
+    "lowerUTF8" -> (es => fn("lower", es.head)),
+    "upperUTF8" -> (es => fn("upper", es.head)),
+    "leftPad" -> (es => fn("lpad", es: _*)),
+    "rightPad" -> (es => fn("rpad", es: _*)),
+    // splitByString(sep, s): CH takes the separator FIRST and treats
+    // it literally; Spark split takes a regex second — swap and quote
+    // (literal separators resolve at build time, the common case)
+    "splitByString" -> (es => {
+      val sep = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          Literal(java.util.regex.Pattern.quote(u.toString))
+        case other => throw new IllegalArgumentException(
+          s"splitByString expects a literal separator, got $other")
+      }
+      fn("split", es(1), sep)
+    }),
+    // float classification. isNaN/log2 need no entries — Spark's
+    // case-insensitive lookup resolves them to the isnan/log2
+    // builtins; isinf has no Spark builtin, so spell it out.
+    "isFinite" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      And(Not(fn("isnan", x)),
+        Not(EqualTo(fn("abs", x), Literal(Double.PositiveInfinity))))
+    }),
+    "isInfinite" -> (es =>
+      EqualTo(fn("abs", Cast(es.head, DoubleType)),
+        Literal(Double.PositiveInfinity))),
+    "exp2" -> (es => Pow(Literal(2.0), es.head)),
     "base64Encode" -> (es => fn("base64", es.head)),
     "base64Decode" -> (es =>
       Cast(fn("unbase64", es.head), org.apache.spark.sql.types.StringType)),

@@ -528,6 +528,55 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 3.5)
   }
 
+  test("calendar extractors: CH day-of-week numbering, toMonday, parts") {
+    // 2024-01-01 was a Monday; 2024-01-07 a Sunday
+    val r = one(
+      """SELECT toDayOfWeek(DATE'2024-01-01'), toDayOfWeek(DATE'2024-01-07'),
+        |  toDayOfMonth(DATE'2024-01-15'), toHour(TIMESTAMP'2024-01-01 13:45:10'),
+        |  toMinute(TIMESTAMP'2024-01-01 13:45:10'),
+        |  toMonday(DATE'2024-01-04')""".stripMargin)
+    assert(r.getInt(0) == 1) // Monday = 1 (Spark dayofweek says 2)
+    assert(r.getInt(1) == 7) // Sunday = 7 (Spark dayofweek says 1)
+    assert(r.getInt(2) == 15)
+    assert(r.getInt(3) == 13 && r.getInt(4) == 45)
+    assert(r.getDate(5).toString == "2024-01-01")
+  }
+
+  test("dateDiffCH counts boundary crossings like the reference") {
+    val r = one(
+      """SELECT dateDiffCH('hour', TIMESTAMP'2024-01-01 10:59:00', TIMESTAMP'2024-01-01 11:01:00'),
+        |  dateDiffCH('day', DATE'2024-01-01', DATE'2024-03-01'),
+        |  dateDiffCH('month', DATE'2023-12-31', DATE'2024-01-01'),
+        |  dateDiffCH('year', DATE'2023-12-31', DATE'2024-01-01'),
+        |  dateDiffCH('second', TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-01 00:01:30'),
+        |  dateDiffCH('week', DATE'2024-01-07', DATE'2024-01-08')""".stripMargin)
+    assert(r.getLong(0) == 1L) // crosses one hour boundary
+    assert(r.getInt(1) == 60)
+    assert(r.getInt(2) == 1) // month boundary crossed
+    assert(r.getInt(3) == 1)
+    assert(r.getLong(4) == 90L)
+    assert(r.getLong(5) == 1L) // Sunday -> Monday crosses a week start
+  }
+
+  test("interval arithmetic and string pads/splits") {
+    val r = one(
+      """SELECT addDays(DATE'2024-01-30', 3), subtractDays(DATE'2024-01-02', 2),
+        |  addHours(TIMESTAMP'2024-01-01 23:00:00', 2),
+        |  leftPad('7', 3, '0'), rightPad('ab', 4, '-'),
+        |  splitByString('||', 'a||b||c'),
+        |  lowerUTF8('ÄBC'), isFinite(1.0), isFinite(divide(1, 0)),
+        |  isInfinite(divide(-1, 0)), exp2(10)""".stripMargin)
+    assert(r.get(0).toString == "2024-02-02")
+    assert(r.get(1).toString == "2023-12-31")
+    assert(r.get(2).toString.startsWith("2024-01-02 01:00"))
+    assert(r.getString(3) == "007" && r.getString(4) == "ab--")
+    assert(r.getSeq[String](5) == Seq("a", "b", "c"))
+    assert(r.getString(6) == "äbc")
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+    assert(r.getBoolean(9))
+    assert(r.getDouble(10) == 1024.0)
+  }
+
   test("conversion battery: toInt*/toFloat*/toString + OrZero/OrNull") {
     val r = one(
       """SELECT toInt32('42'), toInt64('9007199254740993'), toFloat64('2.5'),
