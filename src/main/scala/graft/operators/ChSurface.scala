@@ -40,6 +40,28 @@ object ChSurface {
         |  count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1""".stripMargin)),
 
+    // the calendar/interval family: CH day numbering (Monday=1 —
+    // DuckDB's isodow agrees natively), Monday truncation, interval
+    // adds, and boundary-crossing dateDiffCH (DuckDB's date_diff
+    // counts partition boundaries, the same rule)
+    ("q_ch_calendar",
+      """SELECT toDayOfWeek(o_orderdate) AS dow,
+        |  count(*) AS n,
+        |  min(toMonday(o_orderdate)) AS first_monday,
+        |  toDate(max(addDays(o_orderdate, 30))) AS last_due,
+        |  max(dateDiffCH('month', o_orderdate, DATE'1998-12-01')) AS max_months,
+        |  max(dateDiffCH('week', o_orderdate, DATE'1998-12-01')) AS max_weeks,
+        |  max(dateDiffCH('day', o_orderdate, DATE'1998-12-01')) AS max_days
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT CAST(isodow(o_orderdate) AS INT) AS dow,
+        |  count(*) AS n,
+        |  CAST(min(date_trunc('week', o_orderdate)) AS DATE) AS first_monday,
+        |  CAST(max(o_orderdate + INTERVAL 30 DAY) AS DATE) AS last_due,
+        |  max(date_diff('month', o_orderdate, DATE '1998-12-01')) AS max_months,
+        |  max(date_diff('week', o_orderdate, DATE '1998-12-01')) AS max_weeks,
+        |  max(date_diff('day', o_orderdate, DATE '1998-12-01')) AS max_days
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("q_ch_arrayjoin",
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT arrayJoin(splitByChar(' ', text)) AS tok FROM documents) t
