@@ -62,6 +62,24 @@ object ChSurface {
         |  max(date_diff('day', o_orderdate, DATE '1998-12-01')) AS max_days
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // the conversion battery over real columns: strict casts on
+    // digit substrings, defensive OrZero over free text, toString
+    ("q_ch_convert",
+      """SELECT c_mktsegment,
+        |  max(toInt32(substring(c_name, 10, 9))) AS max_cust_num,
+        |  sum(toInt64OrZero(c_name)) AS name_nums,
+        |  max(toString(c_custkey)) AS max_key_str,
+        |  round(sum(toFloat64(c_acctbal)), 2) AS total_bal,
+        |  sum(toInt32OrZero(toString(c_nationkey))) AS nation_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT c_mktsegment,
+        |  max(CAST(substring(c_name, 10, 9) AS INT)) AS max_cust_num,
+        |  sum(coalesce(try_cast(c_name AS BIGINT), 0)) AS name_nums,
+        |  max(CAST(c_custkey AS VARCHAR)) AS max_key_str,
+        |  round(sum(CAST(c_acctbal AS DOUBLE)), 2) AS total_bal,
+        |  sum(coalesce(try_cast(CAST(c_nationkey AS VARCHAR) AS INT), 0)) AS nation_sum
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     ("q_ch_arrayjoin",
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT arrayJoin(splitByChar(' ', text)) AS tok FROM documents) t
