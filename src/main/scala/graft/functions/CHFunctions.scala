@@ -138,7 +138,13 @@ object CHFunctions {
     "toStartOfMinute" -> (es => fn("date_trunc", Literal("MINUTE"), es.head)),
     "toStartOfHour" -> (es => fn("date_trunc", Literal("HOUR"), es.head)),
     "toStartOfDay" -> (es => fn("date_trunc", Literal("DAY"), es.head)),
-    "toStartOfWeek" -> (es => fn("date_trunc", Literal("WEEK"), es.head)),
+    // CH default week mode 0 starts weeks on SUNDAY (toMonday is the
+    // Monday form); Spark's WEEK truncation is Monday-based, so derive
+    // the preceding Sunday arithmetically
+    "toStartOfWeek" -> (es =>
+      Cast(fn("date_sub", es.head,
+        Subtract(fn("dayofweek", es.head), Literal(1))),
+        org.apache.spark.sql.types.DateType)),
     "toStartOfMonth" -> (es => fn("date_trunc", Literal("MONTH"), es.head)),
     "toStartOfQuarter" -> (es => fn("date_trunc", Literal("QUARTER"), es.head)),
     "toStartOfYear" -> (es => fn("date_trunc", Literal("YEAR"), es.head)),
@@ -436,6 +442,10 @@ object CHFunctions {
         Literal(1))),
     "toDayOfMonth" -> (es => fn("dayofmonth", es.head)),
     "toDayOfYear" -> (es => fn("dayofyear", es.head)),
+    "toMonth" -> (es => fn("month", es.head)),
+    "toYear" -> (es => fn("year", es.head)),
+    "toQuarter" -> (es => fn("quarter", es.head)),
+    "toISOWeek" -> (es => fn("weekofyear", es.head)),
     "toHour" -> (es => fn("hour", es.head)),
     "toMinute" -> (es => fn("minute", es.head)),
     "toSecond" -> (es => fn("second", es.head)),
@@ -596,6 +606,12 @@ object CHFunctions {
             fn("length", StringReplace(es.head, es(1), Literal("")))),
           fn("length", es(1))), IntegerType)))),
     "positionUTF8" -> (es => fn("instr", es.head, es(1))),
+    // CH position(haystack, needle) — Spark's builtin position() takes
+    // (substr, str), the REVERSE. A deliberate shadow: this is a CH
+    // dialect, and the silent 0s from the swapped order are worse than
+    // overriding the name (`position(x IN y)` grammar form unaffected).
+    "position" -> (es => fn("instr", es.head, es(1))),
+    "notLike" -> (es => Not(fn("like", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),

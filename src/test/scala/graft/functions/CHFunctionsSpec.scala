@@ -542,6 +542,23 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("week starts, part aliases, CH-order position, notLike") {
+    val r = one(
+      """SELECT toStartOfWeek(DATE'2024-01-04'), toMonday(DATE'2024-01-04'),
+        |  toMonth(DATE'2024-03-05'), toYear(DATE'2024-03-05'),
+        |  toQuarter(DATE'2024-07-01'), toISOWeek(DATE'2024-01-04'),
+        |  position('haystack', 'stack'), position('haystack', 'zebra'),
+        |  notLike('graft', 'gr%'), notLike('graft', 'z%')""".stripMargin)
+    // 2024-01-04 is a Thursday: CH default week starts Sunday 12-31,
+    // toMonday gives 01-01
+    assert(r.getDate(0).toString == "2023-12-31")
+    assert(r.getDate(1).toString == "2024-01-01")
+    assert(r.getInt(2) == 3 && r.getInt(3) == 2024 && r.getInt(4) == 3)
+    assert(r.getInt(5) == 1)
+    assert(r.getInt(6) == 4 && r.getInt(7) == 0) // CH (haystack, needle)
+    assert(!r.getBoolean(8) && r.getBoolean(9))
+  }
+
   test("dateDiffCH counts boundary crossings like the reference") {
     val r = one(
       """SELECT dateDiffCH('hour', TIMESTAMP'2024-01-01 10:59:00', TIMESTAMP'2024-01-01 11:01:00'),
