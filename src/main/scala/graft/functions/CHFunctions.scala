@@ -85,6 +85,18 @@ object CHFunctions {
     // (Greenwald-Khanna) satisfies every one of them
     "quantileCH" -> (es => fn("percentile_approx", es.head, es(1), Literal(10000))),
     "quantileExactCH" -> (es => fn("percentile", es.head, es(1))),
+    // median(x) = quantile(x)(0.5); medianExact the exact form
+    "median" -> (es =>
+      fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
+    "medianExact" -> (es => fn("percentile", es.head, Literal(0.5))),
+    // sumCount(x) -> (Σx, count(x)) as a struct, the partial-mean shape
+    "sumCount" -> (es => CreateStruct(Seq(
+      fn("sum", es.head), fn("count", es.head)))),
+    // boundingRatio(x, y): slope between the points at min/max x
+    "boundingRatio" -> (es =>
+      fn("try_divide",
+        Subtract(fn("max_by", es(1), es.head), fn("min_by", es(1), es.head)),
+        Subtract(fn("max", es.head), fn("min", es.head)))),
     "quantilesExactCH" -> (es => fn("percentile", es.head, CreateArray(es.tail))),
     "quantileTDigest" -> (es =>
       fn("percentile_approx", es.head, es(1), Literal(10000))),

@@ -542,6 +542,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("median/sumCount/boundingRatio aggregate shapes") {
+    val r = one(
+      """SELECT medianExact(x), median(x), sumCount(x), boundingRatio(x, y)
+        |FROM VALUES (CAST(1 AS DOUBLE), CAST(10 AS DOUBLE)),
+        |  (2, 30), (3, 50) t(x, y)""".stripMargin)
+    assert(r.getDouble(0) == 2.0)
+    assert(math.abs(r.get(1).toString.toDouble - 2.0) <= 1.0)
+    val sc = r.getStruct(2)
+    assert(sc.getDouble(0) == 6.0 && sc.getLong(1) == 3L)
+    assert(r.getDouble(3) == 20.0) // (50-10)/(3-1)
+  }
+
   test("week starts, part aliases, CH-order position, notLike") {
     val r = one(
       """SELECT toStartOfWeek(DATE'2024-01-04'), toMonday(DATE'2024-01-04'),
