@@ -62,6 +62,18 @@ object ChSurface {
         |  max(date_diff('day', o_orderdate, DATE '1998-12-01')) AS max_days
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // round-6 aggregate additions: median alias + bounding-ratio slope
+    ("q_ch_agg2",
+      """SELECT o_orderpriority,
+        |  round(medianExact(o_totalprice), 4) AS med_exact,
+        |  round(boundingRatio(o_orderkey, o_totalprice), 6) AS slope
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT o_orderpriority,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS med_exact,
+        |  round((max_by(o_totalprice, o_orderkey) - min_by(o_totalprice, o_orderkey))
+        |        / (max(o_orderkey) - min(o_orderkey)), 6) AS slope
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // the conversion battery over real columns: strict casts on
     // digit substrings, defensive OrZero over free text, toString
     ("q_ch_convert",
