@@ -258,6 +258,73 @@ object CHFunctions {
     "arrayFilter" -> (es => ArrayFilter(es(1), es.head)),
     "arrayExists" -> (es => ArrayExists(es(1), es.head)),
     "arrayAll" -> (es => ArrayForAll(es(1), es.head)),
+    // first/last matching element (null when none — CH returns the
+    // type default; null is the Spark-idiomatic stand-in) and the
+    // 1-based index of the first match (0 when none, as in CH). The
+    // index rides array_position of the first matching VALUE — an
+    // equal earlier value matches the same lambda, so positions agree.
+    // a call that PASSES a lambda must resolve to a HigherOrderFunction
+    // at the top (same analyzer rule arrayCount works around), so these
+    // fold: keep-first / keep-last over the filtered matches, with an
+    // empty same-type slice as the zero and the scalar extraction in
+    // the finish lambda.
+    "arrayFirst" -> (es => {
+      val (acc, x, fin) = lambdaVars
+      ArrayAggregate(
+        ArrayFilter(es(1), es.head),
+        Slice(es(1), Literal(1), Literal(0)), // empty, element-typed
+        LambdaFunction(
+          CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
+            CreateArray(Seq(x)))), Some(acc)), Seq(acc, x)),
+        LambdaFunction(
+          ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
+    }),
+    "arrayLast" -> (es => {
+      val (acc, x, fin) = lambdaVars
+      ArrayAggregate(
+        ArrayFilter(es(1), es.head),
+        Slice(es(1), Literal(1), Literal(0)),
+        LambdaFunction(CreateArray(Seq(x)), Seq(acc, x)), // keep last
+        LambdaFunction(
+          ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
+    }),
+    // 1-based index of the first match (0 when none): position of the
+    // first matching VALUE — an equal earlier value matches the same
+    // lambda, so positions agree
+    "arrayFirstIndex" -> (es => {
+      val (acc, x, fin) = lambdaVars
+      ArrayAggregate(
+        ArrayFilter(es(1), es.head),
+        Slice(es(1), Literal(1), Literal(0)),
+        LambdaFunction(
+          CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
+            CreateArray(Seq(x)))), Some(acc)), Seq(acc, x)),
+        LambdaFunction(
+          Coalesce(Seq(
+            Cast(ArrayPosition(es(1),
+              ElementAt(fin, Literal(1), None, failOnError = false)),
+              IntegerType),
+            Literal(0))), Seq(fin)))
+    }),
+    // hasSubstr(a, b): b appears in a as a CONTIGUOUS subsequence —
+    // probe every start offset with a slice equality (the start axis
+    // goes through the ascending-sequence guard; sequence(1, 0) would
+    // be a descending trap)
+    "hasSubstr" -> (es => {
+      val i = UnresolvedNamedLambdaVariable(Seq("hsIdx"))
+      val starts = ArrayFilter(
+        fn("sequence", Literal(0),
+          fn("greatest",
+            Add(Subtract(fn("size", es.head), fn("size", es(1))), Literal(1)),
+            Literal(0))),
+        LambdaFunction(GreaterThanOrEqual(i, Literal(1)), Seq(i)))
+      val j = UnresolvedNamedLambdaVariable(Seq("hsStart"))
+      Or(EqualTo(fn("size", es(1)), Literal(0)),
+        ArrayExists(starts,
+          LambdaFunction(
+            EqualTo(fn("slice", es.head, j, fn("size", es(1))), es(1)),
+            Seq(j))))
+    }),
     // the analyzer insists the TOP node be a HigherOrderFunction when a
     // lambda argument is present, so count-matching folds over the
     // filtered array instead of wrapping it in size()

@@ -542,6 +542,24 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("arrayFirst/Last/FirstIndex and hasSubstr") {
+    val r = one(
+      """SELECT arrayFirst(x -> x > 1, array(1, 2, 3)),
+        |  arrayLast(x -> x > 1, array(1, 2, 3)),
+        |  arrayFirst(x -> x > 9, array(1, 2, 3)),
+        |  arrayFirstIndex(x -> x > 1, array(1, 2, 3)),
+        |  arrayFirstIndex(x -> x > 9, array(1, 2, 3)),
+        |  hasSubstr(array(1, 2, 3, 4), array(2, 3)),
+        |  hasSubstr(array(1, 2, 3, 4), array(2, 4)),
+        |  hasSubstr(array(1, 2), array()),
+        |  hasSubstr(array(1), array(1, 2))""".stripMargin)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 3)
+    assert(r.isNullAt(2))
+    assert(r.getInt(3) == 2 && r.getInt(4) == 0)
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+  }
+
   test("median/sumCount/boundingRatio aggregate shapes") {
     val r = one(
       """SELECT medianExact(x), median(x), sumCount(x), boundingRatio(x, y)
