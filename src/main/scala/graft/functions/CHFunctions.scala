@@ -78,6 +78,19 @@ object CHFunctions {
     // approximate + exact distinct
     "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+    // the uniq sketch aliases share one HLL implementation (CH's three
+    // differ in their internal sketches; all are approximate
+    // cardinalities with similar error)
+    "uniqCombined" -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqCombined64" -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqHLL12" -> (es => HyperLogLogPlusPlus(es.head)),
+    "uniqTheta" -> (es => HyperLogLogPlusPlus(es.head)),
+    // groupBitmap = exact distinct cardinality of an integer column
+    "groupBitmap" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+    // simpleLinearRegression(x, y) -> (k, b) for y = k·x + b
+    "simpleLinearRegression" -> (es => CreateStruct(Seq(
+      fn("regr_slope", es(1), es.head),
+      fn("regr_intercept", es(1), es.head)))),
 
     // quantiles: ClickHouse quantile() is approximate, quantileExact
     // exact; the TDigest/Timing/BFloat16 variants are all "some
@@ -459,6 +472,9 @@ object CHFunctions {
     // Spark form is the deterministic window twin — use with
     // OVER (ORDER BY ...). Negative literal offsets resolve to lag so
     // both directions stay native window functions.
+    // CH's frame-bound window accessors are Spark's lag/lead directly
+    "lagInFrame" -> (es => fn("lag", es: _*)),
+    "leadInFrame" -> (es => fn("lead", es: _*)),
     "neighbor" -> (es => es(1) match {
       case Literal(i: Int, IntegerType) if i < 0 =>
         fn("lag", (es.head +: Literal(-i) +: es.drop(2)): _*)

@@ -542,6 +542,25 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("uniq aliases, groupBitmap, simpleLinearRegression, frame lag/lead") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT uniqCombined(o_custkey), uniqHLL12(o_custkey),
+        |  groupBitmap(o_custkey),
+        |  simpleLinearRegression(o_orderkey, o_totalprice)
+        |FROM orders""".stripMargin)
+    val exact = r.getLong(2).toDouble
+    assert(math.abs(r.getLong(0) - exact) / exact < 0.05)
+    assert(math.abs(r.getLong(1) - exact) / exact < 0.05)
+    val reg = r.getStruct(3)
+    assert(!reg.isNullAt(0) && !reg.isNullAt(1))
+    val w = one(
+      """SELECT max(prev) FROM (
+        |  SELECT lagInFrame(x, 1) OVER (ORDER BY x) AS prev
+        |  FROM VALUES (1), (2), (3) t(x))""".stripMargin)
+    assert(w.getInt(0) == 2)
+  }
+
   test("arrayFirst/Last/FirstIndex and hasSubstr") {
     val r = one(
       """SELECT arrayFirst(x -> x > 1, array(1, 2, 3)),
