@@ -164,12 +164,23 @@ object CHFunctions {
     "toStartOfHour" -> (es => fn("date_trunc", Literal("HOUR"), es.head)),
     "toStartOfDay" -> (es => fn("date_trunc", Literal("DAY"), es.head)),
     // CH default week mode 0 starts weeks on SUNDAY (toMonday is the
-    // Monday form); Spark's WEEK truncation is Monday-based, so derive
-    // the preceding Sunday arithmetically
-    "toStartOfWeek" -> (es =>
-      Cast(fn("date_sub", es.head,
+    // Monday form); Spark's WEEK truncation is Monday-based, so the
+    // preceding Sunday derives arithmetically. Mode 1/3 (Monday) maps
+    // to the Monday truncation; other modes are rejected loudly.
+    "toStartOfWeek" -> (es => {
+      val monday = Cast(fn("date_trunc", Literal("week"), es.head),
+        org.apache.spark.sql.types.DateType)
+      val sunday = Cast(fn("date_sub", es.head,
         Subtract(fn("dayofweek", es.head), Literal(1))),
-        org.apache.spark.sql.types.DateType)),
+        org.apache.spark.sql.types.DateType)
+      if (es.size < 2) sunday
+      else es(1) match {
+        case Literal(m: Int, IntegerType) if m == 0 || m == 2 => sunday
+        case Literal(m: Int, IntegerType) if m == 1 || m == 3 => monday
+        case other => throw new IllegalArgumentException(
+          s"toStartOfWeek: unsupported mode $other (0/2 = Sunday, 1/3 = Monday)")
+      }
+    }),
     "toStartOfMonth" -> (es => fn("date_trunc", Literal("MONTH"), es.head)),
     "toStartOfQuarter" -> (es => fn("date_trunc", Literal("QUARTER"), es.head)),
     "toStartOfYear" -> (es => fn("date_trunc", Literal("YEAR"), es.head)),
@@ -701,11 +712,15 @@ object CHFunctions {
             fn("length", StringReplace(es.head, es(1), Literal("")))),
           fn("length", es(1))), IntegerType)))),
     "positionUTF8" -> (es => fn("instr", es.head, es(1))),
-    // CH position(haystack, needle) — Spark's builtin position() takes
-    // (substr, str), the REVERSE. A deliberate shadow: this is a CH
-    // dialect, and the silent 0s from the swapped order are worse than
-    // overriding the name (`position(x IN y)` grammar form unaffected).
-    "position" -> (es => fn("instr", es.head, es(1))),
+    // CH position(haystack, needle[, start]) — Spark's builtin
+    // position() takes (substr, str), the REVERSE. A deliberate
+    // shadow: this is a CH dialect, and the silent 0s from the swapped
+    // order are worse than overriding the name (`position(x IN y)`
+    // grammar form unaffected). The 3-arg form rides locate's
+    // (substr, str, pos) order.
+    "position" -> (es =>
+      if (es.size >= 3) fn("locate", es(1), es.head, es(2))
+      else fn("instr", es.head, es(1))),
     "notLike" -> (es => Not(fn("like", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),

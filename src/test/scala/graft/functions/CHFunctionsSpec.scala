@@ -606,6 +606,12 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(5) == 1)
     assert(r.getInt(6) == 4 && r.getInt(7) == 0) // CH (haystack, needle)
     assert(!r.getBoolean(8) && r.getBoolean(9))
+    val r2 = one(
+      """SELECT position('aXbXc', 'X', 3),
+        |  toStartOfWeek(DATE'2024-01-04', 1), toStartOfWeek(DATE'2024-01-04', 0)""".stripMargin)
+    assert(r2.getInt(0) == 4) // search resumes at pos 3
+    assert(r2.getDate(1).toString == "2024-01-01") // Monday mode
+    assert(r2.getDate(2).toString == "2023-12-31") // Sunday mode
   }
 
   test("dateDiffCH counts boundary crossings like the reference") {
