@@ -771,6 +771,55 @@ object CHFunctions {
         Literal(1))),
     "cutQueryString" -> (es =>
       fn("substring_index", es.head, Literal("?"), Literal(1))),
+    "fragment" -> (es =>
+      fn("regexp_extract", es.head, Literal("#(.*)$"), Literal(1))),
+    "queryStringAndFragment" -> (es =>
+      fn("regexp_extract", es.head, Literal("\\?(.*)$"), Literal(1))),
+    "decodeURLComponent" -> (es => fn("url_decode", es.head)),
+    "encodeURLComponent" -> (es => fn("url_encode", es.head)),
+    // firstSignificantSubdomain: the label left of a generic
+    // second-level label (com/net/org/co), else the label left of the
+    // TLD — 'news.yandex.com.tr' → 'yandex', 'www.tr' → 'www'
+    "firstSignificantSubdomain" -> (es => {
+      val labels = fn("split", urlField(es.head, 1), Literal("\\."))
+      val generic = fn("try_element_at", labels, Literal(-2))
+      Coalesce(Seq(
+        CaseWhen(
+          Seq((In(generic,
+            Seq("com", "net", "org", "co").map(Literal(_))),
+            fn("try_element_at", labels, Literal(-3)))),
+          Some(generic)),
+        Literal("")))
+    }),
+    // cutToFirstSignificantSubdomain: the host from that label on —
+    // 'news.yandex.com.tr' → 'yandex.com.tr'
+    "cutToFirstSignificantSubdomain" -> (es => {
+      val labels = fn("split", urlField(es.head, 1), Literal("\\."))
+      val generic = fn("try_element_at", labels, Literal(-2))
+      CaseWhen(
+        Seq(
+          (LessThan(fn("size", labels), Literal(2)), Literal("")),
+          (In(generic, Seq("com", "net", "org", "co").map(Literal(_))),
+            fn("array_join",
+              fn("slice", labels, Literal(-3), Literal(3)), Literal(".")))),
+        Some(fn("array_join",
+          fn("slice", labels, Literal(-2), Literal(2)), Literal("."))))
+    }),
+    // parameter lists over the parsed query string
+    "extractURLParameters" -> (es => {
+      val p = UnresolvedNamedLambdaVariable(Seq("p"))
+      ArrayFilter(fn("split", urlField(es.head, 5), Literal("&")),
+        LambdaFunction(Not(EqualTo(p, Literal(""))), Seq(p)))
+    }),
+    "extractURLParameterNames" -> (es => {
+      val p = UnresolvedNamedLambdaVariable(Seq("p"))
+      val q = UnresolvedNamedLambdaVariable(Seq("q"))
+      ArrayTransform(
+        ArrayFilter(fn("split", urlField(es.head, 5), Literal("&")),
+          LambdaFunction(Not(EqualTo(p, Literal(""))), Seq(p))),
+        LambdaFunction(
+          fn("substring_index", q, Literal("="), Literal(1)), Seq(q)))
+    }),
 
     // IPv4 functions: pure integer/string arithmetic, codegen'd
     "IPv4NumToString" -> (es => {

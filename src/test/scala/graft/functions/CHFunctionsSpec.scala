@@ -542,6 +542,29 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("URL family round 6: subdomains, fragments, encode, parameter lists") {
+    val r = one(
+      """SELECT firstSignificantSubdomain('https://news.yandex.com.tr/sport?a=1'),
+        |  firstSignificantSubdomain('https://www.example.org/x'),
+        |  cutToFirstSignificantSubdomain('https://news.yandex.com.tr/sport'),
+        |  cutToFirstSignificantSubdomain('https://www.example.org/x'),
+        |  fragment('https://h/p?q=1#sec2'), fragment('https://h/p'),
+        |  queryStringAndFragment('https://h/p?q=1#sec2'),
+        |  decodeURLComponent('a%20b%2Fc'), encodeURLComponent('a b/c'),
+        |  extractURLParameters('https://h/p?a=1&b=2'),
+        |  extractURLParameterNames('https://h/p?a=1&b=2')""".stripMargin)
+    assert(r.getString(0) == "yandex")
+    assert(r.getString(1) == "example")
+    assert(r.getString(2) == "yandex.com.tr")
+    assert(r.getString(3) == "example.org")
+    assert(r.getString(4) == "sec2" && r.getString(5) == "")
+    assert(r.getString(6) == "q=1#sec2")
+    assert(r.getString(7) == "a b/c")
+    assert(r.getString(8).toLowerCase == "a+b%2fc")
+    assert(r.getSeq[String](9) == Seq("a=1", "b=2"))
+    assert(r.getSeq[String](10) == Seq("a", "b"))
+  }
+
   test("uniq aliases, groupBitmap, simpleLinearRegression, frame lag/lead") {
     graft.sql.TableEnv.register(spark, sf)
     val r = one(
