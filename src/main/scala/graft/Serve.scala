@@ -29,11 +29,19 @@ object Serve {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     TableEnv.register(spark, dir)
-    val server = HealthServer.start(spark, config,
-      executor = Some(config.newExecutor(spark)),
-      catalog = Some(new graft.catalog.GraftCatalog(spark, dir)))
-    println("graft serving /health /query /explain /databases /tables " +
-      s"/mcp /prompt on port ${server.port}")
-    Thread.currentThread.join() // serve until killed
+    val executor = Some(config.newExecutor(spark))
+    val catalog = Some(new graft.catalog.GraftCatalog(spark, dir))
+    if (config.transport == "stdio") {
+      // MCP child-process mode: the protocol owns stdout, humans get stderr
+      System.err.println("graft MCP serving on stdio")
+      graft.ops.Mcp.serveStdio(
+        new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
+        System.out, spark, config, executor, catalog)
+    } else {
+      val server = HealthServer.start(spark, config, executor, catalog)
+      println("graft serving /health /query /explain /databases /tables " +
+        s"/mcp /prompt on ${config.bindHost}:${server.port}")
+      Thread.currentThread.join() // serve until killed
+    }
   }
 }

@@ -51,6 +51,21 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
   /** Health endpoint port; 0 = ephemeral (reference binds 8000+). */
   def healthPort: Int = int("HEALTH_PORT", 0)
 
+  /** Serving transport (reference: MCP_SERVER_TRANSPORT — stdio is
+    * MCP's canonical default there; this engine's primary surface is
+    * HTTP, with stdio available for MCP clients that spawn the server
+    * as a child process). */
+  def transport: String = get("TRANSPORT").map(_.trim.toLowerCase).map {
+    case t @ ("http" | "stdio") => t
+    case other => throw new IllegalArgumentException(
+      s"SPARK_GRAFT_TRANSPORT: unsupported transport '$other' (http | stdio)")
+  }.getOrElse("http")
+
+  /** Bind host for the HTTP listener (reference: MCP_BIND_HOST,
+    * default 127.0.0.1; 0.0.0.0 exposes it beyond loopback). */
+  def bindHost: String = get("BIND_HOST").map(_.trim).filter(_.nonEmpty)
+    .getOrElse("127.0.0.1")
+
   /** Serve HTTPS (reference: CLICKHOUSE_SECURE, default true there —
     * here false: the sandbox JDK server carries no certificate store,
     * so `true` is validated and surfaced to the operator log while the

@@ -78,7 +78,8 @@ object HealthServer {
       config: GraftConfig = GraftConfig(),
       executor: Option[graft.sql.QueryExecutor] = None,
       catalog: Option[GraftCatalog] = None): HealthServer = {
-    val server = HttpServer.create(new InetSocketAddress(config.healthPort), 0)
+    val server = HttpServer.create(
+      new InetSocketAddress(config.bindHost, config.healthPort), 0)
 
     // transport-security parity (reference: mcp_env.py secure/verify/
     // proxy_path): the sandbox listener is plain HTTP, so secure=true

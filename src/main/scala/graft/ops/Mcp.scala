@@ -247,6 +247,31 @@ object Mcp {
     }
   }
 
+  /** MCP stdio transport: newline-delimited JSON-RPC on stdin/stdout —
+    * the framing MCP clients use when they SPAWN the server as a child
+    * process (the reference's default transport). Responses go to
+    * `out`; notifications produce nothing; logging must stay on stderr
+    * (stdout belongs to the protocol). Runs until EOF. */
+  def serveStdio(
+      in: java.io.BufferedReader,
+      out: java.io.PrintStream,
+      spark: SparkSession,
+      config: GraftConfig,
+      executor: Option[graft.sql.QueryExecutor],
+      catalog: Option[GraftCatalog]): Unit = {
+    var line = in.readLine()
+    while (line != null) {
+      if (line.trim.nonEmpty) {
+        val (_, body) = handle(line, spark, config, executor, catalog)
+        if (body.nonEmpty) {
+          out.println(body)
+          out.flush()
+        }
+      }
+      line = in.readLine()
+    }
+  }
+
   private def callTool(
       name: String,
       args: JsonNode,

@@ -324,4 +324,36 @@ class HealthSpec extends SparkSpec {
 
   private def mcpStr(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  test("MCP stdio transport: newline-delimited JSON-RPC until EOF") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    try {
+      val requests = Seq(
+        """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""",
+        """{"jsonrpc":"2.0","method":"notifications/initialized"}""",
+        """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{"name":"run_select_query","arguments":{"query":"SELECT 41 + 1 AS answer"}}}""")
+      val in = new java.io.BufferedReader(
+        new java.io.StringReader(requests.mkString("\n") + "\n"))
+      val buf = new java.io.ByteArrayOutputStream()
+      Mcp.serveStdio(in, new java.io.PrintStream(buf, true, "UTF-8"),
+        spark, GraftConfig(Map.empty), Some(exec), None)
+      val lines = buf.toString("UTF-8").split("\n").filter(_.nonEmpty)
+      // two responses: the notification produced nothing
+      assert(lines.length == 2, lines.mkString("|"))
+      assert(lines(0).contains("\"protocolVersion\""))
+      assert(lines(1).contains("\"isError\":false"))
+      assert(lines(1).contains("42"))
+    } finally exec.close()
+  }
+
+  test("transport/bind-host config parses and rejects junk") {
+    assert(GraftConfig(Map.empty).transport == "http")
+    assert(GraftConfig(Map.empty).bindHost == "127.0.0.1")
+    assert(GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "stdio")).transport == "stdio")
+    assert(GraftConfig(Map("SPARK_GRAFT_BIND_HOST" -> "0.0.0.0")).bindHost == "0.0.0.0")
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "carrier-pigeon")).transport
+    }
+  }
 }
