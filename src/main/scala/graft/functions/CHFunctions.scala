@@ -144,6 +144,7 @@ object CHFunctions {
     // conditional aggregates
     "countIf" -> (es => fn("count_if", es.head)),
     "sumIf" -> (es => fn("sum", whenThen(es(1), es.head))),
+    "sumWithOverflow" -> (es => fn("sum", es.head)),
     "avgIf" -> (es => fn("avg", whenThen(es(1), es.head))),
     "minIf" -> (es => fn("min", whenThen(es(1), es.head))),
     "maxIf" -> (es => fn("max", whenThen(es(1), es.head))),
@@ -196,6 +197,16 @@ object CHFunctions {
     // JSON extraction
     "JSONExtractString" -> (es =>
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    // the simpleJSON/visitParam legacy spellings share the extractor
+    "simpleJSONExtractString" -> (es =>
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    "visitParamExtractString" -> (es =>
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    // JSONLength: element count of an array or key count of an object
+    "JSONLength" -> (es => Coalesce(Seq(
+      fn("json_array_length", es.head),
+      fn("size", fn("json_object_keys", es.head))))),
+    "isValidJSON" -> (es => IsNotNull(fn("try_parse_json", es.head))),
     "JSONExtractInt" -> (es =>
       Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), LongType)),
     "JSONExtractFloat" -> (es =>

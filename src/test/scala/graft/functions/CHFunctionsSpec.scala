@@ -542,6 +542,21 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("JSON aliases: simpleJSON/visitParam, JSONLength, isValidJSON") {
+    val r = one(
+      """SELECT simpleJSONExtractString(j, 'name'),
+        |  visitParamExtractString(j, 'name'),
+        |  JSONLength('[1,2,3]'), JSONLength(j),
+        |  isValidJSON(j), isValidJSON('{nope'),
+        |  (SELECT sumWithOverflow(x) FROM VALUES (1), (2) s(x))
+        |FROM VALUES ('{"name": "x", "n": 42}') t(j)""".stripMargin)
+    assert(r.getString(0) == "x" && r.getString(1) == "x")
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 2) // two object keys
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(r.getLong(6) == 3L)
+  }
+
   test("URL family round 6: subdomains, fragments, encode, parameter lists") {
     val r = one(
       """SELECT firstSignificantSubdomain('https://news.yandex.com.tr/sport?a=1'),
