@@ -48,17 +48,26 @@ object GuidePrompt {
       |```
       |
       |## Dialect highlights (ClickHouse-compatible names)
-      |- Aggregates: `uniq`, `uniqExact`, `quantile(le)(0.9)(x)` shapes as
-      |  `quantile(x, 0.9)`, `topK(x, 10)`, `argMax(a, b)`, `countIf`,
-      |  `sumIf`, `anyHeavy`, `groupArray`, `groupArraySample(x, k)`,
-      |  `sumMap/minMap/maxMap(keys, vals)`.
+      |- Aggregates: `uniq` (+`uniqCombined`/`uniqHLL12` aliases),
+      |  `uniqExact`, `uniqUpTo`, `quantile(le)(0.9)(x)` shapes as
+      |  `quantile(x, 0.9)`, `median`, `topK(x, 10)`, `argMax(a, b)`,
+      |  `countIf`, `sumIf`, `anyHeavy`, `groupArray`,
+      |  `groupArraySample(x, k)`, `sumMap/minMap/maxMap(keys, vals)`,
+      |  `simpleLinearRegression`, `boundingRatio`.
       |- Arrays: `arrayJoin` via LATERAL VIEW/explode, `arrayMap`,
-      |  `arrayFilter`, `arraySum`, higher-order lambdas.
+      |  `arrayFilter`, `arrayFirst/Last/FirstIndex`, `arraySum`,
+      |  `hasSubstr`, higher-order lambdas (lambda FIRST, CH-style).
       |- Strings: `match`, `extractAll`, `multiSearchAny`,
-      |  `countSubstrings`, `ngramDistance`, `positionUTF8`.
-      |- Dates: `toStartOfMonth`, `toYYYYMM`, `formatDateTime` with
-      |  ClickHouse `%` tokens.
-      |- URLs: `domain`, `path`, `queryString`, `extractURLParameter`.
+      |  `countSubstrings`, `ngramDistance`, `position(haystack,
+      |  needle)` (CH argument order), `splitByString`, `leftPad`.
+      |- Dates: `toStartOfMonth`, `toYYYYMM`, `toDayOfWeek` (Monday=1),
+      |  `toMonday`, `addDays`, boundary-crossing `dateDiffCH`,
+      |  `formatDateTime` with ClickHouse `%` tokens.
+      |- Conversions: `toInt32/toInt64/toFloat64/toString` (strict) and
+      |  `*OrZero`/`*OrNull` defensive forms; `divide` is float division
+      |  with ±inf/nan on zero, `intDivOrZero` family never errors.
+      |- URLs: `domain`, `path`, `queryString`, `extractURLParameter(s)`,
+      |  `firstSignificantSubdomain`, `decodeURLComponent`, `fragment`.
       |- Vectors: `cosineSimilarity`, `dotProduct`, `L2Distance`,
       |  `cosTopK(struct(score, id), k)` for bounded top-k.
       |- Text signals: `charEntropy`, `countMatches`, `trigramStats`.
