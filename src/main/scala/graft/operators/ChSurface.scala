@@ -274,8 +274,8 @@ object ChSurface {
         |  round(varSamp(l_quantity), 4) AS var_s,
         |  round(covarPop(l_quantity, l_extendedprice), 2) AS cov_qp,
         |  round(corrCH(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(skewPop(l_quantity), 4) AS skew_q,
-        |  round(kurtPop(l_quantity), 4) AS kurt_q,
+        |  round(skewPop(l_quantity), 4) + 0 AS skew_q,
+        |  round(kurtPop(l_quantity), 4) + 0 AS kurt_q,
         |  round(avgWeighted(l_discount, l_quantity), 6) AS wavg_disc,
         |  groupBitAnd(l_linenumber) AS ba,
         |  groupBitOr(l_linenumber) AS bo,
@@ -298,9 +298,9 @@ object ChSurface {
         |  round(sd_pop, 4) AS sd_pop, round(var_s, 4) AS var_s,
         |  round(cov_qp, 2) AS cov_qp, round(corr_qp, 4) AS corr_qp,
         |  round((s3 - (3 * mu * s2) + (2 * mu * mu * mu))
-        |    / pow(s2 - (mu * mu), 1.5), 4) AS skew_q,
+        |    / pow(s2 - (mu * mu), 1.5), 4) + 0 AS skew_q,
         |  round((s4 - (4 * mu * s3) + (6 * mu * mu * s2) - (3 * mu * mu * mu * mu))
-        |    / pow(s2 - (mu * mu), 2), 4) AS kurt_q,
+        |    / pow(s2 - (mu * mu), 2), 4) + 0 AS kurt_q,
         |  round(wavg_disc, 6) AS wavg_disc,
         |  ba, bo, bx & 65535 AS bx
         |FROM m ORDER BY l_returnflag""".stripMargin)),
