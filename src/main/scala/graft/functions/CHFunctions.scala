@@ -148,6 +148,20 @@ object CHFunctions {
     "avgIf" -> (es => fn("avg", whenThen(es(1), es.head))),
     "minIf" -> (es => fn("min", whenThen(es(1), es.head))),
     "maxIf" -> (es => fn("max", whenThen(es(1), es.head))),
+    // the rest of the common *If combinator family rides the same
+    // CASE-WHEN-null shape (aggregates skip nulls)
+    "uniqIf" -> (es => HyperLogLogPlusPlus(whenThen(es(1), es.head))),
+    "uniqExactIf" -> (es =>
+      Count(Seq(whenThen(es(1), es.head))).toAggregateExpression(isDistinct = true)),
+    "anyIf" -> (es => fn("first", whenThen(es(1), es.head), Literal(true))),
+    "argMaxIf" -> (es =>
+      fn("max_by", whenThen(es(2), es.head), whenThen(es(2), es(1)))),
+    "argMinIf" -> (es =>
+      fn("min_by", whenThen(es(2), es.head), whenThen(es(2), es(1)))),
+    "groupArrayIf" -> (es => fn("collect_list", whenThen(es(1), es.head))),
+    "medianIf" -> (es =>
+      fn("percentile_approx", whenThen(es(1), es.head), Literal(0.5),
+        Literal(10000))),
 
     // group collectors
     "groupArray" -> (es => fn("collect_list", es.head)),

@@ -542,6 +542,20 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("the wider *If combinator family") {
+    val r = one(
+      """SELECT uniqExactIf(x, x > 1), anyIf(x, x > 2),
+        |  argMaxIf(name, x, x < 4), argMinIf(name, x, x > 1),
+        |  array_sort(groupArrayIf(x, x % 2 = 0)), medianIf(x, x > 1)
+        |FROM VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd') t(x, name)""".stripMargin)
+    assert(r.getLong(0) == 3L) // 2,3,4
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "c") // max x under 4 is 3 -> 'c'
+    assert(r.getString(3) == "b") // min x over 1 is 2 -> 'b'
+    assert(r.getSeq[Int](4) == Seq(2, 4))
+    assert(r.getInt(5) == 3) // median of 2,3,4
+  }
+
   test("JSON aliases: simpleJSON/visitParam, JSONLength, isValidJSON") {
     val r = one(
       """SELECT simpleJSONExtractString(j, 'name'),
