@@ -139,6 +139,32 @@ object Curation {
       .orderBy("lang")
   }
 
+  /** Cap for [[mixCap]]: documents kept per language stratum. */
+  val CapPerKey = 50
+
+  /** D21b: per-key frequency capping — the C4/RefinedWeb-style "at
+    * most N documents per key" pass (domains, licenses, shards: any
+    * key whose heavy strata would dominate training). The kept set is
+    * the bottom-[[CapPerKey]] by `md5(doc_id)` rank per key via the
+    * mergeable [[graft.functions.SampleAgg]] sketch, so each map task
+    * reduces its partition to ≤ N ids per key BEFORE the shuffle — a
+    * `row_number` window would shuffle every row to its key's reducer,
+    * the classic skew bottleneck when one domain is half the corpus.
+    * Hash-rank selection is a uniform sample AND deterministic under
+    * any partitioning; the oracle replays the identical rank rule. */
+  val mixCap: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    val docs = Tables(s, dir, "documents")
+    docs
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr(s"groupArraySample(doc_id, $CapPerKey)").as("kept_ids"))
+      .select(col("lang"), col("n_docs"),
+        size(col("kept_ids")).as("n_kept"),
+        md5(array_join(col("kept_ids"), ",")).as("kept_md5"))
+      .orderBy("lang")
+  }
+
   /** Chunk geometry for [[textChunk]]: 64-token windows, stride 48
     * (16-token overlap) — the embedding-prep shape. */
   val ChunkSize = 64
@@ -265,6 +291,7 @@ object Curation {
     "text_repetition" -> textRepetition,
     "pii_scrub" -> piiScrub,
     "mix_sample" -> mixSample,
+    "mix_cap" -> mixCap,
     "text_chunk" -> textChunk,
     "text_surprisal" -> textSurprisal,
     "text_boilerplate" -> textBoilerplate)
@@ -362,6 +389,18 @@ object Curation {
         |  round(sum(CASE WHEN u < rate * 10000 THEN 1 ELSE 0 END)
         |        / CAST(count(*) AS DOUBLE), 4) AS realized_rate
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "mix_cap" ->
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n_docs
+         |  FROM documents)
+         |SELECT lang, min(n_docs) AS n_docs,
+         |  CAST(count(*) FILTER (WHERE rn <= $CapPerKey) AS INT) AS n_kept,
+         |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+         |      FILTER (WHERE rn <= $CapPerKey)) AS kept_md5
+         |FROM ranked GROUP BY lang ORDER BY lang""".stripMargin,
     "text_boilerplate" ->
       s"""WITH toks AS (
          |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
