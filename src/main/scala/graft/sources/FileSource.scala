@@ -25,7 +25,10 @@ object FileSource {
     "tsv" -> ("csv", Map("header" -> "false", "inferSchema" -> "true", "sep" -> "\t")),
     "tsvwithnames" -> ("csv", Map("header" -> "true", "inferSchema" -> "true", "sep" -> "\t")),
     "json" -> ("json", Map.empty),
-    "jsoneachrow" -> ("json", Map.empty))
+    "jsoneachrow" -> ("json", Map.empty),
+    // Spark 4 ships a native XML source; <row> is its default record
+    // tag, mirroring ClickHouse's XML row element
+    "xml" -> ("xml", Map("rowTag" -> "row")))
 
   /** Extension → ClickHouse format name (chDB auto-detection). URL
     * query strings are not part of the extension. */
@@ -39,6 +42,7 @@ object FileSource {
       case Some("csv") => "csvwithnames"
       case Some("tsv") => "tsvwithnames"
       case Some("json") | Some("jsonl") | Some("ndjson") => "jsoneachrow"
+      case Some("xml") => "xml"
       case other => throw new IllegalArgumentException(
         s"cannot auto-detect format for '$path' (extension $other); pass a format")
     }

@@ -41,6 +41,21 @@ class FileSourceSpec extends SparkSpec {
     assert(back.columns.toSet == nation.columns.toSet)
   }
 
+  test("xml auto-detects and parses <row> records") {
+    val dir = new java.io.File(s"$tmp/xmlsrc")
+    dir.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$tmp/xmlsrc/data.xml"),
+      """<rows>
+        |  <row><n_nationkey>1</n_nationkey><n_name>FRANCE</n_name></row>
+        |  <row><n_nationkey>2</n_nationkey><n_name>KENYA</n_name></row>
+        |</rows>""".stripMargin)
+    val back = FileSource.file(spark, s"$tmp/xmlsrc/data.xml")
+    assert(back.count() == 2)
+    assert(back.columns.toSet == Set("n_nationkey", "n_name"))
+    assert(back.where("n_name = 'KENYA'").count() == 1)
+  }
+
   test("orc round-trip with explicit format") {
     nation.write.mode("overwrite").orc(s"$tmp/nation_orc")
     val back = FileSource.file(spark, s"$tmp/nation_orc", Some("ORC"))
