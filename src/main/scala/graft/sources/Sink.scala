@@ -22,6 +22,11 @@ object Sink {
       mode: String = "overwrite"): Unit =
     writer(df, partitionBy, mode).json(path)
 
+  def xml(df: DataFrame, path: String, partitionBy: Seq[String] = Nil,
+      mode: String = "overwrite"): Unit =
+    writer(df, partitionBy, mode).format("xml")
+      .option("rowTag", "row").save(path)
+
   private def writer(df: DataFrame, partitionBy: Seq[String], mode: String) = {
     val w = df.write.mode(mode)
     if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w

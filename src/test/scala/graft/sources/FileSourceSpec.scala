@@ -54,6 +54,11 @@ class FileSourceSpec extends SparkSpec {
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("n_nationkey", "n_name"))
     assert(back.where("n_name = 'KENYA'").count() == 1)
+    // full write/read round trip through the Sink
+    Sink.xml(nation, s"$tmp/nation_xml")
+    val rt = FileSource.file(spark, s"$tmp/nation_xml", Some("xml"))
+    assert(rt.count() == nation.count())
+    assert(rt.columns.toSet == nation.columns.toSet)
   }
 
   test("orc round-trip with explicit format") {
