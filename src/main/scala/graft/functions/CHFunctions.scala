@@ -709,6 +709,33 @@ object CHFunctions {
       EqualTo(fn("abs", Cast(es.head, DoubleType)),
         Literal(Double.PositiveInfinity))),
     "exp2" -> (es => Pow(Literal(2.0), es.head)),
+    // human-readable display helpers (dashboards/CLIs): binary-unit
+    // sizes and K/M/B/T quantities, two decimals like the reference
+    "formatReadableSize" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      def fmt(div: Double, unit: String) =
+        Concat(Seq(fn("format_string", Literal("%.2f"),
+          Divide(x, Literal(div))), Literal(" " + unit)))
+      CaseWhen(Seq(
+        (LessThan(fn("abs", x), Literal(1024.0)), fmt(1.0, "B")),
+        (LessThan(fn("abs", x), Literal(1024.0 * 1024)), fmt(1024.0, "KiB")),
+        (LessThan(fn("abs", x), Literal(math.pow(1024, 3))), fmt(1024.0 * 1024, "MiB")),
+        (LessThan(fn("abs", x), Literal(math.pow(1024, 4))), fmt(math.pow(1024, 3), "GiB")),
+        (LessThan(fn("abs", x), Literal(math.pow(1024, 5))), fmt(math.pow(1024, 4), "TiB"))),
+        Some(fmt(math.pow(1024, 5), "PiB")))
+    }),
+    "formatReadableQuantity" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      def fmt(div: Double, unit: String) =
+        Concat(Seq(fn("format_string", Literal("%.2f"),
+          Divide(x, Literal(div))), Literal(unit)))
+      CaseWhen(Seq(
+        (LessThan(fn("abs", x), Literal(1e3)), fmt(1.0, "")),
+        (LessThan(fn("abs", x), Literal(1e6)), fmt(1e3, " thousand")),
+        (LessThan(fn("abs", x), Literal(1e9)), fmt(1e6, " million")),
+        (LessThan(fn("abs", x), Literal(1e12)), fmt(1e9, " billion"))),
+        Some(fmt(1e12, " trillion")))
+    }),
     "base64Encode" -> (es => fn("base64", es.head)),
     "base64Decode" -> (es =>
       Cast(fn("unbase64", es.head), org.apache.spark.sql.types.StringType)),

@@ -542,6 +542,19 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("readable size/quantity formatting") {
+    val r = one(
+      """SELECT formatReadableSize(123), formatReadableSize(1536),
+        |  formatReadableSize(1073741824), formatReadableQuantity(999),
+        |  formatReadableQuantity(1500), formatReadableQuantity(2500000000)""".stripMargin)
+    assert(r.getString(0) == "123.00 B")
+    assert(r.getString(1) == "1.50 KiB")
+    assert(r.getString(2) == "1.00 GiB")
+    assert(r.getString(3) == "999.00")
+    assert(r.getString(4) == "1.50 thousand")
+    assert(r.getString(5) == "2.50 billion")
+  }
+
   test("the wider *If combinator family") {
     val r = one(
       """SELECT uniqExactIf(x, x > 1), anyIf(x, x > 2),
