@@ -504,6 +504,21 @@ class CHFunctionsSpec extends SparkSpec {
     assert(tiny == Seq(0L, 1L, 2L))
   }
 
+  test("groupArraySample survives shuffle serialization with duplicates") {
+    CHFunctions.register(spark)
+    // force partial-aggregate serialization across many partitions;
+    // same multiset out regardless, duplicates preserved through the
+    // serialize/deserialize round trip (the buffer re-derives its
+    // running total on deserialize)
+    val rows = spark.range(0, 5000).selectExpr("id % 40 AS v")
+    val a = rows.repartition(37).selectExpr("groupArraySample(v, 9) AS s")
+      .collect().head.getSeq[Long](0)
+    val b = rows.repartition(3).selectExpr("groupArraySample(v, 9) AS s")
+      .collect().head.getSeq[Long](0)
+    assert(a == b)
+    assert(a.length == 9)
+  }
+
   test("groupArraySample samples rows: duplicate values fill adjacent slots") {
     CHFunctions.register(spark)
     // 5 distinct values × 4 copies each = 20 rows; k=7 must return 7
