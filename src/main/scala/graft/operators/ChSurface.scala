@@ -338,8 +338,8 @@ object ChSurface {
       """SELECT a.vec_id,
         |  round(L2Distance(a.embedding, b.embedding), 4) AS l2,
         |  round(L2SquaredDistance(a.embedding, b.embedding), 4) AS l2sq,
-        |  round(dotProduct(a.embedding, b.embedding), 4) AS dp,
-        |  round(cosineDistance(a.embedding, b.embedding), 6) AS cdist,
+        |  round(dotProduct(a.embedding, b.embedding), 4) + 0 AS dp,
+        |  round(cosineDistance(a.embedding, b.embedding), 6) + 0 AS cdist,
         |  round(L2Norm(a.embedding), 4) AS nrm
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin,
@@ -347,8 +347,8 @@ object ChSurface {
         |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2,
         |  round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         |        * list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS l2sq,
-        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS dp,
-        |  round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cdist,
+        |  round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) + 0 AS dp,
+        |  round(1 - list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) + 0 AS cdist,
         |  round(sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])), 4) AS nrm
         |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
         |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin)),

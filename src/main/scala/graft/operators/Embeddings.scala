@@ -38,7 +38,7 @@ object Embeddings {
         round(sqrt(expr(
           "aggregate(transform(first(centroid), x -> x * x), 0D, (a, x) -> a + x)")), 6)
           .as("centroid_norm"),
-        round(avg(expr("cosineSimilarity(v, centroid)")), 6).as("cohesion"))
+        (round(avg(expr("cosineSimilarity(v, centroid)")), 6) + lit(0)).as("cohesion"))
       .orderBy("label")
   }
 
@@ -95,7 +95,7 @@ object Embeddings {
         |  SELECT label, list(cx ORDER BY pos) AS centroid FROM comp GROUP BY label)
         |SELECT e.label, count(*) AS n_vectors,
         |  round(sqrt(list_sum(list_transform(any_value(cent.centroid), x -> x * x))), 6) AS centroid_norm,
-        |  round(avg(list_cosine_similarity(e.v, cent.centroid)), 6) AS cohesion
+        |  round(avg(list_cosine_similarity(e.v, cent.centroid)), 6) + 0 AS cohesion
         |FROM e JOIN cent ON e.label = cent.label
         |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "emb_quantize" ->
