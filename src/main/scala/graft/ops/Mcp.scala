@@ -185,6 +185,24 @@ object Mcp {
       return if (method.startsWith("notifications/") || method.nonEmpty) (202, "")
       else (200, rpcError(null, -32600, "invalid request: missing method"))
 
+    // anything unexpected below becomes a -32603 internal error rather
+    // than an aborted exchange (clients hang on dropped connections)
+    try dispatch(method, id, params, spark, config, executor, catalog)
+    catch {
+      case e: Exception =>
+        (200, rpcError(id, -32603,
+          "internal error: " + Option(e.getMessage).getOrElse(e.toString)))
+    }
+  }
+
+  private def dispatch(
+      method: String,
+      id: JsonNode,
+      params: JsonNode,
+      spark: SparkSession,
+      config: GraftConfig,
+      executor: Option[graft.sql.QueryExecutor],
+      catalog: Option[GraftCatalog]): (Int, String) = {
     method match {
       case "initialize" =>
         val result = obj()
