@@ -131,6 +131,16 @@ object CHFunctions {
     // deterministic mode() honors the same "the heavy value if one
     // exists" contract exactly when a majority element exists
     "anyHeavy" -> (es => fn("mode", es.head)),
+    // retention(cond1, ..., condN): r[1] = did cond1 ever hold in the
+    // group; r[i] = did cond1 ever hold AND condi ever hold (on ANY
+    // rows, not the same one) — the funnel-free cohort primitive,
+    // composed from bool_or flags (no custom aggregate)
+    "retention" -> (es => CreateArray(es.zipWithIndex.map { case (c, i) =>
+      val flag =
+        if (i == 0) fn("bool_or", es.head)
+        else And(fn("bool_or", es.head), fn("bool_or", c))
+      Cast(flag, IntegerType)
+    })),
 
     // sketch state + merge (ClickHouse uniqState / uniqMerge): binary
     // HLL sketches that pre-aggregate once and re-aggregate at any

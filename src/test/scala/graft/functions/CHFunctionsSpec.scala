@@ -557,6 +557,19 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDate(5).toString == "2024-01-01")
   }
 
+  test("retention flags: first condition gates the rest") {
+    CHFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT user, retention(t = 'signup', t = 'day1', t = 'day7') AS r
+        |FROM VALUES ('a', 'signup'), ('a', 'day1'),
+        |  ('b', 'day1'), ('b', 'day7'), ('c', 'signup')
+        |t(user, t) GROUP BY user ORDER BY user""".stripMargin).collect()
+    // conditions hold on DIFFERENT rows of the group, as in real logs
+    assert(rows(0).getSeq[Int](1) == Seq(1, 1, 0)) // a: signup + day1
+    assert(rows(1).getSeq[Int](1) == Seq(0, 0, 0)) // b never signed up
+    assert(rows(2).getSeq[Int](1) == Seq(1, 0, 0)) // c signup only
+  }
+
   test("readable size/quantity formatting") {
     val r = one(
       """SELECT formatReadableSize(123), formatReadableSize(1536),
