@@ -209,6 +209,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "expected broadcast joins only")
   }
 
+  test("mix_cap partial-aggregates: no per-key window exchange") {
+    // the whole point of the SampleAgg formulation: map-side reduction
+    // to <= N ids per key, never a row_number window that funnels a
+    // heavy key through one reducer
+    val plan = formatted(graft.operators.Curation.mixCap(spark, sf))
+    assert(!plan.contains("Window"), "expected no window exchange")
+    assert(plan.contains("partial"), "expected partial aggregation")
+  }
+
   test("multimodal decode pipelines stay narrow after the id spread") {
     // synthesis + decode are mapPartitions over repartitioned 8-byte
     // ids: one round-robin exchange to spread codec work, one final
