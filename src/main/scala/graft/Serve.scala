@@ -30,7 +30,9 @@ object Serve {
     spark.sparkContext.setLogLevel("WARN")
     TableEnv.register(spark, dir)
     val executor = Some(config.newExecutor(spark))
-    val catalog = Some(new graft.catalog.GraftCatalog(spark, dir))
+    val catalog = Some(new graft.catalog.GraftCatalog(spark, dir,
+      defaultDatabase = config.database))
+    config.role.foreach(r => System.err.println(s"[graft] serving as role '$r'"))
     if (config.transport == "stdio") {
       // MCP child-process mode: the protocol owns stdout, humans get stderr
       System.err.println("graft MCP serving on stdio")
@@ -39,8 +41,9 @@ object Serve {
         System.out, spark, config, executor, catalog)
     } else {
       val server = HealthServer.start(spark, config, executor, catalog)
+      val sse = if (config.transport == "sse") " /sse /messages" else ""
       println("graft serving /health /query /explain /databases /tables " +
-        s"/mcp /prompt on ${config.bindHost}:${server.port}")
+        s"/mcp /prompt$sse on ${config.bindHost}:${server.port}")
       Thread.currentThread.join() // serve until killed
     }
   }

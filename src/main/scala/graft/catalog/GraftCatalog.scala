@@ -70,12 +70,15 @@ final case class TablePage(
 final class GraftCatalog(
     spark: SparkSession,
     dir: String,
-    extraDatabases: Map[String, String] = Map.empty) {
+    extraDatabases: Map[String, String] = Map.empty,
+    defaultDatabase: String = "default") {
 
   import GraftCatalog._
 
-  /** The primary file-backed database this engine serves. */
-  val database = "default"
+  /** The primary file-backed database this engine serves — renameable
+    * via SPARK_GRAFT_DATABASE (reference: CLICKHOUSE_DATABASE,
+    * mcp_env.py:97). */
+  val database: String = defaultDatabase
 
   /** database name → backing directory. Additional parquet directories
     * mount as further databases (reference: multi-database listing,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** ClickHouse-dialect functions registered into Spark SQL (SURVEY §2
@@ -73,6 +73,15 @@ object CHFunctions {
 
   private def urlField(url: Expression, ordinal: Int): Expression =
     GetStructField(UrlParse(url), ordinal, Some(urlFieldNames(ordinal)))
+
+  /** Generic second-level labels for firstSignificantSubdomain — the
+    * common cross-country members of the public-suffix list (the
+    * reference embeds the full publicsuffix.org database; this subset
+    * covers the commercial, governmental, academic, and network
+    * families that dominate real hosts: gov.uk, ac.jp, com.tr, ...). */
+  private val GenericSecondLevel = Seq(
+    "com", "net", "org", "co", "gov", "mil", "edu", "ac", "sch",
+    "biz", "info", "gob", "gouv", "go", "ne", "or")
 
   val all: Seq[(String, Builder)] = Seq(
     // approximate + exact distinct
@@ -226,10 +235,13 @@ object CHFunctions {
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
     "visitParamExtractString" -> (es =>
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
-    // JSONLength: element count of an array or key count of an object
+    // JSONLength: element count of an array or key count of an object;
+    // 0 for scalars and invalid JSON, like CH (the final literal keeps
+    // the default non-legacy size(NULL)=NULL from surfacing)
     "JSONLength" -> (es => Coalesce(Seq(
       fn("json_array_length", es.head),
-      fn("size", fn("json_object_keys", es.head))))),
+      fn("size", fn("json_object_keys", es.head)),
+      Literal(0)))),
     "isValidJSON" -> (es => IsNotNull(fn("try_parse_json", es.head))),
     "JSONExtractInt" -> (es =>
       Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), LongType)),
@@ -479,15 +491,31 @@ object CHFunctions {
     "groupBitAnd" -> (es => fn("bit_and", es.head)),
     "groupBitOr" -> (es => fn("bit_or", es.head)),
     "groupBitXor" -> (es => fn("bit_xor", es.head)),
-    // windowFunnel(window_sec, ts, cond1, ...): exact sliding-chain
+    // windowFunnel(window_sec[, 'strict_order'|'strict_dedup'|
+    // 'strict_increase'...], ts, cond1, ...): exact sliding-chain
     // funnel depth (chains may start at ANY qualifying stage-1 event) —
-    // native partial-agg; per-user event buffers merge map-side
+    // native partial-agg; per-user event buffers merge map-side.
+    // Mode flags mirror the reference's scan (see WindowFunnelAgg).
     "windowFunnel" -> (es => {
       val secs = es.head match {
         case Literal(v, _) => v.toString.toLong
         case other => other.eval().toString.toLong
       }
-      WindowFunnelAgg(secs * 1000000L, es(1), es.drop(2))
+      val (modeLits, rest) = es.tail.span {
+        case Literal(_, StringType) => true
+        case _ => false
+      }
+      val modes = modeLits.collect { case Literal(v, _) => v.toString }.toSet
+      val known =
+        Set("strict_order", "strict_dedup", "strict_deduplication", "strict_increase")
+      require((modes -- known).isEmpty,
+        s"windowFunnel: unknown mode(s) ${(modes -- known).mkString(", ")}; " +
+          s"expected one of ${known.mkString(", ")}")
+      WindowFunnelAgg(secs * 1000000L, rest.head, rest.drop(1),
+        strictOrder = modes.contains("strict_order"),
+        strictDedup =
+          modes.contains("strict_dedup") || modes.contains("strict_deduplication"),
+        strictIncrease = modes.contains("strict_increase"))
     }),
     // groupArraySample(x, k): deterministic bottom-k-by-md5 sample —
     // mergeable, partitioning-independent, oracle-replayable
@@ -535,16 +563,22 @@ object CHFunctions {
 
     // numeric/string conversion battery. ANSI casts throw on garbage,
     // exactly CH's toInt*/toFloat* behavior; the OrZero/OrNull
-    // variants ride TRY-mode casts (0 / NULL on failure). Unsigned
-    // widths map to the next signed type that holds the full range
-    // (UInt64 maps to Int64 — values past 2^63-1 overflow, documented).
+    // variants ride TRY-mode casts (0 / NULL on failure). toUInt8/16/32
+    // wrap modulo 2^width like CH (toUInt8(300)=44, toUInt8(-1)=255),
+    // carried in the next wider signed type; only toUInt64 maps
+    // straight to Int64 — a 64-bit modulus doesn't fit a signed long,
+    // so values past 2^63-1 overflow there (documented exception).
     "toInt8" -> (es => Cast(es.head, org.apache.spark.sql.types.ByteType)),
     "toInt16" -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
     "toInt32" -> (es => Cast(es.head, IntegerType)),
     "toInt64" -> (es => Cast(es.head, LongType)),
-    "toUInt8" -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
-    "toUInt16" -> (es => Cast(es.head, IntegerType)),
-    "toUInt32" -> (es => Cast(es.head, LongType)),
+    "toUInt8" -> (es => Cast(
+      fn("pmod", Cast(es.head, LongType), Literal(256L)),
+      org.apache.spark.sql.types.ShortType)),
+    "toUInt16" -> (es => Cast(
+      fn("pmod", Cast(es.head, LongType), Literal(65536L)), IntegerType)),
+    "toUInt32" -> (es =>
+      fn("pmod", Cast(es.head, LongType), Literal(4294967296L))),
     "toUInt64" -> (es => Cast(es.head, LongType)),
     "toFloat32" -> (es => Cast(es.head, org.apache.spark.sql.types.FloatType)),
     "toFloat64" -> (es => Cast(es.head, DoubleType)),
@@ -840,28 +874,30 @@ object CHFunctions {
     "decodeURLComponent" -> (es => fn("url_decode", es.head)),
     "encodeURLComponent" -> (es => fn("url_encode", es.head)),
     // firstSignificantSubdomain: the label left of a generic
-    // second-level label (com/net/org/co), else the label left of the
-    // TLD — 'news.yandex.com.tr' → 'yandex', 'www.tr' → 'www'
+    // second-level label, else the label left of the TLD —
+    // 'news.yandex.com.tr' → 'yandex', 'a.gov.uk' → 'a', 'www.tr' →
+    // 'www'. The reference embeds the full publicsuffix.org list; this
+    // carries the common generic second-level labels (commercial +
+    // governmental + academic families), documented as a subset.
     "firstSignificantSubdomain" -> (es => {
       val labels = fn("split", urlField(es.head, 1), Literal("\\."))
       val generic = fn("try_element_at", labels, Literal(-2))
       Coalesce(Seq(
         CaseWhen(
-          Seq((In(generic,
-            Seq("com", "net", "org", "co").map(Literal(_))),
+          Seq((In(generic, GenericSecondLevel.map(Literal(_))),
             fn("try_element_at", labels, Literal(-3)))),
           Some(generic)),
         Literal("")))
     }),
     // cutToFirstSignificantSubdomain: the host from that label on —
-    // 'news.yandex.com.tr' → 'yandex.com.tr'
+    // 'news.yandex.com.tr' → 'yandex.com.tr', 'a.gov.uk' → 'a.gov.uk'
     "cutToFirstSignificantSubdomain" -> (es => {
       val labels = fn("split", urlField(es.head, 1), Literal("\\."))
       val generic = fn("try_element_at", labels, Literal(-2))
       CaseWhen(
         Seq(
           (LessThan(fn("size", labels), Literal(2)), Literal("")),
-          (In(generic, Seq("com", "net", "org", "co").map(Literal(_))),
+          (In(generic, GenericSecondLevel.map(Literal(_))),
             fn("array_join",
               fn("slice", labels, Literal(-3), Literal(3)), Literal(".")))),
         Some(fn("array_join",
@@ -996,32 +1032,48 @@ object CHFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(FunctionIdentifier("cosTopK"))) {
-      quietRegistryLogger
-      all.foreach { case (name, builder) =>
-        reg.registerFunction(FunctionIdentifier(name), info(name), builder)
+      withQuietRegistryLogger {
+        all.foreach { case (name, builder) =>
+          reg.registerFunction(FunctionIdentifier(name), info(name), builder)
+        }
       }
     }
   }
 
   /** A handful of dialect names intentionally shadow Spark built-ins
     * (`match`, `extractAll`, ...), which Spark's registry reports with
-    * one WARN per name per session — pure noise for a deliberate
-    * override. Raise that one logger to ERROR once (it logs nothing
-    * else); evaluated lazily so non-log4j2 deployments keep their
-    * WARNs rather than failing. */
-  private lazy val quietRegistryLogger: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
-
-  /** Register at session build time via `withExtensions`. */
-  def inject(ext: SparkSessionExtensions): Unit = {
-    quietRegistryLogger
-    all.foreach { case (name, builder) =>
-      ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+    * one WARN per name — pure noise for a deliberate override. The
+    * suppression is SCOPED to this pack's registration loop: the
+    * registry logger drops to ERROR for the duration of `body` and is
+    * restored afterwards, so other sessions and user-registered
+    * functions keep their replaced-function WARNs. Non-log4j2
+    * deployments skip the suppression rather than failing. */
+  private def withQuietRegistryLogger[A](body: => A): A = {
+    val name = "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry"
+    val prior: Option[org.apache.logging.log4j.Level] =
+      try {
+        val lvl = org.apache.logging.log4j.LogManager.getLogger(name) match {
+          case c: org.apache.logging.log4j.core.Logger => Option(c.getLevel)
+          case _ => None
+        }
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          name, org.apache.logging.log4j.Level.ERROR)
+        lvl
+      } catch { case _: Throwable => None }
+    try body
+    finally prior.foreach { p =>
+      try org.apache.logging.log4j.core.config.Configurator.setLevel(name, p)
+      catch { case _: Throwable => () }
     }
   }
+
+  /** Register at session build time via `withExtensions`. */
+  def inject(ext: SparkSessionExtensions): Unit =
+    withQuietRegistryLogger {
+      all.foreach { case (name, builder) =>
+        ext.injectFunction((FunctionIdentifier(name), info(name), builder))
+      }
+    }
 
   /** ClickHouse `%`-style date tokens → Spark pattern letters (the
     * common subset; unknown tokens pass through untouched). */

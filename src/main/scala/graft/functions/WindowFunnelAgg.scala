@@ -7,29 +7,41 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.types._
 
-/** ClickHouse's `windowFunnel(window)(ts, cond1, …, condN)`: the
-  * length of the longest PREFIX chain cond1 → cond2 → … where each
-  * event strictly follows the previous stage's event and the whole
-  * chain fits inside `window` microseconds of ITS OWN first event.
+/** ClickHouse's `windowFunnel(window[, mode...])(ts, cond1, …, condN)`:
+  * the deepest funnel level reached by chains cond1 → cond2 → … where
+  * each stage follows the previous one and the whole chain fits inside
+  * `window` microseconds of ITS OWN first event.
   *
-  * This is the exact sliding-chain semantics — a chain may start at
-  * any qualifying cond1 event, so a late view that opens a successful
-  * funnel counts even when the user's first view led nowhere. The
-  * fixed-anchor join composition ([[graft.operators.Funnel.qFunnel]])
-  * only checks chains anchored at the earliest stage-1 event; this
-  * aggregate exists because that anchor bias is wrong whenever users
-  * retry.
+  * Semantics mirror the reference engine's scan (one sorted pass over
+  * the user's events, one entry per matched condition, `(ts, idx)`
+  * ordered): level 0 resets to the LATEST stage-1 event; level s copies
+  * level s-1's chain start when a stage-s event lands inside the
+  * window. A chain may therefore start at any qualifying stage-1 event
+  * — the fixed-anchor join composition
+  * ([[graft.operators.Funnel.qFunnel]]) only checks chains anchored at
+  * the earliest stage-1 event, which under-counts users who retry.
   *
-  * Buffer: one (ts, stage-bitmask) pair per event that matches ≥ 1
-  * condition — the same per-user event buffer ClickHouse keeps; events
-  * matching no condition cost nothing. Eval sorts once and runs the
-  * standard O(events × stages) DP: `best(s)` = earliest chain-start
-  * time of any depth-s chain ending at or before the current event.
+  * Modes (ClickHouse `windowFunnel(w, 'strict_order')` flags):
+  *  - `strict_order`: an event matching NO condition stops the scan
+  *    once a stage-1 event has been seen (A→B→D→C yields 2: D freezes
+  *    the A→B progress). Only this mode buffers non-matching events.
+  *  - `strict_dedup` (alias `strict_deduplication`): an event matching
+  *    a condition whose level is already achieved stops the scan —
+  *    A→B→B→C yields 2 at the repeated B.
+  *  - `strict_increase`: a stage only advances on a strictly greater
+  *    timestamp than the previous stage's event.
+  *
+  * Buffer: one (ts, condIdx) pair per event per matched condition
+  * (plus (ts, -1) markers under strict_order); events matching nothing
+  * cost nothing otherwise. Eval sorts once and scans in O(entries).
   */
 case class WindowFunnelAgg(
     windowUs: Long,
     ts: Expression,
     conds: Seq[Expression],
+    strictOrder: Boolean = false,
+    strictDedup: Boolean = false,
+    strictIncrease: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]] {
@@ -57,14 +69,20 @@ case class WindowFunnelAgg(
       input: InternalRow): ArrayBuffer[(Long, Int)] = {
     val t = ts.eval(input)
     if (t != null) {
-      var mask = 0
+      val tu = t.asInstanceOf[Long]
+      var matched = false
       var i = 0
       while (i < conds.size) {
         val c = conds(i).eval(input)
-        if (c != null && c.asInstanceOf[Boolean]) mask |= 1 << i
+        if (c != null && c.asInstanceOf[Boolean]) {
+          buf += ((tu, i))
+          matched = true
+        }
         i += 1
       }
-      if (mask != 0) buf += ((t.asInstanceOf[Long], mask))
+      // only strict_order cares about interleaved foreign events; the
+      // (ts, -1) marker sorts before any condition entry at the same ts
+      if (!matched && strictOrder) buf += ((tu, -1))
     }
     buf
   }
@@ -77,34 +95,43 @@ case class WindowFunnelAgg(
 
   override def eval(buf: ArrayBuffer[(Long, Int)]): Any = {
     if (buf.isEmpty) return 0
-    // tiebreak equal timestamps by stage mask so the result is
-    // independent of partition merge order (insertion order is not)
-    val evs = buf.sortBy(e => (e._1, e._2))
+    val evs = buf.sortBy(identity) // (ts, condIdx) — deterministic under any merge order
     val n = conds.size
-    // best(s): earliest chain-start ts among depth-(s+1) chains seen so
-    // far (Long.MinValue sentinel = none). A stage-s event at time t
-    // extends a depth-s chain to depth s+1 if that chain started
-    // within [t - window, t).
-    val best = Array.fill(n)(Long.MinValue)
-    var depth = 0
-    evs.foreach { case (t, mask) =>
-      // walk stages high→low so one event can't satisfy two stages of
-      // the same chain instance in a single step
-      var s = n - 1
-      while (s >= 1) {
-        if ((mask & (1 << s)) != 0 && best(s - 1) != Long.MinValue &&
-            t - best(s - 1) <= windowUs && t >= best(s - 1)) {
-          if (best(s - 1) > best(s)) best(s) = best(s - 1)
-          if (s + 1 > depth) depth = s + 1
+    val None_ = Long.MinValue
+    val first = Array.fill(n)(None_) // chain-start ts of the level's chain
+    val last = Array.fill(n)(None_) // the level's own event ts
+    var stop = false
+    var i = 0
+    while (i < evs.length && !stop) {
+      val (t, idx) = evs(i)
+      if (idx < 0) {
+        // interleaved foreign event (buffered only under strict_order):
+        // freezes all progress once a chain has started
+        if (first(0) != None_) stop = true
+      } else if (strictDedup && first(idx) != None_) {
+        // a repeat of an already-achieved level interrupts the scan
+        stop = true
+      } else if (idx == 0) {
+        first(0) = t
+        last(0) = t
+      } else if (first(idx - 1) == None_) {
+        // out-of-order event; under strict_order it discards any
+        // (impossible-here, but kept for fidelity) progress above the gap
+        if (strictOrder) {
+          var u = 0
+          while (u < n && first(u) != None_) u += 1
+          while (u < n) { first(u) = None_; last(u) = None_; u += 1 }
         }
-        s -= 1
+      } else if (t - first(idx - 1) <= windowUs &&
+          (!strictIncrease || t > last(idx - 1))) {
+        first(idx) = first(idx - 1)
+        last(idx) = t
       }
-      if ((mask & 1) != 0) {
-        if (t > best(0)) best(0) = t
-        if (depth == 0) depth = 1
-      }
+      i += 1
     }
-    depth
+    var d = 0
+    while (d < n && first(d) != None_) d += 1
+    d
   }
 
   override def serialize(buf: ArrayBuffer[(Long, Int)]): Array[Byte] = {

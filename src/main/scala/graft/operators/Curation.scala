@@ -231,21 +231,20 @@ object Curation {
     * re-assembled from the surviving tokens (md5 fingerprint proves the
     * rewrite byte-identical vs the oracle).
     *
-    * Scale shape: the corpus is shingled ONCE (narrow explode); span
-    * document-frequencies take one partial-agg shuffle of 64-BIT
-    * xxhash64 KEYS — (hash, doc_id) is 16 bytes/row vs ~60 for the
-    * span string, a ~4-6× shuffle-byte cut at any scale; hash-frequent
-    * candidates (a small superset of the true frequent set — 64-bit
-    * collisions can only ADD candidates) broadcast back, and a second
-    * exact string-keyed DF pass over only the candidate spans removes
-    * any collision so the result equals the all-strings formulation
-    * bit-for-bit; the frequent set is small by construction
-    * (boilerplate = repeated ⇒ bounded by corpus/df) and BROADCASTS
-    * back, so hit detection is map-side; the per-doc hit-position
-    * aggregate shuffles only matching spans, never the corpus; the
-    * final mask is a narrow indexed-lambda filter. No step is
-    * quadratic and nothing corpus-sized crosses a shuffle wider than
-    * 16 bytes/row. */
+    * Scale shape: two narrow shingle passes over the corpus, total.
+    * Pass 1 computes span document-frequencies over 64-BIT xxhash64
+    * KEYS — (hash, doc_id) is 16 bytes/row vs ~60 for the span string,
+    * a ~4-6× shuffle-byte cut at any scale; hash-frequent candidates
+    * (a small superset of the true frequent set — 64-bit collisions
+    * can only ADD candidates) broadcast back. Pass 2 keeps only
+    * candidate occurrences (map-side hash join) and shuffles those few
+    * rows once by span string; the exact string-df check (which kills
+    * any hash collision, making the result equal the all-strings
+    * formulation bit-for-bit) and the per-doc hit collection both
+    * reuse that one exchange. The final mask is a narrow
+    * indexed-lambda filter. No step is quadratic, nothing corpus-sized
+    * crosses a shuffle wider than 16 bytes/row, and span strings only
+    * ever shuffle for candidates. */
   val textBoilerplate: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -255,20 +254,25 @@ object Curation {
         s"""transform(sequence(1, greatest(size(toks) - ${SpanLen - 1}, 1)),
            |  i -> concat_ws(' ', slice(toks, i, $SpanLen)))""".stripMargin))
         .as(Seq("pos", "span")))
-    val candHashes = spans
-      .select(xxhash64(col("span")).as("h"), col("doc_id"))
+    val withH = spans.withColumn("h", xxhash64(col("span")))
+    val candHashes = withH
+      .select(col("h"), col("doc_id"))
       .groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= SpanDf)
       .select("h")
-    val frequent = spans
-      .withColumn("h", xxhash64(col("span")))
-      .join(broadcast(candHashes), "h")
-      .groupBy("span")
+    // candidate occurrences (a tiny subset of the corpus) shuffle ONCE
+    // by span string; the exact string-df check and the hit collection
+    // both hang off that exchange (ReusedExchange), so the corpus is
+    // shingled twice total and never re-scanned for the hit pass
+    val cand = withH.join(broadcast(candHashes), "h")
+      .select(col("span"), col("doc_id"), col("pos"))
+      .repartition(col("span"))
+    val frequent = cand.groupBy("span")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= SpanDf)
       .select("span")
-    val hits = spans.join(broadcast(frequent), "span")
+    val hits = cand.join(frequent, "span")
       .groupBy("doc_id")
       .agg(collect_list(col("pos")).as("starts"))
       .select(col("doc_id"),

@@ -20,7 +20,7 @@ object Events {
     Tables(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("sum_value"),
+        ExactAgg.sumExact(col("value"), 100L, 2).as("sum_value"),
         countDistinct("user_id").as("n_users"))
       .orderBy("window_start", "event_type")
 
@@ -38,7 +38,7 @@ object Events {
       .withColumn("session_idx", sum("new_sess").over(byUser))
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
-        round(sum("value"), 2).as("session_value"),
+        ExactAgg.sumExact(col("value"), 100L, 2).as("session_value"),
         round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 1e6, 6)
           .as("duration_sec"))
       .orderBy("user_id", "session_idx")
@@ -101,7 +101,8 @@ object Events {
   val evTopUsers: Q = (s, dir) => {
     val activity = Tables(s, dir, "events")
       .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        ExactAgg.sumExact(col("value"), 100L, 2).as("sum_value"))
     graft.streaming.EventStreams.topOfWindows(activity, 3)
       .orderBy("window_start", "rn")
   }
@@ -118,7 +119,7 @@ object Events {
     "ev_top_users" ->
       """WITH a AS (
         |  SELECT date_trunc('hour', ts) AS window_start, user_id,
-        |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |    count(*) AS n_events, round(sum(CAST(round(value * 100.0) AS BIGINT)) / 1e2, 2) AS sum_value
         |  FROM events GROUP BY 1, 2),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY window_start
@@ -129,7 +130,7 @@ object Events {
         |FROM r WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin,
     "ev_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+        |  count(*) AS n_events, round(sum(CAST(round(value * 100.0) AS BIGINT)) / 1e2, 2) AS sum_value,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_sessions" ->
@@ -147,7 +148,7 @@ object Events {
         |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |  round(sum(value), 2) AS session_value,
+        |  round(sum(CAST(round(value * 100.0) AS BIGINT)) / 1e2, 2) AS session_value,
         |  round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1e6, 6) AS duration_sec
         |FROM x GROUP BY user_id, session_idx ORDER BY user_id, session_idx""".stripMargin,
     "ev_hopping" ->
@@ -157,7 +158,7 @@ object Events {
         |    event_type, value
         |  FROM events, unnest(generate_series(0, 3)) AS t(k))
         |SELECT window_start, event_type,
-        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  count(*) AS n_events, round(sum(CAST(round(value * 100.0) AS BIGINT)) / 1e2, 2) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_sessions_native" ->
       """WITH g AS (
@@ -175,7 +176,7 @@ object Events {
         |  FROM m)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS session_value
+        |  count(*) AS n_events, round(sum(CAST(round(value * 100.0) AS BIGINT)) / 1e2, 2) AS session_value
         |FROM x GROUP BY user_id, session_idx
         |ORDER BY user_id, session_start""".stripMargin,
     "ev_error_context" ->

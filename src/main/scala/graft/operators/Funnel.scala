@@ -118,9 +118,35 @@ object Funnel {
       .orderBy("depth")
   }
 
+  /** The three ClickHouse windowFunnel strictness flags, one depth per
+    * mode per user in a single user-keyed aggregation. strict_order and
+    * strict_dedup run with a non-binding window so the oracle can
+    * replay their scan-stop rules on the per-user event string;
+    * strict_increase keeps the 1-hour window and replays as the
+    * exists-a-chain join with strictly increasing timestamps (exact
+    * because per-user timestamps are unique in this corpus; the tie
+    * cases are pinned by FunnelSpec). */
+  val qFunnelModes: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    val conds = "ts, event_type = 'view', event_type = 'click', event_type = 'purchase'"
+    Tables(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        expr(s"windowFunnel(1000000000, 'strict_order', $conds)").as("d_order"),
+        expr(s"windowFunnel(1000000000, 'strict_dedup', $conds)").as("d_dedup"),
+        expr(s"windowFunnel(3600, 'strict_increase', $conds)").as("d_increase"))
+      .select(expr(
+        """stack(3, 'strict_order', d_order, 'strict_dedup', d_dedup,
+          |  'strict_increase', d_increase) AS (mode, depth)""".stripMargin))
+      .groupBy("mode", "depth")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("mode", "depth")
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_funnel_native" -> qFunnelNative,
+    "q_funnel_modes" -> qFunnelModes,
     "q_retention" -> qRetention,
     "q_sequence_match" -> qSequenceMatch,
     "q_sequence_count" -> qSequenceCount)
@@ -165,6 +191,77 @@ object Funnel {
          |  FROM (SELECT DISTINCT user_id FROM e))
          |SELECT depth, count(*) AS n_users FROM du
          |GROUP BY depth ORDER BY depth""".stripMargin,
+    // each mode's depth is replayed independently: the two scan-stop
+    // modes on the per-user ordered event-initial string (foreign
+    // events spelled 'x'; windows don't bind), strict_increase as the
+    // strictly-increasing exists-a-chain join under the 1-hour window
+    "q_funnel_modes" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_type,
+        |    CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+        |         WHEN 'purchase' THEN 'p' ELSE 'x' END AS ch,
+        |    CASE event_type WHEN 'view' THEN 0 WHEN 'click' THEN 1
+        |         WHEN 'purchase' THEN 2 ELSE -1 END AS idx
+        |  FROM events),
+        |seqs AS (
+        |  SELECT user_id, string_agg(ch, '' ORDER BY us, idx) AS seq
+        |  FROM e GROUP BY user_id),
+        |-- strict_order: the scan freezes at the first foreign event
+        |-- after the first view; before that, stages chain freely
+        |ord AS (
+        |  SELECT user_id,
+        |    CASE WHEN strpos(seq, 'v') = 0 THEN ''
+        |         ELSE substr(seq, strpos(seq, 'v')) END AS s1
+        |  FROM seqs),
+        |d_order AS (
+        |  SELECT user_id,
+        |    CASE WHEN regexp_matches(t, 'v.*c.*p') THEN 3
+        |         WHEN regexp_matches(t, 'v.*c') THEN 2
+        |         WHEN len(t) > 0 THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT user_id,
+        |          CASE WHEN strpos(s1, 'x') > 0
+        |               THEN substr(s1, 1, strpos(s1, 'x') - 1)
+        |               ELSE s1 END AS t
+        |        FROM ord)),
+        |-- strict_dedup: scanning from the first view, a repeat of an
+        |-- achieved stage stops the scan; an early purchase is inert
+        |d_dedup AS (
+        |  SELECT user_id,
+        |    CASE WHEN regexp_matches(u2, '^vp*cp') THEN 3
+        |         WHEN regexp_matches(u2, '^vp*c') THEN 2
+        |         WHEN len(u2) > 0 THEN 1 ELSE 0 END AS depth
+        |  FROM (SELECT user_id,
+        |          CASE WHEN strpos(u, 'v') = 0 THEN ''
+        |               ELSE substr(u, strpos(u, 'v')) END AS u2
+        |        FROM (SELECT user_id, regexp_replace(seq, 'x', '', 'g') AS u
+        |              FROM seqs))),
+        |-- strict_increase: strictly increasing chain inside the window
+        |i1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+        |i2 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND c.us > v.us AND c.us - v.us <= 3600000000
+        |  WHERE v.event_type = 'view'),
+        |i3 AS (
+        |  SELECT DISTINCT v.user_id FROM e v
+        |  JOIN e c ON c.user_id = v.user_id AND c.event_type = 'click'
+        |    AND c.us > v.us AND c.us - v.us <= 3600000000
+        |  JOIN e p ON p.user_id = v.user_id AND p.event_type = 'purchase'
+        |    AND p.us > c.us AND p.us - v.us <= 3600000000
+        |  WHERE v.event_type = 'view'),
+        |d_incr AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id IN (SELECT user_id FROM i3) THEN 3
+        |         WHEN user_id IN (SELECT user_id FROM i2) THEN 2
+        |         WHEN user_id IN (SELECT user_id FROM i1) THEN 1
+        |         ELSE 0 END AS depth
+        |  FROM (SELECT DISTINCT user_id FROM e)),
+        |m AS (
+        |  SELECT 'strict_order' AS mode, depth FROM d_order
+        |  UNION ALL SELECT 'strict_dedup' AS mode, depth FROM d_dedup
+        |  UNION ALL SELECT 'strict_increase' AS mode, depth FROM d_incr)
+        |SELECT mode, depth, count(*) AS n_users
+        |FROM m GROUP BY mode, depth ORDER BY mode, depth""".stripMargin,
     "q_sequence_match" ->
       """WITH seqs AS (
         |  SELECT user_id,

@@ -61,7 +61,7 @@ object Introspection {
   val srcFileSql: Q = (s, dir) => {
     val sql =
       s"""SELECT o_orderstatus, count(*) AS n,
-         |  round(sum(o_totalprice), 2) AS total
+         |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
          |FROM parquet.`$dir/orders.parquet`
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
     graft.sql.QueryGuard.parseReadOnly(s, sql)
@@ -108,7 +108,7 @@ object Introspection {
          |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "src_file_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }

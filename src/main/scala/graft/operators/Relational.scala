@@ -14,9 +14,9 @@ import graft.{Q, Tables}
   *  - dimension tables (region/nation/supplier) are broadcast-hinted —
   *    they are small at any scale factor;
   *  - every aggregate is a hash aggregate with map-side partial combine;
-  *  - all floating-point aggregates are rounded to fixed decimals so
-  *    results are stable under any partial-aggregation order (and match
-  *    the DuckDB oracle bit-for-bit).
+  *  - money aggregates sum exact integer grid units ([[ExactAgg]]) so
+  *    results are independent of partial-aggregation merge order (and
+  *    match the DuckDB oracle bit-for-bit on every run).
   */
 object Relational {
 
@@ -28,13 +28,13 @@ object Relational {
       .filter(col("l_shipdate") <= lit("1999-12-31"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(sum("l_quantity"), 2).as("sum_qty"), // integer-valued: double sum is already exact
+        ExactAgg.sumExact(col("l_extendedprice"), 100L, 2).as("sum_base_price"),
+        ExactAgg.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L, 4).as("sum_disc_price"),
+        ExactAgg.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 1000000L, 6).as("sum_charge"),
         round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_extendedprice"), 4).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        ExactAgg.avgExact(col("l_extendedprice"), 100L, 4).as("avg_price"),
+        ExactAgg.avgExact(col("l_discount"), 100L, 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -46,7 +46,7 @@ object Relational {
         col("l_shipdate") < lit("1997-01-01") &&
         col("l_discount").between(0.03, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg(ExactAgg.sumExact(col("l_extendedprice") * col("l_discount"), 10000L, 4).as("revenue"))
 
   /** TPC-H Q3-style: 3-way join + group + deterministic top-N. */
   val q3ShippingPriority: Q = (s, dir) =>
@@ -56,7 +56,7 @@ object Relational {
       .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > lit("1999-01-01"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L, 4).as("revenue"))
       .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(20)
@@ -89,7 +89,7 @@ object Relational {
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "ASIA")
       .groupBy("n_name")
-      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .agg(ExactAgg.sumExact(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10000L, 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
   /** Monthly rollup — ClickHouse toStartOfMonth ≡ date_trunc. */
@@ -97,7 +97,7 @@ object Relational {
     t(s, dir, "orders")
       .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("total"))
+        ExactAgg.sumExact(col("o_totalprice"), 100L, 2).as("total"))
       .orderBy("month")
 
   /** Exact distinct counts (ClickHouse uniqExact). */
@@ -112,7 +112,7 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         count(when(col("l_quantity") > 25, 1)).as("big_qty_cnt"),
-        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("discounted_price"),
+        ExactAgg.sumExact(when(col("l_discount") > 0.05, col("l_extendedprice")), 100L, 2).as("discounted_price"),
         round(avg(when(col("l_tax") > 0.04, col("l_quantity"))), 4).as("avg_taxed_qty"))
       .orderBy("l_returnflag")
 
@@ -164,25 +164,25 @@ object Relational {
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0, 4) AS sum_disc_price,
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS sum_charge,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_extendedprice), 4) AS avg_price,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / count(l_extendedprice) / 100.0, 4) AS avg_price,
+        |  round(sum(CAST(round(l_discount * 100.0) AS BIGINT)) / count(l_discount) / 100.0, 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1999-12-31'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      """SELECT round(sum(CAST(round(l_extendedprice * l_discount * 10000.0) AS BIGINT)) / 10000.0, 4) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0, 4) AS revenue,
         |  o_orderdate, o_orderpriority
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -203,7 +203,7 @@ object Relational {
         |ORDER BY o_orderpriority""".stripMargin,
     "q5_supplier_volume" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0) AS BIGINT)) / 10000.0, 4) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -217,7 +217,8 @@ object Relational {
         |ORDER BY revenue DESC, n_name""".stripMargin,
     "q_monthly_orders" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 100.0, 2) AS total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_distinct" ->
       """SELECT count(DISTINCT o_custkey) AS n_cust,
@@ -226,7 +227,7 @@ object Relational {
     "q_conditional_agg" ->
       """SELECT l_returnflag,
         |  count(*) FILTER (WHERE l_quantity > 25) AS big_qty_cnt,
-        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS discounted_price,
+        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) FILTER (WHERE l_discount > 0.05) / 100.0, 2) AS discounted_price,
         |  round(avg(l_quantity) FILTER (WHERE l_tax > 0.04), 4) AS avg_taxed_qty
         |FROM lineitem
         |GROUP BY l_returnflag

@@ -45,8 +45,8 @@ object SqlSurface {
 
     ("q_window_running",
       """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |        ORDER BY o_orderdate, o_orderkey), 2) AS running_total,
+        |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) / 1e2, 2) AS running_total,
         |  lag(o_orderkey) OVER (PARTITION BY o_custkey
         |        ORDER BY o_orderdate, o_orderkey) AS prev_order
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -92,12 +92,13 @@ object SqlSurface {
     // supported verbatim by both engines)
     ("q_group_all",
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders GROUP BY ALL ORDER BY 1, 2""".stripMargin,
       None),
 
     ("q_having",
-      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS spend
         |FROM orders GROUP BY o_custkey
         |HAVING count(*) >= 3 ORDER BY o_custkey""".stripMargin,
       None),
@@ -188,7 +189,7 @@ object SqlSurface {
     ("q_rollup",
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
       None),
@@ -223,9 +224,9 @@ object SqlSurface {
     // ClickHouse SAMPLE ≡ deterministic hash sampling on the key —
     // md5-based so both engines select identical rows
     ("q_sample",
-      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders WHERE substring(md5(CAST(o_orderkey AS STRING)), 1, 1) = 'a'""".stripMargin,
-      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      Some("""SELECT count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'a'""".stripMargin)),
 
     // SAMPLE k OFFSET m (the CH disjoint-sample construct: reads a
@@ -233,11 +234,11 @@ object SqlSurface {
     // each take `SAMPLE 1/N OFFSET i/N` and cover the table exactly
     // once). Hash-bucket membership in [offset, offset+rate).
     ("q_sample_offset",
-      """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders
         |WHERE CAST(conv(substring(md5(CAST(o_orderkey AS STRING)), 1, 4), 16, 10)
         |           AS BIGINT) % 100 BETWEEN 50 AND 59""".stripMargin,
-      Some("""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total
+      Some("""SELECT count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders
         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
         |      % 100 BETWEEN 50 AND 59""".stripMargin)),
@@ -284,9 +285,12 @@ object SqlSurface {
     // PIVOT dialects differ; both sides express it as FILTERed aggs
     ("q_pivot",
       """SELECT c_nationkey,
-        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS building,
-        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS automobile,
-        |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS machinery
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING'
+        |    THEN CAST(round(c_acctbal * 100.0) AS BIGINT) END) / 1e2, 2) AS building,
+        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+        |    THEN CAST(round(c_acctbal * 100.0) AS BIGINT) END) / 1e2, 2) AS automobile,
+        |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY'
+        |    THEN CAST(round(c_acctbal * 100.0) AS BIGINT) END) / 1e2, 2) AS machinery
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
       None),
 
@@ -370,7 +374,7 @@ object SqlSurface {
         |SELECT bin, bin * 30000 AS lo,
         |  CASE WHEN bin = 9 THEN round(max(o_totalprice), 2)
         |       ELSE CAST((bin + 1) * 30000 AS DOUBLE) END AS hi,
-        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |  count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / count(*) / 1e2, 2) AS avg_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
       Some("""WITH b AS (
         |  SELECT CAST(least(floor(o_totalprice / 30000), 9) AS BIGINT) AS bin,
@@ -379,7 +383,7 @@ object SqlSurface {
         |SELECT bin, bin * 30000 AS lo,
         |  CASE WHEN bin = 9 THEN round(max(o_totalprice), 2)
         |       ELSE CAST((bin + 1) * 30000 AS DOUBLE) END AS hi,
-        |  count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |  count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / count(*) / 1e2, 2) AS avg_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
     // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,

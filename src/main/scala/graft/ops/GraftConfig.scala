@@ -51,14 +51,15 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
   /** Health endpoint port; 0 = ephemeral (reference binds 8000+). */
   def healthPort: Int = int("HEALTH_PORT", 0)
 
-  /** Serving transport (reference: MCP_SERVER_TRANSPORT — stdio is
-    * MCP's canonical default there; this engine's primary surface is
-    * HTTP, with stdio available for MCP clients that spawn the server
-    * as a child process). */
+  /** Serving transport (reference: MCP_SERVER_TRANSPORT accepts
+    * stdio/http/sse — stdio is MCP's canonical default there; this
+    * engine's primary surface is HTTP, with stdio for MCP clients that
+    * spawn the server as a child process and `sse` serving the legacy
+    * HTTP+SSE framing some older MCP clients still default to). */
   def transport: String = get("TRANSPORT").map(_.trim.toLowerCase).map {
-    case t @ ("http" | "stdio") => t
+    case t @ ("http" | "stdio" | "sse") => t
     case other => throw new IllegalArgumentException(
-      s"SPARK_GRAFT_TRANSPORT: unsupported transport '$other' (http | stdio)")
+      s"SPARK_GRAFT_TRANSPORT: unsupported transport '$other' (http | stdio | sse)")
   }.getOrElse("http")
 
   /** Bind host for the HTTP listener (reference: MCP_BIND_HOST,
@@ -83,6 +84,24 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
     require(p.startsWith("/") && !p.endsWith("/"),
       s"SPARK_GRAFT_PROXY_PATH must start with '/' and not end with '/': '$p'")
     p
+  }
+
+  /** Name of the default database the catalog serves (reference:
+    * CLICKHOUSE_DATABASE, mcp_env.py:97). */
+  def database: String = get("DATABASE").map(_.trim).filter(_.nonEmpty).map { d =>
+    require(d.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"SPARK_GRAFT_DATABASE must be an identifier: '$d'")
+    d
+  }.getOrElse("default")
+
+  /** Role asserted for the session (reference: CLICKHOUSE_ROLE,
+    * mcp_env.py:92 — applied via SET ROLE on each connection there).
+    * An embedded engine has no remote auth model to hand the role to,
+    * so the value is validated and operator-logged at startup. */
+  def role: Option[String] = get("ROLE").map(_.trim).filter(_.nonEmpty).map { r =>
+    require(r.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"SPARK_GRAFT_ROLE must be an identifier: '$r'")
+    r
   }
 
   /** An executor honoring the configured timeout/pool/cap. */

@@ -52,7 +52,10 @@ object GuidePrompt {
       |  `uniqExact`, `uniqUpTo`, `quantile(le)(0.9)(x)` shapes as
       |  `quantile(x, 0.9)`, `median`, `topK(x, 10)`, `argMax(a, b)`,
       |  `countIf`, `sumIf`, `anyHeavy`, `groupArray`,
-      |  `groupArraySample(x, k)`, `sumMap/minMap/maxMap(keys, vals)`,
+      |  `groupArraySample(x, k)` (samples k input ROWS per group —
+      |  duplicates count once per occurrence, not once per distinct
+      |  value; deterministic under any partitioning),
+      |  `sumMap/minMap/maxMap(keys, vals)`,
       |  `simpleLinearRegression`, `boundingRatio`.
       |- Arrays: `arrayJoin` via LATERAL VIEW/explode, `arrayMap`,
       |  `arrayFilter`, `arrayFirst/Last/FirstIndex`, `arraySum`,
@@ -71,7 +74,8 @@ object GuidePrompt {
       |- Vectors: `cosineSimilarity`, `dotProduct`, `L2Distance`,
       |  `cosTopK(struct(score, id), k)` for bounded top-k.
       |- Text signals: `charEntropy`, `countMatches`, `trigramStats`.
-      |- Funnels/sessions: `windowFunnel(window)(ts, cond...)`,
+      |- Funnels/sessions: `windowFunnel(window[, 'strict_order' |
+      |  'strict_dedup' | 'strict_increase'])(ts, cond...)`,
       |  `sequenceMatch`, `retention`, session windows.
       |
       |## Pipeline operators (pre-built queries)

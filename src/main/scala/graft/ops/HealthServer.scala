@@ -220,6 +220,75 @@ object HealthServer {
       }
     })
 
+    // legacy MCP HTTP+SSE transport (reference: MCP_SERVER_TRANSPORT=sse,
+    // mcp_env.py:13-18): GET /sse opens an event stream and announces
+    // the session's POST endpoint; POSTs to /messages?session_id=... are
+    // acknowledged with 202 and their JSON-RPC responses pushed onto the
+    // stream as `message` events — the framing older MCP clients expect
+    if (config.transport == "sse") {
+      val sessions =
+        new java.util.concurrent.ConcurrentHashMap[
+          String, java.util.concurrent.LinkedBlockingQueue[String]]()
+
+      server.createContext(prefix + "/sse", (exchange: HttpExchange) => {
+        if (exchange.getRequestMethod != "GET")
+          respond(exchange, 405,
+            """{"status": "error", "message": "SSE requires GET"}""", json = true)
+        else {
+          val sid = java.util.UUID.randomUUID().toString
+          val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
+          sessions.put(sid, queue)
+          exchange.getResponseHeaders.set("Content-Type",
+            "text/event-stream; charset=utf-8")
+          exchange.getResponseHeaders.set("Cache-Control", "no-cache")
+          exchange.sendResponseHeaders(200, 0L) // chunked: stream stays open
+          val os = exchange.getResponseBody
+          try {
+            os.write((s"event: endpoint\n" +
+              s"data: $prefix/messages?session_id=$sid\n\n").getBytes(UTF_8))
+            os.flush()
+            while (true) {
+              val msg = queue.poll(500, java.util.concurrent.TimeUnit.MILLISECONDS)
+              // keep-alive comments double as disconnect probes: a write
+              // to a closed client throws and releases the thread
+              if (msg == null) os.write(": keep-alive\n\n".getBytes(UTF_8))
+              else os.write((
+                "event: message\n" +
+                  msg.linesIterator.map("data: " + _).mkString("", "\n", "\n\n"))
+                .getBytes(UTF_8))
+              os.flush()
+            }
+          } catch {
+            case _: java.io.IOException => // client went away
+          } finally {
+            sessions.remove(sid)
+            try os.close() catch { case _: Exception => }
+          }
+        }
+      })
+
+      server.createContext(prefix + "/messages", (exchange: HttpExchange) => {
+        if (exchange.getRequestMethod != "POST")
+          respond(exchange, 405,
+            """{"status": "error", "message": "messages requires POST"}""",
+            json = true)
+        else {
+          val sid = params(exchange).getOrElse("session_id", "")
+          val queue = sessions.get(sid)
+          if (queue == null)
+            respond(exchange, 404,
+              """{"status": "error", "message": "unknown session_id"}""",
+              json = true)
+          else {
+            val body = new String(exchange.getRequestBody.readAllBytes(), UTF_8)
+            val (_, out) = Mcp.handle(body, spark, config, executor, catalog)
+            if (out.nonEmpty) queue.put(out)
+            respond(exchange, 202, "Accepted", json = false)
+          }
+        }
+      })
+    }
+
     // usage-guidance prompt (reference: chdb_initial_prompt resource,
     // chdb_prompt.py:3-155) — also reachable as prompts/get over /mcp
     server.createContext(prefix + "/prompt", (exchange: HttpExchange) =>

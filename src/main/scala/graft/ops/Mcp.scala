@@ -28,6 +28,12 @@ object Mcp {
 
   val ProtocolVersion = "2025-06-18"
 
+  /** Revisions this server can speak; `initialize` echoes the client's
+    * requested version when it is one of these, else answers with the
+    * latest (the MCP version-negotiation rule). */
+  val SupportedProtocolVersions: Set[String] =
+    Set("2024-11-05", "2025-03-26", ProtocolVersion)
+
   private val mapper = new ObjectMapper()
 
   private def obj(): ObjectNode = mapper.createObjectNode()
@@ -185,6 +191,11 @@ object Mcp {
       return if (method.startsWith("notifications/") || method.nonEmpty) (202, "")
       else (200, rpcError(null, -32600, "invalid request: missing method"))
 
+    // an id-bearing request without a method is malformed, not an
+    // unknown method: -32600, never "method not found: "
+    if (method.isEmpty)
+      return (200, rpcError(id, -32600, "invalid request: missing method"))
+
     // anything unexpected below becomes a -32603 internal error rather
     // than an aborted exchange (clients hang on dropped connections)
     try dispatch(method, id, params, spark, config, executor, catalog)
@@ -206,7 +217,11 @@ object Mcp {
     method match {
       case "initialize" =>
         val result = obj()
-        result.put("protocolVersion", ProtocolVersion)
+        // echo a supported requested revision; otherwise answer with
+        // the latest we speak (MCP version negotiation)
+        val requested = Option(params.get("protocolVersion"))
+          .map(_.asText()).filter(SupportedProtocolVersions.contains)
+        result.put("protocolVersion", requested.getOrElse(ProtocolVersion))
         val caps = obj()
         caps.set[ObjectNode]("tools", obj())
         caps.set[ObjectNode]("prompts", obj())

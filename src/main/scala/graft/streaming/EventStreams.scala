@@ -33,7 +33,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.ExactAgg.sumExact(col("value"), 100L, 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -47,7 +47,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), duration, slide), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.ExactAgg.sumExact(col("value"), 100L, 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
@@ -63,7 +63,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.ExactAgg.sumExact(col("value"), 100L, 2).as("sum_value"))
       .select(col("window.start").as("window_start"), col("user_id"),
         col("n_events"), col("sum_value"))
 
@@ -136,7 +136,7 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("session_value"))
+      .agg(count(lit(1)).as("n_events"), graft.operators.ExactAgg.sumExact(col("value"), 100L, 2).as("session_value"))
       .select(col("user_id"),
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),

@@ -48,7 +48,7 @@ object MaterializedView {
           .agg(expr("uniqState(user_id)").as("ust"),
             expr("quantileState(value)").as("qst"),
             count(lit(1)).as("n"),
-            sum("value").as("sv"))
+            sum(round(col("value") * 100).cast("long")).as("sv"))  // exact cents: part-merge order independent
           .withColumn("part_id", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -66,7 +66,7 @@ object MaterializedView {
       .agg(expr("uniqMerge(ust)").as("approx_users"),
         expr("quantileMerge(qst, 0.5)").as("median_value"),
         sum("n").as("n_events"),
-        round(sum("sv"), 2).as("sum_value"))
+        (sum("sv") / lit(100.0)).as("sum_value"))
       .orderBy("event_type")
   }
 }

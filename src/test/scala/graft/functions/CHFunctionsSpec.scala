@@ -486,6 +486,90 @@ class CHFunctionsSpec extends SparkSpec {
     assert(df.collect().head.getInt(0) == 3)
   }
 
+  test("windowFunnel strict_order: a foreign event freezes the chain") {
+    // the documented A -> B -> D -> C example: D stops the scan at 2
+    val base =
+      """FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:20:00', 'x'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'p') t(ts, t)""".stripMargin
+    val strict = one(
+      s"SELECT windowFunnel(3600, 'strict_order', ts, t = 'v', t = 'c', t = 'p') $base")
+    val dflt = one(
+      s"SELECT windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') $base")
+    assert(strict.getInt(0) == 2 && dflt.getInt(0) == 3)
+  }
+
+  test("windowFunnel strict_order: foreign events before the first stage are inert, the stop is permanent") {
+    val r = one(
+      """SELECT windowFunnel(3600, 'strict_order', ts, t = 'v', t = 'c') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 09:00:00', 'x'),
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'c') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 2)
+    val stopped = one(
+      """SELECT windowFunnel(3600, 'strict_order', ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:01:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:02:00', 'x'),
+        |  (TIMESTAMP '2024-01-01 10:03:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:04:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:05:00', 'p') t(ts, t)""".stripMargin)
+    assert(stopped.getInt(0) == 2) // the later complete chain is never scanned
+  }
+
+  test("windowFunnel strict_dedup: a repeat of an achieved stage interrupts") {
+    // A -> B -> B -> C: the repeated B stops the scan at depth 2
+    val r = one(
+      """SELECT windowFunnel(3600, 'strict_dedup', ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:20:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'p') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 2)
+    // a second view stops at 1; an out-of-order purchase is inert
+    val vv = one(
+      """SELECT windowFunnel(3600, 'strict_dedup', ts, t = 'v', t = 'c') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:20:00', 'c') t(ts, t)""".stripMargin)
+    assert(vv.getInt(0) == 1)
+    val inert = one(
+      """SELECT windowFunnel(3600, 'strict_dedup', ts, t = 'v', t = 'c', t = 'p') FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'p'),
+        |  (TIMESTAMP '2024-01-01 10:20:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'p') t(ts, t)""".stripMargin)
+    assert(inert.getInt(0) == 3)
+  }
+
+  test("windowFunnel strict_increase: equal timestamps do not advance a stage") {
+    val base =
+      """FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'c'),
+        |  (TIMESTAMP '2024-01-01 10:30:00', 'p') t(ts, t)""".stripMargin
+    val strict = one(
+      s"SELECT windowFunnel(3600, 'strict_increase', ts, t = 'v', t = 'c', t = 'p') $base")
+    val dflt = one(
+      s"SELECT windowFunnel(3600, ts, t = 'v', t = 'c', t = 'p') $base")
+    assert(strict.getInt(0) == 1 && dflt.getInt(0) == 3)
+  }
+
+  test("windowFunnel: modes combine and unknown modes are rejected") {
+    val r = one(
+      """SELECT windowFunnel(3600, 'strict_order', 'strict_increase', ts, t = 'v', t = 'c')
+        |FROM VALUES
+        |  (TIMESTAMP '2024-01-01 10:00:00', 'v'),
+        |  (TIMESTAMP '2024-01-01 10:10:00', 'c') t(ts, t)""".stripMargin)
+    assert(r.getInt(0) == 2)
+    intercept[Exception] {
+      one("""SELECT windowFunnel(3600, 'strict_bogus', ts, t = 'v')
+            |FROM VALUES (TIMESTAMP '2024-01-01 10:00:00', 'v') t(ts, t)""".stripMargin)
+    }
+  }
+
   test("groupArraySample is deterministic and partitioning-independent") {
     CHFunctions.register(spark)
     def sample(parts: Int): Seq[Long] =
@@ -603,13 +687,15 @@ class CHFunctionsSpec extends SparkSpec {
         |  visitParamExtractString(j, 'name'),
         |  JSONLength('[1,2,3]'), JSONLength(j),
         |  isValidJSON(j), isValidJSON('{nope'),
-        |  (SELECT sumWithOverflow(x) FROM VALUES (1), (2) s(x))
+        |  (SELECT sumWithOverflow(x) FROM VALUES (1), (2) s(x)),
+        |  JSONLength('5'), JSONLength('{nope')
         |FROM VALUES ('{"name": "x", "n": 42}') t(j)""".stripMargin)
     assert(r.getString(0) == "x" && r.getString(1) == "x")
     assert(r.getInt(2) == 3)
     assert(r.getInt(3) == 2) // two object keys
     assert(r.getBoolean(4) && !r.getBoolean(5))
     assert(r.getLong(6) == 3L)
+    assert(r.getInt(7) == 0 && r.getInt(8) == 0) // scalar / invalid → 0, like CH
   }
 
   test("URL family round 6: subdomains, fragments, encode, parameter lists") {
@@ -627,6 +713,14 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "example")
     assert(r.getString(2) == "yandex.com.tr")
     assert(r.getString(3) == "example.org")
+    // governmental/academic second-level labels are generic too
+    val g = one(
+      """SELECT firstSignificantSubdomain('https://a.gov.uk/x'),
+        |  cutToFirstSignificantSubdomain('https://a.gov.uk/x'),
+        |  firstSignificantSubdomain('https://www.ac.jp/x')""".stripMargin)
+    assert(g.getString(0) == "a")
+    assert(g.getString(1) == "a.gov.uk")
+    assert(g.getString(2) == "www")
     assert(r.getString(4) == "sec2" && r.getString(5) == "")
     assert(r.getString(6) == "q=1#sec2")
     assert(r.getString(7) == "a b/c")
@@ -758,6 +852,16 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(8) == 3.5)
     // the strict forms throw on garbage, like the reference
     intercept[Exception] { one("SELECT toInt32('abc')") }
+  }
+
+  test("toUInt8/16/32 wrap modulo 2^width like the reference") {
+    val r = one(
+      """SELECT toUInt8(300), toUInt8(-1), toUInt8(256),
+        |  toUInt16(70000), toUInt16(-1),
+        |  toUInt32(4294967296 + 5), toUInt32(-1)""".stripMargin)
+    assert(r.getShort(0) == 44 && r.getShort(1) == 255 && r.getShort(2) == 0)
+    assert(r.getInt(3) == 4464 && r.getInt(4) == 65535)
+    assert(r.getLong(5) == 5L && r.getLong(6) == 4294967295L)
   }
 
   test("arrayElement is total: OOB and index 0 are null, negatives wrap") {

@@ -203,6 +203,8 @@ class HealthSpec extends SparkSpec {
       assert(code == 200)
       assert(body.contains("Table functions"))
       assert(body.contains("file('/data/events.parquet')"))
+      // the dialect doc states groupArraySample's sampling unit
+      assert(body.contains("samples k input ROWS per group"))
     } finally srv.close()
   }
 
@@ -239,6 +241,87 @@ class HealthSpec extends SparkSpec {
       // invalid JSON → parse error
       val (_, parse) = httpPost(base, "{nope")
       assert(parse.contains("-32700"))
+      // version negotiation: a supported requested revision is echoed;
+      // an unknown one gets the latest we speak
+      val (_, echoed) = httpPost(base,
+        """{"jsonrpc":"2.0","id":6,"method":"initialize",
+          |"params":{"protocolVersion":"2024-11-05"}}""".stripMargin)
+      assert(echoed.contains("\"protocolVersion\":\"2024-11-05\""))
+      val (_, latest) = httpPost(base,
+        """{"jsonrpc":"2.0","id":7,"method":"initialize",
+          |"params":{"protocolVersion":"1999-01-01"}}""".stripMargin)
+      assert(latest.contains("\"protocolVersion\":\"" + Mcp.ProtocolVersion + "\""))
+      // id-bearing request without a method → -32600 invalid request
+      val (_, noMethod) = httpPost(base, """{"jsonrpc":"2.0","id":8}""")
+      assert(noMethod.contains("-32600"))
+      assert(!noMethod.contains("-32601"))
+    } finally srv.close()
+  }
+
+  test("SSE transport round-trips a tools/call over the event stream") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val cat = new graft.catalog.GraftCatalog(spark, sf)
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "sse")), Some(exec), Some(cat))
+    try {
+      val conn = new java.net.URL(s"http://localhost:${srv.port}/sse")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("GET")
+      conn.setReadTimeout(30000)
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/event-stream"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(conn.getInputStream,
+          java.nio.charset.StandardCharsets.UTF_8))
+
+      // one SSE frame: skip keep-alive comments, collect event+data lines
+      def readEvent(): (String, String) = {
+        var event = ""
+        val data = new StringBuilder
+        var line = reader.readLine()
+        while (line != null && (line.isEmpty || line.startsWith(":"))) line = reader.readLine()
+        while (line != null && line.nonEmpty) {
+          if (line.startsWith("event: ")) event = line.drop(7)
+          else if (line.startsWith("data: ")) {
+            if (data.nonEmpty) data.append('\n')
+            data.append(line.drop(6))
+          }
+          line = reader.readLine()
+        }
+        (event, data.toString)
+      }
+
+      val (epEvent, endpoint) = readEvent()
+      assert(epEvent == "endpoint")
+      assert(endpoint.startsWith("/messages?session_id="))
+
+      val post = s"http://localhost:${srv.port}$endpoint"
+      val (c1, ack1) = httpPost(post,
+        """{"jsonrpc":"2.0","id":1,"method":"initialize","params":{}}""")
+      assert(c1 == 202 && ack1 == "Accepted")
+      val (initEvent, init) = readEvent()
+      assert(initEvent == "message")
+      assert(init.contains("\"protocolVersion\""))
+
+      val (c2, _) = httpPost(post,
+        """{"jsonrpc":"2.0","id":2,"method":"tools/call","params":{
+          |"name":"run_select_query",
+          |"arguments":{"query":"SELECT n_name FROM nation ORDER BY 1 LIMIT 2"}}}"""
+          .stripMargin)
+      assert(c2 == 202)
+      val (resEvent, res) = readEvent()
+      assert(resEvent == "message")
+      assert(res.contains("\"id\":2"))
+      assert(res.contains("\"isError\":false"))
+      assert(res.contains("NATION_0"))
+
+      // unknown session → 404 structured error
+      val (c404, notFound) =
+        httpPost(s"http://localhost:${srv.port}/messages?session_id=nope",
+          """{"jsonrpc":"2.0","id":3,"method":"ping"}""")
+      assert(c404 == 404 && notFound.contains("unknown session_id"))
+      conn.disconnect()
     } finally srv.close()
   }
 
@@ -351,9 +434,28 @@ class HealthSpec extends SparkSpec {
     assert(GraftConfig(Map.empty).transport == "http")
     assert(GraftConfig(Map.empty).bindHost == "127.0.0.1")
     assert(GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "stdio")).transport == "stdio")
+    assert(GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "sse")).transport == "sse")
     assert(GraftConfig(Map("SPARK_GRAFT_BIND_HOST" -> "0.0.0.0")).bindHost == "0.0.0.0")
     intercept[IllegalArgumentException] {
       GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "carrier-pigeon")).transport
     }
+  }
+
+  test("role / default-database knobs parse, validate, and reach the catalog") {
+    assert(GraftConfig(Map.empty).database == "default")
+    assert(GraftConfig(Map.empty).role.isEmpty)
+    assert(GraftConfig(Map("SPARK_GRAFT_DATABASE" -> "warehouse")).database == "warehouse")
+    assert(GraftConfig(Map("SPARK_GRAFT_ROLE" -> "analyst")).role.contains("analyst"))
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_DATABASE" -> "bad db; DROP")).database
+    }
+    intercept[IllegalArgumentException] {
+      GraftConfig(Map("SPARK_GRAFT_ROLE" -> "no spaces!")).role
+    }
+    val cat = new graft.catalog.GraftCatalog(spark, sf,
+      defaultDatabase = GraftConfig(Map("SPARK_GRAFT_DATABASE" -> "warehouse")).database)
+    assert(cat.database == "warehouse")
+    assert(cat.listDatabases() == Seq("warehouse"))
+    assert(cat.listTables("warehouse", pageSize = 5).tables.nonEmpty)
   }
 }
