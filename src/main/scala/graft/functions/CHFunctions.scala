@@ -526,6 +526,19 @@ object CHFunctions {
     // entropy(x): Shannon entropy (base 2) of the value distribution —
     // native TypedImperativeAggregate, per-value counts combine map-side
     "entropy" -> (es => EntropyAgg(es.head)),
+    // largestTriangleThreeBuckets(n, x, y) / lttb: downsample a series
+    // to n chart-representative points (CH's parametric lttb(n)(x, y)
+    // flattened to dialect form). Deterministic selection — see LttbAgg.
+    "largestTriangleThreeBuckets" -> (es =>
+      LttbAgg(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es.head match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().toString.toInt
+      })),
+    "lttb" -> (es =>
+      LttbAgg(Cast(es(1), DoubleType), Cast(es(2), DoubleType), es.head match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().toString.toInt
+      })),
     // uniqUpTo(x, n): exact distinct count while ≤ n, else n+1 — the
     // "more than n?" probe that skips a full exact-distinct state
     "uniqUpTo" -> (es =>

@@ -448,7 +448,65 @@ object ChSurface {
         |        quantileState(o_totalprice) AS qst
         |      FROM orders GROUP BY o_orderpriority, ym) cube_slice
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
-      Some("")))
+      Some("")),
+
+    // largestTriangleThreeBuckets downsampling of the hourly event-count
+    // series to 12 chart points. x (epoch-seconds of the hour) and y
+    // (counts) are integer-valued doubles, so bucket-average anchors
+    // (exact integer sums + one IEEE division) and triangle areas are
+    // bit-identical across engines and the unrolled DuckDB replay
+    // (lttbOracle) reproduces the selection exactly.
+    ("q_lttb",
+      """WITH h AS (
+        |  SELECT toFloat64(toUnixTimestamp(toStartOfHour(ts))) AS x,
+        |         toFloat64(count(*)) AS y
+        |  FROM events GROUP BY toStartOfHour(ts)),
+        |s AS (SELECT largestTriangleThreeBuckets(12, x, y) AS pts FROM h)
+        |SELECT CAST(pos AS INT) AS point_idx, col.x AS x, col.y AS y
+        |FROM s LATERAL VIEW posexplode(pts) t AS pos, col
+        |ORDER BY point_idx""".stripMargin,
+      Some(lttbOracle)))
+
+  /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
+    * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes
+    * the series has > 12 points, which holds at every shipped SF). Each
+    * sel<b> CTE picks bucket b's largest-triangle point given the prior
+    * selection and the next-bucket average anchor — the same scan
+    * [[graft.functions.LttbAgg]] runs, ties to the smallest (x, y). */
+  private def lttbOracle: String = {
+    val nb = 10
+    // first middle-index of bucket b: ceil(b*(m-2)/nb), m from prm
+    def start(b: Int) = s"($b*(m-2)+${nb - 1})//$nb"
+    val ctes = (0 until nb).map { b =>
+      val anchor =
+        if (b < nb - 1)
+          s"a$b AS (SELECT sum(p.x)/count(*) AS ax, sum(p.y)/count(*) AS ay" +
+            s" FROM pts p, prm WHERE p.i - 1 >= ${start(b + 1)} AND p.i - 1 < ${start(b + 2)})"
+        else
+          s"a$b AS (SELECT p.x AS ax, p.y AS ay FROM pts p, prm WHERE p.i = m - 1)"
+      val prev = if (b == 0) "sel_first" else s"sel${b - 1}"
+      s"""$anchor,
+sel$b AS (SELECT p.x, p.y FROM pts p, prm, $prev q, a$b a
+  WHERE p.i - 1 >= ${start(b)} AND p.i - 1 < ${start(b + 1)}
+  ORDER BY abs((q.x - a.ax)*(p.y - q.y) - (q.x - p.x)*(a.ay - q.y)) DESC, p.x, p.y
+  LIMIT 1)"""
+    }.mkString(",\n")
+    val unions = (0 until nb)
+      .map(b => s"UNION ALL SELECT CAST(${b + 1} AS INT), x, y FROM sel$b")
+      .mkString("\n")
+    s"""WITH h AS (
+  SELECT CAST(epoch(date_trunc('hour', ts)) AS DOUBLE) AS x,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1),
+pts AS (SELECT row_number() OVER (ORDER BY x, y) - 1 AS i, x, y FROM h),
+prm AS (SELECT count(*) AS m FROM pts),
+sel_first AS (SELECT x, y FROM pts WHERE i = 0),
+$ctes
+SELECT CAST(0 AS INT) AS point_idx, x, y FROM sel_first
+$unions
+UNION ALL SELECT CAST(${nb + 1} AS INT), x, y FROM (SELECT p.x, p.y FROM pts p, prm WHERE p.i = m - 1)
+ORDER BY point_idx"""
+  }
 
   private def runSql(sql: String): Q = (s: SparkSession, dir: String) => {
     TableEnv.register(s, dir)

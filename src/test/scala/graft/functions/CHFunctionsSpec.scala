@@ -1087,4 +1087,49 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](0) == Seq(2, 3)) // last row's lead is null
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
+
+  private def lttbPoints(sql: String): Seq[(Double, Double)] = {
+    CHFunctions.register(spark)
+    spark.sql(sql).collect().head.getSeq[org.apache.spark.sql.Row](0)
+      .map(p => (p.getDouble(0), p.getDouble(1)))
+  }
+
+  test("lttb keeps the whole series when it has <= n points") {
+    val pts = lttbPoints(
+      "SELECT lttb(12, x, y) FROM VALUES (3.0, 1.0), (1.0, 5.0), (2.0, 2.0) t(x, y)")
+    assert(pts == Seq((1.0, 5.0), (2.0, 2.0), (3.0, 1.0))) // sorted by x
+  }
+
+  test("lttb n=3 keeps endpoints and the largest-triangle middle point") {
+    // prev=(0,0), anchor=(3,0): (1,10) spans area 30 vs (2,1)'s 3
+    val pts = lttbPoints(
+      """SELECT largestTriangleThreeBuckets(3, x, y)
+        |FROM VALUES (0.0, 0.0), (1.0, 10.0), (2.0, 1.0), (3.0, 0.0) t(x, y)""".stripMargin)
+    assert(pts == Seq((0.0, 0.0), (1.0, 10.0), (3.0, 0.0)))
+  }
+
+  test("lttb breaks area ties toward the earlier point") {
+    // (1,2) and (3,2) form equal-area triangles with (0,0) and (4,0)
+    val pts = lttbPoints(
+      """SELECT lttb(3, x, y)
+        |FROM VALUES (0.0, 0.0), (1.0, 2.0), (3.0, 2.0), (4.0, 0.0) t(x, y)""".stripMargin)
+    assert(pts == Seq((0.0, 0.0), (1.0, 2.0), (4.0, 0.0)))
+  }
+
+  test("lttb skips null coordinates and is partitioning-independent") {
+    CHFunctions.register(spark)
+    def run(parts: Int): Seq[(Double, Double)] = {
+      val df = spark.range(0, 500).repartition(parts).selectExpr(
+        "CAST(id AS DOUBLE) AS x",
+        // deterministic sawtooth with spikes; null every 97th point
+        "CASE WHEN id % 97 = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE CAST(id % 17 AS DOUBLE) * CASE WHEN id % 50 = 0 THEN 40.0 ELSE 1.0 END END AS y")
+      df.selectExpr("lttb(20, x, y) AS p").collect().head
+        .getSeq[org.apache.spark.sql.Row](0).map(p => (p.getDouble(0), p.getDouble(1)))
+    }
+    val single = run(1)
+    assert(single.length == 20)
+    assert(single.head._1 == 1.0 && single.last._1 == 499.0) // 0 was null
+    assert(run(13) == single) // merge order cannot change the selection
+  }
 }
