@@ -1015,6 +1015,12 @@ object CHFunctions {
 
     // native codegen'd vector math (ClickHouse cosineDistance family)
     "trigramStats" -> (es => TrigramStats(es.head)),
+    // spanKeys(toks, len): per-span 64-bit keys in one native loop —
+    // the boilerplate pass's shingle-hash hot path
+    "spanKeys" -> (es => SpanKeys(es.head, es(1) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().toString.toInt
+    })),
     "quantRecon" -> (es => QuantRecon(es.head, es(1), es(2))),
     "quantDequant" -> (es => QuantDequant(es.head, es(1), es(2))),
     "dictGet" -> (es => DictGet.fromArgs(es)),

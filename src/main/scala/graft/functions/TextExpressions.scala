@@ -337,3 +337,60 @@ object QuantRecon {
     new GenericInternalRow(Array[Any](if (n == 0) 0.0 else errSum / n, cos))
   }
 }
+
+/** spanKeys(toks, len): one 64-bit key per `len`-token span of `toks`,
+  * computed in a single pass — each token is xxhash64'd once, and span
+  * j's key is the rotate-xor combine of token hashes j..j+len-1. An
+  * array shorter than `len` yields ONE whole-array key (the 1-based
+  * `slice(toks, i, len)` semantics of the SQL formulation it
+  * replaces). Interpreted higher-order lambdas would pay per-element
+  * Expression dispatch for the same arithmetic; this is the
+  * boilerplate pass's hot loop, where a key collision can only ADD a
+  * candidate (the exact string check downstream kills it), so the
+  * combine only has to be cheap and well-mixed, not cryptographic. */
+case class SpanKeys(child: Expression, spanLen: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(spanLen >= 1, s"spanKeys needs len >= 1, got $spanLen")
+
+  override def inputTypes: Seq[ArrayType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    SpanKeys.compute(v.asInstanceOf[ArrayData], spanLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SpanKeys.compute($c, $spanLen);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanKeys =
+    copy(child = newChild)
+}
+
+object SpanKeys {
+
+  def compute(arr: ArrayData, len: Int): ArrayData = {
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      th(i) =
+        if (u == null) 0L
+        else org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, 42L)
+      i += 1
+    }
+    val k = math.max(n - len + 1, 1)
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      var a = -3750763034362895579L
+      var e = j
+      val end = math.min(j + len, n)
+      while (e < end) { a = java.lang.Long.rotateLeft(a, 5) ^ th(e); e += 1 }
+      out(j) = a
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+}

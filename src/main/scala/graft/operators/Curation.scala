@@ -231,42 +231,50 @@ object Curation {
     * re-assembled from the surviving tokens (md5 fingerprint proves the
     * rewrite byte-identical vs the oracle).
     *
-    * Scale shape: two narrow shingle passes over the corpus, total.
-    * Pass 1 computes span document-frequencies over 64-BIT xxhash64
-    * KEYS — (hash, doc_id) is 16 bytes/row vs ~60 for the span string,
-    * a ~4-6× shuffle-byte cut at any scale; hash-frequent candidates
-    * (a small superset of the true frequent set — 64-bit collisions
-    * can only ADD candidates) broadcast back. Pass 2 keeps only
-    * candidate occurrences (map-side hash join) and shuffles those few
-    * rows once by span string; the exact string-df check (which kills
-    * any hash collision, making the result equal the all-strings
-    * formulation bit-for-bit) and the per-doc hit collection both
-    * reuse that one exchange. The final mask is a narrow
-    * indexed-lambda filter. No step is quadratic, nothing corpus-sized
-    * crosses a shuffle wider than 16 bytes/row, and span strings only
-    * ever shuffle for candidates. */
+    * Scale shape: two narrow passes over the corpus, total, and span
+    * STRINGS are never built for non-candidate positions. Pass 1
+    * tokenizes once and derives every span's 64-bit key in one native
+    * loop ([[graft.functions.SpanKeys]]: xxhash64 each token once,
+    * rotate-xor combine per span — no per-span string concat, no
+    * interpreted lambda dispatch), and the span-df shuffle carries
+    * (hash, doc_id) at 16 bytes/row. Hash-frequent candidates (a small
+    * superset of the true frequent set — collisions can only ADD
+    * candidates) broadcast back, and the tiny candidate (doc_id, pos)
+    * set broadcasts onto the corpus so pass 2 rebuilds span strings
+    * ONLY at candidate positions (the corpus itself never shuffles).
+    * Those few rows shuffle once by span string; the exact string-df
+    * check (which kills any hash collision, making the result equal
+    * the all-strings formulation bit-for-bit) and the per-doc hit
+    * collection both reuse that one exchange. The final mask is a
+    * narrow indexed-lambda filter. No step is quadratic, nothing
+    * corpus-sized crosses a shuffle wider than 16 bytes/row, and span
+    * strings only ever exist for candidates. */
   val textBoilerplate: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     // pos from posexplode = 0-based start index of the span in toks
-    val spans = docs.select(col("doc_id"),
-      posexplode(expr(
-        s"""transform(sequence(1, greatest(size(toks) - ${SpanLen - 1}, 1)),
-           |  i -> concat_ws(' ', slice(toks, i, $SpanLen)))""".stripMargin))
-        .as(Seq("pos", "span")))
-    val withH = spans.withColumn("h", xxhash64(col("span")))
-    val candHashes = withH
-      .select(col("h"), col("doc_id"))
+    val spanH = docs.select(col("doc_id"),
+      posexplode(expr(s"spanKeys(toks, $SpanLen)")).as(Seq("pos", "h")))
+    val candHashes = spanH
       .groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= SpanDf)
       .select("h")
-    // candidate occurrences (a tiny subset of the corpus) shuffle ONCE
-    // by span string; the exact string-df check and the hit collection
-    // both hang off that exchange (ReusedExchange), so the corpus is
-    // shingled twice total and never re-scanned for the hit pass
-    val cand = withH.join(broadcast(candHashes), "h")
-      .select(col("span"), col("doc_id"), col("pos"))
+    // candidate positions per doc (tiny) broadcast onto the corpus so
+    // span strings are built only where a candidate hash occurred; the
+    // resulting few rows shuffle ONCE by span string and the exact
+    // string-df check and the hit collection both hang off that
+    // exchange (ReusedExchange)
+    val candPos = spanH.join(broadcast(candHashes), "h")
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("ps"))
+    val cand = docs.join(broadcast(candPos), "doc_id")
+      .select(col("doc_id"), explode(expr(
+        s"""transform(ps, p ->
+           |  struct(p AS pos, concat_ws(' ', slice(toks, p + 1, $SpanLen)) AS span))""".stripMargin))
+        .as("pc"))
+      .select(col("doc_id"), col("pc.pos").as("pos"), col("pc.span").as("span"))
       .repartition(col("span"))
     val frequent = cand.groupBy("span")
       .agg(countDistinct("doc_id").as("df"))

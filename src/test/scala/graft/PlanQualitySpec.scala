@@ -201,10 +201,11 @@ class PlanQualitySpec extends SparkSpec {
   test("boilerplate DF count shuffles 64-bit span hashes, not strings") {
     val plan = formatted(
       graft.operators.Curation.textBoilerplate(spark, sf))
-    // the document-frequency aggregate keys on xxhash64(span): the
-    // corpus-wide shuffle carries 16-byte rows, strings only cross in
-    // the (small) candidate re-check and the broadcast mask join
-    assert(plan.contains("xxhash64"), plan.take(600))
+    // the document-frequency aggregate keys on native spanKeys output:
+    // the corpus-wide shuffle carries 16-byte (hash, doc_id) rows, and
+    // span strings are only ever BUILT for candidate positions (the
+    // concat_ws sits behind the broadcast candidate-position join)
+    assert(plan.toLowerCase.contains("spankeys"), plan.take(600))
     // candidate sets broadcast back — no sort-merge join of span strings
     assert(!plan.contains("SortMergeJoin"), "expected broadcast joins only")
   }

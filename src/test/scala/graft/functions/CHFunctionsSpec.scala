@@ -1088,6 +1088,20 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("spanKeys emits one key per span, equal iff the token span repeats") {
+    CHFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT spanKeys(array('a','b','a','b','a','b'), 3),
+        |  spanKeys(array('a','b'), 3),
+        |  spanKeys(array(CAST(NULL AS STRING), 'x'), 2)""".stripMargin).collect().head
+    val ks = r.getSeq[Long](0)
+    assert(ks.length == 4) // 6 tokens, len 3 -> 4 spans
+    assert(ks(0) == ks(2) && ks(1) == ks(3)) // 'a b a' repeats at 0/2
+    assert(ks(0) != ks(1)) // 'a b a' vs 'b a b'
+    assert(r.getSeq[Long](1).length == 1) // short array -> one whole key
+    assert(r.getSeq[Long](2).length == 1) // null token hashes as 0, no NPE
+  }
+
   private def lttbPoints(sql: String): Seq[(Double, Double)] = {
     CHFunctions.register(spark)
     spark.sql(sql).collect().head.getSeq[org.apache.spark.sql.Row](0)
