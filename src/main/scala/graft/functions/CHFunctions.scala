@@ -553,6 +553,33 @@ object CHFunctions {
     "sumMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Sum)),
     "minMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Min)),
     "maxMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Max)),
+    // topKWeighted(x, w, k): EXACT top-k values by total weight (CH's
+    // parametric topKWeighted(k)(x, w) flattened) — per-value weight
+    // sums ride the mergeable sumMap partial agg, then one scalar sort
+    // of the (small) per-group result. Deterministic: ties break
+    // toward the larger value, integral weights stay on the exact
+    // bigint path, so the DuckDB oracle replays it exactly — unlike
+    // CH's SpaceSaving sketch this never under-counts.
+    "topKWeighted" -> (es => {
+      val k = es(2) match {
+        case Literal(v: Int, _) => v
+        case other => other.eval().toString.toInt
+      }
+      val agg = MapCombineAgg(
+        CreateArray(Seq(es.head)), CreateArray(Seq(es(1))), MapCombineAgg.Sum)
+        .toAggregateExpression()
+      val kk = UnresolvedNamedLambdaVariable(Seq("kk"))
+      val vv = UnresolvedNamedLambdaVariable(Seq("vv"))
+      val p = UnresolvedNamedLambdaVariable(Seq("p"))
+      val zipped = fn("zip_with",
+        UnresolvedExtractValue(agg, Literal("keys")),
+        UnresolvedExtractValue(agg, Literal("vals")),
+        LambdaFunction(
+          CreateNamedStruct(Seq(Literal("w"), vv, Literal("k"), kk)), Seq(kk, vv)))
+      fn("transform",
+        fn("slice", fn("sort_array", zipped, Literal(false)), Literal(1), Literal(k)),
+        LambdaFunction(UnresolvedExtractValue(p, Literal("k")), Seq(p)))
+    }),
 
     // order-dependent neighbor access. ClickHouse's neighbor(x, off)
     // reads off rows ahead (negative = behind) in block order; the

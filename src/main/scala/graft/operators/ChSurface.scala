@@ -434,6 +434,24 @@ object ChSurface {
         |FROM orders""".stripMargin,
       Some("")),
 
+    // exact weighted heavy hitters: quantity-weighted top suppliers
+    // per return flag — the sumMap partial agg does the per-value
+    // weight sums map-side; only the tiny per-group (value, weight)
+    // arrays cross the shuffle. TPC-H quantities are integral, so
+    // toInt64 is exact and the weights stay on the bigint path.
+    ("q_topk_weighted",
+      """SELECT l_returnflag,
+        |  topKWeighted(l_suppkey, toInt64(l_quantity), 3) AS top_supps
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH g AS (
+        |  SELECT l_returnflag, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY l_returnflag ORDER BY w DESC, l_suppkey DESC) AS rn
+        |      FROM g)
+        |SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_supps
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // the AggregatingMergeTree rollup: fine-grained (priority × month)
     // sketch states merged up to per-priority figures WITHOUT re-scanning
     // raw rows — the stored-cube pattern that makes sketches pay at

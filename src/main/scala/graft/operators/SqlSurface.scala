@@ -386,6 +386,47 @@ object SqlSurface {
         |  count(*) AS n, round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / count(*) / 1e2, 2) AS avg_price
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin)),
 
+    // Interval-overlap sweep (ClickHouse maxIntersections shape): each
+    // order holds a half-open 30-day window [d, d+30); +1/-1 deltas
+    // cumsum in (date, delta) order — the -1 sorts first so back-to-back
+    // windows don't overlap — and the peak plus its first date come from
+    // one co-partitioned self-join. Scale shape: the window partitions
+    // by o_custkey (high-cardinality, tiny partitions), the max/peak
+    // aggregates reuse that exchange, and only the top-10 leaves the
+    // cluster. Same-key delta ties are symmetric (+1/+1), so the ROWS
+    // frame is order-insensitive within ties and both engines agree.
+    ("q_interval_overlap",
+      """WITH ev AS (
+        |  SELECT o_custkey, s.d AS d, s.delta AS delta
+        |  FROM orders
+        |  LATERAL VIEW explode(array(
+        |    named_struct('d', CAST(o_orderdate AS DATE), 'delta', 1),
+        |    named_struct('d', date_add(CAST(o_orderdate AS DATE), 30), 'delta', -1))) t AS s),
+        |run AS (
+        |  SELECT o_custkey, d, delta,
+        |    sum(delta) OVER (PARTITION BY o_custkey ORDER BY d, delta
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM ev),
+        |mx AS (SELECT o_custkey, max(open) AS max_open FROM run GROUP BY o_custkey)
+        |SELECT r.o_custkey AS custkey, m.max_open, min(r.d) AS first_peak
+        |FROM run r JOIN mx m ON r.o_custkey = m.o_custkey AND r.open = m.max_open
+        |GROUP BY 1, 2
+        |ORDER BY max_open DESC, custkey LIMIT 10""".stripMargin,
+      Some("""WITH ev AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+        |  UNION ALL
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) + 30 AS d, -1 AS delta FROM orders),
+        |run AS (
+        |  SELECT o_custkey, d, delta,
+        |    sum(delta) OVER (PARTITION BY o_custkey ORDER BY d, delta
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+        |  FROM ev),
+        |mx AS (SELECT o_custkey, max(open) AS max_open FROM run GROUP BY o_custkey)
+        |SELECT r.o_custkey AS custkey, m.max_open, min(r.d) AS first_peak
+        |FROM run r JOIN mx m ON r.o_custkey = m.o_custkey AND r.open = m.max_open
+        |GROUP BY 1, 2
+        |ORDER BY max_open DESC, custkey LIMIT 10""".stripMargin)),
+
     // Approximate distinct (ClickHouse `uniq`) — engine-specific sketch,
     // no cross-engine oracle; exact variant is verified as q_distinct.
     ("q_uniq",

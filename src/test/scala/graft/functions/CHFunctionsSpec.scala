@@ -1088,6 +1088,25 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("topKWeighted is exact, ties break toward the larger value") {
+    val r = one(
+      """SELECT topKWeighted(v, w, 2), topKWeighted(v, w, 10)
+        |FROM VALUES ('a', 3), ('b', 1), ('b', 2), ('c', 3), ('d', 1) t(v, w)""".stripMargin)
+    // weights: a=3, b=3, c=3, d=1 — ties at 3 prefer larger value
+    assert(r.getSeq[String](0) == Seq("c", "b"))
+    assert(r.getSeq[String](1) == Seq("c", "b", "a", "d")) // k past distinct count
+  }
+
+  test("topKWeighted partial-aggregates across partitions") {
+    CHFunctions.register(spark)
+    val df = spark.range(0, 1000).repartition(8)
+      .selectExpr("topKWeighted(CAST(id % 5 AS INT), CAST(id % 7 AS LONG), 2) AS t")
+    assert(df.collect().head.getSeq[Int](0).length == 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_mapcombineagg"),
+      s"expected map-side partial aggregation in plan:\n$plan")
+  }
+
   test("spanKeys emits one key per span, equal iff the token span repeats") {
     CHFunctions.register(spark)
     val r = spark.sql(
