@@ -1064,6 +1064,10 @@ object CHFunctions {
     "cosineSimilarity" -> (es => CosineSimilarity(es.head, es(1))),
     "cosineDistance" -> (es =>
       Subtract(Literal(1.0), CosineSimilarity(es.head, es(1)))),
+    // arrayAUC(scores, labels): exact Mann-Whitney ROC AUC with
+    // midranks for ties — native one-pass loop, NaN for single-class
+    "arrayAUC" -> (es => ArrayAUC(es.head, es(1))),
+    "arrayROCAUC" -> (es => ArrayAUC(es.head, es(1))),
     // ClickHouse vector-distance family over array<double>
     "dotProduct" -> (es => DotProduct(es.head, es(1))),
     "L2SquaredDistance" -> (es => L2SquaredDistance(es.head, es(1))),

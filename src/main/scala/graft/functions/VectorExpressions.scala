@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
 /** Native Catalyst expression for cosine similarity over two double
   * vectors: one fused loop computes the dot product and both norms,
@@ -90,6 +90,47 @@ object VectorOps {
       i += 1
     }
     acc
+  }
+
+  /** Mann-Whitney AUC with midranks for tied scores; see [[ArrayAUC]].
+    * Midranks are exact half-integers, so the positive-rank sum is
+    * order-independent and the SQL-oracle replay is bit-identical. */
+  def auc(s: ArrayData, l: ArrayData): Double = {
+    val n = s.numElements()
+    if (l.numElements() != n)
+      throw new IllegalArgumentException(
+        s"arrayAUC length mismatch: $n scores vs ${l.numElements()} labels")
+    val sc = new Array[Double](n)
+    val lb = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (s.isNullAt(i) || l.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in arrayAUC argument")
+      sc(i) = s.getDouble(i)
+      lb(i) = l.getInt(i)
+      i += 1
+    }
+    // indirect sort by score ascending (stability irrelevant: tied
+    // scores share one midrank)
+    val sorted = Array.range(0, n).sortBy(i => sc(i))
+    var pos = 0L
+    var neg = 0L
+    var sp = 0.0
+    var a = 0
+    while (a < n) {
+      var b = a
+      while (b < n && sc(sorted(b)) == sc(sorted(a))) b += 1
+      val mr = (a + b + 1) / 2.0 // average of 1-based ranks a+1..b
+      var t = a
+      while (t < b) {
+        if (lb(sorted(t)) > 0) { pos += 1L; sp += mr } else neg += 1L
+        t += 1
+      }
+      a = b
+    }
+    if (pos == 0L || neg == 0L) Double.NaN
+    else (sp - pos * (pos + 1L) / 2.0) / (pos.toDouble * neg)
   }
 }
 
@@ -361,4 +402,32 @@ object SimHash60 {
     }
     sig
   }
+}
+
+/** ClickHouse `arrayAUC(scores, labels)`: ROC AUC over two ALIGNED
+  * arrays, computed with the rank-statistic identity
+  * `(Σ midrank(positives) - P(P+1)/2) / (P·N)` and average (mid) ranks
+  * for tied scores — the textbook Mann-Whitney formulation, so ties
+  * and the arithmetic replay exactly in a SQL oracle (midranks are
+  * exact half-integers; every intermediate is exactly representable,
+  * making the one final division bit-identical across engines).
+  * Single-class input returns NaN (ClickHouse's contract). Order of
+  * the pairs is irrelevant; the two arrays must be the same length
+  * and null-free (raises otherwise, matching the vector family). */
+case class ArrayAUC(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.auc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.auc($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayAUC =
+    copy(left = newLeft, right = newRight)
 }

@@ -452,6 +452,40 @@ object ChSurface {
         |SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_supps
         |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // per-user ROC AUC of value as a purchase predictor — arrayAUC's
+    // midrank arithmetic is exact (half-integer ranks, one final IEEE
+    // division), so the window-rank DuckDB replay hashes identically.
+    // One groupBy shuffle; per-user pair arrays stay group-sized.
+    ("q_array_auc",
+      """WITH g AS (
+        |  SELECT user_id,
+        |    collect_list(named_struct(
+        |      's', value, 'l', CAST(event_type = 'purchase' AS INT))) AS ps
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY user_id)
+        |SELECT user_id,
+        |  round(arrayAUC(transform(ps, p -> p.s), transform(ps, p -> p.l)), 6) AS auc
+        |FROM g
+        |WHERE size(filter(ps, p -> p.l = 1)) > 0
+        |  AND size(filter(ps, p -> p.l = 0)) > 0
+        |ORDER BY user_id""".stripMargin,
+      Some("""WITH e AS (
+        |  SELECT user_id, value AS s,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (
+        |  SELECT user_id, l,
+        |    rank() OVER (PARTITION BY user_id ORDER BY s)
+        |      + (count(*) OVER (PARTITION BY user_id, s) - 1) / 2.0 AS mr
+        |  FROM e),
+        |a AS (
+        |  SELECT user_id,
+        |    sum(CASE WHEN l = 1 THEN mr END) AS sp,
+        |    sum(l) AS p, sum(1 - l) AS n
+        |  FROM r GROUP BY user_id)
+        |SELECT user_id, round((sp - p * (p + 1) / 2.0) / (p * n), 6) AS auc
+        |FROM a WHERE p > 0 AND n > 0 ORDER BY user_id""".stripMargin)),
+
     // the AggregatingMergeTree rollup: fine-grained (priority × month)
     // sketch states merged up to per-priority figures WITHOUT re-scanning
     // raw rows — the stored-cube pattern that makes sketches pay at

@@ -1088,6 +1088,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("arrayAUC: separation, reversal, ties, and single-class NaN") {
+    val r = one(
+      """SELECT arrayAUC(array(0.1, 0.2, 0.8, 0.9), array(0, 0, 1, 1)),
+        |  arrayAUC(array(0.9, 0.8, 0.1), array(0, 0, 1)),
+        |  arrayROCAUC(array(0.5, 0.5, 0.5, 0.5), array(0, 1, 0, 1)),
+        |  arrayAUC(array(0.3, 0.7), array(1, 1))""".stripMargin)
+    assert(r.getDouble(0) == 1.0) // perfect separation
+    assert(r.getDouble(1) == 0.0) // perfectly wrong
+    assert(r.getDouble(2) == 0.5) // all tied -> midranks give chance
+    assert(r.getDouble(3).isNaN) // single class
+  }
+
   test("topKWeighted is exact, ties break toward the larger value") {
     val r = one(
       """SELECT topKWeighted(v, w, 2), topKWeighted(v, w, 10)
