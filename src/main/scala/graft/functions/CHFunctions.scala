@@ -29,6 +29,14 @@ object CHFunctions {
   private def whenThen(cond: Expression, value: Expression): Expression =
     CaseWhen(Seq(cond -> value), None)
 
+  /** Floor a timestamp to a fixed `width`-second slot (timeSlot
+    * family). `t - pmod(t, w)` floors correctly for pre-epoch times
+    * too, unlike `div`'s round-toward-zero. */
+  private def epochSlot(ts: Expression, width: Int): Expression = {
+    val t = fn("unix_timestamp", ts)
+    fn("timestamp_seconds", Subtract(t, fn("pmod", t, Literal(width.toLong))))
+  }
+
   /** make_interval of n days (shared by addDays/subtractDays). */
   private def dayInterval(n: Expression): Expression =
     fn("make_interval", Literal(0), Literal(0), Literal(0), n,
@@ -197,6 +205,12 @@ object CHFunctions {
     "toStartOfMinute" -> (es => fn("date_trunc", Literal("MINUTE"), es.head)),
     "toStartOfHour" -> (es => fn("date_trunc", Literal("HOUR"), es.head)),
     "toStartOfDay" -> (es => fn("date_trunc", Literal("DAY"), es.head)),
+    // fixed sub-hour buckets (CH's timeSlot = 30 min): floor epoch
+    // seconds to the slot width — pure arithmetic, stays in codegen
+    "timeSlot" -> (es => CHFunctions.epochSlot(es.head, 1800)),
+    "toStartOfFiveMinutes" -> (es => CHFunctions.epochSlot(es.head, 300)),
+    "toStartOfTenMinutes" -> (es => CHFunctions.epochSlot(es.head, 600)),
+    "toStartOfFifteenMinutes" -> (es => CHFunctions.epochSlot(es.head, 900)),
     // CH default week mode 0 starts weeks on SUNDAY (toMonday is the
     // Monday form); Spark's WEEK truncation is Monday-based, so the
     // preceding Sunday derives arithmetically. Mode 1/3 (Monday) maps
@@ -859,6 +873,10 @@ object CHFunctions {
       else fn("instr", es.head, es(1))),
     "notLike" -> (es => Not(fn("like", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
+    // CH's byte-exact Levenshtein names resolve to Spark's builtin
+    // (which also takes the optional threshold argument)
+    "editDistance" -> (es => fn("levenshtein", es: _*)),
+    "levenshteinDistance" -> (es => fn("levenshtein", es: _*)),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
 

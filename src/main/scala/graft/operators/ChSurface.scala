@@ -452,6 +452,20 @@ object ChSurface {
         |SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_supps
         |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // sub-hour slot bucketing (timeSlot = CH's 30-min grain) — pure
+    // epoch arithmetic so the buckets stay inside codegen and match
+    // DuckDB's floor-division replay exactly
+    ("q_ch_timeslot",
+      """SELECT timeSlot(ts) AS slot, count(*) AS n,
+        |  min(toStartOfFifteenMinutes(ts)) AS first_q,
+        |  min(toStartOfFiveMinutes(ts)) AS first5
+        |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin,
+      Some("""SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800) AS TIMESTAMP) AS slot,
+        |  count(*) AS n,
+        |  min(CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900) AS TIMESTAMP)) AS first_q,
+        |  min(CAST(to_timestamp(CAST(floor(epoch(ts) / 300) AS BIGINT) * 300) AS TIMESTAMP)) AS first5
+        |FROM events GROUP BY 1 ORDER BY 1 LIMIT 200""".stripMargin)),
+
     // per-user ROC AUC of value as a purchase predictor — arrayAUC's
     // midrank arithmetic is exact (half-integer ranks, one final IEEE
     // division), so the window-rank DuckDB replay hashes identically.

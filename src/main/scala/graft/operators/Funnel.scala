@@ -143,13 +143,42 @@ object Funnel {
       .orderBy("mode", "depth")
   }
 
+  /** sequenceNextNode-style ('forward', 'first_match'): per user, the
+    * event immediately AFTER the first view→click adjacent pair in
+    * time order — "what do users do right after a view-click?". Users
+    * whose first chain sits at the end of their stream contribute a
+    * NULL next_event (ClickHouse returns NULL there too); users with
+    * no chain are excluded. Same single user-keyed aggregation as
+    * [[qSequenceMatch]]; the chain scan is a per-row HOF over the tiny
+    * per-user array, replayed in the oracle as a strpos on the
+    * event-initial string. */
+  val qSequenceNext: Q = (s, dir) => {
+    val ev = Tables(s, dir, "events")
+    ev.select(col("user_id"),
+        struct(col("ts"), col("event_id"), col("event_type").as("t")).as("e"))
+      .groupBy("user_id")
+      .agg(expr("transform(array_sort(collect_list(e)), x -> x.t)").as("arr"))
+      .select(col("arr"), expr(
+        """CASE WHEN size(arr) < 2 THEN array()
+          |ELSE filter(sequence(1, size(arr) - 1),
+          |  i -> element_at(arr, i) = 'view' AND element_at(arr, i + 1) = 'click')
+          |END""".stripMargin).as("cand"))
+      .filter(size(col("cand")) > 0)
+      .select(when(expr("element_at(cand, 1) + 2") <= size(col("arr")),
+        expr("element_at(arr, element_at(cand, 1) + 2)")).as("next_event"))
+      .groupBy("next_event")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("next_event").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_funnel" -> qFunnel,
     "q_funnel_native" -> qFunnelNative,
     "q_funnel_modes" -> qFunnelModes,
     "q_retention" -> qRetention,
     "q_sequence_match" -> qSequenceMatch,
-    "q_sequence_count" -> qSequenceCount)
+    "q_sequence_count" -> qSequenceCount,
+    "q_sequence_next" -> qSequenceNext)
 
   val oracles: Map[String, String] = Map(
     "q_funnel" ->
@@ -286,5 +315,21 @@ object Funnel {
         |  count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN cohort USING (user_id)
         |WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 3
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // first adjacent view→click pair via strpos on the event-initial
+    // string; the char AFTER it decodes back to the event name (''
+    // past the end → NULL, same as the Spark side's missing follower)
+    "q_sequence_next" ->
+      """WITH seqs AS (
+        |  SELECT user_id,
+        |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id),
+        |m AS (SELECT user_id, strpos(seq, 'vc') AS pos, seq
+        |      FROM seqs WHERE strpos(seq, 'vc') > 0)
+        |SELECT CASE substr(seq, pos + 2, 1)
+        |         WHEN 'v' THEN 'view' WHEN 'c' THEN 'click'
+        |         WHEN 'p' THEN 'purchase' WHEN 'e' THEN 'error'
+        |         WHEN 's' THEN 'signup' END AS next_event,
+        |  count(*) AS n_users
+        |FROM m GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)
 }

@@ -1088,6 +1088,21 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("timeSlot family floors to fixed sub-hour grids; editDistance resolves") {
+    val r = one(
+      """SELECT timeSlot(TIMESTAMP'2024-03-05 10:47:13'),
+        |  toStartOfFifteenMinutes(TIMESTAMP'2024-03-05 10:47:13'),
+        |  toStartOfTenMinutes(TIMESTAMP'2024-03-05 10:47:13'),
+        |  toStartOfFiveMinutes(TIMESTAMP'2024-03-05 10:47:13'),
+        |  editDistance('kitten', 'sitting'),
+        |  levenshteinDistance('abc', 'abc')""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2024-03-05 10:30:00.0")
+    assert(r.getTimestamp(1).toString == "2024-03-05 10:45:00.0")
+    assert(r.getTimestamp(2).toString == "2024-03-05 10:40:00.0")
+    assert(r.getTimestamp(3).toString == "2024-03-05 10:45:00.0")
+    assert(r.getInt(4) == 3 && r.getInt(5) == 0)
+  }
+
   test("arrayAUC: separation, reversal, ties, and single-class NaN") {
     val r = one(
       """SELECT arrayAUC(array(0.1, 0.2, 0.8, 0.9), array(0, 0, 1, 1)),
