@@ -119,6 +119,20 @@ final class GraftCatalog(
         "position")
   }
 
+  /** The `system.functions` surface: every name the SQL path can call —
+    * the graft dialect pack (origin 'graft', straight from the pack's
+    * registration list, independent of session state) plus the
+    * session's other registered functions (origin 'spark'). */
+  def systemFunctions: DataFrame = {
+    import spark.implicits._
+    val dialect = graft.functions.CHFunctions.all.map(_._1).distinct.sorted
+    val dset = dialect.toSet
+    val builtin = spark.sessionState.functionRegistry.listFunction()
+      .map(_.funcName).distinct.filterNot(dset).sorted
+    (dialect.map((_, "graft")) ++ builtin.map((_, "spark")))
+      .toDF("name", "origin")
+  }
+
   /** Table names of a database: the driver contract's fixed table list
     * for `default`; a parquet directory listing for mounted extras. */
   private def tableNames(db: String): Seq[String] =

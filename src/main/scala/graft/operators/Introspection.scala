@@ -81,10 +81,23 @@ object Introspection {
     s.sql(sql)
   }
 
+  /** A5 extension: the system.functions surface — the dialect pack's
+    * names are a build-time contract, so the oracle enumerates them
+    * from the SAME registration list the view is built from. */
+  val sysFunctions: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    val sql =
+      """SELECT name FROM system_functions WHERE origin = 'graft'
+        |ORDER BY name""".stripMargin
+    graft.sql.QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_databases" -> catDatabases,
     "cat_tables" -> catTables,
     "sys_columns" -> sysColumns,
+    "sys_functions" -> sysFunctions,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_file_sql" -> srcFileSql)
 
@@ -102,6 +115,10 @@ object Introspection {
         |  ('region', 'r_regionkey', 1), ('region', 'r_name', 2))
         |  t(table_name, name, position)
         |ORDER BY table_name, position""".stripMargin,
+    "sys_functions" -> ("SELECT * FROM (VALUES " +
+      graft.functions.CHFunctions.all.map(_._1).distinct.sorted
+        .map(n => s"('$n')").mkString(", ") +
+      ") t(name) ORDER BY name"),
     "src_csv_roundtrip" ->
       s"""SELECT n_regionkey, count(*) AS n
          |FROM read_csv_auto('$CsvRoundtripDir/nation.csv/*.csv', header=true)

@@ -55,7 +55,9 @@ object GuidePrompt {
       |  `groupArraySample(x, k)` (samples k input ROWS per group —
       |  duplicates count once per occurrence, not once per distinct
       |  value; deterministic under any partitioning),
-      |  `sumMap/minMap/maxMap(keys, vals)`,
+      |  `sumMap/minMap/maxMap(keys, vals)`, `topKWeighted(x, w, k)`
+      |  (EXACT weighted top-k, ties to the larger value),
+      |  `lttb(n, x, y)` chart downsampling,
       |  `simpleLinearRegression`, `boundingRatio`.
       |- Arrays: `arrayJoin` via LATERAL VIEW/explode, `arrayMap`,
       |  `arrayFilter`, `arrayFirst/Last/FirstIndex`, `arraySum`,
@@ -65,6 +67,7 @@ object GuidePrompt {
       |  needle)` (CH argument order), `splitByString`, `leftPad`.
       |- Dates: `toStartOfMonth`, `toYYYYMM`, `toDayOfWeek` (Monday=1),
       |  `toMonday`, `addDays`, boundary-crossing `dateDiffCH`,
+      |  `timeSlot` (30-min) + `toStartOfFive/Ten/FifteenMinutes`,
       |  `formatDateTime` with ClickHouse `%` tokens.
       |- Conversions: `toInt32/toInt64/toFloat64/toString` (strict) and
       |  `*OrZero`/`*OrNull` defensive forms; `divide` is float division
@@ -72,8 +75,13 @@ object GuidePrompt {
       |- URLs: `domain`, `path`, `queryString`, `extractURLParameter(s)`,
       |  `firstSignificantSubdomain`, `decodeURLComponent`, `fragment`.
       |- Vectors: `cosineSimilarity`, `dotProduct`, `L2Distance`,
-      |  `cosTopK(struct(score, id), k)` for bounded top-k.
-      |- Text signals: `charEntropy`, `countMatches`, `trigramStats`.
+      |  `cosTopK(struct(score, id), k)` for bounded top-k,
+      |  `arrayAUC(scores, labels)` exact ROC AUC.
+      |- Text signals: `charEntropy`, `countMatches`, `trigramStats`,
+      |  `editDistance`, `spanKeys(toks, n)` per-span 64-bit keys.
+      |- Introspection: `system_tables`, `system_columns`, and
+      |  `system_functions` (every callable dialect name) are
+      |  queryable through the same SQL path.
       |- Funnels/sessions: `windowFunnel(window[, 'strict_order' |
       |  'strict_dedup' | 'strict_increase'])(ts, cond...)`,
       |  `sequenceMatch`, `retention`, session windows.

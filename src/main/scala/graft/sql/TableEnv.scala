@@ -26,5 +26,6 @@ object TableEnv {
       val cat = new graft.catalog.GraftCatalog(spark, dir)
       cat.systemTables.createOrReplaceTempView("system_tables")
       cat.systemColumns.createOrReplaceTempView("system_columns")
+      cat.systemFunctions.createOrReplaceTempView("system_functions")
     }
 }

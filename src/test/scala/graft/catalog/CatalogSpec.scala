@@ -148,5 +148,18 @@ class CatalogSpec extends SparkSpec {
       "SELECT count(*) FROM system_columns WHERE table_name = 'region'")
       .head.getLong(0)
     assert(c == 2)
+    // system_functions: every dialect name is listed as origin 'graft',
+    // session builtins appear under 'spark', with no overlap
+    val f = spark.sql(
+      """SELECT origin, count(*) FROM system_functions
+        |GROUP BY origin ORDER BY origin""".stripMargin).collect()
+    assert(f.map(_.getString(0)).toSeq == Seq("graft", "spark"))
+    val dialect = spark.sql(
+      "SELECT name FROM system_functions WHERE origin = 'graft'")
+      .collect().map(_.getString(0)).toSet
+    assert(dialect == graft.functions.CHFunctions.all.map(_._1).toSet)
+    assert(spark.sql(
+      """SELECT count(*) FROM system_functions
+        |GROUP BY name HAVING count(*) > 1""".stripMargin).isEmpty)
   }
 }
