@@ -1086,6 +1086,11 @@ object CHFunctions {
     // midranks for ties — native one-pass loop, NaN for single-class
     "arrayAUC" -> (es => ArrayAUC(es.head, es(1))),
     "arrayROCAUC" -> (es => ArrayAUC(es.head, es(1))),
+    // adcScore(codes, adc, k): PQ asymmetric-distance lookup sum
+    "adcScore" -> (es => AdcScore(es.head, es(1), es(2) match {
+      case Literal(v: Int, _) => v
+      case other => other.eval().toString.toInt
+    })),
     // ClickHouse vector-distance family over array<double>
     "dotProduct" -> (es => DotProduct(es.head, es(1))),
     "L2SquaredDistance" -> (es => L2SquaredDistance(es.head, es(1))),

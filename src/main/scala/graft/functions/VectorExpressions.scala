@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two double
   * vectors: one fused loop computes the dot product and both norms,
@@ -88,6 +88,25 @@ object VectorOps {
       val d = get(x, i) - get(y, i)
       acc += d * d
       i += 1
+    }
+    acc
+  }
+
+  /** PQ ADC lookup sum; see [[AdcScore]]. j ascends so the double
+    * accumulation order matches the HOF formulation it replaced. */
+  def adcScore(codes: ArrayData, adc: ArrayData, k: Int): Double = {
+    val m = codes.numElements()
+    val total = adc.numElements()
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val idx = j * k + codes.getLong(j).toInt
+      if (idx < 0 || idx >= total)
+        throw new IllegalArgumentException(
+          s"adcScore: code ${codes.getLong(j)} at subspace $j addresses " +
+            s"slot $idx outside the $total-entry table (k=$k)")
+      acc += adc.getDouble(idx)
+      j += 1
     }
     acc
   }
@@ -429,5 +448,29 @@ case class ArrayAUC(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayAUC =
+    copy(left = newLeft, right = newRight)
+}
+
+/** adcScore(codes, adc, k): the PQ asymmetric-distance lookup —
+  * `Σ_j adc[j*k + codes[j]]` in one native loop, j ascending so the
+  * double accumulation order matches (bit-for-bit) the HOF
+  * `aggregate(sequence(...))` formulation it replaces, which paid
+  * interpreted lambda dispatch per subspace per candidate pair — the
+  * hot inner op of the ADC scan (one eval per query×vector pair). */
+case class AdcScore(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(LongType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(c: Any, a: Any): Any =
+    VectorOps.adcScore(c.asInstanceOf[ArrayData], a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, a) => s"graft.functions.VectorOps.adcScore($c, $a, $k)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcScore =
     copy(left = newLeft, right = newRight)
 }

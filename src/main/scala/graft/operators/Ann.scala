@@ -363,12 +363,16 @@ object Ann {
       (qid, adc.toSeq)
     }
 
+    // the ADC scan runs per query×vector pair — the native adcScore
+    // loop keeps it inside codegen; the HOF aggregate(sequence(...))
+    // formulation paid interpreted lambda dispatch per subspace per
+    // pair, which is what dominates once the candidate set is
+    // corpus-sized (at sf0.1 fixed job overhead hides it; at 100×
+    // the scan is the cost)
     val scored = codes.join(broadcast(adcRows.toDF("q_id", "adc")),
         col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("neighbor"), expr(
-        s"""aggregate(sequence(0, ${PqM - 1}), cast(0 as double),
-           |  (acc, j) -> acc + element_at(adc, j * $PqK + int(element_at(codes, int(j) + 1)) + 1))"""
-          .stripMargin).as("approx_sim"))
+      .select(col("q_id"), col("vec_id").as("neighbor"),
+        expr(s"adcScore(codes, adc, $PqK)").as("approx_sim"))
 
     val shortlist = scored.groupBy("q_id")
       .agg(expr(s"cosTopK(struct(approx_sim, neighbor), $PqShortlist)").as("top"))
