@@ -1091,6 +1091,25 @@ object CHFunctions {
       case Literal(v: Int, _) => v
       case other => other.eval().toString.toInt
     })),
+    // sparkbar(vals): render a value array as ▁▂▃▄▅▆▇█ glyphs (CH's
+    // sparkbar over pre-bucketed counts; zero/negative → space). Level
+    // = ceil(v*8/max): exact for integral counts, so both engines
+    // agree glyph-for-glyph. The glyph comes from a character-indexed
+    // literal (Spark's chr() wraps at 256, bytes not codepoints).
+    // Chart-sized arrays only.
+    "sparkbar" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      val mx = fn("array_max", es.head)
+      val level = fn("ceil",
+        Divide(Multiply(Cast(v, DoubleType), Literal(8.0)), Cast(mx, DoubleType)))
+      val glyph = CaseWhen(
+        Seq((LessThanOrEqual(v, Literal(0)), Literal(" "))),
+        Some(fn("substring",
+          Literal("▁▂▃▄▅▆▇█"),
+          Cast(level, IntegerType), Literal(1))))
+      fn("array_join",
+        fn("transform", es.head, LambdaFunction(glyph, Seq(v))), Literal(""))
+    }),
     // ClickHouse vector-distance family over array<double>
     "dotProduct" -> (es => DotProduct(es.head, es(1))),
     "L2SquaredDistance" -> (es => L2SquaredDistance(es.head, es(1))),

@@ -452,6 +452,32 @@ object ChSurface {
         |SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_supps
         |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // the dashboard one-liner: hour-of-day activity as a 24-glyph
+    // sparkbar. Dense axis via sequence/explode (missing hours render
+    // as spaces at tiny SFs), counts are exact ints so the ceil(v*8/mx)
+    // level matches DuckDB glyph-for-glyph.
+    ("q_ch_sparkbar",
+      """WITH h AS (SELECT hour(ts) AS hr, count(*) AS n FROM events GROUP BY 1),
+        |axis AS (SELECT explode(sequence(0, 23)) AS hr),
+        |d AS (SELECT axis.hr AS hr, coalesce(n, 0L) AS n
+        |      FROM axis LEFT JOIN h ON axis.hr = h.hr)
+        |SELECT sparkbar(transform(array_sort(collect_list(struct(hr, n))), p -> p.n)) AS bar,
+        |  count(*) AS n_buckets
+        |FROM d""".stripMargin,
+      Some("""WITH h AS (
+        |  SELECT CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |axis AS (SELECT unnest(generate_series(0, 23)) AS hr),
+        |d AS (SELECT axis.hr AS hr, coalesce(n, 0) AS n
+        |      FROM axis LEFT JOIN h ON axis.hr = h.hr),
+        |m AS (SELECT max(n) AS mx FROM d)
+        |SELECT string_agg(
+        |    CASE WHEN n <= 0 THEN ' '
+        |         ELSE substr('▁▂▃▄▅▆▇█', CAST(ceil(n * 8.0 / mx) AS INT), 1) END,
+        |    '' ORDER BY hr) AS bar,
+        |  count(*) AS n_buckets
+        |FROM d, m GROUP BY mx""".stripMargin)),
+
     // sub-hour slot bucketing (timeSlot = CH's 30-min grain) — pure
     // epoch arithmetic so the buckets stay inside codegen and match
     // DuckDB's floor-division replay exactly

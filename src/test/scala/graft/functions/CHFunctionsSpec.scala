@@ -1088,6 +1088,12 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("sparkbar renders ceil(v*8/max) glyphs, space for zero") {
+    val r = one("SELECT sparkbar(array(8L, 4L, 1L, 0L, 6L)), sparkbar(array(1L))")
+    assert(r.getString(0) == "█▄▁ ▆")
+    assert(r.getString(1) == "█") // single value is its own max
+  }
+
   test("timeSlot family floors to fixed sub-hour grids; editDistance resolves") {
     val r = one(
       """SELECT timeSlot(TIMESTAMP'2024-03-05 10:47:13'),
