@@ -162,6 +162,26 @@ object CHFunctions {
     // sketch state + merge (ClickHouse uniqState / uniqMerge): binary
     // HLL sketches that pre-aggregate once and re-aggregate at any
     // rollup level without rescanning — the 100 TB distinct-count path
+    // the -State/-Merge combinator pairs for the plain aggregates
+    // (AggregatingMergeTree's stored-partial pattern): for sum/min/max
+    // the state IS the running value, count's state merges by sum, and
+    // avg's state is the (sum, count) pair — all reaggregable at any
+    // rollup level without rescanning raw rows
+    "sumState" -> (es => fn("sum", es.head)),
+    "sumMerge" -> (es => fn("sum", es.head)),
+    "countState" -> (es => fn("count", (if (es.isEmpty) Seq(Literal(1)) else es): _*)),
+    "countMerge" -> (es => fn("sum", es.head)),
+    "minState" -> (es => fn("min", es.head)),
+    "minMerge" -> (es => fn("min", es.head)),
+    "maxState" -> (es => fn("max", es.head)),
+    "maxMerge" -> (es => fn("max", es.head)),
+    "avgState" -> (es => CreateNamedStruct(Seq(
+      Literal("s"), fn("sum", Cast(es.head, DoubleType)),
+      Literal("c"), fn("count", es.head)))),
+    "avgMerge" -> (es =>
+      fn("try_divide",
+        fn("sum", UnresolvedExtractValue(es.head, Literal("s"))),
+        fn("sum", UnresolvedExtractValue(es.head, Literal("c"))))),
     "quantileState" -> (es => QuantileStateAgg(es.head)),
     "quantileMerge" -> (es =>
       QuantileMergeAgg(es.head, QuantileSketch.literalDouble(es(1)))),

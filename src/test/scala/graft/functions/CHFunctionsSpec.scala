@@ -1088,6 +1088,20 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
+    val r = one(
+      """WITH slice AS (
+        |  SELECT x % 3 AS g, sumState(x) AS ss, countState(x) AS cs,
+        |    minState(x) AS mns, maxState(x) AS mxs, avgState(x) AS avs
+        |  FROM VALUES (1), (2), (3), (4), (5), (6), (7) t(x) GROUP BY 1)
+        |SELECT sumMerge(ss), countMerge(cs), minMerge(mns), maxMerge(mxs),
+        |  avgMerge(avs)
+        |FROM slice""".stripMargin)
+    assert(r.getLong(0) == 28L && r.getLong(1) == 7L)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 7)
+    assert(r.getDouble(4) == 4.0)
+  }
+
   test("sparkbar renders ceil(v*8/max) glyphs, space for zero") {
     val r = one("SELECT sparkbar(array(8L, 4L, 1L, 0L, 6L)), sparkbar(array(1L))")
     assert(r.getString(0) == "█▄▁ ▆")
