@@ -329,6 +329,83 @@ object CHFunctions {
     "arrayPopFront" -> (es =>
       fn("slice", es.head, Literal(2),
         fn("greatest", Subtract(fn("size", es.head), Literal(1)), Literal(0)))),
+    // arrayFold(lambda(acc, x), arr, init): Spark's aggregate with CH's
+    // argument order (lambda first)
+    "arrayFold" -> (es => es.head match {
+      case l: LambdaFunction =>
+        ArrayAggregate(es(1), es(2), l,
+          { val f = UnresolvedNamedLambdaVariable(Seq("fin"))
+            LambdaFunction(f, Seq(f)) })
+      case other => throw new IllegalArgumentException(
+        s"arrayFold expects a lambda as its first argument, got $other")
+    }),
+    "arrayWithConstant" -> (es => fn("array_repeat", es(1), es.head)),
+    // arrayResize(arr, size[, extender]): truncate or right-pad (nulls
+    // when no extender is given, as in ClickHouse)
+    "arrayResize" -> (es => {
+      val (a, n) = (es.head, es(1))
+      val ext = if (es.size > 2) es(2) else Literal(null)
+      val pad = fn("array_repeat", ext,
+        fn("greatest", Subtract(n, fn("size", a)), Literal(0)))
+      fn("slice", fn("concat", a, pad), Literal(1), n)
+    }),
+    // rotations are cyclic (n modulo length, negative n rotates the
+    // other way); shifts drop and pad with the fill element
+    "arrayRotateLeft" -> (es => {
+      val (a, n) = (es.head, es(1))
+      val m = fn("pmod", n, fn("greatest", fn("size", a), Literal(1)))
+      fn("concat",
+        fn("slice", a, Add(m, Literal(1)),
+          Subtract(fn("size", a), m)),
+        fn("slice", a, Literal(1), m))
+    }),
+    "arrayRotateRight" -> (es => {
+      val (a, n) = (es.head, es(1))
+      val m = fn("pmod", Subtract(fn("size", a), n),
+        fn("greatest", fn("size", a), Literal(1)))
+      fn("concat",
+        fn("slice", a, Add(m, Literal(1)),
+          Subtract(fn("size", a), m)),
+        fn("slice", a, Literal(1), m))
+    }),
+    "arrayShiftLeft" -> (es => {
+      val (a, n) = (es.head, es(1))
+      val fill = if (es.size > 2) es(2) else Literal(null)
+      val m = fn("least", fn("greatest", n, Literal(0)), fn("size", a))
+      fn("concat",
+        fn("slice", a, Add(m, Literal(1)), Subtract(fn("size", a), m)),
+        fn("array_repeat", fill, m))
+    }),
+    "arrayShiftRight" -> (es => {
+      val (a, n) = (es.head, es(1))
+      val fill = if (es.size > 2) es(2) else Literal(null)
+      val m = fn("least", fn("greatest", n, Literal(0)), fn("size", a))
+      fn("concat",
+        fn("array_repeat", fill, m),
+        fn("slice", a, Literal(1), Subtract(fn("size", a), m)))
+    }),
+    // |A ∩ B| / |A ∪ B| over distinct elements, 1.0 for two empties
+    "arrayJaccardIndex" -> (es => {
+      val inter = Cast(fn("size",
+        fn("array_intersect", es.head, es(1))), DoubleType)
+      val union = Cast(fn("size",
+        fn("array_distinct", fn("concat", es.head, es(1)))), DoubleType)
+      CaseWhen(Seq(
+        (EqualTo(union, Literal(0.0)): Expression) -> Literal(1.0)),
+        Some(Divide(inter, union)))
+    }),
+    // occurrence counter: k-th appearance of each value, first = 1
+    "arrayEnumerateUniq" -> (es => {
+      val a = es.head
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val y = UnresolvedNamedLambdaVariable(Seq("y"))
+      ArrayTransform(a, LambdaFunction(
+        fn("size", ArrayFilter(
+          fn("slice", a, Literal(1), Add(i, Literal(1))),
+          LambdaFunction(EqualTo(y, x), Seq(y)))),
+        Seq(x, i)))
+    }),
     "hasAll" -> (es =>
       EqualTo(fn("size", fn("array_except", es(1), es.head)), Literal(0))),
     "hasAny" -> (es =>
@@ -511,6 +588,12 @@ object CHFunctions {
     "varSamp" -> (es => fn("var_samp", es.head)),
     "stddevPop" -> (es => fn("stddev_pop", es.head)),
     "stddevSamp" -> (es => fn("stddev_samp", es.head)),
+    // two-sample tests (StatTests.scala): moment-only t-tests partial-
+    // aggregate map-side; the rank-based pair buffer their group
+    "studentTTest" -> (es => TTestAgg(es.head, es(1), welch = false)),
+    "welchTTest" -> (es => TTestAgg(es.head, es(1), welch = true)),
+    "mannWhitneyUTest" -> (es => MannWhitneyAgg(es.head, es(1))),
+    "rankCorr" -> (es => RankCorrAgg(es.head, es(1))),
     "covarPop" -> (es => fn("covar_pop", es.head, es(1))),
     "covarSamp" -> (es => fn("covar_samp", es.head, es(1))),
     "corrCH" -> (es => fn("corr", es.head, es(1))),
@@ -712,6 +795,199 @@ object CHFunctions {
     "addMinutes" -> (es => Add(es.head,
       fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
         Literal(0), es(1), Literal(0)))),
+    "addSeconds" -> (es => Add(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        Literal(0), Literal(0), es(1)))),
+    "subtractHours" -> (es => Subtract(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        es(1), Literal(0), Literal(0)))),
+    "subtractMinutes" -> (es => Subtract(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        Literal(0), es(1), Literal(0)))),
+    "subtractSeconds" -> (es => Subtract(es.head,
+      fn("make_interval", Literal(0), Literal(0), Literal(0), Literal(0),
+        Literal(0), Literal(0), es(1)))),
+    // month-granularity adds clamp to month end (Jan 31 + 1 month =
+    // Feb 28) — Spark's add_months and ClickHouse agree on this rule
+    "addWeeks" -> (es => Add(es.head,
+      dayInterval(Multiply(es(1), Literal(7))))),
+    "subtractWeeks" -> (es => Subtract(es.head,
+      dayInterval(Multiply(es(1), Literal(7))))),
+    "addMonths" -> (es => fn("add_months", es.head, es(1))),
+    "subtractMonths" -> (es => fn("add_months", es.head, UnaryMinus(es(1)))),
+    "addQuarters" -> (es =>
+      fn("add_months", es.head, Multiply(es(1), Literal(3)))),
+    "subtractQuarters" -> (es =>
+      fn("add_months", es.head, UnaryMinus(Multiply(es(1), Literal(3))))),
+    "addYears" -> (es =>
+      fn("add_months", es.head, Multiply(es(1), Literal(12)))),
+    "subtractYears" -> (es =>
+      fn("add_months", es.head, UnaryMinus(Multiply(es(1), Literal(12))))),
+    "toLastDayOfMonth" -> (es => fn("last_day", es.head)),
+    "toStartOfSecond" -> (es =>
+      fn("date_trunc", Literal("second"), es.head)),
+    "monthName" -> (es => fn("date_format", es.head, Literal("MMMM"))),
+    // dateName('part', d): the string-typed part extractor. month and
+    // weekday return names; numeric parts return the number as text.
+    "dateName" -> (es => {
+      val part = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          u.toString.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new IllegalArgumentException(
+          s"dateName expects a literal part name, got $other")
+      }
+      val d = es(1)
+      part match {
+        case "month"   => fn("date_format", d, Literal("MMMM"))
+        case "weekday" => fn("date_format", d, Literal("EEEE"))
+        case "year"    => Cast(fn("year", d), StringType)
+        case "quarter" => Cast(fn("quarter", d), StringType)
+        case "day"     => Cast(fn("dayofmonth", d), StringType)
+        case "hour"    => Cast(fn("hour", d), StringType)
+        case "minute"  => Cast(fn("minute", d), StringType)
+        case "second"  => Cast(fn("second", d), StringType)
+        case other => throw new IllegalArgumentException(
+          s"dateName: unsupported part '$other'")
+      }
+    }),
+    // Modified Julian Day: days since 1858-11-17 (the astronomy /
+    // FITS interchange epoch)
+    "toModifiedJulianDay" -> (es =>
+      fn("datediff", es.head, Literal.create(
+        java.time.LocalDate.of(1858, 11, 17).toEpochDay.toInt,
+        org.apache.spark.sql.types.DateType))),
+    "fromModifiedJulianDay" -> (es =>
+      fn("date_add", Literal.create(
+        java.time.LocalDate.of(1858, 11, 17).toEpochDay.toInt,
+        org.apache.spark.sql.types.DateType), es.head)),
+    // age('unit', s, e): COMPLETE elapsed units between s and e —
+    // the complement of dateDiffCH's boundary-crossing count.
+    // month+ granularities ride months_between (clamp-aware: Jan 31 →
+    // Feb 28 counts as a complete month, matching ClickHouse); day-
+    // and-below are exact second arithmetic.
+    "age" -> (es => {
+      val unit = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
+          u.toString.toLowerCase(java.util.Locale.ROOT)
+        case other => throw new IllegalArgumentException(
+          s"age expects a literal unit as its first argument, got $other")
+      }
+      val (s, e) = (es(1), es(2))
+      def secFloor(div: Long): Expression = Cast(
+        fn("floor", Divide(
+          Cast(Subtract(fn("unix_timestamp", e), fn("unix_timestamp", s)),
+            DoubleType), Literal(div.toDouble))), LongType)
+      // complete months by strict component compare (month-number
+      // difference, minus one when the end day-of-month hasn't reached
+      // the start's) — deliberately NOT months_between, whose both-
+      // last-day special case would count Jan 30 → Feb 28 as complete
+      def monthsComplete: Expression = {
+        def monthNum(d: Expression) =
+          Add(Multiply(fn("year", d), Literal(12L)), fn("month", d))
+        Subtract(Subtract(monthNum(e), monthNum(s)),
+          CaseWhen(Seq(
+            (LessThan(fn("dayofmonth", e), fn("dayofmonth", s)):
+              Expression) -> Literal(1L)), Some(Literal(0L))))
+      }
+      def mdiv(perUnit: Int): Expression =
+        fn("div", monthsComplete, Literal(perUnit.toLong))
+      unit match {
+        case "second" => secFloor(1L)
+        case "minute" => secFloor(60L)
+        case "hour" => secFloor(3600L)
+        case "day" => secFloor(86400L)
+        case "week" => secFloor(604800L)
+        case "month" => monthsComplete
+        case "quarter" => mdiv(3)
+        case "year" => mdiv(12)
+        case other => throw new IllegalArgumentException(
+          s"age: unsupported unit '$other'")
+      }
+    }),
+
+    // the rounding family. roundBankers is Spark's bround (half-to-
+    // even); roundDown snaps to the greatest array element <= x (below
+    // the lowest bound CH returns the lowest bound); roundAge /
+    // roundDuration are roundDown over ClickHouse's fixed bucket sets.
+    "roundBankers" -> (es => fn("bround", es: _*)),
+    "roundDown" -> (es => {
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      val inRange = ArrayFilter(es(1),
+        LambdaFunction(LessThanOrEqual(e, es.head), Seq(e)))
+      Coalesce(Seq(fn("array_max", inRange), fn("array_min", es(1))))
+    }),
+    "roundAge" -> (es => {
+      val x = es.head
+      CaseWhen(Seq(
+        LessThan(x, Literal(1)) -> Literal(0),
+        LessThan(x, Literal(18)) -> Literal(17),
+        LessThan(x, Literal(25)) -> Literal(18),
+        LessThan(x, Literal(35)) -> Literal(25),
+        LessThan(x, Literal(45)) -> Literal(35),
+        LessThan(x, Literal(55)) -> Literal(45)), Some(Literal(55)))
+    }),
+    "roundDuration" -> (es => {
+      val buckets = Literal.create(
+        Seq(1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600,
+          7200, 18000, 36000), ArrayType(IntegerType))
+      val e = UnresolvedNamedLambdaVariable(Seq("e"))
+      val inRange = ArrayFilter(buckets,
+        LambdaFunction(LessThanOrEqual(e, es.head), Seq(e)))
+      Coalesce(Seq(fn("array_max", inRange), Literal(0)))
+    }),
+    // roundToExp2: largest power of two <= x (0 below 1). The log2
+    // estimate can be one off at ulp boundaries; the CASE corrects.
+    "roundToExp2" -> (es => {
+      val xd = Cast(es.head, DoubleType)
+      val k = Cast(fn("floor", fn("log2", xd)), IntegerType)
+      val p = fn("shiftleft", Literal(1L), k)
+      val p2 = Multiply(p, Literal(2L))
+      CaseWhen(Seq(
+        LessThan(xd, Literal(1.0)) -> Literal(0L),
+        LessThanOrEqual(Cast(p2, DoubleType), xd) -> p2,
+        GreaterThan(Cast(p, DoubleType), xd) -> fn("div", p, Literal(2L))),
+        Some(p))
+    }),
+    "intExp2" -> (es =>
+      fn("shiftleft", Literal(1L), Cast(es.head, IntegerType))),
+    // exact to 10^18 — string construction sidesteps pow's double grid
+    "intExp10" -> (es => Cast(
+      Concat(Seq(Literal("1"),
+        fn("repeat", Literal("0"), Cast(es.head, IntegerType)))),
+      LongType)),
+
+    // CH transform(x, from, to[, default]): literal-array value
+    // remapping. The bare name also owns Spark's array-lambda
+    // transform, so dispatch on the argument shape.
+    "transform" -> (es => es match {
+      case Seq(a, l: LambdaFunction) => ArrayTransform(a, l)
+      case Seq(x, from, to) => Coalesce(Seq(
+        fn("try_element_at", fn("map_from_arrays", from, to), x), x))
+      case Seq(x, from, to, dflt) => Coalesce(Seq(
+        fn("try_element_at", fn("map_from_arrays", from, to), x), dflt))
+      case other => throw new IllegalArgumentException(
+        s"transform expects (arr, lambda) or (x, from, to[, default]), " +
+          s"got ${other.size} args")
+    }),
+
+    // bar(x, min, max, width): horizontal bar of full blocks plus a
+    // fractional-eighth glyph, ClickHouse's console histogram helper
+    "bar" -> (es => {
+      val Seq(x, lo, hi, w) = es.map(Cast(_, DoubleType)).take(4)
+      val frac = Multiply(Divide(Subtract(x, lo), Subtract(hi, lo)), w)
+      val clamped = fn("least", fn("greatest", frac, Literal(0.0)), w)
+      val full = Cast(fn("floor", clamped), IntegerType)
+      val eighth = Cast(fn("floor",
+        Multiply(Subtract(clamped, Cast(full, DoubleType)),
+          Literal(8.0))), IntegerType)
+      Concat(Seq(
+        fn("repeat", Literal("█"), full),
+        CaseWhen(Seq(
+          (LessThanOrEqual(eighth, Literal(0)): Expression) -> Literal("")),
+          Some(fn("substring",
+            Literal("▏▎▍▌▋▊▉"),
+            eighth, Literal(1))))))
+    }),
 
     // ClickHouse dateDiff('unit', start, end): BOUNDARY CROSSINGS in
     // the unit (relative-number difference), not elapsed full

@@ -1,0 +1,430 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Two-sample statistical test aggregates under ClickHouse names
+  * (reference dialect: studentTTest / welchTTest / mannWhitneyUTest /
+  * rankCorr, each `agg(sample_value, sample_index)` with index 0/1).
+  *
+  * studentTTest/welchTTest keep only per-sample moments (n, mean, M2 —
+  * Welford update, Chan parallel merge), so they partial-aggregate
+  * map-side and merge in any order: the 100 TB shape. mannWhitneyUTest
+  * and rankCorr need global ranks and buffer the group's samples —
+  * the same memory contract as ClickHouse's own implementations (both
+  * engines materialize the group in RAM; bound the group size, not the
+  * table size).
+  *
+  * p-values: Student's t two-sided p via the regularized incomplete
+  * beta function I_{df/(df+t²)}(df/2, ½) (continued-fraction
+  * evaluation); Mann-Whitney's via the tie-corrected normal
+  * approximation — the same approximation ClickHouse documents.
+  */
+object StatTests {
+
+  /** ln Γ(x) — Lanczos series (g = 7, 9 coefficients), |ε| < 1e-13. */
+  def lnGamma(xIn: Double): Double = {
+    val g = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (xIn < 0.5) {
+      // reflection: Γ(x)Γ(1-x) = π / sin(πx)
+      math.log(math.Pi / math.sin(math.Pi * xIn)) - lnGamma(1.0 - xIn)
+    } else {
+      val x = xIn - 1.0
+      var a = g(0)
+      val t = x + 7.5
+      var i = 1
+      while (i < 9) { a += g(i) / (x + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** Regularized incomplete beta I_x(a, b) by Lentz's continued
+    * fraction, with the symmetry flip for fast convergence. */
+  def regIncBeta(a: Double, b: Double, x: Double): Double = {
+    if (x <= 0.0) return 0.0
+    if (x >= 1.0) return 1.0
+    if (x > (a + 1.0) / (a + b + 2.0)) return 1.0 - regIncBeta(b, a, 1.0 - x)
+    val lnFront = a * math.log(x) + b * math.log(1.0 - x) -
+      (lnGamma(a) + lnGamma(b) - lnGamma(a + b))
+    val tiny = 1e-300
+    var f = 1.0; var c = 1.0; var d = 0.0
+    var m = 0
+    while (m < 300) {
+      val numer: Double =
+        if (m == 0) 1.0
+        else if (m % 2 == 0) {
+          val k = m / 2
+          k * (b - k) * x / ((a + 2.0 * k - 1.0) * (a + 2.0 * k))
+        } else {
+          val k = (m - 1) / 2
+          -(a + k) * (a + b + k) * x / ((a + 2.0 * k) * (a + 2.0 * k + 1.0))
+        }
+      d = 1.0 + numer * d
+      if (math.abs(d) < tiny) d = tiny
+      d = 1.0 / d
+      c = 1.0 + numer / c
+      if (math.abs(c) < tiny) c = tiny
+      val delta = c * d
+      f *= delta
+      if (math.abs(delta - 1.0) < 1e-15) {
+        return math.exp(lnFront) * (f - 1.0) / a
+      }
+      m += 1
+    }
+    math.exp(lnFront) * (f - 1.0) / a
+  }
+
+  /** Two-sided Student's t p-value with `df` degrees of freedom. */
+  def tTwoSidedP(t: Double, df: Double): Double =
+    if (df <= 0 || t.isNaN) Double.NaN
+    else regIncBeta(df / 2.0, 0.5, df / (df + t * t))
+
+  /** erfc via Abramowitz-Stegun 7.1.26 (|ε| < 1.5e-7). */
+  def erfc(xIn: Double): Double = {
+    val x = math.abs(xIn)
+    val t = 1.0 / (1.0 + 0.3275911 * x)
+    val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+      t * (-1.453152027 + t * 1.061405429))))
+    val r = poly * math.exp(-x * x)
+    if (xIn >= 0) r else 2.0 - r
+  }
+
+  /** Two-sided normal p-value for a z score. */
+  def zTwoSidedP(z: Double): Double = erfc(math.abs(z) / math.sqrt(2.0))
+
+  val ttestResultType: StructType = StructType(Seq(
+    StructField("t_stat", DoubleType), StructField("p_value", DoubleType)))
+
+  val mwResultType: StructType = StructType(Seq(
+    StructField("u_stat", DoubleType), StructField("z_score", DoubleType),
+    StructField("p_value", DoubleType)))
+
+  private[functions] def asDouble(v: Any): Double = v match {
+    case d: Double => d
+    case f: Float => f.toDouble
+    case i: Int => i.toDouble
+    case l: Long => l.toDouble
+    case s: Short => s.toDouble
+    case b: Byte => b.toDouble
+    case dec: Decimal => dec.toDouble
+    case other => other.toString.toDouble
+  }
+
+  private[functions] def asIdx(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case b: Byte => b.toInt
+    case b: Boolean => if (b) 1 else 0
+    case other => other.toString.toDouble.toInt
+  }
+
+  /** Average ranks (ties share the mean rank — half-integers, exact
+    * in doubles) for an UNSORTED value array; also returns Σ(t³-t)
+    * over tie groups for the Mann-Whitney variance correction. */
+  private[functions] def avgRanks(values: Array[Double]): (Array[Double], Double) = {
+    val n = values.length
+    val order = Array.range(0, n).sortBy(values(_))
+    val ranks = new Array[Double](n)
+    var tieSum = 0.0
+    var i = 0
+    while (i < n) {
+      var j = i
+      while (j + 1 < n && values(order(j + 1)) == values(order(i))) j += 1
+      val t = j - i + 1
+      val avg = (i + 1 + j + 1) / 2.0
+      var k = i
+      while (k <= j) { ranks(order(k)) = avg; k += 1 }
+      tieSum += t.toDouble * t * t - t
+      i = j + 1
+    }
+    (ranks, tieSum)
+  }
+}
+
+/** Per-sample Welford moments: (n, mean, M2) × two samples. */
+final class MomentsBuffer {
+  val n = new Array[Long](2)
+  val mean = new Array[Double](2)
+  val m2 = new Array[Double](2)
+
+  def add(idx: Int, x: Double): Unit = {
+    val i = idx & 1
+    n(i) += 1
+    val d = x - mean(i)
+    mean(i) += d / n(i)
+    m2(i) += d * (x - mean(i))
+  }
+
+  /** Chan et al. parallel merge — order-insensitive to ulp noise only. */
+  def merge(o: MomentsBuffer): Unit = {
+    var i = 0
+    while (i < 2) {
+      if (o.n(i) > 0) {
+        if (n(i) == 0) { n(i) = o.n(i); mean(i) = o.mean(i); m2(i) = o.m2(i) }
+        else {
+          val nA = n(i).toDouble; val nB = o.n(i).toDouble
+          val d = o.mean(i) - mean(i)
+          val nT = nA + nB
+          m2(i) += o.m2(i) + d * d * nA * nB / nT
+          mean(i) += d * nB / nT
+          n(i) += o.n(i)
+        }
+      }
+      i += 1
+    }
+  }
+}
+
+/** studentTTest / welchTTest (value, sample_index) → struct(t_stat,
+  * p_value). Pooled-variance t when `welch` is false; Welch's t and
+  * Welch-Satterthwaite df when true. */
+case class TTestAgg(
+    value: Expression,
+    idx: Expression,
+    welch: Boolean,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MomentsBuffer] {
+
+  override def children: Seq[Expression] = Seq(value, idx)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StatTests.ttestResultType
+  override def prettyName: String = if (welch) "welchTTest" else "studentTTest"
+
+  override def createAggregationBuffer(): MomentsBuffer = new MomentsBuffer
+
+  override def update(buf: MomentsBuffer, input: InternalRow): MomentsBuffer = {
+    val v = value.eval(input)
+    val g = idx.eval(input)
+    if (v != null && g != null)
+      buf.add(StatTests.asIdx(g), StatTests.asDouble(v))
+    buf
+  }
+
+  override def merge(buf: MomentsBuffer, other: MomentsBuffer): MomentsBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: MomentsBuffer): Any = {
+    val n0 = buf.n(0).toDouble; val n1 = buf.n(1).toDouble
+    if (buf.n(0) < 2 || buf.n(1) < 2) return null
+    val v0 = buf.m2(0) / (n0 - 1.0); val v1 = buf.m2(1) / (n1 - 1.0)
+    val md = buf.mean(0) - buf.mean(1)
+    val (t, df) =
+      if (welch) {
+        val se0 = v0 / n0; val se1 = v1 / n1
+        val tt = md / math.sqrt(se0 + se1)
+        val dd = (se0 + se1) * (se0 + se1) /
+          (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
+        (tt, dd)
+      } else {
+        val sp2 = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / (n0 + n1 - 2.0)
+        val tt = md / math.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+        (tt, n0 + n1 - 2.0)
+      }
+    new GenericInternalRow(Array[Any](t, StatTests.tTwoSidedP(t, df)))
+  }
+
+  override def serialize(buf: MomentsBuffer): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(48)
+    val out = new java.io.DataOutputStream(bos)
+    var i = 0
+    while (i < 2) {
+      out.writeLong(buf.n(i)); out.writeDouble(buf.mean(i))
+      out.writeDouble(buf.m2(i)); i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MomentsBuffer = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val b = new MomentsBuffer
+    var i = 0
+    while (i < 2) {
+      b.n(i) = in.readLong(); b.mean(i) = in.readDouble()
+      b.m2(i) = in.readDouble(); i += 1
+    }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TTestAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TTestAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TTestAgg =
+    copy(value = c(0), idx = c(1))
+}
+
+/** mannWhitneyUTest(value, sample_index) → struct(u_stat, z_score,
+  * p_value). U is the first sample's statistic (rank-sum form with
+  * average ranks for ties); z and p use the tie-corrected normal
+  * approximation, no continuity correction, so the z replay in plain
+  * SQL is bit-exact. Buffers the group's samples (see class doc). */
+case class MannWhitneyAgg(
+    value: Expression,
+    idx: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Byte)]] {
+
+  override def children: Seq[Expression] = Seq(value, idx)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StatTests.mwResultType
+  override def prettyName: String = "mannWhitneyUTest"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Byte)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Byte)],
+      input: InternalRow): ArrayBuffer[(Double, Byte)] = {
+    val v = value.eval(input)
+    val g = idx.eval(input)
+    if (v != null && g != null)
+      buf += ((StatTests.asDouble(v), (StatTests.asIdx(g) & 1).toByte))
+    buf
+  }
+
+  override def merge(
+      buf: ArrayBuffer[(Double, Byte)],
+      other: ArrayBuffer[(Double, Byte)]): ArrayBuffer[(Double, Byte)] = {
+    buf ++= other; buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Byte)]): Any = {
+    val n = buf.length
+    val n0 = buf.count(_._2 == 0).toDouble
+    val n1 = n - n0
+    if (n0 < 1 || n1 < 1) return null
+    val values = new Array[Double](n)
+    var i = 0
+    while (i < n) { values(i) = buf(i)._1; i += 1 }
+    val (ranks, tieSum) = StatTests.avgRanks(values)
+    var r0 = 0.0
+    i = 0
+    while (i < n) { if (buf(i)._2 == 0) r0 += ranks(i); i += 1 }
+    val u = r0 - n0 * (n0 + 1.0) / 2.0
+    val mu = n0 * n1 / 2.0
+    val nd = n.toDouble
+    val sigma = math.sqrt(
+      n0 * n1 / 12.0 * ((nd + 1.0) - tieSum / (nd * (nd - 1.0))))
+    val z = (u - mu) / sigma
+    new GenericInternalRow(Array[Any](u, z, StatTests.zTwoSidedP(z)))
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Byte)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + buf.length * 9)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (v, g) => out.writeDouble(v); out.writeByte(g.toInt) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Byte)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new ArrayBuffer[(Double, Byte)](n)
+    var i = 0
+    while (i < n) { b += ((in.readDouble(), in.readByte())); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MannWhitneyAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MannWhitneyAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MannWhitneyAgg =
+    copy(value = c(0), idx = c(1))
+}
+
+/** rankCorr(x, y) → Spearman's ρ: Pearson correlation of the two
+  * columns' average ranks, computed from exact rank power sums (ranks
+  * are half-integers; every sum stays exact in doubles far past any
+  * realistic group size). Buffers the group's pairs (see class doc). */
+case class RankCorrAgg(
+    x: Expression,
+    y: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]] {
+
+  override def children: Seq[Expression] = Seq(x, y)
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rankCorr"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Double)],
+      input: InternalRow): ArrayBuffer[(Double, Double)] = {
+    val xv = x.eval(input)
+    val yv = y.eval(input)
+    if (xv != null && yv != null)
+      buf += ((StatTests.asDouble(xv), StatTests.asDouble(yv)))
+    buf
+  }
+
+  override def merge(
+      buf: ArrayBuffer[(Double, Double)],
+      other: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    buf ++= other; buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    val n = buf.length
+    if (n < 2) return null
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = buf(i)._1; ys(i) = buf(i)._2; i += 1 }
+    val (rx, _) = StatTests.avgRanks(xs)
+    val (ry, _) = StatTests.avgRanks(ys)
+    var sx = 0.0; var sy = 0.0; var sxx = 0.0; var syy = 0.0; var sxy = 0.0
+    i = 0
+    while (i < n) {
+      sx += rx(i); sy += ry(i)
+      sxx += rx(i) * rx(i); syy += ry(i) * ry(i); sxy += rx(i) * ry(i)
+      i += 1
+    }
+    val nd = n.toDouble
+    val den = math.sqrt(nd * sxx - sx * sx) * math.sqrt(nd * syy - sy * sy)
+    if (den == 0.0) return null
+    (nd * sxy - sx * sy) / den
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + buf.length * 16)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (a, b) => out.writeDouble(a); out.writeDouble(b) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new ArrayBuffer[(Double, Double)](n)
+    var i = 0
+    while (i < n) { b += ((in.readDouble(), in.readDouble())); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): RankCorrAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): RankCorrAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): RankCorrAgg =
+    copy(x = c(0), y = c(1))
+}

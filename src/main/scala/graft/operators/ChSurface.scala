@@ -557,7 +557,195 @@ object ChSurface {
         |SELECT CAST(pos AS INT) AS point_idx, col.x AS x, col.y AS y
         |FROM s LATERAL VIEW posexplode(pts) t AS pos, col
         |ORDER BY point_idx""".stripMargin,
-      Some(lttbOracle)))
+      Some(lttbOracle)),
+
+    // calendar battery 2: month-clamped interval adds, complete-unit
+    // age (strict component compare — the complement of dateDiffCH's
+    // boundary crossings), Modified Julian Day round trip, month/
+    // weekday names. The oracle replays age('month') as the same
+    // month-number difference with the day-of-month adjustment.
+    ("q_ch_calendar2",
+      """SELECT toMonth(o_orderdate) AS m,
+        |  count(*) AS n,
+        |  max(toDate(addMonths(o_orderdate, 2))) AS due2,
+        |  min(toDate(subtractWeeks(o_orderdate, 1))) AS wk_back,
+        |  max(toLastDayOfMonth(o_orderdate)) AS eom,
+        |  max(age('month', o_orderdate, DATE'1998-12-01')) AS full_months,
+        |  max(toModifiedJulianDay(o_orderdate)) AS mjd,
+        |  min(fromModifiedJulianDay(50000)) AS mjd_back,
+        |  max(monthName(o_orderdate)) AS mname,
+        |  max(dateName('weekday', o_orderdate)) AS wd
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT CAST(month(o_orderdate) AS INT) AS m,
+        |  count(*) AS n,
+        |  CAST(max(o_orderdate + to_months(2)) AS DATE) AS due2,
+        |  CAST(min(o_orderdate - INTERVAL 7 DAY) AS DATE) AS wk_back,
+        |  max(last_day(o_orderdate)) AS eom,
+        |  max((12 * year(DATE '1998-12-01') + month(DATE '1998-12-01'))
+        |    - (12 * year(o_orderdate) + month(o_orderdate))
+        |    - CASE WHEN day(DATE '1998-12-01') < day(o_orderdate)
+        |           THEN 1 ELSE 0 END) AS full_months,
+        |  max(date_diff('day', DATE '1858-11-17', o_orderdate)) AS mjd,
+        |  min(DATE '1858-11-17' + 50000) AS mjd_back,
+        |  max(strftime(o_orderdate, '%B')) AS mname,
+        |  max(strftime(o_orderdate, '%A')) AS wd
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // the rounding family: banker's rounding (both engines half-to-
+    // even), the fixed roundAge/roundDuration bucket sets, power-of-two
+    // snapping, exact integer exponentials, literal-array transform,
+    // and bar's eighth-block rendering. bank_sum adds integer-valued
+    // doubles (each ≤ 1e4, total far under 2^53) so the sum is exact
+    // and order-independent on both engines.
+    ("q_ch_round",
+      """SELECT c_mktsegment AS seg,
+        |  CAST(sum(roundBankers(c_acctbal, 0)) AS BIGINT) AS bank_sum,
+        |  sum(roundAge(pmod(c_custkey, 80))) AS age_sum,
+        |  sum(roundDuration(pmod(c_custkey, 40000))) AS dur_sum,
+        |  sum(roundToExp2(pmod(c_custkey, 5000))) AS exp2_sum,
+        |  sum(roundDown(pmod(c_custkey, 100), array(0, 10, 25, 50, 75))) AS rd_sum,
+        |  max(intExp2(pmod(c_custkey, 20))) AS max_exp2,
+        |  max(intExp10(pmod(c_custkey, 10))) AS max_exp10,
+        |  min(transform(pmod(c_nationkey, 5), array(0, 1, 2),
+        |      array('alpha', 'beta', 'gamma'), 'other')) AS t_min,
+        |  max(bar(pmod(c_custkey, 16), 0, 16, 4)) AS bar_max
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT c_mktsegment AS seg,
+        |  CAST(sum(round_even(c_acctbal, 0)) AS BIGINT) AS bank_sum,
+        |  sum(CASE WHEN c_custkey % 80 < 1 THEN 0
+        |           WHEN c_custkey % 80 < 18 THEN 17
+        |           WHEN c_custkey % 80 < 25 THEN 18
+        |           WHEN c_custkey % 80 < 35 THEN 25
+        |           WHEN c_custkey % 80 < 45 THEN 35
+        |           WHEN c_custkey % 80 < 55 THEN 45
+        |           ELSE 55 END) AS age_sum,
+        |  sum(coalesce(list_max(list_filter(
+        |    [1,10,30,60,120,180,240,300,600,1200,1800,3600,7200,18000,36000],
+        |    e -> e <= c_custkey % 40000)), 0)) AS dur_sum,
+        |  sum(coalesce(list_max(list_filter(
+        |    [1,2,4,8,16,32,64,128,256,512,1024,2048,4096],
+        |    e -> e <= c_custkey % 5000)), 0)) AS exp2_sum,
+        |  sum(coalesce(list_max(list_filter([0,10,25,50,75],
+        |    e -> e <= c_custkey % 100)), 0)) AS rd_sum,
+        |  max(1::BIGINT << CAST(c_custkey % 20 AS INT)) AS max_exp2,
+        |  max(CAST('1' || repeat('0', CAST(c_custkey % 10 AS INT)) AS BIGINT)) AS max_exp10,
+        |  min(CASE c_nationkey % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
+        |      WHEN 2 THEN 'gamma' ELSE 'other' END) AS t_min,
+        |  max(repeat('█', CAST(floor((c_custkey % 16) / 4.0) AS INT)) ||
+        |      CASE WHEN CAST(floor(((c_custkey % 16) / 4.0
+        |             - floor((c_custkey % 16) / 4.0)) * 8) AS INT) <= 0 THEN ''
+        |        ELSE substring('▏▎▍▌▋▊▉',
+        |          CAST(floor(((c_custkey % 16) / 4.0
+        |            - floor((c_custkey % 16) / 4.0)) * 8) AS INT), 1) END) AS bar_max
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // array battery 3: fold, resize, cyclic rotations, fill shifts,
+    // Jaccard over distinct elements, per-value occurrence numbering,
+    // constant construction — each replayed index-wise in DuckDB
+    ("q_ch_array3",
+      """WITH t AS (SELECT doc_id,
+        |    arrayMap(x -> lengthUTF8(x), splitByChar(' ', text)) AS lens
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id,
+        |  arrayFold((acc, x) -> acc + x, lens, 0) AS folded,
+        |  array_join(arrayResize(lens, 5, 0), ',') AS resized,
+        |  array_join(arrayRotateLeft(lens, 2), ',') AS rotl,
+        |  array_join(arrayRotateRight(lens, 1), ',') AS rotr,
+        |  array_join(arrayShiftLeft(lens, 2, 0), ',') AS shl,
+        |  array_join(arrayShiftRight(lens, 1, 0), ',') AS shr,
+        |  round(arrayJaccardIndex(lens, arraySlice(lens, 1, 4)), 6) AS jac,
+        |  array_join(arrayEnumerateUniq(lens), ',') AS enum_uniq,
+        |  array_join(arrayWithConstant(3, doc_id), ',') AS wconst
+        |FROM t ORDER BY doc_id""".stripMargin,
+      Some("""WITH t AS (SELECT doc_id,
+        |    list_transform(string_split(text, ' '), x -> length(x)) AS lens
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id,
+        |  CAST(coalesce(list_sum(lens), 0) AS INT) AS folded,
+        |  array_to_string(list_resize(lens, 5, 0), ',') AS resized,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> lens[((i - 1 + 2) % len(lens)) + 1]), ',') AS rotl,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> lens[((i + len(lens) - 2) % len(lens)) + 1]), ',') AS rotr,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> coalesce(lens[i + 2], 0)), ',') AS shl,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> CASE WHEN i <= 1 THEN 0 ELSE lens[i - 1] END), ',') AS shr,
+        |  round(len(list_intersect(lens, lens[1:4])) * 1.0 /
+        |    len(list_distinct(list_concat(lens, lens[1:4]))), 6) AS jac,
+        |  array_to_string(list_transform(generate_series(1, len(lens)),
+        |    i -> len(list_filter(lens[1:i], y -> y = lens[i]))), ',') AS enum_uniq,
+        |  array_to_string([doc_id, doc_id, doc_id], ',') AS wconst
+        |FROM t ORDER BY doc_id""".stripMargin)),
+
+    // two-sample statistical tests per priority class, odd vs even
+    // order keys. U and the rank sums are exact half-integer
+    // arithmetic, and z/rho are fixed-order IEEE expressions over
+    // those exact sums, so both replay bit-identically in DuckDB
+    // (rho's formula is spelled with the same operation order). The
+    // t statistics come off Welford/var_samp moments — 4dp rounding
+    // is far above the two formulations' ulp noise. p-values are
+    // engine-native (incomplete beta) and spec-tested against
+    // mpmath-computed references instead.
+    ("q_ch_ttest",
+      """SELECT o_orderpriority AS pri,
+        |  round(studentTTest(o_totalprice, pmod(o_orderkey, 2)).t_stat, 4) AS t_s,
+        |  round(welchTTest(o_totalprice, pmod(o_orderkey, 2)).t_stat, 4) AS t_w,
+        |  mannWhitneyUTest(o_totalprice, pmod(o_orderkey, 2)).u_stat AS u,
+        |  round(mannWhitneyUTest(o_totalprice, pmod(o_orderkey, 2)).z_score, 6) AS z,
+        |  round(rankCorr(o_totalprice, o_custkey), 6) AS rho
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH b AS (
+        |  SELECT o_orderpriority AS pri, o_totalprice AS v,
+        |    o_custkey AS y, o_orderkey % 2 AS g FROM orders),
+        |m AS (
+        |  SELECT pri,
+        |    CAST(count(*) FILTER (g = 0) AS DOUBLE) AS n0,
+        |    CAST(count(*) FILTER (g = 1) AS DOUBLE) AS n1,
+        |    avg(v) FILTER (g = 0) AS m0, avg(v) FILTER (g = 1) AS m1,
+        |    var_samp(v) FILTER (g = 0) AS v0,
+        |    var_samp(v) FILTER (g = 1) AS v1
+        |  FROM b GROUP BY pri),
+        |r AS (
+        |  SELECT pri, g,
+        |    rank() OVER (PARTITION BY pri ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY pri, v) - 1) / 2.0 AS mr
+        |  FROM b),
+        |ties AS (
+        |  SELECT pri, sum(cnt * cnt * cnt - cnt) AS tie
+        |  FROM (SELECT pri, v, CAST(count(*) AS DOUBLE) AS cnt
+        |        FROM b GROUP BY pri, v) GROUP BY pri),
+        |u AS (
+        |  SELECT pri, sum(CASE WHEN g = 0 THEN mr END) AS r0,
+        |    CAST(count(*) FILTER (g = 0) AS DOUBLE) AS n0,
+        |    CAST(count(*) FILTER (g = 1) AS DOUBLE) AS n1,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM r GROUP BY pri),
+        |rk AS (
+        |  SELECT pri,
+        |    rank() OVER (PARTITION BY pri ORDER BY v)
+        |      + (count(*) OVER (PARTITION BY pri, v) - 1) / 2.0 AS rx,
+        |    rank() OVER (PARTITION BY pri ORDER BY y)
+        |      + (count(*) OVER (PARTITION BY pri, y) - 1) / 2.0 AS ry
+        |  FROM b),
+        |sp AS (
+        |  SELECT pri, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(rx) AS sx, sum(ry) AS sy, sum(rx * rx) AS sxx,
+        |    sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+        |  FROM rk GROUP BY pri)
+        |SELECT m.pri,
+        |  round((m0 - m1) / sqrt(((m.n0 - 1) * v0 + (m.n1 - 1) * v1)
+        |    / (m.n0 + m.n1 - 2) * (1.0 / m.n0 + 1.0 / m.n1)), 4) AS t_s,
+        |  round((m0 - m1) / sqrt(v0 / m.n0 + v1 / m.n1), 4) AS t_w,
+        |  u.r0 - u.n0 * (u.n0 + 1) / 2 AS u,
+        |  round((u.r0 - u.n0 * (u.n0 + 1) / 2 - u.n0 * u.n1 / 2)
+        |    / sqrt(u.n0 * u.n1 / 12 * ((u.n + 1)
+        |      - tie / (u.n * (u.n - 1)))), 6) AS z,
+        |  round((sp.n * sxy - sx * sy) / (sqrt(sp.n * sxx - sx * sx)
+        |    * sqrt(sp.n * syy - sy * sy)), 6) AS rho
+        |FROM m JOIN u ON m.pri = u.pri JOIN ties ON ties.pri = m.pri
+        |JOIN sp ON sp.pri = m.pri
+        |ORDER BY m.pri""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

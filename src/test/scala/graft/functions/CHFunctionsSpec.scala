@@ -1088,6 +1088,150 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
   }
 
+  test("date arithmetic battery: month-clamped adds, MJD, names") {
+    val r = one(
+      """SELECT toDate(addMonths(DATE'1998-01-31', 1)),
+        |  toDate(addYears(DATE'1996-02-29', 1)),
+        |  toDate(subtractQuarters(DATE'1998-07-15', 2)),
+        |  toDate(addWeeks(DATE'1998-01-01', 2)),
+        |  toLastDayOfMonth(DATE'1998-02-03'),
+        |  toModifiedJulianDay(DATE'1858-11-17'),
+        |  toModifiedJulianDay(DATE'1995-10-10'),
+        |  fromModifiedJulianDay(50000),
+        |  monthName(DATE'1998-02-03'),
+        |  dateName('weekday', DATE'1998-02-03'),
+        |  dateName('year', DATE'1998-02-03')""".stripMargin)
+    assert(r.getDate(0).toString == "1998-02-28")
+    assert(r.getDate(1).toString == "1997-02-28")
+    assert(r.getDate(2).toString == "1998-01-15")
+    assert(r.getDate(3).toString == "1998-01-15")
+    assert(r.getDate(4).toString == "1998-02-28")
+    assert(r.getInt(5) == 0 && r.getInt(6) == 50000)
+    assert(r.getDate(7).toString == "1995-10-10")
+    assert(r.getString(8) == "February")
+    assert(r.getString(9) == "Tuesday")
+    assert(r.getString(10) == "1998")
+  }
+
+  test("age counts complete units by strict component compare") {
+    val r = one(
+      """SELECT age('month', DATE'1998-01-30', DATE'1998-02-28'),
+        |  age('month', DATE'1998-01-31', DATE'1998-02-28'),
+        |  age('month', DATE'1998-01-28', DATE'1998-02-28'),
+        |  age('year', DATE'1996-03-15', DATE'1998-03-14'),
+        |  age('year', DATE'1996-03-15', DATE'1998-03-15'),
+        |  age('day', DATE'1998-01-01', DATE'1998-01-31'),
+        |  age('week', DATE'1998-01-01', DATE'1998-01-15'),
+        |  age('quarter', DATE'1998-01-15', DATE'1998-07-20')""".stripMargin)
+    // Jan 30/31 → Feb 28 is INCOMPLETE (day 28 < day 30): the
+    // months_between both-last-day special case must not leak in
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 1L)
+    assert(r.getLong(3) == 1L && r.getLong(4) == 2L)
+    assert(r.getLong(5) == 30L && r.getLong(6) == 2L && r.getLong(7) == 2L)
+  }
+
+  test("rounding family: bankers, buckets, powers of two, exponentials") {
+    val r = one(
+      """SELECT roundBankers(2.5), roundBankers(3.5), roundBankers(-2.5),
+        |  roundAge(0), roundAge(5), roundAge(20), roundAge(44), roundAge(90),
+        |  roundDuration(0), roundDuration(35), roundDuration(40000),
+        |  roundToExp2(0), roundToExp2(1), roundToExp2(3), roundToExp2(1023),
+        |  roundToExp2(1024),
+        |  roundDown(13, array(0, 10, 25)), roundDown(-5, array(0, 10, 25)),
+        |  intExp2(62), intExp10(15)""".stripMargin)
+    // bare 2.5 parses as DECIMAL; bround keeps the input type
+    assert(r.get(0).toString.toDouble == 2.0
+      && r.get(1).toString.toDouble == 4.0
+      && r.get(2).toString.toDouble == -2.0)
+    assert(r.getInt(3) == 0 && r.getInt(4) == 17 && r.getInt(5) == 18
+      && r.getInt(6) == 35 && r.getInt(7) == 55)
+    assert(r.getInt(8) == 0 && r.getInt(9) == 30 && r.getInt(10) == 36000)
+    assert(r.getLong(11) == 0L && r.getLong(12) == 1L && r.getLong(13) == 2L
+      && r.getLong(14) == 512L && r.getLong(15) == 1024L)
+    assert(r.getInt(16) == 10 && r.getInt(17) == 0)
+    assert(r.getLong(18) == (1L << 62) && r.getLong(19) == 1000000000000000L)
+  }
+
+  test("transform dispatches between the lambda and remap forms") {
+    val r = one(
+      """SELECT transform(array(1, 2, 3), x -> x * 10),
+        |  transform(2, array(1, 2, 3), array('a', 'b', 'c'), 'z'),
+        |  transform(9, array(1, 2, 3), array('a', 'b', 'c'), 'z'),
+        |  transform(9, array(1, 2), array(10, 20))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(10, 20, 30))
+    assert(r.getString(1) == "b" && r.getString(2) == "z")
+    assert(r.getInt(3) == 9) // 3-arg form falls back to the input
+  }
+
+  test("bar renders full blocks plus an eighth glyph") {
+    val r = one(
+      """SELECT bar(7.5, 0, 10, 5), bar(0, 0, 10, 5), bar(10, 0, 10, 5),
+        |  bar(15, 0, 10, 5)""".stripMargin)
+    assert(r.getString(0) == "███▊")
+    assert(r.getString(1) == "")
+    assert(r.getString(2) == "█████")
+    assert(r.getString(3) == "█████") // clamped at width
+  }
+
+  test("array battery 3: fold, resize, rotate, shift, jaccard, enumerate") {
+    val r = one(
+      """SELECT arrayFold((acc, x) -> acc + x, array(1, 2, 3), 100),
+        |  arrayResize(array(1, 2, 3), 5, 0),
+        |  arrayResize(array(1, 2, 3), 2),
+        |  arrayRotateLeft(array(1, 2, 3, 4), 1),
+        |  arrayRotateLeft(array(1, 2, 3, 4), -1),
+        |  arrayRotateRight(array(1, 2, 3, 4), 1),
+        |  arrayShiftLeft(array(1, 2, 3, 4), 2, 0),
+        |  arrayShiftRight(array(1, 2, 3, 4), 2, 0),
+        |  round(arrayJaccardIndex(array(1, 2, 3), array(2, 3, 4)), 4),
+        |  arrayJaccardIndex(array(), array()),
+        |  arrayEnumerateUniq(array(10, 20, 10, 30, 10)),
+        |  arrayWithConstant(3, 7)""".stripMargin)
+    assert(r.getInt(0) == 106)
+    assert(r.getSeq[Int](1) == Seq(1, 2, 3, 0, 0))
+    assert(r.getSeq[Int](2) == Seq(1, 2))
+    assert(r.getSeq[Int](3) == Seq(2, 3, 4, 1))
+    assert(r.getSeq[Int](4) == Seq(4, 1, 2, 3))
+    assert(r.getSeq[Int](5) == Seq(4, 1, 2, 3))
+    assert(r.getSeq[Int](6) == Seq(3, 4, 0, 0))
+    assert(r.getSeq[Int](7) == Seq(0, 0, 1, 2))
+    assert(r.getDouble(8) == 0.5)
+    assert(r.getDouble(9) == 1.0)
+    assert(r.getSeq[Int](10) == Seq(1, 1, 2, 1, 3))
+    assert(r.getSeq[Int](11) == Seq(7, 7, 7))
+  }
+
+  test("two-sample tests match mpmath references (t, U, z, p, rho)") {
+    val r = one(
+      """WITH s AS (SELECT * FROM VALUES
+        |  (27.1, 0), (22.0, 0), (20.8, 0), (23.4, 0), (23.4, 0),
+        |  (23.5, 0), (25.8, 0), (22.0, 0), (24.8, 0), (20.2, 0),
+        |  (27.1, 1), (24.0, 1), (20.8, 1), (23.0, 1), (27.7, 1),
+        |  (26.8, 1), (22.5, 1), (24.5, 1) t(v, g))
+        |SELECT studentTTest(v, g) AS st, welchTTest(v, g) AS wt,
+        |  mannWhitneyUTest(v, g) AS mw
+        |FROM s""".stripMargin)
+    val (st, wt, mw) = (r.getStruct(0), r.getStruct(1), r.getStruct(2))
+    // references computed with mpmath (30-digit betainc/erfc)
+    assert(math.abs(st.getDouble(0) - -1.1453468879067492) < 1e-9)
+    assert(math.abs(st.getDouble(1) - 0.2689089893611406) < 1e-9)
+    assert(math.abs(wt.getDouble(0) - -1.1282123225640568) < 1e-9)
+    assert(math.abs(wt.getDouble(1) - 0.2780157097638088) < 1e-9)
+    assert(mw.getDouble(0) == 28.0) // exact half-integer rank arithmetic
+    assert(math.abs(mw.getDouble(1) - -1.0684354936752511) < 1e-12)
+    assert(math.abs(mw.getDouble(2) - 0.2853241135736265) < 1e-6) // A-S erfc
+  }
+
+  test("rankCorr is Spearman with average ranks for ties") {
+    val r = one(
+      """SELECT rankCorr(x, y), rankCorr(x, x),
+        |  rankCorr(x, -x)
+        |FROM VALUES (1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0),
+        |  (5.0, 7.0), (6.0, 8.0), (7.0, 6.0), (8.0, 5.0) t(x, y)""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 0.7380952380952381) < 1e-12)
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == -1.0)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
