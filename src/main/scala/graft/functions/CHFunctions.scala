@@ -76,6 +76,31 @@ object CHFunctions {
       LambdaFunction(fin, Seq(fin)))
   }
 
+  private def mapZipVars = (
+    UnresolvedNamedLambdaVariable(Seq("zk")),
+    UnresolvedNamedLambdaVariable(Seq("zv1")),
+    UnresolvedNamedLambdaVariable(Seq("zv2")))
+
+  /** Rebind a ClickHouse-style (k, v) map lambda to a one-arg lambda
+    * over `map_entries` structs, substituting the two variables with
+    * entry field accesses by name. */
+  private def entryLambda(l: LambdaFunction): LambdaFunction = {
+    val e = UnresolvedNamedLambdaVariable(Seq("ment"))
+    def nameOf(n: org.apache.spark.sql.catalyst.expressions.NamedExpression) =
+      n match {
+        case u: UnresolvedNamedLambdaVariable => u.nameParts
+        case other => Seq(other.name)
+      }
+    val Seq(kParts, vParts) = l.arguments.map(nameOf)
+    val body = l.function.transformUp {
+      case x: UnresolvedNamedLambdaVariable if x.nameParts == kParts =>
+        UnresolvedExtractValue(e, Literal("key"))
+      case x: UnresolvedNamedLambdaVariable if x.nameParts == vParts =>
+        UnresolvedExtractValue(e, Literal("value"))
+    }
+    LambdaFunction(body, Seq(e))
+  }
+
   private val urlFieldNames =
     Seq("protocol", "host", "host_nw", "tld", "path", "query")
 
@@ -588,6 +613,11 @@ object CHFunctions {
     "varSamp" -> (es => fn("var_samp", es.head)),
     "stddevPop" -> (es => fn("stddev_pop", es.head)),
     "stddevSamp" -> (es => fn("stddev_samp", es.head)),
+    // ordered-series aggregates (SeriesAggs.scala): group-buffered,
+    // sorted once at eval, partition-order-independent by tie rule
+    "deltaSumTimestamp" -> (es => DeltaSumTsAgg(es.head, es(1))),
+    "intervalLengthSum" -> (es => IntervalLengthSumAgg(es.head, es(1))),
+    "maxIntersections" -> (es => MaxIntersectionsAgg(es.head, es(1))),
     // two-sample tests (StatTests.scala): moment-only t-tests partial-
     // aggregate map-side; the rank-based pair buffer their group
     "studentTTest" -> (es => TTestAgg(es.head, es(1), welch = false)),
@@ -717,6 +747,78 @@ object CHFunctions {
     "mapValues" -> (es => fn("map_values", es.head)),
     "mapContains" -> (es => fn("map_contains_key", es.head, es(1))),
     "mapFromArrays" -> (es => fn("map_from_arrays", es.head, es(1))),
+    // map arithmetic: keywise add/subtract over the key union (missing
+    // keys count as zero), right-biased update, lambda filter/apply.
+    // All ride Spark's native map HOFs (map_zip_with / map_filter /
+    // map_entries), staying codegen'd and null-lean.
+    "mapAdd" -> (es => {
+      val (k, v1, v2) = mapZipVars
+      MapZipWith(es.head, es(1), LambdaFunction(
+        Add(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0)))),
+        Seq(k, v1, v2)))
+    }),
+    "mapSubtract" -> (es => {
+      val (k, v1, v2) = mapZipVars
+      MapZipWith(es.head, es(1), LambdaFunction(
+        Subtract(Coalesce(Seq(v1, Literal(0))), Coalesce(Seq(v2, Literal(0)))),
+        Seq(k, v1, v2)))
+    }),
+    // b's entries win; a keeps only keys absent from b (map_concat
+    // would throw on duplicates under the default dedup policy)
+    "mapUpdate" -> (es => {
+      val k = UnresolvedNamedLambdaVariable(Seq("mk"))
+      val v = UnresolvedNamedLambdaVariable(Seq("mv"))
+      fn("map_concat",
+        MapFilter(es.head, LambdaFunction(
+          Not(fn("map_contains_key", es(1), k)), Seq(k, v))),
+        es(1))
+    }),
+    "mapFilter" -> (es => es.head match {
+      case l: LambdaFunction => MapFilter(es(1), l)
+      case other => throw new IllegalArgumentException(
+        s"mapFilter expects a (k, v) lambda first, got $other")
+    }),
+    // a call that PASSES a lambda must resolve to a HigherOrderFunction
+    // at the top (same analyzer rule arrayCount works around), so the
+    // entry rebuild folds: zero IS the transformed entry array, the
+    // merge keeps it, and the finish lambda re-assembles the map
+    "mapApply" -> (es => es.head match {
+      case l: LambdaFunction =>
+        val (acc, x, fin) = lambdaVars
+        ArrayAggregate(
+          fn("map_entries", es(1)),
+          ArrayTransform(fn("map_entries", es(1)), entryLambda(l)),
+          LambdaFunction(acc, Seq(acc, x)),
+          LambdaFunction(fn("map_from_entries", fin), Seq(fin)))
+      case other => throw new IllegalArgumentException(
+        s"mapApply expects a (k, v) lambda first, got $other")
+    }),
+    "mapExists" -> (es => es.head match {
+      case l: LambdaFunction =>
+        ArrayExists(fn("map_entries", es(1)), entryLambda(l))
+      case other => throw new IllegalArgumentException(
+        s"mapExists expects a (k, v) lambda first, got $other")
+    }),
+    "mapAll" -> (es => es.head match {
+      case l: LambdaFunction =>
+        ArrayForAll(fn("map_entries", es(1)), entryLambda(l))
+      case other => throw new IllegalArgumentException(
+        s"mapAll expects a (k, v) lambda first, got $other")
+    }),
+    // integer-keyed gap filling: [min(keys) .. max(keys) | bound] with
+    // zeros (in the map's own value type) for the missing keys
+    "mapPopulateSeries" -> (es => {
+      val m = es.head
+      val keys = fn("map_keys", m)
+      val hi =
+        if (es.size > 1) es(1) else fn("array_max", keys)
+      val axis = fn("sequence", fn("array_min", keys), hi)
+      val k = UnresolvedNamedLambdaVariable(Seq("pk"))
+      fn("map_from_arrays", axis,
+        ArrayTransform(axis, LambdaFunction(
+          Coalesce(Seq(fn("try_element_at", m, k),
+            zeroOf(fn("map_values", m)))), Seq(k))))
+    }),
 
     // numeric/string conversion battery. ANSI casts throw on garbage,
     // exactly CH's toInt*/toFloat* behavior; the OrZero/OrNull

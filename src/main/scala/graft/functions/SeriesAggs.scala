@@ -1,0 +1,175 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Ordered-series aggregates under ClickHouse names (reference
+  * dialect: deltaSumTimestamp / intervalLengthSum / maxIntersections).
+  * Each buffers its group's (a, b) pairs and sorts once at eval — the
+  * same memory contract as ClickHouse's implementations (order-
+  * sensitive math cannot partial-aggregate without losing exactness;
+  * the group, not the table, must fit in memory). Ties sort by the
+  * second component too, so results are partition-order-independent
+  * and replay exactly in any engine that applies the same tie rule.
+  */
+abstract class PairBufferAgg
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Double)]] {
+
+  def a: Expression
+  def b: Expression
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Double)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Double)],
+      input: InternalRow): ArrayBuffer[(Double, Double)] = {
+    val av = a.eval(input)
+    val bv = b.eval(input)
+    if (av != null && bv != null)
+      buf += ((StatTests.asDouble(av), StatTests.asDouble(bv)))
+    buf
+  }
+
+  override def merge(
+      buf: ArrayBuffer[(Double, Double)],
+      other: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    buf ++= other; buf
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Double)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + buf.length * 16)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (x, y) => out.writeDouble(x); out.writeDouble(y) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Double)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new ArrayBuffer[(Double, Double)](n)
+    var i = 0
+    while (i < n) { buf += ((in.readDouble(), in.readDouble())); i += 1 }
+    buf
+  }
+}
+
+/** deltaSumTimestamp(value, ts) → Σ of the positive steps of `value`
+  * when the group is ordered by `ts` (ties by value). */
+case class DeltaSumTsAgg(
+    value: Expression,
+    ts: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def a: Expression = ts
+  override def b: Expression = value
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deltaSumTimestamp"
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) return null
+    val sorted = buf.sortBy(identity)
+    var sum = 0.0
+    var i = 1
+    while (i < sorted.length) {
+      val d = sorted(i)._2 - sorted(i - 1)._2
+      if (d > 0) sum += d
+      i += 1
+    }
+    sum
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DeltaSumTsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DeltaSumTsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): DeltaSumTsAgg =
+    copy(ts = c(0), value = c(1)) // children order is (a, b) = (ts, value)
+}
+
+/** intervalLengthSum(start, end) → total length of the union of the
+  * [start, end) intervals (overlaps counted once; empty/negative
+  * intervals contribute nothing). */
+case class IntervalLengthSumAgg(
+    start: Expression,
+    end: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def a: Expression = start
+  override def b: Expression = end
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "intervalLengthSum"
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    val iv = buf.filter(p => p._2 > p._1).sortBy(identity)
+    if (iv.isEmpty) return 0.0
+    var total = 0.0
+    var (curS, curE) = iv.head
+    var i = 1
+    while (i < iv.length) {
+      val (s, e) = iv(i)
+      if (s > curE) { total += curE - curS; curS = s; curE = e }
+      else if (e > curE) curE = e
+      i += 1
+    }
+    total + (curE - curS)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): IntervalLengthSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): IntervalLengthSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): IntervalLengthSumAgg =
+    copy(start = c(0), end = c(1))
+}
+
+/** maxIntersections(start, end) → the maximum number of [start, end)
+  * intervals that cover a single point (an interval's end does not
+  * intersect another's start: the −1 event sorts first at ties). */
+case class MaxIntersectionsAgg(
+    start: Expression,
+    end: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def a: Expression = start
+  override def b: Expression = end
+  override def dataType: DataType = LongType
+  override def prettyName: String = "maxIntersections"
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) return 0L
+    val events = new ArrayBuffer[(Double, Int)](buf.length * 2)
+    buf.foreach { case (s, e) => events += ((s, 1)); events += ((e, -1)) }
+    val sorted = events.sortBy(identity) // -1 before +1 at equal points
+    var cur = 0L; var best = 0L
+    sorted.foreach { case (_, d) =>
+      cur += d
+      if (cur > best) best = cur
+    }
+    best
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MaxIntersectionsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MaxIntersectionsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): MaxIntersectionsAgg =
+    copy(start = c(0), end = c(1))
+}

@@ -745,7 +745,94 @@ object ChSurface {
         |    * sqrt(sp.n * syy - sy * sy)), 6) AS rho
         |FROM m JOIN u ON m.pri = u.pri JOIN ties ON ties.pri = m.pri
         |JOIN sp ON sp.pri = m.pri
-        |ORDER BY m.pri""".stripMargin)))
+        |ORDER BY m.pri""".stripMargin)),
+
+    // scalar map arithmetic over per-row maps: keywise add/subtract on
+    // the key union, right-biased update, lambda filter/apply/exists,
+    // integer-key gap filling. The oracle replays each lookup as the
+    // equivalent direct arithmetic on the generating columns.
+    ("q_ch_maps2",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |    map('f', pmod(o_custkey, 3), 'o', pmod(o_orderkey, 7)) AS m1,
+        |    map('o', 2L, 'z', 3L) AS m2
+        |  FROM orders WHERE o_orderkey <= 400)
+        |SELECT k,
+        |  element_at(mapAdd(m1, m2), 'o') AS add_o,
+        |  element_at(mapAdd(m1, m2), 'z') AS add_z,
+        |  element_at(mapSubtract(m1, m2), 'o') AS sub_o,
+        |  element_at(mapUpdate(m1, m2), 'o') AS upd_o,
+        |  CAST(size(mapFilter((mk, mv) -> mv > 2, m1)) AS INT) AS n_big,
+        |  element_at(mapApply((mk, mv) -> struct(mk, mv * 10), m1), 'o') AS app_o,
+        |  mapExists((mk, mv) -> mv > 5, m1) AS ex5,
+        |  CAST(size(mapPopulateSeries(map(1L, k, 4L, k))) AS INT) AS pop_n,
+        |  element_at(mapPopulateSeries(map(1L, k, 4L, k)), 2L) AS pop_gap
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  o_orderkey % 7 + 2 AS add_o,
+        |  3 AS add_z,
+        |  o_orderkey % 7 - 2 AS sub_o,
+        |  2 AS upd_o,
+        |  CASE WHEN o_orderkey % 7 > 2 THEN 1 ELSE 0 END AS n_big,
+        |  (o_orderkey % 7) * 10 AS app_o,
+        |  o_orderkey % 7 > 5 AS ex5,
+        |  4 AS pop_n,
+        |  0 AS pop_gap
+        |FROM orders WHERE o_orderkey <= 400 ORDER BY k""".stripMargin)),
+
+    // ordered-series aggregates over synthesized per-event intervals:
+    // positive-delta sum in timestamp order (exact integer cents),
+    // union coverage of [s, e), and peak concurrency. The oracle
+    // replays each as the standard window formulation — lag deltas,
+    // island sweep, +1/-1 running sum — with the same (point, delta)
+    // tie rule, all in exact integer arithmetic.
+    ("q_ch_series",
+      """WITH iv AS (
+        |  SELECT event_type AS g,
+        |    toFloat64(toUnixTimestamp(ts)) AS s,
+        |    toFloat64(toUnixTimestamp(ts) + 300 + pmod(user_id, 600)) AS e,
+        |    toFloat64(toInt64(round(value * 100.0))) AS cents,
+        |    toFloat64(toUnixTimestamp(ts)) AS tsec
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |SELECT g,
+        |  round(deltaSumTimestamp(cents, tsec) / 1e2, 2) AS dsum,
+        |  CAST(intervalLengthSum(s, e) AS BIGINT) AS cover_sec,
+        |  maxIntersections(s, e) AS max_open
+        |FROM iv GROUP BY g ORDER BY g""".stripMargin,
+      Some("""WITH iv AS (
+        |  SELECT event_type AS g,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 300 + user_id % 600 AS e,
+        |    CAST(round(value * 100.0) AS BIGINT) AS cents,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tsec
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |d AS (
+        |  SELECT g, cents - lag(cents)
+        |    OVER (PARTITION BY g ORDER BY tsec, cents) AS dd
+        |  FROM iv),
+        |ds AS (SELECT g, sum(CASE WHEN dd > 0 THEN dd ELSE 0 END) AS dsum
+        |       FROM d GROUP BY g),
+        |w AS (
+        |  SELECT g, s, e, max(e) OVER (PARTITION BY g ORDER BY s, e
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM iv),
+        |n AS (SELECT g, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM w),
+        |cov AS (SELECT g, sum(mx - mn) AS cover_sec FROM
+        |    (SELECT g, isl, min(s) AS mn, max(e) AS mx
+        |     FROM n GROUP BY g, isl) GROUP BY g),
+        |ev AS (SELECT g, s AS p, 1 AS dta FROM iv
+        |       UNION ALL SELECT g, e, -1 FROM iv),
+        |mo AS (SELECT g, max(cnt) AS max_open FROM
+        |    (SELECT g, sum(dta) OVER (PARTITION BY g ORDER BY p, dta
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
+        |     FROM ev) GROUP BY g)
+        |SELECT ds.g AS g, round(ds.dsum / 1e2, 2) AS dsum,
+        |  CAST(cov.cover_sec AS BIGINT) AS cover_sec, mo.max_open AS max_open
+        |FROM ds JOIN cov ON ds.g = cov.g JOIN mo ON mo.g = ds.g
+        |ORDER BY g""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

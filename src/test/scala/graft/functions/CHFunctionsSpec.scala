@@ -1232,6 +1232,58 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 1.0 && r.getDouble(2) == -1.0)
   }
 
+  test("map arithmetic: add/subtract on key union, update, lambdas, series") {
+    val r = one(
+      """SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)),
+        |  mapSubtract(map('a', 5), map('a', 2, 'z', 1)),
+        |  mapUpdate(map('a', 1, 'b', 2), map('b', 9)),
+        |  mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)),
+        |  mapApply((k, v) -> struct(k, v * 10), map('a', 1, 'b', 2)),
+        |  mapExists((k, v) -> v > 1, map('a', 1)),
+        |  mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)),
+        |  mapPopulateSeries(map(1, 10, 4, 40)),
+        |  mapPopulateSeries(map(1, 10, 3, 30), 5)""".stripMargin)
+    assert(r.getMap[String, Int](0) == Map("a" -> 1, "b" -> 12, "c" -> 3))
+    assert(r.getMap[String, Int](1) == Map("a" -> 3, "z" -> -1))
+    assert(r.getMap[String, Int](2) == Map("a" -> 1, "b" -> 9))
+    assert(r.getMap[String, Int](3) == Map("b" -> 2))
+    assert(r.getMap[String, Int](4) == Map("a" -> 10, "b" -> 20))
+    assert(!r.getBoolean(5) && r.getBoolean(6))
+    assert(r.getMap[Int, Int](7) == Map(1 -> 10, 2 -> 0, 3 -> 0, 4 -> 40))
+    assert(r.getMap[Int, Int](8) ==
+      Map(1 -> 10, 2 -> 0, 3 -> 30, 4 -> 0, 5 -> 0))
+  }
+
+  test("ordered-series aggregates: deltaSumTimestamp, coverage, peak") {
+    val r = one(
+      """SELECT deltaSumTimestamp(v, t),
+        |  intervalLengthSum(s, e), maxIntersections(s, e)
+        |FROM VALUES
+        |  (10.0, 1.0, 0.0, 10.0), (13.0, 2.0, 5.0, 15.0),
+        |  (11.0, 3.0, 20.0, 30.0), (16.0, 4.0, 15.0, 18.0)
+        |  t(v, t, s, e)""".stripMargin)
+    // deltas in t order: +3, -2, +5 → positive sum 8
+    assert(r.getDouble(0) == 8.0)
+    // union [0,18) ∪ [20,30) = 28; [15,18) touches [5,15)'s end —
+    // half-open, so the end point does not stack
+    assert(r.getDouble(1) == 28.0)
+    assert(r.getLong(2) == 2L)
+  }
+
+  test("interval aggregates: empty/degenerate inputs") {
+    val r = one(
+      """SELECT intervalLengthSum(s, e), maxIntersections(s, e),
+        |  deltaSumTimestamp(s, e)
+        |FROM VALUES (5.0, 5.0), (7.0, 3.0) t(s, e)""".stripMargin)
+    // zero-length and inverted intervals cover nothing
+    assert(r.getDouble(0) == 0.0)
+    // sorted (point, delta) events: (3,-1),(5,-1),(5,+1),(7,+1) →
+    // running sum -1,-2,-1,0 → peak 0
+    assert(r.getLong(1) == 0L)
+    // value=s ordered by ts=e: t=3→v=7 then t=5→v=5, only a -2 step
+    assert(r.getDouble(2) == 0.0)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
