@@ -624,6 +624,7 @@ object CHFunctions {
     "welchTTest" -> (es => TTestAgg(es.head, es(1), welch = true)),
     "mannWhitneyUTest" -> (es => MannWhitneyAgg(es.head, es(1))),
     "rankCorr" -> (es => RankCorrAgg(es.head, es(1))),
+    "kolmogorovSmirnovTest" -> (es => KolmogorovSmirnovAgg(es.head, es(1))),
     "covarPop" -> (es => fn("covar_pop", es.head, es(1))),
     "covarSamp" -> (es => fn("covar_samp", es.head, es(1))),
     "corrCH" -> (es => fn("corr", es.head, es(1))),
@@ -1070,6 +1071,39 @@ object CHFunctions {
       case other => throw new IllegalArgumentException(
         s"transform expects (arr, lambda) or (x, from, to[, default]), " +
           s"got ${other.size} args")
+    }),
+
+    // geohash grid (native GeoExpressions): encode defaults to the
+    // full 12-character precision, decode returns the cell center
+    "geohashEncode" -> (es => GeohashEncode(es.head, es(1),
+      if (es.size > 2) es(2) else Literal(12))),
+    "geohashDecode" -> (es => GeohashDecode(es.head)),
+    // pointInPolygon(px, py, xs, ys): even-odd ray cast composed from
+    // codegen'd HOFs — each edge (i, i mod n + 1) contributes a
+    // crossing when it straddles py and the intersection lies right of
+    // px. Arrays-of-coordinates form (ClickHouse takes tuples; Spark
+    // SQL has no tuple literals). Exact on integer grids, and the
+    // identical expression replays in any engine with list lambdas.
+    "pointInPolygon" -> (es => {
+      val Seq(px, py, xs, ys) = es.take(4)
+      val i = UnresolvedNamedLambdaVariable(Seq("pi"))
+      val n = fn("size", xs)
+      val j = Add(fn("pmod", i, n), Literal(1))
+      def x(k: Expression) = fn("element_at", xs, k)
+      def y(k: Expression) = fn("element_at", ys, k)
+      val straddles = Not(EqualTo(
+        GreaterThan(y(i), py), GreaterThan(y(j), py)))
+      val crossesRightOfPx = LessThan(px,
+        Add(Divide(Multiply(Subtract(x(j), x(i)), Subtract(py, y(i))),
+          Subtract(y(j), y(i))), x(i)))
+      val (acc, xv, fin) = lambdaVars
+      val crossings = ArrayAggregate(
+        ArrayFilter(indexAxis(xs),
+          LambdaFunction(And(straddles, crossesRightOfPx), Seq(i))),
+        Literal(0),
+        LambdaFunction(Add(acc, Literal(1)), Seq(acc, xv)),
+        LambdaFunction(fin, Seq(fin)))
+      EqualTo(fn("pmod", crossings, Literal(2)), Literal(1))
     }),
 
     // bar(x, min, max, width): horizontal bar of full blocks plus a

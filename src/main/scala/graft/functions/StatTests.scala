@@ -102,6 +102,26 @@ object StatTests {
   val ttestResultType: StructType = StructType(Seq(
     StructField("t_stat", DoubleType), StructField("p_value", DoubleType)))
 
+  val ksResultType: StructType = StructType(Seq(
+    StructField("d_stat", DoubleType), StructField("p_value", DoubleType)))
+
+  /** Kolmogorov asymptotic survival function
+    * Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²}. */
+  def kolmogorovQ(lambda: Double): Double = {
+    if (lambda <= 0) return 1.0
+    var sum = 0.0
+    var sign = 1.0
+    var k = 1
+    while (k <= 100) {
+      val term = sign * math.exp(-2.0 * k * k * lambda * lambda)
+      sum += term
+      if (math.abs(term) < 1e-16) return math.min(1.0, 2.0 * sum)
+      sign = -sign
+      k += 1
+    }
+    math.min(1.0, 2.0 * sum)
+  }
+
   val mwResultType: StructType = StructType(Seq(
     StructField("u_stat", DoubleType), StructField("z_score", DoubleType),
     StructField("p_value", DoubleType)))
@@ -427,4 +447,90 @@ case class RankCorrAgg(
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): RankCorrAgg =
     copy(x = c(0), y = c(1))
+}
+
+/** kolmogorovSmirnovTest(value, sample_index) → struct(d_stat,
+  * p_value). D is the exact sup-distance between the two empirical
+  * CDFs (rational counts — deterministic and replayable in plain
+  * SQL); p uses the asymptotic Kolmogorov distribution with the
+  * standard finite-sample λ adjustment. Buffers the group's samples
+  * (see StatTests doc). */
+case class KolmogorovSmirnovAgg(
+    value: Expression,
+    idx: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[(Double, Byte)]] {
+
+  override def children: Seq[Expression] = Seq(value, idx)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StatTests.ksResultType
+  override def prettyName: String = "kolmogorovSmirnovTest"
+
+  override def createAggregationBuffer(): ArrayBuffer[(Double, Byte)] =
+    ArrayBuffer.empty
+
+  override def update(
+      buf: ArrayBuffer[(Double, Byte)],
+      input: InternalRow): ArrayBuffer[(Double, Byte)] = {
+    val v = value.eval(input)
+    val g = idx.eval(input)
+    if (v != null && g != null)
+      buf += ((StatTests.asDouble(v), (StatTests.asIdx(g) & 1).toByte))
+    buf
+  }
+
+  override def merge(
+      buf: ArrayBuffer[(Double, Byte)],
+      other: ArrayBuffer[(Double, Byte)]): ArrayBuffer[(Double, Byte)] = {
+    buf ++= other; buf
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Byte)]): Any = {
+    val n0 = buf.count(_._2 == 0)
+    val n1 = buf.length - n0
+    if (n0 < 1 || n1 < 1) return null
+    val sorted = buf.sortBy(_._1)
+    var c0 = 0L; var c1 = 0L
+    var d = 0.0
+    var i = 0
+    while (i < sorted.length) {
+      val v = sorted(i)._1
+      // absorb ALL ties at v before reading the CDF gap
+      while (i < sorted.length && sorted(i)._1 == v) {
+        if (sorted(i)._2 == 0) c0 += 1 else c1 += 1
+        i += 1
+      }
+      val gap = math.abs(c0.toDouble / n0 - c1.toDouble / n1)
+      if (gap > d) d = gap
+    }
+    val en = math.sqrt(n0.toDouble * n1 / (n0.toDouble + n1))
+    val p = StatTests.kolmogorovQ((en + 0.12 + 0.11 / en) * d)
+    new GenericInternalRow(Array[Any](d, p))
+  }
+
+  override def serialize(buf: ArrayBuffer[(Double, Byte)]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(8 + buf.length * 9)
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.length)
+    buf.foreach { case (v, g) => out.writeDouble(v); out.writeByte(g.toInt) }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Double, Byte)] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val b = new ArrayBuffer[(Double, Byte)](n)
+    var i = 0
+    while (i < n) { b += ((in.readDouble(), in.readByte())); i += 1 }
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): KolmogorovSmirnovAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KolmogorovSmirnovAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): KolmogorovSmirnovAgg =
+    copy(value = c(0), idx = c(1))
 }

@@ -832,7 +832,72 @@ object ChSurface {
         |SELECT ds.g AS g, round(ds.dsum / 1e2, 2) AS dsum,
         |  CAST(cov.cover_sec AS BIGINT) AS cover_sec, mo.max_open AS max_open
         |FROM ds JOIN cov ON ds.g = cov.g JOIN mo ON mo.g = ds.g
-        |ORDER BY g""".stripMargin)))
+        |ORDER BY g""".stripMargin)),
+
+    // even-odd ray casting over a fixed pentagon with integer-grid
+    // points synthesized from customer keys. Both engines evaluate the
+    // IDENTICAL edge expression (same operation order), so the strict
+    // inequalities agree bit-for-bit and the booleans hash-match.
+    ("q_ch_geo2",
+      """WITH pts AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(pmod(c_custkey * 7, 41) - 20 AS DOUBLE) AS px,
+        |    CAST(pmod(c_custkey * 13, 41) - 20 AS DOUBLE) AS py
+        |  FROM customer),
+        |flags AS (
+        |  SELECT k, px, py,
+        |    pointInPolygon(px, py,
+        |      array(-15.0D, 15.0D, 15.0D, 0.0D, -15.0D),
+        |      array(-15.0D, -15.0D, 10.0D, 18.0D, 10.0D)) AS inside
+        |  FROM pts)
+        |SELECT inside, count(*) AS n, min(k) AS first_k,
+        |  round(avg(px), 6) AS cx, round(avg(py), 6) AS cy
+        |FROM flags GROUP BY inside ORDER BY inside""".stripMargin,
+      Some("""WITH pts AS (
+        |  SELECT c_custkey AS k,
+        |    CAST((c_custkey * 7) % 41 - 20 AS DOUBLE) AS px,
+        |    CAST((c_custkey * 13) % 41 - 20 AS DOUBLE) AS py
+        |  FROM customer),
+        |flags AS (
+        |  SELECT k, px, py,
+        |    len(list_filter(generate_series(1, 5), i ->
+        |      ((ys[i] > py) != (ys[(i % 5) + 1] > py)) AND
+        |      (px < (xs[(i % 5) + 1] - xs[i]) * (py - ys[i])
+        |            / (ys[(i % 5) + 1] - ys[i]) + xs[i]))) % 2 = 1 AS inside
+        |  FROM pts, (SELECT [-15.0, 15.0, 15.0, 0.0, -15.0] AS xs,
+        |             [-15.0, -15.0, 10.0, 18.0, 10.0] AS ys) poly)
+        |SELECT inside, count(*) AS n, min(k) AS first_k,
+        |  round(avg(px), 6) AS cx, round(avg(py), 6) AS cy
+        |FROM flags GROUP BY inside ORDER BY inside""".stripMargin)),
+
+    // two-sample Kolmogorov-Smirnov D per priority class: the sup
+    // distance between empirical CDFs is exact rational arithmetic
+    // (cumulative tie-group counts over one division each), replayed
+    // with the same windowed formulation. p is engine-native
+    // (Kolmogorov series) and spec-tested against mpmath instead.
+    ("q_ch_kstest",
+      """SELECT o_orderpriority AS pri,
+        |  round(kolmogorovSmirnovTest(o_totalprice, pmod(o_orderkey, 2)).d_stat, 9) AS d
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH b AS (SELECT o_orderpriority AS pri, o_totalprice AS v,
+        |    o_orderkey % 2 AS g FROM orders),
+        |tot AS (SELECT pri,
+        |    CAST(count(*) FILTER (g = 0) AS DOUBLE) AS n0,
+        |    CAST(count(*) FILTER (g = 1) AS DOUBLE) AS n1
+        |  FROM b GROUP BY pri),
+        |pv AS (SELECT pri, v,
+        |    count(*) FILTER (g = 0) AS c0, count(*) FILTER (g = 1) AS c1
+        |  FROM b GROUP BY pri, v),
+        |cum AS (SELECT pri, v,
+        |    sum(c0) OVER (PARTITION BY pri ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a0,
+        |    sum(c1) OVER (PARTITION BY pri ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a1
+        |  FROM pv)
+        |SELECT cum.pri AS pri,
+        |  round(max(abs(CAST(a0 AS DOUBLE) / n0 - CAST(a1 AS DOUBLE) / n1)), 9) AS d
+        |FROM cum JOIN tot ON cum.pri = tot.pri
+        |GROUP BY cum.pri ORDER BY pri""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

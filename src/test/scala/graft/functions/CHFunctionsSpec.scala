@@ -1284,6 +1284,60 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(2) == 0.0)
   }
 
+  test("geohash encode/decode: known cell, round trip, clamping") {
+    val r = one(
+      """SELECT geohashEncode(-5.6D, 42.6D, 5),
+        |  geohashEncode(-5.6D, 42.6D),
+        |  geohashDecode('ezs42'),
+        |  geohashDecode(geohashEncode(13.361389D, 38.115556D, 12))""".stripMargin)
+    assert(r.getString(0) == "ezs42") // the canonical published vector
+    assert(r.getString(1).length == 12 && r.getString(1).startsWith("ezs42"))
+    val c = r.getStruct(2)
+    // 5-char cell is ±0.022° lon, ±0.022° lat around the center
+    assert(math.abs(c.getDouble(0) - -5.6) < 0.05)
+    assert(math.abs(c.getDouble(1) - 42.6) < 0.05)
+    val rt = r.getStruct(3) // 12-char round trip pins ~1e-7 degrees
+    assert(math.abs(rt.getDouble(0) - 13.361389) < 1e-6)
+    assert(math.abs(rt.getDouble(1) - 38.115556) < 1e-6)
+  }
+
+  test("pointInPolygon ray casts with the even-odd rule") {
+    val r = one(
+      """SELECT
+        |  pointInPolygon(0.0D, 0.0D, array(-1.0D, 1.0D, 1.0D, -1.0D),
+        |    array(-1.0D, -1.0D, 1.0D, 1.0D)),
+        |  pointInPolygon(2.0D, 0.0D, array(-1.0D, 1.0D, 1.0D, -1.0D),
+        |    array(-1.0D, -1.0D, 1.0D, 1.0D)),
+        |  pointInPolygon(5.0D, 5.0D, array(0.0D, 10.0D, 10.0D, 5.0D, 0.0D),
+        |    array(0.0D, 0.0D, 10.0D, 5.0D, 10.0D)),
+        |  pointInPolygon(5.0D, 6.0D, array(0.0D, 10.0D, 10.0D, 5.0D, 0.0D),
+        |    array(0.0D, 0.0D, 10.0D, 5.0D, 10.0D))""".stripMargin)
+    assert(r.getBoolean(0))  // center of the square
+    assert(!r.getBoolean(1)) // right of the square
+    // concave polygon (square with a notch dipping down to (5,5)):
+    // the notch vertex itself ray-casts one crossing (the right wall;
+    // both notch edges intersect AT px, and strict < excludes them)
+    assert(r.getBoolean(2))
+    // (5,6) sits in the notch cavity: right wall + upper-right notch
+    // edge = two crossings → outside
+    assert(!r.getBoolean(3))
+  }
+
+  test("kolmogorovSmirnovTest matches the mpmath reference") {
+    val r = one(
+      """WITH s AS (SELECT * FROM VALUES
+        |  (27.1, 0), (22.0, 0), (20.8, 0), (23.4, 0), (23.4, 0),
+        |  (23.5, 0), (25.8, 0), (22.0, 0), (24.8, 0), (20.2, 0),
+        |  (27.1, 1), (24.0, 1), (20.8, 1), (23.0, 1), (27.7, 1),
+        |  (26.8, 1), (22.5, 1), (24.5, 1) t(v, g))
+        |SELECT kolmogorovSmirnovTest(v, g) FROM s""".stripMargin)
+    val ks = r.getStruct(0)
+    // sup distance is deterministic IEEE over rational counts (the
+    // exact value is 13/40; the double carries the division rounding)
+    assert(math.abs(ks.getDouble(0) - 0.325) < 1e-15)
+    assert(math.abs(ks.getDouble(1) - 0.642134258103074) < 1e-9)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
