@@ -625,6 +625,19 @@ object CHFunctions {
     "mannWhitneyUTest" -> (es => MannWhitneyAgg(es.head, es(1))),
     "rankCorr" -> (es => RankCorrAgg(es.head, es(1))),
     "kolmogorovSmirnovTest" -> (es => KolmogorovSmirnovAgg(es.head, es(1))),
+    "meanZTest" -> (es =>
+      MeanZTestAgg(es.head, es(1), es(2), es(3), es(4))),
+    // cross-tab association family (AssocAggs.scala): the partial
+    // state is the contingency table, so map-side combine reduces each
+    // partition to ≤ |X|×|Y| cells before the shuffle
+    "cramersV" -> (es =>
+      CrossTabAgg(es.head, es(1), CrossTabAgg.CramersV)),
+    "cramersVBiasCorrected" -> (es =>
+      CrossTabAgg(es.head, es(1), CrossTabAgg.CramersVBC)),
+    "theilsU" -> (es =>
+      CrossTabAgg(es.head, es(1), CrossTabAgg.TheilsU)),
+    "contingency" -> (es =>
+      CrossTabAgg(es.head, es(1), CrossTabAgg.Contingency)),
     "covarPop" -> (es => fn("covar_pop", es.head, es(1))),
     "covarSamp" -> (es => fn("covar_samp", es.head, es(1))),
     "corrCH" -> (es => fn("corr", es.head, es(1))),

@@ -99,6 +99,23 @@ object StatTests {
   /** Two-sided normal p-value for a z score. */
   def zTwoSidedP(z: Double): Double = erfc(math.abs(z) / math.sqrt(2.0))
 
+  /** Critical z with P(|Z| ≤ z) = conf: Newton's method on
+    * erfc(z/√2) = 1 − conf (monotone, derivative −√(2/π)·e^{−z²/2});
+    * converges to machine precision in < 10 steps from z₀ = 1. */
+  def probitTwoSided(conf: Double): Double = {
+    val target = 1.0 - conf
+    var z = 1.0
+    var i = 0
+    while (i < 60) {
+      val f = erfc(z / math.sqrt(2.0)) - target
+      val fp = -math.sqrt(2.0 / math.Pi) * math.exp(-z * z / 2.0)
+      val step = f / fp
+      z -= step
+      if (math.abs(step) < 1e-14) i = 60 else i += 1
+    }
+    z
+  }
+
   val ttestResultType: StructType = StructType(Seq(
     StructField("t_stat", DoubleType), StructField("p_value", DoubleType)))
 

@@ -897,7 +897,62 @@ object ChSurface {
         |SELECT cum.pri AS pri,
         |  round(max(abs(CAST(a0 AS DOUBLE) / n0 - CAST(a1 AS DOUBLE) / n1)), 9) AS d
         |FROM cum JOIN tot ON cum.pri = tot.pri
-        |GROUP BY cum.pri ORDER BY pri""".stripMargin)))
+        |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
+
+    // cross-tab association battery: the oracle rebuilds each group's
+    // contingency table and folds chi²/entropy terms with ORDER BY
+    // (x, y) sums — the same sorted-cell order CrossTabAgg.eval uses,
+    // so the doubles agree to well past the 6dp rounding
+    ("q_ch_assoc",
+      """SELECT pmod(o_custkey, 3) AS g,
+        |  round(cramersV(o_orderpriority, o_orderstatus), 6) AS v,
+        |  round(cramersVBiasCorrected(o_orderpriority, o_orderstatus), 6) AS vbc,
+        |  round(contingency(o_orderpriority, o_orderstatus), 6) AS cont,
+        |  round(theilsU(o_orderpriority, o_orderstatus), 6) AS u_xy,
+        |  round(theilsU(o_orderstatus, o_orderpriority), 6) AS u_yx,
+        |  round(meanZTest(2e9, 2e9, 0.95D, o_totalprice,
+        |    pmod(o_orderkey, 2)).z_stat, 6) AS z
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH b AS (SELECT o_custkey % 3 AS g, o_orderpriority AS x,
+        |    o_orderstatus AS y, o_totalprice AS v, o_orderkey % 2 AS s
+        |  FROM orders),
+        |cells AS (SELECT g, x, y, CAST(count(*) AS DOUBLE) AS o
+        |  FROM b GROUP BY g, x, y),
+        |rt AS (SELECT g, x, sum(o) AS rx FROM cells GROUP BY g, x),
+        |ct AS (SELECT g, y, sum(o) AS cy FROM cells GROUP BY g, y),
+        |tot AS (SELECT g, sum(o) AS n, count(DISTINCT x) AS r,
+        |    count(DISTINCT y) AS c FROM cells GROUP BY g),
+        |joined AS (SELECT cells.g AS g, cells.x AS x, cells.y AS y, o,
+        |    rx, cy, n
+        |  FROM cells JOIN rt ON cells.g = rt.g AND cells.x = rt.x
+        |  JOIN ct ON cells.g = ct.g AND cells.y = ct.y
+        |  JOIN tot ON cells.g = tot.g),
+        |chi AS (SELECT g,
+        |    sum((o - rx*cy/n)*(o - rx*cy/n)/(rx*cy/n) ORDER BY x, y) AS chi2,
+        |    sum((o/n)*ln(o/cy) ORDER BY x, y) AS hxy,
+        |    sum((o/n)*ln(o/rx) ORDER BY x, y) AS hyx
+        |  FROM joined GROUP BY g),
+        |hx AS (SELECT rt.g AS g, sum((rx/n)*ln(rx/n) ORDER BY rt.x) AS hx
+        |  FROM rt JOIN tot ON rt.g = tot.g GROUP BY rt.g),
+        |hy AS (SELECT ct.g AS g, sum((cy/n)*ln(cy/n) ORDER BY ct.y) AS hy
+        |  FROM ct JOIN tot ON ct.g = tot.g GROUP BY ct.g),
+        |zt AS (SELECT g,
+        |    (sum(v) FILTER (s = 0) / count(*) FILTER (s = 0)
+        |     - sum(v) FILTER (s = 1) / count(*) FILTER (s = 1))
+        |    / sqrt(2e9 / count(*) FILTER (s = 0)
+        |           + 2e9 / count(*) FILTER (s = 1)) AS z
+        |  FROM b GROUP BY g)
+        |SELECT tot.g AS g,
+        |  round(sqrt(chi2/n/(least(r, c) - 1)), 6) AS v,
+        |  round(sqrt(greatest(0, chi2/n - (r-1)*(c-1)/(n-1))
+        |    / (least(r - (r-1)*(r-1)/(n-1), c - (c-1)*(c-1)/(n-1)) - 1)), 6) AS vbc,
+        |  round(sqrt(chi2/(chi2 + n)), 6) AS cont,
+        |  round((hx.hx - chi.hxy)/hx.hx, 6) AS u_xy,
+        |  round((hy.hy - chi.hyx)/hy.hy, 6) AS u_yx,
+        |  round(zt.z, 6) AS z
+        |FROM tot JOIN chi ON tot.g = chi.g JOIN hx ON tot.g = hx.g
+        |JOIN hy ON tot.g = hy.g JOIN zt ON tot.g = zt.g
+        |ORDER BY g""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

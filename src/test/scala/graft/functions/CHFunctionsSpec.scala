@@ -1338,6 +1338,39 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(ks.getDouble(1) - 0.642134258103074) < 1e-9)
   }
 
+  test("cross-tab association family matches hand-computed references") {
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  ('a','p'),('a','p'),('a','p'),('a','q'),
+        |  ('b','p'),('b','q'),('b','q'),('b','q'),
+        |  ('c','p'),('c','p'),('c','q'),('c','q') s(x, y))
+        |SELECT cramersV(x, y), cramersVBiasCorrected(x, y),
+        |  contingency(x, y), theilsU(x, y), theilsU(y, x) FROM t""".stripMargin)
+    // chi² = 2 exactly (integer-friendly table); V = sqrt(2/12/1)
+    assert(math.abs(r.getDouble(0) - 0.408248290463863) < 1e-12)
+    // φ² = 1/6 < (r−1)(c−1)/(n−1) = 2/11 → bias correction clamps to 0
+    assert(r.getDouble(1) == 0.0)
+    assert(math.abs(r.getDouble(2) - 0.3779644730092272) < 1e-12)
+    // asymmetric: U(x|y) ≠ U(y|x)
+    assert(math.abs(r.getDouble(3) - 0.07938016428569487) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 0.12581458369391146) < 1e-12)
+  }
+
+  test("meanZTest computes z, p, and the known-variance CI") {
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  (1.0, 0), (2.0, 0), (3.0, 0), (4.0, 0),
+        |  (2.0, 1), (4.0, 1), (6.0, 1) s(v, g))
+        |SELECT meanZTest(1.5D, 2.5D, 0.95D, v, g) FROM t""".stripMargin)
+    val zt = r.getStruct(0)
+    assert(math.abs(zt.getDouble(0) - -1.364576478442026) < 1e-12)
+    // p and the CI inherit the erfc approximation's ~1e-7 error
+    assert(math.abs(zt.getDouble(1) - 0.17238620178886033) < 1e-6)
+    // CI uses z₀.₉₇₅ = 1.959963984540054 from the Newton probit
+    assert(math.abs(zt.getDouble(2) - -3.6544750501391445) < 1e-5)
+    assert(math.abs(zt.getDouble(3) - 0.6544750501391445) < 1e-5)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
