@@ -1119,6 +1119,74 @@ object CHFunctions {
       EqualTo(fn("pmod", crossings, Literal(2)), Literal(1))
     }),
 
+    // --- bitmap family. Graft's bitmap is a SORTED DISTINCT
+    // array<bigint> — the set semantics of ClickHouse's roaring
+    // bitmaps with a portable representation (codegen'd array set ops;
+    // a sorted array replays exactly in any engine with list
+    // functions). Set ops re-sort because Spark's array_* keep
+    // left-operand order, not sorted order.
+    "bitmapBuild" -> (es =>
+      fn("array_sort", fn("array_distinct",
+        Cast(es.head, ArrayType(LongType))))),
+    "bitmapToArray" -> (es => es.head),
+    "bitmapCardinality" -> (es => fn("size", es.head)),
+    "bitmapMin" -> (es => fn("array_min", es.head)),
+    "bitmapMax" -> (es => fn("array_max", es.head)),
+    "bitmapAnd" -> (es =>
+      fn("array_sort", fn("array_intersect", es.head, es(1)))),
+    "bitmapOr" -> (es =>
+      fn("array_sort", fn("array_union", es.head, es(1)))),
+    "bitmapAndnot" -> (es =>
+      fn("array_sort", fn("array_except", es.head, es(1)))),
+    "bitmapXor" -> (es =>
+      fn("array_sort", fn("array_union",
+        fn("array_except", es.head, es(1)),
+        fn("array_except", es(1), es.head)))),
+    "bitmapContains" -> (es => fn("array_contains", es.head, es(1))),
+    // hasAll/hasAny follow ClickHouse's argument order: does the FIRST
+    // bitmap contain all / any of the second
+    "bitmapHasAll" -> (es =>
+      EqualTo(fn("size", fn("array_except", es(1), es.head)), Literal(0))),
+    "bitmapHasAny" -> (es =>
+      GreaterThan(fn("size", fn("array_intersect", es.head, es(1))),
+        Literal(0))),
+    "bitmapAndCardinality" -> (es =>
+      fn("size", fn("array_intersect", es.head, es(1)))),
+    "bitmapOrCardinality" -> (es =>
+      fn("size", fn("array_union", es.head, es(1)))),
+    "bitmapAndnotCardinality" -> (es =>
+      fn("size", fn("array_except", es.head, es(1)))),
+    "bitmapXorCardinality" -> (es =>
+      Add(fn("size", fn("array_except", es.head, es(1))),
+        fn("size", fn("array_except", es(1), es.head)))),
+    // subset in [start, end) — ClickHouse's range_end is exclusive
+    "bitmapSubsetInRange" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      ArrayFilter(es.head, LambdaFunction(
+        And(GreaterThanOrEqual(v, es(1)), LessThan(v, es(2))), Seq(v)))
+    }),
+    // first `limit` elements ≥ start (the array is sorted, so a
+    // filter + slice IS the smallest-first subset)
+    "bitmapSubsetLimit" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      val tail = ArrayFilter(es.head,
+        LambdaFunction(GreaterThanOrEqual(v, es(1)), Seq(v)))
+      fn("slice", tail, Literal(1), Cast(es(2), IntegerType))
+    }),
+    // subBitmap(b, offset, limit): 0-based offset into the sorted set
+    "subBitmap" -> (es =>
+      fn("slice", es.head, Add(Cast(es(1), IntegerType), Literal(1)),
+        Cast(es(2), IntegerType))),
+    "groupBitmapAnd" -> (es =>
+      BitmapCombineAgg(Cast(es.head, ArrayType(LongType)),
+        BitmapCombineAgg.And)),
+    "groupBitmapOr" -> (es =>
+      BitmapCombineAgg(Cast(es.head, ArrayType(LongType)),
+        BitmapCombineAgg.Or)),
+    "groupBitmapXor" -> (es =>
+      BitmapCombineAgg(Cast(es.head, ArrayType(LongType)),
+        BitmapCombineAgg.Xor)),
+
     // bar(x, min, max, width): horizontal bar of full blocks plus a
     // fractional-eighth glyph, ClickHouse's console histogram helper
     "bar" -> (es => {

@@ -899,6 +899,52 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // bitmap algebra battery: per-shard membership bitmaps folded with
+    // groupBitmapAnd/Or/Xor, then set algebra on the fold. The oracle
+    // replays the sorted-array semantics with per-element row counts
+    // (AND ⇔ count = shards, XOR ⇔ odd count) — exact integers.
+    ("q_ch_bitmap",
+      """WITH shard AS (
+        |  SELECT o_orderpriority AS pri, pmod(o_orderkey, 4) AS sh,
+        |    bitmapBuild(groupArray(pmod(o_custkey, 256))) AS bm
+        |  FROM orders GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT pri, groupBitmapAnd(bm) AS band, groupBitmapOr(bm) AS bor,
+        |    groupBitmapXor(bm) AS bxor
+        |  FROM shard GROUP BY pri)
+        |SELECT pri,
+        |  bitmapCardinality(band) AS n_and,
+        |  bitmapCardinality(bor) AS n_or,
+        |  bitmapCardinality(bxor) AS n_xor,
+        |  bitmapMin(bor) AS mn, bitmapMax(bor) AS mx,
+        |  bitmapCardinality(bitmapSubsetInRange(bor, 50L, 100L)) AS n_range,
+        |  bitmapContains(bor, 42L) AS has42,
+        |  bitmapAndCardinality(band, bitmapSubsetLimit(bor, 5L, 20)) AS n_mix
+        |FROM agg ORDER BY pri""".stripMargin,
+      Some("""WITH e AS (SELECT DISTINCT o_orderpriority AS pri,
+        |    o_orderkey % 4 AS sh, o_custkey % 256 AS v FROM orders),
+        |tot AS (SELECT pri, count(DISTINCT sh) AS nsh FROM e GROUP BY pri),
+        |cnt AS (SELECT pri, v, count(*) AS c FROM e GROUP BY pri, v),
+        |lim AS (SELECT pri, v,
+        |    row_number() OVER (PARTITION BY pri ORDER BY v) AS rn
+        |  FROM cnt WHERE v >= 5),
+        |mix AS (SELECT cnt.pri AS pri, count(*) AS n_mix
+        |  FROM cnt JOIN tot ON cnt.pri = tot.pri
+        |  JOIN lim ON lim.pri = cnt.pri AND lim.v = cnt.v
+        |  WHERE cnt.c = tot.nsh AND lim.rn <= 20
+        |  GROUP BY cnt.pri)
+        |SELECT cnt.pri AS pri,
+        |  CAST(count(*) FILTER (c = nsh) AS INT) AS n_and,
+        |  CAST(count(*) AS INT) AS n_or,
+        |  CAST(count(*) FILTER (c % 2 = 1) AS INT) AS n_xor,
+        |  min(v) AS mn, max(v) AS mx,
+        |  CAST(count(*) FILTER (v >= 50 AND v < 100) AS INT) AS n_range,
+        |  bool_or(v = 42) AS has42,
+        |  CAST(any_value(coalesce(mix.n_mix, 0)) AS INT) AS n_mix
+        |FROM cnt JOIN tot ON cnt.pri = tot.pri
+        |LEFT JOIN mix ON mix.pri = cnt.pri
+        |GROUP BY cnt.pri ORDER BY pri""".stripMargin)),
+
     // cross-tab association battery: the oracle rebuilds each group's
     // contingency table and folds chi²/entropy terms with ORDER BY
     // (x, y) sums — the same sorted-cell order CrossTabAgg.eval uses,

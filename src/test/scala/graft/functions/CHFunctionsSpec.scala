@@ -1371,6 +1371,49 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(zt.getDouble(3) - 0.6544750501391445) < 1e-5)
   }
 
+  test("bitmap set algebra over the sorted-array representation") {
+    val r = one(
+      """SELECT
+        |  bitmapBuild(array(3L, 1L, 2L, 3L, 1L)),
+        |  bitmapAnd(bitmapBuild(array(1L, 2L, 3L)), bitmapBuild(array(2L, 3L, 4L))),
+        |  bitmapOr(bitmapBuild(array(1L, 2L)), bitmapBuild(array(2L, 5L))),
+        |  bitmapXor(bitmapBuild(array(1L, 2L, 3L)), bitmapBuild(array(2L, 3L, 4L))),
+        |  bitmapAndnot(bitmapBuild(array(1L, 2L, 3L)), bitmapBuild(array(2L))),
+        |  bitmapCardinality(bitmapBuild(array(9L, 9L, 8L))),
+        |  bitmapContains(bitmapBuild(array(1L, 5L)), 5L),
+        |  bitmapHasAll(bitmapBuild(array(1L, 2L, 3L)), bitmapBuild(array(2L, 3L))),
+        |  bitmapHasAll(bitmapBuild(array(1L, 2L)), bitmapBuild(array(2L, 3L))),
+        |  bitmapHasAny(bitmapBuild(array(1L, 2L)), bitmapBuild(array(5L))),
+        |  bitmapSubsetInRange(bitmapBuild(array(1L, 5L, 10L, 15L)), 5L, 15L),
+        |  bitmapSubsetLimit(bitmapBuild(array(1L, 5L, 10L, 15L)), 5L, 2),
+        |  subBitmap(bitmapBuild(array(1L, 5L, 10L, 15L)), 1, 2),
+        |  bitmapXorCardinality(bitmapBuild(array(1L, 2L)), bitmapBuild(array(2L, 4L)))""".stripMargin)
+    assert(r.getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](1) == Seq(2L, 3L))
+    assert(r.getSeq[Long](2) == Seq(1L, 2L, 5L))
+    assert(r.getSeq[Long](3) == Seq(1L, 4L))
+    assert(r.getSeq[Long](4) == Seq(1L, 3L))
+    assert(r.getInt(5) == 2)
+    assert(r.getBoolean(6))
+    assert(r.getBoolean(7) && !r.getBoolean(8) && !r.getBoolean(9))
+    assert(r.getSeq[Long](10) == Seq(5L, 10L))
+    assert(r.getSeq[Long](11) == Seq(5L, 10L))
+    assert(r.getSeq[Long](12) == Seq(5L, 10L))
+    assert(r.getInt(13) == 2)
+  }
+
+  test("groupBitmapAnd/Or/Xor fold bitmap rows with count semantics") {
+    val r = one(
+      """WITH t AS (SELECT bitmapBuild(b) AS bm FROM VALUES
+        |  (array(1L, 2L, 3L)), (array(2L, 3L, 4L)), (array(3L, 4L, 5L)) s(b))
+        |SELECT groupBitmapAnd(bm), groupBitmapOr(bm), groupBitmapXor(bm)
+        |FROM t""".stripMargin)
+    assert(r.getSeq[Long](0) == Seq(3L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L, 4L, 5L))
+    // counts: 1→1, 2→2, 3→3, 4→2, 5→1 — odd counts survive XOR
+    assert(r.getSeq[Long](2) == Seq(1L, 3L, 5L))
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
