@@ -42,6 +42,25 @@ object CHFunctions {
     fn("make_interval", Literal(0), Literal(0), Literal(0), n,
       Literal(0), Literal(0), Literal(0))
 
+  /** Dotted-quad render of a UInt32 address (shared by the IPv4
+    * family and the CIDR tuple builders). */
+  private def ipv4NumToString(num: Expression): Expression = {
+    val n = Cast(num, LongType)
+    def octet(sh: Int): Expression =
+      Cast(BitwiseAnd(ShiftRight(n, Literal(sh)), Literal(255L)), StringType)
+    fn("concat_ws", Literal("."), octet(24), octet(16), octet(8), octet(0))
+  }
+
+  /** Dotted quad → UInt32; null (via element_at/cast) when malformed. */
+  private def ipv4StringToNum(s: Expression): Expression = {
+    val parts = fn("split", s, Literal("\\."))
+    def p(i: Int): Expression =
+      Cast(fn("element_at", parts, Literal(i)), LongType)
+    Add(Add(Add(Multiply(p(1), Literal(16777216L)),
+      Multiply(p(2), Literal(65536L))),
+      Multiply(p(3), Literal(256L))), p(4))
+  }
+
   private def lambdaVars = (
     UnresolvedNamedLambdaVariable(Seq("acc")),
     UnresolvedNamedLambdaVariable(Seq("x")),
@@ -1491,22 +1510,49 @@ object CHFunctions {
     }),
 
     // IPv4 functions: pure integer/string arithmetic, codegen'd
-    "IPv4NumToString" -> (es => {
-      val n = Cast(es.head, LongType)
-      def octet(sh: Int): Expression =
-        Cast(BitwiseAnd(ShiftRight(n, Literal(sh)), Literal(255L)),
-          org.apache.spark.sql.types.StringType)
-      fn("concat_ws", Literal("."),
-        octet(24), octet(16), octet(8), octet(0))
+    "IPv4NumToString" -> (es => ipv4NumToString(es.head)),
+    "IPv4StringToNum" -> (es => ipv4StringToNum(es.head)),
+    "toIPv4" -> (es => ipv4StringToNum(es.head)),
+    // dotted-quad shape + octet range; leading zeros are accepted
+    // (inet_aton-style), which is a documented superset of ClickHouse
+    "isIPv4String" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("o"))
+      And(
+        fn("rlike", es.head, Literal("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")),
+        fn("forall", fn("split", es.head, Literal("\\.")),
+          LambdaFunction(
+            LessThanOrEqual(Cast(v, LongType), Literal(255L)), Seq(v))))
     }),
-    "IPv4StringToNum" -> (es => {
-      val parts = fn("split", es.head, Literal("\\."))
-      def p(i: Int): Expression =
-        Cast(fn("element_at", parts, Literal(i)), LongType)
-      Add(Add(Add(Multiply(p(1), Literal(16777216L)),
-        Multiply(p(2), Literal(65536L))),
-        Multiply(p(3), Literal(256L))), p(4))
+    // IPv4CIDRToRange(num, prefix) → struct(lo, hi) in dotted form,
+    // ClickHouse's tuple of block endpoints
+    "IPv4CIDRToRange" -> (es => {
+      val host = Subtract(Literal(32), Cast(es(1), IntegerType))
+      val span = Subtract(fn("shiftleft", Literal(1L), host), Literal(1L))
+      val lo = BitwiseAnd(Cast(es.head, LongType),
+        BitwiseXor(Literal(0xffffffffL), span))
+      fn("named_struct",
+        Literal("lo"), ipv4NumToString(lo),
+        Literal("hi"), ipv4NumToString(BitwiseOr(lo, span)))
     }),
+    // IPv6 functions (IpExpressions.scala): 16-byte binary addresses,
+    // RFC 5952 formatting, native parse/format inside codegen
+    "IPv6StringToNum" -> (es => Ipv6Parse(es.head)),
+    "IPv6StringToNumOrNull" -> (es => Ipv6Parse(es.head)),
+    "IPv6NumToString" -> (es => Ipv6Format(es.head)),
+    "isIPv6String" -> (es => IsNotNull(Ipv6Parse(es.head))),
+    // toIPv6 also accepts dotted IPv4 (mapped to ::ffff:a.b.c.d)
+    "toIPv6" -> (es => Coalesce(Seq(
+      Ipv6Parse(es.head),
+      Ipv6Parse(Concat(Seq(Literal("::ffff:"), es.head)))))),
+    "IPv4ToIPv6" -> (es =>
+      Ipv6Parse(Concat(Seq(Literal("::ffff:"), ipv4NumToString(es.head))))),
+    "IPv6CIDRToRange" -> (es => {
+      val p = Cast(es(1), IntegerType)
+      fn("named_struct",
+        Literal("lo"), Ipv6Format(Ipv6CidrBound(es.head, p, low = true)),
+        Literal("hi"), Ipv6Format(Ipv6CidrBound(es.head, p, low = false)))
+    }),
+    "isIPAddressInRange" -> (es => IpInRange(es.head, es(1))),
 
     // hash functions. ClickHouse's cityHash64/sipHash64 are stable
     // 64-bit hashes used for sharding/sampling/fingerprints — the

@@ -899,6 +899,49 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // IPv4 battery over Knuth-hash-synthesized addresses: format,
+    // parse round trip, validity, CIDR /12 block endpoints, range
+    // membership. String mins/maxes are lexicographic on BOTH engines,
+    // so the oracle replays the identical dotted-string ordering.
+    ("q_ch_ip",
+      """WITH ips AS (
+        |  SELECT c_custkey AS k,
+        |    pmod(c_custkey * 2654435761, 4294967296) AS ip
+        |  FROM customer),
+        |s AS (
+        |  SELECT k, ip, IPv4NumToString(ip) AS str,
+        |    IPv4CIDRToRange(ip, 12).lo AS lo,
+        |    IPv4CIDRToRange(ip, 12).hi AS hi
+        |  FROM ips)
+        |SELECT pmod(k, 5) AS g, count(*) AS n,
+        |  min(str) AS min_ip, max(str) AS max_ip,
+        |  countIf(IPv4StringToNum(str) = ip) AS n_roundtrip,
+        |  countIf(isIPv4String(str)) AS n_valid,
+        |  countIf(isIPAddressInRange(str, '128.0.0.0/1')) AS n_high,
+        |  min(lo) AS min_lo, max(hi) AS max_hi
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH ips AS (
+        |  SELECT c_custkey AS k,
+        |    (c_custkey * 2654435761) % 4294967296 AS ip
+        |  FROM customer),
+        |s AS (
+        |  SELECT k, ip,
+        |    concat(ip // 16777216 % 256, '.', ip // 65536 % 256, '.',
+        |           ip // 256 % 256, '.', ip % 256) AS str,
+        |    ip - ip % 1048576 AS lo_n,
+        |    ip - ip % 1048576 + 1048575 AS hi_n
+        |  FROM ips)
+        |SELECT k % 5 AS g, count(*) AS n,
+        |  min(str) AS min_ip, max(str) AS max_ip,
+        |  count(*) AS n_roundtrip,
+        |  count(*) AS n_valid,
+        |  count(*) FILTER (ip >= 2147483648) AS n_high,
+        |  min(concat(lo_n // 16777216 % 256, '.', lo_n // 65536 % 256, '.',
+        |             lo_n // 256 % 256, '.', lo_n % 256)) AS min_lo,
+        |  max(concat(hi_n // 16777216 % 256, '.', hi_n // 65536 % 256, '.',
+        |             hi_n // 256 % 256, '.', hi_n % 256)) AS max_hi
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // bitmap algebra battery: per-shard membership bitmaps folded with
     // groupBitmapAnd/Or/Xor, then set algebra on the fold. The oracle
     // replays the sorted-array semantics with per-element row counts

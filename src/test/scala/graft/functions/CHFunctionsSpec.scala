@@ -1414,6 +1414,54 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Long](2) == Seq(1L, 3L, 5L))
   }
 
+  test("IPv6 parse/format round RFC 5952 canonical forms") {
+    val r = one(
+      """SELECT
+        |  IPv6NumToString(IPv6StringToNum('2001:0db8:0000:0000:0000:ff00:0042:8329')),
+        |  IPv6NumToString(IPv6StringToNum('::1')),
+        |  IPv6NumToString(IPv6StringToNum('::')),
+        |  IPv6NumToString(IPv6StringToNum('2001:0db8:0:0:1:0:0:1')),
+        |  IPv6NumToString(IPv6StringToNum('::ffff:192.168.1.1')),
+        |  IPv6NumToString(toIPv6('10.0.0.7')),
+        |  IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('1.2.3.4'))),
+        |  isIPv6String('fe80::1'), isIPv6String('1.2.3.4'),
+        |  isIPv6String('1:2:3:4:5:6:7:8:9'), isIPv6String('a::b::c'),
+        |  isIPv4String('255.255.255.255'), isIPv4String('256.1.1.1'),
+        |  isIPv4String('1.2.3')""".stripMargin)
+    assert(r.getString(0) == "2001:db8::ff00:42:8329")
+    assert(r.getString(1) == "::1")
+    assert(r.getString(2) == "::")
+    // two zero runs of length 2: RFC 5952 compresses the LEFTMOST
+    assert(r.getString(3) == "2001:db8::1:0:0:1")
+    assert(r.getString(4) == "::ffff:192.168.1.1")
+    assert(r.getString(5) == "::ffff:10.0.0.7")
+    assert(r.getString(6) == "::ffff:1.2.3.4")
+    assert(r.getBoolean(7) && !r.getBoolean(8))
+    assert(!r.getBoolean(9) && !r.getBoolean(10))
+    assert(r.getBoolean(11) && !r.getBoolean(12) && !r.getBoolean(13))
+  }
+
+  test("CIDR ranges and family-aware membership") {
+    val r = one(
+      """SELECT
+        |  IPv4CIDRToRange(IPv4StringToNum('192.168.5.2'), 16),
+        |  IPv6CIDRToRange(toIPv6('2001:db8::'), 32),
+        |  isIPAddressInRange('192.168.5.1', '192.168.0.0/16'),
+        |  isIPAddressInRange('192.169.0.1', '192.168.0.0/16'),
+        |  isIPAddressInRange('2001:db8::1', '2001:db8::/32'),
+        |  isIPAddressInRange('2001:db9::1', '2001:db8::/32'),
+        |  isIPAddressInRange('2001:db8::1', '192.168.0.0/16'),
+        |  isIPAddressInRange('10.0.0.1', '0.0.0.0/0')""".stripMargin)
+    val v4 = r.getStruct(0)
+    assert(v4.getString(0) == "192.168.0.0" && v4.getString(1) == "192.168.255.255")
+    val v6 = r.getStruct(1)
+    assert(v6.getString(0) == "2001:db8::")
+    assert(v6.getString(1) == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff")
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(!r.getBoolean(6) && r.getBoolean(7))
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
