@@ -635,6 +635,18 @@ object CHFunctions {
     // ordered-series aggregates (SeriesAggs.scala): group-buffered,
     // sorted once at eval, partition-order-independent by tie rule
     "deltaSumTimestamp" -> (es => DeltaSumTsAgg(es.head, es(1))),
+    // exponential time-decay family: (x)(value, time) flattens to
+    // (x, value, time); Count takes (x)(time) only
+    "exponentialMovingAverage" -> (es =>
+      ExpDecayAgg(es.head, es(1), es(2), ExpDecayAgg.Ema)),
+    "exponentialTimeDecayedSum" -> (es =>
+      ExpDecayAgg(es.head, es(1), es(2), ExpDecayAgg.Sum)),
+    "exponentialTimeDecayedCount" -> (es =>
+      ExpDecayAgg(es.head, Literal(1.0), es(1), ExpDecayAgg.Count)),
+    "exponentialTimeDecayedAvg" -> (es =>
+      ExpDecayAgg(es.head, es(1), es(2), ExpDecayAgg.Avg)),
+    "exponentialTimeDecayedMax" -> (es =>
+      ExpDecayAgg(es.head, es(1), es(2), ExpDecayAgg.Max)),
     "intervalLengthSum" -> (es => IntervalLengthSumAgg(es.head, es(1))),
     "maxIntersections" -> (es => MaxIntersectionsAgg(es.head, es(1))),
     // two-sample tests (StatTests.scala): moment-only t-tests partial-

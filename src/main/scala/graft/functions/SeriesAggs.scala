@@ -173,3 +173,86 @@ case class MaxIntersectionsAgg(
       c: IndexedSeq[Expression]): MaxIntersectionsAgg =
     copy(start = c(0), end = c(1))
 }
+
+/** Exponential time-decay family (exponentialMovingAverage /
+  * exponentialTimeDecayedSum/Count/Avg/Max). Weights decay from the
+  * GROUP'S LATEST time t_last: the EMA uses ClickHouse's base-2
+  * half-life weights 2^(−(t_last−t)/x) normalized by their sum; the
+  * TimeDecayed* variants use the documented e-base kernel
+  * e^(−(t_last−t)/x). The buffer sorts by (t, value) at eval, so the
+  * floating fold is identical for every partitioning and replays in
+  * an oracle summing in the same order. */
+case class ExpDecayAgg(
+    x: Expression,
+    value: Expression,
+    ts: Expression,
+    kind: ExpDecayAgg.Kind,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  import ExpDecayAgg._
+
+  override def a: Expression = ts
+  override def b: Expression = value
+  override def children: Seq[Expression] = Seq(x, ts, value)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = kind match {
+    case Ema => "exponentialMovingAverage"
+    case Sum => "exponentialTimeDecayedSum"
+    case Count => "exponentialTimeDecayedCount"
+    case Avg => "exponentialTimeDecayedAvg"
+    case Max => "exponentialTimeDecayedMax"
+  }
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) return null
+    val w = StatTests.asDouble(x.eval(null))
+    val sorted = buf.sortBy(identity)
+    val tLast = sorted.last._1
+    kind match {
+      case Ema =>
+        var num = 0.0; var den = 0.0
+        sorted.foreach { case (t, v) =>
+          val k = math.pow(2.0, -(tLast - t) / w)
+          num += v * k; den += k
+        }
+        num / den
+      case Max =>
+        var best = Double.NegativeInfinity
+        sorted.foreach { case (t, v) =>
+          val d = v * math.exp(-(tLast - t) / w)
+          if (d > best) best = d
+        }
+        best
+      case _ =>
+        var sum = 0.0; var cnt = 0.0
+        sorted.foreach { case (t, v) =>
+          val k = math.exp(-(tLast - t) / w)
+          sum += v * k; cnt += k
+        }
+        kind match {
+          case Sum => sum
+          case Count => cnt
+          case _ => sum / cnt
+        }
+    }
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): ExpDecayAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): ExpDecayAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): ExpDecayAgg =
+    copy(x = c(0), ts = c(1), value = c(2))
+}
+
+object ExpDecayAgg {
+  sealed trait Kind
+  case object Ema extends Kind
+  case object Sum extends Kind
+  case object Count extends Kind
+  case object Avg extends Kind
+  case object Max extends Kind
+}

@@ -899,6 +899,35 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // exponential time-decay battery: weights decay from each group's
+    // latest event; the oracle replays the identical sorted-(t, v)
+    // fold with ordered sums, so the doubles agree well past 6dp
+    ("q_ch_decay",
+      """SELECT event_type AS et,
+        |  round(exponentialMovingAverage(86400D, value,
+        |    cast(ts AS DOUBLE)), 6) AS ema,
+        |  round(exponentialTimeDecayedSum(86400D, value,
+        |    cast(ts AS DOUBLE)), 6) AS dsum,
+        |  round(exponentialTimeDecayedCount(86400D,
+        |    cast(ts AS DOUBLE)), 6) AS dcnt,
+        |  round(exponentialTimeDecayedAvg(86400D, value,
+        |    cast(ts AS DOUBLE)), 6) AS davg,
+        |  round(exponentialTimeDecayedMax(86400D, value,
+        |    cast(ts AS DOUBLE)), 6) AS dmax
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH b AS (SELECT event_type AS et, value AS v,
+        |    epoch(ts) AS t FROM events),
+        |m AS (SELECT et, max(t) AS tl FROM b GROUP BY et)
+        |SELECT b.et AS et,
+        |  round(sum(v * power(2, -(tl - t)/86400) ORDER BY t, v)
+        |    / sum(power(2, -(tl - t)/86400) ORDER BY t, v), 6) AS ema,
+        |  round(sum(v * exp(-(tl - t)/86400) ORDER BY t, v), 6) AS dsum,
+        |  round(sum(exp(-(tl - t)/86400) ORDER BY t, v), 6) AS dcnt,
+        |  round(sum(v * exp(-(tl - t)/86400) ORDER BY t, v)
+        |    / sum(exp(-(tl - t)/86400) ORDER BY t, v), 6) AS davg,
+        |  round(max(v * exp(-(tl - t)/86400)), 6) AS dmax
+        |FROM b JOIN m ON b.et = m.et GROUP BY b.et ORDER BY et""".stripMargin)),
+
     // IPv4 battery over Knuth-hash-synthesized addresses: format,
     // parse round trip, validity, CIDR /12 block endpoints, range
     // membership. String mins/maxes are lexicographic on BOTH engines,

@@ -1462,6 +1462,29 @@ class CHFunctionsSpec extends SparkSpec {
     assert(!r.getBoolean(6) && r.getBoolean(7))
   }
 
+  test("exponential time-decay family weights from the latest point") {
+    // t = 0, 1, 2 with x = 1: weights e^-2, e^-1, 1 (and 2^-2, 2^-1, 1
+    // for the EMA); hand-check every member
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  (10.0, 0.0), (20.0, 1.0), (30.0, 2.0) s(v, ts))
+        |SELECT exponentialMovingAverage(1D, v, ts),
+        |  exponentialTimeDecayedSum(1D, v, ts),
+        |  exponentialTimeDecayedCount(1D, ts),
+        |  exponentialTimeDecayedAvg(1D, v, ts),
+        |  exponentialTimeDecayedMax(1D, v, ts) FROM t""".stripMargin)
+    val w2 = Seq(0.25, 0.5, 1.0)
+    val we = Seq(math.exp(-2.0), math.exp(-1.0), 1.0)
+    val vs = Seq(10.0, 20.0, 30.0)
+    val ema = vs.zip(w2).map(p => p._1 * p._2).sum / w2.sum
+    val dsum = vs.zip(we).map(p => p._1 * p._2).sum
+    assert(math.abs(r.getDouble(0) - ema) < 1e-12)
+    assert(math.abs(r.getDouble(1) - dsum) < 1e-12)
+    assert(math.abs(r.getDouble(2) - we.sum) < 1e-12)
+    assert(math.abs(r.getDouble(3) - dsum / we.sum) < 1e-12)
+    assert(math.abs(r.getDouble(4) - 30.0) < 1e-12)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
