@@ -61,6 +61,13 @@ object CHFunctions {
       Multiply(p(3), Literal(256L))), p(4))
   }
 
+  /** floor(epoch / width) — exact floor for pre-epoch times too (the
+    * toRelative*Num bucket index). */
+  private def relativeNum(ts: Expression, width: Long): Expression = {
+    val t = fn("unix_timestamp", ts)
+    IntegralDivide(Subtract(t, fn("pmod", t, Literal(width))), Literal(width))
+  }
+
   private def lambdaVars = (
     UnresolvedNamedLambdaVariable(Seq("acc")),
     UnresolvedNamedLambdaVariable(Seq("x")),
@@ -1217,6 +1224,71 @@ object CHFunctions {
     "groupBitmapXor" -> (es =>
       BitmapCombineAgg(Cast(es.head, ArrayType(LongType)),
         BitmapCombineAgg.Xor)),
+
+    // --- tokenization + n-gram shapes (composed, codegen'd)
+    "tokens" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      ArrayFilter(fn("split", es.head, Literal("[^A-Za-z0-9]+")),
+        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
+    }),
+    // character n-grams: substring windows over the 1..len−n+1 axis
+    "ngrams" -> (es => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val last = Subtract(Add(fn("length", es.head), Literal(1)),
+        Cast(es(1), IntegerType))
+      val axis = ArrayFilter(
+        fn("sequence", Literal(0), fn("greatest", last, Literal(0))),
+        LambdaFunction(GreaterThanOrEqual(i, Literal(1)), Seq(i)))
+      ArrayTransform(axis, LambdaFunction(
+        fn("substring", es.head, i, Cast(es(1), IntegerType)), Seq(i)))
+    }),
+    // array shingles: length-n slices at every start position
+    "arrayShingles" -> (es => {
+      val i = UnresolvedNamedLambdaVariable(Seq("i"))
+      val last = Subtract(Add(fn("size", es.head), Literal(1)),
+        Cast(es(1), IntegerType))
+      val axis = ArrayFilter(
+        fn("sequence", Literal(0), fn("greatest", last, Literal(0))),
+        LambdaFunction(GreaterThanOrEqual(i, Literal(1)), Seq(i)))
+      ArrayTransform(axis, LambdaFunction(
+        fn("slice", es.head, i, Cast(es(1), IntegerType)), Seq(i)))
+    }),
+    // Unicode normalization + IDNA/punycode (StringExtras.scala)
+    "normalizeUTF8NFC" -> (es => NormalizeUtf8(es.head, "NFC")),
+    "normalizeUTF8NFD" -> (es => NormalizeUtf8(es.head, "NFD")),
+    "normalizeUTF8NFKC" -> (es => NormalizeUtf8(es.head, "NFKC")),
+    "normalizeUTF8NFKD" -> (es => NormalizeUtf8(es.head, "NFKD")),
+    "idnaEncode" -> (es => IdnaCode(es.head, "idnaEncode")),
+    "idnaDecode" -> (es => IdnaCode(es.head, "idnaDecode")),
+    "punycodeEncode" -> (es => IdnaCode(es.head, "punycodeEncode")),
+    "punycodeDecode" -> (es => IdnaCode(es.head, "punycodeDecode")),
+    "formatReadableTimeDelta" -> (es =>
+      FormatTimeDelta(Cast(es.head, DoubleType),
+        if (es.size > 1) es(1) else Literal("years"))),
+    "extractGroups" -> (es => ExtractGroups(es.head, es(1))),
+    "regexpExtract" -> (es =>
+      fn("regexp_extract", es.head, es(1),
+        if (es.size > 2) es(2) else Literal(1))),
+    // --- sub-second epoch bridges + relative-time buckets
+    "timeDiff" -> (es =>
+      Subtract(fn("unix_timestamp", es(1)), fn("unix_timestamp", es.head))),
+    "toUnixTimestamp64Milli" -> (es => fn("unix_millis", es.head)),
+    "toUnixTimestamp64Micro" -> (es => fn("unix_micros", es.head)),
+    "toUnixTimestamp64Nano" -> (es =>
+      Multiply(fn("unix_micros", es.head), Literal(1000L))),
+    "fromUnixTimestamp64Milli" -> (es => fn("timestamp_millis", es.head)),
+    "fromUnixTimestamp64Micro" -> (es => fn("timestamp_micros", es.head)),
+    "fromUnixTimestamp64Nano" -> (es =>
+      fn("timestamp_micros", IntegralDivide(es.head, Literal(1000L)))),
+    "toRelativeSecondNum" -> (es => fn("unix_timestamp", es.head)),
+    "toRelativeMinuteNum" -> (es => relativeNum(es.head, 60L)),
+    "toRelativeHourNum" -> (es => relativeNum(es.head, 3600L)),
+    "toRelativeDayNum" -> (es => relativeNum(es.head, 86400L)),
+    // days since 0000-01-01 proleptic Gregorian: epoch day + 719528
+    "toDaysSinceYearZero" -> (es =>
+      Add(fn("datediff", es.head,
+        Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType)),
+        Literal(719528))),
 
     // bar(x, min, max, width): horizontal bar of full blocks plus a
     // fractional-eighth glyph, ClickHouse's console histogram helper

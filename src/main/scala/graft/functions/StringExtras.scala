@@ -1,0 +1,174 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Unicode normalization (normalizeUTF8NFC/NFD/NFKC/NFKD): one static
+  * `java.text.Normalizer` call inside whole-stage codegen. */
+case class NormalizeUtf8(child: Expression, form: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"normalizeUTF8$form"
+
+  override def nullSafeEval(s: Any): Any =
+    NormalizeUtf8.compute(s.asInstanceOf[UTF8String], form)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"""graft.functions.NormalizeUtf8.compute($s, "$form")""")
+
+  override protected def withNewChildInternal(c: Expression): NormalizeUtf8 =
+    copy(child = c)
+}
+
+object NormalizeUtf8 {
+  def compute(s: UTF8String, form: String): UTF8String =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.valueOf(form)))
+}
+
+/** IDNA/punycode conversions backed by `java.net.IDN` (RFC 3490 over
+  * RFC 3492). idnaEncode produces the `xn--` ACE form; punycodeEncode
+  * strips the ACE prefix to the raw punycode body. Java's IDN
+  * case-folds to lowercase during ToASCII — a documented deviation
+  * from ClickHouse, which round-trips case through raw punycode.
+  * Invalid labels return null rather than throwing. */
+case class IdnaCode(child: Expression, mode: String)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = mode
+
+  override def nullSafeEval(s: Any): Any =
+    IdnaCode.compute(s.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.IdnaCode.compute($s, "$mode");
+         |if (${ev.value} == null) { ${ev.isNull} = true; }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): IdnaCode =
+    copy(child = c)
+}
+
+object IdnaCode {
+  def compute(sIn: UTF8String, mode: String): UTF8String = {
+    val s = sIn.toString
+    try {
+      val out = mode match {
+        case "idnaEncode" => java.net.IDN.toASCII(s)
+        case "idnaDecode" => java.net.IDN.toUnicode(s)
+        case "punycodeEncode" =>
+          val ace = java.net.IDN.toASCII(s)
+          if (ace.startsWith("xn--")) ace.substring(4) else ace
+        case _ => // punycodeDecode
+          java.net.IDN.toUnicode(if (sIn.toString.startsWith("xn--")) s
+            else "xn--" + s)
+      }
+      UTF8String.fromString(out)
+    } catch {
+      case _: IllegalArgumentException => null
+    }
+  }
+}
+
+/** formatReadableTimeDelta(seconds[, max_unit]): ClickHouse's
+  * human-readable duration — "2 hours, 7 minutes, 34 seconds" — with
+  * the documented unit ladder (years = 365 d, months = 30.5 d). The
+  * optional max_unit caps the largest unit used. */
+case class FormatTimeDelta(sec: Expression, maxUnit: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def left: Expression = sec
+  override def right: Expression = maxUnit
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "formatReadableTimeDelta"
+
+  override def nullSafeEval(s: Any, u: Any): Any =
+    FormatTimeDelta.compute(
+      s.asInstanceOf[Double], u.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, u) =>
+      s"graft.functions.FormatTimeDelta.compute($s, $u.toString())")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): FormatTimeDelta =
+    copy(sec = l, maxUnit = r)
+}
+
+object FormatTimeDelta {
+  private val units: Array[(String, Double)] = Array(
+    ("years", 31536000.0), ("months", 2635200.0), ("days", 86400.0),
+    ("hours", 3600.0), ("minutes", 60.0), ("seconds", 1.0))
+
+  def compute(secIn: Double, maxUnit: String): UTF8String = {
+    val neg = secIn < 0
+    var rem = math.abs(secIn)
+    val start = math.max(0, units.indexWhere(_._1 == maxUnit.toLowerCase))
+    val parts = new scala.collection.mutable.ArrayBuffer[String](3)
+    var i = start
+    while (i < units.length) {
+      val (name, width) = units(i)
+      val isLast = i == units.length - 1
+      val n = if (isLast) rem else math.floor(rem / width)
+      if (n > 0 || (isLast && parts.isEmpty)) {
+        val singular = name.dropRight(1)
+        val label = if (n == 1.0) singular else name
+        val rendered =
+          if (isLast && n != math.floor(n)) f"$n%.2f" else n.toLong.toString
+        parts += s"$rendered $label"
+      }
+      rem -= (if (isLast) rem else n * width)
+      i += 1
+    }
+    UTF8String.fromString((if (neg) "-" else "") + parts.mkString(", "))
+  }
+}
+
+/** extractGroups(haystack, pattern): every capture group of the FIRST
+  * match as an array of strings; empty array when no match. */
+case class ExtractGroups(str: Expression, pattern: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def left: Expression = str
+  override def right: Expression = pattern
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def prettyName: String = "extractGroups"
+
+  override def nullSafeEval(s: Any, p: Any): Any =
+    ExtractGroups.compute(
+      s.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, p) =>
+      s"graft.functions.ExtractGroups.compute($s, $p)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ExtractGroups =
+    copy(str = l, pattern = r)
+}
+
+object ExtractGroups {
+  def compute(s: UTF8String, p: UTF8String): GenericArrayData = {
+    val m = java.util.regex.Pattern.compile(p.toString).matcher(s.toString)
+    if (!m.find()) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m.groupCount())
+    var i = 0
+    while (i < m.groupCount()) {
+      val g = m.group(i + 1)
+      out(i) = if (g == null) null else UTF8String.fromString(g)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

@@ -899,6 +899,29 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // tokenizer / regex-group / epoch-bridge battery: exact integer
+    // and string aggregates only, so the replay is arithmetic-free of
+    // float hazards
+    ("q_ch_misc",
+      """SELECT pmod(event_id, 4) AS g, count(*) AS n,
+        |  sum(size(tokens(props))) AS tok,
+        |  min(element_at(extractGroups(props, '"k": (\\d+)'), 1)) AS k_min,
+        |  sum(timeDiff(timestamp'2024-01-01 00:00:00', ts)) AS tsec,
+        |  min(toUnixTimestamp64Milli(ts)) AS ms0,
+        |  max(toRelativeHourNum(ts)) AS hmax,
+        |  min(toDaysSinceYearZero(to_date(ts))) AS d0
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT event_id % 4 AS g, count(*) AS n,
+        |  sum(len(list_filter(string_split_regex(props, '[^A-Za-z0-9]+'),
+        |    t -> t != ''))) AS tok,
+        |  min(regexp_extract(props, '"k": (\d+)', 1)) AS k_min,
+        |  sum(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS tsec,
+        |  min(epoch_ms(ts)) AS ms0,
+        |  max(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS hmax,
+        |  min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |      + 719528) AS d0
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // exponential time-decay battery: weights decay from each group's
     // latest event; the oracle replays the identical sorted-(t, v)
     // fold with ordered sums, so the doubles agree well past 6dp

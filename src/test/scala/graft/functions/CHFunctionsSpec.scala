@@ -1485,6 +1485,71 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 30.0) < 1e-12)
   }
 
+  test("tokens/ngrams/arrayShingles windowing shapes") {
+    val r = one(
+      """SELECT tokens('a-b, c!! 42'), ngrams('abcd', 2), ngrams('ab', 3),
+        |  arrayShingles(array(1, 2, 3, 4), 2),
+        |  arrayShingles(array(1), 3)""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("a", "b", "c", "42"))
+    assert(r.getSeq[String](1) == Seq("ab", "bc", "cd"))
+    assert(r.getSeq[String](2) == Seq.empty)
+    assert(r.getSeq[Seq[Int]](3) == Seq(Seq(1, 2), Seq(2, 3), Seq(3, 4)))
+    assert(r.getSeq[Seq[Int]](4) == Seq.empty)
+  }
+
+  test("unicode normalization and IDNA/punycode bridges") {
+    val r = one(
+      """SELECT
+        |  length(normalizeUTF8NFD('é')), length(normalizeUTF8NFC(normalizeUTF8NFD('é'))),
+        |  normalizeUTF8NFKC('ﬁ'),
+        |  idnaEncode('münchen.de'), idnaDecode('xn--mnchen-3ya.de'),
+        |  punycodeEncode('münchen'), punycodeDecode('mnchen-3ya')""".stripMargin)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 1)
+    assert(r.getString(2) == "fi")
+    assert(r.getString(3) == "xn--mnchen-3ya.de")
+    assert(r.getString(4) == "münchen.de")
+    assert(r.getString(5) == "mnchen-3ya")
+    assert(r.getString(6) == "münchen")
+  }
+
+  test("formatReadableTimeDelta renders the documented unit ladder") {
+    val r = one(
+      """SELECT formatReadableTimeDelta(7654),
+        |  formatReadableTimeDelta(1), formatReadableTimeDelta(0),
+        |  formatReadableTimeDelta(100000, 'minutes'),
+        |  formatReadableTimeDelta(90061.5)""".stripMargin)
+    assert(r.getString(0) == "2 hours, 7 minutes, 34 seconds")
+    assert(r.getString(1) == "1 second")
+    assert(r.getString(2) == "0 seconds")
+    assert(r.getString(3) == "1666 minutes, 40 seconds")
+    assert(r.getString(4) == "1 day, 1 hour, 1 minute, 1.50 seconds")
+  }
+
+  test("epoch bridges, relative buckets, and group extraction") {
+    val r = one(
+      """SELECT
+        |  toUnixTimestamp64Milli(timestamp'2024-01-01 00:00:01.5Z'),
+        |  toUnixTimestamp64Micro(timestamp'2024-01-01 00:00:01.5Z'),
+        |  cast(fromUnixTimestamp64Milli(1704067201500L) AS STRING),
+        |  cast(fromUnixTimestamp64Nano(1704067201500000000L) AS STRING),
+        |  timeDiff(timestamp'2024-01-01 00:00:00Z', timestamp'2024-01-01 01:30:00Z'),
+        |  toRelativeHourNum(timestamp'2024-01-01 05:59:59Z'),
+        |  toRelativeDayNum(timestamp'2024-01-02 23:00:00Z'),
+        |  toDaysSinceYearZero(date'2023-09-08'),
+        |  extractGroups('hello abc=111, q=2', '(\\w+)=(\\d+)'),
+        |  regexpExtract('k: 42;', 'k: (\\d+)')""".stripMargin)
+    assert(r.getLong(0) == 1704067201500L)
+    assert(r.getLong(1) == 1704067201500000L)
+    assert(r.getString(2).startsWith("2024-01-01 00:00:01.5"))
+    assert(r.getString(3).startsWith("2024-01-01 00:00:01.5"))
+    assert(r.getLong(4) == 5400L)
+    assert(r.getLong(5) == 1704067200L / 3600 + 5)
+    assert(r.getLong(6) == 1704067200L / 86400 + 1)
+    assert(r.getInt(7) == 739136) // ClickHouse's documented vector
+    assert(r.getSeq[String](8) == Seq("abc", "111"))
+    assert(r.getString(9) == "42")
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
