@@ -85,6 +85,30 @@ object GuidePrompt {
       |- Funnels/sessions: `windowFunnel(window[, 'strict_order' |
       |  'strict_dedup' | 'strict_increase'])(ts, cond...)`,
       |  `sequenceMatch`, `retention`, session windows.
+      |- Statistics: `studentTTest/welchTTest/mannWhitneyUTest/
+      |  kolmogorovSmirnovTest(value, sample_idx)`, `rankCorr`,
+      |  `meanZTest(var_x, var_y, conf, value, idx)`, and the
+      |  cross-tab family `cramersV/cramersVBiasCorrected/theilsU/
+      |  contingency(x, y)`.
+      |- Time decay: `exponentialMovingAverage(halflife, v, t)` and
+      |  `exponentialTimeDecayedSum/Count/Avg/Max(x, ...)` — weights
+      |  decay from the group's latest point.
+      |- Bitmaps: sorted array<bigint> sets — `bitmapBuild`,
+      |  `bitmapAnd/Or/Xor/Andnot` (+`*Cardinality`), `bitmapHasAll/
+      |  HasAny/Contains`, `bitmapSubsetInRange/Limit`, and the fold
+      |  aggregates `groupBitmapAnd/Or/Xor`.
+      |- Geo: `greatCircleDistance`, `geohashEncode/Decode`,
+      |  `pointInPolygon(px, py, xs, ys)` (even-odd rule).
+      |- IP: `IPv4NumToString/StringToNum`, `isIPv4String/isIPv6String`,
+      |  `IPv6NumToString/StringToNum` (RFC 5952), `IPv4CIDRToRange/
+      |  IPv6CIDRToRange`, `isIPAddressInRange(addr, 'cidr')`.
+      |- Text/encoding: `tokens`, `ngrams(s, n)`, `arrayShingles`,
+      |  `normalizeUTF8NFC/NFD/NFKC/NFKD`, `idnaEncode/Decode`,
+      |  `punycodeEncode/Decode` (lowercased ACE, a documented
+      |  deviation), `extractGroups(s, re)`, `formatReadableTimeDelta`.
+      |- Epoch bridges: `toUnixTimestamp64Milli/Micro/Nano` +
+      |  `fromUnixTimestamp64*`, `toRelativeHour/Day/Minute/SecondNum`,
+      |  `timeDiff`, `toDaysSinceYearZero`.
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),
