@@ -665,6 +665,12 @@ object CHFunctions {
     "kolmogorovSmirnovTest" -> (es => KolmogorovSmirnovAgg(es.head, es(1))),
     "meanZTest" -> (es =>
       MeanZTestAgg(es.head, es(1), es(2), es(3), es(4))),
+    "quantileExactWeighted" -> (es =>
+      QuantileExactWeightedAgg(es.head, es(1),
+        if (es.size > 2) es(2) else Literal(0.5))),
+    "medianExactWeighted" -> (es =>
+      QuantileExactWeightedAgg(es.head, es(1), Literal(0.5))),
+    "sumKahan" -> (es => SumKahanAgg(es.head)),
     // cross-tab association family (AssocAggs.scala): the partial
     // state is the contingency table, so map-side combine reduces each
     // partition to ≤ |X|×|Y| cells before the shuffle

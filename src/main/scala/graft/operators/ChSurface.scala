@@ -899,6 +899,38 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // weighted exact quantiles + compensated money sum. The quantile
+    // crossing test `cum ≥ level·total` is IEEE arithmetic on exact
+    // integers in both engines; sumKahan's compensated total lands
+    // within 2ε of the rational cents sum, so the 2dp round agrees
+    // with the oracle's exact integer-cents path for any partition
+    // schedule — the q_ch_convert hazard class, solved at the
+    // aggregate rather than by rewriting the query
+    ("q_ch_weighted",
+      """SELECT o_orderpriority AS pri,
+        |  quantileExactWeighted(pmod(o_custkey, 100),
+        |    pmod(o_orderkey, 7) + 1, 0.5D) AS med_w,
+        |  quantileExactWeighted(pmod(o_custkey, 100),
+        |    pmod(o_orderkey, 7) + 1, 0.9D) AS p90_w,
+        |  round(sumKahan(o_totalprice), 2) AS ksum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH w AS (SELECT o_orderpriority AS pri,
+        |    o_custkey % 100 AS v, o_orderkey % 7 + 1 AS wt,
+        |    o_totalprice AS p FROM orders),
+        |g AS (SELECT pri, v, sum(wt) AS tw FROM w GROUP BY pri, v),
+        |c AS (SELECT pri, v,
+        |    sum(tw) OVER (PARTITION BY pri ORDER BY v) AS cum,
+        |    sum(tw) OVER (PARTITION BY pri) AS tot FROM g),
+        |q AS (SELECT pri,
+        |    CAST(min(v) FILTER (cum >= 0.5 * tot) AS DOUBLE) AS med_w,
+        |    CAST(min(v) FILTER (cum >= 0.9 * tot) AS DOUBLE) AS p90_w
+        |  FROM c GROUP BY pri),
+        |k AS (SELECT pri,
+        |    round(sum(CAST(round(p * 100) AS BIGINT)) / 1e2, 2) AS ksum
+        |  FROM w GROUP BY pri)
+        |SELECT q.pri AS pri, med_w, p90_w, ksum
+        |FROM q JOIN k ON q.pri = k.pri ORDER BY pri""".stripMargin)),
+
     // tokenizer / regex-group / epoch-bridge battery: exact integer
     // and string aggregates only, so the replay is arithmetic-free of
     // float hazards

@@ -88,6 +88,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(read.count(_ == ':') <= 2, read) // doc_id + text only
   }
 
+  test("cross-tab and bitmap aggregates partial-aggregate map-side") {
+    graft.sql.TableEnv.register(spark, sf)
+    // the contingency-table state must reduce BEFORE the shuffle: an
+    // ObjectHashAggregate partial stage per aggregate, no row buffering
+    val assoc = formatted(SparkEntry.queries("q_ch_assoc")(spark, sf))
+    assert(assoc.toLowerCase.contains("objecthashaggregate"), assoc.take(400))
+    assert("cramersv".r.findAllIn(assoc.toLowerCase).size >= 2, assoc.take(400))
+    val bm = formatted(SparkEntry.queries("q_ch_bitmap")(spark, sf))
+    assert("groupbitmapor".r.findAllIn(bm.toLowerCase).size >= 2, bm.take(400))
+    val wq = formatted(SparkEntry.queries("q_ch_weighted")(spark, sf))
+    assert("sumkahan".r.findAllIn(wq.toLowerCase).size >= 2, wq.take(400))
+  }
+
   test("minhash candidate generation uses a bounded number of shuffles") {
     // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
     val n = countShuffles(Dedup.dedupMinhash(spark, sf))

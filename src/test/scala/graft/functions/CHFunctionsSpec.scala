@@ -1550,6 +1550,30 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(9) == "42")
   }
 
+  test("quantileExactWeighted crosses the cumulative-weight threshold") {
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  (1.0, 1), (2.0, 1), (3.0, 1), (4.0, 1),
+        |  (10.0, 6) s(v, w))
+        |SELECT quantileExactWeighted(v, w, 0.5D),
+        |  quantileExactWeighted(v, w, 0.3D),
+        |  medianExactWeighted(v, w),
+        |  quantileExactWeighted(v, w) FROM t""".stripMargin)
+    // total weight 10: cum(4.0)=4 < 5, cum(10.0)=10 ≥ 5 → median 10
+    assert(r.getDouble(0) == 10.0)
+    // 0.3×10 = 3: cum(3.0)=3 ≥ 3 → 3.0
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 10.0)
+  }
+
+  test("sumKahan compensates catastrophic cancellation") {
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  (1e16D), (1.0D), (-1e16D), (1.0D) s(v))
+        |SELECT sumKahan(v), sum(v) FROM t""".stripMargin)
+    assert(r.getDouble(0) == 2.0) // the naive sum loses the 1.0s
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
