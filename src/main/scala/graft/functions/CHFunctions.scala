@@ -1275,6 +1275,32 @@ object CHFunctions {
     "regexpExtract" -> (es =>
       fn("regexp_extract", es.head, es(1),
         if (es.size > 2) es(2) else Literal(1))),
+    // toStartOfInterval(t, INTERVAL n unit): arbitrary-width epoch-
+    // aligned bucketing. The interval literal's type picks the path —
+    // day-time intervals floor exact microseconds (timestamp out);
+    // year-month intervals floor months-since-epoch (date out, CH's
+    // coarse-granularity return type). The interval must be constant,
+    // as in ClickHouse.
+    "toStartOfInterval" -> (es => {
+      import org.apache.spark.sql.types.{DayTimeIntervalType, YearMonthIntervalType}
+      es(1).dataType match {
+        case _: YearMonthIntervalType =>
+          val n = Literal(es(1).eval(null).asInstanceOf[Int])
+          val m = Add(Multiply(Subtract(fn("year", es.head), Literal(1970)),
+            Literal(12)), Subtract(fn("month", es.head), Literal(1)))
+          val slot = Subtract(m, fn("pmod", m, n))
+          fn("add_months",
+            Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType),
+            slot)
+        case _: DayTimeIntervalType =>
+          val us = Literal(es(1).eval(null).asInstanceOf[Long])
+          val t = fn("unix_micros", Cast(es.head,
+            org.apache.spark.sql.types.TimestampType))
+          fn("timestamp_micros", Subtract(t, fn("pmod", t, us)))
+        case other => throw new IllegalArgumentException(
+          s"toStartOfInterval expects an INTERVAL literal, got $other")
+      }
+    }),
     // --- sub-second epoch bridges + relative-time buckets
     "timeDiff" -> (es =>
       Subtract(fn("unix_timestamp", es(1)), fn("unix_timestamp", es.head))),
@@ -1778,8 +1804,30 @@ object CHFunctions {
           reg.registerFunction(FunctionIdentifier(name), info(name), builder)
         }
       }
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier("numbers"), info("numbers"), numbersBuilder)
     }
   }
+
+  /** `numbers(n)` / `numbers(offset, n)` — ClickHouse's generator
+    * table (system.numbers slice) as a real table-valued function:
+    * Spark's `Range` leaf (split across partitions, no data scanned)
+    * with the column renamed to CH's `number`. */
+  private def numbersBuilder:
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => {
+      def lit(e: Expression): Long = e.eval(null) match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"numbers() requires constant integers, got $other")
+      }
+      val (start, count) =
+        if (es.size >= 2) (lit(es.head), lit(es(1))) else (0L, lit(es.head))
+      val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+        start, start + count, 1, None)
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(Alias(range.output.head, "number")()), range)
+    }
 
   /** A handful of dialect names intentionally shadow Spark built-ins
     * (`match`, `extractAll`, ...), which Spark's registry reports with
@@ -1814,6 +1862,8 @@ object CHFunctions {
       all.foreach { case (name, builder) =>
         ext.injectFunction((FunctionIdentifier(name), info(name), builder))
       }
+      ext.injectTableFunction(
+        (FunctionIdentifier("numbers"), info("numbers"), numbersBuilder))
     }
 
   /** ClickHouse `%`-style date tokens → Spark pattern letters (the

@@ -899,6 +899,41 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // generator table function: numbers(n) plans as Spark's Range
+    // leaf — no scan, partition-splittable — under ClickHouse's name
+    // and column
+    ("q_ch_numbers",
+      """SELECT count(*) AS n, sum(number) AS s,
+        |  min(number) AS mn, max(number) AS mx
+        |FROM numbers(100000) WHERE pmod(number, 7) = 3""".stripMargin,
+      Some("""SELECT count(*) AS n, sum(number) AS s,
+        |  min(number) AS mn, max(number) AS mx
+        |FROM range(100000) t(number) WHERE number % 7 = 3""".stripMargin)),
+
+    // arbitrary-width epoch-aligned bucketing: 6-hour day-time slots
+    // (exact microsecond floor) and months-since-epoch quarters; cent
+    // sums keep the money column exact
+    ("q_ch_interval",
+      """WITH e AS (SELECT toStartOfInterval(ts, INTERVAL 6 HOUR) AS slot,
+        |    cast(toStartOfInterval(to_date(ts), INTERVAL 3 MONTH)
+        |      AS STRING) AS q, value
+        |  FROM events)
+        |SELECT slot, count(*) AS n,
+        |  round(sum(toInt64(round(value * 100))) / 1e2, 2) AS v,
+        |  min(q) AS q0
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH e AS (SELECT
+        |    CAST(to_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT)
+        |      * 21600) AS TIMESTAMP) AS slot,
+        |    (year(ts) - 1970) * 12 + month(ts) - 1 AS me,
+        |    value AS v
+        |  FROM events)
+        |SELECT slot, count(*) AS n,
+        |  round(sum(CAST(round(v * 100) AS BIGINT)) / 1e2, 2) AS v,
+        |  min(strftime(make_date(CAST(1970 + (me - me % 3) // 12 AS INT),
+        |    CAST((me - me % 3) % 12 + 1 AS INT), 1), '%Y-%m-%d')) AS q0
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // weighted exact quantiles + compensated money sum. The quantile
     // crossing test `cum ≥ level·total` is IEEE arithmetic on exact
     // integers in both engines; sumKahan's compensated total lands

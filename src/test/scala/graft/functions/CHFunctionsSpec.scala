@@ -1574,6 +1574,27 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(0) == 2.0) // the naive sum loses the 1.0s
   }
 
+  test("numbers() generates, and toStartOfInterval floors both kinds") {
+    val r = one(
+      """SELECT
+        |  (SELECT count(*) FROM numbers(100)),
+        |  (SELECT sum(number) FROM numbers(10)),
+        |  (SELECT min(number) FROM numbers(5, 10)),
+        |  cast(toStartOfInterval(timestamp'2024-03-05 13:47:12Z',
+        |    INTERVAL 15 MINUTE) AS STRING),
+        |  cast(toStartOfInterval(timestamp'2024-03-05 13:47:12Z',
+        |    INTERVAL 6 HOUR) AS STRING),
+        |  cast(toStartOfInterval(date'2024-05-20', INTERVAL 3 MONTH) AS STRING),
+        |  cast(toStartOfInterval(date'2024-05-20', INTERVAL 1 YEAR) AS STRING)""".stripMargin)
+    assert(r.getLong(0) == 100L)
+    assert(r.getLong(1) == 45L)
+    assert(r.getLong(2) == 5L)
+    assert(r.getString(3) == "2024-03-05 13:45:00")
+    assert(r.getString(4) == "2024-03-05 12:00:00")
+    assert(r.getString(5) == "2024-04-01")
+    assert(r.getString(6) == "2024-01-01")
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
