@@ -1787,10 +1787,105 @@ object CHFunctions {
     }),
     // ClickHouse vector-distance family over array<double>
     "dotProduct" -> (es => DotProduct(es.head, es(1))),
+    "arrayDotProduct" -> (es => DotProduct(es.head, es(1))),
     "L2SquaredDistance" -> (es => L2SquaredDistance(es.head, es(1))),
     "L2Distance" -> (es => Sqrt(L2SquaredDistance(es.head, es(1)))),
     "L2Norm" -> (es => Sqrt(DotProduct(es.head, es.head))),
-    "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)))
+    "L2SquaredNorm" -> (es => DotProduct(es.head, es.head)),
+    // Manhattan / Chebyshev norms as codegen'd HOF folds
+    "L1Distance" -> (es => absFold(es.head, es(1), max = false)),
+    "LinfDistance" -> (es => absFold(es.head, es(1), max = true)),
+    "L1Norm" -> (es => absNormFold(es.head, max = false)),
+    "LinfNorm" -> (es => absNormFold(es.head, max = true)),
+    "normalizeL2" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      val nrm = Sqrt(DotProduct(es.head, es.head))
+      ArrayTransform(es.head, LambdaFunction(
+        Divide(Cast(x, DoubleType), nrm), Seq(x)))
+    }),
+
+    // multiSearch family: positions of each needle / first match by
+    // scan order (leftmost occurrence; ties go to the earlier needle)
+    "multiSearchAllPositions" -> (es => {
+      val nd = UnresolvedNamedLambdaVariable(Seq("nd"))
+      ArrayTransform(es(1), LambdaFunction(
+        Cast(fn("locate", nd, es.head), LongType), Seq(nd)))
+    }),
+    "multiSearchFirstIndex" -> (es => multiSearchBest(es.head, es(1), wantIdx = true)),
+    "multiSearchFirstPosition" -> (es => multiSearchBest(es.head, es(1), wantIdx = false)),
+
+    // Greenwald-Khanna approximate quantiles under CH names:
+    // quantileGK(accuracy)(x, level) flattens to (accuracy, x, level)
+    "quantileGK" -> (es =>
+      fn("approx_percentile", es(1), es(2), es.head)),
+    "quantilesGK" -> (es =>
+      fn("approx_percentile", es(1), CreateArray(es.drop(2)), es.head)),
+    // Spark's moment aggregates are already Welford-stable — the
+    // *Stable names are exact aliases
+    "varPopStable" -> (es => fn("var_pop", es.head)),
+    "varSampStable" -> (es => fn("var_samp", es.head)),
+    "stddevPopStable" -> (es => fn("stddev_pop", es.head)),
+    "stddevSampStable" -> (es => fn("stddev_samp", es.head)),
+    "tuple" -> (es => fn("struct", es: _*)),
+    "mapConcat" -> (es => fn("map_concat", es: _*)),
+    // random generators (nondeterministic by nature): rand() is CH's
+    // UInt32, randCanonical/randNormal the [0,1) / standard-normal
+    "randCH" -> (es =>
+      Cast(Multiply(fn("rand"), Literal(4294967296.0)), LongType)),
+    "randCanonical" -> (_ => fn("rand")),
+    "randNormal" -> (_ => fn("randn")))
+
+  /** Σ|aᵢ−bᵢ| or max|aᵢ−bᵢ| over zipped arrays (L1/Linf family). */
+  private def absFold(a: Expression, b: Expression, max: Boolean): Expression = {
+    val (acc, x, fin) = lambdaVars
+    val xx = UnresolvedNamedLambdaVariable(Seq("xa"))
+    val yy = UnresolvedNamedLambdaVariable(Seq("ya"))
+    val diffs = fn("zip_with", a, b, LambdaFunction(
+      Abs(Subtract(Cast(xx, DoubleType), Cast(yy, DoubleType))), Seq(xx, yy)))
+    ArrayAggregate(diffs, Literal(0.0),
+      LambdaFunction(
+        if (max) fn("greatest", acc, x) else Add(acc, x), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** Σ|aᵢ| or max|aᵢ| over one array (L1/Linf norms). */
+  private def absNormFold(a: Expression, max: Boolean): Expression = {
+    val (acc, x, fin) = lambdaVars
+    val v = UnresolvedNamedLambdaVariable(Seq("xv"))
+    val absd = ArrayTransform(a, LambdaFunction(
+      Abs(Cast(v, DoubleType)), Seq(v)))
+    ArrayAggregate(absd, Literal(0.0),
+      LambdaFunction(
+        if (max) fn("greatest", acc, x) else Add(acc, x), Seq(acc, x)),
+      LambdaFunction(fin, Seq(fin)))
+  }
+
+  /** Fold needle positions to the leftmost match: the running state is
+    * struct(pos, idx); a needle beats it only with a strictly smaller
+    * found position, so ties keep the earlier needle. */
+  private def multiSearchBest(
+      h: Expression, needles: Expression, wantIdx: Boolean): Expression = {
+    val (acc, i, fin) = lambdaVars
+    val nd = UnresolvedNamedLambdaVariable(Seq("nd"))
+    val ps = ArrayTransform(needles, LambdaFunction(
+      Cast(fn("locate", nd, h), LongType), Seq(nd)))
+    val p = fn("element_at", ps, i)
+    val zero = fn("named_struct",
+      Literal("pos"), Literal(Long.MaxValue), Literal("idx"), Literal(0L))
+    val better = fn("named_struct",
+      Literal("pos"), p, Literal("idx"), Cast(i, LongType))
+    val folded = ArrayAggregate(indexAxis(ps), zero,
+      LambdaFunction(
+        If(And(GreaterThan(p, Literal(0L)),
+          LessThan(p, UnresolvedExtractValue(acc, Literal("pos")))),
+          better, acc),
+        Seq(acc, i)),
+      LambdaFunction(fin, Seq(fin)))
+    val pos = UnresolvedExtractValue(folded, Literal("pos"))
+    val idx = UnresolvedExtractValue(folded, Literal("idx"))
+    If(EqualTo(pos, Literal(Long.MaxValue)), Literal(0L),
+      if (wantIdx) idx else pos)
+  }
 
   /** Register into a live session (used by [[graft.sql.TableEnv]]).
     * Idempotent: re-registering an existing function makes Spark's

@@ -899,6 +899,62 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // L1/Linf vector family + normalizeL2 over the shifted-pair join;
+    // the oracle folds |aᵢ−bᵢ| in the same index order via
+    // list_transform over generate_series
+    ("q_ch_vector2",
+      """SELECT a.vec_id,
+        |  round(L1Distance(a.embedding, b.embedding), 4) AS l1,
+        |  round(LinfDistance(a.embedding, b.embedding), 6) AS linf,
+        |  round(L1Norm(a.embedding), 4) AS n1,
+        |  round(LinfNorm(a.embedding), 6) AS ninf,
+        |  round(dotProduct(normalizeL2(a.embedding),
+        |    normalizeL2(a.embedding)), 6) AS unit
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin,
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+        |  FROM embeddings)
+        |SELECT a.vec_id,
+        |  round(list_sum(list_transform(generate_series(1, len(a.emb)),
+        |    i -> abs(a.emb[i] - b.emb[i]))), 4) AS l1,
+        |  round(list_max(list_transform(generate_series(1, len(a.emb)),
+        |    i -> abs(a.emb[i] - b.emb[i]))), 6) AS linf,
+        |  round(list_sum(list_transform(a.emb, x -> abs(x))), 4) AS n1,
+        |  round(list_max(list_transform(a.emb, x -> abs(x))), 6) AS ninf,
+        |  round(list_inner_product(
+        |    list_transform(a.emb, x ->
+        |      x / sqrt(list_inner_product(a.emb, a.emb)))::DOUBLE[],
+        |    list_transform(a.emb, x ->
+        |      x / sqrt(list_inner_product(a.emb, a.emb)))::DOUBLE[]),
+        |    6) AS unit
+        |FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        |WHERE a.vec_id < 100 ORDER BY a.vec_id""".stripMargin)),
+
+    // multiSearch battery over document text: the oracle rebuilds the
+    // leftmost-needle rule from per-needle strpos with the tie-to-
+    // earlier-needle convention made explicit
+    ("q_ch_search2",
+      """SELECT pmod(doc_id, 4) AS g, count(*) AS n,
+        |  countIf(multiSearchFirstIndex(text,
+        |    array('the', 'and', 'data')) = 1) AS n_the,
+        |  sum(multiSearchFirstPosition(text,
+        |    array('data', 'model'))) AS sp,
+        |  sum(element_at(multiSearchAllPositions(text,
+        |    array('e', 'zqx')), 1)) AS pe
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH p AS (SELECT doc_id % 4 AS g,
+        |    strpos(text, 'the') AS p1, strpos(text, 'and') AS p2,
+        |    strpos(text, 'data') AS p3,
+        |    strpos(text, 'data') AS pd, strpos(text, 'model') AS pm,
+        |    strpos(text, 'e') AS pe
+        |  FROM documents)
+        |SELECT g, count(*) AS n,
+        |  count(*) FILTER (p1 > 0 AND (p2 = 0 OR p1 <= p2)
+        |    AND (p3 = 0 OR p1 <= p3)) AS n_the,
+        |  sum(coalesce(least(nullif(pd, 0), nullif(pm, 0)), 0)) AS sp,
+        |  sum(pe) AS pe
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // generator table function: numbers(n) plans as Spark's Range
     // leaf — no scan, partition-splittable — under ClickHouse's name
     // and column

@@ -1595,6 +1595,43 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(6) == "2024-01-01")
   }
 
+  test("multiSearch family finds the leftmost needle") {
+    val r = one(
+      """SELECT
+        |  multiSearchAllPositions('hello world', array('world', 'xyz', 'hello')),
+        |  multiSearchFirstIndex('hello world', array('world', 'hello')),
+        |  multiSearchFirstPosition('hello world', array('world', 'hello')),
+        |  multiSearchFirstIndex('abc', array('x', 'y')),
+        |  multiSearchFirstPosition('abc', array('x', 'y')),
+        |  multiSearchFirstIndex('aaa', array('a', 'aa'))""".stripMargin)
+    assert(r.getSeq[Long](0) == Seq(7L, 0L, 1L))
+    // 'hello' at 1 beats 'world' at 7 → needle index 2
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == 0L)
+    // both match at position 1 → tie keeps the earlier needle
+    assert(r.getLong(5) == 1L)
+  }
+
+  test("L1/Linf norms, normalizeL2, and the misc aliases") {
+    val r = one(
+      """SELECT
+        |  L1Distance(array(1.0D, -2.0D), array(3.0D, 1.0D)),
+        |  LinfDistance(array(1.0D, -2.0D), array(3.0D, 1.0D)),
+        |  L1Norm(array(3.0D, -4.0D)), LinfNorm(array(3.0D, -4.0D)),
+        |  normalizeL2(array(3.0D, 4.0D)),
+        |  tuple(1, 'a').col2,
+        |  map_keys(mapConcat(map('a', 1), map('b', 2))),
+        |  quantileGK(100, cast(number AS DOUBLE), 0.5D)
+        |FROM numbers(101)""".stripMargin)
+    assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 4.0)
+    assert(r.getSeq[Double](4) == Seq(0.6, 0.8))
+    assert(r.getString(5) == "a")
+    assert(r.getSeq[String](6).sorted == Seq("a", "b"))
+    assert(math.abs(r.getDouble(7) - 50.0) <= 1.0)
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
