@@ -1833,7 +1833,126 @@ object CHFunctions {
     "randCH" -> (es =>
       Cast(Multiply(fn("rand"), Literal(4294967296.0)), LongType)),
     "randCanonical" -> (_ => fn("rand")),
-    "randNormal" -> (_ => fn("randn")))
+    "randNormal" -> (_ => fn("randn")),
+
+    // arrayReduce('agg', arr): CH's aggregate-by-name over an array,
+    // dispatched at analysis time onto the SAME builders the names
+    // resolve to in SQL — so `arrayReduce('sum', a)` IS `arraySum(a)`
+    "arrayReduce" -> (es => {
+      val name = es.head match {
+        case Literal(s, StringType) if s != null => s.toString
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce needs a constant aggregate name, got $other")
+      }
+      val a = es(1)
+      name.toLowerCase match {
+        case "sum" => byName("arraySum")(Seq(a))
+        case "min" => fn("array_min", a)
+        case "max" => fn("array_max", a)
+        case "avg" => byName("arrayAvg")(Seq(a))
+        case "count" => Cast(fn("size", a), LongType)
+        case "uniq" | "uniqexact" =>
+          Cast(fn("size", fn("array_distinct", a)), LongType)
+        case "any" => fn("try_element_at", a, Literal(1))
+        case "anylast" => fn("try_element_at", a, Literal(-1))
+        case "median" | "medianexact" =>
+          // lower median of the sorted array (CH medianExact)
+          fn("try_element_at", fn("array_sort", a),
+            Cast(Divide(Add(fn("size", a), Literal(1)), Literal(2)),
+              IntegerType))
+        case other => throw new IllegalArgumentException(
+          s"arrayReduce: unsupported aggregate '$other'")
+      }
+    }),
+    // UUID bridges: text ↔ 16-byte binary; generateUUIDv4 delegates
+    // to Spark's uuid() (nondeterministic by nature)
+    "generateUUIDv4" -> (_ => fn("uuid")),
+    "UUIDStringToNum" -> (es =>
+      fn("unhex", fn("replace", es.head, Literal("-"), Literal("")))),
+    "UUIDNumToString" -> (es => {
+      val h = fn("lower", fn("hex", es.head))
+      fn("concat_ws", Literal("-"),
+        fn("substring", h, Literal(1), Literal(8)),
+        fn("substring", h, Literal(9), Literal(4)),
+        fn("substring", h, Literal(13), Literal(4)),
+        fn("substring", h, Literal(17), Literal(4)),
+        fn("substring", h, Literal(21), Literal(12)))
+    }),
+    // bit probes
+    "bitTest" -> (es =>
+      Cast(BitwiseAnd(ShiftRight(Cast(es.head, LongType),
+        Cast(es(1), IntegerType)), Literal(1L)), IntegerType)),
+    "bitTestAll" -> (es => {
+      val x = Cast(es.head, LongType)
+      es.drop(1).map(p =>
+        EqualTo(BitwiseAnd(ShiftRight(x, Cast(p, IntegerType)),
+          Literal(1L)), Literal(1L)))
+        .reduceLeft[Expression]((a, b) => And(a, b))
+    }),
+    "bitTestAny" -> (es => {
+      val x = Cast(es.head, LongType)
+      es.drop(1).map(p =>
+        EqualTo(BitwiseAnd(ShiftRight(x, Cast(p, IntegerType)),
+          Literal(1L)), Literal(1L)))
+        .reduceLeft[Expression]((a, b) => Or(a, b))
+    }),
+    "bitHammingDistance" -> (es =>
+      fn("bit_count", BitwiseXor(Cast(es.head, LongType),
+        Cast(es(1), LongType)))),
+    // split/trim/index string extras
+    "splitByRegexp" -> (es => fn("split", es(1), es.head)),
+    "splitByWhitespace" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      ArrayFilter(fn("split", es.head, Literal("\\s+")),
+        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
+    }),
+    "trimLeft" -> (es => fn("ltrim", es.head)),
+    "trimRight" -> (es => fn("rtrim", es.head)),
+    "substringIndexCH" -> (es =>
+      fn("substring_index", es.head, es(1), es(2))),
+    "hasToken" -> (es =>
+      fn("array_contains", byName("tokens")(Seq(es.head)), es(1))),
+    // type/environment introspection
+    "toTypeName" -> (es => ToTypeName(es.head)),
+    "currentDatabase" -> (_ => Literal("default")),
+    "hostName" -> (_ => Literal(
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Throwable => "localhost" })),
+    // best-effort timestamp parsing: the documented subset — ISO with
+    // 'T' or space, date-only, slashed day-first, compact digits —
+    // first match wins, null when nothing fits
+    "parseDateTimeBestEffort" -> (es => Coalesce(Seq(
+      fn("try_to_timestamp", es.head),
+      fn("try_to_timestamp", es.head,
+        Literal("yyyy-MM-dd'T'HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("yyyy/MM/dd HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy")),
+      fn("try_to_timestamp", es.head, Literal("yyyyMMddHHmmss")),
+      fn("try_to_timestamp", es.head, Literal("yyyyMMdd"))))),
+    "parseDateTimeBestEffortOrNull" -> (es => Coalesce(Seq(
+      fn("try_to_timestamp", es.head),
+      fn("try_to_timestamp", es.head,
+        Literal("yyyy-MM-dd'T'HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("yyyy/MM/dd HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy HH:mm:ss")),
+      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy")),
+      fn("try_to_timestamp", es.head, Literal("yyyyMMddHHmmss")),
+      fn("try_to_timestamp", es.head, Literal("yyyyMMdd"))))),
+    "toDateOrNull" -> (es =>
+      Cast(fn("try_to_timestamp", es.head),
+        org.apache.spark.sql.types.DateType)),
+    "toDateTimeOrNull" -> (es =>
+      fn("try_to_timestamp", es.head)),
+    // raw JSON subtree as text
+    "JSONExtractRaw" -> (es =>
+      fn("get_json_object", es.head,
+        Concat(Seq(Literal("$."), es(1))))))
+
+  /** Name → builder lookup for meta-functions (arrayReduce, hasToken)
+    * that dispatch onto other registered builders at analysis time.
+    * Lazy: `all` must finish initializing first. */
+  private lazy val byName: Map[String, Builder] = all.toMap
 
   /** Σ|aᵢ−bᵢ| or max|aᵢ−bᵢ| over zipped arrays (L1/Linf family). */
   private def absFold(a: Expression, b: Expression, max: Boolean): Expression = {

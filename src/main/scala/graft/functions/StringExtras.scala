@@ -172,3 +172,28 @@ object ExtractGroups {
     new GenericArrayData(out)
   }
 }
+
+/** toTypeName(x): the ClickHouse-style type introspector — renders the
+  * argument's RESOLVED Spark SQL type as a constant string (the value
+  * is never evaluated, only its analyzed type). */
+case class ToTypeName(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+  override def prettyName: String = "toTypeName"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    UTF8String.fromString(child.dataType.sql)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("typeName",
+      UTF8String.fromString(child.dataType.sql), "UTF8String")
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
+      .BlockHelper(new StringContext(
+        s"UTF8String ${ev.value} = $ref; boolean ${ev.isNull} = false;"))
+      .code())
+  }
+
+  override protected def withNewChildInternal(c: Expression): ToTypeName =
+    copy(child = c)
+}

@@ -899,6 +899,22 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // arrayReduce dispatch + bit probes over synthesized small ints —
+    // exact integer arithmetic end to end
+    ("q_ch_reduce",
+      """SELECT o_orderpriority AS pri,
+        |  round(sum(arrayReduce('sum',
+        |    array(pmod(o_orderkey, 10), pmod(o_custkey, 10)))), 1) AS s,
+        |  countIf(bitTest(o_orderkey, 0) = 1) AS odd_keys,
+        |  sum(bitHammingDistance(pmod(o_orderkey, 256),
+        |    pmod(o_custkey, 256))) AS hd
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT o_orderpriority AS pri,
+        |  round(sum(CAST(o_orderkey % 10 + o_custkey % 10 AS DOUBLE)), 1) AS s,
+        |  count(*) FILTER (o_orderkey % 2 = 1) AS odd_keys,
+        |  sum(bit_count(xor(o_orderkey % 256, o_custkey % 256))) AS hd
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // L1/Linf vector family + normalizeL2 over the shifted-pair join;
     // the oracle folds |aᵢ−bᵢ| in the same index order via
     // list_transform over generate_series

@@ -1632,6 +1632,68 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(7) - 50.0) <= 1.0)
   }
 
+  test("arrayReduce dispatches onto the registered array builders") {
+    val r = one(
+      """SELECT arrayReduce('sum', array(1, 2, 3)),
+        |  arrayReduce('min', array(5, 2, 9)),
+        |  arrayReduce('avg', array(1.0D, 3.0D)),
+        |  arrayReduce('count', array(7, 8)),
+        |  arrayReduce('uniqExact', array(1, 1, 2)),
+        |  arrayReduce('any', array(4, 5)),
+        |  arrayReduce('anyLast', array(4, 5)),
+        |  arrayReduce('median', array(9, 1, 5)),
+        |  arrayReduce('median', array(4, 1, 3, 2))""".stripMargin)
+    assert(r.getDouble(0) == 6.0) // arraySum's double fold
+    assert(r.getInt(1) == 2)
+    assert(r.getDouble(2) == 2.0)
+    assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
+    assert(r.getInt(5) == 4 && r.getInt(6) == 5)
+    assert(r.getInt(7) == 5)
+    assert(r.getInt(8) == 2) // lower median of even-sized arrays
+  }
+
+  test("UUID bridges, bit probes, and string extras") {
+    val r = one(
+      """SELECT
+        |  UUIDNumToString(UUIDStringToNum('550e8400-e29b-41d4-a716-446655440000')),
+        |  length(cast(generateUUIDv4() AS STRING)),
+        |  bitTest(5, 0), bitTest(5, 1),
+        |  bitTestAll(5, 0, 2), bitTestAll(5, 0, 1), bitTestAny(5, 1, 3),
+        |  bitTestAny(5, 0, 1),
+        |  bitHammingDistance(5, 6),
+        |  splitByRegexp('[0-9]+', 'a1b22c'),
+        |  splitByWhitespace('  a  b '),
+        |  trimLeft('  x '), trimRight('  x '),
+        |  substringIndexCH('a.b.c', '.', 2),
+        |  hasToken('hello, world!', 'world'),
+        |  toTypeName(1), toTypeName('x'), toTypeName(array(1.0D)),
+        |  currentDatabase(),
+        |  cast(parseDateTimeBestEffort('2024-01-02T10:20:30') AS STRING),
+        |  cast(parseDateTimeBestEffort('02/03/2024') AS STRING),
+        |  parseDateTimeBestEffortOrNull('garbage'),
+        |  cast(toDateOrNull('2024-05-06') AS STRING),
+        |  JSONExtractRaw('{"a": {"b": 1}}', 'a')""".stripMargin)
+    assert(r.getString(0) == "550e8400-e29b-41d4-a716-446655440000")
+    assert(r.getInt(1) == 36)
+    assert(r.getInt(2) == 1 && r.getInt(3) == 0)
+    assert(r.getBoolean(4) && !r.getBoolean(5))
+    assert(!r.getBoolean(6) && r.getBoolean(7))
+    assert(r.getInt(8) == 2) // 101 vs 110 differ in two bits
+    assert(r.getSeq[String](9) == Seq("a", "b", "c"))
+    assert(r.getSeq[String](10) == Seq("a", "b"))
+    assert(r.getString(11) == "x " && r.getString(12) == "  x")
+    assert(r.getString(13) == "a.b")
+    assert(r.getBoolean(14))
+    assert(r.getString(15) == "INT" && r.getString(16) == "STRING")
+    assert(r.getString(17) == "ARRAY<DOUBLE>")
+    assert(r.getString(18) == "default")
+    assert(r.getString(19) == "2024-01-02 10:20:30")
+    assert(r.getString(20) == "2024-03-02 00:00:00")
+    assert(r.isNullAt(21))
+    assert(r.getString(22) == "2024-05-06")
+    assert(r.getString(23) == """{"b":1}""")
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
