@@ -671,6 +671,26 @@ object CHFunctions {
     "medianExactWeighted" -> (es =>
       QuantileExactWeightedAgg(es.head, es(1), Literal(0.5))),
     "sumKahan" -> (es => SumKahanAgg(es.head)),
+    // distributed OLS (LinReg.scala): state = normal equations;
+    // stochasticLinearRegression is the CH-name alias (documented: the
+    // exact least-squares argmin instead of an SGD approximation to it)
+    "linearRegression" -> (es => LinRegAgg(es.head, es.drop(1))),
+    "stochasticLinearRegression" -> (es => LinRegAgg(es.head, es.drop(1))),
+    // evalMLMethod(weights, f1..fk) = Σ wᵢfᵢ + bias — unrolled at
+    // analysis time from the argument count, fully codegen'd
+    "evalMLMethod" -> (es => {
+      val w = es.head
+      val feats = es.drop(1)
+      val terms = feats.zipWithIndex.map { case (f, i) =>
+        Multiply(fn("element_at", w, Literal(i + 1)),
+          Cast(f, DoubleType))
+      }
+      val bias = fn("element_at", w, Literal(feats.size + 1))
+      (terms :+ (bias: Expression)).reduceLeft[Expression](Add(_, _))
+    }),
+    "seriesOutliersDetectTukey" -> (es =>
+      TukeyOutliers(es.head, if (es.size > 1) es(1) else Literal(1.5))),
+    "seriesPeriodDetectFFT" -> (es => FftPeriod(es.head)),
     // cross-tab association family (AssocAggs.scala): the partial
     // state is the contingency table, so map-side combine reduces each
     // partition to ≤ |X|×|Y| cells before the shuffle

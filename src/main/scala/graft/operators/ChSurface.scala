@@ -899,6 +899,69 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // distributed OLS: integer-synthesized target/features keep every
+    // normal-equation sum exact, the oracle solves the same 3×3 system
+    // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps
+    ("q_ch_mlreg",
+      """WITH m AS (
+        |  SELECT o_orderpriority AS pri,
+        |    linearRegression(pmod(o_orderkey, 97),
+        |      pmod(o_orderkey, 10), pmod(o_custkey, 10)) AS w
+        |  FROM orders GROUP BY 1)
+        |SELECT pri,
+        |  round(element_at(w, 1), 6) AS w1,
+        |  round(element_at(w, 2), 6) AS w2,
+        |  round(element_at(w, 3), 6) AS b
+        |FROM m ORDER BY pri""".stripMargin,
+      Some("""WITH b AS (SELECT o_orderpriority AS pri,
+        |    CAST(o_orderkey % 97 AS DOUBLE) AS t,
+        |    CAST(o_orderkey % 10 AS DOUBLE) AS x,
+        |    CAST(o_custkey % 10 AS DOUBLE) AS y FROM orders),
+        |s AS (SELECT pri, count(*) AS n,
+        |    sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*t) AS sxt, sum(y*t) AS syt, sum(t) AS st
+        |  FROM b GROUP BY pri),
+        |d AS (SELECT pri,
+        |    sxx*(syy*n - sy*sy) - sxy*(sxy*n - sy*sx)
+        |      + sx*(sxy*sy - syy*sx) AS det,
+        |    sxt*(syy*n - sy*sy) - sxy*(syt*n - sy*st)
+        |      + sx*(syt*sy - syy*st) AS d1,
+        |    sxx*(syt*n - st*sy) - sxt*(sxy*n - sy*sx)
+        |      + sx*(sxy*st - syt*sx) AS d2,
+        |    sxx*(syy*st - syt*sy) - sxy*(sxy*st - syt*sx)
+        |      + sxt*(sxy*sy - syy*sx) AS d3
+        |  FROM s)
+        |SELECT pri, round(d1/det, 6) AS w1, round(d2/det, 6) AS w2,
+        |  round(d3/det, 6) AS b
+        |FROM d ORDER BY pri""".stripMargin)),
+
+    // Tukey outlier scores over per-user cent-integer series: scores
+    // live on the exact quarter-cent grid (R-7 quartiles of integers),
+    // so sums are order-independent and replay exactly
+    ("q_ch_tukey",
+      """WITH g AS (SELECT pmod(user_id, 10) AS g,
+        |    groupArray(toFloat64(toInt64(round(value * 100)))) AS vs
+        |  FROM events GROUP BY 1)
+        |SELECT g, size(vs) AS n,
+        |  round(aggregate(seriesOutliersDetectTukey(vs), 0.0D,
+        |    (acc, s) -> acc + s), 6) AS score_sum,
+        |  size(filter(seriesOutliersDetectTukey(vs), s -> s != 0.0D)) AS n_out
+        |FROM g ORDER BY g""".stripMargin,
+      Some("""WITH b AS (SELECT user_id % 10 AS g,
+        |    CAST(round(value * 100) AS DOUBLE) AS v FROM events),
+        |qq AS (SELECT g, quantile_cont(v, 0.25) AS q1,
+        |    quantile_cont(v, 0.75) AS q3 FROM b GROUP BY g),
+        |sc AS (SELECT b.g AS g,
+        |    CASE WHEN v < q1 - 1.5*(q3 - q1) THEN v - (q1 - 1.5*(q3 - q1))
+        |         WHEN v > q3 + 1.5*(q3 - q1) THEN v - (q3 + 1.5*(q3 - q1))
+        |         ELSE 0.0 END AS s
+        |  FROM b JOIN qq ON b.g = qq.g)
+        |SELECT g, CAST(count(*) AS INT) AS n,
+        |  round(sum(s), 6) AS score_sum,
+        |  CAST(count(*) FILTER (s != 0) AS INT) AS n_out
+        |FROM sc GROUP BY g ORDER BY g""".stripMargin)),
+
     // arrayReduce dispatch + bit probes over synthesized small ints —
     // exact integer arithmetic end to end
     ("q_ch_reduce",

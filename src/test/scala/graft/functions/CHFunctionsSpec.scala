@@ -1694,6 +1694,36 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(23) == """{"b":1}""")
   }
 
+  test("linearRegression solves exact OLS and evalMLMethod applies it") {
+    val r = one(
+      """WITH t AS (SELECT * FROM VALUES
+        |  (1.0, 2.0), (2.0, 1.0), (3.0, 5.0), (4.0, 2.0),
+        |  (5.0, 9.0), (6.0, 3.0), (7.0, 1.0) s(x1, x2)),
+        |m AS (SELECT linearRegression(2*x1 - 3*x2 + 5, x1, x2) AS w FROM t)
+        |SELECT w, round(evalMLMethod(w, 10.0D, 1.0D), 9) FROM m""".stripMargin)
+    val w = r.getSeq[Double](0)
+    assert(math.abs(w(0) - 2.0) < 1e-9)
+    assert(math.abs(w(1) - -3.0) < 1e-9)
+    assert(math.abs(w(2) - 5.0) < 1e-9)
+    assert(math.abs(r.getDouble(1) - 22.0) < 1e-6) // 2·10 − 3·1 + 5
+  }
+
+  test("Tukey outlier scores and FFT period detection") {
+    val r = one(
+      """SELECT
+        |  seriesOutliersDetectTukey(array(1.0D, 2.0D, 3.0D, 4.0D, 100.0D)),
+        |  seriesOutliersDetectTukey(array(1.0D, 2.0D, 3.0D)),
+        |  seriesPeriodDetectFFT(transform(sequence(0, 31),
+        |    i -> sin(2 * pi() * i / 8.0D))),
+        |  seriesPeriodDetectFFT(array(5.0D, 5.0D, 5.0D, 5.0D))""".stripMargin)
+    // q1=2, q3=4, fences [-1, 7]: only 100 scores, at 100−7=93
+    assert(r.getSeq[Double](0) == Seq(0.0, 0.0, 0.0, 0.0, 93.0))
+    // under 4 points → all zeros
+    assert(r.getSeq[Double](1) == Seq(0.0, 0.0, 0.0))
+    assert(r.getDouble(2) == 8.0)
+    assert(r.getDouble(3) == 0.0) // constant series has no period
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (

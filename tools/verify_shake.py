@@ -13,6 +13,7 @@ setting HERE, before the driver's single-shot run can see it.
 Every declared oracle must pass at every setting; exit 1 otherwise.
 """
 import os
+import shutil
 import subprocess
 import sys
 
@@ -29,6 +30,10 @@ def main():
     bad = []
     for c in CPUS:
         out = f"/tmp/graft_shake_{c}"
+        # a subset run writes only its queries' dirs; stale results from
+        # an earlier full run would then be compared against the fresh
+        # oracle json and report phantom failures — always start clean
+        shutil.rmtree(out, ignore_errors=True)
         print(f"=== SPARK_GRAFT_CPUS={c} -> {out}", flush=True)
         run_args = " ".join(["graft.Verify", sf_dir, out] + queries)
         r = subprocess.run(
