@@ -109,6 +109,20 @@ object GuidePrompt {
       |- Epoch bridges: `toUnixTimestamp64Milli/Micro/Nano` +
       |  `fromUnixTimestamp64*`, `toRelativeHour/Day/Minute/SecondNum`,
       |  `timeDiff`, `toDaysSinceYearZero`.
+      |- ML/series: `linearRegression(target, f...)` (exact distributed
+      |  OLS; `stochasticLinearRegression` is an alias) +
+      |  `evalMLMethod(weights, f...)`, `seriesOutliersDetectTukey`,
+      |  `seriesPeriodDetectFFT`, `arrayReduce('agg', arr)`.
+      |- Generators: `numbers(n)` / `numbers(offset, n)` table function
+      |  (scan-free Range plan), `toStartOfInterval(t, INTERVAL n unit)`.
+      |
+      |## Pasted-query compatibility
+      |Queries from a ClickHouse client run unchanged: `PREWHERE`
+      |rewrites to `WHERE`, trailing `SETTINGS k = v, ...` and
+      |`FORMAT <name>` clauses are stripped before parsing (string
+      |literals and subqueries are never touched). Output format is
+      |negotiated by the transport instead: `/query?format=csv`
+      |(CSVWithNames) or `format=jsoneachrow` (NDJSON).
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),

@@ -139,10 +139,14 @@ object HealthServer {
           respond(exchange, 400,
             """{"status": "error", "message": "empty query"}""", json = true)
         else exec.runSafe(sql) match {
-          // ?format=csv renders CSVWithNames (chDB's default output);
-          // JSON otherwise
+          // ?format=csv renders CSVWithNames (chDB's default output),
+          // ?format=jsoneachrow ClickHouse's NDJSON; JSON otherwise
           case Right(result) if params(exchange).get("format").contains("csv") =>
             respond(exchange, 200, result.toCsv, json = false)
+          case Right(result)
+              if params(exchange).get("format").exists(
+                _.equalsIgnoreCase("jsoneachrow")) =>
+            respond(exchange, 200, result.toJsonEachRow, json = false)
           case Right(result) => respond(exchange, 200, result.toJson, json = true)
           case Left(message) =>
             respond(exchange, 400,

@@ -60,6 +60,33 @@ final case class QueryResult(
     (columns.map(cell) +: rows.map(_.map(cell)))
       .map(_.mkString(",")).mkString("\n")
   }
+
+  /** JSONEachRow rendering — ClickHouse's NDJSON format: one
+    * `{"col": value, ...}` object per row, newline-delimited. The same
+    * value typing as [[toJson]]. */
+  def toJsonEachRow: String = {
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def v(x: Any): String = x match {
+      case null => "null"
+      case b: Boolean => b.toString
+      case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
+      case d: Double if !d.isNaN && !d.isInfinite => d.toString
+      case f: Float if !f.isNaN && !f.isInfinite => f.toString
+      case other => "\"" + esc(other.toString) + "\""
+    }
+    rows.map(r =>
+      columns.zip(r).map { case (c, x) => "\"" + esc(c) + "\": " + v(x) }
+        .mkString("{", ", ", "}"))
+      .mkString("\n")
+  }
 }
 
 /** Read-only SQL executor with the reference's operational semantics
@@ -77,10 +104,13 @@ final class QueryExecutor(
 
   private val pool = Executors.newFixedThreadPool(poolSize)
 
-  /** Plan a guarded SELECT; lazy — no jobs run until an action. */
+  /** Plan a guarded SELECT; lazy — no jobs run until an action.
+    * ClickHouse-surface shims (PREWHERE, trailing SETTINGS/FORMAT)
+    * normalize away first, so pasted CH queries run unchanged. */
   def select(sql: String): DataFrame = {
-    QueryGuard.parseReadOnly(spark, sql)
-    spark.sql(sql)
+    val normalized = QueryGuard.normalizeDialect(sql)
+    QueryGuard.parseReadOnly(spark, normalized)
+    spark.sql(normalized)
   }
 
   /** Formatted physical plan of a guarded SELECT — planning only, no

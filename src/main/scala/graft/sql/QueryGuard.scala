@@ -43,4 +43,86 @@ object QueryGuard {
   def isReadOnly(spark: SparkSession, sql: String): Boolean =
     try { parseReadOnly(spark, sql); true }
     catch { case _: ReadOnlyViolation => false }
+
+  /** ClickHouse-surface compatibility shims applied BEFORE parsing, so
+    * queries pasted from a ClickHouse client run unchanged:
+    *
+    *  - `PREWHERE` → `WHERE` (CH's scan-split hint; Spark's optimizer
+    *    owns predicate placement, the semantics are identical)
+    *  - a trailing top-level `SETTINGS k = v, ...` clause is dropped
+    *    (per-query engine knobs with no Spark analogue)
+    *  - a trailing top-level `FORMAT <name>` is dropped (output format
+    *    is negotiated by the transport, as in the reference's
+    *    `{columns, rows}` shaping)
+    *
+    * The scan is quote-aware (single/double quotes with doubling and
+    * backslash escapes, backticks) and paren-depth-aware, so string
+    * literals and subqueries are never touched; `SETTINGS`/`FORMAT`
+    * only strip at depth 0, and `FORMAT` only when followed by a lone
+    * identifier at the end of the statement. */
+  def normalizeDialect(sql: String): String = {
+    // PREWHERE → WHERE at any depth (right to left keeps offsets valid)
+    var out = sql
+    normalizeScan(out).reverseIterator.foreach { case (t, _) =>
+      if (t.upper == "PREWHERE")
+        out = out.substring(0, t.start) + "WHERE" + out.substring(t.end)
+    }
+    // trailing FORMAT <ident>: the last two tokens, at depth 0
+    var ts = normalizeScan(out)
+    if (ts.size >= 2) {
+      val (f, fd) = ts(ts.size - 2)
+      val (id, _) = ts.last
+      if (fd == 0 && f.upper == "FORMAT" &&
+        out.substring(id.end).trim.stripSuffix(";").trim.isEmpty)
+        out = out.substring(0, f.start).reverse.dropWhile(_.isWhitespace)
+          .reverse
+    }
+    // trailing SETTINGS clause: from the last depth-0 SETTINGS token to
+    // the end, provided the remainder looks like assignments
+    ts = normalizeScan(out)
+    ts.reverseIterator.find { case (t, d) => d == 0 && t.upper == "SETTINGS" }
+      .foreach { case (t, _) =>
+        val rest = out.substring(t.end)
+        if (rest.matches("(?s)[\\s]*[A-Za-z_][A-Za-z0-9_]*\\s*=.*"))
+          out = out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)
+            .reverse
+      }
+    out
+  }
+
+  /** Token scan shared by [[normalizeDialect]]'s re-passes. */
+  private def normalizeScan(sql: String)
+      : Vector[(NormTok, Int)] = {
+    val toks = scala.collection.mutable.ArrayBuffer.empty[(NormTok, Int)]
+    var i = 0
+    var depth = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val q = c
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = sql.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+            else if (ch == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ch if Character.isLetter(ch) || ch == '_' =>
+          val s = i
+          while (i < n && (Character.isLetterOrDigit(sql.charAt(i)) ||
+            sql.charAt(i) == '_')) i += 1
+          toks += ((NormTok(s, i, sql.substring(s, i).toUpperCase), depth))
+        case _ => i += 1
+      }
+    }
+    toks.toVector
+  }
+
+  private final case class NormTok(start: Int, end: Int, upper: String)
 }

@@ -81,6 +81,20 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("/query format=jsoneachrow streams NDJSON rows") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec))
+    try {
+      val sql = "SELECT * FROM VALUES (1, 'x'), (2, 'y') t(id, s) ORDER BY id"
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/query" +
+        "?format=jsoneachrow&q=" + java.net.URLEncoder.encode(sql, "UTF-8"))
+      assert(code == 200)
+      assert(body.split("\n").toSeq ==
+        Seq("{\"id\": 1, \"s\": \"x\"}", "{\"id\": 2, \"s\": \"y\"}"))
+    } finally { srv.close(); exec.close() }
+  }
+
   test("served /explain returns the formatted plan without running jobs") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)

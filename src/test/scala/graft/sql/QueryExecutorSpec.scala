@@ -22,6 +22,39 @@ class QueryExecutorSpec extends SparkSpec {
     finally ex.close()
   }
 
+  test("ClickHouse-surface shims: PREWHERE, SETTINGS, FORMAT") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // a query pasted verbatim from a ClickHouse client
+      val r = ex.run(
+        """SELECT count(*) AS n FROM orders
+          |PREWHERE o_orderpriority = '1-URGENT'
+          |SETTINGS max_threads = 4, readonly = 1
+          |FORMAT JSONEachRow""".stripMargin)
+      assert(r.columns == Seq("n"))
+      assert(r.rows.head.head.asInstanceOf[Long] > 0)
+      // string literals and nested identifiers survive untouched
+      val r2 = ex.run(
+        "SELECT 'keep PREWHERE SETTINGS FORMAT intact' AS s")
+      assert(r2.rows.head.head ==
+        "keep PREWHERE SETTINGS FORMAT intact")
+      // FORMAT as a column alias (not a trailing clause) is untouched
+      val r3 = ex.run("SELECT 1 AS format")
+      assert(r3.columns == Seq("format"))
+    } finally ex.close()
+  }
+
+  test("JSONEachRow renders one object per row") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      val r = ex.run(
+        "SELECT * FROM VALUES (1, 'a'), (2, NULL) t(id, s) ORDER BY id")
+      assert(r.toJsonEachRow ==
+        "{\"id\": 1, \"s\": \"a\"}\n{\"id\": 2, \"s\": null}")
+    } finally ex.close()
+  }
+
   test("bounded pool serves concurrent queries") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
