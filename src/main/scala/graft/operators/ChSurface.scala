@@ -899,6 +899,21 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // GROUP BY ... WITH TOTALS through the pre-parse shim: the totals
+    // row carries NULL group keys, replayed as a UNION ALL grand total
+    ("q_with_totals",
+      """SELECT o_orderpriority AS pri, uniqExact(o_custkey) AS nc,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority WITH TOTALS
+        |ORDER BY pri NULLS LAST""".stripMargin,
+      Some("""SELECT * FROM (
+        |  SELECT o_orderpriority AS pri,
+        |    count(DISTINCT o_custkey) AS nc, count(*) AS n
+        |  FROM orders GROUP BY 1
+        |  UNION ALL
+        |  SELECT NULL, count(DISTINCT o_custkey), count(*) FROM orders)
+        |ORDER BY pri NULLS LAST""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps
@@ -1338,8 +1353,11 @@ UNION ALL SELECT CAST(${nb + 1} AS INT), x, y FROM (SELECT p.x, p.y FROM pts p, 
 ORDER BY point_idx"""
   }
 
-  private def runSql(sql: String): Q = (s: SparkSession, dir: String) => {
+  private def runSql(sqlIn: String): Q = (s: SparkSession, dir: String) => {
     TableEnv.register(s, dir)
+    // same pre-parse shims as the served /query path, so dialect
+    // queries here exercise exactly what a pasted CH query gets
+    val sql = QueryGuard.normalizeDialect(sqlIn)
     QueryGuard.parseReadOnly(s, sql)
     s.sql(sql)
   }

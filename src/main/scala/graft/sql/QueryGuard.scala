@@ -87,6 +87,30 @@ object QueryGuard {
           out = out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)
             .reverse
       }
+    // GROUP BY <list> WITH TOTALS → GROUP BY GROUPING SETS ((<list>),
+    // ()) — CH's grand-total row (group columns NULL on the total row,
+    // distinguishable via grouping()). Top-level only; ordinal lists
+    // (GROUP BY 1, 2) are rejected because ordinals do not resolve
+    // inside GROUPING SETS.
+    ts = normalizeScan(out)
+    val totalsAt = ts.indices.find { i =>
+      i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "WITH" &&
+        ts(i + 1)._1.upper == "TOTALS"
+    }
+    totalsAt.foreach { i =>
+      val groupAt = (0 until i).reverse.find { j =>
+        j + 1 < ts.size && ts(j)._2 == 0 && ts(j)._1.upper == "GROUP" &&
+          ts(j + 1)._1.upper == "BY"
+      }.getOrElse(throw new ReadOnlyViolation(
+        "WITH TOTALS without a matching top-level GROUP BY"))
+      val list = out.substring(ts(groupAt + 1)._1.end, ts(i)._1.start).trim
+      if (list.matches("[0-9,\\s]+"))
+        throw new ReadOnlyViolation(
+          "WITH TOTALS needs named grouping columns (ordinals do not " +
+            "resolve inside GROUPING SETS); name the columns explicitly")
+      out = out.substring(0, ts(groupAt + 1)._1.end) +
+        s" GROUPING SETS (($list), ())" + out.substring(ts(i + 1)._1.end)
+    }
     out
   }
 

@@ -45,6 +45,27 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("WITH TOTALS rewrites to a grand-total grouping set") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      val r = ex.run(
+        """SELECT o_orderstatus, count(*) AS n FROM orders
+          |GROUP BY o_orderstatus WITH TOTALS
+          |ORDER BY o_orderstatus NULLS LAST""".stripMargin)
+      // 3 status groups + the totals row (NULL status)
+      assert(r.rows.length == 4)
+      val totals = r.rows.last
+      assert(totals.head == null)
+      assert(totals(1).asInstanceOf[Long] ==
+        r.rows.dropRight(1).map(_(1).asInstanceOf[Long]).sum)
+      // ordinal lists are rejected with a clear message
+      val e = intercept[ReadOnlyViolation](ex.run(
+        "SELECT o_orderstatus, count(*) FROM orders GROUP BY 1 WITH TOTALS"))
+      assert(e.getMessage.contains("ordinals"))
+    } finally ex.close()
+  }
+
   test("JSONEachRow renders one object per row") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
