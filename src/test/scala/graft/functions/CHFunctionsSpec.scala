@@ -1724,6 +1724,36 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0) // constant series has no period
   }
 
+  test("round-7 aggregates are partition-count invariant") {
+    // every new TypedImperativeAggregate must serialize/merge to the
+    // SAME result whether the group arrives in 1 partition or 7 —
+    // exercises update, serialize, deserialize, AND merge
+    val sql =
+      """SELECT
+        |  round(cramersV(x, y), 12) AS v,
+        |  round(theilsU(x, y), 12) AS u,
+        |  kolmogorovSmirnovTest(d, g).d_stat AS ks,
+        |  groupBitmapXor(bitmapBuild(array(k, k + 1))) AS bx,
+        |  round(exponentialMovingAverage(10D, d, t), 12) AS ema,
+        |  quantileExactWeighted(d, w, 0.5D) AS qw,
+        |  sumKahan(d) AS sk,
+        |  transform(linearRegression(d, t), z -> round(z, 9)) AS lr
+        |FROM src""".stripMargin
+    def run(parts: Int): org.apache.spark.sql.Row = {
+      import spark.implicits._
+      graft.functions.CHFunctions.register(spark)
+      val df = (1 to 200).map { i =>
+        (s"x${i % 3}", s"y${i % 4}", i * 0.5 + (i % 7), i % 2,
+          (i % 11).toLong, i.toDouble, (i % 13) + 1)
+      }.toDF("x", "y", "d", "g", "k", "t", "w").repartition(parts)
+      df.createOrReplaceTempView("src")
+      spark.sql(sql).collect()(0)
+    }
+    val a = run(1)
+    val b = run(7)
+    assert(a == b, s"\n1 partition: $a\n7 partitions: $b")
+  }
+
   test("plain-aggregate State/Merge pairs reaggregate to the direct value") {
     val r = one(
       """WITH slice AS (
