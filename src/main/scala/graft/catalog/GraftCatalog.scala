@@ -92,6 +92,13 @@ final class GraftCatalog(
       notLike: Seq[String] = Nil): Seq[String] =
     databases.keys.toSeq.filter(matches(_, like, notLike)).sorted
 
+  /** The `system.databases` surface: one row per served database with
+    * its backing path (CH's data_path analogue). */
+  def systemDatabases: DataFrame = {
+    import spark.implicits._
+    databases.toSeq.sortBy(_._1).toDF("name", "data_path")
+  }
+
   /** The ClickHouse `system.tables` surface as a DataFrame (registered
     * by TableEnv as `system_tables` so the guarded SQL path can query
     * the catalog the way CH clients query system tables). Footer-stat

@@ -93,8 +93,17 @@ object Introspection {
     s.sql(sql)
   }
 
+  /** A5 extension: the system.databases surface. */
+  val sysDatabases: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    val sql = "SELECT name FROM system_databases ORDER BY name"
+    graft.sql.QueryGuard.parseReadOnly(s, sql)
+    s.sql(sql)
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_databases" -> catDatabases,
+    "sys_databases" -> sysDatabases,
     "cat_tables" -> catTables,
     "sys_columns" -> sysColumns,
     "sys_functions" -> sysFunctions,
@@ -108,6 +117,7 @@ object Introspection {
     // the served catalog's database list is a fixed contract (the single
     // file-backed `default` database), so the oracle is its literal form
     "cat_databases" -> "SELECT 'default' AS database_name",
+    "sys_databases" -> "SELECT 'default' AS name",
     "sys_columns" ->
       """SELECT * FROM (VALUES
         |  ('nation', 'n_nationkey', 1), ('nation', 'n_name', 2),

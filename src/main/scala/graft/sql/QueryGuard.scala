@@ -61,11 +61,22 @@ object QueryGuard {
     * only strip at depth 0, and `FORMAT` only when followed by a lone
     * identifier at the end of the statement. */
   def normalizeDialect(sql: String): String = {
-    // PREWHERE → WHERE at any depth (right to left keeps offsets valid)
+    // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
+    // (GLOBAL IN / GLOBAL JOIN — identical semantics on one engine;
+    // Spark's planner owns the broadcast decision) dropped when it
+    // prefixes a join/membership keyword (right to left keeps offsets
+    // valid)
+    val globalNext = Set("IN", "NOT", "JOIN", "LEFT", "RIGHT", "INNER",
+      "FULL", "CROSS", "ANY", "ALL", "SEMI", "ANTI")
     var out = sql
-    normalizeScan(out).reverseIterator.foreach { case (t, _) =>
+    val first = normalizeScan(out)
+    first.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = first.size - 1 - ri
       if (t.upper == "PREWHERE")
         out = out.substring(0, t.start) + "WHERE" + out.substring(t.end)
+      else if (t.upper == "GLOBAL" && i + 1 < first.size &&
+        globalNext(first(i + 1)._1.upper))
+        out = out.substring(0, t.start) + out.substring(t.end)
     }
     // trailing FORMAT <ident>: the last two tokens, at depth 0
     var ts = normalizeScan(out)

@@ -24,6 +24,7 @@ object TableEnv {
       // (underscored names: temp views cannot carry a qualifier).
       // Footer-stat metadata only; built once per (session, dir).
       val cat = new graft.catalog.GraftCatalog(spark, dir)
+      cat.systemDatabases.createOrReplaceTempView("system_databases")
       cat.systemTables.createOrReplaceTempView("system_tables")
       cat.systemColumns.createOrReplaceTempView("system_columns")
       cat.systemFunctions.createOrReplaceTempView("system_functions")

@@ -42,6 +42,16 @@ class QueryExecutorSpec extends SparkSpec {
       // FORMAT as a column alias (not a trailing clause) is untouched
       val r3 = ex.run("SELECT 1 AS format")
       assert(r3.columns == Seq("format"))
+      // GLOBAL IN / GLOBAL JOIN drop the distribution hint
+      val r4 = ex.run(
+        """SELECT count(*) AS n FROM orders
+          |WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer)
+          |  AND o_orderkey GLOBAL NOT IN
+          |    (SELECT c_custkey FROM customer WHERE c_custkey < 0)""".stripMargin)
+      assert(r4.rows.head.head.asInstanceOf[Long] > 0)
+      // but an identifier merely NAMED global survives
+      val r5 = ex.run("SELECT 1 AS global")
+      assert(r5.columns == Seq("global"))
     } finally ex.close()
   }
 
