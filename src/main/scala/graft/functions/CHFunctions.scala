@@ -351,7 +351,34 @@ object CHFunctions {
     // array function family (ClickHouse names → Spark natives;
     // arrayElement keeps CH's 1-based indexing via element_at)
     "arrayDistinct" -> (es => fn("array_distinct", es.head)),
-    "arraySort" -> (es => fn("array_sort", es.head)),
+    // arraySort(arr) plain, or CH's keyed form arraySort(x -> key, arr)
+    // — the key lambda rewrites into a two-sided comparator
+    "arraySort" -> (es => keyedSort(es, reverse = false)),
+    "arrayReverseSort" -> (es => keyedSort(es, reverse = true)),
+    // dense 1-based index by first appearance
+    "arrayEnumerateDense" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("xe"))
+      ArrayTransform(es.head, LambdaFunction(
+        fn("array_position", fn("array_distinct", es.head), x), Seq(x)))
+    }),
+    // running sum clamped at zero (CH's non-negative cumulative sum)
+    "arrayCumSumNonNegative" -> (es => {
+      val (acc, x, fin) = lambdaVars
+      val empty = fn("slice", es.head, Literal(1), Literal(0))
+      val run = UnresolvedExtractValue(acc, Literal("run"))
+      val arr = UnresolvedExtractValue(acc, Literal("arr"))
+      val next = fn("greatest", Add(run, x), zeroOf(es.head))
+      val folded = ArrayAggregate(es.head,
+        fn("named_struct",
+          Literal("run"), zeroOf(es.head), Literal("arr"), empty),
+        LambdaFunction(
+          fn("named_struct",
+            Literal("run"), next,
+            Literal("arr"), fn("concat", arr, CreateArray(Seq(next)))),
+          Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin)))
+      UnresolvedExtractValue(folded, Literal("arr"))
+    }),
     "arrayReverse" -> (es => fn("reverse", es.head)),
     "arrayConcat" -> (es => fn("concat", es: _*)),
     "arraySlice" -> (es => fn("slice", es: _*)),
@@ -1968,6 +1995,53 @@ object CHFunctions {
     "JSONExtractRaw" -> (es =>
       fn("get_json_object", es.head,
         Concat(Seq(Literal("$."), es(1))))))
+
+  /** arraySort/arrayReverseSort in both CH forms: `(arr)` plain and
+    * `(x -> key, arr)` keyed. The key lambda's variable substitutes
+    * into two fresh comparator sides, so the key expression evaluates
+    * per comparison exactly as ClickHouse's schwartzian sort would
+    * order it (nulls sort last, as in CH). */
+  private def keyedSort(es: Seq[Expression], reverse: Boolean): Expression = {
+    val (arr, cmp: Option[LambdaFunction]) = es match {
+      case Seq(l: LambdaFunction, a) => (a, Some(l))
+      case Seq(a) => (a, None)
+      case other => (other.last, other.head match {
+        case l: LambdaFunction => Some(l)
+        case _ => None
+      })
+    }
+    cmp match {
+      case None =>
+        if (reverse) fn("reverse", fn("array_sort", arr))
+        else fn("array_sort", arr)
+      case Some(LambdaFunction(body, Seq(v: UnresolvedNamedLambdaVariable), _)) =>
+        def keyFor(nv: UnresolvedNamedLambdaVariable): Expression =
+          body.transform {
+            case u: UnresolvedNamedLambdaVariable
+                if u.nameParts == v.nameParts => nv
+          }
+        val va = UnresolvedNamedLambdaVariable(Seq("cmpa"))
+        val vb = UnresolvedNamedLambdaVariable(Seq("cmpb"))
+        val ka = keyFor(va)
+        val kb = keyFor(vb)
+        // descending flips the value comparisons INSIDE the comparator
+        // (nulls stay last either way, as in CH): the analyzer insists
+        // the resolved root of a lambda-bearing call be higher-order,
+        // so a reverse() wrapper around the sort is not an option
+        val (lt, gt) =
+          if (reverse) (Literal(1), Literal(-1))
+          else (Literal(-1), Literal(1))
+        val comparator = CaseWhen(Seq(
+          (And(IsNull(ka), IsNull(kb)), Literal(0)),
+          (IsNull(ka), Literal(1)),
+          (IsNull(kb), Literal(-1)),
+          (LessThan(ka, kb), lt),
+          (GreaterThan(ka, kb), gt)), Some(Literal(0)))
+        ArraySort(arr, LambdaFunction(comparator, Seq(va, vb)))
+      case Some(other) => throw new IllegalArgumentException(
+        s"arraySort key must be a single-argument lambda, got $other")
+    }
+  }
 
   /** Name → builder lookup for meta-functions (arrayReduce, hasToken)
     * that dispatch onto other registered builders at analysis time.

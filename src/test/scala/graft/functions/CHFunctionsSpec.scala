@@ -1724,6 +1724,27 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(3) == 0.0) // constant series has no period
   }
 
+  test("keyed arraySort, dense enumeration, and non-negative cumsum") {
+    val r = one(
+      """SELECT
+        |  arraySort(array(3, 1, 2)),
+        |  arraySort(x -> -x, array(3, 1, 2)),
+        |  arraySort(s -> length(s), array('ccc', 'a', 'bb')),
+        |  arrayReverseSort(array(2, 9, 4)),
+        |  arrayReverseSort(x -> pmod(x, 10), array(12, 45, 23)),
+        |  arrayEnumerateDense(array(10, 20, 10, 30, 20)),
+        |  arrayCumSumNonNegative(array(1, 1, -4, 1)),
+        |  arrayCumSumNonNegative(array(1.5D, -10.0D, 2.5D))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](1) == Seq(3, 2, 1))
+    assert(r.getSeq[String](2) == Seq("a", "bb", "ccc"))
+    assert(r.getSeq[Int](3) == Seq(9, 4, 2))
+    assert(r.getSeq[Int](4) == Seq(45, 23, 12))
+    assert(r.getSeq[Long](5) == Seq(1L, 2L, 1L, 3L, 2L))
+    assert(r.getSeq[Int](6) == Seq(1, 2, 0, 1))
+    assert(r.getSeq[Double](7) == Seq(1.5, 0.0, 2.5))
+  }
+
   test("round-7 aggregates are partition-count invariant") {
     // every new TypedImperativeAggregate must serialize/merge to the
     // SAME result whether the group arrives in 1 partition or 7 —
