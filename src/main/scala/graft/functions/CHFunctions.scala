@@ -1278,6 +1278,37 @@ object CHFunctions {
       BitmapCombineAgg(Cast(es.head, ArrayType(LongType)),
         BitmapCombineAgg.Xor)),
 
+    // small CH conveniences: occurrence counts, fixed-width strings,
+    // calendar shorthands, typed empty arrays, key=value parsing
+    "countEqual" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("ce"))
+      fn("size", ArrayFilter(es.head,
+        LambdaFunction(EqualNullSafe(x, es(1)), Seq(x))))
+    }),
+    "toFixedString" -> (es =>
+      fn("rpad", fn("substring", es.head, Literal(1),
+        Cast(es(1), IntegerType)), Cast(es(1), IntegerType), Literal(" "))),
+    "yesterday" -> (_ =>
+      fn("date_sub", fn("current_date"), Literal(1))),
+    "timezone" -> (_ => fn("current_timezone")),
+    "timeZone" -> (_ => fn("current_timezone")),
+    "now64" -> (_ => fn("now")),
+    "emptyArrayInt64" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(LongType))),
+    "emptyArrayUInt64" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(LongType))),
+    "emptyArrayInt32" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(IntegerType))),
+    "emptyArrayFloat64" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(DoubleType))),
+    "emptyArrayString" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(StringType))),
+    // extractKeyValuePairs('a=1, b=2') → map; comma/space pair
+    // delimiters and '=' or ':' key-value separators (the documented
+    // subset of CH's escaping-aware parser)
+    "extractKeyValuePairs" -> (es =>
+      fn("str_to_map", es.head, Literal(",\\s*"), Literal("[=:]"))),
+
     // --- tokenization + n-gram shapes (composed, codegen'd)
     "tokens" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))

@@ -1745,6 +1745,24 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Double](7) == Seq(1.5, 0.0, 2.5))
   }
 
+  test("small conveniences: countEqual, toFixedString, empties, kv pairs") {
+    val r = one(
+      """SELECT countEqual(array(1, 2, 2, 3), 2),
+        |  countEqual(array(1, NULL, NULL), NULL),
+        |  toFixedString('abcdef', 4), toFixedString('ab', 4),
+        |  size(emptyArrayInt64()), size(emptyArrayString()),
+        |  datediff(current_date(), yesterday()),
+        |  extractKeyValuePairs('a=1, b:2,c=xyz'),
+        |  length(timezone()) > 0""".stripMargin)
+    assert(r.getInt(0) == 2 && r.getInt(1) == 2)
+    assert(r.getString(2) == "abcd" && r.getString(3) == "ab  ")
+    assert(r.getInt(4) == 0 && r.getInt(5) == 0)
+    assert(r.getInt(6) == 1)
+    val m = r.getMap[String, String](7)
+    assert(m == Map("a" -> "1", "b" -> "2", "c" -> "xyz"))
+    assert(r.getBoolean(8))
+  }
+
   test("round-7 aggregates are partition-count invariant") {
     // every new TypedImperativeAggregate must serialize/merge to the
     // SAME result whether the group arrives in 1 partition or 7 —
