@@ -101,6 +101,13 @@ class PlanQualitySpec extends SparkSpec {
     assert("sumkahan".r.findAllIn(wq.toLowerCase).size >= 2, wq.take(400))
   }
 
+  test("numbers() plans as a scan-free Range leaf") {
+    graft.sql.TableEnv.register(spark, sf)
+    val plan = formatted(SparkEntry.queries("q_ch_numbers")(spark, sf))
+    assert(plan.contains("Range"), plan.take(400))
+    assert(!plan.contains("Scan parquet"), plan.take(400))
+  }
+
   test("minhash candidate generation uses a bounded number of shuffles") {
     // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
     val n = countShuffles(Dedup.dedupMinhash(spark, sf))
