@@ -698,6 +698,24 @@ object CHFunctions {
     "medianExactWeighted" -> (es =>
       QuantileExactWeightedAgg(es.head, es(1), Literal(0.5))),
     "sumKahan" -> (es => SumKahanAgg(es.head)),
+    // exact-quantile variants over the sorted group array. Low/High
+    // take the element at floor/ceil of level·(n−1) (the lower/higher
+    // middle value at the median); Exclusive/Inclusive interpolate by
+    // the PERCENTILE.EXC (R-6) / PERCENTILE.INC (R-7) rules ClickHouse
+    // documents. Composed over array_sort(collect_list(x)) — the group
+    // (not the table) must fit, the same contract as quantileExact.
+    "quantileExactLow" -> (es =>
+      exactQuantileAt(es.head, es(1), ceil = false)),
+    "quantileExactHigh" -> (es =>
+      exactQuantileAt(es.head, es(1), ceil = true)),
+    "quantileExactExclusive" -> (es =>
+      exactQuantileInterp(es.head, es(1), exclusive = true)),
+    "quantileExactInclusive" -> (es =>
+      exactQuantileInterp(es.head, es(1), exclusive = false)),
+    // groupArraySorted(n, x): the n smallest values, ascending
+    "groupArraySorted" -> (es =>
+      fn("slice", fn("array_sort", fn("collect_list", es(1))),
+        Literal(1), Cast(es.head, IntegerType))),
     // distributed OLS (LinReg.scala): state = normal equations;
     // stochasticLinearRegression is the CH-name alias (documented: the
     // exact least-squares argmin instead of an SGD approximation to it)
@@ -2026,6 +2044,45 @@ object CHFunctions {
     "JSONExtractRaw" -> (es =>
       fn("get_json_object", es.head,
         Concat(Seq(Literal("$."), es(1))))))
+
+  /** Element at floor/ceil of level·(n−1) in the sorted group array
+    * (quantileExactLow/High). Keeps the input's element type. */
+  private def exactQuantileAt(
+      x: Expression, level: Expression, ceil: Boolean): Expression = {
+    val sorted = fn("array_sort", fn("collect_list", x))
+    val n = fn("size", sorted)
+    val pos = Multiply(Cast(level, DoubleType),
+      Cast(Subtract(n, Literal(1)), DoubleType))
+    val idx = if (ceil) fn("ceil", pos) else fn("floor", pos)
+    fn("try_element_at", sorted, Add(Cast(idx, IntegerType), Literal(1)))
+  }
+
+  /** R-6 (exclusive, h = p·(n+1)) or R-7 (inclusive, h = p·(n−1)+1)
+    * linear interpolation over the sorted group array; k clamps to
+    * [1, n−1] so out-of-range levels return the extremes. The fold is
+    * `v_k + frac · (v_{k+1} − v_k)` in exactly that operand order, so
+    * an oracle replaying the same formula is bit-identical. */
+  private def exactQuantileInterp(
+      x: Expression, level: Expression, exclusive: Boolean): Expression = {
+    val sorted = fn("array_sort",
+      fn("collect_list", Cast(x, DoubleType)))
+    val n = fn("size", sorted)
+    val nd = Cast(n, DoubleType)
+    val h =
+      if (exclusive) Multiply(Cast(level, DoubleType), Add(nd, Literal(1.0)))
+      else Add(Multiply(Cast(level, DoubleType),
+        Subtract(nd, Literal(1.0))), Literal(1.0))
+    val kf = fn("floor", h) // BIGINT in Spark
+    val frac = Subtract(h, Cast(kf, DoubleType))
+    val k = fn("least",
+      fn("greatest", kf, Literal(1L)),
+      Cast(Subtract(n, Literal(1)), LongType))
+    val vk = Cast(fn("try_element_at", sorted,
+      Cast(k, IntegerType)), DoubleType)
+    val vk1 = Cast(fn("try_element_at", sorted,
+      Add(Cast(k, IntegerType), Literal(1))), DoubleType)
+    Add(vk, Multiply(frac, Subtract(vk1, vk)))
+  }
 
   /** arraySort/arrayReverseSort in both CH forms: `(arr)` plain and
     * `(x -> key, arr)` keyed. The key lambda's variable substitutes

@@ -899,6 +899,46 @@ object ChSurface {
         |FROM cum JOIN tot ON cum.pri = tot.pri
         |GROUP BY cum.pri ORDER BY pri""".stripMargin)),
 
+    // exact-quantile variants: sorted-array indexing is exact integers
+    // and the R-6/R-7 interpolation replays the IDENTICAL
+    // `v_k + frac·(v_{k+1}−v_k)` formula, so the doubles agree
+    ("q_ch_quantiles2",
+      """SELECT o_orderpriority AS pri,
+        |  quantileExactLow(pmod(o_custkey, 1000), 0.25D) AS qlo,
+        |  quantileExactHigh(pmod(o_custkey, 1000), 0.25D) AS qhi,
+        |  round(quantileExactExclusive(pmod(o_custkey, 1000), 0.9D), 6) AS qex,
+        |  round(quantileExactInclusive(pmod(o_custkey, 1000), 0.9D), 6) AS qin,
+        |  element_at(groupArraySorted(5, pmod(o_custkey, 1000)), 5) AS g5
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH b AS (SELECT o_orderpriority AS pri,
+        |    o_custkey % 1000 AS v FROM orders),
+        |r AS (SELECT pri, v,
+        |    row_number() OVER (PARTITION BY pri ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY pri) AS n FROM b),
+        |k AS (SELECT pri, v, rn, n,
+        |    CAST(floor(0.25*(n-1)) AS BIGINT) + 1 AS i_lo,
+        |    CAST(ceil(0.25*(n-1)) AS BIGINT) + 1 AS i_hi,
+        |    CAST(floor(0.9*(n+1)) AS BIGINT) AS k_ex,
+        |    0.9*(n+1) - floor(0.9*(n+1)) AS f_ex,
+        |    CAST(floor(0.9*(n-1)+1) AS BIGINT) AS k_in,
+        |    0.9*(n-1)+1 - floor(0.9*(n-1)+1) AS f_in
+        |  FROM r)
+        |SELECT pri,
+        |  max(CASE WHEN rn = i_lo THEN v END) AS qlo,
+        |  max(CASE WHEN rn = i_hi THEN v END) AS qhi,
+        |  round(max(CASE WHEN rn = k_ex THEN CAST(v AS DOUBLE) END)
+        |    + any_value(f_ex)
+        |      * (max(CASE WHEN rn = k_ex + 1 THEN CAST(v AS DOUBLE) END)
+        |         - max(CASE WHEN rn = k_ex THEN CAST(v AS DOUBLE) END)),
+        |    6) AS qex,
+        |  round(max(CASE WHEN rn = k_in THEN CAST(v AS DOUBLE) END)
+        |    + any_value(f_in)
+        |      * (max(CASE WHEN rn = k_in + 1 THEN CAST(v AS DOUBLE) END)
+        |         - max(CASE WHEN rn = k_in THEN CAST(v AS DOUBLE) END)),
+        |    6) AS qin,
+        |  max(CASE WHEN rn = 5 THEN v END) AS g5
+        |FROM k GROUP BY pri ORDER BY pri""".stripMargin)),
+
     // GROUP BY ... WITH TOTALS through the pre-parse shim: the totals
     // row carries NULL group keys, replayed as a UNION ALL grand total
     ("q_with_totals",

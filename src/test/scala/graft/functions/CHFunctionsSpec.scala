@@ -1763,6 +1763,21 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(8))
   }
 
+  test("exact-quantile variants and groupArraySorted") {
+    val r = one(
+      """WITH t AS (SELECT explode(sequence(1, 10)) AS v)
+        |SELECT quantileExactLow(v, 0.3D), quantileExactHigh(v, 0.3D),
+        |  quantileExactLow(v, 0.5D), quantileExactHigh(v, 0.5D),
+        |  quantileExactExclusive(v, 0.3D), quantileExactInclusive(v, 0.3D),
+        |  groupArraySorted(3, 11 - v) FROM t""".stripMargin)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 4)
+    // even n: the two middle elements
+    assert(r.getInt(2) == 5 && r.getInt(3) == 6)
+    assert(math.abs(r.getDouble(4) - 3.3) < 1e-12)
+    assert(math.abs(r.getDouble(5) - 3.6999999999999997) < 1e-12)
+    assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+  }
+
   test("round-7 aggregates are partition-count invariant") {
     // every new TypedImperativeAggregate must serialize/merge to the
     // SAME result whether the group arrives in 1 partition or 7 —
