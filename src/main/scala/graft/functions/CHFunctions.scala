@@ -1321,6 +1321,11 @@ object CHFunctions {
       Cast(CreateArray(Nil), ArrayType(DoubleType))),
     "emptyArrayString" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(StringType))),
+    "jumpConsistentHash" -> (es =>
+      JumpHash(Cast(es.head, LongType), Cast(es(1), IntegerType))),
+    // murmurHash3_32: Spark's hash IS murmur3-x86-32 (seed 42 where CH
+    // seeds 0 — a stable-hash family contract, as with cityHash64)
+    "murmurHash3_32" -> (es => fn("hash", es: _*)),
     // extractKeyValuePairs('a=1, b=2') → map; comma/space pair
     // delimiters and '=' or ':' key-value separators (the documented
     // subset of CH's escaping-aware parser)

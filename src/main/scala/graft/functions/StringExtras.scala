@@ -197,3 +197,47 @@ case class ToTypeName(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ToTypeName =
     copy(child = c)
 }
+
+/** jumpConsistentHash(key, buckets) — Lamping & Veach's jump
+  * consistent hash ("A Fast, Minimal Memory, Consistent Hash
+  * Algorithm", 2014): maps a 64-bit key to one of n buckets such that
+  * growing n from k to k+1 moves only ~1/(k+1) of keys. The natural
+  * shard assignment for resizable 100 TB layouts. */
+case class JumpHash(key: Expression, buckets: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def left: Expression = key
+  override def right: Expression = buckets
+  override def inputTypes: Seq[DataType] = Seq(LongType, IntegerType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "jumpConsistentHash"
+
+  override def nullSafeEval(k: Any, n: Any): Any =
+    JumpHash.compute(k.asInstanceOf[Long], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (k, n) =>
+      s"graft.functions.JumpHash.compute($k, $n)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JumpHash =
+    copy(key = l, buckets = r)
+}
+
+object JumpHash {
+  def compute(keyIn: Long, numBuckets: Int): Int = {
+    if (numBuckets <= 0) return 0
+    var key = keyIn
+    var b = -1L
+    var j = 0L
+    while (j < numBuckets) {
+      b = j
+      key = key * 2862933555777941757L + 1
+      // (key >>> 33) + 1 is positive; the double ratio reproduces the
+      // paper's exact arithmetic
+      j = ((b + 1) * ((1L << 31).toDouble / ((key >>> 33) + 1).toDouble))
+        .toLong
+    }
+    b.toInt
+  }
+}

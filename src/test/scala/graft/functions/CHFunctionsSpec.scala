@@ -1778,6 +1778,23 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](6) == Seq(1, 2, 3))
   }
 
+  test("jumpConsistentHash balances and moves ~1/(n+1) keys on resize") {
+    graft.functions.CHFunctions.register(spark)
+    val rows = spark.sql(
+      """SELECT jumpConsistentHash(id, 10) AS b10,
+        |  jumpConsistentHash(id, 11) AS b11
+        |FROM range(0, 10000)""".stripMargin).collect()
+    val counts = rows.groupBy(_.getInt(0)).view.mapValues(_.length)
+    // balanced: every bucket within ±30% of the fair share
+    assert(counts.size == 10)
+    assert(counts.values.forall(c => c > 700 && c < 1300), counts.toMap)
+    // consistency: growing 10 → 11 moves only ~1/11 of keys, and every
+    // moved key lands in the NEW bucket
+    val moved = rows.filter(r => r.getInt(0) != r.getInt(1))
+    assert(moved.length < 10000 / 11 * 1.4, s"moved ${moved.length}")
+    assert(moved.forall(_.getInt(1) == 10))
+  }
+
   test("round-7 aggregates are partition-count invariant") {
     // every new TypedImperativeAggregate must serialize/merge to the
     // SAME result whether the group arrives in 1 partition or 7 —
