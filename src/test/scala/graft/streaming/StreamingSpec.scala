@@ -33,6 +33,34 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("round-7 imperative aggregates run under streaming state merge") {
+    // TypedImperativeAggregates must serialize into the state store and
+    // merge across micro-batches: replay events as a stream, fold
+    // cramersV + groupBitmapXor + sumKahan per event_type, compare to
+    // the identical batch aggregation
+    graft.functions.CHFunctions.register(spark)
+    val batch = graft.Tables(spark, sf, "events")
+    val dir = Files.createTempDirectory("graft_stream_agg").toString
+    batch.write.mode("overwrite").parquet(dir)
+    val agg =
+      """SELECT event_type,
+        |  round(cramersV(pmod(user_id, 5), pmod(event_id, 3)), 9) AS v,
+        |  groupBitmapXor(bitmapBuild(array(pmod(user_id, 64)))) AS bx,
+        |  round(sumKahan(value), 6) AS sk
+        |FROM src GROUP BY event_type""".stripMargin
+    val stream = spark.readStream.schema(batch.schema).parquet(dir)
+    stream.createOrReplaceTempView("src")
+    val q = spark.sql(agg)
+      .writeStream.format("memory").queryName("r7_aggs")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("r7_aggs").orderBy("event_type").collect()
+    batch.createOrReplaceTempView("src")
+    val want = spark.sql(agg).orderBy("event_type").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"\n$g\n$w") }
+  }
+
   test("streaming user activity + read-side top-k matches the batch leaderboard") {
     val batch = graft.Tables(spark, sf, "events")
     val dir = Files.createTempDirectory("graft_topu").toString
