@@ -1321,6 +1321,27 @@ object CHFunctions {
       Cast(CreateArray(Nil), ArrayType(DoubleType))),
     "emptyArrayString" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(StringType))),
+    // tupleElement(t, n) positional (our tuple() names fields colN) or
+    // tupleElement(t, 'name') by field name
+    "tupleElement" -> (es => es(1) match {
+      case Literal(s, StringType) if s != null =>
+        UnresolvedExtractValue(es.head, Literal(s.toString))
+      case Literal(n, _) =>
+        UnresolvedExtractValue(es.head, Literal("col" + n))
+      case other => throw new IllegalArgumentException(
+        s"tupleElement needs a constant index or name, got $other")
+    }),
+    "mapContainsKeyLike" -> (es => {
+      val k = UnresolvedNamedLambdaVariable(Seq("mk"))
+      ArrayExists(fn("map_keys", es.head),
+        LambdaFunction(fn("like", k, es(1)), Seq(k)))
+    }),
+    "mapExtractKeyLike" -> (es => {
+      val k = UnresolvedNamedLambdaVariable(Seq("mk"))
+      val v = UnresolvedNamedLambdaVariable(Seq("mv"))
+      MapFilter(es.head,
+        LambdaFunction(fn("like", k, es(1)), Seq(k, v)))
+    }),
     "jumpConsistentHash" -> (es =>
       JumpHash(Cast(es.head, LongType), Cast(es(1), IntegerType))),
     // murmurHash3_32: Spark's hash IS murmur3-x86-32 (seed 42 where CH

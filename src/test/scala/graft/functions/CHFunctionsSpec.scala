@@ -1778,6 +1778,21 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getSeq[Int](6) == Seq(1, 2, 3))
   }
 
+  test("tupleElement and map key-pattern helpers") {
+    val r = one(
+      """SELECT tupleElement(tuple(7, 'x'), 1),
+        |  tupleElement(tuple(7, 'x'), 2),
+        |  tupleElement(named_struct('a', 1, 'b', 2), 'b'),
+        |  mapContainsKeyLike(map('abc_1', 10, 'xyz', 20), 'abc%'),
+        |  mapContainsKeyLike(map('abc_1', 10), 'zzz%'),
+        |  map_keys(mapExtractKeyLike(map('abc_1', 1, 'abc_2', 2, 'q', 3),
+        |    'abc%'))""".stripMargin)
+    assert(r.getInt(0) == 7 && r.getString(1) == "x")
+    assert(r.getInt(2) == 2)
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getSeq[String](5).sorted == Seq("abc_1", "abc_2"))
+  }
+
   test("jumpConsistentHash balances and moves ~1/(n+1) keys on resize") {
     graft.functions.CHFunctions.register(spark)
     val rows = spark.sql(
