@@ -404,7 +404,7 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id
          |                       ORDER BY cos_sim DESC, neighbor) AS rn
          |  FROM s)
-         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |SELECT q_id, neighbor, cos_sim, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin,
     // ann_ivf replays the ENTIRE pipeline — coarse-quantizer training
     // (2 Lloyd passes), cell assignment, nprobe probe selection, and
@@ -469,7 +469,7 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id
          |                       ORDER BY cos_sim DESC, neighbor) AS rn
          |  FROM scored)
-         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |SELECT q_id, neighbor, cos_sim, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
     },
     // ann_pq replays the ENTIRE pipeline — PQ training (2 Lloyd
@@ -551,7 +551,7 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id
          |                       ORDER BY cos_sim DESC, neighbor) AS rn
          |  FROM exact)
-         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |SELECT q_id, neighbor, cos_sim, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
     },
     "ann_quantized" ->
@@ -581,6 +581,6 @@ object Ann {
          |    row_number() OVER (PARTITION BY q_id
          |                       ORDER BY cos_sim DESC, neighbor) AS rn
          |  FROM s)
-         |SELECT q_id, neighbor, cos_sim, rn FROM r
+         |SELECT q_id, neighbor, cos_sim, CAST(rn AS INT) AS rn FROM r
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin)
 }

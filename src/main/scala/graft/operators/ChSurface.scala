@@ -59,9 +59,9 @@ object ChSurface {
         |  count(*) AS n,
         |  CAST(min(date_trunc('week', o_orderdate)) AS DATE) AS first_monday,
         |  CAST(max(o_orderdate + INTERVAL 30 DAY) AS DATE) AS last_due,
-        |  max(date_diff('month', o_orderdate, DATE '1998-12-01')) AS max_months,
+        |  CAST(max(date_diff('month', o_orderdate, DATE '1998-12-01')) AS INT) AS max_months,
         |  max(date_diff('week', o_orderdate, DATE '1998-12-01')) AS max_weeks,
-        |  max(date_diff('day', o_orderdate, DATE '1998-12-01')) AS max_days
+        |  CAST(max(date_diff('day', o_orderdate, DATE '1998-12-01')) AS INT) AS max_days
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // round-6 aggregate additions: median alias + bounding-ratio slope
@@ -91,10 +91,10 @@ object ChSurface {
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
       Some("""SELECT c_mktsegment,
         |  max(CAST(substring(c_name, 10, 9) AS INT)) AS max_cust_num,
-        |  sum(coalesce(try_cast(c_name AS BIGINT), 0)) AS name_nums,
+        |  CAST(sum(coalesce(try_cast(c_name AS BIGINT), 0)) AS BIGINT) AS name_nums,
         |  max(CAST(c_custkey AS VARCHAR)) AS max_key_str,
         |  round(sum(CAST(round(CAST(c_acctbal AS DOUBLE) * 100.0) AS BIGINT)) / 1e2, 2) AS total_bal,
-        |  sum(coalesce(try_cast(CAST(c_nationkey AS VARCHAR) AS INT), 0)) AS nation_sum
+        |  CAST(sum(coalesce(try_cast(CAST(c_nationkey AS VARCHAR) AS INT), 0)) AS BIGINT) AS nation_sum
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     ("q_ch_arrayjoin",
@@ -439,18 +439,24 @@ object ChSurface {
     // weight sums map-side; only the tiny per-group (value, weight)
     // arrays cross the shuffle. TPC-H quantities are integral, so
     // toInt64 is exact and the weights stay on the bigint path.
+    // scalar-shaped on both sides: the verified result explodes the
+    // top-k list to one (flag, rank, supplier) row — a list column in a
+    // verified result would defeat the driver's row sorter
     ("q_topk_weighted",
-      """SELECT l_returnflag,
-        |  topKWeighted(l_suppkey, toInt64(l_quantity), 3) AS top_supps
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      """SELECT l_returnflag, CAST(pos + 1 AS BIGINT) AS rnk, supp
+        |FROM (SELECT l_returnflag,
+        |        topKWeighted(l_suppkey, toInt64(l_quantity), 3) AS a
+        |      FROM lineitem GROUP BY 1)
+        |LATERAL VIEW posexplode(a) t AS pos, supp
+        |ORDER BY l_returnflag, rnk""".stripMargin,
       Some("""WITH g AS (
         |  SELECT l_returnflag, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS w
         |  FROM lineitem GROUP BY 1, 2),
         |r AS (SELECT *, row_number() OVER (
         |        PARTITION BY l_returnflag ORDER BY w DESC, l_suppkey DESC) AS rn
         |      FROM g)
-        |SELECT l_returnflag, list(l_suppkey ORDER BY rn) AS top_supps
-        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |SELECT l_returnflag, CAST(rn AS BIGINT) AS rnk, l_suppkey AS supp
+        |FROM r WHERE rn <= 3 ORDER BY l_returnflag, rnk""".stripMargin)),
 
     // the dashboard one-liner: hour-of-day activity as a 24-glyph
     // sparkbar. Dense axis via sequence/explode (missing hours render
@@ -585,7 +591,7 @@ object ChSurface {
         |    - (12 * year(o_orderdate) + month(o_orderdate))
         |    - CASE WHEN day(DATE '1998-12-01') < day(o_orderdate)
         |           THEN 1 ELSE 0 END) AS full_months,
-        |  max(date_diff('day', DATE '1858-11-17', o_orderdate)) AS mjd,
+        |  CAST(max(date_diff('day', DATE '1858-11-17', o_orderdate)) AS INT) AS mjd,
         |  min(DATE '1858-11-17' + 50000) AS mjd_back,
         |  max(strftime(o_orderdate, '%B')) AS mname,
         |  max(strftime(o_orderdate, '%A')) AS wd
@@ -612,21 +618,21 @@ object ChSurface {
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
       Some("""SELECT c_mktsegment AS seg,
         |  CAST(sum(round_even(c_acctbal, 0)) AS BIGINT) AS bank_sum,
-        |  sum(CASE WHEN c_custkey % 80 < 1 THEN 0
+        |  CAST(sum(CASE WHEN c_custkey % 80 < 1 THEN 0
         |           WHEN c_custkey % 80 < 18 THEN 17
         |           WHEN c_custkey % 80 < 25 THEN 18
         |           WHEN c_custkey % 80 < 35 THEN 25
         |           WHEN c_custkey % 80 < 45 THEN 35
         |           WHEN c_custkey % 80 < 55 THEN 45
-        |           ELSE 55 END) AS age_sum,
-        |  sum(coalesce(list_max(list_filter(
+        |           ELSE 55 END) AS BIGINT) AS age_sum,
+        |  CAST(sum(coalesce(list_max(list_filter(
         |    [1,10,30,60,120,180,240,300,600,1200,1800,3600,7200,18000,36000],
-        |    e -> e <= c_custkey % 40000)), 0)) AS dur_sum,
-        |  sum(coalesce(list_max(list_filter(
+        |    e -> e <= c_custkey % 40000)), 0)) AS BIGINT) AS dur_sum,
+        |  CAST(sum(coalesce(list_max(list_filter(
         |    [1,2,4,8,16,32,64,128,256,512,1024,2048,4096],
-        |    e -> e <= c_custkey % 5000)), 0)) AS exp2_sum,
-        |  sum(coalesce(list_max(list_filter([0,10,25,50,75],
-        |    e -> e <= c_custkey % 100)), 0)) AS rd_sum,
+        |    e -> e <= c_custkey % 5000)), 0)) AS BIGINT) AS exp2_sum,
+        |  CAST(sum(coalesce(list_max(list_filter([0,10,25,50,75],
+        |    e -> e <= c_custkey % 100)), 0)) AS BIGINT) AS rd_sum,
         |  max(1::BIGINT << CAST(c_custkey % 20 AS INT)) AS max_exp2,
         |  max(CAST('1' || repeat('0', CAST(c_custkey % 10 AS INT)) AS BIGINT)) AS max_exp10,
         |  min(CASE c_nationkey % 5 WHEN 0 THEN 'alpha' WHEN 1 THEN 'beta'
@@ -769,14 +775,14 @@ object ChSurface {
         |FROM t ORDER BY k""".stripMargin,
       Some("""SELECT o_orderkey AS k,
         |  o_orderkey % 7 + 2 AS add_o,
-        |  3 AS add_z,
+        |  CAST(3 AS BIGINT) AS add_z,
         |  o_orderkey % 7 - 2 AS sub_o,
-        |  2 AS upd_o,
+        |  CAST(2 AS BIGINT) AS upd_o,
         |  CASE WHEN o_orderkey % 7 > 2 THEN 1 ELSE 0 END AS n_big,
         |  (o_orderkey % 7) * 10 AS app_o,
         |  o_orderkey % 7 > 5 AS ex5,
         |  4 AS pop_n,
-        |  0 AS pop_gap
+        |  CAST(0 AS BIGINT) AS pop_gap
         |FROM orders WHERE o_orderkey <= 400 ORDER BY k""".stripMargin)),
 
     // ordered-series aggregates over synthesized per-event intervals:
@@ -825,7 +831,7 @@ object ChSurface {
         |     FROM n GROUP BY g, isl) GROUP BY g),
         |ev AS (SELECT g, s AS p, 1 AS dta FROM iv
         |       UNION ALL SELECT g, e, -1 FROM iv),
-        |mo AS (SELECT g, max(cnt) AS max_open FROM
+        |mo AS (SELECT g, CAST(max(cnt) AS BIGINT) AS max_open FROM
         |    (SELECT g, sum(dta) OVER (PARTITION BY g ORDER BY p, dta
         |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cnt
         |     FROM ev) GROUP BY g)
@@ -1030,7 +1036,7 @@ object ChSurface {
       Some("""SELECT o_orderpriority AS pri,
         |  round(sum(CAST(o_orderkey % 10 + o_custkey % 10 AS DOUBLE)), 1) AS s,
         |  count(*) FILTER (o_orderkey % 2 = 1) AS odd_keys,
-        |  sum(bit_count(xor(o_orderkey % 256, o_custkey % 256))) AS hd
+        |  CAST(sum(bit_count(xor(o_orderkey % 256, o_custkey % 256))) AS BIGINT) AS hd
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // L1/Linf vector family + normalizeL2 over the shifted-pair join;
@@ -1085,8 +1091,8 @@ object ChSurface {
         |SELECT g, count(*) AS n,
         |  count(*) FILTER (p1 > 0 AND (p2 = 0 OR p1 <= p2)
         |    AND (p3 = 0 OR p1 <= p3)) AS n_the,
-        |  sum(coalesce(least(nullif(pd, 0), nullif(pm, 0)), 0)) AS sp,
-        |  sum(pe) AS pe
+        |  CAST(sum(coalesce(least(nullif(pd, 0), nullif(pm, 0)), 0)) AS BIGINT) AS sp,
+        |  CAST(sum(pe) AS BIGINT) AS pe
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // generator table function: numbers(n) plans as Spark's Range
@@ -1096,7 +1102,7 @@ object ChSurface {
       """SELECT count(*) AS n, sum(number) AS s,
         |  min(number) AS mn, max(number) AS mx
         |FROM numbers(100000) WHERE pmod(number, 7) = 3""".stripMargin,
-      Some("""SELECT count(*) AS n, sum(number) AS s,
+      Some("""SELECT count(*) AS n, CAST(sum(number) AS BIGINT) AS s,
         |  min(number) AS mn, max(number) AS mx
         |FROM range(100000) t(number) WHERE number % 7 = 3""".stripMargin)),
 
@@ -1165,14 +1171,14 @@ object ChSurface {
         |  min(element_at(extractGroups(props, '"k": (\\d+)'), 1)) AS k_min,
         |  sum(timeDiff(timestamp'2024-01-01 00:00:00', ts)) AS tsec,
         |  min(toUnixTimestamp64Milli(ts)) AS ms0,
-        |  max(toRelativeHourNum(ts)) AS hmax,
-        |  min(toDaysSinceYearZero(to_date(ts))) AS d0
+        |  CAST(max(toRelativeHourNum(ts)) AS BIGINT) AS hmax,
+        |  CAST(min(toDaysSinceYearZero(to_date(ts))) AS BIGINT) AS d0
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       Some("""SELECT event_id % 4 AS g, count(*) AS n,
-        |  sum(len(list_filter(string_split_regex(props, '[^A-Za-z0-9]+'),
-        |    t -> t != ''))) AS tok,
+        |  CAST(sum(len(list_filter(string_split_regex(props, '[^A-Za-z0-9]+'),
+        |    t -> t != ''))) AS BIGINT) AS tok,
         |  min(regexp_extract(props, '"k": (\d+)', 1)) AS k_min,
-        |  sum(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS tsec,
+        |  CAST(sum(CAST(floor(epoch(ts)) AS BIGINT) - 1704067200) AS BIGINT) AS tsec,
         |  min(epoch_ms(ts)) AS ms0,
         |  max(CAST(floor(epoch(ts) / 3600) AS BIGINT)) AS hmax,
         |  min(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))

@@ -359,12 +359,12 @@ object Curation {
         |      '\b(customer|supplier)\b', '<term>', 'g') AS scrubbed
         |  FROM documents)
         |SELECT doc_id,
-        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
-        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
-        |  len(regexp_extract_all(text, '\+\d{7,15}')) AS n_phone,
-        |  len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_term,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text, '\+\d{7,15}')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS INT) AS n_term,
         |  md5(scrubbed) AS scrubbed_md5,
-        |  length(scrubbed) AS scrubbed_len
+        |  CAST(length(scrubbed) AS INT) AS scrubbed_len
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

@@ -126,7 +126,7 @@ object Events {
         |             ORDER BY n_events DESC, user_id) AS rn
         |  FROM a)
         |SELECT CAST(window_start AS TIMESTAMP) AS window_start, user_id,
-        |  n_events, sum_value, rn
+        |  n_events, sum_value, CAST(rn AS INT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY window_start, rn""".stripMargin,
     "ev_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

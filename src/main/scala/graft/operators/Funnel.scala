@@ -304,14 +304,14 @@ object Funnel {
         |  SELECT user_id,
         |    string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
         |  FROM events GROUP BY user_id)
-        |SELECT len(regexp_extract_all(seq, 'v[^p]*p')) AS n_chains,
+        |SELECT CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS INT) AS n_chains,
         |  count(*) AS n_users
         |FROM seqs GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
         |cohort AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
         |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day,
-        |  datediff('day', cohort_day, day) AS k,
+        |  CAST(datediff('day', cohort_day, day) AS INT) AS k,
         |  count(DISTINCT ev.user_id) AS n_active
         |FROM ev JOIN cohort USING (user_id)
         |WHERE datediff('day', cohort_day, day) BETWEEN 0 AND 3

@@ -130,9 +130,9 @@ object Introspection {
         .map(n => s"('$n')").mkString(", ") +
       ") t(name) ORDER BY name"),
     "src_csv_roundtrip" ->
-      s"""SELECT n_regionkey, count(*) AS n
+      s"""SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n
          |FROM read_csv_auto('$CsvRoundtripDir/nation.csv/*.csv', header=true)
-         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "src_file_sql" ->
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total

@@ -35,7 +35,8 @@ object SqlSurface {
       None),
 
     ("q_window_rank",
-      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+        |  CAST(rnk AS INT) AS rnk FROM (
         |  SELECT o_orderpriority, o_orderkey, o_totalprice,
         |    rank() OVER (PARTITION BY o_orderpriority
         |                 ORDER BY o_totalprice DESC, o_orderkey) AS rnk
@@ -143,7 +144,7 @@ object SqlSurface {
         |  array_join(transform(slice(split(text, ' '), 1, 3), t -> upper(t)), ',') AS first3_upper
         |FROM documents ORDER BY doc_id""".stripMargin,
       Some("""SELECT doc_id,
-        |  len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS n_long_tokens,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> length(t) > 4)) AS INT) AS n_long_tokens,
         |  array_to_string(list_transform(string_split(text, ' ')[1:3], t -> upper(t)), ',') AS first3_upper
         |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -264,7 +265,7 @@ object SqlSurface {
     ("q_grouping_sets",
       """SELECT coalesce(o_orderstatus, '*') AS status,
         |  coalesce(o_orderpriority, '*') AS priority,
-        |  grouping(o_orderstatus) AS g_status,
+        |  CAST(grouping(o_orderstatus) AS TINYINT) AS g_status,
         |  count(*) AS n
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -273,7 +274,7 @@ object SqlSurface {
 
     ("q_window_dist",
       """SELECT o_orderpriority, o_orderkey,
-        |  ntile(4) OVER w AS quartile,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
         |  round(percent_rank() OVER w, 6) AS pct_rank,
         |  round(cume_dist() OVER w, 6) AS cume
         |FROM orders WHERE o_orderkey < 1000
@@ -306,11 +307,11 @@ object SqlSurface {
         |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin,
       Some("""SELECT c_custkey,
         |  upper(substring(c_name, 1, 8)) AS up8,
-        |  length(c_name) AS name_len,
+        |  CAST(length(c_name) AS INT) AS name_len,
         |  replace(c_mktsegment, 'ING', '_') AS seg_repl,
         |  concat(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS seg_key,
         |  lpad(CAST(c_nationkey AS VARCHAR), 4, '0') AS nat_pad,
-        |  position('u' IN c_name) AS u_pos,
+        |  CAST(position('u' IN c_name) AS INT) AS u_pos,
         |  trim(CAST(c_custkey AS VARCHAR), '0') AS trimmed
         |FROM customer WHERE c_name LIKE '%1%' ORDER BY c_custkey""".stripMargin)),
 
@@ -345,11 +346,12 @@ object SqlSurface {
         |  datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS days_since
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
       Some("""SELECT o_orderkey,
-        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-        |  quarter(o_orderdate) AS q,
-        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |  CAST(day(o_orderdate) AS INT) AS d,
+        |  CAST(quarter(o_orderdate) AS INT) AS q,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due,
-        |  datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |  CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since
         |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin)),
 
     ("q_null_handling",
@@ -421,7 +423,8 @@ object SqlSurface {
         |    sum(delta) OVER (PARTITION BY o_custkey ORDER BY d, delta
         |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
         |  FROM ev),
-        |mx AS (SELECT o_custkey, max(open) AS max_open FROM run GROUP BY o_custkey)
+        |mx AS (SELECT o_custkey, CAST(max(open) AS BIGINT) AS max_open
+        |       FROM run GROUP BY o_custkey)
         |SELECT r.o_custkey AS custkey, m.max_open, min(r.d) AS first_peak
         |FROM run r JOIN mx m ON r.o_custkey = m.o_custkey AND r.open = m.max_open
         |GROUP BY 1, 2

@@ -255,19 +255,19 @@ object TextOps {
         |    row_number() OVER (PARTITION BY doc_id
         |                       ORDER BY tfidf DESC, token) AS rn
         |  FROM scored)
-        |SELECT doc_id, token, tfidf, rn FROM r WHERE rn <= 3
+        |SELECT doc_id, token, tfidf, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
         |ORDER BY doc_id, rn""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
-        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS bpe_tokens,
-        |  length(text) AS n_chars
+        |  CAST(length(text) AS INT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "text_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
         |SELECT doc_id,
-        |  length(text) AS n_chars,
-        |  len(toks) AS n_tokens,
+        |  CAST(length(text) AS INT) AS n_chars,
+        |  CAST(len(toks) AS INT) AS n_tokens,
         |  round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 4) AS avg_token_len,
         |  round(len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
         |  round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is'))) / CAST(len(toks) AS DOUBLE), 6) AS stopword_ratio,
@@ -292,7 +292,8 @@ object TextOps {
         |       WHEN fr_score = greatest(en_score, fr_score, es_score, de_score) THEN 'fr'
         |       WHEN es_score = greatest(en_score, fr_score, es_score, de_score) THEN 'es'
         |       ELSE 'de' END AS pred_lang,
-        |  en_score, fr_score, es_score, de_score
+        |  CAST(en_score AS INT) AS en_score, CAST(fr_score AS INT) AS fr_score,
+        |  CAST(es_score AS INT) AS es_score, CAST(de_score AS INT) AS de_score
         |FROM s ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """WITH t AS (SELECT doc_id,

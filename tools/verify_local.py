@@ -10,9 +10,64 @@ compared exactly.
 """
 import sys, os, json, math
 import duckdb
+import glob
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def type_class(t):
+    """Collapse an arrow type to the class the driver's hasher sees.
+
+    The driver stringifies pandas cells before hashing, so two results
+    only hash equal when each column lands in the same pandas dtype
+    family. HUGEINT sums arrive as decimal128 (pandas Decimal — repr
+    differs from int), and list cells kill the row sorter outright.
+    """
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t) or pa.types.is_struct(t)
+            or pa.types.is_map(t)):
+        return "nested"
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    return str(t)
+
+
+def type_parity(name, spark_dir, oracle_schema):
+    """Fail any oracle whose arrow result types the driver hashes
+    differently from the Spark parquet result (decimal/list columns, or
+    int/float width drift). Returns a list of problem strings."""
+    parts = sorted(glob.glob(os.path.join(spark_dir, "*.parquet")))
+    if not parts:
+        return [f"no parquet part files under {spark_dir}"]
+    spark_schema = pq.read_schema(parts[0])
+    probs = []
+    want = {f.name: type_class(f.type) for f in oracle_schema}
+    got = {f.name: type_class(f.type) for f in spark_schema}
+    for col in sorted(set(want) | set(got)):
+        w, g = want.get(col), got.get(col)
+        for side, cls in (("oracle", w), ("spark", g)):
+            if cls in ("decimal", "nested"):
+                probs.append(f"{col}: {side} result is {cls}-typed "
+                             f"(driver hasher can't digest it)")
+        if w is not None and g is not None and w != g \
+                and "decimal" not in (w, g) and "nested" not in (w, g):
+            probs.append(f"{col}: spark={g} vs oracle={w}")
+    return probs
 
 
 def canon(rows, cols):
@@ -57,12 +112,18 @@ def main():
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(got)} rows)")
             continue
-        ores = con.execute(oracles[name])
-        want_cols = [c[0] for c in ores.description]
-        want = ores.fetchall()
+        otab = con.execute(oracles[name]).arrow()
+        want_cols = otab.schema.names
+        want = [tuple(r[c] for c in want_cols) for r in otab.to_pylist()]
         gc, g = canon(got, got_cols)
         wc, w = canon(want, want_cols)
-        if gc != wc:
+        tprobs = type_parity(name, d, otab.schema)
+        if tprobs:
+            print(f"  ✗ {name}: TYPE-PARITY")
+            for p in tprobs:
+                print(f"      {p}")
+            n_fail += 1; failed.append(name)
+        elif gc != wc:
             print(f"  ✗ {name}: SCHEMA got={gc} want={wc}")
             n_fail += 1; failed.append(name)
         elif g != w:
