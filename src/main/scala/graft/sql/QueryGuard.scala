@@ -68,6 +68,12 @@ object QueryGuard {
     // valid)
     val globalNext = Set("IN", "NOT", "JOIN", "LEFT", "RIGHT", "INNER",
       "FULL", "CROSS", "ANY", "ALL", "SEMI", "ANTI")
+    // CH's hint always FOLLOWS an expression (`x GLOBAL IN (...)`,
+    // `FROM t GLOBAL JOIN u`); a column merely NAMED global sits in
+    // operand position — right after a predicate keyword or an opening
+    // paren/comma (`WHERE global IN (1,2)`) — and must not be stripped.
+    val operandPos = Set("WHERE", "AND", "OR", "ON", "HAVING", "WHEN",
+      "THEN", "ELSE", "SELECT", "BY", "CASE", "NOT")
     var out = sql
     val first = normalizeScan(out)
     first.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
@@ -75,8 +81,16 @@ object QueryGuard {
       if (t.upper == "PREWHERE")
         out = out.substring(0, t.start) + "WHERE" + out.substring(t.end)
       else if (t.upper == "GLOBAL" && i + 1 < first.size &&
-        globalNext(first(i + 1)._1.upper))
-        out = out.substring(0, t.start) + out.substring(t.end)
+        globalNext(first(i + 1)._1.upper)) {
+        val prevCh = out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)
+          .headOption
+        val afterExpr = prevCh.exists(c => Character.isLetterOrDigit(c) ||
+          c == '_' || c == ')' || c == '`' || c == '\'' || c == '"') &&
+          !(i > 0 && operandPos(first(i - 1)._1.upper) &&
+            out.substring(first(i - 1)._1.end, t.start).forall(_.isWhitespace))
+        if (afterExpr)
+          out = out.substring(0, t.start) + out.substring(t.end)
+      }
     }
     // trailing FORMAT <ident>: the last two tokens, at depth 0
     var ts = normalizeScan(out)
@@ -103,10 +117,18 @@ object QueryGuard {
     // distinguishable via grouping()). Top-level only; ordinal lists
     // (GROUP BY 1, 2) are rejected because ordinals do not resolve
     // inside GROUPING SETS.
+    // Only the clause form rewrites: a top-level GROUP BY must precede,
+    // and the next token must not be AS — `WITH totals AS (...)` is a
+    // CTE named totals, not the CH clause, and passes through untouched.
     ts = normalizeScan(out)
     val totalsAt = ts.indices.find { i =>
       i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "WITH" &&
-        ts(i + 1)._1.upper == "TOTALS"
+        ts(i + 1)._1.upper == "TOTALS" &&
+        !(i + 2 < ts.size && ts(i + 2)._1.upper == "AS") &&
+        (0 until i).exists { j =>
+          ts(j)._2 == 0 && ts(j)._1.upper == "GROUP" &&
+            ts(j + 1)._1.upper == "BY"
+        }
     }
     totalsAt.foreach { i =>
       val groupAt = (0 until i).reverse.find { j =>

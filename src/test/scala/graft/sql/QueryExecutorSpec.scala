@@ -52,6 +52,16 @@ class QueryExecutorSpec extends SparkSpec {
       // but an identifier merely NAMED global survives
       val r5 = ex.run("SELECT 1 AS global")
       assert(r5.columns == Seq("global"))
+      // ... including in operand position right before IN: a column
+      // named global is not the distribution hint
+      val r6 = ex.run(
+        """SELECT count(*) AS n FROM (SELECT 1 AS global) t
+          |WHERE global IN (1, 2)""".stripMargin)
+      assert(r6.rows.head.head.asInstanceOf[Long] == 1L)
+      val r7 = ex.run(
+        """SELECT count(*) AS n FROM (SELECT 1 AS global) t
+          |WHERE global NOT IN (3, 4)""".stripMargin)
+      assert(r7.rows.head.head.asInstanceOf[Long] == 1L)
     } finally ex.close()
   }
 
@@ -73,6 +83,18 @@ class QueryExecutorSpec extends SparkSpec {
       val e = intercept[ReadOnlyViolation](ex.run(
         "SELECT o_orderstatus, count(*) FROM orders GROUP BY 1 WITH TOTALS"))
       assert(e.getMessage.contains("ordinals"))
+      // a CTE merely NAMED totals is not the CH clause and parses as-is
+      val cte = ex.run(
+        """WITH totals AS (SELECT count(*) AS n FROM orders)
+          |SELECT n FROM totals""".stripMargin)
+      assert(cte.rows.head.head.asInstanceOf[Long] > 0)
+      // ... even alongside a real WITH TOTALS later in the statement
+      val both = ex.run(
+        """WITH totals AS (SELECT o_orderstatus AS st FROM orders)
+          |SELECT st, count(*) AS n FROM totals
+          |GROUP BY st WITH TOTALS
+          |ORDER BY st NULLS LAST""".stripMargin)
+      assert(both.rows.length == 4 && both.rows.last.head == null)
     } finally ex.close()
   }
 
