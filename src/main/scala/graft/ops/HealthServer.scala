@@ -233,11 +233,29 @@ object HealthServer {
       val sessions =
         new java.util.concurrent.ConcurrentHashMap[
           String, java.util.concurrent.LinkedBlockingQueue[String]]()
+      // Streams are long-lived (one blocked writer per connected
+      // client), so they must never occupy the shared 8-thread request
+      // pool: 8 lingering sessions would starve /messages — including a
+      // session's OWN posts — plus /query and /health. Each stream gets
+      // a thread from this dedicated cached pool instead; the handler
+      // returns immediately and the request thread is freed. A session
+      // cap keeps the thread count bounded, shedding load with 503 the
+      // way the reference's HTTP layer sheds connection-pool exhaustion.
+      val ssePool = java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-sse")
+        t.setDaemon(true)
+        t
+      })
+      val sseMax = 64
 
       server.createContext(prefix + "/sse", (exchange: HttpExchange) => {
         if (exchange.getRequestMethod != "GET")
           respond(exchange, 405,
             """{"status": "error", "message": "SSE requires GET"}""", json = true)
+        else if (sessions.size >= sseMax)
+          respond(exchange, 503,
+            """{"status": "error", "message": "too many SSE sessions"}""",
+            json = true)
         else {
           val sid = java.util.UUID.randomUUID().toString
           val queue = new java.util.concurrent.LinkedBlockingQueue[String]()
@@ -247,27 +265,30 @@ object HealthServer {
           exchange.getResponseHeaders.set("Cache-Control", "no-cache")
           exchange.sendResponseHeaders(200, 0L) // chunked: stream stays open
           val os = exchange.getResponseBody
-          try {
-            os.write((s"event: endpoint\n" +
-              s"data: $prefix/messages?session_id=$sid\n\n").getBytes(UTF_8))
-            os.flush()
-            while (true) {
-              val msg = queue.poll(500, java.util.concurrent.TimeUnit.MILLISECONDS)
-              // keep-alive comments double as disconnect probes: a write
-              // to a closed client throws and releases the thread
-              if (msg == null) os.write(": keep-alive\n\n".getBytes(UTF_8))
-              else os.write((
-                "event: message\n" +
-                  msg.linesIterator.map("data: " + _).mkString("", "\n", "\n\n"))
-                .getBytes(UTF_8))
+          ssePool.execute(() => {
+            try {
+              os.write((s"event: endpoint\n" +
+                s"data: $prefix/messages?session_id=$sid\n\n").getBytes(UTF_8))
               os.flush()
+              while (true) {
+                val msg = queue.poll(500, java.util.concurrent.TimeUnit.MILLISECONDS)
+                // keep-alive comments double as disconnect probes: a write
+                // to a closed client throws and releases the thread
+                if (msg == null) os.write(": keep-alive\n\n".getBytes(UTF_8))
+                else os.write((
+                  "event: message\n" +
+                    msg.linesIterator.map("data: " + _).mkString("", "\n", "\n\n"))
+                  .getBytes(UTF_8))
+                os.flush()
+              }
+            } catch {
+              case _: java.io.IOException => // client went away
+              case _: InterruptedException => // server shutting down
+            } finally {
+              sessions.remove(sid)
+              try os.close() catch { case _: Exception => }
             }
-          } catch {
-            case _: java.io.IOException => // client went away
-          } finally {
-            sessions.remove(sid)
-            try os.close() catch { case _: Exception => }
-          }
+          })
         }
       })
 

@@ -339,6 +339,30 @@ class HealthSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SSE streams do not occupy the shared request pool") {
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "sse")))
+    try {
+      // hold open more streams than the 8-thread request pool; each
+      // must detach to the dedicated SSE pool or the pool drains and
+      // every other endpoint (including the sessions' own /messages
+      // POSTs) deadlocks
+      val conns = (1 to 12).map { _ =>
+        val c = new java.net.URL(s"http://localhost:${srv.port}/sse")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("GET")
+        c.setReadTimeout(30000)
+        assert(c.getResponseCode == 200)
+        // reading the endpoint frame proves the stream thread is live
+        assert(c.getInputStream.read() != -1)
+        c
+      }
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/health")
+      assert(code == 200, s"health starved behind SSE streams: $body")
+      conns.foreach(_.disconnect())
+    } finally srv.close()
+  }
+
   test("MCP tools/call runs run_select_query and list_tables with reference shapes") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
