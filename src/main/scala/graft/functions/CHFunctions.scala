@@ -1978,10 +1978,11 @@ object CHFunctions {
         case "any" => fn("try_element_at", a, Literal(1))
         case "anylast" => fn("try_element_at", a, Literal(-1))
         case "median" | "medianexact" =>
-          // lower median of the sorted array (CH medianExact)
+          // CH quantileExact selects element floor(level·n) 0-based —
+          // the UPPER middle for even n: medianExact([1,2,3,4]) = 3
           fn("try_element_at", fn("array_sort", a),
-            Cast(Divide(Add(fn("size", a), Literal(1)), Literal(2)),
-              IntegerType))
+            Cast(Add(fn("floor", Divide(Cast(fn("size", a), DoubleType),
+              Literal(2.0))), Literal(1L)), IntegerType))
         case other => throw new IllegalArgumentException(
           s"arrayReduce: unsupported aggregate '$other'")
       }
@@ -2084,8 +2085,11 @@ object CHFunctions {
   }
 
   /** R-6 (exclusive, h = p·(n+1)) or R-7 (inclusive, h = p·(n−1)+1)
-    * linear interpolation over the sorted group array; k clamps to
-    * [1, n−1] so out-of-range levels return the extremes. The fold is
+    * linear interpolation over the sorted group array, with CH's
+    * boundary rule: h < 1 returns the minimum and h ≥ n the maximum
+    * (frac forces to 0/1 alongside the k clamp to [1, n−1], so the
+    * interpolation collapses onto the extreme element instead of
+    * leaking a fraction of the unclamped h). The fold is
     * `v_k + frac · (v_{k+1} − v_k)` in exactly that operand order, so
     * an oracle replaying the same formula is bit-identical. */
   private def exactQuantileInterp(
@@ -2099,7 +2103,10 @@ object CHFunctions {
       else Add(Multiply(Cast(level, DoubleType),
         Subtract(nd, Literal(1.0))), Literal(1.0))
     val kf = fn("floor", h) // BIGINT in Spark
-    val frac = Subtract(h, Cast(kf, DoubleType))
+    val frac = CaseWhen(Seq(
+      (LessThan(h, Literal(1.0)), Literal(0.0)),
+      (GreaterThanOrEqual(h, nd), Literal(1.0))),
+      Some(Subtract(h, Cast(kf, DoubleType))))
     val k = fn("least",
       fn("greatest", kf, Literal(1L)),
       Cast(Subtract(n, Literal(1)), LongType))

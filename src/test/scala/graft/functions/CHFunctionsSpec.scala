@@ -1649,7 +1649,9 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getLong(3) == 2L && r.getLong(4) == 2L)
     assert(r.getInt(5) == 4 && r.getInt(6) == 5)
     assert(r.getInt(7) == 5)
-    assert(r.getInt(8) == 2) // lower median of even-sized arrays
+    // CH quantileExact takes element floor(0.5·n): the UPPER middle
+    // for even n — medianExact([1,2,3,4]) = 3
+    assert(r.getInt(8) == 3)
   }
 
   test("UUID bridges, bit probes, and string extras") {
@@ -1776,6 +1778,19 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(4) - 3.3) < 1e-12)
     assert(math.abs(r.getDouble(5) - 3.6999999999999997) < 1e-12)
     assert(r.getSeq[Int](6) == Seq(1, 2, 3))
+    // CH boundary rule: h < 1 returns the minimum, h ≥ n the maximum —
+    // no interpolation leaks past the extremes
+    val b = one(
+      """SELECT
+        |  quantileExactExclusive(v4, 0.05D),  -- h = 0.25 < 1 → min
+        |  quantileExactExclusive(v4, 0.95D),  -- h = 4.75 ≥ 4 → max
+        |  quantileExactExclusive(v9, 0.9D),   -- h = 9 = n exactly → max
+        |  quantileExactInclusive(v9, 1.0D)    -- h = n → max
+        |FROM (SELECT explode(sequence(1, 4)) AS v4, NULL AS v9
+        |      UNION ALL SELECT NULL, explode(sequence(1, 9))) t"""
+        .stripMargin)
+    assert(b.getDouble(0) == 1.0 && b.getDouble(1) == 4.0)
+    assert(b.getDouble(2) == 9.0 && b.getDouble(3) == 9.0)
   }
 
   test("tupleElement and map key-pattern helpers") {
