@@ -62,8 +62,11 @@ final case class QueryResult(
   }
 
   /** JSONEachRow rendering — ClickHouse's NDJSON format: one
-    * `{"col": value, ...}` object per row, newline-delimited. The same
-    * value typing as [[toJson]]. */
+    * `{"col": value, ...}` object per row, newline-delimited. Numeric
+    * columns stay JSON numbers in every row: non-finite floats render
+    * as `null` (CH's default `output_format_json_quote_denormals = 0`)
+    * and decimals as plain unquoted numbers, so a parser never sees a
+    * column's JSON type flip between rows. */
   def toJsonEachRow: String = {
     def esc(s: String): String = s.flatMap {
       case '"' => "\\\""
@@ -78,8 +81,12 @@ final case class QueryResult(
       case null => "null"
       case b: Boolean => b.toString
       case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-      case d: Double if !d.isNaN && !d.isInfinite => d.toString
-      case f: Float if !f.isNaN && !f.isInfinite => f.toString
+      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
+      case f: Float => if (f.isNaN || f.isInfinite) "null" else f.toString
+      // decimals are numbers, not strings — plain form, no exponent,
+      // so a column's JSON type never flips between rows
+      case d: java.math.BigDecimal => d.toPlainString
+      case d: BigDecimal => d.bigDecimal.toPlainString
       case other => "\"" + esc(other.toString) + "\""
     }
     rows.map(r =>

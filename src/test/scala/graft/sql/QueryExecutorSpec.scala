@@ -105,6 +105,12 @@ class QueryExecutorSpec extends SparkSpec {
         "SELECT * FROM VALUES (1, 'a'), (2, NULL) t(id, s) ORDER BY id")
       assert(r.toJsonEachRow ==
         "{\"id\": 1, \"s\": \"a\"}\n{\"id\": 2, \"s\": null}")
+      // numeric columns keep a stable JSON type: non-finite floats are
+      // null (CH's default denormal handling), decimals are unquoted
+      val nf = ex.run(
+        """SELECT double('NaN') AS a, double('Infinity') AS b,
+          |  CAST(1.50 AS DECIMAL(10,2)) AS d""".stripMargin)
+      assert(nf.toJsonEachRow == "{\"a\": null, \"b\": null, \"d\": 1.50}")
     } finally ex.close()
   }
 
