@@ -24,7 +24,12 @@ object GuidePrompt {
       |  the ClickHouse-compatible dialect below). DDL/DML is rejected
       |  by a plan-level guard; results are row-capped and time-boxed.
       |- **list_databases** / **list_tables**: catalog discovery with
-      |  LIKE / NOT LIKE filters and page tokens.
+      |  LIKE / NOT LIKE filters and page tokens. Page tokens are
+      |  STATELESS offsets (they encode database + filters + position),
+      |  so they never expire — unlike the reference's server-side
+      |  token cache with its 1-hour TTL. A token replayed with
+      |  DIFFERENT filters, or a corrupted token, restarts the listing
+      |  from the first page instead of erroring.
       |
       |## Principles
       |- Query data IN PLACE with table functions; never suggest

@@ -94,6 +94,24 @@ class CatalogSpec extends SparkSpec {
     assert(p3.nextPageToken.isEmpty)
   }
 
+  test("tokens never go stale: resume across instances, garbage restarts") {
+    // no server-side token cache (vs the reference's 1 h TTL,
+    // mcp_server.py:165-169): a token issued by one catalog instance
+    // resumes correctly on a FRESH instance — exactly what a
+    // driver/executor restart looks like at scale
+    val p1 = cat.listTables(pageSize = 4)
+    val fresh = new graft.catalog.GraftCatalog(spark, sf)
+    val p2 = fresh.listTables(pageSize = 4, pageToken = p1.nextPageToken)
+    assert(p2.tables.map(_.name) ==
+      cat.listTables(pageSize = 4, pageToken = p1.nextPageToken)
+        .tables.map(_.name))
+    assert((p1.tables.map(_.name).toSet & p2.tables.map(_.name).toSet).isEmpty)
+    // a corrupted token is ignored and the listing restarts at page 1,
+    // never an expiry error
+    val garbage = cat.listTables(pageSize = 4, pageToken = Some("!!not-b64!!"))
+    assert(garbage.tables.map(_.name) == p1.tables.map(_.name))
+  }
+
   test("token for different filters restarts from the beginning") {
     val p1 = cat.listTables(pageSize = 2)
     val restarted = cat.listTables(pageSize = 2, like = Seq("o%"),
