@@ -960,6 +960,46 @@ object ChSurface {
         |  SELECT NULL, count(DISTINCT o_custkey), count(*) FROM orders)
         |ORDER BY pri NULLS LAST""".stripMargin)),
 
+    // LIMIT n BY through the pre-parse shim: the pasted CH clause
+    // rewrites to the row_number-window plan (q_limit_by proves the
+    // shape; this proves the literal syntax end-to-end)
+    ("q_limit_by_shim",
+      """SELECT c_nationkey, c_custkey,
+        |  CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents
+        |FROM customer
+        |ORDER BY c_nationkey, bal_cents DESC, c_custkey
+        |LIMIT 2 BY c_nationkey""".stripMargin,
+      Some("""WITH r AS (SELECT c_nationkey, c_custkey,
+        |    CAST(round(c_acctbal * 100.0) AS BIGINT) AS bal_cents,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY CAST(round(c_acctbal * 100.0) AS BIGINT) DESC,
+        |        c_custkey) AS rn
+        |  FROM customer)
+        |SELECT c_nationkey, c_custkey, bal_cents FROM r WHERE rn <= 2
+        |ORDER BY c_nationkey, bal_cents DESC, c_custkey""".stripMargin)),
+
+    // ORDER BY ... WITH FILL through the shim: the literal clause
+    // densifies via the bounds-broadcast + sequence/explode axis plan
+    // (q_with_fill proves the shape); filler rows carry type defaults
+    // (0 for the count), CH semantics
+    ("q_with_fill_shim",
+      """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  count(*) AS n_big
+        |FROM orders WHERE o_totalprice > 450000
+        |GROUP BY 1
+        |ORDER BY day WITH FILL STEP INTERVAL 1 DAY""".stripMargin,
+      Some("""WITH sparse AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    count(*) AS n_big
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |axis AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY)) AS day
+        |  FROM sparse)
+        |SELECT axis.day, CAST(coalesce(n_big, 0) AS BIGINT) AS n_big
+        |FROM axis LEFT JOIN sparse ON axis.day = sparse.day
+        |ORDER BY axis.day""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps
@@ -1401,11 +1441,9 @@ ORDER BY point_idx"""
 
   private def runSql(sqlIn: String): Q = (s: SparkSession, dir: String) => {
     TableEnv.register(s, dir)
-    // same pre-parse shims as the served /query path, so dialect
-    // queries here exercise exactly what a pasted CH query gets
-    val sql = QueryGuard.normalizeDialect(sqlIn)
-    QueryGuard.parseReadOnly(s, sql)
-    s.sql(sql)
+    // same shim path as the served /query surface, so dialect queries
+    // here exercise exactly what a pasted CH query gets
+    QueryGuard.plan(s, sqlIn)
   }
 
   /** ClickHouse external-dictionary lookups: `nation`/`region` loaded

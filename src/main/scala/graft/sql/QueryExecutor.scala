@@ -112,13 +112,10 @@ final class QueryExecutor(
   private val pool = Executors.newFixedThreadPool(poolSize)
 
   /** Plan a guarded SELECT; lazy — no jobs run until an action.
-    * ClickHouse-surface shims (PREWHERE, trailing SETTINGS/FORMAT)
-    * normalize away first, so pasted CH queries run unchanged. */
-  def select(sql: String): DataFrame = {
-    val normalized = QueryGuard.normalizeDialect(sql)
-    QueryGuard.parseReadOnly(spark, normalized)
-    spark.sql(normalized)
-  }
+    * ClickHouse-surface shims (PREWHERE, trailing SETTINGS/FORMAT,
+    * LIMIT BY, WITH TOTALS, WITH FILL) normalize away first, so
+    * pasted CH queries run unchanged. */
+  def select(sql: String): DataFrame = QueryGuard.plan(spark, sql)
 
   /** Formatted physical plan of a guarded SELECT — planning only, no
     * jobs run. The "why is this slow" tool an operator (or LLM client)

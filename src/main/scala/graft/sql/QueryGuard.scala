@@ -44,6 +44,19 @@ object QueryGuard {
     try { parseReadOnly(spark, sql); true }
     catch { case _: ReadOnlyViolation => false }
 
+  /** The full pasted-query path shared by the served `/query` surface
+    * and the dialect query pack: text shims ([[normalizeDialect]]) →
+    * read-only guard → plan, then the post-plan shims that need the
+    * result schema ([[WithFill]]'s dense-axis rewrite). */
+  def plan(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame = {
+    val normalized = normalizeDialect(sql)
+    val (core, fill) = WithFill.extract(normalized)
+    parseReadOnly(spark, core)
+    val df = spark.sql(core)
+    fill.map(WithFill(df, _)).getOrElse(df)
+  }
+
   /** ClickHouse-surface compatibility shims applied BEFORE parsing, so
     * queries pasted from a ClickHouse client run unchanged:
     *
@@ -54,6 +67,11 @@ object QueryGuard {
     *  - a trailing top-level `FORMAT <name>` is dropped (output format
     *    is negotiated by the transport, as in the reference's
     *    `{columns, rows}` shaping)
+    *  - `GROUP BY ... WITH TOTALS` → `GROUPING SETS ((cols), ())`
+    *  - `LIMIT [offset,] k BY cols` → the row_number-window per-group
+    *    head (the plan proven by `q_limit_by`)
+    *  - `ORDER BY ... WITH FILL` is handled post-plan by [[WithFill]]
+    *    (it needs the result schema) via [[plan]]
     *
     * The scan is quote-aware (single/double quotes with doubling and
     * backslash escapes, backticks) and paren-depth-aware, so string
@@ -144,11 +162,55 @@ object QueryGuard {
       out = out.substring(0, ts(groupAt + 1)._1.end) +
         s" GROUPING SETS (($list), ())" + out.substring(ts(i + 1)._1.end)
     }
+    // LIMIT [offset,] k BY cols — CH's per-group head — rewrites to the
+    // row_number-window form (the plan shape proven by q_limit_by): the
+    // source becomes a subquery, a window numbers rows per BY-group in
+    // the query's ORDER BY (the BY columns when absent), and the outer
+    // query keeps rank ≤ k, replaying the ORDER BY for the final sort.
+    // Top-level only; a trailing plain LIMIT m still applies after.
+    ts = normalizeScan(out)
+    val limByAt = ts.indices.find { i =>
+      i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "LIMIT" &&
+        ts(i + 1)._1.upper == "BY" &&
+        out.substring(ts(i)._1.end, ts(i + 1)._1.start).trim
+          .matches("[0-9]+(\\s*,\\s*[0-9]+)?")
+    }
+    limByAt.foreach { i =>
+      val nums = out.substring(ts(i)._1.end, ts(i + 1)._1.start).trim
+        .split(",").map(_.trim.toLong)
+      val (off, k) = if (nums.length == 2) (nums(0), nums(1)) else (0L, nums(0))
+      val nextLimit = ts.indices.find { j =>
+        j > i + 1 && ts(j)._2 == 0 && ts(j)._1.upper == "LIMIT"
+      }
+      val byEnd = nextLimit.map(j => ts(j)._1.start).getOrElse(out.length)
+      val byList = out.substring(ts(i + 1)._1.end, byEnd).trim
+        .stripSuffix(";").trim
+      if (byList.isEmpty)
+        throw new ReadOnlyViolation("LIMIT ... BY needs at least one column")
+      val tail = nextLimit
+        .map(j => " " + out.substring(ts(j)._1.start).trim).getOrElse("")
+      val orderAt = (0 until i).reverse.find { j =>
+        j + 1 < ts.size && ts(j)._2 == 0 && ts(j)._1.upper == "ORDER" &&
+          ts(j + 1)._1.upper == "BY"
+      }
+      val orderList = orderAt.map(j =>
+        out.substring(ts(j + 1)._1.end, ts(i)._1.start).trim).getOrElse(byList)
+      val core = orderAt.map(j => out.substring(0, ts(j)._1.start))
+        .getOrElse(out.substring(0, ts(i)._1.start))
+      val cond =
+        if (off > 0) s"__graft_rn > $off AND __graft_rn <= ${off + k}"
+        else s"__graft_rn <= $k"
+      val outerOrder = orderAt.map(_ => s" ORDER BY $orderList").getOrElse("")
+      out = "SELECT * EXCEPT (__graft_rn) FROM (SELECT *, row_number() " +
+        s"OVER (PARTITION BY $byList ORDER BY $orderList) AS __graft_rn " +
+        s"FROM ($core) __graft_lb) WHERE $cond$outerOrder$tail"
+    }
     out
   }
 
-  /** Token scan shared by [[normalizeDialect]]'s re-passes. */
-  private def normalizeScan(sql: String)
+  /** Token scan shared by [[normalizeDialect]]'s re-passes (and
+    * [[WithFill]]'s clause extraction). */
+  private[sql] def normalizeScan(sql: String)
       : Vector[(NormTok, Int)] = {
     val toks = scala.collection.mutable.ArrayBuffer.empty[(NormTok, Int)]
     var i = 0
@@ -181,5 +243,5 @@ object QueryGuard {
     toks.toVector
   }
 
-  private final case class NormTok(start: Int, end: Int, upper: String)
+  private[sql] final case class NormTok(start: Int, end: Int, upper: String)
 }

@@ -1,0 +1,199 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** `ORDER BY ... WITH FILL [FROM f] [TO t] [STEP s]` for pasted
+  * ClickHouse queries (reference accepts any CH SELECT,
+  * mcp_server.py:421-459).
+  *
+  * The clause needs the result SCHEMA (filler rows carry each
+  * column's type default, as in ClickHouse), so unlike the pure-text
+  * shims in [[QueryGuard.normalizeDialect]] it splits into a text
+  * half — [[extract]] cuts the clause and returns a [[FillSpec]] —
+  * and a plan half — [[apply]] rebuilds the dense axis around the
+  * planned core query with the bounds-broadcast + `sequence`/explode
+  * shape proven by `q_with_fill` (operators/Relational.scala): one
+  * row of min/max bounds explodes into the axis, grid points absent
+  * from the result join anti against it (broadcast — the axis is
+  * tiny), and the union re-sorts by the query's ORDER BY. No
+  * collect, no per-row driver work: scale-safe at any axis length
+  * that fits a result set.
+  *
+  * Scope (documented departures): the fill column must be a named
+  * output column (CH also fills computed sort expressions); one
+  * WITH FILL per statement (CH allows one per sort column);
+  * `INTERPOLATE` is not supported. `TO` is exclusive, as in CH.
+  */
+object WithFill {
+
+  final case class FillSpec(
+      column: String,
+      from: Option[String],
+      to: Option[String],
+      step: Option[String],
+      orderText: String)
+
+  /** Cut a top-level `WITH FILL [FROM ..] [TO ..] [STEP ..]` out of
+    * `sql`; the returned core keeps its ORDER BY. */
+  def extract(sql: String): (String, Option[FillSpec]) = {
+    val ts = QueryGuard.normalizeScan(sql)
+    val fillAt = ts.indices.find { i =>
+      i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "WITH" &&
+        ts(i + 1)._1.upper == "FILL"
+    }
+    fillAt match {
+      case None => (sql, None)
+      case Some(i) =>
+        val orderAt = (0 until i).reverse.find { j =>
+          j + 1 < ts.size && ts(j)._2 == 0 && ts(j)._1.upper == "ORDER" &&
+            ts(j + 1)._1.upper == "BY"
+        }.getOrElse(throw new ReadOnlyViolation(
+          "WITH FILL is only valid inside a top-level ORDER BY"))
+        val orderText = sql.substring(ts(orderAt + 1)._1.end, ts(i)._1.start)
+          .trim
+        // the fill column is the last sort item, direction dropped
+        var colText = orderText.split(",").last.trim
+        val up = colText.toUpperCase
+        if (up.endsWith(" DESC")) colText = colText.dropRight(5).trim
+        else if (up.endsWith(" ASC")) colText = colText.dropRight(4).trim
+        colText = colText.stripPrefix("`").stripSuffix("`")
+
+        // FROM/TO/STEP sub-clauses: each value runs to the next
+        // depth-0 clause keyword or end of statement
+        val stop = Set("FROM", "TO", "STEP", "INTERPOLATE", "LIMIT",
+          "SETTINGS", "FORMAT")
+        var from: Option[String] = None
+        var to: Option[String] = None
+        var step: Option[String] = None
+        var endOfFill = ts(i + 1)._1.end
+        var j = i + 2
+        var done = false
+        while (!done && j < ts.size && ts(j)._2 == 0 &&
+          Set("FROM", "TO", "STEP")(ts(j)._1.upper)) {
+          val next = ((j + 1) until ts.size).find(x =>
+            ts(x)._2 == 0 && stop(ts(x)._1.upper))
+          val vEnd = next.map(x => ts(x)._1.start).getOrElse(sql.length)
+          val v = sql.substring(ts(j)._1.end, vEnd).trim
+            .stripSuffix(";").trim
+          ts(j)._1.upper match {
+            case "FROM" => from = Some(v)
+            case "TO" => to = Some(v)
+            case "STEP" => step = Some(v)
+          }
+          endOfFill = vEnd
+          next match {
+            case Some(x) => j = x
+            case None => done = true
+          }
+        }
+        if (step.exists(_.isEmpty) || from.exists(_.isEmpty) ||
+          to.exists(_.isEmpty))
+          throw new ReadOnlyViolation("empty WITH FILL FROM/TO/STEP value")
+        val core = (sql.substring(0, ts(i)._1.start).stripTrailing +
+          " " + sql.substring(endOfFill).stripLeading).stripTrailing
+        (core, Some(FillSpec(colText, from, to, step, orderText)))
+    }
+  }
+
+  /** Densify `df` along `spec.column`: grid points missing from the
+    * result are appended as filler rows carrying type defaults, then
+    * the whole union re-sorts by the query's ORDER BY. Off-grid rows
+    * already in the result are kept, as in CH. */
+  def apply(df: DataFrame, spec: FillSpec): DataFrame = {
+    val cn = df.columns.find(_.equalsIgnoreCase(spec.column))
+      .getOrElse(throw new ReadOnlyViolation(
+        s"WITH FILL column '${spec.column}' must be an output column " +
+          s"of the query (have: ${df.columns.mkString(", ")})"))
+    val dt = df.schema(cn).dataType
+    val defaultStep: Column = dt match {
+      case DateType | TimestampType => expr("interval 1 day")
+      case _ => lit(1)
+    }
+    // sequence() wants the step's integral width to match the axis
+    val stepCol = spec.step.map(expr).getOrElse(defaultStep) match {
+      case s if dt.isInstanceOf[NumericType] => s.cast(dt)
+      case s => s
+    }
+    val bounds = df.agg(min(col(cn)).as("__graft_lo"),
+      max(col(cn)).as("__graft_hi"))
+    val loCol = spec.from.map(expr).getOrElse(col("__graft_lo")).cast(dt)
+    val hiCol = spec.to.map(expr).getOrElse(col("__graft_hi")).cast(dt)
+    var axis = bounds
+      .select(explode(sequence(loCol, hiCol, stepCol)).as(cn))
+    // CH's TO bound is exclusive
+    spec.to.foreach(t => axis = axis.filter(col(cn) < expr(t).cast(dt)))
+    val missing = broadcast(axis).join(df, Seq(cn), "left_anti")
+    val filler = missing.select(df.columns.map { c2 =>
+      if (c2 == cn) col(cn)
+      else typeDefault(df.schema(c2).dataType).as(c2)
+    }.toIndexedSeq: _*)
+    df.unionByName(filler).sort(sortItems(spec.orderText): _*)
+  }
+
+  /** ClickHouse fills non-axis columns with the column type's default
+    * value, not NULL. */
+  private def typeDefault(dt: DataType): Column = dt match {
+    case _: NumericType => lit(0).cast(dt)
+    case StringType => lit("")
+    case BooleanType => lit(false)
+    case DateType => lit("1970-01-01").cast(DateType)
+    case TimestampType => lit("1970-01-01 00:00:00").cast(TimestampType)
+    case other => lit(null).cast(other)
+  }
+
+  /** Parse an ORDER BY item list back into sort columns (aliases
+    * resolve against the unioned result). */
+  private def sortItems(orderText: String): Seq[Column] =
+    splitTopLevel(orderText).map { item0 =>
+      var item = item0.trim
+      var up = item.toUpperCase
+      var nullsFirst: Option[Boolean] = None
+      if (up.endsWith(" NULLS FIRST")) {
+        nullsFirst = Some(true); item = item.dropRight(12).trim
+      } else if (up.endsWith(" NULLS LAST")) {
+        nullsFirst = Some(false); item = item.dropRight(11).trim
+      }
+      up = item.toUpperCase
+      var desc = false
+      if (up.endsWith(" DESC")) { desc = true; item = item.dropRight(5).trim }
+      else if (up.endsWith(" ASC")) item = item.dropRight(4).trim
+      val base = expr(item)
+      (desc, nullsFirst) match {
+        case (false, None) => base.asc
+        case (false, Some(true)) => base.asc_nulls_first
+        case (false, Some(false)) => base.asc_nulls_last
+        case (true, None) => base.desc
+        case (true, Some(true)) => base.desc_nulls_first
+        case (true, Some(false)) => base.desc_nulls_last
+      }
+    }
+
+  /** Comma split that respects parens and quotes. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < s.length && s.charAt(i) != q) {
+            if (s.charAt(i) == '\\' && q != '`') i += 1
+            i += 1
+          }
+        case ',' if depth == 0 =>
+          out += s.substring(start, i)
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+}

@@ -98,6 +98,66 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("LIMIT n BY pasted clause rewrites to per-group heads") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      val r = ex.run(
+        """SELECT c_nationkey, c_custkey FROM customer
+          |ORDER BY c_nationkey, c_custkey
+          |LIMIT 2 BY c_nationkey""".stripMargin)
+      assert(r.columns == Seq("c_nationkey", "c_custkey"))
+      val perGroup = r.rows.groupBy(_.head)
+      assert(perGroup.nonEmpty && perGroup.values.forall(_.size <= 2))
+      // the result keeps the pasted ORDER BY
+      assert(r.rows == r.rows.sortBy(row =>
+        (row(0).toString.toLong, row(1).toString.toLong)))
+      // offset form: LIMIT 1, 2 BY skips each group's first row
+      val ro = ex.run(
+        """SELECT c_nationkey, c_custkey FROM customer
+          |ORDER BY c_nationkey, c_custkey
+          |LIMIT 1, 2 BY c_nationkey""".stripMargin)
+      val firsts = perGroup.values.map(_.head).toSet
+      assert(ro.rows.nonEmpty && ro.rows.forall(!firsts.contains(_)))
+      // a trailing plain LIMIT still applies after the per-group cut
+      val rl = ex.run(
+        """SELECT c_nationkey, c_custkey FROM customer
+          |ORDER BY c_nationkey, c_custkey
+          |LIMIT 2 BY c_nationkey LIMIT 3""".stripMargin)
+      assert(rl.rows.size == 3 && rl.rows == r.rows.take(3))
+      // without LIMIT BY, a plain LIMIT is untouched
+      val plain = ex.run("SELECT c_custkey FROM customer LIMIT 4")
+      assert(plain.rows.size == 4)
+    } finally ex.close()
+  }
+
+  test("WITH FILL pasted clause densifies the axis with type defaults") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // integer axis, implicit step 1: k3 hits only multiples of 3 —
+      // the gaps fill with zero counts (CH type-default fill)
+      val f = ex.run(
+        """SELECT c_nationkey * 3 AS k3, count(*) AS n FROM customer
+          |WHERE c_nationkey < 5 GROUP BY 1
+          |ORDER BY k3 WITH FILL""".stripMargin)
+      assert(f.rows.map(_.head.toString.toLong) == (0L to 12L).toSeq)
+      assert(f.rows.filter(_.head.toString.toLong % 3 != 0)
+        .forall(_(1).toString.toLong == 0L))
+      assert(f.rows.filter(_.head.toString.toLong % 3 == 0)
+        .forall(_(1).toString.toLong > 0L))
+      // FROM/TO/STEP: grid beyond the data appears, TO is exclusive,
+      // off-grid data rows are kept (CH semantics)
+      val g = ex.run(
+        """SELECT c_nationkey AS k, count(*) AS n FROM customer
+          |WHERE c_nationkey < 7 GROUP BY 1
+          |ORDER BY k WITH FILL FROM 0 TO 20 STEP 5""".stripMargin)
+      assert(g.rows.map(_.head.toString.toLong) ==
+        Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 10L, 15L))
+      assert(g.rows.takeRight(2).forall(_(1).toString.toLong == 0L))
+    } finally ex.close()
+  }
+
   test("JSONEachRow renders one object per row") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
