@@ -133,15 +133,6 @@ object CHFunctions {
   private def urlField(url: Expression, ordinal: Int): Expression =
     GetStructField(UrlParse(url), ordinal, Some(urlFieldNames(ordinal)))
 
-  /** Generic second-level labels for firstSignificantSubdomain — the
-    * common cross-country members of the public-suffix list (the
-    * reference embeds the full publicsuffix.org database; this subset
-    * covers the commercial, governmental, academic, and network
-    * families that dominate real hosts: gov.uk, ac.jp, com.tr, ...). */
-  private val GenericSecondLevel = Seq(
-    "com", "net", "org", "co", "gov", "mil", "edu", "ac", "sch",
-    "biz", "info", "gob", "gouv", "go", "ne", "or")
-
   val all: Seq[(String, Builder)] = Seq(
     // approximate + exact distinct
     "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
@@ -1701,36 +1692,17 @@ object CHFunctions {
       fn("regexp_extract", es.head, Literal("\\?(.*)$"), Literal(1))),
     "decodeURLComponent" -> (es => fn("url_decode", es.head)),
     "encodeURLComponent" -> (es => fn("url_encode", es.head)),
-    // firstSignificantSubdomain: the label left of a generic
-    // second-level label, else the label left of the TLD —
-    // 'news.yandex.com.tr' → 'yandex', 'a.gov.uk' → 'a', 'www.tr' →
-    // 'www'. The reference embeds the full publicsuffix.org list; this
-    // carries the common generic second-level labels (commercial +
-    // governmental + academic families), documented as a subset.
-    "firstSignificantSubdomain" -> (es => {
-      val labels = fn("split", urlField(es.head, 1), Literal("\\."))
-      val generic = fn("try_element_at", labels, Literal(-2))
-      Coalesce(Seq(
-        CaseWhen(
-          Seq((In(generic, GenericSecondLevel.map(Literal(_))),
-            fn("try_element_at", labels, Literal(-3)))),
-          Some(generic)),
-        Literal("")))
-    }),
+    // firstSignificantSubdomain: the label left of the host's PUBLIC
+    // SUFFIX — 'news.yandex.com.tr' → 'yandex', 'a.gov.uk' → 'a',
+    // 'www.tr' → 'www'. Resolved against the publicsuffix.org rule
+    // file shipped as a resource (wildcards + exceptions included);
+    // see [[PublicSuffix]].
+    "firstSignificantSubdomain" -> (es =>
+      FirstSignificantSubdomain(urlField(es.head, 1))),
     // cutToFirstSignificantSubdomain: the host from that label on —
     // 'news.yandex.com.tr' → 'yandex.com.tr', 'a.gov.uk' → 'a.gov.uk'
-    "cutToFirstSignificantSubdomain" -> (es => {
-      val labels = fn("split", urlField(es.head, 1), Literal("\\."))
-      val generic = fn("try_element_at", labels, Literal(-2))
-      CaseWhen(
-        Seq(
-          (LessThan(fn("size", labels), Literal(2)), Literal("")),
-          (In(generic, GenericSecondLevel.map(Literal(_))),
-            fn("array_join",
-              fn("slice", labels, Literal(-3), Literal(3)), Literal(".")))),
-        Some(fn("array_join",
-          fn("slice", labels, Literal(-2), Literal(2)), Literal("."))))
-    }),
+    "cutToFirstSignificantSubdomain" -> (es =>
+      CutToFirstSignificantSubdomain(urlField(es.head, 1))),
     // parameter lists over the parsed query string
     "extractURLParameters" -> (es => {
       val p = UnresolvedNamedLambdaVariable(Seq("p"))

@@ -713,7 +713,7 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "example")
     assert(r.getString(2) == "yandex.com.tr")
     assert(r.getString(3) == "example.org")
-    // governmental/academic second-level labels are generic too
+    // public-suffix-list resolution: ccTLD second-level structures
     val g = one(
       """SELECT firstSignificantSubdomain('https://a.gov.uk/x'),
         |  cutToFirstSignificantSubdomain('https://a.gov.uk/x'),
@@ -721,6 +721,38 @@ class CHFunctionsSpec extends SparkSpec {
     assert(g.getString(0) == "a")
     assert(g.getString(1) == "a.gov.uk")
     assert(g.getString(2) == "www")
+    val psl = one(
+      """SELECT firstSignificantSubdomain('https://shop.b.co.jp/x'),
+        |  cutToFirstSignificantSubdomain('https://shop.b.co.jp/x'),
+        |  firstSignificantSubdomain('https://www.c.com.au/x'),
+        |  cutToFirstSignificantSubdomain('https://x.pref.tokyo.jp/'),
+        |  firstSignificantSubdomain('https://www.d.museum.no/'),
+        |  firstSignificantSubdomain('https://a.b.mm/'),
+        |  cutToFirstSignificantSubdomain('https://deep.a.b.mm/'),
+        |  firstSignificantSubdomain('https://www.ck/'),
+        |  firstSignificantSubdomain('https://city.kawasaki.jp/'),
+        |  firstSignificantSubdomain('https://ward.city.kawasaki.jp/'),
+        |  firstSignificantSubdomain('https://sub.other.kawasaki.jp/'),
+        |  firstSignificantSubdomain('https://com.tr/'),
+        |  firstSignificantSubdomain('https://example.dev/')""".stripMargin)
+    assert(psl.getString(0) == "b") // co.jp
+    assert(psl.getString(1) == "b.co.jp")
+    assert(psl.getString(2) == "c") // com.au
+    assert(psl.getString(3) == "pref.tokyo.jp") // tokyo.jp prefecture suffix
+    assert(psl.getString(4) == "d") // museum.no functional suffix
+    // *.mm wildcard: b.mm is itself a public suffix
+    assert(psl.getString(5) == "a")
+    assert(psl.getString(6) == "a.b.mm")
+    // !www.ck exception inside *.ck
+    assert(psl.getString(7) == "www")
+    // *.kawasaki.jp wildcard with the !city.kawasaki.jp exception
+    assert(psl.getString(8) == "city")
+    assert(psl.getString(9) == "city")
+    assert(psl.getString(10) == "sub")
+    // a bare public suffix has no registrable domain
+    assert(psl.getString(11) == "")
+    // unlisted TLDs fall back to the implicit * rule
+    assert(psl.getString(12) == "example")
     assert(r.getString(4) == "sec2" && r.getString(5) == "")
     assert(r.getString(6) == "q=1#sec2")
     assert(r.getString(7) == "a b/c")
