@@ -114,63 +114,136 @@ object Ann {
       .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
         first(col(vecCol)).as(vecCol))
 
-  /** Deterministic bounded sample WITHOUT a full-corpus count: escalate
-    * a hash modulus until the filtered sample fits the budget. Each
-    * probe is `limit(budget+1).count()` — it stops as soon as budget+1
+  /** Deterministic bounded training sample WITHOUT a full-corpus
+    * count, COLLECTED: escalate a hash modulus until the filtered set
+    * fits the budget, where each probe's accept test and fetch are the
+    * same `limit(budget+1)` scan — it stops as soon as budget+1
     * matching rows are found, so accepting-or-rejecting a dense sample
-    * costs O(budget) rows, never O(corpus); only the final (sparsest)
-    * probe scans broadly, over the id column alone. A ratio-based
-    * filter would need an exact n first — one full scan before any
-    * training — and its integer threshold silently truncates to zero
-    * past ~65 B rows. */
-  private def boundedSample(e: DataFrame, idCol: String): DataFrame = {
+    * costs O(budget) rows, never O(corpus). A ratio-based filter would
+    * need an exact n first — one full scan before any training — and
+    * its integer threshold silently truncates to zero past ~65 B rows.
+    * The result is ≤ [[TrainSample]] (id, vector) rows — MB-scale by
+    * contract — plus whether the sample IS the whole corpus (the
+    * common case at bench SFs), which lets callers reuse it for
+    * seed/query/dim lookups instead of extra jobs. */
+  private def collectBoundedSample(
+      e: DataFrame, idCol: String): (Array[(Long, Array[Double])], Boolean) = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    def fetch(s: DataFrame): Array[(Long, Array[Double])] =
+      s.select(col(idCol).cast("long"), col("v"))
+        .limit(TrainSample + 1).as[(Long, Array[Double])].collect()
     var m = 1L
     while (m < (1L << 40)) {
-      val s =
+      val rows = fetch(
         if (m == 1) e
-        else e.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
-      if (s.limit(TrainSample + 1).count() <= TrainSample) return s
+        else e.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0))
+      if (rows.length <= TrainSample) return (rows, m == 1)
       m *= 64
     }
-    e.filter(pmod(xxhash64(col(idCol)), lit(1L << 40)) === 0)
+    (fetch(e.filter(pmod(xxhash64(col(idCol)), lit(1L << 40)) === 0)), false)
   }
 
-  /** Lloyd iterations over a bounded deterministic sample: each pass is
-    * one broadcast-assign aggregation + one (cell, dim) recompute —
-    * both partial-agg friendly, neither scales with full corpus size.
-    * The centroid table itself is tiny BY CONTRACT (k cells × dim
-    * doubles), so each pass lands it on the driver and re-lifts it as a
-    * local relation — lineage stays flat across iterations and the next
-    * pass's broadcast ships a plain local table, with no RDD
-    * checkpoint. Seeded from the first k vectors for reproducibility. */
+  /** Seed vectors (`vec_id < k`): from the collected sample when it is
+    * the whole corpus (free), else one pushed-filter job. */
+  private def seedVectors(e: DataFrame,
+      sample: Array[(Long, Array[Double])], whole: Boolean,
+      k: Long): Array[(Long, Array[Double])] = {
+    if (whole) sample.filter(_._1 < k).sortBy(_._1)
+    else {
+      val spark = e.sparkSession
+      import spark.implicits._
+      e.filter(col("vec_id") < k).select(col("vec_id"), col("v"))
+        .as[(Long, Array[Double])].collect().sortBy(_._1)
+    }
+  }
+
+  /** Cosine with EXACTLY [[graft.functions.VectorOps.cosine]]'s float
+    * op order (fused dot/xx/yy accumulation, left-associated), so
+    * driver-side Lloyd assignments agree bit-for-bit with the codegen'd
+    * expression — and with the oracle's replay of it. */
+  private def cosLocal(x: Array[Double], y: Array[Double]): Double = {
+    var dot = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < x.length) {
+      val xi = x(i); val yi = y(i)
+      dot += xi * yi; xx += xi * xi; yy += yi * yi
+      i += 1
+    }
+    if (xx == 0.0 || yy == 0.0) 0.0 else dot / math.sqrt(xx * yy)
+  }
+
+  /** Squared L2 with [[graft.functions.VectorOps.l2sq]]'s op order. */
+  private def l2sqLocal(x: Array[Double], y: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < x.length) { val d = x(i) - y(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** One driver-side Lloyd pass shared by IVF and PQ: assign each
+    * sample vector to the best centroid under `better`, then recompute
+    * per-cell FIXED-POINT means (micro-units summed as longs — exact,
+    * order-independent, bit-identical to the former distributed
+    * aggregation and to the DuckDB oracle replay). Cells that lose all
+    * members drop out, like the groupBy they replace. Centroids are
+    * scanned in ascending cell order with strict improvement, which IS
+    * `max_by(cell, struct(score, -cell))` / `min_by(cell, struct(d2,
+    * cell))` tie-breaking (ties keep the lowest cell). */
+  private def lloydPass(
+      vectors: Iterable[(Long, Array[Double])],
+      cents: Array[(Long, Array[Double])],
+      score: (Array[Double], Array[Double]) => Double,
+      maximize: Boolean): Array[(Long, Array[Double])] = {
+    val sums = scala.collection.mutable.HashMap
+      .empty[Long, (Array[Long], Array[Long])] // fixed-point sums, count
+    vectors.foreach { case (_, v) =>
+      var bestCell = 0L
+      var bestScore = 0.0
+      var first = true
+      var ci = 0
+      while (ci < cents.length) {
+        val (cell, cv) = cents(ci)
+        val s = score(v, cv)
+        if (first || (if (maximize) s > bestScore else s < bestScore)) {
+          bestCell = cell; bestScore = s; first = false
+        }
+        ci += 1
+      }
+      val (sum, cnt) = sums.getOrElseUpdate(bestCell,
+        (new Array[Long](v.length), new Array[Long](1)))
+      var i = 0
+      while (i < v.length) {
+        sum(i) += math.floor(v(i) * 1e6 + 0.5).toLong
+        i += 1
+      }
+      cnt(0) += 1
+    }
+    sums.toArray.sortBy(_._1).map { case (cell, (sum, cnt)) =>
+      (cell, sum.map(s => s.toDouble / cnt(0) / 1e6))
+    }
+  }
+
+  /** Lloyd iterations over a bounded deterministic sample, run ON THE
+    * DRIVER: the sample is ≤ [[TrainSample]] vectors BY CONTRACT
+    * (MB-scale, regardless of corpus size), so the whole training loop
+    * is one collect job — where the distributed formulation paid a
+    * count probe plus a broadcast-assign + (cell, dim) recompute job
+    * PER PASS, all fixed overhead at any SF since the data volume never
+    * grows. Assignment is nearest-by-cosine with ties to the lower cell
+    * (exactly the former `max_by(cell, struct(ccos, -cell))`), and
+    * centroid means are fixed-point micro-unit sums — exact,
+    * order-independent, bit-identical to the distributed aggregation
+    * this replaces and replayable by the DuckDB oracle. Seeded from the
+    * first k vectors for reproducibility; empty cells drop out. */
   private[graft] def trainCentroids(e: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // the sample is ≤ TrainSample vectors BY CONTRACT (MB-scale), so
-    // caching it across Lloyd passes trades bounded memory for not
-    // re-reading parquet + re-filtering once per iteration
-    val sample = boundedSample(e, "vec_id").persist()
-    var cents = e.filter(col("vec_id") < k)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    for (_ <- 0 until iters) {
-      val updated = assignCells(sample, cents, "vec_id", "v")
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        // fixed-point mean (micro-units summed as longs): exact and
-        // order-independent, so centroids are bit-identical under any
-        // partitioning and replayable by the DuckDB oracle (see the
-        // identical rationale in trainPqCodebooks)
-        .agg((sum(floor(col("x") * 1e6 + lit(0.5)).cast("long")).cast("double")
-          / count(lit(1)) / 1e6).as("cx"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .select(col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-        .as[(Long, Seq[Double])]
-        .collect() // k × dim doubles — driver-tiny by contract
-      cents = updated.toSeq.toDF("cell", "cv")
-    }
-    sample.unpersist(blocking = false)
-    cents
+    val (sample, whole) = collectBoundedSample(e, "vec_id")
+    var cents = seedVectors(e, sample, whole, k)
+    for (_ <- 0 until iters)
+      cents = lloydPass(sample, cents, cosLocal, maximize = true)
+    cents.toSeq.map { case (c, v) => (c, v.toSeq) }.toDF("cell", "cv")
   }
 
   /** D7: IVF coarse quantizer — sample-trained centroids, `max_by`
@@ -258,56 +331,46 @@ object Ann {
     * allocated per evaluation. */
   private val subDist2: Column = expr("L2SquaredDistance(sv, cv)")
 
-  /** Product-quantization codebooks: per-subspace k-means, all [[PqM]]
-    * subspaces trained JOINTLY in one DataFrame loop (one Spark job per
-    * Lloyd pass total, not per subspace). Same scale contract as
-    * [[trainCentroids]]: passes run over a bounded deterministic
-    * sample; the assignment is a partial-agg `min_by` (no window
-    * exchange); the codebook (m × k × dim/m doubles — KB-scale by
-    * contract) lands on the driver each pass and re-lifts as a local
-    * relation, which is also what the ADC tables are computed from.
-    * Cells that lose all members drop out (standard empty-cell k-means
-    * behavior; seeded from the first k vectors for reproducibility). */
+  /** Product-quantization codebooks: per-subspace k-means over the
+    * bounded deterministic sample, run ON THE DRIVER like
+    * [[trainCentroids]] — the sample collect is the only Spark job in
+    * training (the distributed formulation paid a count probe, a seed
+    * collect, a dim lookup, and one assign+recompute job per Lloyd
+    * pass, all fixed overhead since the sample never scales with the
+    * corpus). The codebook (m × k × dim/m doubles — KB-scale by
+    * contract) is what the ADC tables are computed from. Cells that
+    * lose all members drop out (standard empty-cell k-means behavior;
+    * seeded from the first k vectors for reproducibility). */
   private[graft] def trainPqCodebooks(
       e: DataFrame, iters: Int): Seq[(Int, Long, Seq[Double])] = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    // subVectors slices int(dim/m) elements per subspace — a non-divisible
-    // dim would silently drop the trailing dims from training AND scoring
-    // (quietly degraded recall); fail loudly instead
-    val dim = e.limit(1).select(size(col("v"))).as[Int].head()
+    val (sample, whole) = collectBoundedSample(e, "vec_id")
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    // a non-divisible dim would silently drop the trailing dims from
+    // training AND scoring (quietly degraded recall); fail loudly
+    val dim = sample.head._2.length
     require(dim % PqM == 0,
       s"PQ requires embedding dim divisible by $PqM subspaces, got $dim")
-    // bounded-sample sub-vectors cached across Lloyd passes (≤
-    // TrainSample × dim doubles by contract — MB-scale)
-    val subs = subVectors(boundedSample(e, "vec_id")).persist()
-    var local = subVectors(e.filter(col("vec_id") < PqK))
-      .select(col("sub"), col("vec_id").as("cell"), col("sv").as("cv"))
-      .as[(Int, Long, Seq[Double])].collect().toSeq
-    for (_ <- 0 until iters) {
-      val cents = broadcast(local.toDF("sub", "cell", "cv"))
-      local = subs.join(cents, "sub")
-        .select(col("vec_id"), col("sub"), col("sv"), col("cell"),
-          subDist2.as("d2"))
-        .groupBy("vec_id", "sub")
-        .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("cell"),
-          first(col("sv")).as("sv"))
-        .select(col("sub"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("sub", "cell", "pos")
-        // centroid mean in FIXED POINT: summing micro-units as longs is
-        // exact and ORDER-INDEPENDENT, so the trained codebook is
-        // bit-identical under any partitioning AND in any engine — what
-        // lets the DuckDB oracle replay the whole training loop (a
-        // double avg() differs in final ulps by summation order)
-        .agg((sum(floor(col("x") * 1e6 + lit(0.5)).cast("long")).cast("double")
-          / count(lit(1)) / 1e6).as("cx"))
-        .groupBy("sub", "cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("pairs"))
-        .select(col("sub"), col("cell"), expr("transform(pairs, p -> p.cx)").as("cv"))
-        .as[(Int, Long, Seq[Double])].collect().toSeq
+    val subLen = dim / PqM
+    def sub(v: Array[Double], j: Int): Array[Double] =
+      java.util.Arrays.copyOfRange(v, j * subLen, (j + 1) * subLen)
+    val seeds = seedVectors(e, sample, whole, PqK)
+    // all PqM subspace books advance together per pass, like the former
+    // joint single-job loop; assignment is nearest-by-L2² with ties to
+    // the lower cell (the former `min_by(cell, struct(d2, cell))`), and
+    // the fixed-point micro-unit means keep the codebook bit-identical
+    // to the distributed aggregation this replaces — which is what lets
+    // the DuckDB oracle replay the whole training loop (a double avg()
+    // differs in final ulps by summation order)
+    val subSamples = Array.tabulate(PqM) { j =>
+      sample.map { case (id, v) => (id, sub(v, j)) }.toSeq
     }
-    subs.unpersist(blocking = false)
-    local
+    val books = Array.tabulate(PqM) { j =>
+      seeds.map { case (id, v) => (id, sub(v, j)) }
+    }
+    for (_ <- 0 until iters; j <- 0 until PqM)
+      books(j) = lloydPass(subSamples(j), books(j), l2sqLocal, maximize = false)
+    (for (j <- 0 until PqM; (cell, cv) <- books(j))
+      yield (j, cell, cv.toSeq)).toSeq
   }
 
   /** D27: product-quantization ANN — the memory-lean scale path beyond
