@@ -1000,6 +1000,24 @@ object ChSurface {
         |FROM axis LEFT JOIN sparse ON axis.day = sparse.day
         |ORDER BY axis.day""".stripMargin)),
 
+    // ARRAY JOIN through the pre-parse shim: the pasted CH clause
+    // rewrites to LATERAL VIEW explode (multi-array items unnest in
+    // lockstep); the oracle unnests the same derived series
+    ("q_array_join_shim",
+      """SELECT l_returnflag AS flag, CAST(n AS BIGINT) AS n,
+        |  count(*) AS cnt
+        |FROM (SELECT l_returnflag,
+        |        sequence(1, CAST(l_linenumber AS INT)) AS ns
+        |      FROM lineitem) t
+        |ARRAY JOIN ns AS n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      Some("""SELECT l_returnflag AS flag, CAST(n AS BIGINT) AS n,
+        |  count(*) AS cnt
+        |FROM (SELECT l_returnflag,
+        |        unnest(generate_series(1, l_linenumber)) AS n
+        |      FROM lineitem) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps

@@ -68,6 +68,8 @@ object QueryGuard {
     *    is negotiated by the transport, as in the reference's
     *    `{columns, rows}` shaping)
     *  - `GROUP BY ... WITH TOTALS` → `GROUPING SETS ((cols), ())`
+    *  - `[LEFT] ARRAY JOIN items` → `LATERAL VIEW [OUTER] explode`
+    *    (posexplode + positional lookup for multi-array lockstep)
     *  - `LIMIT [offset,] k BY cols` → the row_number-window per-group
     *    head (the plan proven by `q_limit_by`)
     *  - `ORDER BY ... WITH FILL` is handled post-plan by [[WithFill]]
@@ -162,6 +164,88 @@ object QueryGuard {
       out = out.substring(0, ts(groupAt + 1)._1.end) +
         s" GROUPING SETS (($list), ())" + out.substring(ts(i + 1)._1.end)
     }
+    // [LEFT|INNER] ARRAY JOIN <item>[, <item>...] — CH's FROM-clause
+    // unnest — rewrites to LATERAL VIEW explode (OUTER for LEFT, which
+    // keeps empty-array rows with a NULL element where CH emits the
+    // type default). Aliased items splice in place; the bare-column
+    // form (`ARRAY JOIN arr`, where CH rebinds `arr` to the element)
+    // wraps the FROM body in a derived table that swaps the array
+    // column for the exploded value, because a lateral column named
+    // like the source column would be ambiguous. Multiple items unnest
+    // in LOCKSTEP (CH zip semantics), not as a cross product: the
+    // first array posexplodes and the rest read their element at the
+    // shared position. Top-level only, like the other shims.
+    ts = normalizeScan(out)
+    val ajAt = ts.indices.find { i =>
+      i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "ARRAY" &&
+        ts(i + 1)._2 == 0 && ts(i + 1)._1.upper == "JOIN" && {
+          val s = if (i > 0 && ts(i - 1)._2 == 0 &&
+            Set("LEFT", "INNER")(ts(i - 1)._1.upper)) i - 1 else i
+          // a table merely NAMED array sits in table position — right
+          // after FROM / a join keyword / a comma — and is not the
+          // clause; CH's clause always follows the FROM-item it unnests
+          val prevOk = s > 0 && !Set("FROM", "JOIN", "AS", "ON",
+            "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "SEMI", "ANTI",
+            "OUTER", "UNION", "ALL", "EXCEPT", "INTERSECT")(
+            ts(s - 1)._1.upper)
+          val noComma = !out.substring(0, ts(s)._1.start).reverse
+            .dropWhile(_.isWhitespace).headOption.contains(',')
+          prevOk && noComma
+        }
+    }
+    ajAt.foreach { i =>
+      val startTok = if (i > 0 && ts(i - 1)._2 == 0 &&
+        Set("LEFT", "INNER")(ts(i - 1)._1.upper)) i - 1 else i
+      val isLeft = startTok < i && ts(startTok)._1.upper == "LEFT"
+      val clauseStart = ts(startTok)._1.start
+      val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+        "QUALIFY", "WINDOW")
+      val bodyEnd = ts.indices.find(j =>
+        j > i + 1 && ts(j)._2 == 0 && stops(ts(j)._1.upper))
+        .map(j => ts(j)._1.start).getOrElse(out.length)
+      val rawBody = out.substring(ts(i + 1)._1.end, bodyEnd)
+      val semi = rawBody.trim.endsWith(";")
+      val body = rawBody.trim.stripSuffix(";").trim
+      val items = splitTopLevel(body).map(splitAlias)
+      if (items.isEmpty || items.exists(_._1.isEmpty))
+        throw new ReadOnlyViolation(
+          "ARRAY JOIN needs at least one array expression")
+      val kw = if (isLeft) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+      val tail = (if (semi) ";" else "") + out.substring(bodyEnd)
+      items match {
+        case Seq((expr, Some(alias))) =>
+          out = out.substring(0, clauseStart) +
+            s"$kw explode($expr) __graft_aj0 AS $alias " + tail
+        case Seq((expr, None)) =>
+          if (!expr.matches("[A-Za-z_][A-Za-z0-9_]*(\\.[A-Za-z_][A-Za-z0-9_]*)*"))
+            throw new ReadOnlyViolation("alias ARRAY JOIN expressions: " +
+              "ARRAY JOIN <expr> AS <name>")
+          val bare = expr.substring(expr.lastIndexOf('.') + 1)
+          val fromTok = (0 until startTok).reverse.find(j =>
+            ts(j)._2 == 0 && ts(j)._1.upper == "FROM")
+            .getOrElse(throw new ReadOnlyViolation(
+              "ARRAY JOIN without a top-level FROM"))
+          val fromBody = out.substring(ts(fromTok)._1.end, clauseStart)
+          out = out.substring(0, ts(fromTok)._1.end) +
+            s" (SELECT * EXCEPT ($bare), __graft_ajv AS $bare " +
+            s"FROM $fromBody $kw explode($expr) __graft_aj0 " +
+            s"AS __graft_ajv) __graft_ajq " + tail
+        case multi =>
+          if (multi.exists(_._2.isEmpty))
+            throw new ReadOnlyViolation("multi-array ARRAY JOIN needs " +
+              "an alias per array: ARRAY JOIN a AS x, b AS y")
+          val e0 = multi.head._1
+          val a0 = multi.head._2.get
+          val rest = multi.tail.zipWithIndex.map { case ((e, a), x) =>
+            s" $kw explode(array(element_at($e, __graft_ajpos + 1))) " +
+              s"__graft_aj${x + 1} AS ${a.get}"
+          }.mkString
+          out = out.substring(0, clauseStart) +
+            s"$kw posexplode($e0) __graft_aj0 AS __graft_ajpos, $a0" +
+            rest + " " + tail
+      }
+    }
     // LIMIT [offset,] k BY cols — CH's per-group head — rewrites to the
     // row_number-window form (the plan shape proven by q_limit_by): the
     // source becomes a subquery, a window numbers rows per BY-group in
@@ -206,6 +290,53 @@ object QueryGuard {
         s"FROM ($core) __graft_lb) WHERE $cond$outerOrder$tail"
     }
     out
+  }
+
+  /** Split on depth-0 commas, quote- and paren-aware (ARRAY JOIN item
+    * lists; function-call commas stay inside their parens). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val q = s.charAt(i)
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = s.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+            else if (ch == q && i + 1 < n && s.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case ',' if depth == 0 =>
+          parts += s.substring(start, i); start = i + 1; i += 1
+        case _ => i += 1
+      }
+    }
+    parts += s.substring(start)
+    parts.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** `expr [AS alias]` → (expr, alias): only a TOP-LEVEL trailing AS
+    * splits, so `cast(x AS int)` stays whole. */
+  private def splitAlias(item: String): (String, Option[String]) = {
+    val toks = normalizeScan(item)
+    if (toks.size >= 2) {
+      val as = toks(toks.size - 2)
+      val al = toks.last
+      if (as._2 == 0 && as._1.upper == "AS" && al._2 == 0 &&
+        item.substring(al._1.end).trim.isEmpty)
+        return (item.substring(0, as._1.start).trim,
+          Some(item.substring(al._1.start, al._1.end)))
+    }
+    (item.trim, None)
   }
 
   /** Token scan shared by [[normalizeDialect]]'s re-passes (and

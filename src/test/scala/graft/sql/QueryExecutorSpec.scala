@@ -131,6 +131,56 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("ARRAY JOIN pasted clause rewrites to lateral explode") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // aliased single array
+      val r = ex.run(
+        """SELECT n, count(*) AS c
+          |FROM (SELECT sequence(1, o_orderkey % 3 + 1) AS ns FROM orders) t
+          |ARRAY JOIN ns AS n
+          |GROUP BY n ORDER BY n""".stripMargin)
+      assert(r.columns == Seq("n", "c"))
+      assert(r.rows.map(_.head.toString.toLong) == Seq(1L, 2L, 3L))
+      // bare-column form rebinds the column to its element (CH
+      // semantics) via the derived-table swap
+      val b = ex.run(
+        """SELECT arr, k FROM (SELECT 7 AS k, array(1, 2) AS arr) t
+          |ARRAY JOIN arr ORDER BY arr""".stripMargin)
+      assert(b.columns == Seq("arr", "k"))
+      assert(b.rows.map(row =>
+        (row(0).toString.toInt, row(1).toString.toInt)) ==
+        Seq((1, 7), (2, 7)))
+      // LEFT ARRAY JOIN keeps empty-array rows; the inner form drops
+      val l = ex.run(
+        """SELECT k, x FROM
+          |  (SELECT 1 AS k, array(10) AS a
+          |   UNION ALL SELECT 2, array()) t
+          |LEFT ARRAY JOIN a AS x ORDER BY k""".stripMargin)
+      assert(l.rows.size == 2 && l.rows.last(1) == null)
+      val inn = ex.run(
+        """SELECT k, x FROM
+          |  (SELECT 1 AS k, array(10) AS a
+          |   UNION ALL SELECT 2, array()) t
+          |ARRAY JOIN a AS x ORDER BY k""".stripMargin)
+      assert(inn.rows.size == 1)
+      // multiple arrays unnest in lockstep (zip), not as a product
+      val m = ex.run(
+        """SELECT x, y
+          |FROM (SELECT array(1, 2, 3) AS a, array('p', 'q', 'r') AS b) t
+          |ARRAY JOIN a AS x, b AS y ORDER BY x""".stripMargin)
+      assert(m.rows.map(row =>
+        (row(0).toString.toInt, row(1).toString)) ==
+        Seq((1, "p"), (2, "q"), (3, "r")))
+      // a table merely NAMED array in join position is not the clause
+      val plain = "SELECT * FROM array JOIN u ON array.id = u.id"
+      assert(QueryGuard.normalizeDialect(plain) == plain)
+      val aliased = "SELECT * FROM t AS array JOIN u ON array.id = u.id"
+      assert(QueryGuard.normalizeDialect(aliased) == aliased)
+    } finally ex.close()
+  }
+
   test("WITH FILL pasted clause densifies the axis with type defaults") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
