@@ -1018,6 +1018,19 @@ object ChSurface {
         |      FROM lineitem) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // CH type names through the pre-parse shim: CAST(... AS UIntN /
+    // IntN / DateTime) and ::-suffix casts rewrite to Spark types; the
+    // oracle spells the standard types the shim resolves to
+    ("q_cast_types_shim",
+      """SELECT CAST(l_linenumber AS UInt8) AS ln, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS Int64)) AS BIGINT) AS qty_sum,
+        |  max(l_shipdate::DateTime) AS max_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT CAST(l_linenumber AS SMALLINT) AS ln, count(*) AS cnt,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps

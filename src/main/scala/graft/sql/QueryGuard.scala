@@ -67,6 +67,10 @@ object QueryGuard {
     *  - a trailing top-level `FORMAT <name>` is dropped (output format
     *    is negotiated by the transport, as in the reference's
     *    `{columns, rows}` shaping)
+    *  - CH type names in `CAST(x AS UInt32)` / `x::Nullable(Float64)`
+    *    → Spark SQL types ([[mapChType]]: UIntN/IntN/FloatN,
+    *    Nullable/LowCardinality unwrapped, Array/Map recursed,
+    *    DecimalNN(s), DateTime[64], FixedString/UUID → STRING)
     *  - `GROUP BY ... WITH TOTALS` → `GROUPING SETS ((cols), ())`
     *  - `[LEFT] ARRAY JOIN items` → `LATERAL VIEW [OUTER] explode`
     *    (posexplode + positional lookup for multi-array lockstep)
@@ -81,6 +85,11 @@ object QueryGuard {
     * only strip at depth 0, and `FORMAT` only when followed by a lone
     * identifier at the end of the statement. */
   def normalizeDialect(sql: String): String = {
+    // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
+    // to their Spark SQL types first, so every later shim and the
+    // parser see standard type syntax
+    var typed = rewriteCastTypes(sql)
+    typed = rewriteColonTypes(typed)
     // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
     // (GLOBAL IN / GLOBAL JOIN — identical semantics on one engine;
     // Spark's planner owns the broadcast decision) dropped when it
@@ -94,7 +103,7 @@ object QueryGuard {
     // paren/comma (`WHERE global IN (1,2)`) — and must not be stripped.
     val operandPos = Set("WHERE", "AND", "OR", "ON", "HAVING", "WHEN",
       "THEN", "ELSE", "SELECT", "BY", "CASE", "NOT")
-    var out = sql
+    var out = typed
     val first = normalizeScan(out)
     first.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
       val i = first.size - 1 - ri
@@ -290,6 +299,179 @@ object QueryGuard {
         s"FROM ($core) __graft_lb) WHERE $cond$outerOrder$tail"
     }
     out
+  }
+
+  /** ClickHouse type name → Spark SQL type, recursive through the
+    * wrapper/compound forms; None = not a CH type, leave the text
+    * alone. Width mapping: CH's unsigned widths land in the next
+    * signed Spark width (UInt8 → SMALLINT, ..., UInt32 → BIGINT);
+    * UInt64 maps to BIGINT — values past 2^63-1 would overflow, the
+    * documented tradeoff of an engine without unsigned types.
+    * FixedString/UUID → STRING (no padded/binary UUID type),
+    * Nullable/LowCardinality are transparent (everything is nullable,
+    * dictionary encoding is a storage concern). */
+  private[sql] def mapChType(t: String): Option[String] = {
+    val s = t.trim
+    val p = s.indexOf('(')
+    val (name, args) =
+      if (p >= 0 && s.endsWith(")"))
+        (s.substring(0, p).trim, Some(s.substring(p + 1, s.length - 1)))
+      else (s, None)
+    // Spark scalar names pass through so compound rewrites compose
+    // (Array(int) still becomes ARRAY<int>)
+    val passthrough = Set("tinyint", "smallint", "int", "integer",
+      "bigint", "float", "real", "double", "string", "boolean", "date",
+      "timestamp", "binary")
+    name.toLowerCase match {
+      case "nullable" | "lowcardinality" => args.flatMap(mapChType)
+      case "array" => args.flatMap(a => mapChType(a).map(x => s"ARRAY<$x>"))
+      case "map" => args.flatMap { a =>
+        splitTopLevel(a) match {
+          case Seq(k, v) =>
+            for (mk <- mapChType(k); mv <- mapChType(v))
+              yield s"MAP<$mk, $mv>"
+          case _ => None
+        }
+      }
+      case "uint8" => Some("SMALLINT")
+      case "uint16" => Some("INT")
+      case "uint32" | "uint64" => Some("BIGINT")
+      case "int8" => Some("TINYINT")
+      case "int16" => Some("SMALLINT")
+      case "int32" => Some("INT")
+      case "int64" => Some("BIGINT")
+      case "float32" => Some("FLOAT")
+      case "float64" => Some("DOUBLE")
+      case "fixedstring" | "uuid" => Some("STRING")
+      case "date32" => Some("DATE")
+      case "datetime" | "datetime64" => Some("TIMESTAMP")
+      case "bool" => Some("BOOLEAN")
+      case "decimal32" => args.map(a => s"DECIMAL(9, ${a.trim})")
+      case "decimal64" => args.map(a => s"DECIMAL(18, ${a.trim})")
+      case "decimal128" => args.map(a => s"DECIMAL(38, ${a.trim})")
+      case n if passthrough(n) && args.isEmpty => Some(s)
+      case _ => None
+    }
+  }
+
+  /** The char index of the ')' matching the '(' at `open`, quote-aware;
+    * -1 when unbalanced. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    val n = s.length
+    while (i < n) {
+      s.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val q = s.charAt(i)
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = s.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+            else if (ch == q && i + 1 < n && s.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+          i += 1
+        case _ => i += 1
+      }
+    }
+    -1
+  }
+
+  /** Rewrite CH type names in `CAST(expr AS T)` / `TRY_CAST(expr AS
+    * T)`: the type slot is everything after the LAST `AS` one level
+    * inside the cast's parens (a cast has exactly one; any AS deeper
+    * belongs to a nested expression). Repeats until no cast rewrites,
+    * so nested casts in the value slot are each visited. */
+  private def rewriteCastTypes(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 64) {
+      changed = false
+      guard += 1
+      val ts = normalizeScan(out)
+      val hit = ts.indices.iterator.flatMap { i =>
+        val t = ts(i)._1
+        if (t.upper != "CAST" && t.upper != "TRY_CAST") None
+        else {
+          val open = out.indexWhere(!_.isWhitespace, t.end)
+          if (open < 0 || out.charAt(open) != '(') None
+          else {
+            val close = matchParen(out, open)
+            if (close < 0) None
+            else {
+              val inner = ts(i)._2 + 1
+              ts.indices.filter { j =>
+                ts(j)._1.start > open && ts(j)._1.end < close &&
+                  ts(j)._2 == inner && ts(j)._1.upper == "AS"
+              }.lastOption.flatMap { j =>
+                val raw = out.substring(ts(j)._1.end, close).trim
+                mapChType(raw).filter(_ != raw).map(m =>
+                  (ts(j)._1.end, close, " " + m))
+              }
+            }
+          }
+        }
+      }.take(1).toSeq
+      hit.foreach { case (from, to, repl) =>
+        out = out.substring(0, from) + repl + out.substring(to)
+        changed = true
+      }
+    }
+    out
+  }
+
+  /** Rewrite CH type names after `::` suffix casts (one left-to-right
+    * quote-aware pass; the type expression is an identifier plus an
+    * optional balanced paren group). */
+  private def rewriteColonTypes(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val q = c
+          val s0 = i
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = sql.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+            else if (ch == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+          sb.append(sql.substring(s0, i))
+        case ':' if i + 1 < n && sql.charAt(i + 1) == ':' =>
+          sb.append("::")
+          i += 2
+          while (i < n && sql.charAt(i).isWhitespace) {
+            sb.append(sql.charAt(i)); i += 1
+          }
+          val s0 = i
+          while (i < n && (sql.charAt(i).isLetterOrDigit ||
+            sql.charAt(i) == '_')) i += 1
+          var typeEnd = i
+          if (i < n && sql.charAt(i) == '(') {
+            val close = matchParen(sql, i)
+            if (close > 0) { typeEnd = close + 1; i = typeEnd }
+          }
+          val raw = sql.substring(s0, typeEnd)
+          sb.append(mapChType(raw).getOrElse(raw))
+        case _ =>
+          sb.append(c); i += 1
+      }
+    }
+    sb.toString
   }
 
   /** Split on depth-0 commas, quote- and paren-aware (ARRAY JOIN item

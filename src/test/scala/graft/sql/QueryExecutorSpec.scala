@@ -131,6 +131,43 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("CH type names rewrite inside CAST and :: suffix casts") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      val r = ex.run(
+        """SELECT CAST(300 AS UInt32) AS a, CAST(-5 AS Int8) AS b,
+          |  1.5::Float64 AS c, CAST(NULL AS Nullable(Int64)) AS d,
+          |  CAST(array(1, 2) AS Array(Int64)) AS e,
+          |  CAST('ab' AS FixedString(4)) AS f,
+          |  CAST('2024-03-01 10:00:00' AS DateTime) AS g,
+          |  CAST(12.345 AS Decimal64(2)) AS h""".stripMargin)
+      val df = spark.sql(QueryGuard.normalizeDialect(
+        "SELECT CAST(300 AS UInt32) AS a, CAST(-5 AS Int8) AS b, " +
+          "1.5::Float64 AS c, CAST(NULL AS Nullable(Int64)) AS d, " +
+          "CAST(array(1, 2) AS Array(Int64)) AS e, " +
+          "CAST('ab' AS FixedString(4)) AS f, " +
+          "CAST('2024-03-01 10:00:00' AS DateTime) AS g, " +
+          "CAST(12.345 AS Decimal64(2)) AS h"))
+      val types = df.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+      assert(types("a") == "BIGINT" && types("b") == "TINYINT")
+      assert(types("c") == "DOUBLE" && types("d") == "BIGINT")
+      assert(types("e") == "ARRAY<BIGINT>" && types("f") == "STRING")
+      assert(types("g") == "TIMESTAMP" && types("h") == "DECIMAL(18,2)")
+      assert(r.rows.head.head.toString == "300")
+      // nested value-slot casts all rewrite
+      val nested = ex.run(
+        "SELECT CAST(CAST(7 AS UInt8) AS Int64) AS x")
+      assert(nested.rows.head.head == 7L)
+      // standard Spark types and `::` on literals pass through
+      val std = ex.run(
+        "SELECT CAST(1 AS DECIMAL(10, 2)) AS p, '5'::INT AS q")
+      assert(std.rows.head(1) == 5)
+      // a string containing a CH type name is untouched
+      val lit = ex.run("SELECT 'CAST(1 AS UInt32)' AS s")
+      assert(lit.rows.head.head == "CAST(1 AS UInt32)")
+    } finally ex.close()
+  }
+
   test("ARRAY JOIN pasted clause rewrites to lateral explode") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
