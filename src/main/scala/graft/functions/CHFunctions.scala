@@ -133,6 +133,69 @@ object CHFunctions {
   private def urlField(url: Expression, ordinal: Int): Expression =
     GetStructField(UrlParse(url), ordinal, Some(urlFieldNames(ordinal)))
 
+  /** normalizeQuery / normalizeQueryKeepNames: string and numeric
+    * literals become `?`, literal lists collapse to `?..`, and the
+    * plain form additionally wildcards digit-suffixed identifiers
+    * (col1 → col?) — the documented CH difference between the two. */
+  private def normalizeQueryExpr(e: Expression, keepNames: Boolean): Expression = {
+    var r: Expression =
+      RegExpReplace(e, Literal("'([^'\\\\]|\\\\.)*'"), Literal("?"))
+    r = RegExpReplace(r,
+      Literal("(?<![a-zA-Z_0-9])-?\\d+(\\.\\d+)?([eE][+-]?\\d+)?"),
+      Literal("?"))
+    r = RegExpReplace(r, Literal("\\?(\\s*,\\s*\\?)+"), Literal("?.."))
+    if (!keepNames)
+      r = RegExpReplace(r, Literal("([a-zA-Z_][a-zA-Z_]*)\\d+\\b"),
+        Literal("$1?"))
+    r
+  }
+
+  /** Character/word shingle arrays for the *MinHash / *SimHash
+    * dialect sketches: ngrams over the raw string, shingles over
+    * whitespace tokens. */
+  private def charNgrams(s: Expression, n: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    fn("transform",
+      fn("sequence", Literal(1),
+        fn("greatest", Subtract(Add(fn("length", s), Literal(1)), n),
+          Literal(0))),
+      LambdaFunction(fn("substring", s, i, n), Seq(i)))
+  }
+
+  private def wordShingles(s: Expression, k: Expression): Expression = {
+    val toks = fn("split", s, Literal("\\s+"))
+    val i = UnresolvedNamedLambdaVariable(Seq("i"))
+    fn("transform",
+      fn("sequence", Literal(1),
+        fn("greatest", Subtract(Add(fn("size", toks), Literal(1)), k),
+          Literal(0))),
+      LambdaFunction(
+        fn("concat_ws", Literal(" "), fn("slice", toks, i, k)), Seq(i)))
+  }
+
+  /** Great-circle distance in meters (ClickHouse argument order lon1,
+    * lat1, lon2, lat2): haversine over Spark's codegen'd trig natives
+    * with the 6371km mean-earth radius. The oracle replays the
+    * identical formula. */
+  private def haversineMeters(es: Seq[Expression]): Expression = {
+    def rad(e: Expression) = fn("radians", e)
+    val dLat = Divide(Subtract(rad(es(3)), rad(es(1))), Literal(2.0))
+    val dLon = Divide(Subtract(rad(es(2)), rad(es(0))), Literal(2.0))
+    def sq(e: Expression) = Multiply(e, e)
+    val h = Add(sq(fn("sin", dLat)),
+      Multiply(Multiply(fn("cos", rad(es(1))), fn("cos", rad(es(3)))),
+        sq(fn("sin", dLon))))
+    Multiply(Literal(2.0 * 6371000.0), fn("asin", fn("sqrt", h)))
+  }
+
+  /** CH *MinHash tuple: (min, max) xxhash64 over the shingle set. */
+  private def minMaxHashTuple(shingles: Expression): Expression = {
+    val x = UnresolvedNamedLambdaVariable(Seq("x"))
+    val hs = fn("transform", shingles,
+      LambdaFunction(fn("xxhash64", x), Seq(x)))
+    fn("struct", fn("array_min", hs), fn("array_max", hs))
+  }
+
   val all: Seq[(String, Builder)] = Seq(
     // approximate + exact distinct
     "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
@@ -170,6 +233,18 @@ object CHFunctions {
         Subtract(fn("max_by", es(1), es.head), fn("min_by", es(1), es.head)),
         Subtract(fn("max", es.head), fn("min", es.head)))),
     "quantilesExactCH" -> (es => fn("percentile", es.head, CreateArray(es.tail))),
+    // quantileDeterministic(x, determinator[, level]): the determinator
+    // only de-randomizes CH's reservoir — our percentile_approx is
+    // already deterministic, so it simply drops
+    "quantileDeterministic" -> (es => {
+      val level = if (es.size > 2) es(2) else Literal(0.5)
+      fn("percentile_approx", es.head, level, Literal(10000))
+    }),
+    // quantileBFloat16 quantizes to bfloat16 before selecting; the
+    // plain approximate quantile is a strictly tighter answer
+    "quantileBFloat16" -> (es =>
+      fn("percentile_approx", es.head,
+        if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
     "quantileTDigest" -> (es =>
       fn("percentile_approx", es.head, es(1), Literal(10000))),
     "quantileTiming" -> (es =>
@@ -814,6 +889,30 @@ object CHFunctions {
     "sumMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Sum)),
     "minMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Min)),
     "maxMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Max)),
+    // sumMapFiltered(keys_to_keep, keys, vals): CH's parametric form
+    // flattened — rows' (k, v) pairs prune to the keep-list BEFORE the
+    // mergeable map aggregate, so the partial state never carries
+    // unwanted keys
+    "sumMapFiltered" -> (es => {
+      val k = UnresolvedNamedLambdaVariable(Seq("k"))
+      val v = UnresolvedNamedLambdaVariable(Seq("v"))
+      val p = UnresolvedNamedLambdaVariable(Seq("p"))
+      val zipped = fn("zip_with", es(1), es(2),
+        LambdaFunction(fn("named_struct",
+          Literal("k"), k, Literal("v"), v), Seq(k, v)))
+      val kept = fn("filter", zipped,
+        LambdaFunction(
+          fn("array_contains", es.head, UnresolvedExtractValue(p, Literal("k"))),
+          Seq(p)))
+      val lamK = UnresolvedNamedLambdaVariable(Seq("q"))
+      val lamV = UnresolvedNamedLambdaVariable(Seq("r"))
+      MapCombineAgg(
+        fn("transform", kept,
+          LambdaFunction(UnresolvedExtractValue(lamK, Literal("k")), Seq(lamK))),
+        fn("transform", kept,
+          LambdaFunction(UnresolvedExtractValue(lamV, Literal("v")), Seq(lamV))),
+        MapCombineAgg.Sum)
+    }),
     // topKWeighted(x, w, k): EXACT top-k values by total weight (CH's
     // parametric topKWeighted(k)(x, w) flattened) — per-value weight
     // sums ride the mergeable sumMap partial agg, then one scalar sort
@@ -1423,6 +1522,27 @@ object CHFunctions {
       Multiply(fn("unix_micros", es.head), Literal(1000L))),
     "fromUnixTimestamp64Milli" -> (es => fn("timestamp_millis", es.head)),
     "fromUnixTimestamp64Micro" -> (es => fn("timestamp_micros", es.head)),
+    // Twitter-snowflake id ↔ time bridges (epoch 2010-11-04T01:42:54.657Z
+    // = 1288834974657 ms; the timestamp rides bits 22-63)
+    "snowflakeToDateTime" -> (es =>
+      fn("timestamp_seconds", IntegralDivide(
+        Add(fn("shiftright", es.head, Literal(22)), Literal(1288834974657L)),
+        Literal(1000L)))),
+    "dateTimeToSnowflake" -> (es =>
+      fn("shiftleft",
+        Subtract(fn("unix_millis", es.head), Literal(1288834974657L)),
+        Literal(22))),
+    // timeSlots(start, duration[, size=1800]): the size-aligned slot
+    // starts covering [start, start+duration]
+    "timeSlots" -> (es => {
+      val size = if (es.size > 2) Cast(es(2), LongType) else Literal(1800L)
+      val from = Multiply(
+        IntegralDivide(fn("unix_timestamp", es.head), size), size)
+      val to = Add(fn("unix_timestamp", es.head), Cast(es(1), LongType))
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      fn("transform", fn("sequence", from, to, size),
+        LambdaFunction(fn("timestamp_seconds", t), Seq(t)))
+    }),
     "fromUnixTimestamp64Nano" -> (es =>
       fn("timestamp_micros", IntegralDivide(es.head, Literal(1000L)))),
     "toRelativeSecondNum" -> (es => fn("unix_timestamp", es.head)),
@@ -1638,6 +1758,22 @@ object CHFunctions {
     // (which also takes the optional threshold argument)
     "editDistance" -> (es => fn("levenshtein", es: _*)),
     "levenshteinDistance" -> (es => fn("levenshtein", es: _*)),
+    // byte-exact similarity batteries ([[StringDistanceOps]]):
+    // Damerau with adjacent transpositions, Jaro/Jaro-Winkler with the
+    // standard 0.1×(≤4) prefix bonus, Hamming with the length gap
+    // counted, Jaccard over byte sets — all CH conventions
+    "byteHammingDistance" -> (es => ByteHammingDistance(es.head, es(1))),
+    "mismatches" -> (es => ByteHammingDistance(es.head, es(1))),
+    "damerauLevenshteinDistance" -> (es => DamerauLevenshtein(es.head, es(1))),
+    "jaroSimilarity" -> (es => JaroSimilarity(es.head, es(1))),
+    "jaroWinklerSimilarity" -> (es => JaroWinklerSimilarity(es.head, es(1))),
+    "stringJaccardIndex" -> (es => StringJaccardIndex(es.head, es(1))),
+    // (CH soundex = Spark's builtin soundex; no registration needed)
+    // normalizeQuery: literals → placeholders, so query logs group by
+    // shape. The KeepNames form preserves digit-suffixed identifiers
+    // (col1, t2); the plain form wildcards them too, like CH.
+    "normalizeQueryKeepNames" -> (es => normalizeQueryExpr(es.head, keepNames = true)),
+    "normalizeQuery" -> (es => normalizeQueryExpr(es.head, keepNames = false)),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
 
@@ -1654,16 +1790,11 @@ object CHFunctions {
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's
     // codegen'd trig natives with the 6371km mean-earth radius. The
     // oracle replays the identical formula.
-    "greatCircleDistance" -> (es => {
-      def rad(e: Expression) = fn("radians", e)
-      val dLat = Divide(Subtract(rad(es(3)), rad(es(1))), Literal(2.0))
-      val dLon = Divide(Subtract(rad(es(2)), rad(es(0))), Literal(2.0))
-      def sq(e: Expression) = Multiply(e, e)
-      val h = Add(sq(fn("sin", dLat)),
-        Multiply(Multiply(fn("cos", rad(es(1))), fn("cos", rad(es(3)))),
-          sq(fn("sin", dLon))))
-      Multiply(Literal(2.0 * 6371000.0), fn("asin", fn("sqrt", h)))
-    }),
+    "greatCircleDistance" -> (es => haversineMeters(es)),
+    // CH geoDistance refines with a latitude-dependent ellipsoid
+    // correction; the 6371km haversine agrees to ~0.5% — documented
+    // approximation
+    "geoDistance" -> (es => haversineMeters(es)),
 
     // URL functions: every accessor projects one field out of the
     // native single-pass [[UrlParse]] struct — whole-stage codegen's
@@ -1722,6 +1853,20 @@ object CHFunctions {
     // IPv4 functions: pure integer/string arithmetic, codegen'd
     "IPv4NumToString" -> (es => ipv4NumToString(es.head)),
     "IPv4StringToNum" -> (es => ipv4StringToNum(es.head)),
+    // MAC address bridges: 48-bit integer ↔ colon-hex (hex() is
+    // uppercase, matching CH's output)
+    "MACNumToString" -> (es => {
+      val h = fn("lpad", fn("hex", Cast(es.head, LongType)),
+        Literal(12), Literal("0"))
+      val pairs: Seq[Expression] = Literal(":") +:
+        (0 until 6).map(i =>
+          fn("substring", h, Literal(i * 2 + 1), Literal(2)))
+      fn("concat_ws", pairs: _*)
+    }),
+    "MACStringToNum" -> (es =>
+      Cast(fn("conv",
+        fn("replace", es.head, Literal(":"), Literal("")),
+        Literal(16), Literal(10)), LongType)),
     "toIPv4" -> (es => ipv4StringToNum(es.head)),
     // dotted-quad shape + octet range; leading zeros are accepted
     // (inet_aton-style), which is a documented superset of ClickHouse
@@ -1843,6 +1988,22 @@ object CHFunctions {
     "dictHas" -> (es => IsNotNull(DictGet.fromArgs(es))),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
+    // CH shingle-sketch family: simhash over char n-grams / word
+    // shingles (our 60-bit [[SimHash60]] — engine-specific bit layout,
+    // like CH's own), and the *MinHash (min, max)-hash tuples used for
+    // cheap near-dup keys. Defaults n=3 ngrams, k=3 word shingles.
+    "ngramSimHash" -> (es =>
+      SimHash60(charNgrams(es.head,
+        if (es.size > 1) es(1) else Literal(3)))),
+    "wordShingleSimHash" -> (es =>
+      SimHash60(wordShingles(es.head,
+        if (es.size > 1) es(1) else Literal(3)))),
+    "ngramMinHash" -> (es =>
+      minMaxHashTuple(charNgrams(es.head,
+        if (es.size > 1) es(1) else Literal(3)))),
+    "wordShingleMinHash" -> (es =>
+      minMaxHashTuple(wordShingles(es.head,
+        if (es.size > 1) es(1) else Literal(3)))),
     "srpBandKeys" -> (es => SrpBandKeys(es.head)),
     "cosTopK" -> (es => CosTopK(es.head, es(1) match {
       case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v

@@ -1018,6 +1018,29 @@ object ChSurface {
         |      FROM lineitem) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // byte-exact string-distance batteries vs DuckDB's text-similarity
+    // natives over all nation-name pairs (ASCII, so byte- and
+    // character-based definitions coincide); integer distances cast to
+    // BIGINT on both sides per the oracle typing contract
+    ("q_ch_strdist",
+      """SELECT n1.n_name AS a, n2.n_name AS b,
+        |  CAST(editDistance(n1.n_name, n2.n_name) AS BIGINT) AS lev,
+        |  CAST(damerauLevenshteinDistance(n1.n_name, n2.n_name) AS BIGINT)
+        |    AS dl,
+        |  round(jaroSimilarity(n1.n_name, n2.n_name), 6) AS jaro,
+        |  round(jaroWinklerSimilarity(n1.n_name, n2.n_name), 6) AS jw,
+        |  round(stringJaccardIndex(n1.n_name, n2.n_name), 6) AS jac
+        |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+        |ORDER BY a, b""".stripMargin,
+      Some("""SELECT n1.n_name AS a, n2.n_name AS b,
+        |  CAST(levenshtein(n1.n_name, n2.n_name) AS BIGINT) AS lev,
+        |  CAST(damerau_levenshtein(n1.n_name, n2.n_name) AS BIGINT) AS dl,
+        |  round(jaro_similarity(n1.n_name, n2.n_name), 6) AS jaro,
+        |  round(jaro_winkler_similarity(n1.n_name, n2.n_name), 6) AS jw,
+        |  round(jaccard(n1.n_name, n2.n_name), 6) AS jac
+        |FROM nation n1 JOIN nation n2 ON n1.n_nationkey < n2.n_nationkey
+        |ORDER BY a, b""".stripMargin)),
+
     // CH type names through the pre-parse shim: CAST(... AS UIntN /
     // IntN / DateTime) and ::-suffix casts rewrite to Spark types; the
     // oracle spells the standard types the shim resolves to

@@ -2011,4 +2011,81 @@ class CHFunctionsSpec extends SparkSpec {
     assert(single.head._1 == 1.0 && single.last._1 == 499.0) // 0 was null
     assert(run(13) == single) // merge order cannot change the selection
   }
+
+  test("round 8 batch: string distances and soundex") {
+    val r = one(
+      """SELECT byteHammingDistance('karolin', 'kathrin'),
+        |  byteHammingDistance('abc', 'abcde'),
+        |  damerauLevenshteinDistance('abcd', 'acbd'),
+        |  damerauLevenshteinDistance('kitten', 'sitting'),
+        |  round(jaroSimilarity('martha', 'marhta'), 6),
+        |  round(jaroWinklerSimilarity('martha', 'marhta'), 6),
+        |  round(stringJaccardIndex('abc', 'bcd'), 6),
+        |  soundex('Robert'),
+        |  jaroSimilarity('', ''), jaroSimilarity('a', ''),
+        |  mismatches('abc', 'abd')""".stripMargin)
+    assert(r.getInt(0) == 3 && r.getInt(1) == 2)
+    assert(r.getInt(2) == 1) // one adjacent transposition
+    assert(r.getInt(3) == 3) // plain Levenshtein case agrees
+    assert(r.getDouble(4) == 0.944444)
+    assert(r.getDouble(5) == 0.961111) // 3-byte prefix bonus
+    assert(r.getDouble(6) == 0.5) // {a,b,c} vs {b,c,d}: 2/4
+    assert(r.getString(7) == "R163")
+    assert(r.getDouble(8) == 1.0 && r.getDouble(9) == 0.0)
+    assert(r.getInt(10) == 1)
+  }
+
+  test("round 8 batch: shingle sketches and query normalization") {
+    val r = one(
+      """SELECT ngramSimHash('ClickHouse rocks'),
+        |  wordShingleSimHash('one two three four', 2),
+        |  tupleElement(ngramMinHash('ClickHouse'), 1),
+        |  tupleElement(ngramMinHash('ClickHouse'), 2),
+        |  tupleElement(wordShingleMinHash('a b c d e'), 1),
+        |  normalizeQuery(
+        |    'SELECT 1 AS x2, \'abc\' FROM t WHERE id IN (1, 2, 3)'),
+        |  normalizeQueryKeepNames(
+        |    'SELECT 1 AS x2, \'abc\' FROM t WHERE id IN (1, 2, 3)')""".stripMargin)
+    assert(r.getLong(0) != 0L && r.getLong(1) != 0L)
+    assert(r.getLong(2) <= r.getLong(3)) // (min, max) tuple ordering
+    assert(r.getLong(4) != 0L)
+    assert(r.getString(5) == "SELECT ? AS x?, ? FROM t WHERE id IN (?..)")
+    assert(r.getString(6) == "SELECT ? AS x2, ? FROM t WHERE id IN (?..)")
+    // equal strings sketch equal; different strings (generically) differ
+    val eq = one(
+      """SELECT ngramSimHash('same text here') = ngramSimHash('same text here'),
+        |  ngramSimHash('same text here') = ngramSimHash('other words now')""".stripMargin)
+    assert(eq.getBoolean(0) && !eq.getBoolean(1))
+  }
+
+  test("round 8 batch: snowflake ids, timeSlots, MAC bridges") {
+    val r = one(
+      """SELECT snowflakeToDateTime(dateTimeToSnowflake(
+        |    CAST('2021-08-15 10:57:56' AS TIMESTAMP))),
+        |  MACNumToString(123456789012),
+        |  MACStringToNum('00:1C:BE:99:1A:14'),
+        |  timeSlots(CAST('2012-01-01 12:20:00' AS TIMESTAMP), 600)""".stripMargin)
+    assert(r.getTimestamp(0).toString == "2021-08-15 10:57:56.0")
+    assert(r.getString(1) == "00:1C:BE:99:1A:14")
+    assert(r.getLong(2) == 123456789012L)
+    val slots = r.getSeq[java.sql.Timestamp](3).map(_.toString)
+    assert(slots == Seq("2012-01-01 12:00:00.0", "2012-01-01 12:30:00.0"))
+  }
+
+  test("round 8 batch: quantile aliases, sumMapFiltered, geoDistance") {
+    val r = one(
+      """SELECT quantileDeterministic(x, x, 0.9) = quantileCH(x, 0.9),
+        |  quantileBFloat16(x, 0.5) = quantileCH(x, 0.5),
+        |  sumMapFiltered(array(2, 10), k, v),
+        |  geoDistance(-1.0, 51.0, -1.0, 52.0) =
+        |    greatCircleDistance(-1.0, 51.0, -1.0, 52.0)
+        |FROM (SELECT CAST(id AS DOUBLE) AS x,
+        |        array(10, 2, 99) AS k, array(1, 1, 7) AS v
+        |      FROM range(100))""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    val s = r.getStruct(2)
+    assert(s.getSeq[Int](0) == Seq(2, 10))
+    assert(s.getSeq[Long](1) == Seq(100L, 100L))
+    assert(r.getBoolean(3))
+  }
 }
