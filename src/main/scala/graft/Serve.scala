@@ -25,6 +25,11 @@ object Serve {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // tz-less parquet timestamps (timestamp[us] with no tz, as the
+      // driver-generated testdata now carries) read as TIMESTAMP, not
+      // TIMESTAMP_NTZ: one instant line under the UTC session zone,
+      // matching DuckDB's naive-as-UTC oracle reading
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1513,13 +1513,21 @@ object CHFunctions {
           s"toStartOfInterval expects an INTERVAL literal, got $other")
       }
     }),
-    // --- sub-second epoch bridges + relative-time buckets
+    // --- sub-second epoch bridges + relative-time buckets.
+    // unix_millis/unix_micros (unlike unix_timestamp) reject
+    // TIMESTAMP_NTZ, so the DateTime64 bridges cast their argument to
+    // the session-zone instant first — identical micros under the UTC
+    // session, and tz-less parquet columns (read as NTZ) just work.
     "timeDiff" -> (es =>
       Subtract(fn("unix_timestamp", es(1)), fn("unix_timestamp", es.head))),
-    "toUnixTimestamp64Milli" -> (es => fn("unix_millis", es.head)),
-    "toUnixTimestamp64Micro" -> (es => fn("unix_micros", es.head)),
+    "toUnixTimestamp64Milli" -> (es =>
+      fn("unix_millis", Cast(es.head, org.apache.spark.sql.types.TimestampType))),
+    "toUnixTimestamp64Micro" -> (es =>
+      fn("unix_micros", Cast(es.head, org.apache.spark.sql.types.TimestampType))),
     "toUnixTimestamp64Nano" -> (es =>
-      Multiply(fn("unix_micros", es.head), Literal(1000L))),
+      Multiply(fn("unix_micros",
+        Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+        Literal(1000L))),
     "fromUnixTimestamp64Milli" -> (es => fn("timestamp_millis", es.head)),
     "fromUnixTimestamp64Micro" -> (es => fn("timestamp_micros", es.head)),
     // Twitter-snowflake id ↔ time bridges (epoch 2010-11-04T01:42:54.657Z
@@ -1530,7 +1538,9 @@ object CHFunctions {
         Literal(1000L)))),
     "dateTimeToSnowflake" -> (es =>
       fn("shiftleft",
-        Subtract(fn("unix_millis", es.head), Literal(1288834974657L)),
+        Subtract(fn("unix_millis",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+          Literal(1288834974657L)),
         Literal(22))),
     // timeSlots(start, duration[, size=1800]): the size-aligned slot
     // starts covering [start, start+duration]

@@ -54,7 +54,10 @@ case class WindowFunnelAgg(
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    val ok = ts.dataType == TimestampType &&
+    // NTZ carries the same Long-micros physical value; the funnel only
+    // differences timestamps, so both instant lines are acceptable
+    val ok = (ts.dataType == TimestampType ||
+        ts.dataType == TimestampNTZType) &&
       conds.forall(_.dataType == BooleanType)
     if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -1285,15 +1285,15 @@ object ChSurface {
     ("q_ch_decay",
       """SELECT event_type AS et,
         |  round(exponentialMovingAverage(86400D, value,
-        |    cast(ts AS DOUBLE)), 6) AS ema,
+        |    cast(cast(ts AS TIMESTAMP) AS DOUBLE)), 6) AS ema,
         |  round(exponentialTimeDecayedSum(86400D, value,
-        |    cast(ts AS DOUBLE)), 6) AS dsum,
+        |    cast(cast(ts AS TIMESTAMP) AS DOUBLE)), 6) AS dsum,
         |  round(exponentialTimeDecayedCount(86400D,
-        |    cast(ts AS DOUBLE)), 6) AS dcnt,
+        |    cast(cast(ts AS TIMESTAMP) AS DOUBLE)), 6) AS dcnt,
         |  round(exponentialTimeDecayedAvg(86400D, value,
-        |    cast(ts AS DOUBLE)), 6) AS davg,
+        |    cast(cast(ts AS TIMESTAMP) AS DOUBLE)), 6) AS davg,
         |  round(exponentialTimeDecayedMax(86400D, value,
-        |    cast(ts AS DOUBLE)), 6) AS dmax
+        |    cast(cast(ts AS TIMESTAMP) AS DOUBLE)), 6) AS dmax
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
       Some("""WITH b AS (SELECT event_type AS et, value AS v,
         |    epoch(ts) AS t FROM events),

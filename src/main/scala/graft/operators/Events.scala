@@ -31,15 +31,15 @@ object Events {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapUs = 30L * 60 * 1000000
     Tables(s, dir, "events")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("session_idx", sum("new_sess").over(byUser))
       .groupBy("user_id", "session_idx")
       .agg(count(lit(1)).as("n_events"),
         ExactAgg.sumExact(col("value"), 100L, 2).as("session_value"),
-        round((max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))) / 1e6, 6)
+        round((max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))) / 1e6, 6)
           .as("duration_sec"))
       .orderBy("user_id", "session_idx")
   }
@@ -57,7 +57,7 @@ object Events {
     val binUs = 300L * 1000000 // 5 minutes
     val ev = Tables(s, dir, "events")
       .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts")).as("us"))
+        unix_micros(col("ts").cast("timestamp")).as("us"))
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("event_id"), col("us").as("e_us"))
       .withColumn("bin", explode(array(

@@ -20,7 +20,7 @@ object Funnel {
     * purchase within 1 hour of the first view; users per depth. */
   val qFunnel: Q = (s, dir) => {
     val ev = Tables(s, dir, "events")
-      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
 
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min("us").as("t1"))

@@ -10,6 +10,11 @@ trait SparkSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // tz-less parquet timestamps (timestamp[us] with no tz, as the
+    // driver-generated testdata now carries) read as TIMESTAMP, not
+    // TIMESTAMP_NTZ: one instant line under the UTC session zone,
+    // matching DuckDB's naive-as-UTC oracle reading
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.ui.enabled", "false")
     .appName("graft-test")
     .getOrCreate()

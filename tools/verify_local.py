@@ -88,6 +88,10 @@ def canon(rows, cols):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # optional trailing names restrict the check to that subset (used by
+    # verify_shake.py's targeted runs, whose out dir holds only those
+    # queries while oracle_sql.json still declares every oracle)
+    subset = set(sys.argv[3:])
     con = duckdb.connect()
     # an unbounded memory_limit lets wide expression trees over-commit
     # per-thread intermediates until hard malloc failure; a modest cap
@@ -102,9 +106,20 @@ def main():
         oracles = json.load(f)
     n_pass = n_fail = 0
     failed = []
+    # A declared oracle whose result dir is MISSING means graft.Verify
+    # caught an exception for that query (it logs and continues) — the
+    # driver's compare would report it as a hard red. Silently skipping
+    # it here hid a whole class of failures; fail loudly instead.
+    present = {n for n in os.listdir(out_dir)
+               if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(oracles):
+        if name not in present and (not subset or name in subset):
+            print(f"  ✗ {name}: NO RESULT (query failed in graft.Verify)")
+            n_fail += 1
+            failed.append(name)
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
-        if not os.path.isdir(d):
+        if not os.path.isdir(d) or (subset and name not in subset):
             continue
         res = con.execute(f"SELECT * FROM '{d}/*.parquet'")
         got_cols = [c[0] for c in res.description]

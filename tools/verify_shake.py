@@ -46,7 +46,7 @@ def main():
             continue
         r = subprocess.run(
             [sys.executable, os.path.join(repo, "tools", "verify_local.py"),
-             out, sf_dir])
+             out, sf_dir] + queries)
         if r.returncode != 0:
             bad.append(c)
     if bad:
