@@ -1054,6 +1054,70 @@ object ChSurface {
         |  CAST(max(l_shipdate) AS TIMESTAMP) AS max_ship
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // expression-form WITH + FINAL through the pre-parse shims: the
+    // scalar alias inlines at its use sites (CH macro semantics),
+    // FINAL drops (parquet snapshots carry no pending merges). The
+    // money sum goes through exact integer cents so the single
+    // double multiply afterwards is merge-order-proof.
+    ("q_with_alias_shim",
+      """WITH 0.07 AS rate
+        |SELECT o_orderpriority AS pri, count(*) AS n,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+        |    AS DOUBLE) * rate / 100.0, 2) AS fee
+        |FROM orders FINAL
+        |GROUP BY pri ORDER BY pri""".stripMargin,
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+        |  round(CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))
+        |    AS DOUBLE) * 0.07 / 100.0, 2) AS fee
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // star modifiers through the pre-parse shim: bare EXCEPT gains
+    // parens, REPLACE becomes EXCEPT + re-aliased expression (same
+    // columns by name; the driver sorts columns by name so the moved
+    // position is invisible), SAMPLE 1 is the CH whole-table no-op
+    ("q_star_modifier_shim",
+      """SELECT * REPLACE(upper(n_name) AS n_name)
+        |FROM nation SAMPLE 1 ORDER BY n_nationkey""".stripMargin,
+      Some("""SELECT n_nationkey, n_regionkey, upper(n_name) AS n_name
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // WITH FILL INTERPOLATE through the post-plan shim: filler days
+    // carry the previous real day's priority forward while the count
+    // takes its type default; the oracle replays the carry with
+    // last_value IGNORE NULLS over the same dense axis
+    ("q_with_fill_interp",
+      """SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |  count(*) AS n, max(o_orderpriority) AS pri
+        |FROM orders WHERE o_totalprice > 450000
+        |GROUP BY 1
+        |ORDER BY day WITH FILL STEP INTERVAL 1 DAY INTERPOLATE (pri)"""
+        .stripMargin,
+      Some("""WITH sparse AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+        |    count(*) AS n, max(o_orderpriority) AS pri
+        |  FROM orders WHERE o_totalprice > 450000 GROUP BY 1),
+        |axis AS (
+        |  SELECT unnest(generate_series(min(day), max(day),
+        |                                INTERVAL 1 DAY)) AS day
+        |  FROM sparse),
+        |j AS (SELECT axis.day AS day, n, pri
+        |      FROM axis LEFT JOIN sparse ON axis.day = sparse.day)
+        |SELECT day, CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |  coalesce(last_value(pri IGNORE NULLS) OVER (
+        |    ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW), '') AS pri
+        |FROM j ORDER BY day""".stripMargin)),
+
+    // COLUMNS('re') APPLY(f) through the post-plan shim: the regex
+    // picks columns by name, APPLY maps each through the aggregate
+    // with CH's `f(col)` result naming
+    ("q_columns_apply_shim",
+      """SELECT COLUMNS('^l_(quantity|extendedprice)$') APPLY(max)
+        |FROM lineitem""".stripMargin,
+      Some("""SELECT max(l_quantity) AS "max(l_quantity)",
+        |  max(l_extendedprice) AS "max(l_extendedprice)"
+        |FROM lineitem""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps

@@ -51,9 +51,11 @@ object QueryGuard {
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
-    val (core, fill) = WithFill.extract(normalized)
+    val (core1, star) = StarPost.extract(normalized)
+    val (core, fill) = WithFill.extract(core1)
     parseReadOnly(spark, core)
-    val df = spark.sql(core)
+    var df = spark.sql(core)
+    df = star.map(StarPost(df, _)).getOrElse(df)
     fill.map(WithFill(df, _)).getOrElse(df)
   }
 
@@ -76,6 +78,12 @@ object QueryGuard {
     *    (posexplode + positional lookup for multi-array lockstep)
     *  - `LIMIT [offset,] k BY cols` → the row_number-window per-group
     *    head (the plan proven by `q_limit_by`)
+    *  - `WITH <expr> AS <ident>` (CH's expression-form WITH) inlines
+    *    at each use site ([[rewriteWithAliases]]); CTE items untouched
+    *  - `FROM t FINAL` drops FINAL, `SAMPLE f [OFFSET o]` →
+    *    TABLESAMPLE ([[rewriteFromModifiers]])
+    *  - `* EXCEPT ident` gains Spark's required parens; `* REPLACE(e
+    *    AS c)` → `* EXCEPT (c), e AS c` ([[rewriteStarModifiers]])
     *  - `ORDER BY ... WITH FILL` is handled post-plan by [[WithFill]]
     *    (it needs the result schema) via [[plan]]
     *
@@ -297,6 +305,205 @@ object QueryGuard {
       out = "SELECT * EXCEPT (__graft_rn) FROM (SELECT *, row_number() " +
         s"OVER (PARTITION BY $byList ORDER BY $orderList) AS __graft_rn " +
         s"FROM ($core) __graft_lb) WHERE $cond$outerOrder$tail"
+    }
+    out = rewriteWithAliases(out)
+    out = rewriteFromModifiers(out)
+    out = rewriteStarModifiers(out)
+    out
+  }
+
+  /** CH's expression-form WITH — `WITH <expr> AS <ident>, ...` — is a
+    * macro: every later mention of the identifier means the expression,
+    * re-evaluated in place (CH docs call these query-level aliases;
+    * contrast the standard CTE form `ident AS (subquery)`, which Spark
+    * parses natively and which is left untouched). The shim inlines
+    * each aliased expression at its identifier's use sites, earlier
+    * aliases substituting into later ones first so chains resolve
+    * (`WITH 2 AS a, a*3 AS b`). Mixed lists keep their CTE items; a
+    * WITH left with no items is dropped. Top-level only, like the
+    * other shims.
+    *
+    * A use site is an identifier token with the alias's exact spelling
+    * that is not qualified (`t.k` stays), not a call (`k(...)` stays),
+    * and not itself an AS-definition target (`... AS k` stays). */
+  private def rewriteWithAliases(sql: String): String = {
+    val ts = normalizeScan(sql)
+    if (ts.isEmpty || ts.head._1.upper != "WITH" || ts.head._2 != 0)
+      return sql
+    // the item list runs to the first depth-0 SELECT (CTE bodies hide
+    // their SELECT inside parens)
+    val selAt = ts.indices.find(i =>
+      i > 0 && ts(i)._2 == 0 && ts(i)._1.upper == "SELECT")
+      .getOrElse(return sql)
+    val listStart = ts.head._1.end
+    val listEnd = ts(selAt)._1.start
+    val items = splitTopLevel(sql.substring(listStart, listEnd))
+    val (scalars, ctes) = items.map(splitAlias).partition(_._2.isDefined)
+    if (scalars.isEmpty) return sql
+    // resolve alias chains: substitute earlier aliases into later exprs
+    val resolved = scalars.foldLeft(Vector.empty[(String, String)]) {
+      case (acc, (expr, Some(alias))) =>
+        acc :+ (alias -> acc.foldLeft(expr) { case (e, (a, ex)) =>
+          substituteAlias(e, a, ex)
+        })
+      case (acc, _) => acc
+    }
+    val keptCtes = items.map(splitAlias).zip(items).collect {
+      case ((_, None), raw) => raw
+    }
+    var rest = sql.substring(listEnd)
+    var head =
+      if (keptCtes.isEmpty) ""
+      else "WITH " + keptCtes.mkString(", ") + " "
+    resolved.foreach { case (alias, expr) =>
+      rest = substituteAlias(rest, alias, expr)
+      head = if (head.isEmpty) head else substituteAlias(head, alias, expr)
+    }
+    head + rest
+  }
+
+  /** Replace standalone use sites of `alias` in `sql` with `(expr)`
+    * (right to left, offsets stay valid). */
+  private def substituteAlias(sql: String, alias: String,
+      expr: String): String = {
+    var out = sql
+    val toks = normalizeScan(sql)
+    toks.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = toks.size - 1 - ri
+      if (out.substring(t.start, t.end) == alias) {
+        val before = out.substring(0, t.start).reverse
+          .dropWhile(_.isWhitespace).headOption
+        val after = out.substring(t.end)
+          .dropWhile(_.isWhitespace).headOption
+        val qualified = before.contains('.') || after.contains('.')
+        val call = after.contains('(')
+        val defSite = i > 0 && toks(i - 1)._1.upper == "AS"
+        if (!qualified && !call && !defSite)
+          out = out.substring(0, t.start) + "(" + expr + ")" +
+            out.substring(t.end)
+      }
+    }
+    out
+  }
+
+  /** CH FROM-item modifiers.
+    *
+    * `FINAL` forces ClickHouse to collapse unmerged MergeTree parts at
+    * read time; a parquet snapshot has no pending merges, so the
+    * keyword is dropped (the versioned-dedup PATTERN — latest row per
+    * key — is the argMax/ReplacingMergeTree plan, `q_replacing_merge`).
+    *
+    * `SAMPLE f` / `SAMPLE n` / `SAMPLE f OFFSET o` map to Spark's
+    * TABLESAMPLE: fractions become `(f*100 PERCENT) REPEATABLE(seed)`
+    * (seed fixed, varied by OFFSET so disjoint-ish slices stay
+    * possible), integer counts become `(n ROWS)`. CH samples
+    * deterministically by the table's sampling key; REPEATABLE gives
+    * run-to-run stability but not key-affinity — the deterministic
+    * keyed slice remains `q_sample`'s hash-mod plan.
+    *
+    * Both only rewrite when the token sits in FROM/JOIN position (the
+    * nearest depth-0 clause keyword before it is FROM or JOIN), so
+    * columns merely named `final` or `sample` elsewhere survive. */
+  private def rewriteFromModifiers(sql: String): String = {
+    val clauseKw = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+      "ORDER", "LIMIT", "JOIN", "ON", "UNION", "INTERSECT", "EXCEPT",
+      "WINDOW", "QUALIFY", "BY")
+    def inFromPosition(ts: Vector[(NormTok, Int)], i: Int): Boolean =
+      (0 until i).reverse.find(j => ts(j)._2 == ts(i)._2 &&
+        clauseKw(ts(j)._1.upper))
+        .exists(j => Set("FROM", "JOIN")(ts(j)._1.upper))
+    var out = sql
+    var ts = normalizeScan(out)
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = ts.size - 1 - ri
+      if (t.upper == "FINAL" && inFromPosition(ts, i) &&
+        i > 0 && !clauseKw(ts(i - 1)._1.upper) &&
+        ts(i - 1)._1.upper != "AS") // an alias NAMED final stays
+        out = out.substring(0, t.start) +
+          out.substring(t.end).dropWhile(_ == ' ').prepended(' ')
+    }
+    ts = normalizeScan(out)
+    val sampleAt = ts.indices.reverse.filter { i =>
+      val t = ts(i)._1
+      t.upper == "SAMPLE" && inFromPosition(ts, i) &&
+        i > 0 && !clauseKw(ts(i - 1)._1.upper) &&
+        ts(i - 1)._1.upper != "AS" &&
+        out.substring(t.end).dropWhile(_.isWhitespace)
+          .takeWhile(c => !c.isWhitespace).matches("[0-9.]+.*")
+    }
+    sampleAt.foreach { i =>
+      val t = ts(i)._1
+      val after = out.substring(t.end)
+      val m = "^(\\s*)([0-9]*\\.?[0-9]+)(\\s+OFFSET\\s+([0-9]*\\.?[0-9]+))?"
+        .r.findFirstMatchIn(after)
+      m.foreach { mm =>
+        val f = BigDecimal(mm.group(2))
+        val off = Option(mm.group(4)).map(BigDecimal(_)).getOrElse(BigDecimal(0))
+        val clause =
+          if (f == 1) "" // CH: SAMPLE 1 reads the whole table
+          else if (f > 1 && mm.group(2).forall(_.isDigit))
+            s" TABLESAMPLE (${mm.group(2)} ROWS)"
+          else {
+            val seed = 8675309 + (off * 1000).toLong
+            s" TABLESAMPLE (${f * 100} PERCENT) REPEATABLE ($seed)"
+          }
+        out = out.substring(0, t.start) + clause +
+          after.substring(mm.end)
+      }
+    }
+    out
+  }
+
+  /** CH star modifiers.
+    *
+    * `* EXCEPT ident` (CH allows the bare single-column form) gains the
+    * parens Spark's native star-EXCEPT requires; a set-operation EXCEPT
+    * (next token SELECT/ALL/DISTINCT or an opening paren) is left
+    * alone.
+    *
+    * `* REPLACE(e1 AS c1, ...)` has no Spark analogue and rewrites to
+    * `* EXCEPT (c1, ...), e1 AS c1, ...` — same columns by NAME, with
+    * the replaced ones moved to the end of the star expansion (CH keeps
+    * them in place; consumers indexing by position see the difference,
+    * consumers by name do not). */
+  private def rewriteStarModifiers(sql: String): String = {
+    var out = sql
+    var ts = normalizeScan(out)
+    def afterStar(t: NormTok): Boolean =
+      out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)
+        .headOption.contains('*')
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = ts.size - 1 - ri
+      if (t.upper == "REPLACE" && afterStar(t) &&
+        out.substring(t.end).dropWhile(_.isWhitespace).headOption
+          .contains('(')) {
+        val open = out.indexOf('(', t.end)
+        val close = matchParen(out, open)
+        if (close > open) {
+          val items = splitTopLevel(out.substring(open + 1, close))
+            .map(splitAlias)
+          if (items.nonEmpty && items.forall(_._2.isDefined)) {
+            val cols = items.map(_._2.get)
+            val exprs = items.map { case (e, a) => s"$e AS ${a.get}" }
+            out = out.substring(0, t.start) +
+              s"EXCEPT (${cols.mkString(", ")}), ${exprs.mkString(", ")}" +
+              out.substring(close + 1)
+          }
+        }
+      } else if (t.upper == "EXCEPT" && afterStar(t)) {
+        val rest = out.substring(t.end).dropWhile(_.isWhitespace)
+        val isSetOp = rest.headOption.contains('(') ||
+          (i + 1 < ts.size &&
+            Set("SELECT", "ALL", "DISTINCT")(ts(i + 1)._1.upper))
+        if (!isSetOp && i + 1 < ts.size) {
+          // CH's bare form binds ONE column (`* EXCEPT a, b` excludes a
+          // and then selects b) — wrap exactly that identifier
+          val id = ts(i + 1)._1
+          out = out.substring(0, id.start) +
+            "(" + out.substring(id.start, id.end) + ")" +
+            out.substring(id.end)
+        }
+      }
     }
     out
   }

@@ -21,10 +21,19 @@ import org.apache.spark.sql.types._
   * collect, no per-row driver work: scale-safe at any axis length
   * that fits a result set.
   *
+  * `INTERPOLATE [(cols)]` carries columns forward across filler rows
+  * (bare INTERPOLATE carries every non-axis column, as in CH): filler
+  * rows take the nearest preceding REAL row's value — for the plain
+  * column form this equals CH's previous-output-row rule across any
+  * run of fillers. The `col AS expr` cascade form (each filler
+  * re-evaluates expr against the previous output row) is inherently
+  * sequential and is rejected with a clear error rather than
+  * approximated.
+  *
   * Scope (documented departures): the fill column must be a named
   * output column (CH also fills computed sort expressions); one
-  * WITH FILL per statement (CH allows one per sort column);
-  * `INTERPOLATE` is not supported. `TO` is exclusive, as in CH.
+  * WITH FILL per statement (CH allows one per sort column).
+  * `TO` is exclusive, as in CH.
   */
 object WithFill {
 
@@ -33,7 +42,8 @@ object WithFill {
       from: Option[String],
       to: Option[String],
       step: Option[String],
-      orderText: String)
+      orderText: String,
+      interpolate: Option[Seq[String]] = None)
 
   /** Cut a top-level `WITH FILL [FROM ..] [TO ..] [STEP ..]` out of
     * `sql`; the returned core keeps its ORDER BY. */
@@ -91,9 +101,47 @@ object WithFill {
         if (step.exists(_.isEmpty) || from.exists(_.isEmpty) ||
           to.exists(_.isEmpty))
           throw new ReadOnlyViolation("empty WITH FILL FROM/TO/STEP value")
+        // optional trailing INTERPOLATE [(col, ...)]
+        var interpolate: Option[Seq[String]] = None
+        val interpAt = (0 until ts.size).find(x =>
+          ts(x)._1.start >= endOfFill && ts(x)._2 == 0 &&
+            ts(x)._1.upper == "INTERPOLATE" &&
+            sql.substring(endOfFill, ts(x)._1.start).trim.isEmpty)
+        interpAt.foreach { x =>
+          val afterTok = sql.substring(ts(x)._1.end)
+          val trimmed = afterTok.dropWhile(_.isWhitespace)
+          if (trimmed.headOption.contains('(')) {
+            val open = ts(x)._1.end + (afterTok.length - trimmed.length)
+            var depth2 = 0
+            var k = open
+            var close = -1
+            while (k < sql.length && close < 0) {
+              sql.charAt(k) match {
+                case '(' => depth2 += 1
+                case ')' => depth2 -= 1; if (depth2 == 0) close = k
+                case _ =>
+              }
+              k += 1
+            }
+            if (close < 0) throw new ReadOnlyViolation(
+              "unbalanced INTERPOLATE parens")
+            val items = splitTopLevel(sql.substring(open + 1, close))
+              .map(_.trim).filter(_.nonEmpty)
+            if (items.exists(it => QueryGuard.normalizeScan(it).exists(t =>
+              t._2 == 0 && t._1.upper == "AS")))
+              throw new ReadOnlyViolation(
+                "INTERPOLATE expressions (col AS expr) are not supported; " +
+                  "list the columns to carry forward")
+            interpolate = Some(items.map(_.stripPrefix("`").stripSuffix("`")))
+            endOfFill = close + 1
+          } else {
+            interpolate = Some(Nil) // bare: all non-axis columns
+            endOfFill = ts(x)._1.end
+          }
+        }
         val core = (sql.substring(0, ts(i)._1.start).stripTrailing +
           " " + sql.substring(endOfFill).stripLeading).stripTrailing
-        (core, Some(FillSpec(colText, from, to, step, orderText)))
+        (core, Some(FillSpec(colText, from, to, step, orderText, interpolate)))
     }
   }
 
@@ -125,11 +173,44 @@ object WithFill {
     // CH's TO bound is exclusive
     spec.to.foreach(t => axis = axis.filter(col(cn) < expr(t).cast(dt)))
     val missing = broadcast(axis).join(df, Seq(cn), "left_anti")
+    val interpCols: Seq[String] = spec.interpolate match {
+      case None => Nil
+      case Some(Nil) => df.columns.filterNot(_ == cn).toSeq // bare form
+      case Some(cs) => cs.map(c => df.columns
+        .find(_.equalsIgnoreCase(c)).getOrElse(throw new ReadOnlyViolation(
+          s"INTERPOLATE column '$c' must be an output column")))
+    }
     val filler = missing.select(df.columns.map { c2 =>
       if (c2 == cn) col(cn)
+      else if (interpCols.contains(c2)) // filled below, from real rows
+        lit(null).cast(df.schema(c2).dataType).as(c2)
       else typeDefault(df.schema(c2).dataType).as(c2)
     }.toIndexedSeq: _*)
-    df.unionByName(filler).sort(sortItems(spec.orderText): _*)
+    if (interpCols.isEmpty)
+      df.unionByName(filler).sort(sortItems(spec.orderText): _*)
+    else {
+      // Carry each interpolated column forward from the nearest
+      // preceding REAL row (struct-wrapped so a legitimate NULL in a
+      // real row still propagates, as CH's previous-row rule does).
+      // The single global window matches the operation's shape: a
+      // WITH FILL result is already a globally sorted axis.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(sortItems(spec.orderText): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      var out = df.withColumn("__graft_fill", lit(0))
+        .unionByName(filler.withColumn("__graft_fill", lit(1)))
+      interpCols.foreach { c =>
+        val lastReal = last(
+          when(col("__graft_fill") === 0, struct(col(c))), ignoreNulls = true)
+          .over(w)
+        out = out.withColumn(c,
+          when(col("__graft_fill") === 1,
+            coalesce(lastReal.getField(c),
+              typeDefault(df.schema(c).dataType)))
+            .otherwise(col(c)))
+      }
+      out.drop("__graft_fill").sort(sortItems(spec.orderText): _*)
+    }
   }
 
   /** ClickHouse fills non-axis columns with the column type's default

@@ -326,4 +326,142 @@ class QueryExecutorSpec extends SparkSpec {
           |CROSS JOIN lineitem c""".stripMargin))
     } finally ex.close()
   }
+
+  test("expression-form WITH inlines scalar aliases at use sites") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // CH's `WITH <expr> AS <ident>` — a macro, not a CTE
+      val r = ex.run(
+        """WITH 0.1 AS rate
+          |SELECT o_orderpriority,
+          |  round(sum(o_totalprice * rate), 2) AS fee
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+      assert(r.columns == Seq("o_orderpriority", "fee"))
+      assert(r.rows.length == 5)
+      // chained aliases resolve left to right
+      val rc = ex.run("WITH 2 AS a, a * 3 AS b SELECT b + 1 AS v")
+      assert(rc.rows.head.head.toString == "7")
+      // mixed with a real CTE: the CTE survives, the scalar inlines
+      val rm = ex.run(
+        """WITH 5 AS k, t AS (SELECT o_custkey FROM orders LIMIT 10)
+          |SELECT count(*) AS n FROM t WHERE o_custkey > k""".stripMargin)
+      assert(rm.columns == Seq("n"))
+      // a column merely mentioned with qualification is not touched
+      val rq = ex.run(
+        """WITH 1 AS o_custkey
+          |SELECT count(o.o_custkey) AS n FROM orders o""".stripMargin)
+      assert(rq.rows.head.head.asInstanceOf[Long] > 1)
+    } finally ex.close()
+  }
+
+  test("FROM-item FINAL and SAMPLE modifiers rewrite") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // FINAL drops: a parquet snapshot has no pending merges
+      val r = ex.run("SELECT count(*) AS n FROM orders FINAL")
+      val all = ex.run("SELECT count(*) AS n FROM orders")
+      assert(r.rows == all.rows)
+      // with alias + WHERE after
+      val r2 = ex.run(
+        "SELECT count(*) AS n FROM orders o FINAL WHERE o.o_custkey > 0")
+      assert(r2.rows.head.head.asInstanceOf[Long] > 0)
+      // a column alias literally named final survives
+      val r3 = ex.run("SELECT o_orderpriority AS final FROM orders LIMIT 1")
+      assert(r3.columns == Seq("final"))
+      // SAMPLE 1 reads everything (CH whole-table semantics)
+      val s1 = ex.run("SELECT count(*) AS n FROM orders SAMPLE 1")
+      assert(s1.rows == all.rows)
+      // fractional SAMPLE thins the scan deterministically per seed
+      val total = all.rows.head.head.asInstanceOf[Long]
+      val s = ex.run("SELECT count(*) AS n FROM orders SAMPLE 0.2")
+      val n = s.rows.head.head.asInstanceOf[Long]
+      assert(n > 0 && n < total)
+      val sAgain = ex.run("SELECT count(*) AS n FROM orders SAMPLE 0.2")
+      assert(sAgain.rows == s.rows) // REPEATABLE seed
+      // integer SAMPLE n caps rows
+      val sr = ex.run("SELECT o_orderkey FROM orders SAMPLE 10")
+      assert(sr.rows.size == 10)
+    } finally ex.close()
+  }
+
+  test("WITH FILL INTERPOLATE carries columns across filler rows") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      val r = ex.run(
+        """SELECT x, v FROM VALUES (1, 10), (3, 30), (6, 60) AS t(x, v)
+          |ORDER BY x WITH FILL INTERPOLATE (v)""".stripMargin)
+      assert(r.rows.map(_.map(_.toString)) == Seq(
+        Seq("1", "10"), Seq("2", "10"), Seq("3", "30"),
+        Seq("4", "30"), Seq("5", "30"), Seq("6", "60")))
+      // bare INTERPOLATE carries every non-axis column
+      val rb = ex.run(
+        """SELECT x, v, s FROM VALUES (1, 10, 'a'), (3, 30, 'b') AS t(x, v, s)
+          |ORDER BY x WITH FILL INTERPOLATE""".stripMargin)
+      assert(rb.rows.map(_.map(_.toString)) == Seq(
+        Seq("1", "10", "a"), Seq("2", "10", "a"), Seq("3", "30", "b")))
+      // leading filler rows (FROM before the first real row) fall back
+      // to the type default
+      val rl = ex.run(
+        """SELECT x, v FROM VALUES (3, 30) AS t(x, v)
+          |ORDER BY x WITH FILL FROM 1 INTERPOLATE (v)""".stripMargin)
+      assert(rl.rows.map(_.map(_.toString)) == Seq(
+        Seq("1", "0"), Seq("2", "0"), Seq("3", "30")))
+      // the cascade form is rejected, not approximated
+      intercept[ReadOnlyViolation](ex.run(
+        """SELECT x, v FROM VALUES (1, 10) AS t(x, v)
+          |ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)""".stripMargin))
+    } finally ex.close()
+  }
+
+  test("COLUMNS regex and APPLY select-list modifiers expand") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      val r = ex.run("SELECT COLUMNS('^n_n') FROM nation ORDER BY n_nationkey")
+      assert(r.columns == Seq("n_nationkey", "n_name"))
+      // APPLY over a COLUMNS match aggregates each column, CH naming
+      val ra = ex.run("SELECT COLUMNS('key$') APPLY(max) FROM nation")
+      assert(ra.columns.toSet == Set("max(n_nationkey)", "max(n_regionkey)"))
+      assert(ra.rows.head(ra.columns.indexOf("max(n_nationkey)"))
+        .toString == "24")
+      // * APPLY over the full row
+      val rs = ex.run("SELECT * APPLY(count) FROM region")
+      assert(rs.columns.toSet == Set("count(r_regionkey)", "count(r_name)"))
+      // EXCEPT survives in the core and APPLY maps the remainder
+      val re = ex.run("SELECT * EXCEPT (r_name) APPLY(max) FROM region")
+      assert(re.columns == Seq("max(r_regionkey)"))
+      // no match is a clear error, not an empty projection
+      intercept[ReadOnlyViolation](
+        ex.run("SELECT COLUMNS('^zz') FROM nation"))
+    } finally ex.close()
+  }
+
+  test("star EXCEPT/REPLACE modifiers rewrite") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // bare single-column EXCEPT gains Spark's parens
+      val r = ex.run("SELECT * EXCEPT r_name FROM region ORDER BY r_regionkey")
+      assert(r.columns == Seq("r_regionkey"))
+      // parenthesized list passes through to Spark's native star-EXCEPT
+      val rp = ex.run(
+        "SELECT * EXCEPT (n_name, n_regionkey) FROM nation ORDER BY n_nationkey")
+      assert(rp.columns == Seq("n_nationkey"))
+      // REPLACE keeps the same column NAMES with the new expression
+      val rr = ex.run(
+        """SELECT * REPLACE(upper(r_name) AS r_name)
+          |FROM region ORDER BY r_regionkey""".stripMargin)
+      assert(rr.columns.toSet == Set("r_regionkey", "r_name"))
+      val names = rr.rows.map(row => row(rr.columns.indexOf("r_name")).toString)
+      assert(names.forall(n => n == n.toUpperCase))
+      // set-operation EXCEPT is untouched
+      val so = ex.run(
+        """SELECT r_regionkey FROM region EXCEPT
+          |SELECT r_regionkey FROM region WHERE r_regionkey = 0""".stripMargin)
+      assert(so.rows.size == 4)
+    } finally ex.close()
+  }
 }
