@@ -1108,6 +1108,17 @@ object ChSurface {
         |    AND CURRENT ROW), '') AS pri
         |FROM j ORDER BY day""".stripMargin)),
 
+    // bracket array literal + 1-based subscript + bare count()
+    // through the pre-parse shims; DuckDB's lists are natively
+    // 1-based so the oracle replays the bracket forms verbatim
+    ("q_bracket_shim",
+      """SELECT l_linenumber AS ln, count() AS n,
+        |  [100, 200, 300, 400, 500, 600, 700][l_linenumber] AS mapped
+        |FROM lineitem GROUP BY ln, mapped ORDER BY ln""".stripMargin,
+      Some("""SELECT l_linenumber AS ln, count(*) AS n,
+        |  [100, 200, 300, 400, 500, 600, 700][l_linenumber] AS mapped
+        |FROM lineitem GROUP BY ln, mapped ORDER BY ln""".stripMargin)),
+
     // COLUMNS('re') APPLY(f) through the post-plan shim: the regex
     // picks columns by name, APPLY maps each through the aggregate
     // with CH's `f(col)` result naming

@@ -307,9 +307,267 @@ object QueryGuard {
         s"FROM ($core) __graft_lb) WHERE $cond$outerOrder$tail"
     }
     out = rewriteWithAliases(out)
+    out = rewriteLimitWithTies(out)
     out = rewriteFromModifiers(out)
     out = rewriteStarModifiers(out)
+    out = rewriteArrayLiterals(out)
+    out = rewriteSubscripts(out)
+    out = rewriteBareCount(out)
     out
+  }
+
+  /** CH's idiomatic `count()` → `count(*)`. Spark's legacy
+    * parameterless-count flag parses the form but counts an empty
+    * projection (always 0), so the text rewrite is the only faithful
+    * mapping. Any depth; a column or table named count is untouched
+    * because only the exact `count()` call form matches. */
+  private def rewriteBareCount(sql: String): String = {
+    var out = sql
+    val ts = normalizeScan(out)
+    ts.reverseIterator.foreach { case (t, _) =>
+      if (t.upper == "COUNT") {
+        val after = out.substring(t.end)
+        val inner = after.dropWhile(_.isWhitespace)
+        if (inner.headOption.contains('(') &&
+          inner.drop(1).dropWhile(_.isWhitespace).headOption.contains(')')) {
+          val openAt = t.end + (after.length - inner.length)
+          val closeAt = out.indexOf(')', openAt)
+          out = out.substring(0, t.start) + "count(*)" +
+            out.substring(closeAt + 1)
+        }
+      }
+    }
+    out
+  }
+
+  /** CH subscripts are 1-based (`arr[1]` is the first element, `[-1]`
+    * the last, maps index by key); Spark's bracket subscript is
+    * 0-based on arrays — a silent off-by-one on every pasted query.
+    * Every remaining bracket after [[rewriteArrayLiterals]] is a
+    * subscript, so it rewrites to `try_element_at(expr, idx)`: 1-based
+    * and negative-from-end like CH on arrays, key lookup on maps, NULL
+    * (not an ANSI error) when out of range or zero — the closest Spark
+    * analogue to CH's type-default OOB behavior.
+    *
+    * The target expression is recovered by walking left over a postfix
+    * chain: identifier/qualified names, adjacent call parens, closed
+    * groups, and earlier subscripts (`f(x).y[1][2]` chains via the
+    * fixpoint loop). A group with whitespace before it is NOT treated
+    * as a call (`SELECT (a)[1]` targets `(a)`, not `SELECT (a)`). */
+  private[sql] def rewriteSubscripts(sql: String): String = {
+    def skipQuoteFwd(s: String, start: Int): Int = {
+      val q = s.charAt(start)
+      var i = start + 1
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '\\' && q != '`' && i + 1 < s.length) i += 2
+        else if (ch == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+        else if (ch == q) return i + 1
+        else i += 1
+      }
+      s.length
+    }
+    def matchFwd(s: String, open: Int): Int = {
+      val (o, c) = (s.charAt(open), if (s.charAt(open) == '[') ']' else ')')
+      var depth = 0
+      var i = open
+      while (i < s.length) {
+        val ch = s.charAt(i)
+        if (ch == '\'' || ch == '"' || ch == '`') i = skipQuoteFwd(s, i)
+        else {
+          if (ch == o) depth += 1
+          else if (ch == c) { depth -= 1; if (depth == 0) return i }
+          i += 1
+        }
+      }
+      -1
+    }
+    def matchBwd(s: String, close: Int): Int = {
+      val (c, o) = (s.charAt(close), if (s.charAt(close) == ']') '[' else '(')
+      var depth = 0
+      var i = close
+      while (i >= 0) {
+        val ch = s.charAt(i)
+        if (ch == o) { depth -= 1; if (depth == 0) return i }
+        else if (ch == c) depth += 1
+        i -= 1
+      }
+      -1
+    }
+    def identChar(ch: Char) =
+      Character.isLetterOrDigit(ch) || ch == '_'
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 500) {
+      changed = false
+      guard += 1
+      var i = 0
+      var found = -1
+      while (i < out.length && found < 0) {
+        val ch = out.charAt(i)
+        if (ch == '\'' || ch == '"' || ch == '`') i = skipQuoteFwd(out, i)
+        else if (ch == '[') found = i
+        else i += 1
+      }
+      if (found >= 0) {
+        val close = matchFwd(out, found)
+        var p = found - 1
+        while (p >= 0 && out.charAt(p).isWhitespace) p -= 1
+        var done = false
+        var ok = close > found && p >= 0
+        while (ok && !done) {
+          out.charAt(p) match {
+            case ')' | ']' =>
+              val open = matchBwd(out, p)
+              if (open < 0) { ok = false }
+              else {
+                p = open - 1
+                // only continue into a DIRECTLY adjacent call name
+                if (!(p >= 0 && identChar(out.charAt(p)))) done = true
+              }
+            case ch if identChar(ch) =>
+              while (p >= 0 && identChar(out.charAt(p))) p -= 1
+              if (p >= 0 && out.charAt(p) == '.') p -= 1
+              else done = true
+            case '.' => p -= 1
+            case '`' =>
+              // backtick-quoted identifier: jump to its opener
+              var q = p - 1
+              while (q >= 0 && out.charAt(q) != '`') q -= 1
+              if (q < 0) ok = false
+              else {
+                p = q - 1
+                if (p >= 0 && out.charAt(p) == '.') p -= 1 else done = true
+              }
+            case _ => done = true
+          }
+        }
+        val s = p + 1
+        if (ok && s < found) {
+          val target = out.substring(s, found).trim
+          val idx = out.substring(found + 1, close).trim
+          if (target.nonEmpty && idx.nonEmpty) {
+            out = out.substring(0, s) +
+              s"try_element_at(${target}, ${idx})" + out.substring(close + 1)
+            changed = true
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** CH's `[1, 2, 3]` array-literal brackets → `array(1, 2, 3)`.
+    *
+    * A `[` is a LITERAL opener when it starts an expression — at the
+    * statement start or after `(`, `,`, an operator character, or a
+    * non-identifier keyword — and a SUBSCRIPT (left untouched) after
+    * an identifier, `)`, `]`, or a quoted value, where it indexes the
+    * preceding expression (`a[1]`). Nesting works because the scan
+    * classifies every bracket against its own left context
+    * (`[[1],[2]]`: the outer opener follows `SELECT`, the inners
+    * follow `(`/`,` once rewritten). Quotes are skipped, so string
+    * bodies are never touched. */
+  private[sql] def rewriteArrayLiterals(sql: String): String = {
+    // keywords an expression can directly follow; an identifier NOT in
+    // this set means subscript position
+    val exprKw = Set("SELECT", "WHERE", "AND", "OR", "NOT", "IN", "BY",
+      "ON", "HAVING", "WHEN", "THEN", "ELSE", "CASE", "AS", "RETURN",
+      "BETWEEN", "LIKE", "ILIKE", "DISTINCT", "ALL", "UNION", "EXCEPT",
+      "INTERSECT", "VALUES", "IF", "SET", "LIMIT", "OFFSET", "USING")
+    val sb = new StringBuilder(sql)
+    // stack of replaced-opener flags for every '[' seen
+    var stack = List.empty[Boolean]
+    var i = 0
+    var lastWord = "" // most recent identifier/keyword, cleared by symbols
+    var prevSig = ' ' // last significant (non-ws) char
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      c match {
+        case '\'' | '"' | '`' =>
+          val q = c
+          i += 1
+          var done = false
+          while (i < sb.length && !done) {
+            val ch = sb.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < sb.length) i += 2
+            else if (ch == q && i + 1 < sb.length && sb.charAt(i + 1) == q)
+              i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+          prevSig = q; lastWord = ""
+        case '[' =>
+          val literal = prevSig == ' ' || "(,+-*/%=<>!&|^:".contains(prevSig) ||
+            (prevSig.isLetterOrDigit || prevSig == '_') &&
+              lastWord.nonEmpty && exprKw(lastWord.toUpperCase) ||
+            prevSig == '[' // directly nested literal: [[1],[2]]
+          if (literal) {
+            sb.replace(i, i + 1, "array(")
+            stack ::= true
+            i += 6 // past "array("
+            prevSig = '('
+          } else {
+            stack ::= false
+            prevSig = '['
+            i += 1
+          }
+          lastWord = ""
+        case ']' =>
+          stack match {
+            case replaced :: rest =>
+              if (replaced) sb.replace(i, i + 1, ")")
+              stack = rest
+            case Nil =>
+          }
+          prevSig = ']'; lastWord = ""; i += 1
+        case ch if Character.isLetter(ch) || ch == '_' =>
+          val s = i
+          while (i < sb.length && (Character.isLetterOrDigit(sb.charAt(i)) ||
+            sb.charAt(i) == '_')) i += 1
+          lastWord = sb.substring(s, i)
+          prevSig = sb.charAt(i - 1)
+        case ch if !ch.isWhitespace =>
+          prevSig = ch; lastWord = ""; i += 1
+        case _ => i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** `ORDER BY ... LIMIT k WITH TIES` — keep every row tied with the
+    * k-th on the sort key — rewrites to the rank()-window form (ties
+    * share a rank, so `rank <= k` is exactly CH's cut). Top-level
+    * only; requires the top-level ORDER BY that gives TIES meaning. */
+  private def rewriteLimitWithTies(sql: String): String = {
+    val ts = normalizeScan(sql)
+    val at = ts.indices.find { i =>
+      i + 2 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "LIMIT" &&
+        ts(i + 1)._1.upper == "WITH" && ts(i + 2)._1.upper == "TIES" &&
+        sql.substring(ts(i)._1.end, ts(i + 1)._1.start).trim
+          .matches("[0-9]+")
+    }
+    at match {
+      case None => sql
+      case Some(i) =>
+        val k = sql.substring(ts(i)._1.end, ts(i + 1)._1.start).trim.toLong
+        val orderAt = (0 until i).reverse.find { j =>
+          j + 1 < ts.size && ts(j)._2 == 0 && ts(j)._1.upper == "ORDER" &&
+            ts(j + 1)._1.upper == "BY"
+        }.getOrElse(throw new ReadOnlyViolation(
+          "LIMIT ... WITH TIES needs a top-level ORDER BY"))
+        val orderList = sql.substring(ts(orderAt + 1)._1.end, ts(i)._1.start)
+          .trim
+        val core = sql.substring(0, ts(orderAt)._1.start)
+        val tail = sql.substring(ts(i + 2)._1.end).trim.stripSuffix(";")
+        if (tail.nonEmpty) throw new ReadOnlyViolation(
+          "LIMIT ... WITH TIES must end the statement")
+        "SELECT * EXCEPT (__graft_rk) FROM (SELECT *, rank() " +
+          s"OVER (ORDER BY $orderList) AS __graft_rk " +
+          s"FROM ($core) __graft_wt) WHERE __graft_rk <= $k " +
+          s"ORDER BY $orderList"
+    }
   }
 
   /** CH's expression-form WITH — `WITH <expr> AS <ident>, ...` — is a

@@ -439,6 +439,46 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("bracket array literals and 1-based CH subscripts rewrite") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // CH bracket literal + 1-based subscript (Spark's bracket is
+      // 0-based; the shim routes through try_element_at)
+      val r = ex.run("SELECT [10, 20, 30][1] AS a, [10, 20, 30][-1] AS z")
+      assert(r.rows.head.map(_.toString) == Seq("10", "30"))
+      // nested literals, chained subscripts, map key lookup
+      val rn = ex.run(
+        "SELECT [[1],[2,3]][2][1] AS n, map('a', 5)['a'] AS m")
+      assert(rn.rows.head.map(_.toString) == Seq("2", "5"))
+      // out of range is NULL, not an ANSI error
+      val ro = ex.run("SELECT [1][5] AS oob")
+      assert(ro.rows.head.head == null)
+      // a bracket inside a string literal is untouched
+      val rs = ex.run("SELECT 'a[1]' AS s")
+      assert(rs.rows.head.head == "a[1]")
+      // function-call result subscript keeps the whole call as target
+      val rf = ex.run("SELECT splitByChar(',', 'x,y,z')[2] AS second")
+      assert(rf.rows.head.head == "y")
+      // parameterless count() (CH idiom)
+      val rc = ex.run("SELECT count() AS n FROM region")
+      assert(rc.rows.head.head.asInstanceOf[Long] == 5L)
+    } finally ex.close()
+  }
+
+  test("LIMIT k WITH TIES keeps rows tied with the k-th") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      val r = ex.run(
+        """SELECT x FROM VALUES (1), (1), (2), (2), (3) AS t(x)
+          |ORDER BY x LIMIT 3 WITH TIES""".stripMargin)
+      assert(r.rows.map(_.head.toString).sorted == Seq("1", "1", "2", "2"))
+      intercept[ReadOnlyViolation](ex.run(
+        "SELECT x FROM VALUES (1) AS t(x) LIMIT 3 WITH TIES"))
+    } finally ex.close()
+  }
+
   test("star EXCEPT/REPLACE modifiers rewrite") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
