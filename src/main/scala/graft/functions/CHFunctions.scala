@@ -261,6 +261,12 @@ object CHFunctions {
     "argMinCH" -> (es => fn("min_by", es: _*)),
     "anyCH" -> (es => fn("first", es.head)),
     "anyLastCH" -> (es => fn("last", es.head)),
+    // the bare CH names too: Spark's builtin `any` is bool_or, so a
+    // pasted CH `any(x)` over a non-boolean column failed outright —
+    // CH semantics (an arbitrary encountered value) win on this
+    // surface; Spark users keep bool_or/some for the boolean fold
+    "any" -> (es => fn("first", es.head)),
+    "anyLast" -> (es => fn("last", es.head)),
     // anyHeavy: ClickHouse's majority-element probe — Spark's
     // deterministic mode() honors the same "the heavy value if one
     // exists" contract exactly when a majority element exists

@@ -1108,6 +1108,22 @@ object ChSurface {
         |    AND CURRENT ROW), '') AS pri
         |FROM j ORDER BY day""".stripMargin)),
 
+    // CH parameterized-aggregate call form f(params)(args) through the
+    // pre-parse shim: per-name flattening onto the registered dialect
+    // builders (quantileExact → args-first percentile, uniqUpTo →
+    // args-first least-capped distinct, count() → count(*))
+    ("q_param_agg_shim",
+      """SELECT o_orderpriority AS pri,
+        |  round(quantileExact(0.5)(o_totalprice), 2) AS med,
+        |  CAST(uniqUpTo(3)(o_custkey % 7) AS BIGINT) AS upto,
+        |  count() AS n
+        |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
+      Some("""SELECT o_orderpriority AS pri,
+        |  round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+        |  CAST(least(count(DISTINCT o_custkey % 7), 4) AS BIGINT) AS upto,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // bracket array literal + 1-based subscript + bare count()
     // through the pre-parse shims; DuckDB's lists are natively
     // 1-based so the oracle replays the bracket forms verbatim

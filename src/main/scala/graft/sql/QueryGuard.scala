@@ -310,9 +310,109 @@ object QueryGuard {
     out = rewriteLimitWithTies(out)
     out = rewriteFromModifiers(out)
     out = rewriteStarModifiers(out)
+    out = rewriteParamAggs(out)
     out = rewriteArrayLiterals(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
+    out
+  }
+
+  /** CH's parameterized-aggregate call form `f(params)(args)` —
+    * `quantile(0.5)(x)`, `topK(3)(s)`, `windowFunnel(3600)(t, c...)` —
+    * has no Spark-parser analogue, so the two lists merge into the one
+    * flattened call the dialect registry exposes. Registered builders
+    * differ in where the parameters land, so the merge is per-name:
+    *
+    *   - args-first (`f(args..., params...)`, optionally renamed to
+    *     the *CH alias that avoids shadowing a Spark builtin):
+    *     quantile→quantileCH, quantiles→quantilesExactCH,
+    *     topK→topKCH, the quantileExact* family, groupArraySample,
+    *     uniqUpTo, ...
+    *   - params dropped: uniqCombined[64] (the precision parameter
+    *     tunes CH's HLL; Spark's sketch has its own default)
+    *   - everything else params-first (`f(params..., args...)`), the
+    *     convention the flattened registrations already use
+    *     (windowFunnel, quantileGK, groupArraySorted, lttb,
+    *     sumMapFiltered, exponential* decay family)
+    *
+    * Only an identifier token directly followed by two adjacent
+    * parenthesized groups matches — clause keywords are excluded, and
+    * SQL grammar offers no other double-group form, so ordinary calls
+    * never rewrite. */
+  private val paramAggArgsFirst: Map[String, String] = Map(
+    "quantile" -> "quantileCH",
+    "quantileexact" -> "quantileExactCH",
+    "quantiles" -> "quantilesExactCH",
+    "quantilesexact" -> "quantilesExactCH",
+    "quantileexactlow" -> "quantileExactLow",
+    "quantileexacthigh" -> "quantileExactHigh",
+    "quantileexactexclusive" -> "quantileExactExclusive",
+    "quantileexactinclusive" -> "quantileExactInclusive",
+    "quantileexactweighted" -> "quantileExactWeighted",
+    "quantiletdigest" -> "quantileTDigest",
+    "quantiletiming" -> "quantileTiming",
+    "quantilebfloat16" -> "quantileBFloat16",
+    "quantiledeterministic" -> "quantileDeterministic",
+    "topk" -> "topKCH",
+    "topkweighted" -> "topKWeighted",
+    "grouparraysample" -> "groupArraySample",
+    "uniqupto" -> "uniqUpTo")
+  private val paramAggDrop = Set("uniqcombined", "uniqcombined64")
+  private val paramAggStop = Set("IN", "ON", "AND", "OR", "NOT", "WHERE",
+    "FROM", "JOIN", "SELECT", "VALUES", "EXISTS", "USING", "AS", "BY",
+    "OVER", "WHEN", "THEN", "ELSE", "CASE", "UNION", "ALL", "DISTINCT",
+    "LIKE", "ILIKE", "BETWEEN", "IS", "HAVING", "SETTINGS", "INTERVAL")
+
+  private def rewriteParamAggs(sql: String): String = {
+    def nextNonWs(s: String, from: Int): Int = {
+      var i = from
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      i
+    }
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 50) {
+      changed = false
+      guard += 1
+      val ts = normalizeScan(out)
+      var k = 0
+      while (k < ts.size && !changed) {
+        val t = ts(k)._1
+        if (!paramAggStop(t.upper) &&
+          nextNonWs(out, t.end) < out.length &&
+          out.charAt(nextNonWs(out, t.end)) == '(') {
+          val o1 = nextNonWs(out, t.end)
+          val c1 = matchParen(out, o1)
+          if (c1 > o1) {
+            val o2 = nextNonWs(out, c1 + 1)
+            if (o2 < out.length && out.charAt(o2) == '(') {
+              val c2 = matchParen(out, o2)
+              if (c2 > o2) {
+                val params = out.substring(o1 + 1, c1).trim
+                val args = out.substring(o2 + 1, c2).trim
+                val name = out.substring(t.start, t.end)
+                val lower = name.toLowerCase
+                val call =
+                  if (paramAggDrop(lower)) s"$lower($args)"
+                  else paramAggArgsFirst.get(lower) match {
+                    case Some(n) =>
+                      if (params.isEmpty) s"$n($args)"
+                      else s"$n($args, $params)"
+                    case None =>
+                      if (params.isEmpty) s"$name($args)"
+                      else s"$name($params, $args)"
+                  }
+                out = out.substring(0, t.start) + call +
+                  out.substring(c2 + 1)
+                changed = true
+              }
+            }
+          }
+        }
+        k += 1
+      }
+    }
     out
   }
 

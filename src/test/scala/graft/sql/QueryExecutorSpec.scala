@@ -466,6 +466,41 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("parameterized-aggregate call form f(params)(args) flattens") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // quantile(level)(x): the canonical CH form
+      val r = ex.run(
+        "SELECT round(quantile(0.5)(o_totalprice), 2) AS med FROM orders")
+      assert(r.columns == Seq("med") &&
+        r.rows.head.head.asInstanceOf[Double] > 0)
+      // quantiles returns one value per level
+      val rq = ex.run(
+        "SELECT quantiles(0.25, 0.75)(o_totalprice) AS qs FROM orders")
+      assert(rq.rows.head.head.asInstanceOf[scala.collection.Seq[_]].size == 2)
+      // topK(k)(x) yields at most k heavy hitters
+      val rt = ex.run("SELECT topK(3)(o_orderpriority) AS t FROM orders")
+      assert(rt.rows.head.head.asInstanceOf[scala.collection.Seq[_]].size <= 3)
+      // windowFunnel(window)(ts, conds...) — params land first, as the
+      // flattened registration expects
+      val rw = ex.run(
+        """SELECT windowFunnel(3600)(ts, event_type = 'view',
+          |  event_type = 'click') AS d FROM events""".stripMargin)
+      assert(rw.rows.head.head.asInstanceOf[Int] >= 0)
+      // uniqCombined's precision parameter drops
+      val ru = ex.run("SELECT uniqCombined(12)(o_custkey) AS u FROM orders")
+      assert(ru.rows.head.head.asInstanceOf[Long] > 0)
+      // bare CH any/anyLast work over non-boolean columns
+      val ra = ex.run(
+        "SELECT any(o_orderpriority) AS a, anyLast(o_orderpriority) AS z FROM orders")
+      assert(ra.rows.head.forall(_.toString.nonEmpty))
+      // an ordinary call followed by a separate group is untouched
+      val rn = ex.run("SELECT round(1.5) AS r, (2) AS p")
+      assert(rn.rows.head.map(_.toString) == Seq("2", "2"))
+    } finally ex.close()
+  }
+
   test("LIMIT k WITH TIES keeps rows tied with the k-th") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
