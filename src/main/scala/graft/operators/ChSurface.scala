@@ -1108,6 +1108,25 @@ object ChSurface {
         |    AND CURRENT ROW), '') AS pri
         |FROM j ORDER BY day""".stripMargin)),
 
+    // pasted ASOF LEFT JOIN through the text/plan shim onto the custom
+    // sort-merge operator (plans/AsOfJoinExec); DuckDB speaks the same
+    // ASOF syntax natively, so the oracle is the identical statement
+    ("q_asof_shim",
+      """SELECT a.event_id, a.user_id,
+        |  b.event_id AS prior_error_id,
+        |  round(b.value, 2) AS prior_error_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin,
+      Some("""SELECT a.event_id, a.user_id,
+        |  b.event_id AS prior_error_id,
+        |  round(b.value, 2) AS prior_error_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ORDER BY a.event_id""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

@@ -1,0 +1,248 @@
+package graft.sql
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Pasted `ASOF [LEFT] JOIN` support (reference accepts any CH SELECT,
+  * mcp_server.py:421-459) — the textual front door to the custom
+  * sort-merge operator [[graft.plans.AsOfJoinExec]].
+  *
+  * Like [[WithFill]]/[[StarPost]], the clause splits into a text half
+  * ([[extract]]: cut `FROM <l> ASOF [LEFT] JOIN <r> ON <conds>` down
+  * to a placeholder and parse the spec) and a plan half (the caller
+  * builds the AsOf join, registers it as a temp view, and plans the
+  * rewritten statement against it). Join sides may be table names or
+  * parenthesized subqueries with an alias. The ON clause must carry
+  * exactly one equality (the join key) and one time inequality, both
+  * alias-qualified; the inequality's direction and strictness select
+  * the operator mode (`l.t >= r.t` backward/at-or-before — the CH
+  * default — through `l.t < r.t` strict-forward). Right-side columns
+  * surface as `r_<name>`, and qualified references in the rest of the
+  * statement rewrite accordingly (`b.value` → `r_value`); plain ASOF
+  * JOIN post-filters unmatched rows (CH inner semantics), ASOF LEFT
+  * JOIN keeps them.
+  *
+  * Scope (documented departures): one ASOF join per statement, at the
+  * top level; multi-column keys and `USING` are not accepted (CH
+  * allows several equalities) — the DataFrame API (`graft.plans.AsOf`)
+  * remains the general surface. */
+object AsOfText {
+
+  final case class Side(text: String, alias: String, isSubquery: Boolean)
+
+  final case class AsOfSpec(
+      left: Side, right: Side,
+      leftKey: String, rightKey: String,
+      leftTime: String, rightTime: String,
+      forward: Boolean, strict: Boolean, leftJoin: Boolean)
+
+  val Marker = "__graft_asof_input"
+  private val counter = new AtomicLong()
+
+  /** Cut a top-level ASOF join out of `sql`: returns the statement
+    * with the whole join clause replaced by [[Marker]] and qualified
+    * side references rewritten to the joined-view names. */
+  def extract(sql: String): (String, Option[AsOfSpec]) = {
+    val ts = QueryGuard.normalizeScan(sql)
+    val at = ts.indices.find { i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
+        (ts(i + 1)._1.upper == "JOIN" ||
+          (Set("LEFT", "INNER")(ts(i + 1)._1.upper) && i + 2 < ts.size &&
+            ts(i + 2)._1.upper == "JOIN"))
+    }
+    at match {
+      case None => (sql, None)
+      case Some(i) =>
+        val leftJoin = ts(i + 1)._1.upper == "LEFT"
+        val joinTok = if (ts(i + 1)._1.upper == "JOIN") i + 1 else i + 2
+        val fromAt = (0 until i).reverse.find(j =>
+          ts(j)._2 == 0 && ts(j)._1.upper == "FROM").getOrElse(
+          throw new ReadOnlyViolation("ASOF JOIN without a top-level FROM"))
+        val onAt = (joinTok + 1 until ts.size).find(j =>
+          ts(j)._2 == 0 && ts(j)._1.upper == "ON").getOrElse(
+          throw new ReadOnlyViolation("ASOF JOIN needs an ON clause"))
+        val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+          "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+          "WINDOW", "QUALIFY")
+        val condEnd = (onAt + 1 until ts.size).find(j =>
+          ts(j)._2 == 0 && stops(ts(j)._1.upper))
+          .map(j => ts(j)._1.start).getOrElse(sql.length)
+
+        val left = parseSide(
+          sql.substring(ts(fromAt)._1.end, ts(i)._1.start).trim)
+        val right = parseSide(
+          sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
+        val condText = sql.substring(ts(onAt)._1.end, condEnd)
+          .trim.stripSuffix(";").trim
+
+        var key: Option[(String, String)] = None
+        var time: Option[(String, String, Boolean, Boolean)] = None
+        splitAnd(condText).foreach { c =>
+          val m = condRe.findFirstMatchIn(c.trim).getOrElse(
+            throw new ReadOnlyViolation(
+              s"ASOF JOIN condition '$c' must be " +
+                "<alias>.<col> <op> <alias>.<col>"))
+          val (q1, c1, op, q2, c2) =
+            (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+          // normalize to left-operand-first
+          val (lc, rc, nop) =
+            if (q1 == left.alias && q2 == right.alias) (c1, c2, op)
+            else if (q1 == right.alias && q2 == left.alias)
+              (c2, c1, mirror(op))
+            else throw new ReadOnlyViolation(
+              s"ASOF JOIN condition '$c' must reference both sides " +
+                s"('${left.alias}' and '${right.alias}')")
+          nop match {
+            case "=" =>
+              if (key.nonEmpty) throw new ReadOnlyViolation(
+                "ASOF JOIN supports exactly one equality key " +
+                  "(use graft.plans.AsOf for multi-key joins)")
+              key = Some((lc, rc))
+            case _ =>
+              if (time.nonEmpty) throw new ReadOnlyViolation(
+                "ASOF JOIN needs exactly one time inequality")
+              val forward = nop == "<=" || nop == "<"
+              val strict = nop == ">" || nop == "<"
+              time = Some((lc, rc, forward, strict))
+          }
+        }
+        val (lk, rk) = key.getOrElse(throw new ReadOnlyViolation(
+          "ASOF JOIN needs an equality key condition"))
+        val (ltm, rtm, fwd, strict) = time.getOrElse(
+          throw new ReadOnlyViolation(
+            "ASOF JOIN needs a time inequality condition"))
+
+        var out = sql.substring(0, ts(fromAt)._1.end) + " " + Marker +
+          " " + sql.substring(condEnd)
+        out = rewriteQualifier(out, left.alias, "")
+        out = rewriteQualifier(out, right.alias, "r_")
+        (out, Some(AsOfSpec(left, right, lk, rk, ltm, rtm, fwd, strict,
+          leftJoin)))
+    }
+  }
+
+  /** Build the join and plan `rewritten` against it through `planFn`
+    * (the shared star/fill pipeline). */
+  def plan(spark: SparkSession, spec: AsOfSpec, rewritten: String)(
+      planFn: (SparkSession, String) => DataFrame): DataFrame = {
+    val view = s"__graft_asof_${counter.incrementAndGet()}"
+    var joined = graft.plans.AsOf.join(
+      sideDf(spark, spec.left), sideDf(spark, spec.right),
+      key = (spec.leftKey, spec.rightKey),
+      time = (spec.leftTime, spec.rightTime),
+      forward = spec.forward, strict = spec.strict)
+    if (!spec.leftJoin) // CH plain ASOF JOIN is inner: drop unmatched
+      joined = joined.filter(col("r_" + spec.rightKey).isNotNull)
+    joined.createOrReplaceTempView(view)
+    try planFn(spark, rewritten.replace(Marker, view))
+    finally spark.catalog.dropTempView(view)
+  }
+
+  private def sideDf(spark: SparkSession, s: Side): DataFrame =
+    if (s.isSubquery) {
+      QueryGuard.parseReadOnly(spark, s.text)
+      spark.sql(s.text)
+    } else spark.table(s.text)
+
+  private val tableRe =
+    "(?s)^([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:[Aa][Ss]\\s+)?([A-Za-z_][A-Za-z0-9_]*))?$".r
+  private val condRe =
+    ("^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+      "(>=|<=|=|>|<)\\s*" +
+      "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)$").r
+
+  private def mirror(op: String): String = op match {
+    case ">=" => "<="
+    case "<=" => ">="
+    case ">" => "<"
+    case "<" => ">"
+    case other => other
+  }
+
+  private def parseSide(text: String): Side =
+    if (text.startsWith("(")) {
+      val close = matchParen(text, 0)
+      if (close < 0) throw new ReadOnlyViolation(
+        "unbalanced parens in ASOF JOIN side")
+      val alias = text.substring(close + 1).trim match {
+        case a if a.toUpperCase.startsWith("AS ") => a.substring(3).trim
+        case a => a
+      }
+      if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new ReadOnlyViolation(
+          "an ASOF JOIN subquery side needs an alias")
+      Side(text.substring(1, close).trim, alias, isSubquery = true)
+    } else tableRe.findFirstMatchIn(text) match {
+      case Some(m) =>
+        val name = m.group(1)
+        val alias = Option(m.group(2))
+          .getOrElse(name.substring(name.lastIndexOf('.') + 1))
+        Side(name, alias, isSubquery = false)
+      case None => throw new ReadOnlyViolation(
+        s"cannot parse ASOF JOIN side '$text' " +
+          "(use a table name or an aliased subquery)")
+    }
+
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'' || ch == '"' || ch == '`') {
+        val q = ch
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val c2 = s.charAt(i)
+          if (c2 == '\\' && q != '`' && i + 1 < s.length) i += 2
+          else if (c2 == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+          else if (c2 == q) { done = true; i += 1 }
+          else i += 1
+        }
+      } else {
+        if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+    }
+    -1
+  }
+
+  /** Split on depth-0 AND tokens. */
+  private def splitAnd(cond: String): Seq[String] = {
+    val ts = QueryGuard.normalizeScan(cond)
+    val cuts = ts.filter(t => t._2 == 0 && t._1.upper == "AND").map(_._1)
+    if (cuts.isEmpty) Seq(cond)
+    else {
+      var prevEnd = 0
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      cuts.foreach { c =>
+        parts += cond.substring(prevEnd, c.start)
+        prevEnd = c.end
+      }
+      parts += cond.substring(prevEnd)
+      parts.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** Rewrite `alias.col` tokens to `<prefix>col` (right to left). */
+  private def rewriteQualifier(sql: String, alias: String,
+      prefix: String): String = {
+    var out = sql
+    val ts = QueryGuard.normalizeScan(out)
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = ts.size - 1 - ri
+      if (out.substring(t.start, t.end) == alias && i + 1 < ts.size) {
+        val between = out.substring(t.end, ts(i + 1)._1.start)
+        val prevCh = out.substring(0, t.start).reverse
+          .dropWhile(_.isWhitespace).headOption
+        if (between.trim == "." && !prevCh.contains('.'))
+          out = out.substring(0, t.start) + prefix +
+            out.substring(ts(i + 1)._1.start)
+      }
+    }
+    out
+  }
+}

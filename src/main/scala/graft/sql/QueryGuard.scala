@@ -51,7 +51,17 @@ object QueryGuard {
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
-    val (core1, star) = StarPost.extract(normalized)
+    val (afterAsof, asof) = AsOfText.extract(normalized)
+    asof match {
+      case Some(spec) => AsOfText.plan(spark, spec, afterAsof)(planShimmed)
+      case None => planShimmed(spark, afterAsof)
+    }
+  }
+
+  /** The schema-aware post-plan shims shared by both [[plan]] paths. */
+  private def planShimmed(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame = {
+    val (core1, star) = StarPost.extract(sql)
     val (core, fill) = WithFill.extract(core1)
     parseReadOnly(spark, core)
     var df = spark.sql(core)

@@ -466,6 +466,35 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("pasted ASOF JOIN routes through the custom sort-merge operator") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // LEFT form keeps unmatched clicks with NULL right columns
+      val r = ex.run(
+        """SELECT a.event_id, b.event_id AS prior
+          |FROM (SELECT * FROM events WHERE event_type = 'click') a
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+          |  ON a.user_id = b.user_id AND a.ts >= b.ts
+          |ORDER BY a.event_id""".stripMargin)
+      assert(r.columns == Seq("event_id", "prior") && r.rows.nonEmpty)
+      // plain (inner) form drops them; reversed operand order normalizes
+      val ri = ex.run(
+        """SELECT count(*) AS n
+          |FROM (SELECT * FROM events WHERE event_type = 'click') a
+          |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+          |  ON b.ts <= a.ts AND b.user_id = a.user_id""".stripMargin)
+      val matched = ri.rows.head.head.asInstanceOf[Long]
+      assert(matched > 0 && matched <= r.rows.size)
+      assert(r.rows.count(_(1) != null).toLong == matched)
+      // a malformed ON clause names the contract
+      val e = intercept[ReadOnlyViolation](ex.run(
+        """SELECT 1 FROM events a ASOF JOIN events b
+          |ON a.user_id = b.user_id""".stripMargin))
+      assert(e.getMessage.contains("time inequality"))
+    } finally ex.close()
+  }
+
   test("parameterized-aggregate call form f(params)(args) flattens") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
