@@ -125,9 +125,21 @@ object GuidePrompt {
       |Queries from a ClickHouse client run unchanged: `PREWHERE`
       |rewrites to `WHERE`, trailing `SETTINGS k = v, ...` and
       |`FORMAT <name>` clauses are stripped before parsing (string
-      |literals and subqueries are never touched). Output format is
-      |negotiated by the transport instead: `/query?format=csv`
-      |(CSVWithNames) or `format=jsoneachrow` (NDJSON).
+      |literals and subqueries are never touched). Also accepted:
+      |CH type names in casts (`CAST(x AS UInt32)`, `x::Nullable(T)`),
+      |`GROUP BY ... WITH TOTALS`, `[LEFT] ARRAY JOIN`,
+      |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`,
+      |expression-form `WITH <expr> AS <ident>`, `FROM t FINAL`,
+      |`SAMPLE f [OFFSET o]`, `* EXCEPT/REPLACE`,
+      |`COLUMNS('re') [APPLY(f)]`, bracket array literals with CH's
+      |1-based subscripts, bare `count()`, `any`/`anyLast`,
+      |parameterized aggregates (`quantile(0.5)(x)`,
+      |`windowFunnel(3600)(ts, conds...)`),
+      |`ORDER BY ... LIMIT k WITH TIES`, and `ASOF [LEFT] JOIN`
+      |(single key + time inequality, onto the native sort-merge
+      |operator). Output format is negotiated by the transport
+      |instead: `/query?format=csv` (CSVWithNames) or
+      |`format=jsoneachrow` (NDJSON).
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),
