@@ -859,6 +859,14 @@ object CHFunctions {
           modes.contains("strict_dedup") || modes.contains("strict_deduplication"),
         strictIncrease = modes.contains("strict_increase"))
     }),
+    // sequenceMatch/sequenceCount(pattern, ts, cond1, ...): the CH
+    // parametric form flattens here through the f(params)(args) shim;
+    // events encode as condition-bitmask chars, the pattern compiles
+    // to a regex over that alphabet (see SequenceMatchAgg)
+    "sequenceMatch" -> (es =>
+      SequenceMatchAgg(es.head, es(1), es.drop(2), count = false)),
+    "sequenceCount" -> (es =>
+      SequenceMatchAgg(es.head, es(1), es.drop(2), count = true)),
     // groupArraySample(x, k): deterministic bottom-k-by-md5 sample —
     // mergeable, partitioning-independent, oracle-replayable
     "groupArraySample" -> (es => SampleAgg(es.head, es(1) match {
@@ -868,6 +876,13 @@ object CHFunctions {
     // entropy(x): Shannon entropy (base 2) of the value distribution —
     // native TypedImperativeAggregate, per-value counts combine map-side
     "entropy" -> (es => EntropyAgg(es.head)),
+    // -ForEach combinator family: element-wise aggregation across the
+    // group's arrays (ragged inputs fill to the longest array, CH
+    // semantics) — native mergeable positional accumulator
+    "sumForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Sum)),
+    "minForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Min)),
+    "maxForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Max)),
+    "avgForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Avg)),
     // largestTriangleThreeBuckets(n, x, y) / lttb: downsample a series
     // to n chart-representative points (CH's parametric lttb(n)(x, y)
     // flattened to dialect form). Deterministic selection — see LttbAgg.

@@ -1108,6 +1108,70 @@ object ChSurface {
         |    AND CURRENT ROW), '') AS pri
         |FROM j ORDER BY day""".stripMargin)),
 
+    // registered sequenceMatch through the parametric-call shim: per
+    // user, does a view→error→purchase subsequence exist? The oracle
+    // rebuilds each user's condition-ordered event string (same
+    // (ts, cond-index) tiebreak as the aggregate's sort) and asks the
+    // equivalent regex
+    ("q_sequence_fn",
+      """SELECT m, adj, count(*) AS n_users FROM (
+        |  SELECT user_id,
+        |    sequenceMatch('(?1).*(?2).*(?3)')(ts,
+        |      event_type = 'view', event_type = 'error',
+        |      event_type = 'purchase') AS m,
+        |    sequenceMatch('(?3)(?3)')(ts,
+        |      event_type = 'view', event_type = 'error',
+        |      event_type = 'purchase') AS adj
+        |  FROM events GROUP BY user_id)
+        |GROUP BY m, adj ORDER BY m, adj""".stripMargin,
+      Some("""WITH s AS (
+        |  SELECT user_id,
+        |    coalesce(string_agg(
+        |      CASE event_type WHEN 'view' THEN 'v'
+        |        WHEN 'error' THEN 'e' ELSE 'p' END, ''
+        |      ORDER BY ts, CASE event_type WHEN 'view' THEN 1
+        |        WHEN 'error' THEN 2 ELSE 4 END)
+        |      FILTER (WHERE event_type IN ('view', 'error', 'purchase')),
+        |      '') AS str
+        |  FROM events GROUP BY user_id)
+        |SELECT regexp_matches(str, 'v.*e.*p') AS m,
+        |  regexp_matches(str, 'pp') AS adj, count(*) AS n_users
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // -ForEach combinator family over ragged integer arrays (row i
+    // carries positions 1..l_linenumber scaled by its suppkey): the
+    // native positional accumulator aggregates element-wise with the
+    // result as long as the group's longest array. Exact Long path —
+    // string-joined so no list column reaches the driver hasher. The
+    // oracle rebuilds the same ragged semantics with a per-flag
+    // position axis joined against rows long enough to contribute.
+    ("q_foreach",
+      """SELECT l_returnflag AS flag,
+        |  array_join(sumForEach(transform(
+        |    sequence(1, CAST(l_linenumber AS INT)),
+        |    i -> CAST(i AS BIGINT) * l_suppkey)), ',') AS s_sum,
+        |  array_join(minForEach(transform(
+        |    sequence(1, CAST(l_linenumber AS INT)),
+        |    i -> CAST(i AS BIGINT) * l_suppkey)), ',') AS s_min,
+        |  array_join(maxForEach(transform(
+        |    sequence(1, CAST(l_linenumber AS INT)),
+        |    i -> CAST(i AS BIGINT) * l_suppkey)), ',') AS s_max
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""WITH g AS (SELECT l_returnflag AS flag,
+        |    l_linenumber AS n, l_suppkey AS k FROM lineitem),
+        |axis AS (SELECT flag, unnest(generate_series(1, CAST(max(n) AS BIGINT)))
+        |           AS pos FROM g GROUP BY flag),
+        |s AS (SELECT axis.flag AS flag, pos,
+        |        pos * CAST(sum(k) AS BIGINT) AS sv,
+        |        pos * min(k) AS mnv, pos * max(k) AS mxv
+        |      FROM axis JOIN g ON g.flag = axis.flag AND g.n >= axis.pos
+        |      GROUP BY axis.flag, pos)
+        |SELECT flag,
+        |  array_to_string(list(sv ORDER BY pos), ',') AS s_sum,
+        |  array_to_string(list(mnv ORDER BY pos), ',') AS s_min,
+        |  array_to_string(list(mxv ORDER BY pos), ',') AS s_max
+        |FROM s GROUP BY flag ORDER BY flag""".stripMargin)),
+
     // pasted ASOF LEFT JOIN through the text/plan shim onto the custom
     // sort-merge operator (plans/AsOfJoinExec); DuckDB speaks the same
     // ASOF syntax natively, so the oracle is the identical statement

@@ -2088,4 +2088,62 @@ class CHFunctionsSpec extends SparkSpec {
     assert(s.getSeq[Long](1) == Seq(100L, 100L))
     assert(r.getBoolean(3))
   }
+
+  test("-ForEach combinator aggregates element-wise over ragged arrays") {
+    // rows: [1,2,3], [10,20], [100] — result spans the longest array
+    val r = one(
+      """SELECT sumForEach(a) AS s, minForEach(a) AS mn,
+        |  maxForEach(a) AS mx, avgForEach(a) AS av
+        |FROM VALUES (array(1L, 2L, 3L)), (array(10L, 20L)),
+        |  (array(100L)) AS t(a)""".stripMargin)
+    assert(r.getSeq[Long](0) == Seq(111L, 22L, 3L))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(r.getSeq[Long](2) == Seq(100L, 20L, 3L))
+    assert(r.getSeq[Double](3) == Seq(111.0 / 3, 11.0, 3.0))
+    // fractional inputs ride the double path; null elements skip
+    val d = one(
+      """SELECT sumForEach(a) AS s FROM VALUES
+        |  (array(0.5D, CAST(NULL AS DOUBLE))), (array(1.5D, 2.0D)) AS t(a)"""
+        .stripMargin)
+    assert(d.getSeq[Double](0) == Seq(2.0, 2.0))
+    // partitioning-independent: the merge path gives the same answer
+    val big = one(
+      """SELECT array_join(sumForEach(a), ',')
+        |FROM (SELECT sequence(1, CAST(id % 5 + 1 AS INT)) AS a
+        |      FROM range(1000) DISTRIBUTE BY id % 7)""".stripMargin)
+    // pos i (1-based) sums i over rows with len >= i: count rows with
+    // id%5+1 >= i = 1000*(5-i+1)/5 = 200*(6-i)
+    val expect = (1 to 5).map(i => i.toLong * 200 * (6 - i)).mkString(",")
+    assert(big.getString(0) == expect)
+  }
+
+  test("sequenceMatch/sequenceCount follow the CH pattern language") {
+    // chain by time: v v p v p p
+    val base = """FROM VALUES
+      |  (1L, 'v'), (2L, 'v'), (3L, 'p'), (4L, 'v'), (5L, 'p'), (6L, 'p')
+      |  AS t(ts, e)""".stripMargin
+    val r = one(s"""SELECT
+      |  sequenceMatch('(?1).*(?2)', ts, e = 'v', e = 'p') AS gap,
+      |  sequenceMatch('(?1)(?2)', ts, e = 'p', e = 'v') AS adj_pv,
+      |  sequenceCount('(?1).*(?2)', ts, e = 'v', e = 'p') AS n_gap,
+      |  sequenceCount('(?1)(?2)', ts, e = 'v', e = 'p') AS n_adj
+      |$base""".stripMargin)
+    assert(r.getBoolean(0))      // v ... p exists
+    assert(r.getBoolean(1))      // p directly followed by v (pos 3,4)
+    // non-overlapping with EARLIEST completion: [v1..p3], [v4..p5] = 2
+    // (a greedy .* would swallow everything after v1 and report 1)
+    assert(r.getLong(2) == 2L)
+    assert(r.getLong(3) == 2L)   // adjacent vp at (2,3) and (4,5)
+    // an event can satisfy several conditions: masks, not labels
+    val m = one("""SELECT
+      |  sequenceMatch('(?1)(?2)', ts, e = 'v', e IN ('v', 'p')) AS ok,
+      |  sequenceMatch('(?2)(?1)', ts, e = 'v', e IN ('v', 'p')) AS no
+      |FROM VALUES (1L, 'v'), (2L, 'p') AS t(ts, e)""".stripMargin)
+    assert(m.getBoolean(0) && !m.getBoolean(1))
+    // time assertions are rejected, not approximated
+    val e = intercept[Exception](one(
+      """SELECT sequenceMatch('(?1)(?t>10)(?2)', ts, e = 'v', e = 'p')
+        |FROM VALUES (1L, 'v') AS t(ts, e)""".stripMargin))
+    assert(e.getMessage.contains("(?t"))
+  }
 }
