@@ -61,6 +61,16 @@ object CHFunctions {
       Multiply(p(3), Literal(256L))), p(4))
   }
 
+  /** Per-row sum of an array's elements (the -Array combinator's
+    * inner fold; double accumulator like arraySum). */
+  private def rowArraySum(arr: Expression): Expression =
+    fn("aggregate", arr, Literal(0.0),
+      LambdaFunction(
+        Add(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x"))),
+        Seq(UnresolvedNamedLambdaVariable(Seq("acc")),
+          UnresolvedNamedLambdaVariable(Seq("x")))))
+
   /** floor(epoch / width) — exact floor for pre-epoch times too (the
     * toRelative*Num bucket index). */
   private def relativeNum(ts: Expression, width: Long): Expression = {
@@ -883,6 +893,33 @@ object CHFunctions {
     "minForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Min)),
     "maxForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Max)),
     "avgForEach" -> (es => ForEachAgg(es.head, ForEachAgg.Avg)),
+    // -Array combinator family: aggregate over ALL elements of the
+    // group's arrays as one population — composed from per-row array
+    // folds under the outer aggregate (partial-agg friendly: the
+    // per-row fold is narrow, the outer combine is scalar)
+    "sumArray" -> (es => fn("sum", rowArraySum(es.head))),
+    "minArray" -> (es => fn("min", fn("array_min", es.head))),
+    "maxArray" -> (es => fn("max", fn("array_max", es.head))),
+    "countArray" -> (es =>
+      fn("sum", Cast(fn("size", es.head), LongType))),
+    "avgArray" -> (es => fn("try_divide",
+      fn("sum", rowArraySum(es.head)),
+      fn("sum", Cast(fn("size", es.head), LongType)))),
+    // groupArrayArray: concatenate the group's arrays (CH order is
+    // arrival order; flatten(collect_list) matches that contract)
+    "groupArrayArray" -> (es => fn("flatten", fn("collect_list", es.head))),
+    // uniqArray: distinct elements across all arrays — exact (a
+    // strictly tighter answer than CH's HLL estimate), group-bounded
+    // like the quantileExact contract
+    "uniqArray" -> (es => Cast(fn("size", fn("array_distinct",
+      fn("flatten", fn("collect_list", es.head)))), LongType)),
+    // -Distinct combinator spellings
+    "countDistinct" -> (es =>
+      Count(es).toAggregateExpression(isDistinct = true)),
+    "sumDistinct" -> (es =>
+      UnresolvedFunction("sum", es.toSeq, isDistinct = true)),
+    "avgDistinct" -> (es =>
+      UnresolvedFunction("avg", es.toSeq, isDistinct = true)),
     // largestTriangleThreeBuckets(n, x, y) / lttb: downsample a series
     // to n chart-representative points (CH's parametric lttb(n)(x, y)
     // flattened to dialect form). Deterministic selection — see LttbAgg.

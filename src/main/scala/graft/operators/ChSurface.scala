@@ -1108,6 +1108,23 @@ object ChSurface {
         |    AND CURRENT ROW), '') AS pri
         |FROM j ORDER BY day""".stripMargin)),
 
+    // pasted ANY LEFT JOIN: at most one order per customer survives
+    // (the lexicographically-smallest right row — deterministic where
+    // CH allows an arbitrary one); the oracle replays the same
+    // row_number dedup over the right side before a plain LEFT JOIN
+    ("q_any_join_shim",
+      """SELECT c.c_custkey, o.o_orderkey, o.o_orderpriority
+        |FROM customer c ANY LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+      Some("""WITH r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey) AS rn FROM orders)
+        |SELECT c.c_custkey, r.o_orderkey, r.o_orderpriority
+        |FROM customer c LEFT JOIN r
+        |  ON c.c_custkey = r.o_custkey AND r.rn = 1
+        |ORDER BY c.c_custkey""".stripMargin)),
+
     // registered sequenceMatch through the parametric-call shim: per
     // user, does a view→error→purchase subsequence exist? The oracle
     // rebuilds each user's condition-ordered event string (same

@@ -135,9 +135,9 @@ object GuidePrompt {
       |1-based subscripts, bare `count()`, `any`/`anyLast`,
       |parameterized aggregates (`quantile(0.5)(x)`,
       |`windowFunnel(3600)(ts, conds...)`),
-      |`ORDER BY ... LIMIT k WITH TIES`, and `ASOF [LEFT] JOIN`
+      |`ORDER BY ... LIMIT k WITH TIES`, `ASOF [LEFT] JOIN`
       |(single key + time inequality, onto the native sort-merge
-      |operator). Output format is negotiated by the transport
+      |operator), and `ANY [LEFT|INNER] JOIN` (one right row per key). Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or
       |`format=jsoneachrow` (NDJSON).
       |

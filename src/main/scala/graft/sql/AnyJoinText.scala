@@ -1,0 +1,199 @@
+package graft.sql
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pasted `ANY [LEFT|INNER] JOIN` (and `LEFT|INNER ANY JOIN`) — CH's
+  * at-most-one-right-row-per-key multiplicity. Without this shim the
+  * statement silently mis-parses (Spark reads `ANY` as a table alias
+  * and runs a PLAIN join, duplicating left rows on duplicate right
+  * keys — a wrong answer, not an error).
+  *
+  * Text half ([[extract]]): cut the ANY token and swap the right-side
+  * item for a placeholder. Plan half ([[plan]]): build the right side,
+  * keep ONE row per join key (deterministically the first under the
+  * key's own order, where CH picks an arbitrary one), register it as a
+  * temp view and plan the rewritten statement — the join itself stays
+  * in the statement, so any select list, WHERE, or GROUP BY composes
+  * unchanged. Join keys come from the ON clause's equalities: the
+  * operand qualified by the right alias (or an unqualified name that
+  * resolves only in the right schema).
+  *
+  * Scope: one ANY join per statement, LEFT/INNER only (RIGHT ANY
+  * dedupes the left side — rejected with a pointer to rewriting the
+  * query the other way around). `ALL` multiplicity is the default and
+  * strips in [[QueryGuard.normalizeDialect]]. */
+object AnyJoinText {
+
+  final case class Side(text: String, alias: String, isSubquery: Boolean)
+
+  final case class AnySpec(right: Side, conds: Seq[(String, String)])
+
+  val Marker = "__graft_any_input"
+  private val counter = new AtomicLong()
+
+  def extract(sql: String): (String, Option[AnySpec]) = {
+    val ts = QueryGuard.normalizeScan(sql)
+    val kinds = Set("LEFT", "INNER")
+    // ANY [kind] JOIN | kind ANY JOIN, all at depth 0
+    val at = ts.indices.find { i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
+        (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN") ||
+          (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
+            i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN") ||
+          (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" && i > 0 &&
+            kinds(ts(i - 1)._1.upper)))
+    }
+    val bad = ts.indices.find { i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" &&
+        i + 1 < ts.size && Set("RIGHT", "FULL")(ts(i + 1)._1.upper) &&
+        i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"
+    }
+    if (bad.nonEmpty) throw new ReadOnlyViolation(
+      "RIGHT/FULL ANY JOIN is not supported — swap the sides and use " +
+        "ANY LEFT JOIN")
+    at match {
+      case None => (sql, None)
+      case Some(i) =>
+        val joinTok = (i + 1 to math.min(i + 2, ts.size - 1))
+          .find(j => ts(j)._1.upper == "JOIN").get
+        val onAt = (joinTok + 1 until ts.size).find(j =>
+          ts(j)._2 == 0 && ts(j)._1.upper == "ON").getOrElse(
+          throw new ReadOnlyViolation("ANY JOIN needs an ON clause"))
+        val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+          "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+          "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
+          "CROSS")
+        val condEnd = (onAt + 1 until ts.size).find(j =>
+          ts(j)._2 == 0 && stops(ts(j)._1.upper))
+          .map(j => ts(j)._1.start).getOrElse(sql.length)
+        val right = parseSide(
+          sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
+        val condText = sql.substring(ts(onAt)._1.end, condEnd)
+          .trim.stripSuffix(";").trim
+        val conds = splitAnd(condText).flatMap { c =>
+          eqRe.findFirstMatchIn(c.trim).map(m =>
+            (m.group(1), m.group(2)))
+        }
+        // drop the ANY token, swap the right item for the placeholder
+        val rightSpan = (ts(joinTok)._1.end, ts(onAt)._1.start)
+        var out = sql.substring(0, rightSpan._1) +
+          s" $Marker AS ${right.alias} " + sql.substring(rightSpan._2)
+        out = out.substring(0, ts(i)._1.start) +
+          out.substring(ts(i)._1.end)
+        (out, Some(AnySpec(right, conds)))
+    }
+  }
+
+  def plan(spark: SparkSession, spec: AnySpec, rewritten: String)(
+      planFn: (SparkSession, String) => DataFrame): DataFrame = {
+    val rightDf: DataFrame =
+      if (spec.right.isSubquery) {
+        QueryGuard.parseReadOnly(spark, spec.right.text)
+        spark.sql(spec.right.text)
+      } else spark.table(spec.right.text)
+    val cols = rightDf.columns.toSet
+    val keys = spec.conds.flatMap { case (a, b) =>
+      Seq(a, b).flatMap { operand =>
+        val dot = operand.indexOf('.')
+        if (dot > 0) {
+          val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
+          if (q == spec.right.alias && cols(c)) Some(c) else None
+        } else if (cols(operand)) Some(operand)
+        else None
+      }
+    }.distinct
+    if (keys.isEmpty) throw new ReadOnlyViolation(
+      "ANY JOIN: no ON equality resolves to a right-side column " +
+        s"(right columns: ${rightDf.columns.mkString(", ")})")
+    // order by the FULL row, not the key: inside a partition every row
+    // ties on the key, and a key-ordered row_number would pick an
+    // arbitrary (partitioning-dependent) survivor. CH allows any row;
+    // we pick the lexicographically smallest so runs and oracles agree.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(rightDf.columns.map(col).toIndexedSeq: _*)
+    val deduped = rightDf
+      .withColumn("__graft_any_rn", row_number().over(w))
+      .filter(col("__graft_any_rn") === 1)
+      .drop("__graft_any_rn")
+    val view = s"__graft_any_${counter.incrementAndGet()}"
+    deduped.createOrReplaceTempView(view)
+    try planFn(spark, rewritten.replace(Marker, view))
+    finally spark.catalog.dropTempView(view)
+  }
+
+  private val eqRe =
+    ("^([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*" +
+      "([A-Za-z_][A-Za-z0-9_.]*)$").r
+
+  private def parseSide(text: String): Side =
+    if (text.startsWith("(")) {
+      val close = matchParen(text)
+      if (close < 0) throw new ReadOnlyViolation(
+        "unbalanced parens in ANY JOIN side")
+      val alias = text.substring(close + 1).trim match {
+        case a if a.toUpperCase.startsWith("AS ") => a.substring(3).trim
+        case a => a
+      }
+      if (!alias.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new ReadOnlyViolation("an ANY JOIN subquery side needs an alias")
+      Side(text.substring(1, close).trim, alias, isSubquery = true)
+    } else {
+      val parts = text.split("\\s+").filter(_.nonEmpty)
+      val cleaned = parts.filterNot(_.equalsIgnoreCase("AS"))
+      cleaned match {
+        case Array(name) =>
+          Side(name, name.substring(name.lastIndexOf('.') + 1),
+            isSubquery = false)
+        case Array(name, alias)
+            if alias.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+          Side(name, alias, isSubquery = false)
+        case _ => throw new ReadOnlyViolation(
+          s"cannot parse ANY JOIN side '$text'")
+      }
+    }
+
+  private def matchParen(s: String): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '\'' || ch == '"' || ch == '`') {
+        val q = ch
+        i += 1
+        var done = false
+        while (i < s.length && !done) {
+          val c2 = s.charAt(i)
+          if (c2 == '\\' && q != '`' && i + 1 < s.length) i += 2
+          else if (c2 == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+          else if (c2 == q) { done = true; i += 1 }
+          else i += 1
+        }
+      } else {
+        if (ch == '(') depth += 1
+        else if (ch == ')') { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+    }
+    -1
+  }
+
+  private def splitAnd(cond: String): Seq[String] = {
+    val ts = QueryGuard.normalizeScan(cond)
+    val cuts = ts.filter(t => t._2 == 0 && t._1.upper == "AND").map(_._1)
+    if (cuts.isEmpty) Seq(cond)
+    else {
+      var prevEnd = 0
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      cuts.foreach { c =>
+        parts += cond.substring(prevEnd, c.start)
+        prevEnd = c.end
+      }
+      parts += cond.substring(prevEnd)
+      parts.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+}

@@ -52,9 +52,15 @@ object QueryGuard {
       : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
     val (afterAsof, asof) = AsOfText.extract(normalized)
+    val (afterAny, anyJ) = AnyJoinText.extract(afterAsof)
+    val inner: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      anyJ match {
+        case Some(spec) => (s, q) => AnyJoinText.plan(s, spec, q)(planShimmed)
+        case None => planShimmed
+      }
     asof match {
-      case Some(spec) => AsOfText.plan(spark, spec, afterAsof)(planShimmed)
-      case None => planShimmed(spark, afterAsof)
+      case Some(spec) => AsOfText.plan(spark, spec, afterAny)(inner)
+      case None => inner(spark, afterAny)
     }
   }
 
@@ -127,6 +133,14 @@ object QueryGuard {
       val i = first.size - 1 - ri
       if (t.upper == "PREWHERE")
         out = out.substring(0, t.start) + "WHERE" + out.substring(t.end)
+      // CH's explicit ALL join multiplicity (`ALL LEFT JOIN`) is the
+      // default — drop the token. Not after UNION/SELECT (set
+      // quantifiers) or FROM/JOIN (a table merely named all).
+      else if (t.upper == "ALL" && i + 1 < first.size &&
+        Set("JOIN", "LEFT", "INNER")(first(i + 1)._1.upper) &&
+        i > 0 && !Set("UNION", "EXCEPT", "INTERSECT", "SELECT",
+          "FROM", "JOIN")(first(i - 1)._1.upper))
+        out = out.substring(0, t.start) + out.substring(t.end)
       else if (t.upper == "GLOBAL" && i + 1 < first.size &&
         globalNext(first(i + 1)._1.upper)) {
         val prevCh = out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)

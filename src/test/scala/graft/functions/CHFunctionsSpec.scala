@@ -2146,4 +2146,25 @@ class CHFunctionsSpec extends SparkSpec {
         |FROM VALUES (1L, 'v') AS t(ts, e)""".stripMargin))
     assert(e.getMessage.contains("(?t"))
   }
+
+  test("-Array and -Distinct combinator spellings") {
+    val r = one(
+      """SELECT sumArray(a) AS s, minArray(a) AS mn, maxArray(a) AS mx,
+        |  countArray(a) AS c, avgArray(a) AS av,
+        |  array_sort(groupArrayArray(a)) AS cat,
+        |  uniqArray(a) AS u
+        |FROM VALUES (array(1, 2)), (array(2, 3, 4)) AS t(a)""".stripMargin)
+    assert(r.getDouble(0) == 12.0)     // 1+2+2+3+4
+    assert(r.getInt(1) == 1 && r.getInt(2) == 4)
+    assert(r.getLong(3) == 5L)
+    assert(r.getDouble(4) == 2.4)
+    assert(r.getSeq[Int](5) == Seq(1, 2, 2, 3, 4))
+    assert(r.getLong(6) == 4L)         // {1,2,3,4}
+    val d = one(
+      """SELECT countDistinct(x) AS cd, sumDistinct(x) AS sd,
+        |  avgDistinct(x) AS ad
+        |FROM VALUES (1), (1), (2), (3), (3) AS t(x)""".stripMargin)
+    assert(d.getLong(0) == 3L && d.getLong(1) == 6L)
+    assert(d.getDouble(2) == 2.0)
+  }
 }

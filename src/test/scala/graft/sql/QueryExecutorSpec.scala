@@ -466,6 +466,37 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("pasted ANY JOIN keeps one right row per key") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // plain LEFT JOIN multiplies lineitem by matching rows; ANY keeps
+      // the customer row count
+      val base = ex.run("SELECT count(*) AS n FROM customer")
+      val any = ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+      assert(any.rows.head.head == base.rows.head.head)
+      // the survivor is the smallest right row (deterministic pick)
+      val one = ex.run(
+        """SELECT o.o_orderkey FROM customer c
+          |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          |WHERE c.c_custkey = 1""".stripMargin)
+      val direct = ex.run(
+        "SELECT min(o_orderkey) AS k FROM orders WHERE o_custkey = 1")
+      assert(one.rows.head.head == direct.rows.head.head)
+      // ALL multiplicity (the CH default) just strips
+      val all = ex.run(
+        """SELECT count(*) AS n FROM nation
+          |ALL LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin)
+      assert(all.rows.head.head.asInstanceOf[Long] == 25L)
+      // RIGHT ANY is rejected with guidance, not mis-parsed
+      val e = intercept[ReadOnlyViolation](ex.run(
+        "SELECT 1 FROM nation ANY RIGHT JOIN region ON n_regionkey = r_regionkey"))
+      assert(e.getMessage.contains("swap the sides"))
+    } finally ex.close()
+  }
+
   test("pasted ASOF JOIN routes through the custom sort-merge operator") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
