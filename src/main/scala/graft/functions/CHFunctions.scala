@@ -1454,8 +1454,12 @@ object CHFunctions {
     "toFixedString" -> (es =>
       fn("rpad", fn("substring", es.head, Literal(1),
         Cast(es(1), IntegerType)), Cast(es(1), IntegerType), Literal(" "))),
+    "today" -> (_ => fn("current_date")),
     "yesterday" -> (_ =>
       fn("date_sub", fn("current_date"), Literal(1))),
+    // toWeek(t[, mode]): ISO week number (CH mode 3); CH's seven other
+    // Sunday/Saturday-anchored modes are not distinguished
+    "toWeek" -> (es => fn("weekofyear", es.head)),
     "timezone" -> (_ => fn("current_timezone")),
     "timeZone" -> (_ => fn("current_timezone")),
     "now64" -> (_ => fn("now")),

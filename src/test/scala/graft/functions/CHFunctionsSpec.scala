@@ -2167,4 +2167,13 @@ class CHFunctionsSpec extends SparkSpec {
     assert(d.getLong(0) == 3L && d.getLong(1) == 6L)
     assert(d.getDouble(2) == 2.0)
   }
+
+  test("today/yesterday/toWeek date helpers") {
+    val r = one(
+      """SELECT today() = current_date() AS t,
+        |  yesterday() = date_sub(current_date(), 1) AS y,
+        |  toWeek(DATE '2024-01-15') AS w""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(r.getInt(2) == 3) // ISO week of 2024-01-15
+  }
 }
