@@ -248,4 +248,47 @@ class PlanQualitySpec extends SparkSpec {
     val nFrames = countShuffles(graft.operators.Multimodal.mmFrames(spark, sf))
     assert(nFrames <= 2, s"mm_frames: expected <=2 shuffles, got $nFrames")
   }
+
+  test("ForEachAgg partial-aggregates map-side before the shuffle") {
+    graft.functions.CHFunctions.register(spark)
+    graft.sql.TableEnv.register(spark, sf)
+    val df = spark.sql(
+      """SELECT l_returnflag,
+        |  sumForEach(sequence(1, CAST(l_linenumber AS INT))) AS s
+        |FROM lineitem GROUP BY 1""".stripMargin)
+    val plan = formatted(df)
+    // the positional accumulator rides ObjectHashAggregate with a
+    // partial phase: per-task combine, one shuffle of tiny buffers
+    assert(plan.contains("ObjectHashAggregate"), plan.take(400))
+    assert(plan.contains("partial"), "expected partial aggregation")
+    assert(countShuffles(df) <= 2,
+      "expected the single aggregate exchange (plus AQE reads)")
+  }
+
+  test("pasted ASOF JOIN plans the custom sort-merge exec") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT a.event_id, b.event_id AS prior
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
+    val plan = formatted(df)
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "expected the keyed sort-merge")
+  }
+
+  test("pasted ANY JOIN dedupes on the key, no nested loop") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT count(*) AS n FROM customer c
+        |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+    val plan = formatted(df)
+    // the dedup window partitions by the HIGH-CARDINALITY join key —
+    // never a global (empty-partition) window
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspecdefinition(o_custkey"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "expected an equi-join")
+  }
 }
