@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
   * to a placeholder and parse the spec) and a plan half (the caller
   * builds the AsOf join, registers it as a temp view, and plans the
   * rewritten statement against it). Join sides may be table names or
-  * parenthesized subqueries with an alias. The ON clause must carry
-  * exactly one equality (the join key) and one time inequality, both
-  * alias-qualified; the inequality's direction and strictness select
+  * parenthesized subqueries with an alias. The ON clause carries one
+  * or more equalities (several compose into one synthetic struct key)
+  * and exactly one time inequality, all alias-qualified; the
+  * inequality's direction and strictness select
   * the operator mode (`l.t >= r.t` backward/at-or-before — the CH
   * default — through `l.t < r.t` strict-forward). Right-side columns
   * surface as `r_<name>`, and qualified references in the rest of the
@@ -25,16 +26,15 @@ import org.apache.spark.sql.functions._
   * JOIN keeps them.
   *
   * Scope (documented departures): one ASOF join per statement, at the
-  * top level; multi-column keys and `USING` are not accepted (CH
-  * allows several equalities) — the DataFrame API (`graft.plans.AsOf`)
-  * remains the general surface. */
+  * top level; `USING` is not accepted — the DataFrame API
+  * (`graft.plans.AsOf`) remains the general surface. */
 object AsOfText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
 
   final case class AsOfSpec(
       left: Side, right: Side,
-      leftKey: String, rightKey: String,
+      keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
       forward: Boolean, strict: Boolean, leftJoin: Boolean)
 
@@ -77,7 +77,7 @@ object AsOfText {
         val condText = sql.substring(ts(onAt)._1.end, condEnd)
           .trim.stripSuffix(";").trim
 
-        var key: Option[(String, String)] = None
+        val keys = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var time: Option[(String, String, Boolean, Boolean)] = None
         splitAnd(condText).foreach { c =>
           val m = condRe.findFirstMatchIn(c.trim).getOrElse(
@@ -96,10 +96,7 @@ object AsOfText {
                 s"('${left.alias}' and '${right.alias}')")
           nop match {
             case "=" =>
-              if (key.nonEmpty) throw new ReadOnlyViolation(
-                "ASOF JOIN supports exactly one equality key " +
-                  "(use graft.plans.AsOf for multi-key joins)")
-              key = Some((lc, rc))
+              keys += ((lc, rc))
             case _ =>
               if (time.nonEmpty) throw new ReadOnlyViolation(
                 "ASOF JOIN needs exactly one time inequality")
@@ -108,8 +105,8 @@ object AsOfText {
               time = Some((lc, rc, forward, strict))
           }
         }
-        val (lk, rk) = key.getOrElse(throw new ReadOnlyViolation(
-          "ASOF JOIN needs an equality key condition"))
+        if (keys.isEmpty) throw new ReadOnlyViolation(
+          "ASOF JOIN needs an equality key condition")
         val (ltm, rtm, fwd, strict) = time.getOrElse(
           throw new ReadOnlyViolation(
             "ASOF JOIN needs a time inequality condition"))
@@ -118,23 +115,40 @@ object AsOfText {
           " " + sql.substring(condEnd)
         out = rewriteQualifier(out, left.alias, "")
         out = rewriteQualifier(out, right.alias, "r_")
-        (out, Some(AsOfSpec(left, right, lk, rk, ltm, rtm, fwd, strict,
-          leftJoin)))
+        (out, Some(AsOfSpec(left, right, keys.toSeq, ltm, rtm, fwd,
+          strict, leftJoin)))
     }
   }
 
   /** Build the join and plan `rewritten` against it through `planFn`
-    * (the shared star/fill pipeline). */
+    * (the shared star/fill pipeline). Several equality keys compose
+    * into ONE synthetic struct key per side — struct ordering makes it
+    * a valid shuffle/sort key for the exec, and the helper columns are
+    * dropped before the view is published. */
   def plan(spark: SparkSession, spec: AsOfSpec, rewritten: String)(
       planFn: (SparkSession, String) => DataFrame): DataFrame = {
     val view = s"__graft_asof_${counter.incrementAndGet()}"
+    var leftDf = sideDf(spark, spec.left)
+    var rightDf = sideDf(spark, spec.right)
+    val composite = spec.keys.size > 1
+    val (lk, rk) = spec.keys match {
+      case Seq((a, b)) => (a, b)
+      case many =>
+        leftDf = leftDf.withColumn("__graft_asof_k",
+          struct(many.map(p => col(p._1)): _*))
+        rightDf = rightDf.withColumn("__graft_asof_k",
+          struct(many.map(p => col(p._2)): _*))
+        ("__graft_asof_k", "__graft_asof_k")
+    }
     var joined = graft.plans.AsOf.join(
-      sideDf(spark, spec.left), sideDf(spark, spec.right),
-      key = (spec.leftKey, spec.rightKey),
+      leftDf, rightDf,
+      key = (lk, rk),
       time = (spec.leftTime, spec.rightTime),
       forward = spec.forward, strict = spec.strict)
     if (!spec.leftJoin) // CH plain ASOF JOIN is inner: drop unmatched
-      joined = joined.filter(col("r_" + spec.rightKey).isNotNull)
+      joined = joined.filter(col("r_" + rk).isNotNull)
+    if (composite)
+      joined = joined.drop("__graft_asof_k", "r___graft_asof_k")
     joined.createOrReplaceTempView(view)
     try planFn(spark, rewritten.replace(Marker, view))
     finally spark.catalog.dropTempView(view)

@@ -523,6 +523,18 @@ class QueryExecutorSpec extends SparkSpec {
         """SELECT 1 FROM events a ASOF JOIN events b
           |ON a.user_id = b.user_id""".stripMargin))
       assert(e.getMessage.contains("time inequality"))
+      // several equalities compose into one struct key: each left row
+      // must match within ITS (k, g) group, not just the latest by k
+      val mk = ex.run(
+        """SELECT l.g, r.v AS rv
+          |FROM (SELECT * FROM VALUES (1, 'a', 10), (1, 'b', 10)
+          |      AS t(k, g, t1)) l
+          |ASOF LEFT JOIN (SELECT * FROM VALUES
+          |    (1, 'a', 5, 100), (1, 'b', 6, 200) AS t(k, g, t1, v)) r
+          |  ON l.k = r.k AND l.g = r.g AND l.t1 >= r.t1
+          |ORDER BY l.g""".stripMargin)
+      assert(mk.rows.map(_.map(_.toString)) ==
+        Seq(Seq("a", "100"), Seq("b", "200")))
     } finally ex.close()
   }
 
