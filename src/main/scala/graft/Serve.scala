@@ -30,6 +30,10 @@ object Serve {
       // TIMESTAMP_NTZ: one instant line under the UTC session zone,
       // matching DuckDB's naive-as-UTC oracle reading
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // ClickHouse reads "double quotes" as IDENTIFIERS (single quotes
+      // for strings); Spark's default reads them as string literals, so
+      // a pasted `SELECT "col" FROM t` would silently select a constant
+      .config("spark.sql.ansi.doubleQuotedIdentifiers", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

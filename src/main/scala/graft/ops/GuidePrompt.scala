@@ -137,7 +137,9 @@ object GuidePrompt {
       |`windowFunnel(3600)(ts, conds...)`),
       |`ORDER BY ... LIMIT k WITH TIES`, `ASOF [LEFT] JOIN`
       |(single key + time inequality, onto the native sort-merge
-      |operator), and `ANY [LEFT|INNER] JOIN` (one right row per key). Output format is negotiated by the transport
+      |operator), and `ANY [LEFT|INNER] JOIN` (one right row per key).
+      |"Double quotes" are identifiers (as in ClickHouse), 'single
+      |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or
       |`format=jsoneachrow` (NDJSON).
       |

@@ -611,4 +611,23 @@ class QueryExecutorSpec extends SparkSpec {
       assert(so.rows.size == 4)
     } finally ex.close()
   }
+
+  test("double-quoted identifiers resolve CH-style under the serve conf") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    val key = "spark.sql.ansi.doubleQuotedIdentifiers"
+    val prev = spark.conf.get(key, "false")
+    try {
+      TableEnv.register(spark, sf)
+      spark.conf.set(key, "true") // graft.Serve sets this at startup
+      val r = ex.run("SELECT \"r_name\" FROM region ORDER BY \"r_regionkey\" LIMIT 1")
+      assert(r.columns == Seq("r_name"))
+      assert(r.rows.head.head.toString != "r_name") // identifier, not literal
+      // single quotes remain strings
+      val s2 = ex.run("SELECT 'r_name' AS lit")
+      assert(s2.rows.head.head == "r_name")
+    } finally {
+      spark.conf.set(key, prev)
+      ex.close()
+    }
+  }
 }
