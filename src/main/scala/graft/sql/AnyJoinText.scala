@@ -3,7 +3,6 @@ package graft.sql
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pasted `ANY [LEFT|INNER] JOIN` (and `LEFT|INNER ANY JOIN`) — CH's
@@ -14,18 +13,30 @@ import org.apache.spark.sql.functions._
   *
   * Text half ([[extract]]): cut the ANY token and swap the right-side
   * item for a placeholder. Plan half ([[plan]]): build the right side,
-  * keep ONE row per join key (deterministically the first under the
-  * key's own order, where CH picks an arbitrary one), register it as a
-  * temp view and plan the rewritten statement — the join itself stays
-  * in the statement, so any select list, WHERE, or GROUP BY composes
-  * unchanged. Join keys come from the ON clause's equalities: the
-  * operand qualified by the right alias (or an unqualified name that
-  * resolves only in the right schema).
+  * keep ONE row per join key (deterministically the lexicographically
+  * smallest right row, where CH picks an arbitrary one), register it
+  * as a temp view and plan the rewritten statement — the join itself
+  * stays in the statement, so any select list, WHERE, or GROUP BY
+  * composes unchanged. The dedup is a mergeable `min(struct(*))`
+  * partial aggregate, NOT a per-key window: partial aggregation
+  * combines map-side, so a skewed join key (one hot key with 10^8
+  * right rows at 100 TB) contributes one candidate row per map task
+  * instead of funnelling every row through a single reducer's sort.
   *
-  * Scope: one ANY join per statement, LEFT/INNER only (RIGHT ANY
-  * dedupes the left side — rejected with a pointer to rewriting the
-  * query the other way around). `ALL` multiplicity is the default and
-  * strips in [[QueryGuard.normalizeDialect]]. */
+  * Join keys come from the ON clause's equalities; every depth-0
+  * conjunct MUST be a simple `a = b` column equality (anything else is
+  * rejected — the right side is deduped per key BEFORE residual
+  * predicates could apply, so silently carrying them would change
+  * which rows match), and each equality must resolve to exactly one
+  * right-side column (both-sides-resolve is rejected with a
+  * qualify-your-columns message rather than silently keying on the
+  * right).
+  *
+  * Scope: one ANY join per statement, LEFT/INNER only (RIGHT/FULL ANY
+  * in either token order dedupes the LEFT side — rejected with a
+  * pointer to rewriting the query the other way around). `ALL`
+  * multiplicity is the default and strips in
+  * [[QueryGuard.normalizeDialect]]. */
 object AnyJoinText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
@@ -38,23 +49,28 @@ object AnyJoinText {
   def extract(sql: String): (String, Option[AnySpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
     val kinds = Set("LEFT", "INNER")
-    // ANY [kind] JOIN | kind ANY JOIN, all at depth 0
+    val badKinds = Set("RIGHT", "FULL")
+    // ANY [kind] JOIN | kind ANY JOIN, all at depth 0; the bare
+    // `ANY JOIN` form must not have a RIGHT/FULL direction before it
+    // (that spelling belongs to the rejection below, not the shim)
     val at = ts.indices.find { i =>
       ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
-        (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN") ||
+        (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" &&
+          (i == 0 || !badKinds(ts(i - 1)._1.upper))) ||
           (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
-            i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN") ||
-          (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" && i > 0 &&
-            kinds(ts(i - 1)._1.upper)))
+            i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"))
     }
+    // both CH token orders: ANY RIGHT|FULL JOIN and RIGHT|FULL ANY JOIN
     val bad = ts.indices.find { i =>
-      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" &&
-        i + 1 < ts.size && Set("RIGHT", "FULL")(ts(i + 1)._1.upper) &&
-        i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"
+      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
+        (i + 1 < ts.size && badKinds(ts(i + 1)._1.upper) &&
+          i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN") ||
+          (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" && i > 0 &&
+            badKinds(ts(i - 1)._1.upper)))
     }
     if (bad.nonEmpty) throw new ReadOnlyViolation(
-      "RIGHT/FULL ANY JOIN is not supported — swap the sides and use " +
-        "ANY LEFT JOIN")
+      "RIGHT/FULL ANY JOIN is not supported (it dedupes the LEFT " +
+        "side) — swap the sides and use ANY LEFT JOIN")
     at match {
       case None => (sql, None)
       case Some(i) =>
@@ -74,9 +90,17 @@ object AnyJoinText {
           sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
         val condText = sql.substring(ts(onAt)._1.end, condEnd)
           .trim.stripSuffix(";").trim
-        val conds = splitAnd(condText).flatMap { c =>
-          eqRe.findFirstMatchIn(c.trim).map(m =>
-            (m.group(1), m.group(2)))
+        // every depth-0 conjunct must be a simple column equality —
+        // silently dropping a residual predicate here would dedup the
+        // right side before it applies (a silent wrong answer)
+        val conds = splitAnd(condText).map { c0 =>
+          val c = stripOuterParens(c0.trim)
+          eqRe.findFirstMatchIn(c).map(m => (m.group(1), m.group(2)))
+            .getOrElse(throw new ReadOnlyViolation(
+              s"ANY JOIN: ON conjunct '${c0.trim}' is not a simple " +
+                "column equality — the shim dedupes the right side " +
+                "per key before other predicates apply; move the " +
+                "predicate to WHERE"))
         }
         // drop the ANY token, swap the right item for the placeholder
         val rightSpan = (ts(joinTok)._1.end, ts(onAt)._1.start)
@@ -96,29 +120,46 @@ object AnyJoinText {
         spark.sql(spec.right.text)
       } else spark.table(spec.right.text)
     val cols = rightDf.columns.toSet
-    val keys = spec.conds.flatMap { case (a, b) =>
-      Seq(a, b).flatMap { operand =>
-        val dot = operand.indexOf('.')
-        if (dot > 0) {
-          val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
-          if (q == spec.right.alias && cols(c)) Some(c) else None
-        } else if (cols(operand)) Some(operand)
-        else None
+    // resolve each equality to EXACTLY ONE right-side column: an
+    // operand qualified by the right alias, or an unqualified name in
+    // the right schema. If BOTH operands resolve right-side the key is
+    // ambiguous (the left table may share the column name) — reject
+    // rather than silently keying on the right column.
+    def rightCol(operand: String): Option[String] = {
+      val dot = operand.indexOf('.')
+      if (dot > 0) {
+        val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
+        if (q == spec.right.alias && cols(c)) Some(c) else None
+      } else if (cols(operand)) Some(operand)
+      else None
+    }
+    val keys = spec.conds.map { case (a, b) =>
+      (rightCol(a), rightCol(b)) match {
+        case (Some(k), None) => k
+        case (None, Some(k)) => k
+        case (Some(_), Some(_)) => throw new ReadOnlyViolation(
+          s"ANY JOIN: both sides of '$a = $b' resolve to right-side " +
+            s"columns of '${spec.right.alias}' — qualify your columns " +
+            s"(e.g. l.$a = ${spec.right.alias}.$b)")
+        case (None, None) => throw new ReadOnlyViolation(
+          s"ANY JOIN: neither side of '$a = $b' resolves to a " +
+            s"right-side column (right columns: " +
+            s"${rightDf.columns.mkString(", ")})")
       }
     }.distinct
-    if (keys.isEmpty) throw new ReadOnlyViolation(
-      "ANY JOIN: no ON equality resolves to a right-side column " +
-        s"(right columns: ${rightDf.columns.mkString(", ")})")
-    // order by the FULL row, not the key: inside a partition every row
-    // ties on the key, and a key-ordered row_number would pick an
-    // arbitrary (partitioning-dependent) survivor. CH allows any row;
-    // we pick the lexicographically smallest so runs and oracles agree.
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(rightDf.columns.map(col).toIndexedSeq: _*)
+    // keep the lexicographically-smallest right row per key via a
+    // MERGEABLE min(struct(*)) partial aggregate (CH allows any row;
+    // we pick a deterministic one so runs and oracles agree). Struct
+    // ordering compares fields in column order, so this selects the
+    // same survivor as a full-row sort — but partial-aggregates
+    // map-side, so a skewed key sees one candidate per map task
+    // instead of funnelling every row through one reducer's sort
+    // (the trap a per-key row_number window would reintroduce).
     val deduped = rightDf
-      .withColumn("__graft_any_rn", row_number().over(w))
-      .filter(col("__graft_any_rn") === 1)
-      .drop("__graft_any_rn")
+      .groupBy(keys.map(col): _*)
+      .agg(min(struct(rightDf.columns.toIndexedSeq.map(col): _*))
+        .as("__graft_any_row"))
+      .select(col("__graft_any_row.*"))
     val view = s"__graft_any_${counter.incrementAndGet()}"
     deduped.createOrReplaceTempView(view)
     try planFn(spark, rewritten.replace(Marker, view))
@@ -128,6 +169,13 @@ object AnyJoinText {
   private val eqRe =
     ("^([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*" +
       "([A-Za-z_][A-Za-z0-9_.]*)$").r
+
+  /** Peel balanced wrapping parens: `((a = b))` → `a = b`. */
+  @annotation.tailrec
+  private def stripOuterParens(s: String): String =
+    if (s.startsWith("(") && matchParen(s) == s.length - 1)
+      stripOuterParens(s.substring(1, s.length - 1).trim)
+    else s
 
   private def parseSide(text: String): Side =
     if (text.startsWith("(")) {

@@ -284,10 +284,13 @@ class PlanQualitySpec extends SparkSpec {
       """SELECT count(*) AS n FROM customer c
         |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
     val plan = formatted(df)
-    // the dedup window partitions by the HIGH-CARDINALITY join key —
-    // never a global (empty-partition) window
-    assert(!plan.contains("Window [") ||
-      plan.contains("windowspecdefinition(o_custkey"), plan.take(800))
+    // the dedup is a MERGEABLE min(struct(*)) partial aggregate — a
+    // per-key window would funnel a skewed key through one reducer's
+    // sort; partial aggregation combines map-side instead
+    assert(!plan.contains("Window"),
+      "ANY JOIN dedup must not use a window: " + plan.take(800))
+    assert(plan.contains("partial"),
+      "expected a partial (map-side combine) dedup aggregate")
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), "expected an equi-join")
   }

@@ -490,10 +490,60 @@ class QueryExecutorSpec extends SparkSpec {
         """SELECT count(*) AS n FROM nation
           |ALL LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin)
       assert(all.rows.head.head.asInstanceOf[Long] == 25L)
-      // RIGHT ANY is rejected with guidance, not mis-parsed
+      // RIGHT ANY is rejected with guidance, not mis-parsed — in BOTH
+      // CH token orders (strictness-first and direction-first)
       val e = intercept[ReadOnlyViolation](ex.run(
         "SELECT 1 FROM nation ANY RIGHT JOIN region ON n_regionkey = r_regionkey"))
       assert(e.getMessage.contains("swap the sides"))
+      val e2 = intercept[ReadOnlyViolation](ex.run(
+        "SELECT 1 FROM nation RIGHT ANY JOIN region ON n_regionkey = r_regionkey"))
+      assert(e2.getMessage.contains("swap the sides"))
+      val e3 = intercept[ReadOnlyViolation](ex.run(
+        "SELECT 1 FROM nation FULL ANY JOIN region ON n_regionkey = r_regionkey"))
+      assert(e3.getMessage.contains("swap the sides"))
+      // a non-equality ON conjunct is rejected (the right side dedupes
+      // BEFORE residual predicates would apply — never drop silently)
+      val e4 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT c.c_custkey FROM customer c
+          |ANY LEFT JOIN orders o
+          |  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 1000""".stripMargin))
+      assert(e4.getMessage.contains("not a simple column equality"))
+      // parenthesized equalities still parse
+      val par = ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |ANY LEFT JOIN orders o ON (c.c_custkey = o.o_custkey)""".stripMargin)
+      assert(par.rows.head.head == base.rows.head.head)
+      // an unqualified key shared by BOTH sides is ambiguous → rejected
+      spark.sql("SELECT n_nationkey AS k, n_name FROM nation")
+        .createOrReplaceTempView("any_l")
+      spark.sql("SELECT r_regionkey AS k, r_name FROM region")
+        .createOrReplaceTempView("any_r")
+      try {
+        val e5 = intercept[ReadOnlyViolation](ex.run(
+          "SELECT 1 FROM any_l l ANY LEFT JOIN any_r r ON k = k"))
+        assert(e5.getMessage.contains("qualify your columns"))
+        // qualified form works
+        val q = ex.run(
+          """SELECT count(*) AS n FROM any_l l
+            |ANY LEFT JOIN any_r r ON l.k = r.k""".stripMargin)
+        assert(q.rows.head.head.asInstanceOf[Long] == 25L)
+      } finally {
+        spark.catalog.dropTempView("any_l")
+        spark.catalog.dropTempView("any_r")
+      }
+      // duplicate-key fixture: the survivor is the lexicographically
+      // smallest FULL right row (first field breaks the tie)
+      spark.sql(
+        """SELECT * FROM VALUES (2, 1, 'b'), (1, 1, 'z'), (3, 2, 'a')
+          |  AS t(id, k, v)""".stripMargin)
+        .createOrReplaceTempView("any_dup")
+      try {
+        val s = ex.run(
+          """SELECT l.n_nationkey, d.id, d.v FROM nation l
+            |ANY LEFT JOIN any_dup d ON l.n_nationkey = d.k
+            |WHERE l.n_nationkey = 1""".stripMargin)
+        assert(s.rows.head.toSeq == Seq(1, 1, "z"))
+      } finally spark.catalog.dropTempView("any_dup")
     } finally ex.close()
   }
 
