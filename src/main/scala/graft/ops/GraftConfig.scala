@@ -62,6 +62,13 @@ final case class GraftConfig(env: Map[String, String] = sys.env) {
       s"SPARK_GRAFT_TRANSPORT: unsupported transport '$other' (http | stdio | sse)")
   }.getOrElse("http")
 
+  /** Concurrent SSE session cap: past it, GET /sse sheds load with
+    * 503 + Retry-After the way the reference's HTTP layer sheds
+    * connection-pool exhaustion (uvicorn's backlog/limit knobs).
+    * Each open stream holds one thread in the dedicated SSE pool, so
+    * the cap bounds that pool. */
+  def sseMaxSessions: Int = int("SSE_MAX_SESSIONS", 64)
+
   /** Bind host for the HTTP listener (reference: MCP_BIND_HOST,
     * default 127.0.0.1; 0.0.0.0 exposes it beyond loopback). */
   def bindHost: String = get("BIND_HOST").map(_.trim).filter(_.nonEmpty)

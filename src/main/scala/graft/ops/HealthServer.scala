@@ -246,16 +246,20 @@ object HealthServer {
         t.setDaemon(true)
         t
       })
-      val sseMax = 64
+      val sseMax = config.sseMaxSessions
 
       server.createContext(prefix + "/sse", (exchange: HttpExchange) => {
         if (exchange.getRequestMethod != "GET")
           respond(exchange, 405,
             """{"status": "error", "message": "SSE requires GET"}""", json = true)
-        else if (sessions.size >= sseMax)
+        else if (sessions.size >= sseMax) {
+          // slots free when a stream's keep-alive probe (500 ms) hits
+          // the closed client — tell well-behaved clients when to retry
+          exchange.getResponseHeaders.set("Retry-After", "5")
           respond(exchange, 503,
             """{"status": "error", "message": "too many SSE sessions"}""",
             json = true)
+        }
         else {
           val sid = java.util.UUID.randomUUID().toString
           val queue = new java.util.concurrent.LinkedBlockingQueue[String]()

@@ -363,6 +363,47 @@ class HealthSpec extends SparkSpec {
     } finally srv.close()
   }
 
+  test("SSE session cap sheds the cap+1th stream with 503 + Retry-After") {
+    val srv = HealthServer.start(spark,
+      GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "sse",
+        "SPARK_GRAFT_SSE_MAX_SESSIONS" -> "3")))
+    try {
+      def open() = {
+        val c = new java.net.URL(s"http://localhost:${srv.port}/sse")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        c.setRequestMethod("GET")
+        c.setReadTimeout(30000)
+        c
+      }
+      val held = (1 to 3).map { _ =>
+        val c = open()
+        assert(c.getResponseCode == 200)
+        assert(c.getInputStream.read() != -1) // stream thread is live
+        c
+      }
+      // cap+1 sheds with 503 and a Retry-After hint
+      val over = open()
+      assert(over.getResponseCode == 503)
+      assert(over.getHeaderField("Retry-After") == "5")
+      over.disconnect()
+      // shedding SSE load must not affect the query/health surface
+      val (code, body) = httpGet(s"http://localhost:${srv.port}/health")
+      assert(code == 200, s"health unavailable while SSE at cap: $body")
+      // a released slot is re-admitted once the keep-alive probe
+      // notices the closed client (500 ms cadence)
+      held.head.disconnect()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var admitted = false
+      while (!admitted && System.nanoTime() < deadline) {
+        val c = open()
+        if (c.getResponseCode == 200) { admitted = true; c.disconnect() }
+        else { c.disconnect(); Thread.sleep(200) }
+      }
+      assert(admitted, "slot not released after client disconnect")
+      held.tail.foreach(_.disconnect())
+    } finally srv.close()
+  }
+
   test("MCP tools/call runs run_select_query and list_tables with reference shapes") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
