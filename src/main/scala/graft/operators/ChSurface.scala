@@ -1208,6 +1208,28 @@ object ChSurface {
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
         |ORDER BY a.event_id""".stripMargin)),
 
+    // pasted ASOF JOIN via USING — CH's reading: all but the last
+    // USING column are equality keys, the last is the ASOF column
+    // with the default at-or-before direction; join columns surface
+    // once and right-only columns keep their bare names (so the
+    // unqualified `prior` reference resolves). DuckDB's native ASOF
+    // USING has the same semantics, so the oracle mirrors verbatim
+    ("q_asof_using",
+      """SELECT a.event_id, a.user_id, prior
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS prior
+        |                FROM events WHERE event_type = 'error') b
+        |  USING (user_id, ts)
+        |ORDER BY a.event_id""".stripMargin,
+      Some("""SELECT a.event_id, a.user_id, prior
+        |FROM (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS prior
+        |                FROM events WHERE event_type = 'error') b
+        |  USING (user_id, ts)
+        |ORDER BY a.event_id""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

@@ -25,8 +25,17 @@ import org.apache.spark.sql.functions._
   * JOIN post-filters unmatched rows (CH inner semantics), ASOF LEFT
   * JOIN keeps them.
   *
-  * Scope (documented departures): one ASOF join per statement, at the
-  * top level; `USING` is not accepted — the DataFrame API
+  * `USING (k..., t)` is accepted with CH's reading — every column but
+  * the last is an equality key, the last is the ASOF column with the
+  * default at-or-before (`l.t >= r.t`) direction — and, as in CH, the
+  * join columns surface ONCE (left values) while right-side columns
+  * whose names don't clash with the left keep their bare names, so
+  * unqualified references in the rest of the statement resolve the
+  * way the pasted query expects.
+  *
+  * Scope (documented departure): one ASOF join per statement, at the
+  * top level — a second one is rejected with a pointer to rewriting
+  * the inner join as a subquery side; the DataFrame API
   * (`graft.plans.AsOf`) remains the general surface. */
 object AsOfText {
 
@@ -36,7 +45,8 @@ object AsOfText {
       left: Side, right: Side,
       keys: Seq[(String, String)],
       leftTime: String, rightTime: String,
-      forward: Boolean, strict: Boolean, leftJoin: Boolean)
+      forward: Boolean, strict: Boolean, leftJoin: Boolean,
+      usingCols: Seq[String] = Nil)
 
   val Marker = "__graft_asof_input"
   private val counter = new AtomicLong()
@@ -46,13 +56,16 @@ object AsOfText {
     * side references rewritten to the joined-view names. */
   def extract(sql: String): (String, Option[AsOfSpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
-    val at = ts.indices.find { i =>
+    val hits = ts.indices.filter { i =>
       ts(i)._2 == 0 && ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
         (ts(i + 1)._1.upper == "JOIN" ||
           (Set("LEFT", "INNER")(ts(i + 1)._1.upper) && i + 2 < ts.size &&
             ts(i + 2)._1.upper == "JOIN"))
     }
-    at match {
+    if (hits.size > 1) throw new ReadOnlyViolation(
+      "one ASOF join per statement is supported — rewrite the inner " +
+        "ASOF join as a parenthesized subquery side")
+    hits.headOption match {
       case None => (sql, None)
       case Some(i) =>
         val leftJoin = ts(i + 1)._1.upper == "LEFT"
@@ -61,8 +74,11 @@ object AsOfText {
           ts(j)._2 == 0 && ts(j)._1.upper == "FROM").getOrElse(
           throw new ReadOnlyViolation("ASOF JOIN without a top-level FROM"))
         val onAt = (joinTok + 1 until ts.size).find(j =>
-          ts(j)._2 == 0 && ts(j)._1.upper == "ON").getOrElse(
-          throw new ReadOnlyViolation("ASOF JOIN needs an ON clause"))
+          ts(j)._2 == 0 &&
+            Set("ON", "USING")(ts(j)._1.upper)).getOrElse(
+          throw new ReadOnlyViolation(
+            "ASOF JOIN needs an ON or USING clause"))
+        val isUsing = ts(onAt)._1.upper == "USING"
         val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
           "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
           "WINDOW", "QUALIFY")
@@ -76,6 +92,40 @@ object AsOfText {
           sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
         val condText = sql.substring(ts(onAt)._1.end, condEnd)
           .trim.stripSuffix(";").trim
+
+        if (isUsing) {
+          // CH reading: USING (k..., t) — all but the last column are
+          // equality keys, the last is the ASOF column, direction is
+          // the default at-or-before (l.t >= r.t)
+          val inner =
+            if (condText.startsWith("(")) {
+              val close = matchParen(condText, 0)
+              if (close < 0 || condText.substring(close + 1).trim.nonEmpty)
+                throw new ReadOnlyViolation(
+                  s"cannot parse ASOF JOIN USING list '$condText'")
+              condText.substring(1, close)
+            } else condText
+          val colsU = inner.split(",").map(_.trim).toSeq
+          if (colsU.isEmpty || colsU.exists(
+            !_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+            throw new ReadOnlyViolation(
+              s"ASOF JOIN USING expects a column list, got '$condText'")
+          if (colsU.size < 2) throw new ReadOnlyViolation(
+            "ASOF JOIN USING needs at least one equality column " +
+              "before the ASOF column: USING (key..., time)")
+          val out0 = sql.substring(0, ts(fromAt)._1.end) + " " + Marker +
+            " " + sql.substring(condEnd)
+          // left-alias refs lose the qualifier (left columns keep
+          // their names in the joined view); right-alias refs are
+          // rewritten in [[plan]], where the schemas decide which
+          // right columns keep bare names
+          val out = rewriteQualifier(out0, left.alias, "")
+          return (out, Some(AsOfSpec(left, right,
+            colsU.init.map(c => (c, c)),
+            colsU.last, colsU.last,
+            forward = false, strict = false, leftJoin = leftJoin,
+            usingCols = colsU)))
+        }
 
         val keys = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
         var time: Option[(String, String, Boolean, Boolean)] = None
@@ -149,8 +199,28 @@ object AsOfText {
       joined = joined.filter(col("r_" + rk).isNotNull)
     if (composite)
       joined = joined.drop("__graft_asof_k", "r___graft_asof_k")
+    var stmt = rewritten
+    if (spec.usingCols.nonEmpty) {
+      // CH USING semantics: the join columns surface once (left
+      // values); right-side columns that don't clash with a left name
+      // get their bare names back so unqualified references resolve
+      val leftCols = leftDf.columns.toSet
+      joined = joined.drop(spec.usingCols.map("r_" + _): _*)
+      rightDf.columns
+        .filterNot(spec.usingCols.contains)
+        .filterNot(_ == "__graft_asof_k")
+        .foreach { rc =>
+          if (!leftCols(rc))
+            joined = joined.withColumnRenamed("r_" + rc, rc)
+        }
+      // qualified right-alias refs follow the final naming
+      stmt = rewriteQualifierMapped(stmt, spec.right.alias, c =>
+        if (spec.usingCols.contains(c)) c
+        else if (leftCols(c)) "r_" + c
+        else c)
+    }
     joined.createOrReplaceTempView(view)
-    try planFn(spark, rewritten.replace(Marker, view))
+    try planFn(spark, stmt.replace(Marker, view))
     finally spark.catalog.dropTempView(view)
   }
 
@@ -243,7 +313,13 @@ object AsOfText {
 
   /** Rewrite `alias.col` tokens to `<prefix>col` (right to left). */
   private def rewriteQualifier(sql: String, alias: String,
-      prefix: String): String = {
+      prefix: String): String =
+    rewriteQualifierMapped(sql, alias, c => prefix + c)
+
+  /** Rewrite each `alias.col` token to `f(col)` (right to left, so
+    * earlier token offsets stay valid as the text shifts). */
+  private def rewriteQualifierMapped(sql: String, alias: String,
+      f: String => String): String = {
     var out = sql
     val ts = QueryGuard.normalizeScan(out)
     ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
@@ -252,9 +328,12 @@ object AsOfText {
         val between = out.substring(t.end, ts(i + 1)._1.start)
         val prevCh = out.substring(0, t.start).reverse
           .dropWhile(_.isWhitespace).headOption
-        if (between.trim == "." && !prevCh.contains('.'))
-          out = out.substring(0, t.start) + prefix +
-            out.substring(ts(i + 1)._1.start)
+        if (between.trim == "." && !prevCh.contains('.')) {
+          val colTok = ts(i + 1)._1
+          out = out.substring(0, t.start) +
+            f(out.substring(colTok.start, colTok.end)) +
+            out.substring(colTok.end)
+        }
       }
     }
     out

@@ -585,6 +585,39 @@ class QueryExecutorSpec extends SparkSpec {
           |ORDER BY l.g""".stripMargin)
       assert(mk.rows.map(_.map(_.toString)) ==
         Seq(Seq("a", "100"), Seq("b", "200")))
+      // USING (k..., t): equality keys then the ASOF column, default
+      // at-or-before direction — same answer as the spelled-out ON
+      val us = ex.run(
+        """SELECT a.event_id, prior
+          |FROM (SELECT user_id, ts, event_id FROM events
+          |      WHERE event_type = 'click') a
+          |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS prior
+          |                FROM events WHERE event_type = 'error') b
+          |  USING (user_id, ts)
+          |ORDER BY a.event_id""".stripMargin)
+      assert(us.columns == Seq("event_id", "prior"))
+      assert(us.rows.map(_.toSeq) == r.rows.map(_.toSeq))
+      // join columns surface ONCE; qualified refs to them resolve
+      val uq = ex.run(
+        """SELECT b.user_id AS u, count(*) AS n
+          |FROM (SELECT user_id, ts, event_id FROM events
+          |      WHERE event_type = 'click') a
+          |ASOF JOIN (SELECT user_id, ts, event_id AS prior
+          |           FROM events WHERE event_type = 'error') b
+          |  USING (user_id, ts)
+          |GROUP BY u ORDER BY u LIMIT 3""".stripMargin)
+      assert(uq.columns == Seq("u", "n") && uq.rows.nonEmpty)
+      // USING needs at least one equality key before the ASOF column
+      val eu = intercept[ReadOnlyViolation](ex.run(
+        """SELECT 1 FROM events a ASOF JOIN events b USING (ts)"""))
+      assert(eu.getMessage.contains("at least one equality column"))
+      // a second ASOF join is rejected naming the one-join scope
+      val e2 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT 1 FROM events a
+          |ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts
+          |ASOF JOIN events c ON a.user_id = c.user_id AND a.ts >= c.ts"""
+          .stripMargin))
+      assert(e2.getMessage.contains("one ASOF join per statement"))
     } finally ex.close()
   }
 
