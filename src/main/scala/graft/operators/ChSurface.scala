@@ -1267,6 +1267,19 @@ object ChSurface {
         |  max(l_extendedprice) AS "max(l_extendedprice)"
         |FROM lineitem""".stripMargin)),
 
+    // COLUMNS APPLY as one item of a LARGER select list (the form CH
+    // dashboards paste): the chain expands against the FROM schema and
+    // the statement's own GROUP BY applies per group
+    ("q_columns_apply_mixed",
+      """SELECT l_returnflag, COLUMNS('^l_(quantity|extendedprice)$') APPLY(max),
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Some("""SELECT l_returnflag,
+        |  max(l_quantity) AS "max(l_quantity)",
+        |  max(l_extendedprice) AS "max(l_extendedprice)",
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // distributed OLS: integer-synthesized target/features keep every
     // normal-equation sum exact, the oracle solves the same 3×3 system
     // by Cramer's rule, and 6dp rounding absorbs the solver-order ulps

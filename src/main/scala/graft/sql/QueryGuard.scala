@@ -67,7 +67,12 @@ object QueryGuard {
   /** The schema-aware post-plan shims shared by both [[plan]] paths. */
   private def planShimmed(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
-    val (core1, star) = StarPost.extract(sql)
+    // COLUMNS('re') [APPLY(f)] among OTHER select items expands
+    // textually against the FROM clause's probed schema, then the
+    // whole statement (GROUP BY included) plans natively
+    val expanded = StarPost.expandItems(sql,
+      p => { parseReadOnly(spark, p); spark.sql(p) }).getOrElse(sql)
+    val (core1, star) = StarPost.extract(expanded)
     val (core, fill) = WithFill.extract(core1)
     parseReadOnly(spark, core)
     var df = spark.sql(core)
@@ -1065,7 +1070,7 @@ object QueryGuard {
 
   /** Split on depth-0 commas, quote- and paren-aware (ARRAY JOIN item
     * lists; function-call commas stay inside their parens). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[sql] def splitTopLevel(s: String): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0
     var start = 0

@@ -19,12 +19,21 @@ import org.apache.spark.sql.functions._
   *     `* APPLY(f)`, `t.* APPLY(f)`, `* EXCEPT (...) APPLY(f)` (the
   *     EXCEPT stays in the core query — Spark expands it natively)
   *
-  * Scope (documented departures): the modifier chain must be the whole
-  * top-level select list (CH also allows COLUMNS among other items and
-  * several chains per list); APPLY takes a plain function name (CH
-  * also accepts lambdas and parameterized aggregates); Java regex
-  * syntax stands in for RE2. A column produced by APPLY over a plain
-  * scan is a global aggregate when `f` aggregates, matching CH.
+  * A `COLUMNS('re') [APPLY(f)]` chain may also appear as ONE ITEM of a
+  * larger select list (`SELECT id, COLUMNS('^l_') APPLY(sum) ... GROUP
+  * BY id` — the form dashboards paste): [[expandItems]] probes the
+  * FROM clause's schema with a trailing-clause-free `SELECT *` and
+  * expands each chain item textually, so the full statement (GROUP
+  * BY, HAVING, ORDER BY included) then plans natively.
+  *
+  * Scope (documented departures): the bare-star chains (`* APPLY`,
+  * `t.* APPLY`, `* EXCEPT ... APPLY`) must still be the whole
+  * top-level select list; APPLY takes a plain function name (CH also
+  * accepts lambdas and parameterized aggregates); Java regex syntax
+  * stands in for RE2 (a near-superset — backreferences work here that
+  * CH would reject; realistic patterns behave identically). A column
+  * produced by APPLY over a plain scan is a global aggregate when `f`
+  * aggregates, matching CH.
   */
 object StarPost {
 
@@ -67,6 +76,64 @@ object StarPost {
         (rebuilt(head), Some(StarSpec(None, Some(f))))
       case _ => (sql, None)
     }
+  }
+
+  private val columnsItem =
+    ("(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)" +
+      "(?:\\s+APPLY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?$").r
+
+  /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select
+    * list. The matching column set comes from probing the FROM
+    * clause's schema (`SELECT *` with every trailing clause cut, so
+    * GROUP BY/HAVING don't invalidate the probe); each chain item
+    * then becomes plain column references / `f(col)` calls named as
+    * CH renders them, and the whole statement plans natively. Returns
+    * None when the list has no chain item among others (the
+    * whole-list chains stay on the [[extract]] path). */
+  def expandItems(sql: String,
+      probe: String => DataFrame): Option[String] = {
+    val ts = QueryGuard.normalizeScan(sql)
+    if (ts.isEmpty || ts.head._1.upper != "SELECT" || ts.head._2 != 0)
+      return None
+    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM")
+      .getOrElse(return None)
+    val listStart = ts.head._1.end
+    val listEnd = fromAt._1.start
+    val items = QueryGuard.splitTopLevel(sql.substring(listStart, listEnd))
+    if (items.size < 2 ||
+      !items.exists(i => columnsItem.findFirstIn(i.trim).isDefined))
+      return None
+    val stops = Set("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
+      "QUALIFY", "UNION", "INTERSECT", "EXCEPT")
+    val tailCut = ts.find(t => t._2 == 0 &&
+      t._1.start > fromAt._1.start && stops(t._1.upper))
+      .map(_._1.start).getOrElse(sql.length)
+    val schema = probe("SELECT * " +
+      sql.substring(fromAt._1.start, tailCut).stripSuffix(";")).columns
+    val newItems = items.map { it =>
+      it.trim match {
+        case columnsItem(re, f) =>
+          val rex = re.replace("''", "'")
+          val p =
+            try Pattern.compile(rex)
+            catch {
+              case e: Exception => throw new ReadOnlyViolation(
+                s"COLUMNS regex '$rex' does not compile: ${e.getMessage}")
+            }
+          val m = schema.filter(c => p.matcher(c).find())
+          if (m.isEmpty) throw new ReadOnlyViolation(
+            s"COLUMNS('$rex') matched no columns " +
+              s"(have: ${schema.mkString(", ")})")
+          Option(f) match {
+            case None => m.map(c => s"`$c`").mkString(", ")
+            case Some(fn) =>
+              m.map(c => s"$fn(`$c`) AS `$fn($c)`").mkString(", ")
+          }
+        case other => other
+      }
+    }
+    Some(sql.substring(0, listStart) + " " + newItems.mkString(", ") +
+      " " + sql.substring(listEnd))
   }
 
   /** Expand the recorded modifier chain against the planned columns. */

@@ -436,6 +436,22 @@ class QueryExecutorSpec extends SparkSpec {
       // no match is a clear error, not an empty projection
       intercept[ReadOnlyViolation](
         ex.run("SELECT COLUMNS('^zz') FROM nation"))
+      // a chain as ONE ITEM of a larger list, with the statement's own
+      // GROUP BY applying per group (the form dashboards paste)
+      val rm = ex.run(
+        """SELECT n_regionkey, COLUMNS('^n_n') APPLY(max), count(*) AS n
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      assert(rm.columns ==
+        Seq("n_regionkey", "max(n_nationkey)", "max(n_name)", "n"))
+      assert(rm.rows.size == 5 && rm.rows.forall(_(3).toString == "5"))
+      // plain COLUMNS item among others, WHERE intact
+      val rp = ex.run(
+        """SELECT r_regionkey AS rk, COLUMNS('^r_n')
+          |FROM region WHERE r_regionkey < 2 ORDER BY rk""".stripMargin)
+      assert(rp.columns == Seq("rk", "r_name") && rp.rows.size == 2)
+      // a no-match item errors clearly even in the mixed form
+      intercept[ReadOnlyViolation](ex.run(
+        "SELECT r_regionkey, COLUMNS('^zz') FROM region"))
     } finally ex.close()
   }
 
