@@ -1457,9 +1457,32 @@ object CHFunctions {
     "today" -> (_ => fn("current_date")),
     "yesterday" -> (_ =>
       fn("date_sub", fn("current_date"), Literal(1))),
-    // toWeek(t[, mode]): ISO week number (CH mode 3); CH's seven other
-    // Sunday/Saturday-anchored modes are not distinguished
-    "toWeek" -> (es => fn("weekofyear", es.head)),
+    // toWeek(t[, mode]): CH's default mode 0 is Sunday-anchored with
+    // weeks 0..53 — days before the year's first Sunday land in week
+    // 0 (MySQL WEEK mode 0); mode 3 is ISO. Other modes are rejected
+    // rather than silently answered with the wrong anchor.
+    "toWeek" -> (es => {
+      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      def sundayWeek: Expression = {
+        val doy = fn("dayofyear", d)
+        val off = fn("pmod", Subtract(Literal(8),
+          fn("dayofweek", fn("trunc", d, Literal("year")))), Literal(7))
+        CaseWhen(
+          Seq((LessThanOrEqual(doy, off), Literal(0))),
+          Some(Add(Cast(Divide(
+            Subtract(Subtract(doy, off), Literal(1)), Literal(7)),
+            IntegerType), Literal(1))))
+      }
+      if (es.size < 2) sundayWeek
+      else es(1) match {
+        case Literal(m: Int, IntegerType) if m == 0 => sundayWeek
+        case Literal(m: Int, IntegerType) if m == 3 =>
+          fn("weekofyear", d)
+        case other => throw new IllegalArgumentException(
+          s"toWeek: unsupported mode $other " +
+            "(0 = Sunday-anchored CH default, 3 = ISO)")
+      }
+    }),
     "timezone" -> (_ => fn("current_timezone")),
     "timeZone" -> (_ => fn("current_timezone")),
     "now64" -> (_ => fn("now")),

@@ -70,6 +70,10 @@ object GuidePrompt {
       |- Strings: `match`, `extractAll`, `multiSearchAny`,
       |  `countSubstrings`, `ngramDistance`, `position(haystack,
       |  needle)` (CH argument order), `splitByString`, `leftPad`.
+      |  Regex note: `match`/`extractAll`/`COLUMNS('re')` use Java
+      |  regex, a near-superset of ClickHouse's RE2 — realistic
+      |  patterns behave identically, but backreferences work here
+      |  that RE2 would reject.
       |- Dates: `toStartOfMonth`, `toYYYYMM`, `toDayOfWeek` (Monday=1),
       |  `toMonday`, `addDays`, boundary-crossing `dateDiffCH`,
       |  `timeSlot` (30-min) + `toStartOfFive/Ten/FifteenMinutes`,
@@ -131,13 +135,15 @@ object GuidePrompt {
       |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`,
       |expression-form `WITH <expr> AS <ident>`, `FROM t FINAL`,
       |`SAMPLE f [OFFSET o]`, `* EXCEPT/REPLACE`,
-      |`COLUMNS('re') [APPLY(f)]`, bracket array literals with CH's
+      |`COLUMNS('re') [APPLY(f)]` (whole-list or as one item among
+      |others), bracket array literals with CH's
       |1-based subscripts, bare `count()`, `any`/`anyLast`,
       |parameterized aggregates (`quantile(0.5)(x)`,
       |`windowFunnel(3600)(ts, conds...)`),
       |`ORDER BY ... LIMIT k WITH TIES`, `ASOF [LEFT] JOIN`
-      |(single key + time inequality, onto the native sort-merge
-      |operator), and `ANY [LEFT|INNER] JOIN` (one right row per key).
+      |(equality keys + one time inequality, or `USING (k..., t)`,
+      |onto the native sort-merge operator; one per statement), and
+      |`ANY [LEFT|INNER] JOIN` (one right row per key).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

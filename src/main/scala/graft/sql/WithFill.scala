@@ -175,7 +175,13 @@ object WithFill {
     val missing = broadcast(axis).join(df, Seq(cn), "left_anti")
     val interpCols: Seq[String] = spec.interpolate match {
       case None => Nil
-      case Some(Nil) => df.columns.filterNot(_ == cn).toSeq // bare form
+      case Some(Nil) =>
+        // bare form: CH carries forward every column EXCEPT all ORDER
+        // BY columns (not only the fill axis) — a secondary sort key
+        // takes its type default on filler rows
+        val orderCols = orderColNames(spec.orderText)
+        df.columns.filterNot(c =>
+          orderCols.exists(_.equalsIgnoreCase(c))).toSeq
       case Some(cs) => cs.map(c => df.columns
         .find(_.equalsIgnoreCase(c)).getOrElse(throw new ReadOnlyViolation(
           s"INTERPOLATE column '$c' must be an output column")))
@@ -249,6 +255,20 @@ object WithFill {
         case (true, Some(true)) => base.desc_nulls_first
         case (true, Some(false)) => base.desc_nulls_last
       }
+    }
+
+  /** Bare column names of the ORDER BY items (direction and NULLS
+    * ordering stripped), for the bare-INTERPOLATE exclusion set. */
+  private def orderColNames(orderText: String): Seq[String] =
+    splitTopLevel(orderText).map { item0 =>
+      var item = item0.trim
+      val up = item.toUpperCase
+      if (up.endsWith(" NULLS FIRST")) item = item.dropRight(12).trim
+      else if (up.endsWith(" NULLS LAST")) item = item.dropRight(11).trim
+      val up2 = item.toUpperCase
+      if (up2.endsWith(" DESC")) item = item.dropRight(5).trim
+      else if (up2.endsWith(" ASC")) item = item.dropRight(4).trim
+      item.stripPrefix("`").stripSuffix("`")
     }
 
   /** Comma split that respects parens and quotes. */

@@ -2172,8 +2172,21 @@ class CHFunctionsSpec extends SparkSpec {
     val r = one(
       """SELECT today() = current_date() AS t,
         |  yesterday() = date_sub(current_date(), 1) AS y,
-        |  toWeek(DATE '2024-01-15') AS w""".stripMargin)
+        |  toWeek(DATE '2024-01-15') AS w,
+        |  toWeek(DATE '2024-01-15', 3) AS wi,
+        |  toWeek(DATE '2024-01-03') AS w0,
+        |  toWeek(DATE '2023-01-01') AS ws""".stripMargin)
     assert(r.getBoolean(0) && r.getBoolean(1))
-    assert(r.getInt(2) == 3) // ISO week of 2024-01-15
+    // CH default mode 0: Sunday-anchored, week 0 before the year's
+    // first Sunday. 2024-01-01 is a Monday → first Sunday Jan 7, so
+    // Jan 3 is week 0 and Jan 15 week 2; mode 3 is ISO (= 3).
+    assert(r.getInt(2) == 2)
+    assert(r.getInt(3) == 3)
+    assert(r.getInt(4) == 0)
+    assert(r.getInt(5) == 1) // 2023-01-01 is itself a Sunday → week 1
+    // an unsupported mode is rejected, not silently ISO
+    val e = intercept[Exception](one(
+      "SELECT toWeek(DATE '2024-01-15', 5) AS w"))
+    assert(e.getMessage.contains("unsupported mode"))
   }
 }

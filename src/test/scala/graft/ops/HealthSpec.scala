@@ -219,6 +219,8 @@ class HealthSpec extends SparkSpec {
       assert(body.contains("file('/data/events.parquet')"))
       // the dialect doc states groupArraySample's sampling unit
       assert(body.contains("samples k input ROWS per group"))
+      // and the Java-vs-RE2 regex nuance for match/COLUMNS patterns
+      assert(body.contains("near-superset of ClickHouse's RE2"))
     } finally srv.close()
   }
 

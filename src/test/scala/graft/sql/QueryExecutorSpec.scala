@@ -413,6 +413,16 @@ class QueryExecutorSpec extends SparkSpec {
       intercept[ReadOnlyViolation](ex.run(
         """SELECT x, v FROM VALUES (1, 10) AS t(x, v)
           |ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)""".stripMargin))
+      // bare INTERPOLATE excludes EVERY ORDER BY column, not just the
+      // fill axis: the secondary sort key takes its type default on
+      // filler rows. The filler re-sorts under the full ORDER BY
+      // (''-keyed row first), so with no preceding real row the
+      // interpolated column falls back to its type default too.
+      val rm = ex.run(
+        """SELECT a, x, v FROM VALUES ('g', 1, 10), ('g', 3, 30) AS t(a, x, v)
+          |ORDER BY a, x WITH FILL INTERPOLATE""".stripMargin)
+      assert(rm.rows.map(_.map(_.toString)) == Seq(
+        Seq("", "2", "0"), Seq("g", "1", "10"), Seq("g", "3", "30")))
     } finally ex.close()
   }
 
