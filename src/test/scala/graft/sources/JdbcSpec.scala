@@ -45,4 +45,46 @@ class JdbcLiveSpec extends graft.SparkSpec {
     assert(df.count() == 100)
     assert(df.select("id").distinct().count() == 100) // no overlap, no loss
   }
+
+  test("clickhouse URL's driver selection reaches Spark's JDBC reader") {
+    // no ClickHouse server (or driver jar) exists in this sandbox, so
+    // the proof is structural: the reader must try to LOAD the
+    // ClickHouse driver class — a ClassNotFound naming it shows the
+    // option reached Spark's JDBC source instead of being dropped
+    // (a dropped option would fail later with 'No suitable driver')
+    val e = intercept[Throwable] {
+      Jdbc.read(spark, "jdbc:clickhouse://nohost:8123/default", "t").count()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      c.isInstanceOf[ClassNotFoundException] &&
+        String.valueOf(c.getMessage)
+          .contains("com.clickhouse.jdbc.ClickHouseDriver")),
+      s"expected a ClassNotFound for the ClickHouse driver, got: $e")
+  }
+
+  test("WHERE pushes down to the server through the JDBC scan") {
+    val url = "jdbc:derby:memory:graftjdbcpush;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE live_p (id INT, v VARCHAR(10))")
+      val ps = conn.prepareStatement("INSERT INTO live_p VALUES (?, ?)")
+      (0 until 100).foreach { i =>
+        ps.setInt(1, i); ps.setString(2, s"v$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+      st.close()
+    } finally conn.close()
+    import org.apache.spark.sql.functions.col
+    val df = Jdbc.read(spark, url, "live_p")
+      .filter(col("id") >= 90).select("id")
+    val plan = df.queryExecution.executedPlan.toString
+    // the predicate ships to the server (PushedFilters on the JDBC
+    // relation), it does not run as a post-scan Spark filter
+    assert(plan.contains("PushedFilters:") && plan.contains("90"),
+      plan.take(600))
+    assert(df.count() == 10)
+  }
 }
