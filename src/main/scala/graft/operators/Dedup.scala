@@ -116,7 +116,10 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, indexDir: String,
       minEstJaccard: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
-    val newSig = signaturesFull(newDocs)
+    // eager checkpoint: the batch's shingle+minhash pass feeds BOTH
+    // the band-key probe and the signature-agreement join — without
+    // it the raw batch text is re-shingled and re-hashed twice
+    val newSig = signaturesFull(newDocs).localCheckpoint()
     // re-apply the bucket cap at READ time: each append enforced it
     // only within its own batch, so a degenerate key can accumulate
     // past maxBucket across appends — the cap must hold over the
@@ -180,7 +183,12 @@ object Dedup {
     candidatePairs(Tables(s, dir, "documents")).orderBy("doc_a", "doc_b")
 
   /** D4: true n-gram Jaccard over the LSH candidates — brings shingle
-    * sets to candidate pairs only, never all pairs. */
+    * sets to candidate pairs only, never all pairs. (Measured note:
+    * fusing the set-verify into the band bucket, as [[dedupEmbedding]]
+    * does for vectors, was tried and REGRESSED here — shingle sets
+    * are an order of magnitude wider than embeddings, so Bands×
+    * set-replication through the bucket shuffle costs more than the
+    * two candidate joins it saves.) */
   val dedupJaccard: Q = (s, dir) => {
     val docs = Tables(s, dir, "documents")
     val sets = withShingles(docs)
@@ -225,24 +233,35 @@ object Dedup {
     graft.functions.CHFunctions.register(s)
     val e = Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val pairs = e
-      .select(col("vec_id"), posexplode(expr("srpBandKeys(v)")).as(Seq("band", "bkey")))
+    // candidate generation and cosine VERIFY fused into the bucket:
+    // vectors ride the (band, bkey) shuffle alongside their ids, the
+    // exact cosine runs on in-bucket pairs where both vectors are
+    // already local, and only pairs PASSING the threshold reach the
+    // cross-band dedup shuffle (tiny). One wide stage over 6×|e|
+    // replaces the old distinct + two candidate joins (2×|e| shuffled
+    // plus two join states) — fewer stages, no join state, and the
+    // expensive table never shuffles by pair id. For very wide
+    // vectors where per-band replication dominates, the ids-only
+    // banding + candidate-join shape survives in
+    // [[dedupAgainstIndex]] / [[Ann]].
+    e.select(posexplode(expr("srpBandKeys(v)")).as(Seq("band", "bkey")),
+        col("vec_id"), col("v"))
       .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("v"))))
+        .as("items"))
+      .filter(size(col("items")).between(2, maxBucket))
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(ids) - 2),
-          |  i -> transform(sequence(i + 1, size(ids) - 1),
-          |    j -> named_struct('vec_a', ids[i], 'vec_b', ids[j]))))""".stripMargin))
-        .as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
-      .distinct()
-    pairs
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(expr("cosineSimilarity(va, vb)"), 4).as("cos_sim"))
+        """flatten(transform(sequence(0, size(items) - 2),
+          |  i -> transform(sequence(i + 1, size(items) - 1),
+          |    j -> named_struct(
+          |      'vec_a', items[i].vec_id, 'vec_b', items[j].vec_id,
+          |      'cos_sim',
+          |      round(cosineSimilarity(items[i].v, items[j].v), 4)))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("p.cos_sim"))
       .filter(col("cos_sim") >= cosThreshold)
+      .groupBy("vec_a", "vec_b") // a pair can collide in several bands
+      .agg(first(col("cos_sim")).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -284,6 +303,10 @@ object Dedup {
     val edges = confirmed
       .union(confirmed.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .distinct()
+      // pre-partitioned on the per-round join key: the checkpoint
+      // preserves the hash partitioning, so every round's edge⨝label
+      // join shuffles only the (smaller) label side
+      .repartition(col("doc_b"))
       .localCheckpoint() // reuse across rounds without re-running LSH
     // seed with round 1 for free: identity labels make the first
     // neighbor-min pass a plain per-node aggregation over the edge list,
@@ -301,15 +324,19 @@ object Dedup {
     var curSum = labelSum(labels)
     var rounds = 0
     while (curSum != prevSum && rounds < 20) {
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("nl")),
-          "doc_b")
-        .groupBy(col("doc_a").as("doc_id"))
-        .agg(min("nl").as("nmin"))
-      labels = labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+      // one round = one join + one partial-agg shuffle: each node's
+      // own label rides the union as a self-candidate, so the
+      // neighbor-min and the keep-own-label-if-smaller fold into a
+      // single min aggregate (the old shape spent a third wide op
+      // re-joining the neighbor mins back onto the label table)
+      labels = edges
+        .join(labels.select(col("doc_id").as("doc_b"),
+          col("cluster_id").as("cand")), "doc_b")
+        .select(col("doc_a").as("doc_id"), col("cand"))
+        .unionByName(labels.select(col("doc_id"),
+          col("cluster_id").as("cand")))
+        .groupBy("doc_id")
+        .agg(min("cand").as("cluster_id"))
         .localCheckpoint(false) // flat lineage; materialized by labelSum below
       prevSum = curSum
       curSum = labelSum(labels)
