@@ -53,13 +53,23 @@ object AnyJoinText {
     // ANY [kind] JOIN | kind ANY JOIN, all at depth 0; the bare
     // `ANY JOIN` form must not have a RIGHT/FULL direction before it
     // (that spelling belongs to the rejection below, not the shim)
-    val at = ts.indices.find { i =>
-      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
+    def anyJoinAt(i: Int): Boolean =
+      ts(i)._1.upper == "ANY" && (
         (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" &&
           (i == 0 || !badKinds(ts(i - 1)._1.upper))) ||
           (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
             i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"))
-    }
+    val hits = ts.indices.filter(i => ts(i)._2 == 0 && anyJoinAt(i))
+    if (hits.size > 1) throw new ReadOnlyViolation(
+      "one ANY join per statement is supported — rewrite the others " +
+        "as pre-deduplicated subquery sides")
+    // an ANY join nested in a subquery would bypass the shim and die
+    // in Spark's parser with an opaque syntax error — name the scope
+    if (ts.indices.exists(i => ts(i)._2 > 0 && anyJoinAt(i)))
+      throw new ReadOnlyViolation(
+        "ANY JOIN inside a subquery is not supported — hoist it to " +
+          "the top level or pre-deduplicate the right side")
+    val at = hits.headOption
     // both CH token orders: ANY RIGHT|FULL JOIN and RIGHT|FULL ANY JOIN
     val bad = ts.indices.find { i =>
       ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (

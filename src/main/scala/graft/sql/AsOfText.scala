@@ -56,15 +56,21 @@ object AsOfText {
     * side references rewritten to the joined-view names. */
   def extract(sql: String): (String, Option[AsOfSpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
-    val hits = ts.indices.filter { i =>
-      ts(i)._2 == 0 && ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
+    def asofJoinAt(i: Int): Boolean =
+      ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
         (ts(i + 1)._1.upper == "JOIN" ||
           (Set("LEFT", "INNER")(ts(i + 1)._1.upper) && i + 2 < ts.size &&
             ts(i + 2)._1.upper == "JOIN"))
-    }
+    val hits = ts.indices.filter(i => ts(i)._2 == 0 && asofJoinAt(i))
     if (hits.size > 1) throw new ReadOnlyViolation(
       "one ASOF join per statement is supported — rewrite the inner " +
         "ASOF join as a parenthesized subquery side")
+    // an ASOF join nested in a subquery would bypass the shim and die
+    // in Spark's parser with an opaque syntax error — name the scope
+    if (ts.indices.exists(i => ts(i)._2 > 0 && asofJoinAt(i)))
+      throw new ReadOnlyViolation(
+        "ASOF JOIN inside a subquery is not supported — hoist it to " +
+          "the top level or use the DataFrame AsOf API")
     hits.headOption match {
       case None => (sql, None)
       case Some(i) =>

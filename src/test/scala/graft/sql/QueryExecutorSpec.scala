@@ -644,6 +644,27 @@ class QueryExecutorSpec extends SparkSpec {
           |ASOF JOIN events c ON a.user_id = c.user_id AND a.ts >= c.ts"""
           .stripMargin))
       assert(e2.getMessage.contains("one ASOF join per statement"))
+      // nested-in-subquery forms get a scoped message, not a parser
+      // syntax error
+      val e3 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT a.event_id FROM events a
+          |  ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts) t"""
+          .stripMargin))
+      assert(e3.getMessage.contains("inside a subquery"))
+      val e4 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT c.c_custkey FROM customer c
+          |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) t"""
+          .stripMargin))
+      assert(e4.getMessage.contains("inside a subquery"))
+      // two ANY joins likewise name the one-join scope
+      val e5 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          |ANY LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey"""
+          .stripMargin))
+      assert(e5.getMessage.contains("one ANY join per statement"))
     } finally ex.close()
   }
 
