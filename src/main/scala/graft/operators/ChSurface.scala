@@ -1230,6 +1230,21 @@ object ChSurface {
         |  USING (user_id, ts)
         |ORDER BY a.event_id""".stripMargin)),
 
+    // pasted ANY LEFT JOIN via USING: the using column is the dedup
+    // key (min-struct survivor = smallest o_orderkey per key, which
+    // the oracle replays as a per-key min), and Spark plans the kept
+    // USING clause natively
+    ("q_any_using",
+      """SELECT c_custkey, o_orderkey FROM customer c
+        |ANY LEFT JOIN (SELECT o_custkey AS c_custkey, o_orderkey
+        |               FROM orders) o USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+      Some("""WITH r AS (SELECT o_custkey AS c_custkey,
+        |  min(o_orderkey) AS o_orderkey FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, r.o_orderkey
+        |FROM customer c LEFT JOIN r USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

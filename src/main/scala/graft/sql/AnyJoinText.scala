@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   * which rows match), and each equality must resolve to exactly one
   * right-side column (both-sides-resolve is rejected with a
   * qualify-your-columns message rather than silently keying on the
-  * right).
+  * right). `USING (k, ...)` is also accepted: the using columns are
+  * the dedup keys and the clause itself stays in the rewritten
+  * statement — Spark plans USING (and its column coalescing)
+  * natively.
   *
   * Scope: one ANY join per statement, LEFT/INNER only (RIGHT/FULL ANY
   * in either token order dedupes the LEFT side — rejected with a
@@ -41,7 +44,8 @@ object AnyJoinText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
 
-  final case class AnySpec(right: Side, conds: Seq[(String, String)])
+  final case class AnySpec(right: Side, conds: Seq[(String, String)],
+      usingCols: Seq[String] = Nil)
 
   val Marker = "__graft_any_input"
   private val counter = new AtomicLong()
@@ -87,8 +91,10 @@ object AnyJoinText {
         val joinTok = (i + 1 to math.min(i + 2, ts.size - 1))
           .find(j => ts(j)._1.upper == "JOIN").get
         val onAt = (joinTok + 1 until ts.size).find(j =>
-          ts(j)._2 == 0 && ts(j)._1.upper == "ON").getOrElse(
-          throw new ReadOnlyViolation("ANY JOIN needs an ON clause"))
+          ts(j)._2 == 0 && Set("ON", "USING")(ts(j)._1.upper)).getOrElse(
+          throw new ReadOnlyViolation(
+            "ANY JOIN needs an ON or USING clause"))
+        val isUsing = ts(onAt)._1.upper == "USING"
         val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
           "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
           "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
@@ -100,25 +106,39 @@ object AnyJoinText {
           sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
         val condText = sql.substring(ts(onAt)._1.end, condEnd)
           .trim.stripSuffix(";").trim
-        // every depth-0 conjunct must be a simple column equality —
-        // silently dropping a residual predicate here would dedup the
-        // right side before it applies (a silent wrong answer)
-        val conds = splitAnd(condText).map { c0 =>
-          val c = stripOuterParens(c0.trim)
-          eqRe.findFirstMatchIn(c).map(m => (m.group(1), m.group(2)))
-            .getOrElse(throw new ReadOnlyViolation(
-              s"ANY JOIN: ON conjunct '${c0.trim}' is not a simple " +
-                "column equality — the shim dedupes the right side " +
-                "per key before other predicates apply; move the " +
-                "predicate to WHERE"))
-        }
+        // USING (k, ...): the using columns ARE the dedup keys, and
+        // the clause itself stays in the rewritten statement — Spark
+        // plans USING (and its column coalescing) natively
+        val (conds, usingCols) =
+          if (isUsing) {
+            val inner = stripOuterParens(condText)
+            val colsU = inner.split(",").map(_.trim).toSeq
+            if (colsU.isEmpty || colsU.exists(
+              !_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+              throw new ReadOnlyViolation(
+                s"ANY JOIN USING expects a column list, got '$condText'")
+            (Nil, colsU)
+          } else {
+            // every depth-0 conjunct must be a simple column equality —
+            // silently dropping a residual predicate here would dedup
+            // the right side before it applies (a silent wrong answer)
+            (splitAnd(condText).map { c0 =>
+              val c = stripOuterParens(c0.trim)
+              eqRe.findFirstMatchIn(c).map(m => (m.group(1), m.group(2)))
+                .getOrElse(throw new ReadOnlyViolation(
+                  s"ANY JOIN: ON conjunct '${c0.trim}' is not a simple " +
+                    "column equality — the shim dedupes the right side " +
+                    "per key before other predicates apply; move the " +
+                    "predicate to WHERE"))
+            }, Nil)
+          }
         // drop the ANY token, swap the right item for the placeholder
         val rightSpan = (ts(joinTok)._1.end, ts(onAt)._1.start)
         var out = sql.substring(0, rightSpan._1) +
           s" $Marker AS ${right.alias} " + sql.substring(rightSpan._2)
         out = out.substring(0, ts(i)._1.start) +
           out.substring(ts(i)._1.end)
-        (out, Some(AnySpec(right, conds)))
+        (out, Some(AnySpec(right, conds, usingCols)))
     }
   }
 
@@ -143,7 +163,14 @@ object AnyJoinText {
       } else if (cols(operand)) Some(operand)
       else None
     }
-    val keys = spec.conds.map { case (a, b) =>
+    val keys: Seq[String] = if (spec.usingCols.nonEmpty) {
+      spec.usingCols.foreach { c =>
+        if (!cols(c)) throw new ReadOnlyViolation(
+          s"ANY JOIN USING column '$c' is not a right-side column " +
+            s"(right columns: ${rightDf.columns.mkString(", ")})")
+      }
+      spec.usingCols
+    } else spec.conds.map { case (a, b) =>
       (rightCol(a), rightCol(b)) match {
         case (Some(k), None) => k
         case (None, Some(k)) => k

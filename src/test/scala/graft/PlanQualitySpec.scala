@@ -155,6 +155,13 @@ class PlanQualitySpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString()
     assert(!plan.contains("CartesianProduct"), plan.take(400))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(400))
+    // candidate generation and cosine verify are FUSED in the band
+    // bucket: the plan has NO join at all, and the bucket aggregate
+    // partial-combines map-side
+    assert(!plan.contains("Join"),
+      "expected the fused no-join plan: " + plan.take(600))
+    assert(plan.contains("partial"),
+      "expected a partial (map-side) bucket aggregate")
   }
 
   test("partitioned layout prunes non-matching partitions at the scan") {

@@ -557,6 +557,17 @@ class QueryExecutorSpec extends SparkSpec {
         spark.catalog.dropTempView("any_l")
         spark.catalog.dropTempView("any_r")
       }
+      // USING form: the using column is the dedup key, the clause
+      // plans natively (coalesced column), row count stays left-sized
+      val ru = ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |ANY LEFT JOIN (SELECT o_custkey AS c_custkey, o_orderkey
+          |               FROM orders) o USING (c_custkey)""".stripMargin)
+      assert(ru.rows.head.head == base.rows.head.head)
+      val eU = intercept[ReadOnlyViolation](ex.run(
+        """SELECT 1 FROM customer c
+          |ANY LEFT JOIN orders o USING (nope)""".stripMargin))
+      assert(eU.getMessage.contains("not a right-side column"))
       // duplicate-key fixture: the survivor is the lexicographically
       // smallest FULL right row (first field breaks the tie)
       spark.sql(
