@@ -1230,6 +1230,20 @@ object ChSurface {
         |  USING (user_id, ts)
         |ORDER BY a.event_id""".stripMargin)),
 
+    // pasted ANY RIGHT JOIN: CH keeps every right row and dedupes the
+    // LEFT side — the oracle replays the min-struct survivor (min
+    // o_orderkey per custkey) before a plain RIGHT JOIN
+    ("q_any_right",
+      """SELECT c.c_custkey, l.o_orderkey
+        |FROM (SELECT o_custkey, o_orderkey FROM orders) l
+        |ANY RIGHT JOIN customer c ON l.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+      Some("""WITH l AS (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, l.o_orderkey
+        |FROM l RIGHT JOIN customer c ON l.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin)),
+
     // pasted ANY LEFT JOIN via USING: the using column is the dedup
     // key (min-struct survivor = smallest o_orderkey per key, which
     // the oracle replays as a per-key min), and Spark plans the kept

@@ -143,7 +143,9 @@ object GuidePrompt {
       |`ORDER BY ... LIMIT k WITH TIES`, `ASOF [LEFT] JOIN`
       |(equality keys + one time inequality, or `USING (k..., t)`,
       |onto the native sort-merge operator; one per statement), and
-      |`ANY [LEFT|INNER] JOIN` (one right row per key).
+      |`ANY [LEFT|INNER|RIGHT] JOIN` (at most one row per key from
+      |the deduped side — the right for LEFT/INNER, the left for
+      |RIGHT, as in ClickHouse; ON or USING).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

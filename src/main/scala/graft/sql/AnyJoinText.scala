@@ -35,32 +35,38 @@ import org.apache.spark.sql.functions._
   * statement — Spark plans USING (and its column coalescing)
   * natively.
   *
-  * Scope: one ANY join per statement, LEFT/INNER only (RIGHT/FULL ANY
-  * in either token order dedupes the LEFT side — rejected with a
-  * pointer to rewriting the query the other way around). `ALL`
+  * LEFT/INNER ANY dedupe the right side; RIGHT ANY (either token
+  * order) keeps every right row and dedupes the LEFT side, exactly as
+  * ClickHouse does — the FROM item is swapped for the deduped view
+  * and the RIGHT JOIN itself plans natively. FULL ANY is rejected
+  * (ClickHouse rejects it too).
+  *
+  * Scope: one ANY join per statement, at the top level. `ALL`
   * multiplicity is the default and strips in
   * [[QueryGuard.normalizeDialect]]. */
 object AnyJoinText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
 
-  final case class AnySpec(right: Side, conds: Seq[(String, String)],
-      usingCols: Seq[String] = Nil)
+  /** `side` is the side the shim DEDUPES: the right side for
+    * LEFT/INNER ANY, the LEFT side for RIGHT ANY (CH keeps all right
+    * rows there, at most one left row per key). */
+  final case class AnySpec(side: Side, conds: Seq[(String, String)],
+      usingCols: Seq[String] = Nil, dedupesLeft: Boolean = false)
 
   val Marker = "__graft_any_input"
   private val counter = new AtomicLong()
 
   def extract(sql: String): (String, Option[AnySpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
-    val kinds = Set("LEFT", "INNER")
-    val badKinds = Set("RIGHT", "FULL")
-    // ANY [kind] JOIN | kind ANY JOIN, all at depth 0; the bare
-    // `ANY JOIN` form must not have a RIGHT/FULL direction before it
-    // (that spelling belongs to the rejection below, not the shim)
+    val kinds = Set("LEFT", "INNER", "RIGHT")
+    // ANY [kind] JOIN | kind ANY JOIN, all at depth 0; a FULL
+    // direction in either order belongs to the rejection below, not
+    // the shim (ClickHouse itself rejects ANY FULL)
     def anyJoinAt(i: Int): Boolean =
       ts(i)._1.upper == "ANY" && (
         (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" &&
-          (i == 0 || !badKinds(ts(i - 1)._1.upper))) ||
+          (i == 0 || ts(i - 1)._1.upper != "FULL")) ||
           (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
             i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"))
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && anyJoinAt(i))
@@ -74,22 +80,29 @@ object AnyJoinText {
         "ANY JOIN inside a subquery is not supported — hoist it to " +
           "the top level or pre-deduplicate the right side")
     val at = hits.headOption
-    // both CH token orders: ANY RIGHT|FULL JOIN and RIGHT|FULL ANY JOIN
+    // ANY FULL JOIN / FULL ANY JOIN: not implemented in ClickHouse
+    // either — reject rather than guess a multiplicity
     val bad = ts.indices.find { i =>
       ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
-        (i + 1 < ts.size && badKinds(ts(i + 1)._1.upper) &&
+        (i + 1 < ts.size && ts(i + 1)._1.upper == "FULL" &&
           i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN") ||
           (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" && i > 0 &&
-            badKinds(ts(i - 1)._1.upper)))
+            ts(i - 1)._1.upper == "FULL"))
     }
     if (bad.nonEmpty) throw new ReadOnlyViolation(
-      "RIGHT/FULL ANY JOIN is not supported (it dedupes the LEFT " +
-        "side) — swap the sides and use ANY LEFT JOIN")
+      "FULL ANY JOIN is not supported (ClickHouse rejects it too) — " +
+        "use ANY LEFT or ANY RIGHT JOIN")
     at match {
       case None => (sql, None)
       case Some(i) =>
         val joinTok = (i + 1 to math.min(i + 2, ts.size - 1))
           .find(j => ts(j)._1.upper == "JOIN").get
+        // RIGHT ANY (either token order) keeps all right rows and
+        // dedupes the LEFT side instead
+        val dedupesLeft =
+          (i + 1 < ts.size && ts(i + 1)._1.upper == "RIGHT") ||
+            (ts(i + 1)._1.upper == "JOIN" && i > 0 &&
+              ts(i - 1)._1.upper == "RIGHT")
         val onAt = (joinTok + 1 until ts.size).find(j =>
           ts(j)._2 == 0 && Set("ON", "USING")(ts(j)._1.upper)).getOrElse(
           throw new ReadOnlyViolation(
@@ -102,7 +115,10 @@ object AnyJoinText {
         val condEnd = (onAt + 1 until ts.size).find(j =>
           ts(j)._2 == 0 && stops(ts(j)._1.upper))
           .map(j => ts(j)._1.start).getOrElse(sql.length)
-        val right = parseSide(
+        // lazily parsed: in the dedupe-left (RIGHT ANY) case the right
+        // side stays in the statement verbatim and may be any form
+        // Spark accepts
+        lazy val right = parseSide(
           sql.substring(ts(joinTok)._1.end, ts(onAt)._1.start).trim)
         val condText = sql.substring(ts(onAt)._1.end, condEnd)
           .trim.stripSuffix(";").trim
@@ -132,69 +148,90 @@ object AnyJoinText {
                     "predicate to WHERE"))
             }, Nil)
           }
-        // drop the ANY token, swap the right item for the placeholder
-        val rightSpan = (ts(joinTok)._1.end, ts(onAt)._1.start)
-        var out = sql.substring(0, rightSpan._1) +
-          s" $Marker AS ${right.alias} " + sql.substring(rightSpan._2)
-        out = out.substring(0, ts(i)._1.start) +
-          out.substring(ts(i)._1.end)
-        (out, Some(AnySpec(right, conds, usingCols)))
+        if (dedupesLeft) {
+          // dedupe the LEFT side: swap the FROM item for the
+          // placeholder (the ANY drop comes first — it edits text
+          // after the left span, so the span's offsets stay valid)
+          val fromAt = (0 until i).reverse.find(j =>
+            ts(j)._2 == 0 && ts(j)._1.upper == "FROM").getOrElse(
+            throw new ReadOnlyViolation(
+              "ANY RIGHT JOIN without a top-level FROM"))
+          val leftEnd =
+            if (ts(i + 1)._1.upper == "JOIN") ts(i - 1)._1.start // RIGHT ANY
+            else ts(i)._1.start // ANY RIGHT
+          val left = parseSide(
+            sql.substring(ts(fromAt)._1.end, leftEnd).trim)
+          var out = sql.substring(0, ts(i)._1.start) +
+            sql.substring(ts(i)._1.end)
+          out = out.substring(0, ts(fromAt)._1.end) +
+            s" $Marker AS ${left.alias} " + out.substring(leftEnd)
+          (out, Some(AnySpec(left, conds, usingCols, dedupesLeft = true)))
+        } else {
+          // drop the ANY token, swap the right item for the placeholder
+          val rightSpan = (ts(joinTok)._1.end, ts(onAt)._1.start)
+          var out = sql.substring(0, rightSpan._1) +
+            s" $Marker AS ${right.alias} " + sql.substring(rightSpan._2)
+          out = out.substring(0, ts(i)._1.start) +
+            out.substring(ts(i)._1.end)
+          (out, Some(AnySpec(right, conds, usingCols)))
+        }
     }
   }
 
   def plan(spark: SparkSession, spec: AnySpec, rewritten: String)(
       planFn: (SparkSession, String) => DataFrame): DataFrame = {
-    val rightDf: DataFrame =
-      if (spec.right.isSubquery) {
-        QueryGuard.parseReadOnly(spark, spec.right.text)
-        spark.sql(spec.right.text)
-      } else spark.table(spec.right.text)
-    val cols = rightDf.columns.toSet
-    // resolve each equality to EXACTLY ONE right-side column: an
-    // operand qualified by the right alias, or an unqualified name in
-    // the right schema. If BOTH operands resolve right-side the key is
-    // ambiguous (the left table may share the column name) — reject
-    // rather than silently keying on the right column.
-    def rightCol(operand: String): Option[String] = {
+    val sideName = if (spec.dedupesLeft) "deduped left" else "right"
+    val sideDf: DataFrame =
+      if (spec.side.isSubquery) {
+        QueryGuard.parseReadOnly(spark, spec.side.text)
+        spark.sql(spec.side.text)
+      } else spark.table(spec.side.text)
+    val cols = sideDf.columns.toSet
+    // resolve each equality to EXACTLY ONE deduped-side column: an
+    // operand qualified by that side's alias, or an unqualified name
+    // in its schema. If BOTH operands resolve to the deduped side the
+    // key is ambiguous (the other table may share the column name) —
+    // reject rather than silently picking one.
+    def sideCol(operand: String): Option[String] = {
       val dot = operand.indexOf('.')
       if (dot > 0) {
         val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
-        if (q == spec.right.alias && cols(c)) Some(c) else None
+        if (q == spec.side.alias && cols(c)) Some(c) else None
       } else if (cols(operand)) Some(operand)
       else None
     }
     val keys: Seq[String] = if (spec.usingCols.nonEmpty) {
       spec.usingCols.foreach { c =>
         if (!cols(c)) throw new ReadOnlyViolation(
-          s"ANY JOIN USING column '$c' is not a right-side column " +
-            s"(right columns: ${rightDf.columns.mkString(", ")})")
+          s"ANY JOIN USING column '$c' is not a $sideName-side column " +
+            s"(have: ${sideDf.columns.mkString(", ")})")
       }
       spec.usingCols
     } else spec.conds.map { case (a, b) =>
-      (rightCol(a), rightCol(b)) match {
+      (sideCol(a), sideCol(b)) match {
         case (Some(k), None) => k
         case (None, Some(k)) => k
         case (Some(_), Some(_)) => throw new ReadOnlyViolation(
-          s"ANY JOIN: both sides of '$a = $b' resolve to right-side " +
-            s"columns of '${spec.right.alias}' — qualify your columns " +
-            s"(e.g. l.$a = ${spec.right.alias}.$b)")
+          s"ANY JOIN: both sides of '$a = $b' resolve to $sideName-side " +
+            s"columns of '${spec.side.alias}' — qualify your columns " +
+            s"(e.g. l.$a = ${spec.side.alias}.$b)")
         case (None, None) => throw new ReadOnlyViolation(
           s"ANY JOIN: neither side of '$a = $b' resolves to a " +
-            s"right-side column (right columns: " +
-            s"${rightDf.columns.mkString(", ")})")
+            s"$sideName-side column (have: " +
+            s"${sideDf.columns.mkString(", ")})")
       }
     }.distinct
-    // keep the lexicographically-smallest right row per key via a
-    // MERGEABLE min(struct(*)) partial aggregate (CH allows any row;
-    // we pick a deterministic one so runs and oracles agree). Struct
-    // ordering compares fields in column order, so this selects the
-    // same survivor as a full-row sort — but partial-aggregates
-    // map-side, so a skewed key sees one candidate per map task
-    // instead of funnelling every row through one reducer's sort
-    // (the trap a per-key row_number window would reintroduce).
-    val deduped = rightDf
+    // keep the lexicographically-smallest row per key via a MERGEABLE
+    // min(struct(*)) partial aggregate (CH allows any row; we pick a
+    // deterministic one so runs and oracles agree). Struct ordering
+    // compares fields in column order, so this selects the same
+    // survivor as a full-row sort — but partial-aggregates map-side,
+    // so a skewed key sees one candidate per map task instead of
+    // funnelling every row through one reducer's sort (the trap a
+    // per-key row_number window would reintroduce).
+    val deduped = sideDf
       .groupBy(keys.map(col): _*)
-      .agg(min(struct(rightDf.columns.toIndexedSeq.map(col): _*))
+      .agg(min(struct(sideDf.columns.toIndexedSeq.map(col): _*))
         .as("__graft_any_row"))
       .select(col("__graft_any_row.*"))
     val view = s"__graft_any_${counter.incrementAndGet()}"

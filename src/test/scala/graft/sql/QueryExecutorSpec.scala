@@ -516,17 +516,29 @@ class QueryExecutorSpec extends SparkSpec {
         """SELECT count(*) AS n FROM nation
           |ALL LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin)
       assert(all.rows.head.head.asInstanceOf[Long] == 25L)
-      // RIGHT ANY is rejected with guidance, not mis-parsed — in BOTH
-      // CH token orders (strictness-first and direction-first)
-      val e = intercept[ReadOnlyViolation](ex.run(
-        "SELECT 1 FROM nation ANY RIGHT JOIN region ON n_regionkey = r_regionkey"))
-      assert(e.getMessage.contains("swap the sides"))
-      val e2 = intercept[ReadOnlyViolation](ex.run(
-        "SELECT 1 FROM nation RIGHT ANY JOIN region ON n_regionkey = r_regionkey"))
-      assert(e2.getMessage.contains("swap the sides"))
+      // RIGHT ANY (either token order) keeps all right rows and
+      // dedupes the LEFT side, as in CH: customer count survives, and
+      // the surviving left row is the lexicographically smallest
+      val rr = ex.run(
+        """SELECT count(*) AS n
+          |FROM (SELECT o_custkey, o_orderkey FROM orders) l
+          |ANY RIGHT JOIN customer c ON l.o_custkey = c.c_custkey""".stripMargin)
+      assert(rr.rows.head.head == base.rows.head.head)
+      val rr2 = ex.run(
+        """SELECT l.o_orderkey
+          |FROM (SELECT o_custkey, o_orderkey FROM orders) l
+          |RIGHT ANY JOIN customer c ON l.o_custkey = c.c_custkey
+          |WHERE c.c_custkey = 1""".stripMargin)
+      val dmin = ex.run(
+        "SELECT min(o_orderkey) AS k FROM orders WHERE o_custkey = 1")
+      assert(rr2.rows.head.head == dmin.rows.head.head)
+      // FULL ANY is rejected in both orders (ClickHouse rejects it too)
       val e3 = intercept[ReadOnlyViolation](ex.run(
         "SELECT 1 FROM nation FULL ANY JOIN region ON n_regionkey = r_regionkey"))
-      assert(e3.getMessage.contains("swap the sides"))
+      assert(e3.getMessage.contains("FULL ANY JOIN is not supported"))
+      val e3b = intercept[ReadOnlyViolation](ex.run(
+        "SELECT 1 FROM nation ANY FULL JOIN region ON n_regionkey = r_regionkey"))
+      assert(e3b.getMessage.contains("FULL ANY JOIN is not supported"))
       // a non-equality ON conjunct is rejected (the right side dedupes
       // BEFORE residual predicates would apply — never drop silently)
       val e4 = intercept[ReadOnlyViolation](ex.run(
