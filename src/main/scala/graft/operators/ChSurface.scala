@@ -1230,6 +1230,27 @@ object ChSurface {
         |  USING (user_id, ts)
         |ORDER BY a.event_id""".stripMargin)),
 
+    // ASOF JOIN nested in a FROM-position subquery: hoisted by
+    // QueryGuard.plan (recursively planned, registered as a view,
+    // substituted) so the outer GROUP BY applies over the joined
+    // result — DuckDB parses the nested form natively, so the oracle
+    // is the identical statement
+    ("q_asof_nested",
+      """SELECT t.user_id, count(*) AS n FROM (
+        |  SELECT a.user_id, b.event_id AS prior
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |    ON a.user_id = b.user_id AND a.ts >= b.ts) t
+        |WHERE t.prior IS NOT NULL
+        |GROUP BY t.user_id ORDER BY t.user_id""".stripMargin,
+      Some("""SELECT t.user_id, count(*) AS n FROM (
+        |  SELECT a.user_id, b.event_id AS prior
+        |  FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |    ON a.user_id = b.user_id AND a.ts >= b.ts) t
+        |WHERE t.prior IS NOT NULL
+        |GROUP BY t.user_id ORDER BY t.user_id""".stripMargin)),
+
     // pasted ANY RIGHT JOIN: CH keeps every right row and dedupes the
     // LEFT side — the oracle replays the min-struct survivor (min
     // o_orderkey per custkey) before a plain RIGHT JOIN

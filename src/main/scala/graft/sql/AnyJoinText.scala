@@ -57,28 +57,39 @@ object AnyJoinText {
   val Marker = "__graft_any_input"
   private val counter = new AtomicLong()
 
+  /** Is token `i` the ANY of an `ANY [kind] JOIN` / `kind ANY JOIN`?
+    * (Any depth — callers filter; [[QueryGuard]] uses this to hoist
+    * FROM-position subqueries containing one. FULL in either order is
+    * excluded: that spelling belongs to the rejection path.) */
+  private[sql] def joinShapeAt(
+      ts: IndexedSeq[(QueryGuard.NormTok, Int)], i: Int): Boolean = {
+    val kinds = Set("LEFT", "INNER", "RIGHT")
+    ts(i)._1.upper == "ANY" && (
+      (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" &&
+        (i == 0 || ts(i - 1)._1.upper != "FULL")) ||
+        (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
+          i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"))
+  }
+
   def extract(sql: String): (String, Option[AnySpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
     val kinds = Set("LEFT", "INNER", "RIGHT")
     // ANY [kind] JOIN | kind ANY JOIN, all at depth 0; a FULL
     // direction in either order belongs to the rejection below, not
     // the shim (ClickHouse itself rejects ANY FULL)
-    def anyJoinAt(i: Int): Boolean =
-      ts(i)._1.upper == "ANY" && (
-        (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" &&
-          (i == 0 || ts(i - 1)._1.upper != "FULL")) ||
-          (i + 1 < ts.size && kinds(ts(i + 1)._1.upper) &&
-            i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN"))
+    def anyJoinAt(i: Int): Boolean = joinShapeAt(ts, i)
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && anyJoinAt(i))
     if (hits.size > 1) throw new ReadOnlyViolation(
       "one ANY join per statement is supported — rewrite the others " +
         "as pre-deduplicated subquery sides")
-    // an ANY join nested in a subquery would bypass the shim and die
-    // in Spark's parser with an opaque syntax error — name the scope
+    // FROM-position subqueries containing an ANY join were hoisted by
+    // [[QueryGuard.plan]] before this point; anything left (scalar /
+    // IN-list / correlated positions) cannot be pre-planned — name the
+    // scope instead of dying in Spark's parser
     if (ts.indices.exists(i => ts(i)._2 > 0 && anyJoinAt(i)))
       throw new ReadOnlyViolation(
-        "ANY JOIN inside a subquery is not supported — hoist it to " +
-          "the top level or pre-deduplicate the right side")
+        "ANY JOIN in a non-FROM-position subquery is not supported — " +
+          "hoist it to the top level or pre-deduplicate the side")
     val at = hits.headOption
     // ANY FULL JOIN / FULL ANY JOIN: not implemented in ClickHouse
     // either — reject rather than guess a multiplicity

@@ -51,26 +51,34 @@ object AsOfText {
   val Marker = "__graft_asof_input"
   private val counter = new AtomicLong()
 
+  /** Is token `i` the ASOF of an `ASOF [LEFT|INNER] JOIN`? (Any
+    * depth — callers filter; [[QueryGuard]] uses this to hoist
+    * FROM-position subqueries containing one.) */
+  private[sql] def joinShapeAt(
+      ts: IndexedSeq[(QueryGuard.NormTok, Int)], i: Int): Boolean =
+    ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
+      (ts(i + 1)._1.upper == "JOIN" ||
+        (Set("LEFT", "INNER")(ts(i + 1)._1.upper) && i + 2 < ts.size &&
+          ts(i + 2)._1.upper == "JOIN"))
+
   /** Cut a top-level ASOF join out of `sql`: returns the statement
     * with the whole join clause replaced by [[Marker]] and qualified
     * side references rewritten to the joined-view names. */
   def extract(sql: String): (String, Option[AsOfSpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
-    def asofJoinAt(i: Int): Boolean =
-      ts(i)._1.upper == "ASOF" && i + 1 < ts.size &&
-        (ts(i + 1)._1.upper == "JOIN" ||
-          (Set("LEFT", "INNER")(ts(i + 1)._1.upper) && i + 2 < ts.size &&
-            ts(i + 2)._1.upper == "JOIN"))
+    def asofJoinAt(i: Int): Boolean = joinShapeAt(ts, i)
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && asofJoinAt(i))
     if (hits.size > 1) throw new ReadOnlyViolation(
       "one ASOF join per statement is supported — rewrite the inner " +
         "ASOF join as a parenthesized subquery side")
-    // an ASOF join nested in a subquery would bypass the shim and die
-    // in Spark's parser with an opaque syntax error — name the scope
+    // FROM-position subqueries containing an ASOF join were hoisted
+    // by [[QueryGuard.plan]] before this point; anything left (scalar
+    // / IN-list / correlated positions) cannot be pre-planned — name
+    // the scope instead of dying in Spark's parser
     if (ts.indices.exists(i => ts(i)._2 > 0 && asofJoinAt(i)))
       throw new ReadOnlyViolation(
-        "ASOF JOIN inside a subquery is not supported — hoist it to " +
-          "the top level or use the DataFrame AsOf API")
+        "ASOF JOIN in a non-FROM-position subquery is not supported — " +
+          "hoist it to the top level or use the DataFrame AsOf API")
     hits.headOption match {
       case None => (sql, None)
       case Some(i) =>

@@ -51,17 +51,117 @@ object QueryGuard {
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
-    val (afterAsof, asof) = AsOfText.extract(normalized)
-    val (afterAny, anyJ) = AnyJoinText.extract(afterAsof)
-    val inner: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-      anyJ match {
-        case Some(spec) => (s, q) => AnyJoinText.plan(s, spec, q)(planShimmed)
-        case None => planShimmed
+    // a FROM-position subquery containing an ASOF/ANY join is hoisted:
+    // planned recursively through this same pipeline, registered as a
+    // temp view, and substituted — so nested pasted joins work instead
+    // of dying in Spark's parser. Views drop once the outer statement
+    // is analyzed (the resolved plan no longer needs them).
+    val hoisted = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      val lifted = hoistNestedJoins(spark, normalized, hoisted)
+      val (afterAsof, asof) = AsOfText.extract(lifted)
+      val (afterAny, anyJ) = AnyJoinText.extract(afterAsof)
+      val inner: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+        anyJ match {
+          case Some(spec) => (s, q) => AnyJoinText.plan(s, spec, q)(planShimmed)
+          case None => planShimmed
+        }
+      asof match {
+        case Some(spec) => AsOfText.plan(spark, spec, afterAny)(inner)
+        case None => inner(spark, afterAny)
       }
-    asof match {
-      case Some(spec) => AsOfText.plan(spark, spec, afterAny)(inner)
-      case None => inner(spark, afterAny)
+    } finally hoisted.foreach(v => spark.catalog.dropTempView(v))
+  }
+
+  private val hoistCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Replace each FROM/JOIN-position parenthesized subquery that
+    * contains a (nested) ASOF/ANY join with a temp view of its
+    * recursively planned result. Subqueries in any other position
+    * (scalar, IN-lists, correlated predicates) cannot be pre-planned
+    * — those still reach the shims' scoped in-a-subquery rejection. */
+  private def hoistNestedJoins(spark: SparkSession, sql: String,
+      registered: scala.collection.mutable.ArrayBuffer[String]): String = {
+    val ts = normalizeScan(sql)
+    val nested = ts.indices.find(i => ts(i)._2 > 0 &&
+      (AsOfText.joinShapeAt(ts, i) || AnyJoinText.joinShapeAt(ts, i)))
+    nested match {
+      case None => sql
+      case Some(i) =>
+        val open = enclosingOpen(sql, ts(i)._1.start)
+        val close = if (open < 0) -1 else matchParenAt(sql, open)
+        val innerText =
+          if (open < 0 || close < 0) "" else sql.substring(open + 1, close).trim
+        val up = innerText.toUpperCase
+        val fromPos = {
+          // the token immediately before the '(' decides the position
+          val prev = ts.takeWhile(_._1.end <= open).lastOption
+          prev.exists(p => Set("FROM", "JOIN")(p._1.upper) &&
+            sql.substring(p._1.end, open).trim.isEmpty)
+        }
+        if (open < 0 || close < 0 || !fromPos ||
+          !(up.startsWith("SELECT") || up.startsWith("WITH")))
+          return sql // not hoistable: the shims' scoped rejection speaks
+        val df = plan(spark, innerText) // full recursive pipeline
+        val view = s"__graft_sub_${hoistCounter.incrementAndGet()}"
+        df.createOrReplaceTempView(view)
+        registered += view
+        // recurse: several nested joins hoist one at a time
+        hoistNestedJoins(spark,
+          sql.substring(0, open) + view + sql.substring(close + 1),
+          registered)
     }
+  }
+
+  /** Innermost unclosed '(' before position `p` (quote-aware). */
+  private def enclosingOpen(s: String, p: Int): Int = {
+    val stack = scala.collection.mutable.ArrayDeque.empty[Int]
+    var i = 0
+    while (i < p) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          var done = false
+          while (i < s.length && !done) {
+            val ch = s.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < s.length) i += 2
+            else if (ch == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => stack.prepend(i); i += 1
+        case ')' => if (stack.nonEmpty) stack.removeHead(); i += 1
+        case _ => i += 1
+      }
+    }
+    stack.headOption.getOrElse(-1)
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  private def matchParenAt(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          var done = false
+          while (i < s.length && !done) {
+            val ch = s.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < s.length) i += 2
+            else if (ch == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i
+          i += 1
+        case _ => i += 1
+      }
+    }
+    -1
   }
 
   /** The schema-aware post-plan shims shared by both [[plan]] paths. */

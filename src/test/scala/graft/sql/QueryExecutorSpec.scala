@@ -667,20 +667,33 @@ class QueryExecutorSpec extends SparkSpec {
           |ASOF JOIN events c ON a.user_id = c.user_id AND a.ts >= c.ts"""
           .stripMargin))
       assert(e2.getMessage.contains("one ASOF join per statement"))
-      // nested-in-subquery forms get a scoped message, not a parser
-      // syntax error
-      val e3 = intercept[ReadOnlyViolation](ex.run(
+      // FROM-position subqueries containing the joins HOIST: they plan
+      // recursively through the full shim pipeline, so the nested form
+      // answers exactly like the flat one
+      val hAsof = ex.run(
         """SELECT count(*) AS n FROM (
           |  SELECT a.event_id FROM events a
           |  ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts) t"""
-          .stripMargin))
-      assert(e3.getMessage.contains("inside a subquery"))
-      val e4 = intercept[ReadOnlyViolation](ex.run(
+          .stripMargin)
+      val hFlat = ex.run(
+        """SELECT count(*) AS n FROM events a
+          |ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts"""
+          .stripMargin)
+      assert(hAsof.rows.head.head == hFlat.rows.head.head)
+      val hAny = ex.run(
         """SELECT count(*) AS n FROM (
           |  SELECT c.c_custkey FROM customer c
           |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) t"""
-          .stripMargin))
-      assert(e4.getMessage.contains("inside a subquery"))
+          .stripMargin)
+      val custN = ex.run("SELECT count(*) AS n FROM customer")
+      assert(hAny.rows.head.head == custN.rows.head.head)
+      // a non-FROM-position (scalar) subquery cannot be pre-planned —
+      // scoped message, not a parser syntax error
+      val e4 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT n_name, (SELECT count(*) FROM customer c
+          |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) AS n
+          |FROM nation""".stripMargin))
+      assert(e4.getMessage.contains("non-FROM-position"))
       // two ANY joins likewise name the one-join scope
       val e5 = intercept[ReadOnlyViolation](ex.run(
         """SELECT count(*) AS n FROM customer c
