@@ -492,7 +492,7 @@ object QueryGuard {
     "OVER", "WHEN", "THEN", "ELSE", "CASE", "UNION", "ALL", "DISTINCT",
     "LIKE", "ILIKE", "BETWEEN", "IS", "HAVING", "SETTINGS", "INTERVAL")
 
-  private def rewriteParamAggs(sql: String): String = {
+  private[sql] def rewriteParamAggs(sql: String): String = {
     def nextNonWs(s: String, from: Int): Int = {
       var i = from
       while (i < s.length && s.charAt(i).isWhitespace) i += 1

@@ -28,8 +28,10 @@ import org.apache.spark.sql.functions._
   *
   * Scope (documented departures): the bare-star chains (`* APPLY`,
   * `t.* APPLY`, `* EXCEPT ... APPLY`) must still be the whole
-  * top-level select list; APPLY takes a plain function name (CH also
-  * accepts lambdas and parameterized aggregates); Java regex syntax
+  * top-level select list; APPLY takes a plain function name or a
+  * parameterized-aggregate head (`APPLY(quantile(0.5))` — expands to
+  * CH's `f(params)(col)` call form and flattens through the
+  * param-agg shim; CH also accepts lambdas, which are not); Java regex syntax
   * stands in for RE2 (a near-superset — backreferences work here that
   * CH would reject; realistic patterns behave identically). A column
   * produced by APPLY over a plain scan is a global aggregate when `f`
@@ -39,13 +41,18 @@ object StarPost {
 
   final case class StarSpec(regex: Option[String], fn: Option[String])
 
+  // an APPLY payload: a plain function name, or a parameterized
+  // aggregate head `name(params)` (no nested parens in params), which
+  // expands to CH's f(params)(col) call form and flattens through the
+  // param-agg shim
+  private val fnForm = "[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?"
   private val columnsForm =
     "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)\\s*(.*)$".r
   private val applyTail =
-    "(?is)^APPLY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$".r
+    s"(?is)^APPLY\\s*\\(\\s*($fnForm)\\s*\\)$$".r
   private val starApplyForm =
     ("(?is)^(\\*|[A-Za-z_][A-Za-z0-9_]*\\.\\*|\\*\\s+EXCEPT\\s*\\([^)]*\\))" +
-      "\\s+APPLY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\)$").r
+      s"\\s+APPLY\\s*\\(\\s*($fnForm)\\s*\\)$$").r
 
   /** Cut a top-level COLUMNS/APPLY select list out of `sql`, replacing
     * it with `*` (or the surviving star head) for the core query. */
@@ -80,7 +87,7 @@ object StarPost {
 
   private val columnsItem =
     ("(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)" +
-      "(?:\\s+APPLY\\s*\\(\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*\\))?$").r
+      s"(?:\\s+APPLY\\s*\\(\\s*($fnForm)\\s*\\))?$$").r
 
   /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select
     * list. The matching column set comes from probing the FROM
@@ -127,7 +134,13 @@ object StarPost {
           Option(f) match {
             case None => m.map(c => s"`$c`").mkString(", ")
             case Some(fn) =>
-              m.map(c => s"$fn(`$c`) AS `$fn($c)`").mkString(", ")
+              // parameterized heads (quantile(0.5)) become CH's
+              // f(params)(col) call form and flatten through the
+              // param-agg shim; plain names pass through unchanged
+              m.map { c =>
+                val call = QueryGuard.rewriteParamAggs(s"$fn(`$c`)")
+                s"$call AS `$fn($c)`"
+              }.mkString(", ")
           }
         case other => other
       }
@@ -156,7 +169,11 @@ object StarPost {
     spec.fn match {
       case None => df.select(cols.map(col): _*)
       case Some(f) =>
-        df.select(cols.map(c => expr(s"$f(`$c`)").as(s"$f($c)")): _*)
+        // a parameterized head (quantile(0.5)) flattens through the
+        // param-agg shim before expression parsing
+        df.select(cols.map(c =>
+          expr(QueryGuard.rewriteParamAggs(s"$f(`$c`)"))
+            .as(s"$f($c)")): _*)
     }
   }
 }

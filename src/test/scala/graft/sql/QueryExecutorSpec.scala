@@ -462,6 +462,20 @@ class QueryExecutorSpec extends SparkSpec {
       // a no-match item errors clearly even in the mixed form
       intercept[ReadOnlyViolation](ex.run(
         "SELECT r_regionkey, COLUMNS('^zz') FROM region"))
+      // APPLY with a parameterized-aggregate head flattens through
+      // the param-agg shim, whole-list and mixed forms alike
+      val rq = ex.run(
+        "SELECT COLUMNS('key$') APPLY(quantileExact(0.5)) FROM nation")
+      assert(rq.columns.toSet == Set("quantileExact(0.5)(n_nationkey)",
+        "quantileExact(0.5)(n_regionkey)"))
+      assert(rq.rows.head(rq.columns.indexOf(
+        "quantileExact(0.5)(n_regionkey)")).toString.toDouble == 2.0)
+      val rqm = ex.run(
+        """SELECT n_regionkey, COLUMNS('^n_nationkey$') APPLY(quantileExact(0.5))
+          |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      assert(rqm.columns ==
+        Seq("n_regionkey", "quantileExact(0.5)(n_nationkey)"))
+      assert(rqm.rows.size == 5)
     } finally ex.close()
   }
 
