@@ -246,6 +246,19 @@ object QueryGuard {
         i > 0 && !Set("UNION", "EXCEPT", "INTERSECT", "SELECT",
           "FROM", "JOIN")(first(i - 1)._1.upper))
         out = out.substring(0, t.start) + out.substring(t.end)
+      // OUTER in an ANY/ASOF join spelling (`ASOF LEFT OUTER JOIN`,
+      // `ANY RIGHT OUTER JOIN`, `RIGHT OUTER ANY JOIN`) is dropped —
+      // LEFT JOIN == LEFT OUTER JOIN, and without this the join-shape
+      // patterns miss and Spark silently reads ANY/ASOF as a table
+      // alias (a plain row-multiplying join — a wrong answer)
+      else if (t.upper == "OUTER" && i > 0 &&
+        Set("LEFT", "RIGHT", "FULL")(first(i - 1)._1.upper) &&
+        out.substring(first(i - 1)._1.end, t.start)
+          .forall(_.isWhitespace) &&
+        ((i + 1 < first.size &&
+          Set("ANY", "ASOF")(first(i + 1)._1.upper)) ||
+          (i > 1 && Set("ANY", "ASOF")(first(i - 2)._1.upper))))
+        out = out.substring(0, t.start) + out.substring(t.end)
       else if (t.upper == "GLOBAL" && i + 1 < first.size &&
         globalNext(first(i + 1)._1.upper)) {
         val prevCh = out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)

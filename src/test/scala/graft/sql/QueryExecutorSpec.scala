@@ -546,6 +546,18 @@ class QueryExecutorSpec extends SparkSpec {
       val dmin = ex.run(
         "SELECT min(o_orderkey) AS k FROM orders WHERE o_custkey = 1")
       assert(rr2.rows.head.head == dmin.rows.head.head)
+      // the OUTER spelling reaches the shim too (previously it missed
+      // the pattern and Spark read ANY as a table alias — a silent
+      // row-multiplying wrong answer)
+      val ro = ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |ANY LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+      assert(ro.rows.head.head == base.rows.head.head)
+      val ro2 = ex.run(
+        """SELECT count(*) AS n
+          |FROM (SELECT o_custkey, o_orderkey FROM orders) l
+          |RIGHT OUTER ANY JOIN customer c ON l.o_custkey = c.c_custkey""".stripMargin)
+      assert(ro2.rows.head.head == base.rows.head.head)
       // FULL ANY is rejected in both orders (ClickHouse rejects it too)
       val e3 = intercept[ReadOnlyViolation](ex.run(
         "SELECT 1 FROM nation FULL ANY JOIN region ON n_regionkey = r_regionkey"))
@@ -648,6 +660,15 @@ class QueryExecutorSpec extends SparkSpec {
           |ORDER BY l.g""".stripMargin)
       assert(mk.rows.map(_.map(_.toString)) ==
         Seq(Seq("a", "100"), Seq("b", "200")))
+      // the OUTER spelling reaches the shim (previously it missed the
+      // pattern and ASOF parsed as a table alias — silent wrong answer)
+      val rout = ex.run(
+        """SELECT a.event_id, b.event_id AS prior
+          |FROM (SELECT * FROM events WHERE event_type = 'click') a
+          |ASOF LEFT OUTER JOIN (SELECT * FROM events WHERE event_type = 'error') b
+          |  ON a.user_id = b.user_id AND a.ts >= b.ts
+          |ORDER BY a.event_id""".stripMargin)
+      assert(rout.rows.map(_.toSeq) == r.rows.map(_.toSeq))
       // USING (k..., t): equality keys then the ASOF column, default
       // at-or-before direction — same answer as the spelled-out ON
       val us = ex.run(
