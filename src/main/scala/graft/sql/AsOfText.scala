@@ -93,9 +93,13 @@ object AsOfText {
           throw new ReadOnlyViolation(
             "ASOF JOIN needs an ON or USING clause"))
         val isUsing = ts(onAt)._1.upper == "USING"
+        // join keywords terminate the condition too: a further plain
+        // join after the ASOF clause stays in the statement and plans
+        // against the joined view
         val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
           "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
-          "WINDOW", "QUALIFY")
+          "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
+          "CROSS")
         val condEnd = (onAt + 1 until ts.size).find(j =>
           ts(j)._2 == 0 && stops(ts(j)._1.upper))
           .map(j => ts(j)._1.start).getOrElse(sql.length)

@@ -93,22 +93,36 @@ object QueryGuard {
         val innerText =
           if (open < 0 || close < 0) "" else sql.substring(open + 1, close).trim
         val up = innerText.toUpperCase
-        val fromPos = {
-          // the token immediately before the '(' decides the position
-          val prev = ts.takeWhile(_._1.end <= open).lastOption
-          prev.exists(p => Set("FROM", "JOIN")(p._1.upper) &&
-            sql.substring(p._1.end, open).trim.isEmpty)
-        }
-        if (open < 0 || close < 0 || !fromPos ||
+        // the token immediately before the '(' decides the position:
+        // FROM/JOIN = derived table (replace with the view name),
+        // AS = a CTE body (keep the parens, select from the view)
+        val prev =
+          if (open < 0) None else ts.takeWhile(_._1.end <= open).lastOption
+            .filter(p => sql.substring(p._1.end, open).trim.isEmpty)
+        val fromPos = prev.exists(p => Set("FROM", "JOIN")(p._1.upper))
+        val ctePos = prev.exists(_._1.upper == "AS")
+        if (open < 0 || close < 0 || !(fromPos || ctePos) ||
           !(up.startsWith("SELECT") || up.startsWith("WITH")))
           return sql // not hoistable: the shims' scoped rejection speaks
-        val df = plan(spark, innerText) // full recursive pipeline
+        val df =
+          try plan(spark, innerText) // full recursive pipeline
+          catch {
+            case e: org.apache.spark.sql.AnalysisException =>
+              // e.g. a CTE body referencing a sibling CTE — it cannot
+              // be pre-planned standalone; name the scope
+              throw new ReadOnlyViolation(
+                "could not pre-plan the subquery containing the " +
+                  "ASOF/ANY join (it may reference a sibling CTE or " +
+                  s"outer column): ${e.getMessage.linesIterator.take(1).mkString}")
+          }
         val view = s"__graft_sub_${hoistCounter.incrementAndGet()}"
         df.createOrReplaceTempView(view)
         registered += view
+        val replacement =
+          if (ctePos) s"(SELECT * FROM $view)" else view
         // recurse: several nested joins hoist one at a time
         hoistNestedJoins(spark,
-          sql.substring(0, open) + view + sql.substring(close + 1),
+          sql.substring(0, open) + replacement + sql.substring(close + 1),
           registered)
     }
   }

@@ -722,6 +722,21 @@ class QueryExecutorSpec extends SparkSpec {
           .stripMargin)
       val custN = ex.run("SELECT count(*) AS n FROM customer")
       assert(hAny.rows.head.head == custN.rows.head.head)
+      // CTE bodies hoist too
+      val hCte = ex.run(
+        """WITH j AS (
+          |  SELECT c.c_custkey FROM customer c
+          |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey)
+          |SELECT count(*) AS n FROM j""".stripMargin)
+      assert(hCte.rows.head.head == custN.rows.head.head)
+      // an ASOF clause followed by a further plain join plans against
+      // the joined view
+      val hChain = ex.run(
+        """SELECT count(*) AS n FROM events a
+          |ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts
+          |INNER JOIN (SELECT DISTINCT user_id AS uid FROM events) u
+          |  ON u.uid = a.user_id""".stripMargin)
+      assert(hChain.rows.head.head == hFlat.rows.head.head)
       // a non-FROM-position (scalar) subquery cannot be pre-planned —
       // scoped message, not a parser syntax error
       val e4 = intercept[ReadOnlyViolation](ex.run(
