@@ -1483,6 +1483,54 @@ object CHFunctions {
             "(0 = Sunday-anchored CH default, 3 = ISO)")
       }
     }),
+    // toYearWeek(t[, mode]): YYYYWW. Mode 0 (CH/MySQL default) never
+    // yields week 0 — days before the year's first Sunday belong to
+    // the PREVIOUS year's last week (computed directly over Dec 31 of
+    // that year, which is always past its first Sunday). Mode 3 is
+    // ISO year*100 + ISO week.
+    "toYearWeek" -> (es => {
+      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      def off(dd: Expression): Expression =
+        fn("pmod", Subtract(Literal(8),
+          fn("dayofweek", fn("trunc", dd, Literal("year")))), Literal(7))
+      def wk(dd: Expression): Expression =
+        Add(Cast(Divide(Subtract(Subtract(fn("dayofyear", dd), off(dd)),
+          Literal(1)), Literal(7)), IntegerType), Literal(1))
+      def sundayForm: Expression = {
+        val prevDec31 = fn("date_sub", d, fn("dayofyear", d))
+        CaseWhen(
+          Seq((LessThanOrEqual(fn("dayofyear", d), off(d)),
+            Add(Multiply(fn("year", prevDec31), Literal(100)),
+              wk(prevDec31)))),
+          Some(Add(Multiply(fn("year", d), Literal(100)), wk(d))))
+      }
+      def isoForm: Expression = {
+        // ISO year = year of the week's Thursday (weekday: Monday=0)
+        val thursday = fn("date_add", d,
+          Subtract(Literal(3), fn("weekday", d)))
+        Add(Multiply(fn("year", thursday), Literal(100)),
+          fn("weekofyear", d))
+      }
+      if (es.size < 2) sundayForm
+      else es(1) match {
+        case Literal(m: Int, IntegerType) if m == 0 => sundayForm
+        case Literal(m: Int, IntegerType) if m == 3 => isoForm
+        case other => throw new IllegalArgumentException(
+          s"toYearWeek: unsupported mode $other " +
+            "(0 = Sunday-anchored CH default, 3 = ISO)")
+      }
+    }),
+    // ISO week-numbering year = the year of that week's Thursday
+    "toISOYear" -> (es => {
+      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      fn("year", fn("date_add", d,
+        Subtract(Literal(3), fn("weekday", d))))
+    }),
+    // Date32 is CH's wide-range date; Spark's DATE covers the range
+    "toDate32" -> (es =>
+      Cast(es.head, org.apache.spark.sql.types.DateType)),
+    "makeDate" -> (es => fn("make_date", es: _*)),
+    "makeDate32" -> (es => fn("make_date", es: _*)),
     "timezone" -> (_ => fn("current_timezone")),
     "timeZone" -> (_ => fn("current_timezone")),
     "now64" -> (_ => fn("now")),

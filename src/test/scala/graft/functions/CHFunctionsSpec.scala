@@ -2189,4 +2189,24 @@ class CHFunctionsSpec extends SparkSpec {
       "SELECT toWeek(DATE '2024-01-15', 5) AS w"))
     assert(e.getMessage.contains("unsupported mode"))
   }
+
+  test("toYearWeek/toISOYear/toDate32/makeDate") {
+    val r = one(
+      """SELECT toYearWeek(DATE '2024-01-15') AS yw,
+        |  toYearWeek(DATE '2024-01-03') AS yw0,
+        |  toYearWeek(DATE '2024-01-15', 3) AS ywi,
+        |  toISOYear(DATE '2024-01-01') AS iy,
+        |  toISOYear(DATE '2023-01-01') AS iy2,
+        |  toDate32('2024-02-29') AS d32,
+        |  makeDate(2024, 2, 29) AS md""".stripMargin)
+    // mode 0 never yields week 0: 2024-01-03 (before the first
+    // Sunday, Jan 7) belongs to 2023's last Sunday-anchored week
+    assert(r.getInt(0) == 202402)
+    assert(r.getInt(1) == 202353)
+    assert(r.getInt(2) == 202403) // ISO week 3
+    assert(r.getInt(3) == 2024) // 2024-01-01 is ISO week 1 of 2024
+    assert(r.getInt(4) == 2022) // 2023-01-01 (Sun) is ISO week 52/2022
+    assert(r.getDate(5).toString == "2024-02-29")
+    assert(r.getDate(6).toString == "2024-02-29")
+  }
 }
