@@ -122,6 +122,72 @@ object EventStreams {
 
   final case class SessionState(startMs: Long, endMs: Long, n: Long, sum: Double)
 
+  /** A right-side state update for [[asofEnrich]] (e.g. a quote, a
+    * config version): the latest one at-or-before an event's ts is the
+    * enrichment value. */
+  final case class Update(key: Long, ts: Timestamp, v: Double)
+
+  final case class Enriched(
+      event_id: Long, ts: Timestamp, user_id: Long, event_type: String,
+      value: Double, state_ts: Option[Timestamp], state_v: Option[Double])
+
+  // public: Spark's generated (de)serializers cannot access private
+  // classes
+  final case class AsOfTagged(
+      key: Long, ts: Timestamp, isUpdate: Boolean,
+      event: Option[Event], upd: Option[Double])
+
+  final case class LatestState(tsMs: Long, v: Double)
+
+  /** E10: streaming AS-OF enrichment — the incremental twin of the
+    * batch [[graft.plans.AsOf]] operator: each event picks up the
+    * LATEST update at-or-before its timestamp for its key (latest
+    * quote before the trade, config version in force at the event).
+    *
+    * Shape: both streams union into one keyed stream, and
+    * flatMapGroupsWithState keeps exactly ONE row of state per key
+    * (the latest update) — state is O(keys), not O(history), so it
+    * needs no watermark eviction to stay bounded. Within a
+    * micro-batch rows process in (ts, updates-first) order, so an
+    * update and an event at the same timestamp enrich at-or-before,
+    * matching the batch operator's backward mode.
+    *
+    * Documented departure from the exact batch join: state holds only
+    * the latest update, so an event arriving in a LATER micro-batch
+    * than an update with a larger timestamp enriches with that newer
+    * state (the standard CDC-enrichment semantic). The batch operator
+    * is the exact-replay twin for backfills. */
+  def asofEnrich(events: Dataset[Event], updates: Dataset[Update])
+      : Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    val l = events.map(e =>
+      AsOfTagged(e.user_id, e.ts, isUpdate = false, Some(e), None))
+    val r = updates.map(u =>
+      AsOfTagged(u.key, u.ts, isUpdate = true, None, Some(u.v)))
+    l.unionByName(r)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[LatestState, Enriched](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[AsOfTagged], state: GroupState[LatestState]) =>
+          // updates sort before events at the same ts: at-or-before
+          val sorted = batch.toSeq.sortBy(t => (t.ts.getTime, !t.isUpdate))
+          var cur = state.getOption
+          val out = Seq.newBuilder[Enriched]
+          for (t <- sorted) {
+            if (t.isUpdate) {
+              if (cur.forall(_.tsMs <= t.ts.getTime))
+                cur = Some(LatestState(t.ts.getTime, t.upd.get))
+            } else {
+              val e = t.event.get
+              out += Enriched(e.event_id, e.ts, e.user_id, e.event_type,
+                e.value, cur.map(s => new Timestamp(s.tsMs)), cur.map(_.v))
+            }
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** E2b: gap-based sessionization via Spark's NATIVE session_window —
     * the declarative twin of [[sessions]]: no user state code, and the
     * planner gets a mergeable session aggregate (partial sessions merge

@@ -138,6 +138,41 @@ class StreamingSpec extends SparkSpec {
     assert(first.n_events == 2 && first.session_value == 3.0)
   }
 
+  test("streaming as-of enrichment picks the latest at-or-before state") {
+    import spark.implicits._
+    val ev = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    val up = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Update](
+      spark)
+    // batch 1 (added BEFORE start, so both sources land in the first
+    // micro-batch): interleaved updates and events for key 1; an
+    // event BEFORE any update stays unenriched; an update at the
+    // exact event ts applies (at-or-before)
+    up.addData(
+      EventStreams.Update(1, Timestamp.valueOf("2024-01-01 10:00:00"), 10.0),
+      EventStreams.Update(1, Timestamp.valueOf("2024-01-01 10:30:00"), 20.0))
+    ev.addData(
+      EventStreams.Event(1, Timestamp.valueOf("2024-01-01 09:59:00"), 1, "a", 0.0),
+      EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:00:00"), 1, "a", 0.0),
+      EventStreams.Event(3, Timestamp.valueOf("2024-01-01 10:15:00"), 1, "a", 0.0),
+      EventStreams.Event(4, Timestamp.valueOf("2024-01-01 10:45:00"), 1, "a", 0.0))
+    val q = EventStreams.asofEnrich(ev.toDS(), up.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: state carries across micro-batches (no new updates)
+      ev.addData(
+        EventStreams.Event(5, Timestamp.valueOf("2024-01-01 11:00:00"), 1, "a", 0.0),
+        EventStreams.Event(6, Timestamp.valueOf("2024-01-01 11:00:00"), 2, "a", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_out").as[EventStreams.Enriched]
+        .collect().sortBy(_.event_id)
+      assert(rows.map(_.state_v).toSeq ==
+        Seq(None, Some(10.0), Some(10.0), Some(20.0), Some(20.0), None))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
