@@ -46,6 +46,34 @@ object ChSurface {
     // DuckDB's isodow agrees natively), Monday truncation, interval
     // adds, and boundary-crossing dateDiffCH (DuckDB's date_diff
     // counts partition boundaries, the same rule)
+    // toYearWeek both modes + toISOYear over seven years of order
+    // dates (exercises the week-0 rollback: early-January days belong
+    // to the previous year's last Sunday-anchored week). The oracle
+    // replays mode 0's arithmetic (DuckDB dayofweek is Sunday=0,
+    // hence the (7 - dow) % 7 offset) and uses native isoyear/week
+    // for mode 3.
+    ("q_ch_yearweek",
+      """SELECT toYearWeek(o_orderdate) AS yw,
+        |  toYearWeek(o_orderdate, 3) AS ywi,
+        |  toISOYear(o_orderdate) AS iy,
+        |  count(*) AS n
+        |FROM orders GROUP BY yw, ywi, iy ORDER BY yw, ywi, iy""".stripMargin,
+      Some("""WITH c AS (
+        |  SELECT o_orderdate AS d, dayofyear(o_orderdate) AS doy,
+        |    (7 - dayofweek(date_trunc('year', o_orderdate))) % 7 AS off,
+        |    CAST(o_orderdate - INTERVAL (dayofyear(o_orderdate)) DAY AS DATE) AS pdec
+        |  FROM orders),
+        |w AS (
+        |  SELECT CAST(CASE WHEN doy <= off
+        |    THEN year(pdec) * 100 +
+        |      ((dayofyear(pdec) - ((7 - dayofweek(date_trunc('year', pdec))) % 7) - 1) // 7 + 1)
+        |    ELSE year(d) * 100 + ((doy - off - 1) // 7 + 1) END AS INT) AS yw,
+        |    CAST(isoyear(d) * 100 + weekofyear(d) AS INT) AS ywi,
+        |    CAST(isoyear(d) AS INT) AS iy
+        |  FROM c)
+        |SELECT yw, ywi, iy, count(*) AS n
+        |FROM w GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+
     ("q_ch_calendar",
       """SELECT toDayOfWeek(o_orderdate) AS dow,
         |  count(*) AS n,
