@@ -75,16 +75,47 @@ object QueryGuard {
 
   private val hoistCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Replace each FROM/JOIN-position parenthesized subquery that
-    * contains a (nested) ASOF/ANY join with a temp view of its
-    * recursively planned result. Subqueries in any other position
-    * (scalar, IN-lists, correlated predicates) cannot be pre-planned
-    * — those still reach the shims' scoped in-a-subquery rejection. */
+  /** Replace each FROM/JOIN-position (or CTE-body) parenthesized
+    * subquery that contains a nested SHIM-ONLY construct — ASOF/ANY
+    * joins, ARRAY JOIN, `LIMIT n BY`, `WITH FILL`, `WITH TOTALS`,
+    * `COLUMNS(...)`, `APPLY(...)` (all handled at the top level of a
+    * statement only) — with a temp view of its recursively planned
+    * result: the recursive [[plan]] call applies the full shim
+    * pipeline to the inner text, so every dialect form works inside
+    * subqueries too. A FALSE-positive hoist (e.g. a table merely
+    * named `array` before a JOIN) is harmless: hoisting a plain
+    * subquery is semantics-preserving and Catalyst optimizes through
+    * temp views. Subqueries in any other position (scalar, IN-lists,
+    * correlated predicates) cannot be pre-planned — ASOF/ANY there
+    * still reach the shims' scoped rejection, the rest Spark's
+    * parser. */
   private def hoistNestedJoins(spark: SparkSession, sql: String,
       registered: scala.collection.mutable.ArrayBuffer[String]): String = {
     val ts = normalizeScan(sql)
-    val nested = ts.indices.find(i => ts(i)._2 > 0 &&
-      (AsOfText.joinShapeAt(ts, i) || AnyJoinText.joinShapeAt(ts, i)))
+    def nextCh(from: Int): Char = {
+      var i = from
+      while (i < sql.length && sql.charAt(i).isWhitespace) i += 1
+      if (i < sql.length) sql.charAt(i) else ' '
+    }
+    def shimTokenAt(i: Int): Boolean = ts(i)._1.upper match {
+      case "ASOF" => AsOfText.joinShapeAt(ts, i)
+      case "ANY" => AnyJoinText.joinShapeAt(ts, i)
+      case "TOTALS" | "FILL" =>
+        i > 0 && ts(i - 1)._1.upper == "WITH" &&
+          sql.substring(ts(i - 1)._1.end, ts(i)._1.start)
+            .forall(_.isWhitespace)
+      case "ARRAY" =>
+        i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN"
+      case "COLUMNS" | "APPLY" => nextCh(ts(i)._1.end) == '('
+      case "LIMIT" =>
+        i + 1 < ts.size && ts(i + 1)._1.upper == "BY" && {
+          val between = sql.substring(ts(i)._1.end, ts(i + 1)._1.start)
+          between.exists(_.isDigit) &&
+            between.forall(c => c.isDigit || c == ',' || c.isWhitespace)
+        }
+      case _ => false
+    }
+    val nested = ts.indices.find(i => ts(i)._2 > 0 && shimTokenAt(i))
     nested match {
       case None => sql
       case Some(i) =>

@@ -754,6 +754,51 @@ class QueryExecutorSpec extends SparkSpec {
     } finally ex.close()
   }
 
+  test("shim-only constructs work inside FROM-position subqueries and CTEs") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      TableEnv.register(spark, sf)
+      // LIMIT n BY nested in a derived table
+      val r1 = ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT o_custkey, o_orderkey FROM orders
+          |  ORDER BY o_orderkey LIMIT 2 BY o_custkey) t""".stripMargin)
+      val r1flat = ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey
+          |    ORDER BY o_orderkey) AS rn FROM orders) w WHERE rn <= 2""".stripMargin)
+      assert(r1.rows.head.head == r1flat.rows.head.head)
+      // ARRAY JOIN nested in a derived table
+      val r2 = ex.run(
+        """SELECT sum(v) AS s FROM (
+          |  SELECT v FROM (SELECT array(1, 2, 3) AS a) src ARRAY JOIN a AS v) t"""
+          .stripMargin)
+      assert(r2.rows.head.head.toString == "6")
+      // WITH TOTALS nested in a CTE body
+      val r3 = ex.run(
+        """WITH agg AS (
+          |  SELECT o_orderpriority AS pri, count(*) AS n FROM orders
+          |  GROUP BY pri WITH TOTALS)
+          |SELECT count(*) AS rows_with_total FROM agg""".stripMargin)
+      val r3base = ex.run(
+        "SELECT count(DISTINCT o_orderpriority) AS n FROM orders")
+      assert(r3.rows.head.head.asInstanceOf[Long] ==
+        r3base.rows.head.head.asInstanceOf[Long] + 1)
+      // COLUMNS APPLY nested in a derived table
+      val r4 = ex.run(
+        """SELECT * FROM (
+          |  SELECT COLUMNS('key$') APPLY(max) FROM nation) t""".stripMargin)
+      assert(r4.columns.toSet ==
+        Set("max(n_nationkey)", "max(n_regionkey)"))
+      // WITH FILL nested in a derived table
+      val r5 = ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT x FROM VALUES (1), (5) AS t(x) ORDER BY x WITH FILL) f"""
+          .stripMargin)
+      assert(r5.rows.head.head.toString == "5")
+    } finally ex.close()
+  }
+
   test("parameterized-aggregate call form f(params)(args) flattens") {
     val ex = new QueryExecutor(spark, timeoutSec = 60)
     try {
