@@ -145,7 +145,9 @@ object GuidePrompt {
       |onto the native sort-merge operator; one per statement), and
       |`ANY [LEFT|INNER|RIGHT] JOIN` (at most one row per key from
       |the deduped side — the right for LEFT/INNER, the left for
-      |RIGHT, as in ClickHouse; ON or USING).
+      |RIGHT, as in ClickHouse; ON or USING). All of these dialect
+      |forms also work INSIDE FROM-position subqueries and CTE
+      |bodies (nested subqueries plan recursively).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

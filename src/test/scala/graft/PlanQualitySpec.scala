@@ -285,6 +285,20 @@ class PlanQualitySpec extends SparkSpec {
       !plan.contains("CartesianProduct"), "expected the keyed sort-merge")
   }
 
+  test("hoisted subquery views do not block filter pushdown") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT * FROM (
+        |  SELECT c.c_custkey, c.c_mktsegment FROM customer c
+        |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) t
+        |WHERE t.c_custkey < 100""".stripMargin)
+    val plan = formatted(df)
+    // Catalyst optimizes through the registered temp view: the outer
+    // predicate reaches the customer parquet scan
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("LessThan(c_custkey,100)"), plan.take(900))
+  }
+
   test("pasted ANY JOIN dedupes on the key, no nested loop") {
     graft.sql.TableEnv.register(spark, sf)
     val df = graft.sql.QueryGuard.plan(spark,
