@@ -107,8 +107,10 @@ object StarPost {
     val listStart = ts.head._1.end
     val listEnd = fromAt._1.start
     val items = QueryGuard.splitTopLevel(sql.substring(listStart, listEnd))
-    if (items.size < 2 ||
-      !items.exists(i => columnsItem.findFirstIn(i.trim).isDefined))
+    // fires on ANY list containing a chain item — including a
+    // single-item list, where textual expansion (unlike the post-plan
+    // whole-list path) lets the statement's own GROUP BY/HAVING apply
+    if (!items.exists(i => columnsItem.findFirstIn(i.trim).isDefined))
       return None
     val stops = Set("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
       "QUALIFY", "UNION", "INTERSECT", "EXCEPT")

@@ -462,6 +462,13 @@ class QueryExecutorSpec extends SparkSpec {
       // a no-match item errors clearly even in the mixed form
       intercept[ReadOnlyViolation](ex.run(
         "SELECT r_regionkey, COLUMNS('^zz') FROM region"))
+      // a whole-list chain with the statement's own GROUP BY (the
+      // grouped column not selected) expands textually and groups
+      val rg = ex.run(
+        """SELECT COLUMNS('key$') APPLY(max) FROM nation
+          |GROUP BY n_regionkey""".stripMargin)
+      assert(rg.columns.toSet ==
+        Set("max(n_nationkey)", "max(n_regionkey)") && rg.rows.size == 5)
       // APPLY with a parameterized-aggregate head flattens through
       // the param-agg shim, whole-list and mixed forms alike
       val rq = ex.run(
