@@ -100,11 +100,18 @@ object StarPost {
   def expandItems(sql: String,
       probe: String => DataFrame): Option[String] = {
     val ts = QueryGuard.normalizeScan(sql)
-    if (ts.isEmpty || ts.head._1.upper != "SELECT" || ts.head._2 != 0)
-      return None
-    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM")
+    // the MAIN select: the first depth-0 SELECT token — a leading
+    // WITH prefix (CTE items are parenthesized, so their bodies sit
+    // at depth > 0) is carried into the probe so FROM can reference
+    // the CTEs
+    val selAt = ts.find(t => t._2 == 0 && t._1.upper == "SELECT")
       .getOrElse(return None)
-    val listStart = ts.head._1.end
+    if (ts.head._1.upper != "SELECT" && ts.head._1.upper != "WITH")
+      return None
+    val prefix = sql.substring(0, selAt._1.start)
+    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM" &&
+      t._1.start > selAt._1.start).getOrElse(return None)
+    val listStart = selAt._1.end
     val listEnd = fromAt._1.start
     val items = QueryGuard.splitTopLevel(sql.substring(listStart, listEnd))
     // fires on ANY list containing a chain item — including a
@@ -117,7 +124,13 @@ object StarPost {
     val tailCut = ts.find(t => t._2 == 0 &&
       t._1.start > fromAt._1.start && stops(t._1.upper))
       .map(_._1.start).getOrElse(sql.length)
-    val schema = probe("SELECT * " +
+    // expansion shifts select-list positions, so a bare ordinal in
+    // GROUP BY/ORDER BY after a multi-column expansion would silently
+    // bind to a different column — reject with guidance instead
+    val tailText = sql.substring(tailCut)
+    val hasOrdinal =
+      "(?is)\\b(?:GROUP|ORDER)\\s+BY\\s+\\d".r.findFirstIn(tailText).isDefined
+    val schema = probe(prefix + "SELECT * " +
       sql.substring(fromAt._1.start, tailCut).stripSuffix(";")).columns
     val newItems = items.map { it =>
       it.trim match {
@@ -133,6 +146,9 @@ object StarPost {
           if (m.isEmpty) throw new ReadOnlyViolation(
             s"COLUMNS('$rex') matched no columns " +
               s"(have: ${schema.mkString(", ")})")
+          if (hasOrdinal && m.size != 1) throw new ReadOnlyViolation(
+            "COLUMNS expansion changes select-list positions — name " +
+              "the GROUP BY/ORDER BY columns instead of using ordinals")
           Option(f) match {
             case None => m.map(c => s"`$c`").mkString(", ")
             case Some(fn) =>

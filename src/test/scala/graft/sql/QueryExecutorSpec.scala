@@ -469,6 +469,24 @@ class QueryExecutorSpec extends SparkSpec {
           |GROUP BY n_regionkey""".stripMargin)
       assert(rg.columns.toSet ==
         Set("max(n_nationkey)", "max(n_regionkey)") && rg.rows.size == 5)
+      // chains work after a WITH prefix (the probe carries the CTEs)
+      val rw = ex.run(
+        """WITH k AS (SELECT n_nationkey, n_regionkey FROM nation)
+          |SELECT n_regionkey, COLUMNS('^n_nationkey$') APPLY(max)
+          |FROM k GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+      assert(rw.columns == Seq("n_regionkey", "max(n_nationkey)") &&
+        rw.rows.size == 5)
+      // a multi-column expansion with an ordinal GROUP BY would bind
+      // the ordinal to a different column — rejected with guidance
+      val eo = intercept[ReadOnlyViolation](ex.run(
+        """SELECT n_regionkey, COLUMNS('^n_n') APPLY(max), count(*) AS c
+          |FROM nation GROUP BY 1""".stripMargin))
+      assert(eo.getMessage.contains("ordinals"))
+      // a single-column expansion keeps positions: ordinals still work
+      val ro1 = ex.run(
+        """SELECT n_regionkey, COLUMNS('^n_nationkey$') APPLY(max)
+          |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)
+      assert(ro1.rows.size == 5)
       // APPLY with a parameterized-aggregate head flattens through
       // the param-agg shim, whole-list and mixed forms alike
       val rq = ex.run(
