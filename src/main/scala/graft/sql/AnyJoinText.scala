@@ -92,9 +92,12 @@ object AnyJoinText {
           "hoist it to the top level or pre-deduplicate the side")
     val at = hits.headOption
     // ANY FULL JOIN / FULL ANY JOIN: not implemented in ClickHouse
-    // either — reject rather than guess a multiplicity
+    // either — reject rather than guess a multiplicity. AT ANY DEPTH:
+    // the nested form isn't hoisted (joinShapeAt excludes FULL), and
+    // without this it would silently misparse as a plain
+    // row-multiplying FULL join
     val bad = ts.indices.find { i =>
-      ts(i)._2 == 0 && ts(i)._1.upper == "ANY" && (
+      ts(i)._1.upper == "ANY" && (
         (i + 1 < ts.size && ts(i + 1)._1.upper == "FULL" &&
           i + 2 < ts.size && ts(i + 2)._1.upper == "JOIN") ||
           (i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN" && i > 0 &&

@@ -67,6 +67,19 @@ object AsOfText {
   def extract(sql: String): (String, Option[AsOfSpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
     def asofJoinAt(i: Int): Boolean = joinShapeAt(ts, i)
+    // ASOF RIGHT/FULL JOIN: ClickHouse rejects these (ASOF is
+    // LEFT/INNER only). Reject AT ANY DEPTH — the shape misses
+    // joinShapeAt, so without this Spark would silently read ASOF as
+    // a table alias and plan a row-multiplying plain join matching
+    // EVERY at-or-before row instead of the latest one
+    val badDir = ts.indices.find { i =>
+      ts(i)._1.upper == "ASOF" && i + 2 < ts.size &&
+        Set("RIGHT", "FULL")(ts(i + 1)._1.upper) &&
+        ts(i + 2)._1.upper == "JOIN"
+    }
+    if (badDir.nonEmpty) throw new ReadOnlyViolation(
+      "ASOF RIGHT/FULL JOIN is not supported (ClickHouse rejects it " +
+        "too) — swap the sides and use ASOF LEFT JOIN")
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && asofJoinAt(i))
     if (hits.size > 1) throw new ReadOnlyViolation(
       "one ASOF join per statement is supported — rewrite the inner " +

@@ -103,7 +103,9 @@ object QueryGuard {
       case "TOTALS" | "FILL" =>
         i > 0 && ts(i - 1)._1.upper == "WITH" &&
           sql.substring(ts(i - 1)._1.end, ts(i)._1.start)
-            .forall(_.isWhitespace)
+            .forall(_.isWhitespace) &&
+          // a CTE merely NAMED totals/fill is not the clause
+          !(i + 1 < ts.size && ts(i + 1)._1.upper == "AS")
       case "ARRAY" =>
         i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN"
       case "COLUMNS" | "APPLY" => nextCh(ts(i)._1.end) == '('

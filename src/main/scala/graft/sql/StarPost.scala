@@ -124,12 +124,25 @@ object StarPost {
     val tailCut = ts.find(t => t._2 == 0 &&
       t._1.start > fromAt._1.start && stops(t._1.upper))
       .map(_._1.start).getOrElse(sql.length)
-    // expansion shifts select-list positions, so a bare ordinal in
-    // GROUP BY/ORDER BY after a multi-column expansion would silently
-    // bind to a different column — reject with guidance instead
+    // expansion shifts select-list positions, so a bare ordinal
+    // ANYWHERE in a GROUP BY/ORDER BY list after a multi-column
+    // expansion would silently bind to a different column — reject
+    // with guidance instead. Each BY-list runs to the next clause
+    // keyword; items are split depth-0 so parenthesized expressions
+    // containing digits don't false-positive.
     val tailText = sql.substring(tailCut)
-    val hasOrdinal =
-      "(?is)\\b(?:GROUP|ORDER)\\s+BY\\s+\\d".r.findFirstIn(tailText).isDefined
+    val hasOrdinal = {
+      val byRe = "(?is)\\b(?:GROUP|ORDER)\\s+BY\\b".r
+      val endRe = ("(?is)\\b(?:GROUP|ORDER|HAVING|LIMIT|WINDOW|QUALIFY" +
+        "|UNION|INTERSECT|EXCEPT|SETTINGS|FORMAT|WITH)\\b").r
+      byRe.findAllMatchIn(tailText).exists { mm =>
+        val rest = tailText.substring(mm.end)
+        val end = endRe.findFirstMatchIn(rest).map(_.start)
+          .getOrElse(rest.length)
+        QueryGuard.splitTopLevel(rest.substring(0, end)).exists(_.trim
+          .matches("(?is)\\d+(\\s+(ASC|DESC))?(\\s+NULLS\\s+(FIRST|LAST))?;?"))
+      }
+    }
     val schema = probe(prefix + "SELECT * " +
       sql.substring(fromAt._1.start, tailCut).stripSuffix(";")).columns
     val newItems = items.map { it =>

@@ -51,7 +51,10 @@ object WithFill {
     val ts = QueryGuard.normalizeScan(sql)
     val fillAt = ts.indices.find { i =>
       i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "WITH" &&
-        ts(i + 1)._1.upper == "FILL"
+        ts(i + 1)._1.upper == "FILL" &&
+        // a CTE merely NAMED fill (`WITH fill AS (...)`) is not the
+        // clause
+        !(i + 2 < ts.size && ts(i + 2)._1.upper == "AS")
     }
     fillAt match {
       case None => (sql, None)
@@ -230,22 +233,30 @@ object WithFill {
     case other => lit(null).cast(other)
   }
 
+  /** Strip a sort item's trailing NULLS FIRST/LAST and ASC/DESC:
+    * (bare expression text, desc?, nullsFirst?). */
+  private def stripSortSuffixes(item0: String)
+      : (String, Boolean, Option[Boolean]) = {
+    var item = item0.trim
+    var up = item.toUpperCase
+    var nullsFirst: Option[Boolean] = None
+    if (up.endsWith(" NULLS FIRST")) {
+      nullsFirst = Some(true); item = item.dropRight(12).trim
+    } else if (up.endsWith(" NULLS LAST")) {
+      nullsFirst = Some(false); item = item.dropRight(11).trim
+    }
+    up = item.toUpperCase
+    var desc = false
+    if (up.endsWith(" DESC")) { desc = true; item = item.dropRight(5).trim }
+    else if (up.endsWith(" ASC")) item = item.dropRight(4).trim
+    (item, desc, nullsFirst)
+  }
+
   /** Parse an ORDER BY item list back into sort columns (aliases
     * resolve against the unioned result). */
   private def sortItems(orderText: String): Seq[Column] =
     splitTopLevel(orderText).map { item0 =>
-      var item = item0.trim
-      var up = item.toUpperCase
-      var nullsFirst: Option[Boolean] = None
-      if (up.endsWith(" NULLS FIRST")) {
-        nullsFirst = Some(true); item = item.dropRight(12).trim
-      } else if (up.endsWith(" NULLS LAST")) {
-        nullsFirst = Some(false); item = item.dropRight(11).trim
-      }
-      up = item.toUpperCase
-      var desc = false
-      if (up.endsWith(" DESC")) { desc = true; item = item.dropRight(5).trim }
-      else if (up.endsWith(" ASC")) item = item.dropRight(4).trim
+      val (item, desc, nullsFirst) = stripSortSuffixes(item0)
       val base = expr(item)
       (desc, nullsFirst) match {
         case (false, None) => base.asc
@@ -260,16 +271,8 @@ object WithFill {
   /** Bare column names of the ORDER BY items (direction and NULLS
     * ordering stripped), for the bare-INTERPOLATE exclusion set. */
   private def orderColNames(orderText: String): Seq[String] =
-    splitTopLevel(orderText).map { item0 =>
-      var item = item0.trim
-      val up = item.toUpperCase
-      if (up.endsWith(" NULLS FIRST")) item = item.dropRight(12).trim
-      else if (up.endsWith(" NULLS LAST")) item = item.dropRight(11).trim
-      val up2 = item.toUpperCase
-      if (up2.endsWith(" DESC")) item = item.dropRight(5).trim
-      else if (up2.endsWith(" ASC")) item = item.dropRight(4).trim
-      item.stripPrefix("`").stripSuffix("`")
-    }
+    splitTopLevel(orderText).map(item0 =>
+      stripSortSuffixes(item0)._1.stripPrefix("`").stripSuffix("`"))
 
   /** Comma split that respects parens and quotes. */
   private def splitTopLevel(s: String): Seq[String] = {

@@ -487,6 +487,16 @@ class QueryExecutorSpec extends SparkSpec {
         """SELECT n_regionkey, COLUMNS('^n_nationkey$') APPLY(max)
           |FROM nation GROUP BY 1 ORDER BY 1""".stripMargin)
       assert(ro1.rows.size == 5)
+      // a NON-LEADING ordinal is caught too (ORDER BY name, 3)
+      val eo2 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT n_regionkey, COLUMNS('^n_n') APPLY(max), count(*) AS c
+          |FROM nation GROUP BY n_regionkey
+          |ORDER BY n_regionkey, 3""".stripMargin))
+      assert(eo2.getMessage.contains("ordinals"))
+      // a CTE merely named fill is not the WITH FILL clause
+      val rf = ex.run(
+        "WITH fill AS (SELECT 1 AS x) SELECT x FROM fill")
+      assert(rf.rows.head.head.toString == "1")
       // APPLY with a parameterized-aggregate head flattens through
       // the param-agg shim, whole-list and mixed forms alike
       val rq = ex.run(
@@ -583,13 +593,19 @@ class QueryExecutorSpec extends SparkSpec {
           |FROM (SELECT o_custkey, o_orderkey FROM orders) l
           |RIGHT OUTER ANY JOIN customer c ON l.o_custkey = c.c_custkey""".stripMargin)
       assert(ro2.rows.head.head == base.rows.head.head)
-      // FULL ANY is rejected in both orders (ClickHouse rejects it too)
+      // FULL ANY is rejected in both orders (ClickHouse rejects it
+      // too) — and at ANY depth: the nested spelling isn't hoisted,
+      // so without the rejection it would misparse silently
       val e3 = intercept[ReadOnlyViolation](ex.run(
         "SELECT 1 FROM nation FULL ANY JOIN region ON n_regionkey = r_regionkey"))
       assert(e3.getMessage.contains("FULL ANY JOIN is not supported"))
       val e3b = intercept[ReadOnlyViolation](ex.run(
         "SELECT 1 FROM nation ANY FULL JOIN region ON n_regionkey = r_regionkey"))
       assert(e3b.getMessage.contains("FULL ANY JOIN is not supported"))
+      val e3c = intercept[ReadOnlyViolation](ex.run(
+        """SELECT count(*) FROM (SELECT n_nationkey FROM nation
+          |ANY FULL JOIN region ON n_regionkey = r_regionkey) t""".stripMargin))
+      assert(e3c.getMessage.contains("FULL ANY JOIN is not supported"))
       // a non-equality ON conjunct is rejected (the right side dedupes
       // BEFORE residual predicates would apply — never drop silently)
       val e4 = intercept[ReadOnlyViolation](ex.run(
@@ -720,6 +736,17 @@ class QueryExecutorSpec extends SparkSpec {
       val eu = intercept[ReadOnlyViolation](ex.run(
         """SELECT 1 FROM events a ASOF JOIN events b USING (ts)"""))
       assert(eu.getMessage.contains("at least one equality column"))
+      // ASOF RIGHT/FULL is rejected (CH rejects it too), at any depth
+      // — not silently planned as a row-multiplying plain join
+      val ed = intercept[ReadOnlyViolation](ex.run(
+        """SELECT 1 FROM events a ASOF RIGHT JOIN events b
+          |ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin))
+      assert(ed.getMessage.contains("ASOF RIGHT/FULL JOIN is not supported"))
+      val ed2 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT count(*) FROM (SELECT a.event_id FROM events a
+          |ASOF FULL JOIN events b
+          |ON a.user_id = b.user_id AND a.ts >= b.ts) t""".stripMargin))
+      assert(ed2.getMessage.contains("ASOF RIGHT/FULL JOIN is not supported"))
       // a second ASOF join is rejected naming the one-join scope
       val e2 = intercept[ReadOnlyViolation](ex.run(
         """SELECT 1 FROM events a
