@@ -366,9 +366,10 @@ class HealthSpec extends SparkSpec {
   }
 
   test("SSE session cap sheds the cap+1th stream with 503 + Retry-After") {
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
     val srv = HealthServer.start(spark,
       GraftConfig(Map("SPARK_GRAFT_TRANSPORT" -> "sse",
-        "SPARK_GRAFT_SSE_MAX_SESSIONS" -> "3")))
+        "SPARK_GRAFT_SSE_MAX_SESSIONS" -> "3")), Some(exec))
     try {
       def open() = {
         val c = new java.net.URL(s"http://localhost:${srv.port}/sse")
@@ -391,6 +392,11 @@ class HealthSpec extends SparkSpec {
       // shedding SSE load must not affect the query/health surface
       val (code, body) = httpGet(s"http://localhost:${srv.port}/health")
       assert(code == 200, s"health unavailable while SSE at cap: $body")
+      val (qc, qb) = httpGet(
+        s"http://localhost:${srv.port}/query?q=" +
+          java.net.URLEncoder.encode("SELECT 1 AS one", "UTF-8"))
+      assert(qc == 200 && qb.contains("\"one\""),
+        s"/query unavailable while SSE at cap: $qb")
       // a released slot is re-admitted once the keep-alive probe
       // notices the closed client (500 ms cadence)
       held.head.disconnect()
@@ -403,7 +409,7 @@ class HealthSpec extends SparkSpec {
       }
       assert(admitted, "slot not released after client disconnect")
       held.tail.foreach(_.disconnect())
-    } finally srv.close()
+    } finally { srv.close(); exec.close() }
   }
 
   test("MCP tools/call runs run_select_query and list_tables with reference shapes") {
