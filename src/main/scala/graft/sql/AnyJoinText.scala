@@ -292,30 +292,8 @@ object AnyJoinText {
       }
     }
 
-  private def matchParen(s: String): Int = {
-    var depth = 0
-    var i = 0
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (ch == '\'' || ch == '"' || ch == '`') {
-        val q = ch
-        i += 1
-        var done = false
-        while (i < s.length && !done) {
-          val c2 = s.charAt(i)
-          if (c2 == '\\' && q != '`' && i + 1 < s.length) i += 2
-          else if (c2 == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
-          else if (c2 == q) { done = true; i += 1 }
-          else i += 1
-        }
-      } else {
-        if (ch == '(') depth += 1
-        else if (ch == ')') { depth -= 1; if (depth == 0) return i }
-        i += 1
-      }
-    }
-    -1
-  }
+  private def matchParen(s: String): Int =
+    QueryGuard.matchParenAt(s, 0)
 
   private def splitAnd(cond: String): Seq[String] = {
     val ts = QueryGuard.normalizeScan(cond)

@@ -300,30 +300,8 @@ object AsOfText {
           "(use a table name or an aliased subquery)")
     }
 
-  private def matchParen(s: String, open: Int): Int = {
-    var depth = 0
-    var i = open
-    while (i < s.length) {
-      val ch = s.charAt(i)
-      if (ch == '\'' || ch == '"' || ch == '`') {
-        val q = ch
-        i += 1
-        var done = false
-        while (i < s.length && !done) {
-          val c2 = s.charAt(i)
-          if (c2 == '\\' && q != '`' && i + 1 < s.length) i += 2
-          else if (c2 == q && i + 1 < s.length && s.charAt(i + 1) == q) i += 2
-          else if (c2 == q) { done = true; i += 1 }
-          else i += 1
-        }
-      } else {
-        if (ch == '(') depth += 1
-        else if (ch == ')') { depth -= 1; if (depth == 0) return i }
-        i += 1
-      }
-    }
-    -1
-  }
+  private def matchParen(s: String, open: Int): Int =
+    QueryGuard.matchParenAt(s, open)
 
   /** Split on depth-0 AND tokens. */
   private def splitAnd(cond: String): Seq[String] = {

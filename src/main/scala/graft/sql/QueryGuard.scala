@@ -185,7 +185,7 @@ object QueryGuard {
   }
 
   /** Index of the ')' matching the '(' at `open` (quote-aware). */
-  private def matchParenAt(s: String, open: Int): Int = {
+  private[sql] def matchParenAt(s: String, open: Int): Int = {
     var depth = 0
     var i = open
     while (i < s.length) {
