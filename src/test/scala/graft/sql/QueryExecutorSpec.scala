@@ -593,6 +593,19 @@ class QueryExecutorSpec extends SparkSpec {
           |FROM (SELECT o_custkey, o_orderkey FROM orders) l
           |RIGHT OUTER ANY JOIN customer c ON l.o_custkey = c.c_custkey""".stripMargin)
       assert(ro2.rows.head.head == base.rows.head.head)
+      // RIGHT ANY composes with USING: dedupe the LEFT side on the
+      // using column, all right rows kept
+      val ruR = ex.run(
+        """SELECT count(*) AS n
+          |FROM (SELECT o_custkey AS c_custkey, o_orderkey FROM orders) l
+          |ANY RIGHT JOIN customer c USING (c_custkey)""".stripMargin)
+      assert(ruR.rows.head.head == base.rows.head.head)
+      // CH's GLOBAL distribution hint strips before the ANY shim
+      val rg = ex.run(
+        """SELECT count(*) AS n FROM customer c
+          |GLOBAL ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey"""
+          .stripMargin)
+      assert(rg.rows.head.head == base.rows.head.head)
       // FULL ANY is rejected in both orders (ClickHouse rejects it
       // too) — and at ANY depth: the nested spelling isn't hoisted,
       // so without the rejection it would misparse silently
