@@ -1279,6 +1279,26 @@ object ChSurface {
         |WHERE t.prior IS NOT NULL
         |GROUP BY t.user_id ORDER BY t.user_id""".stripMargin)),
 
+    // an ASOF clause followed by a further plain join: the join
+    // keywords terminate the condition scan and the extra join plans
+    // against the joined view — DuckDB parses the chain natively, so
+    // the oracle is the identical statement
+    ("q_asof_chain",
+      """SELECT u.uid, count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |INNER JOIN (SELECT DISTINCT user_id AS uid FROM events) u
+        |  ON u.uid = a.user_id
+        |GROUP BY u.uid ORDER BY u.uid""".stripMargin,
+      Some("""SELECT u.uid, count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |INNER JOIN (SELECT DISTINCT user_id AS uid FROM events) u
+        |  ON u.uid = a.user_id
+        |GROUP BY u.uid ORDER BY u.uid""".stripMargin)),
+
     // pasted ANY RIGHT JOIN: CH keeps every right row and dedupes the
     // LEFT side — the oracle replays the min-struct survivor (min
     // o_orderkey per custkey) before a plain RIGHT JOIN
