@@ -1,0 +1,120 @@
+package graft.sql
+
+/** Kitchen-sink pasted-CH statements: each combines several shims in
+  * one query the way production dashboards do (PREWHERE + SETTINGS +
+  * FORMAT + parametric aggregates, nested LIMIT BY under an ANY JOIN,
+  * ASOF USING inside a CTE, macros + FINAL, GLOBAL IN, double-quoted
+  * identifiers + 1-based subscripts, WITH FILL over date buckets,
+  * TOTALS + HAVING...). The point is the COMBINATIONS: every clause
+  * here is covered individually elsewhere; these rows pin that the
+  * shims compose without interfering. */
+class DialectStressSpec extends graft.SparkSpec {
+
+  private lazy val ex = {
+    TableEnv.register(spark, sf)
+    new QueryExecutor(spark, timeoutSec = 60)
+  }
+
+  private def rows(q: String): Int = ex.run(q).rows.size
+
+  test("PREWHERE + parametric aggregate + SETTINGS + FORMAT") {
+    assert(rows(
+      """SELECT o_orderpriority, quantile(0.9)(o_totalprice) AS p90, count() AS n
+        |FROM orders PREWHERE o_totalprice > 1000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority
+        |SETTINGS max_threads = 8 FORMAT TabSeparated""".stripMargin) == 5)
+  }
+
+  test("WITH TOTALS + HAVING + countIf") {
+    assert(rows(
+      """SELECT o_orderpriority, countIf(o_totalprice > 100000) AS big
+        |FROM orders GROUP BY o_orderpriority WITH TOTALS
+        |HAVING count() > 10 ORDER BY o_orderpriority""".stripMargin) == 6)
+  }
+
+  test("nested LIMIT BY under a top-level ANY JOIN") {
+    assert(rows(
+      """SELECT count(*) AS n FROM (
+        |  SELECT o_custkey, o_orderkey FROM orders
+        |  ORDER BY o_orderkey LIMIT 1 BY o_custkey) t
+        |ANY LEFT JOIN customer c ON t.o_custkey = c.c_custkey""".stripMargin) == 1)
+  }
+
+  test("CTE + bracket literal + ARRAY JOIN") {
+    assert(rows(
+      """WITH arr AS (SELECT [1, 2, 3] AS xs)
+        |SELECT x * 2 AS d FROM arr ARRAY JOIN xs AS x ORDER BY d"""
+        .stripMargin) == 3)
+  }
+
+  test("star EXCEPT + APPLY chain") {
+    val r = ex.run("SELECT * EXCEPT (n_name) APPLY(count) FROM nation")
+    assert(r.columns.toSet ==
+      Set("count(n_nationkey)", "count(n_regionkey)"))
+  }
+
+  test("expression-form WITH macro + FINAL") {
+    assert(rows(
+      """WITH o_totalprice * 0.1 AS tithe
+        |SELECT round(sum(tithe), 2) AS t FROM orders FINAL"""
+        .stripMargin) == 1)
+  }
+
+  test("GLOBAL IN distribution hint strips") {
+    assert(rows(
+      """SELECT count(*) AS n FROM orders
+        |WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')""".stripMargin) == 1)
+  }
+
+  test("ASOF USING inside a CTE with an outer aggregate") {
+    val r = ex.run(
+      """WITH j AS (
+        |  SELECT a.event_id, prior FROM
+        |  (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click') a
+        |  ASOF LEFT JOIN (SELECT user_id, ts, event_id AS prior
+        |                  FROM events WHERE event_type = 'error') b
+        |  USING (user_id, ts))
+        |SELECT count(prior) AS matched, count(*) AS total FROM j""".stripMargin)
+    val Seq(matched, total) =
+      r.rows.head.map(_.asInstanceOf[Long]).toSeq
+    assert(matched > 0 && matched <= total)
+  }
+
+  test("double-quoted identifier + 1-based subscript") {
+    assert(rows(
+      """SELECT splitByChar('#', "o_orderpriority")[1] AS tag, count(*) AS n
+        |FROM orders GROUP BY tag ORDER BY tag""".stripMargin) == 1)
+  }
+
+  test("WITH FILL STEP over month buckets (and empty input => empty)") {
+    // dates in the synthetic data start 1995 — a pre-1995 window is
+    // legitimately empty, and fill over empty input stays empty
+    assert(rows(
+      """SELECT toStartOfMonth(o_orderdate) AS m, count(*) AS n
+        |FROM orders WHERE o_orderdate < DATE '1992-06-01'
+        |GROUP BY m ORDER BY m WITH FILL STEP INTERVAL 1 MONTH"""
+        .stripMargin) == 0)
+    val filled = rows(
+      """SELECT toStartOfMonth(o_orderdate) AS m, count(*) AS n
+        |FROM orders WHERE o_orderdate < DATE '1995-07-01'
+        |GROUP BY m ORDER BY m WITH FILL STEP INTERVAL 1 MONTH"""
+        .stripMargin)
+    assert(filled >= 6) // Jan..Jun 1995, dense
+  }
+
+  test("RIGHT ANY JOIN with an outer WHERE on the kept side") {
+    assert(rows(
+      """SELECT count(*) AS n
+        |FROM (SELECT o_custkey, o_orderkey FROM orders) l
+        |ANY RIGHT JOIN customer c ON l.o_custkey = c.c_custkey
+        |WHERE c.c_acctbal > 0""".stripMargin) == 1)
+  }
+
+  test("LIMIT WITH TIES over an aggregate ordering") {
+    assert(rows(
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY o_orderpriority ORDER BY n DESC LIMIT 2 WITH TIES"""
+        .stripMargin) >= 2)
+  }
+}
