@@ -111,6 +111,22 @@ class DialectStressSpec extends graft.SparkSpec {
         |WHERE c.c_acctbal > 0""".stripMargin) == 1)
   }
 
+  test("concurrent hoisting queries do not collide on temp views") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val expect = ex.run("SELECT count(*) AS n FROM customer").rows.head.head
+    val futures = (1 to 8).map { _ =>
+      Future(ex.run(
+        """SELECT count(*) AS n FROM (
+          |  SELECT c.c_custkey FROM customer c
+          |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) t"""
+          .stripMargin).rows.head.head)
+    }
+    Await.result(Future.sequence(futures), 120.seconds)
+      .foreach(n => assert(n == expect))
+  }
+
   test("LIMIT WITH TIES over an aggregate ordering") {
     assert(rows(
       """SELECT o_orderpriority, count(*) AS n FROM orders
