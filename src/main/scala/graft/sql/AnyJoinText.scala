@@ -125,7 +125,7 @@ object AnyJoinText {
         val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
           "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
           "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
-          "CROSS")
+          "CROSS", "ANY", "ASOF")
         val condEnd = (onAt + 1 until ts.size).find(j =>
           ts(j)._2 == 0 && stops(ts(j)._1.upper))
           .map(j => ts(j)._1.start).getOrElse(sql.length)
@@ -175,6 +175,14 @@ object AnyJoinText {
             else ts(i)._1.start // ANY RIGHT
           val left = parseSide(
             sql.substring(ts(fromAt)._1.end, leftEnd).trim)
+          // the FROM item may be the placeholder of an earlier ASOF
+          // extraction — its view does not exist yet, so the dedup
+          // cannot pre-plan it; reject with guidance instead of a
+          // cryptic table-not-found
+          if (left.text == AsOfText.Marker) throw new ReadOnlyViolation(
+            "RIGHT ANY JOIN cannot follow an ASOF join in the same " +
+              "FROM clause — nest the ASOF join as a parenthesized " +
+              "subquery side")
           var out = sql.substring(0, ts(i)._1.start) +
             sql.substring(ts(i)._1.end)
           out = out.substring(0, ts(fromAt)._1.end) +

@@ -112,7 +112,7 @@ object AsOfText {
         val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
           "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
           "WINDOW", "QUALIFY", "JOIN", "LEFT", "RIGHT", "INNER", "FULL",
-          "CROSS")
+          "CROSS", "ANY", "ASOF")
         val condEnd = (onAt + 1 until ts.size).find(j =>
           ts(j)._2 == 0 && stops(ts(j)._1.upper))
           .map(j => ts(j)._1.start).getOrElse(sql.length)
@@ -194,7 +194,10 @@ object AsOfText {
 
         var out = sql.substring(0, ts(fromAt)._1.end) + " " + Marker +
           " " + sql.substring(condEnd)
-        out = rewriteQualifier(out, left.alias, "")
+        // left refs stay view-QUALIFIED (the marker becomes the view
+        // name), so a later join in the same statement can still
+        // resolve them unambiguously against its own columns
+        out = rewriteQualifier(out, left.alias, Marker + ".")
         out = rewriteQualifier(out, right.alias, "r_")
         (out, Some(AsOfSpec(left, right, keys.toSeq, ltm, rtm, fwd,
           strict, leftJoin)))

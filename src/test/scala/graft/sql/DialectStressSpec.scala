@@ -127,6 +127,27 @@ class DialectStressSpec extends graft.SparkSpec {
       .foreach(n => assert(n == expect))
   }
 
+  test("ASOF then ANY LEFT in one FROM clause composes") {
+    val r = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ANY LEFT JOIN events e ON e.event_id = a.event_id""".stripMargin)
+    val flat = ex.run(
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    assert(r.rows.head.head == flat.rows.head.head)
+    // RIGHT ANY after an ASOF cannot pre-plan the marker — clear
+    // guidance, not a cryptic table-not-found
+    val e = intercept[ReadOnlyViolation](ex.run(
+      """SELECT 1
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ANY RIGHT JOIN customer c ON a.user_id = c.c_custkey""".stripMargin))
+    assert(e.getMessage.contains("cannot follow an ASOF join"))
+  }
+
   test("LIMIT WITH TIES over an aggregate ordering") {
     assert(rows(
       """SELECT o_orderpriority, count(*) AS n FROM orders
