@@ -1313,6 +1313,20 @@ object ChSurface {
         |FROM l RIGHT JOIN customer c ON l.o_custkey = c.c_custkey
         |ORDER BY c.c_custkey""".stripMargin)),
 
+    // RIGHT ANY combined with USING: left side deduped on the using
+    // column, all customers kept, the coalesced using column surfaces
+    // once (both engines coalesce RIGHT JOIN USING identically)
+    ("q_any_right_using",
+      """SELECT c_custkey, o_orderkey
+        |FROM (SELECT o_custkey AS c_custkey, o_orderkey FROM orders) l
+        |ANY RIGHT JOIN customer c USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+      Some("""WITH l AS (SELECT o_custkey AS c_custkey,
+        |  min(o_orderkey) AS o_orderkey FROM orders GROUP BY 1)
+        |SELECT c_custkey, o_orderkey
+        |FROM l RIGHT JOIN customer c USING (c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+
     // pasted ANY LEFT JOIN via USING: the using column is the dedup
     // key (min-struct survivor = smallest o_orderkey per key, which
     // the oracle replays as a per-key min), and Spark plans the kept
