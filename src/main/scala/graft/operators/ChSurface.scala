@@ -1342,6 +1342,83 @@ object ChSurface {
         |FROM customer c LEFT JOIN r USING (c_custkey)
         |ORDER BY c_custkey""".stripMargin)),
 
+    // TWO sibling ASOF joins in one flat FROM: QueryGuard.plan
+    // materializes the leftmost into a view, the second joins against
+    // it; the second join's conditions reference the FIRST join's left
+    // alias. DuckDB chains ASOF joins natively — identical oracle
+    ("q_asof_two",
+      """SELECT a.event_id, b.event_id AS prior_view, c.event_id AS prior_error
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') c
+        |  ON a.user_id = c.user_id AND a.ts >= c.ts
+        |ORDER BY a.event_id""".stripMargin,
+      Some("""SELECT a.event_id, b.event_id AS prior_view, c.event_id AS prior_error
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') c
+        |  ON a.user_id = c.user_id AND a.ts >= c.ts
+        |ORDER BY a.event_id""".stripMargin)),
+
+    // TWO sibling ANY LEFT joins: each dedupes its own right side, so
+    // the customer multiplicity never grows; the oracle replays both
+    // min-struct survivors (nation's key is already unique)
+    ("q_any_two",
+      """SELECT c.c_custkey, o.o_orderkey, n2.n_name
+        |FROM customer c
+        |ANY LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders) o
+        |  ON c.c_custkey = o.o_custkey
+        |ANY LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin,
+      Some("""WITH r AS (SELECT o_custkey, min(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1)
+        |SELECT c.c_custkey, r.o_orderkey, n.n_name
+        |FROM customer c LEFT JOIN r ON c.c_custkey = r.o_custkey
+        |LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |ORDER BY c.c_custkey""".stripMargin)),
+
+    // COLUMNS APPLY with a LAMBDA payload: the column substitutes for
+    // the parameter and the result is named by the substituted text
+    // (a documented departure from CH's internal function rendering);
+    // the integer-cent sum keeps both engines' doubles exact
+    ("q_columns_apply_lambda",
+      """SELECT l_returnflag,
+        |  COLUMNS('^l_(quantity|extendedprice)$') APPLY(x -> round(sum(CAST(round(x * 100.0) AS BIGINT)) / 1e2, 2)),
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Some("""SELECT l_returnflag,
+        |  round(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 1e2, 2)
+        |    AS "round(sum(CAST(round(l_quantity * 100.0) AS BIGINT)) / 1e2, 2)",
+        |  round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 1e2, 2)
+        |    AS "round(sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)) / 1e2, 2)",
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // INTERPOLATE (col AS expr) cascade: each filler row re-evaluates
+    // the expression against the previous output row — the k-th filler
+    // after a real row is expr^k(last_real), which the oracle replays
+    // as base + steps for the linear `c + 1` cascade
+    ("q_with_fill_cascade",
+      """SELECT q, c FROM (
+        |  SELECT CAST(l_quantity AS INT) AS q, count(*) AS c
+        |  FROM lineitem WHERE CAST(l_quantity AS INT) IN (1, 4, 9, 16, 25, 36, 49)
+        |  GROUP BY 1) t
+        |ORDER BY q WITH FILL INTERPOLATE (c AS c + 1)""".stripMargin,
+      Some("""WITH src AS (
+        |  SELECT CAST(l_quantity AS INT) AS q, count(*) AS c FROM lineitem
+        |  WHERE CAST(l_quantity AS INT) IN (1, 4, 9, 16, 25, 36, 49) GROUP BY 1),
+        |axis AS (SELECT CAST(range AS INT) AS q FROM range(1, 50)),
+        |j AS (SELECT a.q AS q, s.c AS c,
+        |  CASE WHEN s.q IS NULL THEN 1 ELSE 0 END AS fill FROM axis a
+        |  LEFT JOIN src s ON a.q = s.q),
+        |g AS (SELECT *, sum(1 - fill) OVER (ORDER BY q) AS grp FROM j),
+        |k AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY q) - 1 AS steps,
+        |  max(c) OVER (PARTITION BY grp) AS base FROM g)
+        |SELECT q, CAST(CASE WHEN fill = 1 THEN base + steps ELSE c END AS BIGINT) AS c
+        |FROM k ORDER BY q""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

@@ -41,9 +41,11 @@ import org.apache.spark.sql.functions._
   * and the RIGHT JOIN itself plans natively. FULL ANY is rejected
   * (ClickHouse rejects it too).
   *
-  * Scope: one ANY join per statement, at the top level. `ALL`
-  * multiplicity is the default and strips in
-  * [[QueryGuard.normalizeDialect]]. */
+  * Sibling ANY/ASOF joins in one flat FROM compose:
+  * [[QueryGuard.plan]] materializes the LEFTMOST join and rescans,
+  * so [[extract]] processes only the FIRST top-level hit and leaves
+  * the rest in the returned text. `ALL` multiplicity is the default
+  * and strips in [[QueryGuard.normalizeDialect]]. */
 object AnyJoinText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
@@ -78,10 +80,9 @@ object AnyJoinText {
     // direction in either order belongs to the rejection below, not
     // the shim (ClickHouse itself rejects ANY FULL)
     def anyJoinAt(i: Int): Boolean = joinShapeAt(ts, i)
+    // only the FIRST top-level hit extracts; later siblings stay in
+    // the output text for [[QueryGuard.plan]]'s next iteration
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && anyJoinAt(i))
-    if (hits.size > 1) throw new ReadOnlyViolation(
-      "one ANY join per statement is supported — rewrite the others " +
-        "as pre-deduplicated subquery sides")
     // FROM-position subqueries containing an ANY join were hoisted by
     // [[QueryGuard.plan]] before this point; anything left (scalar /
     // IN-list / correlated positions) cannot be pre-planned — name the
@@ -175,14 +176,9 @@ object AnyJoinText {
             else ts(i)._1.start // ANY RIGHT
           val left = parseSide(
             sql.substring(ts(fromAt)._1.end, leftEnd).trim)
-          // the FROM item may be the placeholder of an earlier ASOF
-          // extraction — its view does not exist yet, so the dedup
-          // cannot pre-plan it; reject with guidance instead of a
-          // cryptic table-not-found
-          if (left.text == AsOfText.Marker) throw new ReadOnlyViolation(
-            "RIGHT ANY JOIN cannot follow an ASOF join in the same " +
-              "FROM clause — nest the ASOF join as a parenthesized " +
-              "subquery side")
+          // an earlier sibling ASOF/ANY join was already materialized
+          // by [[QueryGuard.plan]]'s loop, so the FROM item here is a
+          // real (temp-view) table name and the dedup can pre-plan it
           var out = sql.substring(0, ts(i)._1.start) +
             sql.substring(ts(i)._1.end)
           out = out.substring(0, ts(fromAt)._1.end) +
@@ -200,15 +196,23 @@ object AnyJoinText {
     }
   }
 
-  def plan(spark: SparkSession, spec: AnySpec, rewritten: String)(
-      planFn: (SparkSession, String) => DataFrame): DataFrame = {
+  /** Dedupe the keyed side and register it as a temp view: returns
+    * the statement with [[Marker]] replaced by the view name, and the
+    * view name (the caller — [[QueryGuard.plan]]'s loop — owns
+    * dropping it). Column references resolve case-insensitively, as
+    * Spark's own analyzer does; the dedup keys keep the schema's
+    * canonical casing. */
+  def materialize(spark: SparkSession, spec: AnySpec,
+      rewritten: String): (String, String) = {
     val sideName = if (spec.dedupesLeft) "deduped left" else "right"
     val sideDf: DataFrame =
       if (spec.side.isSubquery) {
         QueryGuard.parseReadOnly(spark, spec.side.text)
         spark.sql(spec.side.text)
       } else spark.table(spec.side.text)
-    val cols = sideDf.columns.toSet
+    // case-insensitive name → the schema's canonical casing
+    def resolve(c: String): Option[String] =
+      sideDf.columns.find(_.equalsIgnoreCase(c))
     // resolve each equality to EXACTLY ONE deduped-side column: an
     // operand qualified by that side's alias, or an unqualified name
     // in its schema. If BOTH operands resolve to the deduped side the
@@ -218,17 +222,15 @@ object AnyJoinText {
       val dot = operand.indexOf('.')
       if (dot > 0) {
         val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
-        if (q == spec.side.alias && cols(c)) Some(c) else None
-      } else if (cols(operand)) Some(operand)
-      else None
+        if (q == spec.side.alias) resolve(c) else None
+      } else resolve(operand)
     }
     val keys: Seq[String] = if (spec.usingCols.nonEmpty) {
-      spec.usingCols.foreach { c =>
-        if (!cols(c)) throw new ReadOnlyViolation(
+      spec.usingCols.map { c =>
+        resolve(c).getOrElse(throw new ReadOnlyViolation(
           s"ANY JOIN USING column '$c' is not a $sideName-side column " +
-            s"(have: ${sideDf.columns.mkString(", ")})")
+            s"(have: ${sideDf.columns.mkString(", ")})"))
       }
-      spec.usingCols
     } else spec.conds.map { case (a, b) =>
       (sideCol(a), sideCol(b)) match {
         case (Some(k), None) => k
@@ -258,8 +260,7 @@ object AnyJoinText {
       .select(col("__graft_any_row.*"))
     val view = s"__graft_any_${counter.incrementAndGet()}"
     deduped.createOrReplaceTempView(view)
-    try planFn(spark, rewritten.replace(Marker, view))
-    finally spark.catalog.dropTempView(view)
+    (rewritten.replace(Marker, view), view)
   }
 
   private val eqRe =

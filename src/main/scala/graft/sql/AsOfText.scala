@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
   * unqualified references in the rest of the statement resolve the
   * way the pasted query expects.
   *
-  * Scope (documented departure): one ASOF join per statement, at the
-  * top level — a second one is rejected with a pointer to rewriting
-  * the inner join as a subquery side; the DataFrame API
+  * Several sibling ASOF/ANY joins in one flat FROM compose:
+  * [[QueryGuard.plan]] materializes the LEFTMOST join into a temp
+  * view and rescans, so each later sibling sees an ordinary table
+  * name on its left. [[extract]] therefore processes only the FIRST
+  * top-level hit and leaves the rest in the returned text. The left
+  * side must directly follow FROM (a plain-join expression on the
+  * left still gets a scoped parse rejection); the DataFrame API
   * (`graft.plans.AsOf`) remains the general surface. */
 object AsOfText {
 
@@ -80,10 +84,9 @@ object AsOfText {
     if (badDir.nonEmpty) throw new ReadOnlyViolation(
       "ASOF RIGHT/FULL JOIN is not supported (ClickHouse rejects it " +
         "too) — swap the sides and use ASOF LEFT JOIN")
+    // only the FIRST top-level hit extracts; later siblings stay in
+    // the output text for [[QueryGuard.plan]]'s next iteration
     val hits = ts.indices.filter(i => ts(i)._2 == 0 && asofJoinAt(i))
-    if (hits.size > 1) throw new ReadOnlyViolation(
-      "one ASOF join per statement is supported — rewrite the inner " +
-        "ASOF join as a parenthesized subquery side")
     // FROM-position subqueries containing an ASOF join were hoisted
     // by [[QueryGuard.plan]] before this point; anything left (scalar
     // / IN-list / correlated positions) cannot be pre-planned — name
@@ -146,11 +149,13 @@ object AsOfText {
               "before the ASOF column: USING (key..., time)")
           val out0 = sql.substring(0, ts(fromAt)._1.end) + " " + Marker +
             " " + sql.substring(condEnd)
-          // left-alias refs lose the qualifier (left columns keep
-          // their names in the joined view); right-alias refs are
-          // rewritten in [[plan]], where the schemas decide which
-          // right columns keep bare names
-          val out = rewriteQualifier(out0, left.alias, "")
+          // left-alias refs stay view-QUALIFIED (left columns keep
+          // their names in the joined view), mirroring the ON path,
+          // so a chained join after the ASOF clause still resolves
+          // them unambiguously; right-alias refs are rewritten in
+          // [[materialize]], where the schemas decide which right
+          // columns keep bare names
+          val out = rewriteQualifier(out0, left.alias, Marker + ".")
           return (out, Some(AsOfSpec(left, right,
             colsU.init.map(c => (c, c)),
             colsU.last, colsU.last,
@@ -195,39 +200,72 @@ object AsOfText {
         var out = sql.substring(0, ts(fromAt)._1.end) + " " + Marker +
           " " + sql.substring(condEnd)
         // left refs stay view-QUALIFIED (the marker becomes the view
-        // name), so a later join in the same statement can still
-        // resolve them unambiguously against its own columns
+        // name), so a later join in the same statement — plain or a
+        // sibling ASOF/ANY — can still resolve them unambiguously;
+        // right refs are rewritten in [[materialize]], where the
+        // schemas decide the surfaced (collision-bumped) `r_*` names
         out = rewriteQualifier(out, left.alias, Marker + ".")
-        out = rewriteQualifier(out, right.alias, "r_")
         (out, Some(AsOfSpec(left, right, keys.toSeq, ltm, rtm, fwd,
           strict, leftJoin)))
     }
   }
 
-  /** Build the join and plan `rewritten` against it through `planFn`
-    * (the shared star/fill pipeline). Several equality keys compose
-    * into ONE synthetic struct key per side — struct ordering makes it
-    * a valid shuffle/sort key for the exec, and the helper columns are
-    * dropped before the view is published. */
-  def plan(spark: SparkSession, spec: AsOfSpec, rewritten: String)(
-      planFn: (SparkSession, String) => DataFrame): DataFrame = {
+  /** Build the join and register it as a temp view: returns the
+    * statement with [[Marker]] replaced by the view name, and the
+    * view name (the caller — [[QueryGuard.plan]]'s loop — owns
+    * dropping it). Several equality keys compose into ONE synthetic
+    * struct key per side — struct ordering makes it a valid
+    * shuffle/sort key for the exec, and the helper columns are
+    * dropped before the view is published. Column references resolve
+    * case-insensitively, as Spark's own analyzer does. */
+  def materialize(spark: SparkSession, spec: AsOfSpec,
+      rewritten: String): (String, String) = {
     val view = s"__graft_asof_${counter.incrementAndGet()}"
     var leftDf = sideDf(spark, spec.left)
     var rightDf = sideDf(spark, spec.right)
+    def ci(set: Iterable[String], c: String) =
+      set.exists(_.equalsIgnoreCase(c))
+    // case-insensitive name → the right schema's canonical casing
+    val rightCols0 = rightDf.columns.toSeq
+    def canonRight(c: String): String =
+      rightCols0.find(_.equalsIgnoreCase(c)).getOrElse(c)
+    // the exec surfaces right columns as `r_<name>`; when the LEFT
+    // side already carries that name (a previous sibling ASOF view's
+    // r_* output, or a table with its own r_* columns) the clashing
+    // right column bumps to a numbered suffix BEFORE the join, so the
+    // published view never holds duplicate names
+    val leftLower = leftDf.columns.map(_.toLowerCase).toSet
+    val bump: Map[String, String] = rightCols0.map { rc =>
+      var cand = rc
+      var n = 2
+      while (leftLower("r_" + cand.toLowerCase)) { cand = rc + "_" + n; n += 1 }
+      rc -> cand
+    }.toMap
+    if (bump.exists(kv => kv._1 != kv._2))
+      rightDf = rightDf.toDF(rightCols0.map(bump): _*)
+    def rName(c: String): String = {
+      val canon = canonRight(c)
+      bump.getOrElse(canon, canon) // non-right-column refs pass through
+    }
+    // the exec's own resolve is exact-match — canonicalize left refs
+    // to the left schema's casing too
+    val leftCols0 = leftDf.columns.toSeq
+    def lName(c: String): String =
+      leftCols0.find(_.equalsIgnoreCase(c)).getOrElse(c)
     val composite = spec.keys.size > 1
     val (lk, rk) = spec.keys match {
-      case Seq((a, b)) => (a, b)
+      case Seq((a, b)) => (lName(a), rName(b))
       case many =>
         leftDf = leftDf.withColumn("__graft_asof_k",
-          struct(many.map(p => col(p._1)): _*))
+          struct(many.map(p => col(lName(p._1))): _*))
         rightDf = rightDf.withColumn("__graft_asof_k",
-          struct(many.map(p => col(p._2)): _*))
+          struct(many.map(p => col(rName(p._2))): _*))
         ("__graft_asof_k", "__graft_asof_k")
     }
     var joined = graft.plans.AsOf.join(
       leftDf, rightDf,
       key = (lk, rk),
-      time = (spec.leftTime, spec.rightTime),
+      time = (lName(spec.leftTime), rName(spec.rightTime)),
       forward = spec.forward, strict = spec.strict)
     if (!spec.leftJoin) // CH plain ASOF JOIN is inner: drop unmatched
       joined = joined.filter(col("r_" + rk).isNotNull)
@@ -238,24 +276,30 @@ object AsOfText {
       // CH USING semantics: the join columns surface once (left
       // values); right-side columns that don't clash with a left name
       // get their bare names back so unqualified references resolve
-      val leftCols = leftDf.columns.toSet
-      joined = joined.drop(spec.usingCols.map("r_" + _): _*)
+      val leftCols = leftDf.columns.toSeq
+      joined = joined.drop(spec.usingCols.map(u => "r_" + rName(u)): _*)
       rightDf.columns
-        .filterNot(spec.usingCols.contains)
+        .filterNot(rc => ci(spec.usingCols, rc))
         .filterNot(_ == "__graft_asof_k")
         .foreach { rc =>
-          if (!leftCols(rc))
+          if (!ci(leftCols, rc))
             joined = joined.withColumnRenamed("r_" + rc, rc)
         }
-      // qualified right-alias refs follow the final naming
+      // qualified right-alias refs follow the final naming, and stay
+      // view-QUALIFIED (mirroring the ON path) so a chained join
+      // after the ASOF clause still resolves them unambiguously
       stmt = rewriteQualifierMapped(stmt, spec.right.alias, c =>
-        if (spec.usingCols.contains(c)) c
-        else if (leftCols(c)) "r_" + c
-        else c)
+        if (ci(spec.usingCols, c)) Marker + "." + c
+        else if (ci(leftCols, c)) Marker + ".r_" + rName(c)
+        else Marker + "." + rName(c))
+    } else {
+      // ON path: qualified right-alias refs surface as the view's
+      // (collision-bumped) r_* names
+      stmt = rewriteQualifierMapped(stmt, spec.right.alias, c =>
+        Marker + ".r_" + rName(c))
     }
     joined.createOrReplaceTempView(view)
-    try planFn(spark, stmt.replace(Marker, view))
-    finally spark.catalog.dropTempView(view)
+    (stmt.replace(Marker, view), view)
   }
 
   private def sideDf(spark: SparkSession, s: Side): DataFrame =

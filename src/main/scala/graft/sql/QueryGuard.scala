@@ -56,21 +56,58 @@ object QueryGuard {
     // temp view, and substituted — so nested pasted joins work instead
     // of dying in Spark's parser. Views drop once the outer statement
     // is analyzed (the resolved plan no longer needs them).
-    val hoisted = scala.collection.mutable.ArrayBuffer.empty[String]
+    val views = scala.collection.mutable.ArrayBuffer.empty[String]
+    // opportunistic hoists that failed to pre-plan (trigger, reason):
+    // left in place — consulted only if the statement then dies in
+    // Spark's parser, so the user sees the REAL inner problem instead
+    // of a syntax error on a construct Spark never understood
+    val deferred = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     try {
-      val lifted = hoistNestedJoins(spark, normalized, hoisted)
-      val (afterAsof, asof) = AsOfText.extract(lifted)
-      val (afterAny, anyJ) = AnyJoinText.extract(afterAsof)
-      val inner: (SparkSession, String) => org.apache.spark.sql.DataFrame =
-        anyJ match {
-          case Some(spec) => (s, q) => AnyJoinText.plan(s, spec, q)(planShimmed)
-          case None => planShimmed
+      var stmt = hoistNestedJoins(spark, normalized, views, deferred)
+      // sibling ASOF/ANY joins in one flat FROM compose by iteration:
+      // materialize the LEFTMOST top-level join into a temp view,
+      // substitute its name, and rescan — the next sibling then sees
+      // an ordinary table on its left. Each pass consumes one join
+      // token, so the loop is bounded by the join count (the guard is
+      // a defensive backstop, not a real limit).
+      var more = true
+      var guard = 0
+      while (more && guard < 64) {
+        guard += 1
+        val ts = normalizeScan(stmt)
+        val nextAsof = ts.indices.find(i =>
+          ts(i)._2 == 0 && AsOfText.joinShapeAt(ts, i))
+        val nextAny = ts.indices.find(i =>
+          ts(i)._2 == 0 && AnyJoinText.joinShapeAt(ts, i))
+        (nextAsof, nextAny) match {
+          case (Some(a), b) if b.forall(a < _) =>
+            val (after, spec) = AsOfText.extract(stmt)
+            val (s2, v) = AsOfText.materialize(spark, spec.get, after)
+            views += v; stmt = s2
+          case (_, Some(_)) =>
+            val (after, spec) = AnyJoinText.extract(stmt)
+            val (s2, v) = AnyJoinText.materialize(spark, spec.get, after)
+            views += v; stmt = s2
+          case _ =>
+            // no top-level joins left: one more pass through both
+            // extractors runs their rejection checks (ASOF RIGHT/FULL
+            // and FULL ANY directions, non-hoistable nested positions)
+            AsOfText.extract(stmt)
+            AnyJoinText.extract(stmt)
+            more = false
         }
-      asof match {
-        case Some(spec) => AsOfText.plan(spark, spec, afterAny)(inner)
-        case None => inner(spark, afterAny)
       }
-    } finally hoisted.foreach(v => spark.catalog.dropTempView(v))
+      try planShimmed(spark, stmt)
+      catch {
+        case e: org.apache.spark.sql.catalyst.parser.ParseException
+            if deferred.nonEmpty =>
+          val (trig, msg) = deferred.head
+          throw new ReadOnlyViolation(
+            s"could not pre-plan the subquery containing the $trig " +
+              s"construct ($msg), and the construct cannot run in " +
+              "place — fix the subquery or hoist it to the top level")
+      }
+    } finally views.foreach(v => spark.catalog.dropTempView(v))
   }
 
   private val hoistCounter = new java.util.concurrent.atomic.AtomicLong()
@@ -90,7 +127,9 @@ object QueryGuard {
     * still reach the shims' scoped rejection, the rest Spark's
     * parser. */
   private def hoistNestedJoins(spark: SparkSession, sql: String,
-      registered: scala.collection.mutable.ArrayBuffer[String]): String = {
+      registered: scala.collection.mutable.ArrayBuffer[String],
+      deferred: scala.collection.mutable.ArrayBuffer[(String, String)] =
+        scala.collection.mutable.ArrayBuffer.empty): String = {
     val ts = normalizeScan(sql)
     def nextCh(from: Int): Char = {
       var i = from
@@ -117,47 +156,70 @@ object QueryGuard {
         }
       case _ => false
     }
-    val nested = ts.indices.find(i => ts(i)._2 > 0 && shimTokenAt(i))
-    nested match {
-      case None => sql
-      case Some(i) =>
-        val open = enclosingOpen(sql, ts(i)._1.start)
-        val close = if (open < 0) -1 else matchParenAt(sql, open)
-        val innerText =
-          if (open < 0 || close < 0) "" else sql.substring(open + 1, close).trim
-        val up = innerText.toUpperCase
-        // the token immediately before the '(' decides the position:
-        // FROM/JOIN = derived table (replace with the view name),
-        // AS = a CTE body (keep the parens, select from the view)
-        val prev =
-          if (open < 0) None else ts.takeWhile(_._1.end <= open).lastOption
-            .filter(p => sql.substring(p._1.end, open).trim.isEmpty)
-        val fromPos = prev.exists(p => Set("FROM", "JOIN")(p._1.upper))
-        val ctePos = prev.exists(_._1.upper == "AS")
-        if (open < 0 || close < 0 || !(fromPos || ctePos) ||
-          !(up.startsWith("SELECT") || up.startsWith("WITH")))
-          return sql // not hoistable: the shims' scoped rejection speaks
-        val df =
-          try plan(spark, innerText) // full recursive pipeline
+    // visit EVERY nested shim hit, skipping non-hoistable ones, so a
+    // non-hoistable first occurrence (scalar/IN position) no longer
+    // shadows a hoistable FROM-position subquery later in the text
+    val candidates = ts.indices.filter(i => ts(i)._2 > 0 && shimTokenAt(i))
+    for (i <- candidates) {
+      val trigger = ts(i)._1.upper
+      val open = enclosingOpen(sql, ts(i)._1.start)
+      val close = if (open < 0) -1 else matchParenAt(sql, open)
+      val innerText =
+        if (open < 0 || close < 0) "" else sql.substring(open + 1, close).trim
+      val up = innerText.toUpperCase
+      // the token immediately before the '(' decides the position:
+      // FROM/JOIN = derived table (replace with the view name),
+      // AS = a CTE body (keep the parens, select from the view),
+      // ',' = a comma-listed item — either a FROM-list derived table
+      // or a select-list scalar subquery; the parenthesized
+      // `(SELECT * FROM view)` replacement is valid as BOTH, so the
+      // position need not be disambiguated
+      val prev =
+        if (open < 0) None else ts.takeWhile(_._1.end <= open).lastOption
+          .filter(p => sql.substring(p._1.end, open).trim.isEmpty)
+      val fromPos = prev.exists(p => Set("FROM", "JOIN")(p._1.upper))
+      val commaPos = open > 0 && sql.substring(0, open).reverse
+        .dropWhile(_.isWhitespace).headOption.contains(',')
+      val ctePos = prev.exists(_._1.upper == "AS")
+      if (open >= 0 && close >= 0 && (fromPos || ctePos || commaPos) &&
+        (up.startsWith("SELECT") || up.startsWith("WITH"))) {
+        // ASOF/ANY triggers MUST pre-plan (leaving them in place would
+        // silently misparse as a plain join); the other constructs are
+        // merely opportunistic hoists — a pre-plan failure (e.g. a CTE
+        // body referencing a sibling CTE, or a FALSE-positive token
+        // match like a table literally named `array`) falls back to
+        // leaving the subquery in place, where it either plans
+        // natively or fails loudly in Spark's own analyzer
+        val dfOpt =
+          try Some(plan(spark, innerText)) // full recursive pipeline
           catch {
-            case e: org.apache.spark.sql.AnalysisException =>
-              // e.g. a CTE body referencing a sibling CTE — it cannot
-              // be pre-planned standalone; name the scope
+            case e: org.apache.spark.sql.AnalysisException
+                if Set("ASOF", "ANY")(trigger) =>
               throw new ReadOnlyViolation(
-                "could not pre-plan the subquery containing the " +
-                  "ASOF/ANY join (it may reference a sibling CTE or " +
+                s"could not pre-plan the subquery containing the " +
+                  s"$trigger join (it may reference a sibling CTE or " +
                   s"outer column): ${e.getMessage.linesIterator.take(1).mkString}")
+            case e: org.apache.spark.sql.AnalysisException =>
+              deferred += ((trigger,
+                e.getMessage.linesIterator.take(1).mkString))
+              None
           }
-        val view = s"__graft_sub_${hoistCounter.incrementAndGet()}"
-        df.createOrReplaceTempView(view)
-        registered += view
-        val replacement =
-          if (ctePos) s"(SELECT * FROM $view)" else view
-        // recurse: several nested joins hoist one at a time
-        hoistNestedJoins(spark,
-          sql.substring(0, open) + replacement + sql.substring(close + 1),
-          registered)
+        dfOpt match {
+          case Some(df) =>
+            val view = s"__graft_sub_${hoistCounter.incrementAndGet()}"
+            df.createOrReplaceTempView(view)
+            registered += view
+            val replacement =
+              if (ctePos || commaPos) s"(SELECT * FROM $view)" else view
+            // recurse: several nested joins hoist one at a time
+            return hoistNestedJoins(spark,
+              sql.substring(0, open) + replacement + sql.substring(close + 1),
+              registered, deferred)
+          case None => // opportunistic hoist failed: try later hits
+        }
+      }
     }
+    sql // nothing hoistable: the shims' scoped rejection speaks
   }
 
   /** Innermost unclosed '(' before position `p` (quote-aware). */

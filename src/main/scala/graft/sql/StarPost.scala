@@ -28,31 +28,75 @@ import org.apache.spark.sql.functions._
   *
   * Scope (documented departures): the bare-star chains (`* APPLY`,
   * `t.* APPLY`, `* EXCEPT ... APPLY`) must still be the whole
-  * top-level select list; APPLY takes a plain function name or a
+  * top-level select list; APPLY takes a plain function name, a
   * parameterized-aggregate head (`APPLY(quantile(0.5))` — expands to
   * CH's `f(params)(col)` call form and flattens through the
-  * param-agg shim; CH also accepts lambdas, which are not); Java regex syntax
-  * stands in for RE2 (a near-superset — backreferences work here that
-  * CH would reject; realistic patterns behave identically). A column
-  * produced by APPLY over a plain scan is a global aggregate when `f`
-  * aggregates, matching CH.
+  * param-agg shim), or a ONE-parameter lambda (`APPLY(x -> f(x))` —
+  * the column substitutes for the parameter; the result is named by
+  * the substituted expression text, where CH renders its internal
+  * function names — `x -> x + 1` over `n` is `n + 1` here, `plus(n,
+  * 1)` there); Java regex syntax stands in for RE2 (a near-superset
+  * — backreferences work here that CH would reject; realistic
+  * patterns behave identically). A column produced by APPLY over a
+  * plain scan is a global aggregate when `f` aggregates, matching
+  * CH.
   */
 object StarPost {
 
   final case class StarSpec(regex: Option[String], fn: Option[String])
 
-  // an APPLY payload: a plain function name, or a parameterized
-  // aggregate head `name(params)` (no nested parens in params), which
-  // expands to CH's f(params)(col) call form and flattens through the
-  // param-agg shim
+  // an APPLY payload: a plain function name, a parameterized
+  // aggregate head `name(params)` (expands to CH's f(params)(col)
+  // call form and flattens through the param-agg shim), or a
+  // one-parameter lambda `x -> expr` — the regexes capture the
+  // payload broadly and [[applyCall]] validates the form
   private val fnForm = "[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?"
   private val columnsForm =
     "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)\\s*(.*)$".r
   private val applyTail =
-    s"(?is)^APPLY\\s*\\(\\s*($fnForm)\\s*\\)$$".r
+    "(?is)^APPLY\\s*\\(\\s*(.+?)\\s*\\)$".r
   private val starApplyForm =
     ("(?is)^(\\*|[A-Za-z_][A-Za-z0-9_]*\\.\\*|\\*\\s+EXCEPT\\s*\\([^)]*\\))" +
-      s"\\s+APPLY\\s*\\(\\s*($fnForm)\\s*\\)$$").r
+      "\\s+APPLY\\s*\\(\\s*(.+?)\\s*\\)$").r
+  private val lambdaForm =
+    "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*->\\s*(.+)$".r
+
+  /** An APPLY payload applied to column `c`: (expression text,
+    * result name). Plain names and param-agg heads render CH's
+    * `f(col)` / `f(params)(col)` naming; a one-parameter lambda
+    * substitutes the column for the parameter and names the result
+    * by the substituted text. Anything else is rejected with the
+    * supported forms named. */
+  private[sql] def applyCall(payload: String, c: String): (String, String) = {
+    payload.trim match {
+      case lambdaForm(param, body) =>
+        (substituteParam(body.trim, param, s"`$c`"),
+          substituteParam(body.trim, param, c))
+      case p if p.matches(fnForm) =>
+        (QueryGuard.rewriteParamAggs(s"$p(`$c`)"), s"$p($c)")
+      case p => throw new ReadOnlyViolation(
+        s"APPLY payload '$p' is not supported — use a function name, " +
+          "a parameterized head f(params), or a one-parameter lambda " +
+          "x -> expr")
+    }
+  }
+
+  /** Token-aware substitution of a lambda parameter: standalone
+    * `param` tokens become `repl`; qualified uses (`t.param`) stay. */
+  private def substituteParam(body: String, param: String,
+      repl: String): String = {
+    var out = body
+    val ts = QueryGuard.normalizeScan(body)
+    ts.reverseIterator.foreach { case (t, _) =>
+      if (out.substring(t.start, t.end) == param) {
+        val before = out.substring(0, t.start).reverse
+          .dropWhile(_.isWhitespace).headOption
+        if (!before.contains('.'))
+          out = out.substring(0, t.start) + repl + out.substring(t.end)
+      }
+    }
+    out
+  }
 
   /** Cut a top-level COLUMNS/APPLY select list out of `sql`, replacing
     * it with `*` (or the surviving star head) for the core query. */
@@ -87,7 +131,7 @@ object StarPost {
 
   private val columnsItem =
     ("(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)" +
-      s"(?:\\s+APPLY\\s*\\(\\s*($fnForm)\\s*\\))?$$").r
+      "(?:\\s+APPLY\\s*\\(\\s*(.+)\\s*\\))?$").r
 
   /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select
     * list. The matching column set comes from probing the FROM
@@ -165,12 +209,11 @@ object StarPost {
           Option(f) match {
             case None => m.map(c => s"`$c`").mkString(", ")
             case Some(fn) =>
-              // parameterized heads (quantile(0.5)) become CH's
-              // f(params)(col) call form and flatten through the
-              // param-agg shim; plain names pass through unchanged
+              // name/param-head/lambda payloads expand per column
+              // through [[applyCall]]
               m.map { c =>
-                val call = QueryGuard.rewriteParamAggs(s"$fn(`$c`)")
-                s"$call AS `$fn($c)`"
+                val (call, name) = applyCall(fn, c)
+                s"$call AS `$name`"
               }.mkString(", ")
           }
         case other => other
@@ -200,11 +243,12 @@ object StarPost {
     spec.fn match {
       case None => df.select(cols.map(col): _*)
       case Some(f) =>
-        // a parameterized head (quantile(0.5)) flattens through the
-        // param-agg shim before expression parsing
-        df.select(cols.map(c =>
-          expr(QueryGuard.rewriteParamAggs(s"$f(`$c`)"))
-            .as(s"$f($c)")): _*)
+        // name/param-head/lambda payloads expand per column through
+        // [[applyCall]]
+        df.select(cols.map { c =>
+          val (call, name) = applyCall(f, c)
+          expr(call).as(name)
+        }: _*)
     }
   }
 }

@@ -25,10 +25,17 @@ import org.apache.spark.sql.types._
   * (bare INTERPOLATE carries every non-axis column, as in CH): filler
   * rows take the nearest preceding REAL row's value — for the plain
   * column form this equals CH's previous-output-row rule across any
-  * run of fillers. The `col AS expr` cascade form (each filler
-  * re-evaluates expr against the previous output row) is inherently
-  * sequential and is rejected with a clear error rather than
-  * approximated.
+  * run of fillers. The `col AS expr` cascade form re-evaluates expr
+  * per filler row against the previous output row; it is inherently
+  * sequential WITHIN a filler run, so the k-th filler after a real
+  * row computes the k-fold self-application `expr^k(last_real)` via
+  * Spark's `aggregate(sequence(1, k), init, acc -> expr)` HOF —
+  * codegen'd, per-row bounded by the run length, no driver loop.
+  * Scope: self-references of the interpolated column cascade exactly
+  * as in CH; references to OTHER columns inside expr resolve against
+  * the filler row itself (the fill axis carries its real grid value
+  * there, other columns their type defaults), where CH would read
+  * the previous output row.
   *
   * Scope (documented departures): the fill column must be a named
   * output column (CH also fills computed sort expressions); one
@@ -37,13 +44,17 @@ import org.apache.spark.sql.types._
   */
 object WithFill {
 
+  /** `interpolate`: None = no clause; Some(Nil) = bare INTERPOLATE
+    * (carry every non-ORDER-BY column); Some(items) = the listed
+    * columns, each with an optional cascade expression (`col AS
+    * expr`). */
   final case class FillSpec(
       column: String,
       from: Option[String],
       to: Option[String],
       step: Option[String],
       orderText: String,
-      interpolate: Option[Seq[String]] = None)
+      interpolate: Option[Seq[(String, Option[String])]] = None)
 
   /** Cut a top-level `WITH FILL [FROM ..] [TO ..] [STEP ..]` out of
     * `sql`; the returned core keeps its ORDER BY. */
@@ -104,8 +115,8 @@ object WithFill {
         if (step.exists(_.isEmpty) || from.exists(_.isEmpty) ||
           to.exists(_.isEmpty))
           throw new ReadOnlyViolation("empty WITH FILL FROM/TO/STEP value")
-        // optional trailing INTERPOLATE [(col, ...)]
-        var interpolate: Option[Seq[String]] = None
+        // optional trailing INTERPOLATE [(col [AS expr], ...)]
+        var interpolate: Option[Seq[(String, Option[String])]] = None
         val interpAt = (0 until ts.size).find(x =>
           ts(x)._1.start >= endOfFill && ts(x)._2 == 0 &&
             ts(x)._1.upper == "INTERPOLATE" &&
@@ -130,12 +141,19 @@ object WithFill {
               "unbalanced INTERPOLATE parens")
             val items = splitTopLevel(sql.substring(open + 1, close))
               .map(_.trim).filter(_.nonEmpty)
-            if (items.exists(it => QueryGuard.normalizeScan(it).exists(t =>
-              t._2 == 0 && t._1.upper == "AS")))
-              throw new ReadOnlyViolation(
-                "INTERPOLATE expressions (col AS expr) are not supported; " +
-                  "list the columns to carry forward")
-            interpolate = Some(items.map(_.stripPrefix("`").stripSuffix("`")))
+            // `col` carries forward; `col AS expr` cascades expr per
+            // filler row (the first depth-0 AS splits the item)
+            interpolate = Some(items.map { it =>
+              QueryGuard.normalizeScan(it).find(t =>
+                t._2 == 0 && t._1.upper == "AS") match {
+                case Some((t, _)) =>
+                  (it.substring(0, t.start).trim
+                    .stripPrefix("`").stripSuffix("`"),
+                    Some(it.substring(t.end).trim))
+                case None =>
+                  (it.stripPrefix("`").stripSuffix("`"), None)
+              }
+            })
             endOfFill = close + 1
           } else {
             interpolate = Some(Nil) // bare: all non-axis columns
@@ -176,7 +194,7 @@ object WithFill {
     // CH's TO bound is exclusive
     spec.to.foreach(t => axis = axis.filter(col(cn) < expr(t).cast(dt)))
     val missing = broadcast(axis).join(df, Seq(cn), "left_anti")
-    val interpCols: Seq[String] = spec.interpolate match {
+    val interp: Seq[(String, Option[String])] = spec.interpolate match {
       case None => Nil
       case Some(Nil) =>
         // bare form: CH carries forward every column EXCEPT all ORDER
@@ -184,18 +202,21 @@ object WithFill {
         // takes its type default on filler rows
         val orderCols = orderColNames(spec.orderText)
         df.columns.filterNot(c =>
-          orderCols.exists(_.equalsIgnoreCase(c))).toSeq
-      case Some(cs) => cs.map(c => df.columns
-        .find(_.equalsIgnoreCase(c)).getOrElse(throw new ReadOnlyViolation(
-          s"INTERPOLATE column '$c' must be an output column")))
+          orderCols.exists(_.equalsIgnoreCase(c))).toSeq.map((_, None))
+      case Some(cs) => cs.map { case (c, e) =>
+        (df.columns.find(_.equalsIgnoreCase(c))
+          .getOrElse(throw new ReadOnlyViolation(
+            s"INTERPOLATE column '$c' must be an output column")), e)
+      }
     }
+    val interpNames = interp.map(_._1)
     val filler = missing.select(df.columns.map { c2 =>
       if (c2 == cn) col(cn)
-      else if (interpCols.contains(c2)) // filled below, from real rows
+      else if (interpNames.contains(c2)) // filled below, from real rows
         lit(null).cast(df.schema(c2).dataType).as(c2)
       else typeDefault(df.schema(c2).dataType).as(c2)
     }.toIndexedSeq: _*)
-    if (interpCols.isEmpty)
+    if (interp.isEmpty)
       df.unionByName(filler).sort(sortItems(spec.orderText): _*)
     else {
       // Carry each interpolated column forward from the nearest
@@ -208,18 +229,73 @@ object WithFill {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       var out = df.withColumn("__graft_fill", lit(0))
         .unionByName(filler.withColumn("__graft_fill", lit(1)))
-      interpCols.foreach { c =>
+      val helperCols = scala.collection.mutable.ArrayBuffer(
+        "__graft_fill")
+      if (interp.exists(_._2.isDefined)) {
+        // the cascade form needs k = the filler's position within its
+        // run: group rows by the count of real rows at-or-before them,
+        // then number within the group (the real row is row 0)
+        out = out.withColumn("__graft_grp",
+          sum(when(col("__graft_fill") === 0, 1).otherwise(0)).over(w))
+        val wg = Window.partitionBy(col("__graft_grp"))
+          .orderBy(sortItems(spec.orderText): _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn("__graft_k",
+          (count(lit(1)).over(wg) - 1).cast("int"))
+        helperCols += "__graft_grp"
+        helperCols += "__graft_k"
+      }
+      interp.zipWithIndex.foreach { case ((c, exprOpt), idx) =>
+        val dt = df.schema(c).dataType
         val lastReal = last(
           when(col("__graft_fill") === 0, struct(col(c))), ignoreNulls = true)
           .over(w)
-        out = out.withColumn(c,
-          when(col("__graft_fill") === 1,
-            coalesce(lastReal.getField(c),
-              typeDefault(df.schema(c).dataType)))
-            .otherwise(col(c)))
+        exprOpt match {
+          case None =>
+            out = out.withColumn(c,
+              when(col("__graft_fill") === 1,
+                coalesce(lastReal.getField(c), typeDefault(dt)))
+                .otherwise(col(c)))
+          case Some(e) =>
+            // expr^k(last_real): iterate the self-substituted
+            // expression k times with aggregate() — one codegen'd
+            // pass, cost bounded by the filler run length. The
+            // lambda's accumulator stands in for the column; other
+            // names in `e` resolve against the filler row.
+            val accVar = "__graft_acc"
+            val eSub = substituteName(e, c, accVar)
+            val initCol = s"__graft_init_$idx"
+            out = out.withColumn(initCol, lastReal.getField(c))
+            helperCols += initCol
+            val cascade = expr(
+              s"aggregate(sequence(1, greatest(__graft_k, 1)), " +
+                s"CAST($initCol AS ${dt.sql}), " +
+                s"($accVar, __graft_i) -> CAST(($eSub) AS ${dt.sql}))")
+            out = out.withColumn(c,
+              when(col("__graft_fill") === 1,
+                coalesce(cascade, typeDefault(dt)))
+                .otherwise(col(c)))
+        }
       }
-      out.drop("__graft_fill").sort(sortItems(spec.orderText): _*)
+      out.drop(helperCols.toSeq: _*).sort(sortItems(spec.orderText): _*)
     }
+  }
+
+  /** Token-aware substitution: standalone `name` tokens in `e` become
+    * `repl`; qualified uses (`t.name`) stay. */
+  private def substituteName(e: String, name: String,
+      repl: String): String = {
+    var out = e
+    val ts = QueryGuard.normalizeScan(e)
+    ts.reverseIterator.foreach { case (t, _) =>
+      if (out.substring(t.start, t.end).equalsIgnoreCase(name)) {
+        val before = out.substring(0, t.start).reverse
+          .dropWhile(_.isWhitespace).headOption
+        if (!before.contains('.'))
+          out = out.substring(0, t.start) + repl + out.substring(t.end)
+      }
+    }
+    out
   }
 
   /** ClickHouse fills non-axis columns with the column type's default

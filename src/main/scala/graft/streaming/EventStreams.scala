@@ -188,6 +188,96 @@ object EventStreams {
       }
   }
 
+  /** Per-key state for [[asofEnrichExact]]: events buffered until the
+    * watermark passes them, updates kept while a future event could
+    * still need them, and the single latest pre-watermark update as
+    * the collapsed floor. */
+  final case class AsOfExactState(
+      floorTs: Long, floorV: Double, hasFloor: Boolean,
+      updates: Seq[(Long, Double)], buffered: Seq[Event])
+
+  /** E10b: EXACT-replay streaming as-of enrichment — the
+    * watermark-buffered twin of [[asofEnrich]] that removes its
+    * documented cross-batch departure: an event is held in state until
+    * the watermark passes its timestamp, then emitted with the TRUE
+    * at-or-before update — even when a newer (future-timestamped)
+    * update arrived in an earlier micro-batch, and even when the
+    * at-or-before update arrives in a LATER micro-batch than the
+    * event (within the allowed lateness). Replaying history through
+    * this stream therefore equals the batch [[graft.plans.AsOf]]
+    * operator on the same data.
+    *
+    * Cost of exactness: per-key state is O(events + updates inside
+    * the watermark horizon) instead of [[asofEnrich]]'s O(1) — the
+    * horizon (`delay`) bounds it, and each flush collapses every
+    * pre-watermark update into a single floor row. Emission waits
+    * one horizon behind the stream head (the price of knowing no
+    * earlier update can still arrive); an event-time timeout flushes
+    * ripe events even when a key goes quiet. */
+  def asofEnrichExact(events: Dataset[Event], updates: Dataset[Update],
+      delay: String = "10 minutes"): Dataset[Enriched] = {
+    import events.sparkSession.implicits._
+    // the watermark goes ON the tagged stream (a map() re-derives its
+    // output attributes, which would drop a watermark set upstream)
+    val l = events.map(e =>
+      AsOfTagged(e.user_id, e.ts, isUpdate = false, Some(e), None))
+      .withWatermark("ts", delay)
+    val r = updates.map(u =>
+      AsOfTagged(u.key, u.ts, isUpdate = true, None, Some(u.v)))
+      .withWatermark("ts", delay)
+    l.unionByName(r)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfExactState, Enriched](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[AsOfTagged],
+            state: GroupState[AsOfExactState]) =>
+          val st0 = state.getOption
+            .getOrElse(AsOfExactState(0L, 0.0, hasFloor = false, Nil, Nil))
+          var ups = st0.updates
+          var buf = st0.buffered
+          var floor: Option[(Long, Double)] =
+            if (st0.hasFloor) Some((st0.floorTs, st0.floorV)) else None
+          for (t <- batch) {
+            if (t.isUpdate) ups :+= ((t.ts.getTime, t.upd.get))
+            else buf :+= t.event.get
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val sortedUps = ups.sortBy(_._1)
+          def lookup(ts: Long): Option[(Long, Double)] = {
+            val inHistory = sortedUps.takeWhile(_._1 <= ts).lastOption
+            inHistory.orElse(floor.filter(_._1 <= ts))
+          }
+          // events at-or-before the watermark are RIPE: every update
+          // they could match has arrived (later ones would be dropped
+          // as late data) — emit them with the exact lookup
+          val (ripe, hold) = buf.partition(_.ts.getTime <= wm)
+          val out = ripe.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+            val s = lookup(e.ts.getTime)
+            Enriched(e.event_id, e.ts, e.user_id, e.event_type, e.value,
+              s.map(x => new Timestamp(x._1)), s.map(_._2))
+          }
+          // collapse pre-watermark updates into the single floor row
+          // (any future event has ts > wm, so only the LATEST of them
+          // can ever match again)
+          val (old, live) = sortedUps.partition(_._1 <= wm)
+          floor = (floor.toSeq ++ old).sortBy(_._1).lastOption
+          if (hold.isEmpty && live.isEmpty && floor.isEmpty) state.remove()
+          else {
+            state.update(AsOfExactState(
+              floor.map(_._1).getOrElse(0L), floor.map(_._2).getOrElse(0.0),
+              floor.nonEmpty, live, hold))
+            // wake when the watermark passes the oldest held row, so
+            // quiet keys still flush and prune
+            val next =
+              if (hold.nonEmpty) Some(hold.map(_.ts.getTime).min + 1)
+              else if (live.nonEmpty) Some(live.map(_._1).min + 1)
+              else None
+            next.foreach(state.setTimeoutTimestamp)
+          }
+          out.iterator
+      }
+  }
+
   /** E2b: gap-based sessionization via Spark's NATIVE session_window —
     * the declarative twin of [[sessions]]: no user state code, and the
     * planner gets a mergeable session aggregate (partial sessions merge

@@ -137,15 +137,102 @@ class DialectStressSpec extends graft.SparkSpec {
     val flat = ex.run(
       "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
     assert(r.rows.head.head == flat.rows.head.head)
-    // RIGHT ANY after an ASOF cannot pre-plan the marker — clear
-    // guidance, not a cryptic table-not-found
-    val e = intercept[ReadOnlyViolation](ex.run(
-      """SELECT 1
+    // RIGHT ANY after an ASOF composes too: the ASOF materializes
+    // first, so the dedup pre-plans a real view, not a marker. RIGHT
+    // ANY keeps every right row — the count is the customer count.
+    val r2 = ex.run(
+      """SELECT count(*) AS n
         |FROM (SELECT * FROM events WHERE event_type = 'click') a
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
         |  ON a.user_id = b.user_id AND a.ts >= b.ts
-        |ANY RIGHT JOIN customer c ON a.user_id = c.c_custkey""".stripMargin))
-    assert(e.getMessage.contains("cannot follow an ASOF join"))
+        |ANY RIGHT JOIN customer c ON a.user_id = c.c_custkey""".stripMargin)
+    val custN = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r2.rows.head.head == custN.rows.head.head)
+  }
+
+  test("USING columns resolve case-insensitively, as Spark's analyzer does") {
+    // ANY USING with shouted casing against a lower-case schema
+    val r = ex.run(
+      """SELECT count(*) AS n FROM customer c
+        |ANY LEFT JOIN (SELECT o_custkey AS c_custkey, o_orderkey
+        |               FROM orders) o USING (C_CUSTKEY)""".stripMargin)
+    val n = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r.rows.head.head == n.rows.head.head)
+    // ASOF USING likewise, and mixed-case ON keys in ANY
+    val r2 = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |                WHERE event_type = 'error') b USING (USER_ID, TS)"""
+        .stripMargin)
+    val clicks = ex.run(
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    assert(r2.rows.head.head == clicks.rows.head.head)
+  }
+
+  test("ASOF USING followed by a chained join sharing column names") {
+    // the USING path Marker-qualifies left refs like the ON path, so
+    // the chained join's shared names stay unambiguous
+    val r = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') a
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events
+        |                WHERE event_type = 'error') b USING (user_id, ts)
+        |INNER JOIN (SELECT DISTINCT user_id FROM events) u
+        |  ON u.user_id = a.user_id""".stripMargin)
+    val clicks = ex.run(
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    assert(r.rows.head.head == clicks.rows.head.head)
+  }
+
+  test("APPLY lambda payloads: valid forms expand, invalid ones reject") {
+    val r = ex.run(
+      """SELECT COLUMNS('^n_(nation|region)key$') APPLY(x -> max(x) + 1)
+        |FROM nation""".stripMargin)
+    assert(r.columns.toSet ==
+      Set("max(n_nationkey) + 1", "max(n_regionkey) + 1"))
+    // t.* APPLY with a lambda through the whole-list path
+    val r2 = ex.run(
+      "SELECT n.* APPLY(x -> count(x) * 2) FROM nation n")
+    assert(r2.columns.contains("count(n_name) * 2"))
+    // a two-parameter lambda is not a CH APPLY form — scoped rejection
+    val e = intercept[ReadOnlyViolation](ex.run(
+      """SELECT COLUMNS('^n_') APPLY((x, y) -> x + y) FROM nation"""))
+    assert(e.getMessage.contains("APPLY payload"))
+  }
+
+  test("INTERPOLATE cascade re-evaluates per filler row") {
+    // real rows at 1 and 5; fillers 2..4 double the previous value:
+    // 10, 20, 40, 80, 99
+    val r = ex.run(
+      """SELECT x, v FROM (
+        |  SELECT 1 AS x, CAST(10 AS BIGINT) AS v
+        |  UNION ALL SELECT 5, 99) t
+        |ORDER BY x WITH FILL INTERPOLATE (v AS v * 2)""".stripMargin)
+    assert(r.rows.map(row => (row(0).toString, row(1).toString)) ==
+      Seq(("1", "10"), ("2", "20"), ("3", "40"), ("4", "80"), ("5", "99")))
+    // plain carry-forward items still compose alongside a cascade
+    val r2 = ex.run(
+      """SELECT x, v, w FROM (
+        |  SELECT 1 AS x, CAST(10 AS BIGINT) AS v, 'a' AS w
+        |  UNION ALL SELECT 4, 99, 'b') t
+        |ORDER BY x WITH FILL INTERPOLATE (v AS v + 5, w)""".stripMargin)
+    assert(r2.rows.map(row => (row(0).toString, row(1).toString,
+      row(2).toString)) ==
+      Seq(("1", "10", "a"), ("2", "15", "a"), ("3", "20", "a"),
+        ("4", "99", "b")))
+  }
+
+  test("comma-listed FROM items and scalar subqueries hoist") {
+    // a comma-listed derived table containing an ANY join
+    val r = ex.run(
+      """SELECT count(*) AS n FROM region r, (
+        |  SELECT c.c_custkey FROM customer c
+        |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) t"""
+        .stripMargin)
+    val cust = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r.rows.head.head.toString.toLong ==
+      5L * cust.rows.head.head.toString.toLong)
   }
 
   test("LIMIT WITH TIES over an aggregate ordering") {

@@ -409,10 +409,13 @@ class QueryExecutorSpec extends SparkSpec {
           |ORDER BY x WITH FILL FROM 1 INTERPOLATE (v)""".stripMargin)
       assert(rl.rows.map(_.map(_.toString)) == Seq(
         Seq("1", "0"), Seq("2", "0"), Seq("3", "30")))
-      // the cascade form is rejected, not approximated
-      intercept[ReadOnlyViolation](ex.run(
-        """SELECT x, v FROM VALUES (1, 10) AS t(x, v)
-          |ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)""".stripMargin))
+      // the cascade form re-evaluates per filler row (expr^k of the
+      // last real value; DialectStressSpec pins richer shapes)
+      val rc = ex.run(
+        """SELECT x, v FROM VALUES (1, 10), (4, 40) AS t(x, v)
+          |ORDER BY x WITH FILL INTERPOLATE (v AS v + 1)""".stripMargin)
+      assert(rc.rows.map(_.map(_.toString)) == Seq(
+        Seq("1", "10"), Seq("2", "11"), Seq("3", "12"), Seq("4", "40")))
       // bare INTERPOLATE excludes EVERY ORDER BY column, not just the
       // fill axis: the secondary sort key takes its type default on
       // filler rows. The filler re-sorts under the full ORDER BY
@@ -760,13 +763,24 @@ class QueryExecutorSpec extends SparkSpec {
           |ASOF FULL JOIN events b
           |ON a.user_id = b.user_id AND a.ts >= b.ts) t""".stripMargin))
       assert(ed2.getMessage.contains("ASOF RIGHT/FULL JOIN is not supported"))
-      // a second ASOF join is rejected naming the one-join scope
-      val e2 = intercept[ReadOnlyViolation](ex.run(
-        """SELECT 1 FROM events a
+      // two sibling ASOF joins in one flat FROM compose: the leftmost
+      // materializes into a view, the second joins against it (a self
+      // at-or-before join always matches itself, so inner keeps all)
+      val evN = ex.run("SELECT count(*) AS n FROM events")
+      val two = ex.run(
+        """SELECT count(*) AS n FROM events a
           |ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts
           |ASOF JOIN events c ON a.user_id = c.user_id AND a.ts >= c.ts"""
-          .stripMargin))
-      assert(e2.getMessage.contains("one ASOF join per statement"))
+          .stripMargin)
+      assert(two.rows.head.head == evN.rows.head.head)
+      // the second join's conditions may reference the FIRST join's
+      // right side too (it surfaces as the view's r_* columns)
+      val twoR = ex.run(
+        """SELECT count(*) AS n FROM events a
+          |ASOF JOIN events b ON a.user_id = b.user_id AND a.ts >= b.ts
+          |ASOF JOIN events c ON b.user_id = c.user_id AND b.ts >= c.ts"""
+          .stripMargin)
+      assert(twoR.rows.head.head == evN.rows.head.head)
       // FROM-position subqueries containing the joins HOIST: they plan
       // recursively through the full shim pipeline, so the nested form
       // answers exactly like the flat one
@@ -802,20 +816,31 @@ class QueryExecutorSpec extends SparkSpec {
           |INNER JOIN (SELECT DISTINCT user_id AS uid FROM events) u
           |  ON u.uid = a.user_id""".stripMargin)
       assert(hChain.rows.head.head == hFlat.rows.head.head)
-      // a non-FROM-position (scalar) subquery cannot be pre-planned —
-      // scoped message, not a parser syntax error
-      val e4 = intercept[ReadOnlyViolation](ex.run(
+      // an UNCORRELATED scalar subquery (comma-listed select item)
+      // hoists too: the parenthesized view replacement is a valid
+      // scalar subquery, so the pasted form just works
+      val sc = ex.run(
         """SELECT n_name, (SELECT count(*) FROM customer c
           |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey) AS n
+          |FROM nation""".stripMargin)
+      assert(sc.rows.forall(_(1) == custN.rows.head.head))
+      // a CORRELATED one cannot be pre-planned standalone — scoped
+      // message naming the trigger join, not a parser syntax error
+      val e4 = intercept[ReadOnlyViolation](ex.run(
+        """SELECT n_name, (SELECT count(*) FROM customer c
+          |  ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          |  WHERE c.c_nationkey = nation.n_nationkey) AS n
           |FROM nation""".stripMargin))
-      assert(e4.getMessage.contains("non-FROM-position"))
-      // two ANY joins likewise name the one-join scope
-      val e5 = intercept[ReadOnlyViolation](ex.run(
+      assert(e4.getMessage.contains("could not pre-plan the subquery"))
+      assert(e4.getMessage.contains("ANY join"))
+      // two sibling ANY joins likewise compose (each dedupes its own
+      // right side, so the left multiplicity never grows)
+      val anyTwo = ex.run(
         """SELECT count(*) AS n FROM customer c
           |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
           |ANY LEFT JOIN nation n2 ON c.c_nationkey = n2.n_nationkey"""
-          .stripMargin))
-      assert(e5.getMessage.contains("one ANY join per statement"))
+          .stripMargin)
+      assert(anyTwo.rows.head.head == custN.rows.head.head)
     } finally ex.close()
   }
 

@@ -173,6 +173,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EXACT as-of enrichment holds events for the watermark and " +
+    "matches the batch operator on replayed history") {
+    import spark.implicits._
+    val ev = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    val up = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Update](
+      spark)
+    val q = EventStreams.asofEnrichExact(ev.toDS(), up.toDS(), "10 minutes")
+      .writeStream.format("memory").queryName("asof_exact_out")
+      .outputMode("append").start()
+    try {
+      // b1: two updates, including one with a FUTURE timestamp (09:45)
+      // relative to the event that arrives later — the inexact variant
+      // would enrich that event with it; the exact one must not
+      up.addData(
+        EventStreams.Update(1, Timestamp.valueOf("2024-01-01 09:00:00"), 10.0),
+        EventStreams.Update(1, Timestamp.valueOf("2024-01-01 09:45:00"), 99.0))
+      q.processAllAvailable()
+      // b2: the event (09:40) arrives AFTER the 09:45 update — held in
+      // state (watermark 09:35 has not passed it), nothing emitted
+      ev.addData(EventStreams.Event(1,
+        Timestamp.valueOf("2024-01-01 09:40:00"), 1, "a", 0.0))
+      q.processAllAvailable()
+      assert(spark.table("asof_exact_out").count() == 0)
+      // b3: a LATE update (09:38, inside the allowed lateness) that is
+      // the event's true at-or-before match arrives in a LATER batch
+      // than the event — exact replay must still pick it up
+      up.addData(EventStreams.Update(1,
+        Timestamp.valueOf("2024-01-01 09:38:00"), 77.0))
+      q.processAllAvailable()
+      // b4: a second key-1 event, plus key-2 rows on BOTH streams —
+      // the global watermark is the MIN across the two inputs (the
+      // exactness guarantee needs both), so both must advance
+      ev.addData(
+        EventStreams.Event(2, Timestamp.valueOf("2024-01-01 10:30:00"), 1, "a", 0.0),
+        EventStreams.Event(99, Timestamp.valueOf("2024-01-01 10:30:00"), 2, "wm", 0.0))
+      up.addData(EventStreams.Update(2,
+        Timestamp.valueOf("2024-01-01 10:30:00"), 0.0))
+      q.processAllAvailable()
+      // b5/b6: watermark advances fire the event-time timeouts; key 1
+      // flushes event 1 (exact match: the late 09:38 update), then
+      // event 2 (09:45 — collapsed into the floor by pruning)
+      ev.addData(EventStreams.Event(3,
+        Timestamp.valueOf("2024-01-01 10:50:00"), 2, "wm", 0.0))
+      up.addData(EventStreams.Update(2,
+        Timestamp.valueOf("2024-01-01 10:50:00"), 0.0))
+      q.processAllAvailable()
+      ev.addData(EventStreams.Event(4,
+        Timestamp.valueOf("2024-01-01 11:30:00"), 2, "wm", 0.0))
+      up.addData(EventStreams.Update(2,
+        Timestamp.valueOf("2024-01-01 11:30:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("asof_exact_out").as[EventStreams.Enriched]
+        .collect().filter(_.user_id == 1).sortBy(_.event_id)
+      assert(rows.map(_.event_id).toSeq == Seq(1L, 2L))
+      assert(rows.map(_.state_v).toSeq == Seq(Some(77.0), Some(99.0)))
+      assert(rows.head.state_ts.map(_.toString)
+        .contains("2024-01-01 09:38:00.0"))
+      // batch-equals-stream: the batch AsOf operator over the SAME
+      // replayed fixture returns the same enrichment per event
+      val bEv = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 09:40:00"), 1L),
+        (2L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L))
+        .toDF("event_id", "ts", "user_id")
+      val bUp = Seq(
+        (1L, Timestamp.valueOf("2024-01-01 09:00:00"), 10.0),
+        (1L, Timestamp.valueOf("2024-01-01 09:45:00"), 99.0),
+        (1L, Timestamp.valueOf("2024-01-01 09:38:00"), 77.0))
+        .toDF("key", "uts", "v")
+      val batch = graft.plans.AsOf.join(bEv, bUp,
+        key = ("user_id", "key"), time = ("ts", "uts"),
+        forward = false, strict = false)
+        .select("event_id", "r_v").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows.map(e => e.event_id -> e.state_v.get).toMap == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
