@@ -101,6 +101,22 @@ object Introspection {
     s.sql(sql)
   }
 
+  /** A1 extension: a mounted extra database resolved END-TO-END by
+    * name through the served SQL path — `staging` mounts the same
+    * parquet directory, and the pasted query joins its qualified
+    * `staging.nation` against the default database's `customer`.
+    * The oracle replays the join on the (identical) unqualified
+    * tables. */
+  val srcDbQualified: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    TableEnv.registerDatabase(s, "staging", dir)
+    graft.sql.QueryGuard.plan(s,
+      """SELECT st.n_name, count(*) AS n
+        |FROM staging.nation st
+        |JOIN customer c ON c.c_nationkey = st.n_nationkey
+        |GROUP BY st.n_name ORDER BY st.n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "cat_databases" -> catDatabases,
     "sys_databases" -> sysDatabases,
@@ -108,7 +124,8 @@ object Introspection {
     "sys_columns" -> sysColumns,
     "sys_functions" -> sysFunctions,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
-    "src_file_sql" -> srcFileSql)
+    "src_file_sql" -> srcFileSql,
+    "src_db_qualified" -> srcDbQualified)
 
   /** Catalog listings have no cross-engine oracle — rows-only;
     * the in-SQL file query verifies against DuckDB reading the same
@@ -137,5 +154,9 @@ object Introspection {
       """SELECT o_orderstatus, count(*) AS n,
         |  round(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) / 1e2, 2) AS total
         |FROM orders
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "src_db_qualified" ->
+      """SELECT n_name, count(*) AS n
+        |FROM nation JOIN customer ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin)
 }

@@ -29,4 +29,26 @@ object TableEnv {
       cat.systemColumns.createOrReplaceTempView("system_columns")
       cat.systemFunctions.createOrReplaceTempView("system_functions")
     }
+
+  /** Mount an extra parquet directory as a session-catalog DATABASE,
+    * so the guarded SQL path resolves qualified `db.table` names
+    * end-to-end (the A1 mount surface; temp views cannot carry a
+    * qualifier, so mounts use real external tables — metadata only,
+    * no data is copied or written). Idempotent per (session, db). */
+  def registerDatabase(spark: SparkSession, db: String, dir: String): Unit =
+    if (registered.add((spark, s"db:$db"))) {
+      require(db.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad database name $db")
+      // explicit LOCATION keeps the in-memory catalog from creating a
+      // warehouse directory inside the working tree
+      val loc = s"${System.getProperty("java.io.tmpdir")}/graft_db_$db"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
+      val root = new java.io.File(dir)
+      val tables = Option(root.listFiles()).getOrElse(Array.empty)
+        .map(_.getName).filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet")).sorted
+      tables.foreach { t =>
+        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` " +
+          s"USING parquet LOCATION '$dir/$t.parquet'")
+      }
+    }
 }

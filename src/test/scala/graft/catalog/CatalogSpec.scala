@@ -112,6 +112,42 @@ class CatalogSpec extends SparkSpec {
     assert(garbage.tables.map(_.name) == p1.tables.map(_.name))
   }
 
+  test("stateless tokens under concurrent table churn: shifted pages, " +
+    "never a crash or replay error") {
+    // the documented departure from the reference's TTL'd server-side
+    // token cache (mcp_server.py:266-297): a stateless offset token
+    // replayed across table add/drop lists a SHIFTED page — rows can
+    // move between pages, but the listing never crashes, never
+    // duplicates the already-seen prefix, and always terminates
+    val tmp = java.nio.file.Files.createTempDirectory("graft_churn").toString
+    def put(n: String): Unit = graft.Tables(spark, sf, "region")
+      .write.mode("overwrite").parquet(s"$tmp/$n.parquet")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    Seq("a", "b", "c", "d", "e", "f").foreach(put)
+    val cat2 = new GraftCatalog(spark, sf, Map("churn" -> tmp))
+    val p1 = cat2.listTables(database = "churn", pageSize = 2)
+    assert(p1.tables.map(_.name) == Seq("a", "b"))
+    // DROP between pages: the offset now lands past where 'c' was —
+    // page 2 is the shifted (d, e), not an error and not (a, b) again
+    rm(new java.io.File(s"$tmp/c.parquet"))
+    val p2 = cat2.listTables(database = "churn", pageSize = 2,
+      pageToken = p1.nextPageToken)
+    assert(p2.tables.map(_.name) == Seq("d", "e"))
+    // ADD between pages: the same old token now lists the new row —
+    // shifted content again, still no crash and no a/b replay
+    put("bb")
+    val p3 = cat2.listTables(database = "churn", pageSize = 2,
+      pageToken = p1.nextPageToken)
+    assert(p3.tables.map(_.name) == Seq("bb", "d"))
+    // pagination still terminates, and describe works after churn
+    val p4 = cat2.listTables(database = "churn", pageSize = 2,
+      pageToken = p3.nextPageToken)
+    assert(p4.tables.map(_.name) == Seq("e", "f") && p4.nextPageToken.isEmpty)
+    assert(cat2.describeTable("churn", "d").totalRows == 5)
+  }
+
   test("token for different filters restarts from the beginning") {
     val p1 = cat.listTables(pageSize = 2)
     val restarted = cat.listTables(pageSize = 2, like = Seq("o%"),

@@ -398,9 +398,15 @@ class HealthSpec extends SparkSpec {
       assert(qc == 200 && qb.contains("\"one\""),
         s"/query unavailable while SSE at cap: $qb")
       // a released slot is re-admitted once the keep-alive probe
-      // notices the closed client (500 ms cadence)
+      // notices the closed client (500 ms cadence). Close the
+      // underlying stream explicitly BEFORE disconnect():
+      // HttpURLConnection.disconnect() alone may keep the socket in a
+      // keep-alive pool, which on a loaded box delays the probe's
+      // detection past the deadline (the noisy-box flake this repo
+      // tracks); the generous deadline absorbs scheduler stalls
+      try held.head.getInputStream.close() catch { case _: Exception => }
       held.head.disconnect()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
       var admitted = false
       while (!admitted && System.nanoTime() < deadline) {
         val c = open()
