@@ -222,7 +222,8 @@ object AnyJoinText {
       val dot = operand.indexOf('.')
       if (dot > 0) {
         val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
-        if (q == spec.side.alias) resolve(c) else None
+        // alias match is case-insensitive, like Spark's own resolution
+        if (q.equalsIgnoreCase(spec.side.alias)) resolve(c) else None
       } else resolve(operand)
     }
     val keys: Seq[String] = if (spec.usingCols.nonEmpty) {

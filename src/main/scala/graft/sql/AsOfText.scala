@@ -172,10 +172,12 @@ object AsOfText {
                 "<alias>.<col> <op> <alias>.<col>"))
           val (q1, c1, op, q2, c2) =
             (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
-          // normalize to left-operand-first
+          // normalize to left-operand-first; alias match is
+          // case-insensitive, like Spark's own resolution
+          def is(q: String, a: String) = q.equalsIgnoreCase(a)
           val (lc, rc, nop) =
-            if (q1 == left.alias && q2 == right.alias) (c1, c2, op)
-            else if (q1 == right.alias && q2 == left.alias)
+            if (is(q1, left.alias) && is(q2, right.alias)) (c1, c2, op)
+            else if (is(q1, right.alias) && is(q2, left.alias))
               (c2, c1, mirror(op))
             else throw new ReadOnlyViolation(
               s"ASOF JOIN condition '$c' must reference both sides " +
@@ -235,10 +237,18 @@ object AsOfText {
     // right column bumps to a numbered suffix BEFORE the join, so the
     // published view never holds duplicate names
     val leftLower = leftDf.columns.map(_.toLowerCase).toSet
+    // a bumped candidate must be unique among the OTHER right columns
+    // too (right may itself carry x and x_2), not just clear of left
+    val taken = scala.collection.mutable.Set.empty[String]
+    rightCols0.foreach(rc => taken += rc.toLowerCase)
     val bump: Map[String, String] = rightCols0.map { rc =>
       var cand = rc
       var n = 2
-      while (leftLower("r_" + cand.toLowerCase)) { cand = rc + "_" + n; n += 1 }
+      while (leftLower("r_" + cand.toLowerCase) ||
+        (cand != rc && taken(cand.toLowerCase))) {
+        cand = rc + "_" + n; n += 1
+      }
+      if (cand != rc) taken += cand.toLowerCase
       rc -> cand
     }.toMap
     if (bump.exists(kv => kv._1 != kv._2))
@@ -287,11 +297,16 @@ object AsOfText {
         }
       // qualified right-alias refs follow the final naming, and stay
       // view-QUALIFIED (mirroring the ON path) so a chained join
-      // after the ASOF clause still resolves them unambiguously
+      // after the ASOF clause still resolves them unambiguously.
+      // Bare-vs-r_ is decided on the BUMPED name — the same name the
+      // rename loop above used — so the two can never disagree.
       stmt = rewriteQualifierMapped(stmt, spec.right.alias, c =>
         if (ci(spec.usingCols, c)) Marker + "." + c
-        else if (ci(leftCols, c)) Marker + ".r_" + rName(c)
-        else Marker + "." + rName(c))
+        else {
+          val rn = rName(c)
+          if (ci(leftCols, rn)) Marker + ".r_" + rn
+          else Marker + "." + rn
+        })
     } else {
       // ON path: qualified right-alias refs surface as the view's
       // (collision-bumped) r_* names
@@ -380,7 +395,9 @@ object AsOfText {
     val ts = QueryGuard.normalizeScan(out)
     ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
       val i = ts.size - 1 - ri
-      if (out.substring(t.start, t.end) == alias && i + 1 < ts.size) {
+      // alias match is case-insensitive, like Spark's own resolution
+      if (out.substring(t.start, t.end).equalsIgnoreCase(alias) &&
+        i + 1 < ts.size) {
         val between = out.substring(t.end, ts(i + 1)._1.start)
         val prevCh = out.substring(0, t.start).reverse
           .dropWhile(_.isWhitespace).headOption

@@ -72,7 +72,8 @@ object QueryGuard {
       // a defensive backstop, not a real limit).
       var more = true
       var guard = 0
-      while (more && guard < 64) {
+      val maxJoins = 64
+      while (more && guard < maxJoins) {
         guard += 1
         val ts = normalizeScan(stmt)
         val nextAsof = ts.indices.find(i =>
@@ -97,15 +98,28 @@ object QueryGuard {
             more = false
         }
       }
+      // exhausting the cap without reaching the terminal branch would
+      // SKIP the rejection pass and let leftover ASOF/ANY text parse
+      // as table aliases (the silent-misparse class) — refuse instead
+      if (more) throw new ReadOnlyViolation(
+        s"more than $maxJoins ASOF/ANY joins in one statement — split " +
+          "the query")
       try planShimmed(spark, stmt)
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException
             if deferred.nonEmpty =>
+          // a parse death downstream of a construct left in place: give
+          // the user BOTH the inner pre-plan failure (the likely root
+          // cause) and the parser's own first line, with the original
+          // exception chained for full context
           val (trig, msg) = deferred.head
-          throw new ReadOnlyViolation(
+          val rv = new ReadOnlyViolation(
             s"could not pre-plan the subquery containing the $trig " +
               s"construct ($msg), and the construct cannot run in " +
-              "place — fix the subquery or hoist it to the top level")
+              "place — fix the subquery or hoist it to the top level " +
+              s"(parser said: ${e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("")})")
+          rv.initCause(e)
+          throw rv
       }
     } finally views.foreach(v => spark.catalog.dropTempView(v))
   }
@@ -160,9 +174,17 @@ object QueryGuard {
     // non-hoistable first occurrence (scalar/IN position) no longer
     // shadows a hoistable FROM-position subquery later in the text
     val candidates = ts.indices.filter(i => ts(i)._2 > 0 && shimTokenAt(i))
+    // several shim tokens inside the SAME subquery share their
+    // enclosing paren — one pre-plan attempt per subquery, not one
+    // per token (a failing attempt would otherwise repeat the full
+    // recursive analysis for each token)
+    val attempted = scala.collection.mutable.Set.empty[Int]
     for (i <- candidates) {
       val trigger = ts(i)._1.upper
       val open = enclosingOpen(sql, ts(i)._1.start)
+      if (open >= 0 && !attempted.add(open)) {
+        // already tried this subquery for an earlier token — skip
+      } else {
       val close = if (open < 0) -1 else matchParenAt(sql, open)
       val innerText =
         if (open < 0 || close < 0) "" else sql.substring(open + 1, close).trim
@@ -217,6 +239,7 @@ object QueryGuard {
               registered, deferred)
           case None => // opportunistic hoist failed: try later hits
         }
+      }
       }
     }
     sql // nothing hoistable: the shims' scoped rejection speaks

@@ -35,8 +35,21 @@ object TableEnv {
     * end-to-end (the A1 mount surface; temp views cannot carry a
     * qualifier, so mounts use real external tables — metadata only,
     * no data is copied or written). Idempotent per (session, db). */
-  def registerDatabase(spark: SparkSession, db: String, dir: String): Unit =
-    if (registered.add((spark, s"db:$db"))) {
+  private val mountedDbs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  def registerDatabase(spark: SparkSession, db: String, dir: String): Unit = {
+    // remounting the same name onto a DIFFERENT directory must fail
+    // loudly — an idempotence check keyed on the name alone would
+    // silently keep serving the first directory's data
+    val prev = mountedDbs.putIfAbsent((spark, db), dir)
+    if (prev != null) {
+      require(prev == dir,
+        s"database '$db' is already mounted on '$prev'; cannot remount " +
+          s"on '$dir' in the same session")
+      return
+    }
+    try {
       require(db.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad database name $db")
       // explicit LOCATION keeps the in-memory catalog from creating a
       // warehouse directory inside the working tree
@@ -50,5 +63,10 @@ object TableEnv {
         spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` " +
           s"USING parquet LOCATION '$dir/$t.parquet'")
       }
+    } catch {
+      // a mid-mount failure must not leave a half-mounted database
+      // that can never be repaired in-session
+      case e: Throwable => mountedDbs.remove((spark, db)); throw e
     }
+  }
 }

@@ -96,10 +96,15 @@ object ScaleData {
       })
     write("embeddings",
       replicate(src("embeddings"), Seq("vec_id")) { (d, copy) =>
-        // cyclic rotation by a copy-dependent stride: same value
-        // distribution and norm, no cosine-1.0 twins across copies
+        // cyclic rotation BY THE COPY INDEX: same value distribution
+        // and norm, and since factor < dim, every pair of copies has a
+        // distinct non-zero relative rotation — no cosine-1.0 twins.
+        // (A stride like copy*7 would alias back to rotation 0
+        // whenever 7*Δcopy ≡ 0 mod dim, quietly recreating the
+        // duplicate-cluster degeneracy this perturbation exists to
+        // prevent.)
         val n = size(col("embedding"))
-        val k = (copy * lit(7)) % n
+        val k = copy % n
         d.withColumn("embedding",
           when(copy === 0, col("embedding")).otherwise(
             concat(slice(col("embedding"), k + 1, n - k),

@@ -71,22 +71,39 @@ class DialectFuzzSpec extends graft.SparkSpec {
     "GROUP BY event_type WITH TOTALS",
     "SETTINGS max_threads = 4 FORMAT JSONEachRow")
 
+  // keyword-as-alias signatures: a shim missing its pattern leaves the
+  // keyword for Spark to read as a table alias
+  private val misparseAliases =
+    Set("any", "asof", "final", "sample", "prewhere", "global")
+
+  private val planned = new java.util.concurrent.atomic.AtomicInteger()
+
   private def check(q: String): Option[String] =
     try {
       val df = QueryGuard.plan(spark, q)
       val bad = df.queryExecution.analyzed.collect {
         case s: SubqueryAlias
-            if Set("any", "asof")(s.identifier.name.toLowerCase) => s
+            if misparseAliases(s.identifier.name.toLowerCase) => s
       }
       if (bad.nonEmpty)
-        Some(s"SILENT MISPARSE (ANY/ASOF became a table alias): $q")
-      else None
+        Some(s"SILENT MISPARSE (shim keyword became a table alias): $q")
+      else { planned.incrementAndGet(); None }
     } catch {
       case _: ReadOnlyViolation => None // scoped rejection
       case _: ParseException =>
         Some(s"PARSER LEAK (shim construct reached Spark's parser): $q")
       case _: AnalysisException => None // loud semantic rejection
     }
+
+  /** Guard against a vacuous pass (every statement rejecting would
+    * satisfy the property trivially): a healthy majority of each
+    * space must actually PLAN. */
+  private def assertPlannedShare(total: Int, minShare: Double): Unit = {
+    val p = planned.getAndSet(0)
+    assert(p >= (total * minShare).toInt,
+      s"only $p/$total statements planned — the space is rejecting " +
+        "nearly everything, so the no-misparse property is vacuous")
+  }
 
   test("every join × select × nesting × tail combination plans or " +
     "rejects — never a silent ANY/ASOF misparse (1404 cases)") {
@@ -103,5 +120,67 @@ class DialectFuzzSpec extends graft.SparkSpec {
     } yield f
     if (failures.nonEmpty)
       fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+    assertPlannedShare(joins.size * sels.size * nests.size * tails.size, 0.3)
+  }
+
+  // ---- second space: FROM modifiers × PREWHERE × param-agg selects ×
+  // TOTALS/HAVING × LIMIT BY/WITH FILL tails × nesting over orders ----
+
+  private val fromItems = Seq(
+    "orders",
+    "orders FINAL",
+    "orders SAMPLE 0.5",
+    "orders AS o FINAL")
+
+  private val wheres = Seq(
+    "",
+    "PREWHERE o_totalprice > 1000",
+    "WHERE o_totalprice > 1000")
+
+  // (select list, group clause) move together — param-agg call forms,
+  // WITH TOTALS, HAVING with bare count(), and the whole-list star
+  // APPLY chain
+  private val selGroups = Seq(
+    ("count() AS n", ""),
+    ("o_orderpriority, count() AS n", "GROUP BY o_orderpriority"),
+    ("o_orderpriority, quantile(0.5)(o_totalprice) AS med",
+      "GROUP BY o_orderpriority WITH TOTALS"),
+    ("o_orderpriority, countIf(o_totalprice > 5000) AS big",
+      "GROUP BY o_orderpriority HAVING count() > 0"),
+    ("* APPLY(max)", ""))
+
+  private val joins2 = Seq(
+    "",
+    "ANY LEFT JOIN (SELECT o_custkey AS k, count() AS per_cust " +
+      "FROM orders GROUP BY o_custkey) d ON o_custkey = d.k")
+
+  private val tails2 = Seq(
+    "",
+    "ORDER BY 1 LIMIT 3",
+    "LIMIT 1 BY o_orderpriority",
+    "SETTINGS x = 1 FORMAT JSONEachRow",
+    "ORDER BY o_orderpriority WITH FILL")
+
+  test("FROM modifiers × PREWHERE × param-aggs × TOTALS × tails plan " +
+    "or reject — no keyword-as-alias misparse (1800 cases)") {
+    assert(ready)
+    val failures = for {
+      f <- fromItems
+      j <- joins2
+      w <- wheres
+      (s, g) <- selGroups
+      n <- nests
+      t <- tails2
+      core = (s"SELECT $s FROM $f" +
+        (if (j.isEmpty) "" else s" $j") +
+        (if (w.isEmpty) "" else s" $w") +
+        (if (g.isEmpty) "" else s" $g")).trim
+      stmt = n(core) + (if (t.isEmpty) "" else " " + t)
+      fmsg <- check(stmt)
+    } yield fmsg
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+    assertPlannedShare(fromItems.size * joins2.size * wheres.size *
+      selGroups.size * nests.size * tails2.size, 0.3)
   }
 }

@@ -235,6 +235,51 @@ class DialectStressSpec extends graft.SparkSpec {
       5L * cust.rows.head.head.toString.toLong)
   }
 
+  test("join aliases match case-insensitively, like Spark resolution") {
+    // ANY ON with a shouted alias qualifier
+    val r = ex.run(
+      """SELECT count(*) AS n FROM customer c
+        |ANY LEFT JOIN orders o ON c.c_custkey = O.o_custkey""".stripMargin)
+    val n = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r.rows.head.head == n.rows.head.head)
+    // ASOF ON with mixed-case qualifiers on both sides
+    val r2 = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON A.user_id = B.user_id AND A.ts >= b.ts""".stripMargin)
+    val r2l = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts""".stripMargin)
+    assert(r2.rows.head.head == r2l.rows.head.head)
+  }
+
+  test("sibling ASOF then ASOF USING: bumped right names stay resolvable") {
+    // the first view carries event_id AND r_event_id, so the second
+    // join's right event_id bumps — a qualified c.event_id reference
+    // must follow the SAME bumped name the rename loop produced
+    val r = ex.run(
+      """SELECT a.event_id, c.event_id AS third_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') a
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND a.ts >= b.ts
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id FROM events
+        |                WHERE event_type = 'error') c USING (user_id, ts)
+        |ORDER BY a.event_id LIMIT 5""".stripMargin)
+    assert(r.columns.toSeq == Seq("event_id", "third_id"))
+    assert(r.rows.nonEmpty)
+  }
+
+  test("remounting a database name onto a different dir fails loudly") {
+    TableEnv.registerDatabase(spark, "remount_probe", sf)
+    TableEnv.registerDatabase(spark, "remount_probe", sf) // same dir: no-op
+    val e = intercept[IllegalArgumentException](
+      TableEnv.registerDatabase(spark, "remount_probe", "/tmp/elsewhere"))
+    assert(e.getMessage.contains("already mounted"))
+  }
+
   test("LIMIT WITH TIES over an aggregate ordering") {
     assert(rows(
       """SELECT o_orderpriority, count(*) AS n FROM orders
