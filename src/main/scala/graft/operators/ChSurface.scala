@@ -1419,6 +1419,43 @@ object ChSurface {
         |SELECT q, CAST(CASE WHEN fill = 1 THEN base + steps ELSE c END AS BIGINT) AS c
         |FROM k ORDER BY q""".stripMargin)),
 
+    // CHAINED APPLY transformers compose left to right (CH transformer
+    // chaining): sum first, then a lambda over the summed value, with
+    // the nested result naming
+    ("q_columns_apply_chain",
+      """SELECT l_returnflag,
+        |  COLUMNS('^l_(quantity|linenumber)$') APPLY(sum) APPLY(x -> round(x / 100, 2))
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      Some("""SELECT l_returnflag,
+        |  round(sum(l_quantity) / 100, 2) AS "round(sum(l_quantity) / 100, 2)",
+        |  round(sum(l_linenumber) / 100, 2)
+        |    AS "round(sum(l_linenumber) / 100, 2)"
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // MULTIPLE sort columns each WITH FILL: the filled grid is the
+    // cross product of the per-column axes (explicit FROM/TO bound
+    // both, so this equals CH's nested fill); missing (g, q) points
+    // carry the count's type default 0, real rows pass through
+    ("q_with_fill_multi",
+      """SELECT g, q, c FROM (
+        |  SELECT pmod(o_custkey, 3) AS g,
+        |    CAST(o_totalprice / 100000 AS INT) AS q, count(*) AS c
+        |  FROM orders WHERE o_totalprice > 250000 GROUP BY 1, 2) t
+        |ORDER BY g WITH FILL FROM 0 TO 3, q WITH FILL FROM 2 TO 6"""
+        .stripMargin,
+      Some("""WITH src AS (
+        |  SELECT o_custkey % 3 AS g,
+        |    CAST(floor(o_totalprice / 100000) AS INT) AS q, count(*) AS c
+        |  FROM orders WHERE o_totalprice > 250000 GROUP BY 1, 2),
+        |grid AS (SELECT CAST(gg.range AS BIGINT) AS g,
+        |    CAST(qq.range AS INT) AS q
+        |  FROM range(0, 3) gg, range(2, 6) qq),
+        |miss AS (SELECT grid.g, grid.q, CAST(0 AS BIGINT) AS c
+        |  FROM grid ANTI JOIN src ON grid.g = src.g AND grid.q = src.q)
+        |SELECT g, q, c FROM (
+        |  SELECT g, q, c FROM src UNION ALL SELECT g, q, c FROM miss)
+        |ORDER BY g, q""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

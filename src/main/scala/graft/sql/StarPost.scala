@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   *     regex (partial match, as CH's RE2 find does)
   *   - `... APPLY(f)` maps each selected column through `f`, naming
   *     the result `f(col)` exactly as ClickHouse renders it
-  *   - supported chains: `COLUMNS('re')`, `COLUMNS('re') APPLY(f)`,
-  *     `* APPLY(f)`, `t.* APPLY(f)`, `* EXCEPT (...) APPLY(f)` (the
-  *     EXCEPT stays in the core query — Spark expands it natively)
+  *   - supported chains: `COLUMNS('re')`, `COLUMNS('re') APPLY(f)
+  *     [APPLY(g) ...]`, `* APPLY(f) [APPLY(g) ...]`, `t.* APPLY(f)`,
+  *     `* EXCEPT (...) APPLY(f)` (the EXCEPT stays in the core query
+  *     — Spark expands it natively); several APPLYs chain left to
+  *     right, `g(f(col))`, as CH transformer chains do
   *
   * A `COLUMNS('re') [APPLY(f)]` chain may also appear as ONE ITEM of a
   * larger select list (`SELECT id, COLUMNS('^l_') APPLY(sum) ... GROUP
@@ -43,7 +45,10 @@ import org.apache.spark.sql.functions._
   */
 object StarPost {
 
-  final case class StarSpec(regex: Option[String], fn: Option[String])
+  /** `fns` is the APPLY chain, applied left to right (CH transformer
+    * chaining: `APPLY(f) APPLY(g)` yields `g(f(col))`); empty = no
+    * APPLY. */
+  final case class StarSpec(regex: Option[String], fns: Seq[String])
 
   // an APPLY payload: a plain function name, a parameterized
   // aggregate head `name(params)` (expands to CH's f(params)(col)
@@ -53,33 +58,58 @@ object StarPost {
   private val fnForm = "[A-Za-z_][A-Za-z0-9_]*(?:\\([^()]*\\))?"
   private val columnsForm =
     "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)\\s*(.*)$".r
-  private val applyTail =
-    "(?is)^APPLY\\s*\\(\\s*(.+?)\\s*\\)$".r
-  private val starApplyForm =
+  private val starHeadForm =
     ("(?is)^(\\*|[A-Za-z_][A-Za-z0-9_]*\\.\\*|\\*\\s+EXCEPT\\s*\\([^)]*\\))" +
-      "\\s+APPLY\\s*\\(\\s*(.+?)\\s*\\)$").r
+      "\\s+(APPLY\\s*\\(.*)$").r
   private val lambdaForm =
     "(?s)^([A-Za-z_][A-Za-z0-9_]*)\\s*->\\s*(.+)$".r
 
-  /** An APPLY payload applied to column `c`: (expression text,
-    * result name). Plain names and param-agg heads render CH's
-    * `f(col)` / `f(params)(col)` naming; a one-parameter lambda
-    * substitutes the column for the parameter and names the result
-    * by the substituted text. Anything else is rejected with the
-    * supported forms named. */
-  private[sql] def applyCall(payload: String, c: String): (String, String) = {
+  /** Parse a chain of `APPLY(payload)` groups (paren-aware, so lambda
+    * bodies with nested parens survive); None when the text is not a
+    * pure APPLY chain. */
+  private[sql] def parseApplyChain(tail0: String): Option[Seq[String]] = {
+    var tail = tail0.trim
+    val fs = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (tail.nonEmpty) {
+      val m = "(?is)^APPLY\\s*\\(".r.findFirstMatchIn(tail)
+        .getOrElse(return None)
+      val open = m.end - 1
+      val close = QueryGuard.matchParenAt(tail, open)
+      if (close < 0) return None
+      fs += tail.substring(open + 1, close).trim
+      tail = tail.substring(close + 1).trim
+    }
+    Some(fs.toSeq)
+  }
+
+  /** One APPLY payload applied to an expression/name pair. Plain
+    * names and param-agg heads render CH's `f(expr)` /
+    * `f(params)(expr)` naming; a one-parameter lambda substitutes the
+    * expression for the parameter and names the result by the
+    * substituted text. Anything else is rejected with the supported
+    * forms named. */
+  private def applyCallOn(payload: String, e: String,
+      n: String): (String, String) = {
     payload.trim match {
       case lambdaForm(param, body) =>
-        (substituteParam(body.trim, param, s"`$c`"),
-          substituteParam(body.trim, param, c))
+        (substituteParam(body.trim, param, e),
+          substituteParam(body.trim, param, n))
       case p if p.matches(fnForm) =>
-        (QueryGuard.rewriteParamAggs(s"$p(`$c`)"), s"$p($c)")
+        (QueryGuard.rewriteParamAggs(s"$p($e)"), s"$p($n)")
       case p => throw new ReadOnlyViolation(
         s"APPLY payload '$p' is not supported — use a function name, " +
           "a parameterized head f(params), or a one-parameter lambda " +
           "x -> expr")
     }
   }
+
+  /** A whole APPLY chain over column `c`, left to right: (expression
+    * text, result name). */
+  private[sql] def applyChain(payloads: Seq[String],
+      c: String): (String, String) =
+    payloads.foldLeft((s"`$c`", c)) { case ((e, n), p) =>
+      applyCallOn(p, e, n)
+    }
 
   /** Token-aware substitution of a lambda parameter: standalone
     * `param` tokens become `repl`; qualified uses (`t.param`) stay. */
@@ -118,20 +148,23 @@ object StarPost {
         val rex = re.replace("''", "'")
         rest.trim match {
           case "" =>
-            (rebuilt("*"), Some(StarSpec(Some(rex), None)))
-          case applyTail(f) =>
-            (rebuilt("*"), Some(StarSpec(Some(rex), Some(f))))
-          case _ => (sql, None) // unsupported chain: let the parser speak
+            (rebuilt("*"), Some(StarSpec(Some(rex), Nil)))
+          case tail => parseApplyChain(tail) match {
+            case Some(fs) => (rebuilt("*"), Some(StarSpec(Some(rex), fs)))
+            case None => (sql, None) // unsupported chain: parser speaks
+          }
         }
-      case starApplyForm(head, f) =>
-        (rebuilt(head), Some(StarSpec(None, Some(f))))
+      case starHeadForm(head, tail) =>
+        parseApplyChain(tail) match {
+          case Some(fs) => (rebuilt(head), Some(StarSpec(None, fs)))
+          case None => (sql, None)
+        }
       case _ => (sql, None)
     }
   }
 
   private val columnsItem =
-    ("(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)" +
-      "(?:\\s+APPLY\\s*\\(\\s*(.+)\\s*\\))?$").r
+    "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)(.*)$".r
 
   /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select
     * list. The matching column set comes from probing the FROM
@@ -161,7 +194,12 @@ object StarPost {
     // fires on ANY list containing a chain item — including a
     // single-item list, where textual expansion (unlike the post-plan
     // whole-list path) lets the statement's own GROUP BY/HAVING apply
-    if (!items.exists(i => columnsItem.findFirstIn(i.trim).isDefined))
+    val isChainItem: String => Boolean = it => it.trim match {
+      case columnsItem(_, tail) =>
+        tail.trim.isEmpty || parseApplyChain(tail).isDefined
+      case _ => false
+    }
+    if (!items.exists(isChainItem))
       return None
     val stops = Set("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
       "QUALIFY", "UNION", "INTERSECT", "EXCEPT")
@@ -191,7 +229,8 @@ object StarPost {
       sql.substring(fromAt._1.start, tailCut).stripSuffix(";")).columns
     val newItems = items.map { it =>
       it.trim match {
-        case columnsItem(re, f) =>
+        case columnsItem(re, tail)
+            if tail.trim.isEmpty || parseApplyChain(tail).isDefined =>
           val rex = re.replace("''", "'")
           val p =
             try Pattern.compile(rex)
@@ -206,13 +245,13 @@ object StarPost {
           if (hasOrdinal && m.size != 1) throw new ReadOnlyViolation(
             "COLUMNS expansion changes select-list positions — name " +
               "the GROUP BY/ORDER BY columns instead of using ordinals")
-          Option(f) match {
-            case None => m.map(c => s"`$c`").mkString(", ")
-            case Some(fn) =>
+          parseApplyChain(tail.trim).getOrElse(Nil) match {
+            case Nil => m.map(c => s"`$c`").mkString(", ")
+            case fs =>
               // name/param-head/lambda payloads expand per column
-              // through [[applyCall]]
+              // through [[applyChain]], left to right
               m.map { c =>
-                val (call, name) = applyCall(fn, c)
+                val (call, name) = applyChain(fs, c)
                 s"$call AS `$name`"
               }.mkString(", ")
           }
@@ -240,13 +279,13 @@ object StarPost {
         m.toSeq
       case None => df.columns.toSeq
     }
-    spec.fn match {
-      case None => df.select(cols.map(col): _*)
-      case Some(f) =>
+    spec.fns match {
+      case Nil => df.select(cols.map(col): _*)
+      case fs =>
         // name/param-head/lambda payloads expand per column through
-        // [[applyCall]]
+        // [[applyChain]], left to right
         df.select(cols.map { c =>
-          val (call, name) = applyCall(f, c)
+          val (call, name) = applyChain(fs, c)
           expr(call).as(name)
         }: _*)
     }

@@ -37,27 +37,43 @@ import org.apache.spark.sql.types._
   * there, other columns their type defaults), where CH would read
   * the previous output row.
   *
-  * Scope (documented departures): the fill column must be a named
-  * output column (CH also fills computed sort expressions); one
-  * WITH FILL per statement (CH allows one per sort column).
+  * SEVERAL sort columns may each carry WITH FILL (`ORDER BY a WITH
+  * FILL, b WITH FILL FROM 0 TO 10`): the filled grid is the CROSS
+  * PRODUCT of the per-column axes (each axis = its FROM|min .. TO|max
+  * by STEP over the whole result) — the dense time × category grid
+  * dashboards expect. Documented nuance vs CH: ClickHouse fills inner
+  * columns per consecutive run of the outer sort prefix, which equals
+  * the cross product whenever explicit FROM/TO bound the axes (the
+  * common pasted form) and differs only for unbounded inner axes
+  * whose observed range varies across outer groups.
+  *
+  * Scope (documented departures): each fill column must be a named
+  * output column (CH also fills computed sort expressions).
   * `TO` is exclusive, as in CH.
   */
 object WithFill {
 
-  /** `interpolate`: None = no clause; Some(Nil) = bare INTERPOLATE
-    * (carry every non-ORDER-BY column); Some(items) = the listed
-    * columns, each with an optional cascade expression (`col AS
-    * expr`). */
-  final case class FillSpec(
+  /** One filled sort column: FROM/TO/STEP default to min / max /
+    * 1-or-1-day over the result. */
+  final case class FillAxis(
       column: String,
       from: Option[String],
       to: Option[String],
-      step: Option[String],
+      step: Option[String])
+
+  /** `interpolate`: None = no clause; Some(Nil) = bare INTERPOLATE
+    * (carry every non-ORDER-BY column); Some(items) = the listed
+    * columns, each with an optional cascade expression (`col AS
+    * expr`). `orderText` is the CLEANED sort list (fill subclauses
+    * removed). */
+  final case class FillSpec(
+      axes: Seq[FillAxis],
       orderText: String,
       interpolate: Option[Seq[(String, Option[String])]] = None)
 
-  /** Cut a top-level `WITH FILL [FROM ..] [TO ..] [STEP ..]` out of
-    * `sql`; the returned core keeps its ORDER BY. */
+  /** Cut every top-level `WITH FILL [FROM ..] [TO ..] [STEP ..]` out
+    * of the ORDER BY list; the returned core keeps the cleaned ORDER
+    * BY. */
   def extract(sql: String): (String, Option[FillSpec]) = {
     val ts = QueryGuard.normalizeScan(sql)
     val fillAt = ts.indices.find { i =>
@@ -75,68 +91,80 @@ object WithFill {
             ts(j + 1)._1.upper == "BY"
         }.getOrElse(throw new ReadOnlyViolation(
           "WITH FILL is only valid inside a top-level ORDER BY"))
-        val orderText = sql.substring(ts(orderAt + 1)._1.end, ts(i)._1.start)
-          .trim
-        // the fill column is the last sort item, direction dropped
-        var colText = orderText.split(",").last.trim
-        val up = colText.toUpperCase
-        if (up.endsWith(" DESC")) colText = colText.dropRight(5).trim
-        else if (up.endsWith(" ASC")) colText = colText.dropRight(4).trim
-        colText = colText.stripPrefix("`").stripSuffix("`")
-
-        // FROM/TO/STEP sub-clauses: each value runs to the next
-        // depth-0 clause keyword or end of statement
-        val stop = Set("FROM", "TO", "STEP", "INTERPOLATE", "LIMIT",
-          "SETTINGS", "FORMAT")
-        var from: Option[String] = None
-        var to: Option[String] = None
-        var step: Option[String] = None
-        var endOfFill = ts(i + 1)._1.end
-        var j = i + 2
-        var done = false
-        while (!done && j < ts.size && ts(j)._2 == 0 &&
-          Set("FROM", "TO", "STEP")(ts(j)._1.upper)) {
-          val next = ((j + 1) until ts.size).find(x =>
-            ts(x)._2 == 0 && stop(ts(x)._1.upper))
-          val vEnd = next.map(x => ts(x)._1.start).getOrElse(sql.length)
-          val v = sql.substring(ts(j)._1.end, vEnd).trim
-            .stripSuffix(";").trim
-          ts(j)._1.upper match {
-            case "FROM" => from = Some(v)
-            case "TO" => to = Some(v)
-            case "STEP" => step = Some(v)
-          }
-          endOfFill = vEnd
-          next match {
-            case Some(x) => j = x
-            case None => done = true
+        // the whole ORDER BY clause (fill subclauses included) runs to
+        // the first depth-0 INTERPOLATE/LIMIT/SETTINGS/FORMAT token
+        val clauseStops = Set("INTERPOLATE", "LIMIT", "SETTINGS", "FORMAT")
+        val clauseEndTok = (orderAt + 2 until ts.size).find(j =>
+          ts(j)._2 == 0 && clauseStops(ts(j)._1.upper))
+        val clauseEnd = clauseEndTok.map(j => ts(j)._1.start)
+          .getOrElse(sql.length)
+        val rawBody = sql.substring(ts(orderAt + 1)._1.end, clauseEnd)
+        val semi = rawBody.trim.endsWith(";")
+        val body = rawBody.trim.stripSuffix(";").trim
+        // per sort item: strip its WITH FILL tail into a FillAxis
+        val axes = scala.collection.mutable.ArrayBuffer.empty[FillAxis]
+        val cleaned = scala.collection.mutable.ArrayBuffer.empty[String]
+        splitTopLevel(body).map(_.trim).filter(_.nonEmpty).foreach { item =>
+          val its = QueryGuard.normalizeScan(item)
+          val w = its.indices.find(k =>
+            k + 1 < its.size && its(k)._2 == 0 &&
+              its(k)._1.upper == "WITH" && its(k + 1)._1.upper == "FILL")
+          w match {
+            case None => cleaned += item
+            case Some(k) =>
+              val sortPart = item.substring(0, its(k)._1.start).trim
+              val colName = stripSortSuffixes(sortPart)._1
+                .stripPrefix("`").stripSuffix("`")
+              // FROM/TO/STEP subclauses within THIS item: each value
+              // runs to the item's next subclause keyword or its end
+              var from: Option[String] = None
+              var to: Option[String] = None
+              var step: Option[String] = None
+              val sub = Set("FROM", "TO", "STEP")
+              var m: Option[Int] = (k + 2 until its.size).find(x =>
+                its(x)._2 == 0 && sub(its(x)._1.upper))
+              while (m.isDefined) {
+                val x = m.get
+                val next = (x + 1 until its.size).find(y =>
+                  its(y)._2 == 0 && sub(its(y)._1.upper))
+                val vEnd = next.map(y => its(y)._1.start)
+                  .getOrElse(item.length)
+                val v = item.substring(its(x)._1.end, vEnd).trim
+                if (v.isEmpty) throw new ReadOnlyViolation(
+                  "empty WITH FILL FROM/TO/STEP value")
+                its(x)._1.upper match {
+                  case "FROM" => from = Some(v)
+                  case "TO" => to = Some(v)
+                  case "STEP" => step = Some(v)
+                }
+                m = next
+              }
+              // tokens between FILL and the first subclause keyword
+              // would be silently dropped — reject them instead
+              val tailStart = its
+                .drop(k + 2)
+                .find(t => t._2 == 0 && sub(t._1.upper))
+                .map(_._1.start).getOrElse(item.length)
+              if (item.substring(its(k + 1)._1.end, tailStart).trim.nonEmpty)
+                throw new ReadOnlyViolation(
+                  s"cannot parse WITH FILL subclause in '$item'")
+              axes += FillAxis(colName, from, to, step)
+              cleaned += sortPart
           }
         }
-        if (step.exists(_.isEmpty) || from.exists(_.isEmpty) ||
-          to.exists(_.isEmpty))
-          throw new ReadOnlyViolation("empty WITH FILL FROM/TO/STEP value")
+        if (axes.isEmpty) return (sql, None)
+        var endOfFill = clauseEnd
         // optional trailing INTERPOLATE [(col [AS expr], ...)]
         var interpolate: Option[Seq[(String, Option[String])]] = None
-        val interpAt = (0 until ts.size).find(x =>
-          ts(x)._1.start >= endOfFill && ts(x)._2 == 0 &&
-            ts(x)._1.upper == "INTERPOLATE" &&
-            sql.substring(endOfFill, ts(x)._1.start).trim.isEmpty)
+        val interpAt = clauseEndTok.filter(x =>
+          ts(x)._1.upper == "INTERPOLATE")
         interpAt.foreach { x =>
+          endOfFill = ts(x)._1.end
           val afterTok = sql.substring(ts(x)._1.end)
           val trimmed = afterTok.dropWhile(_.isWhitespace)
           if (trimmed.headOption.contains('(')) {
             val open = ts(x)._1.end + (afterTok.length - trimmed.length)
-            var depth2 = 0
-            var k = open
-            var close = -1
-            while (k < sql.length && close < 0) {
-              sql.charAt(k) match {
-                case '(' => depth2 += 1
-                case ')' => depth2 -= 1; if (depth2 == 0) close = k
-                case _ =>
-              }
-              k += 1
-            }
+            val close = QueryGuard.matchParenAt(sql, open)
             if (close < 0) throw new ReadOnlyViolation(
               "unbalanced INTERPOLATE parens")
             val items = splitTopLevel(sql.substring(open + 1, close))
@@ -157,43 +185,58 @@ object WithFill {
             endOfFill = close + 1
           } else {
             interpolate = Some(Nil) // bare: all non-axis columns
-            endOfFill = ts(x)._1.end
           }
         }
-        val core = (sql.substring(0, ts(i)._1.start).stripTrailing +
-          " " + sql.substring(endOfFill).stripLeading).stripTrailing
-        (core, Some(FillSpec(colText, from, to, step, orderText, interpolate)))
+        val orderClean = cleaned.mkString(", ")
+        val core = (sql.substring(0, ts(orderAt + 1)._1.end) + " " +
+          orderClean + (if (semi) ";" else "") + " " +
+          sql.substring(endOfFill).stripLeading).stripTrailing
+        (core, Some(FillSpec(axes.toSeq, orderClean, interpolate)))
     }
   }
 
-  /** Densify `df` along `spec.column`: grid points missing from the
-    * result are appended as filler rows carrying type defaults, then
-    * the whole union re-sorts by the query's ORDER BY. Off-grid rows
-    * already in the result are kept, as in CH. */
+  /** Densify `df` along the fill axes — the grid is the cross product
+    * of each axis's FROM|min .. TO|max by STEP — appending missing
+    * grid points as filler rows carrying type defaults, then the
+    * whole union re-sorts by the query's ORDER BY. Off-grid rows
+    * already in the result are kept, as in CH. The bounds of ALL axes
+    * come from one aggregate row, each axis explodes off it in turn
+    * (axes are tiny — broadcast), and one multi-key anti join finds
+    * the missing points: no collect, no per-row driver work. */
   def apply(df: DataFrame, spec: FillSpec): DataFrame = {
-    val cn = df.columns.find(_.equalsIgnoreCase(spec.column))
-      .getOrElse(throw new ReadOnlyViolation(
-        s"WITH FILL column '${spec.column}' must be an output column " +
-          s"of the query (have: ${df.columns.mkString(", ")})"))
-    val dt = df.schema(cn).dataType
-    val defaultStep: Column = dt match {
-      case DateType | TimestampType => expr("interval 1 day")
-      case _ => lit(1)
+    val resolved = spec.axes.map { ax =>
+      val cn = df.columns.find(_.equalsIgnoreCase(ax.column))
+        .getOrElse(throw new ReadOnlyViolation(
+          s"WITH FILL column '${ax.column}' must be an output column " +
+            s"of the query (have: ${df.columns.mkString(", ")})"))
+      (ax, cn, df.schema(cn).dataType)
     }
-    // sequence() wants the step's integral width to match the axis
-    val stepCol = spec.step.map(expr).getOrElse(defaultStep) match {
-      case s if dt.isInstanceOf[NumericType] => s.cast(dt)
-      case s => s
+    val boundAggs = resolved.zipWithIndex.flatMap { case ((_, cn, _), i) =>
+      Seq(min(col(cn)).as(s"__graft_lo_$i"),
+        max(col(cn)).as(s"__graft_hi_$i"))
     }
-    val bounds = df.agg(min(col(cn)).as("__graft_lo"),
-      max(col(cn)).as("__graft_hi"))
-    val loCol = spec.from.map(expr).getOrElse(col("__graft_lo")).cast(dt)
-    val hiCol = spec.to.map(expr).getOrElse(col("__graft_hi")).cast(dt)
-    var axis = bounds
-      .select(explode(sequence(loCol, hiCol, stepCol)).as(cn))
-    // CH's TO bound is exclusive
-    spec.to.foreach(t => axis = axis.filter(col(cn) < expr(t).cast(dt)))
-    val missing = broadcast(axis).join(df, Seq(cn), "left_anti")
+    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    var grid = bounds
+    resolved.zipWithIndex.foreach { case ((ax, cn, dt), i) =>
+      val defaultStep: Column = dt match {
+        case DateType | TimestampType => expr("interval 1 day")
+        case _ => lit(1)
+      }
+      // sequence() wants the step's integral width to match the axis
+      val stepCol = ax.step.map(expr).getOrElse(defaultStep) match {
+        case s if dt.isInstanceOf[NumericType] => s.cast(dt)
+        case s => s
+      }
+      val loCol = ax.from.map(expr).getOrElse(col(s"__graft_lo_$i")).cast(dt)
+      val hiCol = ax.to.map(expr).getOrElse(col(s"__graft_hi_$i")).cast(dt)
+      grid = grid.select(col("*"),
+        explode(sequence(loCol, hiCol, stepCol)).as(cn))
+      // CH's TO bound is exclusive
+      ax.to.foreach(t => grid = grid.filter(col(cn) < expr(t).cast(dt)))
+    }
+    val axisCols = resolved.map(_._2)
+    grid = grid.select(axisCols.map(col): _*)
+    val missing = broadcast(grid).join(df, axisCols, "left_anti")
     val interp: Seq[(String, Option[String])] = spec.interpolate match {
       case None => Nil
       case Some(Nil) =>
@@ -211,7 +254,7 @@ object WithFill {
     }
     val interpNames = interp.map(_._1)
     val filler = missing.select(df.columns.map { c2 =>
-      if (c2 == cn) col(cn)
+      if (axisCols.contains(c2)) col(c2) // grid value
       else if (interpNames.contains(c2)) // filled below, from real rows
         lit(null).cast(df.schema(c2).dataType).as(c2)
       else typeDefault(df.schema(c2).dataType).as(c2)

@@ -199,6 +199,14 @@ class DialectStressSpec extends graft.SparkSpec {
     val e = intercept[ReadOnlyViolation](ex.run(
       """SELECT COLUMNS('^n_') APPLY((x, y) -> x + y) FROM nation"""))
     assert(e.getMessage.contains("APPLY payload"))
+    // chained transformers compose left to right, g(f(col)), on both
+    // the whole-list star path and the mixed-item path
+    val r3 = ex.run("SELECT n.* APPLY(count) APPLY(x -> x + 1) FROM nation n")
+    assert(r3.columns.contains("count(n_name) + 1"))
+    val r4 = ex.run(
+      """SELECT n_regionkey, COLUMNS('^n_nationkey$') APPLY(max) APPLY(abs)
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+    assert(r4.columns.toSeq == Seq("n_regionkey", "abs(max(n_nationkey))"))
   }
 
   test("INTERPOLATE cascade re-evaluates per filler row") {
@@ -221,6 +229,30 @@ class DialectStressSpec extends graft.SparkSpec {
       row(2).toString)) ==
       Seq(("1", "10", "a"), ("2", "15", "a"), ("3", "20", "a"),
         ("4", "99", "b")))
+  }
+
+  test("multiple sort columns each WITH FILL densify the cross grid") {
+    val r = ex.run(
+      """SELECT a, x, v FROM (
+        |  SELECT 1 AS a, 1 AS x, 10 AS v
+        |  UNION ALL SELECT 2, 3, 20) t
+        |ORDER BY a WITH FILL FROM 1 TO 3, x WITH FILL FROM 1 TO 4"""
+        .stripMargin)
+    // grid = {1,2} × {1,2,3}: six rows, fillers carry v = 0
+    assert(r.rows.size == 6)
+    assert(r.rows.map(row => (row(0).toString, row(1).toString,
+      row(2).toString)) == Seq(
+      ("1", "1", "10"), ("1", "2", "0"), ("1", "3", "0"),
+      ("2", "1", "0"), ("2", "2", "0"), ("2", "3", "20")))
+    // INTERPOLATE still composes with the multi-axis grid
+    val r2 = ex.run(
+      """SELECT a, x, v FROM (
+        |  SELECT 1 AS a, 1 AS x, 10 AS v
+        |  UNION ALL SELECT 2, 3, 20) t
+        |ORDER BY a WITH FILL FROM 1 TO 3, x WITH FILL FROM 1 TO 4
+        |INTERPOLATE (v)""".stripMargin)
+    assert(r2.rows.map(row => row(2).toString) ==
+      Seq("10", "10", "10", "10", "10", "20"))
   }
 
   test("comma-listed FROM items and scalar subqueries hoist") {
