@@ -47,8 +47,14 @@ import org.apache.spark.sql.types._
   * common pasted form) and differs only for unbounded inner axes
   * whose observed range varies across outer groups.
   *
-  * Scope (documented departures): each fill column must be a named
-  * output column (CH also fills computed sort expressions).
+  * A fill axis may be a named output column OR a computed sort
+  * expression (`ORDER BY date_trunc('day', ts) WITH FILL STEP
+  * INTERVAL 1 DAY`, the pasted dashboard form): computed axes
+  * materialize as hidden helper columns that carry the grid value
+  * through the union and the final sort (re-evaluating the
+  * expression on a filler row would compute over type defaults),
+  * then drop from the result.
+  *
   * `TO` is exclusive, as in CH.
   */
 object WithFill {
@@ -204,18 +210,44 @@ object WithFill {
     * (axes are tiny — broadcast), and one multi-key anti join finds
     * the missing points: no collect, no per-row driver work. */
   def apply(df: DataFrame, spec: FillSpec): DataFrame = {
-    val resolved = spec.axes.map { ax =>
-      val cn = df.columns.find(_.equalsIgnoreCase(ax.column))
-        .getOrElse(throw new ReadOnlyViolation(
-          s"WITH FILL column '${ax.column}' must be an output column " +
-            s"of the query (have: ${df.columns.mkString(", ")})"))
-      (ax, cn, df.schema(cn).dataType)
+    // an axis is an output column (canonical casing), or a COMPUTED
+    // sort expression (`ORDER BY date_trunc('day', ts) WITH FILL`),
+    // materialized as a hidden helper column that carries the grid
+    // value through the union and final sort, then drops
+    var base = df
+    val axisHelpers = scala.collection.mutable.ArrayBuffer.empty[String]
+    val axisByText = scala.collection.mutable.Map.empty[String, String]
+    val resolved0 = spec.axes.zipWithIndex.map { case (ax, i) =>
+      df.columns.find(_.equalsIgnoreCase(ax.column)) match {
+        case Some(cn) => (ax, cn)
+        case None =>
+          val cn = s"__graft_fillax_$i"
+          val e =
+            try expr(ax.column)
+            catch {
+              case _: Exception => throw new ReadOnlyViolation(
+                s"WITH FILL column '${ax.column}' is neither an output " +
+                  "column nor a parsable sort expression (have: " +
+                  s"${df.columns.mkString(", ")})")
+            }
+          base = base.withColumn(cn, e)
+          axisHelpers += cn
+          axisByText(ax.column.toLowerCase) = cn
+          (ax, cn)
+      }
     }
+    val resolved = resolved0.map { case (ax, cn) =>
+      (ax, cn, base.schema(cn).dataType)
+    }
+    // the final sort re-reads the ORDER BY — computed axis items must
+    // sort by the HELPER value (re-evaluating the expression on a
+    // filler row would compute over type defaults, misplacing it)
+    val sortCols = sortItems(spec.orderText, axisByText.toMap)
     val boundAggs = resolved.zipWithIndex.flatMap { case ((_, cn, _), i) =>
       Seq(min(col(cn)).as(s"__graft_lo_$i"),
         max(col(cn)).as(s"__graft_hi_$i"))
     }
-    val bounds = df.agg(boundAggs.head, boundAggs.tail: _*)
+    val bounds = base.agg(boundAggs.head, boundAggs.tail: _*)
     var grid = bounds
     resolved.zipWithIndex.foreach { case ((ax, cn, dt), i) =>
       val defaultStep: Column = dt match {
@@ -236,7 +268,7 @@ object WithFill {
     }
     val axisCols = resolved.map(_._2)
     grid = grid.select(axisCols.map(col): _*)
-    val missing = broadcast(grid).join(df, axisCols, "left_anti")
+    val missing = broadcast(grid).join(base, axisCols, "left_anti")
     val interp: Seq[(String, Option[String])] = spec.interpolate match {
       case None => Nil
       case Some(Nil) =>
@@ -253,14 +285,15 @@ object WithFill {
       }
     }
     val interpNames = interp.map(_._1)
-    val filler = missing.select(df.columns.map { c2 =>
+    val filler = missing.select(base.columns.map { c2 =>
       if (axisCols.contains(c2)) col(c2) // grid value
       else if (interpNames.contains(c2)) // filled below, from real rows
-        lit(null).cast(df.schema(c2).dataType).as(c2)
-      else typeDefault(df.schema(c2).dataType).as(c2)
+        lit(null).cast(base.schema(c2).dataType).as(c2)
+      else typeDefault(base.schema(c2).dataType).as(c2)
     }.toIndexedSeq: _*)
     if (interp.isEmpty)
-      df.unionByName(filler).sort(sortItems(spec.orderText): _*)
+      base.unionByName(filler).sort(sortCols: _*)
+        .drop(axisHelpers.toSeq: _*)
     else {
       // Carry each interpolated column forward from the nearest
       // preceding REAL row (struct-wrapped so a legitimate NULL in a
@@ -268,9 +301,9 @@ object WithFill {
       // The single global window matches the operation's shape: a
       // WITH FILL result is already a globally sorted axis.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(sortItems(spec.orderText): _*)
+      val w = Window.orderBy(sortCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      var out = df.withColumn("__graft_fill", lit(0))
+      var out = base.withColumn("__graft_fill", lit(0))
         .unionByName(filler.withColumn("__graft_fill", lit(1)))
       val helperCols = scala.collection.mutable.ArrayBuffer(
         "__graft_fill")
@@ -281,7 +314,7 @@ object WithFill {
         out = out.withColumn("__graft_grp",
           sum(when(col("__graft_fill") === 0, 1).otherwise(0)).over(w))
         val wg = Window.partitionBy(col("__graft_grp"))
-          .orderBy(sortItems(spec.orderText): _*)
+          .orderBy(sortCols: _*)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         out = out.withColumn("__graft_k",
           (count(lit(1)).over(wg) - 1).cast("int"))
@@ -289,7 +322,7 @@ object WithFill {
         helperCols += "__graft_k"
       }
       interp.zipWithIndex.foreach { case ((c, exprOpt), idx) =>
-        val dt = df.schema(c).dataType
+        val dt = base.schema(c).dataType
         val lastReal = last(
           when(col("__graft_fill") === 0, struct(col(c))), ignoreNulls = true)
           .over(w)
@@ -320,7 +353,8 @@ object WithFill {
                 .otherwise(col(c)))
         }
       }
-      out.drop(helperCols.toSeq: _*).sort(sortItems(spec.orderText): _*)
+      out.drop(helperCols.toSeq: _*).sort(sortCols: _*)
+        .drop(axisHelpers.toSeq: _*)
     }
   }
 
@@ -372,11 +406,14 @@ object WithFill {
   }
 
   /** Parse an ORDER BY item list back into sort columns (aliases
-    * resolve against the unioned result). */
-  private def sortItems(orderText: String): Seq[Column] =
+    * resolve against the unioned result); items matching a computed
+    * fill axis sort by its helper column instead of re-evaluating. */
+  private def sortItems(orderText: String,
+      axisByText: Map[String, String] = Map.empty): Seq[Column] =
     splitTopLevel(orderText).map { item0 =>
       val (item, desc, nullsFirst) = stripSortSuffixes(item0)
-      val base = expr(item)
+      val base = axisByText.get(item.toLowerCase).map(col)
+        .getOrElse(expr(item))
       (desc, nullsFirst) match {
         case (false, None) => base.asc
         case (false, Some(true)) => base.asc_nulls_first

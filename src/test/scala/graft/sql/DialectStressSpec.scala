@@ -255,6 +255,25 @@ class DialectStressSpec extends graft.SparkSpec {
       Seq("10", "10", "10", "10", "10", "20"))
   }
 
+  test("WITH FILL on a computed sort expression uses a hidden axis") {
+    val r = ex.run(
+      """SELECT x, v FROM (SELECT 1 AS x, 10 AS v UNION ALL SELECT 5, 50) t
+        |ORDER BY x * 2 WITH FILL STEP 2""".stripMargin)
+    // axis over x*2 = 2..10 step 2: three fillers between the reals,
+    // sorted by the HIDDEN grid value (re-evaluating x*2 on a filler
+    // row would give 0 and misplace it); the helper never surfaces
+    assert(r.columns.toSeq == Seq("x", "v"))
+    assert(r.rows.map(_(1).toString) == Seq("10", "0", "0", "0", "50"))
+    // the date_trunc dashboard form: daily axis over a sparse series
+    val r2 = ex.run(
+      """SELECT ts, value FROM (
+        |  SELECT TIMESTAMP '2024-01-01 10:00:00' AS ts, 1.0 AS value
+        |  UNION ALL SELECT TIMESTAMP '2024-01-04 09:00:00', 4.0) t
+        |ORDER BY date_trunc('DAY', ts) WITH FILL STEP INTERVAL 1 DAY"""
+        .stripMargin)
+    assert(r2.rows.size == 4) // Jan 1 + 2 fillers (Jan 2, 3) + Jan 4
+  }
+
   test("comma-listed FROM items and scalar subqueries hoist") {
     // a comma-listed derived table containing an ANY join
     val r = ex.run(
