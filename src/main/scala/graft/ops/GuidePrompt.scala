@@ -132,22 +132,30 @@ object GuidePrompt {
       |literals and subqueries are never touched). Also accepted:
       |CH type names in casts (`CAST(x AS UInt32)`, `x::Nullable(T)`),
       |`GROUP BY ... WITH TOTALS`, `[LEFT] ARRAY JOIN`,
-      |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`,
+      |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`
+      |(several sort columns may each carry WITH FILL — the filled
+      |grid is the cross product of their axes; a fill axis may also
+      |be a computed sort expression like `date_trunc('day', ts)`;
+      |`INTERPOLATE (col AS expr)` cascades per filler row),
       |expression-form `WITH <expr> AS <ident>`, `FROM t FINAL`,
       |`SAMPLE f [OFFSET o]`, `* EXCEPT/REPLACE`,
-      |`COLUMNS('re') [APPLY(f)]` (whole-list or as one item among
-      |others), bracket array literals with CH's
+      |`COLUMNS('re') [APPLY(f) APPLY(g) ...]` (whole-list or as one
+      |item among others; payloads may be function names, param-agg
+      |heads, or one-parameter lambdas `x -> expr`; chains compose
+      |left to right), bracket array literals with CH's
       |1-based subscripts, bare `count()`, `any`/`anyLast`,
       |parameterized aggregates (`quantile(0.5)(x)`,
       |`windowFunnel(3600)(ts, conds...)`),
       |`ORDER BY ... LIMIT k WITH TIES`, `ASOF [LEFT] JOIN`
       |(equality keys + one time inequality, or `USING (k..., t)`,
-      |onto the native sort-merge operator; one per statement), and
+      |onto the native sort-merge operator), and
       |`ANY [LEFT|INNER|RIGHT] JOIN` (at most one row per key from
       |the deduped side — the right for LEFT/INNER, the left for
-      |RIGHT, as in ClickHouse; ON or USING). All of these dialect
-      |forms also work INSIDE FROM-position subqueries and CTE
-      |bodies (nested subqueries plan recursively).
+      |RIGHT, as in ClickHouse; ON or USING). SIBLING ASOF/ANY joins
+      |compose in one flat FROM (each materializes left-to-right), and
+      |all of these dialect forms also work INSIDE FROM-position
+      |subqueries, CTE bodies, and uncorrelated scalar subqueries
+      |(nested subqueries plan recursively).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

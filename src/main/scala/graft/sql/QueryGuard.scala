@@ -159,6 +159,20 @@ object QueryGuard {
             .forall(_.isWhitespace) &&
           // a CTE merely NAMED totals/fill is not the clause
           !(i + 1 < ts.size && ts(i + 1)._1.upper == "AS")
+      case "WITH" =>
+        // a nested EXPRESSION-FORM WITH macro (`WITH expr AS ident
+        // SELECT ...`): subquery-initial WITH whose first same-depth
+        // AS is NOT followed by a parenthesized CTE body. The
+        // rewrite is top-level-only, so the subquery must hoist for
+        // the macro to inline.
+        sql.substring(0, ts(i)._1.start).reverse
+          .dropWhile(_.isWhitespace).headOption.contains('(') && {
+          val d = ts(i)._2
+          val firstKw = (i + 1 until ts.size).find(j => ts(j)._2 == d &&
+            Set("AS", "SELECT")(ts(j)._1.upper))
+          firstKw.exists(j => ts(j)._1.upper == "AS" &&
+            nextCh(ts(j)._1.end) != '(')
+        }
       case "ARRAY" =>
         i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN"
       case "COLUMNS" | "APPLY" => nextCh(ts(i)._1.end) == '('

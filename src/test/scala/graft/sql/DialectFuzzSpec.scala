@@ -183,4 +183,59 @@ class DialectFuzzSpec extends graft.SparkSpec {
     assertPlannedShare(fromItems.size * joins2.size * wheres.size *
       selGroups.size * nests.size * tails2.size, 0.3)
   }
+
+  // ---- third space: WITH macros × double-quoted idents × bracket
+  // subscripts × CH cast types × GLOBAL × APPLY chains × multi-fill
+  // over lineitem ----
+
+  // (macro prefix, select list, group clause) move together
+  private val selPre3 = Seq(
+    ("", "l_linenumber AS ln, count() AS n", "GROUP BY l_linenumber"),
+    ("WITH l_extendedprice * 0.9 AS disc ",
+      "l_linenumber AS ln, round(sum(disc), 2) AS s",
+      "GROUP BY l_linenumber"),
+    ("", "\"l_linenumber\" AS ln, [10, 20, 30][l_linenumber % 3 + 1] AS m, " +
+      "count() AS n", "GROUP BY \"l_linenumber\", m"),
+    ("", "CAST(l_quantity AS UInt32) AS q, count() AS n", "GROUP BY q"),
+    ("", "l_returnflag, COLUMNS('^l_quantity$') APPLY(sum) " +
+      "APPLY(x -> round(x / 7, 2))", "GROUP BY l_returnflag"))
+
+  private val joins3 = Seq(
+    "",
+    "GLOBAL ANY LEFT JOIN (SELECT o_orderkey AS k FROM orders) oo " +
+      "ON l_orderkey = oo.k")
+
+  private val wheres3 = Seq(
+    "",
+    "PREWHERE l_quantity < 30",
+    "WHERE \"l_quantity\" < 30")
+
+  private val tails3 = Seq(
+    "",
+    "ORDER BY ln WITH FILL",
+    "ORDER BY ln WITH FILL FROM 1 TO 9, n WITH FILL FROM 0 TO 3",
+    "LIMIT 2 BY ln",
+    "SETTINGS x = 1")
+
+  test("WITH macros × quoted idents × brackets × cast types × GLOBAL " +
+    "× APPLY chains × multi-fill plan or reject (450 cases)") {
+    assert(ready)
+    val failures = for {
+      (pre, s, g) <- selPre3
+      j <- joins3
+      w <- wheres3
+      n <- nests
+      t <- tails3
+      core = (s"${pre}SELECT $s FROM lineitem" +
+        (if (j.isEmpty) "" else s" $j") +
+        (if (w.isEmpty) "" else s" $w") +
+        (if (g.isEmpty) "" else s" $g")).trim
+      stmt = n(core) + (if (t.isEmpty) "" else " " + t)
+      fmsg <- check(stmt)
+    } yield fmsg
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+    assertPlannedShare(selPre3.size * joins3.size * wheres3.size *
+      nests.size * tails3.size, 0.3)
+  }
 }

@@ -274,6 +274,24 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r2.rows.size == 4) // Jan 1 + 2 fillers (Jan 2, 3) + Jan 4
   }
 
+  test("expression-form WITH macro inside a subquery or CTE hoists") {
+    // the macro rewrite is top-level-only, so the nested form must
+    // hoist and inline recursively — same answer as the flat form
+    val nested = ex.run(
+      """SELECT round(t.s, 2) AS s FROM (
+        |  WITH o_totalprice * 0.1 AS tithe
+        |  SELECT sum(tithe) AS s FROM orders) t""".stripMargin)
+    val flat = ex.run(
+      """WITH o_totalprice * 0.1 AS tithe
+        |SELECT round(sum(tithe), 2) AS s FROM orders""".stripMargin)
+    assert(nested.rows.head.head == flat.rows.head.head)
+    val cte = ex.run(
+      """WITH j AS (WITH o_totalprice * 0.1 AS tithe
+        |  SELECT sum(tithe) AS s FROM orders)
+        |SELECT round(s, 2) AS s FROM j""".stripMargin)
+    assert(cte.rows.head.head == flat.rows.head.head)
+  }
+
   test("comma-listed FROM items and scalar subqueries hoist") {
     // a comma-listed derived table containing an ANY join
     val r = ex.run(
