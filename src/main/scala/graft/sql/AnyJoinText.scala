@@ -144,11 +144,10 @@ object AnyJoinText {
           if (isUsing) {
             val inner = stripOuterParens(condText)
             val colsU = inner.split(",").map(_.trim).toSeq
-            if (colsU.isEmpty || colsU.exists(
-              !_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+            if (colsU.isEmpty || colsU.exists(!_.matches(idPart)))
               throw new ReadOnlyViolation(
                 s"ANY JOIN USING expects a column list, got '$condText'")
-            (Nil, colsU)
+            (Nil, colsU.map(stripTicks))
           } else {
             // every depth-0 conjunct must be a simple column equality —
             // silently dropping a residual predicate here would dedup
@@ -218,14 +217,13 @@ object AnyJoinText {
     // in its schema. If BOTH operands resolve to the deduped side the
     // key is ambiguous (the other table may share the column name) —
     // reject rather than silently picking one.
-    def sideCol(operand: String): Option[String] = {
-      val dot = operand.indexOf('.')
-      if (dot > 0) {
-        val (q, c) = (operand.substring(0, dot), operand.substring(dot + 1))
+    def sideCol(operand: String): Option[String] =
+      splitQualified(operand) match {
         // alias match is case-insensitive, like Spark's own resolution
-        if (q.equalsIgnoreCase(spec.side.alias)) resolve(c) else None
-      } else resolve(operand)
-    }
+        case (Some(q), c) =>
+          if (q.equalsIgnoreCase(spec.side.alias)) resolve(c) else None
+        case (None, c) => resolve(c)
+      }
     val keys: Seq[String] = if (spec.usingCols.nonEmpty) {
       spec.usingCols.map { c =>
         resolve(c).getOrElse(throw new ReadOnlyViolation(
@@ -264,9 +262,37 @@ object AnyJoinText {
     (rewritten.replace(Marker, view), view)
   }
 
+  // an identifier part: bare, or backtick-quoted (CH also writes
+  // backticks; a quoted part may hold any character but a backtick)
+  private val idPart = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val eqRe =
-    ("^([A-Za-z_][A-Za-z0-9_.]*)\\s*=\\s*" +
-      "([A-Za-z_][A-Za-z0-9_.]*)$").r
+    (s"^($idPart(?:\\.$idPart)*)\\s*=\\s*" +
+      s"($idPart(?:\\.$idPart)*)$$").r
+
+  private def stripTicks(s: String): String =
+    if (s.startsWith("`") && s.endsWith("`") && s.length >= 2)
+      s.substring(1, s.length - 1)
+    else s
+
+  /** Split `qualifier.column` at the first dot OUTSIDE backticks;
+    * both parts unquoted. */
+  private def splitQualified(op: String): (Option[String], String) = {
+    var i = 0
+    var dot = -1
+    while (i < op.length && dot < 0) {
+      op.charAt(i) match {
+        case '`' =>
+          val close = op.indexOf('`', i + 1)
+          i = if (close < 0) op.length else close + 1
+        case '.' => dot = i
+        case _ => i += 1
+      }
+    }
+    if (dot > 0)
+      (Some(stripTicks(op.substring(0, dot))),
+        stripTicks(op.substring(dot + 1)))
+    else (None, stripTicks(op))
+  }
 
   /** Peel balanced wrapping parens: `((a = b))` → `a = b`. */
   @annotation.tailrec

@@ -139,11 +139,11 @@ object AsOfText {
                   s"cannot parse ASOF JOIN USING list '$condText'")
               condText.substring(1, close)
             } else condText
-          val colsU = inner.split(",").map(_.trim).toSeq
-          if (colsU.isEmpty || colsU.exists(
-            !_.matches("[A-Za-z_][A-Za-z0-9_]*")))
+          val colsU0 = inner.split(",").map(_.trim).toSeq
+          if (colsU0.isEmpty || colsU0.exists(!_.matches(idPart)))
             throw new ReadOnlyViolation(
               s"ASOF JOIN USING expects a column list, got '$condText'")
+          val colsU = colsU0.map(stripTicks)
           if (colsU.size < 2) throw new ReadOnlyViolation(
             "ASOF JOIN USING needs at least one equality column " +
               "before the ASOF column: USING (key..., time)")
@@ -171,7 +171,8 @@ object AsOfText {
               s"ASOF JOIN condition '$c' must be " +
                 "<alias>.<col> <op> <alias>.<col>"))
           val (q1, c1, op, q2, c2) =
-            (m.group(1), m.group(2), m.group(3), m.group(4), m.group(5))
+            (stripTicks(m.group(1)), stripTicks(m.group(2)), m.group(3),
+              stripTicks(m.group(4)), stripTicks(m.group(5)))
           // normalize to left-operand-first; alias match is
           // case-insensitive, like Spark's own resolution
           def is(q: String, a: String) = q.equalsIgnoreCase(a)
@@ -325,10 +326,18 @@ object AsOfText {
 
   private val tableRe =
     "(?s)^([A-Za-z_][A-Za-z0-9_.]*)(?:\\s+(?:[Aa][Ss]\\s+)?([A-Za-z_][A-Za-z0-9_]*))?$".r
+  // an identifier part: bare, or backtick-quoted (CH also writes
+  // backticks; a quoted part may hold any character but a backtick)
+  private val idPart = "(?:`[^`]+`|[A-Za-z_][A-Za-z0-9_]*)"
   private val condRe =
-    ("^([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)\\s*" +
+    (s"^($idPart)\\.($idPart)\\s*" +
       "(>=|<=|=|>|<)\\s*" +
-      "([A-Za-z_][A-Za-z0-9_]*)\\.([A-Za-z_][A-Za-z0-9_]*)$").r
+      s"($idPart)\\.($idPart)$$").r
+
+  private[sql] def stripTicks(s: String): String =
+    if (s.startsWith("`") && s.endsWith("`") && s.length >= 2)
+      s.substring(1, s.length - 1)
+    else s
 
   private def mirror(op: String): String = op match {
     case ">=" => "<="

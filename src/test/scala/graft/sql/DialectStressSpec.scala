@@ -349,6 +349,38 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(e.getMessage.contains("already mounted"))
   }
 
+  test("backtick-quoted identifiers work in ASOF/ANY join conditions") {
+    spark.sql("SELECT o_custkey AS `cust key`, o_orderkey FROM orders")
+      .createOrReplaceTempView("ord_bt")
+    // ANY ON with a backticked dedup-key column (spaces and all)
+    val r = ex.run(
+      """SELECT count(*) AS n FROM customer c
+        |ANY LEFT JOIN ord_bt o ON c.c_custkey = o.`cust key`"""
+        .stripMargin)
+    val n = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r.rows.head.head == n.rows.head.head)
+    // ANY USING with a backticked column
+    spark.sql("SELECT o_custkey AS `c_custkey`, min(o_orderkey) AS ok " +
+      "FROM orders GROUP BY o_custkey").createOrReplaceTempView("ord_bt2")
+    val r2 = ex.run(
+      """SELECT count(*) AS n FROM customer c
+        |ANY LEFT JOIN ord_bt2 o USING (`c_custkey`)""".stripMargin)
+    assert(r2.rows.head.head == n.rows.head.head)
+    // ASOF ON with a backticked time column
+    spark.sql("SELECT user_id, ts AS `event time` FROM events " +
+      "WHERE event_type = 'click'").createOrReplaceTempView("ev_bt_a")
+    spark.sql("SELECT user_id, ts AS `event time` FROM events " +
+      "WHERE event_type = 'error'").createOrReplaceTempView("ev_bt_b")
+    val r3 = ex.run(
+      """SELECT count(*) AS n FROM ev_bt_a a
+        |ASOF LEFT JOIN ev_bt_b b
+        |  ON a.user_id = b.user_id AND a.`event time` >= b.`event time`"""
+        .stripMargin)
+    val clicks = ex.run(
+      "SELECT count(*) AS n FROM events WHERE event_type = 'click'")
+    assert(r3.rows.head.head == clicks.rows.head.head)
+  }
+
   test("LIMIT WITH TIES over an aggregate ordering") {
     assert(rows(
       """SELECT o_orderpriority, count(*) AS n FROM orders
