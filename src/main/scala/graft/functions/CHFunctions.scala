@@ -37,6 +37,18 @@ object CHFunctions {
     fn("timestamp_seconds", Subtract(t, fn("pmod", t, Literal(width.toLong))))
   }
 
+  /** Signed wrap to `bits` width, carried in Long then cast to the
+    * (now provably in-range) target type. The inner ANSI Long cast
+    * keeps CH's throw-on-garbage-string contract for toInt8/16/32. */
+  private def signedWrap(x: Expression, bits: Int,
+      target: org.apache.spark.sql.types.DataType): Expression = {
+    val half = 1L << (bits - 1)
+    val width = 1L << bits
+    Cast(Subtract(
+      fn("pmod", Add(Cast(x, LongType), Literal(half)), Literal(width)),
+      Literal(half)), target)
+  }
+
   /** make_interval of n days (shared by addDays/subtractDays). */
   private def dayInterval(n: Expression): Expression =
     fn("make_interval", Literal(0), Literal(0), Literal(0), n,
@@ -1098,9 +1110,17 @@ object CHFunctions {
     // carried in the next wider signed type; only toUInt64 maps
     // straight to Int64 — a 64-bit modulus doesn't fit a signed long,
     // so values past 2^63-1 overflow there (documented exception).
-    "toInt8" -> (es => Cast(es.head, org.apache.spark.sql.types.ByteType)),
-    "toInt16" -> (es => Cast(es.head, org.apache.spark.sql.types.ShortType)),
-    "toInt32" -> (es => Cast(es.head, IntegerType)),
+    // toInt8/16/32 likewise wrap on NUMERIC narrowing (CH truncates
+    // to the low bits: toInt32(2^32) = 0, toInt8(200) = -56) while
+    // keeping the ANSI throw-on-garbage-string via the inner Long
+    // cast: signed wrap = ((x + 2^(w-1)) pmod 2^w) - 2^(w-1) carried
+    // in Long (the Add may itself wrap past Long.Max — harmless,
+    // since wrap is mod 2^64 and 2^w divides 2^64).
+    "toInt8" -> (es => signedWrap(es.head, 8,
+      org.apache.spark.sql.types.ByteType)),
+    "toInt16" -> (es => signedWrap(es.head, 16,
+      org.apache.spark.sql.types.ShortType)),
+    "toInt32" -> (es => signedWrap(es.head, 32, IntegerType)),
     "toInt64" -> (es => Cast(es.head, LongType)),
     "toUInt8" -> (es => Cast(
       fn("pmod", Cast(es.head, LongType), Literal(256L)),
@@ -2076,7 +2096,12 @@ object CHFunctions {
     "bitShiftRight" -> (es => ShiftRight(es.head, es(1))),
     "bitCount" -> (es => fn("bit_count", es.head)),
 
-    // arithmetic under ClickHouse's functional names
+    // arithmetic under ClickHouse's functional names. CH integer
+    // arithmetic WRAPS on 64-bit overflow; these build the session's
+    // default-mode operators and [[WrapArith]] (installed by
+    // register/inject) flips integral-typed ones to LEGACY wrap at
+    // optimize time — type-scoped there because decimal plus()
+    // must keep ANSI's checked behavior (CH Decimal throws too).
     "plus" -> (es => Add(es.head, es(1))),
     "minus" -> (es => Subtract(es.head, es(1))),
     "multiply" -> (es => Multiply(es.head, es(1))),
@@ -2512,6 +2537,13 @@ object CHFunctions {
       spark.sessionState.tableFunctionRegistry.registerFunction(
         FunctionIdentifier("numbers"), info("numbers"), numbersBuilder)
     }
+    // CH integer arithmetic wraps on overflow instead of raising
+    // ANSI errors — see [[WrapArith]]. extraOptimizations is the
+    // post-hoc injection point for live sessions.
+    if (!spark.experimental.extraOptimizations.contains(WrapArith)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ WrapArith
+    }
   }
 
   /** `numbers(n)` / `numbers(offset, n)` — ClickHouse's generator
@@ -2601,5 +2633,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     CHFunctions.inject(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
+    ext.injectOptimizerRule(_ => WrapArith)
   }
 }

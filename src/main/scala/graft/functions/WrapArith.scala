@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.Sum
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType}
+
+/** ClickHouse integer arithmetic is UNCHECKED: `plus`/`minus`/
+  * `multiply`/`negate`/`abs`/`sum` (and the `*`/`+`/`-` operators)
+  * wrap on 64-bit overflow (two's-complement), they never throw
+  * (reference surface: any CH SELECT through
+  * mcp_clickhouse/mcp_server.py:433 run_select_query; CH documents
+  * integer arithmetic as modular). Spark 4 defaults to ANSI mode,
+  * where the same expressions raise ARITHMETIC_OVERFLOW — a pasted
+  * Knuth-hash idiom like `multiply(key, 2654435761)` that is a
+  * standard CH sharding pattern dies at production key magnitudes
+  * while passing every small-SF gate.
+  *
+  * This optimizer rule flips INTEGRAL-typed arithmetic from ANSI to
+  * LEGACY eval mode (plain JVM two's-complement wrap, still
+  * whole-stage-codegen'd — LEGACY codegen is a bare `a * b`), scoped
+  * so everything else keeps ANSI semantics:
+  *   - float/double arithmetic: unchanged (no overflow concept);
+  *   - decimal arithmetic: stays ANSI (CH Decimal ops DO throw on
+  *     overflow, matching);
+  *   - casts: stay ANSI (CH toInt*(string) throws on garbage);
+  *   - divide/modulo by zero: stays an error (CH throws too; the
+  *     dialect's `divide()` is shimmed to Float64 ±inf separately).
+  *
+  * Sign nuance (documented departure): CH infers UInt64 for unsigned
+  * inputs, so a wrapped product prints as a large positive; graft
+  * carries Int64, so the SAME 64-bit pattern prints negative past
+  * 2^63. Bit-level results (hashing, modulo-by-power-of-two via
+  * `pmod`, bitAnd masks) agree; only the decimal rendering of values
+  * past 2^63 differs.
+  *
+  * Registered through `spark.experimental.extraOptimizations` (live
+  * sessions, CHFunctions.register) and `injectOptimizerRule`
+  * (GraftExtensions) — optimizer-time is correct because physical
+  * planning and codegen happen after, and the rewrite is idempotent.
+  * Known hole, accepted: constant folding runs in an earlier batch,
+  * so an all-literal overflow (`SELECT 9e18 * 9e18` spelled as
+  * integer literals) still throws at fold time; data-driven
+  * arithmetic — the class that matters at scale — always reaches
+  * this rule first.
+  */
+object WrapArith extends Rule[LogicalPlan] {
+
+  private def integral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case a @ Add(l, r, ctx)
+          if ctx.evalMode == EvalMode.ANSI && a.resolved && integral(a.dataType) =>
+        Add(l, r, ctx.copy(evalMode = EvalMode.LEGACY))
+      case s @ Subtract(l, r, ctx)
+          if ctx.evalMode == EvalMode.ANSI && s.resolved && integral(s.dataType) =>
+        Subtract(l, r, ctx.copy(evalMode = EvalMode.LEGACY))
+      case m @ Multiply(l, r, ctx)
+          if ctx.evalMode == EvalMode.ANSI && m.resolved && integral(m.dataType) =>
+        Multiply(l, r, ctx.copy(evalMode = EvalMode.LEGACY))
+      case u @ UnaryMinus(c, true) if u.resolved && integral(u.dataType) =>
+        UnaryMinus(c, failOnError = false)
+      case ab @ Abs(c, true) if ab.resolved && integral(ab.dataType) =>
+        Abs(c, failOnError = false)
+      // CH sum over Int64 wraps too (the accumulator is the same
+      // unchecked Int64); scoped to integral children so decimal
+      // sums keep ANSI's checked behavior
+      case s @ Sum(c, ctx)
+          if ctx.evalMode == EvalMode.ANSI && s.resolved && integral(c.dataType) =>
+        Sum(c, ctx.copy(evalMode = EvalMode.LEGACY))
+    }
+}
