@@ -7,9 +7,35 @@ import org.apache.spark.sql.SparkSession
   *
   * Queries execute to a `noop` sink so the full plan runs (a bare
   * count() would let Spark prune projections and under-report). One
-  * warmup query amortizes JVM/codegen startup out of the first
-  * measurement. */
+  * warmup pass amortizes JVM/codegen startup out of the measurements.
+  *
+  * Failure reporting is FIRST-CLASS: a failed query is named in the
+  * `failures` list (and still carried as -1 in the per-query map for
+  * position), never silently folded out of the total. Because the
+  * driver captures only the tail of the output, the summary keys
+  * (`failures`, `value`, `sf1`, `sf`, `metric`) are emitted AFTER the
+  * wide `queries` map so a head-truncated capture still shows them.
+  * The complete full-precision result is also written to
+  * `BENCH_full.json` in the working directory — at 180+ queries the
+  * one-liner must degrade to whole seconds, which can hide sub-second
+  * regressions; the file never degrades.
+  *
+  * At the per-round SF (sf0.1) the heavyweight iterative shapes plus
+  * the two integer-overflow queries are ALSO re-run at sf1 (10× data,
+  * generated once into tmp via [[graft.tools.ScaleData]] and reused),
+  * so at-scale regressions surface per-round rather than per-audit.
+  * Disable with SPARK_GRAFT_SCALE=0; point elsewhere with
+  * SPARK_GRAFT_SCALE_DIR. */
 object Bench {
+
+  /** sf1 subset: the iterative dedup/ANN shapes whose scaling the
+    * round-10 audit measured, plus q_ch_bits/q_ch_ip — the two
+    * queries that die at production key magnitudes if integer
+    * arithmetic regresses to throwing overflow. */
+  private val scaleSubset = Seq(
+    "dedup_jaccard", "dedup_clusters", "dedup_incremental",
+    "pipeline_clean", "ann_ivf", "ann_pq", "q_ch_bits", "q_ch_ip")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,9 +50,9 @@ object Bench {
     // scrapes this run's output tail for the JSON line — keep it clean.
     spark.sparkContext.setLogLevel("ERROR")
 
-    def exec(name: String): Double = {
+    def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
+      try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -62,21 +88,66 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = names.map(n => n -> exec(n))
-    // The driver captures only the final 2000 chars of the run output
-    // (including sbt's trailing success line), so the line must stay
-    // under ~1900 chars or its head is cut off and the JSON parse
-    // fails. Centisecond precision normally fits ~90 queries; if the
-    // query set outgrows that, degrade to deciseconds rather than
-    // overflow the window.
+    val results = names.map(n => n -> exec(n, sfDir))
+    val failures = results.collect { case (n, v) if v < 0 => n }
     val total = results.map(_._2).filter(_ >= 0).sum
-    spark.stop()
     val sfName = sfDir.stripSuffix("/").split('/').last
-    val totalStr =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(total))
+
+    // --- sf1 subset (full runs only, at the per-round SF) ---
+    val scaleWanted = args.isEmpty && sfName == "sf0.1" &&
+      !sys.env.get("SPARK_GRAFT_SCALE").contains("0")
+    val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf1")
+    val scaleResults: Seq[(String, Double)] =
+      if (!scaleWanted) Nil
+      else try {
+        // embeddings is written LAST by the generator, so its _SUCCESS
+        // marks a complete directory — reuse across rounds
+        if (!new java.io.File(s"$scaleDir/embeddings.parquet/_SUCCESS").exists) {
+          System.err.println(s"[bench] generating sf1 at $scaleDir ...")
+          graft.tools.ScaleData.generate(spark, sfDir, scaleDir, 10)
+        }
+        scaleSubset.map(n => n -> exec(n, scaleDir))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] sf1 subset skipped: ${e.getMessage}")
+        scaleSubset.map(_ -> -1.0)
+      }
+    val scaleFailures = scaleResults.collect { case (n, v) if v < 0 => n }
+
+    spark.stop()
+
+    def jstr(s: String) = "\"" + s + "\""
+    def jarr(ss: Seq[String]) = ss.map(jstr).mkString("[", ",", "]")
+    def jmap(rs: Seq[(String, Double)], fmt: Double => String) =
+      rs.map { case (k, v) => jstr(k) + ":" + fmt(v) }.mkString("{", ",", "}")
+    def full(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val totalStr = full(total)
+
+    // Full-precision artifact: the one-liner below must degrade to
+    // whole seconds to fit the driver's output-tail window, which
+    // hides sub-second regressions — this file never degrades.
+    val fullJson =
+      s"""{
+         |"metric":"bench_full","sf":${jstr(sfName)},"cpus":$cpus,
+         |"total_sec":$totalStr,
+         |"failures":${jarr(failures)},
+         |"queries":${jmap(results, full)},
+         |"sf1_note":"subset re-run at 10x data (ScaleData replicate of $sfName); -1 = failed, named in sf1_failures",
+         |"sf1_failures":${jarr(scaleFailures)},
+         |"sf1":${jmap(scaleResults, full)}
+         |}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+      fullJson.getBytes("UTF-8"))
+
+    // One-line summary for the driver's tail capture. The capture
+    // keeps the LAST ~2000 chars, so the wide queries map goes FIRST
+    // and every summary key (failures/value/sf1/sf/metric) after it —
+    // a head-truncated capture still carries the verdict-relevant
+    // fields. Decimals degrade 2 → 1 → 0 to fit the window.
     def line(decimals: Int): String = {
-      // strip trailing zeros ("1.20" -> "1.2", "3.00" -> "3") — at ~96
-      // keys every byte counts against the tail window
+      // strip trailing zeros ("1.20" -> "1.2", "3.00" -> "3") — at
+      // ~180 keys every byte counts against the tail window
       def fmt(v: Double): String = {
         val s = String.format(java.util.Locale.ROOT,
           s"%.${decimals}f", Double.box(v))
@@ -86,9 +157,12 @@ object Bench {
           if (t.isEmpty || t == "-") "0" else t
         }
       }
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-      s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"queries":${jmap(results, fmt)},""" +
+        s""""failures":${jarr(failures)},""" +
+        s""""sf1":${jmap(scaleResults, fmt)},""" +
+        s""""sf1_failures":${jarr(scaleFailures)},""" +
+        s""""value":$totalStr,"unit":"sec","sf":${jstr(sfName)},""" +
+        s""""full_precision_file":"BENCH_full.json","metric":"total"}"""
     }
     // budget: 2000-char tail − "[info] " prefix (7) − sbt's trailing
     // success line (~76 incl newline) → ≤ ~1916; 1910 keeps margin

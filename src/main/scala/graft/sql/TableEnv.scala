@@ -34,39 +34,73 @@ object TableEnv {
     * so the guarded SQL path resolves qualified `db.table` names
     * end-to-end (the A1 mount surface; temp views cannot carry a
     * qualifier, so mounts use real external tables — metadata only,
-    * no data is copied or written). Idempotent per (session, db). */
-  private val mountedDbs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+    * no data is copied or written).
+    *
+    * Idempotence is keyed on the shared [[org.apache.spark
+    * .SparkContext]] (the public stand-in for the SharedState/external
+    * catalog that `newSession()` clones share — SharedState itself is
+    * private[sql]), not the session instance — keying on the session
+    * would let a cloned session's `CREATE ... IF NOT EXISTS` silently
+    * no-op against the first session's mount and keep serving the OLD
+    * directory's data. Remounting the same name onto a DIFFERENT
+    * directory drops and re-creates the database's tables (all
+    * external, metadata-only) instead of refusing: a long-lived
+    * session must be able to re-point a mount at a refreshed
+    * directory, and once the catalog is shared a refusal guard is
+    * itself the silent-wrong-data hazard it claimed to prevent.
+    * ConcurrentHashMap `compute` serialises concurrent (re)mounts of
+    * one db name. */
+  private val mountedDbs = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.SparkContext, String), String]()
 
   def registerDatabase(spark: SparkSession, db: String, dir: String): Unit = {
-    // remounting the same name onto a DIFFERENT directory must fail
-    // loudly — an idempotence check keyed on the name alone would
-    // silently keep serving the first directory's data
-    val prev = mountedDbs.putIfAbsent((spark, db), dir)
-    if (prev != null) {
-      require(prev == dir,
-        s"database '$db' is already mounted on '$prev'; cannot remount " +
-          s"on '$dir' in the same session")
-      return
-    }
-    try {
-      require(db.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad database name $db")
-      // explicit LOCATION keeps the in-memory catalog from creating a
-      // warehouse directory inside the working tree
-      val loc = s"${System.getProperty("java.io.tmpdir")}/graft_db_$db"
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
-      val root = new java.io.File(dir)
-      val tables = Option(root.listFiles()).getOrElse(Array.empty)
-        .map(_.getName).filter(_.endsWith(".parquet"))
-        .map(_.stripSuffix(".parquet")).sorted
-      tables.foreach { t =>
-        spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` " +
-          s"USING parquet LOCATION '$dir/$t.parquet'")
+    require(db.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad database name $db")
+    mountedDbs.compute((spark.sparkContext, db), (_, prev) => {
+      if (prev == dir) prev
+      else {
+        if (prev != null) {
+          // re-point: drop the old mount's (external) table metadata
+          spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+        }
+        try {
+          // explicit LOCATION keeps the in-memory catalog from creating
+          // a warehouse directory inside the working tree
+          val loc = s"${System.getProperty("java.io.tmpdir")}/graft_db_$db"
+          spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db` LOCATION '$loc'")
+          val root = new java.io.File(dir)
+          val tables = Option(root.listFiles()).getOrElse(Array.empty)
+            .map(_.getName).filter(_.endsWith(".parquet"))
+            .map(_.stripSuffix(".parquet")).sorted
+          tables.foreach { t =>
+            spark.sql(s"CREATE TABLE IF NOT EXISTS `$db`.`$t` " +
+              s"USING parquet LOCATION '$dir/$t.parquet'")
+            if (prev != null) {
+              // DROP DATABASE CASCADE goes straight to the external
+              // catalog and does NOT invalidate per-session relation
+              // caches — refresh so this session's next read resolves
+              // the new location. Other live sessions follow Spark's
+              // standard multi-session DDL rule (REFRESH TABLE there).
+              spark.sql(s"REFRESH TABLE `$db`.`$t`")
+            }
+          }
+          dir
+        } catch {
+          // a mid-mount failure must not leave a half-mounted database
+          // that can never be repaired in-session
+          case e: Throwable =>
+            spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+            throw e
+        }
       }
-    } catch {
-      // a mid-mount failure must not leave a half-mounted database
-      // that can never be repaired in-session
-      case e: Throwable => mountedDbs.remove((spark, db)); throw e
-    }
+    })
   }
+
+  /** Unmount a database registered via [[registerDatabase]] —
+    * metadata-only (the parquet directory is untouched). No-op for
+    * names this catalog never mounted. */
+  def unregisterDatabase(spark: SparkSession, db: String): Unit =
+    mountedDbs.compute((spark.sparkContext, db), (_, prev) => {
+      if (prev != null) spark.sql(s"DROP DATABASE IF EXISTS `$db` CASCADE")
+      null
+    })
 }

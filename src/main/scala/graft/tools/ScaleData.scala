@@ -31,7 +31,6 @@ object ScaleData {
 
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, factorS) = args.take(3)
-    val factor = factorS.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,6 +41,14 @@ object ScaleData {
       .appName("graft-scale-data")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    generate(spark, srcDir, outDir, factorS.toInt)
+    spark.stop()
+  }
+
+  /** The replicate-with-offset body, callable from a live session
+    * (Bench regenerates the sf1 subset data through this). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
 
     def src(t: String): DataFrame =
       spark.read.parquet(s"$srcDir/$t.parquet")
@@ -110,6 +117,5 @@ object ScaleData {
             concat(slice(col("embedding"), k + 1, n - k),
               slice(col("embedding"), lit(1), k))))
       })
-    spark.stop()
   }
 }

@@ -341,12 +341,32 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.nonEmpty)
   }
 
-  test("remounting a database name onto a different dir fails loudly") {
-    TableEnv.registerDatabase(spark, "remount_probe", sf)
+  test("remounting a database re-points it; unregister drops it") {
+    // mount from a CLONED session: clones share the external catalog,
+    // so the mount registry is keyed on the shared context — the old
+    // per-session refusal guard was bypassable exactly here (a clone's
+    // CREATE ... IF NOT EXISTS no-op'd and kept serving the first
+    // session's directory)
+    TableEnv.registerDatabase(spark.newSession(), "remount_probe", sf)
     TableEnv.registerDatabase(spark, "remount_probe", sf) // same dir: no-op
-    val e = intercept[IllegalArgumentException](
-      TableEnv.registerDatabase(spark, "remount_probe", "/tmp/elsewhere"))
-    assert(e.getMessage.contains("already mounted"))
+    val n0 = spark.read.parquet(s"$sf/nation.parquet").count()
+    assert(spark.sql("SELECT count(*) FROM remount_probe.nation")
+      .head.getLong(0) == n0)
+    val dirB = java.nio.file.Files.createTempDirectory("graft_remount").toString
+    spark.read.parquet(s"$sf/nation.parquet").limit(5)
+      .write.mode("overwrite").parquet(s"$dirB/nation.parquet")
+    // remount onto a refreshed directory re-points the mount (the
+    // invoking session's relation cache is refreshed as part of it)
+    TableEnv.registerDatabase(spark, "remount_probe", dirB)
+    assert(spark.sql("SELECT count(*) FROM remount_probe.nation")
+      .head.getLong(0) == 5L)
+    TableEnv.unregisterDatabase(spark, "remount_probe")
+    intercept[Exception](
+      spark.sql("SELECT count(*) FROM remount_probe.nation").collect())
+    // and a fresh mount after unregister works again
+    TableEnv.registerDatabase(spark, "remount_probe", sf)
+    assert(spark.sql("SELECT count(*) FROM remount_probe.nation")
+      .head.getLong(0) == n0)
   }
 
   test("backtick-quoted identifiers work in ASOF/ANY join conditions") {
