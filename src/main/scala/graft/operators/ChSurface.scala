@@ -1362,6 +1362,25 @@ object ChSurface {
         |  ON a.user_id = c.user_id AND a.ts >= c.ts
         |ORDER BY a.event_id""".stripMargin)),
 
+    // a PLAIN join on the LEFT of an ASOF join in one flat FROM: the
+    // prefix (click-events ⋈ customer) materializes into its own view
+    // first (QueryGuard.materializeJoinPrefix), then the ASOF extractor
+    // sees an ordinary name on its left. DuckDB speaks the exact same
+    // statement natively.
+    ("q_asof_after_plain",
+      """SELECT e.event_id, c.c_name, p.event_id AS prior_view
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin,
+      Some("""SELECT e.event_id, c.c_name, p.event_id AS prior_view
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id""".stripMargin)),
+
     // TWO sibling ANY LEFT joins: each dedupes its own right side, so
     // the customer multiplicity never grows; the oracle replays both
     // min-struct survivors (nation's key is already unique)

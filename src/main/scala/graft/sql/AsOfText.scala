@@ -37,10 +37,14 @@ import org.apache.spark.sql.functions._
   * [[QueryGuard.plan]] materializes the LEFTMOST join into a temp
   * view and rescans, so each later sibling sees an ordinary table
   * name on its left. [[extract]] therefore processes only the FIRST
-  * top-level hit and leaves the rest in the returned text. The left
-  * side must directly follow FROM (a plain-join expression on the
-  * left still gets a scoped parse rejection); the DataFrame API
-  * (`graft.plans.AsOf`) remains the general surface. */
+  * top-level hit and leaves the rest in the returned text. A PLAIN
+  * join group on the left (`FROM a JOIN b ON ... ASOF JOIN c ...`)
+  * materializes the same way before extraction (QueryGuard
+  * .materializeJoinPrefix), so the left side seen here always
+  * directly follows FROM; left shapes the prefix machinery cannot
+  * parse (comma-FROM lists, backtick-quoted aliases) still get a
+  * scoped rejection. The DataFrame API (`graft.plans.AsOf`) remains
+  * the general surface. */
 object AsOfText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)
@@ -391,8 +395,9 @@ object AsOfText {
     }
   }
 
-  /** Rewrite `alias.col` tokens to `<prefix>col` (right to left). */
-  private def rewriteQualifier(sql: String, alias: String,
+  /** Rewrite `alias.col` tokens to `<prefix>col` (right to left).
+    * Shared with [[QueryGuard]]'s join-prefix materializer. */
+  private[sql] def rewriteQualifier(sql: String, alias: String,
       prefix: String): String =
     rewriteQualifierMapped(sql, alias, c => prefix + c)
 

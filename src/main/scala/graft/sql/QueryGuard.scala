@@ -80,12 +80,21 @@ object QueryGuard {
           ts(i)._2 == 0 && AsOfText.joinShapeAt(ts, i))
         val nextAny = ts.indices.find(i =>
           ts(i)._2 == 0 && AnyJoinText.joinShapeAt(ts, i))
-        (nextAsof, nextAny) match {
-          case (Some(a), b) if b.forall(a < _) =>
+        // a PLAIN join group between FROM and the leftmost ASOF/ANY
+        // token (FROM a JOIN b ON ... ASOF JOIN c ...) materializes
+        // into its own temp view first, so the extractor then sees an
+        // ordinary table name on its left — same consume-the-leftmost
+        // strategy the sibling loop uses
+        val leftmost = (nextAsof.toSeq ++ nextAny.toSeq).minOption
+          .filter(h => joinPrefixBefore(ts, h))
+        (leftmost, nextAsof, nextAny) match {
+          case (Some(h), _, _) =>
+            stmt = materializeJoinPrefix(spark, stmt, ts, h, views)
+          case (_, Some(a), b) if b.forall(a < _) =>
             val (after, spec) = AsOfText.extract(stmt)
             val (s2, v) = AsOfText.materialize(spark, spec.get, after)
             views += v; stmt = s2
-          case (_, Some(_)) =>
+          case (_, _, Some(_)) =>
             val (after, spec) = AnyJoinText.extract(stmt)
             val (s2, v) = AnyJoinText.materialize(spark, spec.get, after)
             views += v; stmt = s2
@@ -125,6 +134,89 @@ object QueryGuard {
   }
 
   private val hoistCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Is there a top-level plain JOIN between the nearest preceding
+    * FROM and the ASOF/ANY token at `hit`? (ClickHouse accepts
+    * `FROM a JOIN b ON ... ASOF JOIN c ...`; the ASOF extractor needs
+    * a single table name on its left, so the plain prefix must
+    * materialize first.) */
+  private def joinPrefixBefore(
+      ts: Vector[(NormTok, Int)], hit: Int): Boolean =
+    (0 until hit).reverse.find(j =>
+      ts(j)._2 == 0 && ts(j)._1.upper == "FROM").exists(fromAt =>
+      (fromAt + 1 until hit).exists(j =>
+        ts(j)._2 == 0 && ts(j)._1.upper == "JOIN"))
+
+  /** Materialize the plain-join group between FROM and the ASOF/ANY
+    * token at `hit` into a temp view (recursively planned, so dialect
+    * constructs inside it keep working), substitute the view name,
+    * and re-qualify every prefix-side alias reference to the view.
+    * Ambiguous column names ACROSS prefix sides surface as the
+    * analyzer's own (loud) ambiguity error when referenced — the
+    * rewrite collapses all prefix aliases onto one view. */
+  private def materializeJoinPrefix(spark: SparkSession, sql: String,
+      ts: Vector[(NormTok, Int)], hit: Int,
+      views: scala.collection.mutable.ArrayBuffer[String]): String = {
+    val fromAt = (0 until hit).reverse.find(j =>
+      ts(j)._2 == 0 && ts(j)._1.upper == "FROM").get
+    val prefix = sql.substring(ts(fromAt)._1.end, ts(hit)._1.start).trim
+      .stripSuffix(",").trim
+    // side chunks: the first runs to the first top-level join-cluster
+    // keyword; each later side sits between its JOIN token and the
+    // next ON/USING/join keyword. Tokens inside parens carry depth>0,
+    // so subquery sides scan as one chunk.
+    val pts = normalizeScan(prefix)
+    val cluster = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
+      "OUTER", "NATURAL", "SEMI", "ANTI", "ARRAY")
+    val stops = cluster ++ Set("ON", "USING")
+    val sides = scala.collection.mutable.ArrayBuffer.empty[String]
+    val firstKw = pts.indices.find(i =>
+      pts(i)._2 == 0 && cluster(pts(i)._1.upper))
+    sides += prefix.substring(0,
+      firstKw.map(i => pts(i)._1.start).getOrElse(prefix.length)).trim
+    pts.indices.foreach { i =>
+      if (pts(i)._2 == 0 && pts(i)._1.upper == "JOIN") {
+        val end = (i + 1 until pts.size).find(j =>
+          pts(j)._2 == 0 && stops(pts(j)._1.upper))
+          .map(j => pts(j)._1.start).getOrElse(prefix.length)
+        sides += prefix.substring(pts(i)._1.end, end).trim
+      }
+    }
+    val aliases = sides.toSeq.filter(_.nonEmpty).flatMap(sideAlias)
+    val view = s"__graft_joinleft_${hoistCounter.incrementAndGet()}"
+    plan(spark, s"SELECT * FROM $prefix").createOrReplaceTempView(view)
+    views += view
+    var out = sql.substring(0, ts(fromAt)._1.end) + " " + view + " " +
+      sql.substring(ts(hit)._1.start)
+    aliases.foreach(a => out = AsOfText.rewriteQualifier(out, a, view + "."))
+    out
+  }
+
+  /** Best-effort alias of one join-side chunk: the trailing
+    * identifier (`orders o`, `db.t x`, `file('p') f`, `(...) a`), or
+    * the bare/last-component name when unaliased — matching the
+    * default qualifier Spark itself would accept. Chunks whose alias
+    * cannot be derived (backtick-quoted aliases) return None: their
+    * qualified references then fail in the analyzer, loudly. */
+  private def sideAlias(text: String): Option[String] = {
+    if (text.startsWith("(")) {
+      val close = matchParenAt(text, 0)
+      if (close < 0) None
+      else {
+        val rest = text.substring(close + 1).trim
+        val a =
+          if (rest.toUpperCase.startsWith("AS ")) rest.substring(3).trim
+          else rest
+        Some(a).filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+      }
+    } else {
+      val sts = normalizeScan(text)
+        .filter(t => t._2 == 0 && t._1.upper != "AS")
+      sts.lastOption
+        .map { case (t, _) => text.substring(t.start, t.end) }
+        .filter(_.matches("[A-Za-z_][A-Za-z0-9_]*"))
+    }
+  }
 
   /** Replace each FROM/JOIN-position (or CTE-body) parenthesized
     * subquery that contains a nested SHIM-ONLY construct — ASOF/ANY

@@ -341,6 +341,35 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.nonEmpty)
   }
 
+  test("plain join on the LEFT of an ASOF/ANY join materializes") {
+    // ASOF after a plain join of a subquery side and a table side
+    val r = ex.run(
+      """SELECT e.event_id, c.c_name, p.event_id AS prior_view
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY e.event_id LIMIT 5""".stripMargin)
+    assert(r.columns.toSeq == Seq("event_id", "c_name", "prior_view"))
+    assert(r.rows.nonEmpty)
+    // ANY after a plain join of two TABLE names (default aliases):
+    // the ANY dedup keeps customer multiplicity at 1
+    val r2 = ex.run(
+      """SELECT count(*) AS n
+        |FROM customer c JOIN nation ON c.c_nationkey = nation.n_nationkey
+        |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
+    val base = ex.run("SELECT count(*) AS n FROM customer")
+    assert(r2.rows.head.head == base.rows.head.head)
+    // and a plain join AFTER the ASOF clause still works (regression)
+    val r3 = ex.run(
+      """SELECT count(*) AS n
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts
+        |JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
+    assert(r3.rows.head.head.toString.toLong > 0)
+  }
+
   test("remounting a database re-points it; unregister drops it") {
     // mount from a CLONED session: clones share the external catalog,
     // so the mount registry is keyed on the shared context — the old
