@@ -1475,6 +1475,42 @@ object ChSurface {
         |  SELECT g, q, c FROM src UNION ALL SELECT g, q, c FROM miss)
         |ORDER BY g, q""".stripMargin)),
 
+    // nested fill with an UNBOUNDED inner axis: CH derives the inner
+    // range per consecutive run of the outer axis, not globally — the
+    // m <= d filter makes every d-group's month range different, so a
+    // global grid would be wrong everywhere. Outer filler points
+    // (d = 4,5,6,8,9,10) keep one row with the inner axis at its type
+    // default. The oracle replays the per-group derivation.
+    ("q_with_fill_nested",
+      """SELECT d, m, n FROM (
+        |  SELECT CAST(l_quantity AS INT) AS d,
+        |    CAST(month(l_shipdate) AS INT) AS m, count(*) AS n
+        |  FROM lineitem
+        |  WHERE CAST(l_quantity AS INT) IN (3, 7, 11)
+        |    AND month(l_shipdate) <= CAST(l_quantity AS INT)
+        |  GROUP BY 1, 2) t
+        |ORDER BY d WITH FILL, m WITH FILL""".stripMargin,
+      Some("""WITH src AS (
+        |  SELECT CAST(l_quantity AS INT) AS d,
+        |    CAST(month(l_shipdate) AS INT) AS m, count(*) AS n
+        |  FROM lineitem
+        |  WHERE CAST(l_quantity AS INT) IN (3, 7, 11)
+        |    AND month(l_shipdate) <= CAST(l_quantity AS INT)
+        |  GROUP BY 1, 2),
+        |bounds AS (SELECT min(d) AS dlo, max(d) AS dhi FROM src),
+        |dax AS (SELECT unnest(range(dlo, dhi + 1)) AS d FROM bounds),
+        |gb AS (SELECT d, min(m) AS mlo, max(m) AS mhi FROM src GROUP BY d),
+        |grid AS (
+        |  SELECT gb.d AS d, CAST(unnest(range(gb.mlo, gb.mhi + 1)) AS INT) AS m
+        |  FROM gb
+        |  UNION ALL
+        |  SELECT dax.d, 0 AS m
+        |  FROM dax LEFT JOIN gb ON dax.d = gb.d WHERE gb.d IS NULL)
+        |SELECT CAST(g.d AS INT) AS d, g.m AS m,
+        |  CAST(coalesce(s.n, 0) AS BIGINT) AS n
+        |FROM grid g LEFT JOIN src s ON g.d = s.d AND g.m = s.m
+        |ORDER BY 1, 2""".stripMargin)),
+
     // CH parameterized-aggregate call form f(params)(args) through the
     // pre-parse shim: per-name flattening onto the registered dialect
     // builders (quantileExact → args-first percentile, uniqUpTo →

@@ -1466,6 +1466,54 @@ object QueryGuard {
     (item.trim, None)
   }
 
+  /** Replace standalone occurrences of identifier `name` in `e` with
+    * `repl` — BARE tokens and backtick-QUOTED spans alike
+    * ([[normalizeScan]] emits no token for quoted identifiers, so a
+    * token-only scan silently misses `` `name` `` — the gap ADVICE
+    * r10 flagged for INTERPOLATE cascades and APPLY lambdas).
+    * Qualified uses (`t.name`) stay. Shared by
+    * [[WithFill]].substituteName (case-insensitive, like column
+    * resolution) and [[StarPost]].substituteParam (case-sensitive,
+    * like lambda parameters). */
+  private[sql] def substituteIdent(e: String, name: String, repl: String,
+      ignoreCase: Boolean): String = {
+    def matches(s: String): Boolean =
+      if (ignoreCase) s.equalsIgnoreCase(name) else s == name
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    normalizeScan(e).foreach { case (t, _) =>
+      if (matches(e.substring(t.start, t.end))) spans += ((t.start, t.end))
+    }
+    // backtick-quoted identifier spans; ' and " literals skip whole
+    var i = 0
+    while (i < e.length) {
+      e.charAt(i) match {
+        case '`' =>
+          val close = e.indexOf('`', i + 1)
+          if (close < 0) i = e.length
+          else {
+            if (matches(e.substring(i + 1, close))) spans += ((i, close + 1))
+            i = close + 1
+          }
+        case q @ ('\'' | '"') =>
+          i += 1
+          while (i < e.length && e.charAt(i) != q) {
+            if (e.charAt(i) == '\\') i += 1
+            i += 1
+          }
+          i += 1
+        case _ => i += 1
+      }
+    }
+    var out = e
+    spans.sortBy(-_._1).foreach { case (s, en) =>
+      val before = out.substring(0, s).reverse
+        .dropWhile(_.isWhitespace).headOption
+      if (!before.contains('.'))
+        out = out.substring(0, s) + repl + out.substring(en)
+    }
+    out
+  }
+
   /** Token scan shared by [[normalizeDialect]]'s re-passes (and
     * [[WithFill]]'s clause extraction). */
   private[sql] def normalizeScan(sql: String)

@@ -114,19 +114,10 @@ object StarPost {
   /** Token-aware substitution of a lambda parameter: standalone
     * `param` tokens become `repl`; qualified uses (`t.param`) stay. */
   private def substituteParam(body: String, param: String,
-      repl: String): String = {
-    var out = body
-    val ts = QueryGuard.normalizeScan(body)
-    ts.reverseIterator.foreach { case (t, _) =>
-      if (out.substring(t.start, t.end) == param) {
-        val before = out.substring(0, t.start).reverse
-          .dropWhile(_.isWhitespace).headOption
-        if (!before.contains('.'))
-          out = out.substring(0, t.start) + repl + out.substring(t.end)
-      }
-    }
-    out
-  }
+      repl: String): String =
+    // lambda params are case-sensitive; quoted occurrences (`x`)
+    // substitute too — see QueryGuard.substituteIdent
+    QueryGuard.substituteIdent(body, param, repl, ignoreCase = false)
 
   /** Cut a top-level COLUMNS/APPLY select list out of `sql`, replacing
     * it with `*` (or the surviving star head) for the core query. */

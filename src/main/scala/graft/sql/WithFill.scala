@@ -38,14 +38,16 @@ import org.apache.spark.sql.types._
   * the previous output row.
   *
   * SEVERAL sort columns may each carry WITH FILL (`ORDER BY a WITH
-  * FILL, b WITH FILL FROM 0 TO 10`): the filled grid is the CROSS
-  * PRODUCT of the per-column axes (each axis = its FROM|min .. TO|max
-  * by STEP over the whole result) — the dense time × category grid
-  * dashboards expect. Documented nuance vs CH: ClickHouse fills inner
-  * columns per consecutive run of the outer sort prefix, which equals
-  * the cross product whenever explicit FROM/TO bound the axes (the
-  * common pasted form) and differs only for unbounded inner axes
-  * whose observed range varies across outer groups.
+  * FILL, b WITH FILL FROM 0 TO 10`): explicitly FROM+TO-bounded inner
+  * axes expand as the CROSS PRODUCT of the per-column axes — the
+  * dense time × category grid dashboards expect, equal to CH's
+  * nested fill since explicit bounds pin every run's range. An inner
+  * axis MISSING a bound matches CH's per-run semantics exactly: its
+  * range derives per outer-axis group (the result is sorted by the
+  * outer axes, so a group is a run), and an outer filler point with
+  * no run keeps one row with the inner axis at its type default
+  * (pinned by `q_with_fill_nested` against a DuckDB per-group
+  * replay).
   *
   * A fill axis may be a named output column OR a computed sort
   * expression (`ORDER BY date_trunc('day', ts) WITH FILL STEP
@@ -248,7 +250,18 @@ object WithFill {
         max(col(cn)).as(s"__graft_hi_$i"))
     }
     val bounds = base.agg(boundAggs.head, boundAggs.tail: _*)
-    var grid = bounds
+    // The first axis (and every later axis pinned by explicit FROM
+    // AND TO) expands off the single global bounds row — the cross
+    // product, which equals CH's nested fill whenever explicit bounds
+    // pin the inner axes. An inner axis MISSING a bound instead
+    // derives it PER OUTER GROUP (grouped by all preceding fill-axis
+    // columns): CH re-derives the inner range per consecutive run of
+    // the outer sort prefix, and since the result is sorted by the
+    // outer axes a group IS a run. Outer grid points with no group in
+    // the result (outer filler rows) keep ONE row with the inner axis
+    // at its type default, as CH emits for an empty run.
+    var perGroup = false
+    var grid: DataFrame = null
     resolved.zipWithIndex.foreach { case ((ax, cn, dt), i) =>
       val defaultStep: Column = dt match {
         case DateType | TimestampType => expr("interval 1 day")
@@ -259,16 +272,43 @@ object WithFill {
         case s if dt.isInstanceOf[NumericType] => s.cast(dt)
         case s => s
       }
-      val loCol = ax.from.map(expr).getOrElse(col(s"__graft_lo_$i")).cast(dt)
-      val hiCol = ax.to.map(expr).getOrElse(col(s"__graft_hi_$i")).cast(dt)
-      grid = grid.select(col("*"),
-        explode(sequence(loCol, hiCol, stepCol)).as(cn))
-      // CH's TO bound is exclusive
-      ax.to.foreach(t => grid = grid.filter(col(cn) < expr(t).cast(dt)))
+      val grouped = i > 0 && (ax.from.isEmpty || ax.to.isEmpty)
+      if (!grouped) {
+        val loCol = ax.from.map(expr).getOrElse(col(s"__graft_lo_$i")).cast(dt)
+        val hiCol = ax.to.map(expr).getOrElse(col(s"__graft_hi_$i")).cast(dt)
+        var g = bounds.select(explode(sequence(loCol, hiCol, stepCol)).as(cn))
+        // CH's TO bound is exclusive
+        ax.to.foreach(t => g = g.filter(col(cn) < expr(t).cast(dt)))
+        grid = if (grid == null) g else grid.crossJoin(broadcast(g))
+      } else {
+        perGroup = true
+        val prefix = resolved.take(i).map(_._2)
+        val gb = base.groupBy(prefix.map(col): _*)
+          .agg(min(col(cn)).cast(dt).as("__graft_glo"),
+            max(col(cn)).cast(dt).as("__graft_ghi"))
+        val loCol = ax.from.map(e => expr(e).cast(dt))
+          .getOrElse(col("__graft_glo"))
+        val hiCol = ax.to.map(e => expr(e).cast(dt))
+          .getOrElse(col("__graft_ghi"))
+        // group absent (an outer filler point) ⇔ both aggregates null
+        var g = grid.join(gb, prefix, "left")
+          .withColumn(cn, explode(
+            when(col("__graft_glo").isNull && col("__graft_ghi").isNull,
+              array(typeDefault(dt)))
+              .otherwise(sequence(loCol, hiCol, stepCol))))
+        // exclusive TO applies only to real (group-derived) rows — the
+        // default-valued outer-filler row must survive regardless
+        ax.to.foreach(t => g = g.filter(
+          col("__graft_glo").isNull || col(cn) < expr(t).cast(dt)))
+        grid = g.drop("__graft_glo", "__graft_ghi")
+      }
     }
     val axisCols = resolved.map(_._2)
     grid = grid.select(axisCols.map(col): _*)
-    val missing = broadcast(grid).join(base, axisCols, "left_anti")
+    // bounded cross-product grids are tiny (axis lengths) → broadcast;
+    // a per-group grid scales with the grouped result → let AQE pick
+    val missing = (if (perGroup) grid else broadcast(grid))
+      .join(base, axisCols, "left_anti")
     val interp: Seq[(String, Option[String])] = spec.interpolate match {
       case None => Nil
       case Some(Nil) =>
@@ -359,21 +399,14 @@ object WithFill {
   }
 
   /** Token-aware substitution: standalone `name` tokens in `e` become
-    * `repl`; qualified uses (`t.name`) stay. */
+    * `repl` (backtick-quoted occurrences included); qualified uses
+    * (`t.name`) stay. Without the quoted-span handling a cascade like
+    * ``INTERPOLATE (v AS `v` + 1)`` would leave `` `v` `` resolving
+    * against the filler row (NULL → type default): a silent wrong
+    * answer. */
   private def substituteName(e: String, name: String,
-      repl: String): String = {
-    var out = e
-    val ts = QueryGuard.normalizeScan(e)
-    ts.reverseIterator.foreach { case (t, _) =>
-      if (out.substring(t.start, t.end).equalsIgnoreCase(name)) {
-        val before = out.substring(0, t.start).reverse
-          .dropWhile(_.isWhitespace).headOption
-        if (!before.contains('.'))
-          out = out.substring(0, t.start) + repl + out.substring(t.end)
-      }
-    }
-    out
-  }
+      repl: String): String =
+    QueryGuard.substituteIdent(e, name, repl, ignoreCase = true)
 
   /** ClickHouse fills non-axis columns with the column type's default
     * value, not NULL. */

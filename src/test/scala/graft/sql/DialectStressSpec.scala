@@ -341,6 +341,24 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.nonEmpty)
   }
 
+  test("backtick-quoted self-references substitute in INTERPOLATE and APPLY") {
+    // before the substituteIdent fix the quoted `c` resolved against
+    // the filler row (NULL → coalesce → type default 0): silently
+    // different rows, never an error
+    def cascade(expr: String) = ex.run(
+      s"""SELECT q, c FROM (
+         |  SELECT CAST(l_quantity AS INT) AS q, count(*) AS c
+         |  FROM lineitem WHERE CAST(l_quantity AS INT) IN (1, 5)
+         |  GROUP BY 1) t
+         |ORDER BY q WITH FILL INTERPOLATE ($expr)""".stripMargin).rows
+    assert(cascade("`c` AS `c` + 1") == cascade("c AS c + 1"))
+    // quoted lambda parameter in APPLY
+    val r = ex.run(
+      """SELECT COLUMNS('^l_quantity$') APPLY(x -> round(sum(`x`), 1))
+        |FROM lineitem""".stripMargin)
+    assert(r.rows.size == 1 && r.rows.head.head.toString.toDouble > 0)
+  }
+
   test("plain join on the LEFT of an ASOF/ANY join materializes") {
     // ASOF after a plain join of a subquery side and a table side
     val r = ex.run(
