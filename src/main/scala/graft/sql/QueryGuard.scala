@@ -117,15 +117,18 @@ object QueryGuard {
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException
             if deferred.nonEmpty =>
-          // a parse death downstream of a construct left in place: give
-          // the user BOTH the inner pre-plan failure (the likely root
-          // cause) and the parser's own first line, with the original
-          // exception chained for full context
-          val (trig, msg) = deferred.head
+          // a parse death downstream of constructs left in place: give
+          // the user EVERY inner pre-plan failure (any of them may be
+          // the root cause — blaming only the first could send the
+          // user chasing the wrong subquery) and the parser's own
+          // first line, with the original exception chained
+          val all = deferred.map { case (trig, msg) => s"$trig ($msg)" }
+            .mkString("; ")
           val rv = new ReadOnlyViolation(
-            s"could not pre-plan the subquery containing the $trig " +
-              s"construct ($msg), and the construct cannot run in " +
-              "place — fix the subquery or hoist it to the top level " +
+            s"could not pre-plan ${deferred.size} subquery construct" +
+              s"${if (deferred.size > 1) "s" else ""}: $all — the " +
+              "construct cannot run in place; fix the subquery or " +
+              "hoist it to the top level " +
               s"(parser said: ${e.getMessage.linesIterator.find(_.trim.nonEmpty).getOrElse("")})")
           rv.initCause(e)
           throw rv

@@ -213,9 +213,28 @@ object EventStreams {
     * pre-watermark update into a single floor row. Emission waits
     * one horizon behind the stream head (the price of knowing no
     * earlier update can still arrive); an event-time timeout flushes
-    * ripe events even when a key goes quiet. */
+    * ripe events even when a key goes quiet.
+    *
+    * The O-bound above covers rows inside the horizon; a key that
+    * goes QUIET would otherwise keep its collapsed floor row forever
+    * (unbounded floor count across churned keys in a long-running
+    * stream), so floor-only state evicts `floorTtl` of event time
+    * after the key's last activity. Trade-off, documented: an event
+    * for a retired key arriving later than `floorTtl` enriches as
+    * null instead of the evicted floor — size the TTL to the
+    * longest plausible key silence. */
   def asofEnrichExact(events: Dataset[Event], updates: Dataset[Update],
-      delay: String = "10 minutes"): Dataset[Enriched] = {
+      delay: String = "10 minutes",
+      floorTtl: String = "30 days"): Dataset[Enriched] = {
+    val ttlMs = {
+      val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+        .stringToInterval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(floorTtl))
+      require(iv.months == 0,
+        "floorTtl must be a fixed-length interval (days or smaller)")
+      iv.days * 86400000L + iv.microseconds / 1000L
+    }
+    require(ttlMs > 0, "floorTtl must be positive")
     import events.sparkSession.implicits._
     // the watermark goes ON the tagged stream (a map() re-derives its
     // output attributes, which would drop a watermark set upstream)
@@ -261,17 +280,23 @@ object EventStreams {
           // can ever match again)
           val (old, live) = sortedUps.partition(_._1 <= wm)
           floor = (floor.toSeq ++ old).sortBy(_._1).lastOption
-          if (hold.isEmpty && live.isEmpty && floor.isEmpty) state.remove()
+          // a TTL wake with nothing left but the floor = the key is
+          // retired — drop the state instead of re-arming forever
+          val retiredNow = state.hasTimedOut && buf.isEmpty &&
+            ups.isEmpty && hold.isEmpty && live.isEmpty
+          if (hold.isEmpty && live.isEmpty &&
+            (floor.isEmpty || retiredNow)) state.remove()
           else {
             state.update(AsOfExactState(
               floor.map(_._1).getOrElse(0L), floor.map(_._2).getOrElse(0.0),
               floor.nonEmpty, live, hold))
             // wake when the watermark passes the oldest held row, so
-            // quiet keys still flush and prune
+            // quiet keys still flush and prune; floor-only state arms
+            // the retirement TTL instead (evict quiet keys)
             val next =
               if (hold.nonEmpty) Some(hold.map(_.ts.getTime).min + 1)
               else if (live.nonEmpty) Some(live.map(_._1).min + 1)
-              else None
+              else Some(math.max(wm, floor.map(_._1).getOrElse(0L)) + ttlMs)
             next.foreach(state.setTimeoutTimestamp)
           }
           out.iterator

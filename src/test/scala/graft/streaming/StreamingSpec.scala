@@ -251,6 +251,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("EXACT as-of floor-only state evicts after floorTtl; a later " +
+    "event enriches null") {
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
+      spark)
+    val up = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Update](
+      spark)
+    val q = EventStreams.asofEnrichExact(ev.toDS(), up.toDS(),
+      "10 minutes", floorTtl = "1 hour")
+      .writeStream.format("memory").queryName("asof_exact_ttl")
+      .outputMode("append").start()
+    try {
+      def drive(t: String): Unit = {
+        // key-2 traffic on BOTH streams advances the global watermark
+        up.addData(EventStreams.Update(2, ts(t), 0.0))
+        ev.addData(EventStreams.Event(900 + ts(t).getMinutes,
+          ts(t), 2, "wm", 0.0))
+        q.processAllAvailable()
+      }
+      // key-1 update, then quiet: collapses to a floor row
+      up.addData(EventStreams.Update(1, ts("2024-01-01 09:00:00"), 5.0))
+      drive("2024-01-01 09:00:00")
+      drive("2024-01-01 09:30:00") // wm 09:20 → update collapses to floor
+      drive("2024-01-01 11:00:00") // TTL armed at ~10:20, wm 10:50
+      drive("2024-01-01 11:30:00") // TTL fires: retired key 1 evicts
+      // a key-1 event AFTER the TTL horizon: the floor is gone, so it
+      // must enrich as null (the documented trade-off), not 5.0
+      ev.addData(EventStreams.Event(1, ts("2024-01-01 11:40:00"), 1, "a", 0.0))
+      drive("2024-01-01 12:30:00")
+      drive("2024-01-01 13:00:00") // ripeness flush
+      val rows = spark.table("asof_exact_ttl").as[EventStreams.Enriched]
+        .collect().filter(_.user_id == 1)
+      assert(rows.map(_.event_id).toSeq == Seq(1L))
+      assert(rows.head.state_v.isEmpty && rows.head.state_ts.isEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     import spark.implicits._
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[EventStreams.Event](
