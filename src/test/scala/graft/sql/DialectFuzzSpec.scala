@@ -78,7 +78,7 @@ class DialectFuzzSpec extends graft.SparkSpec {
 
   private val planned = new java.util.concurrent.atomic.AtomicInteger()
 
-  private def check(q: String): Option[String] =
+  private def check(q: String, noDupCols: Boolean = false): Option[String] =
     try {
       val df = QueryGuard.plan(spark, q)
       val bad = df.queryExecution.analyzed.collect {
@@ -87,6 +87,11 @@ class DialectFuzzSpec extends graft.SparkSpec {
       }
       if (bad.nonEmpty)
         Some(s"SILENT MISPARSE (shim keyword became a table alias): $q")
+      else if (noDupCols &&
+        df.columns.map(_.toLowerCase).distinct.length != df.columns.length)
+        // an un-bumped r_* collision publishes duplicate names — a
+        // later reference then binds ambiguously or to the wrong one
+        Some(s"DUPLICATE OUTPUT COLUMNS: ${df.columns.mkString(",")}: $q")
       else { planned.incrementAndGet(); None }
     } catch {
       case _: ReadOnlyViolation => None // scoped rejection
@@ -237,5 +242,89 @@ class DialectFuzzSpec extends graft.SparkSpec {
       fail(s"${failures.size} failing case(s); first:\n${failures.head}")
     assertPlannedShare(selPre3.size * joins3.size * wheres3.size *
       nests.size * tails3.size, 0.3)
+  }
+
+  // ---- fourth space: sibling ASOF/ANY joins × plain-join prefixes ×
+  // qualified mounted-db references × colliding r_* names × backticked
+  // identifiers × INTERPOLATE / computed fill axes over events ----
+
+  private lazy val mountReady = {
+    assert(ready)
+    TableEnv.registerDatabase(spark, "fuzzdb", sf)
+    true
+  }
+
+  private val clicks = "(SELECT * FROM events WHERE event_type = 'click')"
+  private val views4 =
+    "(SELECT user_id, ts, value AS r_value FROM events " +
+      "WHERE event_type = 'view')"
+
+  // FROM group between FROM and the first ASOF/ANY token: bare, a
+  // plain-join prefix, and a prefix against the MOUNTED database's
+  // qualified name
+  private val froms4 = Seq(
+    s"$clicks a",
+    s"$clicks a JOIN (SELECT n_nationkey AS nk, n_name FROM nation) nx " +
+      "ON a.user_id % 25 = nx.nk",
+    s"$clicks a JOIN fuzzdb.nation nx ON a.user_id % 25 = nx.n_nationkey")
+
+  private val joins4 = Seq(
+    "",
+    // right side carries a column literally named r_value — the
+    // surfaced r_* name must bump, never silently duplicate
+    s"ASOF JOIN $views4 b ON a.user_id = b.user_id AND a.ts >= b.ts",
+    s"ASOF LEFT JOIN $views4 b ON a.user_id = b.user_id AND a.ts >= b.ts " +
+      "ANY LEFT JOIN (SELECT user_id AS uid, max(value) AS mv " +
+      "FROM events GROUP BY user_id) d ON a.user_id = d.uid",
+    // backtick-quoted right alias column in the join condition
+    "ANY LEFT JOIN (SELECT user_id AS `uid`, max(value) AS mv " +
+      "FROM events GROUP BY user_id) d ON a.user_id = d.`uid`",
+    // qualified mounted-db right side
+    "ANY LEFT JOIN fuzzdb.nation n2 ON a.user_id % 25 = n2.n_nationkey",
+    s"ASOF JOIN $views4 b USING (user_id, ts) " +
+      s"ASOF LEFT JOIN $err c ON a.user_id = c.user_id AND a.ts > c.ts")
+
+  private val sels4 = Seq(
+    "*",
+    "a.event_id, a.ts, a.value",
+    "a.event_id, a.event_type, a.ts, a.value",
+    "a.user_id AS u, COLUMNS('^value$') APPLY(max)")
+
+  // pass-through nests (unlike the shared count(*) nests): the
+  // column-referencing fill/LIMIT BY tails must survive the wrap, or
+  // the whole space degenerates to rejections
+  private val nests4: Seq[String => String] = Seq(
+    identity,
+    q => s"SELECT * FROM ($q) z",
+    q => s"WITH w AS ($q) SELECT * FROM w")
+
+  private val tails4 = Seq(
+    "",
+    "ORDER BY 1 LIMIT 5",
+    "LIMIT 2 BY event_type",
+    "ORDER BY ts WITH FILL",
+    "ORDER BY ts WITH FILL INTERPOLATE (`value` AS `value` + 1)",
+    // computed fill axis (materializes as a hidden helper column)
+    "ORDER BY date_trunc('day', ts) WITH FILL STEP INTERVAL 1 DAY",
+    "ORDER BY value WITH FILL FROM 0 TO 3 STEP 1, ts WITH FILL")
+
+  test("sibling joins × mounts × prefixes × fills plan or reject — " +
+    "no misparse, no duplicate r_* collision (1512 cases)") {
+    assert(mountReady)
+    val failures = for {
+      f <- froms4
+      j <- joins4
+      s <- sels4
+      n <- nests4
+      t <- tails4
+      stmt = n((s"SELECT $s FROM $f" +
+        (if (j.isEmpty) "" else s" $j")).trim) +
+        (if (t.isEmpty) "" else " " + t)
+      fmsg <- check(stmt, noDupCols = true)
+    } yield fmsg
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+    assertPlannedShare(froms4.size * joins4.size * sels4.size *
+      nests4.size * tails4.size, 0.3)
   }
 }
