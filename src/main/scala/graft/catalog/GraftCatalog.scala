@@ -61,17 +61,31 @@ final case class TablePage(
   * multi-pattern LIKE (OR) / NOT LIKE (AND) filters and paginated
   * results.
   *
-  * Scale departure from the reference: page tokens are STATELESS — the
-  * token encodes (database, filters, offset), so no server-side TTL
-  * cache and any driver/executor can resume a listing. Stats for a page
-  * are computed for that page's tables only; a 100k-table catalog never
-  * materializes more than `pageSize` TableInfos at once.
+  * Scale departure from the reference: page tokens are STATELESS by
+  * default — the token encodes (database, filters, offset), so no
+  * server-side TTL cache and any driver/executor can resume a
+  * listing. Stats for a page are computed for that page's tables
+  * only; a 100k-table catalog never materializes more than `pageSize`
+  * TableInfos at once.
+  *
+  * Setting SPARK_GRAFT_TOKEN_TTL (seconds) opts into REFERENCE-PARITY
+  * cached tokens instead (mcp_server.py:165-166, 266-297): an opaque
+  * token keys a server-side snapshot of the filtered name list, so a
+  * replayed token pages over the listing AS IT WAS (no churn shift);
+  * an expired or unknown token, or one replayed with different
+  * filters, resets to the first page — the reference's cache-miss /
+  * state-mismatch behavior (mcp_server.py:340-358). The cache is
+  * per-JVM (like the reference's per-server dict), which is the
+  * documented cost of parity: only the issuing driver can resume.
   */
 final class GraftCatalog(
     spark: SparkSession,
     dir: String,
     extraDatabases: Map[String, String] = Map.empty,
-    defaultDatabase: String = "default") {
+    defaultDatabase: String = "default",
+    tokenTtlSec: Option[Long] =
+      sys.env.get("SPARK_GRAFT_TOKEN_TTL").map(_.toLong),
+    nowMs: () => Long = () => System.currentTimeMillis) {
 
   import GraftCatalog._
 
@@ -163,6 +177,9 @@ final class GraftCatalog(
       pageSize: Int = 50,
       includeDetailedColumns: Boolean = true): TablePage = {
     requireDatabase(database)
+    if (tokenTtlSec.isDefined)
+      return cachedListTables(database, like, notLike, pageToken,
+        pageSize, includeDetailedColumns)
     val all = tableNames(database).filter(matches(_, like, notLike)).sorted
     // a token for different filters is ignored, like the reference's
     // cache-state mismatch path (mcp_server.py:345-356)
@@ -177,6 +194,44 @@ final class GraftCatalog(
           start + pageSize))
       else None
     TablePage(infos, next, all.size)
+  }
+
+  /** Reference-parity TTL'd token mode (see the class doc): tokens are
+    * opaque UUIDs keying a snapshot of the filtered name list, so a
+    * resumed listing never shifts under churn; expiry / unknown token
+    * / filter mismatch resets to the first page. */
+  private def cachedListTables(
+      database: String, like: Seq[String], notLike: Seq[String],
+      pageToken: Option[String], pageSize: Int,
+      detailed: Boolean): TablePage = {
+    val now = nowMs()
+    tokenCache.entrySet.removeIf(_.getValue.expiresAt < now)
+    val hit = pageToken
+      .flatMap(t => Option(tokenCache.get(t)))
+      .filter(e => e.db == database && e.like == like &&
+        e.notLike == notLike && e.detailed == detailed)
+    val (names, start) = hit match {
+      case Some(e) => (e.names, e.offset)
+      case None =>
+        (tableNames(database).filter(matches(_, like, notLike)).sorted, 0)
+    }
+    val page = names.slice(start, start + pageSize)
+    // a snapshot name whose table dropped since the token was issued
+    // yields no row (the reference's info query over cached names
+    // behaves the same) — the page shrinks rather than erroring
+    val infos = page.flatMap { n =>
+      try Some(describeTable(database, n, detailed))
+      catch { case _: Exception => None }
+    }
+    val next =
+      if (start + pageSize < names.size) {
+        val tok = java.util.UUID.randomUUID().toString
+        tokenCache.put(tok, TokenEntry(database, like, notLike, detailed,
+          start + pageSize, names,
+          now + tokenTtlSec.get * 1000L))
+        Some(tok)
+      } else None
+    TablePage(infos, next, names.size)
   }
 
   /** Stats + schema for one table; parquet-footer row count and
@@ -295,6 +350,18 @@ final class GraftCatalog(
 }
 
 object GraftCatalog {
+
+  /** One TTL-mode token: the snapshot list it pages over, the offset
+    * it resumes at, and the (db, filters, detail) state a replay must
+    * match (reference cache-entry shape, mcp_server.py:165-166). */
+  private[catalog] final case class TokenEntry(
+      db: String, like: Seq[String], notLike: Seq[String],
+      detailed: Boolean, offset: Int, names: Seq[String], expiresAt: Long)
+
+  /** Per-JVM token cache shared by every catalog instance, like the
+    * reference's module-level dict; pruned on each TTL-mode access. */
+  private[catalog] val tokenCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TokenEntry]()
 
   /** (row count, uncompressed bytes, row-group count) summed over
     * parquet footers — footer reads only, no data pages touched and no

@@ -148,6 +148,44 @@ class CatalogSpec extends SparkSpec {
     assert(cat2.describeTable("churn", "d").totalRows == 5)
   }
 
+  test("TTL token mode: snapshot pages under churn, expiry + mismatch reset") {
+    // reference-parity cached tokens (mcp_server.py:266-297): opt-in
+    // via the ttl knob, driven by a fake clock for determinism
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    def put(n: String): Unit = graft.Tables(spark, sf, "region")
+      .write.mode("overwrite").parquet(s"$tmp/$n.parquet")
+    Seq("a", "b", "c", "d", "e", "f").foreach(put)
+    var clock = 1000L
+    val catT = new GraftCatalog(spark, sf, Map("ttldb" -> tmp),
+      tokenTtlSec = Some(3600L), nowMs = () => clock)
+    val p1 = catT.listTables(database = "ttldb", pageSize = 2)
+    assert(p1.tables.map(_.name) == Seq("a", "b"))
+    // churn between pages: the cached snapshot does NOT shift (the
+    // stateless mode's documented shifted-page behavior goes away)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(s"$tmp/c.parquet"))
+    val p2 = catT.listTables(database = "ttldb", pageSize = 2,
+      pageToken = p1.nextPageToken)
+    // the snapshot slice is (c, d); the dropped c yields no info row
+    // (reference: the info query over cached names returns nothing for
+    // it), so the page shrinks — it does NOT shift to (d, e) the way
+    // the stateless offset mode does
+    assert(p2.tables.map(_.name) == Seq("d"))
+    assert(p2.totalTables == 6) // snapshot total, not the post-churn 5
+    // a token replayed with DIFFERENT filters resets to page one
+    val mism = catT.listTables(database = "ttldb", pageSize = 2,
+      like = Seq("d%"), pageToken = p1.nextPageToken)
+    assert(mism.tables.map(_.name) == Seq("d"))
+    // expiry: advance the clock past the TTL — the token resets to
+    // the (fresh) first page instead of resuming
+    clock += 3601 * 1000L
+    val expired = catT.listTables(database = "ttldb", pageSize = 2,
+      pageToken = p1.nextPageToken)
+    assert(expired.tables.map(_.name) == Seq("a", "b"))
+  }
+
   test("token for different filters restarts from the beginning") {
     val p1 = cat.listTables(pageSize = 2)
     val restarted = cat.listTables(pageSize = 2, like = Seq("o%"),
