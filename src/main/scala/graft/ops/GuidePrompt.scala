@@ -25,11 +25,15 @@ object GuidePrompt {
       |  by a plan-level guard; results are row-capped and time-boxed.
       |- **list_databases** / **list_tables**: catalog discovery with
       |  LIKE / NOT LIKE filters and page tokens. Page tokens are
-      |  STATELESS offsets (they encode database + filters + position),
-      |  so they never expire — unlike the reference's server-side
-      |  token cache with its 1-hour TTL. A token replayed with
-      |  DIFFERENT filters, or a corrupted token, restarts the listing
-      |  from the first page instead of erroring.
+      |  STATELESS offsets by default (they encode database + filters
+      |  + position), so they never expire — unlike the reference's
+      |  server-side token cache with its 1-hour TTL. A token replayed
+      |  with DIFFERENT filters, or a corrupted token, restarts the
+      |  listing from the first page instead of erroring. Setting
+      |  SPARK_GRAFT_TOKEN_TTL (seconds) opts into reference-parity
+      |  cached tokens: a resumed listing pages over a snapshot (no
+      |  shift under concurrent table churn) and expired tokens reset
+      |  to the first page.
       |
       |## Principles
       |- Query data IN PLACE with table functions; never suggest
@@ -133,9 +137,11 @@ object GuidePrompt {
       |CH type names in casts (`CAST(x AS UInt32)`, `x::Nullable(T)`),
       |`GROUP BY ... WITH TOTALS`, `[LEFT] ARRAY JOIN`,
       |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`
-      |(several sort columns may each carry WITH FILL — the filled
-      |grid is the cross product of their axes; a fill axis may also
-      |be a computed sort expression like `date_trunc('day', ts)`;
+      |(several sort columns may each carry WITH FILL — explicitly
+      |bounded axes fill the cross-product grid, an inner axis missing
+      |FROM/TO derives its range per outer-axis run as ClickHouse
+      |does; a fill axis may also be a computed sort expression like
+      |`date_trunc('day', ts)`;
       |`INTERPOLATE (col AS expr)` cascades per filler row),
       |expression-form `WITH <expr> AS <ident>`, `FROM t FINAL`,
       |`SAMPLE f [OFFSET o]`, `* EXCEPT/REPLACE`,
@@ -152,10 +158,17 @@ object GuidePrompt {
       |`ANY [LEFT|INNER|RIGHT] JOIN` (at most one row per key from
       |the deduped side — the right for LEFT/INNER, the left for
       |RIGHT, as in ClickHouse; ON or USING). SIBLING ASOF/ANY joins
-      |compose in one flat FROM (each materializes left-to-right), and
-      |all of these dialect forms also work INSIDE FROM-position
-      |subqueries, CTE bodies, and uncorrelated scalar subqueries
-      |(nested subqueries plan recursively).
+      |compose in one flat FROM (each materializes left-to-right), a
+      |PLAIN join group — keyword or comma form — may sit on the LEFT
+      |of an ASOF/ANY join, and all of these dialect forms also work
+      |INSIDE FROM-position subqueries, CTE bodies, and uncorrelated
+      |scalar subqueries (nested subqueries plan recursively).
+      |Integer arithmetic WRAPS on 64-bit overflow like ClickHouse's
+      |unchecked semantics (hash/sharding idioms such as
+      |`key * 2654435761` are safe at any key magnitude; values past
+      |2^63 render as negative Int64 rather than UInt64 — the same
+      |64-bit pattern); Decimal arithmetic and string-to-number casts
+      |still raise, as in ClickHouse.
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

@@ -38,13 +38,14 @@ import org.apache.spark.sql.functions._
   * view and rescans, so each later sibling sees an ordinary table
   * name on its left. [[extract]] therefore processes only the FIRST
   * top-level hit and leaves the rest in the returned text. A PLAIN
-  * join group on the left (`FROM a JOIN b ON ... ASOF JOIN c ...`)
-  * materializes the same way before extraction (QueryGuard
+  * join group on the left — keyword joins or a comma-FROM list
+  * (`FROM a JOIN b ON ... ASOF JOIN c ...`, `FROM a, b ASOF JOIN
+  * ...`) — materializes the same way before extraction (QueryGuard
   * .materializeJoinPrefix), so the left side seen here always
   * directly follows FROM; left shapes the prefix machinery cannot
-  * parse (comma-FROM lists, backtick-quoted aliases) still get a
-  * scoped rejection. The DataFrame API (`graft.plans.AsOf`) remains
-  * the general surface. */
+  * parse (backtick-quoted side aliases) still get a scoped
+  * rejection. The DataFrame API (`graft.plans.AsOf`) remains the
+  * general surface. */
 object AsOfText {
 
   final case class Side(text: String, alias: String, isSubquery: Boolean)

@@ -86,7 +86,7 @@ object QueryGuard {
         // ordinary table name on its left — same consume-the-leftmost
         // strategy the sibling loop uses
         val leftmost = (nextAsof.toSeq ++ nextAny.toSeq).minOption
-          .filter(h => joinPrefixBefore(ts, h))
+          .filter(h => joinPrefixBefore(stmt, ts, h))
         (leftmost, nextAsof, nextAny) match {
           case (Some(h), _, _) =>
             stmt = materializeJoinPrefix(spark, stmt, ts, h, views)
@@ -138,17 +138,44 @@ object QueryGuard {
 
   private val hoistCounter = new java.util.concurrent.atomic.AtomicLong()
 
-  /** Is there a top-level plain JOIN between the nearest preceding
-    * FROM and the ASOF/ANY token at `hit`? (ClickHouse accepts
-    * `FROM a JOIN b ON ... ASOF JOIN c ...`; the ASOF extractor needs
-    * a single table name on its left, so the plain prefix must
-    * materialize first.) */
-  private def joinPrefixBefore(
+  /** Depth-0 comma positions of `s` (quote-aware) — comma-FROM lists
+    * are CH cross joins, so they count as a join prefix too. */
+  private def depth0Commas(s: String): Seq[Int] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case q @ ('\'' | '"' | '`') =>
+          i += 1
+          while (i < s.length && s.charAt(i) != q) {
+            if (s.charAt(i) == '\\' && q != '`') i += 1
+            i += 1
+          }
+        case ',' if depth == 0 => out += i
+        case _ =>
+      }
+      i += 1
+    }
+    out.toSeq
+  }
+
+  /** Is there a top-level plain JOIN — keyword or comma-list — between
+    * the nearest preceding FROM and the ASOF/ANY token at `hit`?
+    * (ClickHouse accepts `FROM a JOIN b ON ... ASOF JOIN c ...` and
+    * the comma form; the ASOF extractor needs a single table name on
+    * its left, so the plain prefix must materialize first.) */
+  private def joinPrefixBefore(sql: String,
       ts: Vector[(NormTok, Int)], hit: Int): Boolean =
     (0 until hit).reverse.find(j =>
-      ts(j)._2 == 0 && ts(j)._1.upper == "FROM").exists(fromAt =>
+      ts(j)._2 == 0 && ts(j)._1.upper == "FROM").exists { fromAt =>
       (fromAt + 1 until hit).exists(j =>
-        ts(j)._2 == 0 && ts(j)._1.upper == "JOIN"))
+        ts(j)._2 == 0 && ts(j)._1.upper == "JOIN") ||
+        depth0Commas(
+          sql.substring(ts(fromAt)._1.end, ts(hit)._1.start)).nonEmpty
+    }
 
   /** Materialize the plain-join group between FROM and the ASOF/ANY
     * token at `hit` into a temp view (recursively planned, so dialect
@@ -164,25 +191,34 @@ object QueryGuard {
       ts(j)._2 == 0 && ts(j)._1.upper == "FROM").get
     val prefix = sql.substring(ts(fromAt)._1.end, ts(hit)._1.start).trim
       .stripSuffix(",").trim
-    // side chunks: the first runs to the first top-level join-cluster
-    // keyword; each later side sits between its JOIN token and the
-    // next ON/USING/join keyword. Tokens inside parens carry depth>0,
-    // so subquery sides scan as one chunk.
-    val pts = normalizeScan(prefix)
+    // comma-FROM items (CH cross joins) split first; within each
+    // segment, side chunks follow the JOIN-keyword structure: the
+    // first runs to the first top-level join-cluster keyword, each
+    // later side sits between its JOIN token and the next ON/USING/
+    // join keyword. Tokens inside parens carry depth>0, so subquery
+    // sides scan as one chunk.
+    val segments = {
+      val cuts = depth0Commas(prefix)
+      (Seq(-1) ++ cuts).zip(cuts ++ Seq(prefix.length))
+        .map { case (a, b) => prefix.substring(a + 1, b).trim }
+    }
     val cluster = Set("JOIN", "LEFT", "RIGHT", "INNER", "FULL", "CROSS",
       "OUTER", "NATURAL", "SEMI", "ANTI", "ARRAY")
     val stops = cluster ++ Set("ON", "USING")
     val sides = scala.collection.mutable.ArrayBuffer.empty[String]
-    val firstKw = pts.indices.find(i =>
-      pts(i)._2 == 0 && cluster(pts(i)._1.upper))
-    sides += prefix.substring(0,
-      firstKw.map(i => pts(i)._1.start).getOrElse(prefix.length)).trim
-    pts.indices.foreach { i =>
-      if (pts(i)._2 == 0 && pts(i)._1.upper == "JOIN") {
-        val end = (i + 1 until pts.size).find(j =>
-          pts(j)._2 == 0 && stops(pts(j)._1.upper))
-          .map(j => pts(j)._1.start).getOrElse(prefix.length)
-        sides += prefix.substring(pts(i)._1.end, end).trim
+    segments.foreach { seg =>
+      val pts = normalizeScan(seg)
+      val firstKw = pts.indices.find(i =>
+        pts(i)._2 == 0 && cluster(pts(i)._1.upper))
+      sides += seg.substring(0,
+        firstKw.map(i => pts(i)._1.start).getOrElse(seg.length)).trim
+      pts.indices.foreach { i =>
+        if (pts(i)._2 == 0 && pts(i)._1.upper == "JOIN") {
+          val end = (i + 1 until pts.size).find(j =>
+            pts(j)._2 == 0 && stops(pts(j)._1.upper))
+            .map(j => pts(j)._1.start).getOrElse(seg.length)
+          sides += seg.substring(pts(i)._1.end, end).trim
+        }
       }
     }
     val aliases = sides.toSeq.filter(_.nonEmpty).flatMap(sideAlias)

@@ -315,4 +315,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), "expected an equi-join")
   }
+
+  test("plain-join prefix before ASOF keeps keyed joins end to end") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT e.event_id, c.c_name, p.event_id AS prior_view
+        |FROM (SELECT * FROM events WHERE event_type = 'click') e
+        |JOIN customer c ON e.user_id = c.c_custkey
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin)
+    val plan = formatted(df)
+    // the materialized prefix stays a keyed join (customer is small →
+    // broadcast hash) feeding the custom ASOF sort-merge — never a
+    // nested loop over the prefix view
+    assert(plan.contains("AsOfJoin"), plan.take(600))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"), "expected a keyed prefix join")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "expected keyed joins only")
+  }
+
+  test("per-group nested fill joins on the outer axis, no cartesian") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT d, m, n FROM (
+        |  SELECT CAST(l_quantity AS INT) AS d,
+        |    CAST(month(l_shipdate) AS INT) AS m, count(*) AS n
+        |  FROM lineitem
+        |  WHERE CAST(l_quantity AS INT) IN (3, 7, 11)
+        |    AND month(l_shipdate) <= CAST(l_quantity AS INT)
+        |  GROUP BY 1, 2) t
+        |ORDER BY d WITH FILL, m WITH FILL""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // the unbounded inner axis derives bounds per outer group through
+    // an equi-join on the outer axis column — a cartesian grid blowup
+    // here would scale with |result| × |axis| instead of the runs
+    assert(!plan.contains("CartesianProduct"), plan.take(900))
+  }
 }

@@ -378,6 +378,13 @@ class DialectStressSpec extends graft.SparkSpec {
         |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey""".stripMargin)
     val base = ex.run("SELECT count(*) AS n FROM customer")
     assert(r2.rows.head.head == base.rows.head.head)
+    // comma-FROM prefix (CH cross join) before the ANY clause
+    val r2b = ex.run(
+      """SELECT count(*) AS n
+        |FROM customer c, nation n
+        |ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |WHERE c.c_nationkey = n.n_nationkey""".stripMargin)
+    assert(r2b.rows.head.head == base.rows.head.head)
     // and a plain join AFTER the ASOF clause still works (regression)
     val r3 = ex.run(
       """SELECT count(*) AS n
