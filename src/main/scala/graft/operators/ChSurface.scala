@@ -235,6 +235,36 @@ object ChSurface {
         |  max(('0x' || substr(md5(k::VARCHAR), 1, 15))::BIGINT) AS max_h
         |FROM t""".stripMargin)),
 
+    // WRAPPING integer arithmetic at production key magnitudes: the
+    // +4e9 offset pushes the Knuth-hash product past Int64.max, where
+    // ClickHouse wraps (unchecked modular arithmetic) and ANSI Spark
+    // would throw — WrapArith flips integral ops to two's-complement
+    // wrap. The oracle replays the wrap in DuckDB through HUGEINT
+    // modular reduction, so every wrapped value is hash-compared
+    // exactly (the documented Int64-vs-UInt64 nuance is about decimal
+    // RENDERING of the same 64-bit pattern; the signed values the
+    // engine carries are pinned here).
+    ("q_ch_wrap",
+      """WITH t AS (SELECT o_orderkey + 4000000000 AS k FROM orders)
+        |SELECT count(*) AS n,
+        |  min(multiply(k, 2654435761)) AS mn,
+        |  max(k * 2654435761) AS mx,
+        |  sum(bitAnd(multiply(k, 2654435761), 65535)) AS low16,
+        |  min(toInt32(k * 31)) AS nar
+        |FROM t""".stripMargin,
+      Some("""WITH t AS (SELECT o_orderkey + 4000000000 AS k FROM orders),
+        |w AS (SELECT k,
+        |  CAST(((k::HUGEINT * 2654435761 + 9223372036854775808)
+        |        % 18446744073709551616) - 9223372036854775808 AS BIGINT)
+        |    AS wk FROM t)
+        |SELECT count(*) AS n,
+        |  min(wk) AS mn,
+        |  max(wk) AS mx,
+        |  CAST(sum(wk & 65535) AS BIGINT) AS low16,
+        |  CAST(min(((k * 31 + 2147483648) % 4294967296) - 2147483648)
+        |       AS INT) AS nar
+        |FROM w""".stripMargin)),
+
     // array analytics family (arrayDifference/CumSum/Enumerate/Uniq/
     // Avg/Product/Compact) over per-document token-length series
     ("q_ch_array2",
