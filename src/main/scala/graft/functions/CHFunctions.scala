@@ -2092,8 +2092,19 @@ object CHFunctions {
     "bitOr" -> (es => BitwiseOr(es.head, es(1))),
     "bitXor" -> (es => BitwiseXor(es.head, es(1))),
     "bitNot" -> (es => BitwiseNot(es.head)),
-    "bitShiftLeft" -> (es => ShiftLeft(es.head, es(1))),
-    "bitShiftRight" -> (es => ShiftRight(es.head, es(1))),
+    // ClickHouse yields 0 when the shift amount reaches the 64-bit
+    // width (or is negative); Java/Spark shifts mask the amount mod
+    // 64, so bitShiftLeft(x, 64) would silently return x — guard the
+    // out-of-range amounts explicitly (carried in Long, CH's 64-bit
+    // arithmetic width)
+    "bitShiftLeft" -> (es => CaseWhen(
+      Seq((Or(LessThan(es(1), Literal(0)),
+        GreaterThanOrEqual(es(1), Literal(64))), Literal(0L))),
+      Some(ShiftLeft(Cast(es.head, LongType), es(1))))),
+    "bitShiftRight" -> (es => CaseWhen(
+      Seq((Or(LessThan(es(1), Literal(0)),
+        GreaterThanOrEqual(es(1), Literal(64))), Literal(0L))),
+      Some(ShiftRight(Cast(es.head, LongType), es(1))))),
     "bitCount" -> (es => fn("bit_count", es.head)),
 
     // arithmetic under ClickHouse's functional names. CH integer

@@ -361,7 +361,9 @@ class CHFunctionsSpec extends SparkSpec {
         |  modulo(7, 3), negate(5)""".stripMargin)
     assert(r.getInt(0) == 8 && r.getInt(1) == 14 && r.getInt(2) == 6)
     assert(r.getInt(3) == -1)
-    assert(r.getInt(4) == 12 && r.getInt(5) == 3)
+    // shifts carry Long (CH's 64-bit arithmetic width — and the
+    // ≥64-amount guard yields 0 where Java would mask mod 64)
+    assert(r.getLong(4) == 12L && r.getLong(5) == 3L)
     assert(r.get(6).toString.toInt == 8)
     assert(r.getInt(7) == 5 && r.getInt(8) == -1 && r.getInt(9) == 20)
     assert(r.getDouble(10) == 3.5) // CH divide is float division

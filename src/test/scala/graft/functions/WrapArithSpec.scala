@@ -76,6 +76,18 @@ class WrapArithSpec extends SparkSpec {
     intercept[Exception] { one("SELECT toInt32('nope' || cast(id AS STRING)) FROM range(1)") }
   }
 
+  test("bit shifts at or past the 64-bit width yield 0 like ClickHouse") {
+    // Java/Spark mask the shift amount mod 64 (x << 64 == x); CH
+    // yields 0 once the amount reaches the arithmetic width
+    val r = one(
+      """SELECT bitShiftLeft(1 + id, 64) AS a, bitShiftLeft(1 + id, 65) AS b,
+        |  bitShiftRight(100 + id, 64) AS c, bitShiftLeft(5 + id, -1) AS d,
+        |  bitShiftLeft(1 + id, 62) AS e
+        |FROM range(1)""".stripMargin)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 0L && r.getLong(2) == 0L)
+    assert(r.getLong(3) == 0L && r.getLong(4) == (1L << 62))
+  }
+
   test("decimal arithmetic keeps ANSI checked overflow (CH Decimal throws too)") {
     intercept[Exception] {
       one(
