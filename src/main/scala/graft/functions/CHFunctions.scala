@@ -55,23 +55,17 @@ object CHFunctions {
       Literal(0), Literal(0), Literal(0))
 
   /** Dotted-quad render of a UInt32 address (shared by the IPv4
-    * family and the CIDR tuple builders). */
-  private def ipv4NumToString(num: Expression): Expression = {
-    val n = Cast(num, LongType)
-    def octet(sh: Int): Expression =
-      Cast(BitwiseAnd(ShiftRight(n, Literal(sh)), Literal(255L)), StringType)
-    fn("concat_ws", Literal("."), octet(24), octet(16), octet(8), octet(0))
-  }
+    * family and the CIDR tuple builders) — the native one-pass
+    * [[Ipv4Format]] (bit-identical octets to the former
+    * concat_ws/shift composition). */
+  private def ipv4NumToString(num: Expression): Expression =
+    Ipv4Format(Cast(num, LongType))
 
-  /** Dotted quad → UInt32; null (via element_at/cast) when malformed. */
-  private def ipv4StringToNum(s: Expression): Expression = {
-    val parts = fn("split", s, Literal("\\."))
-    def p(i: Int): Expression =
-      Cast(fn("element_at", parts, Literal(i)), LongType)
-    Add(Add(Add(Multiply(p(1), Literal(16777216L)),
-      Multiply(p(2), Literal(65536L))),
-      Multiply(p(3), Literal(256L))), p(4))
-  }
+  /** Dotted quad → UInt32; null when malformed — the native
+    * [[Ipv4Parse]] (same group arithmetic as the former
+    * split/element_at composition). */
+  private def ipv4StringToNum(s: Expression): Expression =
+    Ipv4Parse(s)
 
   /** Per-row sum of an array's elements (the -Array combinator's
     * inner fold; double accumulator like arraySum). */
@@ -2082,10 +2076,7 @@ object CHFunctions {
     // a signed BIGINT — documented deviation).
     "cityHash64" -> (es => new XxHash64(es)),
     "sipHash64" -> (es => XxHash64(es, 7L)),
-    "halfMD5" -> (es =>
-      Cast(fn("conv",
-        fn("substring", fn("md5", es.head), Literal(1), Literal(15)),
-        Literal(16), Literal(10)), LongType)),
+    "halfMD5" -> (es => HalfMd5(es.head)),
 
     // bit functions
     "bitAnd" -> (es => BitwiseAnd(es.head, es(1))),

@@ -140,6 +140,94 @@ object Ipv6Parse {
   }
 }
 
+/** Dotted-quad render of a UInt32 address carried in Long — the
+  * native one-pass twin of the former concat_ws/shift/cast
+  * composition (per-row on the 15M-row sf1 fingerprint queries).
+  * Octet extraction is bit-identical to the composed form:
+  * `(v >> s) & 255` on the raw long, sign-extension and all, so
+  * wrapped/overflowed inputs render exactly as before. */
+case class Ipv4Format(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "IPv4NumToString"
+
+  override def nullSafeEval(v: Any): Any =
+    Ipv4Format.format(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.Ipv4Format.format($v)")
+
+  override protected def withNewChildInternal(c: Expression): Ipv4Format =
+    copy(child = c)
+}
+
+object Ipv4Format {
+  def format(v: Long): UTF8String = {
+    val sb = new java.lang.StringBuilder(15)
+    sb.append((v >> 24) & 255).append('.').append((v >> 16) & 255)
+      .append('.').append((v >> 8) & 255).append('.').append(v & 255)
+    UTF8String.fromString(sb.toString)
+  }
+}
+
+/** Dotted-quad parse to a UInt32-in-Long; NULL when the string is not
+  * exactly four dot-separated digit groups (the composed
+  * split/element_at form's documented malformed contract). Groups are
+  * combined as `a*2^24 + b*2^16 + c*2^8 + d` without a 0-255 range
+  * check, matching the composed arithmetic it replaces. */
+case class Ipv4Parse(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "IPv4StringToNum"
+
+  override def nullSafeEval(s: Any): Any =
+    Ipv4Parse.parse(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""Long boxed$$ = graft.functions.Ipv4Parse.parse($s);
+         |if (boxed$$ == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = boxed$$.longValue(); }""".stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): Ipv4Parse =
+    copy(child = c)
+}
+
+object Ipv4Parse {
+  def parse(s: UTF8String): java.lang.Long = {
+    val str = s.toString
+    val g = new Array[Long](4)
+    var gi = 0
+    var group = 0L
+    var digits = 0
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i)
+      if (c >= '0' && c <= '9') {
+        if (digits >= 10) return null
+        group = group * 10 + (c - '0')
+        digits += 1
+      } else if (c == '.') {
+        if (digits == 0 || gi >= 3) return null
+        g(gi) = group
+        gi += 1
+        group = 0L
+        digits = 0
+      } else return null
+      i += 1
+    }
+    if (digits == 0 || gi != 3) return null
+    g(3) = group
+    java.lang.Long.valueOf(
+      (g(0) << 24) + (g(1) << 16) + (g(2) << 8) + g(3))
+  }
+}
+
 case class Ipv6Format(child: Expression)
     extends UnaryExpression with ImplicitCastInputTypes {
 

@@ -38,6 +38,49 @@ object NormalizeUtf8 {
   * case-folds to lowercase during ToASCII — a documented deviation
   * from ClickHouse, which round-trips case through raw punycode.
   * Invalid labels return null rather than throwing. */
+/** ClickHouse `halfMD5` analogue: the first 60 bits of the MD5
+  * digest as a BIGINT (60 rather than CH's 64 so the value stays in
+  * a signed long — the pack's documented deviation, unchanged from
+  * the earlier composed form `conv(substring(md5(x), 1, 15), 16,
+  * 10)`). Native single-digest path: no 32-char hex string
+  * materialization and no base-16 string re-parse per row — on the
+  * 15M-row sf1 fingerprint queries that composed chain dominated the
+  * runtime. Digest instances pool per thread. */
+case class HalfMd5(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "halfMD5"
+
+  override def nullSafeEval(s: Any): Any =
+    HalfMd5.compute(s.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HalfMd5.compute($s)")
+
+  override protected def withNewChildInternal(c: Expression): HalfMd5 =
+    copy(child = c)
+}
+
+object HalfMd5 {
+  private val pool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(s: UTF8String): Long = {
+    val md = pool.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    // first 15 hex chars = bytes 0-6 plus the high nibble of byte 7
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xFFL); i += 1 }
+    (v << 4) | ((d(7) & 0xF0L) >>> 4)
+  }
+}
+
 case class IdnaCode(child: Expression, mode: String)
     extends UnaryExpression with ImplicitCastInputTypes {
 
