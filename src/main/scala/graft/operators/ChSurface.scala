@@ -1036,6 +1036,22 @@ object ChSurface {
         |SELECT c_nationkey, c_custkey, bal_cents FROM r WHERE rn <= 2
         |ORDER BY c_nationkey, bal_cents DESC, c_custkey""".stripMargin)),
 
+    // SELECT DISTINCT ON (cols): CH documents the form as LIMIT 1 BY
+    // cols — the shim strips the modifier and rides the proven
+    // row_number-window shape. DuckDB speaks DISTINCT ON natively
+    // (first row per key in ORDER BY), so the oracle is the identical
+    // statement; the unique o_orderkey tiebreak makes the kept row
+    // deterministic on both engines.
+    ("q_distinct_on",
+      """SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY o_custkey, price_cents DESC, o_orderkey""".stripMargin,
+      Some("""SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100.0) AS BIGINT) AS price_cents
+        |FROM orders
+        |ORDER BY o_custkey, price_cents DESC, o_orderkey""".stripMargin)),
+
     // ORDER BY ... WITH FILL through the shim: the literal clause
     // densifies via the bounds-broadcast + sequence/explode axis plan
     // (q_with_fill proves the shape); filler rows carry type defaults

@@ -306,6 +306,9 @@ object QueryGuard {
         }
       case "ARRAY" =>
         i + 1 < ts.size && ts(i + 1)._1.upper == "JOIN"
+      case "DISTINCT" =>
+        i + 1 < ts.size && ts(i + 1)._1.upper == "ON" &&
+          nextCh(ts(i + 1)._1.end) == '('
       case "COLUMNS" | "APPLY" => nextCh(ts(i)._1.end) == '('
       case "LIMIT" =>
         i + 1 < ts.size && ts(i + 1)._1.upper == "BY" && {
@@ -682,6 +685,12 @@ object QueryGuard {
             rest + " " + tail
       }
     }
+    // SELECT DISTINCT ON (cols) — ClickHouse documents the form as
+    // equivalent to LIMIT 1 BY cols: strip the modifier and insert
+    // the LIMIT BY spelling, which the per-group-head pass right
+    // below then rewrites onto the proven row_number-window shape.
+    out = rewriteDistinctOn(out)
+
     // LIMIT [offset,] k BY cols — CH's per-group head — rewrites to the
     // row_number-window form (the plan shape proven by q_limit_by): the
     // source becomes a subquery, a window numbers rows per BY-group in
@@ -734,6 +743,53 @@ object QueryGuard {
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
     out
+  }
+
+  /** `SELECT DISTINCT ON (cols) ...` → the `LIMIT 1 BY cols`
+    * spelling (ClickHouse documents the equivalence; the LIMIT BY
+    * shim owns the plan shape). The inserted clause sits before a
+    * trailing plain LIMIT, as CH's grammar orders them. Top-level
+    * only — nested occurrences hoist through the recursive pre-plan
+    * (the DISTINCT trigger in shimTokenAt); set operators around a
+    * top-level DISTINCT ON get a scoped rejection because the
+    * appended LIMIT BY would otherwise dedupe the WHOLE union. */
+  private def rewriteDistinctOn(sql: String): String = {
+    val ts = normalizeScan(sql)
+    val hit = ts.indices.find { i =>
+      i > 0 && i + 1 < ts.size && ts(i)._2 == 0 &&
+        ts(i)._1.upper == "DISTINCT" && ts(i + 1)._1.upper == "ON" &&
+        ts(i - 1)._1.upper == "SELECT" && ts(i - 1)._2 == 0 &&
+        sql.substring(ts(i + 1)._1.end).dropWhile(_.isWhitespace)
+          .startsWith("(")
+    }
+    hit match {
+      case None => sql
+      case Some(i) =>
+        if (ts.exists(t => t._2 == 0 &&
+          Set("UNION", "INTERSECT", "EXCEPT")(t._1.upper)))
+          throw new ReadOnlyViolation(
+            "DISTINCT ON combined with a set operator is not " +
+              "supported — wrap the DISTINCT ON select in a subquery")
+        val open = sql.indexOf('(', ts(i + 1)._1.end)
+        val close = matchParenAt(sql, open)
+        if (close < 0) throw new ReadOnlyViolation(
+          "unbalanced parens in DISTINCT ON")
+        val cols = sql.substring(open + 1, close).trim
+        if (cols.isEmpty) throw new ReadOnlyViolation(
+          "DISTINCT ON needs at least one column")
+        val without = sql.substring(0, ts(i)._1.start) +
+          sql.substring(close + 1)
+        val ts2 = normalizeScan(without)
+        ts2.indices.find(j =>
+          ts2(j)._2 == 0 && ts2(j)._1.upper == "LIMIT") match {
+          case Some(j) =>
+            val p = ts2(j)._1.start
+            without.substring(0, p) + s"LIMIT 1 BY $cols " +
+              without.substring(p)
+          case None =>
+            without.stripTrailing().stripSuffix(";") + s" LIMIT 1 BY $cols"
+        }
+    }
   }
 
   /** CH's parameterized-aggregate call form `f(params)(args)` —

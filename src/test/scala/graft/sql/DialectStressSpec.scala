@@ -341,6 +341,30 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.nonEmpty)
   }
 
+  test("DISTINCT ON rides the LIMIT BY shape; nested hoists; unions reject") {
+    val r = ex.run(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+        |FROM customer ORDER BY c_nationkey, c_custkey""".stripMargin)
+    val nk = ex.run(
+      "SELECT count(DISTINCT c_nationkey) AS n FROM customer")
+    assert(r.rows.size.toString == nk.rows.head.head.toString)
+    // first row per key in ORDER BY: the kept custkey is the minimum
+    val minFirst = ex.run(
+      """SELECT c_nationkey, min(c_custkey) AS c_custkey
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(r.rows == minFirst.rows)
+    // nested DISTINCT ON hoists through the recursive pre-plan
+    val r2 = ex.run(
+      """SELECT count(*) AS n FROM (
+        |  SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
+        |  FROM customer ORDER BY c_nationkey, c_custkey) t""".stripMargin)
+    assert(r2.rows.head.head.toString == nk.rows.head.head.toString)
+    // appended LIMIT 1 BY would dedupe the WHOLE union — scoped reject
+    intercept[ReadOnlyViolation](ex.run(
+      """SELECT DISTINCT ON (c_nationkey) c_nationkey FROM customer
+        |UNION ALL SELECT 1 AS c_nationkey""".stripMargin))
+  }
+
   test("backtick-quoted self-references substitute in INTERPOLATE and APPLY") {
     // before the substituteIdent fix the quoted `c` resolved against
     // the filler row (NULL → coalesce → type default 0): silently
