@@ -117,7 +117,22 @@ object Introspection {
         |GROUP BY st.n_name ORDER BY st.n_name""".stripMargin)
   }
 
+  /** Pasted DOTTED system references end-to-end (CH clients write
+    * `system.tables`, `system.numbers`, `system.one`): the qualifier
+    * shim maps them onto the registered underscored views, the
+    * numbers generator stays a scan-free Range leaf under its LIMIT,
+    * and system.one serves the 1-row dummy source. */
+  val sysDotted: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    graft.sql.QueryGuard.plan(s,
+      """SELECT (SELECT count(*) FROM system.tables) AS n_tables,
+        |  (SELECT count(*) FROM
+        |     (SELECT number FROM system.numbers LIMIT 5) t) AS n_numbers,
+        |  (SELECT dummy FROM system.one) AS dummy""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sys_dotted" -> sysDotted,
     "cat_databases" -> catDatabases,
     "sys_databases" -> sysDatabases,
     "cat_tables" -> catTables,
@@ -131,6 +146,10 @@ object Introspection {
     * the in-SQL file query verifies against DuckDB reading the same
     * parquet path through its own table-function syntax. */
   val oracles: Map[String, String] = Map(
+    // fixed contracts: the served table list has 10 tables, the LIMITed
+    // numbers slice has 5 rows, system.one's dummy is the UInt8 zero
+    "sys_dotted" -> ("SELECT CAST(10 AS BIGINT) AS n_tables, " +
+      "CAST(5 AS BIGINT) AS n_numbers, CAST(0 AS TINYINT) AS dummy"),
     // the served catalog's database list is a fixed contract (the single
     // file-backed `default` database), so the oracle is its literal form
     "cat_databases" -> "SELECT 'default' AS database_name",

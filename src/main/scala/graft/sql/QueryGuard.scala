@@ -499,6 +499,7 @@ object QueryGuard {
     // parser see standard type syntax
     var typed = rewriteCastTypes(sql)
     typed = rewriteColonTypes(typed)
+    typed = rewriteSystemQualifiers(typed)
     // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
     // (GLOBAL IN / GLOBAL JOIN — identical semantics on one engine;
     // Spark's planner owns the broadcast decision) dropped when it
@@ -742,6 +743,32 @@ object QueryGuard {
     out = rewriteArrayLiterals(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
+    out
+  }
+
+  /** Pasted dotted references to CH's system tables (`system.tables`,
+    * `system.one`, `system.numbers`, ...) rewrite to the underscored
+    * temp views TableEnv registers — temp views cannot carry a
+    * qualifier, so the dotted spelling has no other way to resolve.
+    * Right-to-left keeps offsets valid; a prefix like `db.system.x`
+    * (the SYSTEM token preceded by a dot) is left alone. */
+  private def rewriteSystemQualifiers(sql: String): String = {
+    val names =
+      Set("tables", "columns", "databases", "functions", "one", "numbers")
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = ts.size - 1 - ri
+      if (t.upper == "SYSTEM" && i + 1 < ts.size &&
+        names(sql.substring(ts(i + 1)._1.start, ts(i + 1)._1.end)
+          .toLowerCase) &&
+        out.substring(t.end, ts(i + 1)._1.start).trim == "." &&
+        !out.substring(0, t.start).reverse.dropWhile(_.isWhitespace)
+          .headOption.contains('.')) {
+        out = out.substring(0, t.start) + "system_" +
+          out.substring(ts(i + 1)._1.start)
+      }
+    }
     out
   }
 

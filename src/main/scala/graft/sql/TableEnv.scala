@@ -28,6 +28,17 @@ object TableEnv {
       cat.systemTables.createOrReplaceTempView("system_tables")
       cat.systemColumns.createOrReplaceTempView("system_columns")
       cat.systemFunctions.createOrReplaceTempView("system_functions")
+      // CH's constant/generator system tables, for pasted dotted
+      // references (QueryGuard rewrites `system.one` → `system_one`):
+      // system.one is the 1-row dummy source; system.numbers is the
+      // unbounded counter — a Range LEAF, so a LIMIT takes only the
+      // rows it needs and a full scan is the same user error (bounded
+      // here by the executor timeout) it is on ClickHouse
+      import org.apache.spark.sql.functions.lit
+      spark.range(1).select(lit(0).cast("tinyint").as("dummy"))
+        .createOrReplaceTempView("system_one")
+      spark.range(0, Long.MaxValue).toDF("number")
+        .createOrReplaceTempView("system_numbers")
     }
 
   /** Mount an extra parquet directory as a session-catalog DATABASE,

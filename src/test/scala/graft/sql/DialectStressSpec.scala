@@ -341,6 +341,17 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.nonEmpty)
   }
 
+  test("dotted system tables resolve through the qualifier shim") {
+    assert(ex.run("SELECT count(*) AS n FROM system.tables")
+      .rows.head.head.toString == "10")
+    assert(ex.run("SELECT number FROM system.numbers LIMIT 3").rows.size == 3)
+    assert(ex.run("SELECT dummy FROM system.one").rows.size == 1)
+    // the generator composes with the dialect (CH numbers idiom)
+    val r = ex.run(
+      "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 10) t")
+    assert(r.rows.head.head.toString == "45")
+  }
+
   test("DISTINCT ON rides the LIMIT BY shape; nested hoists; unions reject") {
     val r = ex.run(
       """SELECT DISTINCT ON (c_nationkey) c_nationkey, c_custkey
