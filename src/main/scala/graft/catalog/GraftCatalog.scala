@@ -127,6 +127,37 @@ final class GraftCatalog(
         "total_bytes_uncompressed", "parts", "marks")
   }
 
+  /** The `system.parts` surface: one row per parquet data FILE (the
+    * "part" of this engine's storage model) with footer row counts,
+    * row-group "marks", FS compressed size, and footer uncompressed
+    * size — metadata only, no data pages touched. CH users monitor
+    * storage through system.parts; this is the same query surface
+    * over parquet. Every part is `active` (a parquet snapshot has no
+    * pending merges). */
+  def systemParts: DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rows = databases.toSeq.sortBy(_._1).flatMap { case (db, d) =>
+      tableNames(db).flatMap { t =>
+        val path = new Path(s"$d/$t.parquet")
+        val fs = path.getFileSystem(conf)
+        if (!fs.exists(path)) Nil
+        else {
+          val files =
+            if (fs.isFile(path)) Seq(fs.getFileStatus(path))
+            else fs.listStatus(path).toSeq.filter(_.isFile)
+              .filterNot(_.getPath.getName.startsWith("_"))
+          files.sortBy(_.getPath.getName).map { st =>
+            val (r, unc, gs) = parquetFooterStats(Seq(st), conf)
+            (db, t, st.getPath.getName, r, gs, st.getLen, unc, true)
+          }
+        }
+      }
+    }
+    rows.toDF("database", "table", "name", "rows", "marks",
+      "bytes_on_disk", "data_uncompressed_bytes", "active")
+  }
+
   /** The `system.columns` surface: one row per column with its 1-based
     * position, like CH's. */
   def systemColumns: DataFrame = {

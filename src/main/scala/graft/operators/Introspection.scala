@@ -131,8 +131,21 @@ object Introspection {
         |  (SELECT dummy FROM system.one) AS dummy""".stripMargin)
   }
 
+  /** CH `system.parts` over the parquet storage model: one row per
+    * data file with footer stats, served through the dotted-qualifier
+    * shim. The oracle replays the per-file contract (single-file
+    * tables: the part's row count IS the table count). */
+  val sysParts: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    graft.sql.QueryGuard.plan(s,
+      """SELECT `table` AS tbl, name, rows, active FROM system.parts
+        |WHERE `table` IN ('nation', 'region', 'supplier')
+        |ORDER BY tbl""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sys_dotted" -> sysDotted,
+    "sys_parts" -> sysParts,
     "cat_databases" -> catDatabases,
     "sys_databases" -> sysDatabases,
     "cat_tables" -> catTables,
@@ -150,6 +163,14 @@ object Introspection {
     // numbers slice has 5 rows, system.one's dummy is the UInt8 zero
     "sys_dotted" -> ("SELECT CAST(10 AS BIGINT) AS n_tables, " +
       "CAST(5 AS BIGINT) AS n_numbers, CAST(0 AS TINYINT) AS dummy"),
+    "sys_parts" ->
+      """SELECT * FROM (VALUES
+        |  ('nation', 'nation.parquet', (SELECT count(*) FROM nation), true),
+        |  ('region', 'region.parquet', (SELECT count(*) FROM region), true),
+        |  ('supplier', 'supplier.parquet',
+        |    (SELECT count(*) FROM supplier), true))
+        |  t(tbl, name, "rows", active)
+        |ORDER BY tbl""".stripMargin,
     // the served catalog's database list is a fixed contract (the single
     // file-backed `default` database), so the oracle is its literal form
     "cat_databases" -> "SELECT 'default' AS database_name",

@@ -753,8 +753,8 @@ object QueryGuard {
     * Right-to-left keeps offsets valid; a prefix like `db.system.x`
     * (the SYSTEM token preceded by a dot) is left alone. */
   private def rewriteSystemQualifiers(sql: String): String = {
-    val names =
-      Set("tables", "columns", "databases", "functions", "one", "numbers")
+    val names = Set("tables", "columns", "databases", "functions",
+      "one", "numbers", "parts")
     val ts = normalizeScan(sql)
     var out = sql
     ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>

@@ -28,6 +28,7 @@ object TableEnv {
       cat.systemTables.createOrReplaceTempView("system_tables")
       cat.systemColumns.createOrReplaceTempView("system_columns")
       cat.systemFunctions.createOrReplaceTempView("system_functions")
+      cat.systemParts.createOrReplaceTempView("system_parts")
       // CH's constant/generator system tables, for pasted dotted
       // references (QueryGuard rewrites `system.one` → `system_one`):
       // system.one is the 1-row dummy source; system.numbers is the

@@ -22,6 +22,21 @@ class CatalogSpec extends SparkSpec {
     assert(!matches("axb", Seq("a.b"), Nil))
   }
 
+  test("system.parts per-file stats agree with system.tables totals") {
+    val parts = cat.systemParts.collect()
+    assert(parts.nonEmpty)
+    assert(parts.forall(r => r.getAs[Long]("rows") >= 0 &&
+      r.getAs[Long]("marks") > 0 && r.getAs[Long]("bytes_on_disk") > 0 &&
+      r.getAs[Boolean]("active")))
+    val partRows = parts.groupBy(_.getAs[String]("table"))
+      .view.mapValues(_.map(_.getAs[Long]("rows")).sum).toMap
+    cat.systemTables.collect().foreach { t =>
+      assert(partRows(t.getAs[String]("table_name")) ==
+        t.getAs[Long]("total_rows"),
+        s"parts row sum mismatch for ${t.getAs[String]("table_name")}")
+    }
+  }
+
   test("list_databases returns the default database") {
     assert(cat.listDatabases().contains("default"))
     assert(cat.listDatabases(like = Seq("nope%")).isEmpty)
