@@ -119,12 +119,15 @@ final class GraftCatalog(
     * metadata only — building it never scans data pages. */
   def systemTables: DataFrame = {
     import spark.implicits._
+    // `name` is ClickHouse's own column for the table name (pasted
+    // `SELECT name FROM system.tables` must resolve); `table_name`
+    // stays alongside for the original surface
     databases.keys.toSeq.sorted
       .flatMap(db => listTables(db, pageSize = Int.MaxValue).tables)
-      .map(t => (t.database, t.name, t.engine, t.totalRows, t.totalBytes,
-        t.totalBytesUncompressed, t.parts, t.totalMarks))
-      .toDF("database", "table_name", "engine", "total_rows", "total_bytes",
-        "total_bytes_uncompressed", "parts", "marks")
+      .map(t => (t.database, t.name, t.name, t.engine, t.totalRows,
+        t.totalBytes, t.totalBytesUncompressed, t.parts, t.totalMarks))
+      .toDF("database", "name", "table_name", "engine", "total_rows",
+        "total_bytes", "total_bytes_uncompressed", "parts", "marks")
   }
 
   /** The `system.parts` surface: one row per parquet data FILE (the
@@ -162,13 +165,16 @@ final class GraftCatalog(
     * position, like CH's. */
   def systemColumns: DataFrame = {
     import spark.implicits._
+    // `table` and `type` are ClickHouse's own column names; the
+    // original `table_name`/`col_type` stay alongside
     databases.keys.toSeq.sorted
       .flatMap(db => listTables(db, pageSize = Int.MaxValue).tables)
       .flatMap(t => t.columns.zipWithIndex.map { case (c, i) =>
-        (c.database, c.table, c.name, c.columnType, c.nullable, i + 1)
+        (c.database, c.table, c.table, c.name, c.columnType, c.columnType,
+          c.nullable, i + 1)
       })
-      .toDF("database", "table_name", "name", "col_type", "nullable",
-        "position")
+      .toDF("database", "table", "table_name", "name", "type", "col_type",
+        "nullable", "position")
   }
 
   /** The `system.functions` surface: every name the SQL path can call —

@@ -350,6 +350,20 @@ class DialectStressSpec extends graft.SparkSpec {
     val r = ex.run(
       "SELECT sum(number) AS s FROM (SELECT number FROM system.numbers LIMIT 10) t")
     assert(r.rows.head.head.toString == "45")
+    // CH's OWN column names resolve: system.tables.name,
+    // system.columns.table/type (pasted introspection queries)
+    val n = ex.run(
+      "SELECT name FROM system.tables WHERE database = 'default' ORDER BY name")
+    assert(n.rows.size == 10)
+    val c = ex.run(
+      """SELECT name, type FROM system.columns
+        |WHERE table = 'nation' ORDER BY position""".stripMargin)
+    assert(c.rows.size == 3 && c.rows.head.head == "n_nationkey")
+    // system.parts answers storage-monitoring queries per file
+    val p = ex.run(
+      """SELECT `table`, sum(rows) AS r, sum(bytes_on_disk) AS b
+        |FROM system.parts GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(p.rows.size == 10)
   }
 
   test("DISTINCT ON rides the LIMIT BY shape; nested hoists; unions reject") {
