@@ -189,10 +189,14 @@ case class Ipv4Parse(child: Expression)
     Ipv4Parse.parse(s.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, s =>
-      s"""Long boxed$$ = graft.functions.Ipv4Parse.parse($s);
-         |if (boxed$$ == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = boxed$$.longValue(); }""".stripMargin)
+    nullSafeCodeGen(ctx, ev, s => {
+      // freshName: a fixed local would collide when the expression
+      // appears twice in one whole-stage-codegen function
+      val tmp = ctx.freshName("ipv4")
+      s"""Long $tmp = graft.functions.Ipv4Parse.parse($s);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.longValue(); }""".stripMargin
+    })
 
   override protected def withNewChildInternal(c: Expression): Ipv4Parse =
     copy(child = c)

@@ -38,8 +38,11 @@ object TableEnv {
       import org.apache.spark.sql.functions.lit
       spark.range(1).select(lit(0).cast("tinyint").as("dummy"))
         .createOrReplaceTempView("system_one")
-      spark.range(0, Long.MaxValue).toDF("number")
-        .createOrReplaceTempView("system_numbers")
+      val numbers = spark.range(0, Long.MaxValue).toDF("number")
+      numbers.createOrReplaceTempView("system_numbers")
+      // CH's multithreaded variant — same rows, and the Range leaf
+      // already splits across cores here
+      numbers.createOrReplaceTempView("system_numbers_mt")
     }
 
   /** Mount an extra parquet directory as a session-catalog DATABASE,
