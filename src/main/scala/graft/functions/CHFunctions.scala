@@ -2636,5 +2636,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     CHFunctions.inject(ext)
     ext.injectPlannerStrategy(_ => graft.plans.AsOfStrategy)
     ext.injectOptimizerRule(_ => WrapArith)
+    // analysis-time too: post-hoc resolution runs BEFORE any optimizer
+    // batch, so all-literal integral arithmetic constant-folds with
+    // CH's wrapping semantics instead of throwing ANSI overflow (the
+    // optimizer-rule copy above is then an idempotent no-op, kept for
+    // plans that reach the optimizer without re-analysis)
+    ext.injectPostHocResolutionRule(_ => WrapArith)
   }
 }

@@ -35,15 +35,24 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, Sh
   * `pmod`, bitAnd masks) agree; only the decimal rendering of values
   * past 2^63 differs.
   *
-  * Registered through `spark.experimental.extraOptimizations` (live
-  * sessions, CHFunctions.register) and `injectOptimizerRule`
-  * (GraftExtensions) — optimizer-time is correct because physical
-  * planning and codegen happen after, and the rewrite is idempotent.
-  * Known hole, accepted: constant folding runs in an earlier batch,
-  * so an all-literal overflow (`SELECT 9e18 * 9e18` spelled as
-  * integer literals) still throws at fold time; data-driven
-  * arithmetic — the class that matters at scale — always reaches
-  * this rule first.
+  * Installed three ways, all idempotent:
+  *   - `QueryGuard.plan` rewrites the ANALYZED plan of every served /
+  *     dialect-pack query before any optimizer batch, so even
+  *     all-literal subtrees constant-fold with wrap semantics (this
+  *     closed the round-10 "literal-only hole": ConstantFolding /
+  *     ConvertToLocalRelation run in batches ahead of
+  *     extraOptimizations and used to evaluate literal arithmetic
+  *     ANSI-throwing);
+  *   - `injectPostHocResolutionRule` (GraftExtensions) does the same
+  *     at analysis time for every query on an extensions-built
+  *     session, pasted or API-built;
+  *   - `spark.experimental.extraOptimizations` (CHFunctions.register)
+  *     + `injectOptimizerRule` (GraftExtensions) as the optimizer-time
+  *     backstop for plans that reach the optimizer without
+  *     re-analysis.
+  * Remaining hole, documented: a `register()`-only session (no
+  * extensions, query NOT through QueryGuard) still folds all-literal
+  * integral overflow ANSI-throwing; every served path is covered.
   */
 object WrapArith extends Rule[LogicalPlan] {
 

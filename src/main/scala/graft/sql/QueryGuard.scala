@@ -113,7 +113,7 @@ object QueryGuard {
       if (more) throw new ReadOnlyViolation(
         s"more than $maxJoins ASOF/ANY joins in one statement — split " +
           "the query")
-      try planShimmed(spark, stmt)
+      val planned = try planShimmed(spark, stmt)
       catch {
         case e: org.apache.spark.sql.catalyst.parser.ParseException
             if deferred.nonEmpty =>
@@ -133,6 +133,18 @@ object QueryGuard {
           rv.initCause(e)
           throw rv
       }
+      // Rewrite integral ANSI arithmetic to CH's wrapping semantics on
+      // the ANALYZED plan, before any optimizer batch runs — so even
+      // all-literal subtrees (which ConstantFolding/
+      // ConvertToLocalRelation would otherwise evaluate ANSI-throwing
+      // in batches ahead of the extraOptimizations-installed
+      // [[graft.functions.WrapArith]]) fold with two's-complement
+      // wrap, matching ClickHouse. This closes the literal-only hole
+      // for every pasted query on ANY session; extensions-built
+      // sessions additionally get the same rule post-hoc-resolution
+      // injected (GraftExtensions).
+      graft.plans.Bridge.ofRows(spark,
+        graft.functions.WrapArith(planned.queryExecution.analyzed))
     } finally views.foreach(v => spark.catalog.dropTempView(v))
   }
 

@@ -88,6 +88,37 @@ class WrapArithSpec extends SparkSpec {
     assert(r.getLong(3) == 0L && r.getLong(4) == (1L << 62))
   }
 
+  test("all-literal overflow wraps through QueryGuard.plan (hole closed)") {
+    // ConstantFolding / ConvertToLocalRelation run in optimizer
+    // batches ahead of extraOptimizations, so these shapes used to
+    // throw ANSI overflow before WrapArith ever ran — QueryGuard.plan
+    // now rewrites the ANALYZED plan, so the fold itself wraps
+    CHFunctions.register(spark)
+    import graft.sql.QueryGuard
+    // pure literal fold
+    val a = QueryGuard.plan(spark,
+      "SELECT 9223372036854775807 + 1 AS w").collect().head
+    assert(a.getLong(0) == Long.MinValue)
+    // ReorderAssociativeOperator regroups lit+col+lit and folds the
+    // literal pair — the exact regrouping that dodged the old rule
+    val b = QueryGuard.plan(spark,
+      """SELECT 9223372036854775807 + id + 9223372036854775807 AS w
+        |FROM range(1)""".stripMargin).collect().head
+    assert(b.getLong(0) == -2L)
+    // VALUES rows: ConvertToLocalRelation evaluates the projection
+    val c = QueryGuard.plan(spark,
+      "SELECT x * 2654435761 AS w FROM VALUES (5000000000) AS t(x)")
+      .collect().head
+    assert(c.getLong(0) == 5000000000L * 2654435761L)
+    // decimal literals still fold ANSI-checked (CH Decimal throws too)
+    intercept[Exception] {
+      QueryGuard.plan(spark,
+        """SELECT CAST(10000000000000000000 AS DECIMAL(38,0))
+          |     * CAST(10000000000000000000 AS DECIMAL(38,0))""".stripMargin)
+        .collect()
+    }
+  }
+
   test("decimal arithmetic keeps ANSI checked overflow (CH Decimal throws too)") {
     intercept[Exception] {
       one(
