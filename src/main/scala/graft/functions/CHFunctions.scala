@@ -1558,13 +1558,15 @@ object CHFunctions {
       Cast(CreateArray(Nil), ArrayType(DoubleType))),
     "emptyArrayString" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(StringType))),
-    // tupleElement(t, n) positional (our tuple() names fields colN) or
-    // tupleElement(t, 'name') by field name
+    // tupleElement(t, n) positional — BY ORDINAL, independent of how
+    // the struct's fields are named (CH tuples are positional; ours
+    // inherit source-column names) — or tupleElement(t, 'name') by
+    // field name. The `.N` access shim rewrites to this same call.
     "tupleElement" -> (es => es(1) match {
       case Literal(s, StringType) if s != null =>
         UnresolvedExtractValue(es.head, Literal(s.toString))
       case Literal(n, _) =>
-        UnresolvedExtractValue(es.head, Literal("col" + n))
+        GetStructField(es.head, n.toString.toInt - 1, None)
       case other => throw new IllegalArgumentException(
         s"tupleElement needs a constant index or name, got $other")
     }),
@@ -2373,7 +2375,206 @@ object CHFunctions {
     // raw JSON subtree as text
     "JSONExtractRaw" -> (es =>
       fn("get_json_object", es.head,
-        Concat(Seq(Literal("$."), es(1))))))
+        Concat(Seq(Literal("$."), es(1))))),
+
+    // ---- probe-driven round-11 additions (each of these is a form a
+    // CH user pastes verbatim; found by tools/Probe.scala) ----
+
+    // bare argMax/argMin (the *CH aliases predate the discovery that
+    // Spark 4 has no builtin under either name)
+    "argMax" -> (es => fn("max_by", es: _*)),
+    "argMin" -> (es => fn("min_by", es: _*)),
+
+    // CH hash functions return BINARY (FixedString digests) — the
+    // standard idiom `hex(MD5(x))` double-encoded against Spark's
+    // hex-string md5(), a silent wrong answer. Registered under *CH
+    // suffixes and renamed textually on the SERVED path only
+    // (QueryGuard.rewriteDigestNames): a bare registry override of
+    // `md5`/`sha1` would also capture Spark 4's name-resolved
+    // DataFrame API (functions.md5 lowers to UnresolvedFunction) and
+    // silently flip every internal operator to binary digests.
+    "MD5CH" -> (es => fn("unhex", Md5(Cast(es.head,
+      org.apache.spark.sql.types.BinaryType)))),
+    "SHA1CH" -> (es => fn("unhex", fn("sha", es.head))),
+    "SHA224CH" -> (es => fn("unhex", fn("sha2", es.head, Literal(224)))),
+    "SHA256CH" -> (es => fn("unhex", fn("sha2", es.head, Literal(256)))),
+    "SHA384CH" -> (es => fn("unhex", fn("sha2", es.head, Literal(384)))),
+    "SHA512CH" -> (es => fn("unhex", fn("sha2", es.head, Literal(512)))),
+
+    // toDecimal{32,64,128,256}(x, scale): CH fixed-precision families
+    // map onto Spark DECIMAL with the matching max precision
+    // (Decimal256 saturates at Spark's 38-digit ceiling — documented
+    // narrowing; CH itself errors past the target's range)
+    "toDecimal32" -> (es => decimalCast(es, 9, orNull = false)),
+    "toDecimal64" -> (es => decimalCast(es, 18, orNull = false)),
+    "toDecimal128" -> (es => decimalCast(es, 38, orNull = false)),
+    "toDecimal256" -> (es => decimalCast(es, 38, orNull = false)),
+    "toDecimal32OrNull" -> (es => decimalCast(es, 9, orNull = true)),
+    "toDecimal64OrNull" -> (es => decimalCast(es, 18, orNull = true)),
+    "toDecimal128OrNull" -> (es => decimalCast(es, 38, orNull = true)),
+
+    // toDateTime64(x, precision[, tz]): Spark timestamps are fixed
+    // micro-precision; the precision argument only matters past 6
+    // digits (nanos truncate, as Spark stores micros)
+    "toDateTime64" -> (es =>
+      Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+    "toDateTime64OrNull" -> (es => fn("try_to_timestamp", es.head)),
+
+    // scalar range(): CH returns an Array. range(n) = [0, n),
+    // range(a, b[, step]) = [a, b) — half-open, where Spark's
+    // sequence() is closed on both ends, hence the end-1 and the
+    // empty-range guard (sequence(0, -1) would throw)
+    "range" -> (es => rangeArray(es)),
+
+    // toUUID: graft carries UUIDs as their canonical lowercase string
+    // (CH's UUID type has no Spark analogue); invalid input throws
+    // like CH, the OrNull variant yields NULL
+    "toUUID" -> (es => {
+      val lowered = fn("lower", Cast(es.head,
+        org.apache.spark.sql.types.StringType))
+      val ok = RLike(lowered, Literal(uuidRe))
+      If(ok, lowered,
+        fn("raise_error", Literal("toUUID: invalid UUID string")))
+    }),
+    "toUUIDOrNull" -> (es => {
+      val lowered = fn("lower", Cast(es.head,
+        org.apache.spark.sql.types.StringType))
+      If(RLike(lowered, Literal(uuidRe)), lowered,
+        Literal(null, org.apache.spark.sql.types.StringType))
+    }),
+
+    // replaceOne(s, pat, rep): first literal occurrence only —
+    // locate + splice (replaceAll/replaceRegexpAll are registered
+    // above; replaceRegexpOne is the native ReplaceRegexpFirst)
+    "replaceOne" -> (es => {
+      val pos = fn("locate", es(1), es.head)
+      val before = fn("substring", es.head, Literal(1),
+        Subtract(pos, Literal(1)))
+      val after = fn("substring", es.head,
+        Add(pos, fn("length", es(1))), Literal(Int.MaxValue))
+      If(EqualTo(pos, Literal(0)), es.head,
+        Concat(Seq(before, es(2), after)))
+    }),
+
+    // groupConcat[(sep[, limit])](x): CH's list-concat aggregate;
+    // the parameterized form flattens args-first to (x, sep[, limit])
+    "groupConcat" -> (es => {
+      val sep = if (es.length >= 2) es(1) else Literal("")
+      val listed =
+        if (es.length >= 3) fn("slice", fn("collect_list", es.head),
+          Literal(1), es(2))
+        else fn("collect_list", es.head)
+      fn("array_join", listed, sep)
+    }),
+
+    // CH transform(x, [from...], [to...][, default]): element-wise
+    // mapping through the parallel arrays. The registration OVERRIDES
+    // Spark's lambda transform by name, so the 2-arg lambda form
+    // dispatches back to ArrayTransform (every internal builder and
+    // pasted HOF keeps working).
+    "transform" -> (es => es match {
+      case Seq(arr, lf: LambdaFunction) => ArrayTransform(arr, lf)
+      case _ if es.length >= 3 =>
+        val pos = ArrayPosition(es(1), es.head)
+        val hit = ElementAt(es(2), Cast(pos, IntegerType))
+        val default = if (es.length >= 4) es(3) else es.head
+        If(GreaterThan(pos, Literal(0L)), hit, default)
+      case _ => throw new IllegalArgumentException(
+        "transform expects (array, lambda) or (x, from, to[, default])")
+    }),
+
+    // extract: SQL's EXTRACT(field FROM ts) and CH's
+    // extract(haystack, regexp) share one name — the parser lowers
+    // the grammar form to extract(Literal(field), source), so a
+    // literal first argument naming a datetime field dispatches to
+    // date_part; anything else is CH's regexp extract (first capture
+    // group when the literal pattern has one, else the whole match)
+    "extract" -> (es => {
+      val fieldLit = es.head match {
+        case Literal(u: org.apache.spark.unsafe.types.UTF8String, _)
+            if extractFields(u.toString.toUpperCase(
+              java.util.Locale.ROOT)) => Some(u.toString)
+        case _ => None
+      }
+      fieldLit match {
+        case Some(f) => fn("date_part", Literal(f), es(1))
+        case None =>
+          val group = es(1) match {
+            case Literal(p: org.apache.spark.unsafe.types.UTF8String, _)
+                if hasCaptureGroup(p.toString) => 1
+            case _ => 0
+          }
+          RegExpExtract(es.head, es(1), Literal(group))
+      }
+    }))
+
+  private val uuidRe =
+    "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+
+  /** Datetime field names SQL EXTRACT accepts (Spark's date_part
+    * set); used to tell EXTRACT(field FROM ts) from CH's
+    * extract(haystack, regexp). */
+  private val extractFields: Set[String] = Set(
+    "YEAR", "YEAROFWEEK", "QUARTER", "MONTH", "WEEK", "DAY", "DAYS",
+    "DAYOFWEEK", "DOW", "DAYOFWEEK_ISO", "DOW_ISO", "DOY", "HOUR",
+    "HOURS", "MINUTE", "MINUTES", "MIN", "MINS", "SECOND", "SECONDS",
+    "SEC", "SECS", "YEARS", "MONTHS", "WEEKS", "QUARTERS",
+    "MILLISECONDS", "MSEC", "MSECS", "MICROSECONDS", "USEC", "USECS",
+    "EPOCH", "MON", "MONS", "YR", "YRS", "QTR", "QTRS", "D", "H", "M",
+    "S", "W", "Y")
+
+  /** Whether a regex literal contains an unescaped capturing group —
+    * CH's extract() returns the first subpattern when one exists. */
+  private def hasCaptureGroup(p: String): Boolean = {
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' => i += 1
+        case '(' if i + 2 < p.length && p.charAt(i + 1) == '?' => // non-capturing
+        case '(' => return true
+        case _ =>
+      }
+      i += 1
+    }
+    false
+  }
+
+  /** CH toDecimalN(x, scale) → DECIMAL(maxPrec, scale); the scale must
+    * be a build-time literal (the only form CH accepts too). */
+  private def decimalCast(es: Seq[Expression], maxPrec: Int,
+      orNull: Boolean): Expression = {
+    val scale = es(1) match {
+      case Literal(v, _) => v.toString.toDouble.toInt
+      case other => throw new IllegalArgumentException(
+        s"toDecimal*: scale must be a literal, got $other")
+    }
+    val t = org.apache.spark.sql.types.DecimalType(maxPrec, scale)
+    if (orNull) Cast(es.head, t, None, EvalMode.TRY)
+    else Cast(es.head, t)
+  }
+
+  /** CH scalar range(): half-open Array — range(n)=[0,n),
+    * range(a,b[,step])=[a,b). Spark's sequence() is closed on both
+    * ends and throws on start>stop with a positive step, so the end
+    * shifts by one step-sign and an empty guard covers n=0. */
+  private def rangeArray(es: Seq[Expression]): Expression = {
+    def long(e: Expression) = Cast(e, LongType)
+    val (start, end, step) = es.length match {
+      case 1 => (Literal(0L), long(es.head), Literal(1L))
+      case 2 => (long(es.head), long(es(1)), Literal(1L))
+      case _ => (long(es.head), long(es(1)), long(es(2)))
+    }
+    val emptyArr = Literal.create(Array.empty[Long],
+      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false))
+    // last element of the half-open range: end - sign(step) direction
+    val lastUp = Subtract(end, Literal(1L))
+    val lastDown = Add(end, Literal(1L))
+    val up = If(GreaterThan(end, start),
+      fn("sequence", start, lastUp, step), emptyArr)
+    val down = If(LessThan(end, start),
+      fn("sequence", start, lastDown, step), emptyArr)
+    If(GreaterThan(step, Literal(0L)), up, down)
+  }
 
   /** Element at floor/ceil of level·(n−1) in the sorted group array
     * (quantileExactLow/High). Keeps the input's element type. */

@@ -82,5 +82,24 @@ object WrapArith extends Rule[LogicalPlan] {
       case s @ Sum(c, ctx)
           if ctx.evalMode == EvalMode.ANSI && s.resolved && integral(c.dataType) =>
         Sum(c, ctx.copy(evalMode = EvalMode.LEGACY))
+      // CH's `/` is IEEE Float64 division: x/0 → ±inf, 0/0 → NaN —
+      // where ANSI throws DIVIDE_BY_ZERO even for doubles. Scoped to
+      // DOUBLE-typed division (decimal division keeps ANSI's throw,
+      // matching CH Decimal; integer `div`/modulo keep the error CH
+      // raises too). Mirrors the registered divide() shim so the bare
+      // operator and the named function agree.
+      case d @ Divide(l, r, ctx)
+          if ctx.evalMode == EvalMode.ANSI && d.resolved &&
+            d.dataType == org.apache.spark.sql.types.DoubleType =>
+        val zero = Literal(0.0)
+        CaseWhen(Seq(
+          (EqualTo(r, zero),
+            CaseWhen(Seq(
+              (GreaterThan(l, zero), Literal(Double.PositiveInfinity)),
+              (LessThan(l, zero), Literal(Double.NegativeInfinity)),
+              (IsNull(l), Literal(null,
+                org.apache.spark.sql.types.DoubleType))),
+              Some(Literal(Double.NaN))))),
+          Some(Divide(l, r, ctx.copy(evalMode = EvalMode.LEGACY))))
     }
 }

@@ -462,8 +462,10 @@ object QueryGuard {
     // COLUMNS('re') [APPLY(f)] among OTHER select items expands
     // textually against the FROM clause's probed schema, then the
     // whole statement (GROUP BY included) plans natively
-    val expanded = StarPost.expandItems(sql,
+    var expanded = StarPost.expandItems(sql,
       p => { parseReadOnly(spark, p); spark.sql(p) }).getOrElse(sql)
+    expanded = StarPost.expandUntuple(expanded,
+      p => { parseReadOnly(spark, p); spark.sql(p) }).getOrElse(expanded)
     val (core1, star) = StarPost.extract(expanded)
     val (core, fill) = WithFill.extract(core1)
     parseReadOnly(spark, core)
@@ -509,7 +511,12 @@ object QueryGuard {
     // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
     // to their Spark SQL types first, so every later shim and the
     // parser see standard type syntax
-    var typed = rewriteCastTypes(sql)
+    var typed = rewriteNumericUnderscores(sql)
+    // CH Float64 literal lexing FIRST, so every later shim both sees
+    // and GENERATES final numeric text (a generated TABLESAMPLE
+    // percent must not grow a D suffix after the fact)
+    typed = rewriteFloatLiterals(typed)
+    typed = rewriteCastTypes(typed)
     typed = rewriteColonTypes(typed)
     typed = rewriteSystemQualifiers(typed)
     // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
@@ -755,6 +762,357 @@ object QueryGuard {
     out = rewriteArrayLiterals(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
+    out = rewriteDateDiffLiteral(out)
+    out = rewriteDigestNames(out)
+    out = rewriteLimitComma(out)
+    out = rewriteSelectTop(out)
+    out = rewriteTupleAccess(out)
+    out
+  }
+
+  /** ClickHouse lexes a bare decimal-point literal (`1.5`, `.5`,
+    * `0.0`) as Float64; Spark lexes it as DECIMAL, which changes the
+    * semantics a pasted query observes: `0.0/0.0` is NaN in CH but a
+    * DIVIDE_BY_ZERO error under ANSI decimal, `0.1 + 0.2` carries
+    * float representation error, and decimal overflow throws where
+    * float saturates. Appending Spark's `D` suffix restores CH's
+    * lexing. Exponent forms (`1e2`) are already double in both;
+    * integers stay integral; a literal directly after INTERVAL keeps
+    * its unsuffixed spelling (interval grammar owns it); quoted
+    * spans, identifiers (`a.1`), and paren-closed tuple access
+    * (`t.1` / `(...).1`) never match. */
+  private def rewriteFloatLiterals(sql: String): String = {
+    // positions right after an INTERVAL token (only ws between): the
+    // following numeric literal belongs to the interval grammar
+    val intervalEnds = normalizeScan(sql).collect {
+      case (t, _) if t.upper == "INTERVAL" => t.end
+    }.toSet
+    def afterInterval(numStart: Int): Boolean = {
+      var k = numStart - 1
+      while (k >= 0 && sql.charAt(k).isWhitespace) k -= 1
+      intervalEnds.contains(k + 1)
+    }
+    val sb = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    var prevIdent = false
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        val s = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+          else if (ch == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2
+          else if (ch == q) { done = true; i += 1 }
+          else i += 1
+        }
+        sb.append(sql.substring(s, i))
+        prevIdent = false
+      } else if (!prevIdent && (c.isDigit ||
+        (c == '.' && i + 1 < n && sql.charAt(i + 1).isDigit &&
+          (i == 0 || (sql.charAt(i - 1) != ')' && sql.charAt(i - 1) != '`'))))) {
+        val s = i
+        var sawDot = c == '.'
+        var sawExp = false
+        if (c == '.') i += 1
+        while (i < n && sql.charAt(i).isDigit) i += 1
+        if (!sawDot && i < n && sql.charAt(i) == '.' &&
+          !(i + 1 < n && sql.charAt(i + 1) == '.')) {
+          sawDot = true
+          i += 1
+          while (i < n && sql.charAt(i).isDigit) i += 1
+        }
+        if (i < n && (sql.charAt(i) == 'e' || sql.charAt(i) == 'E') &&
+          (i + 1 < n && (sql.charAt(i + 1).isDigit ||
+            ((sql.charAt(i + 1) == '+' || sql.charAt(i + 1) == '-') &&
+              i + 2 < n && sql.charAt(i + 2).isDigit)))) {
+          sawExp = true
+          i += 1
+          if (sql.charAt(i) == '+' || sql.charAt(i) == '-') i += 1
+          while (i < n && sql.charAt(i).isDigit) i += 1
+        }
+        sb.append(sql.substring(s, i))
+        val nextIsWord = i < n && (sql.charAt(i).isLetter ||
+          sql.charAt(i) == '_')
+        if (sawDot && !sawExp && !nextIsWord && !afterInterval(s))
+          sb.append('D')
+        prevIdent = nextIsWord
+        if (nextIsWord) { sb.append(sql.charAt(i)); i += 1 }
+      } else {
+        sb.append(c)
+        prevIdent = Character.isLetterOrDigit(c) || c == '_'
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** CH digest functions return BINARY (FixedString) where Spark's
+    * same-named builtins return hex STRINGS — so `hex(MD5(x))`, the
+    * standard CH fingerprint idiom, double-encodes if left to the
+    * builtin. Pasted digest calls rename to the *CH binary
+    * registrations. Served-path-only on purpose: a registry override
+    * of `md5` would also capture Spark 4's name-resolved DataFrame
+    * API and flip every internal operator to binary. */
+  private def rewriteDigestNames(sql: String): String = {
+    val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
+      "SHA512")
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.reverseIterator.foreach { case (t, _) =>
+      if (names(t.upper) &&
+        out.substring(t.end).dropWhile(_.isWhitespace).headOption
+          .contains('(')) {
+        out = out.substring(0, t.end) + "CH" + out.substring(t.end)
+      }
+    }
+    out
+  }
+
+  /** `dateDiff('unit', a, b)` (and the date_diff/timestampDiff
+    * spellings) with a QUOTED unit → `dateDiffCH(...)`: Spark 4's own
+    * 3-arg dateDiff demands unquoted unit keywords and different
+    * (elapsed-interval) semantics, while CH counts boundary crossings
+    * — the registered dateDiffCH builder owns those. The unquoted
+    * 2-arg Spark form is untouched. */
+  private def rewriteDateDiffLiteral(sql: String): String = {
+    val names = Set("DATEDIFF", "DATE_DIFF", "TIMESTAMPDIFF",
+      "TIMESTAMP_DIFF")
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.reverseIterator.foreach { case (t, _) =>
+      if (names(t.upper)) {
+        val rest = out.substring(t.end)
+        val afterWs = rest.dropWhile(_.isWhitespace)
+        if (afterWs.headOption.contains('(') &&
+          afterWs.drop(1).dropWhile(_.isWhitespace).headOption
+            .contains('\'')) {
+          out = out.substring(0, t.start) + "dateDiffCH" +
+            out.substring(t.end)
+        }
+      }
+    }
+    out
+  }
+
+  /** CH numeric literals allow `_` digit separators (`1_000_000`);
+    * Spark's lexer reads the underscore as an identifier start. A
+    * quote-aware char scan strips underscores that sit BETWEEN digits
+    * of a number that begins at a non-identifier boundary — `a_1`,
+    * `_x2`, quoted spans, and trailing underscores never match. */
+  private def rewriteNumericUnderscores(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    val n = sql.length
+    var i = 0
+    var prevIdent = false // previous char continues an identifier
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (c == '\'' || c == '"' || c == '`') {
+        val q = c
+        val s = i
+        i += 1
+        var done = false
+        while (i < n && !done) {
+          val ch = sql.charAt(i)
+          if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+          else if (ch == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2
+          else if (ch == q) { done = true; i += 1 }
+          else i += 1
+        }
+        sb.append(sql.substring(s, i))
+        prevIdent = false
+      } else if (c.isDigit && !prevIdent) {
+        // number start: copy digits, dropping `_` between digits
+        while (i < n && (sql.charAt(i).isDigit ||
+          (sql.charAt(i) == '_' && i + 1 < n && sql.charAt(i + 1).isDigit) ||
+          sql.charAt(i) == '.')) {
+          if (sql.charAt(i) != '_') sb.append(sql.charAt(i))
+          i += 1
+        }
+        prevIdent = i < n && (sql.charAt(i).isLetter || sql.charAt(i) == '_')
+        if (prevIdent) { sb.append(sql.charAt(i)); i += 1 }
+      } else {
+        sb.append(c)
+        prevIdent = Character.isLetterOrDigit(c) || c == '_'
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
+  /** CH's offset-comma limit: `LIMIT off, n` → `LIMIT n OFFSET off`.
+    * Only the depth-0 two-number comma form with no following BY
+    * matches — `LIMIT [off,] k BY cols` is the per-group shim's. */
+  private def rewriteLimitComma(sql: String): String = {
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, d), ri) =>
+      val i = ts.size - 1 - ri
+      if (t.upper == "LIMIT") {
+        val re = """^(\s*)(\d+)\s*,\s*(\d+)""".r
+        re.findFirstMatchIn(out.substring(t.end)).foreach { m =>
+          val followedByBy = i + 1 < ts.size &&
+            ts(i + 1)._1.upper == "BY" &&
+            ts(i + 1)._1.start >= t.end &&
+            out.substring(t.end + m.end, ts(i + 1)._1.start).trim.isEmpty
+          if (!followedByBy) {
+            out = out.substring(0, t.end) +
+              s" ${m.group(3)} OFFSET ${m.group(2)}" +
+              out.substring(t.end + m.end)
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** `SELECT TOP n [cols...]` → the same SELECT with ` LIMIT n`
+    * appended at that SELECT's scope end (CH accepts the T-SQL TOP
+    * spelling as a LIMIT synonym). Matches only when TOP directly
+    * follows SELECT [DISTINCT] and is itself followed by a number, so
+    * a column named top never rewrites. */
+  private def rewriteSelectTop(sql: String): String = {
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+      val i = ts.size - 1 - ri
+      if (t.upper == "TOP" && i > 0 &&
+        (ts(i - 1)._1.upper == "SELECT" || ts(i - 1)._1.upper == "DISTINCT") &&
+        out.substring(ts(i - 1)._1.end, t.start).trim.isEmpty) {
+        val re = """^\s*(\d+)\s""".r
+        re.findFirstMatchIn(out.substring(t.end)).foreach { m =>
+          val k = m.group(1)
+          val insertAt = scopeEnd(out, t.end)
+          out = out.substring(0, insertAt).stripTrailing() + s" LIMIT $k" +
+            out.substring(insertAt)
+          out = out.substring(0, t.start) +
+            out.substring(t.end + m.end - 1) // keep the trailing ws char
+        }
+      }
+    }
+    out
+  }
+
+  /** Position right before the `)` that closes the subquery scope
+    * containing `from` (quote-aware), or the statement end. */
+  private def scopeEnd(sql: String, from: Int): Int = {
+    var i = from
+    var depth = 0
+    val n = sql.length
+    while (i < n) {
+      sql.charAt(i) match {
+        case '\'' | '"' | '`' =>
+          val q = sql.charAt(i)
+          i += 1
+          var done = false
+          while (i < n && !done) {
+            val ch = sql.charAt(i)
+            if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+            else if (ch == q && i + 1 < n && sql.charAt(i + 1) == q) i += 2
+            else if (ch == q) { done = true; i += 1 }
+            else i += 1
+          }
+        case '(' => depth += 1; i += 1
+        case ')' =>
+          if (depth == 0) return i
+          depth -= 1; i += 1
+        case _ => i += 1
+      }
+    }
+    n
+  }
+
+  /** CH tuple access by position: `expr.1` → `tupleElement(expr, 1)`.
+    * Matches a `.` + digits where the preceding char closes an
+    * expression — `)` (the span back to its quote-aware matching
+    * paren plus a leading function name is wrapped) or an identifier
+    * that is not a keyword and not itself a number (so float literals
+    * `1.5` / `.5` never match). Iterates until fixpoint so chained
+    * `t.1.2` resolves left to right. */
+  private def rewriteTupleAccess(sql: String): String = {
+    val keywords = Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT",
+      "ON", "BY", "AS", "THEN", "ELSE", "WHEN", "CASE", "END", "IN",
+      "IS", "LIKE", "BETWEEN", "HAVING", "LIMIT", "OFFSET", "UNION",
+      "ALL", "DISTINCT", "JOIN", "USING", "INTERVAL")
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      // forward quote-aware pass precomputing matching paren pairs
+      val closeToOpen = scala.collection.mutable.HashMap.empty[Int, Int]
+      val stack = scala.collection.mutable.ArrayDeque.empty[Int]
+      val n = out.length
+      var i = 0
+      var hit = -1 // position of the '.' of the first match
+      while (i < n && hit < 0) {
+        out.charAt(i) match {
+          case '\'' | '"' | '`' =>
+            val q = out.charAt(i)
+            i += 1
+            var done = false
+            while (i < n && !done) {
+              val ch = out.charAt(i)
+              if (ch == '\\' && q != '`' && i + 1 < n) i += 2
+              else if (ch == q && i + 1 < n && out.charAt(i + 1) == q) i += 2
+              else if (ch == q) { done = true; i += 1 }
+              else i += 1
+            }
+          case '(' => stack.prepend(i); i += 1
+          case ')' =>
+            if (stack.nonEmpty) closeToOpen(i) = stack.removeHead()
+            i += 1
+          case '.' if i + 1 < n && out.charAt(i + 1).isDigit && i > 0 =>
+            val prev = out.charAt(i - 1)
+            // the digits must end the number (no ident char after)
+            var j = i + 1
+            while (j < n && out.charAt(j).isDigit) j += 1
+            val endsClean = j >= n || (!Character.isLetterOrDigit(out.charAt(j)) &&
+              out.charAt(j) != '_' && out.charAt(j) != '.') ||
+              (j < n && out.charAt(j) == '.') // chained access
+            if (endsClean && (prev == ')' || Character.isLetterOrDigit(prev) ||
+              prev == '_' || prev == '`')) {
+              // find the expression start
+              val exprStart: Int =
+                if (prev == ')') {
+                  closeToOpen.get(i - 1) match {
+                    case Some(open) =>
+                      // include a directly-preceding function name
+                      var s = open
+                      while (s > 0 && (Character.isLetterOrDigit(out.charAt(s - 1)) ||
+                        out.charAt(s - 1) == '_')) s -= 1
+                      s
+                    case None => -1
+                  }
+                } else if (prev == '`') {
+                  val open = out.lastIndexOf('`', i - 2)
+                  if (open >= 0) open else -1
+                } else {
+                  var s = i - 1
+                  while (s > 0 && (Character.isLetterOrDigit(out.charAt(s - 1)) ||
+                    out.charAt(s - 1) == '_')) s -= 1
+                  val word = out.substring(s, i)
+                  if (word.isEmpty || word.charAt(0).isDigit ||
+                    keywords(word.toUpperCase(java.util.Locale.ROOT))) -1
+                  else s
+                }
+              if (exprStart >= 0) {
+                val idx = out.substring(i + 1, j)
+                out = out.substring(0, exprStart) +
+                  s"tupleElement(${out.substring(exprStart, i)}, $idx)" +
+                  out.substring(j)
+                changed = true
+                hit = i
+              }
+            }
+            if (hit < 0) i = j
+          case _ => i += 1
+        }
+      }
+    }
     out
   }
 
@@ -870,6 +1228,7 @@ object QueryGuard {
     "topk" -> "topKCH",
     "topkweighted" -> "topKWeighted",
     "grouparraysample" -> "groupArraySample",
+    "groupconcat" -> "groupConcat",
     "uniqupto" -> "uniqUpTo")
   private val paramAggDrop = Set("uniqcombined", "uniqcombined64")
   private val paramAggStop = Set("IN", "ON", "AND", "OR", "NOT", "WHERE",
@@ -1306,7 +1665,8 @@ object QueryGuard {
     sampleAt.foreach { i =>
       val t = ts(i)._1
       val after = out.substring(t.end)
-      val m = "^(\\s*)([0-9]*\\.?[0-9]+)(\\s+OFFSET\\s+([0-9]*\\.?[0-9]+))?"
+      val m = ("^(\\s*)([0-9]*\\.?[0-9]+)D?" +
+        "(\\s+OFFSET\\s+([0-9]*\\.?[0-9]+)D?)?")
         .r.findFirstMatchIn(after)
       m.foreach { mm =>
         val f = BigDecimal(mm.group(2))

@@ -106,10 +106,15 @@ object StarPost {
   /** A whole APPLY chain over column `c`, left to right: (expression
     * text, result name). */
   private[sql] def applyChain(payloads: Seq[String],
-      c: String): (String, String) =
-    payloads.foldLeft((s"`$c`", c)) { case ((e, n), p) =>
+      c: String): (String, String) = {
+    val (e, n) = payloads.foldLeft((s"`$c`", c)) { case ((e, n), p) =>
       applyCallOn(p, e, n)
     }
+    // result names render the literal as the user SPELLED it — the
+    // float-literal `D` suffix QueryGuard appends (CH Float64 lexing)
+    // belongs in the expression, not the CH-style rendered name
+    (e, n.replaceAll("(\\d\\.\\d+(?:[eE][+-]?\\d+)?)D\\b", "$1"))
+  }
 
   /** Token-aware substitution of a lambda parameter: standalone
     * `param` tokens become `repl`; qualified uses (`t.param`) stay. */
@@ -156,6 +161,57 @@ object StarPost {
 
   private val columnsItem =
     "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)(.*)$".r
+
+  private val untupleItem = "(?is)^untuple\\s*\\((.*)\\)\\s*$".r
+
+  /** Expand `untuple(expr)` select items into one positional
+    * `tupleElement(expr, k) AS name` item per struct field (CH
+    * expands untuple to `x.1, x.2, ...` during analysis — reference
+    * surface: any CH SELECT, mcp_server.py:433). The field set comes
+    * from probing the expression's schema against the FROM clause
+    * with trailing clauses cut, exactly like [[expandItems]]; output
+    * columns take the struct's own field names (a documented naming
+    * departure from CH's `tupleElement(x, N)` spellings — ours are
+    * real names a tail clause can reference). */
+  def expandUntuple(sql: String,
+      probe: String => DataFrame): Option[String] = {
+    val ts = QueryGuard.normalizeScan(sql)
+    val selAt = ts.find(t => t._2 == 0 && t._1.upper == "SELECT")
+      .getOrElse(return None)
+    if (ts.head._1.upper != "SELECT" && ts.head._1.upper != "WITH")
+      return None
+    val prefix = sql.substring(0, selAt._1.start)
+    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM" &&
+      t._1.start > selAt._1.start).getOrElse(return None)
+    val items = QueryGuard.splitTopLevel(
+      sql.substring(selAt._1.end, fromAt._1.start))
+    if (!items.exists(it => untupleItem.findFirstIn(it.trim).isDefined))
+      return None
+    val stops = Set("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
+      "QUALIFY", "UNION", "INTERSECT", "EXCEPT")
+    val tailCut = ts.find(t => t._2 == 0 &&
+      t._1.start > fromAt._1.start && stops(t._1.upper))
+      .map(_._1.start).getOrElse(sql.length)
+    val fromSpan = sql.substring(fromAt._1.start, tailCut).stripSuffix(";")
+    val newItems = items.map { it =>
+      it.trim match {
+        case untupleItem(inner) =>
+          val probed = probe(
+            s"${prefix}SELECT ($inner) AS __graft_ut $fromSpan")
+          val fields = probed.schema("__graft_ut").dataType match {
+            case st: org.apache.spark.sql.types.StructType => st.fields
+            case other => throw new ReadOnlyViolation(
+              s"untuple expects a tuple/struct argument, got $other")
+          }
+          fields.zipWithIndex.map { case (f, k) =>
+            s"tupleElement(($inner), ${k + 1}) AS `${f.name}`"
+          }.mkString(", ")
+        case other => other
+      }
+    }
+    Some(prefix + "SELECT " + newItems.mkString(", ") + " " +
+      sql.substring(fromAt._1.start))
+  }
 
   /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select
     * list. The matching column set comes from probing the FROM

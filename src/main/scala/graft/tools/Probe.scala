@@ -1,0 +1,180 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run a list of realistic pasted-ClickHouse snippets
+  * through the full served path (QueryGuard.plan) against a testdata
+  * dir and report which ones plan+execute vs die — a gap-finder for
+  * the dialect shims, not part of the product surface.
+  *
+  * Usage: sbt "runMain graft.tools.Probe /root/testdata/sf0.001"
+  */
+object Probe {
+
+  /** (label, sql) — realistic idioms a CH user would paste. */
+  val snippets: Seq[(String, String)] = Seq(
+    "count_noargs" -> "SELECT count() AS n FROM orders",
+    "count_if_comb" ->
+      "SELECT countIf(o_totalprice > 1000) AS big, sumIf(o_totalprice, o_orderpriority = '1-URGENT') AS urgent FROM orders",
+    "any_anylast" ->
+      "SELECT any(o_orderpriority) AS a, anyLast(o_orderstatus) AS b FROM orders",
+    "limit_comma" -> "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5, 10",
+    "top_n" -> "SELECT TOP 5 o_orderkey FROM orders ORDER BY o_orderkey",
+    "arrayjoin_fn" ->
+      "SELECT arrayJoin([1, 2, 3]) AS v, o_orderkey FROM orders LIMIT 9",
+    "arrayjoin_fn_col" ->
+      "SELECT arrayJoin(splitByChar(' ', text)) AS tok FROM documents LIMIT 20",
+    "multi_if" ->
+      "SELECT multiIf(o_totalprice > 100000, 'hi', o_totalprice > 1000, 'mid', 'lo') AS band, count() AS n FROM orders GROUP BY band",
+    "if_fn" -> "SELECT if(o_totalprice > 1000, 'big', 'small') AS t, count() AS n FROM orders GROUP BY t",
+    "tuple_access" -> "SELECT tuple(o_orderkey, o_totalprice).1 AS k FROM orders LIMIT 3",
+    "tuple_element" -> "SELECT tupleElement(tuple(o_orderkey, o_totalprice), 2) AS p FROM orders LIMIT 3",
+    "untuple" -> "SELECT untuple(tuple(o_orderkey, o_totalprice)) FROM orders LIMIT 3",
+    "date_trunc_names" ->
+      "SELECT toStartOfMonth(o_orderdate) AS m, toMonday(o_orderdate) AS w, count() AS n FROM orders GROUP BY m, w ORDER BY m, w LIMIT 5",
+    "to_start_interval" ->
+      "SELECT toStartOfInterval(o_orderdate, INTERVAL 3 month) AS q, count() AS n FROM orders GROUP BY q ORDER BY q LIMIT 5",
+    "now_today" -> "SELECT now() >= toDateTime('2020-01-01 00:00:00') AS a, today() > toDate('2020-01-01') AS b",
+    "format_datetime" ->
+      "SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym, count() AS n FROM orders GROUP BY ym ORDER BY ym LIMIT 3",
+    "has_indexof" ->
+      "SELECT has(splitByChar(' ', text), 'spark') AS h, indexOf(splitByChar(' ', text), 'the') AS i FROM documents LIMIT 5",
+    "empty_notempty" ->
+      "SELECT empty(text) AS e, notEmpty(text) AS ne FROM documents LIMIT 3",
+    "utf8_fns" ->
+      "SELECT lengthUTF8(text) AS l, lowerUTF8(substring(text, 1, 10)) AS lo FROM documents LIMIT 3",
+    "starts_ends" ->
+      "SELECT startsWith(o_orderpriority, '1') AS s, endsWith(o_orderpriority, 'URGENT') AS e FROM orders LIMIT 3",
+    "pad_fns" ->
+      "SELECT leftPad(toString(o_orderkey), 10, '0') AS lp, rightPad(o_orderstatus, 3, '.') AS rp FROM orders LIMIT 3",
+    "array_string_concat" ->
+      "SELECT arrayStringConcat(splitByString(' ', substring(text, 1, 50)), '-') AS j FROM documents LIMIT 3",
+    "quantile_param" ->
+      "SELECT quantile(0.9)(o_totalprice) AS p90, quantiles(0.5, 0.9)(o_totalprice) AS ps FROM orders",
+    "group_array_param" ->
+      "SELECT groupArray(3)(o_orderkey) AS g FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)",
+    "join_using_semi" ->
+      "SELECT count() AS n FROM orders LEFT SEMI JOIN customer ON o_custkey = c_custkey",
+    "anti_join_ch" ->
+      "SELECT count() AS n FROM customer LEFT ANTI JOIN orders ON c_custkey = o_custkey",
+    "in_tuple" ->
+      "SELECT count() AS n FROM orders WHERE o_orderstatus IN ('O', 'F')",
+    "not_in_sub" ->
+      "SELECT count() AS n FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)",
+    "to_decimal" ->
+      "SELECT toDecimal64(o_totalprice, 4) AS d, toDecimal32(1.5, 2) AS d2 FROM orders LIMIT 3",
+    "to_datetime64" ->
+      "SELECT toDateTime64('2024-01-02 03:04:05.123', 3) AS t",
+    "to_typename" -> "SELECT toTypeName(o_orderkey) AS t FROM orders LIMIT 1",
+    "transform_fn" ->
+      "SELECT transform(o_orderstatus, ['O', 'F'], ['open', 'filled'], 'other') AS s, count() AS n FROM orders GROUP BY s",
+    "case_expr" ->
+      "SELECT CASE o_orderstatus WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled' ELSE 'other' END AS s, count() AS n FROM orders GROUP BY s",
+    "intdiv_mod" ->
+      "SELECT intDiv(o_orderkey, 7) AS d, modulo(o_orderkey, 7) AS m FROM orders LIMIT 3",
+    "greatest_least" ->
+      "SELECT greatest(o_orderkey, 100) AS g, least(o_orderkey, 100) AS l FROM orders LIMIT 3",
+    "running_acc" ->
+      "SELECT o_orderkey, sum(o_totalprice) OVER (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rt FROM orders ORDER BY o_orderkey LIMIT 5",
+    "with_scalar" ->
+      "WITH 100 AS thresh SELECT count() AS n FROM orders WHERE o_totalprice > thresh",
+    "subquery_in_select" ->
+      "SELECT o_orderkey, (SELECT max(c_custkey) FROM customer) AS mx FROM orders LIMIT 3",
+    "exists_sub" ->
+      "SELECT count() AS n FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "array_slice" ->
+      "SELECT arraySlice([1,2,3,4,5], 2, 3) AS s",
+    "array_sort_desc" ->
+      "SELECT arraySort(x -> -x, [3,1,2]) AS a, arrayReverseSort([3,1,2]) AS b",
+    "range_fn" -> "SELECT range(5) AS r, range(2, 5) AS r2",
+    "array_concat" -> "SELECT arrayConcat([1,2], [3]) AS c",
+    "array_flatten" -> "SELECT arrayFlatten([[1,2],[3]]) AS f",
+    "array_compact" -> "SELECT arrayCompact([1,1,2,2,3]) AS c",
+    "array_zip" -> "SELECT arrayZip([1,2], ['a','b']) AS z",
+    "array_enumerate" -> "SELECT arrayEnumerate([9,8,7]) AS e",
+    "bitmask" ->
+      "SELECT bitAnd(o_orderkey, 255) AS a, bitOr(o_orderkey, 1) AS o, bitXor(o_orderkey, 5) AS x, bitNot(o_orderkey) AS n FROM orders LIMIT 3",
+    "hex_unhex" -> "SELECT hex(255) AS h, unhex('ff') AS u, hex(toString('ab')) AS hs",
+    "md5_sha" -> "SELECT lower(hex(MD5('abc'))) AS m, lower(hex(SHA256('abc'))) AS s",
+    "coalesce_ifnull" ->
+      "SELECT coalesce(NULL, 1) AS c, ifNull(NULL, 2) AS i, nullIf(1, 1) AS n, assumeNotNull(nullIf(2, 3)) AS a",
+    "is_null_ops" ->
+      "SELECT isNull(nullIf(1,1)) AS a, isNotNull(1) AS b, isNaN(0.0/0.0) AS c, isFinite(1.0) AS d, isInfinite(1.0/0.0) AS e",
+    "least_greatest_arrays" -> "SELECT arrayMin([3,1,2]) AS mn, arrayMax([3,1,2]) AS mx, arraySum([1,2,3]) AS s, arrayAvg([1,2,3]) AS a",
+    "global_in" ->
+      "SELECT count() AS n FROM orders WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer LIMIT 10)",
+    "interval_arith" ->
+      "SELECT o_orderdate + INTERVAL 1 MONTH AS m, addDays(o_orderdate, 7) AS d FROM orders LIMIT 3",
+    "date_diff" ->
+      "SELECT dateDiff('day', toDate('2024-01-01'), toDate('2024-02-01')) AS dd",
+    "to_yyyymm" ->
+      "SELECT toYYYYMM(o_orderdate) AS m, toYYYYMMDD(o_orderdate) AS d FROM orders LIMIT 3",
+    "position_fns" ->
+      "SELECT position(text, 'the') AS p, positionCaseInsensitive(text, 'THE') AS pc FROM documents LIMIT 3",
+    "extract_regex" ->
+      "SELECT extract(text, '([a-z]+)') AS e, extractAll(substring(text, 1, 30), '([a-z]+)') AS ea FROM documents LIMIT 3",
+    "replace_fns" ->
+      "SELECT replaceOne(text, 'the', 'a') AS r1, replaceAll(text, 'the', 'a') AS ra, replaceRegexpAll(text, '[aeiou]', '') AS rr FROM documents LIMIT 2",
+    "trim_fns" -> "SELECT trimBoth('  x  ') AS b, trimLeft('  x') AS l, trimRight('x  ') AS r",
+    "concat_ws" -> "SELECT concatWithSeparator('-', 'a', 'b', 'c') AS c",
+    "cast_colon" -> "SELECT '123'::UInt32 + 1 AS v",
+    "to_fixed_string" -> "SELECT toFixedString('ab', 4) AS f",
+    "uuid_fns" -> "SELECT toString(generateUUIDv4()) != '' AS ok, toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS u",
+    "format_readable" ->
+      "SELECT formatReadableSize(123456789) AS s, formatReadableQuantity(1234567) AS q",
+    "bar_fn" -> "SELECT bar(5, 0, 10, 10) AS b",
+    "least_sq" ->
+      "SELECT simpleLinearRegression(o_orderkey, o_totalprice) AS lr FROM (SELECT * FROM orders LIMIT 100)",
+    "num_literals" -> "SELECT 1_000_000 AS a",
+    "neighbor_like" ->
+      "SELECT o_orderkey, lagInFrame(o_totalprice) OVER (ORDER BY o_orderkey) AS prev FROM orders ORDER BY o_orderkey LIMIT 5",
+    "agg_state_merge" ->
+      "SELECT uniqMerge(s) AS u FROM (SELECT uniqState(o_custkey) AS s FROM orders GROUP BY o_orderstatus)",
+    "group_concat" ->
+      "SELECT groupConcat(',')(o_orderstatus) AS g FROM (SELECT o_orderstatus FROM orders LIMIT 5)",
+    "order_by_alias_pos" ->
+      "SELECT o_orderstatus AS s, count() AS n FROM orders GROUP BY 1 ORDER BY 2 DESC",
+    "having_count" ->
+      "SELECT o_custkey, count() AS n FROM orders GROUP BY o_custkey HAVING count() > 2 ORDER BY o_custkey LIMIT 5",
+    "distinct_count_if" ->
+      "SELECT uniqExactIf(o_custkey, o_totalprice > 1000) AS u FROM orders",
+    "arg_min_max" ->
+      "SELECT argMin(o_orderkey, o_totalprice) AS amn, argMax(o_orderkey, o_totalprice) AS amx FROM orders",
+    "nested_agg_if" ->
+      "SELECT avgIf(o_totalprice, o_orderstatus = 'O') AS a, maxIf(o_totalprice, o_orderstatus = 'F') AS m, minIf(o_totalprice, true) AS mi FROM orders"
+  )
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.CHFunctions.register(spark)
+    graft.sql.TableEnv.register(spark, dir)
+    val wanted = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
+    var pass = 0
+    val fails = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    snippets.filter(s => wanted.isEmpty || wanted(s._1)).foreach {
+      case (label, sql) =>
+        try {
+          val n = graft.sql.QueryGuard.plan(spark, sql).collect().length
+          pass += 1
+          println(f"[probe] PASS $label%-22s rows=$n")
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(2).mkString(" | ").take(200)
+            fails += ((label, msg))
+            println(f"[probe] FAIL $label%-22s $msg")
+        }
+    }
+    println(s"[probe] total pass=$pass fail=${fails.size}")
+    fails.foreach { case (l, m) => println(s"[probe]   FAIL $l: $m") }
+    spark.stop()
+  }
+}

@@ -919,8 +919,9 @@ class QueryExecutorSpec extends SparkSpec {
         "SELECT any(o_orderpriority) AS a, anyLast(o_orderpriority) AS z FROM orders")
       assert(ra.rows.head.forall(_.toString.nonEmpty))
       // an ordinary call followed by a separate group is untouched
+      // (round(1.5) is Float64 under CH literal lexing, hence "2.0")
       val rn = ex.run("SELECT round(1.5) AS r, (2) AS p")
-      assert(rn.rows.head.map(_.toString) == Seq("2", "2"))
+      assert(rn.rows.head.map(_.toString) == Seq("2.0", "2"))
     } finally ex.close()
   }
 
