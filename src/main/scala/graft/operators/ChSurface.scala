@@ -2003,7 +2003,100 @@ object ChSurface {
         |  round(zt.z, 6) AS z
         |FROM tot JOIN chi ON tot.g = chi.g JOIN hx ON tot.g = hx.g
         |JOIN hy ON tot.g = hy.g JOIN zt ON tot.g = zt.g
-        |ORDER BY g""".stripMargin)))
+        |ORDER BY g""".stripMargin)),
+
+    // CH lexer semantics the round-11 probe wave added: bare decimal
+    // literals lex as Float64 (0.1 + 0.2 carries float representation
+    // error; x/0.0 is IEEE ±inf/NaN, not an ANSI error), `_` digit
+    // separators, the `LIMIT off, n` comma form, and T-SQL `TOP n`.
+    // The oracle spells each with DuckDB's explicit equivalents
+    // (DOUBLE casts, LIMIT/OFFSET).
+    ("q_ch_lexer",
+      """WITH base AS (SELECT TOP 12 o_orderkey AS k, o_totalprice AS p
+        |    FROM orders ORDER BY o_orderkey),
+        |t AS (SELECT k, p FROM base ORDER BY k LIMIT 2, 7)
+        |SELECT k,
+        |  0.1 + 0.2 AS fsum,
+        |  isInfinite(p / 0.0) AS inf_div,
+        |  isNaN((p - p) / 0.0) AS nan_div,
+        |  k + 1_000_000 AS mil
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""WITH base AS (SELECT o_orderkey AS k, o_totalprice AS p
+        |    FROM orders ORDER BY o_orderkey LIMIT 12),
+        |t AS (SELECT k, p FROM base ORDER BY k LIMIT 7 OFFSET 2)
+        |SELECT k,
+        |  CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS fsum,
+        |  isinf(p / CAST(0.0 AS DOUBLE)) AS inf_div,
+        |  isnan((p - p) / CAST(0.0 AS DOUBLE)) AS nan_div,
+        |  k + 1000000 AS mil
+        |FROM t ORDER BY k""".stripMargin)),
+
+    // positional tuple surface: `.N` access, ordinal tupleElement,
+    // and untuple() select-item expansion (named fields pass their
+    // names through; computed fields take Spark's colN positions)
+    ("q_ch_tuple",
+      """WITH t AS (SELECT tuple(o_orderkey, o_orderstatus, o_totalprice) AS tp
+        |    FROM orders WHERE o_orderkey <= 200)
+        |SELECT tp.1 AS k,
+        |  tupleElement(tp, 2) AS st,
+        |  untuple(tuple(tp.1 * 2, upper(tp.2)))
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  o_orderstatus AS st,
+        |  o_orderkey * 2 AS col1,
+        |  upper(o_orderstatus) AS col2
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY k""".stripMargin)),
+
+    // CH digest functions return BINARY (FixedString) — hex(MD5(x))
+    // must equal the oracle's one-pass hex digest, proving the served
+    // path does not double-encode through Spark's hex-string builtins
+    ("q_ch_digest",
+      """SELECT o_orderstatus AS st,
+        |  min(lower(hex(MD5(o_orderpriority)))) AS md5_min,
+        |  max(lower(hex(SHA1(toString(o_custkey))))) AS sha1_max,
+        |  min(lower(hex(SHA256(toString(o_orderkey))))) AS sha256_min
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin,
+      Some("""SELECT o_orderstatus AS st,
+        |  min(md5(o_orderpriority)) AS md5_min,
+        |  max(sha1(CAST(o_custkey AS VARCHAR))) AS sha1_max,
+        |  min(sha256(CAST(o_orderkey AS VARCHAR))) AS sha256_min
+        |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
+
+    // round-11 scalar additions: half-open range(), CH's array-mapping
+    // transform(), first-occurrence replaceOne, boundary-crossing
+    // dateDiff with a quoted unit, toDecimalN casts, and extract()'s
+    // field-vs-regexp dual dispatch
+    ("q_ch_scalar2",
+      """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderdate AS d, lower(o_orderpriority) AS c
+        |  FROM orders WHERE o_orderkey <= 400)
+        |SELECT k,
+        |  arraySum(range(k % 7)) AS rsum,
+        |  arrayStringConcat(arrayMap(x -> toString(x), range(2, 2 + k % 3)), '-') AS rcat,
+        |  transform(st, ['O', 'F'], ['open', 'filled'], 'other') AS tstat,
+        |  replaceOne(c, 'r', '#') AS r1,
+        |  toInt64(dateDiff('month', toDate('1994-01-15'), d)) AS dm,
+        |  toDecimal64(k, 3) AS dec,
+        |  toDecimal32OrNull('bad', 2) AS decnull,
+        |  extract(c, '[a-z]+') AS rex,
+        |  toInt64(EXTRACT(YEAR FROM d)) AS yr
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |    o_orderdate AS d, lower(o_orderpriority) AS c
+        |  FROM orders WHERE o_orderkey <= 400)
+        |SELECT k,
+        |  CAST(COALESCE(list_sum(range(k % 7)), 0) AS DOUBLE) AS rsum,
+        |  array_to_string(list_transform(range(2, 2 + k % 3),
+        |    x -> CAST(x AS VARCHAR)), '-') AS rcat,
+        |  CASE st WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
+        |    ELSE 'other' END AS tstat,
+        |  regexp_replace(c, 'r', '#') AS r1,
+        |  CAST(date_diff('month', DATE '1994-01-15', d) AS BIGINT) AS dm,
+        |  CAST(k AS DECIMAL(18,3)) AS dec,
+        |  TRY_CAST('bad' AS DECIMAL(9,2)) AS decnull,
+        |  regexp_extract(c, '[a-z]+') AS rex,
+        |  CAST(extract('year' FROM d) AS BIGINT) AS yr
+        |FROM t ORDER BY k""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes
