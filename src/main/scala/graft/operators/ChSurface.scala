@@ -2010,7 +2010,10 @@ object ChSurface {
     // error; x/0.0 is IEEE ±inf/NaN, not an ANSI error), `_` digit
     // separators, the `LIMIT off, n` comma form, and T-SQL `TOP n`.
     // The oracle spells each with DuckDB's explicit equivalents
-    // (DOUBLE casts, LIMIT/OFFSET).
+    // (DOUBLE casts, LIMIT/OFFSET). DuckDB 1.0.0 yields NULL for
+    // x/0.0 (not IEEE ±inf/NaN), so the oracle states the IEEE
+    // expectation directly: p/0.0 is infinite iff p <> 0, and
+    // (p-p)/0.0 is NaN for every non-null p (p = p).
     ("q_ch_lexer",
       """WITH base AS (SELECT TOP 12 o_orderkey AS k, o_totalprice AS p
         |    FROM orders ORDER BY o_orderkey),
@@ -2026,8 +2029,8 @@ object ChSurface {
         |t AS (SELECT k, p FROM base ORDER BY k LIMIT 7 OFFSET 2)
         |SELECT k,
         |  CAST(0.1 AS DOUBLE) + CAST(0.2 AS DOUBLE) AS fsum,
-        |  isinf(p / CAST(0.0 AS DOUBLE)) AS inf_div,
-        |  isnan((p - p) / CAST(0.0 AS DOUBLE)) AS nan_div,
+        |  p <> 0 AS inf_div,
+        |  p = p AS nan_div,
         |  k + 1000000 AS mil
         |FROM t ORDER BY k""".stripMargin)),
 
@@ -2049,23 +2052,29 @@ object ChSurface {
 
     // CH digest functions return BINARY (FixedString) — hex(MD5(x))
     // must equal the oracle's one-pass hex digest, proving the served
-    // path does not double-encode through Spark's hex-string builtins
+    // path does not double-encode through Spark's hex-string builtins.
+    // SHA1 is deliberately NOT in this oracle: DuckDB 1.0.0 ships only
+    // md5/sha256, so the SHA1 path is pinned against RFC 3174 spec
+    // constants in CHFunctionsSpec instead (round-11 lesson: an oracle
+    // the oracle engine cannot run is a crash, not a proof).
     ("q_ch_digest",
       """SELECT o_orderstatus AS st,
         |  min(lower(hex(MD5(o_orderpriority)))) AS md5_min,
-        |  max(lower(hex(SHA1(toString(o_custkey))))) AS sha1_max,
         |  min(lower(hex(SHA256(toString(o_orderkey))))) AS sha256_min
         |FROM orders GROUP BY st ORDER BY st""".stripMargin,
       Some("""SELECT o_orderstatus AS st,
         |  min(md5(o_orderpriority)) AS md5_min,
-        |  max(sha1(CAST(o_custkey AS VARCHAR))) AS sha1_max,
         |  min(sha256(CAST(o_orderkey AS VARCHAR))) AS sha256_min
         |FROM orders GROUP BY st ORDER BY st""".stripMargin)),
 
     // round-11 scalar additions: half-open range(), CH's array-mapping
     // transform(), first-occurrence replaceOne, boundary-crossing
     // dateDiff with a quoted unit, toDecimalN casts, and extract()'s
-    // field-vs-regexp dual dispatch
+    // field-vs-regexp dual dispatch. The decimal columns are
+    // toString()'d on BOTH sides (SURVEY §5 bans decimal-typed result
+    // columns — the driver's hasher can't digest them), and the
+    // range-concat is COALESCEd because DuckDB range(2,2) is NULL
+    // where CH (and graft) produce an empty array.
     ("q_ch_scalar2",
       """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
         |    o_orderdate AS d, lower(o_orderpriority) AS c
@@ -2076,8 +2085,8 @@ object ChSurface {
         |  transform(st, ['O', 'F'], ['open', 'filled'], 'other') AS tstat,
         |  replaceOne(c, 'r', '#') AS r1,
         |  toInt64(dateDiff('month', toDate('1994-01-15'), d)) AS dm,
-        |  toDecimal64(k, 3) AS dec,
-        |  toDecimal32OrNull('bad', 2) AS decnull,
+        |  toString(toDecimal64(k, 3)) AS dec,
+        |  toString(toDecimal32OrNull('bad', 2)) AS decnull,
         |  extract(c, '[a-z]+') AS rex,
         |  toInt64(EXTRACT(YEAR FROM d)) AS yr
         |FROM t ORDER BY k""".stripMargin,
@@ -2086,14 +2095,14 @@ object ChSurface {
         |  FROM orders WHERE o_orderkey <= 400)
         |SELECT k,
         |  CAST(COALESCE(list_sum(range(k % 7)), 0) AS DOUBLE) AS rsum,
-        |  array_to_string(list_transform(range(2, 2 + k % 3),
-        |    x -> CAST(x AS VARCHAR)), '-') AS rcat,
+        |  COALESCE(array_to_string(list_transform(range(2, 2 + k % 3),
+        |    x -> CAST(x AS VARCHAR)), '-'), '') AS rcat,
         |  CASE st WHEN 'O' THEN 'open' WHEN 'F' THEN 'filled'
         |    ELSE 'other' END AS tstat,
         |  regexp_replace(c, 'r', '#') AS r1,
         |  CAST(date_diff('month', DATE '1994-01-15', d) AS BIGINT) AS dm,
-        |  CAST(k AS DECIMAL(18,3)) AS dec,
-        |  TRY_CAST('bad' AS DECIMAL(9,2)) AS decnull,
+        |  CAST(CAST(k AS DECIMAL(18,3)) AS VARCHAR) AS dec,
+        |  CAST(TRY_CAST('bad' AS DECIMAL(9,2)) AS VARCHAR) AS decnull,
         |  regexp_extract(c, '[a-z]+') AS rex,
         |  CAST(extract('year' FROM d) AS BIGINT) AS yr
         |FROM t ORDER BY k""".stripMargin)))

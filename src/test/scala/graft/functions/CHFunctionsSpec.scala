@@ -353,6 +353,25 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getLong(3) == 0x900150983cd24fbL)
   }
 
+  test("cryptographic digests pin RFC test vectors (SHA1 has no DuckDB oracle)") {
+    // DuckDB 1.0.0 ships only md5/sha256, so q_ch_digest cannot carry a
+    // SHA1 column — the SHA1 path is proven here against the RFC 3174 /
+    // RFC 1321 / FIPS 180-4 spec constants instead. The registry holds
+    // the *CH-suffixed names (the bare spellings are renamed textually
+    // on the served path only — QueryGuard.rewriteDigestNames, proven
+    // by q_ch_digest's md5/sha256 columns end-to-end).
+    val r = one(
+      """SELECT lower(hex(SHA1CH('abc'))), lower(hex(SHA1CH(''))),
+        |  lower(hex(MD5CH('abc'))), lower(hex(SHA256CH('abc'))),
+        |  lower(hex(SHA224CH('abc')))""".stripMargin)
+    assert(r.getString(0) == "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(r.getString(1) == "da39a3ee5e6b4b0d3255bfef95601890afd80709")
+    assert(r.getString(2) == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getString(3) ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(r.getString(4) == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
+  }
+
   test("bit functions and functional arithmetic") {
     val r = one(
       """SELECT bitAnd(12, 10), bitOr(12, 10), bitXor(12, 10), bitNot(0),

@@ -127,7 +127,18 @@ def main():
         if name not in oracles:
             print(f"  ~ {name}: rows-only ({len(got)} rows)")
             continue
-        otab = con.execute(oracles[name]).arrow()
+        # A broken oracle (missing function, syntax error, ...) must
+        # fail THIS query and continue — an uncaught exception here
+        # aborts the gate and hides every alphabetically-later query
+        # (round-11 postmortem: the sha1-less DuckDB crashed the run).
+        try:
+            otab = con.execute(oracles[name]).arrow()
+        except Exception as e:
+            print(f"  ✗ {name}: ORACLE-ERROR {type(e).__name__}: "
+                  f"{str(e).splitlines()[0][:160]}")
+            n_fail += 1
+            failed.append(name)
+            continue
         want_cols = otab.schema.names
         want = [tuple(r[c] for c in want_cols) for r in otab.to_pylist()]
         gc, g = canon(got, got_cols)
