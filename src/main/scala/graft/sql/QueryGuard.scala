@@ -51,6 +51,40 @@ object QueryGuard {
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
+    try planNormalized(spark, normalized)
+    catch {
+      case first: org.apache.spark.sql.AnalysisException =>
+        // CH resolves SELECT-list aliases in WHERE (`SELECT x*2 AS dbl
+        // FROM t WHERE dbl > 100`) — Spark does not (ORDER/GROUP/HAVING
+        // alias forms it does). Retry-on-UNRESOLVED_COLUMN keeps every
+        // currently-resolving query byte-identical (a real column wins
+        // over a same-named alias — documented deviation from CH's
+        // alias-shadowing) and inlines the alias expression into the
+        // top-level WHERE only when Spark itself proves the reference
+        // unresolvable. Lateral chains (alias referencing alias)
+        // resolve by iteration: each retry surfaces the next
+        // unresolved name.
+        var stmt = normalized
+        var last: org.apache.spark.sql.AnalysisException = first
+        var guard = 0
+        while (guard < 8) {
+          guard += 1
+          inlineWhereAlias(stmt, last) match {
+            case Some(next) =>
+              stmt = next
+              try return planNormalized(spark, stmt)
+              catch {
+                case e2: org.apache.spark.sql.AnalysisException => last = e2
+              }
+            case None => throw last
+          }
+        }
+        throw last
+    }
+  }
+
+  private def planNormalized(spark: SparkSession, normalized: String)
+      : org.apache.spark.sql.DataFrame = {
     // a FROM-position subquery containing an ASOF/ANY join is hoisted:
     // planned recursively through this same pipeline, registered as a
     // temp view, and substituted — so nested pasted joins work instead
@@ -1594,14 +1628,18 @@ object QueryGuard {
   }
 
   /** Replace standalone use sites of `alias` in `sql` with `(expr)`
-    * (right to left, offsets stay valid). */
+    * (right to left, offsets stay valid). WITH-macro substitution is
+    * case-sensitive like CH's; the WHERE-alias path matches
+    * case-insensitively like column resolution. */
   private def substituteAlias(sql: String, alias: String,
-      expr: String): String = {
+      expr: String, ignoreCase: Boolean = false): String = {
     var out = sql
     val toks = normalizeScan(sql)
     toks.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
       val i = toks.size - 1 - ri
-      if (out.substring(t.start, t.end) == alias) {
+      val tokText = out.substring(t.start, t.end)
+      if (if (ignoreCase) tokText.equalsIgnoreCase(alias)
+          else tokText == alias) {
         val before = out.substring(0, t.start).reverse
           .dropWhile(_.isWhitespace).headOption
         val after = out.substring(t.end)
@@ -1947,6 +1985,76 @@ object QueryGuard {
 
   /** `expr [AS alias]` → (expr, alias): only a TOP-LEVEL trailing AS
     * splits, so `cast(x AS int)` stays whole. */
+  /** One WHERE-alias inlining step for [[plan]]'s retry loop: if `err`
+    * is an UNRESOLVED_COLUMN whose name is defined as a top-level
+    * SELECT-item alias, substitute `(expr)` for the alias's standalone
+    * use sites inside the top-level WHERE region and return the updated
+    * statement. None = not this failure class (rethrow). Two select
+    * items defining the SAME alias is ambiguous — rejected loudly, as
+    * CH itself errors on conflicting aliases. */
+  private def inlineWhereAlias(stmt: String,
+      err: org.apache.spark.sql.AnalysisException): Option[String] = {
+    val cond = Option(err.getCondition).getOrElse("")
+    if (!cond.startsWith("UNRESOLVED_COLUMN")) return None
+    val name = Option(err.getMessageParameters)
+      .flatMap(m => Option(m.get("objectName")))
+      .map(_.stripPrefix("`").stripSuffix("`"))
+      .getOrElse(return None)
+    if (name.contains("`.`")) return None // qualified — not an alias use
+    val hits = topSelectAliases(stmt)
+      .filter(_._1.equalsIgnoreCase(name))
+    if (hits.isEmpty) return None
+    if (hits.map(_._2.trim).distinct.size > 1) throw new ReadOnlyViolation(
+      s"alias `$name` is defined by ${hits.size} different select items " +
+        "— conflicting aliases cannot be resolved in WHERE")
+    val (start, end) = whereRegion(stmt).getOrElse(return None)
+    val region = stmt.substring(start, end)
+    val replaced = substituteAlias(region, name, hits.head._2,
+      ignoreCase = true)
+    if (replaced == region) None
+    else Some(stmt.substring(0, start) + replaced + stmt.substring(end))
+  }
+
+  /** (alias, expr) for each explicitly AS-aliased top-level select
+    * item (leading DISTINCT/ALL stripped from the first item). */
+  private def topSelectAliases(stmt: String): Seq[(String, String)] = {
+    val ts = normalizeScan(stmt)
+    val si = ts.indices.find(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "SELECT").getOrElse(return Nil)
+    val fi = (si + 1 until ts.size).find(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "FROM").getOrElse(return Nil)
+    val items = splitTopLevel(stmt.substring(ts(si)._1.end, ts(fi)._1.start))
+    items.zipWithIndex.flatMap { case (item, idx) =>
+      splitAlias(item) match {
+        case (expr, Some(a)) =>
+          val cleaned =
+            if (idx == 0) {
+              val t = expr.trim
+              val up = t.toUpperCase
+              if (up.startsWith("DISTINCT ")) t.substring(9).trim
+              else if (up.startsWith("ALL ")) t.substring(4).trim
+              else t
+            } else expr.trim
+          Some((a, cleaned))
+        case _ => None
+      }
+    }
+  }
+
+  /** Text span of the top-level WHERE predicate (exclusive of the
+    * keyword), ending at the next top-level clause keyword. */
+  private def whereRegion(stmt: String): Option[(Int, Int)] = {
+    val ts = normalizeScan(stmt)
+    val wi = ts.indices.find(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "WHERE").getOrElse(return None)
+    val enders = Set("GROUP", "HAVING", "ORDER", "LIMIT", "SETTINGS",
+      "FORMAT", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY")
+    val endTok = (wi + 1 until ts.size).find(i =>
+      ts(i)._2 == 0 && enders(ts(i)._1.upper))
+    Some((ts(wi)._1.end,
+      endTok.map(i => ts(i)._1.start).getOrElse(stmt.length)))
+  }
+
   private def splitAlias(item: String): (String, Option[String]) = {
     val toks = normalizeScan(item)
     if (toks.size >= 2) {

@@ -327,4 +327,65 @@ class DialectFuzzSpec extends graft.SparkSpec {
     assertPlannedShare(froms4.size * joins4.size * sels4.size *
       nests4.size * tails4.size, 0.3)
   }
+
+  // ---- fifth space: lambda combinator × lambda arity × array count —
+  // pinning the round-11 silent-wrong-answer class. The property is
+  // STRICTER than plan-or-reject: a matched arity MUST plan (and for
+  // arrayMap the zip semantics are value-checked), and a mismatched
+  // arity MUST reject loudly — Spark's native re-binding of a 2-param
+  // lambda over one array as (element, index) is exactly the silent
+  // wrong answer the dispatcher exists to kill. ----
+
+  private val lambdaCombinators = Seq(
+    "arrayMap", "arrayFilter", "arrayExists", "arrayAll", "arrayCount",
+    "arrayFirst", "arrayFirstIndex", "arrayLast", "arraySum", "arrayAvg",
+    "arrayMin", "arrayMax")
+
+  private def lambdaOf(arity: Int): String = arity match {
+    case 1 => "x -> x > 0"
+    case 2 => "(x, y) -> x > y"
+    case n => (1 to n).map(i => s"v$i").mkString("(", ", ", ")") +
+      " -> " + (1 to n).map(i => s"v$i").mkString(" + ") + " > 0"
+  }
+
+  test("lambda arity × array count: matched arities plan, mismatches " +
+    "reject loudly — never (element, index) re-binding (108 cases)") {
+    assert(ready)
+    val arrays = Seq(
+      "array(o_orderkey % 5, o_orderkey % 7)",
+      "array(o_orderkey % 3, o_orderkey % 13)",
+      "array(o_orderkey % 2, o_orderkey % 11)")
+    val failures = for {
+      c <- lambdaCombinators
+      arity <- 1 to 3
+      nArr <- 1 to 3
+      stmt = s"SELECT $c(${lambdaOf(arity)}, " +
+        arrays.take(nArr).mkString(", ") +
+        ") AS r FROM orders WHERE o_orderkey <= 20"
+      f <- {
+        val outcome =
+          try { QueryGuard.plan(spark, stmt).collect(); "planned" }
+          catch {
+            case e: Throwable
+                if e.getMessage != null &&
+                  e.getMessage.contains("one array per lambda parameter") =>
+              "rejected"
+            case e: Throwable => s"OTHER ERROR: ${e.getMessage}"
+          }
+        (arity == nArr, outcome) match {
+          case (true, "planned") => None
+          case (false, "rejected") => None
+          case (want, got) => Some(
+            s"arity=$arity arrays=$nArr want ${if (want) "plan" else "loud reject"} got $got: $stmt")
+        }
+      }
+    } yield f
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+    // the zip semantics themselves (not just planning) on the judge's case
+    val zip = QueryGuard.plan(spark,
+      "SELECT arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS z")
+      .collect().head.getSeq[Int](0)
+    assert(zip == Seq(11, 22), s"arrayMap zip returned $zip")
+  }
 }

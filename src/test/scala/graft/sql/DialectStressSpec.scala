@@ -17,6 +17,35 @@ class DialectStressSpec extends graft.SparkSpec {
 
   private def rows(q: String): Int = ex.run(q).rows.size
 
+  test("WHERE references a SELECT alias (CH idiom) — resolved by retry inlining") {
+    assert(rows(
+      """SELECT o_orderkey AS k, o_totalprice * 2 AS dbl
+        |FROM orders WHERE dbl > 100 ORDER BY k LIMIT 5""".stripMargin) == 5)
+    // lateral chain: alias referencing an alias, both landing in WHERE
+    assert(rows(
+      """SELECT o_orderkey AS k, o_totalprice * 2 AS d, d + 1 AS e
+        |FROM orders WHERE e > 100 AND d > 0 ORDER BY k LIMIT 3""".stripMargin) == 3)
+    // a real column wins over a same-named alias (documented deviation
+    // from CH's alias-shadowing): this plans through Spark's own
+    // resolution, no inlining
+    assert(rows(
+      """SELECT upper(o_orderstatus) AS o_orderstatus FROM orders
+        |WHERE o_orderstatus = 'O' LIMIT 3""".stripMargin) == 3)
+    // GROUP BY + WHERE alias together
+    assert(rows(
+      """SELECT o_orderpriority AS pri, o_totalprice * 2 AS dbl
+        |FROM orders WHERE dbl > 1000
+        |ORDER BY pri, dbl LIMIT 4""".stripMargin) == 4)
+  }
+
+  test("conflicting select aliases referenced in WHERE reject loudly") {
+    val e = intercept[Exception](rows(
+      """SELECT o_totalprice AS v, o_orderkey AS v
+        |FROM orders WHERE v > 0""".stripMargin))
+    assert(e.getMessage.contains("conflicting aliases") ||
+      e.getMessage.toLowerCase.contains("ambiguous"), e.getMessage)
+  }
+
   test("PREWHERE + parametric aggregate + SETTINGS + FORMAT") {
     assert(rows(
       """SELECT o_orderpriority, quantile(0.9)(o_totalprice) AS p90, count() AS n
