@@ -242,7 +242,11 @@ final class GraftCatalog(
       pageToken: Option[String], pageSize: Int,
       detailed: Boolean): TablePage = {
     val now = nowMs()
-    tokenCache.entrySet.removeIf(_.getValue.expiresAt < now)
+    // synchronizedMap's mutex is the wrapper: compound entrySet
+    // iteration needs the explicit lock
+    tokenCache.synchronized {
+      tokenCache.entrySet.removeIf(_.getValue.expiresAt < now)
+    }
     val hit = pageToken
       .flatMap(t => Option(tokenCache.get(t)))
       .filter(e => e.db == database && e.like == like &&
@@ -396,9 +400,21 @@ object GraftCatalog {
       detailed: Boolean, offset: Int, names: Seq[String], expiresAt: Long)
 
   /** Per-JVM token cache shared by every catalog instance, like the
-    * reference's module-level dict; pruned on each TTL-mode access. */
-  private[catalog] val tokenCache =
-    new java.util.concurrent.ConcurrentHashMap[String, TokenEntry]()
+    * reference's module-level TTLCache(maxsize=100) (mcp_server.py:
+    * module scope): pruned by expiry on each TTL-mode access AND
+    * LRU-capped at the same maxsize=100 — without the cap, chatty
+    * paging over a large catalog grows driver memory for the whole
+    * TTL window, each entry carrying a full filtered-name snapshot
+    * (ADVICE r11). Access-ordered LinkedHashMap = true LRU; callers
+    * synchronize on the wrapper for compound iteration. */
+  private[catalog] val tokenCacheMax = 100
+  private[catalog] val tokenCache: java.util.Map[String, TokenEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, TokenEntry](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, TokenEntry]): Boolean =
+          size() > tokenCacheMax
+      })
 
   /** (row count, uncompressed bytes, row-group count) summed over
     * parquet footers — footer reads only, no data pages touched and no

@@ -477,6 +477,39 @@ object CHFunctions {
       fn("percentile_approx", whenThen(es(1), es.head), Literal(0.5),
         Literal(10000))),
 
+    // -OrNull / -OrDefault combinator spellings (CH: OrNull → NULL
+    // when nothing aggregated; OrDefault → the type default). Spark's
+    // own aggregates already yield NULL on an empty/all-null group, so
+    // the OrNull family is mostly the base builder; count/uniq return
+    // 0 there and need nullif. OrDefault coalesces with 0 — numeric
+    // coercion scoped (a string-typed anyOrDefault is a loud analysis
+    // error, not a silent ''-default; documented deviation).
+    "sumOrNull" -> (es => fn("sum", es.head)),
+    "minOrNull" -> (es => fn("min", es.head)),
+    "maxOrNull" -> (es => fn("max", es.head)),
+    "avgOrNull" -> (es => fn("avg", es.head)),
+    "anyOrNull" -> (es => fn("first", es.head, Literal(true))),
+    "anyLastOrNull" -> (es => fn("last", es.head, Literal(true))),
+    "countOrNull" -> (es => fn("nullif", fn("count",
+      (if (es.isEmpty) Seq(Literal(1)) else es): _*), Literal(0L))),
+    "uniqOrNull" -> (es =>
+      fn("nullif", HyperLogLogPlusPlus(es.head), Literal(0L))),
+    "uniqExactOrNull" -> (es => fn("nullif",
+      Count(es).toAggregateExpression(isDistinct = true), Literal(0L))),
+    "sumOrDefault" -> (es =>
+      Coalesce(Seq(fn("sum", es.head), Literal(0)))),
+    "minOrDefault" -> (es =>
+      Coalesce(Seq(fn("min", es.head), Literal(0)))),
+    "maxOrDefault" -> (es =>
+      Coalesce(Seq(fn("max", es.head), Literal(0)))),
+    "avgOrDefault" -> (es =>
+      Coalesce(Seq(fn("avg", es.head), Literal(0.0)))),
+    "anyOrDefault" -> (es =>
+      Coalesce(Seq(fn("first", es.head, Literal(true)), Literal(0)))),
+    "countOrDefault" -> (es => fn("count",
+      (if (es.isEmpty) Seq(Literal(1)) else es): _*)),
+    "uniqOrDefault" -> (es => HyperLogLogPlusPlus(es.head)),
+
     // group collectors
     "groupArray" -> (es => fn("collect_list", es.head)),
     "groupUniqArray" -> (es => fn("collect_set", es.head)),
@@ -2318,18 +2351,13 @@ object CHFunctions {
     "multiply" -> (es => Multiply(es.head, es(1))),
     // ClickHouse divide() is ALWAYS Float64 division and yields
     // ±inf / nan on a zero divisor; an unguarded Spark Divide would be
-    // an ANSI DIVIDE_BY_ZERO runtime error instead
-    "divide" -> (es => {
-      val a = Cast(es.head, org.apache.spark.sql.types.DoubleType)
-      val b = Cast(es(1), org.apache.spark.sql.types.DoubleType)
-      CaseWhen(Seq(
-        (EqualTo(b, Literal(0.0)),
-          CaseWhen(Seq(
-            (GreaterThan(a, Literal(0.0)), Literal(Double.PositiveInfinity)),
-            (LessThan(a, Literal(0.0)), Literal(Double.NegativeInfinity))),
-            Some(Literal(Double.NaN))))),
-        Some(Divide(a, b)))
-    }),
+    // an ANSI DIVIDE_BY_ZERO runtime error instead. IeeeDivide is the
+    // single-evaluation native (WrapArith rewrites the bare `/`
+    // operator onto the same node, so both spellings agree bit-exact,
+    // including the divisor-sign rule 1 / -0.0 = -inf).
+    "divide" -> (es => IeeeDivide(
+      Cast(es.head, org.apache.spark.sql.types.DoubleType),
+      Cast(es(1), org.apache.spark.sql.types.DoubleType))),
     "modulo" -> (es => Remainder(es.head, es(1))),
     // the *OrZero defensive variants: zero divisor → 0, not an error
     "divideOrZero" -> (es =>
@@ -2623,9 +2651,29 @@ object CHFunctions {
     // toDateTime64(x, precision[, tz]): Spark timestamps are fixed
     // micro-precision; the precision argument only matters past 6
     // digits (nanos truncate, as Spark stores micros)
-    "toDateTime64" -> (es =>
-      Cast(es.head, org.apache.spark.sql.types.TimestampType)),
-    "toDateTime64OrNull" -> (es => fn("try_to_timestamp", es.head)),
+    // toDateTime64(x, precision[, tz]): precision only matters past
+    // micros (Spark stores micros; nanos truncate). A tz argument is
+    // HONORED with CH's string-parse semantics — the wall-clock is
+    // interpreted in that zone (to_utc_timestamp; sessions run UTC, so
+    // the instant matches CH; CH additionally RENDERS in the column's
+    // tz, which Spark timestamps cannot carry — documented deviation.
+    // The numeric-epoch-input + tz combination, where CH's tz is
+    // display-only, diverges: the wrap shifts it. ADVICE r11: the tz
+    // used to be silently dropped.)
+    "toDateTime64" -> (es => {
+      val base = Cast(es.head, org.apache.spark.sql.types.TimestampType)
+      es.drop(2).headOption match {
+        case Some(tz) => fn("to_utc_timestamp", base, tz)
+        case None => base
+      }
+    }),
+    "toDateTime64OrNull" -> (es => {
+      val base = fn("try_to_timestamp", es.head)
+      es.drop(2).headOption match {
+        case Some(tz) => fn("to_utc_timestamp", base, tz)
+        case None => base
+      }
+    }),
 
     // scalar range(): CH returns an Array. range(n) = [0, n),
     // range(a, b[, step]) = [a, b) — half-open, where Spark's

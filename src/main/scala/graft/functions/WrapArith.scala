@@ -91,15 +91,33 @@ object WrapArith extends Rule[LogicalPlan] {
       case d @ Divide(l, r, ctx)
           if ctx.evalMode == EvalMode.ANSI && d.resolved &&
             d.dataType == org.apache.spark.sql.types.DoubleType =>
-        val zero = Literal(0.0)
-        CaseWhen(Seq(
-          (EqualTo(r, zero),
-            CaseWhen(Seq(
-              (GreaterThan(l, zero), Literal(Double.PositiveInfinity)),
-              (LessThan(l, zero), Literal(Double.NegativeInfinity)),
-              (IsNull(l), Literal(null,
-                org.apache.spark.sql.types.DoubleType))),
-              Some(Literal(Double.NaN))))),
-          Some(Divide(l, r, ctx.copy(evalMode = EvalMode.LEGACY))))
+        IeeeDivide(l, r)
     }
+}
+
+/** Plain JVM IEEE-754 Float64 division: x/±0.0 → ±inf honoring BOTH
+  * signs (1 / -0.0 = -inf), 0.0/0.0 → NaN, null-propagating,
+  * single-evaluation, one `/` inside whole-stage codegen. Replaces the
+  * former CaseWhen rewrite, which duplicated both operands across
+  * branches (a scalar-subquery or non-deterministic operand evaluated
+  * up to 3 extra times and could classify the zero-divisor sign
+  * inconsistently) and consulted only the NUMERATOR's sign — +inf for
+  * x / -0.0 where IEEE and ClickHouse give -inf (ADVICE r11). */
+case class IeeeDivide(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.DoubleType
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "divide"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    l.asInstanceOf[Double] / r.asInstanceOf[Double]
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"($a / $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IeeeDivide =
+    copy(left = newLeft, right = newRight)
 }

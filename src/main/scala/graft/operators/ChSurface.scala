@@ -2169,7 +2169,31 @@ object ChSurface {
       Some("""SELECT o_orderkey AS k, o_totalprice * 2 AS dbl,
         |  o_totalprice * 2 + 1 AS dblp
         |FROM orders WHERE dbl > 300000 AND dblp > 300001
-        |ORDER BY k""".stripMargin)))
+        |ORDER BY k""".stripMargin)),
+
+    // round-12: -OrNull / -OrDefault aggregate combinator spellings.
+    // Customers without orders make naturally-empty groups under the
+    // LEFT JOIN: OrNull → NULL there, OrDefault → 0; non-empty groups
+    // pass the base aggregate through.
+    ("q_ch_orcomb",
+      """SELECT c_custkey AS k,
+        |  sumOrNull(o_orderkey % 100) AS sn,
+        |  maxOrDefault(o_orderkey % 100) AS md,
+        |  toInt64(countOrDefault(o_orderkey)) AS cd,
+        |  countOrNull(o_orderkey) AS cn,
+        |  round(avgOrDefault(toInt64(floor(o_totalprice))), 2) AS ad
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey <= 200
+        |GROUP BY c_custkey ORDER BY k""".stripMargin,
+      Some("""SELECT c_custkey AS k,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS sn,
+        |  CAST(COALESCE(max(o_orderkey % 100), 0) AS BIGINT) AS md,
+        |  CAST(count(o_orderkey) AS BIGINT) AS cd,
+        |  CAST(NULLIF(count(o_orderkey), 0) AS BIGINT) AS cn,
+        |  round(COALESCE(avg(CAST(floor(o_totalprice) AS BIGINT)), 0), 2) AS ad
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE c_custkey <= 200
+        |GROUP BY c_custkey ORDER BY k""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -872,7 +872,17 @@ object QueryGuard {
         sb.append(sql.substring(s, i))
         val nextIsWord = i < n && (sql.charAt(i).isLetter ||
           sql.charAt(i) == '_')
-        if (sawDot && !sawExp && !nextIsWord && !afterInterval(s))
+        // a digit run directly after `ident.` / `` `q`. `` / `).` /
+        // `].` is CHAINED tuple access (t.1.2), not a float literal —
+        // a D suffix there would make rewriteTupleAccess emit
+        // `tupleElement(t, 1).2D`, a parse error (ADVICE r11)
+        val tupleAccessPos = s >= 2 && sql.charAt(s - 1) == '.' && {
+          val p = sql.charAt(s - 2)
+          Character.isLetterOrDigit(p) || p == '_' || p == '`' ||
+            p == ')' || p == ']'
+        }
+        if (sawDot && !sawExp && !nextIsWord && !afterInterval(s) &&
+          !tupleAccessPos)
           sb.append('D')
         prevIdent = nextIsWord
         if (nextIsWord) { sb.append(sql.charAt(i)); i += 1 }

@@ -199,7 +199,16 @@ class CatalogSpec extends SparkSpec {
     val expired = catT.listTables(database = "ttldb", pageSize = 2,
       pageToken = p1.nextPageToken)
     assert(expired.tables.map(_.name) == Seq("a", "b"))
+    // LRU size cap (reference TTLCache maxsize=100): chatty paging
+    // never grows the cache past the cap, oldest tokens evict first
+    (1 to GraftCatalog.tokenCacheMax + 50).foreach { _ =>
+      catT.listTables(database = "ttldb", pageSize = 2)
+    }
+    assert(tokenCacheSize() <= GraftCatalog.tokenCacheMax)
   }
+
+  private def tokenCacheSize(): Int =
+    GraftCatalog.tokenCache.synchronized { GraftCatalog.tokenCache.size }
 
   test("token for different filters restarts from the beginning") {
     val p1 = cat.listTables(pageSize = 2)

@@ -372,6 +372,40 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(4) == "23097d223405d8228642a477bda255b32aadbce4bda0b3f7e36c9da7")
   }
 
+  test("-OrNull / -OrDefault aggregate combinators on empty and non-empty groups") {
+    val empty = one(
+      """SELECT sumOrNull(x), maxOrNull(x), countOrNull(x),
+        |  sumOrDefault(x), maxOrDefault(x), avgOrDefault(x),
+        |  countOrDefault(x), anyOrNull(x)
+        |FROM (SELECT x FROM VALUES (1), (2) t(x) WHERE x > 10)""".stripMargin)
+    assert(empty.isNullAt(0) && empty.isNullAt(1) && empty.isNullAt(2))
+    assert(empty.get(3).toString.toDouble == 0)
+    assert(empty.get(4).toString.toDouble == 0)
+    assert(empty.getDouble(5) == 0.0)
+    assert(empty.getLong(6) == 0L)
+    assert(empty.isNullAt(7))
+    val full = one(
+      """SELECT sumOrNull(x), maxOrDefault(x), countOrNull(x), avgOrDefault(x)
+        |FROM VALUES (1), (2), (3) t(x)""".stripMargin)
+    assert(full.get(0).toString.toDouble == 6)
+    assert(full.get(1).toString.toDouble == 3)
+    assert(full.getLong(2) == 3L)
+    assert(full.getDouble(3) == 2.0)
+  }
+
+  test("toDateTime64 honors the timezone argument (string-parse semantics)") {
+    val r = one(
+      """SELECT toDateTime64('2024-01-01 09:00:00', 3, 'Asia/Tokyo'),
+        |  toDateTime64('2024-01-01 09:00:00', 3),
+        |  toDateTime64OrNull('2024-01-01 09:00:00', 3, 'Asia/Tokyo'),
+        |  toDateTime64OrNull('garbage', 3, 'Asia/Tokyo')""".stripMargin)
+    // 09:00 Tokyo = 00:00 UTC (session tz is UTC)
+    assert(r.getTimestamp(0).toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(r.getTimestamp(1).toInstant.toString == "2024-01-01T09:00:00Z")
+    assert(r.getTimestamp(2).toInstant.toString == "2024-01-01T00:00:00Z")
+    assert(r.isNullAt(3))
+  }
+
   test("bit functions and functional arithmetic") {
     val r = one(
       """SELECT bitAnd(12, 10), bitOr(12, 10), bitXor(12, 10), bitNot(0),

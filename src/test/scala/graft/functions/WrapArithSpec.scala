@@ -119,6 +119,25 @@ class WrapArithSpec extends SparkSpec {
     }
   }
 
+  test("IEEE divide honors the DIVISOR's zero sign and zips to ±inf/NaN") {
+    // data-driven: id = 0 → +0.0 and -0.0 divisors; numerators ±1, 0.
+    // D-suffixed literals: bare 1.0 is a DECIMAL literal in Spark SQL
+    // (decimal division keeps ANSI's throw BY DESIGN — the served
+    // path's float-literal shim is what makes pasted 1.0 a Float64)
+    val r = one(
+      """SELECT (id + 1.0D) / (id * 1.0D) AS pos_div_pz,
+        |  (id + 1.0D) / (id * -1.0D) AS pos_div_nz,
+        |  (-1.0D - id) / (id * -1.0D) AS neg_div_nz,
+        |  (id * 1.0D) / (id * 1.0D) AS zero_div_zero,
+        |  divide(id + 1.0D, id * -1.0D) AS named_nz
+        |FROM range(1)""".stripMargin)
+    assert(r.getDouble(0).isPosInfinity)
+    assert(r.getDouble(1).isNegInfinity) // 1 / -0.0 = -inf (ADVICE r11)
+    assert(r.getDouble(2).isPosInfinity) // -1 / -0.0 = +inf
+    assert(r.getDouble(3).isNaN)
+    assert(r.getDouble(4).isNegInfinity) // named divide() agrees
+  }
+
   test("decimal arithmetic keeps ANSI checked overflow (CH Decimal throws too)") {
     intercept[Exception] {
       one(

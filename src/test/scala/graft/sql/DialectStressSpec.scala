@@ -17,6 +17,17 @@ class DialectStressSpec extends graft.SparkSpec {
 
   private def rows(q: String): Int = ex.run(q).rows.size
 
+  test("chained tuple access t.1.2 survives the float-literal lexer") {
+    val r = ex.run(
+      """SELECT tuple(tuple(o_orderkey, o_orderkey * 2), o_orderstatus).1.2 AS v,
+        |  o_totalprice * 1.5 AS still_float
+        |FROM orders ORDER BY o_orderkey LIMIT 3""".stripMargin)
+    assert(r.rows.size == 3)
+    // .1.2 reads the inner tuple's second field = o_orderkey * 2
+    val first = r.rows.head
+    assert(first.head.toString.toLong % 2 == 0)
+  }
+
   test("WHERE references a SELECT alias (CH idiom) — resolved by retry inlining") {
     assert(rows(
       """SELECT o_orderkey AS k, o_totalprice * 2 AS dbl
