@@ -2193,7 +2193,21 @@ object ChSurface {
         |  round(COALESCE(avg(CAST(floor(o_totalprice) AS BIGINT)), 0), 2) AS ad
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey <= 200
-        |GROUP BY c_custkey ORDER BY k""".stripMargin)))
+        |GROUP BY c_custkey ORDER BY k""".stripMargin)),
+
+    // round-12: client-side output clauses — INTO OUTFILE (handled
+    // CLIENT-side by clickhouse-client; the server sees the query
+    // without it) and per-subquery SETTINGS tails. Both strip; the
+    // rows served are the oracle's.
+    ("q_ch_strip",
+      """SELECT o_orderstatus AS st, count() AS n
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 1000
+        |      SETTINGS max_threads = 2, join_use_nulls = 1)
+        |GROUP BY st ORDER BY st
+        |INTO OUTFILE '/tmp/graft_q_ch_strip.csv' FORMAT CSVWithNames""".stripMargin,
+      Some("""SELECT o_orderstatus AS st, count(*) AS n
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 1000) t
+        |GROUP BY st ORDER BY st""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -605,6 +605,8 @@ object QueryGuard {
           out = out.substring(0, t.start) + out.substring(t.end)
       }
     }
+    out = stripIntoOutfile(out)
+    out = stripInnerSettings(out)
     // trailing FORMAT <ident>: the last two tokens, at depth 0
     var ts = normalizeScan(out)
     if (ts.size >= 2) {
@@ -1995,6 +1997,93 @@ object QueryGuard {
 
   /** `expr [AS alias]` → (expr, alias): only a TOP-LEVEL trailing AS
     * splits, so `cast(x AS int)` stays whole. */
+  /** `INTO OUTFILE '<path>' [COMPRESSION '<c>' [LEVEL n]]
+    * [APPEND|TRUNCATE] [AND STDOUT]` — clickhouse-client handles the
+    * file CLIENT-side and sends the query to the server without it;
+    * the engine serves the rows the same way. Top-level only (CH
+    * allows it only there); the trailing FORMAT that usually follows
+    * is removed by the existing FORMAT shim. */
+  private def stripIntoOutfile(sql: String): String = {
+    val ts = normalizeScan(sql)
+    val at = ts.indices.find(i =>
+      i + 1 < ts.size && ts(i)._2 == 0 && ts(i)._1.upper == "INTO" &&
+        ts(i + 1)._2 == 0 && ts(i + 1)._1.upper == "OUTFILE")
+      .getOrElse(return sql)
+    var j = ts(at + 1)._1.end
+    def skipWs(): Unit =
+      while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+    def tryString(): Boolean = {
+      skipWs()
+      if (j < sql.length && sql.charAt(j) == '\'') {
+        j += 1
+        while (j < sql.length && sql.charAt(j) != '\'') j += 1
+        j = math.min(j + 1, sql.length)
+        true
+      } else false
+    }
+    if (!tryString()) throw new ReadOnlyViolation(
+      "INTO OUTFILE expects a quoted file path")
+    var more = true
+    while (more) {
+      val save = j
+      skipWs()
+      val w = sql.substring(j).takeWhile(_.isLetter).toUpperCase
+      w match {
+        case "COMPRESSION" =>
+          j += w.length
+          if (!tryString()) { j = save; more = false }
+        case "LEVEL" =>
+          j += w.length; skipWs()
+          while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        case "APPEND" | "TRUNCATE" => j += w.length
+        case "AND" =>
+          j += w.length; skipWs()
+          val w2 = sql.substring(j).takeWhile(_.isLetter).toUpperCase
+          if (w2 == "STDOUT") j += w2.length
+          else { j = save; more = false }
+        case _ => j = save; more = false
+      }
+    }
+    sql.substring(0, ts(at)._1.start) + sql.substring(j)
+  }
+
+  /** `SETTINGS k = v[, ...]` at ANY depth — CH allows a per-subquery
+    * SETTINGS tail, and the assignments have no effect on this engine
+    * (same contract as the existing top-level strip). The clause is
+    * recognized by shape (`SETTINGS ident = value`), so a column
+    * merely NAMED settings — never followed by `ident =` — survives. */
+  private def stripInnerSettings(sql: String): String = {
+    val headShape =
+      "(?s)\\s*[A-Za-z_][A-Za-z0-9_]*\\s*=[^=].*".r
+    val assign =
+      "\\s*[A-Za-z_][A-Za-z0-9_]*\\s*=\\s*('([^']|'')*'|[A-Za-z0-9_.+\\-]+)".r
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val ts = normalizeScan(out)
+      ts.indices.find(i => ts(i)._1.upper == "SETTINGS" &&
+        headShape.matches(out.substring(ts(i)._1.end))).foreach { i =>
+        val t = ts(i)._1
+        var j = t.end
+        var more = true
+        while (more) {
+          assign.findPrefixMatchOf(out.substring(j)) match {
+            case Some(m) =>
+              j += m.end
+              val k = out.indexWhere(!_.isWhitespace, j)
+              if (k >= 0 && out.charAt(k) == ',') j = k + 1
+              else more = false
+            case None => more = false
+          }
+        }
+        out = out.substring(0, t.start) + out.substring(j)
+        changed = true
+      }
+    }
+    out
+  }
+
   /** One WHERE-alias inlining step for [[plan]]'s retry loop: if `err`
     * is an UNRESOLVED_COLUMN whose name is defined as a top-level
     * SELECT-item alias, substitute `(expr)` for the alias's standalone

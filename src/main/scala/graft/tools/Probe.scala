@@ -141,7 +141,40 @@ object Probe {
     "arg_min_max" ->
       "SELECT argMin(o_orderkey, o_totalprice) AS amn, argMax(o_orderkey, o_totalprice) AS amx FROM orders",
     "nested_agg_if" ->
-      "SELECT avgIf(o_totalprice, o_orderstatus = 'O') AS a, maxIf(o_totalprice, o_orderstatus = 'F') AS m, minIf(o_totalprice, true) AS mi FROM orders"
+      "SELECT avgIf(o_totalprice, o_orderstatus = 'O') AS a, maxIf(o_totalprice, o_orderstatus = 'F') AS m, minIf(o_totalprice, true) AS mi FROM orders",
+    // ---- round-12 wave: verdict item 7 + adjacent paste idioms ----
+    "into_outfile" ->
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 INTO OUTFILE '/tmp/probe_out.csv' FORMAT CSVWithNames",
+    "into_outfile_bare" ->
+      "SELECT count() AS n FROM orders INTO OUTFILE '/tmp/probe_out2.txt'",
+    "settings_subquery" ->
+      "SELECT count() AS n FROM (SELECT * FROM orders WHERE o_totalprice > 100 SETTINGS max_threads = 2)",
+    "settings_cte" ->
+      "WITH w AS (SELECT o_custkey FROM orders SETTINGS max_threads = 1) SELECT count() AS n FROM w",
+    "where_alias" ->
+      "SELECT o_orderkey AS k, o_totalprice * 2 AS dbl FROM orders WHERE dbl > 100 ORDER BY k LIMIT 3",
+    "where_alias_chain" ->
+      "SELECT o_totalprice * 2 AS d, d + 1 AS e FROM orders WHERE e > 100 LIMIT 3",
+    "lambda_zip" ->
+      "SELECT arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS z",
+    "lambda_zip3" ->
+      "SELECT arraySum((x, y) -> x * y, [1, 2], [3, 4]) AS dot, arrayFilter((x, y) -> y > 0, ['a', 'b'], [1, 0]) AS f",
+    "any_heavy" -> "SELECT anyHeavy(o_orderstatus) AS h FROM orders",
+    "quantile_timing" ->
+      "SELECT quantileTiming(0.9)(o_totalprice) AS p, quantileTDigest(0.5)(o_totalprice) AS t FROM orders",
+    "or_combinators" ->
+      "SELECT sumOrNull(o_totalprice) AS sn, maxOrDefault(o_orderkey) AS md FROM orders WHERE o_totalprice < 0",
+    "group_cube" ->
+      "SELECT o_orderstatus, count() AS n FROM orders GROUP BY o_orderstatus WITH CUBE ORDER BY o_orderstatus, n",
+    "group_rollup" ->
+      "SELECT o_orderstatus, count() AS n FROM orders GROUP BY o_orderstatus WITH ROLLUP ORDER BY o_orderstatus, n",
+    "star_except" ->
+      "SELECT * EXCEPT (o_orderdate) FROM orders LIMIT 1",
+    "format_null" -> "SELECT count() AS n FROM orders FORMAT Null",
+    "tuple_chain" ->
+      "SELECT tuple(tuple(o_orderkey, o_totalprice), o_orderstatus).1.2 AS p FROM orders LIMIT 3",
+    "todatetime_tz" ->
+      "SELECT toDateTime64('2024-01-01 09:00:00', 3, 'Asia/Tokyo') AS t"
   )
 
   def main(args: Array[String]): Unit = {

@@ -61,7 +61,9 @@ class DialectFuzzSpec extends graft.SparkSpec {
   private val nests: Seq[String => String] = Seq(
     identity,
     q => s"SELECT count(*) AS outer_n FROM ($q) z",
-    q => s"WITH w AS ($q) SELECT count(*) AS outer_n FROM w")
+    q => s"WITH w AS ($q) SELECT count(*) AS outer_n FROM w",
+    // per-subquery SETTINGS tail (round-12: stripped at any depth)
+    q => s"SELECT count(*) AS outer_n FROM ($q SETTINGS max_threads = 2) z")
 
   private val tails = Seq(
     "",
@@ -111,7 +113,7 @@ class DialectFuzzSpec extends graft.SparkSpec {
   }
 
   test("every join × select × nesting × tail combination plans or " +
-    "rejects — never a silent ANY/ASOF misparse (1404 cases)") {
+    "rejects — never a silent ANY/ASOF misparse (2016 cases)") {
     assert(ready)
     val failures = for {
       j <- joins
@@ -167,7 +169,7 @@ class DialectFuzzSpec extends graft.SparkSpec {
     "ORDER BY o_orderpriority WITH FILL")
 
   test("FROM modifiers × PREWHERE × param-aggs × TOTALS × tails plan " +
-    "or reject — no keyword-as-alias misparse (1800 cases)") {
+    "or reject — no keyword-as-alias misparse (2400 cases)") {
     assert(ready)
     val failures = for {
       f <- fromItems

@@ -17,6 +17,32 @@ class DialectStressSpec extends graft.SparkSpec {
 
   private def rows(q: String): Int = ex.run(q).rows.size
 
+  test("INTO OUTFILE strips with every modifier combination; file is NOT written") {
+    val n = rows(
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4
+        |INTO OUTFILE '/tmp/graft_stress_out.csv' COMPRESSION 'gzip' LEVEL 3
+        |APPEND AND STDOUT FORMAT CSVWithNames""".stripMargin)
+    assert(n == 4)
+    assert(!new java.io.File("/tmp/graft_stress_out.csv").exists)
+    // bare form, no FORMAT
+    assert(rows(
+      "SELECT count() AS n FROM orders INTO OUTFILE '/tmp/graft_x.txt'") == 1)
+  }
+
+  test("per-subquery SETTINGS tails strip at any depth") {
+    assert(rows(
+      """SELECT count() AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100
+        |  SETTINGS max_threads = 2, join_use_nulls = 1)""".stripMargin) == 1)
+    assert(rows(
+      """WITH w AS (SELECT o_custkey FROM orders SETTINGS max_threads = 1)
+        |SELECT count() AS n FROM w""".stripMargin) == 1)
+    // a column merely NAMED settings survives (shape check: no `ident =`)
+    assert(rows(
+      """SELECT settings FROM (SELECT o_orderkey AS settings FROM orders) t
+        |ORDER BY settings LIMIT 2""".stripMargin) == 2)
+  }
+
   test("chained tuple access t.1.2 survives the float-literal lexer") {
     val r = ex.run(
       """SELECT tuple(tuple(o_orderkey, o_orderkey * 2), o_orderstatus).1.2 AS v,
