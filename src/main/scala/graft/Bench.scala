@@ -31,10 +31,17 @@ object Bench {
   /** sf1 subset: the iterative dedup/ANN shapes whose scaling the
     * round-10 audit measured, plus q_ch_bits/q_ch_ip — the two
     * queries that die at production key magnitudes if integer
-    * arithmetic regresses to throwing overflow. */
+    * arithmetic regresses to throwing overflow — and q_ch_url, the
+    * suite's slowest at-scale query (round-12 decomposition, 15M rows:
+    * URL synth-concat 0.8 s + all six native one-pass parses ~2 s;
+    * the remaining ~14 s is the uniqExact two-phase exact-distinct
+    * whose first-phase groups ≈ row cardinality — inherent to the
+    * aggregate's semantics, not URL-operator cost; tools/
+    * UrlProfile.scala reproduces the split). */
   private val scaleSubset = Seq(
     "dedup_jaccard", "dedup_clusters", "dedup_incremental",
-    "pipeline_clean", "ann_ivf", "ann_pq", "q_ch_bits", "q_ch_ip")
+    "pipeline_clean", "ann_ivf", "ann_pq", "q_ch_bits", "q_ch_ip",
+    "q_ch_url")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

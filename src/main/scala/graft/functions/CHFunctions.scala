@@ -340,7 +340,7 @@ object CHFunctions {
     fn("struct", fn("array_min", hs), fn("array_max", hs))
   }
 
-  val all: Seq[(String, Builder)] = Seq(
+  private val baseBuilders: Seq[(String, Builder)] = Seq(
     // approximate + exact distinct
     "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
@@ -2762,6 +2762,45 @@ object CHFunctions {
           RegExpExtract(es.head, es(1), Literal(group))
       }
     }))
+
+  val all: Seq[(String, Builder)] = baseBuilders ++ stackedCombinators
+
+  /** -If stacked with -OrNull / -OrDefault (CH allows combinator
+    * stacking; BOTH suffix orders are registered since pasted queries
+    * show either): the condition rides the same CASE-WHEN-null shape
+    * as the plain *If family, and the empty / no-match-group behavior
+    * follows the OrNull (NULL) / OrDefault (type default; numeric-
+    * coercion scoped like the unstacked forms) rule. countIf takes
+    * the bare predicate, so its stacked forms do too. */
+  private def stackedCombinators: Seq[(String, Builder)] = {
+    def cond(es: Seq[Expression]) = whenThen(es(1), es.head)
+    val bases: Seq[(String, Builder, Builder)] = Seq(
+      ("sum",
+        (es: Seq[Expression]) => fn("sum", cond(es)),
+        (es: Seq[Expression]) =>
+          Coalesce(Seq(fn("sum", cond(es)), Literal(0)))),
+      ("avg",
+        (es: Seq[Expression]) => fn("avg", cond(es)),
+        (es: Seq[Expression]) =>
+          Coalesce(Seq(fn("avg", cond(es)), Literal(0.0)))),
+      ("min",
+        (es: Seq[Expression]) => fn("min", cond(es)),
+        (es: Seq[Expression]) =>
+          Coalesce(Seq(fn("min", cond(es)), Literal(0)))),
+      ("max",
+        (es: Seq[Expression]) => fn("max", cond(es)),
+        (es: Seq[Expression]) =>
+          Coalesce(Seq(fn("max", cond(es)), Literal(0)))),
+      ("count",
+        (es: Seq[Expression]) =>
+          fn("nullif", fn("count_if", es.head), Literal(0L)),
+        (es: Seq[Expression]) => fn("count_if", es.head)))
+    bases.flatMap { case (b, orNull, orDefault) =>
+      Seq(
+        s"${b}OrNullIf" -> orNull, s"${b}IfOrNull" -> orNull,
+        s"${b}OrDefaultIf" -> orDefault, s"${b}IfOrDefault" -> orDefault)
+    }
+  }
 
   private val uuidRe =
     "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"

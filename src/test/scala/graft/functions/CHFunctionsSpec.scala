@@ -391,6 +391,18 @@ class CHFunctionsSpec extends SparkSpec {
     assert(full.get(1).toString.toDouble == 3)
     assert(full.getLong(2) == 3L)
     assert(full.getDouble(3) == 2.0)
+    // stacked with -If, both suffix orders; no-match group = empty
+    val stacked = one(
+      """SELECT sumOrNullIf(x, x > 10), sumIfOrNull(x, x > 1),
+        |  maxOrDefaultIf(x, x > 10), avgIfOrDefault(x, x > 10),
+        |  countOrNullIf(x > 10), countIfOrDefault(x > 1)
+        |FROM VALUES (1), (2), (3) t(x)""".stripMargin)
+    assert(stacked.isNullAt(0))
+    assert(stacked.get(1).toString.toDouble == 5)
+    assert(stacked.get(2).toString.toDouble == 0)
+    assert(stacked.getDouble(3) == 0.0)
+    assert(stacked.isNullAt(4))
+    assert(stacked.getLong(5) == 2L)
   }
 
   test("toDateTime64 honors the timezone argument (string-parse semantics)") {
