@@ -2039,6 +2039,9 @@ object CHFunctions {
     "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
     "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
     "lengthUTF8" -> (es => fn("char_length", es.head)),
+    // CH length() = BYTES for strings (element count for arrays);
+    // served-path rename only — see [[ChLength]]
+    "lengthCH" -> (es => ChLength(es.head)),
 
     // string battery under ClickHouse names (thin delegations to the
     // codegen'd Spark natives; position is 1-based like CH, 0 = absent)

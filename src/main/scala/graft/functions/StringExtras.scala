@@ -284,3 +284,48 @@ object JumpHash {
     b.toInt
   }
 }
+
+/** ClickHouse `length()`: BYTES for String/FixedString, element count
+  * for arrays — where Spark's same-named builtin counts CHARACTERS.
+  * ASCII agrees; any multibyte text silently diverges, so the served
+  * dialect path renames pasted `length(` onto this node
+  * (QueryGuard.rewriteDialectNames — registry-override would also
+  * capture Spark's name-resolved DataFrame API, same reasoning as the
+  * digest family). Returns BIGINT like CH's UInt64; `lengthUTF8`
+  * remains the code-point count. */
+case class ChLength(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "length"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | BinaryType | _: ArrayType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"length expects a string, binary, or array argument, got $other")
+    }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => v.asInstanceOf[UTF8String].numBytes.toLong
+    case BinaryType => v.asInstanceOf[Array[Byte]].length.toLong
+    case _: ArrayType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .numElements.toLong
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    child.dataType match {
+      case StringType =>
+        defineCodeGen(ctx, ev, c => s"(long) $c.numBytes()")
+      case BinaryType =>
+        defineCodeGen(ctx, ev, c => s"(long) $c.length")
+      case _: ArrayType =>
+        defineCodeGen(ctx, ev, c => s"(long) $c.numElements()")
+    }
+
+  override protected def withNewChildInternal(c: Expression): ChLength =
+    copy(child = c)
+}

@@ -2195,6 +2195,25 @@ object ChSurface {
         |WHERE c_custkey <= 200
         |GROUP BY c_custkey ORDER BY k""".stripMargin)),
 
+    // round-12: CH length() counts BYTES for strings (Spark's counts
+    // characters — silent multibyte divergence; [[graft.functions
+    // .ChLength]] via the served rename). DuckDB's strlen() is the
+    // byte count, so the oracle pins the semantics on a multibyte
+    // literal too, not just the ASCII table data.
+    ("q_ch_len",
+      """SELECT o_orderkey AS k,
+        |  length(o_orderpriority) AS lb,
+        |  toInt64(lengthUTF8(o_orderpriority)) AS lc,
+        |  length(concat('héllo-', o_orderstatus)) AS mb,
+        |  length(range(k % 4)) AS la
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  strlen(o_orderpriority) AS lb,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS lc,
+        |  strlen('héllo-' || o_orderstatus) AS mb,
+        |  CAST(COALESCE(len(range(o_orderkey % 4)), 0) AS BIGINT) AS la
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY k""".stripMargin)),
+
     // round-12: client-side output clauses — INTO OUTFILE (handled
     // CLIENT-side by clickhouse-client; the server sees the query
     // without it) and per-subquery SETTINGS tails. Both strip; the

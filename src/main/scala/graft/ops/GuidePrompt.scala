@@ -61,6 +61,9 @@ object GuidePrompt {
       |  `uniqExact`, `uniqUpTo`, `quantile(le)(0.9)(x)` shapes as
       |  `quantile(x, 0.9)`, `median`, `topK(x, 10)`, `argMax(a, b)`,
       |  `countIf`, `sumIf`, `anyHeavy`, `groupArray`,
+      |  `-OrNull`/`-OrDefault` combinators (NULL / type default on an
+      |  empty group: `sumOrNull`, `maxOrDefault`, stacked with -If in
+      |  either order: `sumOrNullIf(x, cond)`),
       |  `groupArraySample(x, k)` (samples k input ROWS per group —
       |  duplicates count once per occurrence, not once per distinct
       |  value; deterministic under any partitioning),
@@ -70,8 +73,12 @@ object GuidePrompt {
       |  `simpleLinearRegression`, `boundingRatio`.
       |- Arrays: `arrayJoin` via LATERAL VIEW/explode, `arrayMap`,
       |  `arrayFilter`, `arrayFirst/Last/FirstIndex`, `arraySum`,
-      |  `hasSubstr`, higher-order lambdas (lambda FIRST, CH-style).
-      |- Strings: `match`, `extractAll`, `multiSearchAny`,
+      |  `hasSubstr`, higher-order lambdas (lambda FIRST, CH-style;
+      |  MULTI-ARRAY forms zip element-wise — `arrayMap((x, y) ->
+      |  x + y, a, b)`; a lambda/array arity mismatch is an error).
+      |- Strings: `length` counts BYTES as in ClickHouse
+      |  (`lengthUTF8` counts code points), `match`, `extractAll`,
+      |  `multiSearchAny`,
       |  `countSubstrings`, `ngramDistance`, `position(haystack,
       |  needle)` (CH argument order), `splitByString`, `leftPad`.
       |  Regex note: `match`/`extractAll`/`COLUMNS('re')` use Java
@@ -131,9 +138,13 @@ object GuidePrompt {
       |
       |## Pasted-query compatibility
       |Queries from a ClickHouse client run unchanged: `PREWHERE`
-      |rewrites to `WHERE`, trailing `SETTINGS k = v, ...` and
-      |`FORMAT <name>` clauses are stripped before parsing (string
-      |literals and subqueries are never touched). Also accepted:
+      |rewrites to `WHERE`, `SETTINGS k = v, ...` tails (top-level or
+      |per-subquery), `FORMAT <name>`, and `INTO OUTFILE '<path>'
+      |[COMPRESSION ...] [AND STDOUT]` are stripped before parsing —
+      |exactly what clickhouse-client sends the server (string
+      |literals are never touched). WHERE may reference SELECT-list
+      |aliases (`SELECT x*2 AS dbl ... WHERE dbl > 100`), including
+      |lateral chains; a real column wins over a same-named alias. Also accepted:
       |CH type names in casts (`CAST(x AS UInt32)`, `x::Nullable(T)`),
       |`GROUP BY ... WITH TOTALS`, `[LEFT] ARRAY JOIN`,
       |`LIMIT [o,] k BY cols`, `ORDER BY ... WITH FILL [INTERPOLATE]`

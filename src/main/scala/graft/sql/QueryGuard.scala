@@ -905,8 +905,12 @@ object QueryGuard {
     * of `md5` would also capture Spark 4's name-resolved DataFrame
     * API and flip every internal operator to binary. */
   private def rewriteDigestNames(sql: String): String = {
+    // LENGTH rides the same rename: CH length() counts BYTES for
+    // strings (Spark's counts characters — silent multibyte
+    // divergence); the *CH registration dispatches bytes-for-string /
+    // count-for-array on the resolved child type ([[ChLength]])
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512")
+      "SHA512", "LENGTH")
     val ts = normalizeScan(sql)
     var out = sql
     ts.reverseIterator.foreach { case (t, _) =>

@@ -17,6 +17,18 @@ class DialectStressSpec extends graft.SparkSpec {
 
   private def rows(q: String): Int = ex.run(q).rows.size
 
+  test("pasted length() counts BYTES like CH; lengthUTF8 counts code points") {
+    val r = ex.run(
+      """SELECT length('héllo') AS b, lengthUTF8('héllo') AS c,
+        |  length([1, 2, 3]) AS a, length(toString(o_orderkey)) > 0 AS ok
+        |FROM orders LIMIT 1""".stripMargin)
+    val row = r.rows.head
+    assert(row(0).toString.toLong == 6L) // é is 2 bytes in UTF-8
+    assert(row(1).toString.toLong == 5L)
+    assert(row(2).toString.toLong == 3L)
+    assert(row(3) == true)
+  }
+
   test("INTO OUTFILE strips with every modifier combination; file is NOT written") {
     val n = rows(
       """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 4
