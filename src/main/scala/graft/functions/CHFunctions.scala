@@ -2495,8 +2495,13 @@ object CHFunctions {
     "mapConcat" -> (es => fn("map_concat", es: _*)),
     // random generators (nondeterministic by nature): rand() is CH's
     // UInt32, randCanonical/randNormal the [0,1) / standard-normal
+    // (CH's rand(x) argument is a CSE-defeating dummy, not a seed —
+    // dropping it loses nothing; pasted rand() renames here on the
+    // served path, QueryGuard.rewriteDigestNames)
     "randCH" -> (es =>
       Cast(Multiply(fn("rand"), Literal(4294967296.0)), LongType)),
+    // full-range UInt64 bits via one hash of one uniform draw
+    "rand64" -> (_ => fn("xxhash64", fn("rand"))),
     "randCanonical" -> (_ => fn("rand")),
     "randNormal" -> (_ => fn("randn")),
 

@@ -908,9 +908,12 @@ object QueryGuard {
     // LENGTH rides the same rename: CH length() counts BYTES for
     // strings (Spark's counts characters — silent multibyte
     // divergence); the *CH registration dispatches bytes-for-string /
-    // count-for-array on the resolved child type ([[ChLength]])
+    // count-for-array on the resolved child type ([[ChLength]]).
+    // RAND too: CH rand() is UInt32 — Spark's double-[0,1) builtin
+    // makes the classic `WHERE rand() < 42949673` 1%-sample idiom
+    // silently select EVERY row.
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512", "LENGTH")
+      "SHA512", "LENGTH", "RAND")
     val ts = normalizeScan(sql)
     var out = sql
     ts.reverseIterator.foreach { case (t, _) =>

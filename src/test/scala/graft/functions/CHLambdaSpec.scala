@@ -118,6 +118,45 @@ class CHLambdaSpec extends SparkSpec {
     assert(m3.contains("one array per lambda parameter"), m3)
   }
 
+  test("property: zip combinators agree with a Scala reference on 120 random ragged pairs") {
+    CHFunctions.register(spark)
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 120).map { i =>
+      (i, Seq.fill(rnd.nextInt(6))(rnd.nextInt(20) - 5),
+        Seq.fill(rnd.nextInt(6))(rnd.nextInt(20) - 5))
+    }
+    val sess = spark
+    import sess.implicits._
+    rows.toDF("id", "a", "b").createOrReplaceTempView("zt")
+    val got = spark.sql(
+      """SELECT id,
+        |  arrayMap((x, y) -> coalesce(x, 0) + coalesce(y, 0), a, b) AS m,
+        |  arrayFilter((x, y) -> coalesce(y, 0) % 2 = 0, a, b) AS f,
+        |  arrayExists((x, y) -> x = y, a, b) AS ex,
+        |  arrayCount((x, y) -> coalesce(x, 0) > coalesce(y, 0), a, b) AS c
+        |FROM zt ORDER BY id""".stripMargin).collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    got.foreach { r =>
+      val (_, a, b) = byId(r.getInt(0))
+      val span = math.max(a.size, b.size)
+      val idx = 0 until span
+      val refM = idx.map(i => a.lift(i).getOrElse(0) + b.lift(i).getOrElse(0))
+      val refF = idx.filter(i => b.lift(i).getOrElse(0) % 2 == 0)
+        .map(i => a.lift(i).map(Integer.valueOf).orNull)
+      val refEx = idx.exists(i =>
+        (a.lift(i), b.lift(i)) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => false // null comparison is never TRUE
+        })
+      val refC = idx.count(i => a.lift(i).getOrElse(0) > b.lift(i).getOrElse(0))
+      assert(r.getSeq[Int](1) == refM, s"map id=${r.getInt(0)} a=$a b=$b")
+      assert(r.getSeq[Integer](2) == refF, s"filter id=${r.getInt(0)} a=$a b=$b")
+      assert(!r.isNullAt(3) && r.getBoolean(3) == refEx ||
+        r.isNullAt(3) && !refEx, s"exists id=${r.getInt(0)} a=$a b=$b")
+      assert(r.getInt(4) == refC, s"count id=${r.getInt(0)} a=$a b=$b")
+    }
+  }
+
   test("inner lambdas shadow outer zip parameters") {
     // the inner x binds to the inner arrayMap, not the outer zip slot
     val r = one(
