@@ -136,9 +136,19 @@ object CHFunctions {
   private def freshZipVar(): UnresolvedNamedLambdaVariable =
     UnresolvedNamedLambdaVariable(Seq("zx" + zipVarId.incrementAndGet()))
 
+  /** The combinators ClickHouse defines a LAMBDA-LESS form for:
+    * `arrayCount(arr)` counts the non-zero elements, `arrayExists(arr)`
+    * is "any non-zero", and so on — the implicit predicate is numeric
+    * truthiness (x ≠ 0; a NULL element is neither). arrayMap/arrayFilter
+    * have no such form in CH and keep the loud reject. */
+  private val identityDefaultCombinators = Set("arrayCount", "arrayExists",
+    "arrayAll", "arrayFirst", "arrayLast", "arrayFirstIndex")
+
   /** Split (lambda, a1..aN); arity mismatches are rejected loudly —
     * letting Spark re-bind them as (element, index) is the wrong-answer
-    * trap this dispatcher exists to close. */
+    * trap this dispatcher exists to close. A single non-lambda argument
+    * to a combinator CH defines the implicit-truthiness form for
+    * synthesizes `x -> x <> 0`. */
   private def chLambdaArgs(name: String, es: Seq[Expression])
       : (LambdaFunction, Seq[Expression]) = es.head match {
     case l: LambdaFunction =>
@@ -147,6 +157,9 @@ object CHFunctions {
           s"${es.tail.size} array(s) were passed — ClickHouse zips one " +
           "array per lambda parameter")
       (l, es.tail)
+    case _ if identityDefaultCombinators(name) && es.size == 1 =>
+      val x = freshZipVar()
+      (LambdaFunction(Not(EqualTo(x, Literal(0))), Seq(x)), es)
     case other => throw new IllegalArgumentException(
       s"$name expects a lambda as its first argument, got $other")
   }
@@ -233,17 +246,28 @@ object CHFunctions {
   }
 
   /** Lambda-first min/max as a null-skipping fold (HOF root, same
-    * constraint as [[chSumFold]]); empty → null like array_min. */
+    * constraint as [[chSumFold]]); empty → null like array_min.
+    *
+    * The accumulator is a 0/1-element ARRAY (best-so-far), not the
+    * first element: a zero of `element_at(mapped, 1)` would evaluate
+    * `mapped` a SECOND time, and a non-deterministic argument
+    * (anything containing rand()/arrayShuffle) then folds over a
+    * DIFFERENT array than the zero came from — an inconsistent
+    * extreme (ADVICE r12). The remaining second reference,
+    * `slice(mapped, 1, 0)`, is content-free: it always yields the
+    * empty element-typed array whatever that evaluation produces. */
   private def chExtremeFold(mapped: Expression, max: Boolean): Expression = {
     val (acc, x, fin) = lambdaVars
-    val better = if (max) GreaterThan(x, acc) else LessThan(x, acc)
+    val cur = ElementAt(acc, Literal(1), None, failOnError = false)
+    val better = if (max) GreaterThan(x, cur) else LessThan(x, cur)
     ArrayAggregate(mapped,
-      ElementAt(mapped, Literal(1), None, failOnError = false),
+      Slice(mapped, Literal(1), Literal(0)), // empty, element-typed
       LambdaFunction(CaseWhen(Seq(
         (IsNull(x), acc),
-        (IsNull(acc), x),
-        (better, x)), Some(acc)), Seq(acc, x)),
-      LambdaFunction(fin, Seq(fin)))
+        (EqualTo(fn("size", acc), Literal(0)), CreateArray(Seq(x))),
+        (better, CreateArray(Seq(x)))), Some(acc)), Seq(acc, x)),
+      LambdaFunction(
+        ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
   }
 
   private def mapZipVars = (
@@ -927,15 +951,25 @@ object CHFunctions {
       Cast(fn("size", fn("array_distinct", es.head)), LongType)),
     "arrayAvg" -> (es => es.head match {
       case _: LambdaFunction =>
-        // HOF root required (see chSumFold); the finish lambda divides
+        // HOF root required (see chSumFold). The accumulator carries
+        // (sum, count) in a struct so `mapped` is referenced exactly
+        // once: the old `size(mapped)` divisor was a SECOND evaluation,
+        // and a non-deterministic argument (rand()/arrayShuffle inside)
+        // could fold over a different array than it divided by
+        // (ADVICE r12).
         val (l, as) = chLambdaArgs("arrayAvg", es)
         val mapped = chMap(l, as)
         val (acc, x, fin) = lambdaVars
-        ArrayAggregate(Cast(mapped, ArrayType(DoubleType)), Literal(0.0),
-          LambdaFunction(Add(acc, x), Seq(acc, x)),
+        def fld(e: Expression, f: String) =
+          UnresolvedExtractValue(e, Literal(f))
+        ArrayAggregate(Cast(mapped, ArrayType(DoubleType)),
+          CreateNamedStruct(Seq(
+            Literal("s"), Literal(0.0), Literal("c"), Literal(0.0))),
+          LambdaFunction(CreateNamedStruct(Seq(
+            Literal("s"), Add(fld(acc, "s"), x),
+            Literal("c"), Add(fld(acc, "c"), Literal(1.0)))), Seq(acc, x)),
           LambdaFunction(
-            fn("try_divide", fin, Cast(fn("size", mapped), DoubleType)),
-            Seq(fin)))
+            fn("try_divide", fld(fin, "s"), fld(fin, "c")), Seq(fin)))
       case _ =>
         // try_divide: empty array is 0/0 → NULL (ANSI Divide would throw)
         fn("try_divide", Cast(sumFold(es.head), DoubleType),

@@ -165,4 +165,27 @@ class CHLambdaSpec extends SparkSpec {
         |  array(1), array(10), array(100))""".stripMargin)
     assert(r.getSeq[Double](0) == Seq(117.0))
   }
+
+  test("lambda-less combinator forms default to numeric truthiness (x != 0)") {
+    // ClickHouse: arrayCount(arr) counts non-zero, arrayExists(arr) is
+    // any-non-zero, arrayAll(arr) is all-non-zero, arrayFirst/Last(arr)
+    // pick the first/last non-zero, arrayFirstIndex(arr) its position
+    val r = one(
+      """SELECT arrayCount(array(0, 1, 2, 0, 3)),
+        |  arrayExists(array(0, 0)), arrayExists(array(0, 5)),
+        |  arrayAll(array(1, 2)), arrayAll(array(1, 0)),
+        |  arrayFirst(array(0, 7, 8)), arrayLast(array(0, 7, 8)),
+        |  arrayFirstIndex(array(0, 0, 9))""".stripMargin)
+    assert(r.getInt(0) == 3)
+    assert(!r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getInt(5) == 7 && r.getInt(6) == 8)
+    assert(r.getInt(7) == 3)
+    // a NULL element is neither zero nor non-zero — not counted
+    val r2 = one("SELECT arrayCount(array(1, NULL, 2))")
+    assert(r2.getInt(0) == 2)
+    // genuine arity errors still reject loudly
+    val m = fails("SELECT arrayMap(array(1, 2))")
+    assert(m.toLowerCase.contains("lambda"))
+  }
 }
