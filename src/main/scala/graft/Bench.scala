@@ -43,9 +43,40 @@ object Bench {
     "pipeline_clean", "ann_ivf", "ann_pq", "q_ch_bits", "q_ch_ip",
     "q_ch_url")
 
+  /** 1-minute system load average — recorded in the bench JSON so a
+    * contended capture self-identifies (round-12 postmortem: the
+    * driver's end-of-round run read 290 s where two quiet runs read
+    * 86-94 s; per-query swings hit 16× in both directions and the
+    * artifact carried no way to tell). -1 where the JVM can't read it. */
+  private def loadAvg(): Double = {
+    val v = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    math.round(v * 100) / 100.0
+  }
+
+  /** The per-query seconds committed in the LAST BENCH_full.json (cwd),
+    * read before this run overwrites it. Own-format file → a regex over
+    * the queries map suffices; absent/unreadable → empty. */
+  private def priorTimes(): Map[String, Double] = try {
+    val p = java.nio.file.Paths.get("BENCH_full.json")
+    if (!java.nio.file.Files.exists(p)) Map.empty
+    else {
+      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      val qi = txt.indexOf("\"queries\":{")
+      if (qi < 0) Map.empty
+      else {
+        val body = txt.substring(qi + 11, txt.indexOf('}', qi))
+        """"([A-Za-z0-9_]+)":(-?[0-9.]+)""".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+  } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadAvg()
+    val prior = priorTimes()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -120,6 +151,15 @@ object Bench {
         scaleSubset.map(_ -> -1.0)
       }
     val scaleFailures = scaleResults.collect { case (n, v) if v < 0 => n }
+    val loadEnd = loadAvg()
+
+    // contention guard: queries >3x their committed BENCH_full time
+    // (prior >= 0.2 s so sub-noise-floor entries don't flag). A long
+    // list + high load = contended capture; trust the committed record.
+    val suspects = results.collect {
+      case (n, v) if v > 0 && prior.get(n).exists(p => p >= 0.2 && v > 3 * p)
+        => n
+    }
 
     spark.stop()
 
@@ -138,6 +178,9 @@ object Bench {
       s"""{
          |"metric":"bench_full","sf":${jstr(sfName)},"cpus":$cpus,
          |"total_sec":$totalStr,
+         |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
+         |"cpus_avail":${Runtime.getRuntime.availableProcessors},
+         |"suspect_contention":${jarr(suspects)},
          |"failures":${jarr(failures)},
          |"queries":${jmap(results, full)},
          |"sf1_note":"subset re-run at 10x data (ScaleData replicate of $sfName); -1 = failed, named in sf1_failures",
@@ -168,6 +211,8 @@ object Bench {
         s""""failures":${jarr(failures)},""" +
         s""""sf1":${jmap(scaleResults, fmt)},""" +
         s""""sf1_failures":${jarr(scaleFailures)},""" +
+        s""""load_avg":[$loadStart,$loadEnd],""" +
+        s""""suspect_contention":${jarr(suspects)},""" +
         s""""value":$totalStr,"unit":"sec","sf":${jstr(sfName)},""" +
         s""""full_precision_file":"BENCH_full.json","metric":"total"}"""
     }

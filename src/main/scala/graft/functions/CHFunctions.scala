@@ -136,6 +136,24 @@ object CHFunctions {
   private def freshZipVar(): UnresolvedNamedLambdaVariable =
     UnresolvedNamedLambdaVariable(Seq("zx" + zipVarId.incrementAndGet()))
 
+  /** accurateCast[OrNull](x, 'T'): the CH type string (a literal)
+    * translates through [[graft.sql.QueryGuard.mapChType]] and parses
+    * as a Spark type; ANSI Cast range-checks (throws like CH's
+    * accurateCast), TRY yields NULL (accurateCastOrNull). */
+  private def accurateCastExpr(es: Seq[Expression],
+      orNull: Boolean): Expression = {
+    val tyStr = es(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        s.toString
+      case other => throw new IllegalArgumentException(
+        s"accurateCast expects a literal type name, got $other")
+    }
+    val sparkTy = graft.sql.QueryGuard.mapChType(tyStr).getOrElse(tyStr)
+    val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseDataType(sparkTy)
+    Cast(es.head, dt, None, if (orNull) EvalMode.TRY else EvalMode.ANSI)
+  }
+
   /** The combinators ClickHouse defines a LAMBDA-LESS form for:
     * `arrayCount(arr)` counts the non-zero elements, `arrayExists(arr)`
     * is "any non-zero", and so on — the implicit predicate is numeric
@@ -2717,6 +2735,26 @@ object CHFunctions {
       }
     }),
 
+    // toTimeZone(ts, tz): ClickHouse keeps the INSTANT and changes the
+    // column's display timezone; Spark timestamps render in the session
+    // zone (UTC here), so the observable equivalent — what toString /
+    // date parts show — is the wall-clock in the target zone:
+    // from_utc_timestamp. (The instant identity is lost if the result
+    // feeds back into epoch math — same documented deviation as
+    // toDateTime64's display tz.)
+    "toTimeZone" -> (es => fn("from_utc_timestamp", es.head, es(1))),
+    "toTimezone" -> (es => fn("from_utc_timestamp", es.head, es(1))),
+
+    // accurateCast(x, 'T') / accurateCastOrNull: cast with range
+    // checking — CH errors (or NULLs) where plain toInt* would wrap.
+    // The type string goes through the same CH→Spark type shim as
+    // casts; ANSI Cast already range-checks, TRY yields NULL.
+    // (UInt widths land in the next signed Spark width — the engine's
+    // documented unsigned tradeoff — so e.g. UInt8 range-checks at
+    // 32767, not 255.)
+    "accurateCast" -> (es => accurateCastExpr(es, orNull = false)),
+    "accurateCastOrNull" -> (es => accurateCastExpr(es, orNull = true)),
+
     // scalar range(): CH returns an Array. range(n) = [0, n),
     // range(a, b[, step]) = [a, b) — half-open, where Spark's
     // sequence() is closed on both ends, hence the end-1 and the
@@ -3142,21 +3180,48 @@ object CHFunctions {
         (FunctionIdentifier("numbers"), info("numbers"), numbersBuilder))
     }
 
-  /** ClickHouse `%`-style date tokens → Spark pattern letters (the
-    * common subset; unknown tokens pass through untouched). */
+  /** ClickHouse `%`-style date tokens → Spark pattern letters —
+    * the full MySQL-style set CH documents minus the ISO-week-year
+    * family (%G/%g/%V/%u/%w), which Spark's pattern language cannot
+    * express (week-based 'Y'/'w' are rejected by Spark 3+); those
+    * pass through untouched and fail loudly rather than render a
+    * wrong week. %M stays MINUTES (ClickHouse's historical reading;
+    * %i, the modern minute spelling, maps the same — both are
+    * accepted so either vintage of pasted query works). Literal
+    * LETTERS outside %-tokens are single-quote-escaped: Spark's
+    * pattern parser reserves every ASCII letter, so an unescaped
+    * `of` in `'%Q of %Y'` would throw `Unknown pattern letter: o`. */
   private[functions] def chFormatToSpark(fmt: String): String = {
     val map = Map(
-      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'd' -> "dd", 'H' -> "HH",
-      'M' -> "mm", 'S' -> "ss", 'e' -> "d", 'j' -> "DDD", 'F' -> "yyyy-MM-dd",
-      'T' -> "HH:mm:ss", '%' -> "%")
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "MM", 'd' -> "dd",
+      'H' -> "HH", 'M' -> "mm", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
+      'e' -> "d", 'j' -> "DDD", 'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss",
+      'D' -> "MM/dd/yy", 'a' -> "EEE", 'b' -> "MMM", 'W' -> "EEEE",
+      'h' -> "hh", 'l' -> "h", 'k' -> "H", 'p' -> "a", 'Q' -> "Q",
+      'f' -> "SSSSSS", 'r' -> "hh:mm:ss a", 'R' -> "HH:mm",
+      'n' -> "\n", 't' -> "\t", '%' -> "%")
     val out = new StringBuilder
     var i = 0
+    var quoting = false
+    def endQuote(): Unit = if (quoting) { out += '\''; quoting = false }
     while (i < fmt.length) {
       if (fmt(i) == '%' && i + 1 < fmt.length) {
+        endQuote()
         out ++= map.getOrElse(fmt(i + 1), "%" + fmt(i + 1))
         i += 2
-      } else { out += fmt(i); i += 1 }
+      } else {
+        val c = fmt(i)
+        if (c.isLetter) {
+          if (!quoting) { out += '\''; quoting = true }
+          out += c
+        } else if (c == '\'') {
+          endQuote()
+          out ++= "''"
+        } else { endQuote(); out += c }
+        i += 1
+      }
     }
+    endQuote()
     out.toString
   }
 

@@ -2226,7 +2226,108 @@ object ChSurface {
         |INTO OUTFILE '/tmp/graft_q_ch_strip.csv' FORMAT CSVWithNames""".stripMargin,
       Some("""SELECT o_orderstatus AS st, count(*) AS n
         |FROM (SELECT * FROM orders WHERE o_totalprice > 1000) t
-        |GROUP BY st ORDER BY st""".stripMargin)))
+        |GROUP BY st ORDER BY st""".stripMargin)),
+
+    // round-13: lambda-less combinator forms — CH's implicit
+    // numeric-truthiness predicate (x != 0; NULL is neither). The
+    // oracle unrolls the three positions.
+    ("q_ch_lambda0",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |    array(o_orderkey % 3, o_orderkey % 2, o_orderkey % 4) AS a
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT k,
+        |  toInt64(arrayCount(a)) AS c,
+        |  arrayExists(a) AS e,
+        |  arrayAll(a) AS al,
+        |  arrayFirst(a) AS f,
+        |  arrayLast(a) AS l,
+        |  toInt64(arrayFirstIndex(a)) AS fi
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""WITH t AS (SELECT o_orderkey AS k, o_orderkey % 3 AS x1,
+        |    o_orderkey % 2 AS x2, o_orderkey % 4 AS x3
+        |  FROM orders WHERE o_orderkey <= 200)
+        |SELECT k,
+        |  CAST((CASE WHEN x1 <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN x2 <> 0 THEN 1 ELSE 0 END
+        |      + CASE WHEN x3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |  (x1 <> 0 OR x2 <> 0 OR x3 <> 0) AS e,
+        |  (x1 <> 0 AND x2 <> 0 AND x3 <> 0) AS al,
+        |  CASE WHEN x1 <> 0 THEN x1 WHEN x2 <> 0 THEN x2
+        |    WHEN x3 <> 0 THEN x3 END AS f,
+        |  CASE WHEN x3 <> 0 THEN x3 WHEN x2 <> 0 THEN x2
+        |    WHEN x1 <> 0 THEN x1 END AS l,
+        |  CAST(CASE WHEN x1 <> 0 THEN 1 WHEN x2 <> 0 THEN 2
+        |    WHEN x3 <> 0 THEN 3 ELSE 0 END AS BIGINT) AS fi
+        |FROM t ORDER BY k""".stripMargin)),
+
+    // round-13 probe pins: correlated EXISTS in WHERE, the GLOBAL IN
+    // distribution hint (stripped — one engine), ordinal GROUP BY.
+    ("q_ch_exists",
+      """SELECT o_orderpriority, count() AS n
+        |FROM orders
+        |WHERE EXISTS(SELECT 1 FROM customer
+        |             WHERE c_custkey = o_custkey AND c_acctbal > 0)
+        |  AND o_custkey GLOBAL IN (SELECT c_custkey FROM customer
+        |                           WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      Some("""SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS(SELECT 1 FROM customer
+        |             WHERE c_custkey = o_custkey AND c_acctbal > 0)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // round-13 probe pins: the WITH ROLLUP / WITH CUBE keyword forms
+    // (CH and Spark share the trailing-keyword spelling; DuckDB wants
+    // the function form). grouping() disambiguates the NULL rows.
+    ("q_ch_rollup",
+      """SELECT o_orderstatus AS st, o_orderpriority AS pr, count() AS n,
+        |  toInt64(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)) AS g
+        |FROM orders GROUP BY o_orderstatus, o_orderpriority WITH ROLLUP
+        |ORDER BY g, st, pr""".stripMargin,
+      Some("""SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |  count(*) AS n,
+        |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+        |    AS BIGINT) AS g
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY g, st, pr""".stripMargin)),
+
+    // round-13 probe pins: map literals via map() + bracket access,
+    // and CH's negative array subscripts (a[-1] = last element).
+    ("q_ch_maplit",
+      """WITH t AS (SELECT o_orderkey AS k,
+        |    array(o_orderkey % 5, o_orderkey % 7, o_orderkey % 9) AS a
+        |  FROM orders WHERE o_orderkey <= 100)
+        |SELECT k, a[-1] AS last_el, a[1] AS first_el,
+        |  map('p', k % 5, 'q', k % 7)['q'] AS mv
+        |FROM t ORDER BY k""".stripMargin,
+      Some("""SELECT k, k % 9 AS last_el, k % 5 AS first_el,
+        |  k % 7 AS mv
+        |FROM (SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 100) t
+        |ORDER BY k""".stripMargin)),
+
+    // round-13: toTimeZone (instant preserved, wall-clock shown in the
+    // target zone) and accurateCast[OrNull] range checking. Fixed
+    // instants make the expectation a literal contract both engines
+    // can state; Int8 (not UInt8) because unsigned widths land in the
+    // next signed Spark width by design.
+    ("q_ch_tz",
+      """SELECT
+        |  toString(toTimeZone(toDateTime('2024-03-10 12:00:00'),
+        |    'Asia/Tokyo')) AS tokyo,
+        |  toString(toTimeZone(toDateTime('2024-03-10 12:00:00'),
+        |    'America/New_York')) AS ny,
+        |  accurateCastOrNull(300, 'Int8') AS over8,
+        |  accurateCastOrNull(120, 'Int8') AS fit8,
+        |  accurateCastOrNull('xyz', 'Int32') AS badstr,
+        |  accurateCast(77, 'Int16') AS ok16""".stripMargin,
+      Some("""SELECT '2024-03-10 21:00:00' AS tokyo,
+        |  '2024-03-10 08:00:00' AS ny,
+        |  CAST(NULL AS TINYINT) AS over8,
+        |  CAST(120 AS TINYINT) AS fit8,
+        |  CAST(NULL AS INT) AS badstr,
+        |  CAST(77 AS SMALLINT) AS ok16""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

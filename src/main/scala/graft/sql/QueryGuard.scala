@@ -797,6 +797,7 @@ object QueryGuard {
     out = rewriteParamAggs(out)
     out = rewriteArrayLiterals(out)
     out = rewriteValuesTableFn(out)
+    out = rewriteGenerateRandom(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
     out = rewriteDateDiffLiteral(out)
@@ -1809,7 +1810,7 @@ object QueryGuard {
     * FixedString/UUID → STRING (no padded/binary UUID type),
     * Nullable/LowCardinality are transparent (everything is nullable,
     * dictionary encoding is a storage concern). */
-  private[sql] def mapChType(t: String): Option[String] = {
+  private[graft] def mapChType(t: String): Option[String] = {
     val s = t.trim
     val p = s.indexOf('(')
     val (name, args) =
@@ -1903,6 +1904,95 @@ object QueryGuard {
       }
     }
     out
+  }
+
+  /** ClickHouse's `generateRandom('a Int32, s String'[, seed[, ...]])`
+    * TABLE function: an unbounded stream of rows matching the schema,
+    * always consumed with LIMIT. Rewrites to a subquery over Spark's
+    * native `range(MaxLong)` TVF with one deterministic-seeded
+    * expression per column (`pmod(hash(id, seed+k), ...)` — the
+    * range scan is lazy, so a LIMIT stops generation immediately and
+    * nothing materializes beyond the asked-for rows; CH's output is
+    * random per call where this is deterministic per seed, the
+    * friendlier behavior for the function's quick-test/self-test
+    * role). Schema goes through the same CH type shim as values().
+    * Reference: mcp_server.py:433-459 (arbitrary pasted SELECT);
+    * generateRandom is CH's documented synthetic-data source. */
+  private[sql] def rewriteGenerateRandom(sql: String): String = {
+    val clauseKw = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+      "ORDER", "LIMIT", "JOIN", "ON", "UNION", "INTERSECT", "EXCEPT",
+      "WINDOW", "QUALIFY", "BY")
+    var out = sql
+    val ts = normalizeScan(out)
+    ts.indices.reverse.foreach { i =>
+      val t = ts(i)._1
+      val d = ts(i)._2
+      if (t.upper == "GENERATERANDOM" &&
+        out.substring(t.end).dropWhile(_.isWhitespace).headOption
+          .contains('(') &&
+        (0 until i).reverse
+          .find(j => ts(j)._2 == d && clauseKw(ts(j)._1.upper))
+          .exists(j => Set("FROM", "JOIN")(ts(j)._1.upper))) {
+        val open = out.indexOf('(', t.end)
+        val close = matchParen(out, open)
+        if (close > open) {
+          val items = splitTopLevel(out.substring(open + 1, close))
+          val repl = chGenerateRandomRewrite(items)
+          out = out.substring(0, t.start) + repl + out.substring(close + 1)
+        }
+      }
+    }
+    out
+  }
+
+  private def chGenerateRandomRewrite(items: Seq[String]): String = {
+    val sch = items.headOption.map(_.trim)
+      .filter(t => t.length >= 2 && t.head == '\'' && t.last == '\'')
+      .map(t => t.substring(1, t.length - 1))
+      .getOrElse(throw new ReadOnlyViolation(
+        "generateRandom expects a quoted 'name Type, ...' schema string"))
+    val seed = items.drop(1).headOption.map(_.trim)
+      .filter(_.matches("[0-9]+")).map(_.toLong).getOrElse(8675309L)
+    // column expression per Spark type: pmod keeps the hash
+    // non-negative (abs(Int.MinValue) throws under ANSI)
+    def gen(ty: String, k: Long): String = {
+      val h = s"pmod(hash(id, ${seed + k}), 2147483647)"
+      val up = ty.toUpperCase
+      up match {
+        case "TINYINT" => s"CAST($h % 128 AS TINYINT)"
+        case "SMALLINT" => s"CAST($h % 32768 AS SMALLINT)"
+        case "INT" => s"CAST($h AS INT)"
+        case "BIGINT" => s"pmod(xxhash64(id, ${seed + k}), 9007199254740992L)"
+        case "FLOAT" => s"CAST($h % 1000000 / 1000.0 AS FLOAT)"
+        case "DOUBLE" => s"CAST($h % 1000000 / 1000.0 AS DOUBLE)"
+        case "STRING" => s"concat('str_', CAST($h % 100000 AS STRING))"
+        case "BOOLEAN" => s"($h % 2 = 0)"
+        case "DATE" => s"date_add(DATE'2020-01-01', CAST($h % 3653 AS INT))"
+        case "TIMESTAMP" =>
+          s"timestamp_seconds(1577836800 + $h % 157680000)"
+        case dec if dec.startsWith("DECIMAL") =>
+          s"CAST($h % 100000 / 100.0 AS $ty)"
+        case arr if arr.startsWith("ARRAY<") && arr.endsWith(">") =>
+          val el = arr.substring(6, arr.length - 1)
+          s"array(${gen(el, k * 31 + 1)}, ${gen(el, k * 31 + 2)}, " +
+            s"${gen(el, k * 31 + 3)})"
+        case other => throw new ReadOnlyViolation(
+          s"generateRandom: unsupported column type $other")
+      }
+    }
+    val cols = splitTopLevel(sch).zipWithIndex.map { case (c, k) =>
+      val ct = c.trim
+      val sp = ct.indexWhere(_.isWhitespace)
+      if (sp <= 0) throw new ReadOnlyViolation(
+        s"generateRandom: schema entry '$ct' is not `name Type`")
+      val n = ct.substring(0, sp)
+      val ty = mapChType(ct.substring(sp).trim).getOrElse(
+        throw new ReadOnlyViolation(
+          s"generateRandom: unknown type in schema entry '$ct'"))
+      val q = if (n.head == '`') n else s"`$n`"
+      s"${gen(ty, k.toLong)} AS $q"
+    }
+    s"(SELECT ${cols.mkString(", ")} FROM range(9223372036854775807))"
   }
 
   /** The replacement subquery for one CH `values(...)` argument list;

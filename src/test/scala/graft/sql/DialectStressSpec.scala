@@ -678,4 +678,54 @@ class DialectStressSpec extends graft.SparkSpec {
       "SELECT count() AS n FROM (SELECT o_custkey FROM orders " +
         "SETTINGS max_threads = 2, x = 'a''b')") == 1)
   }
+
+  test("generateRandom('schema') TVF: typed columns, LIMIT-bounded, seed-stable") {
+    val r = ex.run(
+      """SELECT a, s, d FROM generateRandom('a Int32, s String, d Date', 42)
+        |LIMIT 5""".stripMargin)
+    assert(r.rows.size == 5)
+    assert(r.columns == Seq("a", "s", "d"))
+    assert(r.rows.forall(_(1).toString.startsWith("str_")))
+    // deterministic per seed: the same call yields the same rows
+    val r2 = ex.run(
+      """SELECT a, s, d FROM generateRandom('a Int32, s String, d Date', 42)
+        |LIMIT 5""".stripMargin)
+    assert(r.rows.map(_.toList) == r2.rows.map(_.toList))
+    // different seed yields different values
+    val r3 = ex.run(
+      "SELECT a FROM generateRandom('a Int32', 43) LIMIT 5")
+    assert(r3.rows.map(_.head) != r.rows.map(_.head))
+    // array element type supported; malformed schema rejects loudly
+    assert(rows(
+      "SELECT v FROM generateRandom('v Array(Int64)') LIMIT 3") == 3)
+    assert(ex.runSafe(
+      "SELECT x FROM generateRandom('x Whatever') LIMIT 1").isLeft)
+  }
+
+  test("toTimeZone shows the wall-clock in the target zone") {
+    val r = ex.run(
+      """SELECT
+        |  toString(toTimeZone(toDateTime('2024-03-10 12:00:00'),
+        |    'Asia/Tokyo')) AS tokyo,
+        |  toString(toTimeZone(toDateTime('2024-03-10 12:00:00'),
+        |    'America/New_York')) AS ny""".stripMargin)
+    assert(r.rows.head(0) == "2024-03-10 21:00:00")
+    // 2024-03-10 is the US spring-forward day: 12:00 UTC is already
+    // EDT (UTC-4) — the DST edge the naive -5 expectation gets wrong
+    assert(r.rows.head(1) == "2024-03-10 08:00:00")
+  }
+
+  test("accurateCast range-checks; OrNull yields NULL out of range") {
+    val r = ex.run(
+      """SELECT accurateCastOrNull(300, 'Int8') AS a,
+        |  accurateCastOrNull(120, 'Int8') AS b,
+        |  accurateCastOrNull('xyz', 'Int32') AS c,
+        |  accurateCast(77, 'Int16') AS d""".stripMargin)
+    assert(r.rows.head(0) == null)
+    assert(r.rows.head(1).toString.toInt == 120)
+    assert(r.rows.head(2) == null)
+    assert(r.rows.head(3).toString.toInt == 77)
+    // the non-OrNull form throws like CH on out-of-range
+    assert(ex.runSafe("SELECT accurateCast(300, 'Int8') AS x").isLeft)
+  }
 }
