@@ -154,6 +154,20 @@ object CHFunctions {
     Cast(es.head, dt, None, if (orNull) EvalMode.TRY else EvalMode.ANSI)
   }
 
+  /** bitmaskToArray/bitmaskToList share this: the set bits of n as
+    * ascending powers of two (filter over the 63 non-sign positions —
+    * a constant-size codegen'd HOF tree, no driver work). */
+  private def bitmaskArray(n: Expression): Expression = {
+    val i = UnresolvedNamedLambdaVariable(Seq("bmi"))
+    val b = UnresolvedNamedLambdaVariable(Seq("bmb"))
+    val nn = Cast(n, LongType)
+    ArrayFilter(
+      ArrayTransform(
+        fn("sequence", Literal(0), Literal(62)),
+        LambdaFunction(ShiftLeft(Literal(1L), Cast(i, IntegerType)), Seq(i))),
+      LambdaFunction(Not(EqualTo(BitwiseAnd(nn, b), Literal(0L))), Seq(b)))
+  }
+
   /** The combinators ClickHouse defines a LAMBDA-LESS form for:
     * `arrayCount(arr)` counts the non-zero elements, `arrayExists(arr)`
     * is "any non-zero", and so on — the implicit predicate is numeric
@@ -216,6 +230,54 @@ object CHFunctions {
       case other => other.mapChildren(go(_, m))
     }
     go(lam.function, repl)
+  }
+
+  /** Substitute a one-arg ClickHouse lambda's parameter with an
+    * arbitrary expression (shadowing-aware — same scan as [[bindZip]]).
+    * Lets a fold builder apply the user's predicate to its own fold
+    * variable. */
+  private def bindVar(lam: LambdaFunction, repl: Expression): Expression = {
+    def key(v: UnresolvedNamedLambdaVariable): String =
+      v.nameParts.map(_.toLowerCase).mkString(".")
+    val k = lam.arguments.head match {
+      case v: UnresolvedNamedLambdaVariable => key(v)
+      case other => throw new IllegalArgumentException(
+        s"unexpected lambda parameter $other")
+    }
+    def go(e: Expression): Expression = e match {
+      case lf @ LambdaFunction(body, args, _)
+        if args.collect { case v: UnresolvedNamedLambdaVariable => key(v) }
+          .contains(k) => lf
+      case v: UnresolvedNamedLambdaVariable if key(v) == k => repl
+      case other => other.mapChildren(go)
+    }
+    go(lam.function)
+  }
+
+  /** arrayFill core: left-to-right scan where an element failing the
+    * predicate is replaced by the last element that PASSED (the first
+    * elements keep themselves until one passes) — CH's gap-fill
+    * primitive. One ArrayAggregate whose accumulator is the result
+    * array built by concat-append: O(n²) element copies in the worst
+    * case, fine at array granularity (rows, not relations); the fold
+    * root keeps the analyzer's lambda-carrying constraint satisfied. */
+  private def chArrayFill(lam: LambdaFunction, arr: Expression,
+      reverse: Boolean): Expression = {
+    val (acc, x, fin) = lambdaVars
+    val keep = bindVar(lam, x)
+    // the reverse variant scans (and un-reverses) INSIDE the one
+    // ArrayAggregate — the analyzer insists the builder ROOT be a
+    // HigherOrderFunction when the original call carried a lambda, so
+    // a wrapping reverse() is not an option; the finish lambda is.
+    val src = if (reverse) Reverse(arr) else arr
+    val last = ElementAt(acc, Literal(-1), None, failOnError = false)
+    val appended = CaseWhen(Seq(
+      (Cast(keep, org.apache.spark.sql.types.BooleanType), x),
+      (EqualTo(fn("size", acc), Literal(0)), x)), Some(last))
+    ArrayAggregate(src, Slice(src, Literal(1), Literal(0)),
+      LambdaFunction(Concat(Seq(acc, CreateArray(Seq(appended)))),
+        Seq(acc, x)),
+      LambdaFunction(if (reverse) Reverse(fin) else fin, Seq(fin)))
   }
 
   /** arrayMap core: the mapped-values array for any arity. */
@@ -2141,6 +2203,19 @@ object CHFunctions {
     "isInfinite" -> (es =>
       EqualTo(fn("abs", Cast(es.head, DoubleType)),
         Literal(Double.PositiveInfinity))),
+    // ifNotFinite(x, y): x when finite, else y. x binds ONCE via the
+    // one-element-array transform (see chExtremeFold's note — a bare
+    // CASE would evaluate a non-deterministic x per reference).
+    "ifNotFinite" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("nfv"))
+      val vd = Cast(v, DoubleType)
+      val finite = And(Not(fn("isnan", vd)),
+        Not(EqualTo(fn("abs", vd), Literal(Double.PositiveInfinity))))
+      ElementAt(
+        ArrayTransform(CreateArray(Seq(es.head)),
+          LambdaFunction(If(finite, v, es(1)), Seq(v))),
+        Literal(1), None, failOnError = false)
+    }),
     "exp2" -> (es => Pow(Literal(2.0), es.head)),
     // human-readable display helpers (dashboards/CLIs): binary-unit
     // sizes and K/M/B/T quantities, two decimals like the reference
@@ -2208,6 +2283,8 @@ object CHFunctions {
       else fn("instr", es.head, es(1))),
     "notLike" -> (es => Not(fn("like", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
+    // asymmetric needle-in-haystack 4-gram containment
+    "ngramSearch" -> (es => NgramSearch(es.head, es(1))),
     // CH's byte-exact Levenshtein names resolve to Spark's builtin
     // (which also takes the optional threshold argument)
     "editDistance" -> (es => fn("levenshtein", es: _*)),
@@ -2671,6 +2748,129 @@ object CHFunctions {
     "JSONExtractRaw" -> (es =>
       fn("get_json_object", es.head,
         Concat(Seq(Literal("$."), es(1))))),
+    // raw array elements keep quotes/nesting (Jackson re-serialization;
+    // get_json_object would strip quotes off string elements)
+    "JSONExtractArrayRaw" -> (es => JsonArrayRaw(es)),
+
+    // tuple introspection: field names of the resolved struct type
+    "tupleNames" -> (es => TupleNames(es.head)),
+
+    // integer arithmetic CH ships that Spark lacks
+    "gcd" -> (es => LongGcd(es.head, es(1))),
+    "lcm" -> (es => LongLcm(es.head, es(1))),
+
+    // CH char(c1, c2, ...): one string from N code points (Spark's
+    // builtin char is 1-arg; the served path renames multi-arg uses)
+    "charCH" -> (es =>
+      if (es.size == 1) fn("char", es.head)
+      else Concat(es.map(e => fn("char", e)))),
+
+    // URL part extractors CH names that Spark's parse_url spells as
+    // part keywords (fragment/queryStringAndFragment already exist as
+    // regexp extractors above — do NOT re-register, later entries win).
+    // Coalesce to '' matches that family's absent-part convention (CH
+    // returns empty string, parse_url returns NULL).
+    "queryString" -> (es => Coalesce(Seq(
+      fn("parse_url", es.head, Literal("QUERY")), Literal("")))),
+    "netloc" -> (es => Coalesce(Seq(
+      fn("parse_url", es.head, Literal("AUTHORITY")), Literal("")))),
+
+    // ---- round-13 wave 3 (probe-driven) ----
+    "substringIndex" -> (es => fn("substring_index", es: _*)),
+    // farmFingerprint64 joins the xxhash64 stand-in family (same
+    // documented deviation as cityHash64/sipHash64: a STABLE 64-bit
+    // hash under the CH name, not the reference bit pattern — seeds
+    // keep the three names mutually distinct)
+    "farmFingerprint64" -> (es => XxHash64(es, 11L)),
+    "intHash64" -> (es => XxHash64(es, 13L)),
+    // javaHash is DEFINED as Java's String.hashCode — exact, not a
+    // stand-in ("abc" → 96354)
+    "javaHash" -> (es => JavaHash(es.head)),
+    // intHash32 is UInt32-ranged like CH (non-negative, < 2^32)
+    "intHash32" -> (es =>
+      fn("pmod", XxHash64(es, 17L), Literal(4294967296L))),
+    "toValidUTF8" -> (es => MakeValidUtf8(es.head)),
+    "base58Encode" -> (es => Base58(es.head, Base58.Encode)),
+    "base58Decode" -> (es => Base58(es.head, Base58.Decode)),
+    "tryBase58Decode" -> (es => Coalesce(Seq(
+      Base58(es.head, Base58.TryDecode), Literal("")))),
+    // CH tryBase64Decode yields '' on bad input; try_to_binary NULLs
+    "tryBase64Decode" -> (es => Coalesce(Seq(
+      Cast(fn("try_to_binary", es.head, Literal("base64")), StringType),
+      Literal("")))),
+
+    // random-distribution family (rand() here is Spark's [0,1) builtin
+    // by name resolution — the UInt32 CH rename is text-level and does
+    // not see builder-internal calls)
+    "randUniform" -> (es => Add(Cast(es.head, DoubleType),
+      Multiply(fn("rand"),
+        Subtract(Cast(es(1), DoubleType), Cast(es.head, DoubleType))))),
+    "randNormal" -> (es => Add(Cast(es.head, DoubleType),
+      Multiply(fn("randn"), Cast(es(1), DoubleType)))),
+    "randBernoulli" -> (es => Cast(
+      If(LessThan(fn("rand"), Cast(es.head, DoubleType)),
+        Literal(1), Literal(0)),
+      org.apache.spark.sql.types.ShortType)),
+    "randExponential" -> (es => Divide(
+      UnaryMinus(fn("ln", Subtract(Literal(1.0), fn("rand")))),
+      Cast(es.head, DoubleType))),
+
+    // toInterval*: CH interval constructors over Spark's ANSI interval
+    // makers (year-month vs day-time split; adding a day-time interval
+    // to a DATE yields a TIMESTAMP in Spark — documented deviation
+    // from CH's Date + IntervalDay = Date)
+    "toIntervalSecond" -> (es =>
+      fn("make_dt_interval", Literal(0), Literal(0), Literal(0), es.head)),
+    "toIntervalMinute" -> (es =>
+      fn("make_dt_interval", Literal(0), Literal(0), es.head)),
+    "toIntervalHour" -> (es => fn("make_dt_interval", Literal(0), es.head)),
+    "toIntervalDay" -> (es => fn("make_dt_interval", es.head)),
+    "toIntervalWeek" -> (es =>
+      fn("make_dt_interval", Multiply(es.head, Literal(7)))),
+    "toIntervalMonth" -> (es => fn("make_ym_interval", Literal(0), es.head)),
+    "toIntervalQuarter" -> (es =>
+      fn("make_ym_interval", Literal(0), Multiply(es.head, Literal(3)))),
+    "toIntervalYear" -> (es => fn("make_ym_interval", es.head)),
+
+    // tuple arithmetic (element-wise; negate ignores its twin)
+    "tuplePlus" -> (es => TupleArith(es.head, es(1), TupleArith.Plus)),
+    "tupleMinus" -> (es => TupleArith(es.head, es(1), TupleArith.Minus)),
+    "tupleMultiply" -> (es =>
+      TupleArith(es.head, es(1), TupleArith.Multiply)),
+    "tupleDivide" -> (es => TupleArith(es.head, es(1), TupleArith.Divide)),
+    "tupleNegate" -> (es => TupleArith(es.head, es.head, TupleArith.Negate)),
+
+    // arrayPartialSort(k, arr): CH promises the k smallest sorted in
+    // front, remainder unspecified — a full sort satisfies the
+    // contract deterministically (the keyed 3-arg form rides the
+    // arraySort comparator)
+    "arrayPartialSort" -> (es =>
+      if (es.size == 3) keyedSort(Seq(es.head, es(2)), reverse = false)
+      else fn("array_sort", es(1))),
+    "arrayPartialReverseSort" -> (es =>
+      if (es.size == 3) keyedSort(Seq(es.head, es(2)), reverse = true)
+      else keyedSort(Seq(es(1)), reverse = true)),
+    "arrayShuffle" -> (es => fn("shuffle", es: _*)),
+    "arrayFill" -> (es => es.head match {
+      case l: LambdaFunction => chArrayFill(l, es(1), reverse = false)
+      case other => throw new IllegalArgumentException(
+        s"arrayFill expects a lambda as its first argument, got $other")
+    }),
+    "arrayReverseFill" -> (es => es.head match {
+      case l: LambdaFunction => chArrayFill(l, es(1), reverse = true)
+      case other => throw new IllegalArgumentException(
+        s"arrayReverseFill expects a lambda as its first argument, got $other")
+    }),
+
+    // bitmaskToArray/List: the powers of two summing to n, ascending
+    "bitmaskToArray" -> (es => bitmaskArray(es.head)),
+    "bitmaskToList" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("bml"))
+      fn("array_join",
+        ArrayTransform(bitmaskArray(es.head),
+          LambdaFunction(Cast(x, StringType), Seq(x))),
+        Literal(","))
+    }),
 
     // ---- probe-driven round-11 additions (each of these is a form a
     // CH user pastes verbatim; found by tools/Probe.scala) ----

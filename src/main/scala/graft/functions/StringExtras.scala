@@ -329,3 +329,154 @@ case class ChLength(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ChLength =
     copy(child = c)
 }
+
+/** ClickHouse `toValidUTF8(s)` — invalid UTF-8 byte sequences replaced
+  * with U+FFFD. Spark strings are usually valid already (parquet/CSV
+  * readers validate), but a binary→string cast wraps raw bytes
+  * unchecked — this delegates to UTF8String.makeValid, the engine's
+  * own validator, inside whole-stage codegen. */
+case class MakeValidUtf8(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "toValidUTF8"
+
+  override def nullSafeEval(s: Any): Any =
+    s.asInstanceOf[UTF8String].makeValid()
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.makeValid()")
+
+  override protected def withNewChildInternal(newChild: Expression): MakeValidUtf8 =
+    copy(child = newChild)
+}
+
+/** Base58 (Bitcoin alphabet) encode/decode — ClickHouse
+  * base58Encode/base58Decode/tryBase58Decode. The strict decode throws
+  * on a non-alphabet character like CH; the try form yields NULL
+  * (served as CH's empty-string default via the registry wrapper). */
+case class Base58(child: Expression, mode: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable || mode == Base58.TryDecode
+  override def prettyName: String = mode match {
+    case Base58.Encode => "base58Encode"
+    case Base58.Decode => "base58Decode"
+    case _ => "tryBase58Decode"
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Base58.run(s.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Base58.run($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): Base58 =
+    copy(child = newChild)
+}
+
+object Base58 {
+  final val Encode = 0
+  final val Decode = 1
+  final val TryDecode = 2
+
+  private val alphabet =
+    "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+  private val indexes: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def run(s: UTF8String, mode: Int): UTF8String = mode match {
+    case Encode => UTF8String.fromString(encode(s.getBytes))
+    case Decode =>
+      val d = decode(s.toString)
+      if (d == null) throw new IllegalArgumentException(
+        s"base58Decode: invalid base58 input '$s'")
+      UTF8String.fromBytes(d)
+    case _ =>
+      val d = decode(s.toString)
+      if (d == null) null else UTF8String.fromBytes(d)
+  }
+
+  def encode(input: Array[Byte]): String = {
+    if (input.isEmpty) return ""
+    var zeros = 0
+    while (zeros < input.length && input(zeros) == 0) zeros += 1
+    val num = input.clone()
+    val out = new StringBuilder
+    var start = zeros
+    while (start < num.length) {
+      // divide num (base 256) by 58, remainder is the next digit
+      var rem = 0
+      var i = start
+      while (i < num.length) {
+        val d = (num(i) & 0xff) + rem * 256
+        num(i) = (d / 58).toByte
+        rem = d % 58
+        i += 1
+      }
+      out += alphabet(rem)
+      if (num(start) == 0) start += 1
+    }
+    (("1" * zeros) + out.reverseIterator.mkString)
+  }
+
+  def decode(input: String): Array[Byte] = {
+    if (input.isEmpty) return Array.emptyByteArray
+    var zeros = 0
+    while (zeros < input.length && input(zeros) == '1') zeros += 1
+    val digits = new Array[Int](input.length - zeros)
+    var i = zeros
+    while (i < input.length) {
+      val c = input(i).toInt
+      val v = if (c < 128) indexes(c) else -1
+      if (v < 0) return null
+      digits(i - zeros) = v
+      i += 1
+    }
+    val buf = new java.io.ByteArrayOutputStream()
+    var start = 0
+    while (start < digits.length) {
+      // divide digits (base 58) by 256, remainder is the next byte
+      var rem = 0
+      var j = start
+      while (j < digits.length) {
+        val d = digits(j) + rem * 58
+        digits(j) = d / 256
+        rem = d % 256
+        j += 1
+      }
+      buf.write(rem)
+      if (digits(start) == 0) start += 1
+    }
+    // the final division rounds can emit artifact 0 remainders for
+    // fully-consumed digit prefixes — strip them; real leading zero
+    // BYTES are carried only by '1' characters (the `zeros` count)
+    val body = buf.toByteArray.reverse.dropWhile(_ == 0)
+    Array.fill[Byte](zeros)(0) ++ body
+  }
+}
+
+/** ClickHouse `javaHash(s)` — defined as EXACTLY Java's
+  * String.hashCode (signed Int32), which the JVM gives us verbatim. */
+case class JavaHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "javaHash"
+
+  override def nullSafeEval(s: Any): Any =
+    s.asInstanceOf[UTF8String].toString.hashCode
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"$c.toString().hashCode()")
+
+  override protected def withNewChildInternal(newChild: Expression): JavaHash =
+    copy(child = newChild)
+}

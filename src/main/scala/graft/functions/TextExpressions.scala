@@ -394,3 +394,143 @@ object SpanKeys {
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
   }
 }
+
+/** ClickHouse `ngramSearch(haystack, needle)` — asymmetric 4-gram
+  * containment in [0, 1]: the share of the needle's 4-gram multiset
+  * found in the haystack (1 = fully contained, 0 = disjoint or an
+  * empty/short needle). Same gram basis as [[NgramDistance]]. */
+case class NgramSearch(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NgramSearch.compute(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.NgramSearch.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramSearch =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramSearch {
+  def compute(hay: org.apache.spark.unsafe.types.UTF8String,
+      needle: org.apache.spark.unsafe.types.UTF8String): Double = {
+    val sh = hay.toString
+    val sn = needle.toString
+    val nn = math.max(0, sn.length - 3)
+    if (nn == 0) return 0.0
+    val gh = new java.util.HashMap[String, java.lang.Integer]()
+    var i = 0
+    while (i + 4 <= sh.length) {
+      gh.merge(sh.substring(i, i + 4), java.lang.Integer.valueOf(1),
+        (x, y) => java.lang.Integer.valueOf(x.intValue() + y.intValue()))
+      i += 1
+    }
+    var inter = 0
+    i = 0
+    while (i + 4 <= sn.length) {
+      val g = sn.substring(i, i + 4)
+      val c = gh.get(g)
+      if (c != null && c.intValue() > 0) {
+        inter += 1
+        gh.put(g, java.lang.Integer.valueOf(c.intValue() - 1))
+      }
+      i += 1
+    }
+    inter.toDouble / nn
+  }
+}
+
+/** ClickHouse `tupleNames(t)` — the tuple's field names as an array of
+  * strings. The names are a property of the RESOLVED child type, so
+  * the result is one constant array per plan (no per-row work beyond
+  * returning it). */
+case class TupleNames(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case _: StructType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tupleNames expects a tuple/struct argument, got ${other.sql}")
+    }
+
+  @transient private lazy val names: ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      child.dataType.asInstanceOf[StructType].fieldNames
+        .map(org.apache.spark.unsafe.types.UTF8String.fromString))
+
+  override def eval(input: InternalRow): Any = names
+
+  override protected def withNewChildInternal(newChild: Expression): TupleNames =
+    copy(child = newChild)
+}
+
+/** ClickHouse `JSONExtractArrayRaw(json[, key])` — each element of the
+  * (optionally key-addressed) JSON array as its own raw JSON text
+  * (strings KEEP their quotes, nested objects come back whole).
+  * Jackson re-serializes compactly, so inter-element whitespace from
+  * the source is not preserved — the documented deviation. NULL for
+  * invalid JSON / missing key / non-array, like CH's [] we return
+  * empty where CH does. */
+case class JsonArrayRaw(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size == 1 || children.size == 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"JSONExtractArrayRaw takes (json[, key]), got ${children.size} args")
+
+  override def eval(input: InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val key =
+      if (children.size > 1) {
+        val k = children(1).eval(input)
+        if (k == null) return null
+        k.toString
+      } else null
+    JsonArrayRaw.extract(j.toString, key)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JsonArrayRaw =
+    copy(children = newChildren)
+}
+
+object JsonArrayRaw {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def extract(json: String, key: String): ArrayData = try {
+    var node = mapper.readTree(json)
+    if (key != null) node = node.get(key)
+    if (node == null || !node.isArray) return null
+    val out = new Array[Any](node.size())
+    var i = 0
+    while (i < node.size()) {
+      out(i) = org.apache.spark.unsafe.types.UTF8String
+        .fromString(node.get(i).toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  } catch { case _: Exception => null }
+}

@@ -121,3 +121,61 @@ case class IeeeDivide(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): IeeeDivide =
     copy(left = newLeft, right = newRight)
 }
+
+/** ClickHouse `gcd(a, b)` — Euclid over Int64 (Spark has no builtin).
+  * gcd(x, 0) = |x|; nulls propagate. One static JVM loop in
+  * whole-stage codegen. */
+case class LongGcd(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gcd"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    LongGcd.compute(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LongGcd.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongGcd =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongGcd {
+  def compute(a: Long, b: Long): Long = {
+    var x = math.abs(a)
+    var y = math.abs(b)
+    while (y != 0) { val t = x % y; x = y; y = t }
+    x
+  }
+}
+
+/** ClickHouse `lcm(a, b)` — |a / gcd * b|; lcm(x, 0) = 0. */
+case class LongLcm(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  import org.apache.spark.sql.types.LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lcm"
+  override def nullSafeEval(l: Any, r: Any): Any =
+    LongLcm.compute(l.asInstanceOf[Long], r.asInstanceOf[Long])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.LongLcm.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongLcm =
+    copy(left = newLeft, right = newRight)
+}
+
+object LongLcm {
+  def compute(a: Long, b: Long): Long = {
+    val g = LongGcd.compute(a, b)
+    if (g == 0) 0L else math.abs(a / g * b)
+  }
+}

@@ -2327,7 +2327,68 @@ object ChSurface {
         |  CAST(NULL AS TINYINT) AS over8,
         |  CAST(120 AS TINYINT) AS fit8,
         |  CAST(NULL AS INT) AS badstr,
-        |  CAST(77 AS SMALLINT) AS ok16""".stripMargin)))
+        |  CAST(77 AS SMALLINT) AS ok16""".stripMargin)),
+
+    // round-13 wave 2 (probe-driven): ngramSearch containment, gcd/lcm,
+    // N-ary char(), bitmask expansion, the parse_url-backed URL part
+    // names, raw JSON array elements (quotes kept), Tuple-type CAST +
+    // tupleNames, single-bind ifNotFinite. Fixed inputs make every
+    // expectation a literal contract both engines can state.
+    ("q_ch_misc2",
+      """SELECT
+        |  ngramSearch('hello world', 'hello') AS ns1,
+        |  ngramSearch('abcd', 'wxyz') AS ns0,
+        |  gcd(12, 18) AS g, lcm(4, 6) AS l,
+        |  char(72, 105) AS ch,
+        |  bitmaskToList(50) AS bl,
+        |  queryString('https://h/p?a=1&b=2') AS qs,
+        |  fragment('https://h/p#frag') AS fr,
+        |  netloc('https://u:p@h:8080/x') AS nl,
+        |  arrayStringConcat(
+        |    JSONExtractArrayRaw('{"a":["x",1,{"b":2}]}', 'a'), '|') AS ar,
+        |  arrayStringConcat(
+        |    tupleNames(CAST(tuple(1, 'x') AS Tuple(a Int32, b String))),
+        |    ',') AS tn,
+        |  ifNotFinite(divide(1, 0), -1.0) AS nf""".stripMargin,
+      Some("""SELECT
+        |  CAST(1.0 AS DOUBLE) AS ns1, CAST(0.0 AS DOUBLE) AS ns0,
+        |  CAST(6 AS BIGINT) AS g, CAST(12 AS BIGINT) AS l,
+        |  'Hi' AS ch,
+        |  '2,16,32' AS bl,
+        |  'a=1&b=2' AS qs, 'frag' AS fr, 'u:p@h:8080' AS nl,
+        |  '"x"|1|{"b":2}' AS ar,
+        |  'a,b' AS tn,
+        |  CAST(-1.0 AS DOUBLE) AS nf""".stripMargin)),
+
+    // round-13 wave 3 (probe-driven): base58, javaHash (exactly Java's
+    // String.hashCode), substringIndex, arrayFill/ReverseFill gap
+    // carries, tuple arithmetic, interval constructors. Literal
+    // contracts again; array/tuple results flattened for the hasher.
+    ("q_ch_misc3",
+      """SELECT
+        |  base58Encode('Hello!') AS b58e,
+        |  base58Decode('ZiCa') AS b58d,
+        |  tryBase58Decode('0OIl') AS b58t,
+        |  javaHash('abc') AS jh,
+        |  substringIndex('a.b.c', '.', 2) AS si,
+        |  arrayStringConcat(
+        |    arrayFill(x -> x > 1, [1, 2, 1, 3, 1, 1]), ',') AS af,
+        |  arrayStringConcat(
+        |    arrayReverseFill(x -> x > 1, [1, 2, 1, 3, 1, 1]), ',') AS arf,
+        |  tuplePlus((1, 2), (10, 20)).1 AS tp1,
+        |  tupleDivide((7, 9), (2, 3)).1 AS td1,
+        |  toString(toIntervalDay(3) + toDate('2024-01-01')) AS ivd,
+        |  toString(toIntervalMonth(2) + toDate('2024-01-15')) AS ivm""".stripMargin,
+      Some("""SELECT
+        |  'd3yC1LKr' AS b58e, 'abc' AS b58d, '' AS b58t,
+        |  96354 AS jh,
+        |  'a.b' AS si,
+        |  '1,2,2,3,3,3' AS af,
+        |  '2,2,3,3,1,1' AS arf,
+        |  11 AS tp1,
+        |  CAST(3.5 AS DOUBLE) AS td1,
+        |  '2024-01-04 00:00:00' AS ivd,
+        |  '2024-03-15' AS ivm""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

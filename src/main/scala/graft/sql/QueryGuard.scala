@@ -914,14 +914,25 @@ object QueryGuard {
     // RAND too: CH rand() is UInt32 — Spark's double-[0,1) builtin
     // makes the classic `WHERE rand() < 42949673` 1%-sample idiom
     // silently select EVERY row.
+    // CHAR also rides it (CH char(c1, c2, ...) is N-ary codepoints →
+    // string; Spark's builtin is 1-ary) — but ONLY in call position
+    // that is not a CAST/:: type (`CAST(x AS CHAR(5))`, `x::char(8)`
+    // must keep Spark's type reading), hence the preceding-token guard.
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512", "LENGTH", "RAND")
+      "SHA512", "LENGTH", "RAND", "CHAR")
     val ts = normalizeScan(sql)
     var out = sql
-    ts.reverseIterator.foreach { case (t, _) =>
+    ts.indices.reverse.foreach { i =>
+      val t = ts(i)._1
       if (names(t.upper) &&
         out.substring(t.end).dropWhile(_.isWhitespace).headOption
-          .contains('(')) {
+          .contains('(') &&
+        (t.upper != "CHAR" || {
+          val prev = if (i > 0) ts(i - 1)._1.upper else ""
+          prev != "AS" &&
+            !out.substring(0, t.start).reverse
+              .dropWhile(_.isWhitespace).startsWith("::")
+        })) {
         out = out.substring(0, t.end) + "CH" + out.substring(t.end)
       }
     }
@@ -1831,6 +1842,28 @@ object QueryGuard {
             for (mk <- mapChType(k); mv <- mapChType(v))
               yield s"MAP<$mk, $mv>"
           case _ => None
+        }
+      }
+      case "tuple" => args.flatMap { a =>
+        // Tuple(a Int32, b String) named, Tuple(Int32, String) unnamed
+        // (CH's positional access is by ordinal, so the synthetic
+        // _1.._N names never surface through tupleElement/t.N)
+        val items = splitTopLevel(a).map(_.trim).filter(_.nonEmpty)
+        if (items.isEmpty) None
+        else {
+          val fields = items.zipWithIndex.map { case (it, k) =>
+            val sp = it.indexWhere(_.isWhitespace)
+            val head = if (sp > 0) it.substring(0, sp) else ""
+            val (nm, tyStr) =
+              if (sp > 0 && mapChType(head).isEmpty &&
+                head.forall(c => c.isLetterOrDigit || c == '_'))
+                (head, it.substring(sp).trim)
+              else (s"_${k + 1}", it)
+            mapChType(tyStr).map(x => s"`$nm`: $x")
+          }
+          if (fields.forall(_.isDefined))
+            Some(s"STRUCT<${fields.flatten.mkString(", ")}>")
+          else None
         }
       }
       case "uint8" => Some("SMALLINT")

@@ -174,7 +174,138 @@ object Probe {
     "tuple_chain" ->
       "SELECT tuple(tuple(o_orderkey, o_totalprice), o_orderstatus).1.2 AS p FROM orders LIMIT 3",
     "todatetime_tz" ->
-      "SELECT toDateTime64('2024-01-01 09:00:00', 3, 'Asia/Tokyo') AS t"
+      "SELECT toDateTime64('2024-01-01 09:00:00', 3, 'Asia/Tokyo') AS t",
+    // ---- round-13 wave: the fixed surfaces + untried corners ----
+    "values_tablefn" ->
+      "SELECT a, s FROM values('a Int32, s String', (1, 'x'), (2, 'y')) ORDER BY a",
+    "values_noschema" ->
+      "SELECT c1, c2 FROM values((1, 'x'), (2, 'y')) ORDER BY c1",
+    "bracket_array_join" ->
+      "SELECT a FROM orders ARRAY JOIN [7, 8] AS a LIMIT 4",
+    "bare_combinators" ->
+      "SELECT arrayCount([0, 1, 2]) AS c, arrayExists([0, 0]) AS e, arrayFirst([0, 5, 3]) AS f",
+    "generate_random" ->
+      "SELECT a, s FROM generateRandom('a Int32, s String', 7) LIMIT 5",
+    "to_timezone" ->
+      "SELECT toTimeZone(toDateTime('2024-01-01 12:00:00'), 'Asia/Tokyo') AS t",
+    "accurate_cast" ->
+      "SELECT accurateCastOrNull(300, 'Int8') AS a, accurateCast(77, 'Int16') AS b",
+    "now64_prec" ->
+      "SELECT now64(9) >= toDateTime('2020-01-01 00:00:00') AS ok",
+    "format_dt_tokens" ->
+      ("SELECT formatDateTime(toDateTime('2024-03-05 14:30:45'), '%a %b %d, %Y %r') AS s, " +
+        "formatDateTime(toDateTime('2024-03-05 14:30:45'), '%Q of %Y at %H:%i:%S') AS q"),
+    "summap_filtered_if" ->
+      "SELECT sumMapFiltered([1, 2])(ks, vs) AS m FROM (SELECT array(1, 2, 3) AS ks, array(toInt64(10), 20, 30) AS vs)",
+    "map_populate" ->
+      "SELECT mapContains(map(1, 'a', 2, 'b'), 2) AS h, mapKeys(map(1, 'a')) AS ks",
+    "array_enumerate2" ->
+      "SELECT arrayEnumerate([9, 8, 7]) AS e, arrayCumSum([1, 2, 3]) AS cs, arrayDifference([5, 9, 4]) AS d",
+    "transform_fn2" ->
+      "SELECT transform(o_orderstatus, ['O', 'F'], ['open', 'full'], '?') AS t, count() AS n FROM orders GROUP BY t ORDER BY t",
+    "neg_subscript" ->
+      "SELECT [10, 20, 30][-1] AS last_el, [10, 20, 30][2] AS second",
+    "exists_sub2" ->
+      "SELECT count() AS n FROM orders WHERE EXISTS(SELECT 1 FROM customer WHERE c_custkey = o_custkey)",
+    "global_in2" ->
+      "SELECT count() AS n FROM orders WHERE o_custkey GLOBAL IN (SELECT c_custkey FROM customer LIMIT 100)",
+    "ordinal_group" ->
+      "SELECT o_orderstatus, count() AS n FROM orders GROUP BY 1 ORDER BY 1",
+    "with_cube_kw" ->
+      "SELECT o_orderstatus AS s, count() AS n FROM orders GROUP BY o_orderstatus WITH CUBE ORDER BY s NULLS FIRST",
+    "countif_distinct" ->
+      "SELECT uniqIf(o_custkey, o_totalprice > 1000) AS u FROM orders",
+    "array_fold" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], toInt64(0)) AS s",
+    "range_scalar" ->
+      "SELECT range(3) AS r, range(2, 5) AS r2",
+    "str_funcs2" ->
+      ("SELECT countMatches('a1b2c3', '[0-9]') AS cm, extractAll('a1b2', '[0-9]') AS ea, " +
+        "positionCaseInsensitive('Hello', 'LL') AS p"),
+    "date_name" ->
+      "SELECT dateName('month', toDate('2024-03-05')) AS m, monthName(toDate('2024-03-05')) AS mn",
+    "to_unix_ts" ->
+      "SELECT toUnixTimestamp(toDateTime('2024-01-01 00:00:00')) AS u, fromUnixTimestamp(1704067200) AS d",
+    "if_not_finite" ->
+      "SELECT ifNotFinite(1.0 / 0.0, -1.0) AS a, isFinite(2.5) AS b, isInfinite(1.0 / 0.0) AS c, isNaN(0.0 / 0.0) AS d",
+    // ---- round-13 wave 2: more pasted-idiom corners ----
+    "array_zip_rotate" ->
+      "SELECT arrayZip([1, 2], ['a', 'b']) AS z, arrayRotateLeft([1, 2, 3], 1) AS rl",
+    "array_intersect2" ->
+      "SELECT hasAny([1, 2], [2, 9]) AS ha, hasAll([1, 2, 3], [1, 3]) AS hb, arrayIntersect([1, 2, 3], [2, 3, 4]) AS ai",
+    "array_resize" ->
+      "SELECT arrayResize([1, 2], 4) AS a, arrayResize([1, 2, 3], 2) AS b, arrayCompact([1, 1, 2, 2, 1]) AS c",
+    "hex_bin" ->
+      "SELECT hex(255) AS h, unhex('414243') AS u, bin(5) AS b, reverse('abc') AS r, repeat('ab', 3) AS rp",
+    "multi_search" ->
+      "SELECT multiSearchAny(text, ['spark', 'data']) AS m FROM documents LIMIT 5",
+    "ngram_dist" ->
+      "SELECT ngramDistance('hello', 'hallo') AS d, ngramSearch('hello world', 'hello') AS s",
+    "cut_domain" ->
+      "SELECT cutToFirstSignificantSubdomain('https://news.example.co.uk/path') AS d, firstSignificantSubdomain('https://news.example.co.uk/') AS f",
+    "json_raw" ->
+      ("SELECT JSONExtractArrayRaw('{\"a\":[1,2,3]}', 'a') AS ar, " +
+        "JSONExtractRaw('{\"a\":{\"b\":1}}', 'a') AS r, " +
+        "simpleJSONExtractString('{\"k\":\"v\"}', 'k') AS s"),
+    "age_datediff" ->
+      "SELECT age('day', toDate('2024-01-01'), toDate('2024-03-05')) AS d, toLastDayOfMonth(toDate('2024-02-05')) AS ld",
+    "start_of_second" ->
+      "SELECT toStartOfSecond(toDateTime64('2024-01-01 09:30:45.123', 3)) AS s, subtractMonths(toDate('2024-03-31'), 1) AS m",
+    "readable_delta" ->
+      "SELECT formatReadableTimeDelta(93784) AS d, formatReadableQuantity(1234567) AS q",
+    "bitmask_list" ->
+      "SELECT bitmaskToList(50) AS l, bitmaskToArray(50) AS a, bitCount(255) AS c",
+    "char_ascii" ->
+      "SELECT char(72, 105) AS c, ascii('A') AS a, chr(66) AS b",
+    "tuple_named" ->
+      "SELECT tupleNames(CAST((1, 'x') AS Tuple(a Int32, b String))) AS n",
+    "url_extras" ->
+      "SELECT queryString('https://h/p?a=1&b=2') AS qs, fragment('https://h/p#frag') AS f, netloc('https://u:p@h:8080/x') AS n",
+    "encode_decode" ->
+      "SELECT base64Encode('abc') AS e, base64Decode('YWJj') AS d, encodeURLComponent('a b&c') AS u, decodeURLComponent('a%20b') AS du",
+    "math_corner" ->
+      "SELECT intDiv(7, 2) AS i, intDivOrZero(7, 0) AS z, moduloOrZero(7, 0) AS m, gcd(12, 18) AS g, lcm(4, 6) AS l",
+    "sign_degrees" ->
+      "SELECT sign(-3.5) AS s, degrees(pi()) AS d, radians(180.0) AS r, cbrt(27.0) AS c",
+    "trunc_banker" ->
+      "SELECT roundBankers(2.5) AS rb, roundToExp2(20) AS r2, roundDuration(95) AS rd, roundAge(35) AS ra",
+    "greatest_least2" ->
+      "SELECT greatest(1, 5, 3) AS g, least(1, 5, 3) AS l, greatest('a', 'c') AS gs",
+    // ---- round-13 wave 3 ----
+    "utf8_family" ->
+      "SELECT substringUTF8('héllo', 2, 3) AS s, reverseUTF8('héllo') AS r, positionUTF8('héllo', 'llo') AS p, upperUTF8('héllo') AS u",
+    "left_right" ->
+      "SELECT left('hello', 2) AS l, right('hello', 2) AS r, substringIndex('a.b.c', '.', 2) AS si",
+    "split_regexp" ->
+      "SELECT splitByRegexp('[0-9]+', 'a1b22c') AS s, splitByWhitespace('a  b\tc') AS w, tokens('a,b c') AS t",
+    "hash_family" ->
+      "SELECT sipHash64('abc') AS s, cityHash64('abc') AS c, farmFingerprint64('abc') AS f, intHash32(42) AS i, intHash64(42) AS i64, javaHash('abc') AS j",
+    "relative_date" ->
+      "SELECT toRelativeDayNum(toDate('2024-01-02')) AS d, toRelativeHourNum(toDateTime('2024-01-01 05:00:00')) AS h, toDayOfYear(toDate('2024-02-01')) AS dy, toISOWeek(toDate('2024-01-04')) AS iw, toISOYear(toDate('2024-01-01')) AS iy",
+    "interval_make" ->
+      "SELECT toIntervalDay(3) + toDate('2024-01-01') AS d, toIntervalMonth(2) + toDate('2024-01-15') AS m",
+    "map_lambdas" ->
+      "SELECT mapApply((k, v) -> (k, v * 2), map(1, 10, 2, 20)) AS ma, mapFilter((k, v) -> v > 10, map(1, 10, 2, 20)) AS mf",
+    "tuple_arith" ->
+      "SELECT tuplePlus((1, 2), (10, 20)) AS p, tupleMinus((5, 7), (1, 2)) AS m, dotProduct([1.0, 2.0], [3.0, 4.0]) AS dp",
+    "vector_dist" ->
+      "SELECT L2Distance([0.0, 3.0], [4.0, 0.0]) AS l2, cosineDistance([1.0, 0.0], [0.0, 1.0]) AS cd, L1Distance([1.0, 2.0], [3.0, 1.0]) AS l1",
+    "rand_dists" ->
+      "SELECT randUniform(0, 1) BETWEEN 0 AND 1 AS u, abs(randNormal(0, 1)) < 100 AS n, randBernoulli(0.5) IN (0, 1) AS b",
+    "to_valid_utf8" ->
+      "SELECT toValidUTF8('ok') AS v, normalizeUTF8NFC('é') != '' AS n",
+    "week_modes" ->
+      "SELECT toStartOfWeek(toDate('2024-01-04')) AS w0, toStartOfWeek(toDate('2024-01-04'), 1) AS w1, toWeek(toDate('2024-01-04'), 3) AS wk3",
+    "snowflake_ts" ->
+      "SELECT space(3) AS sp, repeat('-', 4) AS rp, initcap('hello world') AS ic",
+    "base58" ->
+      "SELECT base58Encode('abc') AS e, base58Decode(base58Encode('abc')) AS d, tryBase64Decode('###') AS t",
+    "geo_fns" ->
+      "SELECT greatCircleDistance(-1.0, 51.0, 0.0, 52.0) > 0 AS g, geohashEncode(-5.6, 42.6) AS gh",
+    "arr_partial_sort" ->
+      "SELECT arrayPartialSort(2, [3, 1, 2]) AS ps, arrayShuffle([1, 2, 3], 42) AS sh, arrayReverseFill(x -> x > 1, [1, 2, 1]) AS rf",
+    "pos_neg_args" ->
+      "SELECT substring('hello', -3) AS s, substring('hello', -3, 2) AS s2, trim(BOTH 'x' FROM 'xxhixx') AS t"
   )
 
   def main(args: Array[String]): Unit = {

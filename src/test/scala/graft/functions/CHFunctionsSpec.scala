@@ -935,6 +935,146 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(10) == 1024.0)
   }
 
+  test("ifNotFinite substitutes the fallback only for inf/nan") {
+    val r = one(
+      """SELECT ifNotFinite(divide(1, 0), -1.0),
+        |  ifNotFinite(divide(0.0, 0.0), -2.0),
+        |  ifNotFinite(2.5D, -3.0)""".stripMargin)
+    assert(r.getDouble(0) == -1.0)
+    assert(r.getDouble(1) == -2.0)
+    assert(r.getDouble(2) == 2.5)
+    // the argument binds once: a non-deterministic x is classified and
+    // returned from the SAME evaluation (rand() is always finite, so
+    // the result must be the x that was tested, never the fallback)
+    val nd = one("SELECT ifNotFinite(rand(), -1.0)")
+    assert(nd.getDouble(0) >= 0.0)
+  }
+
+  test("ngramSearch is asymmetric needle containment in [0,1]") {
+    val r = one(
+      """SELECT ngramSearch('hello world', 'hello'),
+        |  ngramSearch('abcd', 'wxyz'),
+        |  ngramSearch('hello', 'hellx'),
+        |  ngramSearch('anything', 'abc')""".stripMargin)
+    assert(r.getDouble(0) == 1.0) // needle grams all present
+    assert(r.getDouble(1) == 0.0) // disjoint
+    assert(r.getDouble(2) == 0.5) // 'hell' found, 'ellx' not
+    assert(r.getDouble(3) == 0.0) // needle shorter than a 4-gram
+  }
+
+  test("gcd/lcm Euclid semantics incl. zero and negatives") {
+    val r = one(
+      """SELECT gcd(12, 18), lcm(4, 6), gcd(0, 0), gcd(-12, 18),
+        |  gcd(7, 0), lcm(5, 0)""".stripMargin)
+    assert(r.getLong(0) == 6L && r.getLong(1) == 12L)
+    assert(r.getLong(2) == 0L)
+    assert(r.getLong(3) == 6L)
+    assert(r.getLong(4) == 7L)
+    assert(r.getLong(5) == 0L)
+  }
+
+  test("bitmaskToArray/List expand set bits ascending") {
+    val r = one(
+      "SELECT bitmaskToArray(50), bitmaskToList(50), bitmaskToArray(0)")
+    assert(r.getSeq[Long](0) == Seq(2L, 16L, 32L))
+    assert(r.getString(1) == "2,16,32")
+    assert(r.getSeq[Long](2) == Seq.empty)
+  }
+
+  test("JSONExtractArrayRaw keeps quotes and nesting; bad input is NULL") {
+    val r = one(
+      """SELECT JSONExtractArrayRaw('{"a":["x",1,{"b":2}]}', 'a'),
+        |  JSONExtractArrayRaw('[1,2]'),
+        |  JSONExtractArrayRaw('{"a":1}', 'a'),
+        |  JSONExtractArrayRaw('not json')""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("\"x\"", "1", "{\"b\":2}"))
+    assert(r.getSeq[String](1) == Seq("1", "2"))
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  test("base58 encode/decode round-trips; try form empties on bad input") {
+    val r = one(
+      """SELECT base58Encode('abc'), base58Encode('Hello!'),
+        |  base58Decode('11ZiCa'),
+        |  tryBase58Decode('0OIl'), tryBase58Decode('ZiCa'),
+        |  tryBase64Decode('####'), tryBase64Decode('YWJj')""".stripMargin)
+    assert(r.getString(0) == "ZiCa")
+    assert(r.getString(1) == "d3yC1LKr")
+    assert(r.getString(2) == "\u0000\u0000abc") // '1' chars carry zero bytes
+    assert(r.getString(3) == "") // 0,O,I,l are outside the alphabet
+    assert(r.getString(4) == "abc")
+    assert(r.getString(5) == "" && r.getString(6) == "abc")
+    // strict decode throws on a non-alphabet character, like CH
+    assertThrows[Exception] {
+      one("SELECT base58Decode('0')")
+    }
+  }
+
+  test("arrayFill/arrayReverseFill carry the last passing element") {
+    val r = one(
+      """SELECT arrayFill(x -> x > 1, array(1, 2, 1, 3, 1, 1)),
+        |  arrayReverseFill(x -> x > 1, array(1, 2, 1, 3, 1, 1)),
+        |  arrayFill(x -> x > 9, array(1, 2)),
+        |  arrayPartialSort(2, array(3, 1, 2))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 2, 2, 3, 3, 3))
+    assert(r.getSeq[Int](1) == Seq(2, 2, 3, 3, 1, 1))
+    // nothing ever passes: each element carries its predecessor, so
+    // the first element propagates (CH: arr[i] := arr[i-1] when false)
+    assert(r.getSeq[Int](2) == Seq(1, 1))
+    assert(r.getSeq[Int](3) == Seq(1, 2, 3))
+  }
+
+  test("tuple arithmetic is element-wise with CH type reading") {
+    val r = one(
+      """SELECT tuplePlus(tuple(1, 2.5), tuple(10, 20)),
+        |  tupleMinus(tuple(5, 7), tuple(1, 2)),
+        |  tupleMultiply(tuple(3, 4), tuple(2, 2)),
+        |  tupleDivide(tuple(7, 9), tuple(2, 3)),
+        |  tupleNegate(tuple(1, -2.5))""".stripMargin)
+    assert(r.getStruct(0).getInt(0) == 11 && r.getStruct(0).getDouble(1) == 22.5)
+    assert(r.getStruct(1).getInt(0) == 4 && r.getStruct(1).getInt(1) == 5)
+    assert(r.getStruct(2).getInt(0) == 6 && r.getStruct(2).getInt(1) == 8)
+    assert(r.getStruct(3).getDouble(0) == 3.5) // divide is always double
+    assert(r.getStruct(4).getInt(0) == -1 && r.getStruct(4).getDouble(1) == 2.5)
+  }
+
+  test("javaHash is exactly String.hashCode; interval makers compose") {
+    val r = one(
+      """SELECT javaHash('abc'), javaHash(''),
+        |  toString(toIntervalDay(3) + toDate('2024-01-01')),
+        |  toString(toIntervalMonth(2) + toDate('2024-01-15')),
+        |  substringIndex('a.b.c', '.', 2),
+        |  toValidUTF8('ok')""".stripMargin)
+    assert(r.getInt(0) == 96354 && r.getInt(1) == 0)
+    assert(r.getString(2).startsWith("2024-01-04"))
+    assert(r.getString(3).startsWith("2024-03-15"))
+    assert(r.getString(4) == "a.b")
+    assert(r.getString(5) == "ok")
+  }
+
+  test("random distributions stay inside their contracts") {
+    val r = one(
+      """SELECT randUniform(5, 6) BETWEEN 5 AND 6,
+        |  abs(randNormal(0, 1)) < 100,
+        |  randBernoulli(0.5) IN (0, 1),
+        |  randExponential(2.0) >= 0,
+        |  randBernoulli(0.0), randBernoulli(1.0)""".stripMargin)
+    (0 to 3).foreach(i => assert(r.getBoolean(i)))
+    assert(r.getShort(4) == 0 && r.getShort(5) == 1)
+  }
+
+  test("URL part names: queryString/fragment/netloc/queryStringAndFragment") {
+    val r = one(
+      """SELECT queryString('https://h/p?a=1&b=2'),
+        |  fragment('https://h/p#frag'),
+        |  netloc('https://u:p@h:8080/x'),
+        |  queryStringAndFragment('https://h/p?a=1#z')""".stripMargin)
+    assert(r.getString(0) == "a=1&b=2")
+    assert(r.getString(1) == "frag")
+    assert(r.getString(2) == "u:p@h:8080")
+    assert(r.getString(3) == "a=1#z")
+  }
+
   test("conversion battery: toInt*/toFloat*/toString + OrZero/OrNull") {
     val r = one(
       """SELECT toInt32('42'), toInt64('9007199254740993'), toFloat64('2.5'),

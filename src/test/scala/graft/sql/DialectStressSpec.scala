@@ -728,4 +728,24 @@ class DialectStressSpec extends graft.SparkSpec {
     // the non-OrNull form throws like CH on out-of-range
     assert(ex.runSafe("SELECT accurateCast(300, 'Int8') AS x").isLeft)
   }
+
+  test("char() renames to the N-ary CH form only in call position") {
+    val r = ex.run("SELECT char(72, 105) AS s, char(65) AS one")
+    assert(r.rows.head(0) == "Hi" && r.rows.head(1) == "A")
+    // type positions keep Spark's CHAR reading
+    val t = ex.run(
+      "SELECT CAST('ab' AS CHAR(5)) AS c, '7'::char(3) AS d")
+    assert(t.rows.head(0).toString.startsWith("ab"))
+    assert(t.rows.head(1).toString.startsWith("7"))
+  }
+
+  test("Tuple(...) CAST types translate; positional access survives") {
+    val r = ex.run(
+      """SELECT CAST(tuple(1, 'x') AS Tuple(a Int32, b String)).1 AS f,
+        |  tupleNames(CAST(tuple(1, 'x') AS Tuple(a Int32, b String))) AS n,
+        |  CAST(tuple(2, 'y') AS Tuple(Int32, String)).2 AS u""".stripMargin)
+    assert(r.rows.head(0).toString.toInt == 1)
+    assert(r.rows.head(1).toString.contains("a"))
+    assert(r.rows.head(2) == "y")
+  }
 }
