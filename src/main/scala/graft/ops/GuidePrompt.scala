@@ -134,7 +134,23 @@ object GuidePrompt {
       |  `evalMLMethod(weights, f...)`, `seriesOutliersDetectTukey`,
       |  `seriesPeriodDetectFFT`, `arrayReduce('agg', arr)`.
       |- Generators: `numbers(n)` / `numbers(offset, n)` table function
-      |  (scan-free Range plan), `toStartOfInterval(t, INTERVAL n unit)`.
+      |  (scan-free Range plan), `toStartOfInterval(t, INTERVAL n unit)`,
+      |  `values('a Int32, b String', (1,'x'), (2,'y'))` inline typed
+      |  rows (the schema-less all-tuple form gets c1..cN names), and
+      |  `generateRandom('a Int32, s String'[, seed]) LIMIT n` —
+      |  deterministic per seed, lazily bounded by the LIMIT.
+      |- Array combinators accept ClickHouse's lambda-less forms too:
+      |  `arrayCount(arr)`, `arrayExists(arr)`, `arrayAll(arr)`,
+      |  `arrayFirst/Last(arr)` default to the numeric-truthiness
+      |  predicate; `arrayFill/arrayReverseFill(f, arr)` carry the
+      |  last passing element across gaps.
+      |- Misc additions: `ngramDistance/ngramSearch`, `gcd/lcm`,
+      |  N-ary `char(...)`, `bitmaskToList/Array`, `base58Encode/
+      |  Decode`, `javaHash`, tuple arithmetic (`tuplePlus/Minus/
+      |  Multiply/Divide/Negate`, `tupleNames`), `toInterval*`
+      |  constructors, `randUniform/randNormal/randBernoulli/
+      |  randExponential`, `accurateCast[OrNull]`, `toTimeZone`,
+      |  `JSONExtractArrayRaw`, `ifNotFinite`.
       |
       |## Pasted-query compatibility
       |Queries from a ClickHouse client run unchanged: `PREWHERE`
