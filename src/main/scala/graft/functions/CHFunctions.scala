@@ -280,6 +280,50 @@ object CHFunctions {
       LambdaFunction(if (reverse) Reverse(fin) else fin, Seq(fin)))
   }
 
+  /** The parseDateTime[32]BestEffort format ladder — first parse that
+    * sticks wins (Coalesce over try_to_timestamp attempts). */
+  private def bestEffortAttempts(e: Expression): Seq[Expression] = Seq(
+    fn("try_to_timestamp", e),
+    fn("try_to_timestamp", e, Literal("yyyy-MM-dd'T'HH:mm:ss")),
+    fn("try_to_timestamp", e, Literal("yyyy/MM/dd HH:mm:ss")),
+    fn("try_to_timestamp", e, Literal("dd/MM/yyyy HH:mm:ss")),
+    fn("try_to_timestamp", e, Literal("dd/MM/yyyy")),
+    fn("try_to_timestamp", e, Literal("yyyyMMddHHmmss")),
+    fn("try_to_timestamp", e, Literal("yyyyMMdd")))
+
+  /** arraySplit core: split `arr` into groups, a new group STARTING at
+    * each element where the predicate is true (CH splits "on the left
+    * side"; the first element always opens group 1). The reverse
+    * variant ENDS a group at each true element — computed as
+    * reverse ∘ split ∘ reverse entirely inside the one ArrayAggregate
+    * (HOF-root constraint, as in [[chArrayFill]]). */
+  private def chArraySplit(lam: LambdaFunction, arr: Expression,
+      reverse: Boolean): Expression = {
+    val (acc, x, fin) = lambdaVars
+    val cond = bindVar(lam, x)
+    val src = if (reverse) Reverse(arr) else arr
+    // zero: empty array<array<T>> — slice of a wrapped singleton
+    val zero = Slice(CreateArray(Seq(Slice(src, Literal(1), Literal(0)))),
+      Literal(1), Literal(0))
+    val lastGroup = ElementAt(acc, Literal(-1), None, failOnError = false)
+    val withoutLast = Slice(acc, Literal(1),
+      Subtract(fn("size", acc), Literal(1)))
+    val newGroup = Concat(Seq(acc, CreateArray(Seq(CreateArray(Seq(x))))))
+    val appendToLast = Concat(Seq(withoutLast,
+      CreateArray(Seq(Concat(Seq(lastGroup, CreateArray(Seq(x))))))))
+    val merge = CaseWhen(Seq(
+      (EqualTo(fn("size", acc), Literal(0)), newGroup),
+      (Cast(cond, org.apache.spark.sql.types.BooleanType), newGroup)),
+      Some(appendToLast))
+    val g = UnresolvedNamedLambdaVariable(Seq("spg"))
+    def finish(e: Expression): Expression =
+      if (!reverse) e
+      else Reverse(ArrayTransform(e, LambdaFunction(Reverse(g), Seq(g))))
+    ArrayAggregate(src, zero,
+      LambdaFunction(merge, Seq(acc, x)),
+      LambdaFunction(finish(fin), Seq(fin)))
+  }
+
   /** arrayMap core: the mapped-values array for any arity. */
   private def chMap(lam: LambdaFunction, arrays: Seq[Expression]): Expression =
     arrays match {
@@ -2721,24 +2765,10 @@ object CHFunctions {
     // best-effort timestamp parsing: the documented subset — ISO with
     // 'T' or space, date-only, slashed day-first, compact digits —
     // first match wins, null when nothing fits
-    "parseDateTimeBestEffort" -> (es => Coalesce(Seq(
-      fn("try_to_timestamp", es.head),
-      fn("try_to_timestamp", es.head,
-        Literal("yyyy-MM-dd'T'HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("yyyy/MM/dd HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy")),
-      fn("try_to_timestamp", es.head, Literal("yyyyMMddHHmmss")),
-      fn("try_to_timestamp", es.head, Literal("yyyyMMdd"))))),
-    "parseDateTimeBestEffortOrNull" -> (es => Coalesce(Seq(
-      fn("try_to_timestamp", es.head),
-      fn("try_to_timestamp", es.head,
-        Literal("yyyy-MM-dd'T'HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("yyyy/MM/dd HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy HH:mm:ss")),
-      fn("try_to_timestamp", es.head, Literal("dd/MM/yyyy")),
-      fn("try_to_timestamp", es.head, Literal("yyyyMMddHHmmss")),
-      fn("try_to_timestamp", es.head, Literal("yyyyMMdd"))))),
+    "parseDateTimeBestEffort" -> (es => Coalesce(
+      bestEffortAttempts(es.head))),
+    "parseDateTimeBestEffortOrNull" -> (es => Coalesce(
+      bestEffortAttempts(es.head))),
     "toDateOrNull" -> (es =>
       Cast(fn("try_to_timestamp", es.head),
         org.apache.spark.sql.types.DateType)),
@@ -2774,6 +2804,74 @@ object CHFunctions {
       fn("parse_url", es.head, Literal("QUERY")), Literal("")))),
     "netloc" -> (es => Coalesce(Seq(
       fn("parse_url", es.head, Literal("AUTHORITY")), Literal("")))),
+
+    // ---- round-13 wave 4 (probe-driven) ----
+    // environment/diagnostic names a CH user pastes for sanity checks
+    "uptime" -> (_ => Literal(
+      (System.currentTimeMillis -
+        java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getStartTime) / 1000)),
+    "currentUser" -> (_ => fn("current_user")),
+    // the DateTime32 spellings share the BestEffort parse ladders
+    "parseDateTime32BestEffort" -> (es => Coalesce(
+      bestEffortAttempts(es.head))),
+    "parseDateTime32BestEffortOrNull" -> (es => Coalesce(
+      bestEffortAttempts(es.head))),
+    "parseDateTimeBestEffortOrZero" -> (es => Coalesce(
+      bestEffortAttempts(es.head) :+
+        Literal(0L, org.apache.spark.sql.types.TimestampType))),
+    "toDateOrZero" -> (es => Coalesce(Seq(
+      Cast(fn("try_to_timestamp", es.head),
+        org.apache.spark.sql.types.DateType),
+      Literal(0, org.apache.spark.sql.types.DateType)))),
+    "toDateTimeOrZero" -> (es => Coalesce(Seq(
+      fn("try_to_timestamp", es.head),
+      Literal(0L, org.apache.spark.sql.types.TimestampType)))),
+    "toInt32OrDefault" -> (es => Coalesce(Seq(
+      Cast(es.head, IntegerType, None, EvalMode.TRY), es(1)))),
+    "toInt64OrDefault" -> (es => Coalesce(Seq(
+      Cast(es.head, LongType, None, EvalMode.TRY), es(1)))),
+    "toFloat64OrDefault" -> (es => Coalesce(Seq(
+      Cast(es.head, DoubleType, None, EvalMode.TRY), es(1)))),
+    // sample skew/kurt from population builtins by moment algebra:
+    // skewSamp = m3/varSamp^1.5 = skewness · (varPop/varSamp)^1.5,
+    // kurtSamp = m4/varSamp²   = (kurtosis+3) · (varPop/varSamp)²
+    // (Spark's kurtosis is EXCESS population kurtosis)
+    "skewSamp" -> (es => Multiply(fn("skewness", es.head),
+      Pow(Divide(fn("var_pop", es.head), fn("var_samp", es.head)),
+        Literal(1.5)))),
+    "kurtSamp" -> (es => Multiply(
+      Add(fn("kurtosis", es.head), Literal(3.0)),
+      Pow(Divide(fn("var_pop", es.head), fn("var_samp", es.head)),
+        Literal(2.0)))),
+    // JSON extras
+    "JSONType" -> (es => JsonTypeOf(es)),
+    "JSONExtractUInt" -> (es => Cast(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      LongType)),
+    "visitParamHas" -> (es => IsNotNull(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
+    "JSONKey" -> (es => ElementAt(fn("json_object_keys", es.head),
+      Cast(es(1), IntegerType), None, failOnError = false)),
+    // raw little-endian reinterpretation
+    "reinterpretAsString" -> (es => ReinterpretAs(es.head, 64, toStr = true)),
+    "reinterpretAsUInt8" -> (es => ReinterpretAs(es.head, 8, toStr = false)),
+    "reinterpretAsUInt16" -> (es => ReinterpretAs(es.head, 16, toStr = false)),
+    "reinterpretAsUInt32" -> (es => ReinterpretAs(es.head, 32, toStr = false)),
+    "reinterpretAsUInt64" -> (es => ReinterpretAs(es.head, 64, toStr = false)),
+    "reinterpretAsInt32" -> (es => ReinterpretAs(es.head, 32, toStr = false)),
+    "reinterpretAsInt64" -> (es => ReinterpretAs(es.head, 64, toStr = false)),
+    // group splitting
+    "arraySplit" -> (es => es.head match {
+      case l: LambdaFunction => chArraySplit(l, es(1), reverse = false)
+      case other => throw new IllegalArgumentException(
+        s"arraySplit expects a lambda as its first argument, got $other")
+    }),
+    "arrayReverseSplit" -> (es => es.head match {
+      case l: LambdaFunction => chArraySplit(l, es(1), reverse = true)
+      case other => throw new IllegalArgumentException(
+        s"arrayReverseSplit expects a lambda as its first argument, got $other")
+    }),
 
     // ---- round-13 wave 3 (probe-driven) ----
     "substringIndex" -> (es => fn("substring_index", es: _*)),

@@ -480,3 +480,102 @@ case class JavaHash(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): JavaHash =
     copy(child = newChild)
 }
+
+/** ClickHouse `JSONType(json[, key])` — the CH type name of the
+  * (optionally key-addressed) JSON node: 'String', 'Int64', 'Double',
+  * 'Bool', 'Array', 'Object', 'Null'; SQL NULL for invalid JSON or a
+  * missing key (CH returns an empty string through its Null type —
+  * the served JSON encodes both as null). Jackson, like
+  * [[graft.functions.JsonArrayRaw]]. */
+case class JsonTypeOf(children: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "JSONType"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.size == 1 || children.size == 2)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"JSONType takes (json[, key]), got ${children.size} args")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val j = children.head.eval(input)
+    if (j == null) return null
+    val key =
+      if (children.size > 1) {
+        val k = children(1).eval(input)
+        if (k == null) return null
+        k.toString
+      } else null
+    JsonTypeOf.typeOf(j.toString, key)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): JsonTypeOf =
+    copy(children = newChildren)
+}
+
+object JsonTypeOf {
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def typeOf(json: String, key: String): UTF8String = try {
+    var node = mapper.readTree(json)
+    if (key != null) node = node.get(key)
+    if (node == null) return null
+    val t =
+      if (node.isTextual) "String"
+      else if (node.isBoolean) "Bool"
+      else if (node.isIntegralNumber) "Int64"
+      else if (node.isNumber) "Double"
+      else if (node.isArray) "Array"
+      else if (node.isObject) "Object"
+      else "Null"
+    UTF8String.fromString(t)
+  } catch { case _: Exception => null }
+}
+
+/** ClickHouse `reinterpretAs*` — raw little-endian byte reinterpretation.
+  * String → integer: the string's first `width` bytes read LE (shorter
+  * strings zero-extend, CH's rule). Integer → String: the value's LE
+  * bytes with trailing zero bytes trimmed (`reinterpretAsString(65)` =
+  * 'A'). Unsigned widths land in the next signed Spark width, the
+  * engine's documented unsigned tradeoff. */
+case class ReinterpretAs(child: Expression, width: Int, toStr: Boolean)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    if (toStr) StringType else LongType
+  override def prettyName: String =
+    if (toStr) "reinterpretAsString" else s"reinterpretAsInt$width"
+
+  override def nullSafeEval(v: Any): Any =
+    if (toStr) {
+      var n = v match {
+        case l: Long => l
+        case i: Int => i.toLong
+        case s: Short => s.toLong
+        case b: Byte => b.toLong
+        case other => other.toString.toLong
+      }
+      val buf = new Array[Byte](8)
+      var i = 0
+      while (i < 8) { buf(i) = (n & 0xff).toByte; n >>>= 8; i += 1 }
+      var end = 8
+      while (end > 0 && buf(end - 1) == 0) end -= 1
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, end))
+    } else {
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      var n = 0L
+      var i = math.min(width / 8, bytes.length) - 1
+      while (i >= 0) { n = (n << 8) | (bytes(i) & 0xffL); i -= 1 }
+      n
+    }
+
+  override protected def withNewChildInternal(newChild: Expression): ReinterpretAs =
+    copy(child = newChild)
+}

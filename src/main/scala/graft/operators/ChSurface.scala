@@ -2388,7 +2388,59 @@ object ChSurface {
         |  11 AS tp1,
         |  CAST(3.5 AS DOUBLE) AS td1,
         |  '2024-01-04 00:00:00' AS ivd,
-        |  '2024-03-15' AS ivm""".stripMargin)))
+        |  '2024-03-15' AS ivm""".stripMargin)),
+
+    // round-13 wave 4 (probe-driven): arraySplit group boundaries,
+    // little-endian reinterpretation, JSON type introspection,
+    // OrZero/OrDefault conversions, the BestEffort 32-spellings, and
+    // sample skew/kurt — the DuckDB side replays the sample moments
+    // from first principles (m3/m4 over the mean), so the oracle pins
+    // the MOMENT ALGEBRA, not a shared library formula.
+    ("q_ch_misc4",
+      """WITH d AS (SELECT CAST(o_orderkey % 13 AS DOUBLE) AS v
+        |           FROM orders WHERE o_orderkey <= 200)
+        |SELECT
+        |  toString(arraySplit(x -> x = 0, [1, 2, 0, 3, 0, 4])) AS sp,
+        |  toString(arrayReverseSplit(x -> x = 0, [1, 2, 0, 3])) AS rsp,
+        |  reinterpretAsString(65) AS ras,
+        |  reinterpretAsUInt32('a') AS rau,
+        |  reinterpretAsUInt16('ab') AS rab,
+        |  JSONType('{"a":[1],"b":"x"}', 'a') AS ta,
+        |  JSONType('{"b":"x"}', 'b') AS tb,
+        |  JSONKey('{"x":1,"y":2}', 2) AS jk,
+        |  toString(toDateOrZero('nope')) AS dz,
+        |  toString(toDateTimeOrZero('nope')) AS tz0,
+        |  toInt32OrDefault('x', 9) AS idf,
+        |  toString(parseDateTime32BestEffort('15/01/2024')) AS pbe,
+        |  round(skewSamp(v), 6) AS sks,
+        |  round(kurtSamp(v), 6) AS kus,
+        |  round(skewPop(v), 6) AS skp,
+        |  round(kurtPop(v), 6) AS kup
+        |FROM d""".stripMargin,
+      Some("""WITH d AS (SELECT CAST(o_orderkey % 13 AS DOUBLE) AS v
+        |              FROM orders WHERE o_orderkey <= 200),
+        |  m AS (SELECT avg(v) AS mu, var_pop(v) AS vp,
+        |               var_samp(v) AS vs, count(*) AS n FROM d),
+        |  mm AS (SELECT sum(pow(v - mu, 3)) / any_value(n) AS m3,
+        |                sum(pow(v - mu, 4)) / any_value(n) AS m4,
+        |                any_value(vp) AS vp, any_value(vs) AS vs
+        |         FROM d, m)
+        |SELECT
+        |  '[[1, 2], [0, 3], [0, 4]]' AS sp,
+        |  '[[1, 2, 0], [3]]' AS rsp,
+        |  'A' AS ras,
+        |  CAST(97 AS BIGINT) AS rau,
+        |  CAST(25185 AS BIGINT) AS rab,
+        |  'Array' AS ta, 'String' AS tb, 'y' AS jk,
+        |  '1970-01-01' AS dz,
+        |  '1970-01-01 00:00:00' AS tz0,
+        |  9 AS idf,
+        |  '2024-01-15 00:00:00' AS pbe,
+        |  round(m3 / pow(vs, 1.5), 6) AS sks,
+        |  round(m4 / pow(vs, 2), 6) AS kus,
+        |  round(m3 / pow(vp, 1.5), 6) AS skp,
+        |  round(m4 / pow(vp, 2), 6) AS kup
+        |FROM mm""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -305,7 +305,29 @@ object Probe {
     "arr_partial_sort" ->
       "SELECT arrayPartialSort(2, [3, 1, 2]) AS ps, arrayShuffle([1, 2, 3], 42) AS sh, arrayReverseFill(x -> x > 1, [1, 2, 1]) AS rf",
     "pos_neg_args" ->
-      "SELECT substring('hello', -3) AS s, substring('hello', -3, 2) AS s2, trim(BOTH 'x' FROM 'xxhixx') AS t"
+      "SELECT substring('hello', -3) AS s, substring('hello', -3, 2) AS s2, trim(BOTH 'x' FROM 'xxhixx') AS t",
+    // ---- round-13 wave 4 ----
+    "env_fns" ->
+      "SELECT hostName() != '' AS h, version() != '' AS v, currentDatabase() AS db, timezone() AS tz, uptime() >= 0 AS up, currentUser() AS u",
+    "parse_best_effort" ->
+      "SELECT parseDateTimeBestEffort('2024-01-15 10:30:00') AS a, parseDateTimeBestEffortOrNull('garbage') AS b, parseDateTime32BestEffort('15/01/2024') AS c",
+    "stats_names" ->
+      "SELECT skewPop(o_totalprice) AS sk, skewSamp(o_totalprice) AS sks, kurtPop(o_totalprice) AS ku, kurtSamp(o_totalprice) AS kus, varPop(o_totalprice) AS vp, stddevSamp(o_totalprice) AS sd, covarPop(o_totalprice, o_orderkey) AS cv, corr(o_totalprice, o_orderkey) AS cr FROM orders",
+    "json_more" ->
+      ("SELECT JSONType('{\"a\":[1]}', 'a') AS t, JSONExtractUInt('{\"a\":7}', 'a') AS u, " +
+        "visitParamHas('{\"k\":1}', 'k') AS h, JSONKey('{\"x\":1}', 1) AS k"),
+    "map_ops" ->
+      "SELECT mapUpdate(map(1, 'a'), map(2, 'b'))[2] AS mu, mapConcat(map(1, 'a'), map(2, 'b'))[1] AS mc, mapAdd(map(1, 10), map(1, 5))[1] AS ma",
+    "uuid_more" ->
+      "SELECT toUUIDOrNull('nope') AS bad, toUUIDOrNull('61f0c404-5cb3-11e7-907b-a6006ad3dba0') IS NOT NULL AS ok, UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') != '' AS n",
+    "reinterpret" ->
+      "SELECT reinterpretAsUInt32(toString(char(1))) >= 0 AS r, reinterpretAsString(65) AS s",
+    "date_or_zero" ->
+      "SELECT toDateOrZero('nope') AS d, toDateTimeOrZero('nope') AS t, toInt32OrDefault('x', 9) AS i",
+    "array_split" ->
+      "SELECT arraySplit(x -> x = 0, [1, 2, 0, 3, 0, 4]) AS s, arrayReverseSplit(x -> x = 0, [1, 2, 0, 3]) AS rs",
+    "year_week" ->
+      "SELECT toYearWeek(toDate('2024-01-04')) AS yw, toISOWeek(toDate('2024-01-04')) AS iw"
   )
 
   def main(args: Array[String]): Unit = {

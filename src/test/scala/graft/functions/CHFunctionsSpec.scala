@@ -1063,6 +1063,65 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getShort(4) == 0 && r.getShort(5) == 1)
   }
 
+  test("arraySplit/arrayReverseSplit group boundaries match CH") {
+    val r = one(
+      """SELECT toString(arraySplit(x -> x = 0, array(1, 2, 0, 3, 0, 4))),
+        |  toString(arrayReverseSplit(x -> x = 0, array(1, 2, 0, 3))),
+        |  toString(arraySplit(x -> x > 9, array(1, 2))),
+        |  toString(arraySplit(x -> x >= 0, array(7)))""".stripMargin)
+    assert(r.getString(0) == "[[1, 2], [0, 3], [0, 4]]")
+    assert(r.getString(1) == "[[1, 2, 0], [3]]")
+    assert(r.getString(2) == "[[1, 2]]") // no split points → one group
+    assert(r.getString(3) == "[[7]]") // first element always opens
+  }
+
+  test("reinterpretAs* is little-endian byte reinterpretation") {
+    val r = one(
+      """SELECT reinterpretAsString(65), reinterpretAsString(25185),
+        |  reinterpretAsUInt32('a'), reinterpretAsUInt16('ab'),
+        |  reinterpretAsUInt8('ab'), reinterpretAsUInt64('')""".stripMargin)
+    assert(r.getString(0) == "A")
+    assert(r.getString(1) == "ab") // 0x6261 LE
+    assert(r.getLong(2) == 97L)
+    assert(r.getLong(3) == 25185L)
+    assert(r.getLong(4) == 97L) // only the first byte
+    assert(r.getLong(5) == 0L) // empty string zero-extends
+  }
+
+  test("JSONType/JSONKey introspection and OrZero/OrDefault conversions") {
+    val r = one(
+      """SELECT JSONType('{"a":[1]}', 'a'), JSONType('{"b":"x"}', 'b'),
+        |  JSONType('{"c":1}', 'c'), JSONType('{"d":1.5}', 'd'),
+        |  JSONType('{"e":true}', 'e'), JSONType('[1]'),
+        |  JSONType('not json'), JSONKey('{"x":1,"y":2}', 2),
+        |  toString(toDateOrZero('nope')),
+        |  toString(toDateTimeOrZero('nope')),
+        |  toInt32OrDefault('x', 9), toInt32OrDefault('7', 9),
+        |  toString(parseDateTime32BestEffort('15/01/2024')),
+        |  toString(parseDateTimeBestEffortOrZero('garbage'))""".stripMargin)
+    assert(r.getString(0) == "Array" && r.getString(1) == "String")
+    assert(r.getString(2) == "Int64" && r.getString(3) == "Double")
+    assert(r.getString(4) == "Bool" && r.getString(5) == "Array")
+    assert(r.isNullAt(6))
+    assert(r.getString(7) == "y")
+    assert(r.getString(8) == "1970-01-01")
+    assert(r.getString(9) == "1970-01-01 00:00:00")
+    assert(r.getInt(10) == 9 && r.getInt(11) == 7)
+    assert(r.getString(12) == "2024-01-15 00:00:00")
+    assert(r.getString(13) == "1970-01-01 00:00:00")
+  }
+
+  test("skewSamp/kurtSamp relate to the population forms by (vp/vs)^k") {
+    val r = one(
+      """SELECT skewSamp(v), skewPop(v) * pow(var_pop(v) / var_samp(v), 1.5),
+        |  kurtSamp(v), kurtPop(v) * pow(var_pop(v) / var_samp(v), 2.0),
+        |  uptime() >= 0, currentUser() IS NOT NULL
+        |FROM (SELECT CAST(id AS DOUBLE) AS v FROM range(1, 50))""".stripMargin)
+    assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+    assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+  }
+
   test("URL part names: queryString/fragment/netloc/queryStringAndFragment") {
     val r = one(
       """SELECT queryString('https://h/p?a=1&b=2'),
