@@ -1545,6 +1545,28 @@ object CHFunctions {
         Literal(chFormatToSpark(s.toString))
       case other => other
     })),
+    // Joda syntax is close enough to Spark's java.time patterns that
+    // the literal passes through (both are yyyy/MM/dd/HH/mm/ss-style)
+    "formatDateTimeInJodaSyntax" -> (es =>
+      fn("date_format", es.head, es(1))),
+    "parseDateTimeInJodaSyntax" -> (es =>
+      fn("to_timestamp", es.head, es(1))),
+    "parseDateTimeInJodaSyntaxOrNull" -> (es =>
+      fn("try_to_timestamp", es.head, es(1))),
+    // parseDateTime(s, '%Y-%m-%d ...'): CH's MySQL-format parse — the
+    // literal format translates through the same %-token map as
+    // formatDateTime, so the two are inverses over the shared subset
+    "parseDateTime" -> (es => fn("to_timestamp", es.head, es(1) match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal(chFormatToSpark(s.toString))
+      case other => other
+    })),
+    "parseDateTimeOrNull" -> (es =>
+      fn("try_to_timestamp", es.head, es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          Literal(chFormatToSpark(s.toString))
+        case other => other
+      })),
     "toUnixTimestamp" -> (es => fn("unix_timestamp", es: _*)),
     "fromUnixTimestamp" -> (es => fn("timestamp_seconds", es.head)),
     "nowCH" -> (_ => fn("current_timestamp")),
@@ -2804,6 +2826,34 @@ object CHFunctions {
       fn("parse_url", es.head, Literal("QUERY")), Literal("")))),
     "netloc" -> (es => Coalesce(Seq(
       fn("parse_url", es.head, Literal("AUTHORITY")), Literal("")))),
+
+    // ---- round-13 wave 5 ----
+    // planner-hint no-ops a CH user pastes from tuned queries: CH's
+    // materialize() defeats constant-folding, ignore() evaluates and
+    // discards (always 0), indexHint() is an index-selection hint that
+    // returns its argument set — in this engine Catalyst owns those
+    // decisions, so they pass values through (ignore stays 0-typed)
+    "materialize" -> (es => es.head),
+    "ignore" -> (es =>
+      If(IsNull(CreateStruct(es)), Literal(0), Literal(0))),
+    "indexHint" -> (_ => Literal(1)),
+    // sleep/sleepEachRow: a shared serving engine does not block a
+    // worker thread on a pasted query — loud reject, not a silent wait
+    "sleep" -> (_ => throw new IllegalArgumentException(
+      "sleep() is not served: the engine does not block worker " +
+        "threads on query-side timers")),
+    "sleepEachRow" -> (_ => throw new IllegalArgumentException(
+      "sleepEachRow() is not served: the engine does not block worker " +
+        "threads on query-side timers")),
+    "widthBucket" -> (es => fn("width_bucket", es: _*)),
+    "dateTimeToSnowflake" -> (es =>
+      // Twitter snowflake: ms since 2010-11-04 01:42:54.657 << 22
+      fn("shiftleft",
+        Subtract(
+          Multiply(Cast(fn("unix_timestamp", es.head), LongType),
+            Literal(1000L)),
+          Literal(1288834974657L)),
+        Literal(22))),
 
     // ---- round-13 wave 4 (probe-driven) ----
     // environment/diagnostic names a CH user pastes for sanity checks

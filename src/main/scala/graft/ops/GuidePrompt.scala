@@ -196,6 +196,12 @@ object GuidePrompt {
       |2^63 render as negative Int64 rather than UInt64 — the same
       |64-bit pattern); Decimal arithmetic and string-to-number casts
       |still raise, as in ClickHouse.
+      |`EXPLAIN [SYNTAX|AST|PLAN|PIPELINE|ESTIMATE] SELECT ...` is
+      |served: SYNTAX returns the dialect-normalized statement (what
+      |the engine actually plans — the right way to debug a pasted
+      |query), the other modes return the engine's plan tree; one
+      |`explain` column, one row per line. `x IN [1, 2, 3]` reads the
+      |bracket as the membership list, as ClickHouse does.
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

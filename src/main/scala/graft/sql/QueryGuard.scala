@@ -48,8 +48,74 @@ object QueryGuard {
     * and the dialect query pack: text shims ([[normalizeDialect]]) →
     * read-only guard → plan, then the post-plan shims that need the
     * result schema ([[WithFill]]'s dense-axis rewrite). */
+  /** `EXPLAIN [mode] SELECT ...` — ClickHouse's introspection statement,
+    * mapped onto this engine's own layers (one `explain` STRING column,
+    * one row per output line, CH's shape):
+    *   - SYNTAX     → the dialect-NORMALIZED statement (CH returns the
+    *                  rewritten query; here that is the text the shim
+    *                  pipeline hands to Spark — the exact analogue, and
+    *                  the right debugging surface for the dialect layer)
+    *   - AST        → Spark's parsed logical plan tree
+    *   - ESTIMATE   → the optimized plan with cost statistics
+    *   - PIPELINE   → the physical plan with whole-stage-codegen spans
+    *   - PLAN/QUERY TREE/none → Spark's formatted physical plan
+    * The inner statement still runs the full guarded pipeline (ASOF/ANY
+    * shims, hoisting, WHERE-alias retry), so what is explained is what
+    * would execute. A SETTINGS-style tail after EXPLAIN's mode word
+    * (CH allows `EXPLAIN header = 1 ...`) is consumed as `k = v` pairs. */
+  private def tryExplain(spark: SparkSession, sql: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val t = sql.dropWhile(_.isWhitespace)
+    if (!t.take(8).equalsIgnoreCase("EXPLAIN ")) return None
+    var rest = t.drop(8).dropWhile(_.isWhitespace)
+    def eat(word: String): Boolean = {
+      if (rest.take(word.length).equalsIgnoreCase(word) &&
+        rest.drop(word.length).headOption.forall(c => c.isWhitespace)) {
+        rest = rest.drop(word.length).dropWhile(_.isWhitespace)
+        true
+      } else false
+    }
+    val mode =
+      if (eat("SYNTAX")) "syntax"
+      else if (eat("AST")) "ast"
+      else if (eat("ESTIMATE")) "estimate"
+      else if (eat("PIPELINE")) "pipeline"
+      else if (eat("PLAN")) "plan"
+      else if (eat("QUERY")) { eat("TREE"); "plan" }
+      else "plan"
+    // CH's per-EXPLAIN settings (`EXPLAIN json = 1, indexes = 1 SELECT`)
+    // — consume `ident = value[,]` pairs; the knobs have no Spark
+    // equivalent so they select nothing beyond the mode
+    val settingRe = "^[A-Za-z_]+\\s*=\\s*[A-Za-z0-9_']+\\s*,?\\s*".r
+    var prev: String = null
+    while (prev != rest) { prev = rest; rest = settingRe.replaceFirstIn(rest, "") }
+    if (rest.isEmpty) throw new ReadOnlyViolation(
+      "EXPLAIN needs a SELECT statement to explain")
+    import spark.implicits._
+    val text = mode match {
+      case "syntax" => normalizeDialect(rest)
+      case _ =>
+        val df = plan(spark, rest)
+        val qe = df.queryExecution
+        mode match {
+          case "ast" => qe.logical.treeString
+          case "estimate" => qe.explainString(
+            org.apache.spark.sql.execution.CostMode)
+          case "pipeline" => qe.explainString(
+            org.apache.spark.sql.execution.CodegenMode)
+          case _ => qe.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        }
+    }
+    Some(text.linesIterator.toSeq.toDF("explain"))
+  }
+
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
+    tryExplain(spark, sql) match {
+      case Some(df) => return df
+      case None =>
+    }
     val normalized = normalizeDialect(sql)
     try planNormalized(spark, normalized)
     catch {
@@ -1542,7 +1608,15 @@ object QueryGuard {
             (prevSig.isLetterOrDigit || prevSig == '_') &&
               lastWord.nonEmpty && exprKw(lastWord.toUpperCase) ||
             prevSig == '[' // directly nested literal: [[1],[2]]
-          if (literal) {
+          if (literal && lastWord.toUpperCase == "IN") {
+            // CH accepts `x IN [1, 2, 3]` — as an IN operand the
+            // bracket is the membership LIST, not an array value
+            // (`IN array(...)` is a parse error in Spark)
+            sb.replace(i, i + 1, "(")
+            stack ::= true
+            i += 1
+            prevSig = '('
+          } else if (literal) {
             sb.replace(i, i + 1, "array(")
             stack ::= true
             i += 6 // past "array("

@@ -327,7 +327,34 @@ object Probe {
     "array_split" ->
       "SELECT arraySplit(x -> x = 0, [1, 2, 0, 3, 0, 4]) AS s, arrayReverseSplit(x -> x = 0, [1, 2, 0, 3]) AS rs",
     "year_week" ->
-      "SELECT toYearWeek(toDate('2024-01-04')) AS yw, toISOWeek(toDate('2024-01-04')) AS iw"
+      "SELECT toYearWeek(toDate('2024-01-04')) AS yw, toISOWeek(toDate('2024-01-04')) AS iw",
+    // ---- round-13 wave 5 ----
+    "noop_hints" ->
+      "SELECT materialize(7) AS m, ignore(o_orderkey, 'x') AS i, indexHint(o_orderkey > 5) AS h, count() AS n FROM orders GROUP BY m, i, h",
+    "parse_mysql_fmt" ->
+      "SELECT parseDateTime('2024*01*15', '%Y*%m*%d') AS p, parseDateTimeOrNull('bad', '%Y-%m-%d') AS pn, formatDateTimeInJodaSyntax(toDateTime('2024-01-15 10:30:00'), 'yyyy/MM/dd HH:mm') AS j, parseDateTimeInJodaSyntax('2024/01/15 10:30', 'yyyy/MM/dd HH:mm') AS jp",
+    "snowflake" ->
+      "SELECT dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00')) AS sf, toString(snowflakeToDateTime(dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00')))) AS rt",
+    "width_bucket" ->
+      "SELECT widthBucket(3.5, 0, 10, 5) AS w",
+    "str_dist_more" ->
+      "SELECT damerauLevenshteinDistance('abc', 'acb') AS d, jaroSimilarity('abc', 'abd') > 0 AS j, stringJaccardIndex('apple', 'apples') > 0.5 AS sj, byteHammingDistance('abc', 'abd') AS bh",
+    // sleep()/sleepEachRow() reject loudly by design — pinned in
+    // DialectStressSpec, not probed (a probe FAIL would read as a gap)
+    "in_bracket" ->
+      "SELECT count() AS n FROM orders WHERE o_orderkey IN [1, 2, 3]",
+    "not_in_bracket" ->
+      "SELECT count() AS n FROM orders WHERE o_orderstatus = 'O' AND o_orderkey NOT IN [1, 2]",
+    "explain_syntax" ->
+      "EXPLAIN SYNTAX SELECT o_orderkey FROM orders FINAL WHERE o_orderkey IN [1, 2] SETTINGS max_threads = 2",
+    "explain_plan" ->
+      "EXPLAIN SELECT count() FROM orders WHERE o_totalprice > 100",
+    "explain_pipeline" ->
+      "EXPLAIN PIPELINE SELECT count() FROM orders",
+    "explain_estimate" ->
+      "EXPLAIN ESTIMATE SELECT * FROM orders WHERE o_orderkey < 10",
+    "explain_ast" -> "EXPLAIN AST SELECT 1",
+    "explain_settings" -> "EXPLAIN header = 1, json = 0 SELECT 1"
   )
 
   def main(args: Array[String]): Unit = {

@@ -739,6 +739,78 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(t.rows.head(1).toString.startsWith("7"))
   }
 
+  test("planner-hint no-ops pass through; sleep rejects loudly") {
+    val r = ex.run(
+      """SELECT materialize(7) AS m, ignore(o_orderkey, 'x') AS i,
+        |  indexHint(o_orderkey > 5) AS h, count() AS n
+        |FROM orders GROUP BY m, i, h""".stripMargin)
+    assert(r.rows.head(0).toString.toInt == 7)
+    assert(r.rows.head(1).toString.toInt == 0)
+    assert(ex.runSafe("SELECT sleep(1)").isLeft)
+    assert(ex.runSafe("SELECT sleepEachRow(0.1) FROM orders").isLeft)
+  }
+
+  test("parseDateTime MySQL-format and Joda spellings round-trip") {
+    val r = ex.run(
+      """SELECT toString(parseDateTime('2024*01*15', '%Y*%m*%d')) AS p,
+        |  parseDateTimeOrNull('bad', '%Y-%m-%d') AS pn,
+        |  formatDateTimeInJodaSyntax(toDateTime('2024-01-15 10:30:00'),
+        |    'yyyy/MM/dd HH:mm') AS j,
+        |  toString(parseDateTimeInJodaSyntax('2024/01/15 10:30',
+        |    'yyyy/MM/dd HH:mm')) AS jp,
+        |  toString(snowflakeToDateTime(
+        |    dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00')))) AS rt""".stripMargin)
+    assert(r.rows.head(0) == "2024-01-15 00:00:00")
+    assert(r.rows.head(1) == null)
+    assert(r.rows.head(2) == "2024/01/15 10:30")
+    assert(r.rows.head(3) == "2024-01-15 10:30:00")
+    assert(r.rows.head(4) == "2024-01-01 00:00:00")
+  }
+
+  test("EXPLAIN modes map onto the engine's layers; guard holds") {
+    // SYNTAX = the dialect-normalized statement (CH returns the
+    // rewritten query — here, what the shim pipeline hands to Spark)
+    val syn = ex.run(
+      """EXPLAIN SYNTAX SELECT o_orderkey FROM orders FINAL
+        |WHERE o_orderkey IN [1, 2] SETTINGS max_threads = 2""".stripMargin)
+    val synText = syn.rows.map(_(0).toString).mkString("\n")
+    assert(syn.columns == Seq("explain"))
+    assert(synText.contains("IN (1,2)") || synText.contains("IN (1, 2)"))
+    assert(!synText.toUpperCase.contains("FINAL"))
+    assert(!synText.toUpperCase.contains("SETTINGS"))
+    // PLAN = Spark's formatted physical plan, one row per line
+    val pl = ex.run("EXPLAIN SELECT count() FROM orders WHERE o_totalprice > 100")
+    assert(pl.rows.exists(_(0).toString.contains("Physical Plan")))
+    // the filter the plan would push shows in the formatted output
+    assert(pl.rows.exists(_(0).toString.contains("PushedFilters") ||
+      pl.rows.exists(_(0).toString.contains("o_totalprice"))))
+    // AST / ESTIMATE / PIPELINE resolve; EXPLAIN of non-SELECT rejects
+    assert(ex.run("EXPLAIN AST SELECT 1").rows.nonEmpty)
+    assert(ex.run("EXPLAIN ESTIMATE SELECT * FROM orders WHERE o_orderkey < 5")
+      .rows.exists(_(0).toString.contains("Statistics")))
+    assert(ex.run("EXPLAIN PIPELINE SELECT count() FROM orders").rows.nonEmpty)
+    assert(ex.run("EXPLAIN header = 1 SELECT 1").rows.nonEmpty)
+    assert(ex.runSafe("EXPLAIN DROP TABLE orders").isLeft)
+    assert(ex.runSafe("EXPLAIN SYNTAX").isLeft)
+  }
+
+  test("IN with a bracket literal is a membership list, not an array") {
+    val r = ex.run(
+      "SELECT count() AS n FROM orders WHERE o_orderkey IN [1, 2, 3]")
+    assert(r.rows.head(0).toString.toLong == 3)
+    val n = ex.run(
+      """SELECT count() AS n FROM orders
+        |WHERE o_orderkey <= 5 AND o_orderkey NOT IN [1, 2]""".stripMargin)
+    assert(n.rows.head(0).toString.toLong > 0)
+    // bracket literals OUTSIDE the IN operand stay arrays
+    val a = ex.run("SELECT [1, 2][1] AS first_el")
+    assert(a.rows.head(0).toString.toInt == 1)
+    // and an IN over a parenthesized list is untouched
+    val p = ex.run(
+      "SELECT count() AS n FROM orders WHERE o_orderkey IN (1, 2, 3)")
+    assert(p.rows.head(0).toString.toLong == 3)
+  }
+
   test("Tuple(...) CAST types translate; positional access survives") {
     val r = ex.run(
       """SELECT CAST(tuple(1, 'x') AS Tuple(a Int32, b String)).1 AS f,
