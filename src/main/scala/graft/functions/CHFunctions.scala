@@ -2835,7 +2835,8 @@ object CHFunctions {
     // decisions, so they pass values through (ignore stays 0-typed)
     "materialize" -> (es => es.head),
     "ignore" -> (es =>
-      If(IsNull(CreateStruct(es)), Literal(0), Literal(0))),
+      if (es.isEmpty) Literal(0)
+      else If(IsNull(CreateStruct(es)), Literal(0), Literal(0))),
     "indexHint" -> (_ => Literal(1)),
     // sleep/sleepEachRow: a shared serving engine does not block a
     // worker thread on a pasted query — loud reject, not a silent wait
@@ -2846,6 +2847,47 @@ object CHFunctions {
       "sleepEachRow() is not served: the engine does not block worker " +
         "threads on query-side timers")),
     "widthBucket" -> (es => fn("width_bucket", es: _*)),
+    // numeric truncation toward zero (Spark's `trunc` builtin is DATE
+    // truncation — the served path renames numeric-arg trunc here).
+    // x binds ONCE via the one-element-array transform (sign dispatch
+    // would otherwise evaluate a non-deterministic x twice).
+    "truncate" -> (es => {
+      val v = UnresolvedNamedLambdaVariable(Seq("trv"))
+      val p = Pow(Literal(10.0),
+        if (es.size > 1) Cast(es(1), DoubleType) else Literal(0.0))
+      val vd = Cast(v, DoubleType)
+      val t = If(GreaterThanOrEqual(vd, Literal(0.0)),
+        Divide(fn("floor", Multiply(vd, p)), p),
+        Divide(fn("ceil", Multiply(vd, p)), p))
+      ElementAt(
+        ArrayTransform(CreateArray(Seq(es.head)),
+          LambdaFunction(t, Seq(v))),
+        Literal(1), None, failOnError = false)
+    }),
+    // exp10/intExp2/intExp10
+    "exp10" -> (es => Pow(Literal(10.0), Cast(es.head, DoubleType))),
+    "intExp2" -> (es => fn("shiftleft", Literal(1L),
+      Cast(es.head, IntegerType))),
+    "intExp10" -> (es => Cast(
+      Pow(Literal(10.0), Cast(es.head, DoubleType)), LongType)),
+    // (dateSub/timestampSub are TEXT-level rewrites onto dateadd with
+    // a negated quantity — see QueryGuard.rewriteCallForms: a registry
+    // builder cannot consume the bare unit keyword because the
+    // analyzer resolves function ARGUMENTS before functions, and the
+    // unit parses as an unresolvable column reference.)
+    // decimal-unit (1000-based) readable size
+    "formatReadableDecimalSize" -> (es => {
+      val x = Cast(es.head, DoubleType)
+      def fmt(div: Double, unit: String) =
+        Concat(Seq(fn("format_string", Literal("%.2f"),
+          Divide(x, Literal(div))), Literal(" " + unit)))
+      CaseWhen(Seq(
+        (LessThan(fn("abs", x), Literal(1000.0)), fmt(1.0, "B")),
+        (LessThan(fn("abs", x), Literal(1e6)), fmt(1e3, "KB")),
+        (LessThan(fn("abs", x), Literal(1e9)), fmt(1e6, "MB")),
+        (LessThan(fn("abs", x), Literal(1e12)), fmt(1e9, "GB"))),
+        fmt(1e12, "TB"))
+    }),
     "dateTimeToSnowflake" -> (es =>
       // Twitter snowflake: ms since 2010-11-04 01:42:54.657 << 22
       fn("shiftleft",

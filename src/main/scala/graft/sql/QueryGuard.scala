@@ -864,6 +864,7 @@ object QueryGuard {
     out = rewriteArrayLiterals(out)
     out = rewriteValuesTableFn(out)
     out = rewriteGenerateRandom(out)
+    out = rewriteCallForms(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
     out = rewriteDateDiffLiteral(out)
@@ -2007,6 +2008,83 @@ object QueryGuard {
           chValuesRewrite(items).foreach { repl =>
             out = out.substring(0, t.start) + repl + out.substring(close + 1)
           }
+        }
+      }
+    }
+    out
+  }
+
+  /** Three call-form shims in one right-to-left token pass:
+    *
+    *   - `CAST(x, 'T')` — ClickHouse's two-argument CAST FUNCTION form
+    *     rewrites to `CAST(x AS T)` with the type through the shared
+    *     CH type shim (Spark's parser owns `CAST` and rejects the
+    *     call form outright);
+    *   - `dateAdd('day', n, d)` and friends — the QUOTED unit loses
+    *     its quotes (Spark's dateadd/timestampadd demand bare unit
+    *     keywords; values outside the unit vocabulary are left quoted
+    *     so the builtin's own loud error names the problem);
+    *   - `trunc(x[, n])` with a NON-STRING second argument (or one
+    *     argument) renames to the registered numeric `truncate` —
+    *     Spark's builtin `trunc` is DATE truncation and would
+    *     otherwise return a silent NULL for `trunc(12.7, 1)`;
+    *     `trunc(d, 'month')` keeps the builtin.
+    */
+  private[sql] def rewriteCallForms(sql: String): String = {
+    val dateFns = Set("DATEADD", "DATE_ADD", "DATESUB", "DATE_SUB",
+      "TIMESTAMPADD", "TIMESTAMP_ADD", "TIMESTAMPSUB", "TIMESTAMP_SUB",
+      "DATESUBTRACT")
+    val units = Set("YEAR", "QUARTER", "MONTH", "WEEK", "DAY",
+      "DAYOFYEAR", "HOUR", "MINUTE", "SECOND", "MILLISECOND",
+      "MICROSECOND")
+    var out = sql
+    val ts = normalizeScan(out)
+    ts.indices.reverse.foreach { i =>
+      val t = ts(i)._1
+      val up = t.upper
+      val openIdx = {
+        val after = out.indexWhere(!_.isWhitespace, t.end)
+        if (after >= 0 && out.charAt(after) == '(') after else -1
+      }
+      if (openIdx >= 0) {
+        lazy val close = matchParenAt(out, openIdx)
+        lazy val inner = out.substring(openIdx + 1, close)
+        lazy val args = splitTopLevel(inner).map(_.trim)
+        if (up == "CAST" && close > openIdx && args.size == 2 &&
+          args(1).length >= 2 && args(1).head == '\'' &&
+          args(1).last == '\'') {
+          val ty = args(1).substring(1, args(1).length - 1)
+          val sparkTy = mapChType(ty).getOrElse(ty)
+          out = out.substring(0, openIdx + 1) + args.head +
+            " AS " + sparkTy + out.substring(close)
+        } else if (dateFns(up) && close > openIdx && args.size == 3 && {
+          val h = args.head
+          val bare =
+            if (h.length >= 2 && h.head == '\'' && h.last == '\'')
+              h.substring(1, h.length - 1).toUpperCase
+            else h.toUpperCase
+          units(bare)
+        }) {
+          val h = args.head
+          val bare =
+            if (h.length >= 2 && h.head == '\'' && h.last == '\'')
+              h.substring(1, h.length - 1).toUpperCase
+            else h.toUpperCase
+          // the *Sub spellings negate the quantity into dateadd:
+          // Spark ships no subtract form, and a registry builder
+          // cannot consume the bare unit keyword (the analyzer
+          // resolves arguments before functions)
+          val isSub = up.contains("SUB")
+          val fnName =
+            if (isSub) "dateadd" else out.substring(t.start, t.end)
+          val qty = if (isSub) s"-(${args(1)})" else args(1)
+          out = out.substring(0, t.start) + fnName + "(" + bare +
+            ", " + qty + ", " + args(2) + out.substring(close)
+        } else if (up == "TRUNC" && close > openIdx &&
+          (args.size == 1 ||
+            (args.size == 2 && !args(1).headOption.contains('\'')))) {
+          out = out.substring(0, t.start) + "truncate" +
+            out.substring(t.end)
         }
       }
     }

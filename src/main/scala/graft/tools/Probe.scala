@@ -354,7 +354,28 @@ object Probe {
     "explain_estimate" ->
       "EXPLAIN ESTIMATE SELECT * FROM orders WHERE o_orderkey < 10",
     "explain_ast" -> "EXPLAIN AST SELECT 1",
-    "explain_settings" -> "EXPLAIN header = 1, json = 0 SELECT 1"
+    "explain_settings" -> "EXPLAIN header = 1, json = 0 SELECT 1",
+    // ---- round-13 wave 6 ----
+    "cast_fn_form" ->
+      "SELECT CAST(o_orderkey, 'UInt32') AS a, CAST('1.5', 'Float64') AS b FROM orders LIMIT 3",
+    "position_in_form" ->
+      "SELECT position('lo' IN 'hello') AS p",
+    "tuple_in" ->
+      "SELECT count() AS n FROM orders WHERE (o_orderstatus, o_orderpriority) IN (('O', '1-URGENT'), ('F', '2-HIGH'))",
+    "sum_count" ->
+      "SELECT sumCount(o_totalprice) AS sc, countEqual([1, 2, 1], 1) AS ce FROM orders",
+    "date_add_unit" ->
+      "SELECT dateAdd('day', 3, toDate('2024-01-01')) AS a, dateAdd(DAY, 3, toDate('2024-01-01')) AS b, dateSub('month', 1, toDate('2024-03-15')) AS c, toDateTime('2024-01-01 00:00:00') + INTERVAL 2 HOUR AS d",
+    "round_negative" ->
+      "SELECT round(1234.5, -2) AS r, trunc(12.789, 1) AS t, truncate(12.789) AS t0, floor(12.7, 0) AS f",
+    "exp_log" ->
+      "SELECT exp10(3) AS e10, intExp2(10) AS i2, intExp10(3) AS i10, log1p(0.0) AS l1",
+    "concat_coerce" ->
+      "SELECT concat('k=', o_orderkey) AS c, concat(o_orderstatus, '-', o_totalprice) AS c2 FROM orders LIMIT 3",
+    "readable_decimal" ->
+      "SELECT formatReadableDecimalSize(1234567) AS d",
+    "day_of_week_mode" ->
+      "SELECT toDayOfWeek(toDate('2024-01-07')) AS d0, toDayOfWeek(toDate('2024-01-07'), 1) AS d1, toQuarter(toDate('2024-05-05')) AS q"
   )
 
   def main(args: Array[String]): Unit = {

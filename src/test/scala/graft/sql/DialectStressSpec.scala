@@ -811,6 +811,38 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(p.rows.head(0).toString.toLong == 3)
   }
 
+  test("CAST(x, 'T') function form; quoted date units; numeric trunc") {
+    val r = ex.run(
+      """SELECT CAST('300', 'Int64') AS a, CAST(1.9, 'UInt8') AS b,
+        |  toString(dateAdd('day', 3, toDate('2024-01-01'))) AS c,
+        |  toString(dateAdd(DAY, 3, toDate('2024-01-01'))) AS c2,
+        |  toString(dateSub('month', 1, toDate('2024-03-15'))) AS d,
+        |  trunc(12.789, 1) AS t1, trunc(-12.789, 1) AS t2,
+        |  truncate(12.789) AS t0,
+        |  exp10(3) AS e10, intExp2(10) AS i2, intExp10(3) AS i10,
+        |  formatReadableDecimalSize(1234567) AS rd""".stripMargin)
+    val h = r.rows.head
+    assert(h(0).toString.toLong == 300)
+    assert(h(1).toString.toInt == 1)
+    assert(h(2).toString.startsWith("2024-01-04"))
+    assert(h(3).toString.startsWith("2024-01-04"))
+    assert(h(4).toString.startsWith("2024-02-15"))
+    assert(h(5).toString.toDouble == 12.7)
+    assert(h(6).toString.toDouble == -12.7) // toward zero, not floor
+    assert(h(7).toString.toDouble == 12.0)
+    assert(h(8).toString.toDouble == 1000.0)
+    assert(h(9).toString.toLong == 1024L)
+    assert(h(10).toString.toLong == 1000L)
+    assert(h(11) == "1.23 MB")
+    // Spark's own forms keep their readings: date trunc with a quoted
+    // format, 2-arg date_sub, and a table column named cast-like text
+    val s = ex.run(
+      """SELECT toString(trunc(toDate('2024-05-15'), 'month')) AS m,
+        |  toString(date_sub(toDate('2024-01-10'), 3)) AS ds""".stripMargin)
+    assert(s.rows.head(0) == "2024-05-01")
+    assert(s.rows.head(1) == "2024-01-07")
+  }
+
   test("Tuple(...) CAST types translate; positional access survives") {
     val r = ex.run(
       """SELECT CAST(tuple(1, 'x') AS Tuple(a Int32, b String)).1 AS f,
