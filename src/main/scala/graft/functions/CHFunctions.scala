@@ -2847,6 +2847,18 @@ object CHFunctions {
       "sleepEachRow() is not served: the engine does not block worker " +
         "threads on query-side timers")),
     "widthBucket" -> (es => fn("width_bucket", es: _*)),
+    // CH round() is BANKER'S (half-to-even) for floats — Spark's
+    // builtin rounds half UP, so a pasted round(2.5) answered 3 where
+    // CH says 2 (the same silent-boundary class as the r12 length/rand
+    // renames). SERVED-PATH-ONLY via the roundCH rename in
+    // QueryGuard.rewriteDigestNames — a registry override of `round`
+    // would also capture Spark 4's name-resolved DataFrame API and
+    // flip every internal pipeline operator off its DuckDB-parity
+    // contract. Documented deviation: CH rounds DECIMAL
+    // half-away-from-zero; the rename applies half-to-even there too
+    // (the served float-literal shim makes bare decimal literals
+    // Float64, so the float reading dominates pasted queries).
+    "roundCH" -> (es => fn("bround", es: _*)),
     // numeric truncation toward zero (Spark's `trunc` builtin is DATE
     // truncation — the served path renames numeric-arg trunc here).
     // x binds ONCE via the one-element-array transform (sign dispatch

@@ -1568,7 +1568,7 @@ object ChSurface {
         |  count() AS n
         |FROM orders GROUP BY pri ORDER BY pri""".stripMargin,
       Some("""SELECT o_orderpriority AS pri,
-        |  round(quantile_cont(o_totalprice, 0.5), 2) AS med,
+        |  round_even(quantile_cont(o_totalprice, 0.5), 2) AS med,
         |  CAST(least(count(DISTINCT o_custkey % 7), 4) AS BIGINT) AS upto,
         |  count(*) AS n
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -2190,7 +2190,7 @@ object ChSurface {
         |  CAST(COALESCE(max(o_orderkey % 100), 0) AS BIGINT) AS md,
         |  CAST(count(o_orderkey) AS BIGINT) AS cd,
         |  CAST(NULLIF(count(o_orderkey), 0) AS BIGINT) AS cn,
-        |  round(COALESCE(avg(CAST(floor(o_totalprice) AS BIGINT)), 0), 2) AS ad
+        |  round_even(COALESCE(avg(CAST(floor(o_totalprice) AS BIGINT)), 0), 2) AS ad
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |WHERE c_custkey <= 200
         |GROUP BY c_custkey ORDER BY k""".stripMargin)),

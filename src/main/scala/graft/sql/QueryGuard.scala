@@ -110,12 +110,42 @@ object QueryGuard {
     Some(text.linesIterator.toSeq.toDF("explain"))
   }
 
+  /** The served renames (length/rand/round/digests/char → *CH, see
+    * [[rewriteDigestNames]]) leak into AUTO-GENERATED column names —
+    * an unaliased `SELECT round(x, 2)` or an APPLY-expanded
+    * `round(sum(q) / 100, 2)` would surface as `roundCH(...)`, a
+    * schema-level divergence from what CH names the column. Restore
+    * the pasted spelling in the result schema (aliased columns are
+    * untouched — the rename token can only appear in a name the
+    * ENGINE generated from the rewritten text). */
+  private def restoreRenamedNames(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val renamed = Seq("MD5CH(", "SHA1CH(", "SHA224CH(", "SHA256CH(",
+      "SHA384CH(", "SHA512CH(", "lengthCH(", "randCH(", "charCH(",
+      "roundCH(", "dateDiffCH(")
+    def restore(n: String): String = {
+      var out = n
+      renamed.foreach { r =>
+        if (out.contains(r)) out = out.replace(r, r.stripSuffix("CH(") + "(")
+      }
+      out
+    }
+    val cols = df.columns
+    val restored = cols.map(restore)
+    if (cols.sameElements(restored)) df else df.toDF(restored: _*)
+  }
+
   def plan(spark: SparkSession, sql: String)
       : org.apache.spark.sql.DataFrame = {
     tryExplain(spark, sql) match {
       case Some(df) => return df
       case None =>
     }
+    restoreRenamedNames(planned(spark, sql))
+  }
+
+  private def planned(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame = {
     val normalized = normalizeDialect(sql)
     try planNormalized(spark, normalized)
     catch {
@@ -985,8 +1015,10 @@ object QueryGuard {
     // string; Spark's builtin is 1-ary) — but ONLY in call position
     // that is not a CAST/:: type (`CAST(x AS CHAR(5))`, `x::char(8)`
     // must keep Spark's type reading), hence the preceding-token guard.
+    // ROUND too: CH round() is half-to-even for floats where Spark's
+    // builtin rounds half up — roundCH resolves to bround
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512", "LENGTH", "RAND", "CHAR")
+      "SHA512", "LENGTH", "RAND", "CHAR", "ROUND")
     val ts = normalizeScan(sql)
     var out = sql
     ts.indices.reverse.foreach { i =>

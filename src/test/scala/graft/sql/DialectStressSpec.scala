@@ -811,6 +811,25 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(p.rows.head(0).toString.toLong == 3)
   }
 
+  test("served round() is banker's (half-to-even), like ClickHouse") {
+    val r = ex.run(
+      """SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,
+        |  round(2.675, 2) AS d, round(0.125, 2) AS e""".stripMargin)
+    val h = r.rows.head
+    assert(h(0).toString.toDouble == 2.0) // half-to-even, not 3
+    assert(h(1).toString.toDouble == 4.0)
+    assert(h(2).toString.toDouble == -2.0)
+    // 0.125 is exactly representable: half-to-even gives .12, not .13
+    assert(h(4).toString.toDouble == 0.12)
+    // the rename is served-path-only: the DataFrame API (and the
+    // pipeline operators built on it) keep Spark's half-up reading
+    val api = spark.sql("SELECT 1")
+      .select(org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.lit(2.5)))
+      .collect().head.get(0).toString.toDouble
+    assert(api == 3.0)
+  }
+
   test("CAST(x, 'T') function form; quoted date units; numeric trunc") {
     val r = ex.run(
       """SELECT CAST('300', 'Int64') AS a, CAST(1.9, 'UInt8') AS b,
