@@ -2847,6 +2847,30 @@ object CHFunctions {
       "sleepEachRow() is not served: the engine does not block worker " +
         "threads on query-side timers")),
     "widthBucket" -> (es => fn("width_bucket", es: _*)),
+    // CH format('{} costs {}', a, b): {}-placeholders (bare = in
+    // order, {N} = 0-based indexed) over a LITERAL format string →
+    // format_string with reordered args. NOTE: least/greatest keep
+    // Spark's null-SKIPPING reading (CH propagates NULL) — a
+    // documented deviation; several dialect queries rely on the
+    // skip form (coalesce(least(nullif(..), ..)) idioms).
+    "format" -> (es => {
+      val fmt = es.head match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          s.toString
+        case other => throw new IllegalArgumentException(
+          s"format expects a literal format string, got $other")
+      }
+      val holes = "\\{([0-9]*)\\}".r.findAllMatchIn(fmt).toSeq
+      var next = 0
+      val order = holes.map { m =>
+        if (m.group(1).isEmpty) { val k = next; next += 1; k }
+        else m.group(1).toInt
+      }
+      val spark = "\\{[0-9]*\\}".r
+        .replaceAllIn(fmt.replace("%", "%%"), "%s")
+      fn("format_string", Literal(spark) +:
+        order.map(k => Cast(es(k + 1), StringType)): _*)
+    }),
     // CH round() is BANKER'S (half-to-even) for floats — Spark's
     // builtin rounds half UP, so a pasted round(2.5) answered 3 where
     // CH says 2 (the same silent-boundary class as the r12 length/rand

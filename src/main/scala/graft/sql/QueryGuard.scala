@@ -902,6 +902,7 @@ object QueryGuard {
     out = rewriteLimitComma(out)
     out = rewriteSelectTop(out)
     out = rewriteTupleAccess(out)
+    out = rewriteNullOrdering(out)
     out
   }
 
@@ -2040,6 +2041,75 @@ object QueryGuard {
           chValuesRewrite(items).foreach { repl =>
             out = out.substring(0, t.start) + repl + out.substring(close + 1)
           }
+        }
+      }
+    }
+    out
+  }
+
+  /** ClickHouse sorts NULL (and NaN) as GREATER than every value:
+    * ascending puts them LAST, descending FIRST. Spark's defaults are
+    * the exact opposite (NULL smallest) — so a pasted
+    * `ORDER BY nullable LIMIT 5` silently returns the NULL rows where
+    * CH returns the smallest values: a wrong-rows answer, not just a
+    * different display order. Every ORDER BY item (statement-level,
+    * subqueries, window OVER clauses) without an EXPLICIT NULLS
+    * modifier gets CH's default appended; items carrying their own
+    * NULLS FIRST/LAST, and WITH FILL axes (dense generated ranges —
+    * the fill shim owns their ordering), are left alone. */
+  private[sql] def rewriteNullOrdering(sql: String): String = {
+    val terminators = Set("LIMIT", "SETTINGS", "FORMAT", "INTO",
+      "UNION", "EXCEPT", "INTERSECT", "WINDOW", "ROWS", "RANGE",
+      "GROUPS", "QUALIFY", "FETCH", "OFFSET", "FOR")
+    val ts = normalizeScan(sql)
+    var out = sql
+    ts.indices.reverse.foreach { i =>
+      val (t, d) = ts(i)
+      if (t.upper == "ORDER" && i + 1 < ts.length &&
+        ts(i + 1)._1.upper == "BY" && ts(i + 1)._2 == d) {
+        val start = ts(i + 1)._1.end
+        // region end: first same-depth terminator token, or the char
+        // where depth drops below d (the enclosing paren closes)
+        val tokEnd = ts.indexWhere(
+          { case (tt, dd) => dd == d && terminators(tt.upper) &&
+            tt.start > start }, i + 2) match {
+          case -1 => out.length
+          case j => ts(j)._1.start
+        }
+        var end = start
+        var depth = 0
+        var done = false
+        while (!done && end < tokEnd) {
+          val c = out.charAt(end)
+          if (c == '\'' || c == '"' || c == '`') {
+            val q = c; end += 1
+            var in = true
+            while (in && end < tokEnd) {
+              if (out.charAt(end) == '\\' && q != '`') end += 2
+              else if (out.charAt(end) == q) { in = false; end += 1 }
+              else end += 1
+            }
+          } else if (c == '(') { depth += 1; end += 1 }
+          else if (c == ')') {
+            if (depth == 0) done = true else { depth -= 1; end += 1 }
+          } else end += 1
+        }
+        val region = out.substring(start, end)
+        if (region.trim.nonEmpty) {
+          val items = splitTopLevel(region)
+          val fixed = items.map { raw =>
+            val item = raw.trim
+            val up = item.toUpperCase.replaceAll("\\s+", " ")
+            if (item.isEmpty ||
+              up.matches("(?s).*NULLS (FIRST|LAST)$") ||
+              up.contains("WITH FILL") || up.contains("INTERPOLATE"))
+              raw
+            else if (up.endsWith(" DESC")) raw + " NULLS FIRST"
+            else raw + " NULLS LAST"
+          }
+          if (fixed != items)
+            out = out.substring(0, start) + " " +
+              fixed.map(_.trim).mkString(", ") + " " + out.substring(end)
         }
       }
     }

@@ -1122,6 +1122,19 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(4) && r.getBoolean(5))
   }
 
+  test("format() expands {} and {N} placeholders over format_string") {
+    val r = one(
+      """SELECT format('{} owes {}', 'a', 42),
+        |  format('{1} then {0}', 'first', 'second'),
+        |  format('100% sure: {}', 'yes'),
+        |  format('no holes')""".stripMargin)
+    assert(r.getString(0) == "a owes 42")
+    assert(r.getString(1) == "second then first")
+    // CH format has no %-escaping — a literal % passes through
+    assert(r.getString(2) == "100% sure: yes")
+    assert(r.getString(3) == "no holes")
+  }
+
   test("URL part names: queryString/fragment/netloc/queryStringAndFragment") {
     val r = one(
       """SELECT queryString('https://h/p?a=1&b=2'),

@@ -811,6 +811,32 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(p.rows.head(0).toString.toLong == 3)
   }
 
+  test("ORDER BY sorts NULLs as GREATEST, like ClickHouse") {
+    // ASC: NULLs last — the LIMIT keeps real values, not the NULL rows
+    // (Spark's default NULLS FIRST would return the NULLs: wrong ROWS,
+    // not just a different display order)
+    val asc = ex.run(
+      """SELECT nullIf(o_orderkey % 3, 0) AS v FROM orders
+        |WHERE o_orderkey <= 9 ORDER BY v LIMIT 3""".stripMargin)
+    assert(asc.rows.forall(_(0) != null), asc.rows.mkString(","))
+    // DESC: NULLs first
+    val desc = ex.run(
+      """SELECT nullIf(o_orderkey % 3, 0) AS v FROM orders
+        |WHERE o_orderkey <= 9 ORDER BY v DESC LIMIT 3""".stripMargin)
+    assert(desc.rows.forall(_(0) == null), desc.rows.mkString(","))
+    // an EXPLICIT modifier wins over the CH default
+    val explicit = ex.run(
+      """SELECT nullIf(o_orderkey % 3, 0) AS v FROM orders
+        |WHERE o_orderkey <= 9 ORDER BY v NULLS FIRST LIMIT 3""".stripMargin)
+    assert(explicit.rows.forall(_(0) == null))
+    // window ORDER BY rides the same default: rank NULLs greatest
+    val win = ex.run(
+      """SELECT v, rank() OVER (ORDER BY v) AS r FROM
+        |  (SELECT nullIf(o_orderkey % 3, 0) AS v FROM orders
+        |   WHERE o_orderkey <= 9) t ORDER BY r LIMIT 2""".stripMargin)
+    assert(win.rows.forall(_(0) != null))
+  }
+
   test("served round() is banker's (half-to-even), like ClickHouse") {
     val r = ex.run(
       """SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,
