@@ -151,7 +151,41 @@ object CHFunctions {
     val sparkTy = graft.sql.QueryGuard.mapChType(tyStr).getOrElse(tyStr)
     val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
       .parseDataType(sparkTy)
-    Cast(es.head, dt, None, if (orNull) EvalMode.TRY else EvalMode.ANSI)
+    val cast =
+      Cast(es.head, dt, None, if (orNull) EvalMode.TRY else EvalMode.ANSI)
+    // UInt targets land in the NEXT signed Spark width (the engine's
+    // documented unsigned tradeoff) — which would let -1 or 300 slip
+    // through an 'accurate' UInt8 cast. Enforce CH's actual unsigned
+    // bounds on the CAST RESULT: out-of-range → NULL (OrNull) / a
+    // loud ANSI overflow via a deliberate narrow cast (plain form).
+    // The cast result binds once (x -> bound check + return).
+    val uintMax: Option[Long] = tyStr.trim.toLowerCase match {
+      case t if t.startsWith("uint8") => Some(255L)
+      case t if t.startsWith("uint16") => Some(65535L)
+      case t if t.startsWith("uint32") => Some(4294967295L)
+      case t if t.startsWith("uint64") => Some(Long.MaxValue)
+      case _ => None
+    }
+    uintMax match {
+      case None => cast
+      case Some(max) =>
+        val v = UnresolvedNamedLambdaVariable(Seq("acv"))
+        val inRange = And(
+          GreaterThanOrEqual(Cast(v, LongType), Literal(0L)),
+          LessThanOrEqual(Cast(v, LongType), Literal(max)))
+        val checked =
+          if (orNull) If(inRange, v, Literal.create(null, dt))
+          else If(inRange, v,
+            // out of unsigned range: throw like CH, with a message
+            // that names the actual contract
+            Cast(fn("raise_error", Literal(
+              s"accurateCast: value out of range for ${tyStr.trim}" +
+                s" [0, $max]")), dt))
+        ElementAt(
+          ArrayTransform(CreateArray(Seq(cast)),
+            LambdaFunction(checked, Seq(v))),
+          Literal(1), None, failOnError = false)
+    }
   }
 
   /** bitmaskToArray/bitmaskToList share this: the set bits of n as

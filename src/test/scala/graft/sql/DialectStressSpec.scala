@@ -727,6 +727,21 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.head(3).toString.toInt == 77)
     // the non-OrNull form throws like CH on out-of-range
     assert(ex.runSafe("SELECT accurateCast(300, 'Int8') AS x").isLeft)
+    // UNSIGNED targets enforce CH's actual bounds even though the
+    // storage type is the next signed width: -1 and 300 are outside
+    // UInt8 [0, 255]
+    val u = ex.run(
+      """SELECT accurateCastOrNull(-1, 'UInt8') AS a,
+        |  accurateCastOrNull(300, 'UInt8') AS b,
+        |  accurateCastOrNull(200, 'UInt8') AS c,
+        |  accurateCastOrNull(70000, 'UInt16') AS d,
+        |  accurateCast(40000, 'UInt16') AS e""".stripMargin)
+    assert(u.rows.head(0) == null && u.rows.head(1) == null)
+    assert(u.rows.head(2).toString.toInt == 200)
+    assert(u.rows.head(3) == null)
+    assert(u.rows.head(4).toString.toInt == 40000)
+    val err = ex.runSafe("SELECT accurateCast(-1, 'UInt8') AS x")
+    assert(err.isLeft)
   }
 
   test("char() renames to the N-ary CH form only in call position") {
