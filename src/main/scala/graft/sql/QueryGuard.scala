@@ -1290,7 +1290,7 @@ object QueryGuard {
     * (the SYSTEM token preceded by a dot) is left alone. */
   private def rewriteSystemQualifiers(sql: String): String = {
     val names = Set("tables", "columns", "databases", "functions",
-      "one", "numbers", "numbers_mt", "parts")
+      "one", "numbers", "numbers_mt", "parts", "settings")
     val ts = normalizeScan(sql)
     var out = sql
     ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>

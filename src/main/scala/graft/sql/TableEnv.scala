@@ -43,6 +43,37 @@ object TableEnv {
       // CH's multithreaded variant — same rows, and the Range leaf
       // already splits across cores here
       numbers.createOrReplaceTempView("system_numbers_mt")
+      // system.settings: the engine knobs a CH user checks when
+      // debugging (SELECT * FROM system.settings WHERE changed) —
+      // CH's (name, value, changed, description) shape over the live
+      // session confs plus the serving limits
+      import spark.implicits._
+      val defaults = Map(
+        "spark.sql.shuffle.partitions" -> "200",
+        "spark.sql.session.timeZone" -> "",
+        "spark.sql.ansi.enabled" -> "true",
+        "spark.sql.adaptive.enabled" -> "true")
+      val settings = Seq(
+        ("max_threads", spark.sparkContext.defaultParallelism.toString,
+          0.toShort, "scheduling parallelism (Spark cores)"),
+        ("shuffle_partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"),
+          (if (spark.conf.get("spark.sql.shuffle.partitions") !=
+            defaults("spark.sql.shuffle.partitions")) 1 else 0).toShort,
+          "spark.sql.shuffle.partitions"),
+        ("session_timezone",
+          spark.conf.get("spark.sql.session.timeZone", "UTC"),
+          1.toShort, "spark.sql.session.timeZone"),
+        ("ansi_mode", spark.conf.get("spark.sql.ansi.enabled", "true"),
+          0.toShort,
+          "ANSI arithmetic (integer ops wrap via the CH bridge)"),
+        ("adaptive_execution",
+          spark.conf.get("spark.sql.adaptive.enabled", "true"),
+          0.toShort, "AQE runtime re-planning"),
+        ("readonly", "1", 1.toShort,
+          "SELECT-only guard on the served path"))
+      settings.toDF("name", "value", "changed", "description")
+        .createOrReplaceTempView("system_settings")
     }
 
   /** Mount an extra parquet directory as a session-catalog DATABASE,

@@ -826,6 +826,20 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(p.rows.head(0).toString.toLong == 3)
   }
 
+  test("system.settings serves the engine knobs; SETTINGS strip unharmed") {
+    val r = ex.run(
+      "SELECT name, value FROM system.settings WHERE changed = 1 ORDER BY name")
+    assert(r.rows.nonEmpty)
+    val all = ex.run("SELECT name FROM system.settings ORDER BY name")
+    assert(all.rows.map(_(0).toString).contains("readonly"))
+    assert(all.rows.map(_(0).toString).contains("max_threads"))
+    // the dotted name survives the SETTINGS-tail stripper in every
+    // following-clause shape
+    assert(ex.run("SELECT count() AS n FROM system.settings").rows.size == 1)
+    assert(ex.run(
+      "SELECT name FROM system.settings LIMIT 2").rows.size == 2)
+  }
+
   test("ORDER BY sorts NULLs as GREATEST, like ClickHouse") {
     // ASC: NULLs last — the LIMIT keeps real values, not the NULL rows
     // (Spark's default NULLS FIRST would return the NULLs: wrong ROWS,
