@@ -201,7 +201,14 @@ object GuidePrompt {
       |the engine actually plans — the right way to debug a pasted
       |query), the other modes return the engine's plan tree; one
       |`explain` column, one row per line. `x IN [1, 2, 3]` reads the
-      |bracket as the membership list, as ClickHouse does.
+      |bracket as the membership list, as ClickHouse does. The
+      |two-argument `CAST(x, 'Type')` call form, quoted units in
+      |`dateAdd('day', n, d)` (and the dateSub spellings), and numeric
+      |`trunc(x, n)` all carry their ClickHouse readings. `round()` is
+      |half-to-even on the served path like ClickHouse (roundBankers
+      |agrees); ORDER BY sorts NULLs as the GREATEST value (ascending
+      |last, descending first) unless an explicit NULLS FIRST/LAST
+      |says otherwise; `system.settings` lists the engine knobs.
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or
