@@ -443,4 +443,56 @@ class DialectFuzzSpec extends graft.SparkSpec {
     if (failures.nonEmpty)
       fail(s"${failures.size} failing case(s); first:\n${failures.head}")
   }
+
+  test("NULL ordering × direction × position × modifier: the LIMIT " +
+    "keeps CH's rows (NULL greatest), value-checked (36 cases)") {
+    assert(ready)
+    // self-contained nullable source (also exercises the values()
+    // table function): 6 distinct values + 3 NULLs
+    val src = "values('v Nullable(Int64), k Int64', " +
+      "(10, 1), (NULL, 2), (20, 3), (NULL, 4), (30, 5), (40, 6), " +
+      "(NULL, 7), (50, 8), (60, 9)) t"
+    // (orderSuffix, expectNullsInLimit) — CH: NULL sorts GREATEST
+    val dirs = Seq(
+      ("", false), (" ASC", false), (" DESC", true),
+      (" NULLS FIRST", true), (" ASC NULLS FIRST", true),
+      (" DESC NULLS LAST", false))
+    val shapes = Seq[(String, String) => String](
+      // statement-level ORDER BY + LIMIT
+      (sfx, _) => s"SELECT v FROM $src ORDER BY v$sfx LIMIT 3",
+      // subquery ORDER BY + LIMIT, outer reads through
+      (sfx, _) =>
+        s"SELECT v FROM (SELECT v FROM $src ORDER BY v$sfx LIMIT 3) s",
+      // window rank over the same ordering — rank 1..3 slice
+      (sfx, _) =>
+        s"SELECT v FROM (SELECT v, rank() OVER (ORDER BY v$sfx) AS r" +
+          s" FROM $src) w WHERE r <= 3")
+    // a second ORDER BY item must not disturb the first's default
+    val tails = Seq("", ", k")
+    val failures = for {
+      (sfx, nullsKept) <- dirs
+      shape <- shapes
+      tail <- tails
+      stmt = shape(sfx + tail, "")
+      f <- {
+        try {
+          val vs = QueryGuard.plan(spark, stmt).collect().map(_.get(0))
+          val gotNulls = vs.count(_ == null)
+          val bad =
+            if (nullsKept && gotNulls != 3)
+              Some(s"want 3 NULLs kept, got $gotNulls")
+            else if (!nullsKept && gotNulls != 0)
+              Some(s"want 0 NULLs kept, got $gotNulls")
+            else None
+          bad.map(b => s"$b: $stmt")
+        } catch {
+          case e: Throwable => Some(
+            s"DIED ${Option(e.getMessage).getOrElse("")
+              .linesIterator.take(1).mkString.take(100)}: $stmt")
+        }
+      }
+    } yield f
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+  }
 }
