@@ -108,6 +108,25 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("Scan parquet"), plan.take(400))
   }
 
+  test("generateRandom and values() stay scan-free leaves") {
+    graft.sql.TableEnv.register(spark, sf)
+    // generateRandom = lazy Range + projected hash columns: a LIMIT
+    // stops generation; nothing reads the warehouse
+    val gr = graft.sql.QueryGuard.plan(spark,
+      "SELECT a, s FROM generateRandom('a Int64, s String', 7) LIMIT 5")
+    gr.collect()
+    val grPlan = gr.queryExecution.executedPlan.toString()
+    assert(grPlan.contains("Range"), grPlan.take(400))
+    assert(!grPlan.contains("Scan parquet"), grPlan.take(400))
+    // values() = a LocalRelation-backed inline table, also scan-free
+    val v = graft.sql.QueryGuard.plan(spark,
+      "SELECT a FROM values('a Int64', (1), (2)) ORDER BY a")
+    v.collect()
+    val vPlan = v.queryExecution.optimizedPlan.toString()
+    assert(!vPlan.contains("Relation") || vPlan.contains("LocalRelation"),
+      vPlan.take(400))
+  }
+
   test("minhash candidate generation uses a bounded number of shuffles") {
     // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
     val n = countShuffles(Dedup.dedupMinhash(spark, sf))
