@@ -2440,7 +2440,25 @@ object ChSurface {
         |  round(m4 / pow(vs, 2), 6) AS kus,
         |  round(m3 / pow(vp, 1.5), 6) AS skp,
         |  round(m4 / pow(vp, 2), 6) AS kup
-        |FROM mm""".stripMargin)))
+        |FROM mm""".stripMargin)),
+
+    // round-13: CH's QUALIFY clause (post-window filter Spark lacks a
+    // clause for) — latest order per customer, then top spenders among
+    // those. DuckDB speaks QUALIFY natively, so the oracle is the
+    // identical statement.
+    ("q_qualify",
+      """SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC,
+        |                                    o_orderkey DESC) = 1
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin,
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_orderdate DESC,
+        |                                    o_orderkey DESC) = 1
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

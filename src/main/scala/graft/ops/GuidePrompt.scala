@@ -208,7 +208,8 @@ object GuidePrompt {
       |half-to-even on the served path like ClickHouse (roundBankers
       |agrees); ORDER BY sorts NULLs as the GREATEST value (ascending
       |last, descending first) unless an explicit NULLS FIRST/LAST
-      |says otherwise; `system.settings` lists the engine knobs.
+      |says otherwise; `system.settings` lists the engine knobs. `QUALIFY <pred>`
+      |filters on window-function results, as in ClickHouse.
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

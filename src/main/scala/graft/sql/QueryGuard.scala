@@ -902,6 +902,7 @@ object QueryGuard {
     out = rewriteLimitComma(out)
     out = rewriteSelectTop(out)
     out = rewriteTupleAccess(out)
+    out = rewriteQualify(out)
     out = rewriteNullOrdering(out)
     out
   }
@@ -2042,6 +2043,87 @@ object QueryGuard {
             out = out.substring(0, t.start) + repl + out.substring(close + 1)
           }
         }
+      }
+    }
+    out
+  }
+
+  /** ClickHouse's `QUALIFY <pred>` — a post-window filter Spark has no
+    * clause for. Standard wrap rewrite, innermost-first:
+    *
+    *   SELECT <sel> FROM <rest> QUALIFY <pred> <tail>
+    *   → SELECT * EXCEPT (__graft_q) FROM
+    *       (SELECT <sel>, (<pred>) AS __graft_q FROM <rest>) __gq
+    *     WHERE __graft_q <tail>
+    *
+    * The predicate's window functions evaluate in the inner select
+    * (legal position), the outer WHERE applies the boolean, and the
+    * ORDER BY / LIMIT tail stays outside so it sees the filtered
+    * rows. GROUP BY inside <rest> composes: the window runs over the
+    * aggregated rows, as in CH. */
+  private[sql] def rewriteQualify(sql: String): String = {
+    val tailKw = Set("ORDER", "LIMIT", "SETTINGS", "FORMAT", "INTO",
+      "UNION", "EXCEPT", "INTERSECT", "OFFSET")
+    var out = sql
+    var guard = 0
+    var found = true
+    while (found && guard < 16) {
+      guard += 1
+      found = false
+      val ts = normalizeScan(out)
+      // innermost-last in a reverse scan: take the LAST (deepest-right)
+      // QUALIFY each pass and restart, so nested occurrences resolve
+      ts.indices.reverse.find(i => ts(i)._1.upper == "QUALIFY").foreach {
+        qi =>
+          val (qt, qd) = ts(qi)
+          // the matching SELECT: nearest preceding same-depth SELECT
+          val si = (0 until qi).reverse.find(j =>
+            ts(j)._2 == qd && ts(j)._1.upper == "SELECT")
+          // the select list's FROM: first same-depth FROM after SELECT
+          val fi = si.flatMap(s => ((s + 1) until qi).find(j =>
+            ts(j)._2 == qd && ts(j)._1.upper == "FROM"))
+          (si, fi) match {
+            case (Some(s), Some(f)) =>
+              // predicate region: QUALIFY .. first same-depth tail
+              // keyword or the char where the enclosing paren closes
+              val predStart = qt.end
+              val tokEnd = ((qi + 1) until ts.size).find(j =>
+                ts(j)._2 == qd && tailKw(ts(j)._1.upper))
+                .map(j => ts(j)._1.start).getOrElse(out.length)
+              var end = predStart
+              var depth = 0
+              var done = false
+              while (!done && end < tokEnd) {
+                out.charAt(end) match {
+                  case q @ ('\'' | '"' | '`') =>
+                    end += 1
+                    var in = true
+                    while (in && end < tokEnd) {
+                      if (out.charAt(end) == '\\' && q != '`') end += 2
+                      else if (out.charAt(end) == q) { in = false; end += 1 }
+                      else end += 1
+                    }
+                  case '(' => depth += 1; end += 1
+                  case ')' =>
+                    if (depth == 0) done = true else { depth -= 1; end += 1 }
+                  case _ => end += 1
+                }
+              }
+              val pred = out.substring(predStart, end).trim
+              if (pred.isEmpty) throw new ReadOnlyViolation(
+                "QUALIFY needs a predicate")
+              val selStart = ts(s)._1.start
+              val selList = out.substring(ts(s)._1.end, ts(f)._1.start)
+              val rest = out.substring(ts(f)._1.start, qt.start)
+              val rewritten = "SELECT * EXCEPT (__graft_q) FROM (" +
+                "SELECT" + selList + ", (" + pred + ") AS __graft_q " +
+                rest + ") __gq WHERE __graft_q "
+              out = out.substring(0, selStart) + rewritten +
+                out.substring(end)
+              found = true
+            case _ => throw new ReadOnlyViolation(
+              "QUALIFY without a matching SELECT ... FROM")
+          }
       }
     }
     out

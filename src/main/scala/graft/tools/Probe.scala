@@ -341,6 +341,18 @@ object Probe {
       "SELECT damerauLevenshteinDistance('abc', 'acb') AS d, jaroSimilarity('abc', 'abd') > 0 AS j, stringJaccardIndex('apple', 'apples') > 0.5 AS sj, byteHammingDistance('abc', 'abd') AS bh",
     // sleep()/sleepEachRow() reject loudly by design — pinned in
     // DialectStressSpec, not probed (a probe FAIL would read as a gap)
+    "window_clause" ->
+      ("SELECT o_orderkey, sum(o_totalprice) OVER w AS rt FROM orders " +
+        "WINDOW w AS (ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY o_orderkey LIMIT 5"),
+    "qualify_clause" ->
+      ("SELECT o_custkey, o_orderkey FROM orders " +
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1 LIMIT 5"),
+    "setop_modifiers" ->
+      ("SELECT o_orderstatus FROM orders INTERSECT DISTINCT SELECT o_orderstatus FROM orders " +
+        "UNION ALL SELECT 'Z' EXCEPT DISTINCT SELECT 'Q'"),
+    "case_insensitive_fns" ->
+      "SELECT COUNTIF(o_totalprice > 1000) AS a, SUMIF(o_totalprice, o_orderstatus = 'O') AS b, toSTARTofMONTH(o_orderdate) AS m FROM orders GROUP BY m ORDER BY m LIMIT 2",
     "in_bracket" ->
       "SELECT count() AS n FROM orders WHERE o_orderkey IN [1, 2, 3]",
     "not_in_bracket" ->

@@ -826,6 +826,34 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(p.rows.head(0).toString.toLong == 3)
   }
 
+  test("QUALIFY filters on window results; nested and tailed forms") {
+    // one row per customer (the latest order), value-checked
+    val r = ex.run(
+      """SELECT o_custkey, o_orderkey FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |  ORDER BY o_orderkey DESC) = 1
+        |ORDER BY o_custkey LIMIT 10""".stripMargin)
+    assert(r.rows.size == 10)
+    assert(r.rows.map(_(0)).distinct.size == 10) // one per customer
+    // tail ORDER BY + LIMIT see the FILTERED rows; GROUP BY composes
+    val g = ex.run(
+      """SELECT o_orderpriority, count() AS n FROM orders
+        |GROUP BY o_orderpriority
+        |QUALIFY rank() OVER (ORDER BY count() DESC) <= 2
+        |ORDER BY n DESC""".stripMargin)
+    assert(g.rows.size == 2)
+    // nested QUALIFY inside a derived table
+    val nest = ex.run(
+      """SELECT count() AS n FROM (
+        |  SELECT o_custkey FROM orders
+        |  QUALIFY row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey) = 1) t""".stripMargin)
+    assert(nest.rows.head(0).toString.toLong > 0)
+    // predicate required
+    assert(ex.runSafe(
+      "SELECT o_custkey FROM orders QUALIFY ORDER BY o_custkey").isLeft)
+  }
+
   test("system.settings serves the engine knobs; SETTINGS strip unharmed") {
     val r = ex.run(
       "SELECT name, value FROM system.settings WHERE changed = 1 ORDER BY name")
