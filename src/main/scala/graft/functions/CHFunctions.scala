@@ -173,14 +173,18 @@ object CHFunctions {
         val inRange = And(
           GreaterThanOrEqual(Cast(v, LongType), Literal(0L)),
           LessThanOrEqual(Cast(v, LongType), Literal(max)))
+        // NULL input propagates as NULL for every target (signed
+        // targets already do — without the IsNull branch the plain
+        // form's NULL range predicate fell through to raise_error)
         val checked =
           if (orNull) If(inRange, v, Literal.create(null, dt))
-          else If(inRange, v,
-            // out of unsigned range: throw like CH, with a message
-            // that names the actual contract
-            Cast(fn("raise_error", Literal(
-              s"accurateCast: value out of range for ${tyStr.trim}" +
-                s" [0, $max]")), dt))
+          else If(IsNull(v), Literal.create(null, dt),
+            If(inRange, v,
+              // out of unsigned range: throw like CH, with a message
+              // that names the actual contract
+              Cast(fn("raise_error", Literal(
+                s"accurateCast: value out of range for ${tyStr.trim}" +
+                  s" [0, $max]")), dt)))
         ElementAt(
           ArrayTransform(CreateArray(Seq(cast)),
             LambdaFunction(checked, Seq(v))),
@@ -522,17 +526,41 @@ object CHFunctions {
     fn("struct", fn("array_min", hs), fn("array_max", hs))
   }
 
+  /** uniqCombined[64]: bare form at rsd 1%; the 2-arg (precision-
+    * first, from the param-agg shim) form converts CH's HLL
+    * register-count exponent K to the equivalent relative error. */
+  private def uniqCombinedExpr(es: Seq[Expression]): Expression = es match {
+    case Seq(x) => HyperLogLogPlusPlus(x, relativeSD = 0.01)
+    case Seq(k, x) =>
+      val prec = k.eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"uniqCombined precision must be a constant integer, got $other")
+      }
+      require(prec >= 4 && prec <= 20,
+        s"uniqCombined precision must be in [4, 20], got $prec")
+      HyperLogLogPlusPlus(x, relativeSD = 1.04 / math.sqrt(math.pow(2.0, prec)))
+    case other => throw new IllegalArgumentException(
+      s"uniqCombined expects (x) or (precision)(x), got ${other.size} arguments")
+  }
+
   private val baseBuilders: Seq[(String, Builder)] = Seq(
     // approximate + exact distinct
-    "uniq" -> (es => HyperLogLogPlusPlus(es.head)),
+    // CH's uniq/uniqHLL12 land ~0.5-2% practical error; Spark's
+    // default rsd=5% is visibly coarser (1400 vs 1500 exact in the
+    // round-13 verdict) — pin rsd=1% (≈10k HLL registers per group,
+    // still a bounded mergeable sketch at 100 TB)
+    "uniq" -> (es => HyperLogLogPlusPlus(es.head, relativeSD = 0.01)),
     "uniqExact" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
     // the uniq sketch aliases share one HLL implementation (CH's three
     // differ in their internal sketches; all are approximate
-    // cardinalities with similar error)
-    "uniqCombined" -> (es => HyperLogLogPlusPlus(es.head)),
-    "uniqCombined64" -> (es => HyperLogLogPlusPlus(es.head)),
-    "uniqHLL12" -> (es => HyperLogLogPlusPlus(es.head)),
-    "uniqTheta" -> (es => HyperLogLogPlusPlus(es.head)),
+    // cardinalities with similar error). uniqCombined(K)(x) carries
+    // its HLL precision: 2^K registers → rsd ≈ 1.04/√(2^K) (CH
+    // default K=17); the param-agg shim passes K params-first.
+    "uniqCombined" -> (es => uniqCombinedExpr(es)),
+    "uniqCombined64" -> (es => uniqCombinedExpr(es)),
+    "uniqHLL12" -> (es => HyperLogLogPlusPlus(es.head, relativeSD = 0.01)),
+    "uniqTheta" -> (es => HyperLogLogPlusPlus(es.head, relativeSD = 0.01)),
     // groupBitmap = exact distinct cardinality of an integer column
     "groupBitmap" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
     // simpleLinearRegression(x, y) -> (k, b) for y = k·x + b
@@ -646,7 +674,8 @@ object CHFunctions {
     "maxIf" -> (es => fn("max", whenThen(es(1), es.head))),
     // the rest of the common *If combinator family rides the same
     // CASE-WHEN-null shape (aggregates skip nulls)
-    "uniqIf" -> (es => HyperLogLogPlusPlus(whenThen(es(1), es.head))),
+    "uniqIf" -> (es =>
+      HyperLogLogPlusPlus(whenThen(es(1), es.head), relativeSD = 0.01)),
     "uniqExactIf" -> (es =>
       Count(Seq(whenThen(es(1), es.head))).toAggregateExpression(isDistinct = true)),
     "anyIf" -> (es => fn("first", whenThen(es(1), es.head), Literal(true))),
@@ -1789,27 +1818,10 @@ object CHFunctions {
         GreaterThan(Cast(p, DoubleType), xd) -> fn("div", p, Literal(2L))),
         Some(p))
     }),
-    "intExp2" -> (es =>
-      fn("shiftleft", Literal(1L), Cast(es.head, IntegerType))),
-    // exact to 10^18 — string construction sidesteps pow's double grid
-    "intExp10" -> (es => Cast(
-      Concat(Seq(Literal("1"),
-        fn("repeat", Literal("0"), Cast(es.head, IntegerType)))),
-      LongType)),
-
-    // CH transform(x, from, to[, default]): literal-array value
-    // remapping. The bare name also owns Spark's array-lambda
-    // transform, so dispatch on the argument shape.
-    "transform" -> (es => es match {
-      case Seq(a, l: LambdaFunction) => ArrayTransform(a, l)
-      case Seq(x, from, to) => Coalesce(Seq(
-        fn("try_element_at", fn("map_from_arrays", from, to), x), x))
-      case Seq(x, from, to, dflt) => Coalesce(Seq(
-        fn("try_element_at", fn("map_from_arrays", from, to), x), dflt))
-      case other => throw new IllegalArgumentException(
-        s"transform expects (arr, lambda) or (x, from, to[, default]), " +
-          s"got ${other.size} args")
-    }),
+    // (intExp2/intExp10 registered once in the math wave below;
+    // transform's array-position form lives in the HOF wave — the
+    // registry is last-wins, so a second spelling here would silently
+    // shadow, the round-13 duplicate-key hazard.)
 
     // geohash grid (native GeoExpressions): encode defaults to the
     // full 12-character precision, decode returns the cell center
@@ -2732,7 +2744,8 @@ object CHFunctions {
     // full-range UInt64 bits via one hash of one uniform draw
     "rand64" -> (_ => fn("xxhash64", fn("rand"))),
     "randCanonical" -> (_ => fn("rand")),
-    "randNormal" -> (_ => fn("randn")),
+    // (randNormal registered once in the distributions wave: both the
+    // 0-arg standard-normal and (mean, stddev) forms.)
 
     // arrayReduce('agg', arr): CH's aggregate-by-name over an array,
     // dispatched at analysis time onto the SAME builders the names
@@ -2916,7 +2929,10 @@ object CHFunctions {
     // half-away-from-zero; the rename applies half-to-even there too
     // (the served float-literal shim makes bare decimal literals
     // Float64, so the float reading dominates pasted queries).
-    "roundCH" -> (es => fn("bround", es: _*)),
+    // banker's rounding for floats, half-away-from-zero for Decimal —
+    // CH's per-type tie rule (see [[RoundCH]])
+    "roundCH" -> (es => RoundCH(es.head,
+      if (es.size > 1) es(1) else Literal(0))),
     // numeric truncation toward zero (Spark's `trunc` builtin is DATE
     // truncation — the served path renames numeric-arg trunc here).
     // x binds ONCE via the one-element-array transform (sign dispatch
@@ -2940,11 +2956,21 @@ object CHFunctions {
       Cast(es.head, IntegerType))),
     "intExp10" -> (es => Cast(
       Pow(Literal(10.0), Cast(es.head, DoubleType)), LongType)),
-    // (dateSub/timestampSub are TEXT-level rewrites onto dateadd with
-    // a negated quantity — see QueryGuard.rewriteCallForms: a registry
+    // dateAdd/dateSub/timestampAdd/timestampSub land here via
+    // QueryGuard.rewriteCallForms with the unit QUOTED (a registry
     // builder cannot consume the bare unit keyword because the
-    // analyzer resolves function ARGUMENTS before functions, and the
-    // unit parses as an unresolvable column reference.)
+    // analyzer resolves function ARGUMENTS before functions) and the
+    // *Sub quantity pre-negated. [[DateAddCH]] keeps CH's result
+    // type: Date in + day-or-coarser unit → Date out.
+    "dateAddCH" -> (es => {
+      val unit = es.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          s.toString.toUpperCase
+        case other => throw new IllegalArgumentException(
+          s"dateAddCH unit must be a string literal, got $other")
+      }
+      DateAddCH(unit, es(1), es(2))
+    }),
     // decimal-unit (1000-based) readable size
     "formatReadableDecimalSize" -> (es => {
       val x = Cast(es.head, DoubleType)
@@ -2958,14 +2984,9 @@ object CHFunctions {
         (LessThan(fn("abs", x), Literal(1e12)), fmt(1e9, "GB"))),
         fmt(1e12, "TB"))
     }),
-    "dateTimeToSnowflake" -> (es =>
-      // Twitter snowflake: ms since 2010-11-04 01:42:54.657 << 22
-      fn("shiftleft",
-        Subtract(
-          Multiply(Cast(fn("unix_timestamp", es.head), LongType),
-            Literal(1000L)),
-          Literal(1288834974657L)),
-        Literal(22))),
+    // (dateTimeToSnowflake registered once above with millisecond
+    // precision via unix_millis — a second-precision duplicate here
+    // silently overrode it in round 13.)
 
     // ---- round-13 wave 4 (probe-driven) ----
     // environment/diagnostic names a CH user pastes for sanity checks
@@ -3062,11 +3083,20 @@ object CHFunctions {
     // random-distribution family (rand() here is Spark's [0,1) builtin
     // by name resolution — the UInt32 CH rename is text-level and does
     // not see builder-internal calls)
-    "randUniform" -> (es => Add(Cast(es.head, DoubleType),
-      Multiply(fn("rand"),
-        Subtract(Cast(es(1), DoubleType), Cast(es.head, DoubleType))))),
-    "randNormal" -> (es => Add(Cast(es.head, DoubleType),
-      Multiply(fn("randn"), Cast(es(1), DoubleType)))),
+    "randUniform" -> (es => es match {
+      case Seq(lo, hi) => Add(Cast(lo, DoubleType),
+        Multiply(fn("rand"),
+          Subtract(Cast(hi, DoubleType), Cast(lo, DoubleType))))
+      case other => throw new IllegalArgumentException(
+        s"randUniform expects (min, max), got ${other.size} arguments")
+    }),
+    "randNormal" -> (es => es match {
+      case Seq() => fn("randn")
+      case Seq(mean, sd) => Add(Cast(mean, DoubleType),
+        Multiply(fn("randn"), Cast(sd, DoubleType)))
+      case other => throw new IllegalArgumentException(
+        s"randNormal expects () or (mean, stddev), got ${other.size} arguments")
+    }),
     "randBernoulli" -> (es => Cast(
       If(LessThan(fn("rand"), Cast(es.head, DoubleType)),
         Literal(1), Literal(0)),
@@ -3303,7 +3333,20 @@ object CHFunctions {
       }
     }))
 
-  val all: Seq[(String, Builder)] = baseBuilders ++ stackedCombinators
+  val all: Seq[(String, Builder)] = {
+    val entries = baseBuilders ++ stackedCombinators
+    // The registry collapses last-wins through `toMap`/Spark's
+    // registerFunction, so a duplicate key silently overrides an
+    // earlier builder — round 13 shipped five such silent overrides
+    // (randNormal() died, dateTimeToSnowflake lost ms precision).
+    // Fail the build loudly instead.
+    val dups = entries.groupBy(_._1).collect {
+      case (n, vs) if vs.size > 1 => n
+    }
+    require(dups.isEmpty,
+      s"duplicate CH function registrations: ${dups.toSeq.sorted.mkString(", ")}")
+    entries
+  }
 
   /** -If stacked with -OrNull / -OrDefault (CH allows combinator
     * stacking; BOTH suffix orders are registered since pasted queries
@@ -3645,16 +3688,19 @@ object CHFunctions {
     * family (%G/%g/%V/%u/%w), which Spark's pattern language cannot
     * express (week-based 'Y'/'w' are rejected by Spark 3+); those
     * pass through untouched and fail loudly rather than render a
-    * wrong week. %M stays MINUTES (ClickHouse's historical reading;
-    * %i, the modern minute spelling, maps the same — both are
-    * accepted so either vintage of pasted query works). Literal
+    * wrong week. %M is the FULL MONTH NAME, matching modern
+    * ClickHouse (23.x+ ships formatdatetime_parsedatetime_m_is_
+    * month_name = 1 by default); %i is the minute spelling. Literal
     * LETTERS outside %-tokens are single-quote-escaped: Spark's
     * pattern parser reserves every ASCII letter, so an unescaped
     * `of` in `'%Q of %Y'` would throw `Unknown pattern letter: o`. */
   private[functions] def chFormatToSpark(fmt: String): String = {
     val map = Map(
       'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "MM", 'd' -> "dd",
-      'H' -> "HH", 'M' -> "mm", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
+      // %M = full month name on modern CH (23.x+ defaults
+      // formatdatetime_parsedatetime_m_is_month_name = 1); %i is the
+      // minute spelling
+      'H' -> "HH", 'M' -> "MMMM", 'i' -> "mm", 'S' -> "ss", 's' -> "ss",
       'e' -> "d", 'j' -> "DDD", 'F' -> "yyyy-MM-dd", 'T' -> "HH:mm:ss",
       'D' -> "MM/dd/yy", 'a' -> "EEE", 'b' -> "MMM", 'W' -> "EEEE",
       'h' -> "hh", 'l' -> "h", 'k' -> "H", 'p' -> "a", 'Q' -> "Q",

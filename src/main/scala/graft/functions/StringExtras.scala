@@ -569,12 +569,31 @@ case class ReinterpretAs(child: Expression, width: Int, toStr: Boolean)
       while (end > 0 && buf(end - 1) == 0) end -= 1
       UTF8String.fromBytes(java.util.Arrays.copyOfRange(buf, 0, end))
     } else {
-      val bytes = v.asInstanceOf[UTF8String].getBytes
-      var n = 0L
-      var i = math.min(width / 8, bytes.length) - 1
-      while (i >= 0) { n = (n << 8) | (bytes(i) & 0xffL); i -= 1 }
-      n
+      // CH accepts numeric inputs too (reinterpretAsUInt32(65)):
+      // reinterpret the number's own LE bytes, i.e. truncate to the
+      // target width; anything else is a loud, named error rather
+      // than a raw ClassCastException
+      v match {
+        case s: UTF8String =>
+          val bytes = s.getBytes
+          var n = 0L
+          var i = math.min(width / 8, bytes.length) - 1
+          while (i >= 0) { n = (n << 8) | (bytes(i) & 0xffL); i -= 1 }
+          n
+        case l: Long => reinterpretNum(l)
+        case i: Int => reinterpretNum(i.toLong)
+        case s: Short => reinterpretNum(s.toLong)
+        case b: Byte => reinterpretNum(b.toLong)
+        case other => throw new IllegalArgumentException(
+          s"$prettyName expects a string or integer argument, got " +
+            s"${other.getClass.getSimpleName}")
+      }
     }
+
+  /** Numeric input: the value's own LE bytes, truncated to `width`. */
+  private def reinterpretNum(l: Long): Long =
+    if (width >= 64) l
+    else l & ((1L << width) - 1)
 
   override protected def withNewChildInternal(newChild: Expression): ReinterpretAs =
     copy(child = newChild)

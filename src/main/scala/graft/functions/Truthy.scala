@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.{TypeCheckResult, UnresolvedFunction, UnresolvedHaving}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.types._
+
+/** ClickHouse numeric truthiness: any non-zero numeric is true in a
+  * boolean context (`WHERE x % 2`, `if(position(s, 'x'), ...)`,
+  * `WHERE changed` on a UInt8 flag column) — Spark demands BOOLEAN and
+  * dies with FILTER_NOT_BOOLEAN / DATATYPE_MISMATCH. [[Truthy]] is the
+  * bridge: a boolean child passes through untouched, a numeric child
+  * becomes `child != 0`. RuntimeReplaceable, so after analysis the
+  * optimizer's ReplaceExpressions swaps in the plain comparison — the
+  * executed plan carries an ordinary codegen'd, pushdown-eligible
+  * `NOT (x = 0)`, never a custom eval.
+  *
+  * Reference: mcp_server.py:433-459 accepts arbitrary pasted ClickHouse
+  * SELECTs, where flag predicates (`WHERE changed`, CDC `sign`,
+  * `WHERE match(...)`) are idiomatic.
+  */
+case class Truthy(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case BooleanType => child
+    case NullType => Literal(null, BooleanType)
+    case _: NumericType =>
+      Not(EqualTo(child, Cast(Literal(0), child.dataType)))
+    case other =>
+      // unreachable past analysis (checkInputDataTypes rejects first);
+      // keeps replacement total for canonicalization paths
+      Cast(child, BooleanType)
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case BooleanType | NullType | _: NumericType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"a condition must be BOOLEAN or numeric (ClickHouse " +
+          s"truthiness), got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "truthy"
+  override protected def withNewChildInternal(newChild: Expression): Truthy =
+    copy(child = newChild)
+}
+
+/** ClickHouse `round()` with CH's type-dependent tie rule: banker's
+  * rounding (half-to-even) for Float32/Float64, but half-AWAY-from-zero
+  * for Decimal — one name, two modes, dispatched on the resolved
+  * argument type (Spark's `bround` is half-even, `round` is HALF_UP =
+  * half-away for both signs). RuntimeReplaceable: the executed plan
+  * carries the native codegen'd Round/BRound. */
+case class RoundCH(child: Expression, scale: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  override def left: Expression = child
+  override def right: Expression = scale
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: DecimalType => Round(child, scale)
+    case _ => BRound(child, scale)
+  }
+
+  override def dataType: DataType = replacement.dataType
+  override def prettyName: String = "round"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RoundCH =
+    copy(child = newLeft, scale = newRight)
+}
+
+/** ClickHouse's `dateAdd(unit, n, x)` family with CH's RESULT TYPE:
+  * a Date input with a day-or-coarser unit returns Date (CH), where
+  * Spark's `dateadd`/`timestampadd` always return TIMESTAMP — visible
+  * in every `{columns, rows}` payload (`2024-02-28 00:00:00.0` for a
+  * pasted `dateSub('day', 2, toDate(...))`). RuntimeReplaceable: the
+  * executed plan carries the native DateAdd/AddMonths/TimestampAdd.
+  * The unit arrives pre-evaluated (the text shim always emits a
+  * string literal). */
+case class DateAddCH(unit: String, quantity: Expression, child: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  override def left: Expression = quantity
+  override def right: Expression = child
+
+  private def intQty = Cast(quantity, IntegerType)
+
+  // the replacement tree never passes through the analyzer, so
+  // timezone-aware nodes (TimestampAdd, Cast to TIMESTAMP) must carry
+  // the session zone explicitly — ResolveTimeZone won't fill it in
+  private def tz: Option[String] =
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+  private def tsAdd(u: String, x: Expression): Expression =
+    new TimestampAdd(u, Cast(quantity, LongType), x, tz)
+
+  override lazy val replacement: Expression = child.dataType match {
+    case DateType => unit match {
+      case "DAY" => DateAdd(child, intQty)
+      case "WEEK" => DateAdd(child, Multiply(intQty, Literal(7)))
+      case "MONTH" => AddMonths(child, intQty)
+      case "QUARTER" => AddMonths(child, Multiply(intQty, Literal(3)))
+      case "YEAR" => AddMonths(child, Multiply(intQty, Literal(12)))
+      case finer => tsAdd(finer, Cast(child, TimestampType, tz))
+    }
+    case TimestampType | TimestampNTZType => tsAdd(unit, child)
+    case _ => tsAdd(unit, Cast(child, TimestampType, tz))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (quantity.dataType, child.dataType) match {
+      case (_: NumericType | NullType,
+          DateType | TimestampType | TimestampNTZType | _: StringType |
+          NullType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (q, c) => TypeCheckResult.TypeCheckFailure(
+        s"dateAdd expects (numeric quantity, date/timestamp), got " +
+          s"(${q.simpleString}, ${c.simpleString})")
+    }
+
+  override def dataType: DataType = replacement.dataType
+  override def prettyName: String = "dateAdd"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DateAddCH =
+    copy(quantity = newLeft, child = newRight)
+}
+
+/** Parse-time rewrite installing [[Truthy]] at every boolean context of
+  * an (unresolved) plan: Filter/Having/Join-ON conditions, `AND`/`OR`
+  * operands, `NOT`, `If` predicates and `CASE WHEN` branch conditions —
+  * the places ClickHouse coerces numerics and Spark's analyzer rejects
+  * them. Applied by QueryGuard before analysis, so `SELECT * FROM
+  * system.settings WHERE changed` answers instead of dying in
+  * CheckAnalysis. Wrapping an already-boolean condition is the identity
+  * (Truthy's replacement passes booleans through), so the rewrite is
+  * blanket and type-blind — the types are not known until analysis.
+  */
+object Truthiness {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f: Filter =>
+      f.copy(condition = wrap(fixExpr(f.condition)))
+    case h: UnresolvedHaving =>
+      h.copy(havingCondition = wrap(fixExpr(h.havingCondition)))
+    case j: Join if j.condition.isDefined =>
+      j.copy(condition = j.condition.map(c => wrap(fixExpr(c))))
+    case other => other.mapExpressions(fixExpr)
+  }
+
+  private def wrap(e: Expression): Expression = e match {
+    case t: Truthy => t
+    case other => Truthy(other)
+  }
+
+  private def fixExpr(e: Expression): Expression = e.transformUp {
+    case And(l, r) => And(wrap(l), wrap(r))
+    case Or(l, r) => Or(wrap(l), wrap(r))
+    case Not(c) => Not(wrap(c))
+    case i: If => i.copy(predicate = wrap(i.predicate))
+    case cw: CaseWhen =>
+      cw.copy(branches = cw.branches.map { case (c, v) => (wrap(c), v) })
+    // `if(cond, a, b)` is still an UnresolvedFunction at parse time —
+    // wrap its condition so the resolved If type-checks
+    case uf: UnresolvedFunction
+        if uf.nameParts.lastOption.exists(_.equalsIgnoreCase("if")) &&
+          uf.arguments.size == 3 =>
+      uf.copy(arguments = wrap(uf.arguments.head) +: uf.arguments.tail)
+    // CH multiIf(c1, r1, c2, r2, ..., else): conditions at even indices
+    case uf: UnresolvedFunction
+        if uf.nameParts.lastOption.exists(_.equalsIgnoreCase("multiIf")) &&
+          uf.arguments.size >= 3 =>
+      uf.copy(arguments = uf.arguments.zipWithIndex.map { case (a, i) =>
+        if (i % 2 == 0 && i < uf.arguments.size - 1) wrap(a) else a
+      })
+    case s: SubqueryExpression => s.withNewPlan(apply(s.plan))
+  }
+}

@@ -15,44 +15,33 @@ final case class QueryResult(
     columns: Seq[String],
     rows: Seq[Seq[Any]],
     truncated: Boolean = false) {
+  import QueryResult.{esc, jsonValue, chLiteral}
 
   /** `{"columns": [...], "rows": [[...]]}` — the reference's wire
-    * shape. Strings are escaped; numbers/booleans pass through; null
-    * and everything else (timestamps, arrays) render via toString. */
-  def toJson: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    def v(x: Any): String = x match {
-      case null => "null"
-      case b: Boolean => b.toString
-      case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-      case d: Double if !d.isNaN && !d.isInfinite => d.toString
-      case f: Float if !f.isNaN && !f.isInfinite => f.toString
-      case other => "\"" + esc(other.toString) + "\""
-    }
+    * shape (mcp_server.py:426 serializes `result_rows` through JSON, so
+    * arrays/maps/tuples arrive as JSON lists/objects and decimals as
+    * numbers). Non-finite floats have no JSON spelling — they render as
+    * quoted strings ("NaN") here so the value survives round-trip. */
+  def toJson: String =
     columns.map(c => "\"" + esc(c) + "\"")
       .mkString("{\"columns\": [", ", ", "], ") +
-      rows.map(_.map(v).mkString("[", ", ", "]"))
+      rows.map(_.map(x => jsonValue(x, nonFiniteAsNull = false))
+        .mkString("[", ", ", "]"))
         .mkString("\"rows\": [", ", ", "]") +
       (if (truncated) ", \"truncated\": true}" else "}")
-  }
 
   /** CSVWithNames rendering — chDB's default output format
     * (chdb_prompt.py): header row + RFC-4180 quoting (fields containing
     * comma/quote/newline wrap in double quotes, embedded quotes
-    * double). Null renders empty, like ClickHouse CSV. */
+    * double). Null renders empty, like ClickHouse CSV; arrays render
+    * CH-style `[1,2,3]` (strings single-quoted inside), maps
+    * `{'k':1}`, tuples `(a,b)` — the field-level RFC quoting then
+    * wraps the whole literal because it contains commas. */
   def toCsv: String = {
     def cell(x: Any): String = x match {
       case null => ""
       case other =>
-        val s = other.toString
+        val s = chLiteral(other, nested = false)
         if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
           "\"" + s.replace("\"", "\"\"") + "\""
         else s
@@ -67,32 +56,94 @@ final case class QueryResult(
     * as `null` (CH's default `output_format_json_quote_denormals = 0`)
     * and decimals as plain unquoted numbers, so a parser never sees a
     * column's JSON type flip between rows. */
-  def toJsonEachRow: String = {
-    def esc(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-    def v(x: Any): String = x match {
+  def toJsonEachRow: String =
+    rows.map(r =>
+      columns.zip(r).map { case (c, x) =>
+        "\"" + esc(c) + "\": " + jsonValue(x, nonFiniteAsNull = true)
+      }.mkString("{", ", ", "}"))
+      .mkString("\n")
+}
+
+object QueryResult {
+  private[sql] def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Recursive JSON rendering of a collected cell. Spark's
+    * `Row.toSeq` yields `Seq` for ARRAY, `scala.collection.Map` for
+    * MAP, nested `Row` for STRUCT, `java.math.BigDecimal` for DECIMAL
+    * and `Array[Byte]` for BINARY — all of which must become JSON
+    * values, never Scala `toString` (the round-13 wire-format leak:
+    * `SELECT [1,2,3]` rendered `"ArraySeq(1, 2, 3)"`). Structs render
+    * as JSON objects keyed by field name (falling back to an array
+    * when the schema is absent); map keys stringify (JSON keys are
+    * strings). */
+  private[sql] def jsonValue(x: Any, nonFiniteAsNull: Boolean): String = {
+    def render(x: Any): String = x match {
       case null => "null"
       case b: Boolean => b.toString
       case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-      case d: Double => if (d.isNaN || d.isInfinite) "null" else d.toString
-      case f: Float => if (f.isNaN || f.isInfinite) "null" else f.toString
+      case d: Double =>
+        if (d.isNaN || d.isInfinite) {
+          if (nonFiniteAsNull) "null" else "\"" + esc(d.toString) + "\""
+        } else d.toString
+      case f: Float =>
+        if (f.isNaN || f.isInfinite) {
+          if (nonFiniteAsNull) "null" else "\"" + esc(f.toString) + "\""
+        } else f.toString
       // decimals are numbers, not strings — plain form, no exponent,
       // so a column's JSON type never flips between rows
       case d: java.math.BigDecimal => d.toPlainString
       case d: BigDecimal => d.bigDecimal.toPlainString
+      case b: Array[Byte] =>
+        "\"" + esc(new String(b, java.nio.charset.StandardCharsets.UTF_8)) + "\""
+      case s: scala.collection.Seq[_] =>
+        s.map(render).mkString("[", ", ", "]")
+      case a: Array[_] => a.map(render).mkString("[", ", ", "]")
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, v) => "\"" + esc(String.valueOf(k)) + "\": " + render(v) }
+          .mkString("{", ", ", "}")
+      case r: org.apache.spark.sql.Row =>
+        if (r.schema != null)
+          r.schema.fieldNames.zip(r.toSeq)
+            .map { case (f, v) => "\"" + esc(f) + "\": " + render(v) }
+            .mkString("{", ", ", "}")
+        else r.toSeq.map(render).mkString("[", ", ", "]")
       case other => "\"" + esc(other.toString) + "\""
     }
-    rows.map(r =>
-      columns.zip(r).map { case (c, x) => "\"" + esc(c) + "\": " + v(x) }
-        .mkString("{", ", ", "}"))
-      .mkString("\n")
+    render(x)
+  }
+
+  /** ClickHouse text-literal rendering of a cell for CSV: scalars
+    * bare at the top level, strings single-quoted (backslash-escaped)
+    * when nested inside a container, arrays `[..]`, maps `{'k':v}`,
+    * tuples `(a,b)` — the shapes CH's CSV format emits for composite
+    * columns. */
+  private[sql] def chLiteral(x: Any, nested: Boolean): String = x match {
+    case null => if (nested) "NULL" else ""
+    case d: java.math.BigDecimal => d.toPlainString
+    case d: BigDecimal => d.bigDecimal.toPlainString
+    case b: Array[Byte] =>
+      chLiteral(new String(b, java.nio.charset.StandardCharsets.UTF_8), nested)
+    case s: scala.collection.Seq[_] =>
+      s.map(chLiteral(_, nested = true)).mkString("[", ",", "]")
+    case a: Array[_] =>
+      a.map(chLiteral(_, nested = true)).mkString("[", ",", "]")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) =>
+        chLiteral(k, nested = true) + ":" + chLiteral(v, nested = true)
+      }.mkString("{", ",", "}")
+    case r: org.apache.spark.sql.Row =>
+      r.toSeq.map(chLiteral(_, nested = true)).mkString("(", ",", ")")
+    case s: String if nested =>
+      "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case other => other.toString
   }
 }
 

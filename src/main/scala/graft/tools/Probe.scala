@@ -387,7 +387,53 @@ object Probe {
     "readable_decimal" ->
       "SELECT formatReadableDecimalSize(1234567) AS d",
     "day_of_week_mode" ->
-      "SELECT toDayOfWeek(toDate('2024-01-07')) AS d0, toDayOfWeek(toDate('2024-01-07'), 1) AS d1, toQuarter(toDate('2024-05-05')) AS q"
+      "SELECT toDayOfWeek(toDate('2024-01-07')) AS d0, toDayOfWeek(toDate('2024-01-07'), 1) AS d1, toQuarter(toDate('2024-05-05')) AS q",
+    // ---- round-14 wave (numeric truthiness + r13 verdict asks) ----
+    "truthy_where_mod" ->
+      "SELECT count() AS n FROM orders WHERE o_orderkey % 2",
+    "truthy_where_position" ->
+      "SELECT count() AS n FROM orders WHERE position(o_orderpriority, 'URGENT')",
+    "truthy_if_num" -> "SELECT if(2, 'a', 'b') AS x",
+    "truthy_and_or" ->
+      "SELECT count() AS n FROM orders WHERE (o_orderkey % 2) AND (o_custkey % 3) OR 0",
+    "truthy_settings_changed" ->
+      "SELECT count() AS n FROM system.settings WHERE changed",
+    "truthy_not" ->
+      "SELECT count() AS n FROM orders WHERE NOT (o_orderkey % 2)",
+    "truthy_multiif" ->
+      "SELECT multiIf(o_orderkey % 2, 'odd', 'even') AS p, count() AS n FROM orders GROUP BY p ORDER BY p",
+    "truthy_case" ->
+      "SELECT CASE WHEN o_orderkey % 2 THEN 'odd' ELSE 'even' END AS p, count() AS n FROM orders GROUP BY p ORDER BY p",
+    "truthy_having" ->
+      "SELECT o_orderstatus, count() AS n FROM orders GROUP BY o_orderstatus HAVING count() % 2",
+    "truthy_subquery" ->
+      "SELECT count() AS n FROM orders WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_custkey % 2)",
+    "qualify_implicit_agg" ->
+      "SELECT sum(o_totalprice) AS s FROM orders QUALIFY sum(o_totalprice) OVER () > 0",
+    "qualify_implicit_agg_nested" ->
+      "SELECT sum(o_totalprice) AS s FROM orders QUALIFY sum(sum(o_totalprice)) OVER () > 0",
+    "qualify_distinct" ->
+      "SELECT DISTINCT o_orderstatus, rank() OVER (ORDER BY o_orderstatus) AS r FROM orders QUALIFY r <= 2",
+    "gen_random_ranges" ->
+      "SELECT max(a) <= 255 AND min(a) >= 0 AS u8, max(b) <= 65535 AS u16, min(c) < 0 AS i8neg FROM (SELECT a, b, c FROM generateRandom('a UInt8, b UInt16, c Int8') LIMIT 1000)",
+    "date_add_date_out" ->
+      "SELECT dateSub('day', 2, toDate('2024-03-01')) AS d, dateAdd('month', 1, toDate('2024-01-31')) AS m, dateAdd('hour', 2, toDateTime('2024-01-01 00:00:00')) AS t",
+    "uniq_combined_param" ->
+      "SELECT uniqCombined(17)(o_custkey) AS u, uniq(o_custkey) AS u2 FROM orders",
+    "wire_array_cells" ->
+      "SELECT [1, 2, 3] AS arr, map('k', 1) AS m, CAST(1.5 AS DECIMAL(10,2)) AS d",
+    "reinterpret_numeric" ->
+      "SELECT reinterpretAsUInt32(65) AS a, reinterpretAsString(65) AS s",
+    "accurate_cast_null" ->
+      "SELECT accurateCast(NULL, 'UInt8') AS a, accurateCastOrNull(NULL, 'UInt8') AS b",
+    "format_month_name" ->
+      "SELECT formatDateTime(toDate('2024-03-05'), '%M %Y') AS m",
+    "intexp_negative" ->
+      "SELECT intExp10(3) AS a, intExp2(10) AS b",
+    "snowflake_ms" ->
+      "SELECT snowflakeToDateTime(dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00'))) AS rt",
+    "rand_dists" ->
+      "SELECT randNormal() >= -1e9 AS a, randNormal(10, 2) >= -1e9 AS b, randUniform(0, 1) BETWEEN 0 AND 1 AS c"
   )
 
   def main(args: Array[String]): Unit = {

@@ -55,7 +55,7 @@ class CHFunctionsSpec extends SparkSpec {
   test("date casts, %-format translation, unix round-trip, intDiv") {
     val r = one(
       """SELECT toDate('2024-03-05'),
-        |  formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y-%m-%d %H:%M:%S'),
+        |  formatDateTime(toDateTime('2024-03-05 07:08:09'), '%Y-%m-%d %H:%i:%S'),
         |  formatDateTime(toDate('2024-03-05'), '%Y/%m'),
         |  fromUnixTimestamp(toUnixTimestamp(toDateTime('2024-03-05 07:08:09'))),
         |  intDiv(7, 2), intDiv(-7, 2)""".stripMargin)
