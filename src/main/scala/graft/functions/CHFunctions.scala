@@ -379,15 +379,22 @@ object CHFunctions {
       : Expression = {
     val idx = freshZipVar()
     ArrayFilter(spanAxis(arrays),
-      LambdaFunction(bindZip(lam, arrays, idx), Seq(idx)))
+      LambdaFunction(Truthy(bindZip(lam, arrays, idx)), Seq(idx)))
   }
+
+  /** Predicate-position lambda: ClickHouse accepts a NUMERIC body
+    * (`arrayFilter(x -> x % 2, arr)` — truthiness); [[Truthy]] bridges
+    * it to the BOOLEAN Spark's HOFs demand, and passes an
+    * already-boolean body through unchanged. */
+  private def predLambda(l: LambdaFunction): LambdaFunction =
+    l.copy(function = Truthy(l.function))
 
   /** arrayFilter core: elements of the FIRST array at matching
     * positions (ClickHouse's rule — companion arrays only feed the
     * predicate). */
   private def chFilter(lam: LambdaFunction, arrays: Seq[Expression])
       : Expression = arrays match {
-    case Seq(a) => ArrayFilter(a, lam)
+    case Seq(a) => ArrayFilter(a, predLambda(lam))
     case many =>
       val j = freshZipVar()
       ArrayTransform(chFilterIdx(lam, many),
@@ -992,21 +999,21 @@ object CHFunctions {
     "arrayExists" -> (es => {
       val (l, as) = chLambdaArgs("arrayExists", es)
       as match {
-        case Seq(a) => ArrayExists(a, l)
+        case Seq(a) => ArrayExists(a, predLambda(l))
         case many =>
           val idx = freshZipVar()
           ArrayExists(spanAxis(many),
-            LambdaFunction(bindZip(l, many, idx), Seq(idx)))
+            LambdaFunction(Truthy(bindZip(l, many, idx)), Seq(idx)))
       }
     }),
     "arrayAll" -> (es => {
       val (l, as) = chLambdaArgs("arrayAll", es)
       as match {
-        case Seq(a) => ArrayForAll(a, l)
+        case Seq(a) => ArrayForAll(a, predLambda(l))
         case many =>
           val idx = freshZipVar()
           ArrayForAll(spanAxis(many),
-            LambdaFunction(bindZip(l, many, idx), Seq(idx)))
+            LambdaFunction(Truthy(bindZip(l, many, idx)), Seq(idx)))
       }
     }),
     // first/last matching element (null when none — CH returns the
@@ -1053,7 +1060,7 @@ object CHFunctions {
       as match {
         case Seq(a) =>
           ArrayAggregate(
-            ArrayFilter(a, l),
+            ArrayFilter(a, predLambda(l)),
             Slice(a, Literal(1), Literal(0)),
             LambdaFunction(
               CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
@@ -1103,7 +1110,7 @@ object CHFunctions {
     "arrayCount" -> (es => {
       val (l, as) = chLambdaArgs("arrayCount", es)
       val matched = as match {
-        case Seq(a) => ArrayFilter(a, l)
+        case Seq(a) => ArrayFilter(a, predLambda(l))
         case many => chFilterIdx(l, many)
       }
       val acc = UnresolvedNamedLambdaVariable(Seq("acc"))

@@ -2458,7 +2458,59 @@ object ChSurface {
         |QUALIFY row_number() OVER (PARTITION BY o_custkey
         |                           ORDER BY o_orderdate DESC,
         |                                    o_orderkey DESC) = 1
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)))
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin)),
+
+    // round-14: CH numeric truthiness — non-zero numerics are true in
+    // WHERE/CASE/if (the round-13 verdict's top paste-compat wall).
+    // DuckDB coerces int → bool natively, so the oracle differs only
+    // in spelling if() as CASE.
+    ("q_truthy",
+      """SELECT count(*) AS n_odd,
+        |  CAST(sum(CASE WHEN o_custkey % 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_m3,
+        |  if(2, 'a', 'b') AS pick
+        |FROM orders WHERE o_orderkey % 2""".stripMargin,
+      Some("""SELECT count(*) AS n_odd,
+        |  CAST(sum(CASE WHEN o_custkey % 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_m3,
+        |  CASE WHEN 2 THEN 'a' ELSE 'b' END AS pick
+        |FROM orders WHERE o_orderkey % 2""".stripMargin)),
+
+    // round-14: QUALIFY over an implicitly-aggregated select. CH
+    // evaluates the window after aggregation, so the bare aggregate
+    // window head auto-nests; DuckDB requires the explicit nested
+    // spelling — the oracle uses it.
+    ("q_qualify_agg",
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |QUALIFY sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) OVER () > 10""".stripMargin,
+      Some("""SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS cents
+        |FROM orders
+        |QUALIFY sum(sum(CAST(round(o_totalprice * 100.0) AS BIGINT))) OVER () > 10""".stripMargin)),
+
+    // round-14: dateAdd/dateSub keep CH's result type — Date in with a
+    // day-or-coarser unit stays Date (month-end clamped like CH/DuckDB)
+    ("q_date_arith",
+      """SELECT o_orderkey,
+        |  dateAdd('month', 1, toDate(o_orderdate)) AS m,
+        |  dateSub('day', 2, toDate(o_orderdate)) AS d
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS m,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 DAY AS DATE) AS d
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
+
+    // round-14: generateRandom bounds every declared CH type by the
+    // type's OWN domain (round-13: UInt8 emitted up to 32701). The
+    // generator is engine-side, so the oracle pins the computed
+    // contract flags as constants.
+    ("q_gen_ranges",
+      """SELECT min(a) >= 0 AND max(a) <= 255 AS u8_ok,
+        |  min(c) >= -128 AND max(c) <= 127 AND min(c) < 0 AS i8_ok,
+        |  count(*) AS n
+        |FROM (SELECT a, c FROM generateRandom('a UInt8, c Int8', 42) LIMIT 1000)""".stripMargin,
+      Some("""SELECT true AS u8_ok, true AS i8_ok,
+        |  CAST(1000 AS BIGINT) AS n""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

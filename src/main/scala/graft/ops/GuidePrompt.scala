@@ -204,12 +204,19 @@ object GuidePrompt {
       |bracket as the membership list, as ClickHouse does. The
       |two-argument `CAST(x, 'Type')` call form, quoted units in
       |`dateAdd('day', n, d)` (and the dateSub spellings), and numeric
-      |`trunc(x, n)` all carry their ClickHouse readings. `round()` is
-      |half-to-even on the served path like ClickHouse (roundBankers
-      |agrees); ORDER BY sorts NULLs as the GREATEST value (ascending
+      |`trunc(x, n)` all carry their ClickHouse readings; `dateAdd`/
+      |`dateSub` on a Date with a day-or-coarser unit return Date, as
+      |ClickHouse does. `round()` is half-to-even on floats and
+      |half-away-from-zero on Decimals, ClickHouse's per-type tie rule
+      |(roundBankers agrees on floats); `formatDateTime`'s `%M` is the
+      |full month name (modern ClickHouse default), `%i` the minute.
+      |Non-zero numerics are TRUE in boolean contexts (`WHERE flag`,
+      |`WHERE x % 2`, `if(2, ...)` — ClickHouse truthiness); ORDER BY
+      |sorts NULLs as the GREATEST value (ascending
       |last, descending first) unless an explicit NULLS FIRST/LAST
       |says otherwise; `system.settings` lists the engine knobs. `QUALIFY <pred>`
-      |filters on window-function results, as in ClickHouse.
+      |filters on window-function results, as in ClickHouse — including
+      |over an implicitly-aggregated select (`QUALIFY sum(x) OVER ()`).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
       |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
       |instead: `/query?format=csv` (CSVWithNames) or

@@ -433,7 +433,15 @@ object Probe {
     "snowflake_ms" ->
       "SELECT snowflakeToDateTime(dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00'))) AS rt",
     "rand_dists" ->
-      "SELECT randNormal() >= -1e9 AS a, randNormal(10, 2) >= -1e9 AS b, randUniform(0, 1) BETWEEN 0 AND 1 AS c"
+      "SELECT randNormal() >= -1e9 AS a, randNormal(10, 2) >= -1e9 AS b, randUniform(0, 1) BETWEEN 0 AND 1 AS c",
+    "truthy_lambda" ->
+      "SELECT arrayFilter(x -> x % 2, [1, 2, 3, 4, 5]) AS f, arrayExists(x -> x - 1, [1, 1, 2]) AS e, arrayCount(x -> x % 2, [1, 2, 3]) AS c, arrayFirst(x -> x % 2, [2, 4, 5, 7]) AS fst, arrayAll(x -> x, [1, 2]) AS al",
+    "transform_null_default" ->
+      "SELECT transform(5, [1, 2], [10, 20], NULL) AS t, transform(1, [1, 2], [10, 20], NULL) AS t2",
+    "explain_format_tail" ->
+      "EXPLAIN SYNTAX SELECT count() FROM orders FORMAT TSV",
+    "intexp10_negative" ->
+      "SELECT intExp10(-2) AS a, intExp10(0) AS b"
   )
 
   def main(args: Array[String]): Unit = {

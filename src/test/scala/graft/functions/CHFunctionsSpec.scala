@@ -9,11 +9,19 @@ class CHFunctionsSpec extends SparkSpec {
     spark.sql(sql).collect().head
   }
 
-  test("uniq is within HLL error of uniqExact") {
+  test("uniq is within CH-parity HLL error of uniqExact") {
     graft.sql.TableEnv.register(spark, sf)
-    val r = one("SELECT uniq(o_custkey), uniqExact(o_custkey) FROM orders")
-    val (approx, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
-    assert(math.abs(approx - exact) / exact < 0.05)
+    // rsd pinned at 1% (CH's uniq/uniqHLL12 land ~0.5-2% practical
+    // error; Spark's 5% default showed 1400 vs 1500 in round 13)
+    val r = one(
+      """SELECT uniq(o_custkey), uniqExact(o_custkey),
+        |  uniqCombined(17, o_custkey), uniqHLL12(o_custkey)
+        |FROM orders""".stripMargin)
+    val exact = r.getLong(1).toDouble
+    Seq(0, 2, 3).foreach { i =>
+      assert(math.abs(r.getLong(i) - exact) / exact < 0.015,
+        s"col $i: ${r.getLong(i)} vs exact $exact")
+    }
   }
 
   test("conditional aggregates") {
@@ -2487,5 +2495,73 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(4) == 2022) // 2023-01-01 (Sun) is ISO week 52/2022
     assert(r.getDate(5).toString == "2024-02-29")
     assert(r.getDate(6).toString == "2024-02-29")
+  }
+
+  test("registry has no duplicate keys — last-wins overrides are a build error") {
+    // round 13 shipped five silent duplicate registrations (randNormal()
+    // died, dateTimeToSnowflake lost ms precision); `all` now asserts
+    // at init, and this row keeps the invariant visible
+    val names = CHFunctions.all.map(_._1)
+    val dups = names.groupBy(identity).collect { case (n, vs) if vs.size > 1 => n }
+    assert(dups.isEmpty, s"duplicates: ${dups.mkString(", ")}")
+  }
+
+  test("round: banker's for floats, half-away-from-zero for Decimal (CH's per-type tie rule)") {
+    val r = one(
+      """SELECT roundCH(2.5D) AS f1, roundCH(-2.5D) AS f2, roundCH(3.5D) AS f3,
+        |  roundCH(CAST(2.5 AS DECIMAL(10,1))) AS d1,
+        |  roundCH(CAST(-2.5 AS DECIMAL(10,1))) AS d2,
+        |  roundCH(CAST(1.25 AS DECIMAL(10,2)), 1) AS d3""".stripMargin)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == -2.0 && r.getDouble(2) == 4.0)
+    assert(r.getDecimal(3).longValue == 3L, s"decimal 2.5 -> ${r.getDecimal(3)}")
+    assert(r.getDecimal(4).longValue == -3L, s"decimal -2.5 -> ${r.getDecimal(4)}")
+    assert(r.getDecimal(5).toPlainString == "1.3", s"decimal 1.25,1 -> ${r.getDecimal(5)}")
+  }
+
+  test("formatDateTime %M is the full month name (modern CH default), %i the minute") {
+    val r = one(
+      """SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'), '%M') AS mn,
+        |  formatDateTime(toDateTime('2024-03-05 07:08:09'), '%i') AS mi""".stripMargin)
+    assert(r.getString(0) == "March")
+    assert(r.getString(1) == "08")
+  }
+
+  test("accurateCast: NULL propagates for unsigned targets too") {
+    val r = one(
+      """SELECT accurateCast(CAST(NULL AS INT), 'UInt8') AS a,
+        |  accurateCastOrNull(CAST(NULL AS INT), 'UInt8') AS b,
+        |  accurateCast(CAST(NULL AS INT), 'Int32') AS c""".stripMargin)
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
+  test("reinterpretAs*: numeric inputs reinterpret their own LE bytes") {
+    val r = one(
+      """SELECT reinterpretAsUInt32(65) AS a, reinterpretAsUInt8(300) AS b,
+        |  reinterpretAsString(65) AS s, reinterpretAsUInt16('AB') AS ab""".stripMargin)
+    assert(r.getLong(0) == 65L)
+    assert(r.getLong(1) == 44L) // 300 & 0xff — byte truncation, CH's rule
+    assert(r.getString(2) == "A")
+    assert(r.getLong(3) == 0x4241L) // little-endian: 'A'=0x41 low byte
+  }
+
+  test("randNormal arities: 0-arg and (mean, stddev) work, others fail loudly") {
+    val r = one("SELECT randNormal() AS a, randNormal(100, 0.0001) AS b")
+    assert(!r.isNullAt(0))
+    assert(math.abs(r.getDouble(1) - 100.0) < 1.0)
+    val e = intercept[Exception](one("SELECT randNormal(1, 2, 3)"))
+    assert(e.getMessage.contains("randNormal"), e.getMessage)
+    val e2 = intercept[Exception](one("SELECT randUniform(1)"))
+    assert(e2.getMessage.contains("randUniform"), e2.getMessage)
+  }
+
+  test("dateTimeToSnowflake keeps millisecond precision") {
+    val r = one(
+      """SELECT snowflakeToDateTime(dateTimeToSnowflake(
+        |  toDateTime('2024-01-01 12:34:56'))) AS rt,
+        |  dateTimeToSnowflake(toDateTime('2024-01-01 12:34:56')) -
+        |    dateTimeToSnowflake(toDateTime('2024-01-01 12:34:55')) AS diff""".stripMargin)
+    assert(r.getTimestamp(0).toString.startsWith("2024-01-01 12:34:56"))
+    // 1 s apart = 1000 ms << 22 — second precision would give 1 << 22
+    assert(r.getLong(1) == 1000L << 22, s"diff=${r.getLong(1)}")
   }
 }

@@ -188,4 +188,29 @@ class CHLambdaSpec extends SparkSpec {
     val m = fails("SELECT arrayMap(array(1, 2))")
     assert(m.toLowerCase.contains("lambda"))
   }
+
+  test("numeric lambda bodies coerce by CH truthiness in predicate positions") {
+    // ClickHouse accepts arrayFilter(x -> x % 2, arr) — any non-zero
+    // numeric is true; Spark's HOFs demand BOOLEAN, so the builders
+    // wrap predicate bodies in Truthy (boolean bodies pass through)
+    val r = one(
+      """SELECT arrayFilter(x -> x % 2, array(1, 2, 3, 4, 5)),
+        |  arrayExists(x -> x - 1, array(1, 1, 2)),
+        |  arrayAll(x -> x, array(1, 2)),
+        |  arrayAll(x -> x, array(1, 0)),
+        |  arrayCount(x -> x % 2, array(1, 2, 3)),
+        |  arrayFirst(x -> x % 2, array(2, 4, 5, 7)),
+        |  arrayFirstIndex(x -> x % 2, array(2, 4, 5, 7)),
+        |  arrayFilter((x, y) -> y % 2, array('a', 'b', 'c'), array(0, 1, 2))""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 3, 5))
+    assert(r.getBoolean(1))
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    assert(r.getInt(4) == 2)
+    assert(r.getInt(5) == 5)
+    assert(r.getInt(6) == 3)
+    assert(r.getSeq[String](7) == Seq("b"))
+    // boolean bodies are untouched
+    val b = one("SELECT arrayFilter(x -> x > 2, array(1, 2, 3, 4))")
+    assert(b.getSeq[Int](0) == Seq(3, 4))
+  }
 }

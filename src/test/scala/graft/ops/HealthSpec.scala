@@ -95,6 +95,36 @@ class HealthSpec extends SparkSpec {
     } finally { srv.close(); exec.close() }
   }
 
+  test("/query serves array/map/decimal cells as JSON values in every format") {
+    graft.sql.TableEnv.register(spark, sf)
+    val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)
+    val srv = HealthServer.start(spark, GraftConfig(Map.empty), Some(exec))
+    try {
+      // the round-13 wire-format leak, pinned at the ENDPOINT (the
+      // oracle never sees array cells — the driver flattens them by
+      // contract, so only these specs can prove the served shapes)
+      val sql = "SELECT [1, 2, 3] AS arr, map('k', 1) AS m, " +
+        "CAST(1.5 AS DECIMAL(10,2)) AS d"
+      val enc = java.net.URLEncoder.encode(sql, "UTF-8")
+      val base = s"http://localhost:${srv.port}/query"
+      val (c1, json) = httpGet(base + "?q=" + enc)
+      assert(c1 == 200)
+      assert(json.contains("[[1, 2, 3], {\"k\": 1}, 1.50]"), json)
+      assert(!json.contains("ArraySeq") && !json.contains("\"1.50\""), json)
+      val (c2, nd) = httpGet(base + "?format=jsoneachrow&q=" + enc)
+      assert(c2 == 200)
+      assert(nd == "{\"arr\": [1, 2, 3], \"m\": {\"k\": 1}, \"d\": 1.50}", nd)
+      val (c3, csv) = httpGet(base + "?format=csv&q=" + enc)
+      assert(c3 == 200)
+      assert(csv.split("\n")(1) == "\"[1,2,3]\",{'k':1},1.50", csv)
+      // a real sketch result through the served path: topK is a list
+      val (c4, tk) = httpGet(base + "?q=" + java.net.URLEncoder.encode(
+        "SELECT topK(2)(o_orderpriority) AS t FROM orders", "UTF-8"))
+      assert(c4 == 200)
+      assert(tk.matches(""".*"rows": \[\[\["[^"]+", "[^"]+"\]\]\].*"""), tk)
+    } finally { srv.close(); exec.close() }
+  }
+
   test("served /explain returns the formatted plan without running jobs") {
     graft.sql.TableEnv.register(spark, sf)
     val exec = new graft.sql.QueryExecutor(spark, timeoutSec = 60)

@@ -954,4 +954,101 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(r.rows.head(1).toString.contains("a"))
     assert(r.rows.head(2) == "y")
   }
+
+  test("CH numeric truthiness: non-zero numerics are true in every boolean context, value-checked") {
+    // WHERE x % 2 ≡ WHERE x % 2 != 0 (CH coerces; Spark alone dies
+    // FILTER_NOT_BOOLEAN — the round-13 verdict's top paste-compat wall)
+    val odd = rows("SELECT o_orderkey FROM orders WHERE o_orderkey % 2")
+    val oddExplicit =
+      rows("SELECT o_orderkey FROM orders WHERE o_orderkey % 2 != 0")
+    assert(odd == oddExplicit && odd > 0, s"$odd vs $oddExplicit")
+    // NOT flips it; together they partition the table
+    val even = rows("SELECT o_orderkey FROM orders WHERE NOT (o_orderkey % 2)")
+    assert(odd + even == rows("SELECT o_orderkey FROM orders"))
+    // bare position() as a predicate
+    val p = rows(
+      "SELECT o_orderkey FROM orders WHERE position(o_orderpriority, 'URGENT')")
+    val pExplicit = rows(
+      "SELECT o_orderkey FROM orders WHERE position(o_orderpriority, 'URGENT') > 0")
+    assert(p == pExplicit && p > 0)
+    // if()/multiIf()/CASE WHEN with numeric conditions
+    val r = ex.run(
+      """SELECT if(2, 'a', 'b') AS i1, if(0, 'a', 'b') AS i0,
+        |  multiIf(0, 'x', 5, 'y', 'z') AS m,
+        |  CASE WHEN 3 THEN 'w' ELSE 'l' END AS c""".stripMargin)
+    assert(r.rows.head == Seq("a", "b", "y", "w"), r.rows.head)
+    // integer AND/OR compose; NULL is not true (CH: NULL -> false)
+    assert(rows("SELECT 1 WHERE 1 AND 2") == 1)
+    assert(rows("SELECT 1 WHERE 0 OR 0") == 0)
+    assert(rows("SELECT 1 WHERE nullif(1, 1)") == 0)
+    // HAVING takes a numeric too
+    val h = rows(
+      """SELECT o_orderstatus, count() AS n FROM orders
+        |GROUP BY o_orderstatus HAVING count() % 2""".stripMargin)
+    val hExplicit = rows(
+      """SELECT o_orderstatus, count() AS n FROM orders
+        |GROUP BY o_orderstatus HAVING count() % 2 != 0""".stripMargin)
+    assert(h == hExplicit)
+    // the engine's own doc example (TableEnv.scala): a UInt8 flag column
+    assert(ex.run("SELECT count() AS n FROM system.settings WHERE changed")
+      .rows.head.head.toString.toLong >= 0)
+    // non-numeric conditions still fail, with a readable message
+    val e = ex.runSafe("SELECT 1 WHERE 'abc'")
+    assert(e.isLeft && e.swap.exists(m =>
+      m.toLowerCase.contains("boolean") || m.toLowerCase.contains("truthi")),
+      e.toString)
+  }
+
+  test("QUALIFY over an implicitly-aggregated select: window evaluates after aggregation") {
+    // bare aggregate window head auto-nests (CH evaluates the window
+    // over the aggregated result rows); round-13 this died MISSING_GROUP_BY
+    val keep = ex.run(
+      """SELECT sum(o_totalprice) AS s FROM orders
+        |QUALIFY sum(o_totalprice) OVER () > 0""".stripMargin)
+    assert(keep.rows.size == 1 && keep.columns == Seq("s"))
+    val total = keep.rows.head.head.toString.toDouble
+    assert(total > 0)
+    // the filter can also drop the single result row
+    val drop = ex.run(
+      s"""SELECT sum(o_totalprice) AS s FROM orders
+         |QUALIFY sum(o_totalprice) OVER () > ${total * 2}""".stripMargin)
+    assert(drop.rows.isEmpty)
+    // the explicit nested spelling answers identically
+    val nested = ex.run(
+      """SELECT sum(o_totalprice) AS s FROM orders
+        |QUALIFY sum(sum(o_totalprice)) OVER () > 0""".stripMargin)
+    assert(nested.rows.head.head.toString.toDouble == total)
+    // count() OVER () needs no nesting (counts result rows) and a
+    // GROUP BY query keeps the old wrap path
+    val grouped = ex.run(
+      """SELECT o_orderstatus, sum(o_totalprice) AS s FROM orders
+        |GROUP BY o_orderstatus
+        |QUALIFY rank() OVER (ORDER BY sum(o_totalprice) DESC) = 1""".stripMargin)
+    assert(grouped.rows.size == 1)
+  }
+
+  test("dateAdd family: Date in + day-or-coarser unit -> Date out (CH result type)") {
+    val df = QueryGuard.plan(spark,
+      """SELECT dateSub('day', 2, toDate('2024-03-01')) AS d,
+        |  dateAdd('week', 1, toDate('2024-03-01')) AS w,
+        |  dateAdd('month', 1, toDate('2024-01-31')) AS m,
+        |  dateAdd('quarter', 1, toDate('2024-01-15')) AS q,
+        |  dateAdd('year', -1, toDate('2024-02-29')) AS y,
+        |  dateAdd('hour', 2, toDate('2024-03-01')) AS h,
+        |  dateAdd('hour', 2, toDateTime('2024-01-01 00:00:00')) AS t""".stripMargin)
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val sch = df.schema
+    Seq("d", "w", "m", "q", "y").foreach { c =>
+      assert(sch(c).dataType == DateType, s"$c: ${sch(c).dataType}")
+    }
+    assert(sch("h").dataType == TimestampType)
+    assert(sch("t").dataType == TimestampType)
+    val row = df.collect().head
+    assert(row.getDate(0).toString == "2024-02-28")
+    assert(row.getDate(1).toString == "2024-03-08")
+    assert(row.getDate(2).toString == "2024-02-29")
+    assert(row.getDate(3).toString == "2024-04-15")
+    assert(row.getDate(4).toString == "2023-02-28")
+    assert(row.getTimestamp(6).toString.startsWith("2024-01-01 02:00:00"))
+  }
 }

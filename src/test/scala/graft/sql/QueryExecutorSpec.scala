@@ -297,6 +297,40 @@ class QueryExecutorSpec extends SparkSpec {
     assert(json == """{"columns": ["a", "b\"q"], "rows": [[1, "x\ny"], [null, 2.5]]}""")
   }
 
+  test("non-scalar cells serialize as JSON values, never Scala toString") {
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      // the round-13 wire-format leak: SELECT [1,2,3] rendered
+      // "ArraySeq(1, 2, 3)" and toJson quoted Decimal cells — the
+      // reference returns JSON lists/objects/numbers (mcp_server.py:426)
+      val r = ex.run(
+        """SELECT [1, 2, 3] AS arr, map('k', 1) AS m,
+          |  named_struct('a', 1, 'b', 'x') AS st,
+          |  CAST(1.5 AS DECIMAL(10,2)) AS d""".stripMargin)
+      val json = r.toJson
+      assert(json.contains("[[1, 2, 3], {\"k\": 1}, {\"a\": 1, \"b\": \"x\"}, 1.50]"), json)
+      assert(!json.contains("ArraySeq") && !json.contains("Map("), json)
+      val ndjson = r.toJsonEachRow
+      assert(ndjson ==
+        "{\"arr\": [1, 2, 3], \"m\": {\"k\": 1}, \"st\": {\"a\": 1, \"b\": \"x\"}, \"d\": 1.50}",
+        ndjson)
+      // CSV renders CH-style literals: arrays [..], maps {'k':v},
+      // tuples (..) — RFC-4180 field quoting wraps the commas
+      val csv = r.toCsv.linesIterator.toSeq
+      assert(csv(1) == "\"[1,2,3]\",{'k':1},\"(1,'x')\",1.50", csv(1))
+      // a headline CH shape through the served read path: topK's
+      // array cell arrives as a JSON list of strings
+      TableEnv.register(spark, sf)
+      val tk = ex.run("SELECT topK(2)(o_orderpriority) AS t FROM orders")
+      assert(tk.toJson.matches(""".*"rows": \[\[\["[^"]+", "[^"]+"\]\]\].*"""),
+        tk.toJson)
+      // nested: array-of-structs recurses
+      val nested = ex.run(
+        "SELECT array(named_struct('x', 1), named_struct('x', 2)) AS a")
+      assert(nested.toJson.contains("[[[{\"x\": 1}, {\"x\": 2}]]]"), nested.toJson)
+    } finally ex.close()
+  }
+
   test("row cap bounds a huge SELECT and flags truncation") {
     val ex = new QueryExecutor(spark, timeoutSec = 60, maxRows = 100)
     try {
