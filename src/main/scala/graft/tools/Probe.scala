@@ -441,7 +441,17 @@ object Probe {
     "explain_format_tail" ->
       "EXPLAIN SYNTAX SELECT count() FROM orders FORMAT TSV",
     "intexp10_negative" ->
-      "SELECT intExp10(-2) AS a, intExp10(0) AS b"
+      "SELECT intExp10(-2) AS a, intExp10(0) AS b",
+    "truthy_where_alias" ->
+      "SELECT o_orderkey % 2 AS odd FROM orders WHERE odd LIMIT 5",
+    "truthy_join_on" ->
+      "SELECT count() AS n FROM orders JOIN customer ON (o_custkey = c_custkey) AND (c_custkey % 2)",
+    "truthy_values" ->
+      "SELECT count() AS n FROM values('v Int64', (0), (1), (2)) WHERE v",
+    "truthy_qualify" ->
+      "SELECT o_custkey, o_orderkey FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) % 2 LIMIT 10",
+    "gen_random_more_types" ->
+      "SELECT count() AS n FROM (SELECT * FROM generateRandom('d Date, t DateTime, s String, f Float64, dec Decimal(10,2), u UInt32, b Bool') LIMIT 100)"
   )
 
   def main(args: Array[String]): Unit = {

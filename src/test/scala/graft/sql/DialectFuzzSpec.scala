@@ -444,6 +444,72 @@ class DialectFuzzSpec extends graft.SparkSpec {
       fail(s"${failures.size} failing case(s); first:\n${failures.head}")
   }
 
+  test("truthiness × context × predicate form: numeric conditions " +
+    "answer exactly like their explicit != 0 spelling (value-checked)") {
+    assert(ready)
+    // fixture: v 0..5, strings alternately containing 'x' — so every
+    // predicate form has both true and false (and for nullif, NULL) rows
+    val src = "values('v Int64, s String', " +
+      "(0,'ax'), (1,'b'), (2,'x'), (3,'c'), (4,'dx'), (5,'e'))"
+    def n(sql: String): Long =
+      QueryGuard.plan(spark, sql).collect().head.get(0)
+        .asInstanceOf[Number].longValue
+    val preds = Seq("v % 2", "v - 2", "v * 0.5", "position(s, 'x')",
+      "nullif(v, 3)")
+    val failures = preds.flatMap { p =>
+      val contexts = Seq(
+        ("where",
+          s"SELECT count(*) AS n FROM $src WHERE $p",
+          s"SELECT count(*) AS n FROM $src WHERE ($p) != 0"),
+        ("not",
+          s"SELECT count(*) AS n FROM $src WHERE NOT ($p)",
+          s"SELECT count(*) AS n FROM $src WHERE NOT (($p) != 0)"),
+        ("and",
+          s"SELECT count(*) AS n FROM $src WHERE ($p) AND v < 5",
+          s"SELECT count(*) AS n FROM $src WHERE (($p) != 0) AND v < 5"),
+        ("or",
+          s"SELECT count(*) AS n FROM $src WHERE ($p) OR v = 0",
+          s"SELECT count(*) AS n FROM $src WHERE (($p) != 0) OR v = 0"),
+        ("if",
+          s"SELECT CAST(sum(if($p, 1, 0)) AS BIGINT) AS n FROM $src",
+          s"SELECT CAST(sum(if(($p) != 0, 1, 0)) AS BIGINT) AS n FROM $src"),
+        ("case",
+          s"SELECT CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS n FROM $src",
+          s"SELECT CAST(sum(CASE WHEN ($p) != 0 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM $src"),
+        ("having",
+          s"SELECT count(*) AS n FROM (SELECT v FROM $src GROUP BY v, s HAVING $p) t",
+          s"SELECT count(*) AS n FROM (SELECT v FROM $src GROUP BY v, s HAVING ($p) != 0) t"))
+      contexts.flatMap { case (label, truthy, explicit) =>
+        try {
+          val (a, b) = (n(truthy), n(explicit))
+          if (a != b) Some(s"$label [$p]: truthy=$a explicit=$b")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$label [$p] DIED ${Option(e.getMessage)
+            .getOrElse("").linesIterator.take(1).mkString.take(120)}")
+        }
+      }
+    }
+    // lambda predicate positions ride the same coercion
+    val lamPreds = Seq("x % 2", "x - 2", "x * 0.5")
+    val lamFailures = lamPreds.flatMap { p =>
+      Seq("arrayCount", "arrayFirstIndex").flatMap { f =>
+        val truthy = s"SELECT $f(x -> $p, [0, 1, 2, 3, 4, 5]) AS n"
+        val explicit = s"SELECT $f(x -> ($p) != 0, [0, 1, 2, 3, 4, 5]) AS n"
+        try {
+          val (a, b) = (n(truthy), n(explicit))
+          if (a != b) Some(s"$f [$p]: truthy=$a explicit=$b") else None
+        } catch {
+          case e: Throwable => Some(s"$f [$p] DIED ${Option(e.getMessage)
+            .getOrElse("").linesIterator.take(1).mkString.take(120)}")
+        }
+      }
+    }
+    val all = failures ++ lamFailures
+    if (all.nonEmpty)
+      fail(s"${all.size} failing case(s):\n${all.take(8).mkString("\n")}")
+  }
+
   test("generateRandom range pins: every declared CH type stays inside " +
     "its OWN domain over 2000 rows (value-checked)") {
     assert(ready)
