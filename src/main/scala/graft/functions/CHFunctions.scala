@@ -27,7 +27,9 @@ object CHFunctions {
 
   /** CASE WHEN cond THEN x END — the `*If` combinator shape. */
   private def whenThen(cond: Expression, value: Expression): Expression =
-    CaseWhen(Seq(cond -> value), None)
+    // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
+    // boolean passes through untouched
+    CaseWhen(Seq((Truthy(cond): Expression) -> value), None)
 
   /** Floor a timestamp to a fixed `width`-second slot (timeSlot
     * family). `t - pmod(t, w)` floors correctly for pre-epoch times
@@ -673,7 +675,7 @@ object CHFunctions {
     "uniqMerge" -> (es => fn("hll_sketch_estimate", fn("hll_union_agg", es.head))),
 
     // conditional aggregates
-    "countIf" -> (es => fn("count_if", es.head)),
+    "countIf" -> (es => fn("count_if", Truthy(es.head))),
     "sumIf" -> (es => fn("sum", whenThen(es(1), es.head))),
     "sumWithOverflow" -> (es => fn("sum", es.head)),
     "avgIf" -> (es => fn("avg", whenThen(es(1), es.head))),
@@ -2264,9 +2266,11 @@ object CHFunctions {
     "multiIf" -> (es => {
       val (pairs, default) =
         if (es.size % 2 == 1) (es.init, Some(es.last)) else (es, None)
-      CaseWhen(pairs.grouped(2).map(p => p.head -> p(1)).toSeq, default)
+      // Truthy: CH accepts numeric conditions (truthiness)
+      CaseWhen(pairs.grouped(2)
+        .map(p => (Truthy(p.head): Expression) -> p(1)).toSeq, default)
     }),
-    "ifCH" -> (es => If(es.head, es(1), es(2))),
+    "ifCH" -> (es => If(Truthy(es.head), es(1), es(2))),
 
     // string emptiness (ClickHouse empty/notEmpty; for arrays use size)
     "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
@@ -3383,8 +3387,8 @@ object CHFunctions {
           Coalesce(Seq(fn("max", cond(es)), Literal(0)))),
       ("count",
         (es: Seq[Expression]) =>
-          fn("nullif", fn("count_if", es.head), Literal(0L)),
-        (es: Seq[Expression]) => fn("count_if", es.head)))
+          fn("nullif", fn("count_if", Truthy(es.head)), Literal(0L)),
+        (es: Seq[Expression]) => fn("count_if", Truthy(es.head))))
     bases.flatMap { case (b, orNull, orDefault) =>
       Seq(
         s"${b}OrNullIf" -> orNull, s"${b}IfOrNull" -> orNull,

@@ -451,7 +451,9 @@ object Probe {
     "truthy_qualify" ->
       "SELECT o_custkey, o_orderkey FROM orders QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) % 2 LIMIT 10",
     "gen_random_more_types" ->
-      "SELECT count() AS n FROM (SELECT * FROM generateRandom('d Date, t DateTime, s String, f Float64, dec Decimal(10,2), u UInt32, b Bool') LIMIT 100)"
+      "SELECT count() AS n FROM (SELECT * FROM generateRandom('d Date, t DateTime, s String, f Float64, dec Decimal(10,2), u UInt32, b Bool') LIMIT 100)",
+    "truthy_cond_aggs" ->
+      "SELECT countIf(o_orderkey % 2) AS a, sumIf(o_totalprice, o_custkey % 2) AS b, avgIf(o_totalprice, o_orderkey % 3) AS c, countIfOrNull(o_orderkey % 7) AS d FROM orders"
   )
 
   def main(args: Array[String]): Unit = {

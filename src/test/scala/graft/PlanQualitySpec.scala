@@ -127,6 +127,29 @@ class PlanQualitySpec extends SparkSpec {
       vPlan.take(400))
   }
 
+  test("truthiness filters stay pushdown-eligible: Truthy replaces to a plain comparison") {
+    graft.sql.TableEnv.register(spark, sf)
+    // WHERE o_custkey (CH flag-style truthiness) must reach the scan
+    // as NOT(EqualTo(o_custkey, 0)) — RuntimeReplaceable means the
+    // executed plan never carries the Truthy node itself
+    val df = graft.sql.QueryGuard.plan(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_custkey")
+    df.collect()
+    val plan = formatted(df)
+    assert(plan.contains("PushedFilters:"), plan.take(600))
+    assert(plan.contains("Not(EqualTo(o_custkey,0))"), plan.take(1200))
+    assert(!plan.contains("truthy"), plan.take(1200))
+    // and the arithmetic form stays inside whole-stage codegen
+    val df2 = graft.sql.QueryGuard.plan(spark,
+      "SELECT count(*) AS n FROM orders WHERE o_orderkey % 2")
+    df2.collect()
+    val plan2 = df2.queryExecution.executedPlan.toString()
+    // the `*(n)` markers are whole-stage codegen stage ids — the
+    // truthiness filter must not fall out of codegen
+    assert(plan2.contains("*(1) Filter"), plan2.take(800))
+    assert(!plan2.toLowerCase.contains("truthy"), plan2.take(1200))
+  }
+
   test("minhash candidate generation uses a bounded number of shuffles") {
     // groupBy(band,bkey) + distinct + final orderBy = 3 wide deps max
     val n = countShuffles(Dedup.dedupMinhash(spark, sf))

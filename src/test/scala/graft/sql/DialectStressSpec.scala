@@ -992,6 +992,18 @@ class DialectStressSpec extends graft.SparkSpec {
     // the engine's own doc example (TableEnv.scala): a UInt8 flag column
     assert(ex.run("SELECT count() AS n FROM system.settings WHERE changed")
       .rows.head.head.toString.toLong >= 0)
+    // conditional aggregates take numeric conditions too (registry-
+    // built CaseWhen conditions ride the same Truthy coercion)
+    val ca = ex.run(
+      """SELECT countIf(o_orderkey % 2) AS a,
+        |  countIf(o_orderkey % 2 != 0) AS a2,
+        |  CAST(sumIf(1, o_custkey % 2) AS BIGINT) AS b,
+        |  CAST(sumIf(1, o_custkey % 2 != 0) AS BIGINT) AS b2,
+        |  multiIf(o_orderkey % 2, 'o', 'e') AS m
+        |FROM orders GROUP BY o_orderkey % 2 ORDER BY m LIMIT 1""".stripMargin)
+    val caRow = ca.rows.head
+    assert(caRow(0) == caRow(1), s"countIf ${caRow(0)} vs ${caRow(1)}")
+    assert(caRow(2) == caRow(3), s"sumIf ${caRow(2)} vs ${caRow(3)}")
     // non-numeric conditions still fail, with a readable message
     val e = ex.runSafe("SELECT 1 WHERE 'abc'")
     assert(e.isLeft && e.swap.exists(m =>
