@@ -143,6 +143,11 @@ object QueryResult {
       r.toSeq.map(chLiteral(_, nested = true)).mkString("(", ",", ")")
     case s: String if nested =>
       "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    // CH quotes dates/timestamps inside composite literals:
+    // ['2024-01-01'], ('2024-01-01 00:00:00')
+    case d @ (_: java.sql.Date | _: java.sql.Timestamp |
+        _: java.time.LocalDate | _: java.time.Instant) if nested =>
+      "'" + d.toString + "'"
     case other => other.toString
   }
 }

@@ -328,6 +328,10 @@ class QueryExecutorSpec extends SparkSpec {
       val nested = ex.run(
         "SELECT array(named_struct('x', 1), named_struct('x', 2)) AS a")
       assert(nested.toJson.contains("[[[{\"x\": 1}, {\"x\": 2}]]]"), nested.toJson)
+      // dates inside composite CSV literals are quoted, CH-style
+      val dr = ex.run("SELECT array(DATE'2024-01-01') AS da")
+      assert(dr.toCsv.split("\n")(1) == "['2024-01-01']", dr.toCsv)
+      assert(dr.toJson.contains("[\"2024-01-01\"]"), dr.toJson)
     } finally ex.close()
   }
 
