@@ -1020,4 +1020,44 @@ class QueryExecutorSpec extends SparkSpec {
       ex.close()
     }
   }
+
+  test("property: every toJson/toJsonEachRow payload is parseable JSON " +
+    "with the right structure (150 random nested cells)") {
+    // pins escaping and recursion together: whatever cell shape a
+    // query produces, the wire payload must round-trip through a real
+    // JSON parser (the renderers are hand-rolled — a missed escape or
+    // an unquoted token would corrupt every client downstream)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rnd = new scala.util.Random(20260815)
+    val trickyStrings = Seq("plain", "with \"quotes\"", "tab\tnewline\n",
+      "back\\slash", "comma,paren(", "unicode é中", "'single'",
+      "{\"json\": 1}", "")
+    def randCell(depth: Int): Any = rnd.nextInt(if (depth > 2) 7 else 10) match {
+      case 0 => null
+      case 1 => rnd.nextLong()
+      case 2 => rnd.nextInt()
+      case 3 => rnd.nextDouble() * 1e6
+      case 4 => rnd.nextBoolean()
+      case 5 => trickyStrings(rnd.nextInt(trickyStrings.size))
+      case 6 => new java.math.BigDecimal("12345.6789").movePointLeft(rnd.nextInt(5))
+      case 7 => Seq.fill(rnd.nextInt(4))(randCell(depth + 1))
+      case 8 => Map("k" + rnd.nextInt(3) -> randCell(depth + 1),
+        trickyStrings(rnd.nextInt(trickyStrings.size)) -> randCell(depth + 1))
+      case 9 => org.apache.spark.sql.Row(randCell(depth + 1), randCell(depth + 1))
+    }
+    (1 to 150).foreach { i =>
+      val nCols = 1 + rnd.nextInt(4)
+      val cols = (1 to nCols).map(c => s"c$c")
+      val rows = Seq.fill(1 + rnd.nextInt(3))(cols.map(_ => randCell(0)))
+      val r = QueryResult(cols, rows, truncated = rnd.nextBoolean())
+      val parsed = mapper.readTree(r.toJson)
+      assert(parsed.get("columns").size == nCols, s"case $i: ${r.toJson.take(200)}")
+      assert(parsed.get("rows").size == rows.size, s"case $i")
+      assert(parsed.get("rows").get(0).size == nCols, s"case $i")
+      r.toJsonEachRow.split("\n").filter(_.nonEmpty).foreach { line =>
+        val obj = mapper.readTree(line)
+        assert(obj.isObject && obj.size == nCols, s"case $i: ${line.take(200)}")
+      }
+    }
+  }
 }
