@@ -444,6 +444,73 @@ class DialectFuzzSpec extends graft.SparkSpec {
       fail(s"${failures.size} failing case(s); first:\n${failures.head}")
   }
 
+  test("QUALIFY × aggregation shape × predicate × tail: every form " +
+    "answers like its manual subquery spelling (value-checked)") {
+    assert(ready)
+    // fixture with rank ties and several groups
+    val src = "values('k Int64, x Int64', " +
+      "(1, 10), (1, 20), (2, 30), (2, 30), (3, 5), (3, 5), (4, 60))"
+    def rows(sql: String): Seq[String] =
+      QueryGuard.plan(spark, sql).collect()
+        .map(_.toSeq.map(String.valueOf).mkString("|")).sorted.toSeq
+    val tails = Seq("", " ORDER BY 1", " ORDER BY 1 LIMIT 2",
+      " ORDER BY 1 SETTINGS max_threads = 4")
+    // (label, QUALIFY form taking tail, manual spelling taking tail)
+    val cases = Seq[(String, String => String, String => String)](
+      ("grouped rank",
+        t => s"SELECT k, sum(x) AS s FROM $src GROUP BY k " +
+          s"QUALIFY rank() OVER (ORDER BY sum(x) DESC) <= 2$t",
+        t => s"SELECT k, s FROM (SELECT k, s, rank() OVER (ORDER BY s DESC) " +
+          s"AS r FROM (SELECT k, sum(x) AS s FROM $src GROUP BY k) a) b " +
+          s"WHERE r <= 2$t"),
+      ("grouped nested agg window",
+        t => s"SELECT k, sum(x) AS s FROM $src GROUP BY k " +
+          s"QUALIFY sum(sum(x)) OVER () > 100$t",
+        t => s"SELECT k, s FROM (SELECT k, s, sum(s) OVER () AS tot FROM " +
+          s"(SELECT k, sum(x) AS s FROM $src GROUP BY k) a) b WHERE tot > 100$t"),
+      ("implicit agg bare head",
+        t => s"SELECT sum(x) AS s FROM $src QUALIFY sum(x) OVER () > 100$t",
+        t => s"SELECT s FROM (SELECT s, sum(s) OVER () AS tot FROM " +
+          s"(SELECT sum(x) AS s FROM $src) a) b WHERE tot > 100$t"),
+      ("implicit agg bare head drops",
+        t => s"SELECT sum(x) AS s FROM $src QUALIFY sum(x) OVER () > 1000$t",
+        t => s"SELECT s FROM (SELECT s, sum(s) OVER () AS tot FROM " +
+          s"(SELECT sum(x) AS s FROM $src) a) b WHERE tot > 1000$t"),
+      ("implicit agg explicit nesting",
+        t => s"SELECT count(*) AS n FROM $src " +
+          s"QUALIFY sum(count(*)) OVER () >= 7$t",
+        t => s"SELECT n FROM (SELECT n, sum(n) OVER () AS tot FROM " +
+          s"(SELECT count(*) AS n FROM $src) a) b WHERE tot >= 7$t"),
+      ("distinct rank",
+        t => s"SELECT DISTINCT k, rank() OVER (ORDER BY k) AS r FROM $src " +
+          s"QUALIFY r <= 3$t",
+        t => s"SELECT DISTINCT k, r FROM (SELECT k, rank() OVER (ORDER BY k) " +
+          s"AS r FROM $src) a WHERE r <= 3$t"),
+      ("numeric qualify pred (truthiness)",
+        t => s"SELECT k, sum(x) AS s FROM $src GROUP BY k " +
+          s"QUALIFY rank() OVER (ORDER BY k) % 2$t",
+        t => s"SELECT k, s FROM (SELECT k, s, rank() OVER (ORDER BY k) AS r " +
+          s"FROM (SELECT k, sum(x) AS s FROM $src GROUP BY k) a) b " +
+          s"WHERE r % 2 != 0$t"))
+    val failures = for {
+      (label, qf, mf) <- cases
+      t <- tails
+      f <- {
+        try {
+          val (a, b) = (rows(qf(t)), rows(mf(t)))
+          if (a != b) Some(s"$label tail='$t': qualify=$a manual=$b")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$label tail='$t' DIED " +
+            Option(e.getMessage).getOrElse("")
+              .linesIterator.take(1).mkString.take(140))
+        }
+      }
+    } yield f
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s):\n${failures.take(6).mkString("\n")}")
+  }
+
   test("truthiness × context × predicate form: numeric conditions " +
     "answer exactly like their explicit != 0 spelling (value-checked)") {
     assert(ready)
