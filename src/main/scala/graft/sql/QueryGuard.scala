@@ -2411,7 +2411,17 @@ object QueryGuard {
         case "TIMESTAMP" =>
           s"timestamp_seconds(1577836800 + $h % 157680000)"
         case dec if dec.startsWith("DECIMAL") =>
-          s"CAST($h % 100000 / 100.0 AS $ty)"
+          // respect the declared precision: values land in
+          // [0, 10^(p-s)) with s fractional digits, so the CAST can
+          // never overflow (Decimal(3,1) at the old %100000/100 grid
+          // reached 999.99 and died the ANSI way)
+          val ps = "DECIMAL\\((\\d+)\\s*,\\s*(\\d+)\\)".r
+            .findFirstMatchIn(dec)
+          val (p, sc) = ps.map(m => (m.group(1).toInt, m.group(2).toInt))
+            .getOrElse((10, 0))
+          val span = math.pow(10.0, math.min(p, 15)).toLong.max(1L)
+          val div = math.pow(10.0, sc).toLong.max(1L)
+          s"CAST($h % $span / $div.0 AS $ty)"
         case arr if arr.startsWith("ARRAY<") && arr.endsWith(">") =>
           val el = arr.substring(6, arr.length - 1)
           s"array(${gen(el, k * 31 + 1)}, ${gen(el, k * 31 + 2)}, " +

@@ -614,6 +614,23 @@ class DialectFuzzSpec extends graft.SparkSpec {
           .getOrElse("").linesIterator.take(1).mkString.take(120)}")
       }
     }
+    // Decimal respects its declared precision (Decimal(3,1) formerly
+    // generated up to 999.99 and died the ANSI way at CAST)
+    val decFailures = Seq(("Decimal(3,1)", 99.9), ("Decimal(10,2)", 1e8))
+      .flatMap { case (ty, hi) =>
+        try {
+          val r = QueryGuard.plan(spark,
+            s"SELECT CAST(max(x) AS DOUBLE) AS mx, CAST(min(x) AS DOUBLE) " +
+              s"AS mn FROM (SELECT x FROM generateRandom('x $ty', 42) " +
+              "LIMIT 2000)").collect().head
+          if (r.getDouble(0) > hi || r.getDouble(1) < 0)
+            Some(s"$ty: [${r.getDouble(1)}, ${r.getDouble(0)}] outside [0, $hi]")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$ty DIED ${Option(e.getMessage)
+            .getOrElse("").linesIterator.take(1).mkString.take(120)}")
+        }
+      }
     // array element types ride the same dispatch
     val arr = QueryGuard.plan(spark,
       "SELECT max(arrayMax(a)) AS mx, min(arrayMin(a)) AS mn FROM " +
@@ -624,7 +641,7 @@ class DialectFuzzSpec extends graft.SparkSpec {
         arr.get(1).asInstanceOf[Number].longValue < 0L)
         Seq(s"Array(UInt8): [${arr.get(1)}, ${arr.get(0)}]")
       else Nil
-    val all = failures ++ arrBad
+    val all = failures ++ decFailures ++ arrBad
     if (all.nonEmpty)
       fail(s"${all.size} failing case(s):\n${all.mkString("\n")}")
   }
