@@ -2056,8 +2056,18 @@ object CHFunctions {
       MapFilter(es.head,
         LambdaFunction(fn("like", k, es(1)), Seq(k, v)))
     }),
+    // WrapInt64: UInt64 keys above 2^63 (pasted hash literals parse
+    // as DECIMAL(20,0)) wrap two's-complement instead of throwing
     "jumpConsistentHash" -> (es =>
-      JumpHash(Cast(es.head, LongType), Cast(es(1), IntegerType))),
+      JumpHash(WrapInt64(es.head), Cast(es(1), IntegerType))),
+    // kostikConsistentHash: CH's O(1) consistent hash (Oblakov). The
+    // jump hash carries the same contract — uniform, minimal-movement
+    // mapping onto [0, n) — and stands in here, like the other
+    // stable-hash-family stand-ins (cityHash64, farmFingerprint64).
+    "kostikConsistentHash" -> (es =>
+      JumpHash(WrapInt64(es.head), Cast(es(1), IntegerType))),
+    "yandexConsistentHash" -> (es =>
+      JumpHash(WrapInt64(es.head), Cast(es(1), IntegerType))),
     // murmurHash3_32: Spark's hash IS murmur3-x86-32 (seed 42 where CH
     // seeds 0 — a stable-hash family contract, as with cityHash64)
     "murmurHash3_32" -> (es => fn("hash", es: _*)),
@@ -2276,6 +2286,15 @@ object CHFunctions {
     "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
     "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
     "lengthUTF8" -> (es => fn("char_length", es.head)),
+    // Spark's left/right/substring count CODE POINTS already — the
+    // UTF8 spellings alias them
+    "leftUTF8" -> (es => fn("left", es: _*)),
+    "rightUTF8" -> (es => fn("right", es: _*)),
+    "toBool" -> (es => Cast(es.head, org.apache.spark.sql.types.BooleanType,
+      None, EvalMode.ANSI)),
+    "toBoolOrNull" -> (es =>
+      Cast(es.head, org.apache.spark.sql.types.BooleanType,
+        None, EvalMode.TRY)),
     // CH length() = BYTES for strings (element count for arrays);
     // served-path rename only — see [[ChLength]]
     "lengthCH" -> (es => ChLength(es.head)),
@@ -2823,6 +2842,21 @@ object CHFunctions {
     "bitHammingDistance" -> (es =>
       fn("bit_count", BitwiseXor(Cast(es.head, LongType),
         Cast(es(1), LongType)))),
+    // 64-bit rotates (CH rotates within the argument's own width; the
+    // engine's integer lane is Int64 — same stand-in contract as the
+    // other width-dependent bit functions). n mod 64 like the CPU op.
+    "bitRotateLeft" -> (es => {
+      val x = Cast(es.head, LongType)
+      val n = Cast(es(1), IntegerType)
+      BitwiseOr(ShiftLeft(x, n),
+        ShiftRightUnsigned(x, Subtract(Literal(64), n)))
+    }),
+    "bitRotateRight" -> (es => {
+      val x = Cast(es.head, LongType)
+      val n = Cast(es(1), IntegerType)
+      BitwiseOr(ShiftRightUnsigned(x, n),
+        ShiftLeft(x, Subtract(Literal(64), n)))
+    }),
     // split/trim/index string extras
     "splitByRegexp" -> (es => fn("split", es(1), es.head)),
     "splitByWhitespace" -> (es => {
@@ -3115,6 +3149,15 @@ object CHFunctions {
     "randExponential" -> (es => Divide(
       UnaryMinus(fn("ln", Subtract(Literal(1.0), fn("rand")))),
       Cast(es.head, DoubleType))),
+    // the heavier distributions: one native Nondeterministic sampler
+    // (Knuth/Marsaglia-Tsang, CLT cutover for large parameters)
+    "randPoisson" -> (es => RandDist("poisson", es.take(1))),
+    "randBinomial" -> (es => RandDist("binomial", es.take(2))),
+    "randNegativeBinomial" -> (es => RandDist("negativeBinomial", es.take(2))),
+    "randChiSquared" -> (es => RandDist("chiSquared", es.take(1))),
+    "randStudentT" -> (es => RandDist("studentT", es.take(1))),
+    "randFisherF" -> (es => RandDist("fisherF", es.take(2))),
+    "randLogNormal" -> (es => RandDist("logNormal", es.take(2))),
 
     // toInterval*: CH interval constructors over Spark's ANSI interval
     // makers (year-month vs day-time split; adding a day-time interval

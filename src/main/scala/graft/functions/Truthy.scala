@@ -49,6 +49,36 @@ case class Truthy(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** UInt64-key intake: ClickHouse hash keys are UInt64, and a pasted
+  * literal above 2^63 (`kostikConsistentHash(16045690984833335023, 2)`)
+  * parses in Spark as DECIMAL(20,0) — an ANSI cast to BIGINT throws
+  * CAST_OVERFLOW. This wraps to the two's-complement Int64 instead
+  * (BigInteger.longValue IS the mod-2^64 truncation), the engine's
+  * documented 64-bit contract for UInt64 values. */
+case class WrapInt64(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "wrapInt64"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: NumericType | NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"expected a numeric key, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(v: Any): Any = v match {
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal.toBigInteger.longValue()
+    case d: java.math.BigDecimal => d.toBigInteger.longValue()
+    case n: Number => n.longValue()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WrapInt64 =
+    copy(child = newChild)
+}
+
 /** ClickHouse `round()` with CH's type-dependent tie rule: banker's
   * rounding (half-to-even) for Float32/Float64, but half-AWAY-from-zero
   * for Decimal — one name, two modes, dispatched on the resolved

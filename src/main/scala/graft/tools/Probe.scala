@@ -453,7 +453,44 @@ object Probe {
     "gen_random_more_types" ->
       "SELECT count() AS n FROM (SELECT * FROM generateRandom('d Date, t DateTime, s String, f Float64, dec Decimal(10,2), u UInt32, b Bool') LIMIT 100)",
     "truthy_cond_aggs" ->
-      "SELECT countIf(o_orderkey % 2) AS a, sumIf(o_totalprice, o_custkey % 2) AS b, avgIf(o_totalprice, o_orderkey % 3) AS c, countIfOrNull(o_orderkey % 7) AS d FROM orders"
+      "SELECT countIf(o_orderkey % 2) AS a, sumIf(o_totalprice, o_custkey % 2) AS b, avgIf(o_totalprice, o_orderkey % 3) AS c, countIfOrNull(o_orderkey % 7) AS d FROM orders",
+    // ---- round-14 wave 15 (gap finder: common CH idioms) ----
+    "w15_age" ->
+      "SELECT age('day', toDate('2024-01-01'), toDate('2024-03-05')) AS d, age('month', toDate('2023-01-15'), toDate('2024-03-05')) AS m",
+    "w15_last_day" ->
+      "SELECT toLastDayOfMonth(toDate('2024-02-05')) AS ld, toStartOfFifteenMinutes(toDateTime('2024-01-01 10:22:33')) AS f",
+    "w15_now64" ->
+      "SELECT now64() >= toDateTime('2020-01-01 00:00:00') AS a, toUnixTimestamp64Milli(toDateTime64('2024-01-01 00:00:00', 3)) AS ms",
+    "w15_split_regexp" ->
+      "SELECT splitByRegexp('[0-9]+', 'a1bb22ccc') AS parts, countSubstrings('hello hello', 'llo') AS cs",
+    "w15_case_position" ->
+      "SELECT positionCaseInsensitive('Hello World', 'WORLD') AS p, positionUTF8('héllo', 'llo') AS pu",
+    "w15_array_zip" ->
+      "SELECT arrayZip([1, 2], ['a', 'b']) AS z, arrayRotateLeft([1, 2, 3, 4], 1) AS rl",
+    "w15_readable_delta" ->
+      "SELECT formatReadableTimeDelta(3905) AS t, formatReadableQuantity(1234567) AS q",
+    "w15_rand_more" ->
+      "SELECT randPoisson(3) >= 0 AS p, randBinomial(10, 0.5) BETWEEN 0 AND 10 AS b, randExponential(2) >= 0 AS e",
+    "w15_to_decimal" ->
+      "SELECT toDecimal32('1.55', 2) AS d32, toDecimal64(3.14159, 4) AS d64, toDecimal32OrNull('xx', 2) AS bad",
+    "w15_left_right" ->
+      "SELECT left('hello', 2) AS l, right('hello', 2) AS r, leftUTF8('héllo', 2) AS lu",
+    "w15_soundex" ->
+      "SELECT soundex('Robert') AS s1, soundex('Rupert') AS s2",
+    "w15_tobool" ->
+      "SELECT toBool('true') AS a, toBool(1) AS b",
+    "w15_shingles" ->
+      "SELECT arrayShingles([1, 2, 3, 4], 2) AS sh",
+    "w15_map_fns" ->
+      "SELECT mapKeys(map('a', 1, 'b', 2)) AS k, mapValues(map('a', 1)) AS v, mapContains(map('a', 1), 'a') AS c",
+    "w15_consistent_hash" ->
+      "SELECT kostikConsistentHash(16045690984833335023, 2) AS h, jumpConsistentHash(42, 128) AS j",
+    "w15_url_more" ->
+      "SELECT cutQueryString('http://x.com/p?a=1') AS c, queryString('http://x.com/p?a=1&b=2') AS q, netloc('http://user:pw@x.com:8080/p') AS n",
+    "w15_bit_ops" ->
+      "SELECT bitRotateLeft(1, 3) AS rl, bitTest(5, 0) AS t0, bitTestAll(7, 0, 1) AS ta",
+    "w15_ifnotfinite" ->
+      "SELECT ifNotFinite(1/0, 99) AS a, isFinite(3.0) AS b, isInfinite(1/0) AS c, isNaN(0/0) AS d"
   )
 
   def main(args: Array[String]): Unit = {

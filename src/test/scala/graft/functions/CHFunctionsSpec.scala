@@ -2554,6 +2554,43 @@ class CHFunctionsSpec extends SparkSpec {
     assert(e2.getMessage.contains("randUniform"), e2.getMessage)
   }
 
+  test("wave-15 scalars: leftUTF8/rightUTF8, toBool, bit rotates, consistent hashes") {
+    val r = one(
+      """SELECT leftUTF8('héllo', 2) AS l, rightUTF8('héllo', 3) AS rr,
+        |  toBool('true') AS bt, toBool(0) AS bf, toBoolOrNull('x') AS bn,
+        |  bitRotateLeft(1, 3) AS rl, bitRotateRight(8, 3) AS rrot,
+        |  bitRotateLeft(5, 0) AS r0,
+        |  kostikConsistentHash(16045690984833335023, 2) AS kh,
+        |  jumpConsistentHash(42, 128) AS jh""".stripMargin)
+    assert(r.getString(0) == "hé" && r.getString(1) == "llo")
+    assert(r.getBoolean(2) && !r.getBoolean(3) && r.isNullAt(4))
+    assert(r.getLong(5) == 8L && r.getLong(6) == 1L && r.getLong(7) == 5L)
+    assert(r.getInt(8) >= 0 && r.getInt(8) < 2)
+    assert(r.getInt(9) >= 0 && r.getInt(9) < 128)
+  }
+
+  test("rand distribution family: sample means land on the distribution means") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT avg(p) AS pois, avg(b) AS binom, avg(nb) AS nb,
+        |  avg(c) AS chi2, avg(st) AS st, avg(ln0) AS ln0,
+        |  avg(ff) AS ff, min(p) AS pmin
+        |FROM (SELECT randPoisson(10) AS p, randBinomial(100, 0.3) AS b,
+        |  randNegativeBinomial(5, 0.5) AS nb, randChiSquared(4) AS c,
+        |  randStudentT(10) AS st, randLogNormal(0.0, 0.5) AS ln0,
+        |  randFisherF(10, 20) AS ff FROM numbers(8000))""".stripMargin)
+    assert(math.abs(r.getDouble(0) - 10.0) < 0.3, s"poisson ${r.getDouble(0)}")
+    assert(math.abs(r.getDouble(1) - 30.0) < 0.5, s"binomial ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - 5.0) < 0.5, s"negBinom ${r.getDouble(2)}")
+    assert(math.abs(r.getDouble(3) - 4.0) < 0.4, s"chi2 ${r.getDouble(3)}")
+    assert(math.abs(r.getDouble(4)) < 0.2, s"studentT ${r.getDouble(4)}")
+    // lognormal(0, 0.5) mean = exp(0.125) ~ 1.133
+    assert(math.abs(r.getDouble(5) - 1.133) < 0.1, s"logNormal ${r.getDouble(5)}")
+    // F(10, 20) mean = 20/18 ~ 1.111
+    assert(math.abs(r.getDouble(6) - 1.111) < 0.3, s"fisherF ${r.getDouble(6)}")
+    assert(r.getLong(7) >= 0L)
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
