@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** ClickHouse-dialect functions registered into Spark SQL (SURVEY §2
@@ -26,6 +26,16 @@ object CHFunctions {
     UnresolvedFunction(name, args.toSeq, isDistinct = false)
 
   /** CASE WHEN cond THEN x END — the `*If` combinator shape. */
+  /** simpleJSON/visitParam typed extract: text → T; missing or
+    * mistyped → the TYPE DEFAULT (CH's simpleJSON contract: 0, not
+    * NULL). */
+  private def simpleJsonTyped(es: Seq[Expression],
+      dt: DataType): Expression =
+    Coalesce(Seq(
+      Cast(fn("get_json_object", es.head,
+        Concat(Seq(Literal("$."), es(1)))), dt, None, EvalMode.TRY),
+      Literal.default(dt)))
+
   private def whenThen(cond: Expression, value: Expression): Expression =
     // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
     // boolean passes through untouched
@@ -776,6 +786,8 @@ object CHFunctions {
       Cast(fn("date_format", es.head, Literal("yyyyMM")), IntegerType)),
     "toYYYYMMDD" -> (es =>
       Cast(fn("date_format", es.head, Literal("yyyyMMdd")), IntegerType)),
+    "toYYYYMMDDhhmmss" -> (es =>
+      Cast(fn("date_format", es.head, Literal("yyyyMMddHHmmss")), LongType)),
 
     // strings — splitByChar(sep, s): sep is regex-quoted via \Q..\E
     "splitByChar" -> (es =>
@@ -784,11 +796,33 @@ object CHFunctions {
     // JSON extraction
     "JSONExtractString" -> (es =>
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
-    // the simpleJSON/visitParam legacy spellings share the extractor
+    // the simpleJSON/visitParam legacy spellings share the extractor;
+    // typed variants cast the extracted text (missing/mistyped → the
+    // type default, CH's simpleJSON contract: 0 not NULL)
     "simpleJSONExtractString" -> (es =>
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
     "visitParamExtractString" -> (es =>
       fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    "simpleJSONExtractInt" -> (es => simpleJsonTyped(es, LongType)),
+    "visitParamExtractInt" -> (es => simpleJsonTyped(es, LongType)),
+    "simpleJSONExtractUInt" -> (es => simpleJsonTyped(es, LongType)),
+    "visitParamExtractUInt" -> (es => simpleJsonTyped(es, LongType)),
+    "simpleJSONExtractFloat" -> (es => simpleJsonTyped(es, DoubleType)),
+    "visitParamExtractFloat" -> (es => simpleJsonTyped(es, DoubleType)),
+    "simpleJSONExtractBool" -> (es => EqualTo(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      Literal("true"))),
+    "visitParamExtractBool" -> (es => EqualTo(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      Literal("true"))),
+    "simpleJSONExtractRaw" -> (es =>
+      Coalesce(Seq(fn("get_json_object", es.head,
+        Concat(Seq(Literal("$."), es(1)))), Literal("")))),
+    "visitParamExtractRaw" -> (es =>
+      Coalesce(Seq(fn("get_json_object", es.head,
+        Concat(Seq(Literal("$."), es(1)))), Literal("")))),
+    "simpleJSONHas" -> (es => IsNotNull(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
     // JSONLength: element count of an array or key count of an object;
     // 0 for scalars and invalid JSON, like CH (the final literal keeps
     // the default non-legacy size(NULL)=NULL from surfacing)
@@ -2404,6 +2438,11 @@ object CHFunctions {
       val x = UnresolvedNamedLambdaVariable(Seq("needle"))
       fn("exists", es(1), LambdaFunction(Contains(es.head, x), Seq(x)))
     }),
+    "multiSearchAnyCaseInsensitive" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("needle"))
+      fn("exists", es(1), LambdaFunction(
+        Contains(fn("lower", es.head), fn("lower", x)), Seq(x)))
+    }),
     // empty needle guarded: ClickHouse returns 0, while an unguarded
     // divide-by-length would be an ANSI runtime error in Spark 4
     "countSubstrings" -> (es =>
@@ -2447,6 +2486,8 @@ object CHFunctions {
     // (col1, t2); the plain form wildcards them too, like CH.
     "normalizeQueryKeepNames" -> (es => normalizeQueryExpr(es.head, keepNames = true)),
     "normalizeQuery" -> (es => normalizeQueryExpr(es.head, keepNames = false)),
+    "normalizedQueryHash" -> (es =>
+      fn("xxhash64", normalizeQueryExpr(es.head, keepNames = false))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
     "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
 

@@ -490,7 +490,36 @@ object Probe {
     "w15_bit_ops" ->
       "SELECT bitRotateLeft(1, 3) AS rl, bitTest(5, 0) AS t0, bitTestAll(7, 0, 1) AS ta",
     "w15_ifnotfinite" ->
-      "SELECT ifNotFinite(1/0, 99) AS a, isFinite(3.0) AS b, isInfinite(1/0) AS c, isNaN(0/0) AS d"
+      "SELECT ifNotFinite(1/0, 99) AS a, isFinite(3.0) AS b, isInfinite(1/0) AS c, isNaN(0/0) AS d",
+    // ---- wave 16 (discovery) ----
+    "w16_array_enum" ->
+      "SELECT arrayEnumerate([9, 8, 7]) AS e, arrayEnumerateDense([10, 20, 10]) AS d, arrayEnumerateUniq([10, 20, 10]) AS u",
+    "w16_array_mut" ->
+      "SELECT arrayPushBack([1, 2], 3) AS pb, arrayPushFront([1, 2], 0) AS pf, arrayPopBack([1, 2, 3]) AS ob, arrayPopFront([1, 2, 3]) AS of, arrayResize([1, 2], 4) AS rz, arrayWithConstant(3, 7) AS wc",
+    "w16_group_uniq" ->
+      "SELECT groupUniqArray(o_orderstatus) AS g, groupUniqArray(3)(o_orderpriority) AS d FROM orders",
+    "w16_simple_json" ->
+      "SELECT simpleJSONExtractString('{\"a\":\"x\"}', 'a') AS s, simpleJSONExtractInt('{\"n\": 42}', 'n') AS n, visitParamExtractString('{\"a\":\"x\"}', 'a') AS v",
+    "w16_yyyymm" ->
+      "SELECT toYYYYMM(toDate('2024-03-05')) AS ym, toYYYYMMDD(toDate('2024-03-05')) AS ymd, toYYYYMMDDhhmmss(toDateTime('2024-03-05 07:08:09')) AS full",
+    "w16_month_name" ->
+      "SELECT monthName(toDate('2024-03-05')) AS m, toModifiedJulianDay('2024-03-05') AS mjd",
+    "w16_round_special" ->
+      "SELECT roundToExp2(100) AS r2, roundDuration(95) AS rd, roundAge(35) AS ra",
+    "w16_multi_search" ->
+      "SELECT multiSearchAny(text, ['spark', 'data']) AS a, multiSearchAnyCaseInsensitive(text, ['SPARK']) AS ci FROM documents LIMIT 3",
+    "w16_unix64" ->
+      "SELECT fromUnixTimestamp64Milli(1704067200000) AS t, toUnixTimestamp64Micro(toDateTime64('2024-01-01 00:00:00', 6)) AS us",
+    "w16_jaccard" ->
+      "SELECT arrayJaccardIndex([1, 2, 3], [2, 3, 4]) AS j",
+    "w16_map_hof" ->
+      "SELECT mapApply((k, v) -> (k, v * 2), map('a', 1)) AS ma, mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS mf, mapUpdate(map('a', 1), map('a', 9)) AS mu",
+    "w16_normalize_query" ->
+      "SELECT normalizeQuery('SELECT 1 + 2') AS nq, normalizedQueryHash('SELECT 1 + 2') >= 0 AS h",
+    "w16_joda" ->
+      "SELECT formatDateTimeInJodaSyntax(toDateTime('2024-03-05 07:08:09'), 'yyyy-MM-dd HH:mm:ss') AS j",
+    "w16_bar" ->
+      "SELECT bar(5, 0, 10, 10) AS b"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2591,6 +2591,30 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getLong(7) >= 0L)
   }
 
+  test("wave-16 scalars: simpleJSON typed, toYYYYMMDDhhmmss, CI multisearch, query hash") {
+    val r = one(
+      """SELECT simpleJSONExtractInt('{"n": 42}', 'n') AS i,
+        |  simpleJSONExtractInt('{"n": 42}', 'missing') AS i0,
+        |  simpleJSONExtractFloat('{"f": 1.5}', 'f') AS f,
+        |  simpleJSONExtractBool('{"b": true}', 'b') AS b,
+        |  simpleJSONExtractRaw('{"a": [1,2]}', 'a') AS raw,
+        |  simpleJSONHas('{"a": 1}', 'a') AS has,
+        |  simpleJSONHas('{"a": 1}', 'z') AS hasnt,
+        |  toYYYYMMDDhhmmss(toDateTime('2024-03-05 07:08:09')) AS full,
+        |  multiSearchAnyCaseInsensitive('Hello World', array('WORLD')) AS ci,
+        |  multiSearchAnyCaseInsensitive('Hello', array('xyz')) AS ci0,
+        |  normalizedQueryHash('SELECT 1 + 2') = normalizedQueryHash('SELECT 3 + 4') AS same""".stripMargin)
+    assert(r.getLong(0) == 42L && r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 1.5)
+    assert(r.getBoolean(3))
+    assert(r.getString(4) == "[1,2]")
+    assert(r.getBoolean(5) && !r.getBoolean(6))
+    assert(r.getLong(7) == 20240305070809L)
+    assert(r.getBoolean(8) && !r.getBoolean(9))
+    // literal normalization makes the two statements hash-identical
+    assert(r.getBoolean(10))
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
