@@ -2227,6 +2227,16 @@ object CHFunctions {
     "toRelativeMinuteNum" -> (es => relativeNum(es.head, 60L)),
     "toRelativeHourNum" -> (es => relativeNum(es.head, 3600L)),
     "toRelativeDayNum" -> (es => relativeNum(es.head, 86400L)),
+    "toRelativeWeekNum" -> (es => relativeNum(es.head, 604800L)),
+    // calendar-unit relatives: count since year 0 (CH's shape — the
+    // absolute origin only matters for DIFFERENCES, the documented use)
+    "toRelativeMonthNum" -> (es => Add(
+      Multiply(Cast(fn("year", es.head), LongType), Literal(12L)),
+      Cast(fn("month", es.head), LongType))),
+    "toRelativeQuarterNum" -> (es => Add(
+      Multiply(Cast(fn("year", es.head), LongType), Literal(4L)),
+      Cast(fn("quarter", es.head), LongType))),
+    "toRelativeYearNum" -> (es => Cast(fn("year", es.head), LongType)),
     // days since 0000-01-01 proleptic Gregorian: epoch day + 719528
     "toDaysSinceYearZero" -> (es =>
       Add(fn("datediff", es.head,
@@ -2898,6 +2908,67 @@ object CHFunctions {
       BitwiseOr(ShiftRightUnsigned(x, n),
         ShiftLeft(x, Subtract(Literal(64), n)))
     }),
+    // unbin('0011000100110010') = '12': pad to whole bytes, decode
+    // each 8-bit group via conv(,2,10) → char. Empty input guarded
+    // (sequence(1, 0) is a DESCENDING range in Spark).
+    "unbin" -> (es => {
+      val s = es.head
+      val len = fn("length", s)
+      val n = Cast(fn("ceil",
+        Divide(Cast(len, DoubleType), Literal(8.0))), IntegerType)
+      val padded = fn("lpad", s, Multiply(n, Literal(8)), Literal("0"))
+      val i = UnresolvedNamedLambdaVariable(Seq("ubi"))
+      val byteStr = fn("substring", padded,
+        Add(Multiply(Subtract(i, Literal(1)), Literal(8)), Literal(1)),
+        Literal(8))
+      val ch = fn("char",
+        Cast(fn("conv", byteStr, Literal(2), Literal(10)), IntegerType))
+      CaseWhen(
+        Seq((EqualTo(len, Literal(0)), Literal(""))),
+        Some(fn("array_join",
+          ArrayTransform(fn("sequence", Literal(1), n),
+            LambdaFunction(ch, Seq(i))),
+          Literal(""))))
+    }),
+    // Morton (Z-order) interleave of two 32-bit coordinates — a
+    // codegen'd fold over the 32 bit positions, no UDF
+    "mortonEncode" -> (es => es match {
+      case Seq(x0, y0) =>
+        val x = Cast(x0, LongType)
+        val y = Cast(y0, LongType)
+        val (acc, i, fin) = lambdaVars
+        val ii = Cast(i, IntegerType)
+        val term = BitwiseOr(
+          ShiftLeft(BitwiseAnd(ShiftRight(x, ii), Literal(1L)),
+            Multiply(ii, Literal(2))),
+          ShiftLeft(BitwiseAnd(ShiftRight(y, ii), Literal(1L)),
+            Add(Multiply(ii, Literal(2)), Literal(1))))
+        ArrayAggregate(fn("sequence", Literal(0), Literal(31)),
+          Literal(0L),
+          LambdaFunction(BitwiseOr(acc, term), Seq(acc, i)),
+          LambdaFunction(fin, Seq(fin)))
+      case other => throw new IllegalArgumentException(
+        s"mortonEncode expects (x, y), got ${other.size} arguments")
+    }),
+    "mortonDecode" -> (es => es match {
+      case Seq(_, code0) =>
+        val code = Cast(code0, LongType)
+        def lane(offset: Int): Expression = {
+          val (acc, i, fin) = lambdaVars
+          val ii = Cast(i, IntegerType)
+          val bit = ShiftLeft(
+            BitwiseAnd(ShiftRight(code,
+              Add(Multiply(ii, Literal(2)), Literal(offset))), Literal(1L)),
+            ii)
+          ArrayAggregate(fn("sequence", Literal(0), Literal(31)),
+            Literal(0L),
+            LambdaFunction(BitwiseOr(acc, bit), Seq(acc, i)),
+            LambdaFunction(fin, Seq(fin)))
+        }
+        CreateStruct(Seq(lane(0), lane(1)))
+      case other => throw new IllegalArgumentException(
+        s"mortonDecode expects (2, code), got ${other.size} arguments")
+    }),
     // split/trim/index string extras
     "splitByRegexp" -> (es => fn("split", es(1), es.head)),
     "splitByWhitespace" -> (es => {
@@ -3081,6 +3152,12 @@ object CHFunctions {
         java.lang.management.ManagementFactory.getRuntimeMXBean
           .getStartTime) / 1000)),
     "currentUser" -> (_ => fn("current_user")),
+    // per-plan query id (CH returns the server-assigned id; one fresh
+    // UUID per PLANNING matches its constant-within-query contract)
+    "queryID" -> (_ =>
+      Literal(java.util.UUID.randomUUID().toString)),
+    "initialQueryID" -> (_ =>
+      Literal(java.util.UUID.randomUUID().toString)),
     // the DateTime32 spellings share the BestEffort parse ladders
     "parseDateTime32BestEffort" -> (es => Coalesce(
       bestEffortAttempts(es.head))),

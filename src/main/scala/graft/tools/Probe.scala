@@ -519,7 +519,30 @@ object Probe {
     "w16_joda" ->
       "SELECT formatDateTimeInJodaSyntax(toDateTime('2024-03-05 07:08:09'), 'yyyy-MM-dd HH:mm:ss') AS j",
     "w16_bar" ->
-      "SELECT bar(5, 0, 10, 10) AS b"
+      "SELECT bar(5, 0, 10, 10) AS b",
+    // ---- wave 17 (discovery) ----
+    "w17_add_days" ->
+      "SELECT addDays(toDate('2024-01-01'), 3) AS a, subtractDays(toDate('2024-01-10'), 2) AS s, addMonths(toDate('2024-01-31'), 1) AS m, subtractYears(toDate('2024-02-29'), 1) AS y, addHours(toDateTime('2024-01-01 00:00:00'), 25) AS h",
+    "w17_date_name" ->
+      "SELECT dateName('month', toDate('2024-03-05')) AS m, dateName('weekday', toDate('2024-03-05')) AS w, dateName('year', toDate('2024-03-05')) AS yy",
+    "w17_relative_num" ->
+      "SELECT toRelativeDayNum(toDate('2024-01-01')) AS d, toRelativeHourNum(toDateTime('2024-01-01 05:00:00')) AS h, toRelativeMonthNum(toDate('2024-01-01')) AS m",
+    "w17_array_cum" ->
+      "SELECT arrayCumSum([1, 2, 3]) AS c, arrayCumSumNonNegative([1, -3, 4]) AS n, arrayDifference([5, 8, 4]) AS d, arrayProduct([2, 3, 4]) AS p",
+    "w17_map_arith" ->
+      "SELECT mapAdd(map('a', 1), map('a', 2, 'b', 1)) AS ma, mapConcat(map('a', 1), map('b', 2)) AS mc, mapPopulateSeries(map(1, 10, 4, 40)) AS mp",
+    "w17_shingle_hash" ->
+      "SELECT wordShingleSimHash('the quick brown fox jumps over', 3) AS w, ngramSimHash('abcdefgh', 3) AS n FROM system.one",
+    "w17_bin_unbin" ->
+      "SELECT bin(5) AS b, unbin('101') AS u, space(3) AS sp",
+    "w17_ten_minutes" ->
+      "SELECT toStartOfTenMinutes(toDateTime('2024-01-01 10:27:33')) AS t, toStartOfFiveMinutes(toDateTime('2024-01-01 10:27:33')) AS f",
+    "w17_server_meta" ->
+      "SELECT version() AS v, hostName() AS h, currentUser() AS u, currentDatabase() AS d, queryID() != '' AS q",
+    "w17_uuid" ->
+      "SELECT generateUUIDv4() != '' AS u, toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS t, UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') != '' AS n",
+    "w17_morton" ->
+      "SELECT mortonEncode(3, 5) AS me"
   )
 
   def main(args: Array[String]): Unit = {

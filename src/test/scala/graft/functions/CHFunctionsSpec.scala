@@ -2615,6 +2615,34 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(10))
   }
 
+  test("wave-17 scalars: relative nums, unbin, morton, query ids") {
+    val r = one(
+      """SELECT toRelativeMonthNum(toDate('2024-03-05')) -
+        |    toRelativeMonthNum(toDate('2023-11-05')) AS md,
+        |  toRelativeQuarterNum(toDate('2024-03-05')) -
+        |    toRelativeQuarterNum(toDate('2023-03-05')) AS qd,
+        |  toRelativeWeekNum(toDateTime('2024-01-08 00:00:00')) -
+        |    toRelativeWeekNum(toDateTime('2024-01-01 00:00:00')) AS wd,
+        |  unbin('0011000100110010') AS ub,
+        |  unbin(bin(53)) AS rt,
+        |  unbin('') AS empty,
+        |  mortonEncode(3, 5) AS me,
+        |  mortonDecode(2, mortonEncode(99, 1234)) AS mdk,
+        |  queryID() != '' AS qid""".stripMargin)
+    assert(r.getLong(0) == 4L)
+    assert(r.getLong(1) == 4L)
+    assert(r.getLong(2) == 1L)
+    assert(r.getString(3) == "12")
+    assert(r.getString(4) == "5")
+    assert(r.getString(5) == "")
+    // interleave(3=0b11, 5=0b101): x bits at even, y at odd positions
+    // x=11 -> 0b_0101, y=101 -> 0b_10_00_10 << 1 -> combined 0b100111 = 39
+    assert(r.getLong(6) == 39L, s"morton ${r.getLong(6)}")
+    val mdk = r.getStruct(7)
+    assert(mdk.getLong(0) == 99L && mdk.getLong(1) == 1234L)
+    assert(r.getBoolean(8))
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
