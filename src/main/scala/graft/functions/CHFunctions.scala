@@ -630,6 +630,24 @@ object CHFunctions {
       fn("transform", fn("approx_top_k", es: _*),
         LambdaFunction(UnresolvedExtractValue(t, Literal("item")), Seq(t)))
     }),
+    // topKIf(k)(x, cond): flattened params-first by the param-agg
+    // shim. whenThen nulls out non-matching rows, but approx_top_k
+    // COUNTS null as an item — so ask for k+1 slots, drop the null
+    // entry, keep k (Truthy admits CH numeric conditions).
+    "topKIf" -> (es => es match {
+      case Seq(k, x, cond) =>
+        val t = UnresolvedNamedLambdaVariable(Seq("t"))
+        val f = UnresolvedNamedLambdaVariable(Seq("tf"))
+        val items = fn("transform",
+          fn("approx_top_k", whenThen(cond, x),
+            Add(Cast(k, IntegerType), Literal(1))),
+          LambdaFunction(UnresolvedExtractValue(t, Literal("item")), Seq(t)))
+        fn("slice",
+          ArrayFilter(items, LambdaFunction(IsNotNull(f), Seq(f))),
+          Literal(1), Cast(k, IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"topKIf expects (k)(x, cond), got ${other.size} arguments")
+    }),
     "argMaxCH" -> (es => fn("max_by", es: _*)),
     "argMinCH" -> (es => fn("min_by", es: _*)),
     "anyCH" -> (es => fn("first", es.head)),
@@ -1261,6 +1279,8 @@ object CHFunctions {
     // ordered-series aggregates (SeriesAggs.scala): group-buffered,
     // sorted once at eval, partition-order-independent by tie rule
     "deltaSumTimestamp" -> (es => DeltaSumTsAgg(es.head, es(1))),
+    // arrival-order counter-increase sum; O(1) mergeable state
+    "deltaSum" -> (es => DeltaSumAgg(es.head)),
     // exponential time-decay family: (x)(value, time) flattens to
     // (x, value, time); Count takes (x)(time) only
     "exponentialMovingAverage" -> (es =>
@@ -2210,6 +2230,24 @@ object CHFunctions {
           Cast(es.head, org.apache.spark.sql.types.TimestampType)),
           Literal(1288834974657L)),
         Literal(22))),
+    // the modern *ID spellings (CH 24.x renamed the family; same
+    // Twitter epoch unless the optional epoch argument overrides)
+    "snowflakeIDToDateTime" -> (es => {
+      val epoch = if (es.size > 1) Cast(es(1), LongType)
+        else Literal(1288834974657L)
+      fn("timestamp_seconds", IntegralDivide(
+        Add(fn("shiftright", es.head, Literal(22)), epoch),
+        Literal(1000L)))
+    }),
+    "dateTimeToSnowflakeID" -> (es => {
+      val epoch = if (es.size > 1) Cast(es(1), LongType)
+        else Literal(1288834974657L)
+      fn("shiftleft",
+        Subtract(fn("unix_millis",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+          epoch),
+        Literal(22))
+    }),
     // timeSlots(start, duration[, size=1800]): the size-aligned slot
     // starts covering [start, start+duration]
     "timeSlots" -> (es => {
@@ -2242,6 +2280,11 @@ object CHFunctions {
       Add(fn("datediff", es.head,
         Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType)),
         Literal(719528))),
+    "fromDaysSinceYearZero" -> (es =>
+      fn("date_add",
+        Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType),
+        Cast(Subtract(Cast(es.head, LongType), Literal(719528L)),
+          IntegerType))),
 
     // bar(x, min, max, width): horizontal bar of full blocks plus a
     // fractional-eighth glyph, ClickHouse's console histogram helper
@@ -2976,6 +3019,16 @@ object CHFunctions {
       ArrayFilter(fn("split", es.head, Literal("\\s+")),
         LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
     }),
+    // split on any non-letter run (CH: letters-only tokens remain)
+    "splitByNonAlpha" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      ArrayFilter(fn("split", es.head, Literal("[^\\p{L}]+")),
+        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
+    }),
+    // Spark's startswith/endswith are byte/codepoint-agnostic on
+    // UTF-8 strings already — the UTF8 spellings alias them
+    "startsWithUTF8" -> (es => fn("startswith", es.head, es(1))),
+    "endsWithUTF8" -> (es => fn("endswith", es.head, es(1))),
     "trimLeft" -> (es => fn("ltrim", es.head)),
     "trimRight" -> (es => fn("rtrim", es.head)),
     "substringIndexCH" -> (es =>

@@ -98,6 +98,75 @@ case class DeltaSumTsAgg(
     copy(ts = c(0), value = c(1)) // children order is (a, b) = (ts, value)
 }
 
+/** deltaSum(v): sum of POSITIVE deltas between consecutive values in
+  * arrival order — ClickHouse's counter-increase aggregate. The state
+  * is (sum, first, last), exactly CH's AggregateFunctionDeltaSum:
+  * update folds adjacent deltas within a partition, merge adds the
+  * boundary delta between partial states — so a partition split
+  * agrees with CH's own parallel execution, and the buffer is O(1)
+  * regardless of group size (100 TB-safe). */
+case class DeltaSumAgg(
+    value: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Double]] {
+
+  // buffer layout: [seen (0/1), sum, first, last]
+  override def children: Seq[Expression] = Seq(value)
+  override def nullable: Boolean = false
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "deltaSum"
+
+  override def createAggregationBuffer(): Array[Double] =
+    Array(0.0, 0.0, 0.0, 0.0)
+
+  override def update(buf: Array[Double], input: InternalRow): Array[Double] = {
+    val v0 = value.eval(input)
+    if (v0 != null) {
+      val v = StatTests.asDouble(v0)
+      if (buf(0) == 0.0) { buf(0) = 1.0; buf(2) = v; buf(3) = v }
+      else {
+        val d = v - buf(3)
+        if (d > 0) buf(1) += d
+        buf(3) = v
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    if (b(0) == 0.0) a
+    else if (a(0) == 0.0) b
+    else {
+      val boundary = b(2) - a(3)
+      a(1) = a(1) + b(1) + (if (boundary > 0) boundary else 0.0)
+      a(3) = b(3)
+      a
+    }
+  }
+
+  override def eval(buf: Array[Double]): Any = buf(1)
+
+  override def serialize(buf: Array[Double]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(32)
+    buf.foreach(bb.putDouble)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Double] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(4)(bb.getDouble())
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): DeltaSumAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): DeltaSumAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): DeltaSumAgg =
+    copy(value = c(0))
+}
+
 /** intervalLengthSum(start, end) → total length of the union of the
   * [start, end) intervals (overlaps counted once; empty/negative
   * intervals contribute nothing). */

@@ -542,7 +542,32 @@ object Probe {
     "w17_uuid" ->
       "SELECT generateUUIDv4() != '' AS u, toUUID('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS t, UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') != '' AS n",
     "w17_morton" ->
-      "SELECT mortonEncode(3, 5) AS me"
+      "SELECT mortonEncode(3, 5) AS me",
+    // ---- wave 18 (discovery) ----
+    "w18_array_combinators" ->
+      "SELECT sumArray(a) AS s, avgArray(a) AS av, minArray(a) AS mn, maxArray(a) AS mx, uniqArray(a) AS u, countArray(a) AS c, groupArrayArray(a) AS g FROM (SELECT array(o_orderkey % 5, o_orderkey % 3) AS a FROM orders LIMIT 100)",
+    "w18_group_bits" ->
+      "SELECT groupBitAnd(o_orderkey % 16) AS ba, groupBitOr(o_orderkey % 16) AS bo, groupBitXor(o_orderkey % 16) AS bx FROM orders",
+    "w18_delta_kahan" ->
+      "SELECT deltaSum(v) AS d, sumKahan(v * 0.1) AS k FROM (SELECT CAST(o_orderkey % 10 AS DOUBLE) AS v FROM orders ORDER BY o_orderkey LIMIT 100)",
+    "w18_width_bucket" ->
+      "SELECT widthBucket(7.5, 0, 10, 5) AS w",
+    "w18_tokens" ->
+      "SELECT tokens('the quick, brown fox!') AS t, splitByNonAlpha('ab1cd2ef') AS s",
+    "w18_utf8_affix" ->
+      "SELECT startsWithUTF8('héllo', 'hé') AS s, endsWithUTF8('héllo', 'llo') AS e",
+    "w18_strdist2" ->
+      "SELECT jaroWinklerSimilarity('martha', 'marhta') AS jw, jaroSimilarity('abc', 'abd') AS j, damerauLevenshteinDistance('ca', 'abc') AS dl",
+    "w18_days_since_zero" ->
+      "SELECT toDaysSinceYearZero(toDate('2024-01-01')) AS d, fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2024-01-01'))) AS rt",
+    "w18_snowflake_id" ->
+      "SELECT snowflakeIDToDateTime(dateTimeToSnowflakeID(toDateTime('2024-01-01 00:00:00'))) AS rt",
+    "w18_arg_if" ->
+      "SELECT argMaxIf(o_orderkey, o_totalprice, o_orderkey % 2) AS am, argMinIf(o_orderkey, o_totalprice, o_orderkey % 2) AS an FROM orders",
+    "w18_topk_if" ->
+      "SELECT topKIf(3)(o_orderpriority, o_orderkey % 2) AS t FROM orders",
+    "w18_interval_sum" ->
+      "SELECT intervalLengthSum(s, e) AS l FROM (SELECT CAST(o_orderkey % 10 AS DOUBLE) AS s, CAST(o_orderkey % 10 + 2 AS DOUBLE) AS e FROM orders LIMIT 50)"
   )
 
   def main(args: Array[String]): Unit = {

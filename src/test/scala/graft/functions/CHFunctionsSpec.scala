@@ -2643,6 +2643,40 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getBoolean(8))
   }
 
+  test("wave-18: deltaSum, splitByNonAlpha, UTF8 affixes, year-zero days, snowflake IDs, topKIf") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT deltaSum(v) AS d,
+        |  splitByNonAlpha('ab1cd2ef') AS sp,
+        |  startsWithUTF8('héllo', 'hé') AS sw,
+        |  fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2024-02-29'))) AS rt,
+        |  toDaysSinceYearZero(toDate('1970-01-01')) AS zero,
+        |  snowflakeIDToDateTime(dateTimeToSnowflakeID(
+        |    toDateTime('2024-06-01 10:00:00'))) AS sfrt
+        |FROM (SELECT CAST(element_at(array(1, 3, 2, 5), CAST(id AS INT) + 1)
+        |  AS DOUBLE) AS v FROM range(4))""".stripMargin)
+    // deltas: +2 (1->3), -1 ignored (3->2), +3 (2->5) = 5
+    assert(r.getDouble(0) == 5.0, s"deltaSum ${r.getDouble(0)}")
+    assert(r.getSeq[String](1) == Seq("ab", "cd", "ef"))
+    assert(r.getBoolean(2))
+    assert(r.getDate(3).toString == "2024-02-29")
+    assert(r.getInt(4) == 719528)
+    assert(r.getTimestamp(5).toString.startsWith("2024-06-01 10:00:00"))
+    // deltaSum partition-merge boundary rule: states (sum, first,
+    // last) merge with max(b.first - a.last, 0)
+    val m = one(
+      """SELECT deltaSum(v) AS d FROM (
+        |  SELECT CAST(id AS DOUBLE) AS v FROM range(0, 100, 1, 8))""".stripMargin)
+    assert(m.getDouble(0) == 99.0, s"monotonic deltaSum ${m.getDouble(0)}")
+    // topKIf: only matching rows feed the sketch
+    val tk = one(
+      """SELECT topKIf(2, o_orderpriority, o_orderkey % 2) AS t,
+        |  topKIf(2, o_orderpriority, 0) AS none
+        |FROM orders""".stripMargin)
+    assert(tk.getSeq[String](0).size == 2)
+    assert(tk.getSeq[String](1).isEmpty)
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
