@@ -2087,6 +2087,25 @@ object CHFunctions {
       Cast(CreateArray(Nil), ArrayType(DoubleType))),
     "emptyArrayString" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(StringType))),
+    "emptyArrayInt8" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(org.apache.spark.sql.types.ByteType))),
+    "emptyArrayInt16" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(org.apache.spark.sql.types.ShortType))),
+    "emptyArrayUInt8" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(org.apache.spark.sql.types.ShortType))),
+    "emptyArrayUInt16" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(IntegerType))),
+    "emptyArrayUInt32" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(LongType))),
+    "emptyArrayFloat32" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(org.apache.spark.sql.types.FloatType))),
+    "emptyArrayDate" -> (_ =>
+      Cast(CreateArray(Nil), ArrayType(org.apache.spark.sql.types.DateType))),
+    "emptyArrayDateTime" -> (_ =>
+      Cast(CreateArray(Nil),
+        ArrayType(org.apache.spark.sql.types.TimestampType))),
+    // emptyArrayToSingle: an empty array becomes [type default]
+    "emptyArrayToSingle" -> (es => EmptyArrayToSingle(es.head)),
     // tupleElement(t, n) positional — BY ORDINAL, independent of how
     // the struct's fields are named (CH tuples are positional; ours
     // inherit source-column names) — or tupleElement(t, 'name') by
@@ -2369,9 +2388,9 @@ object CHFunctions {
     }),
     "ifCH" -> (es => If(Truthy(es.head), es(1), es(2))),
 
-    // string emptiness (ClickHouse empty/notEmpty; for arrays use size)
-    "empty" -> (es => EqualTo(fn("length", es.head), Literal(0))),
-    "notEmpty" -> (es => GreaterThan(fn("length", es.head), Literal(0))),
+    // emptiness over strings AND arrays/maps (type-dispatched)
+    "empty" -> (es => EmptyCH(es.head, negated = false)),
+    "notEmpty" -> (es => EmptyCH(es.head, negated = true)),
     "lengthUTF8" -> (es => fn("char_length", es.head)),
     // Spark's left/right/substring count CODE POINTS already — the
     // UTF8 spellings alias them
@@ -3211,6 +3230,22 @@ object CHFunctions {
       Literal(java.util.UUID.randomUUID().toString)),
     "initialQueryID" -> (_ =>
       Literal(java.util.UUID.randomUUID().toString)),
+    // block-position introspection: partition-packed global row ids /
+    // the partition id — the Spark reading of CH's block coordinates
+    "rowNumberInAllBlocks" -> (_ => MonotonicallyIncreasingID()),
+    "blockNumber" -> (_ => SparkPartitionID()),
+    // the deprecated block-local scan functions have no sound reading
+    // on a shuffled distributed engine — reject with the window
+    // spelling CH itself recommends
+    "runningDifference" -> (_ => throw new IllegalArgumentException(
+      "runningDifference is block-order-dependent (deprecated in " +
+        "ClickHouse): use x - lagInFrame(x) OVER (ORDER BY ...) instead")),
+    "runningAccumulate" -> (_ => throw new IllegalArgumentException(
+      "runningAccumulate is block-order-dependent (deprecated in " +
+        "ClickHouse): use an aggregate OVER (ORDER BY ... ROWS UNBOUNDED " +
+        "PRECEDING) window instead")),
+    // (neighbor is registered in the window block above: it reads as
+    // lag/lead and composes with an explicit OVER clause)
     // the DateTime32 spellings share the BestEffort parse ladders
     "parseDateTime32BestEffort" -> (es => Coalesce(
       bestEffortAttempts(es.head))),
@@ -3366,6 +3401,9 @@ object CHFunctions {
       if (es.size == 3) keyedSort(Seq(es.head, es(2)), reverse = true)
       else keyedSort(Seq(es(1)), reverse = true)),
     "arrayShuffle" -> (es => fn("shuffle", es: _*)),
+    "arrayRandomSample" -> (es =>
+      fn("slice", fn("shuffle", es.head), Literal(1),
+        Cast(es(1), IntegerType))),
     "arrayFill" -> (es => es.head match {
       case l: LambdaFunction => chArrayFill(l, es(1), reverse = false)
       case other => throw new IllegalArgumentException(

@@ -79,6 +79,66 @@ case class WrapInt64(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** ClickHouse `empty`/`notEmpty`: one name over strings AND
+  * arrays/maps (Spark's `length` is string-only, `size` is
+  * container-only). Type-dispatched RuntimeReplaceable onto the
+  * native codegen'd Length/Size. */
+case class EmptyCH(child: Expression, negated: Boolean)
+    extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = {
+    val n = child.dataType match {
+      case _: ArrayType | _: MapType =>
+        Size(child, legacySizeOfNull = false)
+      case _ => Length(child)
+    }
+    if (negated) GreaterThan(n, Literal(0)) else EqualTo(n, Literal(0))
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType | _: MapType | _: StringType | BinaryType |
+          NullType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"empty expects a string, array or map, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = if (negated) "notEmpty" else "empty"
+  override protected def withNewChildInternal(newChild: Expression): EmptyCH =
+    copy(child = newChild)
+}
+
+/** ClickHouse `emptyArrayToSingle`: an empty array becomes the
+  * one-element array of the element type's DEFAULT (0, '', epoch) —
+  * type-dispatched, since the default is unknowable until the child
+  * resolves. */
+case class EmptyArrayToSingle(child: Expression)
+    extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, _) =>
+      CaseWhen(
+        Seq((EqualTo(Size(child, legacySizeOfNull = false), Literal(0)),
+          CreateArray(Seq(Literal.default(et))))),
+        Some(child))
+    case _ => child
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case _: ArrayType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"emptyArrayToSingle expects an array, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = child.dataType
+  override def prettyName: String = "emptyArrayToSingle"
+  override protected def withNewChildInternal(
+      newChild: Expression): EmptyArrayToSingle = copy(child = newChild)
+}
+
 /** ClickHouse `round()` with CH's type-dependent tie rule: banker's
   * rounding (half-to-even) for Float32/Float64, but half-AWAY-from-zero
   * for Decimal — one name, two modes, dispatched on the resolved

@@ -567,7 +567,24 @@ object Probe {
     "w18_topk_if" ->
       "SELECT topKIf(3)(o_orderpriority, o_orderkey % 2) AS t FROM orders",
     "w18_interval_sum" ->
-      "SELECT intervalLengthSum(s, e) AS l FROM (SELECT CAST(o_orderkey % 10 AS DOUBLE) AS s, CAST(o_orderkey % 10 + 2 AS DOUBLE) AS e FROM orders LIMIT 50)"
+      "SELECT intervalLengthSum(s, e) AS l FROM (SELECT CAST(o_orderkey % 10 AS DOUBLE) AS s, CAST(o_orderkey % 10 + 2 AS DOUBLE) AS e FROM orders LIMIT 50)",
+    // ---- wave 19 (discovery) ----
+    "w19_frame_lag" ->
+      "SELECT o_orderkey, lagInFrame(o_totalprice) OVER (ORDER BY o_orderkey) AS lg, leadInFrame(o_totalprice, 2) OVER (ORDER BY o_orderkey) AS ld, nth_value(o_totalprice, 2) OVER (ORDER BY o_orderkey) AS nv FROM orders LIMIT 5",
+    "w19_neighbor_window" ->
+      "SELECT neighbor(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS n, neighbor(o_orderkey, -1) OVER (ORDER BY o_orderkey) AS p FROM orders LIMIT 5",
+    "w19_row_blocks" ->
+      "SELECT rowNumberInAllBlocks() AS r, blockNumber() >= 0 AS b FROM orders LIMIT 5",
+    "w19_array_fold" ->
+      "SELECT arrayFold((acc, x) -> acc + x, [1, 2, 3], CAST(10 AS BIGINT)) AS f",
+    "w19_partial_sort" ->
+      "SELECT arrayPartialSort(2, [5, 3, 1, 4]) AS ps, arrayShuffle([1, 2, 3]) AS sh, arrayRandomSample([1, 2, 3, 4], 2) AS rs",
+    "w19_empty_arrays" ->
+      "SELECT emptyArrayInt32() AS i, emptyArrayString() AS s, emptyArrayDate() AS d, emptyArrayToSingle(emptyArrayInt32()) AS single",
+    "w19_scalar_range" ->
+      "SELECT range(5) AS r, range(2, 7) AS r2, range(0, 10, 3) AS r3, arrayJoin(range(3)) AS j",
+    "w19_empty_on_array" ->
+      "SELECT empty([1, 2]) AS e, notEmpty([]) AS ne, empty('') AS es"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2677,6 +2677,34 @@ class CHFunctionsSpec extends SparkSpec {
     assert(tk.getSeq[String](1).isEmpty)
   }
 
+  test("wave-19: empty over arrays, emptyArrayToSingle defaults, block ids, random sample") {
+    val r = one(
+      """SELECT empty(array(1, 2)) AS e, notEmpty(array()) AS ne,
+        |  empty('') AS es, notEmpty('x') AS nes,
+        |  empty(map('k', 1)) AS em,
+        |  emptyArrayToSingle(emptyArrayInt32()) AS single,
+        |  emptyArrayToSingle(array(7, 8)) AS keep,
+        |  emptyArrayToSingle(emptyArrayString()) AS sdef,
+        |  size(arrayRandomSample(array(1, 2, 3, 4), 2)) AS rs,
+        |  emptyArrayDate() AS ed""".stripMargin)
+    assert(!r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getBoolean(2) && r.getBoolean(3) && !r.getBoolean(4))
+    assert(r.getSeq[Int](5) == Seq(0)) // type DEFAULT, not NULL
+    assert(r.getSeq[Int](6) == Seq(7, 8))
+    assert(r.getSeq[String](7) == Seq(""))
+    assert(r.getInt(8) == 2)
+    assert(r.getSeq[Any](9).isEmpty)
+    // block coordinates and the deprecated-scan guidance
+    graft.sql.TableEnv.register(spark, sf)
+    val b = one(
+      "SELECT min(r) AS mn, min(bn) AS b FROM (SELECT " +
+        "rowNumberInAllBlocks() AS r, blockNumber() AS bn " +
+        "FROM orders LIMIT 10)")
+    assert(b.getLong(0) >= 0L && b.getInt(1) >= 0)
+    val e = intercept[Exception](one("SELECT runningDifference(1)"))
+    assert(e.getMessage.contains("lagInFrame"), e.getMessage)
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
