@@ -2500,6 +2500,33 @@ object ChSurface {
         |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 DAY AS DATE) AS d
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // round-14 probe-wave functions with engine-independent values —
+    // the oracle pins them as DuckDB constants
+    ("q_wave_fns",
+      """SELECT unbin('0011000100110010') AS ub,
+        |  mortonEncode(3, 5) AS me,
+        |  toYYYYMMDDhhmmss(toDateTime('2024-03-05 07:08:09')) AS ts,
+        |  toRelativeMonthNum(toDate('2024-03-05')) -
+        |    toRelativeMonthNum(toDate('2023-11-05')) AS md,
+        |  simpleJSONExtractInt('{"n": 42}', 'n') AS i,
+        |  simpleJSONExtractInt('{"n": 42}', 'zz') AS i0,
+        |  toBool('true') AS b,
+        |  leftUTF8('héllo', 2) AS l,
+        |  bitRotateLeft(1, 3) AS rl,
+        |  fromDaysSinceYearZero(739251) AS fd,
+        |  toDaysSinceYearZero(toDate('1970-01-01')) AS dz""".stripMargin,
+      Some("""SELECT '12' AS ub,
+        |  CAST(39 AS BIGINT) AS me,
+        |  CAST(20240305070809 AS BIGINT) AS ts,
+        |  CAST(4 AS BIGINT) AS md,
+        |  CAST(42 AS BIGINT) AS i,
+        |  CAST(0 AS BIGINT) AS i0,
+        |  true AS b,
+        |  'hé' AS l,
+        |  CAST(8 AS BIGINT) AS rl,
+        |  DATE '2024-01-01' AS fd,
+        |  CAST(719528 AS INTEGER) AS dz""".stripMargin)),
+
     // round-14: generateRandom bounds every declared CH type by the
     // type's OWN domain (round-13: UInt8 emitted up to 32701). The
     // generator is engine-side, so the oracle pins the computed
