@@ -3039,6 +3039,63 @@ object CHFunctions {
         LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
     }),
     // split on any non-letter run (CH: letters-only tokens remain)
+    "translateUTF8" -> (es => fn("translate", es: _*)),
+    "concatAssumeInjective" -> (es => Concat(es)),
+    "byteSize" -> (es => ByteSizeCH(es.head)),
+    "nowInBlock" -> (_ => fn("now")),
+    "countSubstringsCaseInsensitive" -> (es =>
+      byName("countSubstrings")(Seq(fn("lower", es.head),
+        fn("lower", es(1))))),
+    // hasSubsequence: needle characters appear in order (not
+    // necessarily adjacent) — a codegen'd fold tracking how much of
+    // the needle has been consumed
+    "hasSubsequence" -> (es => {
+      val (acc, c, fin) = lambdaVars
+      val hay = fn("split", es.head, Literal(""))
+      val nLen = fn("length", es(1))
+      val nextChar = fn("substring", es(1), Add(acc, Literal(1)), Literal(1))
+      val step = If(And(LessThan(acc, nLen), EqualTo(c, nextChar)),
+        Add(acc, Literal(1)), acc)
+      EqualTo(
+        ArrayAggregate(hay, Literal(0),
+          LambdaFunction(step, Seq(acc, c)),
+          LambdaFunction(fin, Seq(fin))),
+        nLen)
+    }),
+    "toMillisecond" -> (es => Cast(
+      fn("pmod", fn("unix_millis",
+        Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+        Literal(1000L)), IntegerType)),
+    "arraySymmetricDifference" -> (es =>
+      fn("array_except", fn("array_union", es.head, es(1)),
+        fn("array_intersect", es.head, es(1)))),
+    // defaultValueOfTypeName('Int32') → the CH type's zero value
+    "defaultValueOfTypeName" -> (es => es.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        val sparkTy = graft.sql.QueryGuard.mapChType(s.toString)
+          .getOrElse(s.toString)
+        Literal.default(
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(sparkTy))
+      case other => throw new IllegalArgumentException(
+        s"defaultValueOfTypeName expects a literal type name, got $other")
+    }),
+    // formatQuery: the dialect-NORMALIZED statement (what EXPLAIN
+    // SYNTAX returns) — CH pretty-prints; normalization is this
+    // engine's canonical text
+    "formatQuery" -> (es => es.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal(graft.sql.QueryGuard.normalizeDialect(s.toString))
+      case other => throw new IllegalArgumentException(
+        s"formatQuery expects a literal query string, got $other")
+    }),
+    "formatQuerySingleLine" -> (es => es.head match {
+      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+        Literal(graft.sql.QueryGuard.normalizeDialect(s.toString)
+          .replaceAll("\\s+", " ").trim)
+      case other => throw new IllegalArgumentException(
+        s"formatQuerySingleLine expects a literal query string, got $other")
+    }),
     "splitByNonAlpha" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
       ArrayFilter(fn("split", es.head, Literal("[^\\p{L}]+")),

@@ -139,6 +139,31 @@ case class EmptyArrayToSingle(child: Expression)
       newChild: Expression): EmptyArrayToSingle = copy(child = newChild)
 }
 
+/** ClickHouse `byteSize(x)`: the value's in-memory size. Fixed-width
+  * types report their width; strings report CH's `length + 9`
+  * (payload + size header); arrays/maps sum a 8-byte header with the
+  * serialized element estimate via the type's default size. */
+case class ByteSizeCH(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case _: StringType | BinaryType => Add(OctetLength(child), Literal(9))
+    case ArrayType(et, _) =>
+      Add(Multiply(Size(child, legacySizeOfNull = false),
+        Literal(et.defaultSize)), Literal(8))
+    case m: MapType =>
+      Add(Multiply(Size(child, legacySizeOfNull = false),
+        Literal(m.keyType.defaultSize + m.valueType.defaultSize)),
+        Literal(8))
+    case dt => Literal(dt.defaultSize)
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "byteSize"
+  override protected def withNewChildInternal(newChild: Expression): ByteSizeCH =
+    copy(child = newChild)
+}
+
 /** ClickHouse `round()` with CH's type-dependent tie rule: banker's
   * rounding (half-to-even) for Float32/Float64, but half-AWAY-from-zero
   * for Decimal — one name, two modes, dispatched on the resolved

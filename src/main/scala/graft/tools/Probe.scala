@@ -584,7 +584,30 @@ object Probe {
     "w19_scalar_range" ->
       "SELECT range(5) AS r, range(2, 7) AS r2, range(0, 10, 3) AS r3, arrayJoin(range(3)) AS j",
     "w19_empty_on_array" ->
-      "SELECT empty([1, 2]) AS e, notEmpty([]) AS ne, empty('') AS es"
+      "SELECT empty([1, 2]) AS e, notEmpty([]) AS ne, empty('') AS es",
+    // ---- wave 20 (discovery) ----
+    "w20_count_matches" ->
+      "SELECT countMatches('a1b22c333', '[0-9]+') AS cm, countSubstringsCaseInsensitive('Hello hello', 'HELLO') AS ci",
+    "w20_has_subsequence" ->
+      "SELECT hasSubsequence('garbage', 'arg') AS y, hasSubsequence('garbage', 'zzz') AS n",
+    "w20_start_second" ->
+      "SELECT toStartOfSecond(toDateTime64('2024-01-01 10:20:30.789', 3)) AS s, toMillisecond(toDateTime64('2024-01-01 10:20:30.789', 3)) AS ms",
+    "w20_nullable_fns" ->
+      "SELECT assumeNotNull(nullif(1, 2)) AS a, toNullable(5) AS n, ifNull(NULL, 7) AS i",
+    "w20_type_name" ->
+      "SELECT toTypeName(1) AS t, toTypeName('x') AS s, defaultValueOfTypeName('Int32') AS d",
+    "w20_format_query" ->
+      "SELECT formatQuery('SELECT 1, 2') AS f",
+    "w20_array_setops" ->
+      "SELECT arrayIntersect([1, 2, 3], [2, 3, 4]) AS i, arrayUnion([1, 2], [2, 3]) AS u, arraySymmetricDifference([1, 2], [2, 3]) AS sd",
+    "w20_translate" ->
+      "SELECT translate('abca', 'ab', 'xy') AS t, translateUTF8('héllo', 'é', 'e') AS u",
+    "w20_concat_inj" ->
+      "SELECT concatAssumeInjective('a', 'b', 'c') AS c, byteSize(42) >= 0 AS b",
+    "w20_now_in_block" ->
+      "SELECT nowInBlock() >= toDateTime('2020-01-01 00:00:00') AS n",
+    "w20_has_all_any" ->
+      "SELECT hasAll([1, 2, 3], [1, 2]) AS a, hasAny([1, 2], [9, 2]) AS y, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2705,6 +2705,29 @@ class CHFunctionsSpec extends SparkSpec {
     assert(e.getMessage.contains("lagInFrame"), e.getMessage)
   }
 
+  test("wave-20: hasSubsequence, toMillisecond, type defaults, formatQuery, set ops, byteSize") {
+    val r = one(
+      """SELECT hasSubsequence('garbage', 'arg') AS hy,
+        |  hasSubsequence('garbage', 'gbg') AS hy2,
+        |  hasSubsequence('garbage', 'zzz') AS hn,
+        |  hasSubsequence('abc', '') AS he,
+        |  toMillisecond(toDateTime64('2024-01-01 10:20:30.789', 3)) AS ms,
+        |  defaultValueOfTypeName('Int32') AS d32,
+        |  defaultValueOfTypeName('String') AS ds,
+        |  formatQuerySingleLine('SELECT  1  FROM t FORMAT CSV') AS fq,
+        |  array_sort(arraySymmetricDifference(array(1, 2), array(2, 3))) AS sd,
+        |  countSubstringsCaseInsensitive('Hello hello', 'HELLO') AS ci,
+        |  byteSize(CAST(1 AS INT)) AS bi,
+        |  byteSize('hello') AS bs""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
+    assert(r.getInt(4) == 789)
+    assert(r.getInt(5) == 0 && r.getString(6) == "")
+    assert(r.getString(7) == "SELECT 1 FROM t", r.getString(7))
+    assert(r.getSeq[Int](8) == Seq(1, 3))
+    assert(r.getInt(9) == 2)
+    assert(r.getInt(10) == 4 && r.getInt(11) == 14)
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
