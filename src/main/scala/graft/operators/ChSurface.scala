@@ -2500,6 +2500,16 @@ object ChSurface {
         |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 2 DAY AS DATE) AS d
         |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin)),
 
+    // round-14: the format() TABLE function — inline data parsed into
+    // typed rows at shim time (lands as a scan-free VALUES subquery).
+    // DuckDB has no format(); the oracle replays the typed rows.
+    ("src_format",
+      """SELECT a, b, score FROM format(JSONEachRow,
+        |  '{"a": 1, "b": "x", "score": 1.5}\n{"a": 2, "b": "y", "score": 2}')
+        |ORDER BY a""".stripMargin,
+      Some("""SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'x', CAST(1.5 AS DOUBLE)),
+        |  (2, 'y', 2.0)) t(a, b, score) ORDER BY a""".stripMargin)),
+
     // round-14 probe-wave functions with engine-independent values —
     // the oracle pins them as DuckDB constants
     ("q_wave_fns",

@@ -897,6 +897,7 @@ object QueryGuard {
     out = rewriteArrayLiterals(out)
     out = rewriteValuesTableFn(out)
     out = rewriteGenerateRandom(out)
+    out = rewriteFormatTvf(out)
     out = rewriteCallForms(out)
     out = rewriteSubscripts(out)
     out = rewriteBareCount(out)
@@ -2049,6 +2050,213 @@ object QueryGuard {
       }
     }
     out
+  }
+
+  /** ClickHouse's `format(FormatName, 'data')` TABLE function: inline
+    * data parsed into rows — the quick-test source (`SELECT * FROM
+    * format(JSONEachRow, '{"a":1}\n{"a":2}')`). The data is a LITERAL
+    * at rewrite time, so it parses HERE in the shim and lands as a
+    * native typed VALUES subquery (a LocalRelation — scan-free, like
+    * values()). Supported: JSONEachRow (types inferred per key over
+    * all rows), CSV[WithNames], TSV/TabSeparated[WithNames] (RFC
+    * quoting for CSV), Values. Only fires in FROM/JOIN position with
+    * a parenthesized call, so the trailing output-format clause and
+    * columns named `format` are untouched. */
+  private[sql] def rewriteFormatTvf(sql: String): String = {
+    val clauseKw = Set("SELECT", "FROM", "WHERE", "GROUP", "HAVING",
+      "ORDER", "LIMIT", "JOIN", "ON", "UNION", "INTERSECT", "EXCEPT",
+      "WINDOW", "QUALIFY", "BY")
+    var out = sql
+    val ts = normalizeScan(out)
+    ts.indices.reverse.foreach { i =>
+      val t = ts(i)._1
+      val d = ts(i)._2
+      if (t.upper == "FORMAT" &&
+        out.substring(t.end).dropWhile(_.isWhitespace).headOption
+          .contains('(') &&
+        (0 until i).reverse
+          .find(j => ts(j)._2 == d && clauseKw(ts(j)._1.upper))
+          .exists(j => Set("FROM", "JOIN")(ts(j)._1.upper))) {
+        val open = out.indexOf('(', t.end)
+        val close = matchParen(out, open)
+        if (close > open) {
+          val items = splitTopLevel(out.substring(open + 1, close))
+            .map(_.trim)
+          if (items.size == 2) {
+            val fmtName =
+              if (items.head.length >= 2 && items.head.head == '\'' &&
+                items.head.last == '\'')
+                items.head.substring(1, items.head.length - 1)
+              else items.head
+            quotedLiteral(items(1)).foreach { data =>
+              val repl = chFormatRewrite(fmtName, data)
+              out = out.substring(0, t.start) + repl +
+                out.substring(close + 1)
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** The unescaped body of a single-quoted SQL literal, or None. */
+  private def quotedLiteral(tok: String): Option[String] = {
+    val t = tok.trim
+    if (t.length < 2 || t.head != '\'' || t.last != '\'') return None
+    val body = t.substring(1, t.length - 1)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 't' => sb += '\t'
+          case 'r' => sb += '\r'
+          case '0' => sb += ' '
+          case other => sb += other
+        }
+        i += 2
+      } else if (c == '\'' && i + 1 < body.length &&
+        body.charAt(i + 1) == '\'') {
+        sb += '\''; i += 2
+      } else { sb += c; i += 1 }
+    }
+    Some(sb.toString)
+  }
+
+  private def chFormatRewrite(fmt: String, data: String): String =
+    fmt.toLowerCase match {
+      case "jsoneachrow" | "ndjson" | "jsonlines" =>
+        formatJsonEachRow(data)
+      case "csv" => formatDelim(data, ',', header = false)
+      case "csvwithnames" => formatDelim(data, ',', header = true)
+      case "tsv" | "tabseparated" =>
+        formatDelim(data, '\t', header = false)
+      case "tsvwithnames" | "tabseparatedwithnames" =>
+        formatDelim(data, '\t', header = true)
+      case "values" =>
+        chValuesRewrite(splitTopLevel(data)).getOrElse(
+          throw new ReadOnlyViolation(
+            "format(Values, ...): data must be (v, ...), (v, ...) tuples"))
+      case other => throw new ReadOnlyViolation(
+        s"format(): unsupported format '$other' — supported: " +
+          "JSONEachRow, CSV[WithNames], TSV[WithNames], Values")
+    }
+
+  /** Typed VALUES subquery text from parsed (names, cell) rows.
+    * Per-column type = the narrowest of {BIGINT, DOUBLE, BOOLEAN,
+    * STRING} covering every non-null cell; the first row's cells are
+    * CAST so an all-NULL or mixed column still types. */
+  private def valuesSubquery(names: Seq[String],
+      rows: Seq[Seq[Option[Any]]]): String = {
+    if (rows.isEmpty) throw new ReadOnlyViolation(
+      "format(): no data rows")
+    def tpe(col: Int): String = {
+      val vs = rows.flatMap(r => r.lift(col).flatten)
+      if (vs.isEmpty) "STRING"
+      else if (vs.forall(_.isInstanceOf[Long])) "BIGINT"
+      else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Double]))
+        "DOUBLE"
+      else if (vs.forall(_.isInstanceOf[Boolean])) "BOOLEAN"
+      else "STRING"
+    }
+    val types = names.indices.map(tpe)
+    def lit(v: Option[Any], ty: String): String = v match {
+      case None => "NULL"
+      case Some(x) => ty match {
+        case "STRING" => "'" + x.toString.replace("'", "''") + "'"
+        case "DOUBLE" => x match {
+          case l: Long => s"${l}.0"
+          case other => other.toString
+        }
+        case _ => x.toString
+      }
+    }
+    val body = rows.zipWithIndex.map { case (r, ri) =>
+      names.indices.map { c =>
+        val l = lit(r.lift(c).flatten, types(c))
+        if (ri == 0) s"CAST($l AS ${types(c)})" else l
+      }.mkString("(", ", ", ")")
+    }.mkString(", ")
+    val cols = names.map(n => s"`${n.replace("`", "")}`").mkString(", ")
+    s"(SELECT * FROM VALUES $body AS __graft_fmt($cols))"
+  }
+
+  private def formatJsonEachRow(data: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val lines = data.split('\n').map(_.trim).filter(_.nonEmpty)
+    if (lines.isEmpty) throw new ReadOnlyViolation(
+      "format(JSONEachRow, ...): no data rows")
+    val names = scala.collection.mutable.LinkedHashSet.empty[String]
+    val parsed = lines.toSeq.map { line =>
+      val node = try mapper.readTree(line)
+      catch {
+        case e: Exception => throw new ReadOnlyViolation(
+          s"format(JSONEachRow, ...): invalid JSON line '${line.take(60)}'")
+      }
+      val it = node.fieldNames()
+      while (it.hasNext) names += it.next()
+      node
+    }
+    val nameSeq = names.toSeq
+    val rows = parsed.map { node =>
+      nameSeq.map { n =>
+        val v = node.get(n)
+        if (v == null || v.isNull) None
+        else if (v.isIntegralNumber) Some(v.asLong(): Any)
+        else if (v.isNumber) Some(v.asDouble(): Any)
+        else if (v.isBoolean) Some(v.asBoolean(): Any)
+        else if (v.isTextual) Some(v.asText(): Any)
+        else Some(v.toString: Any) // nested: keep the JSON text
+      }
+    }
+    valuesSubquery(nameSeq, rows)
+  }
+
+  private def formatDelim(data: String, delim: Char,
+      header: Boolean): String = {
+    def cells(line: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var i = 0
+      var inQ = false
+      while (i < line.length) {
+        val c = line.charAt(i)
+        if (inQ) {
+          if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
+            sb += '"'; i += 2
+          } else if (c == '"') { inQ = false; i += 1 }
+          else { sb += c; i += 1 }
+        } else if (c == '"' && sb.isEmpty) { inQ = true; i += 1 }
+        else if (c == delim) { out += sb.toString; sb.clear(); i += 1 }
+        else { sb += c; i += 1 }
+      }
+      out += sb.toString
+      out.toSeq
+    }
+    val lines = data.split('\n').map(_.stripSuffix("\r"))
+      .filter(_.nonEmpty).toSeq
+    if (lines.isEmpty) throw new ReadOnlyViolation(
+      "format(): no data rows")
+    val (names, dataLines) =
+      if (header) (cells(lines.head).map(_.trim), lines.tail)
+      else {
+        val n = cells(lines.head).size
+        ((1 to n).map(i => s"c$i"), lines)
+      }
+    if (dataLines.isEmpty) throw new ReadOnlyViolation(
+      "format(): header but no data rows")
+    val rows = dataLines.map { l =>
+      cells(l).map { c =>
+        if (c.isEmpty) None
+        else c.toLongOption.map(x => x: Any)
+          .orElse(c.toDoubleOption.map(x => x: Any))
+          .orElse(Option(c: Any))
+      }
+    }
+    valuesSubquery(names, rows)
   }
 
   /** ClickHouse's `QUALIFY <pred>` — a post-window filter Spark has no

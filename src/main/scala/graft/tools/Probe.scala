@@ -607,7 +607,20 @@ object Probe {
     "w20_now_in_block" ->
       "SELECT nowInBlock() >= toDateTime('2020-01-01 00:00:00') AS n",
     "w20_has_all_any" ->
-      "SELECT hasAll([1, 2, 3], [1, 2]) AS a, hasAny([1, 2], [9, 2]) AS y, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs"
+      "SELECT hasAll([1, 2, 3], [1, 2]) AS a, hasAny([1, 2], [9, 2]) AS y, hasSubstr([1, 2, 3, 4], [2, 3]) AS hs",
+    // ---- format() table function ----
+    "fmt_jsoneachrow" ->
+      "SELECT a, b FROM format(JSONEachRow, '{\"a\": 1, \"b\": \"x\"}\\n{\"a\": 2, \"b\": \"y\"}') ORDER BY a",
+    "fmt_csv_names" ->
+      "SELECT name, score FROM format(CSVWithNames, 'name,score\\nalice,90\\nbob,85') ORDER BY name",
+    "fmt_csv_bare" ->
+      "SELECT c1, c2 FROM format(CSV, '1,\"a,b\"\\n2,plain') ORDER BY c1",
+    "fmt_tsv" ->
+      "SELECT c1, c2 FROM format(TSV, '1\\tx\\n2\\ty') ORDER BY c1",
+    "fmt_values" ->
+      "SELECT c1, c2 FROM format(Values, '(1, ''x''), (2, ''y'')') ORDER BY c1",
+    "fmt_with_trailing_format" ->
+      "SELECT a FROM format(JSONEachRow, '{\"a\": 5}') FORMAT CSV"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1039,6 +1039,43 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(grouped.rows.size == 1)
   }
 
+  test("format() table function: inline data parses into typed rows") {
+    // JSONEachRow: per-key types inferred over ALL rows; missing keys
+    // are NULL; nested values keep their JSON text
+    val j = ex.run(
+      """SELECT a, b, c FROM format(JSONEachRow,
+        |  '{"a": 1, "b": "x", "c": 1.5}\n{"a": 2, "b": "y"}\n{"a": 3, "b": "z", "c": 2}')
+        |ORDER BY a""".stripMargin)
+    assert(j.columns == Seq("a", "b", "c"))
+    assert(j.rows.map(_.head) == Seq(1L, 2L, 3L))
+    assert(j.rows.map(_(1)) == Seq("x", "y", "z"))
+    assert(j.rows(0)(2) == 1.5 && j.rows(1)(2) == null &&
+      j.rows(2)(2) == 2.0) // int+double unify to DOUBLE
+    // CSVWithNames: headers name the columns; RFC quoting honored
+    val c = ex.run(
+      """SELECT name, score FROM format(CSVWithNames,
+        |  'name,score\nalice,90\n"b,ob",85') ORDER BY score""".stripMargin)
+    assert(c.rows == Seq(Seq("b,ob", 85L), Seq("alice", 90L)))
+    // bare CSV names c1..cN like CH; TSV splits on tabs
+    val t = ex.run(
+      "SELECT c1 + 1 AS n, c2 FROM format(TSV, '1\\tx\\n2\\ty') ORDER BY n")
+    assert(t.rows == Seq(Seq(2L, "x"), Seq(3L, "y")))
+    // Values rides the values() tuple parser
+    val v = ex.run(
+      "SELECT c2 FROM format(Values, '(1, ''a''), (2, ''b'')') ORDER BY c1")
+    assert(v.rows == Seq(Seq("a"), Seq("b")))
+    // loud, named failures: bad JSON, unknown format
+    assert(ex.runSafe("SELECT * FROM format(JSONEachRow, 'not json')")
+      .swap.exists(_.contains("invalid JSON")))
+    assert(ex.runSafe("SELECT * FROM format(Parquet, 'x')")
+      .swap.exists(_.contains("unsupported format")))
+    // a column merely named format, and the trailing FORMAT clause,
+    // are untouched
+    assert(ex.run("SELECT 1 AS format").columns == Seq("format"))
+    assert(ex.run("SELECT a FROM format(JSONEachRow, '{\"a\": 5}') FORMAT CSV")
+      .rows == Seq(Seq(5L)))
+  }
+
   test("dateAdd family: Date in + day-or-coarser unit -> Date out (CH result type)") {
     val df = QueryGuard.plan(spark,
       """SELECT dateSub('day', 2, toDate('2024-03-01')) AS d,
