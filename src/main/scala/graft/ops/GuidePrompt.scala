@@ -138,7 +138,11 @@ object GuidePrompt {
       |  `values('a Int32, b String', (1,'x'), (2,'y'))` inline typed
       |  rows (the schema-less all-tuple form gets c1..cN names), and
       |  `generateRandom('a Int32, s String'[, seed]) LIMIT n` —
-      |  deterministic per seed, lazily bounded by the LIMIT.
+      |  deterministic per seed, lazily bounded by the LIMIT, every
+      |  column inside its declared type's own range — and
+      |  `format(JSONEachRow, '{"a":1}\n{"a":2}')` (also
+      |  CSV[WithNames], TSV[WithNames], Values) parsing inline data
+      |  into typed rows.
       |- Array combinators accept ClickHouse's lambda-less forms too:
       |  `arrayCount(arr)`, `arrayExists(arr)`, `arrayAll(arr)`,
       |  `arrayFirst/Last(arr)` default to the numeric-truthiness
