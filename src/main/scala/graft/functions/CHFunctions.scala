@@ -2607,8 +2607,27 @@ object CHFunctions {
       fn("regexp_extract", es.head, Literal("#(.*)$"), Literal(1))),
     "queryStringAndFragment" -> (es =>
       fn("regexp_extract", es.head, Literal("\\?(.*)$"), Literal(1))),
-    "decodeURLComponent" -> (es => fn("url_decode", es.head)),
-    "encodeURLComponent" -> (es => fn("url_encode", es.head)),
+    // CH's component (de)coding uses %20 for spaces and keeps '+'
+    // literal; Spark's url_encode/url_decode are the FORM variant
+    // (space ↔ '+') — bridge the difference both ways, and expose the
+    // form spellings on the Spark behavior directly
+    "decodeURLComponent" -> (es =>
+      fn("url_decode", fn("replace", es.head, Literal("+"), Literal("%2B")))),
+    "encodeURLComponent" -> (es =>
+      fn("replace", fn("url_encode", es.head), Literal("+"), Literal("%20"))),
+    "decodeURLFormComponent" -> (es => fn("url_decode", es.head)),
+    "encodeURLFormComponent" -> (es => fn("url_encode", es.head)),
+    "URLHierarchy" -> (es => UrlHierarchy(es.head, pathOnly = false)),
+    "URLPathHierarchy" -> (es => UrlHierarchy(es.head, pathOnly = true)),
+    // cutURLParameter(url, name): drop `name=value` from the query
+    // string, keeping the other parameters' separators intact
+    "cutURLParameter" -> (es =>
+      fn("regexp_replace",
+        fn("regexp_replace", es.head,
+          Concat(Seq(Literal("([?&])\\Q"), es(1),
+            Literal("\\E=[^&#]*&?"))),
+          Literal("$1")),
+        Literal("[?&]$"), Literal(""))),
     // firstSignificantSubdomain: the label left of the host's PUBLIC
     // SUFFIX — 'news.yandex.com.tr' → 'yandex', 'a.gov.uk' → 'a',
     // 'www.tr' → 'www'. Resolved against the publicsuffix.org rule
@@ -3042,6 +3061,34 @@ object CHFunctions {
     "translateUTF8" -> (es => fn("translate", es: _*)),
     "concatAssumeInjective" -> (es => Concat(es)),
     "byteSize" -> (es => ByteSizeCH(es.head)),
+    "initcapUTF8" -> (es => fn("initcap", es.head)),
+    "base32Encode" -> (es => Base32(es.head, Base32.Encode)),
+    "base32Decode" -> (es => Base32(es.head, Base32.Decode)),
+    "tryBase32Decode" -> (es => Base32(es.head, Base32.TryDecode)),
+    "parseTimeDelta" -> (es => ParseTimeDelta(es.head)),
+    // special functions over the shared StatTests numerics
+    "erf" -> (es => MathFn1("erf", Cast(es.head, DoubleType))),
+    "erfc" -> (es => MathFn1("erfc", Cast(es.head, DoubleType))),
+    "lgamma" -> (es => MathFn1("lgamma", Cast(es.head, DoubleType))),
+    "tgamma" -> (es => MathFn1("tgamma", Cast(es.head, DoubleType))),
+    // exact integer factorial: a wrap-safe fold (CH's UInt64 wraps
+    // past 20! too); n <= 0 -> 1, guarded against Spark's descending
+    // sequence(1, 0)
+    "factorial" -> (es => {
+      val n = Cast(es.head, IntegerType)
+      val (acc, x, fin) = lambdaVars
+      CaseWhen(
+        Seq((LessThanOrEqual(n, Literal(0)), Literal(1L))),
+        Some(ArrayAggregate(fn("sequence", Literal(1), n), Literal(1L),
+          LambdaFunction(Multiply(acc, Cast(x, LongType)), Seq(acc, x)),
+          LambdaFunction(fin, Seq(fin)))))
+    }),
+    // max2/min2: always Float64, like CH
+    "max2" -> (es => fn("greatest", Cast(es.head, DoubleType),
+      Cast(es(1), DoubleType))),
+    "min2" -> (es => fn("least", Cast(es.head, DoubleType),
+      Cast(es(1), DoubleType))),
+    "proportionsZTest" -> (es => ProportionsZTest(es)),
     "nowInBlock" -> (_ => fn("now")),
     "countSubstringsCaseInsensitive" -> (es =>
       byName("countSubstrings")(Seq(fn("lower", es.head),

@@ -598,3 +598,197 @@ case class ReinterpretAs(child: Expression, width: Int, toStr: Boolean)
   override protected def withNewChildInternal(newChild: Expression): ReinterpretAs =
     copy(child = newChild)
 }
+
+/** RFC 4648 base32 (the standard A-Z2-7 alphabet with `=` padding) —
+  * ClickHouse base32Encode/base32Decode/tryBase32Decode. */
+case class Base32(child: Expression, mode: Int)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable || mode == Base32.TryDecode
+  override def prettyName: String = mode match {
+    case Base32.Encode => "base32Encode"
+    case Base32.Decode => "base32Decode"
+    case _ => "tryBase32Decode"
+  }
+
+  override def nullSafeEval(s: Any): Any =
+    Base32.run(s.asInstanceOf[UTF8String], mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Base32.run($c, $mode)")
+
+  override protected def withNewChildInternal(newChild: Expression): Base32 =
+    copy(child = newChild)
+}
+
+object Base32 {
+  final val Encode = 0
+  final val Decode = 1
+  final val TryDecode = 2
+
+  private val alphabet = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private val indexes: Array[Int] = {
+    val a = Array.fill(128)(-1)
+    alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  def run(s: UTF8String, mode: Int): UTF8String = mode match {
+    case Encode => UTF8String.fromString(encode(s.getBytes))
+    case Decode => decode(s.toString) match {
+      case Some(b) => UTF8String.fromBytes(b)
+      case None => throw new IllegalArgumentException(
+        s"base32Decode: invalid base32 input '${s.toString.take(40)}'")
+    }
+    case _ => decode(s.toString).map(UTF8String.fromBytes).orNull
+  }
+
+  private def encode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder
+    var buffer = 0L
+    var bits = 0
+    bytes.foreach { b =>
+      buffer = (buffer << 8) | (b & 0xffL)
+      bits += 8
+      while (bits >= 5) {
+        sb += alphabet(((buffer >> (bits - 5)) & 31).toInt)
+        bits -= 5
+      }
+    }
+    if (bits > 0) sb += alphabet(((buffer << (5 - bits)) & 31).toInt)
+    while (sb.length % 8 != 0) sb += '='
+    sb.toString
+  }
+
+  private def decode(s: String): Option[Array[Byte]] = {
+    val clean = s.takeWhile(_ != '=')
+    val out = new java.io.ByteArrayOutputStream
+    var buffer = 0L
+    var bits = 0
+    var i = 0
+    while (i < clean.length) {
+      val c = clean.charAt(i).toUpper
+      if (c >= 128 || indexes(c.toInt) < 0) return None
+      buffer = (buffer << 5) | indexes(c.toInt)
+      bits += 5
+      if (bits >= 8) {
+        out.write(((buffer >> (bits - 8)) & 0xff).toInt)
+        bits -= 8
+      }
+      i += 1
+    }
+    Some(out.toByteArray)
+  }
+}
+
+/** ClickHouse `parseTimeDelta('1 hour 30 minutes')` → seconds as
+  * Float64. Number-unit pairs in free text; the documented unit
+  * vocabulary with abbreviations. */
+case class ParseTimeDelta(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "parseTimeDelta"
+
+  override def nullSafeEval(s: Any): Any =
+    ParseTimeDelta.run(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ParseTimeDelta.run($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): ParseTimeDelta =
+    copy(child = newChild)
+}
+
+object ParseTimeDelta {
+  private val unitSeconds: Map[String, Double] = Map(
+    "second" -> 1, "seconds" -> 1, "sec" -> 1, "secs" -> 1, "s" -> 1,
+    "minute" -> 60, "minutes" -> 60, "min" -> 60, "mins" -> 60, "m" -> 60,
+    "hour" -> 3600, "hours" -> 3600, "hr" -> 3600, "hrs" -> 3600, "h" -> 3600,
+    "day" -> 86400, "days" -> 86400, "d" -> 86400,
+    "week" -> 604800, "weeks" -> 604800, "w" -> 604800,
+    "month" -> 2629746.0, "months" -> 2629746.0,
+    "year" -> 31556952.0, "years" -> 31556952.0, "y" -> 31556952.0,
+    "millisecond" -> 0.001, "milliseconds" -> 0.001, "ms" -> 0.001,
+    "microsecond" -> 1e-6, "microseconds" -> 1e-6, "us" -> 1e-6)
+
+  private val pair = "([0-9]*\\.?[0-9]+)\\s*([a-zA-Z]+)".r
+
+  def run(s: String): Double = {
+    var total = 0.0
+    var matched = false
+    pair.findAllMatchIn(s).foreach { m =>
+      val unit = unitSeconds.getOrElse(m.group(2).toLowerCase,
+        throw new IllegalArgumentException(
+          s"parseTimeDelta: unknown unit '${m.group(2)}'"))
+      total += m.group(1).toDouble * unit
+      matched = true
+    }
+    if (!matched) throw new IllegalArgumentException(
+      s"parseTimeDelta: no number-unit pairs in '${s.take(40)}'")
+    total
+  }
+}
+
+/** ClickHouse URLHierarchy / URLPathHierarchy: the URL truncated at
+  * every path/query boundary, shortest first. */
+case class UrlHierarchy(child: Expression, pathOnly: Boolean)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String =
+    if (pathOnly) "URLPathHierarchy" else "URLHierarchy"
+
+  override def nullSafeEval(s: Any): Any = {
+    val url = s.asInstanceOf[UTF8String].toString
+    val parts = UrlHierarchy.levels(url, pathOnly)
+    new GenericArrayData(parts.map(UTF8String.fromString(_): Any).toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHierarchy =
+    copy(child = newChild)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.UrlHierarchy.evalJava($c, $pathOnly)")
+}
+
+object UrlHierarchy {
+  def evalJava(s: UTF8String, pathOnly: Boolean): GenericArrayData =
+    new GenericArrayData(
+      levels(s.toString, pathOnly).map(UTF8String.fromString(_): Any).toArray)
+
+  /** Boundary positions: after the host, each '/', '?', '#' starts a
+    * deeper level; CH returns the prefixes cut at each boundary. */
+  def levels(url: String, pathOnly: Boolean): Seq[String] = {
+    val protoEnd = {
+      val i = url.indexOf("//")
+      if (i >= 0) i + 2 else 0
+    }
+    val hostEnd = {
+      val i = url.indexWhere(c => c == '/' || c == '?' || c == '#', protoEnd)
+      if (i >= 0) i else url.length
+    }
+    if (hostEnd >= url.length)
+      return if (pathOnly) Nil else Seq(url)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = hostEnd + 1
+    while (i < url.length) {
+      val c = url.charAt(i)
+      if (c == '/' || c == '?' || c == '#') {
+        val cut = if (c == '/') i + 1 else i
+        out += url.substring(0, cut)
+      }
+      i += 1
+    }
+    out += url
+    val dedup = out.distinct.toSeq
+    if (pathOnly) dedup.map(_.substring(hostEnd))
+    else url.substring(0, hostEnd + 1) +: dedup
+  }
+}

@@ -49,6 +49,104 @@ case class Truthy(child: Expression) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Special-function scalars (erf/erfc/lgamma/tgamma) over the shared
+  * [[StatTests]] numerics — codegen'd static calls, no UDF. */
+case class MathFn1(kind: String, child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(DoubleType)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = kind
+
+  override def nullSafeEval(v: Any): Any =
+    MathFn1.run(kind, v.asInstanceOf[Double])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"""graft.functions.MathFn1.run("$kind", $c)""")
+
+  override protected def withNewChildInternal(newChild: Expression): MathFn1 =
+    copy(child = newChild)
+}
+
+object MathFn1 {
+  def run(kind: String, v: Double): Double = kind match {
+    case "erf" => 1.0 - StatTests.erfc(v)
+    case "erfc" => StatTests.erfc(v)
+    case "lgamma" => StatTests.lnGamma(v)
+    case "tgamma" =>
+      if (v > 0) math.exp(StatTests.lnGamma(v))
+      else if (v == math.floor(v)) Double.NaN // poles at 0, -1, -2, ...
+      else math.Pi /
+        (math.sin(math.Pi * v) * math.exp(StatTests.lnGamma(1.0 - v)))
+    case other => throw new IllegalStateException(s"unknown fn $other")
+  }
+}
+
+/** ClickHouse `proportionsZTest(s1, s2, t1, t2, conf, 'pooled' |
+  * 'unpooled')` → (z_stat, p_value, ci_low, ci_high) — the two-sample
+  * proportion z-test, closed-form over [[StatTests]]' normal
+  * helpers. */
+case class ProportionsZTest(args: Seq[Expression]) extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = args
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("z_stat", DoubleType), StructField("p_value", DoubleType),
+    StructField("ci_low", DoubleType), StructField("ci_high", DoubleType)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (args.size == 6) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "proportionsZTest expects (successes_x, successes_y, trials_x, " +
+        "trials_y, confidence, 'pooled'|'unpooled')")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Double](5)
+    var i = 0
+    while (i < 5) {
+      args(i).eval(input) match {
+        case null => return null
+        case d: org.apache.spark.sql.types.Decimal => vals(i) = d.toDouble
+        case n: Number => vals(i) = n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"proportionsZTest: numeric argument expected, got $other")
+      }
+      i += 1
+    }
+    val (sx, sy, tx, ty, conf) =
+      (vals(0), vals(1), vals(2), vals(3), vals(4))
+    val usePooled = args(5).eval(input) match {
+      case s: org.apache.spark.unsafe.types.UTF8String =>
+        s.toString.toLowerCase == "pooled"
+      case _ => true
+    }
+    if (tx <= 0 || ty <= 0) return null
+    val px = sx / tx
+    val py = sy / ty
+    val se =
+      if (usePooled) {
+        val p = (sx + sy) / (tx + ty)
+        math.sqrt(p * (1 - p) * (1 / tx + 1 / ty))
+      } else math.sqrt(px * (1 - px) / tx + py * (1 - py) / ty)
+    val z = if (se == 0) 0.0 else (px - py) / se
+    val p = StatTests.zTwoSidedP(z)
+    val zc = StatTests.probitTwoSided(conf)
+    val seCi = math.sqrt(px * (1 - px) / tx + py * (1 - py) / ty)
+    org.apache.spark.sql.catalyst.InternalRow(
+      z, p, (px - py) - zc * seCi, (px - py) + zc * seCi)
+  }
+
+  override def prettyName: String = "proportionsZTest"
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): ProportionsZTest =
+    copy(args = newChildren)
+}
+
 /** UInt64-key intake: ClickHouse hash keys are UInt64, and a pasted
   * literal above 2^63 (`kostikConsistentHash(16045690984833335023, 2)`)
   * parses in Spark as DECIMAL(20,0) — an ANSI cast to BIGINT throws

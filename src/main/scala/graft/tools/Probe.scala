@@ -620,7 +620,30 @@ object Probe {
     "fmt_values" ->
       "SELECT c1, c2 FROM format(Values, '(1, ''x''), (2, ''y'')') ORDER BY c1",
     "fmt_with_trailing_format" ->
-      "SELECT a FROM format(JSONEachRow, '{\"a\": 5}') FORMAT CSV"
+      "SELECT a FROM format(JSONEachRow, '{\"a\": 5}') FORMAT CSV",
+    // ---- wave 21 (discovery) ----
+    "w21_url_hierarchy" ->
+      "SELECT URLHierarchy('http://x.com/a/b?q=1') AS h, URLPathHierarchy('http://x.com/a/b') AS p, cutURLParameter('http://x.com/p?a=1&b=2', 'a') AS c",
+    "w21_url_params" ->
+      "SELECT extractURLParameters('http://x.com/p?a=1&b=2') AS ps, extractURLParameterNames('http://x.com/p?a=1&b=2') AS ns",
+    "w21_url_encode" ->
+      "SELECT encodeURLComponent('a b&c') AS e, decodeURLComponent('a%20b%26c') AS d, encodeURLFormComponent('a b') AS f",
+    "w21_subdomain" ->
+      "SELECT firstSignificantSubdomain('http://news.yandex.com.tr/') AS f, cutToFirstSignificantSubdomain('http://news.yandex.com.tr/x') AS c",
+    "w21_gamma" ->
+      "SELECT lgamma(5.0) AS lg, tgamma(5) AS tg, factorial(5) AS f",
+    "w21_minmax2" ->
+      "SELECT max2(3, 7) AS mx, min2(3, 7) AS mn, erf(1.0) BETWEEN 0.84 AND 0.85 AS e, erfc(1.0) BETWEEN 0.15 AND 0.16 AS ec",
+    "w21_ip_range" ->
+      "SELECT isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS a, isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS b",
+    "w21_base_enc" ->
+      "SELECT base64Encode('ab') AS b64, tryBase64Decode('YWI=') AS d, tryBase64Decode('!!!') AS bad, base32Encode('ab') AS b32",
+    "w21_parse_timedelta" ->
+      "SELECT parseTimeDelta('1 hour 30 minutes') AS td",
+    "w21_initcap_utf8" ->
+      "SELECT initcapUTF8('héllo wörld') AS i, initcap('hello world') AS p",
+    "w21_ztest" ->
+      "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS z"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2728,6 +2728,54 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getInt(10) == 4 && r.getInt(11) == 14)
   }
 
+  test("wave-21: URL hierarchy/encode parity, base32, timedelta, special functions") {
+    val r = one(
+      """SELECT URLHierarchy('https://example.com/browse/CONV-6788') AS h,
+        |  URLPathHierarchy('https://example.com/browse/CONV-6788') AS p,
+        |  cutURLParameter('http://x.com/p?a=1&b=2', 'a') AS ca,
+        |  cutURLParameter('http://x.com/p?a=1&b=2', 'b') AS cb,
+        |  encodeURLComponent('a b&c') AS e,
+        |  decodeURLComponent('a%20b+c') AS d,
+        |  encodeURLFormComponent('a b') AS ef,
+        |  base32Encode('ab') AS b32,
+        |  base32Decode(base32Encode('hello!')) AS rt,
+        |  tryBase32Decode('!!!') AS bad,
+        |  parseTimeDelta('1 hour 30 minutes') AS td,
+        |  round(lgamma(5.0), 6) AS lg,
+        |  round(tgamma(5.0), 6) AS tg,
+        |  factorial(5) AS f5, factorial(0) AS f0, factorial(20) AS f20,
+        |  max2(3, 7) AS mx,
+        |  round(erf(1.0) + erfc(1.0), 9) AS unit""".stripMargin)
+    assert(r.getSeq[String](0) == Seq("https://example.com/",
+      "https://example.com/browse/", "https://example.com/browse/CONV-6788"),
+      r.getSeq[String](0))
+    assert(r.getSeq[String](1) == Seq("/browse/", "/browse/CONV-6788"))
+    assert(r.getString(2) == "http://x.com/p?b=2")
+    assert(r.getString(3) == "http://x.com/p?a=1")
+    assert(r.getString(4) == "a%20b%26c")
+    assert(r.getString(5) == "a b+c") // '+' survives component decoding
+    assert(r.getString(6) == "a+b") // form variant: space -> '+'
+    assert(r.getString(7) == "MFRA====")
+    assert(r.getString(8) == "hello!")
+    assert(r.isNullAt(9))
+    assert(r.getDouble(10) == 5400.0)
+    assert(math.abs(r.getDouble(11) - math.log(24.0)) < 1e-4)
+    assert(math.abs(r.getDouble(12) - 24.0) < 1e-3)
+    assert(r.getLong(13) == 120L && r.getLong(14) == 1L)
+    assert(r.getLong(15) == 2432902008176640000L)
+    assert(r.getDouble(16) == 7.0)
+    assert(math.abs(r.getDouble(17) - 1.0) < 1e-6) // erf + erfc = 1
+    // proportionsZTest: equal proportions -> z ~ 0, p ~ 1
+    val z = one(
+      """SELECT proportionsZTest(50, 50, 100, 100, 0.95, 'pooled') AS t,
+        |  proportionsZTest(90, 10, 100, 100, 0.95, 'unpooled') AS sig""".stripMargin)
+    val t = z.getStruct(0)
+    assert(math.abs(t.getDouble(0)) < 1e-9 && t.getDouble(1) > 0.99)
+    val sig = z.getStruct(1)
+    assert(math.abs(sig.getDouble(0)) > 5 && sig.getDouble(1) < 0.001)
+    assert(sig.getDouble(2) < 0.8 && sig.getDouble(3) > 0.8) // CI straddles 0.8
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
