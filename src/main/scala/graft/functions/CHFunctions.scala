@@ -36,6 +36,33 @@ object CHFunctions {
         Concat(Seq(Literal("$."), es(1)))), dt, None, EvalMode.TRY),
       Literal.default(dt)))
 
+  /** groupArrayMovingSum/Avg(n)(x): transform over the collected
+    * array — cell i aggregates slice [max(1, i-n+1), i]. Empty groups
+    * guard against Spark's DESCENDING sequence(1, 0). */
+  private def movingWindowAgg(es: Seq[Expression], avg: Boolean): Expression =
+    es match {
+      case Seq(n0, x) =>
+        val n = Cast(n0, IntegerType)
+        val arr = fn("collect_list", Cast(x, DoubleType))
+        val i = UnresolvedNamedLambdaVariable(Seq("mwi"))
+        val from = fn("greatest", Literal(1),
+          Add(Subtract(i, n), Literal(1)))
+        val len = fn("least", i, n)
+        val window = fn("slice", arr, from, len)
+        val (acc, xe, fin) = lambdaVars
+        val sum = ArrayAggregate(window, Literal(0.0),
+          LambdaFunction(Add(acc, xe), Seq(acc, xe)),
+          LambdaFunction(fin, Seq(fin)))
+        val cell = if (avg) Divide(sum, Cast(n, DoubleType)) else sum
+        CaseWhen(
+          Seq((EqualTo(fn("size", arr), Literal(0)),
+            Slice(arr, Literal(1), Literal(0)))),
+          Some(ArrayTransform(fn("sequence", Literal(1), fn("size", arr)),
+            LambdaFunction(cell, Seq(i)))))
+      case other => throw new IllegalArgumentException(
+        s"groupArrayMoving* expects (window)(x), got ${other.size} arguments")
+    }
+
   private def whenThen(cond: Expression, value: Expression): Expression =
     // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
     // boolean passes through untouched
@@ -761,6 +788,57 @@ object CHFunctions {
     // group collectors
     "groupArray" -> (es => fn("collect_list", es.head)),
     "groupUniqArray" -> (es => fn("collect_set", es.head)),
+    // moving window over the collected arrival-order array: result[i]
+    // = Σ of the last `n` values up to i (CH divides the Avg by the
+    // WINDOW width n even for the first, shorter prefixes)
+    "groupArrayMovingSum" -> (es => movingWindowAgg(es, avg = false)),
+    "groupArrayMovingAvg" -> (es => movingWindowAgg(es, avg = true)),
+    // last n collected values in arrival order
+    "groupArrayLast" -> (es => es match {
+      case Seq(n0, x) =>
+        val n = Cast(n0, IntegerType)
+        val arr = fn("collect_list", x)
+        fn("slice", arr,
+          fn("greatest", Literal(1),
+            Add(Subtract(fn("size", arr), n), Literal(1))), n)
+      case other => throw new IllegalArgumentException(
+        s"groupArrayLast expects (n)(x), got ${other.size} arguments")
+    }),
+    // groupArrayInsertAt(x, pos): result[pos+1] = x (0-based pos);
+    // unfilled slots are NULL (the engine's stand-in for CH's type
+    // default, as in arrayFirst)
+    "groupArrayInsertAt" -> (es => {
+      val entries = fn("collect_list",
+        CreateNamedStruct(Seq(Literal("p"), Cast(es(1), IntegerType),
+          Literal("v"), es.head)))
+      val e = UnresolvedNamedLambdaVariable(Seq("gie"))
+      val i = UnresolvedNamedLambdaVariable(Seq("gii"))
+      val positions = ArrayTransform(entries,
+        LambdaFunction(UnresolvedExtractValue(e, Literal("p")), Seq(e)))
+      val maxPos = fn("array_max", positions)
+      val pick = UnresolvedExtractValue(
+        ElementAt(
+          ArrayFilter(entries, LambdaFunction(
+            EqualTo(UnresolvedExtractValue(e, Literal("p")), i), Seq(e))),
+          Literal(1), None, failOnError = false),
+        Literal("v"))
+      val empty = Slice(ArrayTransform(entries, LambdaFunction(
+        UnresolvedExtractValue(e, Literal("v")), Seq(e))),
+        Literal(1), Literal(0))
+      CaseWhen(
+        Seq((IsNull(maxPos), empty)),
+        Some(ArrayTransform(fn("sequence", Literal(0), maxPos),
+          LambdaFunction(pick, Seq(i)))))
+    }),
+    // x when the group holds exactly ONE distinct value, else NULL
+    "singleValueOrNull" -> (es => CaseWhen(
+      Seq((EqualTo(
+        Count(Seq(es.head)).toAggregateExpression(isDistinct = true),
+        Literal(1L)): Expression) -> fn("min", es.head)),
+      None)),
+    // one-way ANOVA over (value, group id) → (f_stat, p_value)
+    "analysisOfVariance" -> (es => AnovaAgg(es.head, es(1))),
+    "anova" -> (es => AnovaAgg(es.head, es(1))),
 
     // arrayJoin ≡ explode (a generator, usable in SELECT position);
     // the LEFT variant keeps rows whose array is empty/null (CH

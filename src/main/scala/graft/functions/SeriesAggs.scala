@@ -167,6 +167,57 @@ case class DeltaSumAgg(
     copy(value = c(0))
 }
 
+/** analysisOfVariance(value, group): one-way ANOVA over the buffered
+  * (group, value) pairs → (f_stat, p_value); the F survival rides the
+  * same regularized incomplete beta the t-test uses. */
+case class AnovaAgg(
+    value: Expression,
+    group: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  override def a: Expression = group
+  override def b: Expression = value
+  override def dataType: DataType = StructType(Seq(
+    StructField("f_statistic", DoubleType),
+    StructField("p_value", DoubleType)))
+  override def prettyName: String = "analysisOfVariance"
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty) return null
+    val byGroup = buf.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = byGroup.size
+    val n = buf.length
+    if (k < 2 || n <= k) return null
+    val grand = buf.iterator.map(_._2).sum / n
+    var ssb = 0.0
+    var ssw = 0.0
+    byGroup.values.foreach { xs =>
+      val m = xs.sum / xs.length
+      ssb += xs.length * (m - grand) * (m - grand)
+      xs.foreach { x => ssw += (x - m) * (x - m) }
+    }
+    val d1 = (k - 1).toDouble
+    val d2 = (n - k).toDouble
+    val f =
+      if (ssw == 0.0) Double.PositiveInfinity
+      else (ssb / d1) / (ssw / d2)
+    val p =
+      if (f.isInfinite) 0.0
+      else StatTests.regIncBeta(d2 / 2.0, d1 / 2.0, d2 / (d2 + d1 * f))
+    org.apache.spark.sql.catalyst.InternalRow(f, p)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): AnovaAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): AnovaAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): AnovaAgg =
+    copy(group = c(0), value = c(1)) // children order is (a, b)
+}
+
 /** intervalLengthSum(start, end) → total length of the union of the
   * [start, end) intervals (overlaps counted once; empty/negative
   * intervals contribute nothing). */

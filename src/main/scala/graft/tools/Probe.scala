@@ -643,7 +643,24 @@ object Probe {
     "w21_initcap_utf8" ->
       "SELECT initcapUTF8('héllo wörld') AS i, initcap('hello world') AS p",
     "w21_ztest" ->
-      "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS z"
+      "SELECT proportionsZTest(10, 11, 100, 101, 0.95, 'unpooled') AS z",
+    // ---- wave 22 (aggregate discovery) ----
+    "w22_moving" ->
+      "SELECT groupArrayMovingAvg(3)(v) AS ma, groupArrayMovingSum(3)(v) AS ms FROM (SELECT CAST(o_orderkey % 7 AS DOUBLE) AS v FROM orders ORDER BY o_orderkey LIMIT 10)",
+    "w22_insert_at" ->
+      "SELECT groupArrayInsertAt(o_orderstatus, CAST(o_orderkey % 3 AS INT)) AS g FROM (SELECT * FROM orders LIMIT 10)",
+    "w22_array_last" ->
+      "SELECT groupArrayLast(3)(o_orderkey) AS g FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10)",
+    "w22_mann_whitney" ->
+      "SELECT mannWhitneyUTest(v, g) AS mw FROM (SELECT CAST(o_totalprice AS DOUBLE) AS v, CAST(o_orderkey % 2 AS TINYINT) AS g FROM orders LIMIT 200)",
+    "w22_rank_corr" ->
+      "SELECT rankCorr(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey AS DOUBLE)) AS rc FROM orders",
+    "w22_quantile_bounds" ->
+      "SELECT quantileExactLow(0.5)(o_totalprice) AS lo, quantileExactHigh(0.5)(o_totalprice) AS hi, quantileExactExclusive(0.3)(o_totalprice) AS ex FROM orders",
+    "w22_single_value" ->
+      "SELECT singleValueOrNull(o_orderstatus) AS s FROM (SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F' LIMIT 5)",
+    "w22_anova" ->
+      "SELECT analysisOfVariance(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS INT)) AS a FROM orders LIMIT 1"
   )
 
   def main(args: Array[String]): Unit = {

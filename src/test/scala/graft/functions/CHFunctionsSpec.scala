@@ -2776,6 +2776,43 @@ class CHFunctionsSpec extends SparkSpec {
     assert(sig.getDouble(2) < 0.8 && sig.getDouble(3) > 0.8) // CI straddles 0.8
   }
 
+  test("wave-22 aggregates: moving windows, insertAt, last-n, singleValue, ANOVA") {
+    // fixture in deterministic single-partition arrival order
+    val r = one(
+      """SELECT groupArrayMovingSum(2, v) AS ms,
+        |  groupArrayMovingAvg(2, v) AS ma,
+        |  groupArrayLast(3, v) AS gl,
+        |  singleValueOrNull(42) AS sv
+        |FROM (SELECT CAST(element_at(array(1, 2, 3, 4), CAST(id AS INT) + 1)
+        |  AS DOUBLE) AS v FROM range(0, 4, 1, 1))""".stripMargin)
+    assert(r.getSeq[Double](0) == Seq(1.0, 3.0, 5.0, 7.0), r.getSeq[Double](0))
+    // CH divides by the WINDOW width even for the first cell
+    assert(r.getSeq[Double](1) == Seq(0.5, 1.5, 2.5, 3.5))
+    assert(r.getSeq[Double](2) == Seq(2.0, 3.0, 4.0))
+    assert(r.getInt(3) == 42)
+    // several distinct values -> NULL
+    val sv = one(
+      "SELECT singleValueOrNull(v) AS s FROM (SELECT id AS v FROM range(3))")
+    assert(sv.isNullAt(0))
+    // insertAt places values at their 0-based slots, NULL-padding gaps
+    val ia = one(
+      """SELECT groupArrayInsertAt(toString(v * 10), CAST(v * 2 AS INT)) AS g
+        |FROM (SELECT id AS v FROM range(2))""".stripMargin)
+    assert(ia.getSeq[String](0) == Seq("0", null, "10"), ia.getSeq[String](0))
+    // ANOVA: identical group means -> F ~ 0, p ~ 1; separated -> small p
+    val a = one(
+      """SELECT analysisOfVariance(v, g) AS same,
+        |  analysisOfVariance(v + g * 100, g) AS sep
+        |FROM (SELECT CAST(id % 7 AS DOUBLE) AS v, CAST(id % 3 AS INT) AS g
+        |      FROM range(210))""".stripMargin)
+    val same = a.getStruct(0)
+    assert(same.getDouble(0) < 1.0 && same.getDouble(1) > 0.3,
+      s"F=${same.getDouble(0)} p=${same.getDouble(1)}")
+    val sep = a.getStruct(1)
+    assert(sep.getDouble(0) > 100 && sep.getDouble(1) < 1e-6,
+      s"F=${sep.getDouble(0)} p=${sep.getDouble(1)}")
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
