@@ -831,7 +831,9 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(4) == "sec2" && r.getString(5) == "")
     assert(r.getString(6) == "q=1#sec2")
     assert(r.getString(7) == "a b/c")
-    assert(r.getString(8).toLowerCase == "a+b%2fc")
+    // CH component encoding: %20 for spaces (the form variant's '+'
+    // spelling lives under encodeURLFormComponent)
+    assert(r.getString(8).toLowerCase == "a%20b%2fc")
     assert(r.getSeq[String](9) == Seq("a=1", "b=2"))
     assert(r.getSeq[String](10) == Seq("a", "b"))
   }
