@@ -3140,6 +3140,44 @@ object CHFunctions {
     "concatAssumeInjective" -> (es => Concat(es)),
     "byteSize" -> (es => ByteSizeCH(es.head)),
     "initcapUTF8" -> (es => fn("initcap", es.head)),
+    "extractTextFromHTML" -> (es => ExtractTextFromHtml(es.head)),
+    "decodeHTMLComponent" -> (es => DecodeHtmlComponent(es.head)),
+    // (toFixedString/moduloOrZero/IPv4ToIPv6 already registered in
+    // their families — the init-time uniqueness assert caught the
+    // would-be round-14 duplicates, working exactly as designed)
+    "toLowCardinality" -> (es => es.head),
+    "clamp" -> (es => fn("greatest", Cast(es(1), DoubleType),
+      fn("least", Cast(es.head, DoubleType), Cast(es(2), DoubleType)))),
+    "positiveModulo" -> (es => fn("pmod", es.head, es(1))),
+    "positive_modulo" -> (es => fn("pmod", es.head, es(1))),
+    "generateUUIDv7" -> (_ => GenTimeId("uuidv7")),
+    "generateULID" -> (_ => GenTimeId("ulid")),
+    // UUIDv7ToDateTime: the first 48 bits are unix milliseconds
+    "UUIDv7ToDateTime" -> (es =>
+      fn("timestamp_millis", Cast(fn("conv",
+        fn("substring", fn("replace", es.head, Literal("-"), Literal("")),
+          Literal(1), Literal(12)),
+        Literal(16), Literal(10)), LongType))),
+    // ULID time part: 10 Crockford-base32 chars → ms. Crockford's
+    // symbol VALUES remap onto conv()'s standard 0-9A-V alphabet via
+    // translate (Crockford skips I, L, O, U).
+    "ULIDStringToDateTime" -> (es => {
+      val ten = fn("substring", fn("upper", es.head), Literal(1), Literal(10))
+      val std = fn("translate", ten,
+        Literal("ABCDEFGHJKMNPQRSTVWXYZ"),
+        Literal("ABCDEFGHIJKLMNOPQRSTUV"))
+      fn("timestamp_millis",
+        Cast(fn("conv", std, Literal(32), Literal(10)), LongType))
+    }),
+    "isNullable" -> (es => IsNullableOf(es.head)),
+    // IPv4 validation / embedding
+    "toIPv4OrNull" -> (es => {
+      val octet = "(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])"
+      CaseWhen(
+        Seq((RLike(es.head,
+          Literal(s"^($octet\\.){3}$octet$$")): Expression) -> es.head),
+        None)
+    }),
     "base32Encode" -> (es => Base32(es.head, Base32.Encode)),
     "base32Decode" -> (es => Base32(es.head, Base32.Decode)),
     "tryBase32Decode" -> (es => Base32(es.head, Base32.TryDecode)),

@@ -148,3 +148,45 @@ case class RandDist(kind: String, args: Seq[Expression])
       newChildren: IndexedSeq[Expression]): RandDist =
     copy(args = newChildren)
 }
+
+/** Time-ordered unique id generators: UUIDv7 (RFC 9562 — 48-bit unix
+  * ms, version/variant bits, 74 random bits) and ULID (Crockford
+  * base32, 48-bit ms + 80 random bits). Nondeterministic leafs; ids
+  * are generated at eval time like CH's. */
+case class GenTimeId(kind: String)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with Nondeterministic with CodegenFallback {
+
+  override def nullable: Boolean = false
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String =
+    if (kind == "ulid") "generateULID" else "generateUUIDv7"
+
+  @transient private var rng: java.util.Random = _
+
+  override protected def initializeInternal(partitionIndex: Int): Unit =
+    rng = new java.util.Random(
+      java.util.concurrent.ThreadLocalRandom.current().nextLong() ^
+        (partitionIndex.toLong * 0x9E3779B97F4A7C15L))
+
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val ms = System.currentTimeMillis()
+    if (kind == "ulid") {
+      val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+      val chars = new Array[Char](26)
+      var t = ms
+      var i = 9
+      while (i >= 0) { chars(i) = alphabet((t & 31).toInt); t >>= 5; i -= 1 }
+      var j = 10
+      while (j < 26) { chars(j) = alphabet(rng.nextInt(32)); j += 1 }
+      org.apache.spark.unsafe.types.UTF8String.fromString(new String(chars))
+    } else {
+      val hi = (ms << 16) | 0x7000L | (rng.nextInt(1 << 12)).toLong
+      val lo = (rng.nextLong() & 0x3FFFFFFFFFFFFFFFL) | 0x8000000000000000L
+      val u = new java.util.UUID(hi, lo)
+      org.apache.spark.unsafe.types.UTF8String.fromString(u.toString)
+    }
+  }
+}

@@ -792,3 +792,108 @@ object UrlHierarchy {
     else url.substring(0, hostEnd + 1) +: dedup
   }
 }
+
+/** ClickHouse `extractTextFromHTML`: human-readable text of an HTML
+  * document — script/style/comment blocks dropped, tags stripped,
+  * common entities decoded, whitespace collapsed. One linear pass,
+  * no DOM — the same contract CH documents (best-effort, not a
+  * validating parser). */
+case class ExtractTextFromHtml(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "extractTextFromHTML"
+
+  override def nullSafeEval(s: Any): Any =
+    ExtractTextFromHtml.run(s.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractTextFromHtml.run($c.toString())")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ExtractTextFromHtml = copy(child = newChild)
+}
+
+object ExtractTextFromHtml {
+  private val dropBlocks =
+    "(?is)<(script|style|head|noscript|template)\\b[^>]*>.*?</\\1\\s*>".r
+  private val comments = "(?s)<!--.*?-->".r
+  private val tags = "(?s)<[^>]*>".r
+  private val ws = "\\s+".r
+
+  def run(html: String): UTF8String = {
+    var s = comments.replaceAllIn(html, " ")
+    s = dropBlocks.replaceAllIn(s, " ")
+    s = tags.replaceAllIn(s, " ")
+    s = DecodeHtmlComponent.decode(s)
+    UTF8String.fromString(ws.replaceAllIn(s, " ").trim)
+  }
+}
+
+/** ClickHouse `decodeHTMLComponent`: named + numeric entity decoding
+  * (the documented common set; unknown entities pass through). */
+case class DecodeHtmlComponent(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "decodeHTMLComponent"
+
+  override def nullSafeEval(s: Any): Any =
+    UTF8String.fromString(
+      DecodeHtmlComponent.decode(s.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.DecodeHtmlComponent.decode($c.toString()))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): DecodeHtmlComponent = copy(child = newChild)
+}
+
+object DecodeHtmlComponent {
+  private val named = Map(
+    "amp" -> "&", "lt" -> "<", "gt" -> ">", "quot" -> "\"",
+    "apos" -> "'", "nbsp" -> " ", "copy" -> "©",
+    "reg" -> "®", "trade" -> "™", "hellip" -> "…",
+    "mdash" -> "—", "ndash" -> "–", "laquo" -> "«",
+    "raquo" -> "»", "deg" -> "°", "plusmn" -> "±",
+    "times" -> "×", "divide" -> "÷", "euro" -> "€",
+    "pound" -> "£", "yen" -> "¥", "cent" -> "¢",
+    "sect" -> "§", "para" -> "¶", "middot" -> "·",
+    "bull" -> "•", "dagger" -> "†", "permil" -> "‰",
+    "lsquo" -> "‘", "rsquo" -> "’", "ldquo" -> "“",
+    "rdquo" -> "”")
+  private val entity = "&(#x?[0-9a-fA-F]+|[a-zA-Z]+);".r
+
+  def decode(s: String): String =
+    entity.replaceAllIn(s, m => {
+      val body = m.group(1)
+      val repl =
+        if (body.startsWith("#x") || body.startsWith("#X"))
+          try new String(Character.toChars(
+            Integer.parseInt(body.substring(2), 16)))
+          catch { case _: Exception => m.matched }
+        else if (body.startsWith("#"))
+          try new String(Character.toChars(body.substring(1).toInt))
+          catch { case _: Exception => m.matched }
+        else named.getOrElse(body, m.matched)
+      java.util.regex.Matcher.quoteReplacement(repl)
+    })
+}
+
+/** Nullability introspection: `isNullable(x)` is a PLAN-time fact —
+  * RuntimeReplaceable onto the literal answer (the child never
+  * evaluates; the optimizer folds the constant). */
+case class IsNullableOf(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+  override lazy val replacement: Expression =
+    org.apache.spark.sql.catalyst.expressions.Literal(child.nullable)
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "isNullable"
+  override protected def withNewChildInternal(newChild: Expression): IsNullableOf =
+    copy(child = newChild)
+}

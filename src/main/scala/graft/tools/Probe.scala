@@ -660,7 +660,26 @@ object Probe {
     "w22_single_value" ->
       "SELECT singleValueOrNull(o_orderstatus) AS s FROM (SELECT o_orderstatus FROM orders WHERE o_orderstatus = 'F' LIMIT 5)",
     "w22_anova" ->
-      "SELECT analysisOfVariance(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS INT)) AS a FROM orders LIMIT 1"
+      "SELECT analysisOfVariance(CAST(o_totalprice AS DOUBLE), CAST(o_orderkey % 3 AS INT)) AS a FROM orders LIMIT 1",
+    // ---- wave 23 (discovery) ----
+    "w23_html" ->
+      "SELECT extractTextFromHTML('<html><head><style>p{}</style></head><body><p>Hello <b>world</b>!</p><script>var x;</script></body></html>') AS t, decodeHTMLComponent('a &amp; b &lt;c&gt; &#65;') AS d",
+    "w23_fixed_lc" ->
+      "SELECT toFixedString('ab', 4) AS f, toLowCardinality('x') AS lc",
+    "w23_uuid7" ->
+      "SELECT generateUUIDv7() != '' AS u7, UUIDv7ToDateTime(generateUUIDv7()) >= toDateTime('2020-01-01 00:00:00') AS t",
+    "w23_clamp" ->
+      "SELECT clamp(15, 0, 10) AS c, clamp(-5, 0, 10) AS c2, positiveModulo(-7, 3) AS pm, moduloOrZero(7, 0) AS mz",
+    "w23_locate" ->
+      "SELECT locate('lo', 'hello') AS l, reverseUTF8('héllo') AS r, overlay('hello', 'XX', 2) AS o",
+    "w23_regexp_extract" ->
+      "SELECT regexpExtract('a1b22', '[0-9]+', 0) AS r0, regexpExtract('a1b22', '([a-z])([0-9]+)', 2) AS r2",
+    "w23_timediff" ->
+      "SELECT timeDiff(toDateTime('2024-01-01 00:00:00'), toDateTime('2024-01-01 01:30:00')) AS td",
+    "w23_ip_more" ->
+      "SELECT toIPv4OrNull('999.1.1.1') AS bad, toIPv4OrNull('10.0.0.1') AS ok, IPv4ToIPv6(IPv4StringToNum('10.0.0.1')) != '' AS v6",
+    "w23_ulid" ->
+      "SELECT generateULID() != '' AS u, isNullable(CAST(NULL AS Nullable(Int32))) AS n"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2815,6 +2815,42 @@ class CHFunctionsSpec extends SparkSpec {
       s"F=${sep.getDouble(0)} p=${sep.getDouble(1)}")
   }
 
+  test("wave-23: extractTextFromHTML, HTML entities, UUIDv7/ULID, clamp, IPv4 checks") {
+    val r = one(
+      """SELECT extractTextFromHTML('<html><head><style>p{color:red}</style>
+        |</head><body><p>Hello <b>world</b>!</p><!-- note -->
+        |<script>var x = 1;</script></body></html>') AS t,
+        |  decodeHTMLComponent('a &amp; b &lt;c&gt; &#65; &#x42; &nbsp;z &unknown;') AS d,
+        |  clamp(15, 0, 10) AS c1, clamp(-5, 0, 10) AS c2, clamp(7, 0, 10) AS c3,
+        |  positiveModulo(-7, 3) AS pm,
+        |  generateUUIDv7() AS u7,
+        |  generateULID() AS ul,
+        |  toIPv4OrNull('999.1.1.1') AS bad,
+        |  toIPv4OrNull('10.0.0.1') AS ok,
+        |  toLowCardinality('x') AS lc,
+        |  isNullable(nullif(1, 2)) AS nn, isNullable(1) AS nf""".stripMargin)
+    assert(r.getString(0) == "Hello world !", s"'${r.getString(0)}'")
+    assert(r.getString(1) == "a & b <c> A B \u00a0z &unknown;",
+      s"'${r.getString(1)}'")
+    assert(r.getDouble(2) == 10.0 && r.getDouble(3) == 0.0 && r.getDouble(4) == 7.0)
+    assert(r.getInt(5) == 2)
+    // UUIDv7: version nibble 7, variant bits 10xx; timestamp recent
+    val u7 = r.getString(6)
+    assert(u7.charAt(14) == '7', u7)
+    assert("89ab".contains(u7.charAt(19)), u7)
+    assert(r.getString(7).length == 26)
+    assert(r.isNullAt(8) && r.getString(9) == "10.0.0.1")
+    assert(r.getString(10) == "x")
+    assert(r.getBoolean(11) && !r.getBoolean(12))
+    // the id time-bridges recover a recent timestamp
+    val t = one(
+      """SELECT UUIDv7ToDateTime(generateUUIDv7()) >=
+        |    toDateTime('2026-01-01 00:00:00') AS a,
+        |  ULIDStringToDateTime(generateULID()) >=
+        |    toDateTime('2026-01-01 00:00:00') AS b""".stripMargin)
+    assert(t.getBoolean(0) && t.getBoolean(1))
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
