@@ -2154,6 +2154,38 @@ object CHFunctions {
     "makeDate32" -> (es => fn("make_date", es: _*)),
     "timezone" -> (_ => fn("current_timezone")),
     "timeZone" -> (_ => fn("current_timezone")),
+    "serverTimeZone" -> (_ => fn("current_timezone")),
+    "serverTimezone" -> (_ => fn("current_timezone")),
+    // every timestamp carries the one session zone here
+    "timeZoneOf" -> (_ => fn("current_timezone")),
+    "timezoneOf" -> (_ => fn("current_timezone")),
+    // toTime: the time-of-day moved onto CH's fixed date 1970-01-02
+    "toTime" -> (es => fn("timestamp_seconds",
+      Add(Literal(86400L),
+        fn("pmod", fn("unix_timestamp",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+          Literal(86400L))))),
+    "firstLine" -> (es =>
+      fn("regexp_extract", es.head, Literal("^([^\\n\\r]*)"), Literal(1))),
+    "arrayElementOrNull" -> (es =>
+      fn("try_element_at", es.head, es(1))),
+    "tupleHammingDistance" -> (es => TupleHamming(es.head, es(1))),
+    // XML component (de)coding: the five XML entities; decode shares
+    // the HTML entity table (a superset)
+    "encodeXMLComponent" -> (es =>
+      fn("replace",
+        fn("replace",
+          fn("replace",
+            fn("replace",
+              fn("replace", es.head, Literal("&"), Literal("&amp;")),
+              Literal("<"), Literal("&lt;")),
+            Literal(">"), Literal("&gt;")),
+          Literal("\""), Literal("&quot;")),
+        Literal("'"), Literal("&apos;"))),
+    "decodeXMLComponent" -> (es => DecodeHtmlComponent(es.head)),
+    "getSetting" -> (_ => throw new IllegalArgumentException(
+      "getSetting: per-query settings are not stateful here — read " +
+        "SELECT value FROM system.settings WHERE name = '...' instead")),
     "now64" -> (_ => fn("now")),
     "emptyArrayInt64" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(LongType))),

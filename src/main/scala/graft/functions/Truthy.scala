@@ -147,6 +147,39 @@ case class ProportionsZTest(args: Seq[Expression]) extends Expression
     copy(args = newChildren)
 }
 
+/** ClickHouse `tupleHammingDistance(t1, t2)`: the count of
+  * positionally differing fields — type-dispatched over the resolved
+  * struct arity (null-safe equality, so two NULL fields match). */
+case class TupleHamming(left: Expression, right: Expression)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression =
+    (left.dataType, right.dataType) match {
+      case (a: StructType, b: StructType) if a.size == b.size && a.nonEmpty =>
+        a.indices.map { i =>
+          If(EqualNullSafe(
+            GetStructField(left, i), GetStructField(right, i)),
+            Literal(0), Literal(1)): Expression
+        }.reduce(Add(_, _))
+      case _ => Literal(null, IntegerType)
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (a: StructType, b: StructType) if a.size == b.size =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b) => TypeCheckResult.TypeCheckFailure(
+        s"tupleHammingDistance expects two tuples of equal arity, got " +
+          s"(${a.simpleString}, ${b.simpleString})")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tupleHammingDistance"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TupleHamming =
+    copy(left = newLeft, right = newRight)
+}
+
 /** UInt64-key intake: ClickHouse hash keys are UInt64, and a pasted
   * literal above 2^63 (`kostikConsistentHash(16045690984833335023, 2)`)
   * parses in Spark as DECIMAL(20,0) — an ANSI cast to BIGINT throws

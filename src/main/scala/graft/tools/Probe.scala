@@ -679,7 +679,28 @@ object Probe {
     "w23_ip_more" ->
       "SELECT toIPv4OrNull('999.1.1.1') AS bad, toIPv4OrNull('10.0.0.1') AS ok, IPv4ToIPv6(IPv4StringToNum('10.0.0.1')) != '' AS v6",
     "w23_ulid" ->
-      "SELECT generateULID() != '' AS u, isNullable(CAST(NULL AS Nullable(Int32))) AS n"
+      "SELECT generateULID() != '' AS u, isNullable(CAST(NULL AS Nullable(Int32))) AS n",
+    // ---- wave 24 (discovery) ----
+    "w24_xml" ->
+      "SELECT encodeXMLComponent('a<b>&\"c\"') AS e, decodeXMLComponent('a&lt;b&gt;&amp;&quot;c&quot;') AS d",
+    "w24_printf" ->
+      "SELECT printf('%d says %s', 42, 'hi') AS p",
+    "w24_timezone" ->
+      "SELECT timeZone() AS tz, serverTimeZone() AS stz, timeZoneOf(now()) AS tzo",
+    "w24_totime" ->
+      "SELECT toTime(toDateTime('2024-03-05 07:08:09')) AS t",
+    "w24_get_setting" ->
+      "SELECT getSetting('max_threads') AS s",
+    "w24_elem_or_null" ->
+      "SELECT arrayElementOrNull([1, 2, 3], 5) AS a, arrayElementOrNull([1, 2, 3], 2) AS b",
+    "w24_first_line" ->
+      "SELECT firstLine('line1\\nline2') AS f",
+    "w24_tuple_hamming" ->
+      "SELECT tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS h",
+    "w24_l2sq" ->
+      "SELECT L2SquaredDistance([1.0, 2.0], [3.0, 4.0]) AS d, L1Distance([1.0], [4.0]) AS l1",
+    "w24_generic_interval" ->
+      "SELECT toDateTime('2024-01-01 00:00:00') + toIntervalDay(2) AS a"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2851,6 +2851,27 @@ class CHFunctionsSpec extends SparkSpec {
     assert(t.getBoolean(0) && t.getBoolean(1))
   }
 
+  test("wave-24: XML entities, toTime, firstLine, tupleHammingDistance, elementOrNull") {
+    val r = one(
+      """SELECT encodeXMLComponent('a<b>&"c"') AS e,
+        |  decodeXMLComponent('a&lt;b&gt;&amp;&quot;c&quot;&apos;') AS d,
+        |  toString(toTime(toDateTime('2024-03-05 07:08:09'))) AS t,
+        |  firstLine('line1\nline2\nline3') AS f,
+        |  firstLine('single') AS f1,
+        |  tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS h1,
+        |  tupleHammingDistance(tuple(1, 2), tuple(1, 2)) AS h0,
+        |  arrayElementOrNull(array(1, 2, 3), 5) AS oob,
+        |  arrayElementOrNull(array(1, 2, 3), 2) AS ok,
+        |  timeZoneOf(now()) AS tz""".stripMargin)
+    assert(r.getString(0) == "a&lt;b&gt;&amp;&quot;c&quot;")
+    assert(r.getString(1) == "a<b>&\"c\"'")
+    assert(r.getString(2) == "1970-01-02 07:08:09")
+    assert(r.getString(3) == "line1" && r.getString(4) == "single")
+    assert(r.getInt(5) == 1 && r.getInt(6) == 0)
+    assert(r.isNullAt(7) && r.getInt(8) == 2)
+    assert(r.getString(9) == "UTC")
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
