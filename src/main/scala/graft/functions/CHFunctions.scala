@@ -2646,6 +2646,10 @@ object CHFunctions {
       else fn("instr", es.head, es(1))),
     "notLike" -> (es => Not(fn("like", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
+    "ngramDistanceCaseInsensitive" -> (es =>
+      NgramDistance(fn("lower", es.head), fn("lower", es(1)))),
+    "ngramSearchCaseInsensitive" -> (es =>
+      NgramSearch(fn("lower", es.head), fn("lower", es(1)))),
     // asymmetric needle-in-haystack 4-gram containment
     "ngramSearch" -> (es => NgramSearch(es.head, es(1))),
     // CH's byte-exact Levenshtein names resolve to Spark's builtin
@@ -3178,6 +3182,55 @@ object CHFunctions {
     // their families — the init-time uniqueness assert caught the
     // would-be round-14 duplicates, working exactly as designed)
     "toLowCardinality" -> (es => es.head),
+    "toJSONString" -> (es => ToJsonStringCH(es.head)),
+    "toColumnTypeName" -> (es => ToTypeName(es.head)),
+    "isZeroOrNull" -> (es =>
+      Or(IsNull(es.head), Not(Truthy(es.head)))),
+    // mapSort: entries sorted by key (struct ordering is field-first)
+    "mapSort" -> (es => fn("map_from_entries",
+      fn("array_sort", fn("map_entries", es.head)))),
+    // per-match capture-group matrices. Vertical = one [g1..gN] array
+    // per match (ExtractGroups over each whole-match slice);
+    // Horizontal = the transpose, one array per group — needs the
+    // group COUNT, so the pattern must be a literal.
+    "extractAllGroupsVertical" -> (es => {
+      val m = UnresolvedNamedLambdaVariable(Seq("egm"))
+      ArrayTransform(
+        fn("regexp_extract_all", es.head, es(1), Literal(0)),
+        LambdaFunction(ExtractGroups(m, es(1)), Seq(m)))
+    }),
+    "extractAllGroupsHorizontal" -> (es => es(1) match {
+      case Literal(p: org.apache.spark.unsafe.types.UTF8String, _) =>
+        val groups = java.util.regex.Pattern.compile(p.toString)
+          .matcher("").groupCount()
+        if (groups == 0) throw new IllegalArgumentException(
+          "extractAllGroupsHorizontal: the pattern has no capture groups")
+        CreateArray((1 to groups).map(g =>
+          fn("regexp_extract_all", es.head, es(1), Literal(g)): Expression))
+      case other => throw new IllegalArgumentException(
+        s"extractAllGroupsHorizontal needs a literal pattern, got $other")
+    }),
+    // hasColumnInTable(db, table, col): literal-args catalog probe
+    "hasColumnInTable" -> (es => {
+      def lit(e: Expression): String = e.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"hasColumnInTable expects literal names, got $other")
+      }
+      val (db, tbl, col) = (lit(es.head), lit(es(1)), lit(es(2)))
+      val exists = org.apache.spark.sql.SparkSession.getActiveSession
+        .exists { s =>
+          Seq(s"$db.$tbl", tbl).exists { name =>
+            try s.table(name).columns
+              .exists(_.equalsIgnoreCase(col))
+            catch { case scala.util.control.NonFatal(_) => false }
+          }
+        }
+      Literal(exists)
+    }),
+    "joinGet" -> (_ => throw new IllegalArgumentException(
+      "joinGet reads a Join-engine table, which has no analogue here — " +
+        "use a LEFT ANY JOIN, or dictGet over a registered dictionary")),
     "clamp" -> (es => fn("greatest", Cast(es(1), DoubleType),
       fn("least", Cast(es.head, DoubleType), Cast(es(2), DoubleType)))),
     "positiveModulo" -> (es => fn("pmod", es.head, es(1))),

@@ -180,6 +180,39 @@ case class TupleHamming(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ClickHouse `toJSONString(x)`: any value rendered as JSON text —
+  * type-dispatched onto the native StructsToJson for containers, a
+  * bracket-stripped array render for strings (correct JSON escaping
+  * without a custom escaper), and a plain cast for numerics. */
+case class ToJsonStringCH(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  private def tz: Option[String] =
+    Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+
+  override lazy val replacement: Expression = {
+    val rendered = child.dataType match {
+      case _: ArrayType | _: MapType | _: StructType =>
+        StructsToJson(Map.empty, child, tz)
+      case BooleanType | _: NumericType => Cast(child, StringType)
+      case NullType => Literal("null")
+      case _ =>
+        // ["<escaped>"] minus the brackets = a correctly quoted JSON
+        // string
+        val arr = StructsToJson(Map.empty, CreateArray(Seq(child)), tz)
+        Substring(arr, Literal(2),
+          Subtract(Length(arr), Literal(2)))
+    }
+    Coalesce(Seq(rendered, Literal("null")))
+  }
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "toJSONString"
+  override protected def withNewChildInternal(newChild: Expression): ToJsonStringCH =
+    copy(child = newChild)
+}
+
 /** UInt64-key intake: ClickHouse hash keys are UInt64, and a pasted
   * literal above 2^63 (`kostikConsistentHash(16045690984833335023, 2)`)
   * parses in Spark as DECIMAL(20,0) — an ANSI cast to BIGINT throws

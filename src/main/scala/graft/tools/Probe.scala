@@ -700,7 +700,28 @@ object Probe {
     "w24_l2sq" ->
       "SELECT L2SquaredDistance([1.0, 2.0], [3.0, 4.0]) AS d, L1Distance([1.0], [4.0]) AS l1",
     "w24_generic_interval" ->
-      "SELECT toDateTime('2024-01-01 00:00:00') + toIntervalDay(2) AS a"
+      "SELECT toDateTime('2024-01-01 00:00:00') + toIntervalDay(2) AS a",
+    // ---- wave 25 (final discovery sweep) ----
+    "w25_tojson" ->
+      "SELECT toJSONString([1, 2, 3]) AS a, toJSONString(map('k', 1)) AS m, toJSONString('str') AS s, toJSONString(42) AS n",
+    "w25_extract_groups" ->
+      "SELECT extractAllGroupsHorizontal('a=1,b=2', '([a-z])=([0-9])') AS h, extractAllGroupsVertical('a=1,b=2', '([a-z])=([0-9])') AS v",
+    "w25_map_hofs" ->
+      "SELECT mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS e, mapAll((k, v) -> v > 0, map('a', 1)) AS a, mapSort(map('b', 2, 'a', 1)) AS s",
+    "w25_array_shift" ->
+      "SELECT arrayShiftLeft([1, 2, 3], 1) AS sl, arrayShiftRight([1, 2, 3], 1) AS sr, arrayRotateRight([1, 2, 3, 4], 1) AS rr",
+    "w25_ngram" ->
+      "SELECT ngramDistance('hello', 'hallo') AS d, ngramDistanceCaseInsensitive('HELLO', 'hello') AS ci",
+    "w25_zero_null" ->
+      "SELECT isZeroOrNull(0) AS z, isZeroOrNull(5) AS nz, isZeroOrNull(NULL) AS nl",
+    "w25_col_type" ->
+      "SELECT toColumnTypeName(1) AS t",
+    "w25_bitmap_subset" ->
+      "SELECT bitmapCardinality(bitmapSubsetInRange(bitmapBuild([1, 5, 10, 50]), 2, 20)) AS c, bitmapCardinality(subBitmap(bitmapBuild([1, 2, 3, 4, 5]), 1, 3)) AS s",
+    "w25_has_column" ->
+      "SELECT hasColumnInTable('default', 'orders', 'o_orderkey') AS h",
+    "w25_join_get" ->
+      "SELECT joinGet('t', 'v', 1) AS j"
   )
 
   def main(args: Array[String]): Unit = {

@@ -2872,6 +2872,34 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(9) == "UTC")
   }
 
+  test("wave-25: toJSONString, capture-group matrices, mapSort, isZeroOrNull, catalog probe") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT toJSONString(array(1, 2, 3)) AS ja,
+        |  toJSONString(map('k', 1)) AS jm,
+        |  toJSONString('s"tr') AS js,
+        |  toJSONString(42) AS jn,
+        |  extractAllGroupsVertical('a=1,b=2', '([a-z])=([0-9])') AS v,
+        |  extractAllGroupsHorizontal('a=1,b=2', '([a-z])=([0-9])') AS h,
+        |  toString(mapSort(map('b', 2, 'a', 1))) AS ms,
+        |  isZeroOrNull(0) AS z0, isZeroOrNull(5) AS z5,
+        |  isZeroOrNull(nullif(1, 1)) AS zn,
+        |  hasColumnInTable('default', 'orders', 'o_orderkey') AS hc,
+        |  hasColumnInTable('default', 'orders', 'nope') AS hn,
+        |  ngramDistanceCaseInsensitive('HELLO', 'hello') AS nd""".stripMargin)
+    assert(r.getString(0) == "[1,2,3]")
+    assert(r.getString(1) == """{"k":1}""")
+    assert(r.getString(2) == "\"s\\\"tr\"")
+    assert(r.getString(3) == "42")
+    assert(r.getSeq[Seq[String]](4) == Seq(Seq("a", "1"), Seq("b", "2")))
+    assert(r.getSeq[Seq[String]](5) == Seq(Seq("a", "b"), Seq("1", "2")))
+    assert(r.getString(6).contains("a ->") &&
+      r.getString(6).indexOf("a ->") < r.getString(6).indexOf("b ->"))
+    assert(r.getBoolean(7) && !r.getBoolean(8) && r.getBoolean(9))
+    assert(r.getBoolean(10) && !r.getBoolean(11))
+    assert(r.getDouble(12) == 0.0) // case-folded: identical
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
