@@ -1039,6 +1039,21 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(grouped.rows.size == 1)
   }
 
+  test("stateful-engine functions reject with guidance, never silently") {
+    // getSetting/joinGet/runningDifference/runningAccumulate read
+    // engine state this architecture doesn't carry — each names the
+    // supported spelling instead of failing opaquely
+    val cases = Seq(
+      ("SELECT getSetting('max_threads')", "system.settings"),
+      ("SELECT joinGet('t', 'v', 1)", "ANY JOIN"),
+      ("SELECT runningDifference(1)", "lagInFrame"),
+      ("SELECT runningAccumulate(1)", "window"))
+    cases.foreach { case (sql, hint) =>
+      val e = ex.runSafe(sql)
+      assert(e.isLeft && e.swap.exists(_.contains(hint)), s"$sql -> $e")
+    }
+  }
+
   test("format() table function: inline data parses into typed rows") {
     // JSONEachRow: per-key types inferred over ALL rows; missing keys
     // are NULL; nested values keep their JSON text
