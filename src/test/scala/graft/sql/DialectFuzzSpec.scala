@@ -577,6 +577,51 @@ class DialectFuzzSpec extends graft.SparkSpec {
       fail(s"${all.size} failing case(s):\n${all.take(8).mkString("\n")}")
   }
 
+  test("format() sources × position × alias × tail: N typed rows with " +
+    "a numeric first column, every supported format (shape-checked)") {
+    assert(ready)
+    // same shape-check discipline as the values()/generateRandom
+    // space: exactly N rows, column `a` numeric — never just planned
+    val sources = Seq(
+      ("""format(JSONEachRow, '{"a": 1, "s": "x"}\n{"a": 2, "s": "y"}\n{"a": 3, "s": "z"}')""", 3),
+      ("""format(CSVWithNames, 'a,s\n1,x\n2,y')""", 2),
+      ("""format(CSV, '1,x\n2,y')""", 2),
+      ("""format(TSV, '1\tx\n2\ty\n3\tz')""", 3),
+      ("""format(Values, '(1, ''x''), (2, ''y'')')""", 2))
+    val wraps = Seq[(String, String) => String](
+      (s, _) => s,
+      (s, _) => s"(SELECT * FROM $s)",
+      (s, c) => s"(SELECT $c, $c * 2 AS dbl FROM $s WHERE $c >= 1)")
+    val aliases = Seq("", " AS t", " v")
+    val tails = Seq("", " SETTINGS max_threads = 4")
+    val failures = for {
+      ((src0, rows), si) <- sources.zipWithIndex
+      wrap <- wraps
+      alias <- aliases
+      tail <- tails
+      col = if (si >= 2 && si != 4 || si == 4) "c1" else "a"
+      realCol = if (si == 1 || si == 0) "a" else "c1"
+      src = wrap(src0, realCol)
+      stmt = s"SELECT $realCol AS a FROM $src$alias ORDER BY $realCol$tail"
+      f <- {
+        try {
+          val got = QueryGuard.plan(spark, stmt).collect()
+          if (got.length != rows)
+            Some(s"rows=${got.length} want $rows: $stmt")
+          else if (!got.head.get(0).isInstanceOf[Number])
+            Some(s"col a is ${got.head.get(0).getClass.getSimpleName}: $stmt")
+          else None
+        } catch {
+          case e: Throwable =>
+            Some(s"DIED ${Option(e.getMessage).getOrElse("")
+              .linesIterator.take(1).mkString.take(120)}: $stmt")
+        }
+      }
+    } yield f
+    if (failures.nonEmpty)
+      fail(s"${failures.size} failing case(s); first:\n${failures.head}")
+  }
+
   test("generateRandom range pins: every declared CH type stays inside " +
     "its OWN domain over 2000 rows (value-checked)") {
     assert(ready)
