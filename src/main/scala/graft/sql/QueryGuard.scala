@@ -2653,7 +2653,18 @@ object QueryGuard {
           (t.substring(0, p).trim.toLowerCase, Some(t.substring(p + 1, t.length - 1)))
         else (t.toLowerCase, None)
       nm match {
-        case "nullable" | "lowcardinality" =>
+        case "nullable" =>
+          // CH generates NULLs for Nullable columns — ~10% here, on
+          // an independent hash stream so the value distribution of
+          // the non-null rows is unchanged
+          val in = inner.getOrElse(throw new ReadOnlyViolation(
+            s"generateRandom: unknown type '$chTy'"))
+          val sparkTy = mapChType(in).getOrElse(
+            throw new ReadOnlyViolation(
+              s"generateRandom: unknown type '$chTy'"))
+          s"IF(pmod(hash(id, ${seed + k + 7919}), 10) = 0, " +
+            s"CAST(NULL AS $sparkTy), ${genCh(in, k)})"
+        case "lowcardinality" =>
           inner.map(genCh(_, k)).getOrElse(throw new ReadOnlyViolation(
             s"generateRandom: unknown type '$chTy'"))
         case "array" =>

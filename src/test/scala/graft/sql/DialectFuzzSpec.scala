@@ -659,6 +659,21 @@ class DialectFuzzSpec extends graft.SparkSpec {
           .getOrElse("").linesIterator.take(1).mkString.take(120)}")
       }
     }
+    // Nullable columns actually produce NULLs (~10%), with non-null
+    // values still range-bounded (CH's Nullable generateRandom)
+    val nul = QueryGuard.plan(spark,
+      "SELECT count(*) AS total, count(x) AS nonnull, max(x) AS mx FROM " +
+        "(SELECT x FROM generateRandom('x Nullable(UInt8)', 42) LIMIT 2000)")
+      .collect().head
+    val nulBad = {
+      val (total, nn) = (nul.getLong(0), nul.getLong(1))
+      val mx = nul.get(2).asInstanceOf[Number].longValue
+      if (nn == total) Seq("Nullable(UInt8): no NULLs generated")
+      else if (total - nn > total / 2)
+        Seq(s"Nullable(UInt8): too many NULLs (${total - nn}/$total)")
+      else if (mx > 255L) Seq(s"Nullable(UInt8): max $mx out of range")
+      else Nil
+    }
     // Decimal respects its declared precision (Decimal(3,1) formerly
     // generated up to 999.99 and died the ANSI way at CAST)
     val decFailures = Seq(("Decimal(3,1)", 99.9), ("Decimal(10,2)", 1e8))
@@ -686,7 +701,7 @@ class DialectFuzzSpec extends graft.SparkSpec {
         arr.get(1).asInstanceOf[Number].longValue < 0L)
         Seq(s"Array(UInt8): [${arr.get(1)}, ${arr.get(0)}]")
       else Nil
-    val all = failures ++ decFailures ++ arrBad
+    val all = failures ++ nulBad ++ decFailures ++ arrBad
     if (all.nonEmpty)
       fail(s"${all.size} failing case(s):\n${all.mkString("\n")}")
   }
