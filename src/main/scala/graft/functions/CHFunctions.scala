@@ -3182,6 +3182,38 @@ object CHFunctions {
     // their families — the init-time uniqueness assert caught the
     // would-be round-14 duplicates, working exactly as designed)
     "toLowCardinality" -> (es => es.head),
+    // for flat arrays CH's Ranked enumerate equals the plain one
+    "arrayEnumerateUniqRanked" -> (es =>
+      byName("arrayEnumerateUniq")(es)),
+    // quantileDD(rel_acc, q)(x): DDSketch stand-in over Spark's
+    // approximate percentile — the accuracy knob maps to the
+    // t-digest-style precision parameter (1/rel_acc)
+    "quantileDD" -> (es => es match {
+      case Seq(acc, q, x) =>
+        val prec = acc.eval() match {
+          case n: Number => math.max(100, (1.0 / n.doubleValue()).toInt)
+          case _ => 10000
+        }
+        fn("approx_percentile", x, q, Literal(prec))
+      case other => throw new IllegalArgumentException(
+        s"quantileDD expects (relative_accuracy, q)(x), got ${other.size}")
+    }),
+    // zip with NULL padding past the shorter arrays' ends
+    "arrayZipUnaligned" -> (es => {
+      val i = UnresolvedNamedLambdaVariable(Seq("zui"))
+      val n = es.map(a => fn("size", a)) match {
+        case Seq(one) => one
+        case many => fn("greatest", many: _*)
+      }
+      val entry = CreateStruct(es.map(a =>
+        ElementAt(a, i, None, failOnError = false): Expression))
+      CaseWhen(
+        Seq((LessThanOrEqual(n, Literal(0)),
+          Slice(ArrayTransform(es.head, LambdaFunction(entry, Seq(i))),
+            Literal(1), Literal(0)))),
+        Some(ArrayTransform(fn("sequence", Literal(1), n),
+          LambdaFunction(entry, Seq(i)))))
+    }),
     "toJSONString" -> (es => ToJsonStringCH(es.head)),
     "toColumnTypeName" -> (es => ToTypeName(es.head)),
     "isZeroOrNull" -> (es =>

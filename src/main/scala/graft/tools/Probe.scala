@@ -721,7 +721,18 @@ object Probe {
     "w25_has_column" ->
       "SELECT hasColumnInTable('default', 'orders', 'o_orderkey') AS h",
     "w25_join_get" ->
-      "SELECT joinGet('t', 'v', 1) AS j"
+      "SELECT joinGet('t', 'v', 1) AS j",
+    // ---- wave 26 (series/time-series family) ----
+    "w26_tukey" ->
+      "SELECT seriesOutliersDetectTukey([1.0, 2.0, 1.5, 100.0, 2.1, 1.8, 2.0, 1.9]) AS o",
+    "w26_fft" ->
+      "SELECT seriesPeriodDetectFFT([1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]) AS p",
+    "w26_enum_ranked" ->
+      "SELECT arrayEnumerateUniqRanked([10, 20, 10, 30, 10]) AS r",
+    "w26_quantile_dd" ->
+      "SELECT quantileDD(0.01, 0.5)(o_totalprice) AS q FROM orders",
+    "w26_zip_unaligned" ->
+      "SELECT arrayZipUnaligned([1, 2, 3], ['a']) AS z"
   )
 
   def main(args: Array[String]): Unit = {

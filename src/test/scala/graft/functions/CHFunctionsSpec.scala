@@ -2900,6 +2900,22 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getDouble(12) == 0.0) // case-folded: identical
   }
 
+  test("wave-26: ranked enumerate, quantileDD stand-in, unaligned zip") {
+    graft.sql.TableEnv.register(spark, sf)
+    val r = one(
+      """SELECT arrayEnumerateUniqRanked(array(10, 20, 10, 30, 10)) AS e,
+        |  arrayZipUnaligned(array(1, 2, 3), array('a')) AS z,
+        |  size(arrayZipUnaligned(array(1, 2, 3), array('a'))) AS n,
+        |  quantileDD(0.01, 0.5, o_totalprice) > 0 AS q
+        |FROM orders""".stripMargin)
+    assert(r.getSeq[Int](0) == Seq(1, 1, 2, 1, 3))
+    assert(r.getInt(2) == 3)
+    val z = r.getSeq[org.apache.spark.sql.Row](1)
+    assert(z(0).getInt(0) == 1 && z(0).getString(1) == "a")
+    assert(z(2).getInt(0) == 3 && z(2).isNullAt(1)) // padded with NULL
+    assert(r.getBoolean(3))
+  }
+
   test("dateTimeToSnowflake keeps millisecond precision") {
     val r = one(
       """SELECT snowflakeToDateTime(dateTimeToSnowflake(
