@@ -12,8 +12,10 @@ object DebugShim {
     args.foreach { q =>
       try {
         val df = graft.sql.QueryGuard.plan(spark, q)
-        val n = df.limit(3).collect().length
-        println(s"OK ($n rows): $q")
+        val rows = df.limit(5).collect()
+        println(s"OK (${rows.length} rows): $q")
+        println(s"  schema: ${df.schema.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", ")}")
+        rows.foreach(r => println(s"  row: $r"))
       } catch { case e: Throwable =>
         println(s"FAIL: $q\n  -> ${e.getMessage.linesIterator.next()}")
       }

@@ -1,0 +1,205 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCoercion
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Offset}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** ClickHouse date/time arithmetic semantics over Spark's chrono types
+  * (reference surface: any pasted CH SELECT through
+  * mcp_clickhouse/mcp_server.py:433-459, where `now() - 3600`,
+  * `toDateTime(x) + 86400` and `max(d) - min(d)` are everyday idioms):
+  *
+  *   - `Date - Date` is **Int32 days** and `DateTime - DateTime` is
+  *     **Int32 seconds** — Spark returns a DayTimeInterval for both,
+  *     which both diverges from CH and (pre-round-15) leaked a
+  *     `java.time.Duration` repr like `"PT24H"` onto the wire;
+  *   - `DateTime ± Int` adds/subtracts **seconds** — Spark has no rule
+  *     for TIMESTAMP ± integral at all and dies in DATATYPE_MISMATCH.
+  *
+  * Both are parse-time plan transforms in the [[Truthiness]] mold
+  * (types are unknown until analysis, so the wrappers are type-blind
+  * [[RuntimeReplaceable]]s that dispatch once their children resolve,
+  * then optimize away to plain codegen'd expressions):
+  *
+  *   - [[ChronoArith.diffs]] runs on EVERY served statement: it wraps
+  *     each parsed `Subtract` in [[ChronoDiff]], whose replacement is
+  *     the CH integer when analysis resolved the child to
+  *     SubtractDates/SubtractTimestamps and the **identity**
+  *     otherwise — a currently-green query cannot change behavior.
+  *   - [[ChronoArith.shifts]] is the DATATYPE_MISMATCH retry: it
+  *     re-wraps `Add`/`Subtract` as [[ChronoShift]] over the operands,
+  *     which reproduces Spark's own chrono dispatch plus CH's
+  *     TIMESTAMP ± seconds rule. Only statements Spark itself already
+  *     rejected take this path, so its hand-rolled numeric widening
+  *     (TypeCoercion.findWiderTypeForTwo) can never touch a working
+  *     plan.
+  *
+  * LIMIT/OFFSET expressions and window-frame bounds are excluded: the
+  * analyzer eval()s those during checkAnalysis, and RuntimeReplaceable
+  * nodes are not evaluable until the optimizer swaps in the
+  * replacement.
+  */
+object ChronoArith {
+
+  /** Phase A — unconditional: CH difference semantics for date/time
+    * subtraction, identity for everything else. */
+  def diffs(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: GlobalLimit => l
+    case l: LocalLimit => l
+    case o: Offset => o
+    case other => other.mapExpressions(fixDiff)
+  }
+
+  private def fixDiff(e: Expression): Expression = e.transformUp {
+    case s: Subtract => ChronoDiff(s)
+    // frame bounds are evaluated during analysis — unwrap anything the
+    // bottom-up pass installed inside the frame spec
+    case w: SpecifiedWindowFrame =>
+      w.transformUp { case ChronoDiff(c) => c }
+    case s: SubqueryExpression => s.withNewPlan(diffs(s.plan))
+  }
+
+  /** Phase B — retry-only: full CH arithmetic dispatch over `+`/`-`
+    * operands (TIMESTAMP ± Int seconds included). */
+  def shifts(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: GlobalLimit => l
+    case l: LocalLimit => l
+    case o: Offset => o
+    case other => other.mapExpressions(fixShift)
+  }
+
+  private def fixShift(e: Expression): Expression = e.transformUp {
+    case Add(l, r, _) => ChronoShift(l, r, plus = true)
+    case Subtract(l, r, _) => ChronoShift(l, r, plus = false)
+    case w: SpecifiedWindowFrame =>
+      w.transformUp { case c: ChronoShift => c.plain }
+    case s: SubqueryExpression => s.withNewPlan(shifts(s.plan))
+  }
+}
+
+/** Wraps a parsed `Subtract`; once analysis resolves the child, a
+  * date−date becomes CH's Int32 **days** and a timestamp−timestamp
+  * CH's Int32 **seconds**; any other child passes through untouched.
+  * The seconds form is scoped to TimestampType operands (UnixSeconds
+  * speaks exactly that), so an NTZ or exotic operand keeps Spark's
+  * native result rather than half-translating. */
+case class ChronoDiff(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child match {
+    case SubtractDates(l, r, _)
+        if l.dataType == DateType && r.dataType == DateType =>
+      DateDiff(l, r)
+    // any timestamp flavor (session-tz or NTZ — the parquet tables
+    // carry NTZ): the day-time interval's end field is SECOND, so the
+    // integral cast IS the total-seconds count
+    case st: SubtractTimestamps
+        if st.dataType.isInstanceOf[DayTimeIntervalType] =>
+      Cast(st, IntegerType)
+    case other => other
+  }
+
+  override def dataType: DataType = replacement.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "minus"
+  override protected def withNewChildInternal(newChild: Expression): ChronoDiff =
+    copy(child = newChild)
+}
+
+/** Retry-path `+`/`-` over resolved operands: reproduces Spark's
+  * chrono dispatch (date ± int, date/timestamp ± interval, date−date,
+  * ts−ts via [[ChronoDiff]] semantics) plus ClickHouse's
+  * `DateTime ± Int = seconds` rule that Spark lacks. Numeric operands
+  * widen via TypeCoercion (the analyzer cannot insert implicit casts
+  * inside a replacement); anything unexpressible falls through to the
+  * plain operator and fails with Spark's own loud mismatch — exactly
+  * the pre-retry behavior. */
+case class ChronoShift(left: Expression, right: Expression, plus: Boolean)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  /** The untouched Spark operator (also used to unwrap frame bounds). */
+  def plain: Expression = if (plus) Add(left, right) else Subtract(left, right)
+
+  private def tz: Option[String] = Some(SQLConf.get.sessionLocalTimeZone)
+
+  private def seconds(e: Expression): Expression = {
+    val q = Cast(e, LongType)
+    if (plus) q else UnaryMinus(q, failOnError = false)
+  }
+
+  private def isTs(t: DataType): Boolean =
+    t == TimestampType || t == TimestampNTZType
+  private def isInt(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  override lazy val replacement: Expression =
+    (left.dataType, right.dataType) match {
+      // CH: DateTime ± Int = shift by seconds (the round-14 gap);
+      // TimestampAdd speaks both timestamp flavors and preserves them
+      case (lt, rt) if isTs(lt) && isInt(rt) =>
+        TimestampAdd("SECOND", seconds(right), left, tz)
+      case (lt, rt) if isInt(lt) && isTs(rt) && plus =>
+        TimestampAdd("SECOND", Cast(left, LongType), right, tz)
+      // CH: Date ± Int = shift by days (Spark speaks this natively,
+      // but inside a replacement the dispatch is ours)
+      case (DateType, rt) if isInt(rt) =>
+        if (plus) DateAdd(left, right) else DateSub(left, right)
+      case (lt, DateType) if isInt(lt) && plus => DateAdd(right, left)
+      // CH differences: Int32 days / seconds
+      case (DateType, DateType) if !plus => DateDiff(left, right)
+      case (lt, rt) if isTs(lt) && isTs(rt) && !plus =>
+        Cast(SubtractTimestamps(left, right, legacyInterval = false, tz),
+          IntegerType)
+      // Spark's own interval dispatch, reproduced for mixed statements
+      // (one query carrying both `ts + 3600` and `d + INTERVAL 1 DAY`)
+      case (DateType, _: YearMonthIntervalType) =>
+        DateAddYMInterval(left, ym(right))
+      case (_: YearMonthIntervalType, DateType) if plus =>
+        DateAddYMInterval(right, left)
+      case (lt, _: YearMonthIntervalType) if isTs(lt) =>
+        TimestampAddYMInterval(left, ym(right), tz)
+      case (_: YearMonthIntervalType, rt) if isTs(rt) && plus =>
+        TimestampAddYMInterval(right, left, tz)
+      case (DateType, CalendarIntervalType) =>
+        DateAddInterval(left, cal(right), tz, ansiEnabled = true)
+      case (CalendarIntervalType, DateType) if plus =>
+        DateAddInterval(right, left, tz, ansiEnabled = true)
+      case (lt, CalendarIntervalType | _: DayTimeIntervalType) if isTs(lt) =>
+        TimestampAddInterval(left, dt(right), tz)
+      case (CalendarIntervalType | _: DayTimeIntervalType, rt)
+          if isTs(rt) && plus =>
+        TimestampAddInterval(right, left, tz)
+      case (DateType, _: DayTimeIntervalType) =>
+        TimestampAddInterval(Cast(left, TimestampType, tz), dt(right), tz)
+      case (_: DayTimeIntervalType, DateType) if plus =>
+        TimestampAddInterval(Cast(right, TimestampType, tz), left, tz)
+      // same-type or widenable numerics: plain operator, explicit casts
+      case (lt, rt) if lt == rt => plain
+      case (lt, rt) =>
+        TypeCoercion.findWiderTypeForTwo(lt, rt).map { w =>
+          val lw = if (lt == w) left else Cast(left, w)
+          val rw = if (rt == w) right else Cast(right, w)
+          if (plus) Add(lw, rw) else Subtract(lw, rw)
+        }.getOrElse(plain)
+    }
+
+  /** Subtracting an interval = adding its negation (the interval-typed
+    * UnaryMinus is exact, no overflow mode). */
+  private def ym(e: Expression): Expression =
+    if (plus) e else UnaryMinus(e, failOnError = false)
+  private def cal(e: Expression): Expression =
+    if (plus) e else UnaryMinus(e, failOnError = false)
+  private def dt(e: Expression): Expression =
+    if (plus) e else UnaryMinus(e, failOnError = false)
+
+  override def dataType: DataType = replacement.dataType
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = if (plus) "plus" else "minus"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ChronoShift =
+    copy(left = newLeft, right = newRight)
+}

@@ -2570,7 +2570,55 @@ object ChSurface {
         |  count(*) AS n
         |FROM (SELECT a, c FROM generateRandom('a UInt8, c Int8', 42) LIMIT 1000)""".stripMargin,
       Some("""SELECT true AS u8_ok, true AS i8_ok,
-        |  CAST(1000 AS BIGINT) AS n""".stripMargin)))
+        |  CAST(1000 AS BIGINT) AS n""".stripMargin)),
+
+    // round-15: CH chrono arithmetic — Date−Date is Int32 DAYS,
+    // DateTime−DateTime is Int32 SECONDS (Spark: a DayTimeInterval
+    // that also wire-leaked "PT24H"), and DateTime ± Int shifts by
+    // seconds (Spark: DATATYPE_MISMATCH). DuckDB subtractions return
+    // intervals too, so the oracle spells the integers explicitly.
+    ("q_chrono_arith",
+      """SELECT toDate(max(o_orderdate)) - toDate(min(o_orderdate)) AS span_days,
+        |  max(o_orderdate) - min(o_orderdate) AS span_secs,
+        |  toString(min(o_orderdate) + 86400) AS next_day,
+        |  toString(max(o_orderdate) - 3600) AS hour_before
+        |FROM orders""".stripMargin,
+      Some("""SELECT CAST(CAST(max(o_orderdate) AS DATE) -
+        |    CAST(min(o_orderdate) AS DATE) AS INTEGER) AS span_days,
+        |  CAST(date_diff('second', min(o_orderdate), max(o_orderdate))
+        |    AS INTEGER) AS span_secs,
+        |  CAST(min(o_orderdate) + INTERVAL 86400 SECOND AS VARCHAR) AS next_day,
+        |  CAST(max(o_orderdate) - INTERVAL 3600 SECOND AS VARCHAR) AS hour_before
+        |FROM orders""".stripMargin)),
+
+    // round-15: multi-argument uniq counts distinct TUPLES (the
+    // round-14 verdict's silent-wrong: uniq(a,b) counted only a).
+    // uniqExact is the oracle-exact twin; the approximate family is
+    // pinned within 1.5% of it by CHFunctionsSpec.
+    ("q_uniq_tuple",
+      """SELECT uniqExact(o_custkey, o_orderstatus) AS tuples,
+        |  uniqExact(o_custkey) AS singles
+        |FROM orders""".stripMargin,
+      Some("""SELECT count(DISTINCT (o_custkey, o_orderstatus)) AS tuples,
+        |  count(DISTINCT o_custkey) AS singles
+        |FROM orders""".stripMargin)),
+
+    // round-15: histogram(N)(x) — the adaptive Ben-Haim/Tom-Tov
+    // streaming histogram. Bin EDGES are order-sensitive by contract
+    // (CH's too), so the oracle pins the deterministic projections:
+    // bin count, total height (= row count), and the exact value
+    // range carried by the first lower / last upper.
+    ("q_histogram_adaptive",
+      """SELECT size(h) AS nbins,
+        |  CAST(round(aggregate(h, CAST(0.0 AS DOUBLE),
+        |    (acc, b) -> acc + b.height)) AS BIGINT) AS total,
+        |  round(element_at(h, 1).lower, 2) AS lo,
+        |  round(element_at(h, size(h)).upper, 2) AS hi
+        |FROM (SELECT histogram(5)(o_totalprice) AS h FROM orders)""".stripMargin,
+      Some("""SELECT CAST(5 AS INTEGER) AS nbins, count(*) AS total,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -115,10 +115,32 @@ object QueryResult {
             .map { case (f, v) => "\"" + esc(f) + "\": " + render(v) }
             .mkString("{", ", ", "}")
         else r.toSeq.map(render).mkString("[", ", ", "]")
+      // interval-typed cells must never leak a java object repr
+      // ("PT24H"): the collected value has erased its declared unit,
+      // so the stable rendering is the total count in the type's
+      // finest wire-visible unit — seconds for day-time intervals,
+      // months for year-month — matching CH's numeric interval
+      // serialization. (Date−Date itself is rewritten upstream to
+      // Int32 days by ChronoArith; this is the renderer backstop for
+      // any interval that still reaches a cell.)
+      case d: java.time.Duration => QueryResult.durationSeconds(d)
+      case p: java.time.Period => p.toTotalMonths.toString
+      case i: org.apache.spark.unsafe.types.CalendarInterval =>
+        "\"" + esc(i.toString) + "\""
       case other => "\"" + esc(other.toString) + "\""
     }
     render(x)
   }
+
+  /** Total seconds of a Duration as a plain decimal (fractional part
+    * only when non-zero; negative durations normalize correctly —
+    * `getSeconds` is the floor and `getNano` the non-negative
+    * remainder, so the BigDecimal sum is exact). */
+  private[sql] def durationSeconds(d: java.time.Duration): String =
+    if (d.getNano == 0) d.getSeconds.toString
+    else java.math.BigDecimal.valueOf(d.getSeconds)
+      .add(java.math.BigDecimal.valueOf(d.getNano.toLong, 9))
+      .stripTrailingZeros.toPlainString
 
   /** ClickHouse text-literal rendering of a cell for CSV: scalars
     * bare at the top level, strings single-quoted (backslash-escaped)
@@ -148,6 +170,12 @@ object QueryResult {
     case d @ (_: java.sql.Date | _: java.sql.Timestamp |
         _: java.time.LocalDate | _: java.time.Instant) if nested =>
       "'" + d.toString + "'"
+    // interval cells: bare numeric counts (seconds / months), same
+    // contract as the JSON renderer — never "PT24H"
+    case d: java.time.Duration => durationSeconds(d)
+    case p: java.time.Period => p.toTotalMonths.toString
+    case i: org.apache.spark.unsafe.types.CalendarInterval =>
+      if (nested) "'" + i.toString + "'" else i.toString
     case other => other.toString
   }
 }

@@ -118,11 +118,17 @@ object QueryGuard {
     * the pasted spelling in the result schema (aliased columns are
     * untouched — the rename token can only appear in a name the
     * ENGINE generated from the rewritten text). */
+  /** Rename tokens the dialect layer serves under *CH spellings (to
+    * avoid shadowing Spark builtins) and restores in result column
+    * names. private[sql] so RegistryHygieneSpec can assert every token
+    * has a live registered target — a future rename cannot dangle. */
+  private[sql] val renamedNameTokens = Seq("MD5CH(", "SHA1CH(",
+    "SHA224CH(", "SHA256CH(", "SHA384CH(", "SHA512CH(", "lengthCH(",
+    "randCH(", "charCH(", "roundCH(", "dateDiffCH(", "dateAddCH(")
+
   private def restoreRenamedNames(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val renamed = Seq("MD5CH(", "SHA1CH(", "SHA224CH(", "SHA256CH(",
-      "SHA384CH(", "SHA512CH(", "lengthCH(", "randCH(", "charCH(",
-      "roundCH(", "dateDiffCH(", "dateAddCH(")
+    val renamed = renamedNameTokens
     def restore(n: String): String = {
       var out = n
       renamed.foreach { r =>
@@ -602,7 +608,20 @@ object QueryGuard {
     // install Truthy at the parsed plan's boolean contexts BEFORE
     // analysis — CheckAnalysis would reject the bare numerics.
     val parsed = graft.functions.Truthiness(parseReadOnly(spark, core))
-    var df = graft.plans.Bridge.ofRows(spark, parsed)
+    // CH chrono arithmetic (ChronoArith scaladoc): date−date → Int32
+    // days / ts−ts → Int32 seconds ride every statement (identity
+    // elsewhere); TIMESTAMP ± integral-seconds — which Spark has no
+    // rule for at all — is the DATATYPE_MISMATCH retry, so no
+    // currently-resolving statement ever takes the rewritten path.
+    var df = try graft.plans.Bridge.ofRows(spark,
+      graft.functions.ChronoArith.diffs(parsed))
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if Option(e.getCondition).exists(_.startsWith("DATATYPE_MISMATCH")) =>
+        try graft.plans.Bridge.ofRows(spark,
+          graft.functions.ChronoArith.shifts(parsed))
+        catch { case _: Throwable => throw e }
+    }
     df = star.map(StarPost(df, _)).getOrElse(df)
     fill.map(WithFill(df, _)).getOrElse(df)
   }
@@ -640,7 +659,37 @@ object QueryGuard {
     * literals and subqueries are never touched; `SETTINGS`/`FORMAT`
     * only strip at depth 0, and `FORMAT` only when followed by a lone
     * identifier at the end of the statement. */
+  /** CH's distributed/streaming TABLE FUNCTIONS address other servers
+    * or brokers — they have no sound reading on this engine's mounted
+    * catalog. A loud reject naming the local spelling beats Spark's
+    * "table not found" garble (wave 27: remote()/cluster()/kafka()
+    * are realistic pastes from sharded CH deployments). */
+  private val distributedTvfs = Map(
+    "REMOTE" -> "remote()", "REMOTESECURE" -> "remoteSecure()",
+    "CLUSTER" -> "cluster()",
+    "CLUSTERALLREPLICAS" -> "clusterAllReplicas()",
+    "KAFKA" -> "kafka()", "RABBITMQ" -> "rabbitmq()")
+
+  private def rejectDistributedTvfs(sql: String): Unit = {
+    val ts = normalizeScan(sql)
+    ts.indices.foreach { i =>
+      val t = ts(i)._1
+      if (distributedTvfs.contains(t.upper) && i > 0 &&
+        Set("FROM", "JOIN")(ts(i - 1)._1.upper)) {
+        var j = t.end
+        while (j < sql.length && sql.charAt(j).isWhitespace) j += 1
+        if (j < sql.length && sql.charAt(j) == '(')
+          throw new ReadOnlyViolation(
+            s"${distributedTvfs(t.upper)} addresses another server or " +
+              "stream, which this engine cannot reach — mount the data " +
+              "as a table, or read it via file()/url()/s3()/jdbc table " +
+              "functions")
+      }
+    }
+  }
+
   def normalizeDialect(sql: String): String = {
+    rejectDistributedTvfs(sql)
     // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
     // to their Spark SQL types first, so every later shim and the
     // parser see standard type syntax
@@ -2217,39 +2266,52 @@ object QueryGuard {
 
   private def formatDelim(data: String, delim: Char,
       header: Boolean): String = {
-    def cells(line: String): Seq[String] = {
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      val sb = new StringBuilder
-      var i = 0
-      var inQ = false
-      while (i < line.length) {
-        val c = line.charAt(i)
-        if (inQ) {
-          if (c == '"' && i + 1 < line.length && line.charAt(i + 1) == '"') {
-            sb += '"'; i += 2
-          } else if (c == '"') { inQ = false; i += 1 }
-          else { sb += c; i += 1 }
-        } else if (c == '"' && sb.isEmpty) { inQ = true; i += 1 }
-        else if (c == delim) { out += sb.toString; sb.clear(); i += 1 }
-        else { sb += c; i += 1 }
+    // one quote-aware scan over the WHOLE payload, so an RFC-4180
+    // quoted field may carry embedded newlines: rows end only at
+    // UNQUOTED line breaks (the per-line split used to break a quoted
+    // "a\nb" cell into two malformed rows — ADVICE r14)
+    val parsed = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var i = 0
+    var inQ = false
+    var sawStructure = false // a quote or delimiter makes a row real
+    def endRow(): Unit = {
+      if (sawStructure || sb.nonEmpty || cur.nonEmpty) {
+        cur += sb.toString; parsed += cur.toSeq
       }
-      out += sb.toString
-      out.toSeq
+      cur.clear(); sb.clear(); sawStructure = false
     }
-    val lines = data.split('\n').map(_.stripSuffix("\r"))
-      .filter(_.nonEmpty).toSeq
+    while (i < data.length) {
+      val c = data.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < data.length && data.charAt(i + 1) == '"') {
+          sb += '"'; i += 2
+        } else if (c == '"') { inQ = false; i += 1 }
+        else { sb += c; i += 1 }
+      } else if (c == '"' && sb.isEmpty) {
+        inQ = true; sawStructure = true; i += 1
+      } else if (c == delim) {
+        cur += sb.toString; sb.clear(); sawStructure = true; i += 1
+      } else if (c == '\n') { endRow(); i += 1 }
+      else if (c == '\r' && i + 1 < data.length && data.charAt(i + 1) == '\n') {
+        endRow(); i += 2
+      } else { sb += c; i += 1 }
+    }
+    endRow()
+    val lines = parsed.toSeq
     if (lines.isEmpty) throw new ReadOnlyViolation(
       "format(): no data rows")
     val (names, dataLines) =
-      if (header) (cells(lines.head).map(_.trim), lines.tail)
+      if (header) (lines.head.map(_.trim), lines.tail)
       else {
-        val n = cells(lines.head).size
+        val n = lines.head.size
         ((1 to n).map(i => s"c$i"), lines)
       }
     if (dataLines.isEmpty) throw new ReadOnlyViolation(
       "format(): header but no data rows")
-    val rows = dataLines.map { l =>
-      cells(l).map { c =>
+    val rows = dataLines.map { cs =>
+      cs.map { c =>
         if (c.isEmpty) None
         else c.toLongOption.map(x => x: Any)
           .orElse(c.toDoubleOption.map(x => x: Any))
@@ -2364,12 +2426,33 @@ object QueryGuard {
     "STDDEVPOP", "STDDEV_SAMP", "STDDEV_POP", "VARSAMP", "VARPOP",
     "VAR_SAMP", "VAR_POP", "GROUPARRAY", "COLLECT_LIST")
 
-  /** Does `txt` contain a call to a known aggregate (any depth)? */
+  /** Is `s` (already whitespace-trimmed at the front) the keyword OVER
+    * at a token boundary — not an alias like `overall`? */
+  private def startsWithOverKeyword(s: String): Boolean =
+    s.length >= 4 && s.substring(0, 4).equalsIgnoreCase("OVER") &&
+      (s.length == 4 || { val c = s.charAt(4)
+        !Character.isLetterOrDigit(c) && c != '_' })
+
+  /** Does `txt` contain a GENUINE aggregate call (any depth) — a known
+    * aggregate name NOT immediately windowed by OVER? A select list
+    * whose only agg-shaped calls are window calls (`avg(v) OVER (...)`)
+    * is not implicitly aggregated, so QUALIFY over it must not
+    * auto-nest (nesting would turn a plain window query into an
+    * aggregate and fail on its bare columns — ADVICE r14). */
   private def hasTopAggCall(txt: String): Boolean =
     normalizeScan(txt).exists { case (t, _) =>
-      windowAggNames(t.upper) &&
-        txt.substring(t.end).dropWhile(_.isWhitespace).headOption
-          .contains('(')
+      windowAggNames(t.upper) && {
+        val open = t.end +
+          txt.substring(t.end).takeWhile(_.isWhitespace).length
+        open < txt.length && txt.charAt(open) == '(' && {
+          val close = matchParen(txt, open)
+          // unbalanced text (can't locate the call's end): keep the
+          // pre-r15 conservative answer and treat it as an aggregate
+          close <= open ||
+            !startsWithOverKeyword(
+              txt.substring(close + 1).dropWhile(_.isWhitespace))
+        }
+      }
     }
 
   /** `agg(args) OVER` → `agg(agg(args)) OVER` for bare aggregate

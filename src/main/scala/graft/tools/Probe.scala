@@ -732,7 +732,30 @@ object Probe {
     "w26_quantile_dd" ->
       "SELECT quantileDD(0.01, 0.5)(o_totalprice) AS q FROM orders",
     "w26_zip_unaligned" ->
-      "SELECT arrayZipUnaligned([1, 2, 3], ['a']) AS z"
+      "SELECT arrayZipUnaligned([1, 2, 3], ['a']) AS z",
+    // ---- wave 27 (round-15: chrono arithmetic + tz truncation) ----
+    "w27_now_minus_int" ->
+      "SELECT now() - 3600 AS t, now() + 60 AS u",
+    "w27_dt_plus_int" ->
+      "SELECT toDateTime('2024-01-01 00:00:00') + 86400 AS t",
+    "w27_date_diff_int" ->
+      "SELECT toDate('2024-01-02') - toDate('2024-01-01') AS days, toDateTime('2024-01-01 01:00:00') - toDateTime('2024-01-01 00:30:00') AS secs",
+    "w27_agg_span" ->
+      "SELECT max(o_orderdate) - min(o_orderdate) AS span FROM orders",
+    "w27_tostartof_tz" ->
+      "SELECT toStartOfHour(toDateTime('2024-03-05 07:38:09'), 'Asia/Tokyo') AS h, toStartOfDay(toDateTime('2024-03-05 07:38:09'), 'America/New_York') AS d, toStartOfMonth(toDateTime('2024-03-15 07:38:09'), 'UTC') AS m",
+    "w27_timeslot_tz" ->
+      "SELECT toStartOfFifteenMinutes(toDateTime('2024-03-05 07:38:09'), 'Asia/Kathmandu') AS s",
+    "w27_uniq_tuple" ->
+      "SELECT uniq(o_custkey, o_orderstatus) AS u, uniqCombined(o_custkey, o_orderstatus) AS uc, uniqExact(o_custkey, o_orderstatus) AS ue FROM orders",
+    "w27_histogram" ->
+      "SELECT histogram(5)(o_totalprice) AS h FROM orders",
+    "w27_interval_cells" ->
+      "SELECT INTERVAL 1 DAY AS d, INTERVAL 2 YEAR AS y",
+    "w27_qualify_window" ->
+      "SELECT o_custkey, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS a FROM orders QUALIFY avg(o_totalprice) OVER (PARTITION BY o_custkey) > 200000 LIMIT 5",
+    "w27_totime_tz" ->
+      "SELECT toTime(toDateTime('2024-03-05 07:08:09')) AS t"
   )
 
   def main(args: Array[String]): Unit = {

@@ -1032,7 +1032,7 @@ class QueryExecutorSpec extends SparkSpec {
     val trickyStrings = Seq("plain", "with \"quotes\"", "tab\tnewline\n",
       "back\\slash", "comma,paren(", "unicode é中", "'single'",
       "{\"json\": 1}", "")
-    def randCell(depth: Int): Any = rnd.nextInt(if (depth > 2) 7 else 10) match {
+    def randCell(depth: Int): Any = rnd.nextInt(if (depth > 2) 7 else 14) match {
       case 0 => null
       case 1 => rnd.nextLong()
       case 2 => rnd.nextInt()
@@ -1044,6 +1044,17 @@ class QueryExecutorSpec extends SparkSpec {
       case 8 => Map("k" + rnd.nextInt(3) -> randCell(depth + 1),
         trickyStrings(rnd.nextInt(trickyStrings.size)) -> randCell(depth + 1))
       case 9 => org.apache.spark.sql.Row(randCell(depth + 1), randCell(depth + 1))
+      // every remaining type the engine can put in a collected cell —
+      // incl. the interval classes whose java toString leaked "PT24H"
+      // through the round-14 net (they only had endpoint pins for
+      // scalars; this walks them through the same parser round-trip)
+      case 10 => java.time.Duration.ofSeconds(rnd.nextLong() % 1000000L,
+        if (rnd.nextBoolean()) 0 else rnd.nextInt(1000000000))
+      case 11 => java.time.Period.ofMonths(rnd.nextInt(500) - 250)
+      case 12 => new org.apache.spark.unsafe.types.CalendarInterval(
+        rnd.nextInt(24), rnd.nextInt(100), rnd.nextLong() % 1000000L)
+      case 13 => if (rnd.nextBoolean()) java.sql.Date.valueOf("2024-03-05")
+        else java.sql.Timestamp.valueOf("2024-03-05 07:08:09")
     }
     (1 to 150).foreach { i =>
       val nCols = 1 + rnd.nextInt(4)
@@ -1058,6 +1069,41 @@ class QueryExecutorSpec extends SparkSpec {
         val obj = mapper.readTree(line)
         assert(obj.isObject && obj.size == nCols, s"case $i: ${line.take(200)}")
       }
+      // no java object reprs in ANY of the three wire formats: a
+      // Duration/Period toString starts "PT"/"P" and class-name leaks
+      // carry "Seq("/"Map(" — none may appear as rendered values
+      Seq(r.toJson, r.toJsonEachRow, r.toCsv).foreach { wire =>
+        assert(!wire.contains("\"PT") && !wire.contains("\"P-"),
+          s"case $i interval leak: ${wire.take(200)}")
+        assert(!wire.contains("ArraySeq(") && !wire.contains("Map(") &&
+          !wire.contains("GenericRow"), s"case $i: ${wire.take(200)}")
+      }
     }
+  }
+
+  test("interval-typed cells serve CH-style integers, never PT strings") {
+    import graft.sql.QueryResult
+    assert(QueryResult.jsonValue(java.time.Duration.ofHours(24),
+      nonFiniteAsNull = false) == "86400")
+    assert(QueryResult.jsonValue(java.time.Duration.ofSeconds(1, 500000000),
+      nonFiniteAsNull = false) == "1.5")
+    assert(QueryResult.jsonValue(java.time.Duration.ofHours(-1),
+      nonFiniteAsNull = false) == "-3600")
+    assert(QueryResult.jsonValue(java.time.Period.ofYears(2),
+      nonFiniteAsNull = false) == "24")
+    assert(QueryResult.chLiteral(java.time.Duration.ofHours(24),
+      nested = false) == "86400")
+    assert(QueryResult.chLiteral(java.time.Period.ofMonths(3),
+      nested = true) == "3")
+    // end-to-end: an interval literal (NOT rewritten by ChronoArith —
+    // only subtraction is) serves a number through all three formats
+    val ex = new QueryExecutor(spark, timeoutSec = 60)
+    try {
+      val r = ex.run("SELECT INTERVAL 1 DAY AS d, INTERVAL 2 YEAR AS ym")
+      assert(r.toJson.contains("[[86400, 24]]"), r.toJson)
+      assert(r.toJsonEachRow.contains("{\"d\": 86400, \"ym\": 24}"),
+        r.toJsonEachRow)
+      assert(r.toCsv.linesIterator.toSeq(1) == "86400,24", r.toCsv)
+    } finally ex.close()
   }
 }
