@@ -594,6 +594,65 @@ object CHFunctions {
     Multiply(Literal(2.0 * 6371000.0), fn("asin", fn("sqrt", h)))
   }
 
+  /** sumMap/minMap/maxMap accept (keys_arr, vals_arr) or one MAP. */
+  private def mapCombine(es: Seq[Expression], mode: Int): Expression =
+    es match {
+      case Seq(m) =>
+        MapCombineAgg(fn("map_keys", m), fn("map_values", m), mode)
+      case Seq(k, v) => MapCombineAgg(k, v, mode)
+      case other => throw new IllegalArgumentException(
+        s"sumMap/minMap/maxMap expect (keys, vals) or (map), got ${other.size} arguments")
+    }
+
+  /** Navigate a JSON document by string-key / 1-based-index steps
+    * (CH's JSONExtract path arguments) onto the raw JSON text. */
+  private def jsonNavigate(json: Expression, keys: Seq[Expression]): Expression =
+    if (keys.isEmpty) json
+    else {
+      val steps: Seq[Expression] = keys.map { k =>
+        if (k.foldable) k.eval() match {
+          case n: Number => Literal(s"[${n.intValue() - 1}]")
+          case other => Literal("." + String.valueOf(other))
+        } else Concat(Seq(Literal("."), Cast(k, StringType)))
+      }
+      fn("get_json_object", json, Concat(Literal("$") +: steps))
+    }
+
+  private def constStringArg(e: Expression, what: String): String = {
+    require(e.foldable, s"$what must be a constant string")
+    String.valueOf(e.eval() match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    })
+  }
+
+  /** Minimal CH type → Spark DDL mapping for the typed JSON extracts
+    * (the full cast shim lives in the dialect layer; this covers the
+    * types JSONExtract is pasted with). */
+  private def chTypeToDdl(t: String): String = {
+    val s0 = t.trim
+    if (s0.startsWith("Array(") && s0.endsWith(")"))
+      s"array<${chTypeToDdl(s0.stripPrefix("Array(").stripSuffix(")"))}>"
+    else if (s0.startsWith("Nullable(") && s0.endsWith(")"))
+      chTypeToDdl(s0.stripPrefix("Nullable(").stripSuffix(")"))
+    else if (s0.startsWith("LowCardinality(") && s0.endsWith(")"))
+      chTypeToDdl(s0.stripPrefix("LowCardinality(").stripSuffix(")"))
+    else s0 match {
+      case "Int8" => "tinyint"
+      case "Int16" => "smallint"
+      case "Int32" | "UInt8" | "UInt16" => "int"
+      case "Int64" | "UInt32" | "UInt64" => "bigint"
+      case "Float32" => "float"
+      case "Float64" => "double"
+      case "String" | "FixedString" | "UUID" => "string"
+      case "Bool" | "Boolean" => "boolean"
+      case "Date" | "Date32" => "date"
+      case "DateTime" | "DateTime64" => "timestamp"
+      case other => throw new IllegalArgumentException(
+        s"JSONExtract: unsupported type '$other' (scalar, Array, Nullable supported)")
+    }
+  }
+
   /** CH *MinHash tuple: (min, max) xxhash64 over the shingle set. */
   private def minMaxHashTuple(shingles: Expression): Expression = {
     val x = UnresolvedNamedLambdaVariable(Seq("x"))
@@ -998,6 +1057,27 @@ object CHFunctions {
         fn("json_object_keys",
           fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))
       else fn("json_object_keys", es.head)),
+    // JSONExtract(json[, keys...], 'Type'): the typed extract — path
+    // keys navigate via get_json_object, the trailing CH type string
+    // picks the cast/parse (arrays ride from_json) (wave 28)
+    "JSONExtract" -> (es => {
+      require(es.size >= 2, "JSONExtract expects (json[, keys...], 'Type')")
+      val ddl = chTypeToDdl(constStringArg(es.last, "JSONExtract type"))
+      val raw = jsonNavigate(es.head, es.drop(1).dropRight(1))
+      if (ddl.startsWith("array<") || ddl.startsWith("map<") ||
+        ddl.startsWith("struct<"))
+        fn("from_json", raw, Literal(ddl))
+      else Cast(raw, org.apache.spark.sql.types.DataType.fromDDL(ddl))
+    }),
+    // JSONExtractKeysAndValues(json[, keys...], 'Type') → CH's array
+    // of (key, value) tuples, typed values
+    "JSONExtractKeysAndValues" -> (es => {
+      require(es.size >= 2,
+        "JSONExtractKeysAndValues expects (json[, keys...], 'Type')")
+      val ddl = chTypeToDdl(constStringArg(es.last, "JSONExtractKeysAndValues type"))
+      val raw = jsonNavigate(es.head, es.drop(1).dropRight(1))
+      fn("map_entries", fn("from_json", raw, Literal(s"map<string,$ddl>")))
+    }),
 
     // array function family (ClickHouse names → Spark natives;
     // arrayElement keeps CH's 1-based indexing via element_at)
@@ -1604,9 +1684,14 @@ object CHFunctions {
     // pattern): sumMap/minMap/maxMap(keys_arr, vals_arr) combine
     // per-key values across rows into sorted (keys, vals) arrays —
     // native TypedImperativeAggregate, partial-agg before the shuffle
-    "sumMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Sum)),
-    "minMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Min)),
-    "maxMap" -> (es => MapCombineAgg(es.head, es(1), MapCombineAgg.Max)),
+    // both CH call forms: (keys_arr, vals_arr) and the MAP-typed
+    // 1-arg spelling sumMap(map_col) (wave 28)
+    "sumMap" -> (es => mapCombine(es, MapCombineAgg.Sum)),
+    "minMap" -> (es => mapCombine(es, MapCombineAgg.Min)),
+    "maxMap" -> (es => mapCombine(es, MapCombineAgg.Max)),
+    // CH's WithOverflow variant keeps the input width and wraps; the
+    // accumulator here is already unchecked Int64 (WrapArith scope)
+    "sumMapWithOverflow" -> (es => mapCombine(es, MapCombineAgg.Sum)),
     // sumMapFiltered(keys_to_keep, keys, vals): CH's parametric form
     // flattened — rows' (k, v) pairs prune to the keep-list BEFORE the
     // mergeable map aggregate, so the partial state never carries
@@ -1887,6 +1972,45 @@ object CHFunctions {
     "subtractYears" -> (es =>
       fn("add_months", es.head, UnaryMinus(Multiply(es(1), Literal(12))))),
     "toLastDayOfMonth" -> (es => fn("last_day", es.head)),
+    // CH default week mode 0: Sunday-start week ends SATURDAY;
+    // mode 1/3 (Monday-start) ends Sunday (wave 28)
+    "toLastDayOfWeek" -> (es => {
+      val sundayStart = Cast(fn("date_sub", es.head,
+        Subtract(fn("dayofweek", es.head), Literal(1))),
+        org.apache.spark.sql.types.DateType)
+      val mondayStart = Cast(fn("date_trunc", Literal("week"), es.head),
+        org.apache.spark.sql.types.DateType)
+      val start =
+        if (es.size < 2) sundayStart
+        else es(1) match {
+          case Literal(m: Int, IntegerType) if m == 0 || m == 2 => sundayStart
+          case Literal(m: Int, IntegerType) if m == 1 || m == 3 => mondayStart
+          case other => throw new IllegalArgumentException(
+            s"toLastDayOfWeek: unsupported mode $other (0/2 = Sunday-start, 1/3 = Monday-start)")
+        }
+      fn("date_add", start, Literal(6))
+    }),
+    // camelCase alias of date_trunc, with CH's optional timezone
+    "dateTrunc" -> (es => es match {
+      case Seq(u, x) => fn("date_trunc", u, x)
+      case Seq(u, x, tz) if u.foldable =>
+        truncMaybeTz(String.valueOf(u.eval()).toUpperCase, Seq(x, tz))
+      case other => throw new IllegalArgumentException(
+        s"dateTrunc expects (unit, value[, timezone]), got ${other.size} arguments")
+    }),
+    // CH's compact numeric date spellings (wave 28)
+    "YYYYMMDDToDate" -> (es =>
+      fn("to_date", Cast(Cast(es.head, LongType), StringType),
+        Literal("yyyyMMdd"))),
+    "YYYYMMDDToDate32" -> (es =>
+      fn("to_date", Cast(Cast(es.head, LongType), StringType),
+        Literal("yyyyMMdd"))),
+    "YYYYMMDDhhmmssToDateTime" -> (es =>
+      fn("to_timestamp", Cast(Cast(es.head, LongType), StringType),
+        Literal("yyyyMMddHHmmss"))),
+    "YYYYMMDDhhmmssToDateTime64" -> (es =>
+      fn("to_timestamp", Cast(Cast(es.head, LongType), StringType),
+        Literal("yyyyMMddHHmmss"))),
     "toStartOfSecond" -> (es =>
       fn("date_trunc", Literal("second"), es.head)),
     "monthName" -> (es => fn("date_format", es.head, Literal("MMMM"))),
@@ -2027,7 +2151,17 @@ object CHFunctions {
     // px. Arrays-of-coordinates form (ClickHouse takes tuples; Spark
     // SQL has no tuple literals). Exact on integer grids, and the
     // identical expression replays in any engine with list lambdas.
-    "pointInPolygon" -> (es => {
+    // CH's documented form pointInPolygon((x, y), [(x, y), ...]) takes
+    // the native ray-cast expression; the 4-arg decomposed spelling
+    // (px, py, xs, ys) keeps the HOF composition below. Hole rings
+    // (3+ array arguments) reject loudly.
+    "pointInPolygon" -> (es => if (es.size == 2) {
+      PointInPolygon(es.head, es(1))
+    } else if (es.size != 4) {
+      throw new IllegalArgumentException(
+        "pointInPolygon supports ((x, y), [(x, y), ...]) or " +
+          "(px, py, xs, ys); hole rings are not supported")
+    } else {
       val Seq(px, py, xs, ys) = es.take(4)
       val i = UnresolvedNamedLambdaVariable(Seq("pi"))
       val n = fn("size", xs)
@@ -3070,6 +3204,38 @@ object CHFunctions {
         "histogram expects a constant bin-count parameter: histogram(N)(x)")
     }),
 
+    // quantileInterpolatedWeighted(level)(x, weight): EXACT linear-
+    // interpolated weighted quantile — Spark's percentile speaks
+    // exactly this with its frequency argument (wave 28)
+    "quantileInterpolatedWeighted" -> (es => es match {
+      case Seq(level, x, w) =>
+        fn("percentile", x, level, Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        s"quantileInterpolatedWeighted expects (level)(x, weight), got ${other.size} arguments")
+    }),
+    // groupArrayIntersect(arr): elements present in EVERY row's array.
+    // Compositional and mergeable: per-element presence counts ride
+    // the sumMap partial aggregate (count per distinct element), the
+    // intersection is the keys whose count equals the row count —
+    // no custom state, all codegen'd HOFs downstream (wave 28)
+    "groupArrayIntersect" -> (es => {
+      val da = fn("array_distinct", es.head)
+      // nested raw AggregateFunctions are NOT auto-wrapped by the
+      // analyzer (only a builder's root is) — wrap explicitly
+      val counted = MapCombineAgg(da,
+        fn("array_repeat", Literal(1L), fn("size", da)), MapCombineAgg.Sum)
+        .toAggregateExpression()
+      val n = fn("count", es.head)
+      val k = UnresolvedNamedLambdaVariable(Seq("ik"))
+      val c = UnresolvedNamedLambdaVariable(Seq("ic"))
+      val x = UnresolvedNamedLambdaVariable(Seq("ix"))
+      fn("filter",
+        fn("zip_with",
+          UnresolvedExtractValue(counted, Literal("keys")),
+          UnresolvedExtractValue(counted, Literal("vals")),
+          LambdaFunction(CaseWhen(Seq((EqualTo(c, n), k)), None), Seq(k, c))),
+        LambdaFunction(IsNotNull(x), Seq(x)))
+    }),
     // Greenwald-Khanna approximate quantiles under CH names:
     // quantileGK(accuracy)(x, level) flattens to (accuracy, x, level)
     "quantileGK" -> (es =>

@@ -2618,6 +2618,33 @@ object ChSurface {
       Some("""SELECT CAST(5 AS INTEGER) AS nbins, count(*) AS total,
         |  round(min(o_totalprice), 2) AS lo,
         |  round(max(o_totalprice), 2) AS hi
+        |FROM orders""".stripMargin)),
+
+    // round-15 wave 28: engine-independent values pinned as DuckDB
+    // constants (typed JSON extracts, compact date spellings, geo
+    // ray-cast, intersection aggregate), plus the exact interpolated
+    // weighted quantile replayed by DuckDB's native quantile_cont.
+    ("q_wave_fns3",
+      """SELECT toString(YYYYMMDDToDate(20240315)) AS d,
+        |  JSONExtract('{"a": 7}', 'a', 'Int64') AS i,
+        |  JSONExtract('{"a": [1, 2]}', 'a', 'Array(Int64)')[2] AS a2,
+        |  pointInPolygon((3.0, 3.0), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS pip,
+        |  pointInPolygon((100.0, 1.0), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS pop,
+        |  toString(toLastDayOfWeek(toDate('2024-03-15'))) AS lw,
+        |  toString(dateTrunc('day', toDateTime('2024-03-05 07:38:09'),
+        |    'America/New_York')) AS dtz""".stripMargin,
+      Some("""SELECT '2024-03-15' AS d, CAST(7 AS BIGINT) AS i,
+        |  CAST(2 AS BIGINT) AS a2, true AS pip, false AS pop,
+        |  '2024-03-16' AS lw, '2024-03-05 05:00:00' AS dtz""".stripMargin)),
+
+    ("q_quantile_weighted",
+      """SELECT round(quantileInterpolatedWeighted(0.5)(o_totalprice, 1), 4) AS q50,
+        |  round(quantileInterpolatedWeighted(0.9)(o_totalprice, 1), 4) AS q90,
+        |  arrayStringConcat(groupArrayIntersect([o_orderstatus, 'O']), ',') AS gi
+        |FROM orders""".stripMargin,
+      Some("""SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS q90,
+        |  'O' AS gi
         |FROM orders""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the

@@ -755,7 +755,28 @@ object Probe {
     "w27_qualify_window" ->
       "SELECT o_custkey, avg(o_totalprice) OVER (PARTITION BY o_custkey) AS a FROM orders QUALIFY avg(o_totalprice) OVER (PARTITION BY o_custkey) > 200000 LIMIT 5",
     "w27_totime_tz" ->
-      "SELECT toTime(toDateTime('2024-03-05 07:08:09')) AS t"
+      "SELECT toTime(toDateTime('2024-03-05 07:08:09')) AS t",
+    // ---- wave 28 (date spellings, typed JSON, geo, map aggs) ----
+    "w28_yyyymmdd" ->
+      "SELECT YYYYMMDDToDate(20240315) AS d, YYYYMMDDhhmmssToDateTime(20240315070809) AS t",
+    "w28_json_typed" ->
+      "SELECT JSONExtract('{\"a\": 7}', 'a', 'Int64') AS i, JSONExtract('{\"a\": [1,2]}', 'a', 'Array(Int64)') AS arr, JSONExtractKeysAndValues('{\"a\": 1, \"b\": 2}', 'Int64') AS kv",
+    "w28_point_poly" ->
+      "SELECT pointInPolygon((3.0, 3.0), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS inside",
+    "w28_map_forms" ->
+      "SELECT maxMap(map('k', o_totalprice)) AS mm, sumMapWithOverflow([o_orderstatus], [1]) AS sm FROM orders",
+    "w28_qiw" ->
+      "SELECT quantileInterpolatedWeighted(0.5)(o_totalprice, 2) AS q FROM orders",
+    "w28_group_intersect" ->
+      "SELECT groupArrayIntersect(a) AS gi FROM (SELECT [1, 2, 3] AS a UNION ALL SELECT [2, 3, 4] UNION ALL SELECT [3, 2, 9])",
+    "w28_lastday_week" ->
+      "SELECT toLastDayOfWeek(toDate('2024-03-15')) AS lw, toLastDayOfWeek(toDate('2024-03-15'), 1) AS lwm",
+    "w28_datetrunc_tz" ->
+      "SELECT dateTrunc('week', toDateTime('2024-03-15 07:08:09')) AS w, dateTrunc('day', toDateTime('2024-03-05 07:38:09'), 'America/New_York') AS d",
+    "w28_meanztest" ->
+      "SELECT meanZTest(1.0, 1.0, 0.95)(o_totalprice, o_orderkey % 2) AS z FROM orders",
+    "w28_age_names" ->
+      "SELECT age('year', toDate('2020-01-15'), toDate('2024-06-20')) AS a, monthName(toDate('2024-03-15')) AS m, dateName('weekday', toDate('2024-03-15')) AS wd"
   )
 
   def main(args: Array[String]): Unit = {
