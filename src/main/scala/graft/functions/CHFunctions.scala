@@ -3146,7 +3146,27 @@ object CHFunctions {
     // agree glyph-for-glyph. The glyph comes from a character-indexed
     // literal (Spark's chr() wraps at 256, bytes not codepoints).
     // Chart-sized arrays only.
-    "sparkbar" -> (es => {
+    // CH's sparkbar is the AGGREGATE sparkbar(width[, min_x, max_x])
+    // (x, y) — shim-flattened params-first. A single ARRAY argument
+    // keeps the scalar glyph-render helper below.
+    "sparkbar" -> (es => if (es.size >= 2) {
+      def d(e: Expression, what: String): Double = e.eval() match {
+        case n: Number => n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"sparkbar $what must be a constant number, got $other")
+      }
+      es match {
+        case Seq(w, x) =>
+          SparkBarAgg(d(w, "width").toInt, None, x, Literal(1.0))
+        case Seq(w, x, y) =>
+          SparkBarAgg(d(w, "width").toInt, None, x, y)
+        case Seq(w, lo, hi, x, y) =>
+          SparkBarAgg(d(w, "width").toInt,
+            Some((d(lo, "min_x"), d(hi, "max_x"))), x, y)
+        case other => throw new IllegalArgumentException(
+          "sparkbar expects (width[, min_x, max_x])(x[, y])")
+      }
+    } else {
       val v = UnresolvedNamedLambdaVariable(Seq("v"))
       val mx = fn("array_max", es.head)
       val level = fn("ceil",
@@ -3213,6 +3233,29 @@ object CHFunctions {
       case other => throw new IllegalArgumentException(
         s"quantileInterpolatedWeighted expects (level)(x, weight), got ${other.size} arguments")
     }),
+    // the remaining *Weighted quantile spellings share the exact
+    // weighted interpolation (exact satisfies every approximate
+    // contract; frequency = weight)
+    "quantileTDigestWeighted" -> (es => es match {
+      case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        s"quantileTDigestWeighted expects (level)(x, weight), got ${other.size} arguments")
+    }),
+    "quantileTimingWeighted" -> (es => es match {
+      case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        s"quantileTimingWeighted expects (level)(x, weight), got ${other.size} arguments")
+    }),
+    "quantileBFloat16Weighted" -> (es => es match {
+      case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        s"quantileBFloat16Weighted expects (level)(x, weight), got ${other.size} arguments")
+    }),
+    // A/B power analysis (closed-form, public formulas)
+    "minSampleSizeConversion" -> (es => MinSampleSize(conversion = true, es)),
+    "minSampleSizeContinous" -> (es => MinSampleSize(conversion = false, es)),
+    "minSampleSizeContinuous" -> (es => MinSampleSize(conversion = false, es)),
+
     // groupArrayIntersect(arr): elements present in EVERY row's array.
     // Compositional and mergeable: per-element presence counts ride
     // the sumMap partial aggregate (count per distinct element), the

@@ -376,3 +376,66 @@ object ExpDecayAgg {
   case object Avg extends Kind
   case object Max extends Kind
 }
+
+/** ClickHouse `sparkbar(width[, min_x, max_x])(x, y)` — the inline
+  * unicode bar chart: bucket the x axis into `width` equal slots over
+  * [min_x, max_x] (observed range when the bounds are omitted), sum
+  * `y` per slot, render each slot as one of " ▁▂▃▄▅▆▇█" scaled by the
+  * tallest slot. Buffers the group's (x, y) pairs like CH's own
+  * implementation (the observed-range form needs min/max before
+  * bucketing), so the group — never the table — must fit in memory. */
+case class SparkBarAgg(
+    width: Int,
+    loHi: Option[(Double, Double)],
+    x: Expression,
+    y: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends PairBufferAgg {
+
+  require(width >= 1 && width <= 1024,
+    s"sparkbar width must be in [1, 1024], got $width")
+
+  override def a: Expression = x
+  override def b: Expression = y
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "sparkbar"
+
+  private val glyphs = "▁▂▃▄▅▆▇█"
+
+  override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
+    if (buf.isEmpty)
+      return org.apache.spark.unsafe.types.UTF8String.fromString("")
+    val lo = loHi.map(_._1).getOrElse(buf.iterator.map(_._1).min)
+    val hi = loHi.map(_._2).getOrElse(buf.iterator.map(_._1).max)
+    val span = hi - lo
+    val sums = new Array[Double](width)
+    buf.foreach { case (xv, yv) =>
+      if (xv >= lo && xv <= hi) {
+        val idx =
+          if (span <= 0) 0
+          else math.min(width - 1, ((xv - lo) / span * width).toInt)
+        sums(idx) += yv
+      }
+    }
+    val mx = sums.max
+    val sb = new StringBuilder
+    sums.foreach { s =>
+      if (s <= 0 || mx <= 0) sb += ' '
+      else {
+        val level = math.min(8, math.max(1, math.ceil(s * 8.0 / mx).toInt))
+        sb += glyphs.charAt(level - 1)
+      }
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SparkBarAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SparkBarAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): SparkBarAgg =
+    copy(x = c(0), y = c(1)) // children order is (a, b) = (x, y)
+}

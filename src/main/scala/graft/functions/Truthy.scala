@@ -457,3 +457,65 @@ object Truthiness {
     case s: SubqueryExpression => s.withNewPlan(apply(s.plan))
   }
 }
+
+/** ClickHouse `minSampleSizeConversion(p1, mde, power, alpha)` and
+  * `minSampleSizeContinuous(baseline, sigma, mde, power, alpha)` —
+  * closed-form A/B-test power analysis (public two-sample formulas)
+  * over [[StatTests]]' normal quantile. Returns CH's
+  * (minimum_sample_size, detect_range_lower, detect_range_upper). */
+case class MinSampleSize(conversion: Boolean, args: Seq[Expression])
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def children: Seq[Expression] = args
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("minimum_sample_size", DoubleType),
+    StructField("detect_range_lower", DoubleType),
+    StructField("detect_range_upper", DoubleType)))
+
+  private def arity: Int = if (conversion) 4 else 5
+  private def name: String =
+    if (conversion) "minSampleSizeConversion" else "minSampleSizeContinuous"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (args.size == arity) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      if (conversion) s"$name expects (baseline_rate, mde, power, alpha)"
+      else s"$name expects (baseline_mean, sigma, mde, power, alpha)")
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vals = new Array[Double](arity)
+    var i = 0
+    while (i < arity) {
+      args(i).eval(input) match {
+        case null => return null
+        case d: org.apache.spark.sql.types.Decimal => vals(i) = d.toDouble
+        case n: Number => vals(i) = n.doubleValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: numeric argument expected, got $other")
+      }
+      i += 1
+    }
+    val (power, alpha) = (vals(arity - 2), vals(arity - 1))
+    val zA = StatTests.probitTwoSided(1.0 - alpha)       // z_{1-α/2}
+    val zB = StatTests.probitTwoSided(2.0 * power - 1.0) // z_{power}
+    val row = new GenericInternalRow(3)
+    if (conversion) {
+      val p1 = vals(0); val mde = vals(1); val p2 = p1 + mde
+      val n = math.pow(zA + zB, 2) *
+        (p1 * (1 - p1) + p2 * (1 - p2)) / (mde * mde)
+      row(0) = n; row(1) = p1 - mde; row(2) = p1 + mde
+    } else {
+      val base = vals(0); val sigma = vals(1); val mde = vals(2)
+      val n = 2.0 * math.pow(zA + zB, 2) * sigma * sigma /
+        math.pow(base * mde, 2)
+      row(0) = n; row(1) = base * (1 - mde); row(2) = base * (1 + mde)
+    }
+    row
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): MinSampleSize =
+    copy(args = newChildren)
+}

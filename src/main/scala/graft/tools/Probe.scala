@@ -776,7 +776,16 @@ object Probe {
     "w28_meanztest" ->
       "SELECT meanZTest(1.0, 1.0, 0.95)(o_totalprice, o_orderkey % 2) AS z FROM orders",
     "w28_age_names" ->
-      "SELECT age('year', toDate('2020-01-15'), toDate('2024-06-20')) AS a, monthName(toDate('2024-03-15')) AS m, dateName('weekday', toDate('2024-03-15')) AS wd"
+      "SELECT age('year', toDate('2020-01-15'), toDate('2024-06-20')) AS a, monthName(toDate('2024-03-15')) AS m, dateName('weekday', toDate('2024-03-15')) AS wd",
+    // ---- wave 29 (dashboard/power-analysis stragglers) ----
+    "w29_sparkbar" ->
+      "SELECT sparkbar(5)(o_orderkey % 10, o_totalprice) AS sb, sparkbar(9)(o_orderkey % 9) AS counts FROM orders",
+    "w29_sparkbar_bounded" ->
+      "SELECT sparkbar(4, 0, 100)(o_orderkey % 100, o_totalprice) AS sb FROM orders",
+    "w29_quantile_weighted" ->
+      "SELECT quantileTDigestWeighted(0.5)(o_totalprice, 2) AS qtd, quantileTimingWeighted(0.9)(o_totalprice, 1) AS qtw FROM orders",
+    "w29_min_sample" ->
+      "SELECT minSampleSizeConversion(0.25, 0.03, 0.8, 0.05) AS mc, minSampleSizeContinous(200.0, 50.0, 0.05, 0.8, 0.05) AS ms"
   )
 
   def main(args: Array[String]): Unit = {

@@ -59,6 +59,30 @@ class Wave28Spec extends SparkSpec {
     assert(!r.getBoolean(2)) // just outside the first edge
   }
 
+  test("sparkbar: aggregate forms (count, weighted, bounded) render") {
+    val r = one(
+      """SELECT sparkbar(4, 0, 100)(x, y) AS bounded,
+        |  sparkbar(2)(x, y) AS auto
+        |FROM (SELECT 10.0 AS x, 5.0 AS y UNION ALL SELECT 80.0, 20.0)""".stripMargin)
+    assert(r.getString(0) == "▂  █") // slot sums 5 and 20
+    assert(r.getString(1) == "▂█")
+    // the scalar array-render helper keeps working
+    val s2 = one("SELECT sparkbar([1, 4, 8]) AS s")
+    assert(s2.getString(0).length == 3)
+  }
+
+  test("minSampleSize power analysis matches the closed forms") {
+    val r = one(
+      """SELECT minSampleSizeConversion(0.25, 0.03, 0.8, 0.05) AS mc,
+        |  minSampleSizeContinuous(200.0, 50.0, 0.05, 0.8, 0.05) AS ms""".stripMargin)
+    val mc = r.getStruct(0)
+    assert(math.abs(mc.getDouble(0) - 3393.33) < 1.0) // (1.96+0.8416)^2*(p1q1+p2q2)/mde^2
+    assert(mc.getDouble(1) == 0.22 && mc.getDouble(2) == 0.28)
+    val ms = r.getStruct(1)
+    assert(math.abs(ms.getDouble(0) - 392.44) < 1.0) // 2*(za+zb)^2*sigma^2/(base*mde)^2
+    assert(ms.getDouble(1) == 190.0 && ms.getDouble(2) == 210.0)
+  }
+
   test("quantileInterpolatedWeighted weights shift the quantile") {
     val r = one(
       """SELECT quantileInterpolatedWeighted(0.5)(v, w) AS q
