@@ -2163,7 +2163,7 @@ object QueryGuard {
           case 'n' => sb += '\n'
           case 't' => sb += '\t'
           case 'r' => sb += '\r'
-          case '0' => sb += ' '
+          case '0' => sb += '\u0000'
           case other => sb += other
         }
         i += 2
