@@ -583,6 +583,13 @@ object CHFunctions {
     * lat1, lon2, lat2): haversine over Spark's codegen'd trig natives
     * with the 6371km mean-earth radius. The oracle replays the
     * identical formula. */
+  /** `makeDate(y, m, d)` or ClickHouse's `(year, day_of_year)` form. */
+  private def mkDate(es: Seq[Expression]): Expression =
+    if (es.size == 2)
+      fn("date_add", fn("make_date", es.head, Literal(1), Literal(1)),
+        Subtract(Cast(es(1), IntegerType), Literal(1)))
+    else fn("make_date", es: _*)
+
   private def haversineMeters(es: Seq[Expression]): Expression = {
     def rad(e: Expression) = fn("radians", e)
     val dLat = Divide(Subtract(rad(es(3)), rad(es(1))), Literal(2.0))
@@ -2336,8 +2343,24 @@ object CHFunctions {
     // Date32 is CH's wide-range date; Spark's DATE covers the range
     "toDate32" -> (es =>
       Cast(es.head, org.apache.spark.sql.types.DateType)),
-    "makeDate" -> (es => fn("make_date", es: _*)),
-    "makeDate32" -> (es => fn("make_date", es: _*)),
+    // makeDate also has CH's (year, day_of_year) 2-arg form
+    "makeDate" -> (es => mkDate(es)),
+    "makeDate32" -> (es => mkDate(es)),
+    // makeDateTime(y, m, d, h, mi, s[, tz]) maps 1:1 onto Spark's
+    // make_timestamp; the 64 spelling folds the optional fraction/
+    // precision into the seconds argument at build time
+    "makeDateTime" -> (es => fn("make_timestamp", es: _*)),
+    "makeDateTime64" -> (es => {
+      if (es.size <= 6) fn("make_timestamp", es: _*)
+      else {
+        val prec =
+          if (es.size >= 8) es(7).eval().toString.toDouble else 3.0
+        val sec = Add(Cast(es(5), DoubleType),
+          Divide(Cast(es(6), DoubleType), Literal(math.pow(10, prec))))
+        val base = es.take(5) :+ sec
+        fn("make_timestamp", (if (es.size >= 9) base :+ es(8) else base): _*)
+      }
+    }),
     "timezone" -> (_ => fn("current_timezone")),
     "timeZone" -> (_ => fn("current_timezone")),
     "serverTimeZone" -> (_ => fn("current_timezone")),
@@ -2887,6 +2910,29 @@ object CHFunctions {
     // correction; the 6371km haversine agrees to ~0.5% — documented
     // approximation
     "geoDistance" -> (es => haversineMeters(es)),
+    // central angle in degrees = arc / earth radius (same haversine
+    // core, so greatCircleDistance/greatCircleAngle stay consistent)
+    "greatCircleAngle" -> (es =>
+      Multiply(Divide(haversineMeters(es), Literal(6371000.0)),
+        Literal(180.0 / math.Pi))),
+    // pointInEllipses(x, y, x0, y0, a0, b0, ...): inside ANY of the
+    // axis-aligned ellipses — Σ ((x−xi)/ai)² + ((y−yi)/bi)² ≤ 1,
+    // OR-folded; boolean like pointInPolygon (truthiness bridges)
+    "pointInEllipses" -> (es => {
+      require(es.size >= 6 && (es.size - 2) % 4 == 0,
+        "pointInEllipses takes (x, y) then (x0, y0, a, b) per ellipse")
+      val x = Cast(es.head, DoubleType)
+      val y = Cast(es(1), DoubleType)
+      def sq(e: Expression): Expression = Multiply(e, e)
+      es.drop(2).grouped(4).map { g =>
+        LessThanOrEqual(Add(
+          sq(Divide(Subtract(x, Cast(g(0), DoubleType)),
+            Cast(g(2), DoubleType))),
+          sq(Divide(Subtract(y, Cast(g(1), DoubleType)),
+            Cast(g(3), DoubleType)))),
+          Literal(1.0)): Expression
+      }.reduce(Or(_, _))
+    }),
 
     // URL functions: every accessor projects one field out of the
     // native single-pass [[UrlParse]] struct — whole-stage codegen's
@@ -3030,6 +3076,23 @@ object CHFunctions {
     // a signed BIGINT — documented deviation).
     "cityHash64" -> (es => new XxHash64(es)),
     "sipHash64" -> (es => XxHash64(es, 7L)),
+    "murmurHash3_64" -> (es => XxHash64(es, 3L)),
+    "murmurHash2_64" -> (es => XxHash64(es, 2L)),
+    "gccMurmurHash" -> (es => XxHash64(es, 0x9747b28cL)),
+    // the 32-bit murmur spellings ride Spark's genuine murmur3-x86-32
+    // with distinct seeds (CH's default seed differs — dispersion
+    // contract, as above)
+    "murmurHash2_32" -> (es => Murmur3Hash(es, 2)),
+    "kafkaMurmurHash" -> (es => Murmur3Hash(es, 0x9747b28c)),
+    // hiveHash IS Hive's exact hash — Spark ships it for bucketing
+    // parity, so 'abc' answers Java's 96354 bit-for-bit
+    "hiveHash" -> (es => HiveHash(es)),
+    // 128-bit spelling: md5 over the casted-and-joined arguments
+    // (16-byte dispersion; not murmur3-x64-128 bit-compatible)
+    "murmurHash3_128" -> (es => fn("md5",
+      fn("concat_ws",
+        (Literal("\u0001") +: es.map(e => Cast(e, StringType))): _*))),
+    "byteSwap" -> (es => ByteSwapCH(es.head)),
     "halfMD5" -> (es => HalfMd5(es.head)),
 
     // bit functions
@@ -3371,6 +3434,8 @@ object CHFunctions {
     "bitHammingDistance" -> (es =>
       fn("bit_count", BitwiseXor(Cast(es.head, LongType),
         Cast(es(1), LongType)))),
+    "bitSlice" -> (es => BitSliceCH(es.head, es(1),
+      if (es.size > 2) es(2) else Literal(Int.MaxValue))),
     // 64-bit rotates (CH rotates within the argument's own width; the
     // engine's integer lane is Int64 — same stand-in contract as the
     // other width-dependent bit functions). n mod 64 like the CPU op.
@@ -3567,6 +3632,7 @@ object CHFunctions {
     "positiveModulo" -> (es => fn("pmod", es.head, es(1))),
     "positive_modulo" -> (es => fn("pmod", es.head, es(1))),
     "generateUUIDv7" -> (_ => GenTimeId("uuidv7")),
+    "generateSnowflakeID" -> (_ => GenTimeId("snowflake")),
     "generateULID" -> (_ => GenTimeId("ulid")),
     // UUIDv7ToDateTime: the first 48 bits are unix milliseconds
     "UUIDv7ToDateTime" -> (es =>
@@ -3873,6 +3939,42 @@ object CHFunctions {
     // the deprecated block-local scan functions have no sound reading
     // on a shuffled distributed engine — reject with the window
     // spelling CH itself recommends
+    // CH-only WINDOW function: windowed uses rewrite pre-analysis
+    // (WindowShims) onto lag() over the user's own OVER spec; a bare
+    // call can only mean the OVER clause was forgotten
+    "nonNegativeDerivative" -> (_ => throw new IllegalArgumentException(
+      "nonNegativeDerivative is a window function: add an OVER " +
+        "(ORDER BY ...) clause")),
+    // path analysis: the value AFTER a matched event chain (see
+    // SequenceNextNodeAgg); params-first shim flattens
+    // sequenceNextNode('forward', 'head')(ts, value, conds...)
+    "sequenceNextNode" -> (es => {
+      def lit(e: Expression, what: String): String = e match {
+        case Literal(v, StringType) => v.toString
+        case other => throw new IllegalArgumentException(
+          s"sequenceNextNode $what must be a string literal, got $other")
+      }
+      val dir = lit(es.head, "direction")
+      require(dir == "forward" || dir == "backward",
+        s"sequenceNextNode direction must be forward|backward, got '$dir'")
+      require(es.size >= 5,
+        "sequenceNextNode takes (direction, base)(ts, value, base_cond, events...)")
+      SequenceNextNodeAgg(dir == "forward", lit(es(1), "base"),
+        es(2), Cast(es(3), StringType), es.drop(4).map(e => Truthy(e)))
+    }),
+    "identity" -> (es => es.head),
+    // decimal digits of the textual value — '.', '-', 'E' stripped, so
+    // integers and Decimals answer CH's unscaled-digit count
+    "countDigits" -> (es => fn("length",
+      fn("regexp_replace", Cast(es.head, StringType),
+        Literal("[^0-9]"), Literal("")))),
+    "toDecimalString" -> (es => {
+      val scale = es(1).eval().toString.toInt
+      require(scale >= 0 && scale <= 37,
+        s"toDecimalString scale must be 0..37, got $scale")
+      Cast(Cast(es.head,
+        org.apache.spark.sql.types.DecimalType(38, scale)), StringType)
+    }),
     "runningDifference" -> (_ => throw new IllegalArgumentException(
       "runningDifference is block-order-dependent (deprecated in " +
         "ClickHouse): use x - lagInFrame(x) OVER (ORDER BY ...) instead")),

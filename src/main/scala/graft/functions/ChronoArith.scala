@@ -203,3 +203,63 @@ case class ChronoShift(left: Expression, right: Expression, plus: Boolean)
       newLeft: Expression, newRight: Expression): ChronoShift =
     copy(left = newLeft, right = newRight)
 }
+
+/** Pre-analysis rewrites for ClickHouse spellings that are WINDOW
+  * functions in CH but have no Spark window counterpart — the name
+  * must be replaced while it still sits inside the parsed
+  * `WindowExpression` (a registry builder only sees the argument list,
+  * and the building blocks Spark does have, `lag`, are themselves
+  * window functions that need the SAME OVER spec).
+  *
+  * `nonNegativeDerivative(metric, ts[, INTERVAL n unit]) OVER (w)` —
+  * CH's per-second (or per-interval) rate of change, clamped at zero:
+  *   greatest(0, (metric − lag(metric) OVER w)
+  *                 / (epoch_seconds(ts) − lag(...) OVER w) × k)
+  * with the first row (and a zero time step, which divides to NULL)
+  * answering 0, matching CH. The rewrite emits plain `Lag`s over the
+  * user's own window spec, so the analyzer resolves frames and the
+  * optimizer plans one ordinary Window node — fully codegen'd, no
+  * custom eval. */
+object WindowShims {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p => p.transformExpressionsUp {
+      case WindowExpression(
+          uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction, spec)
+          if uf.nameParts.length == 1 &&
+            uf.nameParts.head.equalsIgnoreCase("nonNegativeDerivative") =>
+        val args = uf.arguments
+        require(args.size == 2 || args.size == 3,
+          "nonNegativeDerivative takes (metric, timestamp[, interval])")
+        val m = Cast(args(0), DoubleType)
+        val tSec = Cast(Cast(args(1), TimestampType), DoubleType)
+        def lagOf(e: Expression): Expression =
+          WindowExpression(Lag(e, Literal(1), Literal(null), false), spec)
+        val k = if (args.size == 3) intervalSeconds(args(2)) else 1.0
+        val raw = Multiply(
+          Divide(Subtract(m, lagOf(m)), Subtract(tSec, lagOf(tSec))),
+          Literal(k))
+        val nz = Coalesce(Seq(raw, Literal(0d)))
+        If(LessThan(nz, Literal(0d)), Literal(0d), nz)
+    }
+  }
+
+  /** Seconds in a constant interval argument: ANSI day-time intervals
+    * carry micros, year-month carry months (CH's 30-day month),
+    * legacy CalendarInterval mixes all three; a bare number is taken
+    * as seconds like CH's own overload. */
+  private def intervalSeconds(e: Expression): Double = e match {
+    case Literal(v: java.lang.Long, DayTimeIntervalType(_, _)) => v / 1e6
+    case Literal(v: java.lang.Integer, YearMonthIntervalType(_, _)) =>
+      v * 2592000.0
+    case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval, CalendarIntervalType) =>
+      ci.months * 2592000.0 + ci.days * 86400.0 + ci.microseconds / 1e6
+    case other if other.foldable => other.eval() match {
+      case n: Number => n.doubleValue()
+      case x => throw new IllegalArgumentException(
+        s"nonNegativeDerivative interval must be a constant, got $x")
+    }
+    case _ => throw new IllegalArgumentException(
+      "nonNegativeDerivative interval must be a constant INTERVAL or number")
+  }
+}

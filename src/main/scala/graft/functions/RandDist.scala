@@ -150,29 +150,48 @@ case class RandDist(kind: String, args: Seq[Expression])
 }
 
 /** Time-ordered unique id generators: UUIDv7 (RFC 9562 — 48-bit unix
-  * ms, version/variant bits, 74 random bits) and ULID (Crockford
-  * base32, 48-bit ms + 80 random bits). Nondeterministic leafs; ids
-  * are generated at eval time like CH's. */
+  * ms, version/variant bits, 74 random bits), ULID (Crockford
+  * base32, 48-bit ms + 80 random bits), and Twitter-layout snowflake
+  * ids (41-bit ms over the 1288834974657 epoch << 22 | 10-bit machine
+  * | 12-bit sequence — the partition index stands in for the machine
+  * id, so concurrent tasks never collide, and the per-task sequence
+  * disambiguates same-millisecond calls; round-trips through
+  * `snowflakeIDToDateTime`). Nondeterministic leafs; ids are
+  * generated at eval time like CH's. */
 case class GenTimeId(kind: String)
     extends org.apache.spark.sql.catalyst.expressions.LeafExpression
     with Nondeterministic with CodegenFallback {
 
   override def nullable: Boolean = false
   override def dataType: DataType =
-    org.apache.spark.sql.types.StringType
-  override def prettyName: String =
-    if (kind == "ulid") "generateULID" else "generateUUIDv7"
+    if (kind == "snowflake") org.apache.spark.sql.types.LongType
+    else org.apache.spark.sql.types.StringType
+  override def prettyName: String = kind match {
+    case "ulid" => "generateULID"
+    case "snowflake" => "generateSnowflakeID"
+    case _ => "generateUUIDv7"
+  }
 
   @transient private var rng: java.util.Random = _
+  @transient private var machine: Long = 0L
+  @transient private var seq: Long = 0L
 
-  override protected def initializeInternal(partitionIndex: Int): Unit =
+  override protected def initializeInternal(partitionIndex: Int): Unit = {
     rng = new java.util.Random(
       java.util.concurrent.ThreadLocalRandom.current().nextLong() ^
         (partitionIndex.toLong * 0x9E3779B97F4A7C15L))
+    machine = partitionIndex.toLong & 0x3FFL
+    seq = 0L
+  }
 
   override protected def evalInternal(
       input: org.apache.spark.sql.catalyst.InternalRow): Any = {
     val ms = System.currentTimeMillis()
+    if (kind == "snowflake") {
+      val id = ((ms - 1288834974657L) << 22) | (machine << 12) | (seq & 0xFFFL)
+      seq += 1
+      return id
+    }
     if (kind == "ulid") {
       val alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
       val chars = new Array[Char](26)

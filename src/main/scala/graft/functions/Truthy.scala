@@ -519,3 +519,92 @@ case class MinSampleSize(conversion: Boolean, args: Seq[Expression])
       newChildren: IndexedSeq[Expression]): MinSampleSize =
     copy(args = newChildren)
 }
+
+/** ClickHouse `byteSwap(x)`: reverses the bytes of the integer within
+  * its own width (8-bit identity, 16/32/64-bit swaps), dispatched on
+  * the resolved Spark type onto the JDK's intrinsified reverseBytes.
+  * CH's unsigned types ride this engine's widened signed carriers, so
+  * a value that arrives as BIGINT swaps as 64-bit — pin the narrower
+  * width with toInt32/toInt16 first (documented deviation).
+  * RuntimeReplaceable: the executed plan carries a codegen'd
+  * StaticInvoke. */
+case class ByteSwapCH(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+    child.dataType match {
+      case ByteType => child
+      case ShortType => StaticInvoke(classOf[java.lang.Short], ShortType,
+        "reverseBytes", Seq(child), Seq(ShortType))
+      case IntegerType => StaticInvoke(classOf[java.lang.Integer], IntegerType,
+        "reverseBytes", Seq(child), Seq(IntegerType))
+      case _ => StaticInvoke(classOf[java.lang.Long], LongType,
+        "reverseBytes", Seq(Cast(child, LongType)), Seq(LongType))
+    }
+  }
+
+  override def dataType: DataType = replacement.dataType
+  override def prettyName: String = "byteSwap"
+  override protected def withNewChildInternal(newChild: Expression): ByteSwapCH =
+    copy(child = newChild)
+}
+
+/** ClickHouse `bitSlice(s, offset[, length])`: the substring of the
+  * string's BITS — `offset` is 1-based (negative counts from the end),
+  * `length` optional (to the end; negative leaves |length| bits off
+  * the tail). The result packs the selected bits MSB-first and
+  * zero-pads the final byte, exactly CH's layout, so
+  * `bitSlice('Hello', 1, 8) = 'H'` and a 4-bit slice of 0b0100_1000
+  * yields 0b0100_0000 ('@'). Interpreted eval (CodegenFallback): a
+  * per-row bit copy over small strings is not a hot-path shape. */
+case class BitSliceCH(str: Expression, off: Expression, len: Expression)
+    extends TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = str
+  override def second: Expression = off
+  override def third: Expression = len
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "bitSlice"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if ((str.dataType == StringType || str.dataType == BinaryType) &&
+      Seq(off, len).forall(_.dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "bitSlice expects (string, int offset[, int length])")
+
+  override protected def nullSafeEval(s: Any, o: Any, l: Any): Any = {
+    val bytes = s match {
+      case u: org.apache.spark.unsafe.types.UTF8String => u.getBytes
+      case b: Array[Byte] => b
+    }
+    val totalBits = bytes.length * 8
+    val offV = o.asInstanceOf[Number].longValue()
+    val start = (if (offV > 0) offV - 1 else totalBits + offV).max(0).toInt
+    if (start >= totalBits) {
+      return org.apache.spark.unsafe.types.UTF8String.fromBytes(Array.emptyByteArray)
+    }
+    val lenV = l.asInstanceOf[Number].longValue()
+    val n = (if (lenV >= 0) lenV.min(totalBits - start)
+      else (totalBits - start + lenV).max(0)).toInt
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      val src = start + i
+      val bit = (bytes(src >> 3) >> (7 - (src & 7))) & 1
+      out(i >> 3) = (out(i >> 3) | (bit << (7 - (i & 7)))).toByte
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): BitSliceCH =
+    copy(str = f, off = s, len = t)
+}

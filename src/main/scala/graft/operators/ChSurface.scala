@@ -2645,7 +2645,48 @@ object ChSurface {
       Some("""SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS q50,
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS q90,
         |  'O' AS gi
-        |FROM orders""".stripMargin)))
+        |FROM orders""".stripMargin)),
+
+    // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
+    // (CH-only semantics -> the expected values ARE the contract; the
+    // chain fixture replays CH's documented example)
+    ("q_wave_fns4",
+      """SELECT toString(makeDateTime(2024, 3, 15, 7, 8, 9)) AS mdt,
+        |  toString(makeDateTime64(2024, 3, 15, 7, 8, 9, 125)) AS mdt64,
+        |  toString(makeDate(2024, 75)) AS doy,
+        |  toInt32(countDigits(toDecimal64(12.345, 3))) AS cd,
+        |  toDecimalString(64.32, 5) AS ds,
+        |  round(greatCircleAngle(0.0, 0.0, 0.0, 90.0), 3) AS gca,
+        |  hiveHash('abc') AS hh,
+        |  bitSlice('Hello', 9, 8) AS bs,
+        |  sequenceNextNode('forward', 'head')(
+        |    t, page, page = 'Home', page = 'Home', page = 'Gift') AS nxt
+        |FROM (SELECT timestamp_seconds(1) AS t, 'Home' AS page
+        |  UNION ALL SELECT timestamp_seconds(2), 'Gift'
+        |  UNION ALL SELECT timestamp_seconds(3), 'Exit')""".stripMargin,
+      Some("""SELECT '2024-03-15 07:08:09' AS mdt,
+        |  '2024-03-15 07:08:09.125' AS mdt64,
+        |  '2024-03-15' AS doy, CAST(5 AS INT) AS cd,
+        |  '64.32000' AS ds, CAST(90.0 AS DOUBLE) AS gca,
+        |  CAST(96354 AS INT) AS hh, 'e' AS bs, 'Exit' AS nxt""".stripMargin)),
+
+    // nonNegativeDerivative rewrites onto lag() over the user's OVER
+    // spec -- DuckDB replays the same composition, so this oracle
+    // checks the VALUES, not just the shape (ts = orderkey seconds,
+    // strictly increasing, so no zero time step)
+    ("q_nn_derivative",
+      """SELECT o_orderkey,
+        |  round(nonNegativeDerivative(o_totalprice,
+        |    timestamp_seconds(o_orderkey)) OVER (ORDER BY o_orderkey), 4) AS d
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+      Some("""SELECT o_orderkey,
+        |  round(greatest(0.0, coalesce(
+        |    (o_totalprice - lag(o_totalprice) OVER w)
+        |      / (o_orderkey - lag(o_orderkey) OVER w), 0.0)), 4) AS d
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |WINDOW w AS (ORDER BY o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -607,7 +607,10 @@ object QueryGuard {
     // CH numeric truthiness (WHERE x % 2, if(2, ...), WHERE changed):
     // install Truthy at the parsed plan's boolean contexts BEFORE
     // analysis — CheckAnalysis would reject the bare numerics.
-    val parsed = graft.functions.Truthiness(parseReadOnly(spark, core))
+    // CH-only window functions (nonNegativeDerivative) rewrite while
+    // still inside the parsed WindowExpression — see WindowShims
+    val parsed = graft.functions.WindowShims(
+      graft.functions.Truthiness(parseReadOnly(spark, core)))
     // CH chrono arithmetic (ChronoArith scaladoc): date−date → Int32
     // days / ts−ts → Int32 seconds ride every statement (identity
     // elsewhere); TIMESTAMP ± integral-seconds — which Spark has no

@@ -785,7 +785,34 @@ object Probe {
     "w29_quantile_weighted" ->
       "SELECT quantileTDigestWeighted(0.5)(o_totalprice, 2) AS qtd, quantileTimingWeighted(0.9)(o_totalprice, 1) AS qtw FROM orders",
     "w29_min_sample" ->
-      "SELECT minSampleSizeConversion(0.25, 0.03, 0.8, 0.05) AS mc, minSampleSizeContinous(200.0, 50.0, 0.05, 0.8, 0.05) AS ms"
+      "SELECT minSampleSizeConversion(0.25, 0.03, 0.8, 0.05) AS mc, minSampleSizeContinous(200.0, 50.0, 0.05, 0.8, 0.05) AS ms",
+    // ---- wave 30 (constructor/hash/geo/window stragglers) ----
+    "w30_make_datetime" ->
+      "SELECT makeDateTime(2024, 3, 15, 7, 8, 9) AS dt, makeDateTime64(2024, 3, 15, 7, 8, 9) AS dt64, makeDate(2024, 75) AS doy",
+    "w30_hashes" ->
+      "SELECT murmurHash3_64('graft') AS m64, murmurHash3_32('graft') AS m32, murmurHash2_64('graft') AS h2, hiveHash('graft') AS hh, byteSwap(toUInt32(3351772109)) AS bs",
+    "w30_geo" ->
+      "SELECT greatCircleAngle(-10.0, 45.0, 10.0, 45.0) AS a, pointInEllipses(10.0, 10.0, 10.0, 9.1, 1.0, 0.9999) AS pe",
+    "w30_digits" ->
+      "SELECT countDigits(toDecimal64(12.345, 3)) AS cd, countDigits(42) AS ci, toDecimalString(64.32, 5) AS ds",
+    "w30_nn_derivative" ->
+      "SELECT nonNegativeDerivative(v, t) OVER (ORDER BY t) AS d FROM (SELECT o_orderkey AS v, o_orderdate AS t FROM orders LIMIT 50)",
+    "w30_untuple" ->
+      "SELECT untuple(tuple(1, 'a')) FROM system.one",
+    "w30_bit_slice" ->
+      "SELECT bitSlice('Hello', 1, 8) AS b, bitTest(43, 1) AS t, bitHammingDistance(111, 109) AS hd",
+    "w30_snowflake_gen" ->
+      "SELECT generateSnowflakeID() AS s, generateUUIDv7() AS u",
+    "w30_group_by_all" ->
+      "SELECT o_orderstatus, o_orderpriority, count() AS c FROM orders GROUP BY ALL ORDER BY c DESC LIMIT 3",
+    "w30_position_ch" ->
+      "SELECT position('Hello, world!', '!') AS p, position('abc', 'b', 1) AS p2, locate('b', 'abc') AS l",
+    "w30_extract_re" ->
+      "SELECT extract('Hello123World', '[0-9]+') AS num, extract(o_orderpriority, '[A-Z]+') AS w FROM orders LIMIT 1",
+    "w30_seq_next_node" ->
+      "SELECT sequenceNextNode('forward', 'first_match')(ts, event_type, 1, event_type != '') AS nxt FROM (SELECT ts, event_type FROM events LIMIT 200)",
+    "w30_interval_start" ->
+      "SELECT toStartOfInterval(toDateTime('2024-03-15 07:38:09'), INTERVAL 15 MINUTE) AS t15"
   )
 
   def main(args: Array[String]): Unit = {
