@@ -583,6 +583,24 @@ object CHFunctions {
     * lat1, lon2, lat2): haversine over Spark's codegen'd trig natives
     * with the 6371km mean-earth radius. The oracle replays the
     * identical formula. */
+  /** TRY-parse to the Int64 lane (NULL on failure) — the front end of
+    * every OrNull/OrZero integer conversion. */
+  private def tryLong(e: Expression): Expression =
+    Cast(e, LongType, None, EvalMode.TRY)
+
+  /** CH cipher-mode literal 'aes-<bits>-<mode>' → Spark's mode token
+    * (the key argument's own length carries the AES strength). */
+  private def aesModeLit(e: Expression): Expression = e match {
+    case Literal(s, StringType) =>
+      val parts = s.toString.toLowerCase.split("-")
+      require(parts.length == 3 && parts(0) == "aes" &&
+        Set("ecb", "cbc", "gcm")(parts(2)),
+        s"unsupported cipher mode '$s': expected aes-<bits>-<ecb|cbc|gcm>")
+      Literal(parts(2).toUpperCase)
+    case other => throw new IllegalArgumentException(
+      s"encrypt/decrypt mode must be a string literal, got $other")
+  }
+
   /** `makeDate(y, m, d)` or ClickHouse's `(year, day_of_year)` form. */
   private def mkDate(es: Seq[Expression]): Expression =
     if (es.size == 2)
@@ -1004,6 +1022,17 @@ object CHFunctions {
     // strings — splitByChar(sep, s): sep is regex-quoted via \Q..\E
     "splitByChar" -> (es =>
       fn("split", es(1), Concat(Seq(Literal("\\Q"), es.head, Literal("\\E"))))),
+    // maximal alphabetic runs (CH tokenizes by non-ASCII-alpha)
+    "alphaTokens" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("x"))
+      fn("filter", fn("split", es.head, Literal("[^A-Za-z]+")),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+    }),
+    "regexpQuoteMeta" -> (es =>
+      fn("regexp_replace", es.head,
+        Literal("([\\\\^$.\\[\\]|()?*+{}])"), Literal("\\\\$1"))),
+    "leftPadUTF8" -> (es => fn("lpad", es: _*)),
+    "rightPadUTF8" -> (es => fn("rpad", es: _*)),
 
     // JSON extraction
     "JSONExtractString" -> (es =>
@@ -1882,6 +1911,43 @@ object CHFunctions {
     "toInt32OrNull" -> (es => Cast(es.head, IntegerType, None, EvalMode.TRY)),
     "toInt64OrNull" -> (es => Cast(es.head, LongType, None, EvalMode.TRY)),
     "toFloat64OrNull" -> (es => Cast(es.head, DoubleType, None, EvalMode.TRY)),
+    // the rest of the OrNull/OrZero family: TRY-parse to the Int64
+    // lane, then the SAME wrap the plain spelling applies, so
+    // toUInt8OrNull('300') = 44 like toUInt8(300); NULL (resp. the
+    // type's zero) only when the parse itself fails
+    "toInt8OrNull" -> (es => signedWrap(tryLong(es.head), 8,
+      org.apache.spark.sql.types.ByteType)),
+    "toInt16OrNull" -> (es => signedWrap(tryLong(es.head), 16,
+      org.apache.spark.sql.types.ShortType)),
+    "toUInt8OrNull" -> (es => Cast(
+      fn("pmod", tryLong(es.head), Literal(256L)),
+      org.apache.spark.sql.types.ShortType)),
+    "toUInt16OrNull" -> (es => Cast(
+      fn("pmod", tryLong(es.head), Literal(65536L)), IntegerType)),
+    "toUInt32OrNull" -> (es =>
+      fn("pmod", tryLong(es.head), Literal(4294967296L))),
+    "toUInt64OrNull" -> (es => tryLong(es.head)),
+    "toFloat32OrNull" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.FloatType, None, EvalMode.TRY)),
+    "toInt8OrZero" -> (es => Coalesce(Seq(signedWrap(tryLong(es.head), 8,
+      org.apache.spark.sql.types.ByteType),
+      Cast(Literal(0), org.apache.spark.sql.types.ByteType)))),
+    "toInt16OrZero" -> (es => Coalesce(Seq(signedWrap(tryLong(es.head), 16,
+      org.apache.spark.sql.types.ShortType),
+      Cast(Literal(0), org.apache.spark.sql.types.ShortType)))),
+    "toUInt8OrZero" -> (es => Coalesce(Seq(Cast(
+      fn("pmod", tryLong(es.head), Literal(256L)),
+      org.apache.spark.sql.types.ShortType),
+      Cast(Literal(0), org.apache.spark.sql.types.ShortType)))),
+    "toUInt16OrZero" -> (es => Coalesce(Seq(Cast(
+      fn("pmod", tryLong(es.head), Literal(65536L)), IntegerType),
+      Literal(0)))),
+    "toUInt32OrZero" -> (es => Coalesce(Seq(
+      fn("pmod", tryLong(es.head), Literal(4294967296L)), Literal(0L)))),
+    "toUInt64OrZero" -> (es => Coalesce(Seq(tryLong(es.head), Literal(0L)))),
+    "toFloat32OrZero" -> (es => Coalesce(Seq(Cast(es.head,
+      org.apache.spark.sql.types.FloatType, None, EvalMode.TRY),
+      Cast(Literal(0.0f), org.apache.spark.sql.types.FloatType)))),
 
     // date/time casts + formatting. formatDateTime translates the
     // ClickHouse %-tokens to Spark's pattern letters when the format is
@@ -3756,6 +3822,9 @@ object CHFunctions {
       fn("substring_index", es.head, es(1), es(2))),
     "hasToken" -> (es =>
       fn("array_contains", byName("tokens")(Seq(es.head)), es(1))),
+    "hasTokenCaseInsensitive" -> (es =>
+      fn("array_contains", byName("tokens")(Seq(fn("lower", es.head))),
+        fn("lower", es(1)))),
     // type/environment introspection
     "toTypeName" -> (es => ToTypeName(es.head)),
     "currentDatabase" -> (_ => Literal("default")),
@@ -3939,6 +4008,50 @@ object CHFunctions {
     // the deprecated block-local scan functions have no sound reading
     // on a shuffled distributed engine — reject with the window
     // spelling CH itself recommends
+    // char(n1, n2, ...): each argument mod 256 becomes one byte/char
+    "char" -> (es => fn("concat",
+      es.map(e => fn("chr", fn("pmod", Cast(e, LongType), Literal(256L)))): _*)),
+    // RFC 4648 §5 URL-safe base64, unpadded like CH's
+    "base64URLEncode" -> (es => StringTrimRight(
+      fn("translate", fn("base64", Cast(es.head,
+        org.apache.spark.sql.types.BinaryType)),
+        Literal("+/"), Literal("-_")), Some(Literal("=")))),
+    "base64URLDecode" -> (es => {
+      val t = fn("translate", es.head, Literal("-_"), Literal("+/"))
+      Cast(fn("unbase64", fn("concat", t, fn("repeat", Literal("="),
+        fn("pmod", Subtract(Literal(4),
+          fn("pmod", fn("length", t), Literal(4))), Literal(4))))),
+        StringType)
+    }),
+    // CH encrypt/decrypt(mode, data, key[, iv[, aad]]) ride Spark's
+    // native aes_encrypt/aes_decrypt; the CH mode string 'aes-256-cbc'
+    // translates to the Spark mode token, the key length carries the
+    // AES strength on its own
+    "encrypt" -> (es => fn("aes_encrypt",
+      (Seq(Cast(es(1), org.apache.spark.sql.types.BinaryType), es(2),
+        aesModeLit(es.head), Literal("DEFAULT")) ++ es.drop(3)): _*)),
+    // Spark's aes_decrypt takes no IV argument: aes_encrypt prepends
+    // the IV to the ciphertext and decrypt reads it back from there,
+    // so CH's explicit-IV decrypt argument is accepted and ignored
+    // (the round trip through this engine's own encrypt is exact;
+    // ciphertext produced by CH itself is NOT interchangeable --
+    // documented deviation). The optional aad (arg 5) passes through.
+    "decrypt" -> (es => Cast(fn("aes_decrypt",
+      (Seq(Cast(es(1), org.apache.spark.sql.types.BinaryType), es(2),
+        aesModeLit(es.head), Literal("DEFAULT")) ++ es.drop(4)): _*),
+      StringType)),
+    "tryDecrypt" -> (es => Cast(fn("try_aes_decrypt",
+      (Seq(Cast(es(1), org.apache.spark.sql.types.BinaryType), es(2),
+        aesModeLit(es.head), Literal("DEFAULT")) ++ es.drop(4)): _*),
+      StringType)),
+    // throwIf(cond[, message]): CH's assertion — 0 when the condition
+    // is false, a loud error otherwise (numeric conditions bridge)
+    "throwIf" -> (es => If(Truthy(es.head),
+      fn("raise_error", if (es.size > 1) es(1)
+        else Literal("throwIf condition was true")),
+      Literal(0))),
+    "currentSchemas" -> (_ => fn("array", fn("current_database"))),
+    "tupleToNameValuePairs" -> (es => TupleToNameValuePairs(es.head)),
     // CH-only WINDOW function: windowed uses rewrite pre-analysis
     // (WindowShims) onto lag() over the user's own OVER spec; a bare
     // call can only mean the OVER clause was forgotten

@@ -608,3 +608,29 @@ case class BitSliceCH(str: Expression, off: Expression, len: Expression)
       f: Expression, s: Expression, t: Expression): BitSliceCH =
     copy(str = f, off = s, len = t)
 }
+
+/** ClickHouse `tupleToNameValuePairs(t)`: a named tuple becomes
+  * `[(name, value), ...]` — the struct's OWN field names as data.
+  * RuntimeReplaceable on the resolved struct type; the replacement is
+  * a plain CreateArray of two-field structs, so it stays codegen'd.
+  * Heterogeneous field types coerce like any array literal (CH
+  * requires a common type too). */
+case class TupleToNameValuePairs(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case st: StructType =>
+      CreateArray(st.fields.zipWithIndex.map { case (f, i) =>
+        CreateNamedStruct(Seq(Literal("name"), Literal(f.name),
+          Literal("value"), GetStructField(child, i, Some(f.name))))
+          : Expression
+      }.toSeq)
+    case other => throw new IllegalArgumentException(
+      s"tupleToNameValuePairs expects a tuple, got ${other.simpleString(40)}")
+  }
+
+  override def dataType: DataType = replacement.dataType
+  override def prettyName: String = "tupleToNameValuePairs"
+  override protected def withNewChildInternal(
+      newChild: Expression): TupleToNameValuePairs = copy(child = newChild)
+}

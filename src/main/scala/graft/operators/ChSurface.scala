@@ -2686,7 +2686,30 @@ object ChSurface {
         |      / (o_orderkey - lag(o_orderkey) OVER w), 0.0)), 4) AS d
         |FROM orders WHERE o_orderkey % 7 = 0
         |WINDOW w AS (ORDER BY o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin)))
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // wave-31 conversions/strings/crypto: engine-side contracts the
+    // oracle replays as constants (the aes round trip PROVES
+    // encrypt/decrypt are inverses without DuckDB needing the cipher)
+    ("q_wave_fns5",
+      """SELECT toInt32(toUInt8OrNull('300')) AS wrap300,
+        |  toUInt8OrNull('abc') IS NULL AS badnull,
+        |  toInt32(toUInt16OrZero('x')) AS z16,
+        |  char(72, 105) AS hi,
+        |  arrayStringConcat(alphaTokens('abc1def2ghi'), '-') AS toks,
+        |  regexpQuoteMeta('a.b') AS q,
+        |  base64URLEncode('https://example.com/?a=1') AS b64,
+        |  base64URLDecode(base64URLEncode('https://example.com/?a=1')) AS rt,
+        |  decrypt('aes-256-cbc',
+        |    encrypt('aes-256-cbc', 'secret', '32byteslongsecretkeyforaes256!!!'),
+        |    '32byteslongsecretkeyforaes256!!!') AS aes_rt,
+        |  toInt32(throwIf(0)) AS ok""".stripMargin,
+      Some("""SELECT CAST(44 AS INT) AS wrap300, true AS badnull,
+        |  CAST(0 AS INT) AS z16, 'Hi' AS hi, 'abc-def-ghi' AS toks,
+        |  'a\.b' AS q,
+        |  'aHR0cHM6Ly9leGFtcGxlLmNvbS8_YT0x' AS b64,
+        |  'https://example.com/?a=1' AS rt, 'secret' AS aes_rt,
+        |  CAST(0 AS INT) AS ok""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -812,7 +812,20 @@ object Probe {
     "w30_seq_next_node" ->
       "SELECT sequenceNextNode('forward', 'first_match')(ts, event_type, 1, event_type != '') AS nxt FROM (SELECT ts, event_type FROM events LIMIT 200)",
     "w30_interval_start" ->
-      "SELECT toStartOfInterval(toDateTime('2024-03-15 07:38:09'), INTERVAL 15 MINUTE) AS t15"
+      "SELECT toStartOfInterval(toDateTime('2024-03-15 07:38:09'), INTERVAL 15 MINUTE) AS t15",
+    // ---- wave 31 (conversions/crypto/string stragglers) ----
+    "w31_or_null_zero" ->
+      "SELECT toUInt8OrNull('300') AS a, toUInt8OrNull('abc') AS b, toUInt16OrZero('x') AS c, toInt8OrNull('-130') AS d, toFloat32OrZero('bad') AS e, toUInt64OrNull(o_orderkey) AS f FROM orders LIMIT 1",
+    "w31_char_tokens" ->
+      "SELECT char(72, 105) AS hi, alphaTokens('abc1def2ghi') AS toks, hasTokenCaseInsensitive('Hello World', 'HELLO') AS ht",
+    "w31_quote_meta" ->
+      "SELECT regexpQuoteMeta('Hello.World(x)') AS q, leftPadUTF8('abc', 7, '*') AS lp",
+    "w31_base64url" ->
+      "SELECT base64URLEncode('https://example.com/a?b=c') AS e, base64URLDecode(base64URLEncode('https://example.com/a?b=c')) AS d",
+    "w31_crypto" ->
+      "SELECT decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'secret', '32byteslongsecretkeyforaes256!!!', '16byteslongiv123'), '32byteslongsecretkeyforaes256!!!', '16byteslongiv123') AS rt",
+    "w31_throw_schemas" ->
+      "SELECT throwIf(0) AS ok, currentSchemas(true) AS cs, tupleToNameValuePairs(CAST((1, 2) AS STRUCT<a: INT, b: INT>)) AS nv"
   )
 
   def main(args: Array[String]): Unit = {
