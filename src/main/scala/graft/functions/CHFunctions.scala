@@ -4076,6 +4076,25 @@ object CHFunctions {
         es(2), Cast(es(3), StringType), es.drop(4).map(e => Truthy(e)))
     }),
     "identity" -> (es => es.head),
+    // CH's *Stable aggregate spellings promise a numerically stable
+    // merge; Spark's Welford-style moment aggregates already are —
+    // same estimator, so the names alias
+    "corrStable" -> (es => fn("corr", es: _*)),
+    "covarPopStable" -> (es => fn("covar_pop", es: _*)),
+    "covarSampStable" -> (es => fn("covar_samp", es: _*)),
+    // sub-second truncation: timestamps carry microseconds, so the
+    // nanosecond spelling truncates to the finest stored unit
+    "toStartOfMillisecond" -> (es =>
+      fn("date_trunc", Literal("millisecond"), es.head)),
+    "toStartOfMicrosecond" -> (es =>
+      fn("date_trunc", Literal("microsecond"), es.head)),
+    "toStartOfNanosecond" -> (es =>
+      fn("date_trunc", Literal("microsecond"), es.head)),
+    // a stable per-server id: derived from the running application id,
+    // so it persists for the session like CH's on-disk uuid does
+    "serverUUID" -> (_ => Literal(java.util.UUID.nameUUIDFromBytes(
+      org.apache.spark.sql.SparkSession.active.sparkContext
+        .applicationId.getBytes("UTF-8")).toString)),
     // decimal digits of the textual value — '.', '-', 'E' stripped, so
     // integers and Decimals answer CH's unscaled-digit count
     "countDigits" -> (es => fn("length",
@@ -4730,6 +4749,10 @@ object CHFunctions {
       }
       spark.sessionState.tableFunctionRegistry.registerFunction(
         FunctionIdentifier("numbers"), info("numbers"), numbersBuilder)
+      tableFns.foreach { case (n, b) =>
+        spark.sessionState.tableFunctionRegistry.registerFunction(
+          FunctionIdentifier(n), info(n), b)
+      }
     }
     // CH integer arithmetic wraps on overflow instead of raising
     // ANSI errors — see [[WrapArith]]. extraOptimizations is the
@@ -4759,6 +4782,87 @@ object CHFunctions {
       org.apache.spark.sql.catalyst.plans.logical.Project(
         Seq(Alias(range.output.head, "number")()), range)
     }
+
+  private def tvfLong(what: String)(e: Expression): Long = e.eval(null) match {
+    case n: Number => n.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what requires constant integers, got $other")
+  }
+
+  /** `generateSeries`/`generate_series(start, stop[, step])` — CH's
+    * INCLUSIVE-stop generator (Range's end is exclusive, so the end
+    * nudges one step-sign past stop); empty when the step points away
+    * from stop, like CH. Same zero-scan Range leaf as numbers(). */
+  private def generateSeriesBuilder:
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => {
+      val lit = tvfLong("generateSeries") _
+      val start = lit(es.head)
+      val stop = lit(es(1))
+      val step = if (es.size >= 3) lit(es(2)) else 1L
+      require(step != 0, "generateSeries step must be non-zero")
+      val end = stop + (if (step > 0) 1L else -1L)
+      val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+        start, end, step, None)
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(Alias(range.output.head, "generate_series")()), range)
+    }
+
+  /** `zeros(n)` / `zeros_mt(n)`: n rows of UInt8 0 (CH's cheap row
+    * generator for benchmarking expressions). */
+  private def zerosBuilder:
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => {
+      val n = tvfLong("zeros")(es.head)
+      val range = org.apache.spark.sql.catalyst.plans.logical.Range(
+        0L, n, 1L, None)
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(Alias(Cast(Literal(0),
+          org.apache.spark.sql.types.ShortType), "zero")()), range)
+    }
+
+  /** `merge([db, ] 'regexp')`: UNION ALL BY NAME over every mounted
+    * table whose name matches the (unanchored, CH/re2-style) pattern.
+    * The table list is read from the live session's catalog at
+    * analysis time; `db = 'system'` targets the system_* views (their
+    * prefix stripped for matching), any other db the data mounts.
+    * CH's hidden `_table` virtual column is not modeled — SELECT *
+    * parity holds because CH hides it there too. */
+  private def mergeBuilder:
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    es => {
+      def str(e: Expression): String = e.eval(null) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => throw new IllegalArgumentException(
+          s"merge() requires string literals, got $other")
+      }
+      val (db, re) =
+        if (es.size >= 2) (str(es.head), str(es(1))) else ("default", str(es.head))
+      val pat = java.util.regex.Pattern.compile(re)
+      val spark = SparkSession.active
+      val all = spark.catalog.listTables().collect().map(_.name).sorted
+      val names =
+        if (db == "system")
+          all.filter(_.startsWith("system_"))
+            .filter(n => pat.matcher(n.stripPrefix("system_")).find())
+        else all.filterNot(_.startsWith("system_"))
+          .filter(n => pat.matcher(n).find())
+      if (names.isEmpty) throw new IllegalArgumentException(
+        s"merge: no mounted table in '$db' matches '$re'")
+      val rels = names.toSeq.map(n =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(Seq(n)))
+      if (rels.size == 1) rels.head
+      else org.apache.spark.sql.catalyst.plans.logical.Union(
+        rels, byName = true, allowMissingCol = false)
+    }
+
+  private def tableFns = Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)](
+    "generateSeries" -> generateSeriesBuilder,
+    "generate_series" -> generateSeriesBuilder,
+    "zeros" -> zerosBuilder,
+    "zeros_mt" -> zerosBuilder,
+    "merge" -> mergeBuilder)
 
   /** A handful of dialect names intentionally shadow Spark built-ins
     * (`match`, `extractAll`, ...), which Spark's registry reports with
@@ -4795,6 +4899,9 @@ object CHFunctions {
       }
       ext.injectTableFunction(
         (FunctionIdentifier("numbers"), info("numbers"), numbersBuilder))
+      tableFns.foreach { case (n, b) =>
+        ext.injectTableFunction((FunctionIdentifier(n), info(n), b))
+      }
     }
 
   /** ClickHouse `%`-style date tokens → Spark pattern letters —

@@ -2709,7 +2709,22 @@ object ChSurface {
         |  'a\.b' AS q,
         |  'aHR0cHM6Ly9leGFtcGxlLmNvbS8_YT0x' AS b64,
         |  'https://example.com/?a=1' AS rt, 'secret' AS aes_rt,
-        |  CAST(0 AS INT) AS ok""".stripMargin)))
+        |  CAST(0 AS INT) AS ok""".stripMargin)),
+
+    // wave-32 generator/merge TVFs: DuckDB's generate_series is
+    // natively inclusive-stop, so the series sum is a REAL replay;
+    // merge('^orders$') must equal a direct count
+    ("q_tvf_series",
+      """SELECT (SELECT sum(generate_series) FROM generateSeries(2, 10, 3)) AS s,
+        |  (SELECT sum(generate_series) FROM generate_series(5, 1, -2)) AS sneg,
+        |  (SELECT count(*) FROM zeros(5)) AS z,
+        |  (SELECT count() FROM merge('default', '^orders$')) AS m""".stripMargin,
+      Some("""SELECT (SELECT CAST(sum(generate_series) AS BIGINT)
+        |    FROM generate_series(2, 10, 3)) AS s,
+        |  (SELECT CAST(sum(generate_series) AS BIGINT)
+        |    FROM generate_series(5, 1, -2)) AS sneg,
+        |  (SELECT count(*) FROM generate_series(1, 5)) AS z,
+        |  (SELECT count(*) FROM orders) AS m""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -147,7 +147,41 @@ object QueryGuard {
       case Some(df) => return df
       case None =>
     }
+    tryMetaStatement(spark, sql) match {
+      case Some(df) => return df
+      case None =>
+    }
     restoreRenamedNames(planned(spark, sql))
+  }
+
+  /** CH meta statements Spark cannot serve over temp-view mounts:
+    * `SHOW CREATE TABLE t` (Spark refuses temp views; CH answers the
+    * DDL in a one-row `statement` column) and `EXISTS [TABLE] t`
+    * (UInt8 `result`). The DDL is reconstructed from the mounted
+    * view's own schema — the same shape the catalog's
+    * `createTableQuery` publishes. */
+  private def tryMetaStatement(spark: SparkSession, sql: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    val t = sql.trim.stripSuffix(";").trim
+    val show = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE|VIEW)\\s+([`\\w.]+)$".r
+    val exists = "(?is)^EXISTS\\s+(?:TABLE\\s+|VIEW\\s+)?([`\\w.]+)$".r
+    def bare(n: String): String =
+      n.replace("`", "").stripPrefix("default.")
+    import spark.implicits._
+    t match {
+      case show(name0) =>
+        val name = bare(name0)
+        if (!spark.catalog.tableExists(name)) throw new ReadOnlyViolation(
+          s"SHOW CREATE TABLE: unknown table '$name'")
+        val ddl = s"CREATE TABLE default.$name " +
+          s"(${spark.table(name).schema.toDDL}) USING parquet"
+        Some(Seq(ddl).toDF("statement"))
+      case exists(name0) if !Set("table", "view")(bare(name0).toLowerCase) =>
+        val yes = spark.catalog.tableExists(bare(name0))
+        Some(Seq(if (yes) 1 else 0).toDF("result")
+          .selectExpr("CAST(result AS TINYINT) AS result"))
+      case _ => None
+    }
   }
 
   private def planned(spark: SparkSession, sql: String)
@@ -691,8 +725,35 @@ object QueryGuard {
     }
   }
 
+  /** `{name:Type}` query parameters (clickhouse-client substitutes
+    * these before sending) have no binding channel on this endpoint —
+    * reject with the fix instead of a bare parser error. Quote-aware:
+    * a literal `{a:1}` inside a string is data, not a parameter. */
+  private def rejectQueryParams(sql: String): Unit = {
+    val pat = java.util.regex.Pattern.compile(
+      "\\{\\s*([A-Za-z_][A-Za-z0-9_]*)\\s*:\\s*[A-Za-z][A-Za-z0-9_() ,]*\\}")
+    var i = 0
+    var q: Char = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (q != 0) {
+        if (c == '\\' && q == '\'') i += 1
+        else if (c == q) q = 0
+      } else if (c == '\'' || c == '"' || c == '`') q = c
+      else if (c == '{') {
+        val m = pat.matcher(sql.substring(i))
+        if (m.lookingAt()) throw new ReadOnlyViolation(
+          s"query parameter {${m.group(1)}: ...} is not bound — this " +
+            "endpoint serves complete statements; inline the value " +
+            "as a literal")
+      }
+      i += 1
+    }
+  }
+
   def normalizeDialect(sql: String): String = {
     rejectDistributedTvfs(sql)
+    rejectQueryParams(sql)
     // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
     // to their Spark SQL types first, so every later shim and the
     // parser see standard type syntax

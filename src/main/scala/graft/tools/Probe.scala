@@ -825,7 +825,15 @@ object Probe {
     "w31_crypto" ->
       "SELECT decrypt('aes-256-cbc', encrypt('aes-256-cbc', 'secret', '32byteslongsecretkeyforaes256!!!', '16byteslongiv123'), '32byteslongsecretkeyforaes256!!!', '16byteslongiv123') AS rt",
     "w31_throw_schemas" ->
-      "SELECT throwIf(0) AS ok, currentSchemas(true) AS cs, tupleToNameValuePairs(CAST((1, 2) AS STRUCT<a: INT, b: INT>)) AS nv"
+      "SELECT throwIf(0) AS ok, currentSchemas(true) AS cs, tupleToNameValuePairs(CAST((1, 2) AS STRUCT<a: INT, b: INT>)) AS nv",
+    // ---- wave 32 (statement shapes + generator/merge TVFs) ----
+    "w32_show_create" -> "SHOW CREATE TABLE orders",
+    "w32_exists" -> "EXISTS TABLE orders",
+    "w32_series" ->
+      "SELECT sum(generate_series) AS s FROM generateSeries(2, 10, 3)",
+    "w32_zeros" -> "SELECT count(*) AS n FROM zeros(7)",
+    "w32_merge" ->
+      "SELECT count() AS n FROM merge('default', '^orders$')"
   )
 
   def main(args: Array[String]): Unit = {
