@@ -155,7 +155,23 @@ object Introspection {
         |ORDER BY tbl""".stripMargin)
   }
 
+  /** The ops slice (QueryLog scaladoc): clusters is a fixed contract
+    * for this single-node topology; metrics/disks prove non-empty live
+    * values through the same dotted path (their numbers are, by
+    * nature, not replayable). */
+  val sysOps: Q = (s, dir) => {
+    TableEnv.register(s, dir)
+    graft.sql.QueryLog.refresh(s)
+    graft.sql.QueryGuard.plan(s,
+      """SELECT (SELECT concat(cluster, '/', shard_num, '/', replica_num,
+        |      '/', is_local) FROM system.clusters) AS topo,
+        |  (SELECT count(*) >= 7 FROM system.metrics) AS has_metrics,
+        |  (SELECT count(*) FROM system.disks) AS n_disks,
+        |  (SELECT free_space <= total_space FROM system.disks) AS sane""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sys_ops" -> sysOps,
     "sys_dotted" -> sysDotted,
     "sys_parts" -> sysParts,
     "cat_databases" -> catDatabases,
@@ -174,6 +190,8 @@ object Introspection {
   val oracles: Map[String, String] = Map(
     // fixed contracts: the served table list has 10 tables, the LIMITed
     // numbers slice has 5 rows, system.one's dummy is the UInt8 zero
+    "sys_ops" -> ("SELECT 'default/1/1/1' AS topo, true AS has_metrics, " +
+      "CAST(1 AS BIGINT) AS n_disks, true AS sane"),
     "sys_dotted" -> ("SELECT CAST(10 AS BIGINT) AS n_tables, " +
       "CAST(5 AS BIGINT) AS n_numbers, CAST(0 AS TINYINT) AS dummy"),
     "sys_parts" ->

@@ -199,7 +199,10 @@ final class QueryExecutor(
     * ClickHouse-surface shims (PREWHERE, trailing SETTINGS/FORMAT,
     * LIMIT BY, WITH TOTALS, WITH FILL) normalize away first, so
     * pasted CH queries run unchanged. */
-  def select(sql: String): DataFrame = QueryGuard.plan(spark, sql)
+  def select(sql: String): DataFrame = {
+    QueryLog.refresh(spark)
+    QueryGuard.plan(spark, sql)
+  }
 
   /** Formatted physical plan of a guarded SELECT — planning only, no
     * jobs run. The "why is this slow" tool an operator (or LLM client)
@@ -238,21 +241,38 @@ final class QueryExecutor(
   def run(sql: String): QueryResult = run(sql, maxRows)
 
   def run(sql: String, capRows: Int): QueryResult = {
-    val df = select(sql)
     val jobTag = s"graft-query-${java.util.UUID.randomUUID()}"
-    val task = pool.submit { () =>
-      spark.sparkContext.addJobTag(jobTag)
-      try collect(df, capRows)
-      finally spark.sparkContext.removeJobTag(jobTag)
-    }
-    try task.get(timeoutSec.toLong, TimeUnit.SECONDS)
-    catch {
-      case _: TimeoutException =>
-        spark.sparkContext.cancelJobsWithTag(jobTag)
-        task.cancel(true)
-        throw new TimeoutException(s"Query timed out after $timeoutSec seconds")
-      case NonFatal(e) => throw e
-    }
+    // ops surface: the query registers as in-flight and the live
+    // system.processes/query_log/metrics views refresh BEFORE
+    // planning, so a pasted `SELECT * FROM system.processes` sees
+    // itself, as on ClickHouse (QueryLog scaladoc)
+    QueryLog.begin(jobTag, sql)
+    var outcome = ""
+    var rows = -1L
+    try {
+      val df = select(sql)
+      val task = pool.submit { () =>
+        spark.sparkContext.addJobTag(jobTag)
+        try collect(df, capRows)
+        finally spark.sparkContext.removeJobTag(jobTag)
+      }
+      try {
+        val r = task.get(timeoutSec.toLong, TimeUnit.SECONDS)
+        rows = r.rows.size.toLong
+        r
+      } catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobsWithTag(jobTag)
+          task.cancel(true)
+          throw new TimeoutException(s"Query timed out after $timeoutSec seconds")
+        case NonFatal(e) => throw e
+      }
+    } catch {
+      case e: Throwable =>
+        outcome = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.take(1).mkString.take(500)
+        throw e
+    } finally QueryLog.finish(jobTag, rows.max(0L), outcome)
   }
 
   private def collect(df: Dataset[org.apache.spark.sql.Row], capRows: Int): QueryResult = {

@@ -1408,7 +1408,8 @@ object QueryGuard {
     * (the SYSTEM token preceded by a dot) is left alone. */
   private def rewriteSystemQualifiers(sql: String): String = {
     val names = Set("tables", "columns", "databases", "functions",
-      "one", "numbers", "numbers_mt", "parts", "settings")
+      "one", "numbers", "numbers_mt", "parts", "settings",
+      "processes", "query_log", "metrics", "disks", "clusters")
     val ts = normalizeScan(sql)
     var out = sql
     ts.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>

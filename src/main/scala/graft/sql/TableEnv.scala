@@ -35,6 +35,10 @@ object TableEnv {
       // unbounded counter — a Range LEAF, so a LIMIT takes only the
       // rows it needs and a full scan is the same user error (bounded
       // here by the executor timeout) it is on ClickHouse
+      // the live ops slice (processes/query_log/metrics — refreshed
+      // per served query by QueryExecutor) and its static companions
+      QueryLog.refresh(spark)
+      QueryLog.registerStatic(spark, dir)
       import org.apache.spark.sql.functions.lit
       spark.range(1).select(lit(0).cast("tinyint").as("dummy"))
         .createOrReplaceTempView("system_one")

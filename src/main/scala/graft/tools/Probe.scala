@@ -833,7 +833,16 @@ object Probe {
       "SELECT sum(generate_series) AS s FROM generateSeries(2, 10, 3)",
     "w32_zeros" -> "SELECT count(*) AS n FROM zeros(7)",
     "w32_merge" ->
-      "SELECT count() AS n FROM merge('default', '^orders$')"
+      "SELECT count() AS n FROM merge('default', '^orders$')",
+    // ---- wave 33 (live ops system tables) ----
+    "w33_processes" ->
+      "SELECT count() AS inflight FROM system.processes",
+    "w33_query_log" ->
+      "SELECT count() AS logged FROM system.query_log",
+    "w33_metrics" ->
+      "SELECT metric, value FROM system.metrics WHERE metric = 'CPUCores'",
+    "w33_disks_clusters" ->
+      "SELECT (SELECT count() FROM system.disks) AS d, (SELECT cluster FROM system.clusters) AS c"
   )
 
   def main(args: Array[String]): Unit = {
