@@ -283,6 +283,25 @@ object CHFunctions {
   private val identityDefaultCombinators = Set("arrayCount", "arrayExists",
     "arrayAll", "arrayFirst", "arrayLast", "arrayFirstIndex")
 
+  /** arrayFirst/arrayLast (and their OrNull spellings): the first or
+    * last element matching the zipped lambda, NULL when none match. */
+  private def arrayEndBuilder(name: String, last: Boolean,
+      es: Seq[Expression]): Expression = {
+    val (l, as) = chLambdaArgs(name, es)
+    val (acc, x, fin) = lambdaVars
+    val fold =
+      if (last) LambdaFunction(CreateArray(Seq(x)), Seq(acc, x))
+      else LambdaFunction(
+        CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
+          CreateArray(Seq(x)))), Some(acc)), Seq(acc, x))
+    ArrayAggregate(
+      chFilter(l, as),
+      Slice(as.head, Literal(1), Literal(0)), // empty, element-typed
+      fold,
+      LambdaFunction(
+        ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
+  }
+
   /** Split (lambda, a1..aN); arity mismatches are rejected loudly —
     * letting Spark re-bind them as (element, index) is the wrong-answer
     * trap this dispatcher exists to close. A single non-lambda argument
@@ -1162,6 +1181,8 @@ object CHFunctions {
       CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(null))),
         Some(fn("try_element_at", es.head, es(1))))),
     "indexOf" -> (es => fn("array_position", es.head, es(1))),
+    // the sortedness is a CH scan hint, not a semantic change
+    "indexOfAssumeSorted" -> (es => fn("array_position", es.head, es(1))),
     "arrayIntersect" -> (es => fn("array_intersect", es.head, es(1))),
     "arrayUnion" -> (es =>
       fn("array_distinct", fn("concat", es.head, es(1)))),
@@ -1326,28 +1347,15 @@ object CHFunctions {
     // fold: keep-first / keep-last over the filtered matches, with an
     // empty same-type slice as the zero and the scalar extraction in
     // the finish lambda.
-    "arrayFirst" -> (es => {
-      val (l, as) = chLambdaArgs("arrayFirst", es)
-      val (acc, x, fin) = lambdaVars
-      ArrayAggregate(
-        chFilter(l, as),
-        Slice(as.head, Literal(1), Literal(0)), // empty, element-typed
-        LambdaFunction(
-          CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
-            CreateArray(Seq(x)))), Some(acc)), Seq(acc, x)),
-        LambdaFunction(
-          ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
-    }),
-    "arrayLast" -> (es => {
-      val (l, as) = chLambdaArgs("arrayLast", es)
-      val (acc, x, fin) = lambdaVars
-      ArrayAggregate(
-        chFilter(l, as),
-        Slice(as.head, Literal(1), Literal(0)),
-        LambdaFunction(CreateArray(Seq(x)), Seq(acc, x)), // keep last
-        LambdaFunction(
-          ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
-    }),
+    "arrayFirst" -> (es => arrayEndBuilder("arrayFirst", last = false, es)),
+    // the *OrNull spellings share the builders: the engine's no-match
+    // answer is already NULL (CH's plain forms answer the type
+    // default — NULL is the honest cross-type value here, documented)
+    "arrayFirstOrNull" ->
+      (es => arrayEndBuilder("arrayFirstOrNull", last = false, es)),
+    "arrayLast" -> (es => arrayEndBuilder("arrayLast", last = true, es)),
+    "arrayLastOrNull" ->
+      (es => arrayEndBuilder("arrayLastOrNull", last = true, es)),
     // 1-based index of the first match (0 when none). Single-array:
     // position of the first matching VALUE — an equal earlier value
     // matches the same lambda, so positions agree. Multi-array: that
@@ -1384,6 +1392,22 @@ object CHFunctions {
                   IntegerType),
                 Literal(0))), Seq(fin)))
       }
+    }),
+    // 1-based index of the LAST match (0 when none): the matched
+    // positions ride the index axis (sound for duplicates and
+    // multi-array zips alike), keeping the final one
+    "arrayLastIndex" -> (es => {
+      val (l, as) = chLambdaArgs("arrayLastIndex", es)
+      val (acc, x, fin) = lambdaVars
+      ArrayAggregate(
+        chFilterIdx(l, as),
+        Slice(indexAxis(as.head), Literal(1), Literal(0)),
+        LambdaFunction(CreateArray(Seq(x)), Seq(acc, x)),
+        LambdaFunction(
+          Coalesce(Seq(
+            Cast(ElementAt(fin, Literal(1), None, failOnError = false),
+              IntegerType),
+            Literal(0))), Seq(fin)))
     }),
     // hasSubstr(a, b): b appears in a as a CONTIGUOUS subsequence —
     // probe every start offset with a slice equality (the start axis
@@ -2936,6 +2960,8 @@ object CHFunctions {
     // CH's byte-exact Levenshtein names resolve to Spark's builtin
     // (which also takes the optional threshold argument)
     "editDistance" -> (es => fn("levenshtein", es: _*)),
+    // the levenshtein native is already codepoint-based
+    "editDistanceUTF8" -> (es => fn("levenshtein", es: _*)),
     "levenshteinDistance" -> (es => fn("levenshtein", es: _*)),
     // byte-exact similarity batteries ([[StringDistanceOps]]):
     // Damerau with adjacent transpositions, Jaro/Jaro-Winkler with the
@@ -3825,6 +3851,20 @@ object CHFunctions {
     "hasTokenCaseInsensitive" -> (es =>
       fn("array_contains", byName("tokens")(Seq(fn("lower", es.head))),
         fn("lower", es(1)))),
+    "hasAnyTokens" -> (es =>
+      fn("arrays_overlap", byName("tokens")(Seq(es.head)), es(1))),
+    "hasAllTokens" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("tk"))
+      fn("forall", es(1), LambdaFunction(
+        fn("array_contains", byName("tokens")(Seq(es.head)), t), Seq(t)))
+    }),
+    "multiFuzzyMatchAny" -> (_ => throw new IllegalArgumentException(
+      "constant-edit-distance fuzzy multi-match (hyperscan) is not " +
+        "implemented: compose editDistance/ngramSearch per pattern, " +
+        "or use multiSearchAny/multiMatchAny for exact patterns")),
+    "multiFuzzyMatchAnyIndex" -> (_ => throw new IllegalArgumentException(
+      "constant-edit-distance fuzzy multi-match (hyperscan) is not " +
+        "implemented: compose editDistance per pattern")),
     // type/environment introspection
     "toTypeName" -> (es => ToTypeName(es.head)),
     "currentDatabase" -> (_ => Literal("default")),

@@ -2724,7 +2724,19 @@ object ChSurface {
         |  (SELECT CAST(sum(generate_series) AS BIGINT)
         |    FROM generate_series(5, 1, -2)) AS sneg,
         |  (SELECT count(*) FROM generate_series(1, 5)) AS z,
-        |  (SELECT count(*) FROM orders) AS m""".stripMargin)))
+        |  (SELECT count(*) FROM orders) AS m""".stripMargin)),
+
+    // wave-34 array-end/token stragglers (constant contracts)
+    ("q_wave_fns6",
+      """SELECT arrayLast(x -> x > 1, [1, 2, 3]) AS al,
+        |  arrayLastIndex(x -> x = 2, [2, 1, 2, 3]) AS ali,
+        |  arrayFirstOrNull(x -> x > 9, [1]) IS NULL AS afn,
+        |  hasAnyTokens('a b c', ['c', 'z']) AS ha,
+        |  hasAllTokens('a b c', ['a', 'b']) AS hb,
+        |  editDistanceUTF8('kitten', 'sitting') AS ed""".stripMargin,
+      Some("""SELECT CAST(3 AS INT) AS al, CAST(3 AS INT) AS ali,
+        |  true AS afn, true AS ha, true AS hb,
+        |  CAST(3 AS INT) AS ed""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -842,7 +842,12 @@ object Probe {
     "w33_metrics" ->
       "SELECT metric, value FROM system.metrics WHERE metric = 'CPUCores'",
     "w33_disks_clusters" ->
-      "SELECT (SELECT count() FROM system.disks) AS d, (SELECT cluster FROM system.clusters) AS c"
+      "SELECT (SELECT count() FROM system.disks) AS d, (SELECT cluster FROM system.clusters) AS c",
+    // ---- wave 34 (array-end/token stragglers) ----
+    "w34_array_end" ->
+      "SELECT arrayLastIndex(x -> x = 2, [2, 1, 2, 3]) AS li, arrayFirstOrNull(x -> x > 9, [1]) AS fo, arrayLastOrNull(x -> x > 0, [1, 5]) AS lo",
+    "w34_tokens_fuzzy" ->
+      "SELECT hasAnyTokens(o_orderpriority, ['URGENT']) AS ha, editDistanceUTF8(o_orderstatus, 'O') AS ed FROM orders LIMIT 1"
   )
 
   def main(args: Array[String]): Unit = {
