@@ -139,15 +139,32 @@ object HealthServer {
           respond(exchange, 400,
             """{"status": "error", "message": "empty query"}""", json = true)
         else exec.runSafe(sql) match {
-          // ?format=csv renders CSVWithNames (chDB's default output),
-          // ?format=jsoneachrow ClickHouse's NDJSON; JSON otherwise
-          case Right(result) if params(exchange).get("format").contains("csv") =>
-            respond(exchange, 200, result.toCsv, json = false)
-          case Right(result)
-              if params(exchange).get("format").exists(
-                _.equalsIgnoreCase("jsoneachrow")) =>
-            respond(exchange, 200, result.toJsonEachRow, json = false)
-          case Right(result) => respond(exchange, 200, result.toJson, json = true)
+          // ?format=<name> selects the CH output format by its CH
+          // spelling (case-insensitive): CSV[WithNames], JSONEachRow,
+          // TabSeparated[WithNames]/TSV, Pretty[Compact], Vertical,
+          // Values; the reference's {columns, rows} JSON otherwise
+          case Right(result) =>
+            val fmt = params(exchange).get("format")
+              .map(_.toLowerCase).getOrElse("json")
+            fmt match {
+              case "csv" | "csvwithnames" =>
+                respond(exchange, 200, result.toCsv, json = false)
+              case "jsoneachrow" | "ndjson" =>
+                respond(exchange, 200, result.toJsonEachRow, json = false)
+              case "tsv" | "tabseparated" =>
+                respond(exchange, 200, result.toTsv(withNames = false),
+                  json = false)
+              case "tsvwithnames" | "tabseparatedwithnames" =>
+                respond(exchange, 200, result.toTsv(withNames = true),
+                  json = false)
+              case "pretty" | "prettycompact" =>
+                respond(exchange, 200, result.toPretty, json = false)
+              case "vertical" =>
+                respond(exchange, 200, result.toVertical, json = false)
+              case "values" =>
+                respond(exchange, 200, result.toValues, json = false)
+              case _ => respond(exchange, 200, result.toJson, json = true)
+            }
           case Left(message) =>
             respond(exchange, 400,
               s"""{"status": "error", "message": ${Json.str(message)}}""",

@@ -62,6 +62,73 @@ final case class QueryResult(
         "\"" + esc(c) + "\": " + jsonValue(x, nonFiniteAsNull = true)
       }.mkString("{", ", ", "}"))
       .mkString("\n")
+
+  /** TabSeparated[WithNames] — ClickHouse's default interactive
+    * format: one row per line, cells tab-separated, the in-cell
+    * escapes CH documents (backslash, tab, newline), NULL as `\N`,
+    * composite cells as CH literals. */
+  def toTsv(withNames: Boolean): String = {
+    def cell(x: Any): String = x match {
+      case null => "\\N"
+      case other => chLiteral(other, nested = false)
+        .replace("\\", "\\\\").replace("\t", "\\t")
+        .replace("\n", "\\n").replace("\r", "\\r")
+    }
+    val body = rows.map(_.map(cell).mkString("\t"))
+    ((if (withNames) Seq(columns.map(cell).mkString("\t")) else Nil) ++ body)
+      .mkString("\n")
+  }
+
+  /** PrettyCompact — CH's human table: the header rides the top
+    * border, numeric cells right-align, NULL renders as CH's
+    * superscript marker. Purely cosmetic width math (codepoints). */
+  def toPretty: String = {
+    def cell(x: Any): String = x match {
+      case null => "\u1d3a\u1d41\u1d38\u1d38" // ᴺᵁᴸᴸ
+      case other => chLiteral(other, nested = false)
+    }
+    def isNum(x: Any): Boolean = x match {
+      case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double |
+           _: java.math.BigDecimal | _: BigDecimal => true
+      case _ => false
+    }
+    val cells = rows.map(_.map(cell))
+    val numeric = columns.indices.map(i =>
+      rows.exists(r => isNum(r(i))) && rows.forall(r =>
+        r(i) == null || isNum(r(i))))
+    val w = columns.indices.map(i =>
+      (Seq(columns(i).length) ++ cells.map(c => c(i).length)).max)
+    val top = columns.indices.map(i =>
+      "\u2500" + columns(i) + "\u2500" * (w(i) - columns(i).length + 1))
+      .mkString("\u250c", "\u252c", "\u2510")
+    val body = cells.map(r => columns.indices.map { i =>
+      val pad = " " * (w(i) - r(i).length)
+      if (numeric(i)) " " + pad + r(i) + " " else " " + r(i) + pad + " "
+    }.mkString("\u2502", "\u2502", "\u2502"))
+    val bottom = columns.indices.map(i => "\u2500" * (w(i) + 2))
+      .mkString("\u2514", "\u2534", "\u2518")
+    (Seq(top) ++ body ++ Seq(bottom)).mkString("\n")
+  }
+
+  /** Vertical — CH's `FORMAT Vertical` / `\G` shape: one
+    * `column: value` line per cell, a `Row N:` banner per row. */
+  def toVertical: String = {
+    val wName = if (columns.isEmpty) 0 else columns.map(_.length).max
+    rows.zipWithIndex.map { case (r, i) =>
+      val banner = s"Row ${i + 1}:\n" + "\u2500" * 10 + "\n"
+      banner + columns.zip(r).map { case (c, x) =>
+        c + ":" + " " * (wName - c.length + 1) +
+          (if (x == null) "\u1d3a\u1d41\u1d38\u1d38"
+           else chLiteral(x, nested = false))
+      }.mkString("\n")
+    }.mkString("\n\n")
+  }
+
+  /** Values — `(1,'a'),(2,'b')`: every cell in its nested CH literal
+    * form (strings quoted), rows comma-joined on one line. */
+  def toValues: String =
+    rows.map(_.map(chLiteral(_, nested = true)).mkString("(", ",", ")"))
+      .mkString(",")
 }
 
 object QueryResult {
