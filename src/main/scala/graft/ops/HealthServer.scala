@@ -144,7 +144,10 @@ object HealthServer {
           // TabSeparated[WithNames]/TSV, Pretty[Compact], Vertical,
           // Values; the reference's {columns, rows} JSON otherwise
           case Right(result) =>
+            // a ?format= parameter wins; otherwise the statement's own
+            // trailing FORMAT clause selects, like CH over HTTP
             val fmt = params(exchange).get("format")
+              .orElse(graft.sql.QueryGuard.trailingFormat(sql))
               .map(_.toLowerCase).getOrElse("json")
             fmt match {
               case "csv" | "csvwithnames" =>

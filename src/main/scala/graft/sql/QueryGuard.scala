@@ -751,6 +751,22 @@ object QueryGuard {
     }
   }
 
+  /** The statement's trailing `FORMAT <name>`, if any — the /query
+    * endpoint honors it like ClickHouse's HTTP interface when no
+    * `?format=` parameter overrides (the dialect layer strips the
+    * clause before planning either way; same token test). */
+  def trailingFormat(sql: String): Option[String] = {
+    val ts = normalizeScan(sql)
+    if (ts.size >= 2) {
+      val (f, fd) = ts(ts.size - 2)
+      val (id, _) = ts.last
+      if (fd == 0 && f.upper == "FORMAT" &&
+        sql.substring(id.end).trim.stripSuffix(";").trim.isEmpty)
+        Some(sql.substring(id.start, id.end))
+      else None
+    } else None
+  }
+
   def normalizeDialect(sql: String): String = {
     rejectDistributedTvfs(sql)
     rejectQueryParams(sql)
@@ -820,6 +836,7 @@ object QueryGuard {
     out = stripIntoOutfile(out)
     out = stripInnerSettings(out)
     // trailing FORMAT <ident>: the last two tokens, at depth 0
+    // (trailingFormat below applies the same test for the endpoint)
     var ts = normalizeScan(out)
     if (ts.size >= 2) {
       val (f, fd) = ts(ts.size - 2)

@@ -72,6 +72,22 @@ class WireFormatsSpec extends SparkSpec {
       assert(get("Vertical", sql).contains("Row 1:"))
       assert(get("Values", sql) == "(1,'x')")
       assert(get("JSONEachRow", sql) == "{\"a\": 1, \"b\": \"x\"}")
+      // the statement's own FORMAT clause selects when no param does,
+      // like CH over HTTP; an explicit param still wins
+      def getRaw(sql: String): String = {
+        val url = s"http://localhost:${srv.port}/query?q=" +
+          java.net.URLEncoder.encode(sql, "UTF-8")
+        val conn = new java.net.URL(url).openConnection()
+          .asInstanceOf[java.net.HttpURLConnection]
+        val body = new String(conn.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        conn.disconnect()
+        body
+      }
+      assert(getRaw("SELECT 1 AS a, 'x' AS b FORMAT TSVWithNames") ==
+        "a\tb\n1\tx")
+      assert(getRaw("SELECT 1 AS a FORMAT Values") == "(1)")
+      assert(get("Values", "SELECT 2 AS a FORMAT Pretty") == "(2)")
     } finally srv.close()
   }
 }
