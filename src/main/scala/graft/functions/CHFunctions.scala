@@ -4177,6 +4177,46 @@ object CHFunctions {
       Cast(es.head, LongType, None, EvalMode.TRY), es(1)))),
     "toFloat64OrDefault" -> (es => Coalesce(Seq(
       Cast(es.head, DoubleType, None, EvalMode.TRY), es(1)))),
+    // the rest of the conversion OrDefault family: TRY-parse, the
+    // plain spelling's wrap, then the caller's default (2nd arg;
+    // CH falls back to the type default when omitted)
+    "toUInt8OrDefault" -> (es => Coalesce(Seq(
+      Cast(fn("pmod", tryLong(es.head), Literal(256L)),
+        org.apache.spark.sql.types.ShortType),
+      if (es.size > 1) es(1)
+      else Cast(Literal(0), org.apache.spark.sql.types.ShortType)))),
+    "toUInt16OrDefault" -> (es => Coalesce(Seq(
+      Cast(fn("pmod", tryLong(es.head), Literal(65536L)), IntegerType),
+      if (es.size > 1) es(1) else Literal(0)))),
+    "toUInt32OrDefault" -> (es => Coalesce(Seq(
+      fn("pmod", tryLong(es.head), Literal(4294967296L)),
+      if (es.size > 1) es(1) else Literal(0L)))),
+    "toUInt64OrDefault" -> (es => Coalesce(Seq(tryLong(es.head),
+      if (es.size > 1) es(1) else Literal(0L)))),
+    "toDateOrDefault" -> (es => Coalesce(Seq(
+      Cast(es.head, org.apache.spark.sql.types.DateType, None, EvalMode.TRY),
+      if (es.size > 1) es(1)
+      else Literal(0, org.apache.spark.sql.types.DateType)))),
+    "toDateTimeOrDefault" -> (es => Coalesce(Seq(
+      Cast(es.head, org.apache.spark.sql.types.TimestampType, None,
+        EvalMode.TRY),
+      if (es.size > 1) es(1)
+      else Literal(0L, org.apache.spark.sql.types.TimestampType)))),
+    "accurateCastOrDefault" -> (es => Coalesce(
+      Seq(accurateCastExpr(es.take(2), orNull = true)) ++ es.drop(2))),
+    // the 128/256-bit integer lanes ride DECIMAL(38, 0) — covers
+    // ±10^38 (Int128's full range is ~±1.7e38; the extreme 2% and
+    // all of Int256 overflow to NULL — documented narrowing)
+    "toInt128" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(38, 0))),
+    "toInt256" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(38, 0))),
+    "toUInt128" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(38, 0))),
+    "toUInt256" -> (es => Cast(es.head,
+      org.apache.spark.sql.types.DecimalType(38, 0))),
+    "parseDateTime64BestEffort" -> (es =>
+      fn("parseDateTimeBestEffort", es.head)),
     // sample skew/kurt from population builtins by moment algebra:
     // skewSamp = m3/varSamp^1.5 = skewness · (varPop/varSamp)^1.5,
     // kurtSamp = m4/varSamp²   = (kurtosis+3) · (varPop/varSamp)²

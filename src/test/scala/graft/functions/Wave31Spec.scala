@@ -30,6 +30,23 @@ class Wave31Spec extends SparkSpec {
     assert(r.getLong(6) == 42L)
   }
 
+  test("OrDefault conversions and the wide-integer decimal lanes") {
+    val r = one(
+      """SELECT toUInt8OrDefault('300', CAST(9 AS SMALLINT)) AS wrap,
+        |  toUInt8OrDefault('bad', CAST(9 AS SMALLINT)) AS dflt,
+        |  toDateOrDefault('nope', toDate('2000-01-01')) AS d,
+        |  accurateCastOrDefault(300, 'UInt8', CAST(7 AS SMALLINT)) AS acc,
+        |  toInt128(42) AS i128, toUInt256('99999999999999999999') AS u256,
+        |  toString(parseDateTime64BestEffort('2024-03-15 07:08:09.125')) AS p""".stripMargin)
+    assert(r.getShort(0) == 44) // parse ok -> the plain wrap, not default
+    assert(r.getShort(1) == 9)
+    assert(r.getDate(2).toString == "2000-01-01")
+    assert(r.getShort(3) == 7) // out of UInt8 range -> default
+    assert(r.getDecimal(4).longValueExact == 42L)
+    assert(r.getDecimal(5).toString == "99999999999999999999")
+    assert(r.getString(6) == "2024-03-15 07:08:09.125")
+  }
+
   test("char() concatenates mod-256 bytes; alphaTokens splits alpha runs") {
     val r = one(
       """SELECT char(72, 105) AS hi, char(321) AS wrapped,
