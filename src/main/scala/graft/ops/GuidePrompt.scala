@@ -222,9 +222,13 @@ object GuidePrompt {
       |filters on window-function results, as in ClickHouse — including
       |over an implicitly-aggregated select (`QUALIFY sum(x) OVER ()`).
       |"Double quotes" are identifiers (as in ClickHouse), 'single
-      |quotes' are strings, `backticks` work too. Output format is negotiated by the transport
-      |instead: `/query?format=csv` (CSVWithNames) or
-      |`format=jsoneachrow` (NDJSON).
+      |quotes' are strings, `backticks` work too. Output format:
+      |`/query?format=<name>` or a trailing `FORMAT <name>` on the
+      |statement itself (the parameter wins) — CSV[WithNames],
+      |JSONEachRow/NDJSON, TSV/TabSeparated[WithNames],
+      |Pretty[Compact], Vertical, Values; the reference's
+      |`{columns, rows}` JSON otherwise. `{p:Type}` query parameters
+      |are not bound here — inline the literal.
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),
