@@ -127,6 +127,37 @@ class PlanQualitySpec extends SparkSpec {
       vPlan.take(400))
   }
 
+  test("generateSeries/zeros stay scan-free Range leaves; merge() pushes filters into every member scan") {
+    graft.sql.TableEnv.register(spark, sf)
+    val gs = formatted(graft.sql.QueryGuard.plan(spark,
+      "SELECT sum(generate_series) AS s FROM generateSeries(1, 1000)"))
+    assert(gs.contains("Range"), gs.take(400))
+    assert(!gs.contains("Scan parquet"), gs.take(400))
+    // merge() is a by-name union of ordinary relations: the outer
+    // WHERE must reach the parquet scan of every member as a pushed
+    // filter, and the aggregation must partial map-side
+    val m = formatted(graft.sql.QueryGuard.plan(spark,
+      "SELECT count() AS n FROM merge('default', '^(orders)$') " +
+        "WHERE o_orderkey % 2 = 1"))
+    assert(m.contains("PushedFilters:"), m.take(600))
+    assert(m.contains("Scan parquet"))
+  }
+
+  test("sequenceNextNode partial-aggregates map-side (mergeable object agg)") {
+    graft.sql.TableEnv.register(spark, sf)
+    val df = graft.sql.QueryGuard.plan(spark,
+      """SELECT o_custkey % 8 AS g, sequenceNextNode('forward', 'head')(
+        |    timestamp_seconds(o_orderkey), toString(o_orderkey % 3),
+        |    1, 1) AS nxt
+        |FROM orders GROUP BY o_custkey % 8""".stripMargin)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString()
+    // ObjectHashAggregate twice (partial + final) around one shuffle:
+    // the buffer merges map-side instead of shipping raw rows
+    val n = "ObjectHashAggregate".r.findAllIn(plan).size
+    assert(n >= 2, plan.take(600))
+  }
+
   test("truthiness filters stay pushdown-eligible: Truthy replaces to a plain comparison") {
     graft.sql.TableEnv.register(spark, sf)
     // WHERE o_custkey (CH flag-style truthiness) must reach the scan
