@@ -602,6 +602,93 @@ object CHFunctions {
     * lat1, lon2, lat2): haversine over Spark's codegen'd trig natives
     * with the 6371km mean-earth radius. The oracle replays the
     * identical formula. */
+  private def geobaseReject: Nothing = throw new IllegalArgumentException(
+    "the geobase regions dictionary is not mounted here: join your own " +
+      "region dimension table (regionToX(id) ~= a broadcast lookup join)")
+
+  /** `readWKTLineString`/`readWKTRing`: the vertices inside the outer
+    * parens as an array of (col1, col2) tuples. */
+  private def wktVertices(s: Expression, kind: String): Expression = {
+    val body = fn("regexp_extract", s,
+      Literal(kind + "\\s*\\(+([^()]+)\\)+"), Literal(1))
+    val v = UnresolvedNamedLambdaVariable(Seq("wv"))
+    fn("transform", fn("split", body, Literal("\\s*,\\s*")),
+      LambdaFunction(CreateStruct(Seq(
+        Cast(fn("element_at", fn("split", fn("trim", v), Literal("\\s+")),
+          Literal(1)), DoubleType),
+        Cast(fn("element_at", fn("split", fn("trim", v), Literal("\\s+")),
+          Literal(2)), DoubleType))), Seq(v)))
+  }
+
+  /** Shoelace area / perimeter over CH's Array(Array(Tuple(x, y)))
+    * polygon (ring 0 outer, later rings holes). Both reduce each ring
+    * with one codegen'd `aggregate` HOF over the vertex index axis —
+    * vertex i pairs with vertex i+1 (wrapping), so no driver loop.
+    * Area: |Σ cross(outer)| − Σ |Σ cross(hole)|; perimeter: Σ edge
+    * lengths over every ring (a hole's boundary is boundary). */
+  private def polygonFold(poly: Expression, area: Boolean): Expression = {
+    val ring = UnresolvedNamedLambdaVariable(Seq("pfRing"))
+    val i = UnresolvedNamedLambdaVariable(Seq("pfI"))
+    val accV = UnresolvedNamedLambdaVariable(Seq("pfAcc"))
+    def vertex(r: Expression, idx: Expression): Expression =
+      fn("element_at", r, idx)
+    def x(v: Expression): Expression = Cast(StructAt(v, 0), DoubleType)
+    def y(v: Expression): Expression = Cast(StructAt(v, 1), DoubleType)
+    def ringFold(r: Expression): Expression = {
+      val n = fn("size", r)
+      val a = vertex(r, i)
+      val b = vertex(r, Add(fn("pmod", i, n), Literal(1))) // wraps n -> 1
+      val step =
+        if (area) Subtract(Multiply(x(a), y(b)), Multiply(x(b), y(a)))
+        else fn("sqrt", Add(
+          Multiply(Subtract(x(b), x(a)), Subtract(x(b), x(a))),
+          Multiply(Subtract(y(b), y(a)), Subtract(y(b), y(a)))))
+      fn("aggregate", fn("sequence", Literal(1), n),
+        Literal(0.0),
+        LambdaFunction(Add(accV, step), Seq(accV, i)))
+    }
+    val rings = UnresolvedNamedLambdaVariable(Seq("pfRings"))
+    val ringIdx = UnresolvedNamedLambdaVariable(Seq("pfRi"))
+    // fold over rings: ring 1 (1-based) adds, later rings subtract
+    // (area) or add (perimeter)
+    val perRing = {
+      val r = fn("element_at", poly, ringIdx)
+      val v = ringFold(r)
+      if (area)
+        If(EqualTo(ringIdx, Literal(1)),
+          Divide(fn("abs", v), Literal(2.0)),
+          UnaryMinus(Divide(fn("abs", v), Literal(2.0))))
+      else v
+    }
+    fn("aggregate", fn("sequence", Literal(1), fn("size", poly)),
+      Literal(0.0),
+      LambdaFunction(Add(rings, perRing), Seq(rings, ringIdx)))
+  }
+
+  /** Sub-second timestampadd with the session timezone pinned (a
+    * registry-built node never meets ResolveTimeZone's default). */
+  private def tsAddUnit(unit: String, n: Expression, t: Expression): Expression =
+    TimestampAdd(unit, Cast(n, LongType),
+      Cast(t, org.apache.spark.sql.types.TimestampType),
+      Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+
+  /** Seconds the (given or session) zone's wall clock is offset from
+    * UTC at instant t — from_utc_timestamp shifts by exactly that. */
+  private def tzOffsetSeconds(es: Seq[Expression]): Expression = {
+    val tz = if (es.size > 1) es(1) else fn("current_timezone")
+    val t = Cast(es.head, org.apache.spark.sql.types.TimestampType)
+    IntegralDivide(
+      Subtract(fn("unix_micros", fn("from_utc_timestamp", t, tz)),
+        fn("unix_micros", t)),
+      Literal(1000000L))
+  }
+
+  /** Plural weighted quantile spellings `(x, w, p1, p2, ...)` —
+    * one exact weighted interpolation per level, array result. */
+  private def quantilesWeighted(es: Seq[Expression]): Expression =
+    QuantileExactWeightedAgg(es.head, es(1),
+      Cast(CreateArray(es.drop(2).toSeq), ArrayType(DoubleType)))
+
   /** TRY-parse to the Int64 lane (NULL on failure) — the front end of
     * every OrNull/OrZero integer conversion. */
   private def tryLong(e: Expression): Expression =
@@ -1579,6 +1666,19 @@ object CHFunctions {
         if (es.size > 2) es(2) else Literal(0.5))),
     "medianExactWeighted" -> (es =>
       QuantileExactWeightedAgg(es.head, es(1), Literal(0.5))),
+    // plural weighted spellings, args-first (x, w, p1, p2, ...):
+    // Exact keeps CH's first-crossing pick (the same agg as the
+    // singular, array of levels); the sketch spellings ride
+    // percentile's weighted interpolation like their singulars
+    "quantilesExactWeighted" -> (es => quantilesWeighted(es)),
+    "quantilesTimingWeighted" -> (es =>
+      fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
+    "quantilesTDigestWeighted" -> (es =>
+      fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
+    "quantilesInterpolatedWeighted" -> (es =>
+      fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
+    "quantilesDD" -> (es =>
+      fn("percentile", es.head, CreateArray(es.tail.toSeq))),
     "sumKahan" -> (es => SumKahanAgg(es.head)),
     // exact-quantile variants over the sorted group array. Low/High
     // take the element at floor/ceil of level·(n−1) (the lower/higher
@@ -2252,6 +2352,44 @@ object CHFunctions {
     // the native ray-cast expression; the 4-arg decomposed spelling
     // (px, py, xs, ys) keeps the HOF composition below. Hole rings
     // (3+ array arguments) reject loudly.
+    // the Cartesian spelling IS this operator (the plain name is
+    // already planar); area/perimeter by the shoelace formula and
+    // edge-length sum over CH's array-of-rings shape (ring 0 outer,
+    // later rings holes — holes subtract from the area, add to the
+    // perimeter, as in boost::geometry)
+    "pointInPolygonCartesian" -> (es => PointInPolygon(es.head, es(1))),
+    "wkt" -> (es => WktCH(es.head)),
+    // WKT readers: the paren bodies split on commas, every vertex a
+    // (col1, col2) tuple like the literal spelling
+    "readWKTPoint" -> (es => CreateStruct(Seq(
+      Cast(fn("regexp_extract", es.head,
+        Literal("POINT\\s*\\(\\s*([-0-9.eE+]+)\\s+[-0-9.eE+]+"), Literal(1)),
+        DoubleType),
+      Cast(fn("regexp_extract", es.head,
+        Literal("POINT\\s*\\(\\s*[-0-9.eE+]+\\s+([-0-9.eE+]+)"), Literal(1)),
+        DoubleType)))),
+    "readWKTLineString" -> (es => wktVertices(es.head, "LINESTRING")),
+    "readWKTRing" -> (es => wktVertices(es.head, "POLYGON")),
+    // the geobase hierarchy is an external dictionary CH ships
+    // separately — not mounted here
+    "regionToName" -> (_ => geobaseReject),
+    "regionToCity" -> (_ => geobaseReject),
+    "regionToArea" -> (_ => geobaseReject),
+    "regionToCountry" -> (_ => geobaseReject),
+    "regionToContinent" -> (_ => geobaseReject),
+    "regionHierarchy" -> (_ => geobaseReject),
+    "regionIn" -> (_ => geobaseReject),
+    // toTimeWithFixedDate(t, d): t's wall-clock time-of-day moved onto
+    // the given date (the generalized toTime; DateTime = second
+    // precision, like CH)
+    "toTimeWithFixedDate" -> (es => {
+      val t = Cast(es.head, org.apache.spark.sql.types.TimestampType)
+      val d = Cast(es(1), org.apache.spark.sql.types.DateType)
+      fn("make_timestamp", fn("year", d), fn("month", d), fn("day", d),
+        fn("hour", t), fn("minute", t), fn("second", t))
+    }),
+    "polygonAreaCartesian" -> (es => polygonFold(es.head, area = true)),
+    "polygonPerimeterCartesian" -> (es => polygonFold(es.head, area = false)),
     "pointInPolygon" -> (es => if (es.size == 2) {
       PointInPolygon(es.head, es(1))
     } else if (es.size != 4) {
@@ -2652,6 +2790,27 @@ object CHFunctions {
         Literal(1000L))),
     "fromUnixTimestamp64Milli" -> (es => fn("timestamp_millis", es.head)),
     "fromUnixTimestamp64Micro" -> (es => fn("timestamp_micros", es.head)),
+    "fromUnixTimestamp64Second" -> (es => fn("timestamp_seconds", es.head)),
+    "toUnixTimestamp64Second" -> (es => fn("unix_seconds",
+      Cast(es.head, org.apache.spark.sql.types.TimestampType))),
+    "addMilliseconds" -> (es => tsAddUnit("MILLISECOND", es(1), es.head)),
+    "subtractMilliseconds" -> (es =>
+      tsAddUnit("MILLISECOND", UnaryMinus(es(1)), es.head)),
+    "addMicroseconds" -> (es => tsAddUnit("MICROSECOND", es(1), es.head)),
+    "subtractMicroseconds" -> (es =>
+      tsAddUnit("MICROSECOND", UnaryMinus(es(1)), es.head)),
+    // timestamps carry microseconds: the nanosecond spellings shift
+    // by the floor-div micros (documented narrowing)
+    "addNanoseconds" -> (es => tsAddUnit("MICROSECOND",
+      IntegralDivide(Cast(es(1), LongType), Literal(1000L)), es.head)),
+    "subtractNanoseconds" -> (es => tsAddUnit("MICROSECOND",
+      UnaryMinus(IntegralDivide(Cast(es(1), LongType), Literal(1000L))),
+      es.head)),
+    // offset of the (given or session) zone's wall clock at t, in
+    // seconds: from_utc_timestamp shifts by exactly that offset
+    "timeZoneOffset" -> (es => tzOffsetSeconds(es)),
+    "timezoneOffset" -> (es => tzOffsetSeconds(es)),
+    "fromDaysSinceYearZero32" -> (es => fn("fromDaysSinceYearZero", es: _*)),
     // Twitter-snowflake id ↔ time bridges (epoch 2010-11-04T01:42:54.657Z
     // = 1288834974657 ms; the timestamp rides bits 22-63)
     "snowflakeToDateTime" -> (es =>
@@ -3289,6 +3448,8 @@ object CHFunctions {
     // arrayAUC(scores, labels): exact Mann-Whitney ROC AUC with
     // midranks for ties — native one-pass loop, NaN for single-class
     "arrayAUC" -> (es => ArrayAUC(es.head, es(1))),
+    "arrayPrAUC" -> (es => ArrayPrAUC(es.head, es(1))),
+    "arrayAUCPR" -> (es => ArrayPrAUC(es.head, es(1))),
     "arrayROCAUC" -> (es => ArrayAUC(es.head, es(1))),
     // adcScore(codes, adc, k): PQ asymmetric-distance lookup sum
     "adcScore" -> (es => AdcScore(es.head, es(1), es(2) match {

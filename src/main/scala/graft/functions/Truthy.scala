@@ -634,3 +634,79 @@ case class TupleToNameValuePairs(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(
       newChild: Expression): TupleToNameValuePairs = copy(child = newChild)
 }
+
+/** Positional struct-field access for builders that cannot know the
+  * field NAMES pre-analysis (a pasted tuple literal resolves to
+  * col1/col2, a `tuple(x, y)` over columns to x/y — the geo folds
+  * need "field 0" / "field 1" either way). RuntimeReplaceable: once
+  * the child resolves the replacement is a plain GetStructField,
+  * codegen'd like any projection. */
+case class StructAt(child: Expression, idx: Int) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case st: StructType if st.fields.length > idx =>
+      GetStructField(child, idx, Some(st.fields(idx).name))
+    case other => throw new IllegalArgumentException(
+      s"expected a tuple with > $idx fields, got ${other.simpleString(40)}")
+  }
+
+  override def dataType: DataType = replacement.dataType
+  override def prettyName: String = s"tupleElement_$idx"
+  override protected def withNewChildInternal(newChild: Expression): StructAt =
+    copy(child = newChild)
+}
+
+/** ClickHouse `wkt(g)`: well-known text of the tuple/array geometry
+  * shapes — Point `(x, y)` → `POINT(x y)`, Array(Point) →
+  * `LINESTRING(...)`, Array(Ring) → `POLYGON((...))`, Array(Polygon)
+  * → `MULTIPOLYGON(((...)))`. RuntimeReplaceable on the resolved
+  * type; the replacement is built FULLY RESOLVED (ReplaceExpressions
+  * swaps it in after analysis, so no Unresolved* may remain —
+  * lambdas bind their own NamedLambdaVariable). Numbers render
+  * minimally (a trailing `.0` drops, like CH's float printing). */
+case class WktCH(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  private def num(e: Expression): Expression =
+    RegExpReplace(Cast(e, StringType), Literal("\\.0$"), Literal(""))
+
+  private def pointBody(p: Expression, st: StructType): Expression =
+    Concat(Seq(num(GetStructField(p, 0, Some(st.fields(0).name))),
+      Literal(" "), num(GetStructField(p, 1, Some(st.fields(1).name)))))
+
+  private def joined(arr: Expression, et: DataType,
+      render: Expression => Expression): Expression = {
+    val v = NamedLambdaVariable("wkx", et, nullable = true)
+    ArrayJoin(
+      ArrayTransform(arr, LambdaFunction(render(v), Seq(v))),
+      Literal(","), None)
+  }
+
+  override lazy val replacement: Expression = child.dataType match {
+    case st: StructType =>
+      Concat(Seq(Literal("POINT("), pointBody(child, st), Literal(")")))
+    case ArrayType(st: StructType, _) =>
+      Concat(Seq(Literal("LINESTRING("),
+        joined(child, st, pointBody(_, st)), Literal(")")))
+    case ArrayType(rt @ ArrayType(st: StructType, _), _) =>
+      Concat(Seq(Literal("POLYGON("),
+        joined(child, rt, r => Concat(Seq(Literal("("),
+          joined(r, st, pointBody(_, st)), Literal(")")))),
+        Literal(")")))
+    case ArrayType(pt @ ArrayType(rt @ ArrayType(st: StructType, _), _), _) =>
+      Concat(Seq(Literal("MULTIPOLYGON("),
+        joined(child, pt, poly => Concat(Seq(Literal("("),
+          joined(poly, rt, r => Concat(Seq(Literal("("),
+            joined(r, st, pointBody(_, st)), Literal(")")))),
+          Literal(")")))),
+        Literal(")")))
+    case other => throw new IllegalArgumentException(
+      s"wkt expects a tuple/array geometry, got ${other.simpleString(40)}")
+  }
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "wkt"
+  override protected def withNewChildInternal(newChild: Expression): WktCH =
+    copy(child = newChild)
+}

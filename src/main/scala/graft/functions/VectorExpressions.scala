@@ -151,6 +151,54 @@ object VectorOps {
     if (pos == 0L || neg == 0L) Double.NaN
     else (sp - pos * (pos + 1L) / 2.0) / (pos.toDouble * neg)
   }
+
+  /** Precision-recall AUC by step integration: thresholds descend
+    * through the DISTINCT scores (a tie group enters as one block,
+    * like CH), each block adds ΔRecall × precision-after-block —
+    * the step rule CH's arrayPrAUC documents (its doc example
+    * answers 0.8333… here). No positives → NaN. */
+  def prAuc(s: ArrayData, l: ArrayData): Double = {
+    val n = s.numElements()
+    if (l.numElements() != n)
+      throw new IllegalArgumentException(
+        s"arrayPrAUC length mismatch: $n scores vs ${l.numElements()} labels")
+    val sc = new Array[Double](n)
+    val lb = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (s.isNullAt(i) || l.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in arrayPrAUC argument")
+      sc(i) = s.getDouble(i)
+      lb(i) = l.getInt(i)
+      i += 1
+    }
+    val sorted = Array.range(0, n).sortBy(i => -sc(i))
+    var totalPos = 0L
+    i = 0
+    while (i < n) { if (lb(i) > 0) totalPos += 1L; i += 1 }
+    if (totalPos == 0L) return Double.NaN
+    var tp = 0L
+    var fp = 0L
+    var prevRecall = 0.0
+    var area = 0.0
+    var a = 0
+    while (a < n) {
+      var b = a
+      while (b < n && sc(sorted(b)) == sc(sorted(a))) b += 1
+      var t = a
+      while (t < b) {
+        if (lb(sorted(t)) > 0) tp += 1L else fp += 1L
+        t += 1
+      }
+      val recall = tp.toDouble / totalPos
+      val precision = tp.toDouble / (tp + fp)
+      area += (recall - prevRecall) * precision
+      prevRecall = recall
+      a = b
+    }
+    area
+  }
 }
 
 /** Native dot product over two double vectors (ClickHouse
@@ -448,6 +496,28 @@ case class ArrayAUC(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayAUC =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ClickHouse `arrayPrAUC(scores, labels)`: precision-recall AUC over
+  * two aligned arrays (see [[VectorOps.prAuc]] for the step rule;
+  * `arrayAUCPR` aliases). Same contracts as [[ArrayAUC]]: equal
+  * lengths, null-free, NaN when a class is absent. */
+case class ArrayPrAUC(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[ArrayType] =
+    Seq(ArrayType(DoubleType), ArrayType(IntegerType))
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.prAuc(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.functions.VectorOps.prAuc($x, $y)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayPrAUC =
     copy(left = newLeft, right = newRight)
 }
 

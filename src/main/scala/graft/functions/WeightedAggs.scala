@@ -24,7 +24,11 @@ case class QuantileExactWeightedAgg(
 
   override def children: Seq[Expression] = Seq(x, weight, level)
   override def nullable: Boolean = true
-  override def dataType: DataType = DoubleType
+  // an ARRAY level literal selects the plural spelling
+  // (quantilesExactWeighted(p1, p2)(x, w)) -> array result
+  override def dataType: DataType =
+    if (level.dataType.isInstanceOf[ArrayType]) ArrayType(DoubleType)
+    else DoubleType
   override def prettyName: String = "quantileExactWeighted"
 
   override def createAggregationBuffer(): mutable.HashMap[Double, Long] =
@@ -51,19 +55,26 @@ case class QuantileExactWeightedAgg(
 
   override def eval(buf: mutable.HashMap[Double, Long]): Any = {
     if (buf.isEmpty) return null
-    val q = StatTests.asDouble(level.eval(null))
     val sorted = buf.toIndexedSeq.sortBy(_._1)
     var total = 0L
     sorted.foreach(total += _._2)
-    val threshold = q * total
-    var cum = 0L
-    var i = 0
-    while (i < sorted.length) {
-      cum += sorted(i)._2
-      if (cum >= threshold) return sorted(i)._1
-      i += 1
+    def at(q: Double): Double = {
+      val threshold = q * total
+      var cum = 0L
+      var i = 0
+      while (i < sorted.length) {
+        cum += sorted(i)._2
+        if (cum >= threshold) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
     }
-    sorted.last._1
+    level.eval(null) match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          ad.toDoubleArray().map(at))
+      case q => at(StatTests.asDouble(q))
+    }
   }
 
   override def serialize(buf: mutable.HashMap[Double, Long]): Array[Byte] = {

@@ -2736,7 +2736,28 @@ object ChSurface {
         |  editDistanceUTF8('kitten', 'sitting') AS ed""".stripMargin,
       Some("""SELECT CAST(3 AS INT) AS al, CAST(3 AS INT) AS ali,
         |  true AS afn, true AS ha, true AS hb,
-        |  CAST(3 AS INT) AS ed""".stripMargin)))
+        |  CAST(3 AS INT) AS ed""".stripMargin)),
+
+    // wave-37 geo/PR-AUC/plural-weighted: constants are the CH doc
+    // example and closed-form geometry; the weighted quantiles REPLAY
+    // in DuckDB by expanding the integer weights
+    ("q_wave_fns7",
+      """SELECT round(arrayPrAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]), 6) AS pr,
+        |  polygonAreaCartesian([
+        |    [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+        |    [(2.0, 2.0), (4.0, 2.0), (4.0, 4.0), (2.0, 4.0)]]) AS area,
+        |  polygonPerimeterCartesian([[(0.0, 0.0), (3.0, 0.0), (3.0, 4.0)]]) AS per,
+        |  wkt((1.0, 2.5)) AS pt,
+        |  quantilesExactWeighted(0.25, 0.75)(o_totalprice, 2)[1] AS q25,
+        |  toInt32(timeZoneOffset(toDateTime('2024-07-01 12:00:00'),
+        |    'Asia/Kathmandu')) AS ktm
+        |FROM orders""".stripMargin,
+      Some("""SELECT CAST(0.833333 AS DOUBLE) AS pr,
+        |  CAST(96.0 AS DOUBLE) AS area, CAST(12.0 AS DOUBLE) AS per,
+        |  'POINT(1 2.5)' AS pt,
+        |  (SELECT quantile_disc(o_totalprice, 0.25) FROM orders) AS q25,
+        |  CAST(20700 AS INT) AS ktm
+        |FROM (SELECT 1) t""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

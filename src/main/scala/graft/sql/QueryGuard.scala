@@ -1528,6 +1528,11 @@ object QueryGuard {
     "topk" -> "topKCH",
     "topkweighted" -> "topKWeighted",
     "grouparraysample" -> "groupArraySample",
+    "quantilesexactweighted" -> "quantilesExactWeighted",
+    "quantilestimingweighted" -> "quantilesTimingWeighted",
+    "quantilestdigestweighted" -> "quantilesTDigestWeighted",
+    "quantilesinterpolatedweighted" -> "quantilesInterpolatedWeighted",
+    "quantilesdd" -> "quantilesDD",
     "groupconcat" -> "groupConcat",
     "uniqupto" -> "uniqUpTo")
   // (uniqCombined[64] formerly dropped its precision param; it now

@@ -847,7 +847,16 @@ object Probe {
     "w34_array_end" ->
       "SELECT arrayLastIndex(x -> x = 2, [2, 1, 2, 3]) AS li, arrayFirstOrNull(x -> x > 9, [1]) AS fo, arrayLastOrNull(x -> x > 0, [1, 5]) AS lo",
     "w34_tokens_fuzzy" ->
-      "SELECT hasAnyTokens(o_orderpriority, ['URGENT']) AS ha, editDistanceUTF8(o_orderstatus, 'O') AS ed FROM orders LIMIT 1"
+      "SELECT hasAnyTokens(o_orderpriority, ['URGENT']) AS ha, editDistanceUTF8(o_orderstatus, 'O') AS ed FROM orders LIMIT 1",
+    // ---- wave 37 (geo/PR-AUC/plural weighted/sub-second chrono) ----
+    "w37_geo_wkt" ->
+      "SELECT wkt((1.0, 2.0)) AS p, polygonAreaCartesian([[(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]]) AS a, readWKTPoint('POINT(3 4)') AS rp, pointInPolygonCartesian((1.0, 1.0), [(0, 0), (4, 0), (4, 4), (0, 4)]) AS pip",
+    "w37_pr_auc" ->
+      "SELECT arrayPrAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS pr",
+    "w37_quantiles_weighted" ->
+      "SELECT quantilesExactWeighted(0.25, 0.5, 0.75)(o_totalprice, 2) AS q FROM orders",
+    "w37_subsecond" ->
+      "SELECT addMilliseconds(now(), 250) AS a, subtractNanoseconds(now(), 1500) AS b, timeZoneOffset(now()) AS o, fromUnixTimestamp64Second(1700000000) AS f"
   )
 
   def main(args: Array[String]): Unit = {
