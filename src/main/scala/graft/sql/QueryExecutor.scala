@@ -313,6 +313,7 @@ final class QueryExecutor(
     // system.processes/query_log/metrics views refresh BEFORE
     // planning, so a pasted `SELECT * FROM system.processes` sees
     // itself, as on ClickHouse (QueryLog scaladoc)
+    QueryLog.installListener(spark)
     QueryLog.begin(jobTag, sql)
     var outcome = ""
     var rows = -1L

@@ -29,6 +29,7 @@ object QueryLog {
       query: String,
       durationMs: Long,
       resultRows: Long,
+      readRows: Long,
       exception: String) // "" on success, like CH
 
   private val MaxLog = 1000
@@ -36,15 +37,53 @@ object QueryLog {
   private val log = new java.util.ArrayDeque[Finished]()
   private val seq = new AtomicLong(0L)
 
+  // read_rows accounting: a SparkListener maps each job's stages back
+  // to the query tag QueryExecutor sets, then sums the stages'
+  // input-records metric — CH's query_log.read_rows over Spark's
+  // own bookkeeping. Driver-side maps, bounded by active stages.
+  private val stageTag = new ConcurrentHashMap[Int, String]()
+  private val readRows = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val listenerInstalled =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private final class ReadRowsListener
+      extends org.apache.spark.scheduler.SparkListener {
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      val tags = Option(j.properties)
+        .flatMap(p => Option(p.getProperty("spark.job.tags")))
+        .getOrElse("")
+      tags.split(",").find(_.startsWith("graft-query-")).foreach { tag =>
+        j.stageIds.foreach(sid => stageTag.put(sid, tag))
+      }
+    }
+    override def onStageCompleted(
+        sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      val tag = stageTag.remove(sc.stageInfo.stageId)
+      if (tag != null) {
+        val n = sc.stageInfo.taskMetrics.inputMetrics.recordsRead
+        if (n > 0) readRows
+          .computeIfAbsent(tag, _ => new java.util.concurrent.atomic.AtomicLong())
+          .addAndGet(n)
+      }
+    }
+  }
+
+  /** Idempotent per session; QueryExecutor installs on first use. */
+  def installListener(spark: SparkSession): Unit =
+    if (listenerInstalled.add(spark))
+      spark.sparkContext.addSparkListener(new ReadRowsListener)
+
   def begin(queryId: String, sql: String): Unit =
     running.put(queryId, (sql, System.currentTimeMillis()))
 
   def finish(queryId: String, resultRows: Long, exception: String = ""): Unit = {
     val started = Option(running.remove(queryId))
     val now = System.currentTimeMillis()
+    val read = Option(readRows.remove(queryId)).map(_.get()).getOrElse(0L)
     val entry = Finished(now, queryId,
       started.map(_._1).getOrElse(""), now - started.map(_._2).getOrElse(now),
-      resultRows, exception)
+      resultRows, read, exception)
     log.synchronized {
       log.addLast(entry)
       while (log.size > MaxLog) log.removeFirst()
@@ -76,9 +115,10 @@ object QueryLog {
       b.result()
     }
     entries.map(e => ("QueryFinish", new java.sql.Timestamp(e.eventTimeMs),
-        e.queryId, e.query, e.durationMs, e.resultRows, e.exception))
+        e.queryId, e.query, e.durationMs, e.resultRows, e.readRows,
+        e.exception))
       .toDF("type", "event_time", "query_id", "query",
-        "query_duration_ms", "result_rows", "exception")
+        "query_duration_ms", "result_rows", "read_rows", "exception")
       .createOrReplaceTempView("system_query_log")
     val rt = Runtime.getRuntime
     Seq(

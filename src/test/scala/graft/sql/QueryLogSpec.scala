@@ -50,6 +50,20 @@ class QueryLogSpec extends SparkSpec {
     assert(c.rows.head(2).toString.toInt == 1)
   }
 
+  test("query_log read_rows reflects the scan's input records") {
+    val e = ex
+    e.run("SELECT sum(o_totalprice) AS s FROM orders")
+    val rows = e.run(
+      """SELECT read_rows FROM system.query_log
+        |WHERE query LIKE '%sum(o_totalprice)%'
+        |  AND query NOT LIKE '%read_rows%'
+        |ORDER BY event_time DESC LIMIT 1""".stripMargin)
+    val n = rows.rows.head.head.toString.toLong
+    val direct = e.run("SELECT count(*) AS n FROM orders")
+      .rows.head.head.toString.toLong
+    assert(n >= direct, s"read_rows $n < table rows $direct")
+  }
+
   test("TotalQueries grows monotonically across served statements") {
     val e = ex
     def total(): Long = e.run(
