@@ -2757,7 +2757,23 @@ object ChSurface {
         |  'POINT(1 2.5)' AS pt,
         |  (SELECT quantile_disc(o_totalprice, 0.25) FROM orders) AS q25,
         |  CAST(20700 AS INT) AS ktm
-        |FROM (SELECT 1) t""".stripMargin)))
+        |FROM (SELECT 1) t""".stripMargin)),
+
+    // wave-38 paste shims: PREWHERE+WHERE merge (DuckDB replays the
+    // AND) and the select-item arrayJoin grouped on its alias
+    // (DuckDB replays with unnest)
+    ("q_paste_shims",
+      """SELECT arrayJoin(alphaTokens(o_orderpriority)) AS w, count() AS c
+        |FROM orders
+        |PREWHERE o_orderkey % 3 = 0 WHERE o_totalprice > 1000
+        |GROUP BY w ORDER BY w""".stripMargin,
+      Some("""SELECT w, count(*) AS c
+        |FROM (SELECT unnest(list_filter(
+        |          regexp_split_to_array(o_orderpriority, '[^A-Za-z]+'),
+        |          x -> x <> '')) AS w
+        |      FROM orders
+        |      WHERE (o_orderkey % 3 = 0) AND (o_totalprice > 1000))
+        |GROUP BY w ORDER BY w""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

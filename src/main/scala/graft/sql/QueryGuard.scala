@@ -767,6 +767,121 @@ object QueryGuard {
     } else None
   }
 
+  /** `SELECT arrayJoin(e) AS a, ... GROUP BY a` — move the single
+    * aliased call into the `ARRAY JOIN e AS a` clause (the pass below
+    * rewrites that onto LATERAL VIEW explode), so the alias becomes
+    * an ordinary column the aggregation can group on, as in CH. */
+  private def rewriteArrayJoinCalls(sql: String): String = {
+    val ts = normalizeScan(sql)
+    def at0(name: String) = ts.indices.filter(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == name)
+    val selects = at0("SELECT")
+    val froms = at0("FROM")
+    if (selects.isEmpty || froms.isEmpty || at0("GROUP").isEmpty) return sql
+    val sel = selects.head
+    val from = froms.find(_ > sel).getOrElse(return sql)
+    val calls = ts.indices.filter { i =>
+      ts(i)._2 == 0 && i > sel && i < from &&
+        ts(i)._1.upper == "ARRAYJOIN" &&
+        sql.substring(ts(i)._1.end).dropWhile(_.isWhitespace)
+          .startsWith("(")
+    }
+    if (calls.size != 1) return sql
+    val c = calls.head
+    val open = sql.indexOf('(', ts(c)._1.end)
+    val close = matchParenAt(sql, open)
+    if (close < 0) return sql
+    val expr = sql.substring(open + 1, close)
+    // require AS alias right after the close paren
+    val afterTok = ts.indices.find(i => ts(i)._1.start > close)
+      .getOrElse(return sql)
+    if (ts(afterTok)._1.upper != "AS" || afterTok + 1 >= ts.size) return sql
+    val aliasTok = ts(afterTok + 1)._1
+    val alias = sql.substring(aliasTok.start, aliasTok.end)
+    // FROM body ends at the first depth-0 clause keyword after it
+    val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+      "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+      "QUALIFY", "WINDOW")
+    val fromEnd = ts.indices.find(j => j > from && ts(j)._2 == 0 &&
+      stops(ts(j)._1.upper)).map(j => ts(j)._1.start).getOrElse(sql.length)
+    sql.substring(0, ts(c)._1.start) + alias +
+      sql.substring(aliasTok.end, fromEnd) +
+      s" ARRAY JOIN ($expr) AS $alias " + sql.substring(fromEnd)
+  }
+
+  /** `PREWHERE p1 ... WHERE p2` in one scope (top level OR a
+    * subquery — CH allows per-subquery PREWHERE) merges to
+    * `WHERE (p1) AND (p2)` — ClickHouse evaluates both, PREWHERE
+    * first; both conjuncts parenthesize so an OR inside either keeps
+    * its own precedence (the blind keyword swap alone would emit two
+    * WHERE clauses and die in the parser). */
+  private def mergePrewhere(sql: String): String = {
+    val clauseEnd = Set("GROUP", "ORDER", "LIMIT", "HAVING", "SETTINGS",
+      "WINDOW", "QUALIFY", "UNION", "INTERSECT", "EXCEPT", "FORMAT", "INTO")
+    val ts = normalizeScan(sql)
+    ts.indices.foreach { pre =>
+      if (ts(pre)._1.upper == "PREWHERE") {
+        val d = ts(pre)._2
+        var j = pre + 1
+        var whereAt = -1
+        var stop = false
+        while (j < ts.size && !stop) {
+          val (u, ud) = ts(j)
+          if (ud < d) stop = true
+          else if (ud == d) {
+            if (u.upper == "WHERE") { whereAt = j; stop = true }
+            else if (clauseEnd(u.upper)) stop = true
+          }
+          j += 1
+        }
+        if (whereAt >= 0) {
+          // p2 ends at the next same-depth clause keyword, or where
+          // the scope's paren closes (char scan, quote-aware)
+          var k = whereAt + 1
+          var p2end = -1
+          stop = false
+          while (k < ts.size && !stop) {
+            val (u, ud) = ts(k)
+            if (ud < d) stop = true
+            else if (ud == d && clauseEnd(u.upper)) {
+              p2end = u.start
+              stop = true
+            }
+            k += 1
+          }
+          if (p2end < 0) {
+            // scan for the unmatched ')' closing this scope
+            var i2 = ts(whereAt)._1.end
+            var depth = 0
+            var q: Char = 0
+            while (i2 < sql.length && p2end < 0) {
+              val c = sql.charAt(i2)
+              if (q != 0) {
+                if (c == '\\' && q == '\'') i2 += 1
+                else if (c == q) q = 0
+              } else if (c == '\'' || c == '"' || c == '`') q = c
+              else if (c == '(') depth += 1
+              else if (c == ')') {
+                if (depth == 0) p2end = i2 else depth -= 1
+              }
+              i2 += 1
+            }
+            if (p2end < 0) {
+              p2end = sql.length
+              while (p2end > 0 && (sql.charAt(p2end - 1).isWhitespace ||
+                sql.charAt(p2end - 1) == ';')) p2end -= 1
+            }
+          }
+          val p1 = sql.substring(ts(pre)._1.end, ts(whereAt)._1.start).trim
+          val p2 = sql.substring(ts(whereAt)._1.end, p2end).trim
+          return mergePrewhere(sql.substring(0, ts(pre)._1.start) +
+            s"WHERE ($p1) AND ($p2) " + sql.substring(p2end))
+        }
+      }
+    }
+    sql
+  }
+
   def normalizeDialect(sql: String): String = {
     rejectDistributedTvfs(sql)
     rejectQueryParams(sql)
@@ -794,7 +909,7 @@ object QueryGuard {
     // paren/comma (`WHERE global IN (1,2)`) — and must not be stripped.
     val operandPos = Set("WHERE", "AND", "OR", "ON", "HAVING", "WHEN",
       "THEN", "ELSE", "SELECT", "BY", "CASE", "NOT")
-    var out = typed
+    var out = mergePrewhere(typed)
     val first = normalizeScan(out)
     first.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
       val i = first.size - 1 - ri
@@ -888,6 +1003,12 @@ object QueryGuard {
       out = out.substring(0, ts(groupAt + 1)._1.end) +
         s" GROUPING SETS (($list), ())" + out.substring(ts(i + 1)._1.end)
     }
+    // select-item `arrayJoin(e) AS a` with a GROUP BY: Spark cannot
+    // aggregate over a generator's alias in one block, so the call
+    // moves into the ARRAY JOIN clause form right below (one aliased
+    // call, statement-level scope only; other shapes keep the loud
+    // analyzer error). Without a GROUP BY the generator plans as-is.
+    out = rewriteArrayJoinCalls(out)
     // [LEFT|INNER] ARRAY JOIN <item>[, <item>...] — CH's FROM-clause
     // unnest — rewrites to LATERAL VIEW explode (OUTER for LEFT, which
     // keeps empty-array rows with a NULL element where CH emits the
