@@ -2773,7 +2773,21 @@ object ChSurface {
         |          x -> x <> '')) AS w
         |      FROM orders
         |      WHERE (o_orderkey % 3 = 0) AND (o_totalprice > 1000))
-        |GROUP BY w ORDER BY w""".stripMargin)))
+        |GROUP BY w ORDER BY w""".stripMargin)),
+
+    // wave-39: lateral select-list alias inside a window (CH resolves,
+    // Spark refuses -> retry inlines) + bare USING list
+    ("q_window_alias",
+      """SELECT r_name AS s, count() AS c,
+        |  round(c / sum(c) OVER (), 4) AS share
+        |FROM (SELECT n_regionkey AS r_regionkey FROM nation) n
+        |JOIN region USING r_regionkey
+        |GROUP BY s ORDER BY s""".stripMargin,
+      Some("""SELECT r_name AS s, count(*) AS c,
+        |  round(count(*) / sum(count(*)) OVER (), 4) AS share
+        |FROM (SELECT n_regionkey AS r_regionkey FROM nation) n
+        |JOIN region USING (r_regionkey)
+        |GROUP BY r_name ORDER BY s""".stripMargin)))
 
   /** Unrolled deterministic DuckDB replay of Steinarsson's LTTB over the
     * hourly event-count series (n = 12 → nb = 10 middle buckets; assumes

@@ -205,7 +205,8 @@ object QueryGuard {
         var guard = 0
         while (guard < 8) {
           guard += 1
-          inlineWhereAlias(stmt, last) match {
+          inlineWhereAlias(stmt, last).orElse(
+            inlineWindowAlias(stmt, last)) match {
             case Some(next) =>
               stmt = next
               try return planNormalized(spark, stmt)
@@ -767,6 +768,58 @@ object QueryGuard {
     } else None
   }
 
+  /** `JOIN t USING a, b` — ClickHouse's paren-less USING list gains
+    * the parens Spark's grammar requires (`USING (a, b)`); an
+    * already-parenthesized list is untouched. The list is
+    * identifiers only, comma-separated, at the USING token's own
+    * depth. */
+  private def rewriteBareUsing(sql: String): String = {
+    val ts = normalizeScan(sql)
+    ts.indices.reverseIterator.foreach { i =>
+      val (t, d) = ts(i)
+      if (t.upper == "USING" &&
+        !sql.substring(t.end).dropWhile(_.isWhitespace).startsWith("(")) {
+        // collect ident (, ident)* at the same depth
+        var j = i + 1
+        var last = -1
+        var expectIdent = true
+        var stop = false
+        val kw = Set("WHERE", "GROUP", "ORDER", "LIMIT", "HAVING",
+          "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT", "JOIN",
+          "LEFT", "RIGHT", "INNER", "FULL", "CROSS", "ANY", "ASOF",
+          "SEMI", "ANTI", "ON", "USING", "WINDOW", "QUALIFY", "AS")
+        while (j < ts.size && !stop) {
+          val (u, ud) = ts(j)
+          if (ud != d || kw(u.upper)) stop = true
+          else if (expectIdent) {
+            val between = sql.substring(
+              if (last < 0) t.end else ts(last)._1.end, u.start).trim
+            val sep = if (last < 0) "" else ","
+            if (between == sep) {
+              last = j
+              expectIdent = false
+              j += 1
+            } else stop = true
+          } else {
+            // only a comma continues the list
+            val between = sql.substring(ts(last)._1.end, u.start).trim
+            if (between == ",") {
+              last = j
+              j += 1
+            } else stop = true
+          }
+        }
+        if (last >= 0) {
+          val listEnd = ts(last)._1.end
+          return rewriteBareUsing(sql.substring(0, t.end) + " (" +
+            sql.substring(t.end, listEnd).trim + ") " +
+            sql.substring(listEnd))
+        }
+      }
+    }
+    sql
+  }
+
   /** `SELECT arrayJoin(e) AS a, ... GROUP BY a` — move the single
     * aliased call into the `ARRAY JOIN e AS a` clause (the pass below
     * rewrites that onto LATERAL VIEW explode), so the alias becomes
@@ -1009,6 +1062,7 @@ object QueryGuard {
     // call, statement-level scope only; other shapes keep the loud
     // analyzer error). Without a GROUP BY the generator plans as-is.
     out = rewriteArrayJoinCalls(out)
+    out = rewriteBareUsing(out)
     // [LEFT|INNER] ARRAY JOIN <item>[, <item>...] — CH's FROM-clause
     // unnest — rewrites to LATERAL VIEW explode (OUTER for LEFT, which
     // keeps empty-array rows with a NULL element where CH emits the
@@ -3369,6 +3423,46 @@ object QueryGuard {
       ignoreCase = true, skipSpans = subquerySpans(region))
     if (replaced == region) None
     else Some(stmt.substring(0, start) + replaced + stmt.substring(end))
+  }
+
+  /** One lateral-alias-in-window inlining step for [[planned]]'s
+    * retry loop: Spark refuses a select-list alias inside a window
+    * expression (`SELECT count() AS c, c / sum(c) OVER () ...`) where
+    * ClickHouse resolves it — when Spark raises exactly that error,
+    * substitute the alias's `(expr)` into every OTHER top-level
+    * select item (the defining item keeps its alias; subquery spans
+    * are skipped like the WHERE inliner). None = not this class. */
+  private def inlineWindowAlias(stmt: String,
+      err: org.apache.spark.sql.AnalysisException): Option[String] = {
+    val cond = Option(err.getCondition).getOrElse("")
+    if (cond != "UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS_IN_WINDOW")
+      return None
+    val name = "`([^`]+)`".r.findFirstMatchIn(
+      Option(err.getMessage).getOrElse(""))
+      .map(_.group(1)).getOrElse(return None)
+    val hits = topSelectAliases(stmt).filter(_._1.equalsIgnoreCase(name))
+    if (hits.isEmpty) return None
+    if (hits.map(_._2.trim).distinct.size > 1) throw new ReadOnlyViolation(
+      s"alias `$name` is defined by ${hits.size} different select items " +
+        "— conflicting aliases cannot be resolved in a window expression")
+    val ts = normalizeScan(stmt)
+    val si = ts.indices.find(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "SELECT").getOrElse(return None)
+    val fi = (si + 1 until ts.size).find(i =>
+      ts(i)._2 == 0 && ts(i)._1.upper == "FROM").getOrElse(return None)
+    val selEnd = ts(si)._1.end
+    val fromStart = ts(fi)._1.start
+    val items = splitTopLevel(stmt.substring(selEnd, fromStart))
+    val newItems = items.map { item =>
+      splitAlias(item) match {
+        case (_, Some(a)) if a.equalsIgnoreCase(name) => item
+        case _ => substituteAlias(item, name, hits.head._2,
+          ignoreCase = true, skipSpans = subquerySpans(item))
+      }
+    }
+    if (newItems == items) None
+    else Some(stmt.substring(0, selEnd) + " " +
+      newItems.map(_.trim).mkString(", ") + " " + stmt.substring(fromStart))
   }
 
   /** Char spans of parenthesized subqueries in `s` — paren groups

@@ -33,6 +33,24 @@ class Wave38Spec extends SparkSpec {
     assert(tail.nonEmpty)
   }
 
+  test("bare USING lists gain parens; lateral aliases inline into windows") {
+    val r = rows(
+      """SELECT t1.a AS a FROM (SELECT 1 AS a) t1
+        |ANY LEFT JOIN (SELECT 1 AS a, 2 AS b) t2 USING a""".stripMargin)
+    assert(r.head.getInt(0) == 1)
+    val w = rows(
+      """SELECT o_orderstatus AS s, count() AS c,
+        |  round(c / sum(c) OVER (), 4) AS share
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin)
+    assert(w.map(_.getDouble(2)).sum > 0.999) // shares sum to 1
+    // chains: an alias used by an alias used in a window
+    val chain = rows(
+      """SELECT count() AS c, c * 2 AS c2,
+        |  c2 / sum(c2) OVER () AS one
+        |FROM orders""".stripMargin)
+    assert(chain.head.getDouble(2) == 1.0)
+  }
+
   test("arrayJoin select item groups on its own alias") {
     val r = rows(
       """SELECT arrayJoin([1, 2, 2, 3]) AS v, count() AS c
