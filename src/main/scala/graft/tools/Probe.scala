@@ -856,7 +856,16 @@ object Probe {
     "w37_quantiles_weighted" ->
       "SELECT quantilesExactWeighted(0.25, 0.5, 0.75)(o_totalprice, 2) AS q FROM orders",
     "w37_subsecond" ->
-      "SELECT addMilliseconds(now(), 250) AS a, subtractNanoseconds(now(), 1500) AS b, timeZoneOffset(now()) AS o, fromUnixTimestamp64Second(1700000000) AS f"
+      "SELECT addMilliseconds(now(), 250) AS a, subtractNanoseconds(now(), 1500) AS b, timeZoneOffset(now()) AS o, fromUnixTimestamp64Second(1700000000) AS f",
+    // ---- waves 38-39 (paste shims) ----
+    "w38_prewhere_where" ->
+      "SELECT count() AS n FROM orders PREWHERE o_orderkey % 2 = 0 WHERE o_totalprice > 100",
+    "w38_arrayjoin_group" ->
+      "SELECT arrayJoin(alphaTokens(o_orderpriority)) AS w, count() AS c FROM orders GROUP BY w ORDER BY c DESC, w LIMIT 3",
+    "w39_window_alias" ->
+      "SELECT o_orderstatus AS s, count() AS c, round(c / sum(c) OVER (), 4) AS share FROM orders GROUP BY s ORDER BY s",
+    "w39_bare_using" ->
+      "SELECT t1.a AS a FROM (SELECT 1 AS a) t1 ANY LEFT JOIN (SELECT 1 AS a, 2 AS b) t2 USING a"
   )
 
   def main(args: Array[String]): Unit = {
