@@ -184,6 +184,18 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val totalStr = full(total)
 
+    // like-for-like vs the COMMITTED record (r15 ADVICE: make the
+    // round-over-round comparison mechanical): total seconds over the
+    // queries present in BOTH runs, so added queries never read as
+    // drift. ratio > 1 = this run slower on the shared set.
+    val shared = results.filter { case (n, v) =>
+      v >= 0 && prior.get(n).exists(_ >= 0) }
+    val sharedPrior = shared.map { case (n, _) => prior(n) }.sum
+    val sharedThis = shared.map(_._2).sum
+    val sharedRatio =
+      if (sharedPrior > 0) math.round(sharedThis / sharedPrior * 1000) / 1000.0
+      else -1.0
+
     // Full-precision artifact: the one-liner below must degrade to
     // whole seconds to fit the driver's output-tail window, which
     // hides sub-second regressions — this file never degrades.
@@ -194,6 +206,10 @@ object Bench {
          |"load_avg_start":$loadStart,"load_avg_end":$loadEnd,
          |"cpus_avail":${Runtime.getRuntime.availableProcessors},
          |"suspect_contention":${jarr(suspects)},
+         |"shared_with_prior":${shared.size},
+         |"shared_prior_total_sec":${full(sharedPrior)},
+         |"shared_this_total_sec":${full(sharedThis)},
+         |"shared_ratio":$sharedRatio,
          |"failures":${jarr(failures)},
          |"queries":${jmap(results, full)},
          |"sf1_note":"subset re-run at 10x data (ScaleData replicate of $sfName); -1 = failed, named in sf1_failures",

@@ -39,8 +39,58 @@ object CHFunctions {
   /** groupArrayMovingSum/Avg(n)(x): transform over the collected
     * array — cell i aggregates slice [max(1, i-n+1), i]. Empty groups
     * guard against Spark's DESCENDING sequence(1, 0). */
+  /** ClickHouse intDiv rounds the quotient DOWN (floor division, per
+    * the public docs' "rounded down"); Spark's div truncates toward
+    * zero, so a mixed-sign quotient with a remainder must step one
+    * lower: intDiv(-7, 2) = -4, not -3. DuckDB's // floors the same
+    * way, so the oracle replays this for free. */
+  private def floorDivExpr(a: Expression, b: Expression): Expression = {
+    val q = fn("div", a, b)
+    val r = Remainder(a, b)
+    CaseWhen(Seq((
+      And(Not(EqualTo(r, Literal(0))),
+        Not(EqualTo(LessThan(a, Literal(0)), LessThan(b, Literal(0))))),
+      Subtract(q, Literal(1L)))), Some(q))
+  }
+
+  /** A parametric aggregate's constant string parameter — scoped
+    * analysis error when it is anything else, so a mis-pasted form is
+    * named after the function the user typed, never an executor
+    * stack trace. */
+  private def constString(name: String, e: Expression): String = e match {
+    case l: Literal if l.value != null => l.value.toString
+    case f if f.foldable && f.eval() != null => f.eval().toString
+    case other => throw new IllegalArgumentException(
+      s"$name parameter must be a constant string, got $other")
+  }
+
+  private def statAlternative(name: String, e: Expression): String = {
+    val a = constString(name, e)
+    require(Set("two-sided", "greater", "less")(a),
+      s"$name alternative must be two-sided|greater|less, got '$a'")
+    a
+  }
+
+  /** Constant numeric/boolean parameter read as CH truthiness. */
+  private def constTruthy(what: String, e: Expression): Boolean = e match {
+    case l: Literal if l.value != null => l.value match {
+      case b: Boolean => b
+      case n => try n.toString.toDouble != 0.0 catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"$what must be a constant number or boolean, got $n")
+      }
+    }
+    case other => throw new IllegalArgumentException(
+      s"$what must be a constant number or boolean, got $other")
+  }
+
   private def movingWindowAgg(es: Seq[Expression], avg: Boolean): Expression =
     es match {
+      // bare CH form: the window spans every row seen so far (prefix
+      // sums) — same transform with n = the collected size
+      case Seq(x0) =>
+        val arr0 = fn("collect_list", Cast(x0, DoubleType))
+        movingWindowAgg(Seq(fn("size", arr0), x0), avg)
       case Seq(n0, x) =>
         val n = Cast(n0, IntegerType)
         val arr = fn("collect_list", Cast(x, DoubleType))
@@ -851,6 +901,13 @@ object CHFunctions {
     // (Greenwald-Khanna) satisfies every one of them
     "quantileCH" -> (es => fn("percentile_approx", es.head, es(1), Literal(10000))),
     "quantileExactCH" -> (es => fn("percentile", es.head, es(1))),
+    // the bare CH spellings: quantile(x) / quantileExact(x) answer the
+    // median (CH's default level 0.5); the two-argument direct forms
+    // read (x, level) like the routed quantileCH twins
+    "quantile" -> (es => fn("percentile_approx", es.head,
+      if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
+    "quantileExact" -> (es => fn("percentile", es.head,
+      if (es.size > 1) es(1) else Literal(0.5))),
     // median(x) = quantile(x)(0.5); medianExact the exact form
     "median" -> (es =>
       fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
@@ -876,16 +933,32 @@ object CHFunctions {
     "quantileBFloat16" -> (es =>
       fn("percentile_approx", es.head,
         if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
-    "quantileTDigest" -> (es =>
-      fn("percentile_approx", es.head, es(1), Literal(10000))),
-    "quantileTiming" -> (es =>
-      fn("percentile_approx", es.head, es(1), Literal(10000))),
+    "quantileTDigest" -> (es => fn("percentile_approx", es.head,
+      if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
+    "quantileTiming" -> (es => fn("percentile_approx", es.head,
+      if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
+    // plural sketch spellings — args-first from the shim (x, l1, ...),
+    // each riding its singular's approximate-quantile contract with an
+    // array of levels; Deterministic's determinator only de-randomizes
+    // CH's reservoir and drops here like the singular's does
+    "quantilesTiming" -> (es =>
+      fn("percentile_approx", es.head, CreateArray(es.tail), Literal(10000))),
+    "quantilesTDigest" -> (es =>
+      fn("percentile_approx", es.head, CreateArray(es.tail), Literal(10000))),
+    "quantilesBFloat16" -> (es =>
+      fn("percentile_approx", es.head, CreateArray(es.tail), Literal(10000))),
+    "quantilesDeterministic" -> (es =>
+      fn("percentile_approx", es.head, CreateArray(es.drop(2)), Literal(10000))),
+    "quantilesBFloat16Weighted" -> (es =>
+      fn("percentile", es.head, CreateArray(es.drop(2)), Cast(es(1), LongType))),
 
     // heavy hitters / arg extremes / any. ClickHouse topK returns a bare
     // value array, so project `item` out of approx_top_k's struct rows.
+    // A bare topK(x) defaults to CH's k = 10 (Spark's default is 5).
     "topKCH" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
-      fn("transform", fn("approx_top_k", es: _*),
+      val args = if (es.size == 1) es :+ Literal(10) else es
+      fn("transform", fn("approx_top_k", args: _*),
         LambdaFunction(UnresolvedExtractValue(t, Literal("item")), Seq(t)))
     }),
     // topKIf(k)(x, cond): flattened params-first by the param-agg
@@ -905,6 +978,14 @@ object CHFunctions {
           Literal(1), Cast(k, IntegerType))
       case other => throw new IllegalArgumentException(
         s"topKIf expects (k)(x, cond), got ${other.size} arguments")
+    }),
+    // the bare spelling resolves too (topK(x) / topK(x, k) direct);
+    // the parametric topK(k)(x) routes to topKCH args-first
+    "topK" -> (es => {
+      val t = UnresolvedNamedLambdaVariable(Seq("t"))
+      val args = if (es.size == 1) es :+ Literal(10) else es
+      fn("transform", fn("approx_top_k", args: _*),
+        LambdaFunction(UnresolvedExtractValue(t, Literal("item")), Seq(t)))
     }),
     "argMaxCH" -> (es => fn("max_by", es: _*)),
     "argMinCH" -> (es => fn("min_by", es: _*)),
@@ -980,10 +1061,41 @@ object CHFunctions {
       fn("max_by", whenThen(es(2), es.head), whenThen(es(2), es(1)))),
     "argMinIf" -> (es =>
       fn("min_by", whenThen(es(2), es.head), whenThen(es(2), es(1)))),
-    "groupArrayIf" -> (es => fn("collect_list", whenThen(es(1), es.head))),
+    // groupArrayIf/groupUniqArrayIf: plain (x, cond) and the
+    // parametric (max_size)(x, cond), params-first from the shim —
+    // collectors skip the CASE-WHEN nulls, so the cap counts MATCHES
+    "groupArrayIf" -> (es => es match {
+      case Seq(x, cond) => fn("collect_list", whenThen(cond, x))
+      case Seq(n, x, cond) => fn("slice",
+        fn("collect_list", whenThen(cond, x)), Literal(1),
+        Cast(n, IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"groupArrayIf expects (x, cond) or (max_size)(x, cond), got ${other.size} arguments")
+    }),
+    "groupUniqArrayIf" -> (es => es match {
+      case Seq(x, cond) => fn("collect_set", whenThen(cond, x))
+      case Seq(n, x, cond) => fn("slice",
+        fn("collect_set", whenThen(cond, x)), Literal(1),
+        Cast(n, IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"groupUniqArrayIf expects (x, cond) or (max_size)(x, cond), got ${other.size} arguments")
+    }),
     "medianIf" -> (es =>
       fn("percentile_approx", whenThen(es(1), es.head), Literal(0.5),
         Literal(10000))),
+    // quantile family × -If combinator: args-first routed, so the
+    // builders read (x, cond[, levels...]); a missing level is CH's
+    // default 0.5
+    "quantileIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head),
+      if (es.size > 2) es(2) else Literal(0.5), Literal(10000))),
+    "quantileExactIf" -> (es => fn("percentile",
+      whenThen(es(1), es.head),
+      if (es.size > 2) es(2) else Literal(0.5))),
+    "quantilesIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head), CreateArray(es.drop(2)), Literal(10000))),
+    "quantilesExactIf" -> (es => fn("percentile",
+      whenThen(es(1), es.head), CreateArray(es.drop(2)))),
 
     // -OrNull / -OrDefault combinator spellings (CH: OrNull → NULL
     // when nothing aggregated; OrDefault → the type default). Spark's
@@ -1018,9 +1130,24 @@ object CHFunctions {
       (if (es.isEmpty) Seq(Literal(1)) else es): _*)),
     "uniqOrDefault" -> (es => HyperLogLogPlusPlus(uniqInput(es))),
 
-    // group collectors
-    "groupArray" -> (es => fn("collect_list", es.head)),
-    "groupUniqArray" -> (es => fn("collect_set", es.head)),
+    // group collectors. The parametric forms groupArray(max_size)(x) /
+    // groupUniqArray(max_size)(x) arrive params-first from the shim
+    // flatten: the size caps the COLLECTED values (CH keeps the first
+    // max_size in arrival order) — it is never the collected value.
+    "groupArray" -> (es => es match {
+      case Seq(x) => fn("collect_list", x)
+      case Seq(n, x) =>
+        fn("slice", fn("collect_list", x), Literal(1), Cast(n, IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"groupArray expects (x) or (max_size)(x), got ${other.size} arguments")
+    }),
+    "groupUniqArray" -> (es => es match {
+      case Seq(x) => fn("collect_set", x)
+      case Seq(n, x) =>
+        fn("slice", fn("collect_set", x), Literal(1), Cast(n, IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"groupUniqArray expects (x) or (max_size)(x), got ${other.size} arguments")
+    }),
     // moving window over the collected arrival-order array: result[i]
     // = Σ of the last `n` values up to i (CH divides the Avg by the
     // WINDOW width n even for the first, shorter prefixes)
@@ -1653,12 +1780,62 @@ object CHFunctions {
     "intervalLengthSum" -> (es => IntervalLengthSumAgg(es.head, es(1))),
     "maxIntersections" -> (es => MaxIntersectionsAgg(es.head, es(1))),
     // two-sample tests (StatTests.scala): moment-only t-tests partial-
-    // aggregate map-side; the rank-based pair buffer their group
-    "studentTTest" -> (es => TTestAgg(es.head, es(1), welch = false)),
-    "welchTTest" -> (es => TTestAgg(es.head, es(1), welch = true)),
-    "mannWhitneyUTest" -> (es => MannWhitneyAgg(es.head, es(1))),
+    // aggregate map-side; the rank-based pair buffer their group.
+    // Parametric forms arrive params-FIRST from the shim flatten —
+    // studentTTest(conf)(v, g), mannWhitneyUTest(alt[, cc])(v, g),
+    // kolmogorovSmirnovTest([alt][, method])(v, g) — and are arity-
+    // dispatched so a parameter can never bind as a sample value.
+    "studentTTest" -> (es => es match {
+      case Seq(v, g) => TTestAgg(v, g, welch = false)
+      case Seq(conf, v, g) => TTestAgg.withConfidence(conf, v, g, welch = false)
+      case other => throw new IllegalArgumentException(
+        s"studentTTest expects (v, g) or (confidence)(v, g), got ${other.size} arguments")
+    }),
+    "welchTTest" -> (es => es match {
+      case Seq(v, g) => TTestAgg(v, g, welch = true)
+      case Seq(conf, v, g) => TTestAgg.withConfidence(conf, v, g, welch = true)
+      case other => throw new IllegalArgumentException(
+        s"welchTTest expects (v, g) or (confidence)(v, g), got ${other.size} arguments")
+    }),
+    "mannWhitneyUTest" -> (es => es match {
+      case Seq(v, g) => MannWhitneyAgg(v, g)
+      case Seq(alt, v, g) =>
+        MannWhitneyAgg(v, g, statAlternative("mannWhitneyUTest", alt),
+          continuity = true)
+      case Seq(alt, cc, v, g) =>
+        MannWhitneyAgg(v, g, statAlternative("mannWhitneyUTest", alt),
+          continuity = constTruthy("mannWhitneyUTest continuity_correction", cc))
+      case other => throw new IllegalArgumentException(
+        "mannWhitneyUTest expects (v, g) or " +
+          s"(alternative[, continuity])(v, g), got ${other.size} arguments")
+    }),
     "rankCorr" -> (es => RankCorrAgg(es.head, es(1))),
-    "kolmogorovSmirnovTest" -> (es => KolmogorovSmirnovAgg(es.head, es(1))),
+    "kolmogorovSmirnovTest" -> (es => es match {
+      case Seq(v, g) => KolmogorovSmirnovAgg(v, g)
+      case Seq(p1, v, g) =>
+        // CH's single parameter is the alternative, but a pasted
+        // computation method in that slot is unambiguous — classify
+        // by value so both documented spellings answer
+        constString("kolmogorovSmirnovTest", p1) match {
+          case m @ ("exact" | "asymp" | "auto") =>
+            KolmogorovSmirnovAgg(v, g, "two-sided", m)
+          case a @ ("two-sided" | "greater" | "less") =>
+            KolmogorovSmirnovAgg(v, g, a, "auto")
+          case other => throw new IllegalArgumentException(
+            "kolmogorovSmirnovTest parameter must be an alternative " +
+              "(two-sided|greater|less) or a computation method " +
+              s"(exact|asymp|auto), got '$other'")
+        }
+      case Seq(alt, m, v, g) =>
+        val mm = constString("kolmogorovSmirnovTest", m)
+        require(Set("exact", "asymp", "auto")(mm),
+          s"kolmogorovSmirnovTest computation method must be exact|asymp|auto, got '$mm'")
+        KolmogorovSmirnovAgg(v, g,
+          statAlternative("kolmogorovSmirnovTest", alt), mm)
+      case other => throw new IllegalArgumentException(
+        "kolmogorovSmirnovTest expects (v, g) or " +
+          s"(alternative[, method])(v, g), got ${other.size} arguments")
+    }),
     "meanZTest" -> (es =>
       MeanZTestAgg(es.head, es(1), es(2), es(3), es(4))),
     "quantileExactWeighted" -> (es =>
@@ -1677,8 +1854,20 @@ object CHFunctions {
       fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
     "quantilesInterpolatedWeighted" -> (es =>
       fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
-    "quantilesDD" -> (es =>
-      fn("percentile", es.head, CreateArray(es.tail.toSeq))),
+    // quantilesDD(rel_acc, l1, ...)(x) args-first = (x, rel_acc,
+    // levels...): the accuracy knob maps like the singular's and must
+    // NOT ride along as a level (the r15 params-as-values class)
+    "quantilesDD" -> (es => es match {
+      case seq if seq.size >= 3 =>
+        val prec = seq(1).eval() match {
+          case n: Number => math.max(100, (1.0 / n.doubleValue()).toInt)
+          case _ => 10000
+        }
+        fn("approx_percentile", seq.head, CreateArray(seq.drop(2)),
+          Literal(prec))
+      case other => throw new IllegalArgumentException(
+        s"quantilesDD expects (relative_accuracy, level, ...)(x), got ${other.size}")
+    }),
     "sumKahan" -> (es => SumKahanAgg(es.head)),
     // exact-quantile variants over the sorted group array. Low/High
     // take the element at floor/ceil of level·(n−1) (the lower/higher
@@ -2109,7 +2298,7 @@ object CHFunctions {
     "fromUnixTimestamp" -> (es => fn("timestamp_seconds", es.head)),
     "nowCH" -> (_ => fn("current_timestamp")),
     "todayCH" -> (_ => fn("current_date")),
-    "intDiv" -> (es => fn("div", es.head, es(1))),
+    "intDiv" -> (es => floorDivExpr(es.head, es(1))),
 
     // calendar part extractors. toDayOfWeek is the trap: ClickHouse
     // numbers Monday=1..Sunday=7 while Spark's dayofweek is
@@ -3394,7 +3583,7 @@ object CHFunctions {
           Cast(es(1), org.apache.spark.sql.types.DoubleType))))),
     "intDivOrZero" -> (es =>
       CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(0L))),
-        Some(fn("div", es.head, es(1))))),
+        Some(floorDivExpr(es.head, es(1))))),
     "moduloOrZero" -> (es =>
       CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(0))),
         Some(Remainder(es.head, es(1))))),
@@ -3595,12 +3784,24 @@ object CHFunctions {
           LambdaFunction(CaseWhen(Seq((EqualTo(c, n), k)), None), Seq(k, c))),
         LambdaFunction(IsNotNull(x), Seq(x)))
     }),
-    // Greenwald-Khanna approximate quantiles under CH names:
-    // quantileGK(accuracy)(x, level) flattens to (accuracy, x, level)
-    "quantileGK" -> (es =>
-      fn("approx_percentile", es(1), es(2), es.head)),
-    "quantilesGK" -> (es =>
-      fn("approx_percentile", es(1), CreateArray(es.drop(2)), es.head)),
+    // Greenwald-Khanna approximate quantiles under CH names — the CH
+    // signature is quantileGK(accuracy[, level])(x), shim-flattened
+    // params-first to (accuracy[, level], x); a bare quantileGK(x)
+    // answers the median at CH's default accuracy like quantile does
+    "quantileGK" -> (es => es match {
+      case Seq(x) => fn("approx_percentile", x, Literal(0.5), Literal(10000))
+      case Seq(acc, x) => fn("approx_percentile", x, Literal(0.5), acc)
+      case Seq(acc, level, x) => fn("approx_percentile", x, level, acc)
+      case other => throw new IllegalArgumentException(
+        s"quantileGK expects (accuracy[, level])(x), got ${other.size} arguments")
+    }),
+    "quantilesGK" -> (es => es match {
+      case seq if seq.size >= 3 =>
+        fn("approx_percentile", seq.last,
+          CreateArray(seq.tail.init), seq.head)
+      case other => throw new IllegalArgumentException(
+        s"quantilesGK expects (accuracy, level, ...)(x), got ${other.size} arguments")
+    }),
     // Spark's moment aggregates are already Welford-stable — the
     // *Stable names are exact aliases
     "varPopStable" -> (es => fn("var_pop", es.head)),

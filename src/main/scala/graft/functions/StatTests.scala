@@ -99,6 +99,67 @@ object StatTests {
   /** Two-sided normal p-value for a z score. */
   def zTwoSidedP(z: Double): Double = erfc(math.abs(z) / math.sqrt(2.0))
 
+  /** One-sided normal survival p = P(Z ≥ z). */
+  def zUpperP(z: Double): Double = 0.5 * erfc(z / math.sqrt(2.0))
+
+  /** Critical t with two-sided P(|T| ≤ t) = conf at `df` degrees of
+    * freedom — bisection on the monotone two-sided p (eval-time only,
+    * once per group; 200 halvings reach machine precision). */
+  def tCritTwoSided(conf: Double, df: Double): Double = {
+    val target = 1.0 - conf
+    if (target <= 0.0 || df <= 0) return Double.NaN
+    var hi = 1.0
+    while (tTwoSidedP(hi, df) > target && hi < 1e9) hi *= 2
+    var lo = 0.0
+    var i = 0
+    while (i < 200) {
+      val mid = 0.5 * (lo + hi)
+      if (tTwoSidedP(mid, df) > target) lo = mid else hi = mid
+      i += 1
+    }
+    0.5 * (lo + hi)
+  }
+
+  /** Exact two-sample KS p-value by the normalized lattice path count
+    * (Hodges 1958): of the C(n0+n1, n0) orderings, the share whose
+    * partial CDFs stay strictly inside the band never reaches D ≥ d.
+    * u(i,j) = u(i−1,j)·i/(i+j) + u(i,j−1)·j/(i+j) keeps every entry a
+    * probability in [0,1] — no overflow at any sample size. O(n0·n1)
+    * time, O(n1) memory (rolling row). Valid for continuous data
+    * (no ties) — callers fall back to the asymptotic p on ties, the
+    * same rule SciPy applies. */
+  def ksExactP(n0: Int, n1: Int, d: Double, alternative: String): Double = {
+    if (d <= 0.0) return 1.0
+    val inv0 = 1.0 / n0
+    val inv1 = 1.0 / n1
+    val eps = 1e-12
+    def inside(i: Int, j: Int): Boolean = {
+      val diff = i * inv0 - j * inv1
+      alternative match {
+        case "greater" => diff < d - eps
+        case "less" => -diff < d - eps
+        case _ => math.abs(diff) < d - eps
+      }
+    }
+    val u = new Array[Double](n1 + 1)
+    u(0) = 1.0
+    var j = 1
+    while (j <= n1) { u(j) = if (inside(0, j)) u(j - 1) else 0.0; j += 1 }
+    var i = 1
+    while (i <= n0) {
+      u(0) = if (inside(i, 0)) u(0) else 0.0
+      j = 1
+      while (j <= n1) {
+        u(j) =
+          if (!inside(i, j)) 0.0
+          else u(j) * (i.toDouble / (i + j)) + u(j - 1) * (j.toDouble / (i + j))
+        j += 1
+      }
+      i += 1
+    }
+    math.min(1.0, math.max(0.0, 1.0 - u(n1)))
+  }
+
   /** Critical z with P(|Z| ≤ z) = conf: Newton's method on
     * erfc(z/√2) = 1 − conf (monotone, derivative −√(2/π)·e^{−z²/2});
     * converges to machine precision in < 10 steps from z₀ = 1. */
@@ -222,18 +283,27 @@ final class MomentsBuffer {
 
 /** studentTTest / welchTTest (value, sample_index) → struct(t_stat,
   * p_value). Pooled-variance t when `welch` is false; Welch's t and
-  * Welch-Satterthwaite df when true. */
+  * Welch-Satterthwaite df when true. The ClickHouse parametric form
+  * `studentTTest(confidence_level)(value, index)` adds the confidence
+  * interval on the mean difference — (m0 − m1) ± t_crit(df, conf)·se
+  * with the same se/df the statistic uses — as two extra struct
+  * fields, matching CH's 4-tuple. */
 case class TTestAgg(
     value: Expression,
     idx: Expression,
     welch: Boolean,
+    confidence: Option[Double] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[MomentsBuffer] {
 
   override def children: Seq[Expression] = Seq(value, idx)
   override def nullable: Boolean = true
-  override def dataType: DataType = StatTests.ttestResultType
+  override def dataType: DataType =
+    if (confidence.isEmpty) StatTests.ttestResultType
+    else StructType(Seq(
+      StructField("t_stat", DoubleType), StructField("p_value", DoubleType),
+      StructField("ci_low", DoubleType), StructField("ci_high", DoubleType)))
   override def prettyName: String = if (welch) "welchTTest" else "studentTTest"
 
   override def createAggregationBuffer(): MomentsBuffer = new MomentsBuffer
@@ -255,19 +325,25 @@ case class TTestAgg(
     if (buf.n(0) < 2 || buf.n(1) < 2) return null
     val v0 = buf.m2(0) / (n0 - 1.0); val v1 = buf.m2(1) / (n1 - 1.0)
     val md = buf.mean(0) - buf.mean(1)
-    val (t, df) =
+    val (t, df, se) =
       if (welch) {
         val se0 = v0 / n0; val se1 = v1 / n1
-        val tt = md / math.sqrt(se0 + se1)
+        val s = math.sqrt(se0 + se1)
         val dd = (se0 + se1) * (se0 + se1) /
           (se0 * se0 / (n0 - 1.0) + se1 * se1 / (n1 - 1.0))
-        (tt, dd)
+        (md / s, dd, s)
       } else {
         val sp2 = ((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / (n0 + n1 - 2.0)
-        val tt = md / math.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
-        (tt, n0 + n1 - 2.0)
+        val s = math.sqrt(sp2 * (1.0 / n0 + 1.0 / n1))
+        (md / s, n0 + n1 - 2.0, s)
       }
-    new GenericInternalRow(Array[Any](t, StatTests.tTwoSidedP(t, df)))
+    val p = StatTests.tTwoSidedP(t, df)
+    confidence match {
+      case None => new GenericInternalRow(Array[Any](t, p))
+      case Some(conf) =>
+        val half = StatTests.tCritTwoSided(conf, df) * se
+        new GenericInternalRow(Array[Any](t, p, md - half, md + half))
+    }
   }
 
   override def serialize(buf: MomentsBuffer): Array[Byte] = {
@@ -301,14 +377,45 @@ case class TTestAgg(
     copy(value = c(0), idx = c(1))
 }
 
+object TTestAgg {
+  /** The parametric spelling `f(confidence_level)(value, index)` —
+    * shim-flattened params-first. The level must be a constant in
+    * (0, 1); anything else is a scoped analysis error, never a value
+    * silently aggregated. */
+  def withConfidence(
+      conf: Expression, value: Expression, idx: Expression,
+      welch: Boolean): TTestAgg = {
+    val name = if (welch) "welchTTest" else "studentTTest"
+    val c = conf match {
+      case e if e.foldable =>
+        try StatTests.asDouble(e.eval()) catch {
+          case _: Exception => throw new IllegalArgumentException(
+            s"$name confidence level must be a constant number in (0, 1), got $e")
+        }
+      case other => throw new IllegalArgumentException(
+        s"$name confidence level must be a constant, got $other")
+    }
+    require(c > 0.0 && c < 1.0,
+      s"$name confidence level must be in (0, 1), got $c")
+    TTestAgg(value, idx, welch, confidence = Some(c))
+  }
+}
+
 /** mannWhitneyUTest(value, sample_index) → struct(u_stat, z_score,
   * p_value). U is the first sample's statistic (rank-sum form with
   * average ranks for ties); z and p use the tie-corrected normal
-  * approximation, no continuity correction, so the z replay in plain
-  * SQL is bit-exact. Buffers the group's samples (see class doc). */
+  * approximation. The plain form keeps no continuity correction so
+  * the z replay in plain SQL is bit-exact; the ClickHouse parametric
+  * form `mannWhitneyUTest(alternative[, continuity])(v, g)` dispatches
+  * the one-sided alternatives ('greater': sample 0 shifted right,
+  * 'less': shifted left) and applies the ±0.5 continuity correction
+  * by default, as CH documents. Buffers the group's samples (class
+  * doc). */
 case class MannWhitneyAgg(
     value: Expression,
     idx: Expression,
+    alternative: String = "two-sided",
+    continuity: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Byte)]] {
@@ -354,8 +461,19 @@ case class MannWhitneyAgg(
     val nd = n.toDouble
     val sigma = math.sqrt(
       n0 * n1 / 12.0 * ((nd + 1.0) - tieSum / (nd * (nd - 1.0))))
-    val z = (u - mu) / sigma
-    new GenericInternalRow(Array[Any](u, z, StatTests.zTwoSidedP(z)))
+    val (z, p) = alternative match {
+      case "greater" =>
+        val zz = (u - mu - (if (continuity) 0.5 else 0.0)) / sigma
+        (zz, StatTests.zUpperP(zz))
+      case "less" =>
+        val zz = (u - mu + (if (continuity) 0.5 else 0.0)) / sigma
+        (zz, 1.0 - StatTests.zUpperP(zz))
+      case _ =>
+        val cc = if (continuity) 0.5 * math.signum(u - mu) else 0.0
+        val zz = (u - mu - cc) / sigma
+        (zz, StatTests.zTwoSidedP(zz))
+    }
+    new GenericInternalRow(Array[Any](u, z, p))
   }
 
   override def serialize(buf: ArrayBuffer[(Double, Byte)]): Array[Byte] = {
@@ -470,11 +588,20 @@ case class RankCorrAgg(
   * p_value). D is the exact sup-distance between the two empirical
   * CDFs (rational counts — deterministic and replayable in plain
   * SQL); p uses the asymptotic Kolmogorov distribution with the
-  * standard finite-sample λ adjustment. Buffers the group's samples
-  * (see StatTests doc). */
+  * standard finite-sample λ adjustment. The ClickHouse parametric
+  * form `kolmogorovSmirnovTest([alternative][, method])(v, g)` adds
+  * the one-sided statistics (D⁺ = sup(F0−F1) for 'greater', D⁻ for
+  * 'less'; one-sided asymptotic p = e^(−2·n_e·d²)) and the exact
+  * p-value (Hodges path count, see [[StatTests.ksExactP]]); 'auto'
+  * picks exact when max(n0, n1) < 10000, the CH rule. Ties make the
+  * exact count invalid for continuous-data inference, so exact falls
+  * back to the asymptotic p on ties (SciPy's rule). Buffers the
+  * group's samples (see StatTests doc). */
 case class KolmogorovSmirnovAgg(
     value: Expression,
     idx: Expression,
+    alternative: String = "two-sided",
+    method: String = "asymp",
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Byte)]] {
@@ -510,19 +637,39 @@ case class KolmogorovSmirnovAgg(
     val sorted = buf.sortBy(_._1)
     var c0 = 0L; var c1 = 0L
     var d = 0.0
+    var ties = false
     var i = 0
     while (i < sorted.length) {
       val v = sorted(i)._1
       // absorb ALL ties at v before reading the CDF gap
+      var dup = 0
       while (i < sorted.length && sorted(i)._1 == v) {
         if (sorted(i)._2 == 0) c0 += 1 else c1 += 1
+        dup += 1
         i += 1
       }
-      val gap = math.abs(c0.toDouble / n0 - c1.toDouble / n1)
+      if (dup > 1) ties = true
+      val diff = c0.toDouble / n0 - c1.toDouble / n1
+      val gap = alternative match {
+        case "greater" => diff
+        case "less" => -diff
+        case _ => math.abs(diff)
+      }
       if (gap > d) d = gap
     }
-    val en = math.sqrt(n0.toDouble * n1 / (n0.toDouble + n1))
-    val p = StatTests.kolmogorovQ((en + 0.12 + 0.11 / en) * d)
+    val ne = n0.toDouble * n1 / (n0.toDouble + n1)
+    val en = math.sqrt(ne)
+    def asympP: Double = alternative match {
+      case "two-sided" => StatTests.kolmogorovQ((en + 0.12 + 0.11 / en) * d)
+      case _ => math.min(1.0, math.exp(-2.0 * ne * d * d))
+    }
+    val exactEligible = !ties && n0.toLong * n1 <= 100000000L
+    val useExact = method match {
+      case "exact" => exactEligible
+      case "auto" => exactEligible && math.max(n0, n1) < 10000
+      case _ => false
+    }
+    val p = if (useExact) StatTests.ksExactP(n0, n1, d, alternative) else asympP
     new GenericInternalRow(Array[Any](d, p))
   }
 

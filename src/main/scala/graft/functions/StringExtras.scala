@@ -217,20 +217,27 @@ object ExtractGroups {
 }
 
 /** toTypeName(x): the ClickHouse-style type introspector — renders the
-  * argument's RESOLVED Spark SQL type as a constant string (the value
-  * is never evaluated, only its analyzed type). */
+  * argument's RESOLVED type as a constant string (the value is never
+  * evaluated, only its analyzed type), in ClickHouse's type spellings
+  * (Int32/Float64/String/DateTime/Array(T)/Nullable(T)...) since its
+  * output is what users string-match on. Unsignedness does not exist
+  * in the engine's type system, so toUInt8(x) reports its storage
+  * type (Int16), the documented deviation. */
 case class ToTypeName(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def foldable: Boolean = true
   override def prettyName: String = "toTypeName"
 
+  private def rendered: String =
+    ToTypeName.chTypeName(child.dataType, child.nullable)
+
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    UTF8String.fromString(child.dataType.sql)
+    UTF8String.fromString(rendered)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("typeName",
-      UTF8String.fromString(child.dataType.sql), "UTF8String")
+      UTF8String.fromString(rendered), "UTF8String")
     ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block
       .BlockHelper(new StringContext(
         s"UTF8String ${ev.value} = $ref; boolean ${ev.isNull} = false;"))
@@ -239,6 +246,42 @@ case class ToTypeName(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): ToTypeName =
     copy(child = c)
+}
+
+object ToTypeName {
+  /** Engine type → ClickHouse spelling (the inverse of the CAST
+    * shim's CH-name table). Nullable wraps scalars only — CH's
+    * composite types carry nullability inside (Array(Nullable(T))),
+    * never outside, so the renderer follows that grammar. */
+  def chTypeName(dt: DataType, nullable: Boolean): String = {
+    import org.apache.spark.sql.types._
+    val base = dt match {
+      case ByteType => "Int8"
+      case ShortType => "Int16"
+      case IntegerType => "Int32"
+      case LongType => "Int64"
+      case FloatType => "Float32"
+      case DoubleType => "Float64"
+      case BooleanType => "Bool"
+      case StringType => "String"
+      case BinaryType => "String"
+      case DateType => "Date"
+      case TimestampType | TimestampNTZType => "DateTime"
+      case d: DecimalType => s"Decimal(${d.precision}, ${d.scale})"
+      case a: ArrayType =>
+        s"Array(${chTypeName(a.elementType, a.containsNull)})"
+      case m: MapType =>
+        s"Map(${chTypeName(m.keyType, nullable = false)}, " +
+          s"${chTypeName(m.valueType, m.valueContainsNull)})"
+      case s: StructType =>
+        s"Tuple(${s.fields.map(f => chTypeName(f.dataType, f.nullable))
+          .mkString(", ")})"
+      case other => other.sql
+    }
+    val composite = dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+      dt.isInstanceOf[StructType]
+    if (nullable && !composite) s"Nullable($base)" else base
+  }
 }
 
 /** jumpConsistentHash(key, buckets) — Lamping & Veach's jump

@@ -2647,6 +2647,70 @@ object ChSurface {
         |  'O' AS gi
         |FROM orders""".stripMargin)),
 
+    // r16: the params-first mis-binding class, value-verified — every
+    // column here answered WRONG (or threw raw executor errors) under
+    // the r15 default flatten: groupArray(3)(x) collected the literal
+    // 3, studentTTest(0.95)(v,g) was silently NaN, quantileGK's
+    // accuracy landed in the level slot, intDiv truncated toward zero
+    // where CH floors. The DuckDB oracle replays each semantic
+    // independently (pooled-t from moments, Mann-Whitney U from
+    // average ranks, floor-division spelled as floor()).
+    ("q_param_aggs",
+      """SELECT o_orderstatus AS s,
+        |  toInt32(size(groupArray(3)(o_orderkey))) AS ga_n,
+        |  arrayStringConcat(arraySort(groupUniqArray(1000000)(o_custkey % 10)), ',') AS gu_all,
+        |  toInt32(size(groupUniqArray(2)(o_orderpriority))) AS gu_n,
+        |  round(studentTTest(0.95)(o_totalprice, o_orderkey % 2).t_stat, 6) AS t_stat,
+        |  if(isFinite(studentTTest(0.95)(o_totalprice, o_orderkey % 2).p_value)
+        |     AND isFinite(welchTTest(0.95)(o_totalprice, o_orderkey % 2).p_value)
+        |     AND studentTTest(0.95)(o_totalprice, o_orderkey % 2).ci_low
+        |         < studentTTest(0.95)(o_totalprice, o_orderkey % 2).ci_high, 1, 0) AS ttest_ok,
+        |  round(mannWhitneyUTest('two-sided')(o_totalprice, o_orderkey % 2).u_stat, 4) AS mwu,
+        |  if(kolmogorovSmirnovTest('auto')(o_totalprice, o_orderkey % 2).p_value
+        |     BETWEEN 0 AND 1, 1, 0) AS ks_ok,
+        |  round(quantileGK(10000, 0.0)(o_totalprice), 2) AS gk_min,
+        |  round(quantileGK(10000, 1.0)(o_totalprice), 2) AS gk_max,
+        |  toInt32(size(quantilesGK(10000, 0.25, 0.5, 0.75)(o_totalprice))) AS gks_n,
+        |  CAST(sum(intDiv(2 - o_orderkey % 5, 2)) AS BIGINT) AS fd
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin,
+      Some("""WITH base AS (
+        |  SELECT o_orderstatus AS s,
+        |    count(*) AS n,
+        |    count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n0,
+        |    count(*) FILTER (WHERE o_orderkey % 2 = 1) AS n1,
+        |    avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS m0,
+        |    avg(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS m1,
+        |    var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 0) AS v0,
+        |    var_samp(o_totalprice) FILTER (WHERE o_orderkey % 2 = 1) AS v1,
+        |    count(DISTINCT o_orderpriority) AS ndp,
+        |    array_to_string(list_sort(list_distinct(list(o_custkey % 10))), ',') AS gu_all,
+        |    min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+        |    CAST(sum(CAST(floor((2 - o_orderkey % 5) / 2.0) AS BIGINT)) AS BIGINT) AS fd
+        |  FROM orders GROUP BY 1),
+        |rk AS (
+        |  SELECT o_orderstatus AS s, o_orderkey % 2 AS g,
+        |    rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        |      + (count(*) OVER (PARTITION BY o_orderstatus, o_totalprice) - 1) / 2.0 AS ar
+        |  FROM orders),
+        |mw AS (
+        |  SELECT s, round(sum(ar) FILTER (WHERE g = 0)
+        |    - (count(*) FILTER (WHERE g = 0))
+        |      * ((count(*) FILTER (WHERE g = 0)) + 1) / 2.0, 4) AS mwu
+        |  FROM rk GROUP BY s)
+        |SELECT base.s AS s,
+        |  CAST(LEAST(3, n) AS INT) AS ga_n,
+        |  gu_all,
+        |  CAST(LEAST(2, ndp) AS INT) AS gu_n,
+        |  round((m0 - m1) / sqrt((((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2))
+        |    * (1.0 / n0 + 1.0 / n1)), 6) AS t_stat,
+        |  CAST(1 AS INT) AS ttest_ok,
+        |  mw.mwu AS mwu,
+        |  CAST(1 AS INT) AS ks_ok,
+        |  round(mn, 2) AS gk_min, round(mx, 2) AS gk_max,
+        |  CAST(3 AS INT) AS gks_n,
+        |  fd
+        |FROM base JOIN mw USING (s) ORDER BY s""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

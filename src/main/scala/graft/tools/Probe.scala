@@ -865,7 +865,23 @@ object Probe {
     "w39_window_alias" ->
       "SELECT o_orderstatus AS s, count() AS c, round(c / sum(c) OVER (), 4) AS share FROM orders GROUP BY s ORDER BY s",
     "w39_bare_using" ->
-      "SELECT t1.a AS a FROM (SELECT 1 AS a) t1 ANY LEFT JOIN (SELECT 1 AS a, 2 AS b) t2 USING a"
+      "SELECT t1.a AS a FROM (SELECT 1 AS a) t1 ANY LEFT JOIN (SELECT 1 AS a, 2 AS b) t2 USING a",
+
+    // ---- wave 40 (parametric FORMS: params-first class closure) ----
+    "w40_group_array_n" ->
+      "SELECT groupArray(3)(o_orderstatus) AS a, groupUniqArray(2)(o_orderstatus) AS b FROM orders",
+    "w40_ttest_conf" ->
+      "SELECT studentTTest(0.95)(o_totalprice, o_orderkey % 2).p_value AS p, welchTTest(0.9)(o_totalprice, o_orderkey % 2).ci_low AS cl FROM orders",
+    "w40_mw_ks" ->
+      "SELECT mannWhitneyUTest('two-sided')(o_totalprice, o_orderkey % 2).p_value AS mp, kolmogorovSmirnovTest('exact')(o_totalprice, o_orderkey % 2).p_value AS kp FROM orders",
+    "w40_gk" ->
+      "SELECT quantileGK(100)(o_totalprice) AS q, quantilesGK(100, 0.5, 0.9)(o_totalprice) AS qs, quantilesTiming(0.5, 0.9)(o_totalprice) AS qt FROM orders",
+    "w40_bare_defaults" ->
+      "SELECT quantile(o_totalprice) AS q, quantileExact(o_totalprice) AS qe, size(topK(o_orderpriority)) AS tk FROM orders",
+    "w40_if_combinators" ->
+      "SELECT quantileIf(0.9)(o_totalprice, o_orderstatus = 'F') AS qi, quantilesExactIf(0.5)(o_totalprice, o_orderstatus = 'F') AS qei, groupArrayIf(2)(o_orderkey, o_orderkey < 5) AS gai, groupUniqArrayIf(1)(o_orderstatus, true) AS gui FROM orders",
+    "w40_intdiv_typename" ->
+      "SELECT intDiv(-7, 2) AS a, intDivOrZero(-9, 4) AS b, toTypeName(1) AS t, toTypeName(array(1.5)) AS ta"
   )
 
   def main(args: Array[String]): Unit = {
@@ -880,6 +896,19 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.CHFunctions.register(spark)
     graft.sql.TableEnv.register(spark, dir)
+    // ad-hoc mode: Probe <dir> --sql "<stmt>" [...] shows each result
+    if (args.length > 1 && args(1) == "--sql") {
+      args.drop(2).foreach { sql =>
+        println(s"[probe] SQL: $sql")
+        try graft.sql.QueryGuard.plan(spark, sql).show(20, truncate = false)
+        catch {
+          case e: Throwable => println(s"[probe] ERROR: ${Option(e.getMessage)
+            .getOrElse(e.getClass.getName).linesIterator.take(4).mkString(" | ")}")
+        }
+      }
+      spark.stop()
+      return
+    }
     val wanted = if (args.length > 1) args.drop(1).toSet else Set.empty[String]
     var pass = 0
     val fails = scala.collection.mutable.ArrayBuffer.empty[(String, String)]

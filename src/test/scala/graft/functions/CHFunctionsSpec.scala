@@ -71,7 +71,9 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(1) == "2024-03-05 07:08:09")
     assert(r.getString(2) == "2024/03")
     assert(r.getTimestamp(3).toString.startsWith("2024-03-05 07:08:09"))
-    assert(r.getLong(4) == 3L && r.getLong(5) == -3L)
+    // CH intDiv floors (rounds down): intDiv(-7, 2) = -4, not Spark
+    // div's truncation toward zero (-3)
+    assert(r.getLong(4) == 3L && r.getLong(5) == -4L)
   }
 
   test("quantiles exact and approximate") {
@@ -1943,7 +1945,7 @@ class CHFunctionsSpec extends SparkSpec {
         |  normalizeL2(array(3.0D, 4.0D)),
         |  tuple(1, 'a').col2,
         |  map_keys(mapConcat(map('a', 1), map('b', 2))),
-        |  quantileGK(100, cast(number AS DOUBLE), 0.5D)
+        |  quantileGK(100, 0.5D, cast(number AS DOUBLE))
         |FROM numbers(101)""".stripMargin)
     assert(r.getDouble(0) == 5.0 && r.getDouble(1) == 3.0)
     assert(r.getDouble(2) == 7.0 && r.getDouble(3) == 4.0)
@@ -2007,8 +2009,8 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getString(11) == "x " && r.getString(12) == "  x")
     assert(r.getString(13) == "a.b")
     assert(r.getBoolean(14))
-    assert(r.getString(15) == "INT" && r.getString(16) == "STRING")
-    assert(r.getString(17) == "ARRAY<DOUBLE>")
+    assert(r.getString(15) == "Int32" && r.getString(16) == "String")
+    assert(r.getString(17) == "Array(Float64)")
     assert(r.getString(18) == "default")
     assert(r.getString(19) == "2024-01-02 10:20:30")
     assert(r.getString(20) == "2024-03-02 00:00:00")
