@@ -1876,13 +1876,35 @@ object CHFunctions {
     // documents. Composed over array_sort(collect_list(x)) — the group
     // (not the table) must fit, the same contract as quantileExact.
     "quantileExactLow" -> (es =>
-      exactQuantileAt(es.head, es(1), ceil = false)),
+      exactQuantileAt(es.head,
+        if (es.size > 1) es(1) else Literal(0.5), ceil = false)),
     "quantileExactHigh" -> (es =>
-      exactQuantileAt(es.head, es(1), ceil = true)),
+      exactQuantileAt(es.head,
+        if (es.size > 1) es(1) else Literal(0.5), ceil = true)),
     "quantileExactExclusive" -> (es =>
-      exactQuantileInterp(es.head, es(1), exclusive = true)),
+      exactQuantileInterp(es.head,
+        if (es.size > 1) es(1) else Literal(0.5), exclusive = true)),
     "quantileExactInclusive" -> (es =>
-      exactQuantileInterp(es.head, es(1), exclusive = false)),
+      exactQuantileInterp(es.head,
+        if (es.size > 1) es(1) else Literal(0.5), exclusive = false)),
+    // median aliases for every sketch variant (CH documents a median*
+    // twin per quantile* name); the Weighted twins read (x, w)
+    "medianTiming" -> (es =>
+      fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
+    "medianTDigest" -> (es =>
+      fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
+    "medianBFloat16" -> (es =>
+      fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
+    "medianDeterministic" -> (es =>
+      fn("percentile_approx", es.head, Literal(0.5), Literal(10000))),
+    "medianTimingWeighted" -> (es =>
+      fn("percentile", es.head, Literal(0.5), Cast(es(1), LongType))),
+    "medianTDigestWeighted" -> (es =>
+      fn("percentile", es.head, Literal(0.5), Cast(es(1), LongType))),
+    "medianBFloat16Weighted" -> (es =>
+      fn("percentile", es.head, Literal(0.5), Cast(es(1), LongType))),
+    "medianInterpolatedWeighted" -> (es =>
+      fn("percentile", es.head, Literal(0.5), Cast(es(1), LongType))),
     // groupArraySorted(n, x): the n smallest values, ascending
     "groupArraySorted" -> (es =>
       fn("slice", fn("array_sort", fn("collect_list", es(1))),
@@ -2023,11 +2045,13 @@ object CHFunctions {
         case other => other.eval().toString.toInt
       })),
     // uniqUpTo(x, n): exact distinct count while ≤ n, else n+1 — the
-    // "more than n?" probe that skips a full exact-distinct state
+    // "more than n?" probe that skips a full exact-distinct state.
+    // Bare uniqUpTo(x) uses CH's documented default N = 5.
     "uniqUpTo" -> (es =>
       Least(Seq(
         Count(Seq(es.head)).toAggregateExpression(isDistinct = true),
-        Add(Cast(es(1), LongType), Literal(1L))))),
+        Add(Cast(if (es.size > 1) es(1) else Literal(5), LongType),
+          Literal(1L))))),
 
     // mergeable map aggregates (the AggregatingMergeTree sumMap
     // pattern): sumMap/minMap/maxMap(keys_arr, vals_arr) combine
@@ -3733,28 +3757,33 @@ object CHFunctions {
     // interpolated weighted quantile — Spark's percentile speaks
     // exactly this with its frequency argument (wave 28)
     "quantileInterpolatedWeighted" -> (es => es match {
+      case Seq(x, w) => fn("percentile", x, Literal(0.5), Cast(w, LongType))
       case Seq(level, x, w) =>
         fn("percentile", x, level, Cast(w, LongType))
       case other => throw new IllegalArgumentException(
-        s"quantileInterpolatedWeighted expects (level)(x, weight), got ${other.size} arguments")
+        s"quantileInterpolatedWeighted expects [(level)](x, weight), got ${other.size} arguments")
     }),
     // the remaining *Weighted quantile spellings share the exact
     // weighted interpolation (exact satisfies every approximate
-    // contract; frequency = weight)
+    // contract; frequency = weight); the bare (x, weight) form is
+    // CH's default level 0.5
     "quantileTDigestWeighted" -> (es => es match {
+      case Seq(x, w) => fn("percentile", x, Literal(0.5), Cast(w, LongType))
       case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
       case other => throw new IllegalArgumentException(
-        s"quantileTDigestWeighted expects (level)(x, weight), got ${other.size} arguments")
+        s"quantileTDigestWeighted expects [(level)](x, weight), got ${other.size} arguments")
     }),
     "quantileTimingWeighted" -> (es => es match {
+      case Seq(x, w) => fn("percentile", x, Literal(0.5), Cast(w, LongType))
       case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
       case other => throw new IllegalArgumentException(
-        s"quantileTimingWeighted expects (level)(x, weight), got ${other.size} arguments")
+        s"quantileTimingWeighted expects [(level)](x, weight), got ${other.size} arguments")
     }),
     "quantileBFloat16Weighted" -> (es => es match {
+      case Seq(x, w) => fn("percentile", x, Literal(0.5), Cast(w, LongType))
       case Seq(level, x, w) => fn("percentile", x, level, Cast(w, LongType))
       case other => throw new IllegalArgumentException(
-        s"quantileBFloat16Weighted expects (level)(x, weight), got ${other.size} arguments")
+        s"quantileBFloat16Weighted expects [(level)](x, weight), got ${other.size} arguments")
     }),
     // A/B power analysis (closed-form, public formulas)
     "minSampleSizeConversion" -> (es => MinSampleSize(conversion = true, es)),

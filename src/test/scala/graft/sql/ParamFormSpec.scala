@@ -235,6 +235,28 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getSeq[String](8) == Seq("a", "b", "c"))
   }
 
+  test("wave 41: bare weighted/exact-variant defaults and median aliases") {
+    val r = one(
+      """SELECT quantileExactLow(x) AS ql, quantileExactHigh(x) AS qh,
+        |  quantileInterpolatedWeighted(x, 1) AS qw,
+        |  quantileTimingWeighted(x, 1) AS qtw,
+        |  medianTiming(x) AS mt, medianTDigestWeighted(x, 1) AS mtw,
+        |  uniqUpTo(x) AS uu
+        |FROM VALUES (1.0D), (2.0D), (3.0D), (4.0D) t(x)""".stripMargin)
+    assert(r.getDouble(0) == 2.0) // lower middle
+    assert(r.getDouble(1) == 3.0) // upper middle
+    assert(r.getDouble(2) == 2.5) // exact weighted interpolation
+    assert(r.getDouble(3) == 2.5)
+    // approx sketches pick an actual element (lower middle on even n)
+    assert(r.getDouble(4) == 2.0)
+    assert(r.getDouble(5) == 2.5)
+    assert(r.getLong(6) == 4L) // 4 distinct ≤ default N=5 → exact
+    // uniqUpTo default caps at 6 when distinct exceeds 5
+    val r2 = one("SELECT uniqUpTo(x) AS uu FROM VALUES (1), (2), (3), " +
+      "(4), (5), (6), (7), (8) t(x)")
+    assert(r2.getLong(0) == 6L)
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
