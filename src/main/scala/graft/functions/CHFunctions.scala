@@ -1057,6 +1057,7 @@ object CHFunctions {
     "uniqExactIf" -> (es =>
       Count(Seq(whenThen(es.last, uniqInput(es.init)))).toAggregateExpression(isDistinct = true)),
     "anyIf" -> (es => fn("first", whenThen(es(1), es.head), Literal(true))),
+    "anyLastIf" -> (es => fn("last", whenThen(es(1), es.head), Literal(true))),
     "argMaxIf" -> (es =>
       fn("max_by", whenThen(es(2), es.head), whenThen(es(2), es(1)))),
     "argMinIf" -> (es =>

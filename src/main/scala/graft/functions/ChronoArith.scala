@@ -263,3 +263,54 @@ object WindowShims {
       "nonNegativeDerivative interval must be a constant INTERVAL or number")
   }
 }
+
+/** ClickHouse treats Bool as UInt8, so `sum(cond)` counts matches and
+  * `avg(cond)` is the share of matching rows — the everyday pasted
+  * idiom `avg(status = 'ok')`. Spark's Sum/Average reject BOOLEAN at
+  * analysis, so this rides the same DATATYPE_MISMATCH-retry lane as
+  * [[ChronoArith.shifts]]: only a statement Spark already rejected
+  * takes the rewritten path, and the wrapper is the IDENTITY for any
+  * non-boolean argument (a RuntimeReplaceable that optimizes away),
+  * so no working plan can change. */
+object BoolAggs {
+
+  /** sum/avg name family (lowercase): the value argument is HEAD for
+    * every one of these registrations. */
+  private val names = Set(
+    "sum", "avg", "mean", "sumif", "avgif", "sumornull", "avgornull",
+    "sumordefault", "avgordefault", "sumdistinct", "avgdistinct",
+    "sumkahan", "sumcount")
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: GlobalLimit => l
+    case l: LocalLimit => l
+    case o: Offset => o
+    case other => other.mapExpressions(fix)
+  }
+
+  private def fix(e: Expression): Expression = e.transformUp {
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+        if f.nameParts.size == 1 &&
+          names(f.nameParts.head.toLowerCase) &&
+          f.arguments.nonEmpty &&
+          !f.arguments.head.isInstanceOf[BoolToNum] =>
+      f.copy(arguments = BoolToNum(f.arguments.head) +: f.arguments.tail)
+    case s: SubqueryExpression => s.withNewPlan(apply(s.plan))
+  }
+}
+
+/** Identity for every type except BOOLEAN, which casts to Int32 —
+  * CH's Bool-is-UInt8 numeric reading. Type-blind until analysis
+  * resolves the child (the [[ChronoDiff]] mold). */
+case class BoolToNum(child: Expression) extends UnaryExpression
+    with RuntimeReplaceable {
+
+  override lazy val replacement: Expression =
+    if (child.dataType == BooleanType) Cast(child, IntegerType) else child
+
+  override def dataType: DataType = replacement.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "toUInt8"
+  override protected def withNewChildInternal(c: Expression): BoolToNum =
+    copy(child = c)
+}

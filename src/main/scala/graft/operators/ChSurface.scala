@@ -2711,6 +2711,24 @@ object ChSurface {
         |  fd
         |FROM base JOIN mw USING (s) ORDER BY s""".stripMargin)),
 
+    // r16 wave 42: CH reads Bool as UInt8, so sum(cond) counts matches
+    // and avg(cond) is the matching share — the pasted share-of-rows
+    // idiom. Spark rejects BOOLEAN in Sum/Average at analysis; the
+    // BoolAggs DATATYPE_MISMATCH retry (ChronoArith.scala) wraps the
+    // value argument in a cast-if-boolean RuntimeReplaceable, identity
+    // for every already-working statement.
+    ("q_bool_agg",
+      """SELECT o_orderstatus AS s,
+        |  CAST(sum(o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  round(avg(o_orderkey % 2 = 0), 6) AS even_share,
+        |  CAST(sumIf(o_orderkey % 2 = 0, o_totalprice > 200000) AS BIGINT) AS even_big
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin,
+      Some("""SELECT o_orderstatus AS s,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+        |  round(avg(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END), 6) AS even_share,
+        |  CAST(count(*) FILTER (WHERE o_totalprice > 200000 AND o_orderkey % 2 = 0) AS BIGINT) AS even_big
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

@@ -670,14 +670,26 @@ object QueryGuard {
     // elsewhere); TIMESTAMP ± integral-seconds — which Spark has no
     // rule for at all — is the DATATYPE_MISMATCH retry, so no
     // currently-resolving statement ever takes the rewritten path.
+    // retry ladder on DATATYPE_MISMATCH: ChronoShift (TIMESTAMP ±
+    // seconds), then BoolAggs (sum/avg over a boolean — CH's
+    // Bool-is-UInt8 reading), then both. Each retry transform is the
+    // identity wherever the original resolved, so only statements
+    // Spark itself rejected can take a rewritten path.
     var df = try graft.plans.Bridge.ofRows(spark,
       graft.functions.ChronoArith.diffs(parsed))
     catch {
       case e: org.apache.spark.sql.AnalysisException
           if Option(e.getCondition).exists(_.startsWith("DATATYPE_MISMATCH")) =>
-        try graft.plans.Bridge.ofRows(spark,
-          graft.functions.ChronoArith.shifts(parsed))
-        catch { case _: Throwable => throw e }
+        val retries: Seq[() => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Seq(
+          () => graft.functions.ChronoArith.shifts(parsed),
+          () => graft.functions.ChronoArith.diffs(
+            graft.functions.BoolAggs(parsed)),
+          () => graft.functions.ChronoArith.shifts(
+            graft.functions.BoolAggs(parsed)))
+        retries.view.flatMap { mk =>
+          try Some(graft.plans.Bridge.ofRows(spark, mk()))
+          catch { case _: Throwable => None }
+        }.headOption.getOrElse(throw e)
     }
     df = star.map(StarPost(df, _)).getOrElse(df)
     fill.map(WithFill(df, _)).getOrElse(df)

@@ -257,6 +257,19 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r2.getLong(0) == 6L)
   }
 
+  // wave 42: CH's Bool-is-UInt8 reading for sum/avg — the share-of-
+  // rows idiom — rides the DATATYPE_MISMATCH retry, identity elsewhere
+  test("sum/avg over a boolean count and share like ClickHouse") {
+    val r = one(
+      """SELECT sum(x > 2) AS n, avg(x > 2) AS share,
+        |  sumIf(x > 2, x < 4) AS nif, sum(x) AS plain
+        |FROM VALUES (1), (2), (3), (4) t(x)""".stripMargin)
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getLong(2) == 1L)
+    assert(r.getLong(3) == 10L) // non-boolean path untouched
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
