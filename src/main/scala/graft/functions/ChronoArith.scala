@@ -314,3 +314,148 @@ case class BoolToNum(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): BoolToNum =
     copy(child = c)
 }
+
+/** ClickHouse tuple comparisons — `(a, b) > (10, 0)` lexicographic —
+  * die in Spark when the two struct operands carry different field
+  * NAMES (a pasted tuple literal gets col1/col2 against the column
+  * side's own names) or unwidened field types, and the analyzer
+  * cannot repair them because struct coercion requires matching
+  * names. Retry-only transform ([[BoolAggs]] lane), gated to
+  * comparisons with a PARSED tuple constructor on either side so an
+  * ordinary scalar comparison never takes the hand-coerced path: the
+  * failed node is REBUILT from its operands ([[ChronoShift]] mold —
+  * a wrapper around the unresolvable node would never resolve), and
+  * once the operands resolve, struct sides are normalized to one
+  * positional shape (canonical c1..cn names, pairwise-widened field
+  * types via TypeCoercion). Non-struct operands rebuild the original
+  * comparison unchanged. */
+object TupleCmps {
+
+  def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case l: GlobalLimit => l
+    case l: LocalLimit => l
+    case o: Offset => o
+    case other => other.mapExpressions(fix)
+  }
+
+  /** A parsed tuple literal: the parser's struct constructor or the
+    * dialect spellings tuple()/struct() before resolution. */
+  private def isTupleCtor(e: Expression): Boolean = e match {
+    case _: CreateNamedStruct => true
+    case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+      f.nameParts.size == 1 &&
+        Set("struct", "tuple")(f.nameParts.head.toLowerCase)
+    case _ => false
+  }
+
+  private def fix(e: Expression): Expression = e.transformUp {
+    case c: BinaryComparison
+        if isTupleCtor(c.left) || isTupleCtor(c.right) =>
+      TupleCmp(c.left, c.right, TupleCmp.symbolOf(c))
+    case in @ In(v, list)
+        if list.nonEmpty && (isTupleCtor(v) || list.exists(isTupleCtor)) =>
+      TupleIn(v, in.list)
+    case s: SubqueryExpression => s.withNewPlan(apply(s.plan))
+  }
+
+  /** Positionally renamed (c1..cn) struct with each field cast to the
+    * paired wider type. */
+  private[functions] def normalize(
+      e: Expression, own: StructType, widened: Seq[DataType]): Expression =
+    CreateNamedStruct(widened.zipWithIndex.toSeq.flatMap { case (t, i) =>
+      Seq(Literal(s"c${i + 1}"),
+        Cast(GetStructField(e, i, Some(own.fields(i).name)), t))
+    })
+
+  private[functions] def widths(
+      l: StructType, r: StructType): Option[Seq[DataType]] = {
+    if (l.size != r.size) return None
+    val ws = l.fields.zip(r.fields).map { case (lf, rf) =>
+      TypeCoercion.findWiderTypeForTwo(lf.dataType, rf.dataType) }
+    if (ws.forall(_.isDefined)) Some(ws.map(_.get).toSeq) else None
+  }
+
+  /** Both sides as one positional struct shape, or None when either
+    * side is not a struct / no field pair widens. */
+  private[functions] def aligned(
+      l: Expression, r: Expression): Option[(Expression, Expression)] =
+    (l.dataType, r.dataType) match {
+      case (lt: StructType, rt: StructType) =>
+        widths(lt, rt).map(ws =>
+          (normalize(l, lt, ws), normalize(r, rt, ws)))
+      case _ => None
+    }
+}
+
+case class TupleCmp(left: Expression, right: Expression, symbol: String)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = {
+    val (l, r) = TupleCmps.aligned(left, right).getOrElse((left, right))
+    TupleCmp.build(symbol, l, r)
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = symbol
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TupleCmp =
+    copy(left = l, right = r)
+}
+
+object TupleCmp {
+  def symbolOf(c: BinaryComparison): String = c match {
+    case _: EqualNullSafe => "<=>"
+    case _: EqualTo => "="
+    case _: GreaterThan => ">"
+    case _: GreaterThanOrEqual => ">="
+    case _: LessThan => "<"
+    case _ => "<="
+  }
+
+  def build(symbol: String, l: Expression, r: Expression): Expression =
+    symbol match {
+      case "<=>" => EqualNullSafe(l, r)
+      case "=" => EqualTo(l, r)
+      case ">" => GreaterThan(l, r)
+      case ">=" => GreaterThanOrEqual(l, r)
+      case "<" => LessThan(l, r)
+      case _ => LessThanOrEqual(l, r)
+    }
+}
+
+/** `(a, b) IN ((1, 2), (3, 4))` — the value and every list element
+  * normalize to one positional struct shape (field types widened
+  * across the whole list). */
+case class TupleIn(value: Expression, list: Seq[Expression])
+    extends Expression with RuntimeReplaceable {
+
+  override def children: Seq[Expression] = value +: list
+
+  override lazy val replacement: Expression = value.dataType match {
+    case l: StructType
+        if list.forall(_.dataType.isInstanceOf[StructType]) =>
+      val widened = list.foldLeft(Option(l.fields.map(_.dataType).toSeq)) {
+        case (Some(acc), e) =>
+          TupleCmps.widths(
+            StructType(acc.zipWithIndex.map { case (t, i) =>
+              StructField(s"c${i + 1}", t) }),
+            e.dataType.asInstanceOf[StructType])
+        case (None, _) => None
+      }
+      widened match {
+        case Some(ws) =>
+          In(TupleCmps.normalize(value, l, ws),
+            list.map(e => TupleCmps.normalize(
+              e, e.dataType.asInstanceOf[StructType], ws)))
+        case None => In(value, list)
+      }
+    case _ => In(value, list)
+  }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = replacement.nullable
+  override def prettyName: String = "in"
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TupleIn =
+    copy(value = cs.head, list = cs.tail.toSeq)
+}

@@ -2729,6 +2729,21 @@ object ChSurface {
         |  CAST(count(*) FILTER (WHERE o_totalprice > 200000 AND o_orderkey % 2 = 0) AS BIGINT) AS even_big
         |FROM orders GROUP BY s ORDER BY s""".stripMargin)),
 
+    // r16 wave 43: CH tuple comparisons and tuple-IN — lexicographic
+    // struct compares that Spark rejects on field-name/width mismatch;
+    // the TupleCmps DATATYPE_MISMATCH retry rebuilds them positionally
+    // (ChronoArith.scala). DuckDB speaks row comparisons natively, so
+    // the oracle replays the same predicates verbatim.
+    ("q_tuple_cmp",
+      """SELECT count() AS n_gt,
+        |  countIf((o_orderstatus, o_orderkey % 2) IN (('F', 0), ('O', 1))) AS n_in,
+        |  countIf((o_orderstatus, 'x') = ('F', 'x')) AS n_eq
+        |FROM orders WHERE (o_orderkey, o_custkey) > (100, 0)""".stripMargin,
+      Some("""SELECT count(*) AS n_gt,
+        |  count(*) FILTER (WHERE (o_orderstatus, o_orderkey % 2) IN (('F', 0), ('O', 1))) AS n_in,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_eq
+        |FROM orders WHERE (o_orderkey, o_custkey) > (100, 0)""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

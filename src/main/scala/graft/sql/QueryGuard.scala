@@ -683,9 +683,9 @@ object QueryGuard {
         val retries: Seq[() => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = Seq(
           () => graft.functions.ChronoArith.shifts(parsed),
           () => graft.functions.ChronoArith.diffs(
-            graft.functions.BoolAggs(parsed)),
+            graft.functions.TupleCmps(graft.functions.BoolAggs(parsed))),
           () => graft.functions.ChronoArith.shifts(
-            graft.functions.BoolAggs(parsed)))
+            graft.functions.TupleCmps(graft.functions.BoolAggs(parsed))))
         retries.view.flatMap { mk =>
           try Some(graft.plans.Bridge.ofRows(spark, mk()))
           catch { case _: Throwable => None }

@@ -270,6 +270,19 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getLong(3) == 10L) // non-boolean path untouched
   }
 
+  // wave 43: CH tuple comparisons — lexicographic, with the literal
+  // side's names/widths normalized on the retry lane
+  test("tuple comparisons and tuple-IN answer lexicographically") {
+    val r = one(
+      """SELECT (1, 2) < (1, 3) AS a, (2, 'b') = (2, 'b') AS b,
+        |  (x, y) > (1, 10) AS c,
+        |  (x, y) IN ((1, 10), (2, 20)) AS d
+        |FROM VALUES (1, 10), (2, 20) t(x, y) ORDER BY x LIMIT 1""".stripMargin)
+    assert(r.getBoolean(0) && r.getBoolean(1))
+    assert(!r.getBoolean(2)) // (1,10) > (1,10) is false
+    assert(r.getBoolean(3))
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
