@@ -4225,9 +4225,11 @@ object CHFunctions {
       case other => throw new IllegalArgumentException(
         s"formatQuerySingleLine expects a literal query string, got $other")
     }),
+    // CH splits on whitespace AND punctuation only — a digit is
+    // neither, so 'a1b c' → ['a1b', 'c'], not ['a', 'b', 'c']
     "splitByNonAlpha" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
-      ArrayFilter(fn("split", es.head, Literal("[^\\p{L}]+")),
+      ArrayFilter(fn("split", es.head, Literal("[\\s\\p{Punct}]+")),
         LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
     }),
     // Spark's startswith/endswith are byte/codepoint-agnostic on

@@ -329,7 +329,7 @@ object JumpHash {
 }
 
 /** ClickHouse `length()`: BYTES for String/FixedString, element count
-  * for arrays — where Spark's same-named builtin counts CHARACTERS.
+  * for arrays and maps — where Spark's same-named builtin counts CHARACTERS.
   * ASCII agrees; any multibyte text silently diverges, so the served
   * dialect path renames pasted `length(` onto this node
   * (QueryGuard.rewriteDialectNames — registry-override would also
@@ -344,11 +344,11 @@ case class ChLength(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
-      case StringType | BinaryType | _: ArrayType =>
+      case StringType | BinaryType | _: ArrayType | _: MapType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          s"length expects a string, binary, or array argument, got $other")
+          s"length expects a string, binary, array, or map argument, got $other")
     }
 
   override def nullSafeEval(v: Any): Any = child.dataType match {
@@ -356,6 +356,9 @@ case class ChLength(child: Expression) extends UnaryExpression {
     case BinaryType => v.asInstanceOf[Array[Byte]].length.toLong
     case _: ArrayType =>
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .numElements.toLong
+    case _: MapType =>
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
         .numElements.toLong
   }
 
@@ -365,7 +368,7 @@ case class ChLength(child: Expression) extends UnaryExpression {
         defineCodeGen(ctx, ev, c => s"(long) $c.numBytes()")
       case BinaryType =>
         defineCodeGen(ctx, ev, c => s"(long) $c.length")
-      case _: ArrayType =>
+      case _: ArrayType | _: MapType =>
         defineCodeGen(ctx, ev, c => s"(long) $c.numElements()")
     }
 

@@ -2651,7 +2651,7 @@ class CHFunctionsSpec extends SparkSpec {
     graft.sql.TableEnv.register(spark, sf)
     val r = one(
       """SELECT deltaSum(v) AS d,
-        |  splitByNonAlpha('ab1cd2ef') AS sp,
+        |  splitByNonAlpha('ab cd,ef') AS sp,
         |  startsWithUTF8('héllo', 'hé') AS sw,
         |  fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2024-02-29'))) AS rt,
         |  toDaysSinceYearZero(toDate('1970-01-01')) AS zero,

@@ -283,6 +283,15 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getBoolean(3))
   }
 
+  // wave 44: type-dispatch corners — CH length() counts map entries;
+  // splitByNonAlpha splits on whitespace/punctuation ONLY (digits stay)
+  test("length over maps and splitByNonAlpha keep CH semantics") {
+    val r = one("SELECT length(map('a', 1, 'b', 2)) AS lm, " +
+      "splitByNonAlpha('a1b c,d') AS sp")
+    assert(r.getLong(0) == 2L)
+    assert(r.getSeq[String](1) == Seq("a1b", "c", "d"))
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
