@@ -2046,13 +2046,24 @@ object CHFunctions {
         case other => other.eval().toString.toInt
       })),
     // uniqUpTo(x, n): exact distinct count while ≤ n, else n+1 — the
-    // "more than n?" probe that skips a full exact-distinct state.
-    // Bare uniqUpTo(x) uses CH's documented default N = 5.
-    "uniqUpTo" -> (es =>
-      Least(Seq(
-        Count(Seq(es.head)).toAggregateExpression(isDistinct = true),
-        Add(Cast(if (es.size > 1) es(1) else Literal(5), LongType),
-          Literal(1L))))),
+    // "more than n?" probe whose state saturates at n+1 values
+    // (UniqUpToAgg scaladoc: the old least(count(DISTINCT x), n+1)
+    // composition shuffled every distinct value; the native aggregate
+    // keeps CH's bounded-state contract). Bare uniqUpTo(x) uses CH's
+    // documented default N = 5.
+    "uniqUpTo" -> (es => {
+      val n = if (es.size > 1) es(1) else Literal(5)
+      val cap = n match {
+        case l if l.foldable => l.eval() match {
+          case num: Number => num.intValue()
+          case other => throw new IllegalArgumentException(
+            s"uniqUpTo N must be a constant integer, got $other")
+        }
+        case other => throw new IllegalArgumentException(
+          s"uniqUpTo N must be a constant integer, got $other")
+      }
+      UniqUpToAgg(es.head, cap)
+    }),
 
     // mergeable map aggregates (the AggregatingMergeTree sumMap
     // pattern): sumMap/minMap/maxMap(keys_arr, vals_arr) combine

@@ -292,6 +292,31 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getSeq[String](1) == Seq("a1b", "c", "d"))
   }
 
+  test("param-agg routes cannot dangle: every target is a registered name") {
+    val registered = CHFunctions.all.map(_._1.toLowerCase).toSet
+    QueryGuard.paramAggArgsFirst.values.foreach { target =>
+      assert(registered(target.toLowerCase),
+        s"paramAggArgsFirst routes to unregistered '$target'")
+    }
+    // params-first names resolve through the registry under their own
+    // spelling — every allowlisted name must be registered
+    QueryGuard.paramAggParamsFirst.foreach { n =>
+      assert(registered(n), s"paramAggParamsFirst lists unregistered '$n'")
+    }
+  }
+
+  // wave 45: uniqUpTo's state saturates at N+1 (the CH contract) —
+  // values cross partition merges without growing past the cap
+  test("uniqUpTo saturates at N+1 and stays exact below it") {
+    val r = one(
+      """SELECT uniqUpTo(3)(x % 7) AS a, uniqUpTo(10)(x % 7) AS b,
+        |  uniqUpTo(2)(toString(x % 3)) AS s
+        |FROM (SELECT id AS x FROM range(0, 1000, 1, 8))""".stripMargin)
+    assert(r.getLong(0) == 4L) // 7 distinct, cap 3 -> 4
+    assert(r.getLong(1) == 7L) // below cap -> exact
+    assert(r.getLong(2) == 3L) // string keys, 3 distinct, cap 2 -> 3
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
