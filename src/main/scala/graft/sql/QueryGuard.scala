@@ -851,46 +851,82 @@ object QueryGuard {
     sql
   }
 
-  /** `SELECT arrayJoin(e) AS a, ... GROUP BY a` — move the single
-    * aliased call into the `ARRAY JOIN e AS a` clause (the pass below
-    * rewrites that onto LATERAL VIEW explode), so the alias becomes
-    * an ordinary column the aggregation can group on, as in CH. */
+  /** `arrayJoin(e)` CALLS in the select list — whether a whole item
+    * (`SELECT arrayJoin(e) AS a ... GROUP BY a`) or NESTED inside a
+    * larger expression (`arrayJoin(e) + 1`, `upper(arrayJoin(e))`,
+    * which Spark rejects with UNSUPPORTED_GENERATOR.NESTED_IN_
+    * EXPRESSIONS) — hoist into one `ARRAY JOIN (e) AS __graft_aj`
+    * clause (the pass below rewrites that onto LATERAL VIEW explode)
+    * and substitute the synthetic alias at every call site. Every
+    * call of the SAME expression shares the one unnest, exactly CH's
+    * common-subexpression rule for repeated arrayJoin; more than one
+    * DISTINCT arrayJoin expression (CH's cartesian-of-unnests) stays
+    * untouched and fails with Spark's own loud generator error.
+    * A single whole-item call without GROUP BY also stays untouched —
+    * Spark's native generator select-item handles it and keeps CH's
+    * auto-generated column name. */
   private def rewriteArrayJoinCalls(sql: String): String = {
     val ts = normalizeScan(sql)
     def at0(name: String) = ts.indices.filter(i =>
       ts(i)._2 == 0 && ts(i)._1.upper == name)
     val selects = at0("SELECT")
     val froms = at0("FROM")
-    if (selects.isEmpty || froms.isEmpty || at0("GROUP").isEmpty) return sql
+    if (selects.isEmpty || froms.isEmpty) return sql
     val sel = selects.head
     val from = froms.find(_ > sel).getOrElse(return sql)
-    val calls = ts.indices.filter { i =>
-      ts(i)._2 == 0 && i > sel && i < from &&
-        ts(i)._1.upper == "ARRAYJOIN" &&
-        sql.substring(ts(i)._1.end).dropWhile(_.isWhitespace)
-          .startsWith("(")
+    val selStart = ts(sel)._1.end
+    val fromStart = ts(from)._1.start
+    val region = sql.substring(selStart, fromStart)
+    val spans = subquerySpans(region)
+    val callRe = java.util.regex.Pattern.compile(
+      "(?i)(?<![A-Za-z0-9_])arrayJoin\\s*\\(")
+    val m = callRe.matcher(region)
+    // (start, open) of each call outside subquery spans
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    while (m.find()) {
+      val s = m.start
+      if (!spans.exists(sp => s >= sp._1 && s < sp._2))
+        calls += ((s, m.end - 1))
     }
-    if (calls.size != 1) return sql
-    val c = calls.head
-    val open = sql.indexOf('(', ts(c)._1.end)
-    val close = matchParenAt(sql, open)
-    if (close < 0) return sql
-    val expr = sql.substring(open + 1, close)
-    // require AS alias right after the close paren
-    val afterTok = ts.indices.find(i => ts(i)._1.start > close)
-      .getOrElse(return sql)
-    if (ts(afterTok)._1.upper != "AS" || afterTok + 1 >= ts.size) return sql
-    val aliasTok = ts(afterTok + 1)._1
-    val alias = sql.substring(aliasTok.start, aliasTok.end)
-    // FROM body ends at the first depth-0 clause keyword after it
+    if (calls.isEmpty) return sql
+    // (callStart, close, unnest expr) per call; one DISTINCT unnest
+    // expression only (see scaladoc)
+    val sites = calls.map { case (start, open) =>
+      val close = matchParenAt(region, open)
+      if (close < 0) return sql
+      (start, close, region.substring(open + 1, close))
+    }.toSeq
+    val keys = sites.map(_._3.trim.replaceAll("\\s+", " ")).distinct
+    if (keys.size != 1) return sql
+    // a single whole-item call without GROUP BY: leave to Spark's
+    // native generator item (keeps the pasted auto-name); "whole
+    // item" = the call text spans its entire top-level item up to an
+    // optional AS alias
+    val callTexts = sites.map { case (start, close, _) =>
+      region.substring(start, close + 1) }
+    val nested = splitTopLevel(region).exists { item =>
+      val t = item.trim
+      t.toLowerCase.contains("arrayjoin") && !callTexts.exists { ct =>
+        t == ct || (t.startsWith(ct) &&
+          t.substring(ct.length).trim.toLowerCase.startsWith("as "))
+      }
+    }
+    if (!nested && at0("GROUP").isEmpty) return sql
+    val alias = "__graft_aj"
+    // substitute every call (end-to-start so offsets stay valid)
+    var newRegion = region
+    sites.sortBy(-_._1).foreach { case (start, close, _) =>
+      newRegion = newRegion.substring(0, start) + alias +
+        newRegion.substring(close + 1)
+    }
     val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
       "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
       "QUALIFY", "WINDOW")
     val fromEnd = ts.indices.find(j => j > from && ts(j)._2 == 0 &&
       stops(ts(j)._1.upper)).map(j => ts(j)._1.start).getOrElse(sql.length)
-    sql.substring(0, ts(c)._1.start) + alias +
-      sql.substring(aliasTok.end, fromEnd) +
-      s" ARRAY JOIN ($expr) AS $alias " + sql.substring(fromEnd)
+    sql.substring(0, selStart) + newRegion +
+      sql.substring(fromStart, fromEnd) +
+      s" ARRAY JOIN (${sites.head._3}) AS $alias " + sql.substring(fromEnd)
   }
 
   /** `PREWHERE p1 ... WHERE p2` in one scope (top level OR a

@@ -881,7 +881,19 @@ object Probe {
     "w40_if_combinators" ->
       "SELECT quantileIf(0.9)(o_totalprice, o_orderstatus = 'F') AS qi, quantilesExactIf(0.5)(o_totalprice, o_orderstatus = 'F') AS qei, groupArrayIf(2)(o_orderkey, o_orderkey < 5) AS gai, groupUniqArrayIf(1)(o_orderstatus, true) AS gui FROM orders",
     "w40_intdiv_typename" ->
-      "SELECT intDiv(-7, 2) AS a, intDivOrZero(-9, 4) AS b, toTypeName(1) AS t, toTypeName(array(1.5)) AS ta"
+      "SELECT intDiv(-7, 2) AS a, intDivOrZero(-9, 4) AS b, toTypeName(1) AS t, toTypeName(array(1.5)) AS ta",
+
+    // ---- waves 42-46 (retry lane + bounded state + arrayJoin) ----
+    "w42_bool_aggs" ->
+      "SELECT sum(o_totalprice > 100000) AS n, round(avg(o_orderstatus = 'F'), 4) AS share FROM orders",
+    "w43_tuple_cmp" ->
+      "SELECT count() AS n FROM orders WHERE (o_orderkey, o_custkey) > (100, 0) AND (o_orderstatus, o_orderkey % 2) IN (('F', 0), ('O', 1))",
+    "w44_len_split" ->
+      "SELECT length(map('a', 1)) AS lm, splitByNonAlpha('a1b c') AS sp",
+    "w45_uniq_upto" ->
+      "SELECT uniqUpTo(3)(o_custkey % 7) AS a, uniqUpTo(o_orderstatus) AS b FROM orders",
+    "w46_arrayjoin_expr" ->
+      "SELECT arrayJoin([1, 2]) * 10 + arrayJoin([1, 2]) AS v FROM orders WHERE o_orderkey = 0"
   )
 
   def main(args: Array[String]): Unit = {

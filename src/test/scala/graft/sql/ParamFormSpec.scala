@@ -317,6 +317,30 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getLong(2) == 3L) // string keys, 3 distinct, cap 2 -> 3
   }
 
+  // wave 46: arrayJoin nested inside an expression hoists to one
+  // ARRAY JOIN unnest; repeated same-expression calls share it (CH's
+  // common-subexpression rule), and a plain generator item keeps
+  // Spark's native path
+  test("arrayJoin nested in expressions unnests like ClickHouse") {
+    assert(ready)
+    val rows = QueryGuard.plan(spark,
+      "SELECT arrayJoin([1, 2]) * 10 + arrayJoin([1, 2]) AS v " +
+        "FROM VALUES (0) t(z)").collect().map(_.getInt(0)).sorted.toSeq
+    assert(rows == Seq(11, 22)) // shared unnest, never 12/21 cartesian
+    val up = QueryGuard.plan(spark,
+      "SELECT upper(arrayJoin(['a', 'b'])) AS u FROM VALUES (0) t(z)")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(up == Seq("A", "B"))
+    // two DISTINCT unnest expressions stay out of scope — Spark's own
+    // loud generator error, never a silent misplan
+    val e = intercept[Exception] {
+      QueryGuard.plan(spark,
+        "SELECT arrayJoin([1, 2]) + arrayJoin([3, 4]) AS v " +
+          "FROM VALUES (0) t(z)").collect()
+    }
+    assert(Option(e.getMessage).getOrElse("").nonEmpty)
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")
