@@ -53,6 +53,31 @@ object CHFunctions {
       Subtract(q, Literal(1L)))), Some(q))
   }
 
+  /** CH/IEEE logarithm edges: 0 → −inf, negative → nan (Spark's own
+    * log family answers NULL outside the domain). Direct Catalyst
+    * nodes — an UnresolvedFunction would resolve back into these
+    * registry overrides and loop the analyzer. */
+  private def chLog(x0: Expression, name: String): Expression = {
+    val x = Cast(x0, DoubleType)
+    val native: Expression = name match {
+      case "log2" => Log2(x)
+      case "log10" => Log10(x)
+      case _ => Log(x)
+    }
+    CaseWhen(Seq(
+      (EqualTo(x, Literal(0.0)), Literal(Double.NegativeInfinity)),
+      (LessThan(x, Literal(0.0)), Literal(Double.NaN))),
+      Some(native))
+  }
+
+  private def chLog1p(x0: Expression): Expression = {
+    val x = Cast(x0, DoubleType)
+    CaseWhen(Seq(
+      (EqualTo(x, Literal(-1.0)), Literal(Double.NegativeInfinity)),
+      (LessThan(x, Literal(-1.0)), Literal(Double.NaN))),
+      Some(Log1p(x)))
+  }
+
   /** A parametric aggregate's constant string parameter — scoped
     * analysis error when it is anything else, so a mis-pasted form is
     * named after the function the user typed, never an executor
@@ -2519,6 +2544,18 @@ object CHFunctions {
     // the lowest bound CH returns the lowest bound); roundAge /
     // roundDuration are roundDown over ClickHouse's fixed bucket sets.
     "roundBankers" -> (es => fn("bround", es: _*)),
+    // CH logarithms follow IEEE: log(0) = -inf, log(<0) = nan — Spark
+    // returns NULL outside the domain, a silent divergence on pasted
+    // math. The two-argument Spark spelling log(base, x) passes
+    // through untouched.
+    "log" -> (es =>
+      if (es.size > 1)
+        Logarithm(Cast(es.head, DoubleType), Cast(es(1), DoubleType))
+      else chLog(es.head, "ln")),
+    "ln" -> (es => chLog(es.head, "ln")),
+    "log2" -> (es => chLog(es.head, "log2")),
+    "log10" -> (es => chLog(es.head, "log10")),
+    "log1p" -> (es => chLog1p(es.head)),
     "roundDown" -> (es => {
       val e = UnresolvedNamedLambdaVariable(Seq("e"))
       val inRange = ArrayFilter(es(1),

@@ -2668,6 +2668,7 @@ object ChSurface {
         |  round(mannWhitneyUTest('two-sided')(o_totalprice, o_orderkey % 2).u_stat, 4) AS mwu,
         |  if(kolmogorovSmirnovTest('auto')(o_totalprice, o_orderkey % 2).p_value
         |     BETWEEN 0 AND 1, 1, 0) AS ks_ok,
+        |  round(kolmogorovSmirnovTest(o_totalprice, o_orderkey % 2).d_stat, 10) AS ks_d,
         |  round(quantileGK(10000, 0.0)(o_totalprice), 2) AS gk_min,
         |  round(quantileGK(10000, 1.0)(o_totalprice), 2) AS gk_max,
         |  toInt32(size(quantilesGK(10000, 0.25, 0.5, 0.75)(o_totalprice))) AS gks_n,
@@ -2696,7 +2697,18 @@ object ChSurface {
         |  SELECT s, round(sum(ar) FILTER (WHERE g = 0)
         |    - (count(*) FILTER (WHERE g = 0))
         |      * ((count(*) FILTER (WHERE g = 0)) + 1) / 2.0, 4) AS mwu
-        |  FROM rk GROUP BY s)
+        |  FROM rk GROUP BY s),
+        |cum AS (
+        |  SELECT o_orderstatus AS s,
+        |    sum(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS a0,
+        |    sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice) AS a1
+        |  FROM orders),
+        |ks AS (
+        |  SELECT cum.s AS s,
+        |    round(max(abs(a0 * 1.0 / n0 - a1 * 1.0 / n1)), 10) AS ks_d
+        |  FROM cum JOIN base ON cum.s = base.s GROUP BY cum.s)
         |SELECT base.s AS s,
         |  CAST(LEAST(3, n) AS INT) AS ga_n,
         |  gu_all,
@@ -2706,10 +2718,11 @@ object ChSurface {
         |  CAST(1 AS INT) AS ttest_ok,
         |  mw.mwu AS mwu,
         |  CAST(1 AS INT) AS ks_ok,
+        |  ks.ks_d AS ks_d,
         |  round(mn, 2) AS gk_min, round(mx, 2) AS gk_max,
         |  CAST(3 AS INT) AS gks_n,
         |  fd
-        |FROM base JOIN mw USING (s) ORDER BY s""".stripMargin)),
+        |FROM base JOIN mw USING (s) JOIN ks USING (s) ORDER BY s""".stripMargin)),
 
     // r16 wave 42: CH reads Bool as UInt8, so sum(cond) counts matches
     // and avg(cond) is the matching share — the pasted share-of-rows

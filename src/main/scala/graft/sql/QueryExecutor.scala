@@ -243,6 +243,12 @@ object QueryResult {
     case p: java.time.Period => p.toTotalMonths.toString
     case i: org.apache.spark.unsafe.types.CalendarInterval =>
       if (nested) "'" + i.toString + "'" else i.toString
+    // IEEE specials in CH's text spellings (Java would print
+    // "Infinity"/"NaN" where CH writes inf/-inf/nan)
+    case d: Double if d.isNaN => "nan"
+    case d: Double if d.isInfinite => if (d > 0) "inf" else "-inf"
+    case f: Float if f.isNaN => "nan"
+    case f: Float if f.isInfinite => if (f > 0) "inf" else "-inf"
     case other => other.toString
   }
 }

@@ -341,6 +341,20 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(Option(e.getMessage).getOrElse("").nonEmpty)
   }
 
+  // wave 47: CH/IEEE log edges — Spark's log family answers NULL
+  // outside the domain where CH gives -inf/nan
+  test("logarithms answer -inf/nan at the domain edges like ClickHouse") {
+    val r = one("SELECT log(0) AS a, log(-1) AS b, log10(0) AS c, " +
+      "log1p(-1) AS d, log2(8) AS e, log(2, 8) AS f, round(exp(ln(2.0)), 9) AS g")
+    assert(r.getDouble(0).isNegInfinity)
+    assert(r.getDouble(1).isNaN)
+    assert(r.getDouble(2).isNegInfinity)
+    assert(r.getDouble(3).isNegInfinity)
+    assert(r.getDouble(4) == 3.0)
+    assert(r.getDouble(5) == 3.0)
+    assert(r.getDouble(6) == 2.0)
+  }
+
   test("-State/-Merge combinators reject loudly with remediation") {
     val e = intercept[Exception] {
       one("SELECT quantileState(0.5)(o_totalprice) FROM orders")

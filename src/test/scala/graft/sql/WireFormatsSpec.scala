@@ -25,6 +25,14 @@ class WireFormatsSpec extends SparkSpec {
     assert(named(1) == "a\\tb\t\\N\t[1,2]\tx")
   }
 
+  test("IEEE specials render as CH's inf/-inf/nan in text, null in JSON") {
+    val r = result("SELECT 1/0 AS a, -1/0 AS b, 0/0 AS c")
+    assert(r.toTsv(withNames = false) == "inf\t-inf\tnan")
+    assert(r.toCsv.split("\n")(1) == "inf,-inf,nan")
+    // JSON keeps CH's output_format_json_quote_denormals = 0 default
+    assert(r.toJsonEachRow == """{"a": null, "b": null, "c": null}""")
+  }
+
   test("Pretty: header in the top border, numerics right-aligned") {
     val r = result(
       "SELECT 'ab' AS s, 7 AS n UNION ALL SELECT 'longer', 12345")
