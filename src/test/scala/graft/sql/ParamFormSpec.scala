@@ -305,6 +305,17 @@ class ParamFormSpec extends graft.SparkSpec {
     }
   }
 
+  test("uniqUpTo partial-aggregates map-side: bounded state before the exchange") {
+    assert(ready)
+    val plan = QueryGuard.plan(spark,
+      "SELECT uniqUpTo(3)(o_custkey) AS u FROM orders")
+      .queryExecution.executedPlan.toString
+    // the whole contract: a partial (bounded) state per task, never
+    // Spark's exact-distinct expansion of every value
+    assert(plan.contains("partial_uniqUpTo"), plan.take(800))
+    assert(!plan.toLowerCase.contains("expand"), plan.take(800))
+  }
+
   // wave 45: uniqUpTo's state saturates at N+1 (the CH contract) —
   // values cross partition merges without growing past the cap
   test("uniqUpTo saturates at N+1 and stays exact below it") {
