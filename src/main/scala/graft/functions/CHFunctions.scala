@@ -3812,6 +3812,17 @@ object CHFunctions {
       case other => throw new IllegalArgumentException(
         s"quantileInterpolatedWeighted expects [(level)](x, weight), got ${other.size} arguments")
     }),
+    // CH 24.x renames the same interpolation
+    // quantileExactWeightedInterpolated — register both spellings
+    "quantileExactWeightedInterpolated" -> (es => es match {
+      case Seq(x, w) => fn("percentile", x, Literal(0.5), Cast(w, LongType))
+      case Seq(level, x, w) =>
+        fn("percentile", x, level, Cast(w, LongType))
+      case other => throw new IllegalArgumentException(
+        s"quantileExactWeightedInterpolated expects [(level)](x, weight), got ${other.size} arguments")
+    }),
+    "quantilesExactWeightedInterpolated" -> (es =>
+      fn("percentile", es.head, CreateArray(es.drop(2).toSeq), es(1))),
     // the remaining *Weighted quantile spellings share the exact
     // weighted interpolation (exact satisfies every approximate
     // contract; frequency = weight); the bare (x, weight) form is

@@ -1775,6 +1775,7 @@ object QueryGuard {
     "quantilestdigestweighted" -> "quantilesTDigestWeighted",
     "quantilesinterpolatedweighted" -> "quantilesInterpolatedWeighted",
     "quantilesbfloat16weighted" -> "quantilesBFloat16Weighted",
+    "quantilesexactweightedinterpolated" -> "quantilesExactWeightedInterpolated",
     "quantilestiming" -> "quantilesTiming",
     "quantilestdigest" -> "quantilesTDigest",
     "quantilesbfloat16" -> "quantilesBFloat16",
@@ -1811,6 +1812,7 @@ object QueryGuard {
     "kolmogorovsmirnovtest",
     "quantileinterpolatedweighted", "quantiletdigestweighted",
     "quantiletimingweighted", "quantilebfloat16weighted",
+    "quantileexactweightedinterpolated",
     "grouparrayif", "groupuniqarrayif")
   // (uniqCombined[64] formerly dropped its precision param; it now
   // routes params-first so the builder converts K → relativeSD)
