@@ -42,8 +42,10 @@ object CHFunctions {
   /** ClickHouse intDiv rounds the quotient DOWN (floor division, per
     * the public docs' "rounded down"); Spark's div truncates toward
     * zero, so a mixed-sign quotient with a remainder must step one
-    * lower: intDiv(-7, 2) = -4, not -3. DuckDB's // floors the same
-    * way, so the oracle replays this for free. */
+    * lower: intDiv(-7, 2) = -4, not -3. NOTE for oracle authors:
+    * DuckDB's `//` TRUNCATES toward zero (-7 // 2 = -3, verified
+    * live) — an oracle replay must spell floor(a / b) explicitly, as
+    * q_param_aggs does. */
   private def floorDivExpr(a: Expression, b: Expression): Expression = {
     val q = fn("div", a, b)
     val r = Remainder(a, b)
@@ -51,6 +53,32 @@ object CHFunctions {
       And(Not(EqualTo(r, Literal(0))),
         Not(EqualTo(LessThan(a, Literal(0)), LessThan(b, Literal(0))))),
       Subtract(q, Literal(1L)))), Some(q))
+  }
+
+  /** arrayShiftLeft/Right(arr, n[, fill]): drop n elements off one
+    * end, pad the other with `fill` — the ELEMENT-TYPE DEFAULT when
+    * no third argument is given ([[graft.functions.ChElemDefault]]:
+    * 0 / '' / epoch, NULL only for Nullable elements), exactly CH's
+    * documented fill. A NEGATIVE n shifts the OPPOSITE direction
+    * (arrayShiftLeft(a, -2) = arrayShiftRight(a, 2)), CH's rule; the
+    * If collapses at optimization time for constant n. n past the
+    * length fills the whole array with the default. */
+  private def chArrayShift(es: Seq[Expression], left: Boolean): Expression = {
+    val (a, n0) = (es.head, es(1))
+    val fill = if (es.size > 2) es(2) else ChElemDefault(a)
+    def core(n: Expression, goLeft: Boolean): Expression = {
+      val m = fn("least", fn("greatest", n, Literal(0)), fn("size", a))
+      if (goLeft)
+        fn("concat",
+          fn("slice", a, Add(m, Literal(1)), Subtract(fn("size", a), m)),
+          fn("array_repeat", fill, m))
+      else
+        fn("concat",
+          fn("array_repeat", fill, m),
+          fn("slice", a, Literal(1), Subtract(fn("size", a), m)))
+    }
+    If(GreaterThanOrEqual(n0, Literal(0)),
+      core(n0, left), core(UnaryMinus(n0), !left))
   }
 
   /** CH/IEEE logarithm edges: 0 → −inf, negative → nan (Spark's own
@@ -680,6 +708,14 @@ object CHFunctions {
   private def geobaseReject: Nothing = throw new IllegalArgumentException(
     "the geobase regions dictionary is not mounted here: join your own " +
       "region dimension table (regionToX(id) ~= a broadcast lookup join)")
+
+  /** The h3* family needs Uber's native H3 library, which ClickHouse
+    * links optionally and this engine does not link at all. */
+  private def h3Reject: Nothing = throw new IllegalArgumentException(
+    "the H3 geo-indexing library is not linked here: use " +
+      "greatCircleDistance/geoDistance, geohashEncode/geohashDecode or " +
+      "pointInPolygon for local geo math, or precompute H3 cells " +
+      "upstream and join them as an ordinary column")
 
   /** `readWKTLineString`/`readWKTRing`: the vertices inside the outer
     * parens as an array of (col1, col2) tuples. */
@@ -1446,11 +1482,13 @@ object CHFunctions {
         s"arrayFold expects a lambda as its first argument, got $other")
     }),
     "arrayWithConstant" -> (es => fn("array_repeat", es(1), es.head)),
-    // arrayResize(arr, size[, extender]): truncate or right-pad (nulls
-    // when no extender is given, as in ClickHouse)
+    // arrayResize(arr, size[, extender]): truncate or right-pad — with
+    // the ELEMENT-TYPE DEFAULT when no extender is given (0 / '' /
+    // epoch; NULL only for Nullable elements), ClickHouse's documented
+    // fill ([[graft.functions.ChElemDefault]])
     "arrayResize" -> (es => {
       val (a, n) = (es.head, es(1))
-      val ext = if (es.size > 2) es(2) else Literal(null)
+      val ext = if (es.size > 2) es(2) else ChElemDefault(a)
       val pad = fn("array_repeat", ext,
         fn("greatest", Subtract(n, fn("size", a)), Literal(0)))
       fn("slice", fn("concat", a, pad), Literal(1), n)
@@ -1474,22 +1512,9 @@ object CHFunctions {
           Subtract(fn("size", a), m)),
         fn("slice", a, Literal(1), m))
     }),
-    "arrayShiftLeft" -> (es => {
-      val (a, n) = (es.head, es(1))
-      val fill = if (es.size > 2) es(2) else Literal(null)
-      val m = fn("least", fn("greatest", n, Literal(0)), fn("size", a))
-      fn("concat",
-        fn("slice", a, Add(m, Literal(1)), Subtract(fn("size", a), m)),
-        fn("array_repeat", fill, m))
-    }),
-    "arrayShiftRight" -> (es => {
-      val (a, n) = (es.head, es(1))
-      val fill = if (es.size > 2) es(2) else Literal(null)
-      val m = fn("least", fn("greatest", n, Literal(0)), fn("size", a))
-      fn("concat",
-        fn("array_repeat", fill, m),
-        fn("slice", a, Literal(1), Subtract(fn("size", a), m)))
-    }),
+    // type-default fill + negative-n direction flip: [[chArrayShift]]
+    "arrayShiftLeft" -> (es => chArrayShift(es, left = true)),
+    "arrayShiftRight" -> (es => chArrayShift(es, left = false)),
     // |A ∩ B| / |A ∪ B| over distinct elements, 1.0 for two empties
     "arrayJaccardIndex" -> (es => {
       val inter = Cast(fn("size",
@@ -1885,6 +1910,9 @@ object CHFunctions {
     // NOT ride along as a level (the r15 params-as-values class)
     "quantilesDD" -> (es => es match {
       case seq if seq.size >= 3 =>
+        if (!seq(1).foldable) throw new IllegalArgumentException(
+          "quantilesDD requires a constant relative_accuracy as its " +
+            s"first parameter, got ${seq(1).sql}")
         val prec = seq(1).eval() match {
           case n: Number => math.max(100, (1.0 / n.doubleValue()).toInt)
           case _ => 10000
@@ -2641,6 +2669,28 @@ object CHFunctions {
     "regionToContinent" -> (_ => geobaseReject),
     "regionHierarchy" -> (_ => geobaseReject),
     "regionIn" -> (_ => geobaseReject),
+    // the H3 geo-indexing library is a native dependency CH links
+    // optionally — not linked here; scoped rejects (the regionTo*
+    // mold) name the geo math that IS implemented locally
+    "h3ToGeo" -> (_ => h3Reject),
+    "h3ToGeoBoundary" -> (_ => h3Reject),
+    "geoToH3" -> (_ => h3Reject),
+    "h3GetResolution" -> (_ => h3Reject),
+    "h3EdgeAngle" -> (_ => h3Reject),
+    "h3EdgeLengthM" -> (_ => h3Reject),
+    "h3EdgeLengthKm" -> (_ => h3Reject),
+    "h3HexAreaM2" -> (_ => h3Reject),
+    "h3HexAreaKm2" -> (_ => h3Reject),
+    "h3IsValid" -> (_ => h3Reject),
+    "h3kRing" -> (_ => h3Reject),
+    "h3ToParent" -> (_ => h3Reject),
+    "h3ToChildren" -> (_ => h3Reject),
+    "h3ToString" -> (_ => h3Reject),
+    "stringToH3" -> (_ => h3Reject),
+    "h3GetBaseCell" -> (_ => h3Reject),
+    "h3IndexesAreNeighbors" -> (_ => h3Reject),
+    "h3Distance" -> (_ => h3Reject),
+    "h3Line" -> (_ => h3Reject),
     // toTimeWithFixedDate(t, d): t's wall-clock time-of-day moved onto
     // the given date (the generalized toTime; DateTime = second
     // precision, like CH)
@@ -3331,7 +3381,27 @@ object CHFunctions {
     "base64Encode" -> (es => fn("base64", es.head)),
     "base64Decode" -> (es =>
       Cast(fn("unbase64", es.head), org.apache.spark.sql.types.StringType)),
-    "hexCH" -> (es => fn("hex", es.head)),
+    // CH hex/bin print WHOLE BYTES: hex(1) = '01' (pad to even
+    // width), bin(2) = '00000010' (pad to a multiple of 8). String
+    // and binary inputs already come out byte-aligned from Spark's
+    // builtins, so the unconditional lpad is a no-op there; only
+    // numeric inputs — where Spark prints the minimal digits — gain
+    // the leading zeros users string-match on. (Deviation: CH hex of
+    // a FLOAT prints its little-endian IEEE bytes; here a float rides
+    // Spark's cast-to-bigint reading, as before.)
+    "hexCH" -> (es => {
+      val h = fn("hex", es.head)
+      fn("lpad", h,
+        Add(fn("length", h), fn("pmod", fn("length", h), Literal(2))),
+        Literal("0"))
+    }),
+    "binCH" -> (es => {
+      val b = fn("bin", es.head)
+      fn("lpad", b,
+        Add(fn("length", b),
+          fn("pmod", UnaryMinus(fn("length", b)), Literal(8))),
+        Literal("0"))
+    }),
     "unhexCH" -> (es =>
       Cast(fn("unhex", es.head), org.apache.spark.sql.types.StringType)),
 
@@ -4318,8 +4388,14 @@ object CHFunctions {
     "multiFuzzyMatchAnyIndex" -> (_ => throw new IllegalArgumentException(
       "constant-edit-distance fuzzy multi-match (hyperscan) is not " +
         "implemented: compose editDistance per pattern")),
-    // type/environment introspection
-    "toTypeName" -> (es => ToTypeName(es.head)),
+    // type/environment introspection. A conversion-family child
+    // carries its declared CH type as a tag ([[chDeclaredTypeTag]]):
+    // toTypeName(toUInt8(1)) = 'UInt8', not the Int16 storage type —
+    // printed verbatim (see the tag's documented deviation).
+    "toTypeName" -> (es => es.head.getTagValue(chDeclaredTypeTag) match {
+      case Some(declared) => Literal(declared)
+      case None => ToTypeName(es.head)
+    }),
     "currentDatabase" -> (_ => Literal("default")),
     "hostName" -> (_ => Literal(
       try java.net.InetAddress.getLocalHost.getHostName
@@ -4999,6 +5075,30 @@ object CHFunctions {
       }
     }))
 
+  /** The DECLARED ClickHouse type of a conversion function's result,
+    * carried as expression metadata so `toTypeName(toUInt8(1))`
+    * answers `UInt8` instead of the signed STORAGE type (Int16) the
+    * engine computes in. The tag is stamped on the builder's root
+    * expression at registration time ([[register]]) and read back by
+    * the toTypeName builder; Catalyst's makeCopy preserves tags, so
+    * it survives the analyzer's transforms. Documented deviation: the
+    * tag prints the declared type VERBATIM — a Nullable COLUMN input
+    * still answers `UInt8` where CH answers `Nullable(UInt8)` (the
+    * OrNull spellings, whose declared type IS Nullable, print it). */
+  private[graft] val chDeclaredTypeTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String](
+      "graft.chDeclaredType")
+
+  private[graft] val declaredConversionTypes: Map[String, String] = {
+    val bases = Seq("Int8", "Int16", "Int32", "Int64", "Int128", "Int256",
+      "UInt8", "UInt16", "UInt32", "UInt64", "UInt128", "UInt256",
+      "Float32", "Float64")
+    bases.flatMap { b =>
+      Seq(s"to$b" -> b, s"to${b}OrZero" -> b, s"to${b}OrDefault" -> b,
+        s"to${b}OrNull" -> s"Nullable($b)")
+    }.toMap
+  }
+
   val all: Seq[(String, Builder)] = {
     val entries = baseBuilders ++ stackedCombinators
     // The registry collapses last-wins through `toMap`/Spark's
@@ -5277,7 +5377,17 @@ object CHFunctions {
     if (!reg.functionExists(FunctionIdentifier("cosTopK"))) {
       withQuietRegistryLogger {
         all.foreach { case (name, builder) =>
-          reg.registerFunction(FunctionIdentifier(name), info(name), builder)
+          // conversion functions stamp their declared CH type on the
+          // built expression — see [[chDeclaredTypeTag]]
+          val wrapped = declaredConversionTypes.get(name) match {
+            case Some(t) => (es: Seq[Expression]) => {
+              val e = builder(es)
+              e.setTagValue(chDeclaredTypeTag, t)
+              e
+            }
+            case None => builder
+          }
+          reg.registerFunction(FunctionIdentifier(name), info(name), wrapped)
         }
       }
       spark.sessionState.tableFunctionRegistry.registerFunction(

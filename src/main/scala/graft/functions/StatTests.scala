@@ -404,18 +404,21 @@ object TTestAgg {
 /** mannWhitneyUTest(value, sample_index) → struct(u_stat, z_score,
   * p_value). U is the first sample's statistic (rank-sum form with
   * average ranks for ties); z and p use the tie-corrected normal
-  * approximation. The plain form keeps no continuity correction so
-  * the z replay in plain SQL is bit-exact; the ClickHouse parametric
-  * form `mannWhitneyUTest(alternative[, continuity])(v, g)` dispatches
-  * the one-sided alternatives ('greater': sample 0 shifted right,
-  * 'less': shifted left) and applies the ±0.5 continuity correction
-  * by default, as CH documents. Buffers the group's samples (class
-  * doc). */
+  * approximation. BOTH the plain form and the parametric form
+  * `mannWhitneyUTest(alternative[, continuity])(v, g)` apply the
+  * ±0.5 continuity correction by default — ClickHouse documents
+  * continuity_correction=1 as the default for every spelling, so the
+  * same pasted query answers the same p whether or not the defaults
+  * are spelled out. The one-sided alternatives dispatch 'greater'
+  * (sample 0 shifted right) and 'less' (shifted left). The z replay
+  * in plain SQL stays bit-exact: u, mu and the ±0.5 term are exact
+  * half-integers, so the oracle spells the same signed correction.
+  * Buffers the group's samples (class doc). */
 case class MannWhitneyAgg(
     value: Expression,
     idx: Expression,
     alternative: String = "two-sided",
-    continuity: Boolean = false,
+    continuity: Boolean = true,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Double, Byte)]] {
@@ -593,9 +596,17 @@ case class RankCorrAgg(
   * the one-sided statistics (D⁺ = sup(F0−F1) for 'greater', D⁻ for
   * 'less'; one-sided asymptotic p = e^(−2·n_e·d²)) and the exact
   * p-value (Hodges path count, see [[StatTests.ksExactP]]); 'auto'
-  * picks exact when max(n0, n1) < 10000, the CH rule. Ties make the
-  * exact count invalid for continuous-data inference, so exact falls
-  * back to the asymptotic p on ties (SciPy's rule). Buffers the
+  * picks exact when max(n0, n1) < 10000, the CH rule.
+  *
+  * Result contract for method='exact': the exact path SILENTLY
+  * downgrades to the asymptotic p in two cases — (a) ties exist
+  * (the path count is invalid for continuous-data inference;
+  * SciPy's rule), or (b) n0·n1 > 10⁷ (the Hodges DP is O(n0·n1)
+  * time per group evaluation, so the cap bounds a single eval at
+  * ~tens of ms instead of the multi-second stall the old 10⁸ cap
+  * allowed). d_stat is unaffected; only which p formula answered
+  * is unobservable from the result — callers needing certainty
+  * should keep max(n0, n1) below a few thousand. Buffers the
   * group's samples (see StatTests doc). */
 case class KolmogorovSmirnovAgg(
     value: Expression,
@@ -663,7 +674,9 @@ case class KolmogorovSmirnovAgg(
       case "two-sided" => StatTests.kolmogorovQ((en + 0.12 + 0.11 / en) * d)
       case _ => math.min(1.0, math.exp(-2.0 * ne * d * d))
     }
-    val exactEligible = !ties && n0.toLong * n1 <= 100000000L
+    // n0·n1 cap bounds the O(n0·n1) Hodges DP — see the class doc's
+    // result contract for the silent exact→asymptotic downgrade
+    val exactEligible = !ties && n0.toLong * n1 <= 10000000L
     val useExact = method match {
       case "exact" => exactEligible
       case "auto" => exactEligible && math.max(n0, n1) < 10000

@@ -248,6 +248,32 @@ case class ToTypeName(child: Expression) extends UnaryExpression {
     copy(child = c)
 }
 
+/** The ClickHouse DEFAULT VALUE of an array's element type — what CH
+  * fills vacated/extended positions with when no explicit filler is
+  * given (arrayShiftLeft/Right, arrayResize): 0 for numerics, '' for
+  * strings, false, the epoch for dates, [] for arrays. A Nullable
+  * element type (Spark: containsNull) defaults to NULL, CH's rule for
+  * Nullable(T). Resolution-dependent (the element type is only known
+  * once the array child resolves), so it rides RuntimeReplaceable:
+  * the optimizer swaps in the type-dispatched literal and the filler
+  * costs nothing at eval time. */
+case class ChElemDefault(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ArrayType(et, containsNull) =>
+      if (containsNull) org.apache.spark.sql.catalyst.expressions.Literal(null, et)
+      else org.apache.spark.sql.catalyst.expressions.Literal.default(et)
+    case other =>
+      org.apache.spark.sql.catalyst.expressions.Literal(null, other)
+  }
+
+  override def prettyName: String = "chElemDefault"
+  override protected def withNewChildInternal(c: Expression): ChElemDefault =
+    copy(child = c)
+}
+
 object ToTypeName {
   /** Engine type → ClickHouse spelling (the inverse of the CAST
     * shim's CH-name table). Nullable wraps scalars only — CH's

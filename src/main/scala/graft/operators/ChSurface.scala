@@ -744,9 +744,11 @@ object ChSurface {
 
     // two-sample statistical tests per priority class, odd vs even
     // order keys. U and the rank sums are exact half-integer
-    // arithmetic, and z/rho are fixed-order IEEE expressions over
-    // those exact sums, so both replay bit-identically in DuckDB
-    // (rho's formula is spelled with the same operation order). The
+    // arithmetic (the ±0.5 continuity term included — the plain form
+    // applies it by default, as CH does), and z/rho are fixed-order
+    // IEEE expressions over those exact sums, so both replay
+    // bit-identically in DuckDB (rho and the signed continuity term
+    // are spelled with the same operation order). The
     // t statistics come off Welford/var_samp moments — 4dp rounding
     // is far above the two formulations' ulp noise. p-values are
     // engine-native (incomplete beta) and spec-tested against
@@ -802,7 +804,8 @@ object ChSurface {
         |    / (m.n0 + m.n1 - 2) * (1.0 / m.n0 + 1.0 / m.n1)), 4) AS t_s,
         |  round((m0 - m1) / sqrt(v0 / m.n0 + v1 / m.n1), 4) AS t_w,
         |  u.r0 - u.n0 * (u.n0 + 1) / 2 AS u,
-        |  round((u.r0 - u.n0 * (u.n0 + 1) / 2 - u.n0 * u.n1 / 2)
+        |  round((u.r0 - u.n0 * (u.n0 + 1) / 2 - u.n0 * u.n1 / 2
+        |      - 0.5 * sign(u.r0 - u.n0 * (u.n0 + 1) / 2 - u.n0 * u.n1 / 2))
         |    / sqrt(u.n0 * u.n1 / 12 * ((u.n + 1)
         |      - tie / (u.n * (u.n - 1)))), 6) AS z,
         |  round((sp.n * sxy - sx * sy) / (sqrt(sp.n * sxx - sx * sx)

@@ -124,7 +124,8 @@ object QueryGuard {
     * has a live registered target — a future rename cannot dangle. */
   private[sql] val renamedNameTokens = Seq("MD5CH(", "SHA1CH(",
     "SHA224CH(", "SHA256CH(", "SHA384CH(", "SHA512CH(", "lengthCH(",
-    "randCH(", "charCH(", "roundCH(", "dateDiffCH(", "dateAddCH(")
+    "randCH(", "charCH(", "roundCH(", "dateDiffCH(", "dateAddCH(",
+    "hexCH(", "binCH(")
 
   private def restoreRenamedNames(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -223,14 +224,28 @@ object QueryGuard {
   /** neighbor(x, n) rewrites to lead/lag, so a pasted CH form without
     * an OVER clause dies in Spark naming a function the user never
     * typed — reshape that one error onto the pasted name with the
-    * same guidance runningDifference gives. Everything else passes
-    * through untouched. */
+    * same guidance runningDifference gives. Only a neighbor call
+    * that itself LACKS a following OVER triggers the reshape: a
+    * statement using neighbor correctly while omitting OVER on a
+    * DIFFERENT window function keeps Spark's own error on the real
+    * offender. Everything else passes through untouched. */
+  private def neighborWithoutOver(stmt: String): Boolean = {
+    val m = java.util.regex.Pattern.compile("(?i)\\bneighbor\\s*\\(")
+      .matcher(stmt)
+    while (m.find()) {
+      val close = matchParenAt(stmt, m.end - 1)
+      if (close < 0) return true
+      if (!stmt.substring(close + 1).trim.toUpperCase.startsWith("OVER"))
+        return true
+    }
+    false
+  }
+
   private def shapeWindowError(stmt: String,
       e: org.apache.spark.sql.AnalysisException): Throwable = {
     val cond = Option(e.getCondition).getOrElse("")
     if (cond.contains("WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE") &&
-      java.util.regex.Pattern.compile("(?i)\\bneighbor\\s*\\(")
-        .matcher(stmt).find())
+      neighborWithoutOver(stmt))
       new IllegalArgumentException(
         "neighbor(x, offset) is block-order-dependent in ClickHouse: " +
           "give it an explicit deterministic order — " +
@@ -870,10 +885,35 @@ object QueryGuard {
     def at0(name: String) = ts.indices.filter(i =>
       ts(i)._2 == 0 && ts(i)._1.upper == name)
     val selects = at0("SELECT")
-    val froms = at0("FROM")
-    if (selects.isEmpty || froms.isEmpty) return sql
+    if (selects.isEmpty) return sql
     val sel = selects.head
-    val from = froms.find(_ > sel).getOrElse(return sql)
+    val froms = at0("FROM")
+    val from = froms.find(_ > sel).getOrElse {
+      // FROM-less `SELECT arrayJoin([1,2]) + 1` (CH's quick-test
+      // idiom): supply the implicit one-row FROM (system.one's
+      // underscored view — the dotted-name rewrite has already run by
+      // this point) and re-run the pass on the completed text — but
+      // keep the ORIGINAL
+      // when nothing ends up hoisted, so the FROM-less single
+      // whole-item generator stays on Spark's native select item and
+      // keeps its auto-generated column name.
+      if (!java.util.regex.Pattern.compile(
+        "(?i)(?<![A-Za-z0-9_])arrayJoin\\s*\\(").matcher(sql).find())
+        return sql
+      val stops = Set("WHERE", "GROUP", "HAVING", "ORDER", "LIMIT",
+        "SETTINGS", "FORMAT", "UNION", "INTERSECT", "EXCEPT",
+        "QUALIFY", "WINDOW")
+      var cut = ts.indices.find(j => j > sel && ts(j)._2 == 0 &&
+        stops(ts(j)._1.upper)).map(j => ts(j)._1.start)
+        .getOrElse(sql.length)
+      while (cut > 0 && (sql.charAt(cut - 1).isWhitespace ||
+        sql.charAt(cut - 1) == ';')) cut -= 1
+      val sql2 = sql.substring(0, cut) + " FROM system_one" +
+        (if (cut < sql.length) " " + sql.substring(cut).dropWhile(
+          c => c.isWhitespace || c == ';') else "")
+      val rewritten = rewriteArrayJoinCalls(sql2)
+      return if (rewritten != sql2) rewritten else sql
+    }
     val selStart = ts(sel)._1.end
     val fromStart = ts(from)._1.start
     val region = sql.substring(selStart, fromStart)
@@ -904,9 +944,13 @@ object QueryGuard {
     // optional AS alias
     val callTexts = sites.map { case (start, close, _) =>
       region.substring(start, close + 1) }
+    // word-boundary call match, not substring contains: an item whose
+    // IDENTIFIER merely contains the name (alias `arrayJoined`) must
+    // not flip the hoist on a whole-item call that should stay on
+    // Spark's native generator item
     val nested = splitTopLevel(region).exists { item =>
       val t = item.trim
-      t.toLowerCase.contains("arrayjoin") && !callTexts.exists { ct =>
+      callRe.matcher(t).find() && !callTexts.exists { ct =>
         t == ct || (t.startsWith(ct) &&
           t.substring(ct.length).trim.toLowerCase.startsWith("as "))
       }
@@ -1394,9 +1438,12 @@ object QueryGuard {
     // that is not a CAST/:: type (`CAST(x AS CHAR(5))`, `x::char(8)`
     // must keep Spark's type reading), hence the preceding-token guard.
     // ROUND too: CH round() is half-to-even for floats where Spark's
-    // builtin rounds half up — roundCH resolves to bround
+    // builtin rounds half up — roundCH resolves to bround.
+    // HEX/BIN too: CH prints whole bytes (hex(1) = '01', bin(2) =
+    // '00000010') where Spark prints minimal digits — the *CH
+    // builders lpad to byte width
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512", "LENGTH", "RAND", "CHAR", "ROUND")
+      "SHA512", "LENGTH", "RAND", "CHAR", "ROUND", "HEX", "BIN")
     val ts = normalizeScan(sql)
     var out = sql
     ts.indices.reverse.foreach { i =>

@@ -181,18 +181,25 @@ object StarPost {
     if (ts.head._1.upper != "SELECT" && ts.head._1.upper != "WITH")
       return None
     val prefix = sql.substring(0, selAt._1.start)
-    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM" &&
-      t._1.start > selAt._1.start).getOrElse(return None)
-    val items = QueryGuard.splitTopLevel(
-      sql.substring(selAt._1.end, fromAt._1.start))
-    if (!items.exists(it => untupleItem.findFirstIn(it.trim).isDefined))
-      return None
     val stops = Set("GROUP", "HAVING", "ORDER", "LIMIT", "WINDOW",
       "QUALIFY", "UNION", "INTERSECT", "EXCEPT")
+    // FROM-less `SELECT untuple((1, 'a'))` (CH's quick-test idiom)
+    // expands too: the select region runs to the first trailing
+    // clause and the schema probe is itself FROM-less
+    val fromAt = ts.find(t => t._2 == 0 && t._1.upper == "FROM" &&
+      t._1.start > selAt._1.start)
+    val itemsEnd = fromAt.map(_._1.start).getOrElse(
+      ts.find(t => t._2 == 0 && t._1.start > selAt._1.start &&
+        stops(t._1.upper)).map(_._1.start).getOrElse(sql.length))
+    val items = QueryGuard.splitTopLevel(
+      sql.substring(selAt._1.end, itemsEnd).stripSuffix(";"))
+    if (!items.exists(it => untupleItem.findFirstIn(it.trim).isDefined))
+      return None
     val tailCut = ts.find(t => t._2 == 0 &&
-      t._1.start > fromAt._1.start && stops(t._1.upper))
+      t._1.start > itemsEnd && stops(t._1.upper))
       .map(_._1.start).getOrElse(sql.length)
-    val fromSpan = sql.substring(fromAt._1.start, tailCut).stripSuffix(";")
+    val fromSpan = fromAt.map(f =>
+      sql.substring(f._1.start, tailCut).stripSuffix(";")).getOrElse("")
     val newItems = items.map { it =>
       it.trim match {
         case untupleItem(inner) =>
@@ -210,7 +217,7 @@ object StarPost {
       }
     }
     Some(prefix + "SELECT " + newItems.mkString(", ") + " " +
-      sql.substring(fromAt._1.start))
+      sql.substring(itemsEnd))
   }
 
   /** Expand `COLUMNS('re') [APPLY(f)]` ITEMS inside a larger select

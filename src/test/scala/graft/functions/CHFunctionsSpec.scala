@@ -1541,8 +1541,10 @@ class CHFunctionsSpec extends SparkSpec {
     assert(math.abs(wt.getDouble(0) - -1.1282123225640568) < 1e-9)
     assert(math.abs(wt.getDouble(1) - 0.2780157097638088) < 1e-9)
     assert(mw.getDouble(0) == 28.0) // exact half-integer rank arithmetic
-    assert(math.abs(mw.getDouble(1) - -1.0684354936752511) < 1e-12)
-    assert(math.abs(mw.getDouble(2) - 0.2853241135736265) < 1e-6) // A-S erfc
+    // plain form applies CH's default continuity_correction=1:
+    // z = (u − mu + 0.5)/sigma here (u < mu), same as the param form
+    assert(math.abs(mw.getDouble(1) - -1.023917348105449) < 1e-12)
+    assert(math.abs(mw.getDouble(2) - 0.305874315452878) < 1e-6) // A-S erfc
   }
 
   test("rankCorr is Spearman with average ranks for ties") {
