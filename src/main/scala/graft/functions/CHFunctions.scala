@@ -389,7 +389,7 @@ object CHFunctions {
   /** arrayFirst/arrayLast (and their OrNull spellings): the first or
     * last element matching the zipped lambda, NULL when none match. */
   private def arrayEndBuilder(name: String, last: Boolean,
-      es: Seq[Expression]): Expression = {
+      es: Seq[Expression], typeDefault: Boolean = false): Expression = {
     val (l, as) = chLambdaArgs(name, es)
     val (acc, x, fin) = lambdaVars
     val fold =
@@ -397,12 +397,22 @@ object CHFunctions {
       else LambdaFunction(
         CaseWhen(Seq((EqualTo(fn("size", acc), Literal(0)),
           CreateArray(Seq(x)))), Some(acc)), Seq(acc, x))
+    // plain forms answer the element-type default on no match (CH);
+    // exact by construction — a NULL pick from a non-Nullable-element
+    // array can only mean no match, and Nullable elements default to
+    // NULL anyway. The *OrNull spellings skip this (NULL is theirs).
+    // The coalesce sits INSIDE the finish lambda: a call that passes
+    // a lambda must resolve to a HigherOrderFunction at the ROOT
+    // (analyzer rule), so the ArrayAggregate must stay on top.
+    val pick = ElementAt(fin, Literal(1), None, failOnError = false)
+    val finish =
+      if (typeDefault) Coalesce(Seq(pick, ChElemDefault(as.head)))
+      else pick
     ArrayAggregate(
       chFilter(l, as),
       Slice(as.head, Literal(1), Literal(0)), // empty, element-typed
       fold,
-      LambdaFunction(
-        ElementAt(fin, Literal(1), None, failOnError = false), Seq(fin)))
+      LambdaFunction(finish, Seq(fin)))
   }
 
   /** Split (lambda, a1..aN); arity mismatches are rejected loudly —
@@ -1329,9 +1339,11 @@ object CHFunctions {
     "leftPadUTF8" -> (es => fn("lpad", es: _*)),
     "rightPadUTF8" -> (es => fn("rpad", es: _*)),
 
-    // JSON extraction
-    "JSONExtractString" -> (es =>
-      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    // JSON extraction. A missing key answers '' (CH's String type
+    // default), not NULL — same contract as the typed extracts below
+    "JSONExtractString" -> (es => Coalesce(Seq(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      Literal("")))),
     // the simpleJSON/visitParam legacy spellings share the extractor;
     // typed variants cast the extracted text (missing/mistyped → the
     // type default, CH's simpleJSON contract: 0 not NULL)
@@ -1369,15 +1381,20 @@ object CHFunctions {
       fn("size", fn("json_object_keys", es.head)),
       Literal(0)))),
     "isValidJSON" -> (es => IsNotNull(fn("try_parse_json", es.head))),
-    "JSONExtractInt" -> (es =>
-      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), LongType)),
-    "JSONExtractFloat" -> (es =>
-      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))), DoubleType)),
+    // typed misses answer the TYPE DEFAULT (0 / 0.0 / false / ''),
+    // not NULL — CH's JSONExtract* contract, same as the simpleJSON
+    // family above (a missing key and a mistyped value both default)
+    "JSONExtractInt" -> (es => Coalesce(Seq(
+      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+        LongType), Literal(0L)))),
+    "JSONExtractFloat" -> (es => Coalesce(Seq(
+      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+        DoubleType), Literal(0.0)))),
     "JSONHas" -> (es =>
       IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
-    "JSONExtractBool" -> (es =>
+    "JSONExtractBool" -> (es => Coalesce(Seq(
       Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
-        org.apache.spark.sql.types.BooleanType)),
+        org.apache.spark.sql.types.BooleanType), Literal(false)))),
     "JSONArrayLength" -> (es =>
       if (es.size > 1)
         fn("json_array_length",
@@ -1448,14 +1465,12 @@ object CHFunctions {
     "arrayStringConcat" -> (es =>
       if (es.size > 1) fn("array_join", es.head, es(1))
       else fn("array_join", es.head, Literal(""))),
-    // ClickHouse arrayElement never errors: out-of-range (and index 0)
-    // yield the element type's default value. NULL is the Spark-
-    // idiomatic stand-in for that default; an unguarded element_at
-    // would be an ANSI INVALID_ARRAY_INDEX / INVALID_INDEX_OF_ZERO
-    // runtime error. Negative indices count from the end, as in CH.
-    "arrayElement" -> (es =>
-      CaseWhen(Seq((EqualTo(es(1), Literal(0)), Literal(null))),
-        Some(fn("try_element_at", es.head, es(1))))),
+    // ClickHouse arrayElement never errors: out-of-range (and index
+    // 0) yield the ELEMENT TYPE'S DEFAULT, map[missing-key] the value
+    // type's default, negative indices count from the end — the
+    // resolved-type dispatch lives in [[ChSubscript]] (also the
+    // target of the bracket-subscript rewrite)
+    "arrayElement" -> (es => ChSubscript(es.head, es(1))),
     "indexOf" -> (es => fn("array_position", es.head, es(1))),
     // the sortedness is a CH scan hint, not a semantic change
     "indexOfAssumeSorted" -> (es => fn("array_position", es.head, es(1))),
@@ -1612,13 +1627,14 @@ object CHFunctions {
     // fold: keep-first / keep-last over the filtered matches, with an
     // empty same-type slice as the zero and the scalar extraction in
     // the finish lambda.
-    "arrayFirst" -> (es => arrayEndBuilder("arrayFirst", last = false, es)),
-    // the *OrNull spellings share the builders: the engine's no-match
-    // answer is already NULL (CH's plain forms answer the type
-    // default — NULL is the honest cross-type value here, documented)
+    // plain forms answer the ELEMENT-TYPE DEFAULT on no match (CH's
+    // documented contract); the *OrNull spellings answer NULL
+    "arrayFirst" -> (es =>
+      arrayEndBuilder("arrayFirst", last = false, es, typeDefault = true)),
     "arrayFirstOrNull" ->
       (es => arrayEndBuilder("arrayFirstOrNull", last = false, es)),
-    "arrayLast" -> (es => arrayEndBuilder("arrayLast", last = true, es)),
+    "arrayLast" -> (es =>
+      arrayEndBuilder("arrayLast", last = true, es, typeDefault = true)),
     "arrayLastOrNull" ->
       (es => arrayEndBuilder("arrayLastOrNull", last = true, es)),
     // 1-based index of the first match (0 when none). Single-array:
@@ -2187,13 +2203,26 @@ object CHFunctions {
     // Spark form is the deterministic window twin — use with
     // OVER (ORDER BY ...). Negative literal offsets resolve to lag so
     // both directions stay native window functions.
-    // CH's frame-bound window accessors are Spark's lag/lead directly
-    "lagInFrame" -> (es => fn("lag", es: _*)),
-    "leadInFrame" -> (es => fn("lead", es: _*)),
-    "neighbor" -> (es => es(1) match {
-      case Literal(i: Int, IntegerType) if i < 0 =>
-        fn("lag", (es.head +: Literal(-i) +: es.drop(2)): _*)
-      case _ => fn("lead", es: _*)
+    // CH's frame-bound window accessors are Spark's lag/lead — with
+    // the out-of-frame fill defaulting to the input's TYPE DEFAULT
+    // ([[ChTypeDefault]]: 0 for a non-Nullable input, NULL for
+    // Nullable — CH's documented default) when no third argument is
+    // given; an explicit default passes through untouched
+    "lagInFrame" -> (es => fn("lag",
+      (if (es.size >= 3) es
+       else es ++ Seq(Literal(1), ChTypeDefault(es.head)).drop(es.size - 1)): _*)),
+    "leadInFrame" -> (es => fn("lead",
+      (if (es.size >= 3) es
+       else es ++ Seq(Literal(1), ChTypeDefault(es.head)).drop(es.size - 1)): _*)),
+    "neighbor" -> (es => {
+      val withDefault =
+        if (es.size >= 3) es else es :+ ChTypeDefault(es.head)
+      withDefault(1) match {
+        case Literal(i: Int, IntegerType) if i < 0 =>
+          fn("lag", (withDefault.head +: Literal(-i) +:
+            withDefault.drop(2)): _*)
+        case _ => fn("lead", withDefault: _*)
+      }
     }),
 
     // map functions (ClickHouse Map type ≈ Spark MapType)

@@ -265,12 +265,81 @@ case class ChElemDefault(child: Expression)
     case ArrayType(et, containsNull) =>
       if (containsNull) org.apache.spark.sql.catalyst.expressions.Literal(null, et)
       else org.apache.spark.sql.catalyst.expressions.Literal.default(et)
+    case m: MapType => // map[key] misses fill the VALUE type's default
+      if (m.valueContainsNull)
+        org.apache.spark.sql.catalyst.expressions.Literal(null, m.valueType)
+      else org.apache.spark.sql.catalyst.expressions.Literal.default(m.valueType)
     case other =>
       org.apache.spark.sql.catalyst.expressions.Literal(null, other)
   }
 
   override def prettyName: String = "chElemDefault"
   override protected def withNewChildInternal(c: Expression): ChElemDefault =
+    copy(child = c)
+}
+
+/** ClickHouse's total subscript — `arr[i]` / `map[key]` /
+  * arrayElement(x, i) — dispatched on the RESOLVED collection type:
+  * arrays are 1-based with negative-from-end, and out-of-range /
+  * index 0 / missing map key answer the ELEMENT (value) TYPE'S
+  * DEFAULT, never an ANSI error and never NULL (unless the element
+  * type is Nullable, whose default IS NULL — which makes the coalesce
+  * exact: a NULL pick from a non-Nullable-element collection can only
+  * mean a miss). Type dispatch needs the resolved child, so it rides
+  * RuntimeReplaceable; the replacement uses direct Catalyst nodes
+  * with hand-widened index/key casts (the analyzer inserts no
+  * implicit casts after resolution). */
+case class ChSubscript(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, Coalesce, ElementAt, EqualTo, Literal}
+
+  override lazy val replacement: Expression = left.dataType match {
+    case ArrayType(et, containsNull) =>
+      val idx =
+        if (right.dataType == IntegerType) right else Cast(right, IntegerType)
+      val miss: Expression =
+        if (containsNull) Literal(null, et) else Literal.default(et)
+      Coalesce(Seq(
+        CaseWhen(Seq((EqualTo(idx, Literal(0)): Expression,
+          Literal(null, et): Expression)),
+          Some(ElementAt(left, idx, None, failOnError = false))),
+        miss))
+    case m: MapType =>
+      val key =
+        if (right.dataType == m.keyType) right else Cast(right, m.keyType)
+      val miss: Expression =
+        if (m.valueContainsNull) Literal(null, m.valueType)
+        else Literal.default(m.valueType)
+      Coalesce(Seq(
+        ElementAt(left, key, None, failOnError = false), miss))
+    case _ => // non-collection: surface ElementAt's own typed error
+      ElementAt(left, right, None, failOnError = false)
+  }
+
+  override def prettyName: String = "arrayElement"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ChSubscript = copy(left = l, right = r)
+}
+
+/** The ClickHouse default value of the expression's OWN type — the
+  * scalar sibling of [[ChElemDefault]], for CH functions whose
+  * missing/out-of-frame answer is the input's type default rather
+  * than NULL (lagInFrame/leadInFrame/neighbor without an explicit
+  * default argument). A nullable child (Spark's reading of CH's
+  * Nullable(T)) defaults to NULL, as CH documents for Nullable. */
+case class ChTypeDefault(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  override lazy val replacement: Expression =
+    if (child.nullable)
+      org.apache.spark.sql.catalyst.expressions.Literal(null, child.dataType)
+    else org.apache.spark.sql.catalyst.expressions.Literal.default(child.dataType)
+
+  override def prettyName: String = "chTypeDefault"
+  override protected def withNewChildInternal(c: Expression): ChTypeDefault =
     copy(child = c)
 }
 

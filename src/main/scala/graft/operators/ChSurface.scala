@@ -140,7 +140,8 @@ object ChSurface {
         |  array_join(array_sort(groupUniqArray(user_id % 5)), ',') AS mod_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
       Some("""SELECT event_type,
-        |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k,
+        |  round(avg(coalesce(
+        |    CAST(json_extract_string(props, '$.k') AS DOUBLE), 0)), 4) AS avg_k,
         |  count(*) FILTER (WHERE json_extract_string(props, '$.k') IS NOT NULL) AS with_k,
         |  array_to_string(list_sort(list_distinct(list(user_id % 5))), ',') AS mod_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),

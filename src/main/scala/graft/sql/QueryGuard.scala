@@ -1966,10 +1966,12 @@ object QueryGuard {
     * the last, maps index by key); Spark's bracket subscript is
     * 0-based on arrays — a silent off-by-one on every pasted query.
     * Every remaining bracket after [[rewriteArrayLiterals]] is a
-    * subscript, so it rewrites to `try_element_at(expr, idx)`: 1-based
-    * and negative-from-end like CH on arrays, key lookup on maps, NULL
-    * (not an ANSI error) when out of range or zero — the closest Spark
-    * analogue to CH's type-default OOB behavior.
+    * subscript, so it rewrites to `arrayElement(expr, idx)` (the
+    * registered CH builder): 1-based and negative-from-end like CH on
+    * arrays, key lookup on maps, and the ELEMENT-TYPE DEFAULT (not an
+    * ANSI error, not NULL) when out of range / index zero / key
+    * missing — CH's documented OOB behavior, exact by the coalesce
+    * construction in the builder.
     *
     * The target expression is recovered by walking left over a postfix
     * chain: identifier/qualified names, adjacent call parens, closed
@@ -2071,7 +2073,7 @@ object QueryGuard {
           val idx = out.substring(found + 1, close).trim
           if (target.nonEmpty && idx.nonEmpty) {
             out = out.substring(0, s) +
-              s"try_element_at(${target}, ${idx})" + out.substring(close + 1)
+              s"arrayElement(${target}, ${idx})" + out.substring(close + 1)
             changed = true
           }
         }

@@ -871,7 +871,8 @@ class CHFunctionsSpec extends SparkSpec {
         |  hasSubstr(array(1, 2), array()),
         |  hasSubstr(array(1), array(1, 2))""".stripMargin)
     assert(r.getInt(0) == 2 && r.getInt(1) == 3)
-    assert(r.isNullAt(2))
+    // no match answers the element-type default (CH), not NULL
+    assert(r.getInt(2) == 0)
     assert(r.getInt(3) == 2 && r.getInt(4) == 0)
     assert(r.getBoolean(5) && !r.getBoolean(6))
     assert(r.getBoolean(7) && !r.getBoolean(8))
@@ -1187,16 +1188,20 @@ class CHFunctionsSpec extends SparkSpec {
     assert(r.getLong(5) == 5L && r.getLong(6) == 4294967295L)
   }
 
-  test("arrayElement is total: OOB and index 0 are null, negatives wrap") {
+  test("arrayElement is total: OOB and index 0 are the type default, " +
+      "negatives wrap") {
     val r = one(
       """SELECT arrayElement(array(10, 20, 30), 2),
         |  arrayElement(array(10, 20, 30), 5),
         |  arrayElement(array(10, 20, 30), 0),
-        |  arrayElement(array(10, 20, 30), -1)""".stripMargin)
+        |  arrayElement(array(10, 20, 30), -1),
+        |  arrayElement(array('a', 'b'), 9)""".stripMargin)
     assert(r.getInt(0) == 20)
-    assert(r.isNullAt(1))
-    assert(r.isNullAt(2))
+    // CH: out-of-range and index 0 answer the ELEMENT-TYPE DEFAULT
+    assert(r.getInt(1) == 0)
+    assert(r.getInt(2) == 0)
     assert(r.getInt(3) == 30)
+    assert(r.getString(4) == "")
   }
 
   test("*OrZero division family returns 0 on a zero divisor") {
@@ -1407,8 +1412,10 @@ class CHFunctionsSpec extends SparkSpec {
         |  SELECT neighbor(x, 1) OVER (ORDER BY x) AS nxt,
         |         neighbor(x, -1) OVER (ORDER BY x) AS prv
         |  FROM VALUES (1), (2), (3) t(x))""".stripMargin).collect().head
-    assert(r.getSeq[Int](0) == Seq(2, 3)) // last row's lead is null
-    assert(r.getSeq[Int](1) == Seq(1, 2)) // first row's lag is null
+    // out-of-frame fills the type default (0 — non-nullable VALUES
+    // column), ClickHouse's neighbor() contract
+    assert(r.getSeq[Int](0) == Seq(2, 3, 0))
+    assert(r.getSeq[Int](1) == Seq(0, 1, 2))
   }
 
   test("date arithmetic battery: month-clamped adds, MJD, names") {

@@ -206,8 +206,10 @@ class ParamFormSpec extends graft.SparkSpec {
       "SELECT neighbor(x, 1) OVER (ORDER BY x) AS nb, " +
         "neighbor(x, -1) OVER (ORDER BY x) AS pb " +
         "FROM VALUES (1), (2), (3) t(x) ORDER BY x").collect()
-    assert(rows.map(r => Option(r.get(0)).orNull).toSeq == Seq(2, 3, null))
-    assert(rows.map(r => Option(r.get(1)).orNull).toSeq == Seq(null, 1, 2))
+    // out-of-frame fills the TYPE DEFAULT (0 — the VALUES column is
+    // non-nullable), ClickHouse's documented neighbor() fill
+    assert(rows.map(r => Option(r.get(0)).orNull).toSeq == Seq(2, 3, 0))
+    assert(rows.map(r => Option(r.get(1)).orNull).toSeq == Seq(0, 1, 2))
   }
 
   // wave 40: the judge's form-level corners — bare optional-argument

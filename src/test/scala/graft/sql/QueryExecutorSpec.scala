@@ -567,9 +567,10 @@ class QueryExecutorSpec extends SparkSpec {
       val rn = ex.run(
         "SELECT [[1],[2,3]][2][1] AS n, map('a', 5)['a'] AS m")
       assert(rn.rows.head.map(_.toString) == Seq("2", "5"))
-      // out of range is NULL, not an ANSI error
+      // out of range is the element-type default (CH), not an ANSI
+      // error and not NULL
       val ro = ex.run("SELECT [1][5] AS oob")
-      assert(ro.rows.head.head == null)
+      assert(ro.rows.head.head.toString == "0")
       // a bracket inside a string literal is untouched
       val rs = ex.run("SELECT 'a[1]' AS s")
       assert(rs.rows.head.head == "a[1]")
