@@ -2761,6 +2761,58 @@ object ChSurface {
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_eq
         |FROM orders WHERE (o_orderkey, o_custkey) > (100, 0)""".stripMargin)),
 
+    // r17 wave 50/51: the CH type-default & rendering family, value-
+    // verified — every column here answered NULL (or an unpadded
+    // string) before the sweep: arrayShiftLeft/Right and arrayResize
+    // fill the ELEMENT-TYPE DEFAULT and negative n flips direction;
+    // subscripts answer the default on out-of-range/index-0; plain
+    // arrayFirst defaults on no match; hex/bin pad to whole bytes;
+    // typed JSONExtract misses default; toTypeName speaks the
+    // DECLARED conversion type; lagInFrame fills the type default out
+    // of frame. The DuckDB oracle replays each fill literally (CASE
+    // over the index arithmetic; the identical lpad formula for the
+    // byte padding; lag's explicit third argument).
+    ("q_ch_defaults",
+      """SELECT o_orderkey AS k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayShiftLeft([10,20,30], toInt32(o_orderkey % 5) - 1)), ',') AS shl,
+        |  arrayStringConcat(arrayShiftRight(['a','b','c'],
+        |    toInt32(o_orderkey % 4)), ',') AS shr,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayResize([1,2], toInt32(o_orderkey % 4) + 1)), ',') AS rsz,
+        |  [100,200,300][toInt32(o_orderkey % 5)] AS oob,
+        |  ['x','y'][toInt32(o_orderkey % 4)] AS oos,
+        |  arrayFirst(x -> x > 2, [1, coalesce(toInt32(o_orderkey % 4), 0)]) AS af,
+        |  hex(o_orderkey % 300) AS hx,
+        |  bin(o_orderkey % 300) AS bn,
+        |  JSONExtractInt('{"a": 7}', if(o_orderkey % 2 = 0, 'a', 'b')) AS ji,
+        |  toTypeName(toUInt8(1)) AS tn1,
+        |  toTypeName(toInt16OrNull('5')) AS tn2,
+        |  lagInFrame(coalesce(toInt32(o_orderkey % 7), 0))
+        |    OVER (ORDER BY o_orderkey) AS lg
+        |FROM orders WHERE o_orderkey < 40 ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  CASE o_orderkey % 5 WHEN 0 THEN '0,10,20' WHEN 1 THEN '10,20,30'
+        |    WHEN 2 THEN '20,30,0' WHEN 3 THEN '30,0,0' ELSE '0,0,0' END AS shl,
+        |  CASE o_orderkey % 4 WHEN 0 THEN 'a,b,c' WHEN 1 THEN ',a,b'
+        |    WHEN 2 THEN ',,a' ELSE ',,' END AS shr,
+        |  CASE o_orderkey % 4 WHEN 0 THEN '1' WHEN 1 THEN '1,2'
+        |    WHEN 2 THEN '1,2,0' ELSE '1,2,0,0' END AS rsz,
+        |  CAST(CASE o_orderkey % 5 WHEN 1 THEN 100 WHEN 2 THEN 200
+        |    WHEN 3 THEN 300 ELSE 0 END AS INT) AS oob,
+        |  CASE o_orderkey % 4 WHEN 1 THEN 'x' WHEN 2 THEN 'y' ELSE '' END AS oos,
+        |  CAST(CASE WHEN o_orderkey % 4 = 3 THEN 3 ELSE 0 END AS INT) AS af,
+        |  lpad(hex(o_orderkey % 300), CAST(
+        |    length(hex(o_orderkey % 300)) + length(hex(o_orderkey % 300)) % 2
+        |    AS INT), '0') AS hx,
+        |  lpad(bin(o_orderkey % 300), CAST(
+        |    length(bin(o_orderkey % 300))
+        |      + (8 - length(bin(o_orderkey % 300)) % 8) % 8 AS INT), '0') AS bn,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 7 ELSE 0 END AS BIGINT) AS ji,
+        |  'UInt8' AS tn1, 'Nullable(Int16)' AS tn2,
+        |  lag(CAST(o_orderkey % 7 AS INT), 1, 0) OVER (ORDER BY o_orderkey) AS lg
+        |FROM orders WHERE o_orderkey < 40 ORDER BY k""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

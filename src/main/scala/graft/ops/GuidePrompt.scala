@@ -229,6 +229,20 @@ object GuidePrompt {
       |Pretty[Compact], Vertical, Values; the reference's
       |`{columns, rows}` JSON otherwise. `{p:Type}` query parameters
       |are not bound here — inline the literal.
+      |Misses answer the TYPE DEFAULT, as in ClickHouse: out-of-range
+      |/ index-0 subscripts and missing map keys give 0 / '' (NULL
+      |only for Nullable elements), plain `arrayFirst/Last` default on
+      |no match (the `*OrNull` spellings answer NULL), typed
+      |`JSONExtract*` misses default, `arrayShiftLeft/Right` and
+      |`arrayResize` pad with the element default (negative shift
+      |counts flip direction), and `lagInFrame/leadInFrame/neighbor`
+      |fill the input type's default out of frame. `hex`/`bin` of
+      |numerics print whole bytes (`hex(1)` = '01'). `toTypeName`
+      |reports the DECLARED type of `toUIntN/toIntN/toFloatN`
+      |conversions (`toTypeName(toUInt8(1))` = 'UInt8'); one
+      |documented deviation: a Nullable COLUMN passed through a plain
+      |conversion still reports the bare declared type, where
+      |ClickHouse wraps it in Nullable(...).
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),

@@ -1091,6 +1091,46 @@ class DialectStressSpec extends graft.SparkSpec {
       .rows == Seq(Seq(5L)))
   }
 
+  test("r17 parity: FROM-less generators, byte padding, declared " +
+      "type names, scoped rejects") {
+    // FROM-less nested arrayJoin (CH's quick-test idiom) hoists onto
+    // an implicit one-row FROM; the shared-unnest CSE rule holds
+    val aj = ex.run("SELECT arrayJoin([1,2]) + 1")
+    assert(aj.rows.map(_.head.toString) == Seq("2", "3"))
+    val cse = ex.run("SELECT 10*arrayJoin([1,2]) + arrayJoin([1,2]) AS v")
+    assert(cse.rows.map(_.head.toString) == Seq("11", "22"))
+    // FROM-less single whole-item stays on the native generator item
+    assert(ex.run("SELECT arrayJoin([7,8]) AS x")
+      .rows.map(_.head.toString) == Seq("7", "8"))
+    // FROM-less untuple expands positionally
+    val ut = ex.run("SELECT untuple((1, 'a'))")
+    assert(ut.rows.head.map(_.toString) == Seq("1", "a"))
+    // hex/bin of numerics pad to whole bytes; strings stay byte-exact
+    val hb = ex.run(
+      "SELECT hex(1) AS h1, hex(256) AS h2, bin(2) AS b1, hex('AB') AS hs")
+    assert(hb.rows.head == Seq("01", "0100", "00000010", "4142"))
+    // toTypeName speaks the DECLARED conversion type (tag-carried),
+    // including Nullable for the OrNull spellings
+    val tn = ex.run("SELECT toTypeName(toUInt8(1)) AS a, " +
+      "toTypeName(toUInt64OrNull('x')) AS b, toTypeName(toFloat32(1)) AS c")
+    assert(tn.rows.head == Seq("UInt8", "Nullable(UInt64)", "Float32"))
+    // h3 family: scoped reject naming the local geo alternatives
+    val h3 = ex.runSafe("SELECT h3ToGeo(599686042433355775)")
+    assert(h3.swap.exists(m =>
+      m.contains("H3") && m.contains("greatCircleDistance")))
+    // quantilesDD rejects a non-constant relative_accuracy by name
+    val dd = ex.runSafe(
+      "SELECT quantilesDD(o_totalprice, 0.5)(o_totalprice) FROM orders")
+    assert(dd.swap.exists(_.contains("quantilesDD")))
+    // a CORRECT neighbor alongside a different window function that
+    // lacks OVER keeps Spark's error on the real offender
+    val nb = ex.runSafe("SELECT neighbor(o_totalprice, 1) " +
+      "OVER (ORDER BY o_orderkey) AS nb, row_number() AS rn " +
+      "FROM orders LIMIT 1")
+    assert(nb.swap.exists(m =>
+      m.contains("row_number") && !m.contains("neighbor(x, offset)")))
+  }
+
   test("dateAdd family: Date in + day-or-coarser unit -> Date out (CH result type)") {
     val df = QueryGuard.plan(spark,
       """SELECT dateSub('day', 2, toDate('2024-03-01')) AS d,
