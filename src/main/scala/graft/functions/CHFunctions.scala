@@ -81,6 +81,46 @@ object CHFunctions {
       core(n0, left), core(UnaryMinus(n0), !left))
   }
 
+  /** The -Resample combinator: `aggResample(start, end, step)(x, key)`
+    * answers an ARRAY with one aggregate per key bucket
+    * [start + i·step, min(start + (i+1)·step, end)) — ClickHouse's
+    * documented bucketing, keys outside [start, end) ignored. The
+    * parameters must be constants (they size the result array at plan
+    * time); bucket count is capped so a pasted typo cannot explode
+    * the plan. Composed as one conditional aggregate per bucket
+    * inside CreateArray — a single pass, partial-agg friendly, no
+    * shuffle beyond the enclosing GROUP BY. */
+  private def resampleBuilder(name: String,
+      agg: Expression => Expression)(es: Seq[Expression]): Expression = {
+    if (es.size != 5) throw new IllegalArgumentException(
+      s"$name expects (start, end, step)(x, key), got ${es.size} arguments")
+    def constLong(e: Expression, what: String): Long = {
+      if (!e.foldable) throw new IllegalArgumentException(
+        s"$name $what must be a constant, got ${e.sql}")
+      e.eval() match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$name $what must be a constant integer, got $other")
+      }
+    }
+    val start = constLong(es.head, "start")
+    val end = constLong(es(1), "end")
+    val step = constLong(es(2), "step")
+    if (step <= 0 || end <= start) throw new IllegalArgumentException(
+      s"$name requires step > 0 and end > start, got ($start, $end, $step)")
+    val buckets = ((end - start + step - 1) / step).toInt
+    if (buckets > 1024) throw new IllegalArgumentException(
+      s"$name would build $buckets buckets (cap 1024): widen the step " +
+        "or narrow [start, end)")
+    val (x, key) = (es(3), es(4))
+    CreateArray((0 until buckets).map { i =>
+      val lo = Literal(start + i * step)
+      val hi = Literal(math.min(start + (i + 1) * step, end))
+      agg(whenThen(
+        And(GreaterThanOrEqual(key, lo), LessThan(key, hi)), x))
+    })
+  }
+
   /** CH/IEEE logarithm edges: 0 → −inf, negative → nan (Spark's own
     * log family answers NULL outside the domain). Direct Catalyst
     * nodes — an UnresolvedFunction would resolve back into these
@@ -1168,6 +1208,21 @@ object CHFunctions {
       whenThen(es(1), es.head), CreateArray(es.drop(2)), Literal(10000))),
     "quantilesExactIf" -> (es => fn("percentile",
       whenThen(es(1), es.head), CreateArray(es.drop(2)))),
+    // the sketch spellings × -If ride percentile_approx like their
+    // unconditioned singulars/plurals
+    "quantileTimingIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head),
+      if (es.size > 2) es(2) else Literal(0.5), Literal(10000))),
+    "quantileTDigestIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head),
+      if (es.size > 2) es(2) else Literal(0.5), Literal(10000))),
+    "quantileBFloat16If" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head),
+      if (es.size > 2) es(2) else Literal(0.5), Literal(10000))),
+    "quantilesTimingIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head), CreateArray(es.drop(2)), Literal(10000))),
+    "quantilesTDigestIf" -> (es => fn("percentile_approx",
+      whenThen(es(1), es.head), CreateArray(es.drop(2)), Literal(10000))),
 
     // -OrNull / -OrDefault combinator spellings (CH: OrNull → NULL
     // when nothing aggregated; OrDefault → the type default). Spark's
@@ -1201,6 +1256,25 @@ object CHFunctions {
     "countOrDefault" -> (es => fn("count",
       (if (es.isEmpty) Seq(Literal(1)) else es): _*)),
     "uniqOrDefault" -> (es => HyperLogLogPlusPlus(uniqInput(es))),
+    "argMaxOrNull" -> (es => fn("max_by", es.head, es(1))),
+    "argMinOrNull" -> (es => fn("min_by", es.head, es(1))),
+    // parametric quantile × -OrNull/-OrDefault (args-first routed:
+    // the builders read (x[, level])). percentile[_approx] already
+    // answers NULL on an empty/all-null group, so OrNull is the base
+    // sketch; OrDefault coalesces with CH's Float64 default 0.
+    "quantileOrNull" -> (es => fn("percentile_approx", es.head,
+      if (es.size > 1) es(1) else Literal(0.5), Literal(10000))),
+    "quantileOrDefault" -> (es => Coalesce(Seq(
+      fn("percentile_approx", es.head,
+        if (es.size > 1) es(1) else Literal(0.5), Literal(10000)),
+      Literal(0.0)))),
+    "quantileExactOrNull" -> (es => fn("percentile", es.head,
+      if (es.size > 1) es(1) else Literal(0.5))),
+    "quantileExactOrDefault" -> (es => Coalesce(Seq(
+      fn("percentile", es.head,
+        if (es.size > 1) es(1) else Literal(0.5)), Literal(0.0)))),
+    "medianOrNull" -> (es => fn("percentile_approx", es.head,
+      Literal(0.5), Literal(10000))),
 
     // group collectors. The parametric forms groupArray(max_size)(x) /
     // groupUniqArray(max_size)(x) arrive params-first from the shim
@@ -2086,9 +2160,42 @@ object CHFunctions {
     "avgArray" -> (es => fn("try_divide",
       fn("sum", rowArraySum(es.head)),
       fn("sum", Cast(fn("size", es.head), LongType)))),
+    // -ArrayIf stacks: the -Array population read over only the rows
+    // passing the condition (CASE-WHEN-null array per row; the outer
+    // aggregate skips the NULLed rows, same shape as the *If family)
+    "sumArrayIf" -> (es =>
+      fn("sum", rowArraySum(whenThen(es(1), es.head)))),
+    "minArrayIf" -> (es =>
+      fn("min", fn("array_min", whenThen(es(1), es.head)))),
+    "maxArrayIf" -> (es =>
+      fn("max", fn("array_max", whenThen(es(1), es.head)))),
+    // count semantics never answer NULL in CH — 0 when nothing passed
+    "countArrayIf" -> (es => Coalesce(Seq(
+      fn("sum", Cast(fn("size", whenThen(es(1), es.head)), LongType)),
+      Literal(0L)))),
+    "avgArrayIf" -> (es => fn("try_divide",
+      fn("sum", rowArraySum(whenThen(es(1), es.head))),
+      fn("sum", Cast(fn("size", whenThen(es(1), es.head)), LongType)))),
+    "uniqArrayIf" -> (es => Cast(fn("size", fn("array_distinct",
+      fn("flatten", fn("collect_list", whenThen(es(1), es.head))))),
+      LongType)),
     // groupArrayArray: concatenate the group's arrays (CH order is
     // arrival order; flatten(collect_list) matches that contract)
     "groupArrayArray" -> (es => fn("flatten", fn("collect_list", es.head))),
+    // -Distinct over the collector: first-arrival distinct values
+    "groupArrayDistinct" -> (es =>
+      fn("array_distinct", fn("collect_list", es.head))),
+    // -Resample family (params-first routed): [[resampleBuilder]]
+    "sumResample" -> resampleBuilder("sumResample", e => fn("sum", e)),
+    "countResample" -> resampleBuilder("countResample",
+      e => fn("count", e)),
+    "avgResample" -> resampleBuilder("avgResample", e => fn("avg", e)),
+    "minResample" -> resampleBuilder("minResample", e => fn("min", e)),
+    "maxResample" -> resampleBuilder("maxResample", e => fn("max", e)),
+    "uniqResample" -> resampleBuilder("uniqResample",
+      e => HyperLogLogPlusPlus(e, relativeSD = 0.01).toAggregateExpression()),
+    "uniqExactResample" -> resampleBuilder("uniqExactResample",
+      e => Count(Seq(e)).toAggregateExpression(isDistinct = true)),
     // uniqArray: distinct elements across all arrays — exact (a
     // strictly tighter answer than CH's HLL estimate), group-bounded
     // like the quantileExact contract

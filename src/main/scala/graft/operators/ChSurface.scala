@@ -2813,6 +2813,33 @@ object ChSurface {
         |  lag(CAST(o_orderkey % 7 AS INT), 1, 0) OVER (ORDER BY o_orderkey) AS lg
         |FROM orders WHERE o_orderkey < 40 ORDER BY k""".stripMargin)),
 
+    // r17 wave 52: stacked combinators — -ArrayIf (the -Array
+    // population over only passing rows), parametric -OrDefault, the
+    // -Resample bucketing (one conditional aggregate per constant
+    // bucket, a single pass), -Distinct on the collector. The DuckDB
+    // oracle replays each stack as its definition (FILTERed sums,
+    // per-bucket counts, list_distinct).
+    ("q_comb_stacks",
+      """SELECT o_orderstatus AS s,
+        |  round(sumArrayIf([o_totalprice, 1.0], o_orderkey % 2 = 0), 2) AS sai,
+        |  toInt64(countArrayIf([1,2,3], o_orderkey % 2 = 0)) AS cai,
+        |  round(quantileExactOrDefault(0.25)(o_totalprice), 4) AS qd,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    countResample(0, 10, 5)(o_totalprice, o_orderkey % 10)), ',') AS cr,
+        |  arrayStringConcat(arraySort(groupArrayDistinct(o_orderpriority)), '|') AS gad
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin,
+      Some("""SELECT o_orderstatus AS s,
+        |  round(sum(o_totalprice + 1.0)
+        |    FILTER (WHERE o_orderkey % 2 = 0), 2) AS sai,
+        |  3 * count(*) FILTER (WHERE o_orderkey % 2 = 0) AS cai,
+        |  round(coalesce(quantile_cont(o_totalprice, 0.25), 0), 4) AS qd,
+        |  CAST(count(*) FILTER (WHERE o_orderkey % 10 >= 0
+        |      AND o_orderkey % 10 < 5) AS VARCHAR)
+        |    || ',' || CAST(count(*) FILTER (WHERE o_orderkey % 10 >= 5
+        |      AND o_orderkey % 10 < 10) AS VARCHAR) AS cr,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS gad
+        |FROM orders GROUP BY s ORDER BY s""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

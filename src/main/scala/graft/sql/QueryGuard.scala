@@ -1832,6 +1832,15 @@ object QueryGuard {
     "quantileexactif" -> "quantileExactIf",
     "quantilesif" -> "quantilesIf",
     "quantilesexactif" -> "quantilesExactIf",
+    "quantiletimingif" -> "quantileTimingIf",
+    "quantiletdigestif" -> "quantileTDigestIf",
+    "quantilebfloat16if" -> "quantileBFloat16If",
+    "quantilestimingif" -> "quantilesTimingIf",
+    "quantilestdigestif" -> "quantilesTDigestIf",
+    "quantileornull" -> "quantileOrNull",
+    "quantileordefault" -> "quantileOrDefault",
+    "quantileexactornull" -> "quantileExactOrNull",
+    "quantileexactordefault" -> "quantileExactOrDefault",
     "groupconcat" -> "groupConcat",
     "uniqupto" -> "uniqUpTo")
 
@@ -1860,7 +1869,9 @@ object QueryGuard {
     "quantileinterpolatedweighted", "quantiletdigestweighted",
     "quantiletimingweighted", "quantilebfloat16weighted",
     "quantileexactweightedinterpolated",
-    "grouparrayif", "groupuniqarrayif")
+    "grouparrayif", "groupuniqarrayif",
+    "sumresample", "countresample", "avgresample", "minresample",
+    "maxresample", "uniqresample", "uniqexactresample")
   // (uniqCombined[64] formerly dropped its precision param; it now
   // routes params-first so the builder converts K → relativeSD)
   private val paramAggDrop = Set.empty[String]

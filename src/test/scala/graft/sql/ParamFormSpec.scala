@@ -194,6 +194,38 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getSeq[Double](4) == Seq(3.0))
   }
 
+  test("wave 52 combinator stacks: -ArrayIf, parametric -OrNull/" +
+      "-OrDefault, sketch -If spellings, -Resample") {
+    assert(ready)
+    def one(q: String) = QueryGuard.plan(spark, q).collect().head
+    // -ArrayIf: the -Array population over only the passing rows
+    val ai = one("SELECT sumArrayIf([1, 2], o_orderstatus = 'F') AS s, " +
+      "toInt64(countArrayIf([1, 2, 3], o_orderkey < 0)) AS c FROM orders")
+    assert(ai.getDouble(0) > 0 && ai.getLong(1) == 0L)
+    // parametric -OrNull answers NULL on an empty group, -OrDefault 0
+    val on = one("SELECT quantileOrNull(0.5)(o_totalprice) AS qn, " +
+      "quantileOrDefault(0.5)(o_totalprice) AS qdf, " +
+      "quantileExactOrNull(0.9)(o_totalprice) AS qen " +
+      "FROM orders WHERE o_orderkey < 0")
+    assert(on.isNullAt(0) && on.getDouble(1) == 0.0 && on.isNullAt(2))
+    // sketch spellings × -If route args-first like quantileIf
+    val qi = one("SELECT quantileTimingIf(0.5)(o_totalprice, " +
+      "o_orderstatus = 'F') AS q, size(quantilesTimingIf(0.25, 0.75)(" +
+      "o_totalprice, o_orderstatus = 'O')) AS n FROM orders")
+    assert(qi.getDouble(0) > 0 && qi.getInt(1) == 2)
+    // -Resample: one aggregate per constant bucket, keys outside
+    // [start, end) ignored; non-constant/oversized params reject
+    val rs = one("SELECT sumResample(0, 10, 5)(1, o_orderkey % 10) AS r " +
+      "FROM orders")
+    assert(rs.getSeq[Long](0).size == 2 && rs.getSeq[Long](0).sum > 0)
+    val cap = intercept[Exception] { QueryGuard.plan(spark,
+      "SELECT sumResample(0, 100000, 1)(1, o_orderkey) FROM orders") }
+    assert(cap.getMessage.contains("cap 1024"))
+    val nc = intercept[Exception] { QueryGuard.plan(spark,
+      "SELECT sumResample(0, o_orderkey, 1)(1, o_orderkey) FROM orders") }
+    assert(nc.getMessage.contains("constant"))
+  }
+
   test("neighbor without OVER rejects naming neighbor, with OVER it answers") {
     assert(ready)
     val e = intercept[Exception] {
