@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedExtractValue, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, HyperLogLogPlusPlus}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** ClickHouse-dialect functions registered into Spark SQL (SURVEY §2
@@ -2941,9 +2941,13 @@ object CHFunctions {
       fn("size", ArrayFilter(es.head,
         LambdaFunction(EqualNullSafe(x, es(1)), Seq(x))))
     }),
-    "toFixedString" -> (es =>
-      fn("rpad", fn("substring", es.head, Literal(1),
-        Cast(es(1), IntegerType)), Cast(es(1), IntegerType), Literal(" "))),
+    "toFixedString" -> (es => {
+      val e = fn("rpad", fn("substring", es.head, Literal(1),
+        Cast(es(1), IntegerType)), Cast(es(1), IntegerType), Literal(" "))
+      if (es(1).foldable)
+        e.setTagValue(chDeclaredTypeTag, s"FixedString(${es(1).eval()})")
+      e
+    }),
     "today" -> (_ => fn("current_date")),
     "yesterday" -> (_ =>
       fn("date_sub", fn("current_date"), Literal(1))),
@@ -3385,6 +3389,20 @@ object CHFunctions {
           Add(Multiply(fn("year", e), Literal(4)), fn("quarter", e)),
           Add(Multiply(fn("year", s), Literal(4)), fn("quarter", s)))
         case "year" => Subtract(fn("year", e), fn("year", s))
+        // sub-second units (CH 22.8+): boundary-crossing count =
+        // truncated epoch difference at that unit. Engine timestamps
+        // are microsecond-precision, so nanosecond is exact micros
+        // × 1000 (a DateTime64(9)'s sub-microsecond digits are not
+        // representable here — documented precision bound).
+        case "millisecond" => Subtract(
+          fn("unix_millis", Cast(e, TimestampType)),
+          fn("unix_millis", Cast(s, TimestampType)))
+        case "microsecond" => Subtract(
+          fn("unix_micros", Cast(e, TimestampType)),
+          fn("unix_micros", Cast(s, TimestampType)))
+        case "nanosecond" => Multiply(Subtract(
+          fn("unix_micros", Cast(e, TimestampType)),
+          fn("unix_micros", Cast(s, TimestampType))), Literal(1000L))
         case other => throw new IllegalArgumentException(
           s"dateDiff: unsupported unit '$other'")
       }
@@ -5071,7 +5089,7 @@ object CHFunctions {
     "toDecimal32" -> (es => decimalCast(es, 9, orNull = false)),
     "toDecimal64" -> (es => decimalCast(es, 18, orNull = false)),
     "toDecimal128" -> (es => decimalCast(es, 38, orNull = false)),
-    "toDecimal256" -> (es => decimalCast(es, 38, orNull = false)),
+    "toDecimal256" -> (es => decimalCast(es, 38, orNull = false, chPrec = 76)),
     "toDecimal32OrNull" -> (es => decimalCast(es, 9, orNull = true)),
     "toDecimal64OrNull" -> (es => decimalCast(es, 18, orNull = true)),
     "toDecimal128OrNull" -> (es => decimalCast(es, 38, orNull = true)),
@@ -5090,17 +5108,19 @@ object CHFunctions {
     // used to be silently dropped.)
     "toDateTime64" -> (es => {
       val base = Cast(es.head, org.apache.spark.sql.types.TimestampType)
-      es.drop(2).headOption match {
+      val e = es.drop(2).headOption match {
         case Some(tz) => fn("to_utc_timestamp", base, tz)
         case None => base
       }
+      dt64Tag(e, es, nullable = false)
     }),
     "toDateTime64OrNull" -> (es => {
       val base = fn("try_to_timestamp", es.head)
-      es.drop(2).headOption match {
+      val e = es.drop(2).headOption match {
         case Some(tz) => fn("to_utc_timestamp", base, tz)
         case None => base
       }
+      dt64Tag(e, es, nullable = true)
     }),
 
     // toTimeZone(ts, tz): ClickHouse keeps the INSTANT and changes the
@@ -5232,7 +5252,14 @@ object CHFunctions {
     bases.flatMap { b =>
       Seq(s"to$b" -> b, s"to${b}OrZero" -> b, s"to${b}OrDefault" -> b,
         s"to${b}OrNull" -> s"Nullable($b)")
-    }.toMap
+    }.toMap ++ Map(
+      "toDate" -> "Date", "toDateOrNull" -> "Nullable(Date)",
+      "toDateOrZero" -> "Date", "toDateOrDefault" -> "Date",
+      "toDate32" -> "Date32", "toDate32OrNull" -> "Nullable(Date32)",
+      "toDateTime" -> "DateTime",
+      "toDateTimeOrNull" -> "Nullable(DateTime)",
+      "toDateTimeOrZero" -> "DateTime", "toDateTimeOrDefault" -> "DateTime",
+      "toString" -> "String", "toUUID" -> "UUID")
   }
 
   val all: Seq[(String, Builder)] = {
@@ -5320,16 +5347,38 @@ object CHFunctions {
 
   /** CH toDecimalN(x, scale) → DECIMAL(maxPrec, scale); the scale must
     * be a build-time literal (the only form CH accepts too). */
+  /** Declared-type tag for toDateTime64[OrNull]: `DateTime64(p)` with
+    * the pasted precision when it is a literal. */
+  private def dt64Tag(e: Expression, es: Seq[Expression],
+      nullable: Boolean): Expression = {
+    es.drop(1).headOption match {
+      case Some(p) if p.foldable =>
+        val name = s"DateTime64(${p.eval()})"
+        e.setTagValue(chDeclaredTypeTag,
+          if (nullable) s"Nullable($name)" else name)
+      case _ =>
+    }
+    e
+  }
+
   private def decimalCast(es: Seq[Expression], maxPrec: Int,
-      orNull: Boolean): Expression = {
+      orNull: Boolean, chPrec: Int = 0): Expression = {
     val scale = es(1) match {
       case Literal(v, _) => v.toString.toDouble.toInt
       case other => throw new IllegalArgumentException(
         s"toDecimal*: scale must be a literal, got $other")
     }
     val t = org.apache.spark.sql.types.DecimalType(maxPrec, scale)
-    if (orNull) Cast(es.head, t, None, EvalMode.TRY)
-    else Cast(es.head, t)
+    val e: Expression =
+      if (orNull) Cast(es.head, t, None, EvalMode.TRY)
+      else Cast(es.head, t)
+    // declared CH type for toTypeName (Decimal256's declared
+    // precision 76 exceeds the Decimal(38) storage — the tag keeps
+    // the CH spelling)
+    val p = if (chPrec > 0) chPrec else maxPrec
+    e.setTagValue(chDeclaredTypeTag,
+      if (orNull) s"Nullable(Decimal($p, $scale))" else s"Decimal($p, $scale)")
+    e
   }
 
   /** CH scalar range(): half-open Array — range(n)=[0,n),

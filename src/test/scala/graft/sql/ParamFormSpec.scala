@@ -431,12 +431,28 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(r.getString(0) == "Int32")
     assert(r.getString(1).startsWith("Decimal(2, 1)") || r.getString(1) == "Float64")
     assert(r.getString(2) == "String")
-    assert(r.getString(3) == "Nullable(Date)") // string cast can fail -> nullable
+    assert(r.getString(3) == "Date") // the DECLARED conversion type (tag)
     assert(r.getString(4) == "DateTime")
     assert(r.getString(5) == "Array(Int32)")
     assert(r.getString(6) == "Map(String, Int32)")
     assert(r.getString(7) == "Tuple(Int32, String)")
     assert(r.getString(8).contains("Decimal("))
     assert(r.getString(9).contains("Int64"))
+    // dynamic declared types: the pasted precision/scale rides the tag
+    val d = one("SELECT toTypeName(toDecimal64(1.5, 2)) AS a, " +
+      "toTypeName(toDecimal256(1.5, 4)) AS b, " +
+      "toTypeName(toDateTime64('2024-01-01 00:00:00', 3)) AS c, " +
+      "toTypeName(toDate32('2100-01-05')) AS d, " +
+      "toTypeName(toFixedString('ab', 5)) AS e")
+    assert(d.getString(0) == "Decimal(18, 2)")
+    assert(d.getString(1) == "Decimal(76, 4)") // CH's declared 76 digits
+    assert(d.getString(2) == "DateTime64(3)")
+    assert(d.getString(3) == "Date32")
+    assert(d.getString(4) == "FixedString(5)")
+    // sub-second dateDiff units (CH 22.8+) count boundary crossings
+    val ms = one("SELECT dateDiff('millisecond', " +
+      "toDateTime64('2024-01-01 00:00:00.100', 3), " +
+      "toDateTime64('2024-01-01 00:00:00.350', 3)) AS ms")
+    assert(ms.getLong(0) == 250L)
   }
 }
