@@ -85,6 +85,12 @@ object ChronoArith {
   * The seconds form is scoped to TimestampType operands (UnixSeconds
   * speaks exactly that), so an NTZ or exotic operand keeps Spark's
   * native result rather than half-translating. */
+object ChronoDiff {
+  /** Matches DateTime64(p) inside a declared-type tag (also through a
+    * Nullable(...) wrapper). */
+  private[functions] val dt64Scale = """DateTime64\((\d+)\)""".r
+}
+
 case class ChronoDiff(child: Expression) extends UnaryExpression
     with RuntimeReplaceable {
 
@@ -97,7 +103,26 @@ case class ChronoDiff(child: Expression) extends UnaryExpression
     // integral cast IS the total-seconds count
     case st: SubtractTimestamps
         if st.dataType.isInstanceOf[DayTimeIntervalType] =>
-      Cast(st, IntegerType)
+      // a DateTime64(p) operand (declared-type tag from the
+      // toDateTime64 builder) makes the difference CH's DECIMAL
+      // seconds at the max declared scale — `dt64_a - dt64_b` of
+      // .350 vs .100 answers 0.250, not 0. Plain DateTime operands
+      // keep CH's Int32 seconds.
+      val scale = Seq(st.left, st.right)
+        .flatMap(_.getTagValue(CHFunctions.chDeclaredTypeTag))
+        .flatMap(t => ChronoDiff.dt64Scale.findFirstMatchIn(t)
+          .map(_.group(1).toInt))
+        .reduceOption(_ max _).map(_ min 6)
+      scale match {
+        case Some(p) if p > 0 &&
+            st.left.dataType == TimestampType &&
+            st.right.dataType == TimestampType =>
+          Cast(Divide(
+            Cast(Subtract(UnixMicros(st.left), UnixMicros(st.right)),
+              DoubleType), Literal(1e6)),
+            DecimalType(20, p))
+        case _ => Cast(st, IntegerType)
+      }
     case other => other
   }
 

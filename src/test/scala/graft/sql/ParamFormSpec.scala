@@ -454,5 +454,14 @@ class ParamFormSpec extends graft.SparkSpec {
       "toDateTime64('2024-01-01 00:00:00.100', 3), " +
       "toDateTime64('2024-01-01 00:00:00.350', 3)) AS ms")
     assert(ms.getLong(0) == 250L)
+    // DateTime64 MINUS keeps the declared sub-second precision
+    // (Decimal seconds at the declared scale); plain DateTime minus
+    // stays CH's Int32 seconds
+    val df = one("SELECT toDateTime64('2024-01-01 00:00:00.350', 3) - " +
+      "toDateTime64('2024-01-01 00:00:00.100', 3) AS d, " +
+      "toDateTime('2024-01-01 00:00:10') - " +
+      "toDateTime('2024-01-01 00:00:03') AS s")
+    assert(df.getDecimal(0).toString == "0.250")
+    assert(df.getInt(1) == 7)
   }
 }
