@@ -1534,7 +1534,21 @@ object CHFunctions {
     }),
     "arrayReverse" -> (es => fn("reverse", es.head)),
     "arrayConcat" -> (es => fn("concat", es: _*)),
-    "arraySlice" -> (es => fn("slice", es: _*)),
+    // 2-arg form runs to the end of the array (negative offset counts
+    // from the end, as in CH — Spark's slice reads it natively)
+    "arraySlice" -> (es =>
+      if (es.size == 2) fn("slice", es.head, es(1), fn("size", es.head))
+      else fn("slice", es: _*)),
+    // CH greatest/least PROPAGATE NULL (any NULL argument → NULL);
+    // Spark's builtins skip NULLs — a silent value difference on
+    // pasted queries. Direct Greatest/Least nodes (a fn() here would
+    // resolve back into this override and loop the analyzer).
+    "greatest" -> (es =>
+      If(es.map(IsNull(_): Expression).reduce(Or), Literal(null),
+        Greatest(es))),
+    "least" -> (es =>
+      If(es.map(IsNull(_): Expression).reduce(Or), Literal(null),
+        Least(es))),
     "arrayFlatten" -> (es => fn("flatten", es.head)),
     "arrayStringConcat" -> (es =>
       if (es.size > 1) fn("array_join", es.head, es(1))
@@ -3472,13 +3486,18 @@ object CHFunctions {
     // it literally; Spark split takes a regex second — swap and quote
     // (literal separators resolve at build time, the common case)
     "splitByString" -> (es => {
-      val sep = es.head match {
+      val raw = es.head match {
         case Literal(u: org.apache.spark.unsafe.types.UTF8String, _) =>
-          Literal(java.util.regex.Pattern.quote(u.toString))
+          u.toString
         case other => throw new IllegalArgumentException(
           s"splitByString expects a literal separator, got $other")
       }
-      fn("split", es(1), sep)
+      // empty separator = per-character split (CH); Spark's split on
+      // '' appends a trailing empty element, so slice to the length
+      if (raw.isEmpty)
+        fn("slice", fn("split", es(1), Literal("")), Literal(1),
+          fn("length", es(1)))
+      else fn("split", es(1), Literal(java.util.regex.Pattern.quote(raw)))
     }),
     // float classification. isNaN/log2 need no entries — Spark's
     // case-insensitive lookup resolves them to the isnan/log2

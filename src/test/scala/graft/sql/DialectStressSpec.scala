@@ -1122,6 +1122,23 @@ class DialectStressSpec extends graft.SparkSpec {
     val dd = ex.runSafe(
       "SELECT quantilesDD(o_totalprice, 0.5)(o_totalprice) FROM orders")
     assert(dd.swap.exists(_.contains("quantilesDD")))
+    // CH greatest/least PROPAGATE NULL (Spark's builtins skip it)
+    val gl = ex.run(
+      "SELECT greatest(1, NULL, 3) AS g, least(2, NULL) AS l, " +
+        "greatest(1, 5, 3) AS g2, least(4, 2) AS l2")
+    assert(gl.rows.head(0) == null && gl.rows.head(1) == null)
+    assert(gl.rows.head(2).toString == "5" && gl.rows.head(3).toString == "2")
+    // arraySlice 2-arg runs to the end; empty-separator splitByString
+    // is a clean per-character split (no trailing empty)
+    val sl = ex.run(
+      "SELECT arraySlice([1,2,3,4,5], -2) AS n, " +
+        "arraySlice([1,2,3,4,5], 3) AS m, splitByString('', 'abc') AS c")
+    assert(sl.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .toSeq == Seq(4, 5))
+    assert(sl.rows.head(1).asInstanceOf[scala.collection.Seq[_]]
+      .toSeq == Seq(3, 4, 5))
+    assert(sl.rows.head(2).asInstanceOf[scala.collection.Seq[_]]
+      .toSeq == Seq("a", "b", "c"))
     // a CORRECT neighbor alongside a different window function that
     // lacks OVER keeps Spark's error on the real offender
     val nb = ex.runSafe("SELECT neighbor(o_totalprice, 1) " +
