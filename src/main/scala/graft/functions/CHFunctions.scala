@@ -3448,8 +3448,20 @@ object CHFunctions {
     "lengthUTF8" -> (es => fn("char_length", es.head)),
     // Spark's left/right/substring count CODE POINTS already — the
     // UTF8 spellings alias them
-    "leftUTF8" -> (es => fn("left", es: _*)),
-    "rightUTF8" -> (es => fn("right", es: _*)),
+    // CH left/right accept NEGATIVE lengths — trim |n| characters off
+    // the OTHER end (left('hello', -2) = 'hel'); Spark's builtins
+    // answer ''. The If collapses for constant n.
+    "left" -> (es => If(GreaterThanOrEqual(es(1), Literal(0)),
+      org.apache.spark.sql.catalyst.expressions.Left(es.head, es(1)),
+      Substring(es.head, Literal(1),
+        Add(Length(es.head), Cast(es(1), IntegerType))))),
+    "right" -> (es => If(GreaterThanOrEqual(es(1), Literal(0)),
+      org.apache.spark.sql.catalyst.expressions.Right(es.head, es(1)),
+      Substring(es.head,
+        Subtract(Literal(1), Cast(es(1), IntegerType)),
+        Length(es.head)))),
+    "leftUTF8" -> (es => byName("left")(es)),
+    "rightUTF8" -> (es => byName("right")(es)),
     "toBool" -> (es => Cast(es.head, org.apache.spark.sql.types.BooleanType,
       None, EvalMode.ANSI)),
     "toBoolOrNull" -> (es =>
@@ -4149,6 +4161,12 @@ object CHFunctions {
     // served path, QueryGuard.rewriteDigestNames)
     "randCH" -> (es =>
       Cast(Multiply(fn("rand"), Literal(4294967296.0)), LongType)),
+    // one random UInt32, CONSTANT across the rows of a query (CH:
+    // constant per block). Each call SITE draws independently —
+    // `SELECT randConstant() AS a, randConstant() AS b` gives two
+    // (usually different) constants, each stable over the rows.
+    "randConstant" -> (_ =>
+      Literal(scala.util.Random.nextLong() & 0xFFFFFFFFL)),
     // full-range UInt64 bits via one hash of one uniform draw
     "rand64" -> (_ => fn("xxhash64", fn("rand"))),
     "randCanonical" -> (_ => fn("rand")),
@@ -4589,6 +4607,21 @@ object CHFunctions {
     "JSONExtractRaw" -> (es =>
       fn("get_json_object", es.head,
         Concat(Seq(Literal("$."), es(1))))),
+    // SQL/JSON standard spellings (CH ships them alongside the
+    // JSONExtract family). The JSONPath argument passes through
+    // verbatim — both engines read '$.a.b[0]' — and misses answer
+    // CH's defaults ('' for VALUE/QUERY, false for EXISTS).
+    // JSON_QUERY wraps the match in an array, CH's contract; string
+    // scalars lose their quotes inside the wrapper (get_json_object
+    // unquotes — documented edge, numbers/objects/arrays exact).
+    "JSON_VALUE" -> (es => Coalesce(Seq(
+      fn("get_json_object", es.head, es(1)), Literal("")))),
+    "JSON_EXISTS" -> (es =>
+      IsNotNull(fn("get_json_object", es.head, es(1)))),
+    "JSON_QUERY" -> (es => Coalesce(Seq(
+      Concat(Seq(Literal("["),
+        fn("get_json_object", es.head, es(1)), Literal("]"))),
+      Literal("")))),
     // raw array elements keep quotes/nesting (Jackson re-serialization;
     // get_json_object would strip quotes off string elements)
     "JSONExtractArrayRaw" -> (es => JsonArrayRaw(es)),

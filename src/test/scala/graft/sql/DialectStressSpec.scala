@@ -1122,6 +1122,19 @@ class DialectStressSpec extends graft.SparkSpec {
     val dd = ex.runSafe(
       "SELECT quantilesDD(o_totalprice, 0.5)(o_totalprice) FROM orders")
     assert(dd.swap.exists(_.contains("quantilesDD")))
+    // CH left/right accept negative lengths (trim off the other end)
+    val lr = ex.run("SELECT left('hello', -2) AS l, right('hello', -2) AS r")
+    assert(lr.rows.head == Seq("hel", "llo"))
+    // SQL/JSON standard spellings; misses answer CH defaults
+    val js = ex.run("SELECT JSON_VALUE(concat('{', char(34), 'a', " +
+      "char(34), ': 1}'), '$.a') AS jv, JSON_EXISTS(concat('{', " +
+      "char(34), 'a', char(34), ': 1}'), '$.b') AS je, " +
+      "JSON_QUERY(concat('{', char(34), 'a', char(34), ': 1}'), " +
+      "'$.a') AS jq")
+    assert(js.rows.head == Seq("1", false, "[1]"))
+    // randConstant: one value, constant over the rows of a call site
+    val rc = ex.run("SELECT count(DISTINCT randConstant()) AS n FROM orders")
+    assert(rc.rows.head.head.toString == "1")
     // CH greatest/least PROPAGATE NULL (Spark's builtins skip it)
     val gl = ex.run(
       "SELECT greatest(1, NULL, 3) AS g, least(2, NULL) AS l, " +
