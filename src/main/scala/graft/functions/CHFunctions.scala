@@ -2534,7 +2534,16 @@ object CHFunctions {
         case other => other
       })),
     "toUnixTimestamp" -> (es => fn("unix_timestamp", es: _*)),
-    "fromUnixTimestamp" -> (es => fn("timestamp_seconds", es.head)),
+    // 2-arg form FORMATS the instant to a string — CH:
+    // fromUnixTimestamp(n, fmt) ≡ formatDateTime(toDateTime(n), fmt)
+    "fromUnixTimestamp" -> (es =>
+      if (es.size >= 2)
+        fn("date_format", fn("timestamp_seconds", es.head), es(1) match {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+            Literal(chFormatToSpark(s.toString))
+          case other => other
+        })
+      else fn("timestamp_seconds", es.head)),
     "nowCH" -> (_ => fn("current_timestamp")),
     "todayCH" -> (_ => fn("current_date")),
     "intDiv" -> (es => floorDivExpr(es.head, es(1))),
@@ -4518,14 +4527,16 @@ object CHFunctions {
     "arraySymmetricDifference" -> (es =>
       fn("array_except", fn("array_union", es.head, es(1)),
         fn("array_intersect", es.head, es(1)))),
-    // defaultValueOfTypeName('Int32') → the CH type's zero value
+    // defaultValueOfTypeName('Int32') → the CH type's zero value;
+    // a Nullable(...) spelling answers NULL (CH's Nullable default)
     "defaultValueOfTypeName" -> (es => es.head match {
       case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
         val sparkTy = graft.sql.QueryGuard.mapChType(s.toString)
           .getOrElse(s.toString)
-        Literal.default(
-          org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseDataType(sparkTy))
+        val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(sparkTy)
+        if (s.toString.trim.startsWith("Nullable(")) Literal(null, dt)
+        else Literal.default(dt)
       case other => throw new IllegalArgumentException(
         s"defaultValueOfTypeName expects a literal type name, got $other")
     }),
@@ -4579,6 +4590,12 @@ object CHFunctions {
     "multiFuzzyMatchAnyIndex" -> (_ => throw new IllegalArgumentException(
       "constant-edit-distance fuzzy multi-match (hyperscan) is not " +
         "implemented: compose editDistance per pattern")),
+    // type-default introspection (the r17 default-family theme):
+    // the ARGUMENT-TYPE form defers to resolution via
+    // [[graft.functions.ChDeclaredDefault]] (a declared-Nullable tag
+    // answers NULL, anything else the storage type's default); the
+    // TYPE-NAME form dispatches on the constant CH spelling here.
+    "defaultValueOfArgumentType" -> (es => ChDeclaredDefault(es.head)),
     // type/environment introspection. A conversion-family child
     // carries its declared CH type as a tag ([[chDeclaredTypeTag]]):
     // toTypeName(toUInt8(1)) = 'UInt8', not the Int16 storage type —

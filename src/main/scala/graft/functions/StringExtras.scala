@@ -323,6 +323,32 @@ case class ChSubscript(left: Expression, right: Expression)
       l: Expression, r: Expression): ChSubscript = copy(left = l, right = r)
 }
 
+/** defaultValueOfArgumentType(x): the default value of x's DECLARED
+  * ClickHouse type. A declared-Nullable conversion (the chDeclaredType
+  * tag carries "Nullable(...)") answers NULL; everything else answers
+  * the storage type's default — unlike [[ChTypeDefault]], Spark-level
+  * nullability (TRY casts make nearly everything nullable) does NOT
+  * flip the answer to NULL, because CH reports the declared type's
+  * default here, not the column's. */
+case class ChDeclaredDefault(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  override lazy val replacement: Expression = {
+    val declaredNullable = child
+      .getTagValue(CHFunctions.chDeclaredTypeTag)
+      .exists(_.startsWith("Nullable("))
+    if (declaredNullable)
+      org.apache.spark.sql.catalyst.expressions.Literal(null, child.dataType)
+    else
+      org.apache.spark.sql.catalyst.expressions.Literal.default(child.dataType)
+  }
+
+  override def prettyName: String = "defaultValueOfArgumentType"
+  override protected def withNewChildInternal(c: Expression): ChDeclaredDefault =
+    copy(child = c)
+}
+
 /** The ClickHouse default value of the expression's OWN type — the
   * scalar sibling of [[ChElemDefault]], for CH functions whose
   * missing/out-of-frame answer is the input's type default rather

@@ -1132,6 +1132,18 @@ class DialectStressSpec extends graft.SparkSpec {
       "JSON_QUERY(concat('{', char(34), 'a', char(34), ': 1}'), " +
       "'$.a') AS jq")
     assert(js.rows.head == Seq("1", false, "[1]"))
+    // fromUnixTimestamp with a format argument FORMATS (CH), not casts
+    val fu = ex.run(
+      "SELECT fromUnixTimestamp(1700000000, '%Y-%m-%d') AS f")
+    assert(fu.rows.head.head == "2023-11-14")
+    // the type-default introspection pair: declared-Nullable answers
+    // NULL, everything else the declared type's zero value
+    val dv = ex.run("SELECT defaultValueOfArgumentType(toUInt8(1)) AS a, " +
+      "defaultValueOfArgumentType(toUInt64OrNull('x')) AS b, " +
+      "defaultValueOfTypeName('Int32') AS c, " +
+      "defaultValueOfTypeName('Nullable(Int8)') AS d")
+    assert(dv.rows.head(0).toString == "0" && dv.rows.head(1) == null)
+    assert(dv.rows.head(2).toString == "0" && dv.rows.head(3) == null)
     // randConstant: one value, constant over the rows of a call site
     val rc = ex.run("SELECT count(DISTINCT randConstant()) AS n FROM orders")
     assert(rc.rows.head.head.toString == "1")
