@@ -2253,11 +2253,46 @@ object QueryGuard {
       case ((_, None), raw) => raw
     }
     var rest = sql.substring(listEnd)
+    // a BARE-ALIAS select item keeps the alias as a real output
+    // column (CH: `WITH f(x) AS m SELECT m ... ORDER BY m` names the
+    // column m): substitute `(expr) AS alias` in place and SKIP the
+    // generic inlining for that alias, so GROUP BY/ORDER BY
+    // references resolve natively against the output column instead
+    // of re-deriving the expression above the aggregate (where its
+    // input columns no longer exist). WHERE references still resolve
+    // through the select-alias retry lane.
+    val ts2 = normalizeScan(rest)
+    val sel2 = ts2.indices.find(i =>
+      ts2(i)._2 == 0 && ts2(i)._1.upper == "SELECT")
+    val stops2 = Set("FROM", "WHERE", "PREWHERE", "GROUP", "HAVING",
+      "ORDER", "LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERSECT",
+      "EXCEPT", "WINDOW", "QUALIFY", "INTO")
+    var wholeItemAliases = Set.empty[String]
+    sel2.foreach { s =>
+      val itemStart = ts2(s)._1.end
+      val itemEnd = ts2.indices.find(j => j > s && ts2(j)._2 == 0 &&
+        stops2(ts2(j)._1.upper)).map(j => ts2(j)._1.start)
+        .getOrElse(rest.length)
+      val aliasMap = resolved.toMap
+      val items = splitTopLevel(rest.substring(itemStart, itemEnd))
+      val newItems = items.map { it =>
+        aliasMap.get(it.trim) match {
+          case Some(expr) =>
+            wholeItemAliases += it.trim
+            s"($expr) AS ${it.trim}"
+          case None => it
+        }
+      }
+      if (wholeItemAliases.nonEmpty)
+        rest = rest.substring(0, itemStart) + " " +
+          newItems.mkString(", ") + " " + rest.substring(itemEnd)
+    }
     var head =
       if (keptCtes.isEmpty) ""
       else "WITH " + keptCtes.mkString(", ") + " "
     resolved.foreach { case (alias, expr) =>
-      rest = substituteAlias(rest, alias, expr)
+      if (!wholeItemAliases(alias))
+        rest = substituteAlias(rest, alias, expr)
       head = if (head.isEmpty) head else substituteAlias(head, alias, expr)
     }
     head + rest

@@ -1132,6 +1132,18 @@ class DialectStressSpec extends graft.SparkSpec {
       "JSON_QUERY(concat('{', char(34), 'a', char(34), ': 1}'), " +
       "'$.a') AS jq")
     assert(js.rows.head == Seq("1", false, "[1]"))
+    // expression-form WITH whose alias is ITSELF a select item keeps
+    // the alias as the output column (CH names the column m), so
+    // GROUP BY / ORDER BY / HAVING over the alias resolve natively
+    val wm = ex.run("WITH toStartOfMonth(o_orderdate) AS m " +
+      "SELECT m, count() AS n FROM orders GROUP BY m " +
+      "HAVING count() > 10 ORDER BY m LIMIT 2")
+    assert(wm.columns == Seq("m", "n"))
+    assert(wm.rows.size == 2)
+    // ...and a whole-item alias still reaches WHERE via the retry lane
+    val wd = ex.run("WITH o_totalprice * 2 AS dbl SELECT o_orderkey, dbl " +
+      "FROM orders WHERE dbl > 500000 ORDER BY o_orderkey LIMIT 1")
+    assert(wd.columns == Seq("o_orderkey", "dbl") && wd.rows.size == 1)
     // fromUnixTimestamp with a format argument FORMATS (CH), not casts
     val fu = ex.run(
       "SELECT fromUnixTimestamp(1700000000, '%Y-%m-%d') AS f")
