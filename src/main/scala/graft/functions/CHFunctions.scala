@@ -5641,7 +5641,21 @@ object CHFunctions {
             }
             case None => builder
           }
-          reg.registerFunction(FunctionIdentifier(name), info(name), wrapped)
+          // a wrong-arity paste hitting an unchecked es(i) surfaced a
+          // raw "N is out of bounds" that named NOTHING — shape every
+          // builder's index/match failure into a scoped error naming
+          // the function (CH answers NUMBER_OF_ARGUMENTS_DOESNT_MATCH
+          // here). Builders' own IllegalArgumentExceptions pass
+          // through untouched.
+          val shaped = (es: Seq[Expression]) =>
+            try wrapped(es) catch {
+              case _: IndexOutOfBoundsException | _: MatchError =>
+                throw new IllegalArgumentException(
+                  s"$name: unsupported argument shape for ${es.size} " +
+                    "argument(s) — check the argument count and " +
+                    "constant-parameter positions")
+            }
+          reg.registerFunction(FunctionIdentifier(name), info(name), shaped)
         }
       }
       spark.sessionState.tableFunctionRegistry.registerFunction(

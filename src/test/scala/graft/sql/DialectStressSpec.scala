@@ -1132,6 +1132,11 @@ class DialectStressSpec extends graft.SparkSpec {
       "JSON_QUERY(concat('{', char(34), 'a', char(34), ': 1}'), " +
       "'$.a') AS jq")
     assert(js.rows.head == Seq("1", false, "[1]"))
+    // wrong-arity pastes get a scoped error NAMING the function, not
+    // a raw out-of-bounds from an unchecked builder index
+    val wa = ex.runSafe("SELECT sumIf(o_totalprice) FROM orders")
+    assert(wa.swap.exists(m =>
+      m.contains("sumIf") && m.contains("argument")))
     // expression-form WITH whose alias is ITSELF a select item keeps
     // the alias as the output column (CH names the column m), so
     // GROUP BY / ORDER BY / HAVING over the alias resolve natively
