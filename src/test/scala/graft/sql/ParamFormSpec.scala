@@ -34,6 +34,30 @@ class ParamFormSpec extends graft.SparkSpec {
     QueryGuard.plan(spark, sql).collect().head
   }
 
+  test("registry-wide arity sweep: no raw index/match error escapes " +
+      "a builder at any argument count") {
+    assert(ready)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val reg = spark.sessionState.functionRegistry
+    val arg = Literal(1)
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    graft.functions.CHFunctions.all.map(_._1).foreach { name =>
+      Seq(Seq.empty[org.apache.spark.sql.catalyst.expressions.Expression],
+        Seq.fill(9)(arg: org.apache.spark.sql.catalyst.expressions.Expression))
+        .foreach { args =>
+          try { reg.lookupFunction(FunctionIdentifier(name), args); () }
+          catch {
+            case _: IndexOutOfBoundsException | _: MatchError =>
+              offenders += s"$name/${args.size}"
+            case _: Throwable => () // scoped rejects / analysis errors OK
+          }
+        }
+    }
+    assert(offenders.isEmpty,
+      s"raw internal errors escaped: ${offenders.take(20).mkString(", ")}")
+  }
+
   // ---- 1. registry sweep: no name can default-flatten ----
 
   test("every registered name in f(params)(args) form is routed or scoped-rejected") {
