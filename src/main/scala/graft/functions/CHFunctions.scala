@@ -121,6 +121,17 @@ object CHFunctions {
     })
   }
 
+  /** Typed JSONExtract* shape: cast the extracted text, default the
+    * MISS to the type default, but propagate a NULL json/key ARGUMENT
+    * as NULL (CH's Nullable rule — only a real miss defaults). */
+  private def jsonTypedDefault(es: Seq[Expression], t: DataType,
+      default: Expression): Expression =
+    If(Or(IsNull(es.head), IsNull(es(1))), Literal(null, t),
+      Coalesce(Seq(
+        Cast(fn("get_json_object", es.head,
+          Concat(Seq(Literal("$."), es(1)))), t),
+        default)))
+
   /** CH/IEEE logarithm edges: 0 → −inf, negative → nan (Spark's own
     * log family answers NULL outside the domain). Direct Catalyst
     * nodes — an UnresolvedFunction would resolve back into these
@@ -1414,10 +1425,13 @@ object CHFunctions {
     "rightPadUTF8" -> (es => fn("rpad", es: _*)),
 
     // JSON extraction. A missing key answers '' (CH's String type
-    // default), not NULL — same contract as the typed extracts below
-    "JSONExtractString" -> (es => Coalesce(Seq(
-      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
-      Literal("")))),
+    // default), not NULL — same contract as the typed extracts below;
+    // a NULL json/key argument propagates NULL (CH's Nullable rule)
+    "JSONExtractString" -> (es => If(
+      Or(IsNull(es.head), IsNull(es(1))), Literal(null, StringType),
+      Coalesce(Seq(
+        fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+        Literal(""))))),
     // the simpleJSON/visitParam legacy spellings share the extractor;
     // typed variants cast the extracted text (missing/mistyped → the
     // type default, CH's simpleJSON contract: 0 not NULL)
@@ -1457,18 +1471,17 @@ object CHFunctions {
     "isValidJSON" -> (es => IsNotNull(fn("try_parse_json", es.head))),
     // typed misses answer the TYPE DEFAULT (0 / 0.0 / false / ''),
     // not NULL — CH's JSONExtract* contract, same as the simpleJSON
-    // family above (a missing key and a mistyped value both default)
-    "JSONExtractInt" -> (es => Coalesce(Seq(
-      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
-        LongType), Literal(0L)))),
-    "JSONExtractFloat" -> (es => Coalesce(Seq(
-      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
-        DoubleType), Literal(0.0)))),
+    // family above (a missing key and a mistyped value both default).
+    // A NULL json/key ARGUMENT propagates NULL instead (CH's Nullable
+    // rule — only a real miss defaults); the guard folds away for
+    // non-nullable inputs.
+    "JSONExtractInt" -> (es => jsonTypedDefault(es, LongType, Literal(0L))),
+    "JSONExtractFloat" -> (es =>
+      jsonTypedDefault(es, DoubleType, Literal(0.0))),
     "JSONHas" -> (es =>
       IsNotNull(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))))),
-    "JSONExtractBool" -> (es => Coalesce(Seq(
-      Cast(fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
-        org.apache.spark.sql.types.BooleanType), Literal(false)))),
+    "JSONExtractBool" -> (es => jsonTypedDefault(es,
+      org.apache.spark.sql.types.BooleanType, Literal(false))),
     "JSONArrayLength" -> (es =>
       if (es.size > 1)
         fn("json_array_length",

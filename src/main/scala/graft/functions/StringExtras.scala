@@ -293,7 +293,7 @@ case class ChSubscript(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
 
-  import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, Coalesce, ElementAt, EqualTo, Literal}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, Coalesce, ElementAt, EqualTo, If, IsNull, Literal, Or}
 
   override lazy val replacement: Expression = left.dataType match {
     case ArrayType(et, containsNull) =>
@@ -301,19 +301,26 @@ case class ChSubscript(left: Expression, right: Expression)
         if (right.dataType == IntegerType) right else Cast(right, IntegerType)
       val miss: Expression =
         if (containsNull) Literal(null, et) else Literal.default(et)
-      Coalesce(Seq(
-        CaseWhen(Seq((EqualTo(idx, Literal(0)): Expression,
-          Literal(null, et): Expression)),
-          Some(ElementAt(left, idx, None, failOnError = false))),
-        miss))
+      // a NULL collection or NULL index PROPAGATES (CH's Nullable
+      // rule) — only a real out-of-range/zero-index miss defaults.
+      // The guard folds away for non-nullable operands.
+      If(Or(IsNull(left), IsNull(idx)), Literal(null, et),
+        Coalesce(Seq(
+          CaseWhen(Seq((EqualTo(idx, Literal(0)): Expression,
+            Literal(null, et): Expression)),
+            Some(ElementAt(left, idx, None, failOnError = false))),
+          miss)))
     case m: MapType =>
       val key =
         if (right.dataType == m.keyType) right else Cast(right, m.keyType)
       val miss: Expression =
         if (m.valueContainsNull) Literal(null, m.valueType)
         else Literal.default(m.valueType)
-      Coalesce(Seq(
-        ElementAt(left, key, None, failOnError = false), miss))
+      If(Or(IsNull(left), IsNull(key)), Literal(null, m.valueType),
+        Coalesce(Seq(
+          ElementAt(left, key, None, failOnError = false), miss)))
+    case _: NullType => // a bare NULL collection: NULL, CH's reading
+      Literal(null, NullType)
     case _ => // non-collection: surface ElementAt's own typed error
       ElementAt(left, right, None, failOnError = false)
   }

@@ -1132,6 +1132,14 @@ class DialectStressSpec extends graft.SparkSpec {
       "JSON_QUERY(concat('{', char(34), 'a', char(34), ': 1}'), " +
       "'$.a') AS jq")
     assert(js.rows.head == Seq("1", false, "[1]"))
+    // NULL ARGUMENTS propagate (CH's Nullable rule) — only a real
+    // miss answers the type default
+    val np = ex.run("SELECT arrayElement(NULL, 1) AS a, " +
+      "[1,2,3][NULL] AS b, JSONExtractInt(NULL, 'a') AS c, " +
+      "[1,2,3][5] AS d")
+    assert(np.rows.head(0) == null && np.rows.head(1) == null &&
+      np.rows.head(2) == null)
+    assert(np.rows.head(3).toString == "0")
     // wrong-arity pastes get a scoped error NAMING the function, not
     // a raw out-of-bounds from an unchecked builder index
     val wa = ex.runSafe("SELECT sumIf(o_totalprice) FROM orders")
