@@ -893,7 +893,44 @@ object Probe {
     "w45_uniq_upto" ->
       "SELECT uniqUpTo(3)(o_custkey % 7) AS a, uniqUpTo(o_orderstatus) AS b FROM orders",
     "w46_arrayjoin_expr" ->
-      "SELECT arrayJoin([1, 2]) * 10 + arrayJoin([1, 2]) AS v FROM orders WHERE o_orderkey = 0"
+      "SELECT arrayJoin([1, 2]) * 10 + arrayJoin([1, 2]) AS v FROM orders WHERE o_orderkey = 0",
+
+    // ---- waves 50-60 (r17: type defaults, declared types, stacks) ----
+    "w50_shift_fill" ->
+      "SELECT arrayShiftLeft([1,2,3], 1) AS a, arrayShiftRight(['a','b'], 1) AS b, arrayShiftLeft([1,2,3], -1) AS c, arrayResize([1,2], 4) AS d",
+    "w50_hex_bin_pad" ->
+      "SELECT hex(1) AS h1, hex(256) AS h2, bin(2) AS b1, hex('AB') AS hs",
+    "w50_typename_declared" ->
+      "SELECT toTypeName(toUInt8(1)) AS a, toTypeName(toUInt64OrNull('x')) AS b, toTypeName(toDecimal64(1.5, 2)) AS c, toTypeName(toDateTime64('2024-01-01 00:00:00', 3)) AS d",
+    "w50_fromless_generators" ->
+      "SELECT arrayJoin([1,2]) + 1",
+    "w50_fromless_untuple" ->
+      "SELECT untuple((1, 'a'))",
+    "w51_subscript_defaults" ->
+      "SELECT [100,200][5] AS oob, [100,200][0] AS zero, ['x','y'][9] AS oos, map('a',5)['z'] AS mz, arrayFirst(x -> x > 9, [1,2]) AS af",
+    "w51_json_defaults" ->
+      "SELECT JSONExtractInt(concat('{', char(34), 'a', char(34), ': 1}'), 'b') AS ji, JSONExtractString(concat('{}'), 'x') AS js",
+    "w51_frame_fills" ->
+      "SELECT lagInFrame(coalesce(toInt32(o_orderkey % 7), 0)) OVER (ORDER BY o_orderkey) AS lg FROM orders ORDER BY o_orderkey LIMIT 2",
+    "w52_array_if_stacks" ->
+      "SELECT sumArrayIf([1, 2], o_orderstatus = 'F') AS s, toInt64(countArrayIf([1], o_orderkey < 0)) AS c FROM orders",
+    "w52_param_ornull" ->
+      "SELECT quantileOrNull(0.5)(o_totalprice) AS a, quantileOrDefault(0.5)(o_totalprice) AS b FROM orders WHERE o_orderkey < 0",
+    "w52_resample" ->
+      "SELECT sumResample(0, 10, 5)(1, o_orderkey % 10) AS r FROM orders",
+    "w53_subsecond_diff" ->
+      "SELECT dateDiff('millisecond', toDateTime64('2024-01-01 00:00:00.100', 3), toDateTime64('2024-01-01 00:00:00.350', 3)) AS ms, toDateTime64('2024-01-01 00:00:00.350', 3) - toDateTime64('2024-01-01 00:00:00.100', 3) AS d",
+    "w55_null_prop_scalars" ->
+      "SELECT greatest(1, NULL, 3) AS g, least(2, NULL) AS l, arraySlice([1,2,3,4,5], -2) AS sl",
+    "w56_left_right_neg" ->
+      "SELECT left('hello', -2) AS l, right('hello', -2) AS r, fromUnixTimestamp(1700000000, '%Y-%m-%d') AS f",
+    "w57_default_introspection" ->
+      "SELECT defaultValueOfArgumentType(toUInt8(1)) AS a, defaultValueOfTypeName('Nullable(Int8)') AS b",
+    "w58_with_macro_alias" ->
+      ("WITH toStartOfMonth(o_orderdate) AS m SELECT m, count() AS n " +
+        "FROM orders GROUP BY m ORDER BY m LIMIT 2"),
+    "w60_null_args_propagate" ->
+      "SELECT arrayElement(NULL, 1) AS a, [1,2,3][NULL] AS b, JSONExtractInt(NULL, 'a') AS c"
   )
 
   def main(args: Array[String]): Unit = {
