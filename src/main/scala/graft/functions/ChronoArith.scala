@@ -249,6 +249,26 @@ object WindowShims {
 
   def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case p => p.transformExpressionsUp {
+      // parametric collectors OVER a window: the registered builder
+      // wraps the aggregate in a slice (the cap), which is not a
+      // valid window-function ROOT — hoist the cap outside the
+      // WindowExpression so the bare collector is what the window
+      // evaluates: groupArray(n)(x) OVER w = slice(collect_list(x)
+      // OVER w, 1, n), exactly the builder's semantics per frame.
+      case WindowExpression(
+          uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction, spec)
+          if uf.nameParts.length == 1 && uf.arguments.size == 2 &&
+            Seq("grouparray", "groupuniqarray")
+              .contains(uf.nameParts.head.toLowerCase(java.util.Locale.ROOT)) =>
+        val Seq(n, x) = uf.arguments
+        val inner =
+          if (uf.nameParts.head.equalsIgnoreCase("groupArray")) "collect_list"
+          else "collect_set"
+        Slice(
+          WindowExpression(
+            org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+              Seq(inner), Seq(x), isDistinct = false), spec),
+          Literal(1), Cast(n, IntegerType))
       case WindowExpression(
           uf: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction, spec)
           if uf.nameParts.length == 1 &&

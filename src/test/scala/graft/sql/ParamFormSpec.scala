@@ -250,6 +250,22 @@ class ParamFormSpec extends graft.SparkSpec {
     assert(nc.getMessage.contains("constant"))
   }
 
+  test("parametric collectors work OVER windows (cap hoisted outside)") {
+    assert(ready)
+    val rows = QueryGuard.plan(spark,
+      "SELECT x, groupArray(2)(x) OVER (ORDER BY x " +
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS ga " +
+        "FROM VALUES (1), (2), (3) t(x) ORDER BY x").collect()
+    assert(rows.map(_.getSeq[Int](1)).toSeq ==
+      Seq(Seq(1), Seq(1, 2), Seq(2, 3)))
+    // the parametric quantile and *If forms already window natively
+    val q = QueryGuard.plan(spark,
+      "SELECT quantile(0.5)(o_totalprice) OVER () AS m, " +
+        "countIf(o_totalprice > 0) OVER () AS c FROM orders LIMIT 1")
+      .collect().head
+    assert(q.getDouble(0) > 0 && q.getLong(1) > 0)
+  }
+
   test("neighbor without OVER rejects naming neighbor, with OVER it answers") {
     assert(ready)
     val e = intercept[Exception] {
