@@ -2840,6 +2840,40 @@ object ChSurface {
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), '|') AS gad
         |FROM orders GROUP BY s ORDER BY s""".stripMargin)),
 
+    // r17 waves 54-57, value-verified: NULL-propagating greatest/
+    // least (Spark's builtins SKIP NULLs — the lnull column answers
+    // NULL on the nullIf rows where the unfixed engine answered the
+    // other operand), negative-length left/right, 2-arg and negative
+    // arraySlice, the formatting fromUnixTimestamp, JSON_VALUE. The
+    // DuckDB oracle replays each as its definition.
+    ("q_ch_defaults2",
+      """SELECT o_orderkey AS k,
+        |  left(o_orderpriority, -2) AS lneg,
+        |  right(o_orderpriority, -2) AS rneg,
+        |  greatest(o_orderkey, o_custkey) AS g,
+        |  least(nullIf(o_orderkey % 4, 3), 2) AS lnull,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arraySlice([1,2,3,4,5], toInt32(o_orderkey % 3) + 1)), ',') AS sl1,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arraySlice([1,2,3,4,5], -2)), ',') AS sl2,
+        |  fromUnixTimestamp(o_orderkey * 1000, '%Y-%m-%d %H') AS fu,
+        |  JSON_VALUE(concat('{', char(34), 'a', char(34), ':',
+        |    toString(o_orderkey), '}'), '$.a') AS jv
+        |FROM orders WHERE o_orderkey < 20 ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  substr(o_orderpriority, 1,
+        |    CAST(greatest(length(o_orderpriority) - 2, 0) AS INT)) AS lneg,
+        |  substr(o_orderpriority, 3) AS rneg,
+        |  greatest(o_orderkey, o_custkey) AS g,
+        |  CASE WHEN o_orderkey % 4 = 3 THEN NULL
+        |    ELSE least(o_orderkey % 4, 2) END AS lnull,
+        |  CASE o_orderkey % 3 WHEN 0 THEN '1,2,3,4,5' WHEN 1 THEN '2,3,4,5'
+        |    ELSE '3,4,5' END AS sl1,
+        |  '4,5' AS sl2,
+        |  strftime(to_timestamp(o_orderkey * 1000), '%Y-%m-%d %H') AS fu,
+        |  CAST(o_orderkey AS VARCHAR) AS jv
+        |FROM orders WHERE o_orderkey < 20 ORDER BY k""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)
