@@ -197,14 +197,21 @@ object CHFunctions {
         movingWindowAgg(Seq(fn("size", arr0), x0), avg)
       case Seq(n0, x) =>
         val n = Cast(n0, IntegerType)
-        val arr = fn("collect_list", Cast(x, DoubleType))
+        // CH keeps the accumulation type: integer inputs answer an
+        // integer (Int64) array under MovingSum; MovingAvg is always
+        // Float64 (it divides by the window width)
+        val arr =
+          if (avg) fn("collect_list", Cast(x, DoubleType))
+          else fn("collect_list", ChMovingSumWiden(x))
         val i = UnresolvedNamedLambdaVariable(Seq("mwi"))
         val from = fn("greatest", Literal(1),
           Add(Subtract(i, n), Literal(1)))
         val len = fn("least", i, n)
         val window = fn("slice", arr, from, len)
         val (acc, xe, fin) = lambdaVars
-        val sum = ArrayAggregate(window, Literal(0.0),
+        val zero: Expression =
+          if (avg) Literal(0.0) else ChElemDefault(arr)
+        val sum = ArrayAggregate(window, zero,
           LambdaFunction(Add(acc, xe), Seq(acc, xe)),
           LambdaFunction(fin, Seq(fin)))
         val cell = if (avg) Divide(sum, Cast(n, DoubleType)) else sum
@@ -216,6 +223,13 @@ object CHFunctions {
       case other => throw new IllegalArgumentException(
         s"groupArrayMoving* expects (window)(x), got ${other.size} arguments")
     }
+
+  /** NULL json/path arguments PROPAGATE through the SQL/JSON trio —
+    * JSON_VALUE(NULL, p) is NULL, not '' — matching the
+    * NULL-argument rule the typed JSONExtract* family follows. */
+  private def jsonArgNullGuard(es: Seq[Expression],
+      body: Expression): Expression =
+    If(Or(IsNull(es.head), IsNull(es(1))), Literal(null), body)
 
   private def whenThen(cond: Expression, value: Expression): Expression =
     // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
@@ -1598,16 +1612,24 @@ object CHFunctions {
         s"arrayFold expects a lambda as its first argument, got $other")
     }),
     "arrayWithConstant" -> (es => fn("array_repeat", es(1), es.head)),
-    // arrayResize(arr, size[, extender]): truncate or right-pad — with
-    // the ELEMENT-TYPE DEFAULT when no extender is given (0 / '' /
+    // arrayResize(arr, size[, extender]): truncate or pad — with the
+    // ELEMENT-TYPE DEFAULT when no extender is given (0 / '' /
     // epoch; NULL only for Nullable elements), ClickHouse's documented
-    // fill ([[graft.functions.ChElemDefault]])
+    // fill ([[graft.functions.ChElemDefault]]). A NEGATIVE size works
+    // from the LEFT (CH docs: elements added/removed at the
+    // beginning): arrayResize([1,2,3], -2) = [2,3],
+    // arrayResize([1,2,3], -5) = [0,0,1,2,3].
     "arrayResize" -> (es => {
-      val (a, n) = (es.head, es(1))
+      val (a, n0) = (es.head, es(1))
       val ext = if (es.size > 2) es(2) else ChElemDefault(a)
-      val pad = fn("array_repeat", ext,
-        fn("greatest", Subtract(n, fn("size", a)), Literal(0)))
-      fn("slice", fn("concat", a, pad), Literal(1), n)
+      def pad(m: Expression) = fn("array_repeat", ext,
+        fn("greatest", Subtract(m, fn("size", a)), Literal(0)))
+      val fromRight = fn("slice", fn("concat", a, pad(n0)), Literal(1), n0)
+      val m = UnaryMinus(n0)
+      val fromLeft = fn("slice", fn("concat", pad(m), a),
+        Add(fn("greatest", Subtract(fn("size", a), m), Literal(0)),
+          Literal(1)), m)
+      If(GreaterThanOrEqual(n0, Literal(0)), fromRight, fromLeft)
     }),
     // rotations are cyclic (n modulo length, negative n rotates the
     // other way); shifts drop and pad with the fill element
@@ -2214,8 +2236,12 @@ object CHFunctions {
       fn("array_distinct", fn("collect_list", es.head))),
     // -Resample family (params-first routed): [[resampleBuilder]]
     "sumResample" -> resampleBuilder("sumResample", e => fn("sum", e)),
-    "countResample" -> resampleBuilder("countResample",
-      e => fn("count", e)),
+    // count takes no positional argument in CH, so the pasted form is
+    // `countResample(start, end, step)(key)` — synthesize x = 1
+    "countResample" -> (es => resampleBuilder("countResample",
+      e => fn("count", e))(
+        if (es.size == 4) (es.take(3) :+ (Literal(1): Expression)) :+ es(3)
+        else es)),
     "avgResample" -> resampleBuilder("avgResample", e => fn("avg", e)),
     "minResample" -> resampleBuilder("minResample", e => fn("min", e)),
     "maxResample" -> resampleBuilder("maxResample", e => fn("max", e)),
@@ -3446,11 +3472,36 @@ object CHFunctions {
 
     // null handling under ClickHouse names. assumeNotNull/toNullable
     // are type-level assertions in CH; values pass through unchanged
-    // (Spark nullability is inferred, not declared per-expression).
+    // (Spark nullability is inferred, not declared per-expression) but
+    // the DECLARED type moves: toNullable wraps the child's declared
+    // CH type in Nullable(...) — or the sentinel `Nullable(?)` when
+    // the child carries no tag, which toTypeName resolves by wrapping
+    // the storage-derived name and ChDeclaredDefault reads as
+    // declared-Nullable (default = NULL). assumeNotNull strips the
+    // wrapper, so toTypeName(assumeNotNull(toUInt8OrNull(s))) = UInt8.
     "ifNull" -> (es => Coalesce(Seq(es.head, es(1)))),
     "nullIfCH" -> (es => fn("nullif", es.head, es(1))),
-    "assumeNotNull" -> (es => es.head),
-    "toNullable" -> (es => es.head),
+    "assumeNotNull" -> (es => {
+      val e = es.head
+      e.getTagValue(chDeclaredTypeTag).foreach {
+        case t if t.startsWith("Nullable(") && t.endsWith(")") =>
+          val inner = t.substring("Nullable(".length, t.length - 1)
+          if (inner == "?") e.unsetTagValue(chDeclaredTypeTag)
+          else e.setTagValue(chDeclaredTypeTag, inner)
+        case _ =>
+      }
+      e
+    }),
+    "toNullable" -> (es => {
+      val e = es.head
+      val tagged = e.getTagValue(chDeclaredTypeTag) match {
+        case Some(t) if t.startsWith("Nullable(") => t
+        case Some(t) => s"Nullable($t)"
+        case None => "Nullable(?)"
+      }
+      e.setTagValue(chDeclaredTypeTag, tagged)
+      e
+    }),
     "isNullCH" -> (es => IsNull(es.head)),
     "isNotNullCH" -> (es => IsNotNull(es.head)),
 
@@ -4187,6 +4238,16 @@ object CHFunctions {
     // constant per block). Each call SITE draws independently —
     // `SELECT randConstant() AS a, randConstant() AS b` gives two
     // (usually different) constants, each stable over the rows.
+    // DOCUMENTED DEVIATION: the draw happens at ANALYSIS time, so the
+    // constant is fixed into the plan — a cached/re-executed plan
+    // (temp-view reuse, repeated actions on one DataFrame) replays
+    // the same value where CH redraws per query, and re-analyzing the
+    // same text yields a different plan (never cache-keyed on it).
+    // Every fresh parse through the served path IS a fresh query, so
+    // the paste-level semantics match; a per-EXECUTION redraw that is
+    // also identical across partitions/stages has no safe hook in
+    // Spark's execution model (closure serialization happens per
+    // stage, initializeInternal is per-partition).
     "randConstant" -> (_ =>
       Literal(scala.util.Random.nextLong() & 0xFFFFFFFFL)),
     // full-range UInt64 bits via one hash of one uniform draw
@@ -4614,6 +4675,11 @@ object CHFunctions {
     // toTypeName(toUInt8(1)) = 'UInt8', not the Int16 storage type —
     // printed verbatim (see the tag's documented deviation).
     "toTypeName" -> (es => es.head.getTagValue(chDeclaredTypeTag) match {
+      // toNullable over an untagged child: the storage-derived name,
+      // declared Nullable — toTypeName(toNullable(1)) =
+      // 'Nullable(Int32)', with NO double wrap for a child Spark
+      // already infers nullable (ToTypeName wraps those itself)
+      case Some("Nullable(?)") => ToTypeName(es.head, forceNullable = true)
       case Some(declared) => Literal(declared)
       case None => ToTypeName(es.head)
     }),
@@ -4640,18 +4706,21 @@ object CHFunctions {
     // SQL/JSON standard spellings (CH ships them alongside the
     // JSONExtract family). The JSONPath argument passes through
     // verbatim — both engines read '$.a.b[0]' — and misses answer
-    // CH's defaults ('' for VALUE/QUERY, false for EXISTS).
-    // JSON_QUERY wraps the match in an array, CH's contract; string
-    // scalars lose their quotes inside the wrapper (get_json_object
-    // unquotes — documented edge, numbers/objects/arrays exact).
-    "JSON_VALUE" -> (es => Coalesce(Seq(
-      fn("get_json_object", es.head, es(1)), Literal("")))),
-    "JSON_EXISTS" -> (es =>
-      IsNotNull(fn("get_json_object", es.head, es(1)))),
-    "JSON_QUERY" -> (es => Coalesce(Seq(
+    // CH's defaults ('' for VALUE/QUERY, false for EXISTS); a NULL
+    // json or path argument PROPAGATES (the family-wide rule
+    // jsonTypedDefault applies to JSONExtract*), never the miss
+    // default. JSON_QUERY wraps the match in an array, CH's contract;
+    // string scalars lose their quotes inside the wrapper
+    // (get_json_object unquotes — documented edge,
+    // numbers/objects/arrays exact).
+    "JSON_VALUE" -> (es => jsonArgNullGuard(es, Coalesce(Seq(
+      fn("get_json_object", es.head, es(1)), Literal(""))))),
+    "JSON_EXISTS" -> (es => jsonArgNullGuard(es,
+      IsNotNull(fn("get_json_object", es.head, es(1))))),
+    "JSON_QUERY" -> (es => jsonArgNullGuard(es, Coalesce(Seq(
       Concat(Seq(Literal("["),
         fn("get_json_object", es.head, es(1)), Literal("]"))),
-      Literal("")))),
+      Literal(""))))),
     // raw array elements keep quotes/nesting (Jackson re-serialization;
     // get_json_object would strip quotes off string elements)
     "JSONExtractArrayRaw" -> (es => JsonArrayRaw(es)),

@@ -117,9 +117,13 @@ case class ChronoDiff(child: Expression) extends UnaryExpression
         case Some(p) if p > 0 &&
             st.left.dataType == TimestampType &&
             st.right.dataType == TimestampType =>
+          // exact decimal arithmetic: micros → Decimal(20,6) ÷ 10^6
+          // (a Double intermediate loses the last digit on
+          // multi-decade intervals — double ulp at 1.6e9 s is ~2e-7)
           Cast(Divide(
             Cast(Subtract(UnixMicros(st.left), UnixMicros(st.right)),
-              DoubleType), Literal(1e6)),
+              DecimalType(26, 6)),
+            Literal(Decimal(1000000L), DecimalType(7, 0))),
             DecimalType(20, p))
         case _ => Cast(st, IntegerType)
       }

@@ -223,14 +223,18 @@ object ExtractGroups {
   * output is what users string-match on. Unsignedness does not exist
   * in the engine's type system, so toUInt8(x) reports its storage
   * type (Int16), the documented deviation. */
-case class ToTypeName(child: Expression) extends UnaryExpression {
+case class ToTypeName(child: Expression,
+    forceNullable: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = false
   override def foldable: Boolean = true
   override def prettyName: String = "toTypeName"
 
+  // forceNullable: toNullable over an untagged child declares
+  // Nullable(T) even when Spark infers the column non-nullable (and
+  // must NOT double-wrap an already-nullable one)
   private def rendered: String =
-    ToTypeName.chTypeName(child.dataType, child.nullable)
+    ToTypeName.chTypeName(child.dataType, child.nullable || forceNullable)
 
   override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
     UTF8String.fromString(rendered)
@@ -353,6 +357,28 @@ case class ChDeclaredDefault(child: Expression)
 
   override def prettyName: String = "defaultValueOfArgumentType"
   override protected def withNewChildInternal(c: Expression): ChDeclaredDefault =
+    copy(child = c)
+}
+
+/** ClickHouse's moving-sum accumulation type: integral (and
+  * Bool-as-UInt8) inputs sum in Int64 — groupArrayMovingSum over
+  * integers answers an integer array, not Float64 — everything else
+  * (floats, decimals) in Float64. Resolved on the CHILD's type, so
+  * the builder can widen before it knows what x is. */
+case class ChMovingSumWiden(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case LongType => child
+    case BooleanType | ByteType | ShortType | IntegerType =>
+      org.apache.spark.sql.catalyst.expressions.Cast(child, LongType)
+    case _ =>
+      org.apache.spark.sql.catalyst.expressions.Cast(child, DoubleType)
+  }
+
+  override def prettyName: String = "chMovingSumWiden"
+  override protected def withNewChildInternal(c: Expression): ChMovingSumWiden =
     copy(child = c)
 }
 

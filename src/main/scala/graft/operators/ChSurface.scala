@@ -2050,8 +2050,10 @@ object ChSurface {
         |FROM t ORDER BY k""".stripMargin,
       Some("""SELECT o_orderkey AS k,
         |  o_orderstatus AS st,
-        |  o_orderkey * 2 AS col1,
-        |  upper(o_orderstatus) AS col2
+        |  o_orderkey * 2 AS
+        |    "tupleElement(tuple(tupleElement(tp, 1) * 2, upper(tupleElement(tp, 2))), 1)",
+        |  upper(o_orderstatus) AS
+        |    "tupleElement(tuple(tupleElement(tp, 1) * 2, upper(tupleElement(tp, 2))), 2)"
         |FROM orders WHERE o_orderkey <= 200 ORDER BY k""".stripMargin)),
 
     // CH digest functions return BINARY (FixedString) — hex(MD5(x))
@@ -2873,6 +2875,49 @@ object ChSurface {
         |  strftime(to_timestamp(o_orderkey * 1000), '%Y-%m-%d %H') AS fu,
         |  CAST(o_orderkey AS VARCHAR) AS jv
         |FROM orders WHERE o_orderkey < 20 ORDER BY k""".stripMargin)),
+
+    // r18, value-verified: negative arrayResize works from the LEFT,
+    // toNullable carries Nullable(...) as the declared type (and its
+    // argument-type default is NULL), the SQL/JSON trio propagates
+    // NULL arguments, groupArrayMovingSum keeps the integer
+    // accumulation type, countResample accepts CH's zero-argument
+    // count form. The DuckDB oracle replays each as constants/CASE.
+    ("q_ch_defaults3",
+      """SELECT o_orderkey AS k,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayResize([1,2,3], -2)), ',') AS rneg,
+        |  arrayStringConcat(arrayMap(x -> toString(x),
+        |    arrayResize([1,2,3], 0 - toInt32(o_orderkey % 3) - 4)), ',') AS rnegv,
+        |  toTypeName(toNullable(o_orderkey)) AS tn,
+        |  defaultValueOfArgumentType(toNullable(o_orderkey)) AS dv,
+        |  JSON_VALUE(NULL, '$.a') AS jn,
+        |  (SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    groupArrayMovingSum(2)(number)), ',') FROM numbers(5)) AS ms,
+        |  (SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    countResample(0, 3, 1)(number % 3)), ',') FROM numbers(9)) AS cr
+        |FROM orders WHERE o_orderkey < 15 ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  '2,3' AS rneg,
+        |  CASE o_orderkey % 3 WHEN 0 THEN '0,1,2,3'
+        |    WHEN 1 THEN '0,0,1,2,3' ELSE '0,0,0,1,2,3' END AS rnegv,
+        |  'Nullable(Int64)' AS tn,
+        |  CAST(NULL AS BIGINT) AS dv,
+        |  CAST(NULL AS VARCHAR) AS jn,
+        |  '0,1,3,5,7' AS ms,
+        |  '3,3,3' AS cr
+        |FROM orders WHERE o_orderkey < 15 ORDER BY k""".stripMargin)),
+
+    // r18: the expression-form WITH macro reaches EVERY top-level
+    // SELECT branch — each UNION arm gets its own whole-item copy
+    // (the oracle replays the macro inlined by hand)
+    ("q_with_union",
+      """WITH o_orderkey * 2 AS m
+        |SELECT m FROM orders WHERE o_orderkey < 5
+        |UNION ALL
+        |SELECT m FROM orders WHERE o_orderkey >= 5 AND o_orderkey < 8
+        |ORDER BY m""".stripMargin,
+      Some("""SELECT o_orderkey * 2 AS m FROM orders
+        |WHERE o_orderkey < 8 ORDER BY m""".stripMargin)),
 
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the

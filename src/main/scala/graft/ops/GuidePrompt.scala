@@ -239,10 +239,32 @@ object GuidePrompt {
       |fill the input type's default out of frame. `hex`/`bin` of
       |numerics print whole bytes (`hex(1)` = '01'). `toTypeName`
       |reports the DECLARED type of `toUIntN/toIntN/toFloatN`
-      |conversions (`toTypeName(toUInt8(1))` = 'UInt8'); one
-      |documented deviation: a Nullable COLUMN passed through a plain
-      |conversion still reports the bare declared type, where
-      |ClickHouse wraps it in Nullable(...).
+      |conversions (`toTypeName(toUInt8(1))` = 'UInt8'), and
+      |`toNullable`/`assumeNotNull` add/strip the Nullable(...)
+      |wrapper.
+      |
+      |## Known deviations (documented, by design)
+      |- A Nullable COLUMN passed through a plain conversion reports
+      |  the bare declared type from `toTypeName`, where ClickHouse
+      |  wraps it in Nullable(...); the OrNull spellings and explicit
+      |  `toNullable` DO report the wrapper.
+      |- `FixedString(N)` stores as String: values round-trip but are
+      |  not zero-padded in storage (`toTypeName` still reports the
+      |  declared FixedString(N)).
+      |- `untuple(t)` of a NAMED tuple keeps the field names as output
+      |  columns (unnamed tuples get ClickHouse's `tupleElement(t, N)`
+      |  spellings).
+      |- AES encrypt/decrypt use the engine-native cipher
+      |  parameterization; ciphertext is NOT interchangeable with
+      |  ClickHouse's (round-trips within this engine only).
+      |- Boolean-typed cells print 1/0 in every output format (CH
+      |  prints UInt8 comparison results the same way); there is no
+      |  separate Bool rendering.
+      |- `randConstant()` draws once at query analysis: constant over
+      |  rows as in ClickHouse, but a CACHED plan re-executed (temp
+      |  view reuse) replays the same value.
+      |- `groupArrayMovingAvg` divides by the window width in Float64
+      |  (matching CH); decimals accumulate in Float64, not Decimal.
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),

@@ -154,7 +154,11 @@ object QueryResult {
   private[sql] def jsonValue(x: Any, nonFiniteAsNull: Boolean): String = {
     def render(x: Any): String = x match {
       case null => "null"
-      case b: Boolean => b.toString
+      // CH renders comparison results (UInt8) as 1/0 in every text
+      // format — Spark can't tell a genuine Bool from a comparison,
+      // so the wire policy follows the dominant UInt8 reading (the
+      // same Bool-is-UInt8 rule sum/avg already apply)
+      case b: Boolean => if (b) "1" else "0"
       case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
       case d: Double =>
         if (d.isNaN || d.isInfinite) {
@@ -216,6 +220,8 @@ object QueryResult {
     * columns. */
   private[sql] def chLiteral(x: Any, nested: Boolean): String = x match {
     case null => if (nested) "NULL" else ""
+    // comparison results print 1/0, same policy as the JSON renderer
+    case b: Boolean => if (b) "1" else "0"
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.bigDecimal.toPlainString
     case b: Array[Byte] =>

@@ -2255,44 +2255,71 @@ object QueryGuard {
     var rest = sql.substring(listEnd)
     // a BARE-ALIAS select item keeps the alias as a real output
     // column (CH: `WITH f(x) AS m SELECT m ... ORDER BY m` names the
-    // column m): substitute `(expr) AS alias` in place and SKIP the
-    // generic inlining for that alias, so GROUP BY/ORDER BY
-    // references resolve natively against the output column instead
-    // of re-deriving the expression above the aggregate (where its
-    // input columns no longer exist). WHERE references still resolve
-    // through the select-alias retry lane.
-    val ts2 = normalizeScan(rest)
-    val sel2 = ts2.indices.find(i =>
-      ts2(i)._2 == 0 && ts2(i)._1.upper == "SELECT")
+    // column m): substitute `(expr) AS alias` in place, for EVERY
+    // top-level SELECT branch (each UNION/INTERSECT/EXCEPT arm gets
+    // its own copy), and keep the alias BARE at depth 0 inside that
+    // branch so GROUP BY/ORDER BY references resolve natively
+    // against the output column instead of re-deriving the
+    // expression above the aggregate (where its input columns no
+    // longer exist; a window-expression macro re-derived in ORDER BY
+    // would not even be legal). WHERE references still resolve
+    // through the select-alias retry lane. Everywhere ELSE — arms
+    // where the alias is not itself a select item, and any depth > 0
+    // (subqueries, function arguments) — the generic inlining still
+    // applies, so `WITH x*2 AS m SELECT m FROM a UNION ALL SELECT m
+    // FROM b` resolves in BOTH arms.
     val stops2 = Set("FROM", "WHERE", "PREWHERE", "GROUP", "HAVING",
       "ORDER", "LIMIT", "SETTINGS", "FORMAT", "UNION", "INTERSECT",
       "EXCEPT", "WINDOW", "QUALIFY", "INTO")
-    var wholeItemAliases = Set.empty[String]
-    sel2.foreach { s =>
-      val itemStart = ts2(s)._1.end
-      val itemEnd = ts2.indices.find(j => j > s && ts2(j)._2 == 0 &&
-        stops2(ts2(j)._1.upper)).map(j => ts2(j)._1.start)
-        .getOrElse(rest.length)
-      val aliasMap = resolved.toMap
-      val items = splitTopLevel(rest.substring(itemStart, itemEnd))
-      val newItems = items.map { it =>
-        aliasMap.get(it.trim) match {
-          case Some(expr) =>
-            wholeItemAliases += it.trim
-            s"($expr) AS ${it.trim}"
-          case None => it
+    val aliasMap = resolved.toMap
+    // branch ordinal (= ordinal of its depth-0 SELECT) → aliases that
+    // became whole items there; rewrites run right-to-left so earlier
+    // token offsets stay valid
+    var wholeItemBranches = Map.empty[String, Set[Int]]
+    locally {
+      val ts2 = normalizeScan(rest)
+      val sels = ts2.indices.filter(i =>
+        ts2(i)._2 == 0 && ts2(i)._1.upper == "SELECT")
+      sels.zipWithIndex.reverse.foreach { case (s, bi) =>
+        val itemStart = ts2(s)._1.end
+        val itemEnd = ts2.indices.find(j => j > s && ts2(j)._2 == 0 &&
+          stops2(ts2(j)._1.upper)).map(j => ts2(j)._1.start)
+          .getOrElse(rest.length)
+        val items = splitTopLevel(rest.substring(itemStart, itemEnd))
+        var hit = false
+        val newItems = items.map { it =>
+          aliasMap.get(it.trim) match {
+            case Some(expr) =>
+              hit = true
+              wholeItemBranches += (it.trim ->
+                (wholeItemBranches.getOrElse(it.trim, Set.empty) + bi))
+              s"($expr) AS ${it.trim}"
+            case None => it
+          }
         }
+        if (hit)
+          rest = rest.substring(0, itemStart) + " " +
+            newItems.mkString(", ") + " " + rest.substring(itemEnd)
       }
-      if (wholeItemAliases.nonEmpty)
-        rest = rest.substring(0, itemStart) + " " +
-          newItems.mkString(", ") + " " + rest.substring(itemEnd)
+    }
+    // branch spans on the REWRITTEN text: depth-0 SELECT i runs to
+    // depth-0 SELECT i+1 (or the end) — the span where that branch's
+    // whole-item aliases stay bare at depth 0
+    val ts3 = normalizeScan(rest)
+    val sels3 = ts3.indices.filter(i =>
+      ts3(i)._2 == 0 && ts3(i)._1.upper == "SELECT")
+    val branchSpans = sels3.zipWithIndex.map { case (s, bi) =>
+      val end = sels3.lift(bi + 1).map(j => ts3(j)._1.start)
+        .getOrElse(rest.length)
+      (ts3(s)._1.start, end)
     }
     var head =
       if (keptCtes.isEmpty) ""
       else "WITH " + keptCtes.mkString(", ") + " "
     resolved.foreach { case (alias, expr) =>
-      if (!wholeItemAliases(alias))
-        rest = substituteAlias(rest, alias, expr)
+      val bare = wholeItemBranches.getOrElse(alias, Set.empty)
+        .toSeq.sorted.flatMap(branchSpans.lift)
+      rest = substituteAlias(rest, alias, expr, skipDepth0Spans = bare)
       head = if (head.isEmpty) head else substituteAlias(head, alias, expr)
     }
     head + rest
@@ -2304,13 +2331,16 @@ object QueryGuard {
     * case-insensitively like column resolution. */
   private def substituteAlias(sql: String, alias: String,
       expr: String, ignoreCase: Boolean = false,
-      skipSpans: Seq[(Int, Int)] = Nil): String = {
+      skipSpans: Seq[(Int, Int)] = Nil,
+      skipDepth0Spans: Seq[(Int, Int)] = Nil): String = {
     var out = sql
     val toks = normalizeScan(sql)
-    toks.reverseIterator.zipWithIndex.foreach { case ((t, _), ri) =>
+    toks.reverseIterator.zipWithIndex.foreach { case ((t, d), ri) =>
       val i = toks.size - 1 - ri
       val tokText = out.substring(t.start, t.end)
       if (!skipSpans.exists(sp => t.start >= sp._1 && t.start < sp._2) &&
+        !(d == 0 && skipDepth0Spans.exists(sp =>
+          t.start >= sp._1 && t.start < sp._2)) &&
         (if (ignoreCase) tokText.equalsIgnoreCase(alias)
           else tokText == alias)) {
         val before = out.substring(0, t.start).reverse

@@ -170,9 +170,10 @@ object StarPost {
     * surface: any CH SELECT, mcp_server.py:433). The field set comes
     * from probing the expression's schema against the FROM clause
     * with trailing clauses cut, exactly like [[expandItems]]; output
-    * columns take the struct's own field names (a documented naming
-    * departure from CH's `tupleElement(x, N)` spellings — ours are
-    * real names a tail clause can reference). */
+    * columns of an UNNAMED tuple take CH's own `tupleElement(x, N)`
+    * spellings (with the user's pasted expression text), while a
+    * NAMED struct keeps its real field names — referenceable by a
+    * tail clause, like CH's named-tuple elements. */
   def expandUntuple(sql: String,
       probe: String => DataFrame): Option[String] = {
     val ts = QueryGuard.normalizeScan(sql)
@@ -210,8 +211,16 @@ object StarPost {
             case other => throw new ReadOnlyViolation(
               s"untuple expects a tuple/struct argument, got $other")
           }
+          // Spark names unnamed-struct fields col1/col2/... — those
+          // get CH's tupleElement(<pasted text>, N) column names
+          val unnamed = fields.zipWithIndex.forall {
+            case (f, k) => f.name == s"col${k + 1}" || f.name == s"_${k + 1}"
+          }
           fields.zipWithIndex.map { case (f, k) =>
-            s"tupleElement(($inner), ${k + 1}) AS `${f.name}`"
+            val name =
+              if (unnamed) s"tupleElement(${inner.trim}, ${k + 1})"
+              else f.name
+            s"tupleElement(($inner), ${k + 1}) AS `$name`"
           }.mkString(", ")
         case other => other
       }

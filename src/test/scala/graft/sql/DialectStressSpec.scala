@@ -1102,9 +1102,12 @@ class DialectStressSpec extends graft.SparkSpec {
     // FROM-less single whole-item stays on the native generator item
     assert(ex.run("SELECT arrayJoin([7,8]) AS x")
       .rows.map(_.head.toString) == Seq("7", "8"))
-    // FROM-less untuple expands positionally
+    // FROM-less untuple expands positionally, with CH's
+    // tupleElement(x, N) column names for unnamed tuples
     val ut = ex.run("SELECT untuple((1, 'a'))")
     assert(ut.rows.head.map(_.toString) == Seq("1", "a"))
+    assert(ut.columns == Seq("tupleElement((1, 'a'), 1)",
+      "tupleElement((1, 'a'), 2)"))
     // hex/bin of numerics pad to whole bytes; strings stay byte-exact
     val hb = ex.run(
       "SELECT hex(1) AS h1, hex(256) AS h2, bin(2) AS b1, hex('AB') AS hs")
@@ -1221,5 +1224,67 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(row.getDate(3).toString == "2024-04-15")
     assert(row.getDate(4).toString == "2023-02-28")
     assert(row.getTimestamp(6).toString.startsWith("2024-01-01 02:00:00"))
+  }
+
+  test("r18 parity: negative arrayResize, toNullable declared type, " +
+    "moving-sum integer type, JSON trio NULL propagation, " +
+    "countResample zero-arg count, WITH macro across UNION/subqueries") {
+    // arrayResize with a NEGATIVE size works from the LEFT (CH):
+    // remove at the beginning, or pad at the beginning
+    val ar = ex.run("SELECT arrayResize([1,2,3], -2) AS a, " +
+      "arrayResize([1,2,3], -5) AS b, arrayResize([1,2,3], -5, 9) AS c")
+    assert(ar.rows.head(0).asInstanceOf[scala.collection.Seq[_]].map(_.toString) ==
+      Seq("2", "3"))
+    assert(ar.rows.head(1).asInstanceOf[scala.collection.Seq[_]].map(_.toString) ==
+      Seq("0", "0", "1", "2", "3"))
+    assert(ar.rows.head(2).asInstanceOf[scala.collection.Seq[_]].map(_.toString) ==
+      Seq("9", "9", "1", "2", "3"))
+    // toNullable carries the declared type; assumeNotNull strips it
+    val tn = ex.run("SELECT toTypeName(toNullable(1)) AS t1, " +
+      "toTypeName(toNullable(toUInt8(1))) AS t2, " +
+      "defaultValueOfArgumentType(toNullable(1)) AS d1, " +
+      "toTypeName(assumeNotNull(toUInt8OrNull('1'))) AS t3")
+    assert(tn.rows.head(0) == "Nullable(Int32)")
+    assert(tn.rows.head(1) == "Nullable(UInt8)")
+    assert(tn.rows.head(2) == null)
+    assert(tn.rows.head(3) == "UInt8")
+    // groupArrayMovingSum keeps the integer accumulation type
+    // (values AND type — CH answers Int64, not Float64)
+    val ms = ex.run("SELECT groupArrayMovingSum(2)(number) AS ms, " +
+      "groupArrayMovingAvg(2)(number) AS ma FROM numbers(5)")
+    assert(ms.rows.head(0).asInstanceOf[scala.collection.Seq[_]].map(_.toString) ==
+      Seq("0", "1", "3", "5", "7"))
+    assert(ms.rows.head(0).asInstanceOf[scala.collection.Seq[_]].head.isInstanceOf[Long])
+    assert(ms.rows.head(1).asInstanceOf[scala.collection.Seq[_]].head.isInstanceOf[Double])
+    // NULL json/path arguments PROPAGATE through the SQL/JSON trio
+    val jn = ex.run("SELECT JSON_VALUE(NULL, '$.a') AS jv, " +
+      "JSON_EXISTS('{\"a\":1}', NULL) AS je, JSON_QUERY(NULL, '$.a') AS jq, " +
+      "JSON_EXISTS('{\"a\":1}', '$.a') AS ok")
+    assert(jn.rows.head(0) == null && jn.rows.head(1) == null &&
+      jn.rows.head(2) == null)
+    assert(jn.rows.head(3) == true)
+    // countResample: count takes no positional argument in CH
+    val cr = ex.run(
+      "SELECT countResample(0, 4, 1)(number % 4) AS c FROM numbers(8)")
+    assert(cr.rows.head(0).asInstanceOf[scala.collection.Seq[_]].map(_.toString) ==
+      Seq("2", "2", "2", "2"))
+    // the WITH macro reaches EVERY top-level SELECT branch and
+    // subqueries, while a whole-item alias still names its column
+    val wu = ex.run("WITH number*2 AS m SELECT m FROM numbers(2) " +
+      "UNION ALL SELECT m FROM numbers(3) ORDER BY m")
+    assert(wu.columns == Seq("m") && wu.rows.size == 5)
+    assert(wu.rows.map(_.head.toString) == Seq("0", "0", "2", "2", "4"))
+    val ws = ex.run("WITH 5 AS lim SELECT number FROM numbers(10) " +
+      "WHERE number < (SELECT min(x) FROM (SELECT lim AS x))")
+    assert(ws.rows.size == 5)
+    // boolean cells render as 1/0 on the wire (CH prints UInt8)
+    val bw = ex.run("SELECT 2 > 1 AS t, 1 > 2 AS f")
+    assert(bw.toJson.contains("\"t\": 1") || bw.toJson.contains("1"))
+    assert(bw.toCsv.split("\n")(1) == "1,0")
+    // DateTime64 subtraction is EXACT decimal seconds (no double
+    // intermediate): a 50-year span keeps the .000001 digit
+    val dd = ex.run("SELECT toDateTime64('2024-01-01 00:00:00.000001', 6)" +
+      " - toDateTime64('1974-01-01 00:00:00.000000', 6) AS d")
+    assert(dd.rows.head(0).toString.endsWith(".000001"))
   }
 }
