@@ -162,7 +162,10 @@ object StarPost {
   private val columnsItem =
     "(?is)^COLUMNS\\s*\\(\\s*'((?:[^']|'')*)'\\s*\\)(.*)$".r
 
-  private val untupleItem = "(?is)^untuple\\s*\\((.*)\\)\\s*$".r
+  // optional trailing alias: CH's `untuple(t) AS v` names the result
+  // columns v.1, v.2, ...
+  private val untupleItem =
+    "(?is)^untuple\\s*\\((.*)\\)\\s*(?:AS\\s+`?([A-Za-z_][A-Za-z0-9_]*)`?\\s*)?$".r
 
   /** Expand `untuple(expr)` select items into one positional
     * `tupleElement(expr, k) AS name` item per struct field (CH
@@ -203,7 +206,7 @@ object StarPost {
       sql.substring(f._1.start, tailCut).stripSuffix(";")).getOrElse("")
     val newItems = items.map { it =>
       it.trim match {
-        case untupleItem(inner) =>
+        case untupleItem(inner, alias) =>
           val probed = probe(
             s"${prefix}SELECT ($inner) AS __graft_ut $fromSpan")
           val fields = probed.schema("__graft_ut").dataType match {
@@ -212,13 +215,15 @@ object StarPost {
               s"untuple expects a tuple/struct argument, got $other")
           }
           // Spark names unnamed-struct fields col1/col2/... — those
-          // get CH's tupleElement(<pasted text>, N) column names
+          // get CH's tupleElement(<pasted text>, N) column names; an
+          // explicit alias names them alias.1, alias.2, ... (CH)
           val unnamed = fields.zipWithIndex.forall {
             case (f, k) => f.name == s"col${k + 1}" || f.name == s"_${k + 1}"
           }
           fields.zipWithIndex.map { case (f, k) =>
             val name =
-              if (unnamed) s"tupleElement(${inner.trim}, ${k + 1})"
+              if (alias != null) s"$alias.${k + 1}"
+              else if (unnamed) s"tupleElement(${inner.trim}, ${k + 1})"
               else f.name
             s"tupleElement(($inner), ${k + 1}) AS `$name`"
           }.mkString(", ")

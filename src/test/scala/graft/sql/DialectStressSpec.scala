@@ -1286,5 +1286,9 @@ class DialectStressSpec extends graft.SparkSpec {
     val dd = ex.run("SELECT toDateTime64('2024-01-01 00:00:00.000001', 6)" +
       " - toDateTime64('1974-01-01 00:00:00.000000', 6) AS d")
     assert(dd.rows.head(0).toString.endsWith(".000001"))
+    // aliased untuple names its columns alias.N (CH contract)
+    val ua = ex.run("SELECT untuple(tuple(1, 'a')) AS v")
+    assert(ua.columns == Seq("v.1", "v.2"))
+    assert(ua.rows.head.map(_.toString) == Seq("1", "a"))
   }
 }
