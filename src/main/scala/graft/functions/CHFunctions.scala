@@ -224,6 +224,18 @@ object CHFunctions {
         s"groupArrayMoving* expects (window)(x), got ${other.size} arguments")
     }
 
+  /** corrMatrix/covar*Matrix(x1..xN): the N×N matrix of pairwise
+    * two-argument aggregates as Array(Array(Float64)) — ClickHouse's
+    * matrix-aggregate shape, one aggregate per cell in a single
+    * pass. */
+  private def pairwiseMatrix(es: Seq[Expression],
+      agg: String): Expression = {
+    if (es.size < 2) throw new IllegalArgumentException(
+      s"${agg}Matrix expects at least 2 columns, got ${es.size}")
+    CreateArray(es.map(xi =>
+      CreateArray(es.map(xj => fn(agg, xi, xj)))))
+  }
+
   /** NULL json/path arguments PROPAGATE through the SQL/JSON trio —
     * JSON_VALUE(NULL, p) is NULL, not '' — matching the
     * NULL-argument rule the typed JSONExtract* family follows. */
@@ -2136,6 +2148,12 @@ object CHFunctions {
     "covarPop" -> (es => fn("covar_pop", es.head, es(1))),
     "covarSamp" -> (es => fn("covar_samp", es.head, es(1))),
     "corrCH" -> (es => fn("corr", es.head, es(1))),
+    // N-variable matrix forms: the full symmetric N×N
+    // Array(Array(Float64)) of pairwise aggregates, composed as one
+    // aggregate per cell — a single pass, partial-agg friendly
+    "corrMatrix" -> (es => pairwiseMatrix(es, "corr")),
+    "covarSampMatrix" -> (es => pairwiseMatrix(es, "covar_samp")),
+    "covarPopMatrix" -> (es => pairwiseMatrix(es, "covar_pop")),
     "skewPop" -> (es => fn("skewness", es.head)),
     "kurtPop" -> (es => Add(fn("kurtosis", es.head), Literal(3.0))),
     // avgWeighted(x, w) = Σxw / Σw; try_divide so all-zero weights are
@@ -2181,6 +2199,11 @@ object CHFunctions {
       SequenceMatchAgg(es.head, es(1), es.drop(2), count = false)),
     "sequenceCount" -> (es =>
       SequenceMatchAgg(es.head, es(1), es.drop(2), count = true)),
+    // the FIRST match's (?N) event timestamps (empty array when the
+    // chain never matches) — same compiled pattern, capturing groups
+    "sequenceMatchEvents" -> (es =>
+      SequenceMatchAgg(es.head, es(1), es.drop(2), count = false,
+        events = true)),
     // groupArraySample(x, k): deterministic bottom-k-by-md5 sample —
     // mergeable, partitioning-independent, oracle-replayable
     "groupArraySample" -> (es => SampleAgg(es.head, es(1) match {
@@ -3355,6 +3378,37 @@ object CHFunctions {
           epoch),
         Literal(22))
     }),
+    // the 64 spellings keep MILLISECOND precision (DateTime64(3))
+    "snowflakeToDateTime64" -> (es => {
+      val e = fn("timestamp_millis",
+        Add(fn("shiftright", es.head, Literal(22)),
+          Literal(1288834974657L)))
+      e.setTagValue(chDeclaredTypeTag, "DateTime64(3)")
+      e
+    }),
+    "snowflakeIDToDateTime64" -> (es => {
+      val epoch = if (es.size > 1) Cast(es(1), LongType)
+        else Literal(1288834974657L)
+      val e = fn("timestamp_millis",
+        Add(fn("shiftright", es.head, Literal(22)), epoch))
+      e.setTagValue(chDeclaredTypeTag, "DateTime64(3)")
+      e
+    }),
+    "dateTime64ToSnowflake" -> (es =>
+      fn("shiftleft",
+        Subtract(fn("unix_millis",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+          Literal(1288834974657L)),
+        Literal(22))),
+    "dateTime64ToSnowflakeID" -> (es => {
+      val epoch = if (es.size > 1) Cast(es(1), LongType)
+        else Literal(1288834974657L)
+      fn("shiftleft",
+        Subtract(fn("unix_millis",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+          epoch),
+        Literal(22))
+    }),
     // timeSlots(start, duration[, size=1800]): the size-aligned slot
     // starts covering [start, start+duration]
     "timeSlots" -> (es => {
@@ -4514,6 +4568,49 @@ object CHFunctions {
     "joinGet" -> (_ => throw new IllegalArgumentException(
       "joinGet reads a Join-engine table, which has no analogue here — " +
         "use a LEFT ANY JOIN, or dictGet over a registered dictionary")),
+    // nothing(x): CH's do-nothing aggregate — always NULL
+    "nothing" -> (_ => fn("first",
+      Cast(Literal(null), org.apache.spark.sql.types.NullType))),
+    // server-internals / engine-feature functions a pasted query may
+    // carry: scoped rejects naming the local alternative (the
+    // getSetting/joinGet mold), never a bare UNRESOLVED_ROUTINE
+    "aggThrow" -> (_ => throw new IllegalArgumentException(
+      "aggThrow is a ClickHouse fault-injection test aggregate — " +
+        "use raiseError()/throwIf() to signal errors here")),
+    "flameGraph" -> (_ => throw new IllegalArgumentException(
+      "flameGraph reads server trace spans, which do not exist " +
+        "here — query system.operations for the live ops slice")),
+    "estimateCompressionRatio" -> (_ =>
+      throw new IllegalArgumentException(
+        "estimateCompressionRatio probes MergeTree codecs, which do " +
+          "not exist over parquet — compare file sizes via " +
+          "system.parts instead")),
+    "globalVariable" -> (_ => throw new IllegalArgumentException(
+      "globalVariable reads server globals — read " +
+        "SELECT value FROM system.settings WHERE name = '...' " +
+        "instead")),
+    "icebergHash" -> (_ => throw new IllegalArgumentException(
+      "icebergHash (Iceberg partition-transform bucketing) is not " +
+        "implemented — use cityHash64/xxHash64 for general bucketing")),
+    "groupNumericIndexedVector" -> (_ =>
+      throw new IllegalArgumentException(
+        "groupNumericIndexedVector is not implemented — collect with " +
+          "map_from_entries(groupArray(tuple(k, v))) and combine " +
+          "with mapAdd")),
+    "timeSeriesGroupArray" -> (_ => throw new IllegalArgumentException(
+      "timeSeriesGroupArray (PromQL-style resampling) is not " +
+        "implemented — bucket with toStartOfInterval + groupArray, " +
+        "or the -Resample combinator")),
+    "distinctDynamicTypes" -> (_ => throw new IllegalArgumentException(
+      "distinctDynamicTypes introspects the Dynamic column type, " +
+        "which does not exist here — columns carry one static type")),
+    "distinctJSONPaths" -> (_ => throw new IllegalArgumentException(
+      "distinctJSONPaths introspects the JSON column type — extract " +
+        "paths with JSONExtractKeys / JSON_QUERY instead")),
+    "distinctJSONPathsAndTypes" -> (_ =>
+      throw new IllegalArgumentException(
+        "distinctJSONPathsAndTypes introspects the JSON column " +
+          "type — extract paths with JSONExtractKeys instead")),
     "clamp" -> (es => fn("greatest", Cast(es(1), DoubleType),
       fn("least", Cast(es.head, DoubleType), Cast(es(2), DoubleType)))),
     "positiveModulo" -> (es => fn("pmod", es.head, es(1))),
@@ -5165,6 +5262,37 @@ object CHFunctions {
     "toIntervalQuarter" -> (es =>
       fn("make_ym_interval", Literal(0), Multiply(es.head, Literal(3)))),
     "toIntervalYear" -> (es => fn("make_ym_interval", es.head)),
+    // the generic form: toInterval(n, 'unit') dispatches on the
+    // constant unit string to the named constructors above
+    "toInterval" -> (es => {
+      // children are resolved bottom-up before the builder runs, so a
+      // folded expression works; anything unresolvable/non-constant
+      // gets the scoped error
+      val unit = es(1) match {
+        case e if (try e.foldable && e.eval() != null
+            catch { case _: Exception => false }) =>
+          e.eval().toString.toLowerCase.stripSuffix("s")
+        case other => throw new IllegalArgumentException(
+          s"toInterval needs a constant unit string, got $other")
+      }
+      unit match {
+        case "second" => fn("make_dt_interval",
+          Literal(0), Literal(0), Literal(0), es.head)
+        case "minute" => fn("make_dt_interval",
+          Literal(0), Literal(0), es.head)
+        case "hour" => fn("make_dt_interval", Literal(0), es.head)
+        case "day" => fn("make_dt_interval", es.head)
+        case "week" => fn("make_dt_interval",
+          Multiply(es.head, Literal(7)))
+        case "month" => fn("make_ym_interval", Literal(0), es.head)
+        case "quarter" => fn("make_ym_interval",
+          Literal(0), Multiply(es.head, Literal(3)))
+        case "year" => fn("make_ym_interval", es.head)
+        case other => throw new IllegalArgumentException(
+          s"toInterval: unsupported unit '$other' (second/minute/hour/" +
+            "day/week/month/quarter/year)")
+      }
+    }),
 
     // tuple arithmetic (element-wise; negate ignores its twin)
     "tuplePlus" -> (es => TupleArith(es.head, es(1), TupleArith.Plus)),

@@ -37,6 +37,7 @@ case class SequenceMatchAgg(
     ts: Expression,
     conds: Seq[Expression],
     count: Boolean,
+    events: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ArrayBuffer[(Long, Int)]] {
@@ -44,15 +45,17 @@ case class SequenceMatchAgg(
   require(conds.nonEmpty && conds.size <= 8,
     "sequenceMatch/sequenceCount take 1..8 conditions")
 
-  private val patternStr: String = pattern.eval(null) match {
+  // LAZY: the constructor must not eval — Spark's plan pretty-printer
+  // copies the node with PrettyAttribute (Unevaluable) children, and
+  // a copy() re-runs the constructor (round-18 lesson: a scalar
+  // subquery under an outer aggregate pretty-prints its select items
+  // and died here). Validation runs in checkInputDataTypes, which
+  // only ever sees the real resolved node.
+  private lazy val patternStr: String = pattern.eval(null) match {
     case s if s != null => s.toString
     case _ => throw new IllegalArgumentException(
       "sequenceMatch/sequenceCount need a literal pattern string")
   }
-  if (patternStr.contains("(?t"))
-    throw new IllegalArgumentException(
-      "sequenceMatch/sequenceCount time assertions (?t...) are not " +
-        "supported; filter on the timestamp column instead")
 
   /** CH pattern → Java regex over the mask alphabet (chars 0..255). */
   private lazy val regex: java.util.regex.Pattern = {
@@ -69,10 +72,11 @@ case class SequenceMatchAgg(
         val n = patternStr.substring(i + 2, close).toInt
         if (n < 1 || n > conds.size) throw new IllegalArgumentException(
           s"pattern references condition $n but only ${conds.size} given")
-        // every mask char with bit n-1 set
+        // every mask char with bit n-1 set; a capturing group so
+        // sequenceMatchEvents can read back each (?N)'s position
         val cls = (0 until 256).filter(m => (m & (1 << (n - 1))) != 0)
           .map(m => f"\\x$m%02x").mkString
-        sb.append('[').append(cls).append(']')
+        sb.append("([").append(cls).append("])")
         i = close + 1
       } else if (c == '.' && i + 1 < patternStr.length &&
         patternStr.charAt(i + 1) == '*') {
@@ -92,10 +96,25 @@ case class SequenceMatchAgg(
 
   override def children: Seq[Expression] = pattern +: ts +: conds
   override def nullable: Boolean = false
-  override def dataType: DataType = if (count) LongType else BooleanType
+  override def dataType: DataType =
+    if (events) ArrayType(ts.dataType, containsNull = false)
+    else if (count) LongType
+    else BooleanType
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (!pattern.foldable)
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName needs a literal pattern string")
+    if (patternStr.contains("(?t"))
+      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+        .TypeCheckFailure(s"$prettyName time assertions (?t...) are " +
+          "not supported; filter on the timestamp column instead")
+    try regex catch {
+      case e: IllegalArgumentException =>
+        return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(e.getMessage)
+    }
     val ok = (ts.dataType == TimestampType ||
       ts.dataType == TimestampNTZType || ts.dataType == LongType ||
       ts.dataType == IntegerType) &&
@@ -142,7 +161,26 @@ case class SequenceMatchAgg(
     val sb = new java.lang.StringBuilder(sorted.size)
     sorted.foreach { case (_, m) => sb.append(m.toChar) }
     val m = regex.matcher(sb)
-    if (count) {
+    if (events) {
+      // timestamps of the FIRST match's (?N) events, in pattern order
+      // (CH: sequenceMatchEvents returns the matched chain's event
+      // timestamps); no match -> empty array
+      val out = ArrayBuffer.empty[Any]
+      if (m.find()) {
+        var g = 1
+        while (g <= m.groupCount()) {
+          if (m.start(g) >= 0) {
+            val t = sorted(m.start(g))._1
+            out += (ts.dataType match {
+              case IntegerType => t.toInt
+              case _ => t
+            })
+          }
+          g += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    } else if (count) {
       var n = 0L
       while (m.find()) n += 1
       n
@@ -181,5 +219,7 @@ case class SequenceMatchAgg(
     copy(pattern = newChildren.head, ts = newChildren(1),
       conds = newChildren.drop(2))
   override def prettyName: String =
-    if (count) "sequenceCount" else "sequenceMatch"
+    if (events) "sequenceMatchEvents"
+    else if (count) "sequenceCount"
+    else "sequenceMatch"
 }

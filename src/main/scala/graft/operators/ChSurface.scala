@@ -2919,6 +2919,33 @@ object ChSurface {
       Some("""SELECT o_orderkey * 2 AS m FROM orders
         |WHERE o_orderkey < 8 ORDER BY m""".stripMargin)),
 
+    // wave 62 (r18): matrix aggregates (cells must equal the 2-arg
+    // aggregates, replayed by DuckDB), generic toInterval, the
+    // snowflake64 bridges (epoch-seconds round trip), and
+    // sequenceMatchEvents' matched-event timestamps as constants
+    ("q_matrix_interval",
+      """SELECT
+        |  round(corrMatrix(toFloat64(o_orderkey % 7),
+        |    toFloat64(o_custkey % 5))[1][2], 6) AS c12,
+        |  round(covarSampMatrix(toFloat64(o_orderkey % 7),
+        |    toFloat64(o_custkey % 5))[2][1], 6) AS v21,
+        |  toString(toDate('2024-01-31') + toInterval(1, 'month')) AS mo,
+        |  toUnixTimestamp(snowflakeToDateTime64(dateTime64ToSnowflake(
+        |    toDateTime('2024-03-15 07:08:09')))) AS rt,
+        |  (SELECT arrayStringConcat(arrayMap(x -> toString(x),
+        |    sequenceMatchEvents('(?1).*(?2)')(number, number = 1,
+        |      number = 3)), ',') FROM numbers(5)) AS ev
+        |FROM orders""".stripMargin,
+      Some("""SELECT
+        |  round(corr(CAST(o_orderkey % 7 AS DOUBLE),
+        |    CAST(o_custkey % 5 AS DOUBLE)), 6) AS c12,
+        |  round(covar_samp(CAST(o_custkey % 5 AS DOUBLE),
+        |    CAST(o_orderkey % 7 AS DOUBLE)), 6) AS v21,
+        |  '2024-02-29' AS mo,
+        |  CAST(epoch(TIMESTAMP '2024-03-15 07:08:09') AS BIGINT) AS rt,
+        |  '1,3' AS ev
+        |FROM orders""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

@@ -1858,7 +1858,8 @@ object QueryGuard {
     "grouparray", "groupuniqarray", "grouparraylast", "grouparraysorted",
     "grouparraymovingsum", "grouparraymovingavg",
     "uniqcombined", "uniqcombined64", "topkif",
-    "windowfunnel", "sequencematch", "sequencecount", "sequencenextnode",
+    "windowfunnel", "sequencematch", "sequencecount",
+    "sequencematchevents", "sequencenextnode",
     "summapfiltered", "largesttrianglethreebuckets", "lttb",
     "exponentialmovingaverage", "exponentialtimedecayedsum",
     "exponentialtimedecayedcount", "exponentialtimedecayedavg",

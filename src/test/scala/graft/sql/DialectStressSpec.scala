@@ -1291,4 +1291,62 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(ua.columns == Seq("v.1", "v.2"))
     assert(ua.rows.head.map(_.toString) == Seq("1", "a"))
   }
+
+  test("wave 62: matrix aggregates, generic toInterval, snowflake64, " +
+    "sequenceMatchEvents, nothing, server-internals scoped rejects") {
+    // corrMatrix: full symmetric N x N, diagonal 1.0
+    val cm = ex.run("SELECT corrMatrix(toFloat64(number), " +
+      "toFloat64(7 - number)) AS m FROM numbers(10)")
+    val m = cm.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.asInstanceOf[scala.collection.Seq[_]].map(_.toString))
+    assert(m == Seq(Seq("1.0", "-1.0"), Seq("-1.0", "1.0")))
+    // covarSampMatrix values match the 2-arg aggregate
+    val cv = ex.run("SELECT covarSampMatrix(toFloat64(number), " +
+      "toFloat64(number * 2)) AS m, covarSamp(toFloat64(number), " +
+      "toFloat64(number * 2)) AS c FROM numbers(5)")
+    val mm = cv.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.asInstanceOf[scala.collection.Seq[_]].map(_.toString))
+    assert(mm == Seq(Seq("2.5", "5.0"), Seq("5.0", "10.0")))
+    assert(cv.rows.head(1).toString == "5.0")
+    // generic toInterval dispatches on the constant unit
+    val ti = ex.run("SELECT toString(toDateTime('2024-01-01 00:00:00')" +
+      " + toInterval(2, 'hour')) AS h, toString(toDate('2024-01-31')" +
+      " + toInterval(1, 'month')) AS mo")
+    assert(ti.rows.head(0).toString.startsWith("2024-01-01 02:00:00"))
+    assert(ti.rows.head(1).toString == "2024-02-29")
+    // snowflake 64 spellings keep millisecond precision, declared
+    // DateTime64(3), and invert each other
+    val sf = ex.run("SELECT toTypeName(snowflakeIDToDateTime64(" +
+      "dateTime64ToSnowflakeID(toDateTime('2024-01-01 00:00:00')))) AS tn, " +
+      "toString(snowflakeToDateTime64(dateTime64ToSnowflake(" +
+      "toDateTime('2024-03-15 07:08:09')))) AS rt")
+    assert(sf.rows.head(0) == "DateTime64(3)")
+    assert(sf.rows.head(1).toString.startsWith("2024-03-15 07:08:09"))
+    // sequenceMatchEvents answers the FIRST match's (?N) timestamps
+    val se = ex.run("SELECT sequenceMatchEvents('(?1).*(?2)')(" +
+      "t, page = 'Home', page = 'Gift') AS ev FROM " +
+      "(SELECT timestamp_seconds(1) AS t, 'Home' AS page " +
+      "UNION ALL SELECT timestamp_seconds(2), 'Exit' " +
+      "UNION ALL SELECT timestamp_seconds(3), 'Gift')")
+    assert(se.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString.take(19)) ==
+      Seq("1970-01-01 00:00:01", "1970-01-01 00:00:03"))
+    val s0 = ex.run("SELECT sequenceMatchEvents('(?1)')(" +
+      "number, number > 99) AS ev FROM numbers(4)")
+    assert(s0.rows.head(0).asInstanceOf[scala.collection.Seq[_]].isEmpty)
+    // nothing() is always NULL; the server-internals family rejects
+    // with guidance naming an alternative, never UNRESOLVED_ROUTINE
+    val no = ex.run("SELECT nothing(number) AS n FROM numbers(3)")
+    assert(no.rows.head(0) == null)
+    Seq("aggThrow(0.5)" -> "raiseError",
+      "flameGraph(number)" -> "system.operations",
+      "globalVariable('x')" -> "system.settings",
+      "icebergHash(number)" -> "cityHash64",
+      "timeSeriesGroupArray(number, number, 1, 1)" -> "Resample",
+      "distinctJSONPaths('{}')" -> "JSONExtractKeys").foreach {
+      case (call, hint) =>
+        val r = ex.runSafe(s"SELECT $call FROM numbers(2)")
+        assert(r.swap.exists(_.contains(hint)), s"$call -> $r")
+    }
+  }
 }
