@@ -224,6 +224,29 @@ object CHFunctions {
         s"groupArrayMoving* expects (window)(x), got ${other.size} arguments")
     }
 
+  /** CH regex-replacement backrefs `\N` → Java's `$N` (a literal `$`
+    * escapes to `\$`, doubled backslashes pass through) — applied to
+    * LITERAL replacement strings only; a computed replacement passes
+    * verbatim (then `$N` is the operative syntax, documented). */
+  private def chRegexReplacement(e: Expression): Expression = e match {
+    case Literal(s, StringType) if s != null =>
+      val str = s.toString
+      val sb = new StringBuilder
+      var i = 0
+      while (i < str.length) {
+        val c = str.charAt(i)
+        if (c == '\\' && i + 1 < str.length &&
+          str.charAt(i + 1).isDigit) {
+          sb.append('$').append(str.charAt(i + 1)); i += 2
+        } else if (c == '\\' && i + 1 < str.length) {
+          sb.append(c).append(str.charAt(i + 1)); i += 2
+        } else if (c == '$') { sb.append("\\$"); i += 1 }
+        else { sb.append(c); i += 1 }
+      }
+      Literal(sb.toString)
+    case other => other
+  }
+
   /** corrMatrix/covar*Matrix(x1..xN): the N×N matrix of pairwise
     * two-argument aggregates as Array(Array(Float64)) — ClickHouse's
     * matrix-aggregate shape, one aggregate per cell in a single
@@ -3785,7 +3808,14 @@ object CHFunctions {
     "normalizedQueryHash" -> (es =>
       fn("xxhash64", normalizeQueryExpr(es.head, keepNames = false))),
     "replaceAll" -> (es => StringReplace(es.head, es(1), es(2))),
-    "replaceRegexpAll" -> (es => RegExpReplace(es.head, es(1), es(2))),
+    // CH backreferences in the replacement spell `\N`; Java/Spark
+    // spell `$N` — literal replacements translate at build (and a
+    // literal `$` escapes), so a pasted '[\1]' substitutes instead of
+    // silently passing through
+    "replaceRegexpAll" -> (es =>
+      RegExpReplace(es.head, es(1), chRegexReplacement(es(2)))),
+    "replaceRegexpOne" -> (es =>
+      RegexpReplaceOne(es.head, es(1), chRegexReplacement(es(2)))),
 
     // charEntropy: per-string Shannon entropy (native one-pass; the
     // text-quality signal behind the text_entropy operator)
@@ -4291,19 +4321,16 @@ object CHFunctions {
     // one random UInt32, CONSTANT across the rows of a query (CH:
     // constant per block). Each call SITE draws independently —
     // `SELECT randConstant() AS a, randConstant() AS b` gives two
-    // (usually different) constants, each stable over the rows.
-    // DOCUMENTED DEVIATION: the draw happens at ANALYSIS time, so the
-    // constant is fixed into the plan — a cached/re-executed plan
-    // (temp-view reuse, repeated actions on one DataFrame) replays
-    // the same value where CH redraws per query, and re-analyzing the
-    // same text yields a different plan (never cache-keyed on it).
-    // Every fresh parse through the served path IS a fresh query, so
-    // the paste-level semantics match; a per-EXECUTION redraw that is
-    // also identical across partitions/stages has no safe hook in
-    // Spark's execution model (closure serialization happens per
-    // stage, initializeInternal is per-partition).
-    "randConstant" -> (_ =>
-      Literal(scala.util.Random.nextLong() & 0xFFFFFFFFL)),
+    // (usually different) constants, each stable over the rows. A
+    // foldable leaf ([[RandConstantExpr]]): ConstantFolding draws
+    // once per query optimization, so the builder stays
+    // deterministic and each optimized query redraws (a cached
+    // DataFrame re-executed replays its constant — documented).
+    "randConstant" -> (_ => {
+      val e: Expression = RandConstantExpr()
+      e.setTagValue(chDeclaredTypeTag, "UInt32")
+      e
+    }),
     // full-range UInt64 bits via one hash of one uniform draw
     "rand64" -> (_ => fn("xxhash64", fn("rand"))),
     "randCanonical" -> (_ => fn("rand")),
@@ -5446,8 +5473,8 @@ object CHFunctions {
     }),
 
     // replaceOne(s, pat, rep): first literal occurrence only —
-    // locate + splice (replaceAll/replaceRegexpAll are registered
-    // above; replaceRegexpOne is the native ReplaceRegexpFirst)
+    // locate + splice (replaceAll/replaceRegexpAll/replaceRegexpOne
+    // are registered above)
     "replaceOne" -> (es => {
       val pos = fn("locate", es(1), es.head)
       val before = fn("substring", es.head, Literal(1),

@@ -314,6 +314,80 @@ object CountMatches {
   }
 }
 
+/** ClickHouse replaceRegexpOne / replaceOne: replace only the FIRST
+  * occurrence (Spark's regexp_replace has no first-only form).
+  * `literalMatch = true` treats the pattern AND replacement as plain
+  * text (replaceOne). The replacement string follows Java's `$N`
+  * backreference syntax — the CHFunctions builder translates CH's
+  * `\N` spellings on literal replacements before constructing this. */
+case class RegexpReplaceOne(subject: Expression, pattern: Expression,
+    rep: Expression, literalMatch: Boolean = false)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with ImplicitCastInputTypes {
+
+  override def first: Expression = subject
+  override def second: Expression = pattern
+  override def third: Expression = rep
+  override def inputTypes: Seq[DataType] =
+    Seq(StringType, StringType, StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String =
+    if (literalMatch) "replaceOne" else "replaceRegexpOne"
+
+  @transient private lazy val compiledOrNull: java.util.regex.Pattern =
+    pattern match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            p: org.apache.spark.unsafe.types.UTF8String, StringType)
+          if p != null =>
+        RegexpReplaceOne.compile(p.toString, literalMatch)
+      case _ => null
+    }
+
+  override def nullSafeEval(s: Any, p: Any, r: Any): Any = {
+    val pat =
+      if (compiledOrNull != null) compiledOrNull
+      else RegexpReplaceOne.compile(p.toString, literalMatch)
+    RegexpReplaceOne.replaceFirst(
+      s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      pat, r.toString, literalMatch)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val patCls = classOf[java.util.regex.Pattern].getName
+    val patRef = ctx.addReferenceObj("rroPattern", compiledOrNull, patCls)
+    val pat = ctx.freshName("rroPat")
+    val lit = if (literalMatch) "true" else "false"
+    nullSafeCodeGen(ctx, ev, (s, p, r) =>
+      s"""
+         |$patCls $pat = $patRef != null
+         |  ? $patRef : graft.functions.RegexpReplaceOne.compile($p.toString(), $lit);
+         |${ev.value} = graft.functions.RegexpReplaceOne.replaceFirst($s, $pat, $r.toString(), $lit);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): RegexpReplaceOne =
+    copy(subject = newFirst, pattern = newSecond, rep = newThird)
+}
+
+object RegexpReplaceOne {
+
+  def compile(p: String, literalMatch: Boolean): java.util.regex.Pattern =
+    if (literalMatch)
+      java.util.regex.Pattern.compile(p, java.util.regex.Pattern.LITERAL)
+    else java.util.regex.Pattern.compile(p)
+
+  def replaceFirst(s: org.apache.spark.unsafe.types.UTF8String,
+      pat: java.util.regex.Pattern, rep: String,
+      literalMatch: Boolean): org.apache.spark.unsafe.types.UTF8String = {
+    val r = if (literalMatch)
+      java.util.regex.Matcher.quoteReplacement(rep) else rep
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      pat.matcher(s.toString).replaceFirst(r))
+  }
+}
+
 object QuantRecon {
 
   def compute(v: ArrayData, mns: ArrayData, mxs: ArrayData): InternalRow = {

@@ -2946,6 +2946,28 @@ object ChSurface {
         |  '1,3' AS ev
         |FROM orders""".stripMargin)),
 
+    // wave 63 (r18): ClickHouse string-literal escape semantics — an
+    // unknown escape KEEPS its backslash ('\d' is the regex class,
+    // '\1' the backref), known escapes decode, '\xHH' is a byte.
+    // DuckDB literals keep backslashes natively (SQL standard), so
+    // the regex replays literally; decoded values replay as constants.
+    ("q_escape_semantics",
+      """SELECT o_orderkey AS k,
+        |  arrayStringConcat(extractAll(toString(o_orderkey * 1000 + 7)
+        |    || 'x' || o_orderpriority, '\d+'), ',') AS ds,
+        |  replaceRegexpAll('a1b2', '(\d)', '<\1>') AS br,
+        |  match(o_orderpriority, '^\d-') AS m,
+        |  length('a\tb') AS tab, '\x41\x42' AS hx
+        |FROM orders WHERE o_orderkey < 10 ORDER BY k""".stripMargin,
+      Some("""SELECT o_orderkey AS k,
+        |  array_to_string(regexp_extract_all(
+        |    CAST(o_orderkey * 1000 + 7 AS VARCHAR) || 'x' ||
+        |    o_orderpriority, '\d+'), ',') AS ds,
+        |  'a<1>b<2>' AS br,
+        |  regexp_matches(o_orderpriority, '^\d-') AS m,
+        |  CAST(3 AS BIGINT) AS tab, 'AB' AS hx
+        |FROM orders WHERE o_orderkey < 10 ORDER BY k""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

@@ -1046,7 +1046,15 @@ object QueryGuard {
     sql
   }
 
-  def normalizeDialect(sql: String): String = {
+  def normalizeDialect(sql0: String): String = {
+    // string-literal escape semantics FIRST: ClickHouse KEEPS the
+    // backslash of an unrecognized escape ('\d' is the two chars \d),
+    // Spark's unescaper DROPS it ('\d' becomes d) — so every pasted
+    // regex class ('\d+', '\w', '\b') and replacement backref ('\1')
+    // silently corrupted. Rewrite each single-quoted literal so
+    // Spark's parser yields the CH value (unknown escapes doubled,
+    // CH-only control escapes \a \v \e \xHH respelled as \uXXXX).
+    val sql = chEscapeLiterals(sql0)
     rejectDistributedTvfs(sql)
     rejectQueryParams(sql)
     // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
@@ -2656,6 +2664,71 @@ object QueryGuard {
     }
     out
   }
+
+  /** ClickHouse string-literal escape semantics over Spark's parser.
+    * Inside each single-quoted literal: escapes BOTH engines consume
+    * identically (\n \t \r \b \f \0 \' \" \\) copy through; CH-only
+    * control escapes respell as Spark unicode escapes (\a → U+0007,
+    * \v → U+000B, \e → U+001B, \xHH → \u00HH); every OTHER \c pair —
+    * which CH keeps as two characters and Spark would strip to `c`
+    * (or octal-decode) — doubles the backslash so the parsed value
+    * matches CH. Backticked/double-quoted identifiers and text
+    * outside literals pass through untouched; '' stays the doubled
+    * quote. Runs ONCE on the pasted statement, before any shim, so
+    * shim-injected text (engine-authored, Spark conventions) is never
+    * re-processed. */
+  private[sql] def chEscapeLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0
+    var mode = 0 // 0 = code, 1 = 'literal', 2 = "quoted", 3 = `tick`
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      mode match {
+        case 0 =>
+          sb.append(c)
+          if (c == '\'') mode = 1
+          else if (c == '"') mode = 2
+          else if (c == '`') mode = 3
+          i += 1
+        case 2 =>
+          sb.append(c)
+          if (c == '"') mode = 0
+          i += 1
+        case 3 =>
+          sb.append(c)
+          if (c == '`') mode = 0
+          i += 1
+        case _ => // inside a single-quoted literal
+          if (c == '\'' && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            sb.append("''"); i += 2 // doubled-quote escape
+          } else if (c == '\'') {
+            sb.append(c); mode = 0; i += 1
+          } else if (c == '\\' && i + 1 < sql.length) {
+            val n = sql.charAt(i + 1)
+            n match {
+              case 'n' | 't' | 'r' | 'b' | 'f' | '0' | '\'' | '"' | '\\' =>
+                sb.append(c).append(n); i += 2
+              case 'a' => sb.append("\\u0007"); i += 2
+              case 'v' => sb.append("\\u000B"); i += 2
+              case 'e' => sb.append("\\u001B"); i += 2
+              case 'x' if i + 3 < sql.length &&
+                  isHex(sql.charAt(i + 2)) && isHex(sql.charAt(i + 3)) =>
+                sb.append("\\u00").append(sql.charAt(i + 2))
+                  .append(sql.charAt(i + 3))
+                i += 4
+              case other =>
+                sb.append("\\\\").append(other); i += 2
+            }
+          } else {
+            sb.append(c); i += 1
+          }
+      }
+    }
+    sb.toString
+  }
+
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   /** The unescaped body of a single-quoted SQL literal, or None. */
   private def quotedLiteral(tok: String): Option[String] = {

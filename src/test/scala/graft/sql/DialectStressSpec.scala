@@ -1349,4 +1349,34 @@ class DialectStressSpec extends graft.SparkSpec {
         assert(r.swap.exists(_.contains(hint)), s"$call -> $r")
     }
   }
+
+  test("wave 63: CH string-literal escape semantics — unknown escapes " +
+    "KEEP the backslash (regex classes, backrefs), known ones decode") {
+    // ClickHouse: '\d' is the two characters \d; Spark's unescaper
+    // alone would answer 'd' and every pasted regex silently failed
+    val re = ex.run("""SELECT extractAll('a1b22c', '\d+') AS ds,
+      |  match('abc123', '\d+') AS m,
+      |  replaceRegexpOne('Hello', '(l+)', '[\1]') AS one,
+      |  replaceRegexpAll('a1b2', '(\d)', '<\1>') AS al,
+      |  arrayStringConcat(splitByRegexp('\s+', 'a b  c'), '|') AS sp,
+      |  replaceOne('aaa', 'a', 'b') AS ro""".stripMargin)
+    assert(re.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("1", "22"))
+    assert(re.rows.head(1) == true)
+    assert(re.rows.head(2) == "He[ll]o")
+    assert(re.rows.head(3) == "a<1>b<2>")
+    assert(re.rows.head(4) == "a|b|c")
+    assert(re.rows.head(5) == "baa")
+    // the double-backslash spelling decodes identically in both
+    // engines — byte-compatible with every pre-existing paste
+    val dbl = ex.run("""SELECT extractAll('a1b22c', '\\d+') AS ds,
+      |  length('a\tb') AS tab, 'x%y' LIKE 'x\%y' AS lk,
+      |  length('\x41') AS hx, '\x41' AS hxv""".stripMargin)
+    assert(dbl.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("1", "22"))
+    assert(dbl.rows.head(1).toString == "3")
+    assert(dbl.rows.head(2) == true)
+    // \xHH is a CH byte escape: '\x41' = 'A'
+    assert(dbl.rows.head(3).toString == "1" && dbl.rows.head(4) == "A")
+  }
 }
