@@ -600,20 +600,34 @@ object CHFunctions {
     * array built by concat-append: O(n²) element copies in the worst
     * case, fine at array granularity (rows, not relations); the fold
     * root keeps the analyzer's lambda-carrying constraint satisfied. */
-  private def chArrayFill(lam: LambdaFunction, arr: Expression,
+  private def chArrayFill(lam: LambdaFunction, arrays: Seq[Expression],
       reverse: Boolean): Expression = {
     val (acc, x, fin) = lambdaVars
-    val keep = bindVar(lam, x)
+    val arr = arrays.head
+    // multi-array form (CH zips one array per lambda parameter):
+    // fold over the 1-based index axis; the predicate binds each
+    // parameter to its array's element at that index, and the RESULT
+    // elements come from the FIRST array
+    val multi = arrays.size > 1
+    val keep =
+      if (multi) bindZip(lam, arrays, x) else bindVar(lam, x)
+    val elem =
+      if (multi) ElementAt(arr, x, None, failOnError = false) else x
     // the reverse variant scans (and un-reverses) INSIDE the one
     // ArrayAggregate — the analyzer insists the builder ROOT be a
     // HigherOrderFunction when the original call carried a lambda, so
     // a wrapping reverse() is not an option; the finish lambda is.
-    val src = if (reverse) Reverse(arr) else arr
+    val src =
+      if (multi) { if (reverse) Reverse(indexAxis(arr)) else indexAxis(arr) }
+      else { if (reverse) Reverse(arr) else arr }
+    val zero =
+      if (multi) Slice(arr, Literal(1), Literal(0))
+      else Slice(src, Literal(1), Literal(0))
     val last = ElementAt(acc, Literal(-1), None, failOnError = false)
     val appended = CaseWhen(Seq(
-      (Cast(keep, org.apache.spark.sql.types.BooleanType), x),
-      (EqualTo(fn("size", acc), Literal(0)), x)), Some(last))
-    ArrayAggregate(src, Slice(src, Literal(1), Literal(0)),
+      (Cast(keep, org.apache.spark.sql.types.BooleanType), elem),
+      (EqualTo(fn("size", acc), Literal(0)), elem)), Some(last))
+    ArrayAggregate(src, zero,
       LambdaFunction(Concat(Seq(acc, CreateArray(Seq(appended)))),
         Seq(acc, x)),
       LambdaFunction(if (reverse) Reverse(fin) else fin, Seq(fin)))
@@ -636,20 +650,31 @@ object CHFunctions {
     * variant ENDS a group at each true element — computed as
     * reverse ∘ split ∘ reverse entirely inside the one ArrayAggregate
     * (HOF-root constraint, as in [[chArrayFill]]). */
-  private def chArraySplit(lam: LambdaFunction, arr: Expression,
+  private def chArraySplit(lam: LambdaFunction, arrays: Seq[Expression],
       reverse: Boolean): Expression = {
     val (acc, x, fin) = lambdaVars
-    val cond = bindVar(lam, x)
-    val src = if (reverse) Reverse(arr) else arr
+    val arr = arrays.head
+    // multi-array form: fold over the 1-based index axis, predicate
+    // bound per-parameter, groups collect the FIRST array's elements
+    val multi = arrays.size > 1
+    val cond =
+      if (multi) bindZip(lam, arrays, x) else bindVar(lam, x)
+    val elem =
+      if (multi) ElementAt(arr, x, None, failOnError = false) else x
+    val src =
+      if (multi) { if (reverse) Reverse(indexAxis(arr)) else indexAxis(arr) }
+      else { if (reverse) Reverse(arr) else arr }
     // zero: empty array<array<T>> — slice of a wrapped singleton
-    val zero = Slice(CreateArray(Seq(Slice(src, Literal(1), Literal(0)))),
+    val zero = Slice(CreateArray(Seq(
+      if (multi) Slice(arr, Literal(1), Literal(0))
+      else Slice(src, Literal(1), Literal(0)))),
       Literal(1), Literal(0))
     val lastGroup = ElementAt(acc, Literal(-1), None, failOnError = false)
     val withoutLast = Slice(acc, Literal(1),
       Subtract(fn("size", acc), Literal(1)))
-    val newGroup = Concat(Seq(acc, CreateArray(Seq(CreateArray(Seq(x))))))
+    val newGroup = Concat(Seq(acc, CreateArray(Seq(CreateArray(Seq(elem))))))
     val appendToLast = Concat(Seq(withoutLast,
-      CreateArray(Seq(Concat(Seq(lastGroup, CreateArray(Seq(x))))))))
+      CreateArray(Seq(Concat(Seq(lastGroup, CreateArray(Seq(elem))))))))
     val merge = CaseWhen(Seq(
       (EqualTo(fn("size", acc), Literal(0)), newGroup),
       (Cast(cond, org.apache.spark.sql.types.BooleanType), newGroup)),
@@ -2538,7 +2563,15 @@ object CHFunctions {
     "toUInt64" -> (es => Cast(es.head, LongType)),
     "toFloat32" -> (es => Cast(es.head, org.apache.spark.sql.types.FloatType)),
     "toFloat64" -> (es => Cast(es.head, DoubleType)),
-    "toString" -> (es => Cast(es.head, org.apache.spark.sql.types.StringType)),
+    // 2-arg form: toString(DateTime, 'tz') renders the WALL-CLOCK time
+    // in that zone (sessions run UTC, so from_utc_timestamp shifts the
+    // instant onto the zone's wall clock before the string cast)
+    "toString" -> (es =>
+      if (es.size > 1)
+        Cast(fn("from_utc_timestamp",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType), es(1)),
+          org.apache.spark.sql.types.StringType)
+      else Cast(es.head, org.apache.spark.sql.types.StringType)),
     "toInt32OrZero" -> (es => Coalesce(Seq(
       Cast(es.head, IntegerType, None, EvalMode.TRY), Literal(0)))),
     "toInt64OrZero" -> (es => Coalesce(Seq(
@@ -3776,6 +3809,7 @@ object CHFunctions {
       if (es.size >= 3) fn("locate", es(1), es.head, es(2))
       else fn("instr", es.head, es(1))),
     "notLike" -> (es => Not(fn("like", es.head, es(1)))),
+    "notILike" -> (es => Not(fn("ilike", es.head, es(1)))),
     "ngramDistance" -> (es => NgramDistance(es.head, es(1))),
     "ngramDistanceCaseInsensitive" -> (es =>
       NgramDistance(fn("lower", es.head), fn("lower", es(1)))),
@@ -5204,15 +5238,13 @@ object CHFunctions {
     "reinterpretAsInt32" -> (es => ReinterpretAs(es.head, 32, toStr = false)),
     "reinterpretAsInt64" -> (es => ReinterpretAs(es.head, 64, toStr = false)),
     // group splitting
-    "arraySplit" -> (es => es.head match {
-      case l: LambdaFunction => chArraySplit(l, es(1), reverse = false)
-      case other => throw new IllegalArgumentException(
-        s"arraySplit expects a lambda as its first argument, got $other")
+    "arraySplit" -> (es => {
+      val (l, as) = chLambdaArgs("arraySplit", es)
+      chArraySplit(l, as, reverse = false)
     }),
-    "arrayReverseSplit" -> (es => es.head match {
-      case l: LambdaFunction => chArraySplit(l, es(1), reverse = true)
-      case other => throw new IllegalArgumentException(
-        s"arrayReverseSplit expects a lambda as its first argument, got $other")
+    "arrayReverseSplit" -> (es => {
+      val (l, as) = chLambdaArgs("arrayReverseSplit", es)
+      chArraySplit(l, as, reverse = true)
     }),
 
     // ---- round-13 wave 3 (probe-driven) ----
@@ -5343,15 +5375,13 @@ object CHFunctions {
     "arrayRandomSample" -> (es =>
       fn("slice", fn("shuffle", es.head), Literal(1),
         Cast(es(1), IntegerType))),
-    "arrayFill" -> (es => es.head match {
-      case l: LambdaFunction => chArrayFill(l, es(1), reverse = false)
-      case other => throw new IllegalArgumentException(
-        s"arrayFill expects a lambda as its first argument, got $other")
+    "arrayFill" -> (es => {
+      val (l, as) = chLambdaArgs("arrayFill", es)
+      chArrayFill(l, as, reverse = false)
     }),
-    "arrayReverseFill" -> (es => es.head match {
-      case l: LambdaFunction => chArrayFill(l, es(1), reverse = true)
-      case other => throw new IllegalArgumentException(
-        s"arrayReverseFill expects a lambda as its first argument, got $other")
+    "arrayReverseFill" -> (es => {
+      val (l, as) = chLambdaArgs("arrayReverseFill", es)
+      chArrayFill(l, as, reverse = true)
     }),
 
     // bitmaskToArray/List: the powers of two summing to n, ascending

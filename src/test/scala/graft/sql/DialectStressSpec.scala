@@ -1378,5 +1378,29 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(dbl.rows.head(2) == true)
     // \xHH is a CH byte escape: '\x41' = 'A'
     assert(dbl.rows.head(3).toString == "1" && dbl.rows.head(4) == "A")
+    // multi-array arraySplit/arrayFill (the CH docs' own examples) —
+    // the predicate zips one array per lambda parameter, groups/fills
+    // come from the FIRST array
+    val ms = ex.run(
+      "SELECT arraySplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0]) AS asp, " +
+        "arrayReverseSplit((x, y) -> y, [1,2,3,4,5], [1,0,0,1,0]) AS ars, " +
+        "arrayFill((x, y) -> y, [1,2,3], [1,0,1]) AS af")
+    assert(ms.rows.head(0).toString.replace("ArraySeq", "List") ==
+      "List(List(1, 2, 3), List(4, 5))" ||
+      ms.rows.head(0).asInstanceOf[scala.collection.Seq[_]].map(
+        _.asInstanceOf[scala.collection.Seq[_]].map(_.toString)) ==
+        Seq(Seq("1", "2", "3"), Seq("4", "5")))
+    assert(ms.rows.head(1).asInstanceOf[scala.collection.Seq[_]].map(
+      _.asInstanceOf[scala.collection.Seq[_]].map(_.toString)) ==
+      Seq(Seq("1"), Seq("2", "3", "4"), Seq("5")))
+    assert(ms.rows.head(2).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("1", "1", "3"))
+    // toString(DateTime, tz) renders the wall clock in that zone;
+    // notILike completes the LIKE family
+    val tz = ex.run("SELECT toString(toDateTime('2024-01-01 12:00:00'), " +
+      "'America/New_York') AS t, notILike('ABC', 'a%') AS n, " +
+      "'ABC' ILIKE 'a%' AS il")
+    assert(tz.rows.head(0) == "2024-01-01 07:00:00")
+    assert(tz.rows.head(1) == false && tz.rows.head(2) == true)
   }
 }
