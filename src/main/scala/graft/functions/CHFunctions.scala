@@ -1602,7 +1602,14 @@ object CHFunctions {
         fn("array_position", fn("array_distinct", es.head), x), Seq(x)))
     }),
     // running sum clamped at zero (CH's non-negative cumulative sum)
-    "arrayCumSumNonNegative" -> (es => {
+    "arrayCumSumNonNegative" -> (es0 => {
+      // lambda form maps first, like arrayCumSum
+      val es: Seq[Expression] = es0.head match {
+        case _: LambdaFunction =>
+          val (l, as) = chLambdaArgs("arrayCumSumNonNegative", es0)
+          Seq(chMap(l, as))
+        case _ => es0
+      }
       val (acc, x, fin) = lambdaVars
       val empty = fn("slice", es.head, Literal(1), Literal(0))
       val run = UnresolvedExtractValue(acc, Literal("run"))
@@ -1661,13 +1668,29 @@ object CHFunctions {
     "arrayPopFront" -> (es =>
       fn("slice", es.head, Literal(2),
         fn("greatest", Subtract(fn("size", es.head), Literal(1)), Literal(0)))),
-    // arrayFold(lambda(acc, x), arr, init): Spark's aggregate with CH's
-    // argument order (lambda first)
+    // arrayFold(lambda(acc, x1..xN), arr1..arrN, init): Spark's
+    // aggregate with CH's argument order (lambda first); the
+    // multi-array form folds over the index axis, binding one lambda
+    // parameter per array after the accumulator
     "arrayFold" -> (es => es.head match {
       case l: LambdaFunction =>
-        ArrayAggregate(es(1), es(2), l,
-          { val f = UnresolvedNamedLambdaVariable(Seq("fin"))
-            LambdaFunction(f, Seq(f)) })
+        val arrays = es.slice(1, es.size - 1)
+        val init = es.last
+        if (l.arguments.size != arrays.size + 1)
+          throw new IllegalArgumentException(
+            s"arrayFold: lambda takes ${l.arguments.size} argument(s) " +
+              s"but ${arrays.size} array(s) were passed — ClickHouse " +
+              "binds (acc, one parameter per array)")
+        val finL = { val f = UnresolvedNamedLambdaVariable(Seq("fin"))
+          LambdaFunction(f, Seq(f)) }
+        if (arrays.size == 1) ArrayAggregate(arrays.head, init, l, finL)
+        else {
+          val idx = freshZipVar()
+          val bound = bindZip(
+            LambdaFunction(l.function, l.arguments.tail), arrays, idx)
+          ArrayAggregate(indexAxis(arrays.head), init,
+            LambdaFunction(bound, Seq(l.arguments.head, idx)), finL)
+        }
       case other => throw new IllegalArgumentException(
         s"arrayFold expects a lambda as its first argument, got $other")
     }),
@@ -1975,7 +1998,13 @@ object CHFunctions {
           Seq(i)))
     }),
     "arrayCumSum" -> (es => {
-      val a = es.head
+      // lambda form: cumulative sums of the mapped values
+      // (arrayCumSum((x, y) -> x*y, a, b) — one parameter per array)
+      val a = es.head match {
+        case _: LambdaFunction =>
+          val (l, as) = chLambdaArgs("arrayCumSum", es); chMap(l, as)
+        case _ => es.head
+      }
       val i = UnresolvedNamedLambdaVariable(Seq("i"))
       val (acc, x, fin) = lambdaVars
       ArrayTransform(indexAxis(a),
@@ -2623,12 +2652,30 @@ object CHFunctions {
     // ClickHouse %-tokens to Spark's pattern letters when the format is
     // a literal (the overwhelmingly common case).
     "toDate" -> (es => Cast(es.head, org.apache.spark.sql.types.DateType)),
-    "toDateTime" -> (es => Cast(es.head, org.apache.spark.sql.types.TimestampType)),
-    "formatDateTime" -> (es => fn("date_format", es.head, es(1) match {
-      case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
-        Literal(chFormatToSpark(s.toString))
-      case other => other
-    })),
+    // 2-arg toDateTime(x, 'tz'): display parity via ChToDateTimeTz
+    // (string wall-text verbatim; instants shifted onto the zone's
+    // wall clock), declared DateTime('tz')
+    "toDateTime" -> (es =>
+      if (es.size > 1) {
+        val e: Expression = ChToDateTimeTz(es.head, es(1))
+        es(1) match {
+          case Literal(s, StringType) if s != null =>
+            e.setTagValue(chDeclaredTypeTag, s"DateTime('$s')")
+          case _ =>
+        }
+        e
+      } else Cast(es.head, org.apache.spark.sql.types.TimestampType)),
+    // optional 3rd argument renders in that timezone's wall clock
+    "formatDateTime" -> (es => fn("date_format",
+      if (es.size > 2)
+        fn("from_utc_timestamp",
+          Cast(es.head, org.apache.spark.sql.types.TimestampType), es(2))
+      else es.head,
+      es(1) match {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+          Literal(chFormatToSpark(s.toString))
+        case other => other
+      })),
     // Joda syntax is close enough to Spark's java.time patterns that
     // the literal passes through (both are yyyy/MM/dd/HH/mm/ss-style)
     "formatDateTimeInJodaSyntax" -> (es =>
@@ -2662,7 +2709,7 @@ object CHFunctions {
           case other => other
         })
       else fn("timestamp_seconds", es.head)),
-    "nowCH" -> (_ => fn("current_timestamp")),
+    // (nowCH registered once below with the optional-timezone form)
     "todayCH" -> (_ => fn("current_date")),
     "intDiv" -> (es => floorDivExpr(es.head, es(1))),
 
@@ -3222,7 +3269,30 @@ object CHFunctions {
     "getSetting" -> (_ => throw new IllegalArgumentException(
       "getSetting: per-query settings are not stateful here — read " +
         "SELECT value FROM system.settings WHERE name = '...' instead")),
-    "now64" -> (_ => fn("now")),
+    // now([tz]) / now64(p[, tz]): the same instant; a timezone
+    // argument shifts onto that zone's wall clock for display parity
+    // (sessions render UTC), declared DateTime('tz') / DateTime64(p)
+    "nowCH" -> (es => {
+      val e: Expression =
+        if (es.nonEmpty) fn("from_utc_timestamp", fn("now"), es.head)
+        else fn("now")
+      es.headOption.foreach {
+        case Literal(s, StringType) if s != null =>
+          e.setTagValue(chDeclaredTypeTag, s"DateTime('$s')")
+        case _ =>
+      }
+      e
+    }),
+    "now64" -> (es => {
+      val e: Expression =
+        if (es.size > 1) fn("from_utc_timestamp", fn("now"), es(1))
+        else fn("now")
+      val p = es.headOption.collect {
+        case l: Literal if l.value != null => l.value.toString
+      }.getOrElse("3")
+      e.setTagValue(chDeclaredTypeTag, s"DateTime64($p)")
+      e
+    }),
     "emptyArrayInt64" -> (_ =>
       Cast(CreateArray(Nil), ArrayType(LongType))),
     "emptyArrayUInt64" -> (_ =>
@@ -5827,8 +5897,38 @@ object CHFunctions {
           (LessThan(ka, kb), lt),
           (GreaterThan(ka, kb), gt)), Some(Literal(0)))
         ArraySort(arr, LambdaFunction(comparator, Seq(va, vb)))
+      // multi-array form: arraySort((x, y) -> y, arr, keys) sorts the
+      // FIRST array by the lambda over one parameter per array —
+      // schwartzian (key, value) pairs sorted by key, nulls last
+      case Some(l) if l.arguments.size > 1 &&
+          l.arguments.size == es.size - 1 =>
+        val arrays = es.tail
+        val keys = chMap(l, arrays)
+        val kv = UnresolvedNamedLambdaVariable(Seq("kpk"))
+        val vv = UnresolvedNamedLambdaVariable(Seq("kpv"))
+        val pairs = ZipWith(keys, arrays.head, LambdaFunction(
+          CreateNamedStruct(Seq(Literal("k"), kv, Literal("v"), vv)),
+          Seq(kv, vv)))
+        val va = UnresolvedNamedLambdaVariable(Seq("cmpa"))
+        val vb = UnresolvedNamedLambdaVariable(Seq("cmpb"))
+        val ka = UnresolvedExtractValue(va, Literal("k"))
+        val kb = UnresolvedExtractValue(vb, Literal("k"))
+        val (lt, gt) =
+          if (reverse) (Literal(1), Literal(-1))
+          else (Literal(-1), Literal(1))
+        val comparator = CaseWhen(Seq(
+          (And(IsNull(ka), IsNull(kb)), Literal(0)),
+          (IsNull(ka), Literal(1)),
+          (IsNull(kb), Literal(-1)),
+          (LessThan(ka, kb), lt),
+          (GreaterThan(ka, kb), gt)), Some(Literal(0)))
+        val g = UnresolvedNamedLambdaVariable(Seq("kpg"))
+        ArrayTransform(
+          ArraySort(pairs, LambdaFunction(comparator, Seq(va, vb))),
+          LambdaFunction(UnresolvedExtractValue(g, Literal("v")), Seq(g)))
       case Some(other) => throw new IllegalArgumentException(
-        s"arraySort key must be a single-argument lambda, got $other")
+        s"arraySort key must be a single-argument lambda (or one " +
+          s"parameter per array in the multi-array form), got $other")
     }
   }
 
@@ -5903,7 +6003,10 @@ object CHFunctions {
           val wrapped = declaredConversionTypes.get(name) match {
             case Some(t) => (es: Seq[Expression]) => {
               val e = builder(es)
-              e.setTagValue(chDeclaredTypeTag, t)
+              // a builder-stamped tag wins (toDateTime(x, 'tz')
+              // declares DateTime('tz'), not the static spelling)
+              if (e.getTagValue(chDeclaredTypeTag).isEmpty)
+                e.setTagValue(chDeclaredTypeTag, t)
               e
             }
             case None => builder

@@ -360,6 +360,42 @@ case class ChDeclaredDefault(child: Expression)
     copy(child = c)
 }
 
+/** toDateTime(x, 'tz') — dispatched on the RESOLVED input type for
+  * ClickHouse display parity (sessions render UTC): a STRING input is
+  * wall-clock text and parses verbatim (CH displays the same text in
+  * the zone); a NUMERIC/timestamp input is an instant, shifted onto
+  * the zone's wall clock so the rendered text matches what CH prints
+  * for DateTime('tz'). toUnixTimestamp over the shifted form deviates
+  * by the zone offset — display parity is the contract here. */
+case class ChToDateTimeTz(child: Expression, tz: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
+
+  override def left: Expression = child
+  override def right: Expression = tz
+
+  override lazy val replacement: Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Cast, FromUTCTimestamp, SecondsToTimestamp}
+    // a bare Cast is TimeZoneAware and stays UNRESOLVED inside a
+    // replacement (ResolveTimeZone never sees it) — pin the session
+    // zone explicitly
+    val zone = Some(org.apache.spark.sql.internal.SQLConf.get
+      .sessionLocalTimeZone)
+    child.dataType match {
+      case StringType => Cast(child, TimestampType, zone)
+      case TimestampType | TimestampNTZType | DateType =>
+        FromUTCTimestamp(Cast(child, TimestampType, zone), tz)
+      case _ => // numeric epoch seconds
+        FromUTCTimestamp(SecondsToTimestamp(child), tz)
+    }
+  }
+
+  override def prettyName: String = "toDateTime"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ChToDateTimeTz = copy(child = l, tz = r)
+}
+
 /** ClickHouse's moving-sum accumulation type: integral (and
   * Bool-as-UInt8) inputs sum in Int64 — groupArrayMovingSum over
   * integers answers an integer array, not Float64 — everything else

@@ -125,7 +125,7 @@ object QueryGuard {
   private[sql] val renamedNameTokens = Seq("MD5CH(", "SHA1CH(",
     "SHA224CH(", "SHA256CH(", "SHA384CH(", "SHA512CH(", "lengthCH(",
     "randCH(", "charCH(", "roundCH(", "dateDiffCH(", "dateAddCH(",
-    "hexCH(", "binCH(")
+    "hexCH(", "binCH(", "nowCH(")
 
   private def restoreRenamedNames(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -1450,8 +1450,11 @@ object QueryGuard {
     // HEX/BIN too: CH prints whole bytes (hex(1) = '01', bin(2) =
     // '00000010') where Spark prints minimal digits — the *CH
     // builders lpad to byte width
+    // NOW too: CH now([tz]) takes an optional timezone argument
+    // (Spark's builtin is 0-ary); nowCH shifts onto the zone's wall
+    // clock for display parity
     val names = Set("MD5", "SHA1", "SHA224", "SHA256", "SHA384",
-      "SHA512", "LENGTH", "RAND", "CHAR", "ROUND", "HEX", "BIN")
+      "SHA512", "LENGTH", "RAND", "CHAR", "ROUND", "HEX", "BIN", "NOW")
     val ts = normalizeScan(sql)
     var out = sql
     ts.indices.reverse.foreach { i =>

@@ -1403,4 +1403,41 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(tz.rows.head(0) == "2024-01-01 07:00:00")
     assert(tz.rows.head(1) == false && tz.rows.head(2) == true)
   }
+
+  test("wave 64: sort-by-keys, multi-array fold/cumsum, " +
+    "timezone-argument chrono forms") {
+    // arraySort((x, y) -> y, arr, keys): CH's sort-one-array-by-
+    // another idiom (the docs' own example)
+    val s = ex.run("SELECT arraySort((x, y) -> y, " +
+      "['hello','world'], [2, 1]) AS srt, " +
+      "arrayReverseSort((x, y) -> y, ['a','b','c'], [3,1,2]) AS rsrt")
+    assert(s.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("world", "hello"))
+    assert(s.rows.head(1).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("a", "c", "b"))
+    // multi-array fold and cumulative sums over a lambda
+    val f = ex.run("SELECT arrayFold((acc, x, y) -> acc + x * y, " +
+      "[1,2], [10,20], 0) AS dot, " +
+      "arrayCumSum((x, y) -> x * y, [1,2], [2,3]) AS acs")
+    assert(f.rows.head(0).toString == "50")
+    assert(f.rows.head(1).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("2", "8"))
+    // timezone arguments: toDateTime string form keeps the wall text,
+    // the epoch form shifts onto the zone's wall clock, formatDateTime
+    // takes a 3rd tz argument, now([tz]) declares DateTime('tz')
+    val t = ex.run("SELECT toString(toDateTime(" +
+      "'2024-01-01 12:00:00', 'America/New_York')) AS s1, " +
+      "toTypeName(toDateTime('2024-01-01 12:00:00', " +
+      "'America/New_York')) AS tn, " +
+      "toString(toDateTime(1700000000, 'Asia/Tokyo')) AS s2, " +
+      "formatDateTime(toDateTime('2024-01-01 12:00:00'), '%F %T', " +
+      "'America/New_York') AS fdt, " +
+      "toTypeName(now('Asia/Tokyo')) AS ntn, toTypeName(now64(6)) AS n64")
+    assert(t.rows.head(0) == "2024-01-01 12:00:00")
+    assert(t.rows.head(1) == "DateTime('America/New_York')")
+    assert(t.rows.head(2) == "2023-11-15 07:13:20")
+    assert(t.rows.head(3) == "2024-01-01 07:00:00")
+    assert(t.rows.head(4) == "DateTime('Asia/Tokyo')")
+    assert(t.rows.head(5) == "DateTime64(6)")
+  }
 }
