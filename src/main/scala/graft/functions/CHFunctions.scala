@@ -4128,7 +4128,9 @@ object CHFunctions {
     "bitAnd" -> (es => BitwiseAnd(es.head, es(1))),
     "bitOr" -> (es => BitwiseOr(es.head, es(1))),
     "bitXor" -> (es => BitwiseXor(es.head, es(1))),
-    "bitNot" -> (es => BitwiseNot(es.head)),
+    // width-aware: bitNot evaluates in the argument's CH type width
+    // ([[ChBitWidthOp]] — bitNot(toUInt8(1)) = 254, not -2)
+    "bitNot" -> (es => ChBitWidthOp(es.head, Literal(0), "not")),
     // ClickHouse yields 0 when the shift amount reaches the 64-bit
     // width (or is negative); Java/Spark shifts mask the amount mod
     // 64, so bitShiftLeft(x, 64) would silently return x — guard the
@@ -4511,18 +4513,9 @@ object CHFunctions {
     // 64-bit rotates (CH rotates within the argument's own width; the
     // engine's integer lane is Int64 — same stand-in contract as the
     // other width-dependent bit functions). n mod 64 like the CPU op.
-    "bitRotateLeft" -> (es => {
-      val x = Cast(es.head, LongType)
-      val n = Cast(es(1), IntegerType)
-      BitwiseOr(ShiftLeft(x, n),
-        ShiftRightUnsigned(x, Subtract(Literal(64), n)))
-    }),
-    "bitRotateRight" -> (es => {
-      val x = Cast(es.head, LongType)
-      val n = Cast(es(1), IntegerType)
-      BitwiseOr(ShiftRightUnsigned(x, n),
-        ShiftLeft(x, Subtract(Literal(64), n)))
-    }),
+    // rotations honor the argument's CH type width ([[ChBitWidthOp]])
+    "bitRotateLeft" -> (es => ChBitWidthOp(es.head, es(1), "rotl")),
+    "bitRotateRight" -> (es => ChBitWidthOp(es.head, es(1), "rotr")),
     // unbin('0011000100110010') = '12': pad to whole bytes, decode
     // each 8-bit group via conv(,2,10) → char. Empty input guarded
     // (sequence(1, 0) is a DESCENDING range in Spark).

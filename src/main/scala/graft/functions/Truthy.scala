@@ -531,23 +531,113 @@ case class MinSampleSize(conversion: Boolean, args: Seq[Expression])
 case class ByteSwapCH(child: Expression) extends UnaryExpression
     with RuntimeReplaceable {
 
-  override lazy val replacement: Expression = {
-    import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
-    child.dataType match {
-      case ByteType => child
-      case ShortType => StaticInvoke(classOf[java.lang.Short], ShortType,
-        "reverseBytes", Seq(child), Seq(ShortType))
-      case IntegerType => StaticInvoke(classOf[java.lang.Integer], IntegerType,
-        "reverseBytes", Seq(child), Seq(IntegerType))
-      case _ => StaticInvoke(classOf[java.lang.Long], LongType,
-        "reverseBytes", Seq(Cast(child, LongType)), Seq(LongType))
-    }
-  }
+  override lazy val replacement: Expression =
+    ChBitWidthOp.build(child, Literal(0), "swap")
 
   override def dataType: DataType = replacement.dataType
   override def prettyName: String = "byteSwap"
   override protected def withNewChildInternal(newChild: Expression): ByteSwapCH =
     copy(child = newChild)
+}
+
+/** Width-aware bit operations: ClickHouse evaluates bitNot /
+  * bitRotateLeft/Right / byteSwap in the argument's INTEGER TYPE
+  * width — `bitNot(toUInt8(1))` = 254, `bitRotateLeft(toUInt8(129),
+  * 1)` = 3, `byteSwap(3351772109)` swaps 4 bytes (the literal types
+  * as UInt32). The width comes from the declared-conversion tag when
+  * present, CH's smallest-type literal inference for foldable
+  * arguments, or the resolved storage type. Carried in Int64;
+  * unsigned widths answer the non-negative value, signed widths
+  * sign-extend. (UInt64's top bit exceeds the Int64 carrier — the
+  * pack's documented UInt64 bound.) */
+case class ChBitWidthOp(child: Expression, amount: Expression, op: String)
+    extends BinaryExpression with RuntimeReplaceable {
+
+  override def left: Expression = child
+  override def right: Expression = amount
+
+  override lazy val replacement: Expression =
+    ChBitWidthOp.build(child, amount, op)
+
+  override def prettyName: String = op match {
+    case "not" => "bitNot"
+    case "rotl" => "bitRotateLeft"
+    case "rotr" => "bitRotateRight"
+    case _ => "byteSwap"
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): ChBitWidthOp = copy(child = l, amount = r)
+}
+
+object ChBitWidthOp {
+
+  /** (bits, signed) of the CH-typed reading of `e`. */
+  def widthOf(e: Expression): (Int, Boolean) = {
+    val tagged = e.getTagValue(CHFunctions.chDeclaredTypeTag).flatMap { t0 =>
+      val t = t0.stripPrefix("Nullable(").stripSuffix(")")
+      val m = "^(U?)Int(8|16|32|64)".r.findFirstMatchIn(t)
+      m.map(g => (g.group(2).toInt, g.group(1).isEmpty))
+    }
+    tagged.orElse {
+      // CH types a BARE literal as the smallest fitting type —
+      // non-negative unsigned, negative signed. Only bare literals:
+      // an explicit CAST(1 AS BIGINT) keeps its declared width.
+      e match {
+        case Literal(n: java.lang.Number, ByteType | ShortType |
+            IntegerType | LongType) =>
+          val v = n.longValue()
+          Some(if (v >= 0) {
+            if (v < 256L) (8, false)
+            else if (v < 65536L) (16, false)
+            else if (v < 4294967296L) (32, false)
+            else (64, false)
+          } else {
+            if (v >= -128L) (8, true)
+            else if (v >= -32768L) (16, true)
+            else if (v >= -2147483648L) (32, true)
+            else (64, true)
+          })
+        case _ => None
+      }
+    }.getOrElse(e.dataType match {
+      case ByteType => (8, true)
+      case ShortType => (16, true)
+      case IntegerType => (32, true)
+      case BooleanType => (8, false)
+      case _ => (64, true)
+    })
+  }
+
+  def build(child: Expression, amount: Expression, op: String): Expression = {
+    val (w, signed) = widthOf(child)
+    val mask = Literal(if (w == 64) -1L else (1L << w) - 1)
+    val v = BitwiseAnd(Cast(child, LongType), mask)
+    def signAdj(e: Expression): Expression =
+      if (!signed || w == 64) e
+      else Subtract(e, If(GreaterThanOrEqual(e, Literal(1L << (w - 1))),
+        Literal(1L << w), Literal(0L)))
+    op match {
+      case "not" =>
+        if (w == 64) BitwiseNot(Cast(child, LongType))
+        else signAdj(BitwiseAnd(BitwiseNot(v), mask))
+      case "rotl" | "rotr" =>
+        val nIn = Cast(amount, IntegerType)
+        val s = Pmod(if (op == "rotl") nIn else UnaryMinus(nIn), Literal(w))
+        // s = 0 short-circuits: a Java shift by w masks mod 64, so
+        // `v >>> (w - 0)` would NOT be zero for w = 64
+        val rot = BitwiseAnd(BitwiseOr(
+          ShiftLeft(v, s),
+          ShiftRightUnsigned(v, Subtract(Literal(w), s))), mask)
+        signAdj(If(EqualTo(s, Literal(0)), v, rot))
+      case _ => // swap: reverse the w/8 bytes
+        val bytes = w / 8
+        val parts = (0 until bytes).map { i =>
+          ShiftLeft(BitwiseAnd(ShiftRightUnsigned(v, Literal(8 * i)),
+            Literal(0xFFL)), Literal(8 * (bytes - 1 - i))): Expression
+        }
+        signAdj(parts.reduce(BitwiseOr))
+    }
+  }
 }
 
 /** ClickHouse `bitSlice(s, offset[, length])`: the substring of the

@@ -435,7 +435,9 @@ class CHFunctionsSpec extends SparkSpec {
         |  plus(2, 3), minus(2, 3), multiply(4, 5), divide(7, 2),
         |  modulo(7, 3), negate(5)""".stripMargin)
     assert(r.getInt(0) == 8 && r.getInt(1) == 14 && r.getInt(2) == 6)
-    assert(r.getInt(3) == -1)
+    // CH types the literal 0 as UInt8, so bitNot evaluates in 8-bit
+    // width: 255 (the r18 width-aware family), not Int64's -1
+    assert(r.getLong(3) == 255L)
     // shifts carry Long (CH's 64-bit arithmetic width — and the
     // ≥64-amount guard yields 0 where Java would mask mod 64)
     assert(r.getLong(4) == 12L && r.getLong(5) == 3L)

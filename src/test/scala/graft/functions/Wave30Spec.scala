@@ -49,8 +49,10 @@ class Wave30Spec extends SparkSpec {
     val r = one(
       """SELECT byteSwap(65536) AS i32, byteSwap(CAST(258 AS SMALLINT)) AS i16,
         |  byteSwap(CAST(1 AS BIGINT)) AS i64""".stripMargin)
-    assert(r.getInt(0) == 256) // 0x00010000 -> 0x00000100
-    assert(r.getShort(1) == java.lang.Short.reverseBytes(258.toShort))
+    // the r18 width-aware carrier is Int64; widths still dispatch on
+    // the argument (bare 65536 types as CH UInt32, casts keep theirs)
+    assert(r.getLong(0) == 256L) // 0x00010000 -> 0x00000100
+    assert(r.getLong(1) == java.lang.Short.reverseBytes(258.toShort).toLong)
     assert(r.getLong(2) == java.lang.Long.reverseBytes(1L))
   }
 

@@ -1439,5 +1439,13 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(t.rows.head(3) == "2024-01-01 07:00:00")
     assert(t.rows.head(4) == "DateTime('Asia/Tokyo')")
     assert(t.rows.head(5) == "DateTime64(6)")
+    // width-aware bit ops: CH evaluates bitNot/rotations/byteSwap in
+    // the argument's integer-type width (declared tag, or CH's
+    // smallest-type literal inference)
+    val b = ex.run("SELECT bitNot(toUInt8(1)) AS a, bitNot(1) AS b, " +
+      "bitNot(toInt8(1)) AS c, bitRotateLeft(toUInt8(129), 1) AS r, " +
+      "bitRotateRight(toUInt8(3), 1) AS rr, byteSwap(3351772109) AS s")
+    assert(b.rows.head.map(_.toString) ==
+      Seq("254", "254", "-2", "3", "129", "3455829959"))
   }
 }
