@@ -266,6 +266,21 @@ object CHFunctions {
       body: Expression): Expression =
     If(Or(IsNull(es.head), IsNull(es(1))), Literal(null), body)
 
+  /** NULL-safe indexOf: first 1-based position where the element
+    * null-safely equals the needle, 0 when absent. */
+  private def chIndexOf(es: Seq[Expression]): Expression = {
+    val i = freshZipVar()
+    // Int64 result, like CH's UInt64 (and the array_position this
+    // replaced)
+    Cast(Coalesce(Seq(
+      ElementAt(ArrayFilter(indexAxis(es.head),
+        LambdaFunction(EqualNullSafe(
+          ElementAt(es.head, i, None, failOnError = false), es(1)),
+          Seq(i))),
+        Literal(1), None, failOnError = false),
+      Literal(0))), LongType)
+  }
+
   private def whenThen(cond: Expression, value: Expression): Expression =
     // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
     // boolean passes through untouched
@@ -1436,7 +1451,13 @@ object CHFunctions {
     // `LEFT ARRAY JOIN`), emitting NULL for the element
     "arrayJoin" -> (es => Explode(es.head)),
     "arrayJoinLeft" -> (es => GeneratorOuter(Explode(es.head))),
-    "has" -> (es => fn("array_contains", es.head, es(1))),
+    // NULL-safe like CH: has([1, NULL], NULL) = 1, has([1,2], NULL)
+    // = 0 (Spark's array_contains rejects a NULL needle outright)
+    "has" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("hx"))
+      GreaterThan(fn("size", ArrayFilter(es.head,
+        LambdaFunction(EqualNullSafe(x, es(1)), Seq(x)))), Literal(0))
+    }),
 
     // date/time bucketing. Each toStartOf* takes CH's optional
     // timezone argument: truncate on the WALL CLOCK of that zone
@@ -1653,9 +1674,11 @@ object CHFunctions {
     // resolved-type dispatch lives in [[ChSubscript]] (also the
     // target of the bracket-subscript rewrite)
     "arrayElement" -> (es => ChSubscript(es.head, es(1))),
-    "indexOf" -> (es => fn("array_position", es.head, es(1))),
+    // NULL-safe first-match position (CH: indexOf([1, NULL], NULL)
+    // = 2; absent answers 0)
+    "indexOf" -> (es => chIndexOf(es)),
     // the sortedness is a CH scan hint, not a semantic change
-    "indexOfAssumeSorted" -> (es => fn("array_position", es.head, es(1))),
+    "indexOfAssumeSorted" -> (es => chIndexOf(es)),
     "arrayIntersect" -> (es => fn("array_intersect", es.head, es(1))),
     "arrayUnion" -> (es =>
       fn("array_distinct", fn("concat", es.head, es(1)))),
@@ -4136,14 +4159,8 @@ object CHFunctions {
     // 64, so bitShiftLeft(x, 64) would silently return x — guard the
     // out-of-range amounts explicitly (carried in Long, CH's 64-bit
     // arithmetic width)
-    "bitShiftLeft" -> (es => CaseWhen(
-      Seq((Or(LessThan(es(1), Literal(0)),
-        GreaterThanOrEqual(es(1), Literal(64))), Literal(0L))),
-      Some(ShiftLeft(Cast(es.head, LongType), es(1))))),
-    "bitShiftRight" -> (es => CaseWhen(
-      Seq((Or(LessThan(es(1), Literal(0)),
-        GreaterThanOrEqual(es(1), Literal(64))), Literal(0L))),
-      Some(ShiftRight(Cast(es.head, LongType), es(1))))),
+    "bitShiftLeft" -> (es => ChBitWidthOp(es.head, es(1), "shl")),
+    "bitShiftRight" -> (es => ChBitWidthOp(es.head, es(1), "shr")),
     "bitCount" -> (es => fn("bit_count", es.head)),
 
     // arithmetic under ClickHouse's functional names. CH integer

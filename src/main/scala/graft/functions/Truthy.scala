@@ -620,6 +620,20 @@ object ChBitWidthOp {
       case "not" =>
         if (w == 64) BitwiseNot(Cast(child, LongType))
         else signAdj(BitwiseAnd(BitwiseNot(v), mask))
+      case "shl" | "shr" =>
+        // overflow bits DISCARD within the width; a shift amount at
+        // or past the width (or negative) answers 0 — CH's contract,
+        // where a Java shift would mask the amount mod 64
+        val s = Cast(amount, IntegerType)
+        val outOfRange = Or(LessThan(s, Literal(0)),
+          GreaterThanOrEqual(s, Literal(w)))
+        val shifted =
+          if (op == "shl") signAdj(BitwiseAnd(ShiftLeft(v, s), mask))
+          else if (signed)
+            // arithmetic shift on the sign-extended value
+            ShiftRight(signAdj(v), s)
+          else ShiftRightUnsigned(v, s)
+        If(outOfRange, Literal(0L), shifted)
       case "rotl" | "rotr" =>
         val nIn = Cast(amount, IntegerType)
         val s = Pmod(if (op == "rotl") nIn else UnaryMinus(nIn), Literal(w))

@@ -1447,5 +1447,18 @@ class DialectStressSpec extends graft.SparkSpec {
       "bitRotateRight(toUInt8(3), 1) AS rr, byteSwap(3351772109) AS s")
     assert(b.rows.head.map(_.toString) ==
       Seq("254", "254", "-2", "3", "129", "3455829959"))
+    // shifts discard overflow within the width; amounts at/past the
+    // width answer 0; signed right shifts are arithmetic
+    val sh = ex.run("SELECT bitShiftLeft(toUInt8(255), 1) AS a, " +
+      "bitShiftLeft(1, 40) AS c, bitShiftRight(toInt8(-2), 1) AS d, " +
+      "bitShiftRight(12, 2) AS e")
+    assert(sh.rows.head.map(_.toString) == Seq("254", "0", "-1", "3"))
+    // NULL-safe array search, as in CH
+    val ns = ex.run("SELECT indexOf([1, NULL, 2], NULL) AS a, " +
+      "indexOf([1,2], 9) AS b, has([1, NULL], NULL) AS c, " +
+      "has([1,2], NULL) AS d")
+    assert(ns.rows.head(0).toString == "2")
+    assert(ns.rows.head(1).toString == "0")
+    assert(ns.rows.head(2) == true && ns.rows.head(3) == false)
   }
 }
