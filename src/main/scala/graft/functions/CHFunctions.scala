@@ -266,6 +266,18 @@ object CHFunctions {
       body: Expression): Expression =
     If(Or(IsNull(es.head), IsNull(es(1))), Literal(null), body)
 
+  /** CH's optional max_substrings: a POSITIVE max TRUNCATES the
+    * split to its first max elements (CH documents that it discards
+    * the remainder, unlike other DBs' "rest in last element"); zero,
+    * negative, or absent keeps everything. */
+  private def splitMax(arr: Expression, es: Seq[Expression],
+      maxIdx: Int): Expression =
+    if (es.size <= maxIdx) arr
+    else {
+      val m = Cast(es(maxIdx), IntegerType)
+      If(GreaterThan(m, Literal(0)), fn("slice", arr, Literal(1), m), arr)
+    }
+
   /** NULL-safe indexOf: first 1-based position where the element
     * null-safely equals the needle, 0 when absent. */
   private def chIndexOf(es: Seq[Expression]): Expression = {
@@ -1505,13 +1517,14 @@ object CHFunctions {
       Cast(fn("date_format", es.head, Literal("yyyyMMddHHmmss")), LongType)),
 
     // strings — splitByChar(sep, s): sep is regex-quoted via \Q..\E
-    "splitByChar" -> (es =>
-      fn("split", es(1), Concat(Seq(Literal("\\Q"), es.head, Literal("\\E"))))),
+    "splitByChar" -> (es => splitMax(
+      fn("split", es(1), Concat(Seq(Literal("\\Q"), es.head, Literal("\\E")))),
+      es, 2)),
     // maximal alphabetic runs (CH tokenizes by non-ASCII-alpha)
     "alphaTokens" -> (es => {
       val x = UnresolvedNamedLambdaVariable(Seq("x"))
-      fn("filter", fn("split", es.head, Literal("[^A-Za-z]+")),
-        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x)))
+      splitMax(fn("filter", fn("split", es.head, Literal("[^A-Za-z]+")),
+        LambdaFunction(Not(EqualTo(x, Literal(""))), Seq(x))), es, 1)
     }),
     "regexpQuoteMeta" -> (es =>
       fn("regexp_replace", es.head,
@@ -3782,10 +3795,12 @@ object CHFunctions {
       }
       // empty separator = per-character split (CH); Spark's split on
       // '' appends a trailing empty element, so slice to the length
-      if (raw.isEmpty)
-        fn("slice", fn("split", es(1), Literal("")), Literal(1),
-          fn("length", es(1)))
-      else fn("split", es(1), Literal(java.util.regex.Pattern.quote(raw)))
+      splitMax(
+        if (raw.isEmpty)
+          fn("slice", fn("split", es(1), Literal("")), Literal(1),
+            fn("length", es(1)))
+        else fn("split", es(1), Literal(java.util.regex.Pattern.quote(raw))),
+        es, 2)
     }),
     // float classification. isNaN/log2 need no entries — Spark's
     // case-insensitive lookup resolves them to the isnan/log2
@@ -4595,11 +4610,13 @@ object CHFunctions {
         s"mortonDecode expects (2, code), got ${other.size} arguments")
     }),
     // split/trim/index string extras
-    "splitByRegexp" -> (es => fn("split", es(1), es.head)),
+    "splitByRegexp" -> (es =>
+      splitMax(fn("split", es(1), es.head), es, 2)),
     "splitByWhitespace" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
-      ArrayFilter(fn("split", es.head, Literal("\\s+")),
-        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
+      splitMax(ArrayFilter(fn("split", es.head, Literal("\\s+")),
+        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t))),
+        es, 1)
     }),
     // split on any non-letter run (CH: letters-only tokens remain)
     "translateUTF8" -> (es => fn("translate", es: _*)),
@@ -4872,8 +4889,9 @@ object CHFunctions {
     // neither, so 'a1b c' → ['a1b', 'c'], not ['a', 'b', 'c']
     "splitByNonAlpha" -> (es => {
       val t = UnresolvedNamedLambdaVariable(Seq("t"))
-      ArrayFilter(fn("split", es.head, Literal("[\\s\\p{Punct}]+")),
-        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t)))
+      splitMax(ArrayFilter(fn("split", es.head, Literal("[\\s\\p{Punct}]+")),
+        LambdaFunction(GreaterThan(fn("length", t), Literal(0)), Seq(t))),
+        es, 1)
     }),
     // Spark's startswith/endswith are byte/codepoint-agnostic on
     // UTF-8 strings already — the UTF8 spellings alias them
@@ -5274,8 +5292,27 @@ object CHFunctions {
         EvalMode.TRY),
       if (es.size > 1) es(1)
       else Literal(0L, org.apache.spark.sql.types.TimestampType)))),
-    "accurateCastOrDefault" -> (es => Coalesce(
-      Seq(accurateCastExpr(es.take(2), orNull = true)) ++ es.drop(2))),
+    // the 2-arg form defaults to the TARGET TYPE's default value
+    // (CH), not NULL; a 3rd argument is the explicit default
+    "accurateCastOrDefault" -> (es => {
+      val tryCast = accurateCastExpr(es.take(2), orNull = true)
+      val default: Expression =
+        if (es.size > 2) es(2)
+        else {
+          val tyStr = es(1) match {
+            case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) =>
+              s.toString
+            case other => throw new IllegalArgumentException(
+              s"accurateCastOrDefault expects a literal type name, got $other")
+          }
+          val sparkTy =
+            graft.sql.QueryGuard.mapChType(tyStr).getOrElse(tyStr)
+          Literal.default(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseDataType(sparkTy))
+        }
+      Coalesce(Seq(tryCast, default))
+    }),
     // the 128/256-bit integer lanes ride DECIMAL(38, 0) — covers
     // ±10^38 (Int128's full range is ~±1.7e38; the extreme 2% and
     // all of Int256 overflow to NULL — documented narrowing)

@@ -1460,5 +1460,18 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(ns.rows.head(0).toString == "2")
     assert(ns.rows.head(1).toString == "0")
     assert(ns.rows.head(2) == true && ns.rows.head(3) == false)
+    // max_substrings TRUNCATES the split (CH discards the remainder);
+    // accurateCastOrDefault defaults to the TARGET TYPE's default
+    val sp = ex.run("SELECT splitByChar(',', 'a,b,c,d', 2) AS s1, " +
+      "splitByString(',', 'a,b,c', 2) AS s2, " +
+      "splitByWhitespace('a b c', 2) AS s3, " +
+      "accurateCastOrDefault('300', 'UInt8') AS d0, " +
+      "accurateCastOrDefault('300', 'UInt8', toUInt8(7)) AS d7")
+    Seq(0, 1, 2).foreach { i =>
+      assert(sp.rows.head(i).asInstanceOf[scala.collection.Seq[_]]
+        .map(_.toString) == Seq("a", "b"), s"col $i")
+    }
+    assert(sp.rows.head(3).toString == "0" &&
+      sp.rows.head(4).toString == "7")
   }
 }
