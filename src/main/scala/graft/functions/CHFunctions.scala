@@ -1543,10 +1543,12 @@ object CHFunctions {
     // the simpleJSON/visitParam legacy spellings share the extractor;
     // typed variants cast the extracted text (missing/mistyped → the
     // type default, CH's simpleJSON contract: 0 not NULL)
-    "simpleJSONExtractString" -> (es =>
-      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
-    "visitParamExtractString" -> (es =>
-      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1))))),
+    "simpleJSONExtractString" -> (es => Coalesce(Seq(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      Literal("")))),
+    "visitParamExtractString" -> (es => Coalesce(Seq(
+      fn("get_json_object", es.head, Concat(Seq(Literal("$."), es(1)))),
+      Literal("")))),
     "simpleJSONExtractInt" -> (es => simpleJsonTyped(es, LongType)),
     "visitParamExtractInt" -> (es => simpleJsonTyped(es, LongType)),
     "simpleJSONExtractUInt" -> (es => simpleJsonTyped(es, LongType)),
@@ -2205,6 +2207,15 @@ object CHFunctions {
     "quantileExactInclusive" -> (es =>
       exactQuantileInterp(es.head,
         if (es.size > 1) es(1) else Literal(0.5), exclusive = false)),
+    // plural spellings: one array cell per level
+    "quantilesExactExclusive" -> (es => CreateArray(es.tail.map(p =>
+      exactQuantileInterp(es.head, p, exclusive = true)))),
+    "quantilesExactInclusive" -> (es => CreateArray(es.tail.map(p =>
+      exactQuantileInterp(es.head, p, exclusive = false)))),
+    "quantilesExactLow" -> (es => CreateArray(es.tail.map(p =>
+      exactQuantileAt(es.head, p, ceil = false)))),
+    "quantilesExactHigh" -> (es => CreateArray(es.tail.map(p =>
+      exactQuantileAt(es.head, p, ceil = true)))),
     // median aliases for every sketch variant (CH documents a median*
     // twin per quantile* name); the Weighted twins read (x, w)
     "medianTiming" -> (es =>
@@ -4022,6 +4033,18 @@ object CHFunctions {
         Literal(1))),
     "cutQueryString" -> (es =>
       fn("substring_index", es.head, Literal("?"), Literal(1))),
+    // drop the #fragment (keeps everything before the first '#')
+    "cutFragment" -> (es =>
+      fn("substring_index", es.head, Literal("#"), Literal(1))),
+    "cutQueryStringAndFragment" -> (es =>
+      fn("substring_index",
+        fn("substring_index", es.head, Literal("#"), Literal(1)),
+        Literal("?"), Literal(1))),
+    // drop one leading 'www.' from the host part
+    "cutWWW" -> (es =>
+      fn("regexp_replace", es.head,
+        Literal("^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\."),
+        Literal("$1"))),
     "fragment" -> (es =>
       fn("regexp_extract", es.head, Literal("#(.*)$"), Literal(1))),
     "queryStringAndFragment" -> (es =>

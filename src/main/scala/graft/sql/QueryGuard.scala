@@ -1820,6 +1820,10 @@ object QueryGuard {
     "quantileexacthigh" -> "quantileExactHigh",
     "quantileexactexclusive" -> "quantileExactExclusive",
     "quantileexactinclusive" -> "quantileExactInclusive",
+    "quantilesexactexclusive" -> "quantilesExactExclusive",
+    "quantilesexactinclusive" -> "quantilesExactInclusive",
+    "quantilesexactlow" -> "quantilesExactLow",
+    "quantilesexacthigh" -> "quantilesExactHigh",
     "quantileexactweighted" -> "quantileExactWeighted",
     "quantiletdigest" -> "quantileTDigest",
     "quantiletiming" -> "quantileTiming",

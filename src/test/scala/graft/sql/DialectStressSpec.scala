@@ -1473,5 +1473,20 @@ class DialectStressSpec extends graft.SparkSpec {
     }
     assert(sp.rows.head(3).toString == "0" &&
       sp.rows.head(4).toString == "7")
+    // plural exact-quantile interpolation variants (R6 exclusive /
+    // R7 inclusive over 0..9), URL cutters, simpleJSON '' miss
+    val q = ex.run("SELECT quantilesExactExclusive(0.25, 0.5)(number)" +
+      " AS qe, quantilesExactInclusive(0.25)(number) AS qi " +
+      "FROM numbers(10)")
+    assert(q.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("1.75", "4.5"))
+    assert(q.rows.head(1).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq("2.25"))
+    val cu = ex.run("SELECT cutWWW('http://www.x.com/a') AS cw, " +
+      "cutFragment('http://x.com/a?b=1#f') AS cf, " +
+      "cutQueryStringAndFragment('http://x.com/a?b=1#f') AS cqf, " +
+      "visitParamExtractString('{\"a\":\"x\"}', 'zz') AS miss")
+    assert(cu.rows.head.map(_.toString) == Seq("http://x.com/a",
+      "http://x.com/a?b=1", "http://x.com/a", ""))
   }
 }
