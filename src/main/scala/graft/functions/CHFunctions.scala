@@ -331,6 +331,28 @@ object CHFunctions {
         s"time-slot functions expect 1-2 arguments, got ${other.size}")
     }
 
+  /** Optional trailing-timezone form of the calendar EXTRACTORS:
+    * `toHour(x, 'tz')` reads x's wall clock IN that zone (r19 — the
+    * 2-arg form used to silently DROP the zone, so
+    * `toHour(22:00 UTC, 'Asia/Istanbul')` answered 22 where CH
+    * answers 1). Rides [[ChToDateTimeTz]]'s type dispatch: wall-text
+    * strings parse verbatim, instant inputs shift onto the zone's
+    * wall clock — the same contract toStartOfDay/Month(dt, tz)
+    * already honor. */
+  private def wallTz(es: Seq[Expression]): Expression =
+    if (es.size >= 2) ChToDateTimeTz(es.head, es(1)) else es.head
+
+  /** [[wallTz]] for the mode-bearing week functions, whose optional
+    * timezone is the THIRD argument: f(t[, mode[, timezone]]). */
+  private def wallTz3(es: Seq[Expression]): Expression =
+    if (es.size >= 3) ChToDateTimeTz(es.head, es(2)) else es.head
+
+  /** Is this string a resolvable IANA/fixed-offset zone id? Used to
+    * dispatch ambiguous string arguments (timezone vs format). */
+  private def isZoneId(s: String): Boolean =
+    try { java.time.ZoneId.of(s); true }
+    catch { case _: java.time.DateTimeException => false }
+
   private def epochSlot(ts: Expression, width: Int): Expression = {
     val t = fn("unix_timestamp", ts)
     fn("timestamp_seconds", Subtract(t, fn("pmod", t, Literal(width.toLong))))
@@ -1493,10 +1515,11 @@ object CHFunctions {
     // preceding Sunday derives arithmetically. Mode 1/3 (Monday) maps
     // to the Monday truncation; other modes are rejected loudly.
     "toStartOfWeek" -> (es => {
-      val monday = Cast(fn("date_trunc", Literal("week"), es.head),
+      val d = wallTz3(es)
+      val monday = Cast(fn("date_trunc", Literal("week"), d),
         org.apache.spark.sql.types.DateType)
-      val sunday = Cast(fn("date_sub", es.head,
-        Subtract(fn("dayofweek", es.head), Literal(1))),
+      val sunday = Cast(fn("date_sub", d,
+        Subtract(fn("dayofweek", d), Literal(1))),
         org.apache.spark.sql.types.DateType)
       if (es.size < 2) sunday
       else es(1) match {
@@ -1510,11 +1533,12 @@ object CHFunctions {
     "toStartOfQuarter" -> (es => truncMaybeTz("QUARTER", es)),
     "toStartOfYear" -> (es => truncMaybeTz("YEAR", es)),
     "toYYYYMM" -> (es =>
-      Cast(fn("date_format", es.head, Literal("yyyyMM")), IntegerType)),
+      Cast(fn("date_format", wallTz(es), Literal("yyyyMM")), IntegerType)),
     "toYYYYMMDD" -> (es =>
-      Cast(fn("date_format", es.head, Literal("yyyyMMdd")), IntegerType)),
+      Cast(fn("date_format", wallTz(es), Literal("yyyyMMdd")), IntegerType)),
     "toYYYYMMDDhhmmss" -> (es =>
-      Cast(fn("date_format", es.head, Literal("yyyyMMddHHmmss")), LongType)),
+      Cast(fn("date_format", wallTz(es), Literal("yyyyMMddHHmmss")),
+        LongType)),
 
     // strings — splitByChar(sep, s): sep is regex-quoted via \Q..\E
     "splitByChar" -> (es => splitMax(
@@ -2698,7 +2722,8 @@ object CHFunctions {
     // date/time casts + formatting. formatDateTime translates the
     // ClickHouse %-tokens to Spark's pattern letters when the format is
     // a literal (the overwhelmingly common case).
-    "toDate" -> (es => Cast(es.head, org.apache.spark.sql.types.DateType)),
+    "toDate" -> (es =>
+      Cast(wallTz(es), org.apache.spark.sql.types.DateType)),
     // 2-arg toDateTime(x, 'tz'): display parity via ChToDateTimeTz
     // (string wall-text verbatim; instants shifted onto the zone's
     // wall clock), declared DateTime('tz')
@@ -2745,7 +2770,15 @@ object CHFunctions {
           Literal(chFormatToSpark(s.toString))
         case other => other
       })),
-    "toUnixTimestamp" -> (es => fn("unix_timestamp", es: _*)),
+    // 2nd argument: CH's documented signature is (x[, timezone]) — a
+    // literal zone id parses the string IN that zone; any other
+    // string keeps the (extension) format-pattern reading
+    "toUnixTimestamp" -> (es => es.drop(1).headOption match {
+      case Some(Literal(s: org.apache.spark.unsafe.types.UTF8String, StringType))
+          if s != null && isZoneId(s.toString) =>
+        ChToUnixTz(es.head, es(1))
+      case _ => fn("unix_timestamp", es: _*)
+    }),
     // 2-arg form FORMATS the instant to a string — CH:
     // fromUnixTimestamp(n, fmt) ≡ formatDateTime(toDateTime(n), fmt)
     "fromUnixTimestamp" -> (es =>
@@ -2760,23 +2793,49 @@ object CHFunctions {
     "todayCH" -> (_ => fn("current_date")),
     "intDiv" -> (es => floorDivExpr(es.head, es(1))),
 
-    // calendar part extractors. toDayOfWeek is the trap: ClickHouse
-    // numbers Monday=1..Sunday=7 while Spark's dayofweek is
-    // Sunday=1..Saturday=7 — translate, don't alias.
-    "toDayOfWeek" -> (es =>
-      Add(Remainder(Add(fn("dayofweek", es.head), Literal(5)), Literal(7)),
-        Literal(1))),
-    "toDayOfMonth" -> (es => fn("dayofmonth", es.head)),
-    "toDayOfYear" -> (es => fn("dayofyear", es.head)),
-    "toMonth" -> (es => fn("month", es.head)),
-    "toYear" -> (es => fn("year", es.head)),
-    "toQuarter" -> (es => fn("quarter", es.head)),
-    "toISOWeek" -> (es => fn("weekofyear", es.head)),
-    "toHour" -> (es => fn("hour", es.head)),
-    "toMinute" -> (es => fn("minute", es.head)),
-    "toSecond" -> (es => fn("second", es.head)),
+    // calendar part extractors, each honoring CH's optional trailing
+    // timezone via [[wallTz]] (r19 — the 2-arg forms used to drop it).
+    // toDayOfWeek is the double trap: ClickHouse numbers
+    // Monday=1..Sunday=7 by default while Spark's dayofweek is
+    // Sunday=1..Saturday=7, AND it carries a MySQL-style mode argument
+    // BEFORE the timezone: toDayOfWeek(t[, mode[, timezone]]).
+    "toDayOfWeek" -> (es => {
+      // a string where the mode belongs is unambiguously a timezone
+      // (the common hand-written 2-arg form) — accept it as one
+      val d = es match {
+        case Seq(x, Literal(_: org.apache.spark.unsafe.types.UTF8String,
+          StringType)) => ChToDateTimeTz(x, es(1))
+        case _ => wallTz3(es)
+      }
+      val mode =
+        if (es.size < 2) 0
+        else es(1) match {
+          case Literal(m: Int, IntegerType) => m
+          case Literal(null, _) => 0
+          case Literal(_, StringType) => 0
+          case other => throw new IllegalArgumentException(
+            s"toDayOfWeek: mode must be a literal 0-3, got $other")
+        }
+      mode match {
+        case 0 => Add(fn("weekday", d), Literal(1)) // Mon=1..Sun=7
+        case 1 => fn("weekday", d)                  // Mon=0..Sun=6
+        case 2 => fn("dayofweek", d)                // Sun=1..Sat=7
+        case 3 => Subtract(fn("dayofweek", d), Literal(1)) // Sun=0..Sat=6
+        case m => throw new IllegalArgumentException(
+          s"toDayOfWeek: unsupported mode $m (0-3)")
+      }
+    }),
+    "toDayOfMonth" -> (es => fn("dayofmonth", wallTz(es))),
+    "toDayOfYear" -> (es => fn("dayofyear", wallTz(es))),
+    "toMonth" -> (es => fn("month", wallTz(es))),
+    "toYear" -> (es => fn("year", wallTz(es))),
+    "toQuarter" -> (es => fn("quarter", wallTz(es))),
+    "toISOWeek" -> (es => fn("weekofyear", wallTz(es))),
+    "toHour" -> (es => fn("hour", wallTz(es))),
+    "toMinute" -> (es => fn("minute", wallTz(es))),
+    "toSecond" -> (es => fn("second", wallTz(es))),
     "toMonday" -> (es =>
-      Cast(fn("date_trunc", Literal("week"), es.head),
+      Cast(fn("date_trunc", Literal("week"), wallTz(es)),
         org.apache.spark.sql.types.DateType)),
 
     // interval arithmetic (the analyzer rewrites ts/date + interval to
@@ -2817,14 +2876,15 @@ object CHFunctions {
       fn("add_months", es.head, Multiply(es(1), Literal(12)))),
     "subtractYears" -> (es =>
       fn("add_months", es.head, UnaryMinus(Multiply(es(1), Literal(12))))),
-    "toLastDayOfMonth" -> (es => fn("last_day", es.head)),
+    "toLastDayOfMonth" -> (es => fn("last_day", wallTz(es))),
     // CH default week mode 0: Sunday-start week ends SATURDAY;
     // mode 1/3 (Monday-start) ends Sunday (wave 28)
     "toLastDayOfWeek" -> (es => {
-      val sundayStart = Cast(fn("date_sub", es.head,
-        Subtract(fn("dayofweek", es.head), Literal(1))),
+      val d = wallTz3(es)
+      val sundayStart = Cast(fn("date_sub", d,
+        Subtract(fn("dayofweek", d), Literal(1))),
         org.apache.spark.sql.types.DateType)
-      val mondayStart = Cast(fn("date_trunc", Literal("week"), es.head),
+      val mondayStart = Cast(fn("date_trunc", Literal("week"), d),
         org.apache.spark.sql.types.DateType)
       val start =
         if (es.size < 2) sundayStart
@@ -2857,9 +2917,11 @@ object CHFunctions {
     "YYYYMMDDhhmmssToDateTime64" -> (es =>
       fn("to_timestamp", Cast(Cast(es.head, LongType), StringType),
         Literal("yyyyMMddHHmmss"))),
+    // (second-truncation is offset-invariant — all real zone offsets
+    // are whole minutes — so only the arity acceptance matters here)
     "toStartOfSecond" -> (es =>
       fn("date_trunc", Literal("second"), es.head)),
-    "monthName" -> (es => fn("date_format", es.head, Literal("MMMM"))),
+    "monthName" -> (es => fn("date_format", wallTz(es), Literal("MMMM"))),
     // dateName('part', d): the string-typed part extractor. month and
     // weekday return names; numeric parts return the number as text.
     "dateName" -> (es => {
@@ -2869,7 +2931,8 @@ object CHFunctions {
         case other => throw new IllegalArgumentException(
           s"dateName expects a literal part name, got $other")
       }
-      val d = es(1)
+      // dateName(part, date[, timezone]) — honor the optional zone
+      val d = if (es.size >= 3) ChToDateTimeTz(es(1), es(2)) else es(1)
       part match {
         case "month"   => fn("date_format", d, Literal("MMMM"))
         case "weekday" => fn("date_format", d, Literal("EEEE"))
@@ -3191,7 +3254,7 @@ object CHFunctions {
     // 0 (MySQL WEEK mode 0); mode 3 is ISO. Other modes are rejected
     // rather than silently answered with the wrong anchor.
     "toWeek" -> (es => {
-      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      val d = Cast(wallTz3(es), org.apache.spark.sql.types.DateType)
       def sundayWeek: Expression = {
         val doy = fn("dayofyear", d)
         val off = fn("pmod", Subtract(Literal(8),
@@ -3218,7 +3281,7 @@ object CHFunctions {
     // that year, which is always past its first Sunday). Mode 3 is
     // ISO year*100 + ISO week.
     "toYearWeek" -> (es => {
-      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      val d = Cast(wallTz3(es), org.apache.spark.sql.types.DateType)
       def off(dd: Expression): Expression =
         fn("pmod", Subtract(Literal(8),
           fn("dayofweek", fn("trunc", dd, Literal("year")))), Literal(7))
@@ -3251,13 +3314,13 @@ object CHFunctions {
     }),
     // ISO week-numbering year = the year of that week's Thursday
     "toISOYear" -> (es => {
-      val d = Cast(es.head, org.apache.spark.sql.types.DateType)
+      val d = Cast(wallTz(es), org.apache.spark.sql.types.DateType)
       fn("year", fn("date_add", d,
         Subtract(Literal(3), fn("weekday", d))))
     }),
     // Date32 is CH's wide-range date; Spark's DATE covers the range
     "toDate32" -> (es =>
-      Cast(es.head, org.apache.spark.sql.types.DateType)),
+      Cast(wallTz(es), org.apache.spark.sql.types.DateType)),
     // makeDate also has CH's (year, day_of_year) 2-arg form
     "makeDate" -> (es => mkDate(es)),
     "makeDate32" -> (es => mkDate(es)),
@@ -3289,7 +3352,7 @@ object CHFunctions {
     // day offset, which a non-UTC session would shift twice — once by
     // the UTC pmod, again when rendering in session tz (ADVICE r14)
     "toTime" -> (es => {
-      val ts = Cast(es.head, org.apache.spark.sql.types.TimestampType)
+      val ts = Cast(wallTz(es), org.apache.spark.sql.types.TimestampType)
       fn("make_timestamp", Literal(1970), Literal(1), Literal(2),
         fn("hour", ts), fn("minute", ts),
         Cast(fn("second", ts),
@@ -3463,22 +3526,32 @@ object CHFunctions {
     // year-month intervals floor months-since-epoch (date out, CH's
     // coarse-granularity return type). The interval must be constant,
     // as in ClickHouse.
+    // optional 3rd argument: slot on that zone's wall clock (shift
+    // in, slot, shift back — the truncMaybeTz contract)
     "toStartOfInterval" -> (es => {
       import org.apache.spark.sql.types.{DayTimeIntervalType, YearMonthIntervalType}
+      val tzOpt = es.drop(2).headOption
       es(1).dataType match {
         case _: YearMonthIntervalType =>
+          val in = tzOpt.map(tz => ChToDateTimeTz(es.head, tz): Expression)
+            .getOrElse(es.head)
           val n = Literal(es(1).eval(null).asInstanceOf[Int])
-          val m = Add(Multiply(Subtract(fn("year", es.head), Literal(1970)),
-            Literal(12)), Subtract(fn("month", es.head), Literal(1)))
+          val m = Add(Multiply(Subtract(fn("year", in), Literal(1970)),
+            Literal(12)), Subtract(fn("month", in), Literal(1)))
           val slot = Subtract(m, fn("pmod", m, n))
           fn("add_months",
             Cast(Literal("1970-01-01"), org.apache.spark.sql.types.DateType),
             slot)
         case _: DayTimeIntervalType =>
+          val ts = Cast(es.head, org.apache.spark.sql.types.TimestampType)
+          val in = tzOpt.map(tz => fn("from_utc_timestamp", ts, tz))
+            .getOrElse(ts)
           val us = Literal(es(1).eval(null).asInstanceOf[Long])
-          val t = fn("unix_micros", Cast(es.head,
-            org.apache.spark.sql.types.TimestampType))
-          fn("timestamp_micros", Subtract(t, fn("pmod", t, us)))
+          val t = fn("unix_micros", in)
+          val slotted = fn("timestamp_micros",
+            Subtract(t, fn("pmod", t, us)))
+          tzOpt.map(tz => fn("to_utc_timestamp", slotted, tz))
+            .getOrElse(slotted)
         case other => throw new IllegalArgumentException(
           s"toStartOfInterval expects an INTERVAL literal, got $other")
       }
@@ -3596,19 +3669,19 @@ object CHFunctions {
     "fromUnixTimestamp64Nano" -> (es =>
       fn("timestamp_micros", IntegralDivide(es.head, Literal(1000L)))),
     "toRelativeSecondNum" -> (es => fn("unix_timestamp", es.head)),
-    "toRelativeMinuteNum" -> (es => relativeNum(es.head, 60L)),
-    "toRelativeHourNum" -> (es => relativeNum(es.head, 3600L)),
-    "toRelativeDayNum" -> (es => relativeNum(es.head, 86400L)),
-    "toRelativeWeekNum" -> (es => relativeNum(es.head, 604800L)),
+    "toRelativeMinuteNum" -> (es => relativeNum(wallTz(es), 60L)),
+    "toRelativeHourNum" -> (es => relativeNum(wallTz(es), 3600L)),
+    "toRelativeDayNum" -> (es => relativeNum(wallTz(es), 86400L)),
+    "toRelativeWeekNum" -> (es => relativeNum(wallTz(es), 604800L)),
     // calendar-unit relatives: count since year 0 (CH's shape — the
     // absolute origin only matters for DIFFERENCES, the documented use)
     "toRelativeMonthNum" -> (es => Add(
-      Multiply(Cast(fn("year", es.head), LongType), Literal(12L)),
-      Cast(fn("month", es.head), LongType))),
+      Multiply(Cast(fn("year", wallTz(es)), LongType), Literal(12L)),
+      Cast(fn("month", wallTz(es)), LongType))),
     "toRelativeQuarterNum" -> (es => Add(
-      Multiply(Cast(fn("year", es.head), LongType), Literal(4L)),
-      Cast(fn("quarter", es.head), LongType))),
-    "toRelativeYearNum" -> (es => Cast(fn("year", es.head), LongType)),
+      Multiply(Cast(fn("year", wallTz(es)), LongType), Literal(4L)),
+      Cast(fn("quarter", wallTz(es)), LongType))),
+    "toRelativeYearNum" -> (es => Cast(fn("year", wallTz(es)), LongType)),
     // days since 0000-01-01 proleptic Gregorian: epoch day + 719528
     "toDaysSinceYearZero" -> (es =>
       Add(fn("datediff", es.head,
@@ -3657,7 +3730,11 @@ object CHFunctions {
         case other => throw new IllegalArgumentException(
           s"dateDiff expects a literal unit as its first argument, got $other")
       }
-      val (s, e) = (es(1), es(2))
+      // optional 4th argument: count boundary crossings on that
+      // zone's wall clock (shifts cancel for the pure-epoch units)
+      def w(x: Expression): Expression = es.drop(3).headOption
+        .map(tz => ChToDateTimeTz(x, tz): Expression).getOrElse(x)
+      val (s, e) = (w(es(1)), w(es(2)))
       unit match {
         case "second" => Subtract(unix(e), unix(s))
         case "minute" => Subtract(

@@ -2968,6 +2968,41 @@ object ChSurface {
         |  CAST(3 AS BIGINT) AS tab, 'AB' AS hx
         |FROM orders WHERE o_orderkey < 10 ORDER BY k""".stripMargin)),
 
+    // wave-69 (r18 judge): calendar extractors HONOR the optional
+    // trailing timezone (the 2-arg forms used to silently drop it) and
+    // toUnixTimestamp's 2nd argument is a timezone, not a format.
+    // Asia/Kathmandu's +05:45 offset is the canary — a dropped zone
+    // cannot fake the :45 minute — and 22:00 UTC on New Year's Eve
+    // rolls day/month/year/YYYYMM in both probe zones. Literal
+    // contracts both engines can state.
+    ("q_ch_tz2",
+      """SELECT
+        |  toYear(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS y,
+        |  toMonth(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS mo,
+        |  toDayOfMonth(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Kathmandu') AS dom,
+        |  toHour(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS h,
+        |  toMinute(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS mi,
+        |  toYYYYMM(toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS ym,
+        |  toHour(toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS hi,
+        |  toDayOfWeek(toDateTime('2023-12-31 22:00:00'), 0,
+        |    'Asia/Istanbul') AS dw,
+        |  toString(toDate(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul')) AS d,
+        |  toUnixTimestamp('2024-01-01 00:00:00', 'UTC') AS u_utc,
+        |  toUnixTimestamp('2024-01-01 00:00:00', 'Asia/Kathmandu') AS u_ktm,
+        |  toUnixTimestamp(toDateTime('2024-01-01 00:00:00'),
+        |    'Asia/Istanbul') AS u_inst""".stripMargin,
+      Some("""SELECT
+        |  CAST(2024 AS INT) AS y, CAST(1 AS INT) AS mo,
+        |  CAST(1 AS INT) AS dom, CAST(3 AS INT) AS h,
+        |  CAST(45 AS INT) AS mi,
+        |  CAST(202401 AS INT) AS ym, CAST(1 AS INT) AS hi,
+        |  CAST(1 AS INT) AS dw, '2024-01-01' AS d,
+        |  CAST(1704067200 AS BIGINT) AS u_utc,
+        |  CAST(1704046500 AS BIGINT) AS u_ktm,
+        |  CAST(1704067200 AS BIGINT) AS u_inst""".stripMargin)),
+
     // wave-30 constructors/hashes/bits + sequenceNextNode's doc walk
     // (CH-only semantics -> the expected values ARE the contract; the
     // chain fixture replays CH's documented example)

@@ -218,6 +218,94 @@ class ChronoArithSpec extends SparkSpec {
     assert(e.getMessage.contains("arrayEnumerateUniqRanked"))
   }
 
+  // ---- wave 69 (r18 judge): extractor timezone class ---------------
+
+  test("calendar extractors honor the optional timezone argument") {
+    // 2023-12-31 22:00 UTC = 2024-01-01 03:45 in Kathmandu (+05:45 —
+    // a silently dropped zone cannot fake the :45 minute) and
+    // 2024-01-01 01:00 in Istanbul (+03): day/month/year all roll
+    val r = one(
+      """SELECT
+        |  toYear(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS y,
+        |  toQuarter(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS q,
+        |  toMonth(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS mo,
+        |  toDayOfYear(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Kathmandu') AS doy,
+        |  toDayOfMonth(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Kathmandu') AS dom,
+        |  toHour(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS h,
+        |  toMinute(toDateTime('2023-12-31 22:00:00'), 'Asia/Kathmandu') AS mi,
+        |  toSecond(toDateTime('2023-12-31 22:00:30'), 'Asia/Kathmandu') AS se,
+        |  toHour(toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS hi,
+        |  toYYYYMM(toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS ym,
+        |  toYYYYMMDD(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul') AS ymd,
+        |  toYYYYMMDDhhmmss(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul') AS ymdh,
+        |  toISOWeek(toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS iw,
+        |  toString(toDate(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul')) AS d,
+        |  toString(toMonday(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul')) AS mon,
+        |  toString(toLastDayOfMonth(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul')) AS ldm""".stripMargin)
+    assert(r.getInt(0) == 2024); assert(r.getInt(1) == 1)
+    assert(r.getInt(2) == 1); assert(r.getInt(3) == 1)
+    assert(r.getInt(4) == 1); assert(r.getInt(5) == 3)
+    assert(r.getInt(6) == 45); assert(r.getInt(7) == 30)
+    assert(r.getInt(8) == 1); assert(r.getInt(9) == 202401)
+    assert(r.getInt(10) == 20240101)
+    assert(r.getLong(11) == 20240101010000L)
+    assert(r.getInt(12) == 1) // ISO week 1 of 2024
+    assert(r.getString(13) == "2024-01-01")
+    assert(r.getString(14) == "2024-01-01")
+    assert(r.getString(15) == "2024-01-31")
+  }
+
+  test("toDayOfWeek: modes 0-3 and the timezone in either slot") {
+    // 2024-01-06 is a Saturday; 2023-12-31 22:00 UTC is already
+    // Monday Jan 1 in Istanbul
+    val r = one(
+      """SELECT
+        |  toDayOfWeek(toDate('2024-01-06')) AS m0,
+        |  toDayOfWeek(toDate('2024-01-06'), 1) AS m1,
+        |  toDayOfWeek(toDate('2024-01-06'), 2) AS m2,
+        |  toDayOfWeek(toDate('2024-01-06'), 3) AS m3,
+        |  toDayOfWeek(toDateTime('2023-12-31 22:00:00'), 0,
+        |    'Asia/Istanbul') AS tz3,
+        |  toDayOfWeek(toDateTime('2023-12-31 22:00:00'),
+        |    'Asia/Istanbul') AS tz2""".stripMargin)
+    assert(r.getInt(0) == 6); assert(r.getInt(1) == 5)
+    assert(r.getInt(2) == 7); assert(r.getInt(3) == 6)
+    assert(r.getInt(4) == 1); assert(r.getInt(5) == 1)
+  }
+
+  test("toUnixTimestamp: 2nd argument dispatches as a timezone") {
+    val r = one(
+      """SELECT
+        |  toUnixTimestamp('2024-01-01 00:00:00', 'UTC') AS u0,
+        |  toUnixTimestamp('2024-01-01 00:00:00', 'Asia/Kathmandu') AS uk,
+        |  toUnixTimestamp(toDateTime('2024-01-01 00:00:00'),
+        |    'Asia/Istanbul') AS ui""".stripMargin)
+    assert(r.getLong(0) == 1704067200L)
+    assert(r.getLong(1) == 1704067200L - 20700L) // +05:45
+    assert(r.getLong(2) == 1704067200L) // instant input: epoch unchanged
+  }
+
+  test("dateDiff/toStartOfInterval honor the optional timezone") {
+    val r = one(
+      """SELECT
+        |  dateDiff('day', toDateTime('2023-12-31 10:00:00'),
+        |    toDateTime('2023-12-31 22:00:00'), 'Asia/Istanbul') AS dd,
+        |  toString(toStartOfInterval(toDateTime('2023-12-31 22:30:00'),
+        |    INTERVAL 1 DAY, 'Asia/Kathmandu')) AS si""".stripMargin)
+    // 10:00 UTC is still Dec 31 in Istanbul; 22:00 UTC is Jan 1 → 1 day
+    assert(r.get(0).toString == "1", r.get(0).toString)
+    // Kathmandu day containing 22:30 UTC starts 2024-01-01 00:00 KTM
+    // = 2023-12-31 18:15 UTC
+    assert(r.getString(1) == "2023-12-31 18:15:00", r.getString(1))
+  }
+
   test("toTime uses local wall-clock fields in a non-UTC session") {
     val prior = spark.conf.get("spark.sql.session.timeZone")
     try {
