@@ -149,30 +149,6 @@ case class RandDist(kind: String, args: Seq[Expression])
     copy(args = newChildren)
 }
 
-/** randConstant(): ONE random UInt32, constant across the rows of a
-  * query, redrawn per query — realized as a FOLDABLE leaf that
-  * ConstantFolding collapses to a literal once per optimization, so
-  * the draw happens when each query plan optimizes (CH redraws per
-  * query) while the BUILDER's output stays deterministic (re-analysis
-  * of the same text yields the same unresolved plan; the prior
-  * builder-time draw made plans differ per analysis). A cached
-  * DataFrame re-executed replays its folded constant — the one
-  * remaining (documented) deviation, inherent to plan caching. */
-case class RandConstantExpr()
-    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
-    with CodegenFallback {
-
-  override def nullable: Boolean = false
-  override def foldable: Boolean = true
-  override def dataType: DataType = org.apache.spark.sql.types.LongType
-  override def prettyName: String = "randConstant"
-
-  override def eval(
-      input: org.apache.spark.sql.catalyst.InternalRow): Any =
-    java.util.concurrent.ThreadLocalRandom.current().nextLong() &
-      0xFFFFFFFFL
-}
-
 /** Time-ordered unique id generators: UUIDv7 (RFC 9562 — 48-bit unix
   * ms, version/variant bits, 74 random bits), ULID (Crockford
   * base32, 48-bit ms + 80 random bits), and Twitter-layout snowflake

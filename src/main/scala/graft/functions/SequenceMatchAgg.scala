@@ -106,11 +106,16 @@ case class SequenceMatchAgg(
     if (!pattern.foldable)
       return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
         .TypeCheckFailure(s"$prettyName needs a literal pattern string")
-    if (patternStr.contains("(?t"))
-      return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-        .TypeCheckFailure(s"$prettyName time assertions (?t...) are " +
-          "not supported; filter on the timestamp column instead")
-    try regex catch {
+    // patternStr itself throws on a foldable-but-NULL pattern
+    // (sequenceMatch(NULL)(...)): surface it as a TypeCheckFailure
+    // like every other validation path, not an escaping exception
+    try {
+      if (patternStr.contains("(?t"))
+        return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"$prettyName time assertions (?t...) are " +
+            "not supported; filter on the timestamp column instead")
+      regex
+    } catch {
       case e: IllegalArgumentException =>
         return org.apache.spark.sql.catalyst.analysis.TypeCheckResult
           .TypeCheckFailure(e.getMessage)

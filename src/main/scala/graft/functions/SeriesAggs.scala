@@ -259,10 +259,14 @@ case class IntervalLengthSumAgg(
 
 /** maxIntersections(start, end) → the maximum number of [start, end)
   * intervals that cover a single point (an interval's end does not
-  * intersect another's start: the −1 event sorts first at ties). */
+  * intersect another's start: the −1 event sorts first at ties).
+  * With `position = true` this is CH's maxIntersectionsPosition twin:
+  * the (already-computed) left boundary at which that maximum is
+  * FIRST reached, as an integer. */
 case class MaxIntersectionsAgg(
     start: Expression,
     end: Expression,
+    position: Boolean = false,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends PairBufferAgg {
@@ -270,19 +274,20 @@ case class MaxIntersectionsAgg(
   override def a: Expression = start
   override def b: Expression = end
   override def dataType: DataType = LongType
-  override def prettyName: String = "maxIntersections"
+  override def prettyName: String =
+    if (position) "maxIntersectionsPosition" else "maxIntersections"
 
   override def eval(buf: ArrayBuffer[(Double, Double)]): Any = {
     if (buf.isEmpty) return 0L
     val events = new ArrayBuffer[(Double, Int)](buf.length * 2)
     buf.foreach { case (s, e) => events += ((s, 1)); events += ((e, -1)) }
     val sorted = events.sortBy(identity) // -1 before +1 at equal points
-    var cur = 0L; var best = 0L
-    sorted.foreach { case (_, d) =>
+    var cur = 0L; var best = 0L; var at = 0.0
+    sorted.foreach { case (p, d) =>
       cur += d
-      if (cur > best) best = cur
+      if (cur > best) { best = cur; at = p }
     }
-    best
+    if (position) math.round(at) else best
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MaxIntersectionsAgg =

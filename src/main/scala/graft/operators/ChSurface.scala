@@ -3207,9 +3207,15 @@ ORDER BY point_idx"""
       """SELECT dictGet('nation_d', 'n_name', c_nationkey) AS nation,
         |  dictGet('region_d', 'r_name',
         |          dictGet('nation_d', 'n_regionkey', c_nationkey)) AS region,
+        |  dictGetString('nation_d', 'n_name', c_nationkey) AS nation_s,
+        |  dictGetInt32('nation_d', 'n_regionkey', c_nationkey) AS rk32,
+        |  dictGetInt64OrDefault('nation_d', 'n_regionkey',
+        |    c_nationkey + 1000, -1) AS rk_miss,
+        |  dictGetStringOrDefault('nation_d', 'n_name',
+        |    c_nationkey + 1000, 'none') AS name_miss,
         |  count(*) AS n_cust,
         |  round(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 1e2, 2) AS total_bal
-        |FROM customer GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |FROM customer GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin)
   }
 
   val queries: Map[String, Q] =
@@ -3221,10 +3227,14 @@ ORDER BY point_idx"""
       case (n, sql, o) => Some(n -> o.getOrElse(sql))
     }.toMap + ("q_ch_dict" ->
       """SELECT n_name AS nation, r_name AS region,
+        |  n_name AS nation_s,
+        |  CAST(n_regionkey AS INT) AS rk32,
+        |  CAST(-1 AS BIGINT) AS rk_miss,
+        |  'none' AS name_miss,
         |  count(*) AS n_cust,
         |  round(sum(CAST(round(c_acctbal * 100.0) AS BIGINT)) / 1e2, 2) AS total_bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1, 2 ORDER BY 1""".stripMargin)
+        |GROUP BY 1, 2, 3, 4, 5, 6 ORDER BY 1""".stripMargin)
 }

@@ -265,6 +265,15 @@ object GuidePrompt {
       |  view reuse) replays the same value.
       |- `groupArrayMovingAvg` divides by the window width in Float64
       |  (matching CH); decimals accumulate in Float64, not Decimal.
+      |- `ORDER BY ... COLLATE 'locale'` rides Spark's ICU collations
+      |  (tr, en_US, unicode_ci, ...); a locale ICU does not know
+      |  fails with COLLATION_INVALID_NAME rather than CH's list.
+      |- `arrayZip` throws on ragged arrays like ClickHouse; the
+      |  NULL-padding variant is spelled `arrayZipUnaligned`.
+      |- Timezone-honoring extractors (`toHour(ts, 'tz')`,
+      |  `toYYYYMM(ts, 'tz')`, toStartOf*) read the zone's wall clock;
+      |  results RENDER in session (UTC) time since Spark timestamps
+      |  carry no per-column display zone.
       |
       |## Pipeline operators (pre-built queries)
       |Deduplication (exact, MinHash-LSH, SimHash, embedding),

@@ -166,6 +166,26 @@ object QueryGuard {
     val t = sql.trim.stripSuffix(";").trim
     val show = "(?is)^SHOW\\s+CREATE\\s+(?:TABLE|VIEW)\\s+([`\\w.]+)$".r
     val exists = "(?is)^EXISTS\\s+(?:TABLE\\s+|VIEW\\s+)?([`\\w.]+)$".r
+    // CH-shaped SHOW TABLES / SHOW DATABASES: ONE `name` column
+    // (Spark's native shapes carry namespace/tableName/isTemporary),
+    // with CH's optional [NOT] [I]LIKE and LIMIT tails, sorted by name
+    val showTables = ("(?is)^SHOW\\s+TABLES(?:\\s+FROM\\s+([`\\w.]+))?" +
+      "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
+    val showDbs = ("(?is)^SHOW\\s+DATABASES" +
+      "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
+    def likeFilter(df: org.apache.spark.sql.DataFrame, not: String,
+        i: String, pat: String, limit: String)
+        : org.apache.spark.sql.DataFrame = {
+      val filtered =
+        if (pat == null) df
+        else {
+          val op = if (i != null && i.nonEmpty) "ILIKE" else "LIKE"
+          val cond = s"name $op '$pat'"
+          df.where(if (not != null) s"NOT ($cond)" else cond)
+        }
+      val sorted = filtered.orderBy("name")
+      if (limit != null) sorted.limit(limit.toInt) else sorted
+    }
     def bare(n: String): String =
       n.replace("`", "").stripPrefix("default.")
     import spark.implicits._
@@ -181,8 +201,37 @@ object QueryGuard {
         val yes = spark.catalog.tableExists(bare(name0))
         Some(Seq(if (yes) 1 else 0).toDF("result")
           .selectExpr("CAST(result AS TINYINT) AS result"))
+      case showTables(from, not, i, pat, limit) =>
+        val base = spark.sql(
+          if (from != null) s"SHOW TABLES FROM ${bare(from)}"
+          else "SHOW TABLES")
+          .select(org.apache.spark.sql.functions.col("tableName").as("name"))
+        Some(likeFilter(base, not, i, pat, limit))
+      case showDbs(not, i, pat, limit) =>
+        val base = spark.sql("SHOW DATABASES").selectExpr(
+          "CAST(namespace AS STRING) AS name")
+        Some(likeFilter(base, not, i, pat, limit))
       case _ => None
     }
+  }
+
+  /** Set while re-planning a SUBSTRING of an already-normalized
+    * statement (hoisted subqueries, materialized join-left prefixes):
+    * chEscapeLiterals must not run twice on the same text — its
+    * \a/\v/\e/\xHH rewrites emit \uXXXX, which a second pass would
+    * read as an unknown escape and double into 6-char literal text
+    * (r18 ADVICE). */
+  private val replanningNormalized = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue(): java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
+  /** [[plan]] for text sliced out of an already-normalized statement:
+    * the full shim pipeline runs, but the escape pass does not repeat. */
+  private def planPreEscaped(spark: SparkSession, sql: String)
+      : org.apache.spark.sql.DataFrame = {
+    val prev = replanningNormalized.get
+    replanningNormalized.set(true)
+    try plan(spark, sql) finally replanningNormalized.set(prev)
   }
 
   private def planned(spark: SparkSession, sql: String)
@@ -440,7 +489,8 @@ object QueryGuard {
     }
     val aliases = sides.toSeq.filter(_.nonEmpty).flatMap(sideAlias)
     val view = s"__graft_joinleft_${hoistCounter.incrementAndGet()}"
-    plan(spark, s"SELECT * FROM $prefix").createOrReplaceTempView(view)
+    planPreEscaped(spark, s"SELECT * FROM $prefix")
+      .createOrReplaceTempView(view)
     views += view
     var out = sql.substring(0, ts(fromAt)._1.end) + " " + view + " " +
       sql.substring(ts(hit)._1.start)
@@ -578,7 +628,7 @@ object QueryGuard {
         // leaving the subquery in place, where it either plans
         // natively or fails loudly in Spark's own analyzer
         val dfOpt =
-          try Some(plan(spark, innerText)) // full recursive pipeline
+          try Some(planPreEscaped(spark, innerText)) // recursive pipeline
           catch {
             case e: org.apache.spark.sql.AnalysisException
                 if Set("ASOF", "ANY")(trigger) =>
@@ -1054,7 +1104,10 @@ object QueryGuard {
     // silently corrupted. Rewrite each single-quoted literal so
     // Spark's parser yields the CH value (unknown escapes doubled,
     // CH-only control escapes \a \v \e \xHH respelled as \uXXXX).
-    val sql = chEscapeLiterals(sql0)
+    // Skipped when re-planning a slice of already-normalized text —
+    // the pass is not idempotent over its own \uXXXX output.
+    val sql =
+      if (replanningNormalized.get) sql0 else chEscapeLiterals(sql0)
     rejectDistributedTvfs(sql)
     rejectQueryParams(sql)
     // CH type names inside CAST(... AS T) and ::T suffix casts rewrite
@@ -1068,6 +1121,7 @@ object QueryGuard {
     typed = rewriteCastTypes(typed)
     typed = rewriteColonTypes(typed)
     typed = rewriteSystemQualifiers(typed)
+    typed = rewriteCollate(typed)
     // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
     // (GLOBAL IN / GLOBAL JOIN — identical semantics on one engine;
     // Spark's planner owns the broadcast decision) dropped when it
@@ -1723,6 +1777,36 @@ object QueryGuard {
     * qualifier, so the dotted spelling has no other way to resolve.
     * Right-to-left keeps offsets valid; a prefix like `db.system.x`
     * (the SYSTEM token preceded by a dot) is left alone. */
+  /** CH's `ORDER BY x COLLATE 'tr'`: Spark 4 serves ICU locale
+    * collations, but only as IDENTIFIERS — the quoted-locale form is
+    * a bare PARSE_SYNTAX_ERROR naming nothing the user wrote.
+    * Respell the quoted locale as the Spark collation identifier
+    * (dashes to underscores: 'en-US' → en_US); a locale Spark's ICU
+    * registry doesn't know then fails with COLLATION_INVALID_NAME
+    * naming the collation, a scoped error instead of a parse crash. */
+  private def rewriteCollate(sql: String): String = {
+    var out = sql
+    val collates = normalizeScan(sql).map(_._1)
+      .filter(_.upper == "COLLATE")
+    collates.reverseIterator.foreach { t =>
+      var j = t.end
+      while (j < out.length && Character.isWhitespace(out.charAt(j))) j += 1
+      if (j < out.length && out.charAt(j) == '\'') {
+        val close = out.indexOf('\'', j + 1)
+        if (close > j) {
+          val name = out.substring(j + 1, close).replace('-', '_')
+          if (!name.matches("[A-Za-z][A-Za-z0-9_]*"))
+            throw new ReadOnlyViolation(
+              s"COLLATE: unsupported collation '$name' — this engine " +
+                "serves Spark's ICU locale collations (COLLATE 'tr', " +
+                "'en_US', 'unicode_ci', ...)")
+          out = out.substring(0, j) + name + out.substring(close + 1)
+        }
+      }
+    }
+    out
+  }
+
   private def rewriteSystemQualifiers(sql: String): String = {
     val names = Set("tables", "columns", "databases", "functions",
       "one", "numbers", "numbers_mt", "parts", "settings",
@@ -2720,9 +2804,26 @@ object QueryGuard {
               case 'e' => sb.append("\\u001B"); i += 2
               case 'x' if i + 3 < sql.length &&
                   isHex(sql.charAt(i + 2)) && isHex(sql.charAt(i + 3)) =>
-                sb.append("\\u00").append(sql.charAt(i + 2))
-                  .append(sql.charAt(i + 3))
-                i += 4
+                // CH's \xHH is a raw BYTE, not a codepoint: decode the
+                // whole consecutive \xHH run as UTF-8 so '\xC3\xA9' is
+                // the one char 'é' (r18 ADVICE — per-byte \u00HH
+                // diverged for bytes >= 0x80). An invalid UTF-8 run
+                // falls back to the per-byte codepoint reading.
+                val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+                var k = i
+                while (k + 3 < sql.length && sql.charAt(k) == '\\' &&
+                    sql.charAt(k + 1) == 'x' &&
+                    isHex(sql.charAt(k + 2)) && isHex(sql.charAt(k + 3))) {
+                  bytes += java.lang.Integer.parseInt(
+                    sql.substring(k + 2, k + 4), 16).toByte
+                  k += 4
+                }
+                val decoded = new String(bytes.toArray,
+                  java.nio.charset.StandardCharsets.UTF_8)
+                if (decoded.contains('�'))
+                  bytes.foreach(b => sb.append(f"\\u00${b & 0xff}%02X"))
+                else decoded.foreach(ch => sb.append(f"\\u${ch.toInt}%04X"))
+                i = k
               case other =>
                 sb.append("\\\\").append(other); i += 2
             }

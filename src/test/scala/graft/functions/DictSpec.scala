@@ -36,6 +36,46 @@ class DictSpec extends SparkSpec {
     assert(out(1).getString(0) == "unknown" && !out(1).getBoolean(1))
   }
 
+  test("typed dictGet* spellings cast to the named type; OrDefault twins fall back") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    Dict.register("typed_d",
+      Seq((1L, "42", 7L)).toDF("k", "txt", "num"), "k", Seq("txt", "num"))
+    val r = Seq(1L).toDF("k").select(
+      expr("dictGetString('typed_d', 'txt', k)").as("s"),
+      expr("dictGetInt32('typed_d', 'txt', k)").as("i32"),
+      expr("dictGetInt64('typed_d', 'num', k)").as("i64"),
+      expr("dictGetUInt8('typed_d', 'num', k)").as("u8"),
+      expr("dictGetFloat64('typed_d', 'txt', k)").as("f64"),
+      expr("dictGetInt32OrDefault('typed_d', 'txt', k + 10, -5)").as("dmiss"),
+      expr("dictGetStringOrDefault('typed_d', 'txt', k, 'zz')").as("dhit"),
+      expr("toTypeName(dictGetInt32('typed_d', 'txt', k))").as("tn")).head
+    assert(r.getString(0) == "42")
+    assert(r.getInt(1) == 42)
+    assert(r.getLong(2) == 7L)
+    assert(r.getShort(3) == 7) // UInt8 rides the next signed width
+    assert(r.getDouble(4) == 42.0)
+    assert(r.getInt(5) == -5)
+    assert(r.getString(6) == "42")
+    assert(r.getString(7) == "Int32")
+  }
+
+  test("dictGetOrNull / dictGetDate / dictGetDateTime resolve") {
+    import spark.implicits._
+    CHFunctions.register(spark)
+    Dict.register("when_d",
+      Seq((1L, "2024-03-05", "2024-03-05 07:08:09"))
+        .toDF("k", "d", "ts"), "k", Seq("d", "ts"))
+    val r = Seq(1L, 9L).toDF("k").select(
+      expr("dictGetOrNull('when_d', 'd', k)").as("dn"),
+      expr("toString(dictGetDate('when_d', 'd', k))").as("d"),
+      expr("toString(dictGetDateTime('when_d', 'ts', k))").as("ts"))
+      .collect()
+    assert(r(0).getString(1) == "2024-03-05")
+    assert(r(0).getString(2) == "2024-03-05 07:08:09")
+    assert(r(1).isNullAt(0) && r(1).isNullAt(1))
+  }
+
   test("integer-width keys normalize: INT column probes a BIGINT-keyed dict") {
     import spark.implicits._
     CHFunctions.register(spark)

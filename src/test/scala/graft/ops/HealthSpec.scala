@@ -251,6 +251,9 @@ class HealthSpec extends SparkSpec {
       assert(body.contains("samples k input ROWS per group"))
       // and the Java-vs-RE2 regex nuance for match/COLUMNS patterns
       assert(body.contains("near-superset of ClickHouse's RE2"))
+      // the r17 ask stays pinned: the deviations section is SERVED
+      assert(body.contains("Known deviations"))
+      assert(body.contains("arrayZipUnaligned"))
     } finally srv.close()
   }
 

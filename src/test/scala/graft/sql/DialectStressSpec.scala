@@ -1489,4 +1489,81 @@ class DialectStressSpec extends graft.SparkSpec {
     assert(cu.rows.head.map(_.toString) == Seq("http://x.com/a",
       "http://x.com/a?b=1", "http://x.com/a", ""))
   }
+
+  test("ORDER BY ... COLLATE 'locale' rides Spark's ICU collations") {
+    // Turkish alphabet orders dotless ı BEFORE dotted i (…H, I/ı,
+    // İ/i, J…), where binary UTF-8 order puts the multi-byte ı last
+    val r = ex.run(
+      """SELECT c FROM (SELECT 'zebra' AS c UNION ALL
+        |  SELECT 'istanbul' UNION ALL SELECT 'ırmak')
+        |ORDER BY c COLLATE 'tr'""".stripMargin)
+    assert(r.rows.map(_.head.toString) ==
+      Seq("ırmak", "istanbul", "zebra"))
+    // case-insensitive ICU spelling, and the scoped error for
+    // garbage that can never be an identifier
+    val ci = ex.run(
+      """SELECT c FROM (SELECT 'B' AS c UNION ALL SELECT 'a')
+        |ORDER BY c COLLATE 'unicode_ci'""".stripMargin)
+    assert(ci.rows.map(_.head.toString) == Seq("a", "B"))
+    val e = intercept[Exception](ex.run(
+      "SELECT 1 AS x ORDER BY x COLLATE '!!'"))
+    assert(e.getMessage.contains("COLLATE"), e.getMessage)
+  }
+
+  test("splitByChar over the empty string answers [''] like CH") {
+    val r = ex.run("SELECT splitByChar(',', '') AS a, " +
+      "size(splitByChar(',', '')) AS n")
+    assert(r.rows.head(0).asInstanceOf[scala.collection.Seq[_]]
+      .map(_.toString) == Seq(""))
+    assert(r.rows.head(1).toString == "1")
+  }
+
+  test("escape pass is skipped on hoisted re-plans; \\xHH runs decode as UTF-8") {
+    // \x41 inside a subquery that the ASOF hoist pre-plans must stay
+    // 'A' (the second normalize pass used to double the emitted
+    // A into 6-char text)
+    val hoisted = ex.run(
+      """SELECT e.user_id AS u, s.tag
+        |FROM (SELECT user_id, ts FROM events
+        |      WHERE user_id = 7 LIMIT 1) e
+        |ASOF JOIN (SELECT 7 AS user_id,
+        |    toDateTime('2020-01-01 00:00:00') AS ts,
+        |    '\x41\x42' AS tag) s
+        |  ON e.user_id = s.user_id AND e.ts >= s.ts""".stripMargin)
+    assert(hoisted.rows.head(1) == "AB", hoisted.rows.head(1).toString)
+    // consecutive \xHH bytes >= 0x80 are ONE UTF-8 char, not two
+    // Latin-1 codepoints; a lone high byte falls back per-byte
+    val r = ex.run("SELECT '\\xC3\\xA9' AS e, length('\\xC3\\xA9') AS n, " +
+      "lengthUTF8('\\xC3\\xA9') AS c")
+    assert(r.rows.head(0) == "é")
+    assert(r.rows.head(1).toString == "2") // two UTF-8 bytes
+    assert(r.rows.head(2).toString == "1") // one code point
+  }
+
+  test("randConstant folds once per call site, surviving alias pushdown") {
+    // the filter copy and the projected copy must agree — a foldable
+    // draw duplicated by PushDownPredicates used to fold twice
+    val r = ex.run(
+      """SELECT a FROM (SELECT randConstant() AS a FROM orders LIMIT 100)
+        |WHERE a >= 0""".stripMargin)
+    assert(r.rows.nonEmpty)
+    assert(r.rows.map(_.head.toString).distinct.size == 1)
+    val v = r.rows.head.head.toString.toLong
+    assert(v >= 0L && v <= 0xFFFFFFFFL)
+  }
+
+  test("sequenceMatch(NULL) fails type checking loudly, not with an internal error") {
+    val e = intercept[Exception](ex.run(
+      "SELECT sequenceMatch(NULL)(ts, user_id = 1) FROM events"))
+    assert(e.getMessage.contains("literal pattern string"), e.getMessage)
+  }
+
+  test("arrayZip throws on ragged inputs; arrayZipUnaligned pads") {
+    val e = intercept[Exception](
+      ex.run("SELECT arrayZip([1, 2], ['a']) AS z"))
+    assert(e.getMessage.contains("equal sizes"), e.getMessage)
+    val ok = ex.run("SELECT arrayZip([1, 2], ['a', 'b']) AS z, " +
+      "size(arrayZipUnaligned([1, 2], ['a'])) AS pad")
+    assert(ok.rows.head(1).toString == "2")
+  }
 }

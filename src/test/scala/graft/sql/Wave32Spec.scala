@@ -36,6 +36,25 @@ class Wave32Spec extends SparkSpec {
     assert(sub.head.getLong(0) == 25L)
   }
 
+  test("SHOW TABLES / SHOW DATABASES serve CH's one-column `name` shape") {
+    val t = rows("SHOW TABLES")
+    assert(t.head.schema.fieldNames.toSeq == Seq("name"))
+    val names = t.map(_.getString(0)).toSeq
+    assert(names.contains("orders") && names.contains("lineitem"))
+    assert(names == names.sorted)
+    // LIKE / NOT LIKE / ILIKE tails, and LIMIT
+    assert(rows("SHOW TABLES LIKE 'order%'").map(_.getString(0)).toSeq
+      == Seq("orders"))
+    assert(rows("SHOW TABLES ILIKE 'ORDER%'").map(_.getString(0)).toSeq
+      == Seq("orders"))
+    assert(!rows("SHOW TABLES NOT LIKE 'order%'")
+      .exists(_.getString(0) == "orders"))
+    assert(rows("SHOW TABLES LIMIT 2").length == 2)
+    val d = rows("SHOW DATABASES")
+    assert(d.head.schema.fieldNames.toSeq == Seq("name"))
+    assert(d.exists(_.getString(0) == "default"))
+  }
+
   test("generateSeries is inclusive-stop in both directions; zeros counts") {
     assert(rows("SELECT * FROM generateSeries(2, 10, 3)")
       .map(_.getLong(0)).toSeq == Seq(2L, 5L, 8L))
