@@ -293,6 +293,30 @@ object CHFunctions {
       Literal(0))), LongType)
   }
 
+  /** hasSubsequence(hay, needle): needle's characters appear in hay
+    * in order (not necessarily contiguously) — a single left fold
+    * advancing a needle cursor. */
+  private def hasSubseq(h: Expression, n: Expression): Expression = {
+    val (acc, c, fin) = lambdaVars
+    val hay = fn("split", h, Literal(""))
+    val nLen = fn("length", n)
+    val nextChar = fn("substring", n, Add(acc, Literal(1)), Literal(1))
+    val step = If(And(LessThan(acc, nLen), EqualTo(c, nextChar)),
+      Add(acc, Literal(1)), acc)
+    EqualTo(
+      ArrayAggregate(hay, Literal(0),
+        LambdaFunction(step, Seq(acc, c)),
+        LambdaFunction(fin, Seq(fin))),
+      nLen)
+  }
+
+  /** Element-wise lower() over a string array (the CaseInsensitive
+    * multiSearch forms pre-lower their needle lists). */
+  private def loweredArr(arr: Expression): Expression = {
+    val v = UnresolvedNamedLambdaVariable(Seq("lw"))
+    ArrayTransform(arr, LambdaFunction(fn("lower", v), Seq(v)))
+  }
+
   private def whenThen(cond: Expression, value: Expression): Expression =
     // Truthy: CH accepts a NUMERIC condition (sumIf(x, k % 2)); a
     // boolean passes through untouched
@@ -3540,6 +3564,11 @@ object CHFunctions {
     "idnaDecode" -> (es => IdnaCode(es.head, "idnaDecode")),
     "punycodeEncode" -> (es => IdnaCode(es.head, "punycodeEncode")),
     "punycodeDecode" -> (es => IdnaCode(es.head, "punycodeDecode")),
+    // try* twins answer '' where the strict forms surface the failure
+    "tryPunycodeDecode" -> (es => Coalesce(Seq(
+      IdnaCode(es.head, "punycodeDecode"), Literal("")))),
+    "tryIdnaEncode" -> (es => Coalesce(Seq(
+      IdnaCode(es.head, "idnaEncode"), Literal("")))),
     "formatReadableTimeDelta" -> (es =>
       FormatTimeDelta(Cast(es.head, DoubleType),
         if (es.size > 1) es(1) else Literal("years"))),
@@ -4014,6 +4043,15 @@ object CHFunctions {
       fn("exists", es(1), LambdaFunction(
         Contains(fn("lower", es.head), fn("lower", x)), Seq(x)))
     }),
+    "multiSearchAnyUTF8" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("needle"))
+      fn("exists", es(1), LambdaFunction(Contains(es.head, x), Seq(x)))
+    }),
+    "multiSearchAnyCaseInsensitiveUTF8" -> (es => {
+      val x = UnresolvedNamedLambdaVariable(Seq("needle"))
+      fn("exists", es(1), LambdaFunction(
+        Contains(fn("lower", es.head), fn("lower", x)), Seq(x)))
+    }),
     // empty needle guarded: ClickHouse returns 0, while an unguarded
     // divide-by-length would be an ANSI runtime error in Spark 4
     "countSubstrings" -> (es =>
@@ -4042,6 +4080,13 @@ object CHFunctions {
       NgramSearch(fn("lower", es.head), fn("lower", es(1)))),
     // asymmetric needle-in-haystack 4-gram containment
     "ngramSearch" -> (es => NgramSearch(es.head, es(1))),
+    // UTF8 twins (the n-gram walk is already code-point based)
+    "ngramSearchUTF8" -> (es => NgramSearch(es.head, es(1))),
+    "ngramDistanceUTF8" -> (es => NgramDistance(es.head, es(1))),
+    "ngramSearchCaseInsensitiveUTF8" -> (es =>
+      NgramSearch(fn("lower", es.head), fn("lower", es(1)))),
+    "ngramDistanceCaseInsensitiveUTF8" -> (es =>
+      NgramDistance(fn("lower", es.head), fn("lower", es(1)))),
     // CH's byte-exact Levenshtein names resolve to Spark's builtin
     // (which also takes the optional threshold argument)
     "editDistance" -> (es => fn("levenshtein", es: _*)),
@@ -4187,6 +4232,32 @@ object CHFunctions {
     // 'news.yandex.com.tr' → 'yandex.com.tr', 'a.gov.uk' → 'a.gov.uk'
     "cutToFirstSignificantSubdomain" -> (es =>
       CutToFirstSignificantSubdomain(urlField(es.head, 1))),
+    // the WithWWW twin keeps a leading www. if the input host had one
+    "cutToFirstSignificantSubdomainWithWWW" -> (es => {
+      val host = urlField(es.head, 1)
+      val cut = CutToFirstSignificantSubdomain(host)
+      If(fn("startswith", host, Literal("www.")),
+        Concat(Seq(Literal("www."), cut)), cut)
+    }),
+    // RFC 3986 strict twins: one parser here — same reading
+    "cutToFirstSignificantSubdomainRFC" -> (es =>
+      CutToFirstSignificantSubdomain(urlField(es.head, 1))),
+    "firstSignificantSubdomainRFC" -> (es =>
+      byName("firstSignificantSubdomain")(es)),
+    "domainRFC" -> (es => byName("domain")(es)),
+    "domainWithoutWWWRFC" -> (es => byName("domainWithoutWWW")(es)),
+    "topLevelDomainRFC" -> (es => byName("topLevelDomain")(es)),
+    // port(url[, default]): the explicit port in the authority, else
+    // the caller's default (CH defaults 0 — no scheme inference)
+    "port" -> (es => {
+      val auth = fn("parse_url", es.head, Literal("AUTHORITY"))
+      val p = fn("regexp_extract", auth, Literal(":([0-9]+)$"), Literal(1))
+      val dflt: Expression =
+        if (es.size > 1) Cast(es(1), IntegerType) else Literal(0)
+      If(Or(IsNull(p), EqualTo(p, Literal(""))), dflt,
+        Cast(p, IntegerType))
+    }),
+    "portRFC" -> (es => byName("port")(es)),
     // parameter lists over the parsed query string
     "extractURLParameters" -> (es => {
       val p = UnresolvedNamedLambdaVariable(Seq("p"))
@@ -4475,6 +4546,42 @@ object CHFunctions {
     }),
     "multiSearchFirstIndex" -> (es => multiSearchBest(es.head, es(1), wantIdx = true)),
     "multiSearchFirstPosition" -> (es => multiSearchBest(es.head, es(1), wantIdx = false)),
+    // the full multiSearch suffix cross-product (r19 self-sweep):
+    // UTF8 forms are identical here (Spark strings ARE code-point
+    // addressed), CaseInsensitive forms pre-lower haystack + needles
+    "multiSearchFirstIndexUTF8" -> (es =>
+      multiSearchBest(es.head, es(1), wantIdx = true)),
+    "multiSearchFirstPositionUTF8" -> (es =>
+      multiSearchBest(es.head, es(1), wantIdx = false)),
+    "multiSearchFirstIndexCaseInsensitive" -> (es =>
+      multiSearchBest(fn("lower", es.head), loweredArr(es(1)),
+        wantIdx = true)),
+    "multiSearchFirstIndexCaseInsensitiveUTF8" -> (es =>
+      multiSearchBest(fn("lower", es.head), loweredArr(es(1)),
+        wantIdx = true)),
+    "multiSearchFirstPositionCaseInsensitive" -> (es =>
+      multiSearchBest(fn("lower", es.head), loweredArr(es(1)),
+        wantIdx = false)),
+    "multiSearchFirstPositionCaseInsensitiveUTF8" -> (es =>
+      multiSearchBest(fn("lower", es.head), loweredArr(es(1)),
+        wantIdx = false)),
+    "multiSearchAllPositionsUTF8" -> (es => {
+      val nd = UnresolvedNamedLambdaVariable(Seq("nd"))
+      ArrayTransform(es(1), LambdaFunction(
+        Cast(fn("locate", nd, es.head), LongType), Seq(nd)))
+    }),
+    "multiSearchAllPositionsCaseInsensitive" -> (es => {
+      val nd = UnresolvedNamedLambdaVariable(Seq("nd"))
+      ArrayTransform(es(1), LambdaFunction(
+        Cast(fn("locate", fn("lower", nd), fn("lower", es.head)),
+          LongType), Seq(nd)))
+    }),
+    "multiSearchAllPositionsCaseInsensitiveUTF8" -> (es => {
+      val nd = UnresolvedNamedLambdaVariable(Seq("nd"))
+      ArrayTransform(es(1), LambdaFunction(
+        Cast(fn("locate", fn("lower", nd), fn("lower", es.head)),
+          LongType), Seq(nd)))
+    }),
 
     // histogram(N)(x): the adaptive streaming histogram (public
     // Ben-Haim/Tom-Tov algorithm, the one CH documents for its
@@ -4794,6 +4901,22 @@ object CHFunctions {
         case _ => false
       })))
     }),
+    // the Dense twin, same flat-depth contract (r19 self-sweep)
+    "arrayEnumerateDenseRanked" -> (es => {
+      val depthArg = es.exists(e => e.foldable && (e.eval() match {
+        case n: Number => n.intValue() > 1
+        case _ => false
+      })) && es.size > 1
+      if (depthArg) throw new IllegalArgumentException(
+        "arrayEnumerateDenseRanked with depth > 1 (nested-array inner " +
+          "enumeration) is not supported — flatten the inner level or " +
+          "use arrayMap(a -> arrayEnumerateDense(a), nested)")
+      byName("arrayEnumerateDense")(es.filterNot(e =>
+        e.foldable && (e.eval() match {
+          case n: Number => n.intValue() == 1
+          case _ => false
+        })))
+    }),
     // quantileDD(rel_acc, q)(x): DDSketch stand-in over Spark's
     // approximate percentile — the accuracy knob maps to the
     // t-digest-style precision parameter (1/rel_acc)
@@ -4968,6 +5091,41 @@ object CHFunctions {
     "tryBase32Decode" -> (es => Base32(es.head, Base32.TryDecode)),
     "parseTimeDelta" -> (es => ParseTimeDelta(es.head)),
     // special functions over the shared StatTests numerics
+    // Spark 4's native UTF-8 validators under the CH spelling
+    // (toValidUTF8 is registered in the string block above)
+    "isValidUTF8" -> (es => fn("is_valid_utf8", es.head)),
+    // detectLanguage: the SAME deterministic stopword-profile heuristic
+    // the text_langid pipeline operator uses (TextOps.scala:78) as a
+    // scalar — CJK chars trump, then marker-hit argmax with the fixed
+    // en > fr > es > de tie-break, 'un' when no marker hits (CH's
+    // unknown spelling)
+    "detectLanguage" -> (es => {
+      val txt = es.head
+      val markers = Seq(
+        "en" -> Seq("the", "a", "of", "and", "is"),
+        "fr" -> Seq("le", "la", "et", "les", "une"),
+        "es" -> Seq("el", "los", "una", "y", "es"),
+        "de" -> Seq("der", "die", "und", "das", "ist"))
+      def hits(ms: Seq[String]): Expression = {
+        val t = UnresolvedNamedLambdaVariable(Seq("dl"))
+        fn("size", ArrayFilter(
+          fn("split", fn("lower", txt), Literal("[^a-z]+")),
+          LambdaFunction(In(t, ms.map(Literal(_))), Seq(t))))
+      }
+      val Seq(en, fr, esx, de) = markers.map(m => hits(m._2))
+      val cjk = fn("size", fn("regexp_extract_all", txt,
+        Literal("[\\u4e00-\\u9fff]"), Literal(0)))
+      val best = fn("greatest", en, fr, esx, de)
+      CaseWhen(Seq(
+        (GreaterThan(cjk, Literal(0)): Expression) -> Literal("zh"),
+        (EqualTo(best, Literal(0)): Expression) -> Literal("un"),
+        (EqualTo(en, best): Expression) -> Literal("en"),
+        (EqualTo(fr, best): Expression) -> Literal("fr"),
+        (EqualTo(esx, best): Expression) -> Literal("es")),
+        Some(Literal("de")))
+    }),
+    "sigmoid" -> (es => Divide(Literal(1.0),
+      Add(Literal(1.0), fn("exp", UnaryMinus(Cast(es.head, DoubleType)))))),
     "erf" -> (es => MathFn1("erf", Cast(es.head, DoubleType))),
     "erfc" -> (es => MathFn1("erfc", Cast(es.head, DoubleType))),
     "lgamma" -> (es => MathFn1("lgamma", Cast(es.head, DoubleType))),
@@ -4997,19 +5155,14 @@ object CHFunctions {
     // hasSubsequence: needle characters appear in order (not
     // necessarily adjacent) — a codegen'd fold tracking how much of
     // the needle has been consumed
-    "hasSubsequence" -> (es => {
-      val (acc, c, fin) = lambdaVars
-      val hay = fn("split", es.head, Literal(""))
-      val nLen = fn("length", es(1))
-      val nextChar = fn("substring", es(1), Add(acc, Literal(1)), Literal(1))
-      val step = If(And(LessThan(acc, nLen), EqualTo(c, nextChar)),
-        Add(acc, Literal(1)), acc)
-      EqualTo(
-        ArrayAggregate(hay, Literal(0),
-          LambdaFunction(step, Seq(acc, c)),
-          LambdaFunction(fin, Seq(fin))),
-        nLen)
-    }),
+    "hasSubsequence" -> (es => hasSubseq(es.head, es(1))),
+    // suffix cross-product (r19 self-sweep): UTF8 is the same
+    // code-point walk; CaseInsensitive pre-lowers both sides
+    "hasSubsequenceUTF8" -> (es => hasSubseq(es.head, es(1))),
+    "hasSubsequenceCaseInsensitive" -> (es =>
+      hasSubseq(fn("lower", es.head), fn("lower", es(1)))),
+    "hasSubsequenceCaseInsensitiveUTF8" -> (es =>
+      hasSubseq(fn("lower", es.head), fn("lower", es(1)))),
     "toMillisecond" -> (es => Cast(
       fn("pmod", fn("unix_millis",
         Cast(es.head, org.apache.spark.sql.types.TimestampType)),
@@ -5067,6 +5220,17 @@ object CHFunctions {
     "hasTokenCaseInsensitive" -> (es =>
       fn("array_contains", byName("tokens")(Seq(fn("lower", es.head))),
         fn("lower", es(1)))),
+    // OrNull twins: a needle that is not one whole token (contains a
+    // separator) answers NULL instead of erroring (CH's contract)
+    "hasTokenOrNull" -> (es =>
+      If(RLike(es(1), Literal("^[A-Za-z0-9]+$")),
+        fn("array_contains", byName("tokens")(Seq(es.head)), es(1)),
+        Literal(null, org.apache.spark.sql.types.BooleanType))),
+    "hasTokenCaseInsensitiveOrNull" -> (es =>
+      If(RLike(es(1), Literal("^[A-Za-z0-9]+$")),
+        fn("array_contains", byName("tokens")(Seq(fn("lower", es.head))),
+          fn("lower", es(1))),
+        Literal(null, org.apache.spark.sql.types.BooleanType))),
     "hasAnyTokens" -> (es =>
       fn("arrays_overlap", byName("tokens")(Seq(es.head)), es(1))),
     "hasAllTokens" -> (es => {
@@ -5545,6 +5709,14 @@ object CHFunctions {
 
     // ---- round-13 wave 3 (probe-driven) ----
     "substringIndex" -> (es => fn("substring_index", es: _*)),
+    "substringIndexUTF8" -> (es => fn("substring_index", es: _*)),
+    // truncate at the first NUL byte (CH's C-string reading)
+    "toStringCutToZero" -> (es =>
+      fn("substring_index", Cast(es.head, StringType),
+        Literal("\u0000"), Literal(1))),
+    // arrayLevenshteinDistance(a, b): DP edit distance over elements
+    "arrayLevenshteinDistance" -> (es =>
+      ArrayLevenshtein(es.head, es(1))),
     // farmFingerprint64 joins the xxhash64 stand-in family (same
     // documented deviation as cityHash64/sipHash64: a STABLE 64-bit
     // hash under the CH name, not the reference bit pattern — seeds
@@ -5656,6 +5828,11 @@ object CHFunctions {
       TupleArith(es.head, es(1), TupleArith.Multiply)),
     "tupleDivide" -> (es => TupleArith(es.head, es(1), TupleArith.Divide)),
     "tupleNegate" -> (es => TupleArith(es.head, es.head, TupleArith.Negate)),
+    // scalar-broadcast twins: the number applies to every field
+    "tupleMultiplyByNumber" -> (es =>
+      TupleArith(es.head, es(1), TupleArith.Multiply)),
+    "tupleDivideByNumber" -> (es =>
+      TupleArith(es.head, es(1), TupleArith.Divide)),
 
     // arrayPartialSort(k, arr): CH promises the k smallest sorted in
     // front, remainder unspecified — a full sort satisfies the

@@ -112,10 +112,13 @@ object IdnaCode {
           val ace = java.net.IDN.toASCII(s)
           if (ace.startsWith("xn--")) ace.substring(4) else ace
         case _ => // punycodeDecode
-          java.net.IDN.toUnicode(if (sIn.toString.startsWith("xn--")) s
-            else "xn--" + s)
+          val dec = java.net.IDN.toUnicode(
+            if (sIn.toString.startsWith("xn--")) s else "xn--" + s)
+          // IDN.toUnicode returns its INPUT unchanged on a failed
+          // decode rather than throwing — surface that as a miss
+          if (dec.startsWith("xn--")) null else dec
       }
-      UTF8String.fromString(out)
+      if (out == null) null else UTF8String.fromString(out)
     } catch {
       case _: IllegalArgumentException => null
     }
@@ -429,6 +432,69 @@ case class ChToUnixTz(child: Expression, tz: Expression)
   override def prettyName: String = "toUnixTimestamp"
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): ChToUnixTz = copy(child = l, tz = r)
+}
+
+/** arrayLevenshteinDistance(a, b): classic two-row DP edit distance
+  * over ARRAY ELEMENTS (null-safe equality; numeric elements compare
+  * by value across integer widths). Interpreted eval — a per-row
+  * scalar on already-deserialized arrays, not a scan hot path. */
+case class ArrayLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "arrayLevenshteinDistance"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (_: ArrayType, _: ArrayType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckSuccess
+      case (a, b) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"arrayLevenshteinDistance expects two arrays, got " +
+              s"${a.sql} and ${b.sql}")
+    }
+
+  private def elems(v: Any, t: DataType): Array[AnyRef] =
+    v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toObjectArray(t.asInstanceOf[ArrayType].elementType)
+
+  private def same(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (null, _) | (_, null) => false
+    case (x: Number, y: Number) => x.doubleValue() == y.doubleValue()
+    case (x, y) => x == y
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = elems(l, left.dataType)
+    val b = elems(r, right.dataType)
+    if (a.isEmpty) return b.length.toLong
+    if (b.isEmpty) return a.length.toLong
+    var prev = Array.tabulate(b.length + 1)(_.toLong)
+    var cur = new Array[Long](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      cur(0) = i.toLong
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (same(a(i - 1), b(j - 1))) 0L else 1L
+        cur(j) = math.min(math.min(cur(j - 1) + 1L, prev(j) + 1L),
+          prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(b.length)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ArrayLevenshtein =
+    copy(left = l, right = r)
 }
 
 /** ClickHouse's moving-sum accumulation type: integral (and

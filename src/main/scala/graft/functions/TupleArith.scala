@@ -28,6 +28,11 @@ case class TupleArith(left: Expression, right: Expression, op: Int)
   private def fields(e: Expression): Seq[StructField] =
     e.dataType.asInstanceOf[StructType].fields.toSeq
 
+  /** tupleMultiplyByNumber/tupleDivideByNumber: the right operand is
+    * a SCALAR broadcast across every field. */
+  private def scalarRight: Boolean =
+    !right.dataType.isInstanceOf[StructType]
+
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (a: StructType, b: StructType) =>
@@ -36,6 +41,11 @@ case class TupleArith(left: Expression, right: Expression, op: Int)
             s"$prettyName needs same-arity tuples, got ${a.size} and ${b.size}")
         else if ((a.fields ++ b.fields).forall(
           _.dataType.isInstanceOf[NumericType]))
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName needs numeric tuple fields")
+      case (a: StructType, b: NumericType) =>
+        if (a.fields.forall(_.dataType.isInstanceOf[NumericType]))
           TypeCheckResult.TypeCheckSuccess
         else TypeCheckResult.TypeCheckFailure(
           s"$prettyName needs numeric tuple fields")
@@ -55,23 +65,33 @@ case class TupleArith(left: Expression, right: Expression, op: Int)
       } else DoubleType
     }
 
-  override def dataType: DataType = StructType(
-    fields(left).zip(fields(right)).zipWithIndex.map {
-      case ((a, b), i) =>
-        StructField(s"_${i + 1}", fieldType(a.dataType, b.dataType),
-          a.nullable || b.nullable)
+  override def dataType: DataType =
+    if (scalarRight) StructType(fields(left).zipWithIndex.map {
+      case (a, i) =>
+        StructField(s"_${i + 1}", fieldType(a.dataType, right.dataType),
+          a.nullable)
     })
+    else StructType(
+      fields(left).zip(fields(right)).zipWithIndex.map {
+        case ((a, b), i) =>
+          StructField(s"_${i + 1}", fieldType(a.dataType, b.dataType),
+            a.nullable || b.nullable)
+      })
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val lr = l.asInstanceOf[InternalRow]
-    val rr = r.asInstanceOf[InternalRow]
     val lf = fields(left)
-    val rf = fields(right)
+    val rf =
+      if (scalarRight) lf.map(_.copy(dataType = right.dataType))
+      else fields(right)
+    val rr = if (scalarRight) null else r.asInstanceOf[InternalRow]
     val out = new Array[Any](lf.size)
     var i = 0
     while (i < lf.size) {
       val a = if (lr.isNullAt(i)) null else lr.get(i, lf(i).dataType)
-      val b = if (rr.isNullAt(i)) null else rr.get(i, rf(i).dataType)
+      val b =
+        if (scalarRight) r
+        else if (rr.isNullAt(i)) null else rr.get(i, rf(i).dataType)
       out(i) =
         if (a == null || b == null) null
         else fieldType(lf(i).dataType, rf(i).dataType) match {

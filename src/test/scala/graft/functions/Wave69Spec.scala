@@ -100,6 +100,88 @@ class Wave69Spec extends SparkSpec {
     assert(r.getLong(1) == 3L)
   }
 
+  test("wave 73 self-sweep strays: arrayLevenshtein, suffix cross-products") {
+    val r = one(
+      """SELECT arrayLevenshteinDistance([1, 2, 3], [1, 3]) AS d1,
+        |  arrayLevenshteinDistance(['a', 'b'], ['b', 'a']) AS d2,
+        |  arrayLevenshteinDistance([], [7, 8]) AS d3,
+        |  substringIndexUTF8('a.b.c', '.', 2) AS si,
+        |  toStringCutToZero(concat('ab', char(0), 'cd')) AS cz,
+        |  hasSubsequenceCaseInsensitive('ABCD', 'ad') AS hs,
+        |  hasSubsequenceUTF8('abcd', 'xd') AS hsn,
+        |  hasTokenOrNull('a b', 'a,') AS tn,
+        |  hasTokenCaseInsensitiveOrNull('a b', 'A') AS ty""".stripMargin)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == 2L)
+    assert(r.getString(3) == "a.b")
+    assert(r.getString(4) == "ab")
+    assert(r.getBoolean(5))
+    assert(!r.getBoolean(6))
+    assert(r.isNullAt(7))
+    assert(r.getBoolean(8))
+  }
+
+  test("multiSearch/ngram UTF8+CaseInsensitive cross-product and tuple-by-number") {
+    val r = one(
+      """SELECT
+        |  multiSearchFirstPositionCaseInsensitive('HELLO',
+        |    ['xx', 'ell']) AS m1,
+        |  multiSearchAllPositionsCaseInsensitive('HELLO', ['l']) AS m2,
+        |  multiSearchAnyUTF8('hello', ['ell']) AS m3,
+        |  multiSearchFirstIndexCaseInsensitiveUTF8('HELLO', ['ell']) AS m4,
+        |  ngramSearchUTF8('hello', 'hell') AS n1,
+        |  ngramDistanceCaseInsensitiveUTF8('A', 'a') AS n2,
+        |  tupleMultiplyByNumber((1, 2), 3).1 AS tm,
+        |  tupleDivideByNumber((4, 6), 2).2 AS td,
+        |  tryPunycodeDecode('zzz???') AS tp,
+        |  tryIdnaEncode('abc') AS ti""".stripMargin)
+    assert(r.get(0).toString == "2")
+    assert(r.getSeq[Any](1).map(_.toString) == Seq("3"))
+    assert(r.getBoolean(2))
+    assert(r.get(3).toString == "1")
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.0)
+    assert(r.get(6).toString == "3")
+    assert(r.get(7).toString == "3.0")
+    assert(r.getString(8) == "") // invalid punycode: '' not an error
+    assert(r.getString(9) == "abc")
+  }
+
+  test("wave 73b: sigmoid, port, WithWWW/RFC url twins, DenseRanked") {
+    val r = one(
+      """SELECT sigmoid(0.0) AS s,
+        |  port('http://h:8080/x') AS p1,
+        |  port('http://h/x') AS p0,
+        |  port('http://h/x', 443) AS pd,
+        |  cutToFirstSignificantSubdomainWithWWW('http://www.x.com/a') AS cw,
+        |  cutToFirstSignificantSubdomainWithWWW('http://a.x.com/a') AS cn,
+        |  domainRFC('http://a.b.com/x') AS dr,
+        |  topLevelDomainRFC('https://a.b.co.uk/x') AS tr,
+        |  arrayEnumerateDenseRanked([10, 20, 10]) AS ed""".stripMargin)
+    assert(r.getDouble(0) == 0.5)
+    assert(r.getInt(1) == 8080)
+    assert(r.getInt(2) == 0)
+    assert(r.getInt(3) == 443)
+    assert(r.getString(4) == "www.x.com")
+    assert(r.getString(5) == "x.com")
+    assert(r.getString(6) == "a.b.com")
+    assert(r.getString(7) == "uk")
+    assert(r.getSeq[Any](8).map(_.toString) == Seq("1", "2", "1"))
+  }
+
+  test("wave 73c: detectLanguage scalar rides the text_langid heuristic; isValidUTF8") {
+    val r = one(
+      """SELECT detectLanguage('the cat is on the mat and it is') AS en,
+        |  detectLanguage('le chat et les souris') AS fr,
+        |  detectLanguage('xyzzy qwerty') AS un,
+        |  isValidUTF8('abc') AS v""".stripMargin)
+    assert(r.getString(0) == "en")
+    assert(r.getString(1) == "fr")
+    assert(r.getString(2) == "un")
+    assert(r.getBoolean(3))
+  }
+
   test("IPv4/IPv6StringToNum OrNull/OrDefault rungs") {
     val r = one(
       """SELECT IPv4StringToNumOrNull('bad') AS n4,
