@@ -1159,6 +1159,38 @@ object CHFunctions {
     "uniqTheta" -> (es => HyperLogLogPlusPlus(uniqInput(es), relativeSD = 0.01)),
     // groupBitmap = exact distinct cardinality of an integer column
     "groupBitmap" -> (es => Count(es).toAggregateExpression(isDistinct = true)),
+    // the -State family over the engine's array-modeled bitmaps
+    // (bitmapBuild → sorted-distinct array): the state IS the bitmap,
+    // so bitmapCardinality/bitmapAnd/... compose directly. The And/
+    // Or/Xor aggregates fold a column of bitmaps; cardinality twins
+    // answer the CH result type (the count).
+    "groupBitmapState" -> (es =>
+      fn("array_sort", fn("collect_set", es.head))),
+    "groupBitmapOrState" -> (es =>
+      fn("array_sort", fn("array_distinct",
+        fn("flatten", fn("collect_list", es.head))))),
+    "groupBitmapAndState" -> (es => {
+      val l = fn("collect_list", es.head)
+      val (acc, x, fin) = lambdaVars
+      fn("array_sort", ArrayAggregate(
+        fn("slice", l, Literal(2), fn("size", l)),
+        ElementAt(l, Literal(1), None, failOnError = false),
+        LambdaFunction(fn("array_intersect", acc, x), Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin))))
+    }),
+    "groupBitmapXorState" -> (es => {
+      // symmetric difference fold: elements present in an ODD number
+      // of bitmaps
+      val l = fn("collect_list", es.head)
+      val (acc, x, fin) = lambdaVars
+      fn("array_sort", ArrayAggregate(
+        fn("slice", l, Literal(2), fn("size", l)),
+        ElementAt(l, Literal(1), None, failOnError = false),
+        LambdaFunction(fn("array_union",
+          fn("array_except", acc, x), fn("array_except", x, acc)),
+          Seq(acc, x)),
+        LambdaFunction(fin, Seq(fin))))
+    }),
     // simpleLinearRegression(x, y) -> (k, b) for y = k·x + b
     "simpleLinearRegression" -> (es => CreateStruct(Seq(
       fn("regr_slope", es(1), es.head),
@@ -1670,6 +1702,13 @@ object CHFunctions {
       val ddl = chTypeToDdl(constStringArg(es.last, "JSONExtractKeysAndValues type"))
       val raw = jsonNavigate(es.head, es.drop(1).dropRight(1))
       fn("map_entries", fn("from_json", raw, Literal(s"map<string,$ddl>")))
+    }),
+    // the Raw twin: values stay JSON text (nested objects verbatim;
+    // scalar strings unquote — the same reading as JSONExtractRaw's
+    // get_json_object path)
+    "JSONExtractKeysAndValuesRaw" -> (es => {
+      val raw = jsonNavigate(es.head, es.drop(1))
+      fn("map_entries", fn("from_json", raw, Literal("map<string,string>")))
     }),
 
     // array function family (ClickHouse names → Spark natives;
@@ -5779,6 +5818,17 @@ object CHFunctions {
     // from CH's Date + IntervalDay = Date)
     "toIntervalSecond" -> (es =>
       fn("make_dt_interval", Literal(0), Literal(0), Literal(0), es.head)),
+    // sub-second rungs: fractional-second intervals (nanoseconds
+    // truncate to micros — the engine's timestamp precision bound)
+    "toIntervalMillisecond" -> (es =>
+      fn("make_dt_interval", Literal(0), Literal(0), Literal(0),
+        Divide(Cast(es.head, DoubleType), Literal(1e3)))),
+    "toIntervalMicrosecond" -> (es =>
+      fn("make_dt_interval", Literal(0), Literal(0), Literal(0),
+        Divide(Cast(es.head, DoubleType), Literal(1e6)))),
+    "toIntervalNanosecond" -> (es =>
+      fn("make_dt_interval", Literal(0), Literal(0), Literal(0),
+        Divide(Cast(es.head, DoubleType), Literal(1e9)))),
     "toIntervalMinute" -> (es =>
       fn("make_dt_interval", Literal(0), Literal(0), es.head)),
     "toIntervalHour" -> (es => fn("make_dt_interval", Literal(0), es.head)),

@@ -182,6 +182,41 @@ class Wave69Spec extends SparkSpec {
     assert(r.getBoolean(3))
   }
 
+  test("wave 74: groupBitmap*State family over array-modeled bitmaps; KV raw") {
+    val r = one(
+      """SELECT groupBitmapAndState(b) AS a, groupBitmapOrState(b) AS o,
+        |  groupBitmapXorState(b) AS x,
+        |  bitmapCardinality(groupBitmapAndState(b)) AS ac
+        |FROM (SELECT [1, 2, 3] AS b UNION ALL SELECT [2, 3, 4])""".stripMargin)
+    assert(r.getSeq[Any](0).map(_.toString) == Seq("2", "3"))
+    assert(r.getSeq[Any](1).map(_.toString) == Seq("1", "2", "3", "4"))
+    assert(r.getSeq[Any](2).map(_.toString) == Seq("1", "4"))
+    assert(r.get(3).toString == "2")
+    val s = one(
+      """SELECT groupBitmapState(x) AS st, groupBitmap(x) AS c
+        |FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 1)""".stripMargin)
+    assert(s.getSeq[Any](0).map(_.toString) == Seq("1", "2"))
+    assert(s.get(1).toString == "2")
+    val kv = one(
+      """SELECT JSONExtractKeysAndValuesRaw('{"a":{"b":1},"c":2}') AS r""")
+    val entries = kv.getSeq[org.apache.spark.sql.Row](0)
+    assert(entries.map(e => (e.getString(0), e.getString(1))) ==
+      Seq(("a", """{"b":1}"""), ("c", "2")))
+  }
+
+  test("sub-second toInterval rungs shift timestamps fractionally") {
+    val r = one(
+      """SELECT toString(timestamp_seconds(0)
+        |    + toIntervalMillisecond(250)) AS ms,
+        |  toString(timestamp_seconds(0)
+        |    + toIntervalMicrosecond(1500)) AS us,
+        |  toString(timestamp_seconds(0)
+        |    + toIntervalNanosecond(2000000)) AS ns""".stripMargin)
+    assert(r.getString(0) == "1970-01-01 00:00:00.25")
+    assert(r.getString(1) == "1970-01-01 00:00:00.0015")
+    assert(r.getString(2) == "1970-01-01 00:00:00.002")
+  }
+
   test("IPv4/IPv6StringToNum OrNull/OrDefault rungs") {
     val r = one(
       """SELECT IPv4StringToNumOrNull('bad') AS n4,
