@@ -371,6 +371,14 @@ object CHFunctions {
   private def wallTz3(es: Seq[Expression]): Expression =
     if (es.size >= 3) ChToDateTimeTz(es.head, es(2)) else es.head
 
+  /** Display-parity timezone shift for INSTANT-returning bridges
+    * (fromUnixTimestamp64* and snowflakeToDateTime*): an optional
+    * zone at `es(idx)` shifts onto that zone's wall clock, same
+    * contract as toDateTime(epoch, tz). */
+  private def dispTz(e: Expression, es: Seq[Expression],
+      idx: Int): Expression =
+    if (es.size > idx) fn("from_utc_timestamp", e, es(idx)) else e
+
   /** Is this string a resolvable IANA/fixed-offset zone id? Used to
     * dispatch ambiguous string arguments (timezone vs format). */
   private def isZoneId(s: String): Boolean =
@@ -3666,9 +3674,15 @@ object CHFunctions {
       Multiply(fn("unix_micros",
         Cast(es.head, org.apache.spark.sql.types.TimestampType)),
         Literal(1000L))),
-    "fromUnixTimestamp64Milli" -> (es => fn("timestamp_millis", es.head)),
-    "fromUnixTimestamp64Micro" -> (es => fn("timestamp_micros", es.head)),
-    "fromUnixTimestamp64Second" -> (es => fn("timestamp_seconds", es.head)),
+    // optional 2nd argument: display parity — the epoch INSTANT
+    // shifts onto that zone's wall clock (same contract as
+    // toDateTime(epoch, tz); r19 sweep: it used to drop silently)
+    "fromUnixTimestamp64Milli" -> (es =>
+      dispTz(fn("timestamp_millis", es.head), es, 1)),
+    "fromUnixTimestamp64Micro" -> (es =>
+      dispTz(fn("timestamp_micros", es.head), es, 1)),
+    "fromUnixTimestamp64Second" -> (es =>
+      dispTz(fn("timestamp_seconds", es.head), es, 1)),
     "toUnixTimestamp64Second" -> (es => fn("unix_seconds",
       Cast(es.head, org.apache.spark.sql.types.TimestampType))),
     "addMilliseconds" -> (es => tsAddUnit("MILLISECOND", es(1), es.head)),
@@ -3692,9 +3706,9 @@ object CHFunctions {
     // Twitter-snowflake id ↔ time bridges (epoch 2010-11-04T01:42:54.657Z
     // = 1288834974657 ms; the timestamp rides bits 22-63)
     "snowflakeToDateTime" -> (es =>
-      fn("timestamp_seconds", IntegralDivide(
+      dispTz(fn("timestamp_seconds", IntegralDivide(
         Add(fn("shiftright", es.head, Literal(22)), Literal(1288834974657L)),
-        Literal(1000L)))),
+        Literal(1000L))), es, 1)),
     "dateTimeToSnowflake" -> (es =>
       fn("shiftleft",
         Subtract(fn("unix_millis",
@@ -3706,9 +3720,9 @@ object CHFunctions {
     "snowflakeIDToDateTime" -> (es => {
       val epoch = if (es.size > 1) Cast(es(1), LongType)
         else Literal(1288834974657L)
-      fn("timestamp_seconds", IntegralDivide(
+      dispTz(fn("timestamp_seconds", IntegralDivide(
         Add(fn("shiftright", es.head, Literal(22)), epoch),
-        Literal(1000L)))
+        Literal(1000L))), es, 2)
     }),
     "dateTimeToSnowflakeID" -> (es => {
       val epoch = if (es.size > 1) Cast(es(1), LongType)
@@ -3721,17 +3735,17 @@ object CHFunctions {
     }),
     // the 64 spellings keep MILLISECOND precision (DateTime64(3))
     "snowflakeToDateTime64" -> (es => {
-      val e = fn("timestamp_millis",
+      val e = dispTz(fn("timestamp_millis",
         Add(fn("shiftright", es.head, Literal(22)),
-          Literal(1288834974657L)))
+          Literal(1288834974657L))), es, 1)
       e.setTagValue(chDeclaredTypeTag, "DateTime64(3)")
       e
     }),
     "snowflakeIDToDateTime64" -> (es => {
       val epoch = if (es.size > 1) Cast(es(1), LongType)
         else Literal(1288834974657L)
-      val e = fn("timestamp_millis",
-        Add(fn("shiftright", es.head, Literal(22)), epoch))
+      val e = dispTz(fn("timestamp_millis",
+        Add(fn("shiftright", es.head, Literal(22)), epoch)), es, 2)
       e.setTagValue(chDeclaredTypeTag, "DateTime64(3)")
       e
     }),
@@ -3762,7 +3776,8 @@ object CHFunctions {
         LambdaFunction(fn("timestamp_seconds", t), Seq(t)))
     }),
     "fromUnixTimestamp64Nano" -> (es =>
-      fn("timestamp_micros", IntegralDivide(es.head, Literal(1000L)))),
+      dispTz(fn("timestamp_micros",
+        IntegralDivide(es.head, Literal(1000L))), es, 1)),
     "toRelativeSecondNum" -> (es => fn("unix_timestamp", es.head)),
     "toRelativeMinuteNum" -> (es => relativeNum(wallTz(es), 60L)),
     "toRelativeHourNum" -> (es => relativeNum(wallTz(es), 3600L)),

@@ -72,6 +72,31 @@ class ChronoTzSweepSpec extends SparkSpec {
     }
   }
 
+  test("epoch-bridge display timezones shift the wall clock") {
+    // fromUnixTimestamp64* and snowflakeToDateTime* take an optional
+    // display zone (instants shift, the toDateTime(epoch, tz)
+    // contract); Kathmandu's :45 cannot be faked by a dropped zone
+    val r = one(
+      """SELECT
+        |  toString(fromUnixTimestamp64Milli(1704067200123,
+        |    'Asia/Kathmandu')) AS ms,
+        |  toString(fromUnixTimestamp64Second(1704067200,
+        |    'Asia/Kathmandu')) AS s,
+        |  toString(fromUnixTimestamp64Nano(1704067200123456000,
+        |    'Asia/Kathmandu')) AS ns,
+        |  toString(snowflakeToDateTime(
+        |    dateTimeToSnowflake(toDateTime('2024-01-01 00:00:00')),
+        |    'Asia/Kathmandu')) AS sf,
+        |  toString(snowflakeIDToDateTime(
+        |    dateTimeToSnowflakeID(toDateTime('2024-01-01 00:00:00')),
+        |    1288834974657, 'Asia/Kathmandu')) AS sfid""".stripMargin)
+    assert(r.getString(0) == "2024-01-01 05:45:00.123")
+    assert(r.getString(1) == "2024-01-01 05:45:00")
+    assert(r.getString(2) == "2024-01-01 05:45:00.123456")
+    assert(r.getString(3) == "2024-01-01 05:45:00")
+    assert(r.getString(4) == "2024-01-01 05:45:00")
+  }
+
   test("dateDiff/age 4th-argument zone moves a calendar-unit answer") {
     val r = one(
       s"""SELECT dateDiff('day', toDateTime('2023-12-31 10:00:00'),
