@@ -173,6 +173,13 @@ object QueryGuard {
       "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
     val showDbs = ("(?is)^SHOW\\s+DATABASES" +
       "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
+    // CH's SHOW FUNCTIONS / SHOW SETTINGS / SHOW PROCESSLIST serve
+    // from the system.* surface (Spark's SHOW FUNCTIONS shape lists
+    // builtins in a `function` column; CH users expect `name`)
+    val showFns = ("(?is)^SHOW\\s+FUNCTIONS" +
+      "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
+    val showSettings = ("(?is)^SHOW\\s+(?:CHANGED\\s+)?SETTINGS" +
+      "(?:\\s+(NOT\\s+)?(I?)LIKE\\s+'([^']*)')?(?:\\s+LIMIT\\s+(\\d+))?$").r
     def likeFilter(df: org.apache.spark.sql.DataFrame, not: String,
         i: String, pat: String, limit: String)
         : org.apache.spark.sql.DataFrame = {
@@ -201,6 +208,16 @@ object QueryGuard {
         val yes = spark.catalog.tableExists(bare(name0))
         Some(Seq(if (yes) 1 else 0).toDF("result")
           .selectExpr("CAST(result AS TINYINT) AS result"))
+      case showFns(not, i, pat, limit) =>
+        val base = plan(spark,
+          "SELECT name FROM system.functions WHERE origin = 'graft'")
+        Some(likeFilter(base, not, i, pat, limit))
+      case showSettings(not, i, pat, limit) =>
+        val base = plan(spark, "SELECT name, value FROM system.settings")
+        Some(likeFilter(base, not, i, pat, limit))
+      case t0 if t0.toUpperCase(java.util.Locale.ROOT)
+          .matches("SHOW\\s+PROCESSLIST") =>
+        Some(plan(spark, "SELECT * FROM system.processes"))
       case showTables(from, not, i, pat, limit) =>
         val base = spark.sql(
           if (from != null) s"SHOW TABLES FROM ${bare(from)}"
@@ -1122,6 +1139,7 @@ object QueryGuard {
     typed = rewriteColonTypes(typed)
     typed = rewriteSystemQualifiers(typed)
     typed = rewriteCollate(typed)
+    typed = rewriteOffsetFetch(typed)
     // PREWHERE → WHERE at any depth, and CH's GLOBAL distribution hint
     // (GLOBAL IN / GLOBAL JOIN — identical semantics on one engine;
     // Spark's planner owns the broadcast decision) dropped when it
@@ -1804,6 +1822,35 @@ object QueryGuard {
         }
       }
     }
+    out
+  }
+
+  /** ANSI/CH `[OFFSET n ROWS] FETCH FIRST|NEXT m ROWS ONLY|WITH TIES`
+    * — Spark's grammar has OFFSET and LIMIT but not the FETCH form
+    * (bare PARSE_SYNTAX_ERROR at 'ROWS'). Rewrite onto the LIMIT
+    * spellings the engine already serves: ONLY → `LIMIT n, m`
+    * (CH's offset-comma form), WITH TIES → the LIMIT ... WITH TIES
+    * shim (zero-offset only — ties + offset has no LIMIT spelling). */
+  private def rewriteOffsetFetch(sql: String): String = {
+    val full = ("(?is)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\s+FETCH\\s+" +
+      "(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+(ONLY|WITH\\s+TIES)").r
+    val bare = ("(?is)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+" +
+      "(ONLY|WITH\\s+TIES)").r
+    var out = full.replaceAllIn(sql, m => {
+      val ties = m.group(3).toUpperCase(java.util.Locale.ROOT)
+        .startsWith("WITH")
+      if (ties && m.group(1).toInt != 0)
+        throw new ReadOnlyViolation(
+          "OFFSET ... FETCH ... WITH TIES with a non-zero offset is " +
+            "not supported — use LIMIT k WITH TIES over a pre-offset " +
+            "subquery")
+      if (ties) s"LIMIT ${m.group(2)} WITH TIES"
+      else s"LIMIT ${m.group(1)}, ${m.group(2)}"
+    })
+    out = bare.replaceAllIn(out, m =>
+      if (m.group(2).toUpperCase(java.util.Locale.ROOT).startsWith("WITH"))
+        s"LIMIT ${m.group(1)} WITH TIES"
+      else s"LIMIT ${m.group(1)}")
     out
   }
 

@@ -55,6 +55,39 @@ class Wave32Spec extends SparkSpec {
     assert(d.exists(_.getString(0) == "default"))
   }
 
+  test("SHOW FUNCTIONS / SETTINGS / PROCESSLIST serve CH shapes") {
+    val f = rows("SHOW FUNCTIONS LIKE 'toStartOf%'")
+    assert(f.head.schema.fieldNames.toSeq == Seq("name"))
+    assert(f.map(_.getString(0)).contains("toStartOfDay"))
+    val st = rows("SHOW SETTINGS LIKE '%timezone%'")
+    assert(st.head.schema.fieldNames.toSeq == Seq("name", "value"))
+    assert(st.exists(_.getString(0) == "session_timezone"))
+    val p = rows("SHOW PROCESSLIST")
+    assert(p.isEmpty ||
+      p.head.schema.fieldNames.contains("query"))
+  }
+
+  test("OFFSET ... FETCH rewrites onto the LIMIT forms") {
+    val r = rows(
+      """SELECT o_orderkey FROM orders ORDER BY o_orderkey
+        |OFFSET 3 ROWS FETCH FIRST 2 ROWS ONLY""".stripMargin)
+    assert(r.map(_.getLong(0)).toSeq == Seq(3L, 4L))
+    val bare = rows(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey " +
+        "FETCH NEXT 2 ROWS ONLY")
+    assert(bare.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    // WITH TIES rides the existing LIMIT ... WITH TIES shim
+    val ties = rows(
+      "SELECT o_orderkey % 3 AS g FROM orders ORDER BY g " +
+        "FETCH FIRST 1 ROWS WITH TIES")
+    assert(ties.nonEmpty && ties.forall(_.getLong(0) == 0L))
+    assert(ties.length > 1)
+    val e = intercept[Exception](rows(
+      "SELECT o_orderkey FROM orders ORDER BY o_orderkey " +
+        "OFFSET 2 ROWS FETCH FIRST 2 ROWS WITH TIES"))
+    assert(e.getMessage.contains("WITH TIES"), e.getMessage)
+  }
+
   test("generateSeries is inclusive-stop in both directions; zeros counts") {
     assert(rows("SELECT * FROM generateSeries(2, 10, 3)")
       .map(_.getLong(0)).toSeq == Seq(2L, 5L, 8L))
