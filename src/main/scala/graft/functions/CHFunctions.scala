@@ -2564,6 +2564,11 @@ object CHFunctions {
     // flattened — rows' (k, v) pairs prune to the keep-list BEFORE the
     // mergeable map aggregate, so the partial state never carries
     // unwanted keys
+    // the WithOverflow twin keeps CH's narrow accumulation type; sums
+    // here already run in the wide Spark type, so the two spellings
+    // share the builder (wrap differences only bite past Int64 range)
+    "sumMapFilteredWithOverflow" -> (es =>
+      byName("sumMapFiltered")(es)),
     "sumMapFiltered" -> (es => {
       val k = UnresolvedNamedLambdaVariable(Seq("k"))
       val v = UnresolvedNamedLambdaVariable(Seq("v"))

@@ -2006,7 +2006,8 @@ object QueryGuard {
     "uniqcombined", "uniqcombined64", "topkif",
     "windowfunnel", "sequencematch", "sequencecount",
     "sequencematchevents", "sequencenextnode",
-    "summapfiltered", "largesttrianglethreebuckets", "lttb",
+    "summapfiltered", "summapfilteredwithoverflow",
+    "largesttrianglethreebuckets", "lttb",
     "exponentialmovingaverage", "exponentialtimedecayedsum",
     "exponentialtimedecayedcount", "exponentialtimedecayedavg",
     "exponentialtimedecayedmax",
