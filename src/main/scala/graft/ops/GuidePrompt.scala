@@ -204,7 +204,12 @@ object GuidePrompt {
       |served: SYNTAX returns the dialect-normalized statement (what
       |the engine actually plans — the right way to debug a pasted
       |query), the other modes return the engine's plan tree; one
-      |`explain` column, one row per line. `x IN [1, 2, 3]` reads the
+      |`explain` column, one row per line. The CH meta statements
+      |`SHOW TABLES|DATABASES|FUNCTIONS|SETTINGS [NOT] [I]LIKE '...'
+      |[LIMIT n]`, `SHOW PROCESSLIST`, `SHOW CREATE TABLE t` and
+      |`EXISTS t` answer CH's column shapes (one `name` column for
+      |the listings); ANSI `[OFFSET n ROWS] FETCH FIRST m ROWS
+      |ONLY|WITH TIES` rewrites onto the LIMIT forms. `x IN [1, 2, 3]` reads the
       |bracket as the membership list, as ClickHouse does. The
       |two-argument `CAST(x, 'Type')` call form, quoted units in
       |`dateAdd('day', n, d)` (and the dateSub spellings), and numeric
