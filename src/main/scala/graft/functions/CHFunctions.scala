@@ -1333,6 +1333,34 @@ object CHFunctions {
     "sumMerge" -> (es => fn("sum", es.head)),
     "countState" -> (es => fn("count", (if (es.isEmpty) Seq(Literal(1)) else es): _*)),
     "countMerge" -> (es => fn("sum", es.head)),
+    // min/max THEMSELVES (r20): same names, same semantics, but string
+    // inputs dispatch to the ObjectHashAggregate-friendly StringMinMax —
+    // a declarative Min/Max over a string demotes the whole aggregation
+    // (and every sibling aggregate) to SortAggregate. One-argument only,
+    // like the builtins they shadow.
+    "min" -> (es => {
+      if (es.size != 1) throw new IllegalArgumentException(
+        s"min expects 1 argument, got ${es.size}")
+      ChMinOrMax(es.head, isMin = true)
+    }),
+    "max" -> (es => {
+      if (es.size != 1) throw new IllegalArgumentException(
+        s"max expects 1 argument, got ${es.size}")
+      ChMinOrMax(es.head, isMin = false)
+    }),
+    // max_by/min_by (and everything routed onto them: argMax/argMin/
+    // argMaxIf/boundingRatio/ANY-join picks): same dispatch story —
+    // string VALUES demote the declarative MaxBy/MinBy to SortAggregate
+    "max_by" -> (es => {
+      if (es.size != 2) throw new IllegalArgumentException(
+        s"max_by expects 2 arguments, got ${es.size}")
+      ChMaxMinBy(es.head, es(1), isMax = true)
+    }),
+    "min_by" -> (es => {
+      if (es.size != 2) throw new IllegalArgumentException(
+        s"min_by expects 2 arguments, got ${es.size}")
+      ChMaxMinBy(es.head, es(1), isMax = false)
+    }),
     "minState" -> (es => fn("min", es.head)),
     "minMerge" -> (es => fn("min", es.head)),
     "maxState" -> (es => fn("max", es.head)),

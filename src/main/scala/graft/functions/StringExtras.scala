@@ -300,7 +300,41 @@ case class ChSubscript(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.RuntimeReplaceable {
 
-  import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, Coalesce, ElementAt, EqualTo, If, IsNull, Literal, Or}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, CaseWhen, Coalesce, CreateArray, ElementAt, EqualTo, If, IsNull, Literal, Or}
+
+  /** Plan-time pick for `CreateArray(...)[lit]` (looking through chained
+    * subscripts, so `matrix[1][2]` folds twice): same semantics as the
+    * runtime Coalesce construction — CreateArray is never NULL, a
+    * foldable index is never NULL, 1-based with negative-from-end, index
+    * 0 / out-of-range answer the element-type default. Folding here
+    * (r20) keeps only the accessed element's expression alive, so e.g. a
+    * corrMatrix cell access aggregates ONE corr instead of N² — and it
+    * sidesteps a Spark whole-stage-codegen bug where the subexpression
+    * elimination over the full CreateArray-of-aggregates emitted
+    * cross-function variable references that Janino rejects, silently
+    * degrading the whole aggregate stage to interpreted execution. */
+  private def staticPick(et: DataType, containsNull: Boolean,
+      idx: Expression): Option[Expression] = {
+    def through(e: Expression): Expression = e match {
+      case cs: ChSubscript if cs.childrenResolved => through(cs.replacement)
+      case other => other
+    }
+    val miss: Expression =
+      if (containsNull) Literal(null, et) else Literal.default(et)
+    (through(left), idx.foldable) match {
+      case (ca: CreateArray, true) =>
+        idx.eval() match {
+          case null => Some(Literal(null, et))
+          case i: Int =>
+            val n = ca.children.length
+            if (i > 0 && i <= n) Some(ca.children(i - 1))
+            else if (i < 0 && -i <= n) Some(ca.children(n + i))
+            else Some(miss) // index 0 or out of range: element default
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 
   override lazy val replacement: Expression = left.dataType match {
     case ArrayType(et, containsNull) =>
@@ -311,12 +345,13 @@ case class ChSubscript(left: Expression, right: Expression)
       // a NULL collection or NULL index PROPAGATES (CH's Nullable
       // rule) — only a real out-of-range/zero-index miss defaults.
       // The guard folds away for non-nullable operands.
-      If(Or(IsNull(left), IsNull(idx)), Literal(null, et),
-        Coalesce(Seq(
-          CaseWhen(Seq((EqualTo(idx, Literal(0)): Expression,
-            Literal(null, et): Expression)),
-            Some(ElementAt(left, idx, None, failOnError = false))),
-          miss)))
+      staticPick(et, containsNull, idx).getOrElse(
+        If(Or(IsNull(left), IsNull(idx)), Literal(null, et),
+          Coalesce(Seq(
+            CaseWhen(Seq((EqualTo(idx, Literal(0)): Expression,
+              Literal(null, et): Expression)),
+              Some(ElementAt(left, idx, None, failOnError = false))),
+            miss))))
     case m: MapType =>
       val key =
         if (right.dataType == m.keyType) right else Cast(right, m.keyType)

@@ -266,7 +266,12 @@ object Ann {
       .filter(col("crn") <= NProbe)
       .select(col("cell"), col("q_id"), col("qv"))
 
-    val scored = queries.join(assigned, "cell")
+    // probe set is NumQueries × NProbe rows BY CONTRACT — broadcast it
+    // (exactly like [[searchIndex]]) so the corpus-sized `assigned` side
+    // is never shuffled by `cell`: 16 distinct cell keys would funnel
+    // the whole corpus through ≤ 16 reducers (r20; the static plan
+    // showed SortMergeJoin with both sides exchanged on cell)
+    val scored = assigned.join(broadcast(queries), "cell")
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("neighbor"),
         round(dot("qv", "v"), 4).as("cos_sim"))

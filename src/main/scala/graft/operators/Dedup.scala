@@ -72,6 +72,7 @@ object Dedup {
       .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
   }
 
+
   /** Public signature surface: (doc_id, sig) minhash signatures. */
   def signatures(docs: DataFrame): DataFrame = {
     graft.functions.CHFunctions.register(docs.sparkSession)
@@ -193,9 +194,31 @@ object Dedup {
     val docs = Tables(s, dir, "documents")
     val sets = withShingles(docs)
       .select(col("doc_id"), array_distinct(col("shingles")).as("sset"))
-    candidatePairs(docs)
-      .join(sets.select(col("doc_id").as("doc_a"), col("sset").as("sa")), "doc_a")
-      .join(sets.select(col("doc_id").as("doc_b"), col("sset").as("sb")), "doc_b")
+    // ONE sets pass, ONE sets join (r20, guide §2.3/§3): the old shape
+    // joined `sets` twice (once per pair side), and since the candidate
+    // side's size is unknown to the planner it BROADCAST the corpus-wide
+    // shingle-set table twice — collect + rebroadcast of the widest
+    // intermediate in the pipeline, measured as ~2/3 of the query at
+    // sf1. Exploding each pair into its two (pair, doc_id) sides turns
+    // the verification into a single doc_id-keyed join the sets table
+    // flows through exactly once, then one tiny per-pair regroup.
+    val sides = candidatePairs(docs)
+      .select(col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+    // shuffle_hash hint: the planner sizes `sets` from the parquet
+    // FOOTER of documents (a few MB compressed) and broadcasts it — but
+    // the computed shingle-set arrays are ~50× the source bytes, so the
+    // broadcast build (driver collect + hash relation of the widest
+    // frame in the pipeline) measured 10-16 s of the query at sf1.
+    // Shuffled-hash keeps the build per-partition (sets/numPartitions),
+    // no driver round-trip, no sort of the wide arrays.
+    sides.join(sets.hint("shuffle_hash"), "doc_id")
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        first(when(col("doc_id") === col("doc_a"), col("sset")),
+          ignoreNulls = true).as("sa"),
+        first(when(col("doc_id") === col("doc_b"), col("sset")),
+          ignoreNulls = true).as("sb"))
       .select(col("doc_a"), col("doc_b"),
         round(size(array_intersect(col("sa"), col("sb"))).cast("double") /
           size(array_union(col("sa"), col("sb"))), 6).as("jaccard"))

@@ -80,12 +80,15 @@ object TextOps {
       lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
     }
     val Seq(en, fr, es, de) = scores.map(_._2)
-    val cjk = size(regexp_extract_all(col("text"), lit("[\\u4e00-\\u9fff]"), lit(0)))
+    // existence test only (r20): rlike stops at the first CJK hit;
+    // size(regexp_extract_all(...)) > 0 materialized an array of every
+    // match per row just to compare its length with zero
+    val hasCjk = col("text").rlike("[\\u4e00-\\u9fff]")
     val best = greatest(en, fr, es, de)
     Tables(s, dir, "documents")
       .select(
         col("doc_id"), col("lang").as("labeled_lang"),
-        when(cjk > 0, "zh")
+        when(hasCjk, "zh")
           .when(best === 0, "unknown")
           .when(en === best, "en")
           .when(fr === best, "fr")
