@@ -4216,6 +4216,16 @@ object CHFunctions {
     // array (native matcher loop; same counts as
     // size(regexp_extract_all(...)) at a fraction of the allocation)
     "countMatches" -> (es => CountMatches(es.head, es(1))),
+    // tokenSetCount: native one-pass membership counter over a string
+    // array (r20) — the codegen'd form of size(filter(arr, t -> t IN
+    // (...))), whose lambda Spark evaluates interpreted per element
+    "tokenSetCount" -> (es => TokenSetCount(es.head, es(1))),
+    // wordShingles: native word n-gram shingler (r20) — the codegen'd
+    // form of transform(sequence(...), i -> concat_ws(' ', slice(...)))
+    "wordShingles" -> (es => WordShingles(es.head, es(1))),
+    // rollingMd5: native md5-chain fold over a token array (r20) — the
+    // codegen'd form of aggregate(arr, '', (h, t) -> md5(concat(h, t)))
+    "rollingMd5" -> (es => RollingMd5(es.head)),
 
     // great-circle distance in meters (ClickHouse argument order
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's

@@ -60,6 +60,14 @@ case class SampleAgg(
     * combined input. The running total is tracked incrementally (a
     * per-row recount was a measured 5× regression on the bench). */
   private def add(buf: SampleAgg.Buf, key: (String, Long), n: Long): Unit = {
+    // full-buffer fast path (r20): a candidate ranking at-or-after the
+    // current worst would be inserted and immediately trimmed back out —
+    // identical surviving multiset, minus the TreeMap churn. (On equal
+    // keys the insert+trim nets zero too: the trim drops from the
+    // LARGEST rank, which is the candidate itself.)
+    if (buf.total >= k && n > 0 &&
+        implicitly[Ordering[(String, Long)]].compare(key, buf.m.lastKey) >= 0)
+      return
     buf.m.update(key, buf.m.getOrElse(key, 0L) + n)
     buf.total += n
     while (buf.total > k) {
@@ -141,11 +149,25 @@ object SampleAgg {
     var total: Long = 0L
   }
 
+  // r20: this runs once per input ROW — getInstance("MD5") per call and
+  // per-byte `f"%02x"` interpolation (a format-string parse + boxing per
+  // byte) dominated the update path. ThreadLocal digest + table-driven
+  // hex produce the identical string.
+  private val digestPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = digestPool.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }

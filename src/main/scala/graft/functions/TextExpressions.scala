@@ -608,3 +608,195 @@ object JsonArrayRaw {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   } catch { case _: Exception => null }
 }
+
+/** tokenSetCount(arr, 'a,b,c'): how many elements of `arr` are in the
+  * comma-separated literal set — the native one-pass form of
+  * `size(filter(arr, t -> t IN (...)))` (r20). Spark higher-order
+  * functions evaluate their lambda INTERPRETED per element, and the
+  * language-ID/quality operators ran four of them per row; this is one
+  * hash-set probe per token inside codegen. Identical semantics: null
+  * array → null, null elements never match, binary string equality. */
+case class TokenSetCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), StringType)
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "tokenSetCount"
+
+  @transient private lazy val setOrNull: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] =
+    right match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+            s: org.apache.spark.unsafe.types.UTF8String, StringType) if s != null =>
+        TokenSetCount.parse(s)
+      case _ => null
+    }
+
+  override def nullSafeEval(arr: Any, set: Any): Any = {
+    val s =
+      if (setOrNull != null) setOrNull
+      else TokenSetCount.parse(set.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+    TokenSetCount.count(arr.asInstanceOf[ArrayData], s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setCls = classOf[java.util.HashSet[_]].getName
+    val setRef = ctx.addReferenceObj("tscSet", setOrNull, setCls)
+    val set = ctx.freshName("tscSet")
+    nullSafeCodeGen(ctx, ev, (arr, s) =>
+      s"""
+         |$setCls $set = $setRef != null ? $setRef
+         |  : graft.functions.TokenSetCount.parse($s);
+         |${ev.value} = graft.functions.TokenSetCount.count($arr, $set);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TokenSetCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object TokenSetCount {
+
+  def parse(csv: org.apache.spark.unsafe.types.UTF8String)
+      : java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = {
+    val out = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    csv.toString.split(',').foreach(t =>
+      out.add(org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    out
+  }
+
+  def count(arr: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    var c = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i) && set.contains(arr.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
+/** wordShingles(arr, n): the word n-gram shingle array — the native
+  * one-pass form of
+  * `transform(sequence(1, greatest(size(arr)-(n-1), 1)), i ->
+  *    concat_ws(' ', slice(arr, i, n)))` (r20). The HOF formulation runs
+  * an interpreted lambda per shingle and allocates a slice array plus a
+  * concat per call; this emits the same strings in one loop. Exact
+  * semantics match, including the degenerate cases the old expression
+  * produced: fewer than n tokens yield ONE shingle of all tokens, an
+  * empty array yields [""], and null elements are skipped by the join
+  * (concat_ws's rule). */
+case class WordShingles(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType), IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "wordShingles"
+
+  override def nullSafeEval(arr: Any, n: Any): Any =
+    WordShingles.compute(arr.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (arr, n) =>
+      s"${ev.value} = graft.functions.WordShingles.compute($arr, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShingles {
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val total = arr.numElements()
+    val count = math.max(total - (n - 1), 1)
+    val out = new Array[Any](count)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, total)
+      var first = true
+      while (j < end) {
+        if (!arr.isNullAt(j)) { // concat_ws skips nulls
+          if (!first) sb.append(' ')
+          sb.append(arr.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** rollingMd5(arr): the order-sensitive rolling fingerprint
+  * `aggregate(arr, '', (h, t) -> md5(concat(h, t)))` as one native loop
+  * (r20). The HOF fold ran interpreted per token, re-encoding the
+  * 32-char running hex through UTF8String concat and Spark's md5
+  * expression each step; this keeps the digest and hex table local.
+  * Byte-identical chain: each step hashes the UTF-8 bytes of the
+  * previous hex rendering followed by the token. Null elements follow
+  * concat's rule (null token nulls the whole fold — concat(h, NULL) is
+  * NULL and md5(NULL) is NULL, which then propagates). */
+case class RollingMd5(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StringType
+  override def prettyName: String = "rollingMd5"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingMd5.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.RollingMd5.compute($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): RollingMd5 =
+    copy(child = newChild)
+}
+
+object RollingMd5 {
+
+  private val digestPool = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  def compute(arr: ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val md = digestPool.get()
+    var h = ""
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return null // concat(h, NULL) -> NULL -> md5 NULL
+      md.reset()
+      md.update(h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(arr.getUTF8String(i).getBytes)
+      val d = md.digest()
+      val out = new Array[Char](32)
+      var k = 0
+      while (k < 16) {
+        out(2 * k) = hexChars((d(k) >> 4) & 0xf)
+        out(2 * k + 1) = hexChars(d(k) & 0xf)
+        k += 1
+      }
+      h = new String(out)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(h)
+  }
+}

@@ -100,11 +100,17 @@ object Curation {
     * fingerprinted so the oracle proves the rewrite byte-identical
     * without hauling full text through the compare. */
   val piiScrub: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val scrubbed = scrubPatterns.foldLeft(col("text")) {
       case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
     }
+    // counting via the native one-pass matcher (r20): the old
+    // size(regexp_extract_all(...)) materialized an array of every match
+    // per row per pattern just to take its length. Same non-overlapping
+    // left-to-right scan, same INT column type (the cast).
     val counts = scrubPatterns.map { case (name, pat, _) =>
-      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as(s"n_$name")
+      expr(s"countMatches(text, '${pat.replace("\\", "\\\\")}')")
+        .cast("int").as(s"n_$name")
     }
     Tables(s, dir, "documents")
       .select(col("doc_id") +: counts :+
@@ -253,9 +259,18 @@ object Curation {
     graft.functions.CHFunctions.register(s)
     val docs = Tables(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    // pos from posexplode = 0-based start index of the span in toks
+    // pos from posexplode = 0-based start index of the span in toks.
+    // (r20 note: checkpointing spanH to dedupe its two consumers was
+    // tried and measured flat at sf0.1 — the duplicated spanKeys pass
+    // is not where this operator's time goes — so the recompute shape,
+    // which needs no materialization at 100 TB, stays.)
     val spanH = docs.select(col("doc_id"),
       posexplode(expr(s"spanKeys(toks, $SpanLen)")).as(Seq("pos", "h")))
+    // (r20 note: fusing the df aggregate and the position probe onto one
+    // (h, doc_id) exchange was tried and measured flat — column pruning
+    // strips the position list from the df copy, so the planner never
+    // reuses the exchange and the timing stays within noise of this
+    // simpler shape, which therefore stays.)
     val candHashes = spanH
       .groupBy("h")
       .agg(countDistinct("doc_id").as("df"))

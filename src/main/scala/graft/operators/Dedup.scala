@@ -42,14 +42,15 @@ object Dedup {
       .orderBy("keep_doc")
 
   /** Word 3-gram shingles of the normalized text (docs shorter than 3
-    * tokens get one whole-text shingle; `greatest` guards the degenerate
-    * `sequence(1,0)` which would count DOWN in Spark). */
-  private def withShingles(df: DataFrame): DataFrame =
+    * tokens get one whole-text shingle). r20: built by the native
+    * [[graft.functions.WordShingles]] — the former
+    * transform(sequence)/slice/concat_ws HOF ran an interpreted lambda
+    * and two allocations per shingle; same strings, one codegen'd loop. */
+  private def withShingles(df: DataFrame): DataFrame = {
+    graft.functions.CHFunctions.register(df.sparkSession)
     df.withColumn("toks", split(norm, " "))
-      .withColumn("shingles",
-        transform(
-          sequence(lit(1), greatest(size(col("toks")) - 2, lit(1))),
-          i => concat_ws(" ", slice(col("toks"), i, lit(3)))))
+      .withColumn("shingles", expr("wordShingles(toks, 3)"))
+  }
 
   /** Per-doc minhash signature via the native one-pass
     * [[graft.functions.MinHashSig]] expression (one md5 per shingle,
@@ -91,8 +92,10 @@ object Dedup {
     // eager checkpoint: the raw-text shingle+minhash pass is the
     // dominant cost of this operator — without it the sigs write, the
     // bands write and the bucket-size aggregate would each re-derive
-    // the lazy signature frame, scanning the corpus ~3x
-    val sig = signaturesFull(docs).localCheckpoint()
+    // the lazy signature frame, scanning the corpus ~3x. Narrowed to
+    // the consumed columns BEFORE checkpointing (r20): the full frame
+    // pinned text/toks/shingles too.
+    val sig = signaturesNarrow(docs).localCheckpoint()
     sig.select(col("doc_id"), col("sig"))
       .write.mode(mode).parquet(s"$indexDir/sigs")
     val bands = bandKeys(sig)
@@ -119,8 +122,9 @@ object Dedup {
     val spark = newDocs.sparkSession
     // eager checkpoint: the batch's shingle+minhash pass feeds BOTH
     // the band-key probe and the signature-agreement join — without
-    // it the raw batch text is re-shingled and re-hashed twice
-    val newSig = signaturesFull(newDocs).localCheckpoint()
+    // it the raw batch text is re-shingled and re-hashed twice.
+    // Narrowed to the consumed columns (r20), like saveNearDupIndex.
+    val newSig = signaturesNarrow(newDocs).localCheckpoint()
     // re-apply the bucket cap at READ time: each append enforced it
     // only within its own batch, so a degenerate key can accumulate
     // past maxBucket across appends — the cap must hold over the
@@ -156,6 +160,17 @@ object Dedup {
     graft.functions.CHFunctions.register(docs.sparkSession)
     withSignature(docs)
   }
+
+  /** The columns the index flows actually consume: doc_id, the sig
+    * array, and the band-key h-strings. localCheckpoint materializes a
+    * frame AS-IS (no downstream column pruning reaches through it), so
+    * checkpointing [[signaturesFull]] unprojected pinned text + toks +
+    * shingles — the whole raw corpus again, several times the useful
+    * payload (r20, guide §2.3). */
+  private def signaturesNarrow(docs: DataFrame): DataFrame =
+    signaturesFull(docs).select(
+      col("doc_id") +: col("sig") +:
+        (0 until NumHashes).map(h => col(s"h$h")): _*)
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key.
     *

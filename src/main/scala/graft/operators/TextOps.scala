@@ -43,7 +43,9 @@ object TextOps {
   val textQuality: Q = (s, dir) => {
     graft.functions.CHFunctions.register(s)
     val nTok = size(toks).cast("double")
-    val stopHits = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))
+    // native one-pass stopword counting (r20) — see textLangId
+    val stopHits =
+      expr(s"tokenSetCount(split(text, ' '), '${stopwords.mkString(",")}')")
     val punct = expr("countMatches(text, '[^a-zA-Z0-9 ]')")
     val distinctRatio = size(array_distinct(toks)) / nTok
     val stopRatio = stopHits / nTok
@@ -76,8 +78,12 @@ object TextOps {
     * fixed tie-break order (en > fr > es > de > unknown). Deterministic,
     * so the identical rule in DuckDB is an exact oracle. */
   val textLangId: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
+    // native one-pass marker counting (r20): the filter+isin HOF ran an
+    // interpreted lambda per token per language (4 passes/row); the
+    // codegen'd tokenSetCount is one hash-set probe per token
     val scores = langMarkers.map { case (lang, ms) =>
-      lang -> size(filter(toks, t => t.isin(ms.map(lit(_)): _*)))
+      lang -> expr(s"tokenSetCount(split(text, ' '), '${ms.mkString(",")}')")
     }
     val Seq(en, fr, es, de) = scores.map(_._2)
     // existence test only (r20): rlike stops at the first CJK hit;
@@ -102,12 +108,16 @@ object TextOps {
     * an order-sensitive rolling hash (md5 chain over tokens; an empty
     * seed keeps it well-defined for 1-token docs). */
   val textFingerprint: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
     Tables(s, dir, "documents")
       .select(
         col("doc_id"),
         md5(norm).as("content_md5"),
-        aggregate(split(norm, " "), lit(""), (h, t) => md5(concat(h, t)))
+        // native md5-chain fold (r20): the aggregate() HOF ran an
+        // interpreted lambda per token, round-tripping the running hex
+        // through UTF8String concat and the md5 expression each step
+        expr("rollingMd5(split(regexp_replace(trim(lower(text)), ' +', ' '), ' '))")
           .as("rolling_fp"))
       .orderBy("doc_id")
   }
@@ -124,10 +134,18 @@ object TextOps {
     val docs = Tables(s, dir, "documents")
     val toks = docs.select(col("doc_id"),
       explode(split(col("text"), " ")).as("token"))
+    // tf is the only corpus-wide pass (r20, guide §2.3/§2.4): df is a
+    // row-count per token OVER tf — the old `toks.distinct().groupBy`
+    // re-exploded the corpus and paid a full (doc_id, token) distinct
+    // shuffle for numbers tf already holds. One localCheckpoint lets
+    // the scoring join and the df aggregate share the single pass; the
+    // df table is vocabulary-sized (sublinear in corpus, same contract
+    // as textSurprisal's tf broadcast), so it broadcasts back.
     val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+      .localCheckpoint()
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(countDistinct("doc_id").as("n"))
-    tf.join(dfreq, "token")
+    tf.join(broadcast(dfreq), "token")
       .join(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n").cast("double") / col("df")), 6))
@@ -164,13 +182,12 @@ object TextOps {
     * distinct shingle set broadcasts and the corpus-side check is a
     * map-side hash join — the corpus is never shuffled. */
   val textDecontaminate: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     val docs = Tables(s, dir, "documents")
+    // native 8-gram shingler (r20) — see Dedup.withShingles
     def shingles(df: org.apache.spark.sql.DataFrame) =
-      df.withColumn("toks", split(col("text"), " "))
-        .select(col("doc_id"),
-          explode(transform(
-            sequence(lit(1), greatest(size(col("toks")) - 7, lit(1))),
-            i => concat_ws(" ", slice(col("toks"), i, lit(8))))).as("shingle"))
+      df.select(col("doc_id"),
+        explode(expr("wordShingles(split(text, ' '), 8)")).as("shingle"))
     val bench = shingles(docs.filter(col("doc_id") < 20))
       .select("shingle").distinct()
     shingles(docs.filter(col("doc_id") >= 20))
