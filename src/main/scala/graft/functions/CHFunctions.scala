@@ -4226,6 +4226,9 @@ object CHFunctions {
     // rollingMd5: native md5-chain fold over a token array (r20) — the
     // codegen'd form of aggregate(arr, '', (h, t) -> md5(concat(h, t)))
     "rollingMd5" -> (es => RollingMd5(es.head)),
+    // nearestCell: argmax-by-cosine over a literal centroid table (r20)
+    // — the projection form of the IVF cell-assignment aggregate
+    "nearestCell" -> (es => NearestCell(es.head, es(1))),
 
     // great-circle distance in meters (ClickHouse argument order
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's

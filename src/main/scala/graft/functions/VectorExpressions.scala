@@ -544,3 +544,101 @@ case class AdcScore(left: Expression, right: Expression, k: Int)
       newLeft: Expression, newRight: Expression): AdcScore =
     copy(left = newLeft, right = newRight)
 }
+
+/** nearestCell(v, cents): the id of the centroid with the highest
+  * cosine similarity to `v`, ties to the LOWEST cell id — exactly
+  * `max_by(cell, struct(cosineSimilarity(v, cv), -cell))` over the
+  * centroid table (r20). `cents` must be a FOLDABLE array of
+  * struct(cell, cv) rows (the table is config-sized by contract: it is
+  * trained on the driver and inlined as a literal), which turns the
+  * old broadcast-join + explode×cells + argmax AGGREGATION — a
+  * SortAggregate over cells× the corpus, since the struct ordering and
+  * the carried vector disqualify hash aggregation — into a narrow
+  * per-row projection with no shuffle at all. Scores via
+  * [[VectorOps.cosine]], the same arithmetic the codegen'd
+  * cosineSimilarity expression and the driver-side Lloyd passes use,
+  * so assignments are bit-identical to the aggregate form. */
+case class NearestCell(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("cell", LongType),
+      StructField("cv", ArrayType(DoubleType))))))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "nearestCell"
+
+  @transient private lazy val table: (Array[Long], Array[Array[Double]]) = {
+    require(right.foldable, "nearestCell expects a literal centroid table")
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cells = new Array[Long](n)
+    val cvs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val row = arr.getStruct(i, 2)
+      cells(i) = row.getLong(0)
+      cvs(i) = row.getArray(1).toDoubleArray()
+      i += 1
+    }
+    // ascending-cell scan order is what makes strict improvement
+    // reproduce the max_by tie rule (ties keep the LOWEST cell)
+    val order = cells.indices.sortBy(cells(_)).toArray
+    (order.map(cells), order.map(cvs))
+  }
+
+  override def nullSafeEval(vec: Any, cents: Any): Any = {
+    val (cells, cvs) = table
+    NearestCell.pick(vec.asInstanceOf[ArrayData], cells, cvs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cellsRef = ctx.addReferenceObj("ncCells", table._1, "long[]")
+    val cvsRef = ctx.addReferenceObj("ncCvs", table._2, "double[][]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"${ev.value} = graft.functions.NearestCell.pick($v, $cellsRef, $cvsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCell =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCell {
+
+  /** Cosine with EXACTLY [[VectorOps.cosine]]'s checks and op order
+    * (fused dot/xx/yy accumulation, left-associated). */
+  private def cos(x: ArrayData, y: Array[Double]): Double = {
+    val n = x.numElements()
+    if (y.length != n)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $n vs ${y.length} " +
+          "(cosineSimilarity/dotProduct/L2 require equal dimensions)")
+    var dot = 0.0; var xx = 0.0; var yy = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"null element at index $i in vector argument")
+      val xi = x.getDouble(i); val yi = y(i)
+      dot += xi * yi; xx += xi * xi; yy += yi * yi
+      i += 1
+    }
+    if (xx == 0.0 || yy == 0.0) 0.0 else dot / math.sqrt(xx * yy)
+  }
+
+  def pick(vec: ArrayData, cells: Array[Long], cvs: Array[Array[Double]]): Long = {
+    var best = 0L
+    var bestScore = 0.0
+    var first = true
+    var i = 0
+    while (i < cells.length) {
+      val s = cos(vec, cvs(i))
+      if (first || s > bestScore) { best = cells(i); bestScore = s; first = false }
+      i += 1
+    }
+    best
+  }
+}

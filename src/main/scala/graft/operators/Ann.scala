@@ -101,18 +101,25 @@ object Ann {
     topK(scored)
   }
 
-  /** Nearest-cell argmax per id via broadcast centroids + `max_by`
-    * aggregation — partial aggregation collapses each id's candidate
-    * cells map-side, so the one shuffle carries one row per id (a
-    * `Window.partitionBy(id)` argmax would shuffle every candidate row
-    * with no combine). Ties break to the lower cell id. */
+  /** Nearest-cell argmax per id as a PROJECTION (r20): the centroid
+    * table is config-sized BY CONTRACT (NumCells rows, trained on the
+    * driver), so it inlines as a literal into the codegen'd
+    * [[graft.functions.NearestCell]] — identical assignments to the old
+    * `max_by(cell, struct(ccos, -cell))` formulation (same cosine
+    * arithmetic, ties to the lower cell id) with NO join, NO cells×
+    * row expansion, and NO shuffle. The old shape's struct ordering and
+    * carried vector disqualified hash aggregation, so it ran as a
+    * SortAggregate over cells× the corpus. */
   private[graft] def assignCells(df: DataFrame, cents: DataFrame,
-      idCol: String, vecCol: String): DataFrame =
-    df.join(broadcast(cents))
-      .select(col(idCol), col(vecCol), col("cell"), dot(vecCol, "cv").as("ccos"))
-      .groupBy(idCol)
-      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"),
-        first(col(vecCol)).as(vecCol))
+      idCol: String, vecCol: String): DataFrame = {
+    graft.functions.CHFunctions.register(df.sparkSession)
+    import df.sparkSession.implicits._
+    val centArr = cents.selectExpr("cell", "cv").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1).toSeq
+    df.select(col(idCol),
+      call_function("nearestCell", col(vecCol), typedlit(centArr)).as("cell"),
+      col(vecCol))
+  }
 
   /** Deterministic bounded training sample WITHOUT a full-corpus
     * count, COLLECTED: escalate a hash modulus until the filtered set

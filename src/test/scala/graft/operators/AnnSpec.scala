@@ -82,8 +82,11 @@ class AnnSpec extends SparkSpec {
     val assigned = Ann.assignCells(e, cents, "vec_id", "v")
     val plan = assigned.queryExecution.executedPlan.toString()
     assert(!plan.contains("Window"), plan.take(600))
-    // max_by argmax must partial-aggregate map-side before its shuffle
-    assert(plan.contains("partial_max_by"), plan.take(600))
+    // r20: assignment is a pure projection over the literal centroid
+    // table — no join, no aggregate, no exchange anywhere in the plan
+    assert(!plan.contains("Exchange"), plan.take(600))
+    assert(!plan.contains("Aggregate"), plan.take(600))
+    assert(plan.toLowerCase.contains("nearestcell"), plan.take(600))
   }
 
   test("saved IVF index reproduces live search and prunes to probed cells") {
