@@ -109,7 +109,11 @@ object Ann {
     * arithmetic, ties to the lower cell id) with NO join, NO cells×
     * row expansion, and NO shuffle. The old shape's struct ordering and
     * carried vector disqualified hash aggregation, so it ran as a
-    * SortAggregate over cells× the corpus. */
+    * SortAggregate over cells× the corpus. Requires `idCol` unique per
+    * row (true for every caller — vec_id is the embeddings primary
+    * key): the old groupBy would collapse duplicate ids to one row,
+    * the projection keeps them per-row. AnnSpec pins the equivalence
+    * including zero-norm and exact-tie vectors. */
   private[graft] def assignCells(df: DataFrame, cents: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     graft.functions.CHFunctions.register(df.sparkSession)

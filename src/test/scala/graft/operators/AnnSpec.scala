@@ -89,6 +89,47 @@ class AnnSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("nearestcell"), plan.take(600))
   }
 
+  test("assignCells projection matches the max_by aggregate it replaced") {
+    // r20 rewired cell assignment from
+    //   df × cents → max_by(cell, struct(ccos, -cell)) GROUP BY id
+    // onto the per-row NearestCell projection. This pins the equivalence
+    // on the hostile cases: an all-zero vector (every cosine 0.0 — a
+    // full-table tie that must keep the LOWEST cell id), a vector
+    // exactly between two centroids (bit-identical scores, same tie
+    // rule), and negative similarities (the scan must not treat the 0.0
+    // initial as a sentinel floor). NOTE the shapes agree only while
+    // idCol is unique per row — true for every caller (vec_id is the
+    // embeddings primary key); duplicate ids would aggregate to one row
+    // in the old shape but stay per-row in the projection.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.CHFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 0.0)), // zero norm: all scores 0.0, tie → cell 0
+      (4L, Seq(1.0, 1.0, 0.0)), // equidistant from cells 0 and 1 → cell 0
+      (5L, Seq(-1.0, -1.0, -1.0)), // best score negative
+      (6L, Seq(0.3, -0.2, 0.9))
+    ).toDF("vec_id", "v")
+    val cents = Seq(
+      (0L, Seq(1.0, 0.0, 0.0)),
+      (1L, Seq(0.0, 1.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 1.0))).toDF("cell", "cv")
+    val got = Ann.assignCells(df, cents, "vec_id", "v")
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    val old = df.join(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        expr("cosineSimilarity(v, cv)").as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(col("cell"), struct(col("ccos"), -col("cell"))).as("cell"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == old)
+    assert(got.toMap.apply(3L) == 0L) // zero-norm tie keeps lowest cell
+    assert(got.toMap.apply(4L) == 0L) // exact score tie keeps lowest cell
+  }
+
   test("saved IVF index reproduces live search and prunes to probed cells") {
     import org.apache.spark.sql.functions._
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
