@@ -414,8 +414,13 @@ object QueryGuard {
       // for every pasted query on ANY session; extensions-built
       // sessions additionally get the same rule post-hoc-resolution
       // injected (GraftExtensions).
+      // SplitDistinctAggregate runs on the same analyzed plan: it
+      // separates DISTINCT aggregates from heavy-buffered regular
+      // aggregates so the expanded distinct phase stays a codegen'd
+      // hash aggregate instead of sort-falling-back (r21, see the rule)
       graft.plans.Bridge.ofRows(spark,
-        graft.functions.WrapArith(planned.queryExecution.analyzed))
+        graft.functions.WrapArith(graft.plans.SplitDistinctAggregate(
+          planned.queryExecution.analyzed)))
     } finally views.foreach(v => spark.catalog.dropTempView(v))
   }
 
