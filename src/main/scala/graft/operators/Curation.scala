@@ -271,11 +271,27 @@ object Curation {
     // strips the position list from the df copy, so the planner never
     // reuses the exchange and the timing stays within noise of this
     // simpler shape, which therefore stays.)
-    val candHashes = spanH
-      .groupBy("h")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") >= SpanDf)
-      .select("h")
+    // "appears in >= 2 distinct docs" as min(doc_id) != max(doc_id)
+    // (r21, guide §2.3 "aggregate before you shuffle"): the
+    // countDistinct formulation planned a two-phase distinct — a
+    // near-row-count (h, doc_id) hash dedup of the WHOLE exploded span
+    // stream through its exchange — where min/max are two fixed-width
+    // long buffers that combine map-side, so the exchange carries one
+    // partial row per map-side h instead of the stream. Identical
+    // selected set for SpanDf == 2 (the guard keeps a threshold bump
+    // from silently changing semantics), including all-null doc_ids
+    // (min = max = null -> null -> filtered, like countDistinct 0).
+    // Measured same-box steady: full query 8.4 -> 6.0 s at sf1,
+    // 2.2-2.9 -> 1.4-1.5 s at sf0.1.
+    val candHashes = {
+      require(SpanDf == 2,
+        "min/max distinct-doc test encodes SpanDf == 2; restore " +
+          "countDistinct for higher thresholds")
+      spanH.groupBy("h")
+        .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+        .filter(col("d0") =!= col("d1"))
+        .select("h")
+    }
     // candidate positions per doc (tiny) broadcast onto the corpus so
     // span strings are built only where a candidate hash occurred; the
     // resulting few rows shuffle ONCE by span string and the exact
@@ -291,9 +307,12 @@ object Curation {
         .as("pc"))
       .select(col("doc_id"), col("pc.pos").as("pos"), col("pc.span").as("span"))
       .repartition(col("span"))
+    // same min != max rewrite as candHashes (the exact string-df check
+    // that kills hash collisions — candidate rows only, so the win is
+    // smaller, but the distinct expansion goes away here too)
     val frequent = cand.groupBy("span")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") >= SpanDf)
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1"))
       .select("span")
     val hits = cand.join(frequent, "span")
       .groupBy("doc_id")

@@ -168,6 +168,36 @@ class CurationSpec extends SparkSpec {
       out(3L)._3 == md5hex("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"))
   }
 
+  test("boilerplate df>=2 test: min!=max equals countDistinct>=2 on real spans") {
+    // r21 rewrote both distinct-doc-frequency filters from
+    // countDistinct(doc_id) >= 2 to min(doc_id) != max(doc_id); pin the
+    // selected span-hash sets equal on the sf0.01 corpus (and that a
+    // within-one-doc repeated span is NOT selected — doc 4 below).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.CHFunctions.register(spark)
+    val boiler = (1 to Curation.SpanLen).map(i => s"b$i").mkString(" ")
+    val extra = Seq(
+      (4L, s"$boiler x1 x2 $boiler"), // repeats only WITHIN one doc
+      (5L, s"$boiler y1"), (6L, s"y0 $boiler")).toDF("doc_id", "text")
+    val real = graft.Tables(spark, sf, "documents").select("doc_id", "text")
+    val docs = real.unionByName(extra)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val spanH = docs.select(col("doc_id"),
+      posexplode(expr(s"spanKeys(toks, ${Curation.SpanLen})"))
+        .as(Seq("pos", "h")))
+    val viaDistinct = spanH.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2).select("h")
+      .collect().map(_.getLong(0)).toSet
+    val viaMinMax = spanH.groupBy("h")
+      .agg(min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("d0") =!= col("d1")).select("h")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaDistinct == viaMinMax)
+    assert(viaMinMax.nonEmpty)
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
