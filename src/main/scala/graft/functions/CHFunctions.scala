@@ -4229,6 +4229,8 @@ object CHFunctions {
     // nearestCell: argmax-by-cosine over a literal centroid table (r20)
     // — the projection form of the IVF cell-assignment aggregate
     "nearestCell" -> (es => NearestCell(es.head, es(1))),
+    // pqEncode: all PQ codes of a vector over a literal codebook (r21)
+    "pqEncode" -> (es => PqEncode(es.head, es(1))),
 
     // great-circle distance in meters (ClickHouse argument order
     // lon1, lat1, lon2, lat2), as the haversine formula over Spark's
@@ -4544,6 +4546,11 @@ object CHFunctions {
     "dictHas" -> (es => IsNotNull(DictGet.fromArgs(es))),
     "simHash" -> (es => SimHash60(es.head)),
     "minHashSig" -> (es => MinHashSig(es.head)),
+    // r21 internal tokenization kernels: byte-exact regex-free twins of
+    // regexp_replace(s, ' +', ' ') and split(s, ' ') for the per-row
+    // normalization pass in front of the dedup/text family
+    "collapseSpaces" -> (es => CollapseSpaces(es.head)),
+    "spaceSplit" -> (es => SpaceSplit(es.head)),
     // CH shingle-sketch family: simhash over char n-grams / word
     // shingles (our 60-bit [[SimHash60]] — engine-specific bit layout,
     // like CH's own), and the *MinHash (min, max)-hash tuples used for

@@ -712,26 +712,27 @@ case class WordShingles(left: Expression, right: Expression)
 
 object WordShingles {
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
   def compute(arr: ArrayData, n: Int): ArrayData = {
     val total = arr.numElements()
     val count = math.max(total - (n - 1), 1)
     val out = new Array[Any](count)
-    val sb = new java.lang.StringBuilder()
     var i = 0
     while (i < count) {
-      sb.setLength(0)
-      var j = i
       val end = math.min(i + n, total)
-      var first = true
+      // UTF8String.concatWs is the builtin concat_ws kernel: one output
+      // byte array straight from the token bytes, null inputs skipped —
+      // the former StringBuilder path decoded every token to UTF-16 and
+      // re-encoded the shingle, twice the bytes touched per shingle
+      // (r21; same strings bit-for-bit)
+      val parts = new Array[org.apache.spark.unsafe.types.UTF8String](end - i)
+      var j = i
       while (j < end) {
-        if (!arr.isNullAt(j)) { // concat_ws skips nulls
-          if (!first) sb.append(' ')
-          sb.append(arr.getUTF8String(j).toString)
-          first = false
-        }
+        parts(j - i) = if (arr.isNullAt(j)) null else arr.getUTF8String(j)
         j += 1
       }
-      out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, parts: _*)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -798,5 +799,110 @@ object RollingMd5 {
       i += 1
     }
     org.apache.spark.unsafe.types.UTF8String.fromString(h)
+  }
+}
+
+/** collapseSpaces(s): byte-exact `regexp_replace(s, ' +', ' ')` — every
+  * maximal run of ASCII spaces becomes one space — as a single byte
+  * pass with no regex engine and no copy when no run exists (r21).
+  * This is the normalization step in front of the whole dedup family
+  * (and text_fingerprint), where the java.util.regex Matcher was a
+  * measurable slice of the corpus scan. Only 0x20 collapses, exactly
+  * like the pattern it replaces; multi-byte code points pass through
+  * untouched (no UTF-8 continuation byte equals 0x20). */
+case class CollapseSpaces(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "collapseSpaces"
+
+  override def nullSafeEval(input: Any): Any =
+    CollapseSpaces.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CollapseSpaces.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CollapseSpaces =
+    copy(child = newChild)
+}
+
+object CollapseSpaces {
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    val b = s.getBytes
+    val n = b.length
+    // fast path: no two adjacent spaces -> the input IS the output
+    var i = 1
+    var run = false
+    while (i < n && !run) {
+      if (b(i) == 0x20 && b(i - 1) == 0x20) run = true
+      i += 1
+    }
+    if (!run) return s
+    val out = new Array[Byte](n)
+    var w = 0
+    i = 0
+    while (i < n) {
+      val c = b(i)
+      if (c != 0x20 || w == 0 || out(w - 1) != 0x20) { out(w) = c; w += 1 }
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out, 0, w)
+  }
+}
+
+/** spaceSplit(s): byte-exact `split(s, ' ')` (single-space pattern,
+  * Spark's default limit -1 — trailing empty strings KEPT) without the
+  * regex engine: n spaces yield n+1 tokens sliced between them, so
+  * "a  b" gives ["a", "", "b"] and "" gives [""], exactly like the
+  * builtin (r21). Tokenization feeds every dedup/text operator's
+  * per-row pipeline, one evaluation per corpus row. */
+case class SpaceSplit(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "spaceSplit"
+
+  override def nullSafeEval(input: Any): Any =
+    SpaceSplit.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SpaceSplit.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpaceSplit =
+    copy(child = newChild)
+}
+
+object SpaceSplit {
+
+  def compute(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val b = s.getBytes
+    val n = b.length
+    var count = 1
+    var i = 0
+    while (i < n) { if (b(i) == 0x20) count += 1; i += 1 }
+    val out = new Array[Any](count)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i < n) {
+      if (b(i) == 0x20) {
+        out(t) = org.apache.spark.unsafe.types.UTF8String
+          .fromBytes(b, start, i - start)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    out(t) = org.apache.spark.unsafe.types.UTF8String
+      .fromBytes(b, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

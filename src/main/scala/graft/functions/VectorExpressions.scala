@@ -314,7 +314,7 @@ object MinHashSig {
     val n = shingles.numElements()
     val md = SimHash60.md5()
     while (t < n) {
-      val x30 = SimHash60.hash60(md, shingles.getUTF8String(t).toString) >>> 30
+      val x30 = SimHash60.hash60(md, shingles.getUTF8String(t)) >>> 30
       var h = 0
       while (h < NumHashes) {
         val v = (A(h) * x30 + B(h)) % P
@@ -436,10 +436,16 @@ object SimHash60 {
 
   private[functions] def md5(): java.security.MessageDigest = digest.get()
 
-  /** Top 60 bits of md5(token) — equals parsing the first 15 hex chars. */
-  private[functions] def hash60(md: java.security.MessageDigest, token: String): Long = {
+  /** Top 60 bits of md5(token) — equals parsing the first 15 hex chars.
+    * Takes the UTF8String directly: its stored bytes ARE the UTF-8
+    * encoding (and exactly what the oracle's md5(x) hashes), so the
+    * former decode-to-String/re-encode round trip per token was two
+    * allocations and two full copies of every token in the hottest
+    * loop of the dedup family (r21). */
+  private[functions] def hash60(md: java.security.MessageDigest,
+      token: org.apache.spark.unsafe.types.UTF8String): Long = {
     md.reset()
-    val b = md.digest(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = md.digest(token.getBytes)
     val top8 =
       ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
         ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
@@ -453,7 +459,7 @@ object SimHash60 {
     var t = 0
     val n = tokens.numElements()
     while (t < n) {
-      val h = hash60(md, tokens.getUTF8String(t).toString)
+      val h = hash60(md, tokens.getUTF8String(t))
       var i = 0
       while (i < 60) {
         votes(i) += (((h >>> i) & 1L).toInt * 2) - 1
@@ -604,6 +610,121 @@ case class NearestCell(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): NearestCell =
     copy(left = newLeft, right = newRight)
+}
+
+/** pqEncode(v, books): all [[graft.operators.Ann]] product-quantization
+  * codes of a vector in ONE projection — for each subspace j
+  * (ascending), the code is the codebook cell minimizing the L2²
+  * distance to v's j-th slice, ties to the LOWEST cell: exactly
+  * `min_by(cell, struct(d2, cell))` per (vec, sub) over the exploded
+  * subvector×codeword join it replaces (r21). `books` must be a
+  * FOLDABLE array of struct(sub, cell, cv) rows — the codebook is
+  * KB-scale by contract (trained on the driver) and inlines as a
+  * literal, like [[NearestCell]]'s centroid table. The old shape
+  * expanded the corpus ×(subspaces × codewords) through a broadcast
+  * join into a struct-buffered min_by — an ObjectHashAggregate that
+  * falls back to SORT-based aggregation past 128 groups, i.e. a sort
+  * of corpus×256 rows — then regrouped per vector with a second
+  * aggregate. Sub-slicing mirrors the `slice(v, j*int(n/m)+1,
+  * int(n/m))` arithmetic (subLen = n/m integer division), and the L2²
+  * loop is [[VectorOps.l2sq]]'s op order, so codes are bit-identical
+  * to the aggregate form and to the oracle's replay. */
+case class PqEncode(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ImplicitCastInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType),
+    ArrayType(StructType(Seq(
+      StructField("sub", IntegerType),
+      StructField("cell", LongType),
+      StructField("cv", ArrayType(DoubleType))))))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pqEncode"
+
+  /** (cells, codewords) per subspace, subs 0..m-1, cells ascending
+    * within each — the ascending strict-improvement scan IS the
+    * min_by(cell, struct(d2, cell)) tie rule. */
+  @transient private lazy val table
+      : Array[(Array[Long], Array[Array[Double]])] = {
+    require(right.foldable, "pqEncode expects a literal codebook table")
+    val arr = right.eval().asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val rows = (0 until n).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getInt(0), r.getLong(1), r.getArray(2).toDoubleArray())
+    }
+    val m = rows.map(_._1).max + 1
+    require(rows.map(_._1).toSet == (0 until m).toSet,
+      s"pqEncode codebook must cover subspaces 0..${m - 1}")
+    Array.tabulate(m) { j =>
+      val cells = rows.filter(_._1 == j).sortBy(_._2)
+      (cells.map(_._2).toArray, cells.map(_._3).toArray)
+    }
+  }
+
+  override def nullSafeEval(vec: Any, books: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      PqEncode.encode(vec.asInstanceOf[ArrayData], table))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tableRef = ctx.addReferenceObj("pqBooks", table,
+      "scala.Tuple2[]")
+    nullSafeCodeGen(ctx, ev, (v, _) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.PqEncode.encode($v, $tableRef));""".stripMargin)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncode =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqEncode {
+
+  /** L2² of v[base..base+len) vs y, [[VectorOps.l2sq]]'s checks and op
+    * order (the old path sliced then l2sq'd; same arithmetic). */
+  private def l2sqSub(v: ArrayData, base: Int, len: Int,
+      y: Array[Double]): Double = {
+    if (y.length != len)
+      throw new IllegalArgumentException(
+        s"vector length mismatch: $len vs ${y.length} " +
+          "(cosineSimilarity/dotProduct/L2 require equal dimensions)")
+    var acc = 0.0
+    var i = 0
+    while (i < len) {
+      if (v.isNullAt(base + i))
+        throw new IllegalArgumentException(
+          s"null element at index ${base + i} in vector argument")
+      val d = v.getDouble(base + i) - y(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  def encode(v: ArrayData,
+      books: Array[(Array[Long], Array[Array[Double]])]): Array[Long] = {
+    val m = books.length
+    val subLen = v.numElements() / m
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val (cells, cvs) = books(j)
+      var best = 0L
+      var bestD = 0.0
+      var first = true
+      var c = 0
+      while (c < cells.length) {
+        val d = l2sqSub(v, j * subLen, subLen, cvs(c))
+        if (first || d < bestD) { best = cells(c); bestD = d; first = false }
+        c += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    out
+  }
 }
 
 object NearestCell {

@@ -332,21 +332,6 @@ object Ann {
   private val PqK = 32 // codes per subspace
   private val PqShortlist = 50 // ADC candidates kept for exact rerank
 
-  /** Split each vector into [[PqM]] equal sub-vectors:
-    * (vec_id, sub, sv) rows. Narrow (one explode, no shuffle). */
-  private def subVectors(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), posexplode(expr(
-      s"""transform(sequence(0, ${PqM - 1}),
-         |  j -> slice(v, j * int(size(v) / $PqM) + 1, int(size(v) / $PqM)))"""
-        .stripMargin)).as(Seq("sub", "sv")))
-
-  /** Squared L2 between the row's sub-vector and a candidate codeword —
-    * the native codegen'd [[graft.functions.L2SquaredDistance]]: the
-    * encode pass evaluates this corpus × subspaces × codewords times,
-    * and the interpreted `aggregate(zip_with(...))` tree it replaced
-    * allocated per evaluation. */
-  private val subDist2: Column = expr("L2SquaredDistance(sv, cv)")
-
   /** Product-quantization codebooks: per-subspace k-means over the
     * bounded deterministic sample, run ON THE DRIVER like
     * [[trainCentroids]] — the sample collect is the only Spark job in
@@ -395,8 +380,9 @@ object Ann {
     * asymmetric-distance lookup tables and only the ADC shortlist
     * touches float vectors again for the exact rerank.
     *
-    * Scale shape: encode is one broadcast-join + partial-agg `min_by`
-    * per (vec, sub) — the corpus shuffles once, as codes; the ADC
+    * Scale shape: encode is a pure per-row PROJECTION over the literal
+    * codebook ([[graft.functions.PqEncode]], r21) — no corpus explode,
+    * no join, no shuffle anywhere in the encode; the ADC
     * tables (queries × m × k dot products) are computed ON THE DRIVER
     * from the collected codebook + query set (both KB-scale by
     * contract) and broadcast; scoring is a narrow m-term lookup sum per
@@ -410,15 +396,24 @@ object Ann {
     import s.implicits._
     val e = unitVectors(s, dir)
     val book = trainPqCodebooks(e, iters = 2)
-    val cents = broadcast(book.toDF("sub", "cell", "cv"))
 
-    val codes = subVectors(e).join(cents, "sub")
-      .select(col("vec_id"), col("sub"), col("cell"), subDist2.as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min_by(col("cell"), struct(col("d2"), col("cell"))).as("code"))
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(struct(sub, code))), p -> p.code)")
-        .as("codes"))
+    // encode as a PROJECTION over the literal codebook (r21, guide
+    // §2.3/§1.2 — same move as [[assignCells]]): the codebook is
+    // KB-scale by contract, so [[graft.functions.PqEncode]] computes
+    // all PqM codes per row with NO ×(subspaces × codewords) explode,
+    // NO broadcast join, and NO aggregates. The old shape's min_by
+    // carried a struct buffer, so its corpus×8-group aggregate ran
+    // ObjectHashAggregate in sort-based fallback over corpus×256 rows,
+    // then a second collect_list aggregate regrouped per vector.
+    // Identical codes: ascending-cell strict improvement on the same
+    // L2² arithmetic IS min_by(cell, struct(d2, cell)), and the array
+    // is sub-ascending like the array_sort(collect_list) it replaces.
+    val codes = {
+      import s.implicits._
+      val bookLit = typedlit(book.map { case (j, c, cv) => (j, c, cv) })
+      e.select(col("vec_id"),
+        call_function("pqEncode", col("v"), bookLit).as("codes"))
+    }
 
     // query set + ADC lookup tables, driver-computed from the collected
     // codebook (queries are bounded by contract, the codebook is KB-scale)

@@ -31,15 +31,24 @@ object Dedup {
   private val Bands = 6 // rows per band = NumHashes / Bands = 2
   private val maxBucket = 100
 
-  /** Whitespace-normalized lowercase text — the dedup key space. */
-  private val norm: Column = regexp_replace(trim(lower(col("text"))), " +", " ")
+  /** Whitespace-normalized lowercase text — the dedup key space.
+    * r21: collapseSpaces/spaceSplit are byte-exact regex-free twins of
+    * regexp_replace(.., " +", " ") / split(.., " ") — the java.util
+    * .regex passes were a measurable slice of the one corpus scan every
+    * dedup query starts with. Callers must register CHFunctions. */
+  private val norm: Column =
+    call_function("collapseSpaces", trim(lower(col("text"))))
+
+  private val normToks: Column = call_function("spaceSplit", norm)
 
   /** D1: exact dedup on the md5 of normalized text; keeps min doc_id. */
-  val dedupExact: Q = (s, dir) =>
+  val dedupExact: Q = (s, dir) => {
+    graft.functions.CHFunctions.register(s)
     Tables(s, dir, "documents")
       .groupBy(md5(norm).as("content_hash"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_doc"))
       .orderBy("keep_doc")
+  }
 
   /** Word 3-gram shingles of the normalized text (docs shorter than 3
     * tokens get one whole-text shingle). r20: built by the native
@@ -48,7 +57,7 @@ object Dedup {
     * and two allocations per shingle; same strings, one codegen'd loop. */
   private def withShingles(df: DataFrame): DataFrame = {
     graft.functions.CHFunctions.register(df.sparkSession)
-    df.withColumn("toks", split(norm, " "))
+    df.withColumn("toks", normToks)
       .withColumn("shingles", expr("wordShingles(toks, 3)"))
   }
 
@@ -56,21 +65,28 @@ object Dedup {
     * [[graft.functions.MinHashSig]] expression (one md5 per shingle,
     * universal-hash variants). The identical integer arithmetic runs in
     * the oracle, so signatures are engine-portable. */
-  private def withSignature(df: DataFrame): DataFrame = {
-    val sig = withShingles(df).withColumn("sig", expr("minHashSig(shingles)"))
-    (0 until NumHashes).foldLeft(sig) { (d, h) =>
-      d.withColumn(s"h$h", col("sig").getItem(h).cast("string"))
-    }
-  }
+  private def withSignature(df: DataFrame): DataFrame =
+    withShingles(df).withColumn("sig", expr("minHashSig(shingles)"))
 
-  /** The per-doc (band, bkey) rows of a signature frame. */
+  /** The per-doc (band, ka, kb) rows of a signature frame: the band
+    * key IS the band's signature-component pair. r21 (guide §2.3
+    * "shuffle keys instead of payloads" / §1.2 per-task work): the old
+    * key was md5(concat(string(h_2j), string(h_2j+1))) — twelve
+    * long→string casts plus six md5-to-hex calls PER DOC whose only
+    * job was to identify the pair, and the bucket shuffle carried a
+    * 32-char string key. The raw pair is exact (two buckets are equal
+    * iff the pair is — md5 could only MERGE buckets on a collision),
+    * 16 bytes, and free to derive. The oracle keeps its md5-key
+    * construction and the candidate-pair results stay identical. */
   private def bandKeys(sigDf: DataFrame): DataFrame = {
     val bandStructs = (0 until Bands).map { j =>
       struct(lit(j).as("band"),
-        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("bkey"))
+        col("sig").getItem(2 * j).as("ka"),
+        col("sig").getItem(2 * j + 1).as("kb"))
     }
     sigDf.select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+      .select(col("doc_id"), col("b.band").as("band"),
+        col("b.ka").as("ka"), col("b.kb").as("kb"))
   }
 
 
@@ -99,13 +115,15 @@ object Dedup {
     sig.select(col("doc_id"), col("sig"))
       .write.mode(mode).parquet(s"$indexDir/sigs")
     val bands = bandKeys(sig)
-    val bucketSizes = bands.groupBy("band", "bkey")
+    val bucketSizes = bands.groupBy("band", "ka", "kb")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
-      .select(col("band").as("fband"), col("bkey").as("fbkey"))
+      .select(col("band").as("fband"), col("ka").as("fka"),
+        col("kb").as("fkb"))
     bands.join(bucketSizes,
-        col("band") === col("fband") && col("bkey") === col("fbkey"))
-      .select(col("doc_id"), col("bkey"), col("band"))
+        col("band") === col("fband") && col("ka") === col("fka") &&
+          col("kb") === col("fkb"))
+      .select(col("doc_id"), col("ka"), col("kb"), col("band"))
       .write.mode(mode).partitionBy("band").parquet(s"$indexDir/bands")
   }
 
@@ -132,15 +150,16 @@ object Dedup {
     // lookup quadratic. The size aggregate runs over the compact band
     // table (6 rows/doc), never raw text.
     val idx = spark.read.parquet(s"$indexDir/bands")
-    val okBuckets = idx.groupBy("band", "bkey")
+    val okBuckets = idx.groupBy("band", "ka", "kb")
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBucket)
-      .select("band", "bkey")
+      .select("band", "ka", "kb")
     val cand = bandKeys(newSig).select(col("doc_id").as("new_doc"),
-        col("band"), col("bkey"))
-      .join(idx.join(okBuckets, Seq("band", "bkey"))
-        .select(col("doc_id").as("corpus_doc"), col("band"), col("bkey")),
-        Seq("band", "bkey"))
+        col("band"), col("ka"), col("kb"))
+      .join(idx.join(okBuckets, Seq("band", "ka", "kb"))
+        .select(col("doc_id").as("corpus_doc"), col("band"), col("ka"),
+          col("kb")),
+        Seq("band", "ka", "kb"))
       .select("new_doc", "corpus_doc").distinct()
     cand
       .join(newSig.select(col("doc_id").as("new_doc"), col("sig").as("nsig")),
@@ -161,16 +180,14 @@ object Dedup {
     withSignature(docs)
   }
 
-  /** The columns the index flows actually consume: doc_id, the sig
-    * array, and the band-key h-strings. localCheckpoint materializes a
-    * frame AS-IS (no downstream column pruning reaches through it), so
-    * checkpointing [[signaturesFull]] unprojected pinned text + toks +
-    * shingles — the whole raw corpus again, several times the useful
-    * payload (r20, guide §2.3). */
+  /** The columns the index flows actually consume: doc_id and the sig
+    * array (band keys derive from sig directly since r21).
+    * localCheckpoint materializes a frame AS-IS (no downstream column
+    * pruning reaches through it), so checkpointing [[signaturesFull]]
+    * unprojected pinned text + toks + shingles — the whole raw corpus
+    * again, several times the useful payload (r20, guide §2.3). */
   private def signaturesNarrow(docs: DataFrame): DataFrame =
-    signaturesFull(docs).select(
-      col("doc_id") +: col("sig") +:
-        (0 until NumHashes).map(h => col(s"h$h")): _*)
+    signaturesFull(docs).select(col("doc_id"), col("sig"))
 
   /** Distinct candidate pairs (doc_a < doc_b) sharing any band key.
     *
@@ -182,7 +199,7 @@ object Dedup {
   private def candidatePairs(docs: DataFrame): DataFrame = {
     graft.functions.CHFunctions.register(docs.sparkSession)
     bandKeys(withSignature(docs))
-      .groupBy(col("band"), col("bkey"))
+      .groupBy(col("band"), col("ka"), col("kb"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(expr(
@@ -248,7 +265,7 @@ object Dedup {
   val dedupSimhash: Q = (s, dir) => {
     graft.functions.CHFunctions.register(s)
     Tables(s, dir, "documents")
-      .withColumn("toks", split(norm, " "))
+      .withColumn("toks", normToks)
       .select(col("doc_id"), expr("simHash(toks)").as("simhash"))
       .orderBy("doc_id")
   }

@@ -109,7 +109,9 @@ object TextOps {
     * seed keeps it well-defined for 1-token docs). */
   val textFingerprint: Q = (s, dir) => {
     graft.functions.CHFunctions.register(s)
-    val norm = regexp_replace(trim(lower(col("text"))), " +", " ")
+    // collapseSpaces/spaceSplit (r21): byte-exact regex-free twins of
+    // the regexp_replace/split normalization, like the dedup family
+    val norm = call_function("collapseSpaces", trim(lower(col("text"))))
     Tables(s, dir, "documents")
       .select(
         col("doc_id"),
@@ -117,7 +119,7 @@ object TextOps {
         // native md5-chain fold (r20): the aggregate() HOF ran an
         // interpreted lambda per token, round-tripping the running hex
         // through UTF8String concat and the md5 expression each step
-        expr("rollingMd5(split(regexp_replace(trim(lower(text)), ' +', ' '), ' '))")
+        expr("rollingMd5(spaceSplit(collapseSpaces(trim(lower(text)))))")
           .as("rolling_fp"))
       .orderBy("doc_id")
   }
